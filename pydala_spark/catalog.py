@@ -1,0 +1,101 @@
+"""Datalake: a root path holding many datasets, discoverable and
+registerable on one SparkSession.
+
+Reference parity (src/pydala/datalake/manager.py): datasets carry a
+``_dataset.toml`` sidecar and the lake root a ``_pydala.toml`` manifest;
+discovery is a ``**/_dataset.toml`` glob (manager.py:93-96, 128-131), and
+``add_dataset`` registers a new member (manager.py:137-181). We use JSON
+sidecars (``_dataset.json`` / ``_pydala.json``) and register every dataset
+as a temp view — fixing the reference's broken multi-dataset reader
+(datalake/reader.py:65-80 references undefined variables).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pydala_spark.dataset.reader import Dataset
+from pydala_spark.session import configure_session
+
+MANIFEST_NAME = "_pydala.json"
+DATASET_SIDECAR = "_dataset.json"
+
+
+class Datalake:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = configure_session(spark)
+        self.root = root.removeprefix("file:").rstrip("/")
+        self.manifest_path = os.path.join(self.root, MANIFEST_NAME)
+        self.datasets: dict[str, Dataset] = {}
+
+    # -- manifest ---------------------------------------------------------------
+
+    def read_manifest(self) -> dict:
+        if not os.path.exists(self.manifest_path):
+            return {"datasets": {}}
+        with open(self.manifest_path) as f:
+            return json.load(f)
+
+    def write_manifest(self, manifest: dict) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        with open(self.manifest_path, "w") as f:
+            json.dump(manifest, f, indent=2)
+
+    # -- discovery (manager.py:90-131) --------------------------------------------
+
+    def discover(self) -> dict[str, str]:
+        """name -> dataset base path, by ``**/_dataset.json`` glob plus any
+        directory directly containing data files."""
+        found: dict[str, str] = {}
+        for sidecar in glob.glob(
+            os.path.join(self.root, "**", DATASET_SIDECAR), recursive=True
+        ):
+            base = os.path.dirname(sidecar)
+            found[os.path.relpath(base, self.root).replace(os.sep, ".")] = base
+        manifest = self.read_manifest()
+        for name, rel in manifest.get("datasets", {}).items():
+            found.setdefault(name, os.path.join(self.root, rel))
+        return found
+
+    # -- registration ----------------------------------------------------------------
+
+    def add_dataset(
+        self, name: str, path: str | None = None, format: str = "parquet", **kwargs
+    ) -> Dataset:
+        """Track + register a dataset (manager.py:137-181)."""
+        base = path or os.path.join(self.root, name.replace(".", os.sep))
+        ds = Dataset(self.spark, base, format=format, name=name, **kwargs)
+        self.datasets[name] = ds
+        manifest = self.read_manifest()
+        manifest.setdefault("datasets", {})[name] = os.path.relpath(base, self.root)
+        self.write_manifest(manifest)
+        if ds._dataset_has_files():
+            ds.to_view(name.replace(".", "_"))
+        return ds
+
+    def load(self, register_views: bool = True) -> dict[str, Dataset]:
+        """Discover every dataset and (optionally) register each as a temp
+        view named by its dotted relative path."""
+        for name, base in self.discover().items():
+            # snapshot-managed datasets expose their live data
+            current = os.path.join(base, "current")
+            data_path = current if os.path.isdir(current) else base
+            ds = Dataset(self.spark, data_path, name=name)
+            self.datasets[name] = ds
+            if register_views:
+                ds.to_view(name.replace(".", "_"))
+        return self.datasets
+
+    def sql(self, query: str) -> DataFrame:
+        if not self.datasets:
+            self.load()
+        return self.spark.sql(query)
+
+    def __getitem__(self, name: str) -> Dataset:
+        if name not in self.datasets:
+            self.load(register_views=False)
+        return self.datasets[name]

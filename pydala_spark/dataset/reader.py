@@ -1,0 +1,326 @@
+"""Dataset: lazy reads with schema unification and the post-pipeline.
+
+Reference parity (SURVEY.md §2.1, §2.4):
+
+- lazy dataset scan + named registration (src/pydala/dataset/reader.py:214-255)
+- pinned schema as pa.Schema or {name: "type"} dict (reader.py:70-79)
+- unified-schema retry on mixed-schema datasets (reader.py:186-188, 228-230)
+- SQL passthrough (reader.py:478-484) -> ``spark.sql`` over the view
+- drop -> distinct(subset, keep first/last, presort) -> sort pipeline
+  applied at every materialization (src/pydala/dataset/base.py:118-142,
+  config setters base.py:77-115)
+- materializers to pandas/arrow (src/pydala/utils/table.py:8-55)
+
+Scale: the DataFrame stays lazy; filters/projections expressed downstream
+push into the parquet scan via Catalyst. Schema unification reads only
+parquet footers on the driver. When fragment schemas genuinely conflict
+(e.g. int64 vs string for one column), the dataset is read per
+schema-group and reconciled with casts + unionByName — each group is still
+a distributed scan, and the number of *distinct schemas* (not files) bounds
+the plan size. For permanent fixes, ``Writer.unify_schema`` rewrites the
+stragglers once.
+"""
+
+from __future__ import annotations
+
+import posixpath
+from typing import Callable, Iterable, Sequence
+
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pydala_spark import schema as schema_mod
+from pydala_spark.session import configure_session
+
+
+def _parse_sort_spec(by: str | Sequence[str]) -> list[tuple[str, bool]]:
+    """Parse ``"col1 DESC, col2"`` / list form into (name, ascending) pairs
+    (reference builds DuckDB ORDER BY strings the same way,
+    src/pydala/utils/base.py:40-55)."""
+    if isinstance(by, str):
+        parts = [p.strip() for p in by.split(",") if p.strip()]
+    else:
+        parts = [str(p).strip() for p in by]
+    spec = []
+    for part in parts:
+        tokens = part.split()
+        name = tokens[0]
+        ascending = not (len(tokens) > 1 and tokens[1].lower() in ("desc", "descending"))
+        spec.append((name, ascending))
+    return spec
+
+
+class Dataset:
+    """A directory of homogeneous-format files, queryable as a DataFrame.
+
+    >>> ds = Dataset(spark, "/data/lineitem")
+    >>> ds.sort("l_shipdate").drop("l_comment")
+    >>> df = ds.load()
+    >>> ds.to_view("lineitem"); spark.sql("SELECT ... FROM lineitem")
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        format: str = "parquet",
+        schema: pa.Schema | dict[str, str] | None = None,
+        partitioning: str | None = "hive",
+        name: str | None = None,
+        csv_options: dict | None = None,
+    ):
+        self.spark = configure_session(spark)
+        self.path = path
+        self.format = format.lower()
+        if isinstance(schema, dict):
+            schema = schema_mod.schema_from_dict(schema)
+        self._pinned_schema = schema
+        self.partitioning = partitioning
+        self.name = name or posixpath.basename(path.rstrip("/")) or "dataset"
+        self._csv_options = csv_options or {}
+        # post-pipeline config (reference base.py:77-115)
+        self._drop: list[str] = []
+        self._distinct: bool = False
+        self._distinct_subset: list[str] | None = None
+        self._distinct_keep: str = "first"
+        self._distinct_presort: list[tuple[str, bool]] | None = None
+        self._sort: list[tuple[str, bool]] | None = None
+        self._df: DataFrame | None = None
+
+    # -- post-pipeline config (chainable) -----------------------------------
+
+    def sort(self, by: str | Sequence[str]) -> "Dataset":
+        self._sort = _parse_sort_spec(by)
+        self._df = None
+        return self
+
+    def distinct(
+        self,
+        subset: Sequence[str] | None = None,
+        keep: str = "first",
+        presort: str | Sequence[str] | None = None,
+    ) -> "Dataset":
+        """Full-row distinct, or subset-keyed dedup keeping the first/last
+        row per key under ``presort`` order (reference
+        src/pydala/utils/table.py:230-288). The reference is
+        nondeterministic without a presort; here rows are always ordered by
+        (presort or all non-key columns) so results are stable."""
+        if keep not in ("first", "last"):
+            raise ValueError("keep must be 'first' or 'last'")
+        self._distinct = True
+        self._distinct_subset = list(subset) if subset else None
+        self._distinct_keep = keep
+        self._distinct_presort = _parse_sort_spec(presort) if presort else None
+        self._df = None
+        return self
+
+    def drop(self, columns: str | Sequence[str]) -> "Dataset":
+        self._drop = [columns] if isinstance(columns, str) else list(columns)
+        self._df = None
+        return self
+
+    # -- loading -------------------------------------------------------------
+
+    @property
+    def fragment_schemas(self) -> list[pa.Schema]:
+        return schema_mod.list_fragment_schemas(
+            self.path, "parquet" if self.format == "parquet" else self.format,
+            self.partitioning if self.partitioning != "hive" else "hive",
+        )
+
+    @property
+    def unified_schema(self) -> pa.Schema:
+        schema, _ = schema_mod.get_unified_schema(self.fragment_schemas)
+        return schema
+
+    def _base_read(self) -> DataFrame:
+        reader = self.spark.read
+        if self._pinned_schema is not None:
+            reader = reader.schema(schema_mod.arrow_schema_to_spark(self._pinned_schema))
+        if self.format == "parquet":
+            return reader.option("mergeSchema", "true").parquet(self.path)
+        if self.format == "csv":
+            opts = {"header": True, **self._csv_options}
+            if self._pinned_schema is None:
+                opts.setdefault("inferSchema", True)
+            return reader.options(**opts).csv(self.path)
+        if self.format == "json":
+            return reader.json(self.path)
+        raise ValueError(f"unsupported format {self.format!r}")
+
+    def _unified_read(self) -> DataFrame:
+        """Mixed-schema read: group fragments by physical schema, read each
+        group as one distributed scan, cast to the unified schema, and
+        unionByName (union-of-columns). This is the Spark analog of the
+        reference's ArrowInvalid -> unified-schema retry
+        (src/pydala/dataset/reader.py:186-188)."""
+        schemas = self.fragment_schemas
+        unified, equal = schema_mod.get_unified_schema(schemas)
+        if equal:
+            return self._base_read()
+        import pyarrow.dataset as pads
+
+        dataset = pads.dataset(self.path, format="parquet", partitioning="hive")
+        groups: dict[str, list[str]] = {}
+        for frag in dataset.get_fragments():
+            groups.setdefault(str(frag.physical_schema), []).append(frag.path)
+        spark_unified = schema_mod.arrow_schema_to_spark(unified)
+        out: DataFrame | None = None
+        for paths in groups.values():
+            part = self.spark.read.parquet(*paths)
+            cols = [
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name in part.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in spark_unified.fields
+            ]
+            part = part.select(*cols)
+            out = part if out is None else out.unionByName(part)
+        assert out is not None
+        return out
+
+    def load(self, reload: bool = False) -> DataFrame:
+        """Lazy DataFrame over the dataset with the post-pipeline applied."""
+        if self._df is not None and not reload:
+            return self._df
+        if self.format == "parquet" and self._pinned_schema is None:
+            try:
+                df = self._base_read()
+            except Exception:
+                df = self._unified_read()
+        else:
+            df = self._base_read()
+        self._df = self._post_pipeline(df)
+        return self._df
+
+    # -- the drop -> distinct -> sort pipeline (base.py:118-142) -------------
+
+    def _post_pipeline(self, df: DataFrame) -> DataFrame:
+        if self._drop:
+            df = df.drop(*[c for c in self._drop if c in df.columns])
+        if self._distinct:
+            df = apply_distinct(
+                df,
+                subset=self._distinct_subset,
+                keep=self._distinct_keep,
+                presort=self._distinct_presort,
+            )
+        if self._sort:
+            df = df.orderBy(
+                *[F.col(c).asc() if asc else F.col(c).desc() for c, asc in self._sort]
+            )
+        return df
+
+    # -- registration / SQL (reader.py:235-255, 478-484) ---------------------
+
+    def to_view(self, name: str | None = None) -> str:
+        name = name or self.name
+        self.load().createOrReplaceTempView(name)
+        return name
+
+    def sql(self, query: str) -> DataFrame:
+        self.to_view()
+        return self.spark.sql(query)
+
+    query = sql
+    execute = sql
+
+    # -- materializers (utils/table.py:8-55) ----------------------------------
+
+    def to_pandas(self):
+        return self.load().toPandas()
+
+    def to_arrow(self) -> pa.Table:
+        return self.load().toArrow()
+
+    def to_polars(self):
+        try:
+            import polars as pl
+        except ImportError as exc:  # pragma: no cover
+            raise ImportError("polars is not installed") from exc
+        return pl.from_arrow(self.to_arrow())
+
+    # -- metadata (SURVEY §2.10) ----------------------------------------------
+
+    def count(self) -> int:
+        return self.load().count()
+
+    def files(self) -> list[str]:
+        return self.load().inputFiles()
+
+    def disk_usage(self) -> int:
+        """Total bytes of the dataset's files (reference reader.py:556-581)."""
+        import os
+
+        total = 0
+        for f in self.files():
+            local = f.removeprefix("file:")
+            if os.path.exists(local):
+                total += os.path.getsize(local)
+        return total
+
+    def _dataset_has_files(self) -> bool:
+        """Cheap existence probe for local paths (True for remote URIs —
+        let the scan surface errors)."""
+        import os
+
+        if "://" in self.path and not self.path.startswith("file:"):
+            return True
+        local = self.path.removeprefix("file:")
+        if os.path.isfile(local):
+            return True
+        if not os.path.isdir(local):
+            return False
+        for _, _, files in os.walk(local):
+            if any(not f.startswith(("_", ".")) for f in files):
+                return True
+        return False
+
+    def transform(self, func: Callable[[DataFrame], DataFrame]) -> DataFrame:
+        """Arbitrary DataFrame->DataFrame hook (reference transform_func,
+        src/pydala/dataset/writer.py:444-445)."""
+        return func(self.load())
+
+
+def apply_distinct(
+    df: DataFrame,
+    subset: Sequence[str] | None = None,
+    keep: str = "first",
+    presort: Iterable[tuple[str, bool]] | None = None,
+) -> DataFrame:
+    """Distinct / subset-keyed dedup with deterministic keep-first/last.
+
+    Full-row: ``df.distinct()``. Subset-keyed: one row per key tuple,
+    choosing the first/last row under ``presort`` (defaults to all
+    non-key columns ascending, making the reference's nondeterministic
+    FIRST()/LAST() aggregate — src/pydala/utils/table.py:276-284 —
+    deterministic). Implemented as a window row_number, which shuffles
+    once on the key and streams per-partition — no driver materialization.
+    """
+    if not subset:
+        return df.distinct()
+    missing = [c for c in subset if c not in df.columns]
+    if missing:
+        raise ValueError(f"distinct subset columns not in DataFrame: {missing}")
+    order_spec = list(presort) if presort else [
+        (c, True) for c in df.columns if c not in subset
+    ]
+    order_cols = [
+        F.col(c).asc_nulls_last() if asc else F.col(c).desc_nulls_last()
+        for c, asc in order_spec
+    ]
+    if keep == "last":
+        order_cols = [
+            F.col(c).desc_nulls_first() if asc else F.col(c).asc_nulls_first()
+            for c, asc in order_spec
+        ]
+    if not order_cols:
+        order_cols = [F.lit(1).asc()]
+    w = Window.partitionBy(*[F.col(c) for c in subset]).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -1,0 +1,348 @@
+"""Writer: partitioned dataset writes with append/overwrite/error/delta.
+
+Reference parity (SURVEY.md §2.2):
+
+- write modes append / overwrite / raise (src/pydala/dataset/writer.py:185-256)
+- **delta mode**: append only rows not already in the dataset — full-row
+  EXCEPT-DISTINCT semantics or subset-keyed null-safe anti-join, optionally
+  restricted to a ``[start_time, end_time)`` window on a datetime column
+  (writer.py:219-249 + src/pydala/utils/table.py:135-228)
+- hive-partitioned writes (writer.py:130-137, 149-162, 462-498) — Spark's
+  shuffle-based ``partitionBy`` replaces the reference's per-partition loop
+- time-interval batch ingestion with the ``"1d"``/``"3mo"`` grammar
+  (writer.py:292-385) — realized as a derived bucket partition column
+  instead of a driver-side loop
+- per-batch ``transform_func`` hook (writer.py:486-490)
+- zstd default compression (writer.py:33)
+- schema-unification rewrite (writer.py:529-571)
+
+Scale: every mode is a single distributed write; the delta diff is a
+shuffled anti-join (or set subtract) whose existing-side scan is pruned by
+the datetime window — at 100 TB, keep datasets partitioned by a time
+column so the window prunes partitions, and the diff only touches the
+overlapping slice.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+from typing import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pydala_spark.session import configure_session
+
+WRITE_MODES = ("append", "overwrite", "error", "raise", "delta")
+
+#: unit aliases from the reference's batch-size grammar
+#: (src/pydala/dataset/writer.py:312-334).
+_UNIT_ALIASES = {
+    "microseconds": "microsecond", "micro": "microsecond", "u": "microsecond",
+    "milliseconds": "millisecond", "milli": "millisecond", "ms": "millisecond",
+    "seconds": "second", "sec": "second", "s": "second",
+    "minutes": "minute", "miuntes": "minute", "min": "minute", "t": "minute",
+    "hours": "hour", "h": "hour",
+    "days": "day", "d": "day",
+    "weeks": "week", "w": "week",
+    "months": "month", "mo": "month", "m": "month",
+    "years": "year", "y": "year", "a": "year",
+}
+
+
+def parse_interval(spec: str) -> tuple[int, str]:
+    """Parse ``"1d"``, ``"3mo"``, ``"15min"`` into ``(n, unit)``
+    (reference grammar writer.py:300-334; defaults: n=1, unit=year)."""
+    unit_match = re.findall("[a-z]+", spec.lower())
+    val_match = re.findall("[0-9]+", spec)
+    unit = _UNIT_ALIASES.get(unit_match[0] if unit_match else "y")
+    if unit is None:
+        raise ValueError(f"unknown interval unit in {spec!r}")
+    return (int(val_match[0]) if val_match else 1), unit
+
+
+def bucket_column(col: str, spec: str) -> F.Column:
+    """Tumbling-window bucket start for a timestamp column — the Spark
+    form of the reference's generate_series time grid (writer.py:342-375).
+    """
+    n, unit = parse_interval(spec)
+    if unit in ("microsecond", "millisecond"):
+        # sub-second grids: arithmetic on epoch micros
+        micros = F.unix_micros(F.col(col))
+        width = n if unit == "microsecond" else n * 1000
+        return F.timestamp_micros((F.floor(micros / width) * width).cast("long"))
+    if n == 1 and unit in ("second", "minute", "hour", "day", "week", "month", "year"):
+        return F.date_trunc(unit, F.col(col))
+    if unit in ("second", "minute", "hour", "day", "week"):
+        seconds = {"second": 1, "minute": 60, "hour": 3600, "day": 86400,
+                   "week": 604800}[unit] * n
+        epoch = F.unix_timestamp(F.col(col))
+        return F.timestamp_seconds((F.floor(epoch / seconds) * seconds).cast("long"))
+    # n-month / n-year grids anchored at epoch
+    months_per = n * (12 if unit == "year" else 1)
+    months = (F.year(F.col(col)) - F.lit(1970)) * 12 + F.month(F.col(col)) - 1
+    start = (F.floor(months / months_per) * months_per).cast("int")
+    return F.to_timestamp(
+        F.make_date(F.lit(1970) + F.floor(start / 12).cast("int"),
+                    (start % 12 + 1).cast("int"), F.lit(1))
+    )
+
+
+def _null_safe_anti_join(
+    incoming: DataFrame, existing: DataFrame, on: Sequence[str]
+) -> DataFrame:
+    """Rows of ``incoming`` whose key tuple is absent from ``existing``,
+    treating NULL==NULL (the reference's EXCEPT-based key diff is
+    null-safe — utils/table.py:158-185)."""
+    ex = existing.select(*on).dropDuplicates(list(on)).alias("__ex")
+    inc = incoming.alias("__in")
+    cond = None
+    for c in on:
+        clause = F.col(f"__in.{c}").eqNullSafe(F.col(f"__ex.{c}"))
+        cond = clause if cond is None else cond & clause
+    return inc.join(ex, cond, "left_anti")
+
+
+def tables_diff(
+    incoming: DataFrame,
+    existing: DataFrame,
+    subset: Sequence[str] | None = None,
+) -> DataFrame:
+    """The reference's ``get_tables_diff`` (utils/table.py:135-228).
+
+    Full-row: SQL ``EXCEPT`` (distinct) semantics — deduplicates the
+    incoming side too; Spark's ``subtract`` implements exactly that,
+    null-safe. Subset-keyed: ALL incoming rows whose key tuple does not
+    occur in ``existing`` (incoming-internal duplicates are kept,
+    matching the reference's is_in filter, utils/table.py:183-185).
+    """
+    if subset:
+        return _null_safe_anti_join(incoming, existing, subset)
+    missing = [c for c in incoming.columns if c not in existing.columns]
+    if missing:
+        raise ValueError(f"existing dataset lacks columns {missing} for full-row diff")
+    aligned = existing.select(
+        *[F.col(c).cast(dict(incoming.dtypes)[c]) for c in incoming.columns]
+    )
+    return incoming.subtract(aligned)
+
+
+class Writer:
+    """Partitioned dataset writer.
+
+    >>> Writer(spark, "/lake/events", partition_by=["event_type"]).write(
+    ...     df, mode="delta", delta_subset=["event_id"], datetime_column="ts")
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        format: str = "parquet",
+        mode: str = "append",
+        partition_by: str | Sequence[str] | None = None,
+        compression: str = "zstd",
+        max_records_per_file: int | None = None,
+    ):
+        if mode not in WRITE_MODES:
+            raise ValueError(f"mode must be one of {WRITE_MODES}")
+        self.spark = configure_session(spark)
+        self.path = path
+        self.format = format.lower()
+        self.mode = mode
+        self.partition_by = (
+            [partition_by] if isinstance(partition_by, str) else list(partition_by or [])
+        )
+        self.compression = compression
+        self.max_records_per_file = max_records_per_file
+
+    # -- input coercion (reference to_relation, utils/table.py:58-92) --------
+
+    def _coerce(self, data) -> DataFrame:
+        if isinstance(data, DataFrame):
+            return data
+        if isinstance(data, str):
+            from pydala_spark.dataset.reader import Dataset
+
+            return Dataset(self.spark, data).load()
+        try:
+            import pyarrow as pa
+
+            if isinstance(data, (pa.Table, pa.RecordBatch)):
+                return self.spark.createDataFrame(
+                    data.to_pandas() if isinstance(data, pa.RecordBatch) else data
+                )
+        except ImportError:  # pragma: no cover
+            pass
+        # pandas / polars / anything createDataFrame understands
+        return self.spark.createDataFrame(data)
+
+    def _existing_partitioning(self) -> list[str] | None:
+        """Hive partition columns of the existing dataset, from file paths
+        (schema.infer_partitioning — reference timefly.py:105-112)."""
+        from pydala_spark.schema import infer_partitioning
+
+        local = self.path.removeprefix("file:")
+        if "://" in self.path and not self.path.startswith("file:"):
+            return None
+        paths = []
+        for dirpath, _, files in os.walk(local):
+            rel = os.path.relpath(dirpath, local)
+            for f in files:
+                if not f.startswith(("_", ".")):
+                    paths.append(os.path.join(rel, f))
+        return infer_partitioning(paths)
+
+    def _dataset_exists(self) -> bool:
+        local = self.path.removeprefix("file:")
+        if "://" in self.path and not self.path.startswith("file:"):
+            # object store: probe via a cheap read attempt
+            try:
+                self.spark.read.format(self.format).load(self.path).schema
+                return True
+            except Exception:
+                return False
+        return os.path.exists(local) and any(
+            f for f in os.listdir(local) if not f.startswith(("_", "."))
+        )
+
+    # -- the write ------------------------------------------------------------
+
+    def write(
+        self,
+        data,
+        mode: str | None = None,
+        delta_subset: Sequence[str] | None = None,
+        datetime_column: str | None = None,
+        start_time=None,
+        end_time=None,
+        time_bucket: str | None = None,
+        transform_func: Callable[[DataFrame], DataFrame] | None = None,
+        transform_func_kwargs: dict | None = None,
+    ) -> None:
+        """Write ``data`` (DataFrame / arrow / pandas / path) to the dataset.
+
+        ``time_bucket`` ("1d", "6h", "3mo", ...) derives a tumbling-window
+        bucket column used as the leading physical partition — one
+        shuffle-partitioned write replaces the reference's per-slice driver
+        loop (writer.py:292-385).
+
+        Delta mode divergence (documented): when the window bounds default
+        to the batch min/max, the end bound is treated as *inclusive* so
+        rows at exactly the max timestamp are still written — the
+        reference's half-open default drops them (writer.py:196-200 +
+        :227-240). Explicit ``end_time`` keeps half-open semantics.
+        """
+        df = self._coerce(data)
+        if transform_func is not None:
+            df = transform_func(df, **(transform_func_kwargs or {}))
+
+        mode = mode or self.mode
+        if mode not in WRITE_MODES:
+            raise ValueError(f"mode must be one of {WRITE_MODES}")
+
+        if time_bucket and not datetime_column:
+            raise TypeError("datetime_column must be set when time_bucket is used")
+
+        exists = self._dataset_exists()
+        spark_mode = "append"
+        if mode in ("error", "raise"):
+            if exists:
+                raise FileExistsError(
+                    f"Path '{self.path}' already exists. Use mode='overwrite' or 'append'."
+                )
+        elif mode == "overwrite":
+            spark_mode = "overwrite"
+        elif mode == "delta" and exists:
+            df = self._delta_diff(df, delta_subset, datetime_column, start_time, end_time)
+
+        partition_cols = list(self.partition_by)
+        if not partition_cols and exists and spark_mode == "append":
+            # Inherit the existing hive layout: appending flat files into a
+            # partitioned dataset would land them at the root, where Spark's
+            # partition discovery silently ignores them on read.
+            inherited = self._existing_partitioning()
+            if inherited:
+                missing = [c for c in inherited if c not in df.columns]
+                if missing:
+                    raise ValueError(
+                        f"dataset at {self.path} is partitioned by {inherited} "
+                        f"but the incoming data lacks columns {missing}"
+                    )
+                partition_cols = inherited
+        if time_bucket:
+            df = df.withColumn("bucket", bucket_column(datetime_column, time_bucket))
+            partition_cols = ["bucket"] + partition_cols
+
+        writer = df.write.mode(spark_mode).option("compression", self.compression)
+        if self.max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", str(self.max_records_per_file))
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        if self.format == "parquet":
+            writer.parquet(self.path)
+        elif self.format == "csv":
+            writer.option("header", True).csv(self.path)
+        elif self.format == "json":
+            writer.json(self.path)
+        else:
+            raise ValueError(f"unsupported write format {self.format!r}")
+
+    def _delta_diff(
+        self,
+        df: DataFrame,
+        delta_subset: Sequence[str] | None,
+        datetime_column: str | None,
+        start_time,
+        end_time,
+    ) -> DataFrame:
+        from pydala_spark.dataset.reader import Dataset
+
+        existing = Dataset(self.spark, self.path, format=self.format).load()
+        if "bucket" in existing.columns and "bucket" not in df.columns:
+            existing = existing.drop("bucket")
+        incoming = df
+        if datetime_column:
+            defaulted_end = end_time is None
+            if start_time is None or end_time is None:
+                bounds = incoming.agg(
+                    F.min(datetime_column).alias("lo"), F.max(datetime_column).alias("hi")
+                ).first()
+                start_time = start_time if start_time is not None else bounds["lo"]
+                end_time = end_time if end_time is not None else bounds["hi"]
+            lo, hi = F.lit(start_time), F.lit(end_time)
+            upper = (F.col(datetime_column) <= hi) if defaulted_end else (
+                F.col(datetime_column) < hi
+            )
+            window = (F.col(datetime_column) >= lo) & upper
+            incoming = incoming.where(window)
+            existing = existing.where(window)  # prunes partitions at scale
+        return tables_diff(incoming, existing, subset=delta_subset)
+
+    # -- maintenance: schema-unification rewrite (writer.py:529-571) ----------
+
+    def unify_schema(self, sort_columns: bool = False) -> bool:
+        """Rewrite the dataset so every file conforms to the unified schema.
+
+        Returns True if a rewrite happened. Local-path implementation
+        (write-aside then swap); on object stores prefer table formats with
+        schema evolution.
+        """
+        from pydala_spark import schema as schema_mod
+        from pydala_spark.dataset.reader import Dataset
+
+        unified, equal = schema_mod.unified_dataset_schema(self.path)
+        if equal:
+            return False
+        if sort_columns:
+            unified = schema_mod.sort_schema(unified)
+        df = Dataset(self.spark, self.path, format=self.format).load()
+        df = df.select(*[f.name for f in unified])
+        tmp = self.path.rstrip("/") + "__unify_tmp"
+        df.write.mode("overwrite").option("compression", self.compression).parquet(tmp)
+        local, local_tmp = self.path.removeprefix("file:"), tmp.removeprefix("file:")
+        shutil.rmtree(local)
+        os.rename(local_tmp, local)
+        return True

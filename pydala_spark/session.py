@@ -1,0 +1,134 @@
+"""SparkSession bootstrap and configuration.
+
+Reference parity: every pydala object carries an embedded DuckDB
+connection configured with ``memory_limit`` and ``temp_directory``
+(reference src/pydala/dataset/base.py:67-75); here one SparkSession plays
+that role. The reference's filesystem protocol dispatch
+(src/pydala/filesystem/fs.py:7-139 — s3/gcs/az/file + credentials) maps to
+Hadoop filesystem configuration on the session, so ``configure_storage``
+translates fsspec-style ``storage_options`` into ``fs.s3a.*`` et al.
+settings instead of constructing filesystem objects.
+
+Scale notes (100 TB): these defaults are what a real cluster wants —
+AQE on (runtime coalesce + skew-join handling), UTC session time,
+zstd parquet. ``shuffle_partitions`` should be ~2-3x total cores on a
+real cluster; tests/bench pass an explicit small value for local mode.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Confs that are runtime-settable (SQL confs) — applied even to an
+#: externally created session (e.g. the verification driver's).
+RUNTIME_DEFAULTS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # zstd default compression mirrors the reference writer default
+    # (src/pydala/dataset/writer.py:33).
+    "spark.sql.parquet.compression.codec": "zstd",
+    # The events table stores TIMESTAMP(NANOS) which Spark's parquet
+    # reader rejects outright; read as int64 nanoseconds and convert at
+    # the boundary (see sources.load_table). DuckDB truncates ns -> us on
+    # CAST, and ns//1000 matches that exactly for post-epoch data.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable defaults to an existing session.
+
+    Safe to call on a session we did not create (confs that cannot be set
+    at runtime are skipped).
+    """
+    for key, value in RUNTIME_DEFAULTS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            pass
+    return spark
+
+
+def get_session(
+    app_name: str = "pydala_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (falling back to
+    ``local[*]``) so tests and bench share one code path; on a cluster the
+    caller passes nothing and spark-submit's master wins.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and not os.environ.get("SPARK_MASTER"):
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for key, value in RUNTIME_DEFAULTS.items():
+        builder = builder.config(key, value)
+    builder = builder.config("spark.ui.enabled", "false")
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    return configure_session(spark)
+
+
+#: fsspec-style storage_options key -> hadoop conf, per protocol.
+#: Mirrors the protocol dispatch in reference src/pydala/filesystem/fs.py:7-139
+#: (key/secret/token/endpoint_url for s3, equivalents for gcs/abfs), but as
+#: session configuration — the path scheme (s3a://, gs://, abfss://) selects
+#: the connector; no filesystem objects are constructed.
+_STORAGE_KEY_MAP: dict[str, dict[str, str]] = {
+    "s3": {
+        "key": "spark.hadoop.fs.s3a.access.key",
+        "access_key": "spark.hadoop.fs.s3a.access.key",
+        "secret": "spark.hadoop.fs.s3a.secret.key",
+        "secret_key": "spark.hadoop.fs.s3a.secret.key",
+        "token": "spark.hadoop.fs.s3a.session.token",
+        "session_token": "spark.hadoop.fs.s3a.session.token",
+        "endpoint_url": "spark.hadoop.fs.s3a.endpoint",
+        "endpoint": "spark.hadoop.fs.s3a.endpoint",
+        "region": "spark.hadoop.fs.s3a.endpoint.region",
+    },
+    "gs": {
+        "project": "spark.hadoop.fs.gs.project.id",
+        "token": "spark.hadoop.google.cloud.auth.service.account.json.keyfile",
+    },
+    "abfs": {
+        "account_name": "spark.hadoop.fs.azure.account.name",
+        "account_key": "spark.hadoop.fs.azure.account.key",
+    },
+}
+
+
+def configure_storage(
+    spark: SparkSession, protocol: str, **storage_options: str
+) -> SparkSession:
+    """Translate fsspec-ish storage_options to Hadoop connector confs.
+
+    Unknown keys raise (better than silently ignoring credentials).
+    Note: many ``fs.*`` confs are only honored when set before the first
+    filesystem access for a scheme.
+    """
+    mapping = _STORAGE_KEY_MAP.get(protocol)
+    if mapping is None:
+        raise ValueError(
+            f"unsupported protocol {protocol!r}; expected one of {sorted(_STORAGE_KEY_MAP)}"
+        )
+    for key, value in storage_options.items():
+        conf = mapping.get(key)
+        if conf is None:
+            raise ValueError(f"unknown storage option {key!r} for protocol {protocol!r}")
+        spark.conf.set(conf, value)
+    return spark

@@ -1,0 +1,95 @@
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pydala_spark import Dataset
+from pydala_spark.dataset.reader import apply_distinct
+from pydala_spark.sources import load_table, load_tables, register_views
+
+
+def test_load_and_count(spark, sf_dir):
+    ds = Dataset(spark, os.path.join(sf_dir, "lineitem.parquet"))
+    assert ds.count() > 1000
+
+
+def test_sql_passthrough(spark, sf_dir):
+    ds = Dataset(spark, os.path.join(sf_dir, "lineitem.parquet"), name="li")
+    out = ds.sql("SELECT count(*) AS n FROM li WHERE l_quantity > 25").first()
+    assert out["n"] > 0
+
+
+def test_events_ns_timestamp_boundary(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    row = df.selectExpr("min(ts) AS lo", "max(ts) AS hi").first()
+    assert row["lo"].year >= 2020
+
+
+def test_register_views(spark, sf_dir):
+    register_views(spark, sf_dir, ("region", "nation"))
+    n = spark.sql(
+        "SELECT count(*) AS n FROM nation JOIN region ON n_regionkey = r_regionkey"
+    ).first()["n"]
+    assert n == 25
+
+
+def test_post_pipeline_drop_sort(spark, sf_dir):
+    ds = Dataset(spark, os.path.join(sf_dir, "region.parquet"))
+    ds.drop("r_comment").sort("r_name DESC")
+    rows = ds.load().collect()
+    names = [r["r_name"] for r in rows]
+    assert names == sorted(names, reverse=True)
+
+
+def test_distinct_fullrow(spark):
+    df = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], ["k", "v"])
+    assert apply_distinct(df).count() == 2
+
+
+def test_distinct_subset_keep_first_last(spark):
+    df = spark.createDataFrame(
+        [(1, 10, "x"), (1, 20, "y"), (2, 5, "z")], ["k", "ord", "v"]
+    )
+    first = {
+        r["k"]: r["v"]
+        for r in apply_distinct(df, subset=["k"], keep="first", presort=[("ord", True)]).collect()
+    }
+    last = {
+        r["k"]: r["v"]
+        for r in apply_distinct(df, subset=["k"], keep="last", presort=[("ord", True)]).collect()
+    }
+    assert first == {1: "x", 2: "z"}
+    assert last == {1: "y", 2: "z"}
+
+
+def test_unified_schema_read(spark, tmp_path):
+    pq.write_table(
+        pa.table({"id": pa.array([1, 2], pa.int32()), "v": pa.array([1, 2], pa.int64())}),
+        tmp_path / "a.parquet",
+    )
+    pq.write_table(
+        pa.table({"id": pa.array([3], pa.int64()), "v": ["s"], "extra": [1.5]}),
+        tmp_path / "b.parquet",
+    )
+    ds = Dataset(spark, str(tmp_path))
+    df = ds.load()
+    assert set(df.columns) == {"id", "v", "extra"}
+    assert dict(df.dtypes)["v"] == "string"
+    assert df.count() == 3
+    assert df.where("extra IS NULL").count() == 2
+
+
+def test_pinned_schema_dict(spark, tmp_path):
+    pq.write_table(pa.table({"id": pa.array([1, 2], pa.int32())}), tmp_path / "a.parquet")
+    ds = Dataset(spark, str(tmp_path), schema={"id": "int64"})
+    assert dict(ds.load().dtypes)["id"] == "bigint"
+
+
+def test_materializers(spark, sf_dir):
+    ds = Dataset(spark, os.path.join(sf_dir, "region.parquet"))
+    pdf = ds.to_pandas()
+    assert len(pdf) == 5
+    tbl = ds.to_arrow()
+    assert tbl.num_rows == 5

@@ -1,0 +1,87 @@
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from pydala_spark import Datalake, Dataset, Repartition, TimeFly, Writer
+
+TS = dt.datetime
+
+
+def _write(spark, path, values):
+    spark.createDataFrame([Row(id=i) for i in values], "id long").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def test_timefly_lifecycle(spark, tmp_path):
+    base = str(tmp_path / "ds")
+    _write(spark, base, [1, 2, 3])
+    tf = TimeFly(spark, base)
+    tf.new()
+    tf.create_current()  # root files migrate into current/
+    assert os.path.isdir(tf.current_path)
+    assert tf.read().count() == 3
+
+    snap1 = tf.add_snapshot(TS(2024, 1, 1, 12, 0, 0))
+    Writer(spark, tf.current_path).write(
+        spark.createDataFrame([Row(id=4)], "id long")
+    )
+    assert tf.read().count() == 4
+
+    # reference rounding: earliest snapshot strictly AFTER the asked time
+    assert tf.resolve(TS(2024, 1, 1, 0, 0, 0)) == f"snapshot/{snap1}"
+    # asked time after all snapshots -> current
+    assert tf.resolve(TS(2025, 1, 1)) == "current"
+    # Delta-style rounding: latest snapshot <= asked time
+    assert tf.resolve(TS(2024, 6, 1), rounding="latest_before") == f"snapshot/{snap1}"
+    assert tf.resolve(None) == "current"
+
+    assert tf.read(TS(2024, 1, 1, 0, 0, 0)).count() == 3
+
+    tf.load_snapshot(TS(2024, 1, 1, 0, 0, 0))
+    assert tf.read().count() == 3
+    # the replaced current was itself snapshotted
+    assert len(tf.snapshots()) == 2
+
+    tf.delete_snapshot(snap1)
+    assert snap1 not in tf.snapshots()
+    assert snap1 in tf.read_config()["timefly"]["deleted"]
+
+
+def test_datalake_discover_register(spark, tmp_path):
+    root = str(tmp_path / "lake")
+    lake = Datalake(spark, root)
+    _write(spark, os.path.join(root, "a"), [1, 2])
+    _write(spark, os.path.join(root, "sub/b"), [3])
+    lake.add_dataset("a")
+    lake.add_dataset("sub.b")
+    lake2 = Datalake(spark, root)
+    ds = lake2.load()
+    assert set(ds) >= {"a", "sub.b"}
+    assert lake2.sql("SELECT count(*) AS n FROM a").first()["n"] == 2
+    assert lake2.sql("SELECT count(*) AS n FROM sub_b").first()["n"] == 1
+
+
+def test_repartition_rewrite(spark, tmp_path):
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [Row(id=i, grp=i % 2) for i in range(100)], "id long, grp int"
+    ).repartition(8).write.parquet(src)
+    dest = str(tmp_path / "dest")
+    Repartition(
+        spark, src, dest, partition_by=["grp"], sort_by="id", max_records_per_file=1000
+    ).run()
+    assert os.path.isdir(os.path.join(dest, "grp=0"))
+    assert Dataset(spark, dest).count() == 100
+
+
+def test_repartition_in_place_with_snapshot(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write(spark, src, list(range(50)))
+    tf = TimeFly(spark, src)
+    tf.new()
+    tf.create_current()
+    Repartition(spark, tf.current_path, with_snapshot=False).run()
+    assert tf.read().count() == 50

@@ -1,0 +1,167 @@
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from pydala_spark import Dataset, Writer
+from pydala_spark.dataset.writer import bucket_column, parse_interval, tables_diff
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [Row(event_id=i, ts=ts, v=v) for i, ts, v in rows],
+        "event_id long, ts timestamp, v double",
+    )
+
+
+TS = dt.datetime
+
+
+def test_parse_interval():
+    assert parse_interval("1d") == (1, "day")
+    assert parse_interval("3mo") == (3, "month")
+    assert parse_interval("15min") == (15, "minute")
+    assert parse_interval("2h") == (2, "hour")
+    assert parse_interval("10s") == (10, "second")
+    assert parse_interval("y") == (1, "year")
+
+
+def test_write_modes(spark, tmp_path):
+    out = str(tmp_path / "ds")
+    df = _events(spark, [(1, TS(2024, 1, 1), 1.0)])
+    w = Writer(spark, out)
+    w.write(df)
+    assert Dataset(spark, out).count() == 1
+    w.write(df, mode="append")
+    assert Dataset(spark, out).count() == 2
+    w.write(df, mode="overwrite")
+    assert Dataset(spark, out).count() == 1
+    with pytest.raises(FileExistsError):
+        w.write(df, mode="error")
+
+
+def test_delta_fullrow_except_distinct(spark, tmp_path):
+    out = str(tmp_path / "ds")
+    w = Writer(spark, out)
+    w.write(_events(spark, [(1, TS(2024, 1, 1), 1.0), (2, TS(2024, 1, 2), 2.0)]))
+    # incoming: one duplicate row (twice!), one new row
+    incoming = _events(
+        spark,
+        [(1, TS(2024, 1, 1), 1.0), (1, TS(2024, 1, 1), 1.0), (3, TS(2024, 1, 3), 3.0)],
+    )
+    w.write(incoming, mode="delta")
+    # EXCEPT-distinct: the duplicated existing row is not re-appended, and
+    # the incoming-internal duplicate is collapsed
+    assert Dataset(spark, out).count() == 3
+
+
+def test_delta_subset_keyed(spark, tmp_path):
+    out = str(tmp_path / "ds")
+    w = Writer(spark, out)
+    w.write(_events(spark, [(1, TS(2024, 1, 1), 1.0)]))
+    incoming = _events(
+        spark, [(1, TS(2024, 1, 1), 99.0), (2, TS(2024, 1, 2), 2.0)]
+    )
+    w.write(incoming, mode="delta", delta_subset=["event_id"])
+    df = Dataset(spark, out).load()
+    assert df.count() == 2  # id=1 not re-appended despite changed v
+    assert df.where("event_id = 1").first()["v"] == 1.0
+
+
+def test_delta_time_window_inclusive_max(spark, tmp_path):
+    out = str(tmp_path / "ds")
+    w = Writer(spark, out)
+    w.write(_events(spark, [(1, TS(2024, 1, 1), 1.0)]))
+    # incoming max-ts row must survive the defaulted window (divergence fix)
+    incoming = _events(spark, [(2, TS(2024, 1, 5), 2.0), (3, TS(2024, 1, 6), 3.0)])
+    w.write(incoming, mode="delta", datetime_column="ts")
+    assert Dataset(spark, out).count() == 3
+
+
+def test_delta_null_safe_keys(spark, tmp_path):
+    out = str(tmp_path / "ds")
+    spark.createDataFrame(
+        [Row(k=None, v=1)], "k int, v int"
+    ).write.parquet(out)
+    incoming = spark.createDataFrame([Row(k=None, v=2), Row(k=1, v=3)], "k int, v int")
+    Writer(spark, out).write(incoming, mode="delta", delta_subset=["k"])
+    df = Dataset(spark, out).load()
+    # NULL==NULL for delta keys: the k=NULL incoming row is a duplicate
+    assert df.count() == 2
+    assert df.where("k = 1").count() == 1
+
+
+def test_partitioned_write_and_pruning(spark, tmp_path):
+    out = str(tmp_path / "ds")
+    df = _events(spark, [(i, TS(2024, 1, 1 + i % 3), float(i)) for i in range(30)])
+    df = df.withColumn("day", F.dayofmonth("ts"))
+    Writer(spark, out, partition_by=["day"]).write(df)
+    assert os.path.isdir(os.path.join(out, "day=1"))
+    pruned = Dataset(spark, out).load().where("day = 1")
+    files = {
+        r["f"].rsplit("/", 2)[-2]
+        for r in pruned.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    assert files == {"day=1"}  # partition pruning reached the scan
+
+
+def test_time_bucket_write(spark, tmp_path):
+    out = str(tmp_path / "ds")
+    df = _events(
+        spark,
+        [(i, TS(2024, 1, 1, 0) + dt.timedelta(hours=6 * i), float(i)) for i in range(8)],
+    )
+    Writer(spark, out).write(df, time_bucket="1d", datetime_column="ts")
+    days = {d for d in os.listdir(out) if d.startswith("bucket=")}
+    assert len(days) == 2
+    assert Dataset(spark, out).count() == 8
+
+
+def test_bucket_column_grids(spark):
+    df = spark.createDataFrame(
+        [Row(ts=TS(2024, 5, 17, 13, 47, 21))], "ts timestamp"
+    )
+    got = df.select(
+        bucket_column("ts", "1d").alias("d"),
+        bucket_column("ts", "6h").alias("h6"),
+        bucket_column("ts", "15min").alias("m15"),
+        bucket_column("ts", "3mo").alias("q"),
+    ).first()
+    assert got["d"] == TS(2024, 5, 17)
+    assert got["h6"] == TS(2024, 5, 17, 12)
+    assert got["m15"] == TS(2024, 5, 17, 13, 45)
+    assert got["q"] == TS(2024, 4, 1)
+
+
+def test_transform_func_hook(spark, tmp_path):
+    out = str(tmp_path / "ds")
+    df = _events(spark, [(1, TS(2024, 1, 1), 2.0)])
+    Writer(spark, out).write(
+        df, transform_func=lambda d, factor: d.withColumn("v", F.col("v") * factor),
+        transform_func_kwargs={"factor": 10.0},
+    )
+    assert Dataset(spark, out).load().first()["v"] == 20.0
+
+
+def test_unify_schema_rewrite(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = tmp_path / "ds"
+    out.mkdir()
+    pq.write_table(pa.table({"id": pa.array([1], pa.int32())}), out / "a.parquet")
+    pq.write_table(pa.table({"id": pa.array([2], pa.int64()), "v": ["x"]}), out / "b.parquet")
+    assert Writer(spark, str(out)).unify_schema(sort_columns=True)
+    schemas = {str(pq.read_schema(str(f))) for f in out.rglob("*.parquet")}
+    assert len(schemas) == 1
+    df = Dataset(spark, str(out)).load()
+    assert dict(df.dtypes)["id"] == "bigint"
+    assert df.count() == 2
+
+
+def test_tables_diff_missing_column_errors(spark):
+    a = spark.createDataFrame([Row(x=1, y=2)])
+    b = spark.createDataFrame([Row(x=1)])
+    with pytest.raises(ValueError):
+        tables_diff(a, b)
