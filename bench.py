@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line.
+
+Measures wall time to fully materialize each query result (collect), after
+a session warm-up query so JVM/codegen startup isn't billed to q01.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pydala_spark.queries import QUERIES  # noqa: E402
+from pydala_spark.session import get_session  # noqa: E402
+
+#: queries timed in the headline number: the TPC-H-ish relational core +
+#: one representative of each extension family (dedup, similarity, text).
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q04_order_priority",
+    "q05_local_supplier",
+    "q06_revenue_change",
+    "q08_market_share",
+    "q10_returned_items",
+    "q_top_customers",
+    "q_window_topk",
+    "q_dedup_keep_last",
+    "q_time_bucket_daily",
+    "q_sessionize",
+    "q_asof_purchase",
+    "q_delta_diff_events",
+    "q_minhash_lsh",
+    "q_simhash",
+    "q_token_freq",
+    "q_cosine_topk",
+    "q_embedding_neardup",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_session(app_name="pydala_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: JVM, codegen, parquet footer caches
+    QUERIES["q06_revenue_change"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        rows = QUERIES[name](spark, sf_dir).collect()
+        timings[name] = round(time.time() - t0, 3)
+        del rows
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,34 @@
+from pydala_spark.operators.asof import asof_join
+from pydala_spark.operators.dedup import (
+    dedup_exact,
+    dedup_subset,
+    doc_shingles,
+    minhash_signatures,
+    lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from pydala_spark.operators.similarity import cosine_similarity, cosine_topk
+from pydala_spark.operators.textstats import (
+    fingerprint,
+    quality_stats,
+    token_count,
+    tokens,
+)
+
+__all__ = [
+    "asof_join",
+    "dedup_exact",
+    "dedup_subset",
+    "doc_shingles",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "cosine_similarity",
+    "cosine_topk",
+    "fingerprint",
+    "quality_stats",
+    "token_count",
+    "tokens",
+]

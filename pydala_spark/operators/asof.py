@@ -1,0 +1,79 @@
+"""As-of join: match each left row to the most recent right row
+at-or-before (backward) or at-or-after (forward) it, per key.
+
+Spark has no native as-of join (the reference has none either — its SQL
+engine delegate gained ASOF JOIN upstream). This is the scalable
+composition form: union both sides, one shuffle+sort per key, and a
+running ``last(ignorenulls)`` window fill — wall-clock is a single
+sort-merge pass, no driver loop, no per-group pandas. That plan survives
+100 TB as long as keys fit the usual window-partition skew envelope
+(salt extreme keys upstream if one key dominates).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str | Sequence[str],
+    right_cols: Sequence[str],
+    direction: str = "backward",
+    inclusive: bool = True,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Left as-of join.
+
+    ``right`` must be unique per (by, on) — pre-aggregate it otherwise
+    (ties there would be nondeterministic). ``right_cols`` are the value
+    columns pulled from the right side; names colliding with left columns
+    get ``suffix``.
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    out_names = {
+        c: (c + suffix if c in left.columns else c) for c in right_cols
+    }
+    left_payload = [c for c in left.columns if c not in by and c != on]
+    right_types = dict(right.dtypes)
+    left_types = dict(left.dtypes)
+
+    lhs = left.select(
+        *by,
+        F.col(on).alias(on),
+        *[F.col(c) for c in left_payload],
+        *[F.lit(None).cast(right_types[c]).alias(out_names[c]) for c in right_cols],
+        F.lit(1).alias("__side"),
+    )
+    rhs = right.select(
+        *by,
+        F.col(on).alias(on),
+        *[F.lit(None).cast(left_types[c]).alias(c) for c in left_payload],
+        *[F.col(c).alias(out_names[c]) for c in right_cols],
+        F.lit(0).alias("__side"),
+    )
+    unioned = lhs.unionByName(rhs)
+
+    # Right rows must sort before left rows at equal timestamps iff the
+    # match is inclusive; flip for exclusive. Forward direction reverses
+    # the time order and fills from the other end.
+    side_order = F.col("__side").asc() if inclusive else F.col("__side").desc()
+    time_order = F.col(on).asc() if direction == "backward" else F.col(on).desc()
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(time_order, side_order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned
+    for c in right_cols:
+        filled = filled.withColumn(
+            out_names[c], F.last(out_names[c], ignorenulls=True).over(w)
+        )
+    return filled.where(F.col("__side") == 1).drop("__side")

@@ -1,0 +1,261 @@
+"""Deduplication operators: exact, subset-keyed, MinHash+LSH, SimHash,
+n-gram Jaccard (north-star extension, BASELINE.json).
+
+Scale design:
+
+- exact dedup is a hash groupBy on a fingerprint — one shuffle keyed by
+  a 128-bit hash, perfectly balanced;
+- MinHash signatures are computed with ``n_hashes`` MIN aggregates over
+  exploded shingles (map-side partial aggregation collapses the explosion
+  before the shuffle);
+- LSH candidate generation is a self-equi-join on (band_id, band_hash) —
+  the classic band trick turns O(n²) near-dup search into a bucket join;
+- n-gram Jaccard avoids any cross join: intersections are found by
+  joining exploded distinct shingles with themselves, so only pairs that
+  actually share a shingle materialize;
+- everything is md5-based so oracles (and reruns on other engines)
+  reproduce bit-identical results; no RNG, no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pydala_spark.dataset.reader import apply_distinct
+from pydala_spark.operators.textstats import fingerprint, word_regex_tokens
+
+
+def explode_cheaply(df: DataFrame, arr: Column, alias: str) -> DataFrame:
+    """Explode without the optimizer's inferred ``size(arr) > 0`` filter.
+
+    Plain ``explode`` makes InferFiltersFromGenerate add that filter, and
+    predicate pushdown then re-evaluates the ENTIRE array expression a
+    second time below any repartition — for expensive arrays (regex
+    tokenization, shingling) that doubles the work and pins it to the
+    unsplit scan task (measured 2-3x on minhash). ``explode_outer`` infers
+    nothing; the null rows it adds for empty/null arrays are dropped
+    after, which is cheap.
+    """
+    other = [c for c in df.columns]
+    return (
+        df.select(*other, F.explode_outer(arr).alias(alias))
+        .where(F.col(alias).isNotNull())
+    )
+
+
+def dedup_exact(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """One row per distinct normalized text: keeps the minimum id
+    (deterministic), adds the group size as ``n_dups``."""
+    return (
+        df.withColumn("fp", fingerprint(text_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_dups"))
+    )
+
+
+def dedup_subset(
+    df: DataFrame,
+    subset: Sequence[str],
+    keep: str = "first",
+    presort: Sequence[tuple[str, bool]] | None = None,
+) -> DataFrame:
+    """Subset-keyed dedup (reference utils/table.py:230-288) — see
+    :func:`pydala_spark.dataset.reader.apply_distinct`."""
+    return apply_distinct(df, subset=subset, keep=keep, presort=presort)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+
+def shingles_of_tokens(tok_col: Column, k: int = 3) -> Column:
+    """Word k-shingles over an already-materialized token array column.
+
+    Take the tokens as a *column reference*, not the tokenization
+    expression: Catalyst substitutes expressions into lambda bodies
+    verbatim, so passing ``word_regex_tokens(...)`` here would re-run the
+    regex split once per shingle index (measured 3x slowdown).
+    """
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tok_col) - k, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tok_col, i + 1, k)))
+    )
+
+
+def doc_shingles(
+    df: DataFrame, id_col: str, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """(id, shs) frame of distinct word k-shingles per document."""
+    return df.select(
+        F.col(id_col).alias("id"), word_regex_tokens(text_col).alias("__t")
+    ).select("id", shingles_of_tokens(F.col("__t"), k).alias("shs"))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n_hashes: int = 8,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: hash_i(doc) = lexicographic MIN of
+    ``md5(i || '|' || shingle)`` over the doc's shingles.
+
+    Output: one row per id with columns ``mh_0 .. mh_{n-1}``. The min of
+    a cryptographic hash over a set is the standard MinHash estimator;
+    md5-hex min keeps it engine-portable. Executes as explode + one
+    groupBy with n MIN aggregates (partial-agg friendly).
+    """
+    exploded = explode_cheaply(
+        doc_shingles(df, id_col, text_col, shingle_size), F.col("shs"), "sh"
+    ).select(F.col("id").alias(id_col), "sh")
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, n_bands: int = 4
+) -> DataFrame:
+    """Banded LSH over a MinHash signature frame: docs agreeing on all
+    rows of any band become a candidate pair (id_a < id_b, distinct).
+
+    Implemented as ONE shuffle: group by (band_id, band_hash), collect
+    the bucket's ids, and explode in-bucket pairs — a self-join would
+    recompute the entire signature pipeline for each join side (measured
+    2-3x). In-bucket pair explosion is quadratic per bucket, which is the
+    point of LSH (buckets are tiny); a degenerate corpus of near-identical
+    docs makes one giant bucket — cap/salt upstream if that's expected.
+    """
+    sig_cols = sorted(
+        (c for c in signatures.columns if c.startswith("mh_")),
+        key=lambda c: int(c.split("_")[1]),
+    )
+    rows_per_band = max(1, len(sig_cols) // n_bands)
+    bands = []
+    for b in range(n_bands):
+        cols = sig_cols[b * rows_per_band : (b + 1) * rows_per_band]
+        if not cols:
+            break
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
+            )
+        )
+    banded = signatures.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("band")
+    ).select(id_col, "band.band_id", "band.band_hash")
+    buckets = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_size: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Pairwise Jaccard similarity over word-shingle sets, computed by
+    self-joining exploded shingles (pairs materialize only where they
+    share at least one shingle — no cross join). Jaccard is an exact
+    integer ratio. Returns (id_a, id_b, inter, size_a, size_b, jaccard).
+    """
+    sh = doc_shingles(df, id_col, text_col, shingle_size).withColumn(
+        "sh_size", F.size("shs")
+    )
+    exploded = explode_cheaply(sh, F.col("shs"), "sh").select(
+        "id", "sh_size", "sh"
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh_size").alias("size_a"),
+            F.col("b.sh_size").alias("size_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("size_a") + F.col("size_b") - F.col("inter")
+    ).cast("double")
+    return (
+        inter.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+#: hex-digit -> int via instr into this table: identical semantics in
+#: Spark SQL and DuckDB (unlike conv/from_hex).
+_HEX = "0123456789abcdef"
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str = "text", bits: int = 16
+) -> DataFrame:
+    """SimHash over regex tokens: bit j of a token's hash comes from the
+    md5 hex digits; per-document bit j is 1 iff more tokens set it than
+    clear it. ``bits`` must be <= 32 (8 hex digits).
+
+    Fully built-in-function: explode tokens -> per-bit conditional sums
+    -> reassemble the integer. Duplicated tokens weigh multiply (the
+    classic frequency-weighted SimHash).
+    """
+    if bits > 32:
+        raise ValueError("bits must be <= 32")
+    toks = explode_cheaply(
+        df.select(F.col(id_col), word_regex_tokens(text_col).alias("__toks")),
+        F.col("__toks"),
+        "tok",
+    ).select(id_col, F.md5("tok").alias("h"))
+    digit_val = [
+        F.instr(F.lit(_HEX), F.substring("h", d + 1, 1)) - 1 for d in range(8)
+    ]
+    bit_aggs = []
+    for j in range(bits):
+        d, shift = divmod(j, 4)
+        bit = F.shiftright(digit_val[d], 3 - shift) % 2
+        bit_aggs.append(
+            F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"b_{j}")
+        )
+    summed = toks.groupBy(id_col).agg(*bit_aggs)
+    value = None
+    for j in range(bits):
+        term = F.when(F.col(f"b_{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        value = term if value is None else value + term
+    return summed.select(F.col(id_col), value.cast("long").alias("simhash"))

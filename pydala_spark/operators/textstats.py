@@ -1,0 +1,110 @@
+"""Text analysis operators for LLM-pipeline data prep (north-star
+extension, BASELINE.json): tokenization, quality scoring, language ID,
+document fingerprinting.
+
+Everything here is built-in-function Column algebra — JVM-side, inside
+whole-stage codegen, no Python UDFs — so it runs at full scan speed over
+100 TB of documents. md5 is used wherever a deterministic hash is needed
+because its hex output is identical across engines (oracle-checkable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword lists for the n-gram/stopword language
+#: heuristic. Deliberately small + common (public knowledge lists).
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht", "mit", "zu", "auf"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "por", "con"],
+    "fr": ["le", "la", "de", "et", "un", "est", "que", "pour", "dans", "ce"],
+}
+
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokenization of trimmed text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(col: str | Column) -> Column:
+    return F.size(tokens(col))
+
+
+def word_regex_tokens(col: str | Column, pattern: str = r"[a-z0-9']+") -> Column:
+    """BPE-ish regex tokenization: lowercase word/number pieces."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.split(F.lower(c), r"[^a-z0-9']+"), lambda t: t != F.lit("")
+    )
+
+
+def normalize_text(col: str | Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, strip non-alnum,
+    collapse whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    cleaned = F.regexp_replace(F.lower(c), r"[^a-z0-9 ]", " ")
+    return F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+
+
+def fingerprint(col: str | Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text."""
+    return F.md5(normalize_text(col))
+
+
+def stopword_hits(col: str | Column, words: list[str]) -> Column:
+    """Number of tokens that are in ``words`` (counts duplicates)."""
+    toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    return F.size(F.filter(toks, lambda t: t.isin(*[F.lit(w) for w in words])))
+
+
+def lang_scores(col: str | Column) -> dict[str, Column]:
+    return {lang: stopword_hits(col, words) for lang, words in STOPWORDS.items()}
+
+
+def predict_lang(col: str | Column, default: str = "other") -> Column:
+    """Argmax stopword-hit language with deterministic tie-break (the
+    ordering of STOPWORDS); 0 hits everywhere -> ``default``."""
+    scores = lang_scores(col)
+    best_lang = F.lit(default)
+    best_score = F.lit(0)
+    for lang, score in scores.items():  # later entries win only strictly
+        best_lang = F.when(score > best_score, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(score > best_score, score).otherwise(best_score)
+    return best_lang
+
+
+def quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features: char/token counts, mean token
+    length, punctuation & stopword ratios, and a composite score.
+
+    All ratios are exact-integer divisions (identical doubles on any
+    engine). The composite score mirrors common heuristic filters
+    (length window + punctuation + stopword presence).
+    """
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_toks = token_count(c)
+    punct = F.length(c) - F.length(F.regexp_replace(c, r"[.,;:!?]", ""))
+    stop_en = stopword_hits(c, STOPWORDS["en"])
+    mean_tok_len = (n_chars - (n_toks - F.lit(1))).cast("double") / n_toks
+    punct_ratio = punct.cast("double") / n_chars
+    stop_ratio = stop_en.cast("double") / n_toks
+    score = (
+        F.when((n_toks >= 10) & (n_toks <= 1000), F.lit(1)).otherwise(F.lit(0))
+        + F.when(punct_ratio <= 0.1, F.lit(1)).otherwise(F.lit(0))
+        + F.when(stop_ratio >= 0.01, F.lit(1)).otherwise(F.lit(0))
+    )
+    return df.select(
+        "*",
+        n_chars.alias("q_chars"),
+        n_toks.alias("q_tokens"),
+        mean_tok_len.alias("q_mean_token_len"),
+        punct.alias("q_punct"),
+        punct_ratio.alias("q_punct_ratio"),
+        stop_en.alias("q_stop_hits"),
+        stop_ratio.alias("q_stop_ratio"),
+        score.alias("q_score"),
+    )

@@ -1,0 +1,670 @@
+"""Core relational query surface (SURVEY.md §2.3-2.7).
+
+The reference exposes its entire relational surface as SQL passthrough to
+an embedded engine (src/pydala/dataset/reader.py:478-484); here each query
+is the idiomatic DataFrame form (so Catalyst plans pushdown/broadcast) with
+a DuckDB oracle string. Explicit library operators are exercised where the
+reference implements them in code: subset dedup (utils/table.py:230-288),
+EXCEPT-diff (utils/table.py:135-228), time bucketing (writer.py:292-385).
+
+Naming contract: every computed column is aliased identically in the
+DataFrame and the oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pydala_spark.sources import load_table
+
+
+def _dsum(expr: Column, scale: int = 6) -> Column:
+    """Exact cross-engine double sum: per-row decimal cast -> exact sum ->
+    one cast back to double (see queries/__init__ docstring)."""
+    return F.sum(expr.cast(f"decimal(25,{scale})")).cast("double")
+
+
+def _sql_dsum(expr: str, scale: int = 6) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(25,{scale}))) AS DOUBLE)"
+
+
+_REV = "l_extendedprice * (1 - l_discount)"
+
+
+def _rev() -> Column:
+    return F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+
+
+# ---------------------------------------------------------------------------
+
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: scan + filter + 8-agg groupBy (SURVEY §2.6 A5)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(25,4)")
+    price = F.col("l_extendedprice").cast("decimal(25,4)")
+    n = F.count("*")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            _dsum(_rev()).alias("sum_disc_price"),
+            _dsum(_rev() * (F.lit(1) + F.col("l_tax")), 8).alias("sum_charge"),
+            (F.sum(qty).cast("double") / n).alias("avg_qty"),
+            (F.sum(price).cast("double") / n).alias("avg_price"),
+            (F.sum(F.col("l_discount").cast("decimal(25,6)")).cast("double") / n).alias(
+                "avg_disc"
+            ),
+            n.alias("count_order"),
+        )
+    )
+
+
+_Q01_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) AS sum_base_price,
+  {_sql_dsum(_REV)} AS sum_disc_price,
+  {_sql_dsum(_REV + ' * (1 + l_tax)', 8)} AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: 3-way join + top-N (broadcast the filtered dimension)."""
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < "1998-06-01"
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1998-06-01")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(_dsum(_rev()).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+_Q03_SQL = f"""
+SELECT l_orderkey, {_sql_dsum(_REV)} AS revenue,
+       STRFTIME(o_orderdate, '%Y-%m-%d') AS o_orderdate
+FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS via left-semi join with an inequality
+    (SURVEY §2.5 J3)."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1997-07-01") & (F.col("o_orderdate") < "1997-10-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+_Q04_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+def q05_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: 6-way join; dims broadcast, facts shuffle on keys."""
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ("customer", "orders", "lineitem", "supplier", "nation", "region")}
+    orders = t["orders"].where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    return (
+        t["lineitem"]
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(_dsum(_rev()).alias("revenue"))
+    )
+
+
+_Q05_SQL = f"""
+SELECT n_name, {_sql_dsum(_REV)} AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def q06_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pushdown-friendly filter + single agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _dsum(F.col("l_extendedprice") * F.col("l_discount"), 8).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_Q06_SQL = f"""
+SELECT {_sql_dsum('l_extendedprice * l_discount', 8)} AS revenue, COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount >= 0.02 AND l_discount <= 0.06 AND l_quantity < 24
+"""
+
+
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: per-year conditional market share (exact-decimal
+    numerator/denominator -> identical double division)."""
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ("part", "supplier", "lineitem", "orders", "customer", "nation", "region")}
+    joined = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"].where(F.col("p_type") == "ECONOMY")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"].alias("cn")),
+              F.col("c_nationkey") == F.col("cn.n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("cn.n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(t["nation"].alias("sn")),
+              F.col("s_nationkey") == F.col("sn.n_nationkey"))
+        .where(
+            (F.col("r_name") == "AMERICA")
+            & (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+    )
+    vol = _rev().cast("decimal(25,6)")
+    national = F.when(F.col("sn.n_name") == "NATION_7", vol).otherwise(
+        F.lit(0).cast("decimal(25,6)")
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (F.sum(national).cast("double") / F.sum(vol).cast("double")).alias("mkt_share"),
+            F.sum(vol).cast("double").alias("total_volume"),
+        )
+    )
+
+
+_Q08_SQL = f"""
+SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
+  CAST(SUM(CASE WHEN sn.n_name = 'NATION_7' THEN CAST({_REV} AS DECIMAL(25,6))
+                ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE)
+    / CAST(SUM(CAST({_REV} AS DECIMAL(25,6))) AS DOUBLE) AS mkt_share,
+  CAST(SUM(CAST({_REV} AS DECIMAL(25,6))) AS DOUBLE) AS total_volume
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY YEAR(o_orderdate)
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: returned-item revenue per customer, top 20."""
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ("customer", "orders", "lineitem", "nation")}
+    orders = t["orders"].where(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    return (
+        t["lineitem"].where(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_dsum(_rev()).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+_Q10_SQL = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name, {_sql_dsum(_REV)} AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate + broadcast join + deterministic top-N (SURVEY §2.6)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(25,4)")).cast("double").alias(
+                "total_spent"
+            ),
+            F.count("*").alias("n_orders"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "total_spent", "n_orders")
+        .orderBy(F.desc("total_spent"), "c_custkey")
+        .limit(10)
+    )
+
+
+_Q_TOP_CUSTOMERS_SQL = """
+SELECT c_custkey, c_name,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE) AS total_spent,
+  COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY total_spent DESC, c_custkey LIMIT 10
+"""
+
+
+def q_distinct_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-row distinct (SURVEY §2.4 O2)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+_Q_DISTINCT_SQL = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
+def q_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set op (SURVEY §2.5 J4)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.intersect(supp)
+
+
+_Q_INTERSECT_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def q_except_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT-DISTINCT set difference — the delta-diff primitive
+    (SURVEY §2.5 J1, utils/table.py:172)."""
+    ev = load_table(spark, sf_dir, "events")
+    week1 = ev.where(
+        (F.col("ts") >= "2024-01-01") & (F.col("ts") < "2024-01-08")
+    ).select("user_id", F.hour("ts").alias("h"))
+    week4 = ev.where(
+        (F.col("ts") >= "2024-01-22") & (F.col("ts") < "2024-01-29")
+    ).select("user_id", F.hour("ts").alias("h"))
+    return week1.subtract(week4)
+
+
+_Q_EXCEPT_SQL = """
+SELECT user_id, HOUR(CAST(ts AS TIMESTAMP)) AS h FROM events
+WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+EXCEPT
+SELECT user_id, HOUR(CAST(ts AS TIMESTAMP)) AS h FROM events
+WHERE ts >= TIMESTAMP '2024-01-22' AND ts < TIMESTAMP '2024-01-29'
+"""
+
+
+def q_dedup_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subset-keyed dedup keep-last (SURVEY §2.4 O3) via the library
+    operator (deterministic presort on ts, event_id)."""
+    from pydala_spark.dataset.reader import apply_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    out = apply_distinct(
+        ev,
+        subset=["user_id", "event_type"],
+        keep="last",
+        presort=[("ts", True), ("event_id", True)],
+    )
+    return out.select("user_id", "event_type", "event_id", "value")
+
+
+_Q_DEDUP_SQL = """
+SELECT user_id, event_type, event_id, value FROM (
+  SELECT user_id, event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via ranking window (SURVEY §2.6 A5 window aggs)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk", "o_totalprice")
+    )
+
+
+_Q_WINDOW_TOPK_SQL = """
+SELECT o_custkey, o_orderkey, rnk, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+  FROM orders) WHERE rnk <= 3
+"""
+
+
+def q_time_bucket_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day buckets — the reference's generate_series time grid
+    (SURVEY §2.2 W8) as a derived bucket column."""
+    from pydala_spark.dataset.writer import bucket_column
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day", F.date_format(bucket_column("ts", "1d"), "yyyy-MM-dd"))
+        .groupBy("day", "event_type")
+        .agg(F.count("*").alias("n"), _dsum(F.col("value")).alias("sum_value"))
+    )
+
+
+_Q_TIME_BUCKET_SQL = f"""
+SELECT STRFTIME(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day, event_type,
+       COUNT(*) AS n, {_sql_dsum('value')} AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min-gap session counts per user (lag + cumsum)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    new_session = F.when(
+        F.lag("ts").over(w).isNull()
+        | ((F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))) > gap_us),
+        1,
+    ).otherwise(0)
+    return (
+        ev.withColumn("new_s", new_session)
+        .groupBy("user_id")
+        .agg(F.sum("new_s").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+_Q_SESSIONIZE_SQL = """
+SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM (
+  SELECT user_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+) GROUP BY user_id
+"""
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (SURVEY §2.6 A5)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), _dsum(_rev()).alias("revenue"))
+    )
+
+
+_Q_ROLLUP_SQL = f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {_sql_dsum(_REV)} AS revenue
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot via conditional aggregation (portable form of .pivot())."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def tot(status: str) -> Column:
+        return (
+            F.sum(
+                F.when(F.col("o_orderstatus") == status, F.col("o_totalprice"))
+                .otherwise(F.lit(0))
+                .cast("decimal(25,4)")
+            ).cast("double")
+        )
+
+    return orders.groupBy("o_orderpriority").agg(
+        tot("O").alias("open_total"),
+        tot("F").alias("filled_total"),
+        tot("P").alias("partial_total"),
+        F.count("*").alias("n"),
+    )
+
+
+_Q_PIVOT_SQL = """
+SELECT o_orderpriority,
+  CAST(SUM(CAST(CASE WHEN o_orderstatus='O' THEN o_totalprice ELSE 0 END AS DECIMAL(25,4))) AS DOUBLE) AS open_total,
+  CAST(SUM(CAST(CASE WHEN o_orderstatus='F' THEN o_totalprice ELSE 0 END AS DECIMAL(25,4))) AS DOUBLE) AS filled_total,
+  CAST(SUM(CAST(CASE WHEN o_orderstatus='P' THEN o_totalprice ELSE 0 END AS DECIMAL(25,4))) AS DOUBLE) AS partial_total,
+  COUNT(*) AS n
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click matched to the user's most recent purchase
+    at-or-before it (library operator, SURVEY §7.2 extension)."""
+    from pydala_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    out = asof_join(
+        clicks, purchases, on="ts", by="user_id", right_cols=["purchase_id"]
+    )
+    return out.select("click_id", "purchase_id")
+
+
+_Q_ASOF_SQL = """
+WITH p AS (
+  SELECT user_id, ts, MAX(event_id) AS purchase_id
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+), c AS (
+  SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click'
+)
+SELECT c.click_id, p.purchase_id
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+def q_delta_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-mode anti-diff as a query (SURVEY §2.2 W6): events on Jan 15
+    whose (user_id, event_type) key was never seen before Jan 15."""
+    from pydala_spark.dataset.writer import tables_diff
+
+    ev = load_table(spark, sf_dir, "events").withColumn("h", F.hour("ts"))
+    incoming = ev.where(
+        (F.col("ts") >= "2024-01-15") & (F.col("ts") < "2024-01-16")
+    )
+    existing = ev.where(F.col("ts") < "2024-01-15")
+    diff = tables_diff(incoming, existing, subset=["user_id", "event_type", "h"])
+    return diff.select("event_id", "user_id", "event_type", "h")
+
+
+_Q_DELTA_DIFF_SQL = """
+SELECT event_id, user_id, event_type, HOUR(CAST(ts AS TIMESTAMP)) AS h
+FROM events i
+WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-16'
+  AND NOT EXISTS (
+    SELECT 1 FROM events e
+    WHERE e.ts < TIMESTAMP '2024-01-15'
+      AND e.user_id IS NOT DISTINCT FROM i.user_id
+      AND e.event_type IS NOT DISTINCT FROM i.event_type
+      AND HOUR(CAST(e.ts AS TIMESTAMP)) IS NOT DISTINCT FROM
+          HOUR(CAST(i.ts AS TIMESTAMP)))
+"""
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction + agg (SURVEY §2.7 F5)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k.cast("decimal(25,0)")).cast("double").alias("sum_k"),
+        (F.sum(k.cast("decimal(25,0)")).cast("double") / F.count("*")).alias("avg_k"),
+    )
+
+
+_Q_JSON_SQL = """
+SELECT event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(CAST(props->>'$.k' AS INTEGER) AS DECIMAL(25,0))) AS DOUBLE) AS sum_k,
+  CAST(SUM(CAST(CAST(props->>'$.k' AS INTEGER) AS DECIMAL(25,0))) AS DOUBLE) / COUNT(*) AS avg_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String functions + min/max/count-distinct per group (SURVEY §2.7)."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.withColumn("brand_no", F.regexp_replace("p_brand", "Brand#", "").cast("int"))
+        .groupBy("brand_no")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.countDistinct("p_type").alias("n_types"),
+            F.min("p_retailprice").alias("min_price"),
+            F.max("p_retailprice").alias("max_price"),
+            F.max(F.upper(F.substring("p_name", 1, 3))).alias("max_prefix"),
+        )
+    )
+
+
+_Q_PART_STATS_SQL = """
+SELECT CAST(REGEXP_REPLACE(p_brand, 'Brand#', '') AS INTEGER) AS brand_no,
+  COUNT(*) AS n_parts, COUNT(DISTINCT p_type) AS n_types,
+  MIN(p_retailprice) AS min_price, MAX(p_retailprice) AS max_price,
+  MAX(UPPER(SUBSTRING(p_name, 1, 3))) AS max_prefix
+FROM part GROUP BY 1
+"""
+
+
+CORE_QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q03_shipping_priority": q03_shipping_priority,
+    "q04_order_priority": q04_order_priority,
+    "q05_local_supplier": q05_local_supplier,
+    "q06_revenue_change": q06_revenue_change,
+    "q08_market_share": q08_market_share,
+    "q10_returned_items": q10_returned_items,
+    "q_top_customers": q_top_customers,
+    "q_distinct_flags": q_distinct_flags,
+    "q_intersect_nations": q_intersect_nations,
+    "q_except_users": q_except_users,
+    "q_dedup_keep_last": q_dedup_keep_last,
+    "q_window_topk": q_window_topk,
+    "q_time_bucket_daily": q_time_bucket_daily,
+    "q_sessionize": q_sessionize,
+    "q_rollup_revenue": q_rollup_revenue,
+    "q_pivot_status": q_pivot_status,
+    "q_asof_purchase": q_asof_purchase,
+    "q_delta_diff_events": q_delta_diff_events,
+    "q_json_extract": q_json_extract,
+    "q_part_stats": q_part_stats,
+}
+
+CORE_ORACLE = {
+    "q01_pricing_summary": _Q01_SQL,
+    "q03_shipping_priority": _Q03_SQL,
+    "q04_order_priority": _Q04_SQL,
+    "q05_local_supplier": _Q05_SQL,
+    "q06_revenue_change": _Q06_SQL,
+    "q08_market_share": _Q08_SQL,
+    "q10_returned_items": _Q10_SQL,
+    "q_top_customers": _Q_TOP_CUSTOMERS_SQL,
+    "q_distinct_flags": _Q_DISTINCT_SQL,
+    "q_intersect_nations": _Q_INTERSECT_SQL,
+    "q_except_users": _Q_EXCEPT_SQL,
+    "q_dedup_keep_last": _Q_DEDUP_SQL,
+    "q_window_topk": _Q_WINDOW_TOPK_SQL,
+    "q_time_bucket_daily": _Q_TIME_BUCKET_SQL,
+    "q_sessionize": _Q_SESSIONIZE_SQL,
+    "q_rollup_revenue": _Q_ROLLUP_SQL,
+    "q_pivot_status": _Q_PIVOT_SQL,
+    "q_asof_purchase": _Q_ASOF_SQL,
+    "q_delta_diff_events": _Q_DELTA_DIFF_SQL,
+    "q_json_extract": _Q_JSON_SQL,
+    "q_part_stats": _Q_PART_STATS_SQL,
+}

@@ -1,0 +1,406 @@
+"""Extension query surface: dedup, similarity search, text analysis
+(the north-star LLM-pipeline operators from BASELINE.json).
+
+Oracle-portability notes: Spark's regexp_replace is global, DuckDB's
+needs the 'g' flag; explode <-> unnest; md5/instr/concat_ws behave
+identically; embeddings are cast to DOUBLE[] on the DuckDB side so both
+engines accumulate dot products in double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pydala_spark.operators.dedup import (
+    dedup_exact,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from pydala_spark.operators.similarity import cosine_similarity, cosine_topk, lsh_topk
+from pydala_spark.operators.textstats import (
+    STOPWORDS,
+    fingerprint,
+    predict_lang,
+    stopword_hits,
+    token_count,
+    word_regex_tokens,
+)
+from pydala_spark.sources import load_table
+
+_WORD_SPLIT_SQL = "list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '')"
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/char/punctuation counts (text analysis)."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.length(c).alias("n_chars_calc"),
+        token_count(c).alias("n_tokens"),
+        (F.length(c) - F.length(F.regexp_replace(c, r"[.,;:!?]", ""))).alias("n_punct"),
+        F.size(F.array_distinct(word_regex_tokens(c))).alias("n_unique_words"),
+    )
+
+
+_Q_TEXT_STATS_SQL = f"""
+SELECT doc_id,
+  LENGTH(text) AS n_chars_calc,
+  LEN(string_split_regex(TRIM(text), '\\s+')) AS n_tokens,
+  LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,;:!?]', '', 'g')) AS n_punct,
+  LEN(list_distinct({_WORD_SPLIT_SQL})) AS n_unique_words
+FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score features; ratios are exact integer divisions."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    n_chars = F.length(c)
+    n_toks = token_count(c)
+    punct = F.length(c) - F.length(F.regexp_replace(c, r"[.,;:!?]", ""))
+    stop_en = stopword_hits(c, STOPWORDS["en"])
+    punct_ratio = punct.cast("double") / n_chars
+    stop_ratio = stop_en.cast("double") / n_toks
+    score = (
+        F.when((n_toks >= 10) & (n_toks <= 1000), 1).otherwise(0)
+        + F.when(punct_ratio <= 0.1, 1).otherwise(0)
+        + F.when(stop_ratio >= 0.01, 1).otherwise(0)
+    )
+    return docs.select(
+        "doc_id",
+        n_toks.alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        score.alias("q_score"),
+    )
+
+
+_EN_LIST = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+
+_Q_TEXT_QUALITY_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+    LENGTH(text) AS n_chars,
+    LEN(string_split_regex(TRIM(text), '\\s+')) AS n_tokens,
+    LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,;:!?]', '', 'g')) AS n_punct,
+    LEN(list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'),
+                    x -> x IN ({_EN_LIST}))) AS stop_en
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+  CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+  CAST(stop_en AS DOUBLE) / n_tokens AS stop_ratio,
+  (CASE WHEN n_tokens >= 10 AND n_tokens <= 1000 THEN 1 ELSE 0 END
+   + CASE WHEN CAST(n_punct AS DOUBLE) / n_chars <= 0.1 THEN 1 ELSE 0 END
+   + CASE WHEN CAST(stop_en AS DOUBLE) / n_tokens >= 0.01 THEN 1 ELSE 0 END) AS q_score
+FROM s
+"""
+
+
+def q_lang_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID vs the labeled lang (confusion counts)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("lang_pred", predict_lang("text"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"LEN(list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'), "
+        f"x -> x IN ({words})))"
+    )
+
+
+_Q_LANG_SQL = f"""
+WITH s AS (
+  SELECT lang, {_hits_sql('en')} AS h_en, {_hits_sql('de')} AS h_de,
+         {_hits_sql('es')} AS h_es, {_hits_sql('fr')} AS h_fr
+  FROM documents
+)
+SELECT lang,
+  CASE WHEN h_fr > GREATEST(h_en, h_de, h_es) THEN 'fr'
+       WHEN h_es > GREATEST(h_en, h_de) THEN 'es'
+       WHEN h_de > h_en THEN 'de'
+       WHEN h_en > 0 THEN 'en'
+       ELSE 'other' END AS lang_pred,
+  COUNT(*) AS n
+FROM s GROUP BY 1, 2
+"""
+
+_NORM_SQL = (
+    "TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', ' ', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+
+def q_fingerprint_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source doc counts vs distinct fingerprints (document
+    fingerprinting / exact-dup rate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("fp", fingerprint("text"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("fp").alias("n_distinct"),
+            F.max("fp").alias("max_fp"),
+        )
+    )
+
+
+_Q_FINGERPRINT_SQL = f"""
+SELECT source, COUNT(*) AS n_docs,
+       COUNT(DISTINCT MD5({_NORM_SQL})) AS n_distinct,
+       MAX(MD5({_NORM_SQL})) AS max_fp
+FROM documents GROUP BY source
+"""
+
+
+def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeper list: min doc_id + group size per fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_exact(docs, id_col="doc_id", text_col="text")
+
+
+_Q_DEDUP_EXACT_SQL = f"""
+SELECT MD5({_NORM_SQL}) AS fp, MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+# shingles: word 3-grams over regex tokens (distinct); DuckDB mirrors the
+# slice/sequence construction (1-based inclusive slices).
+_SHINGLES_SQL = f"""
+SELECT doc_id, list_distinct(list_transform(
+         generate_series(1, GREATEST(LEN(t) - 2, 1)),
+         i -> array_to_string(t[i:i+2], ' '))) AS shs
+FROM (SELECT doc_id, {_WORD_SPLIT_SQL} AS t FROM documents)
+"""
+
+
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Repartition a single-file table across all cores: the test tables
+    are one parquet row group (unsplittable -> 1 task); downstream
+    explode/hash work must not run single-threaded. On a real multi-file
+    100 TB dataset the scan parallelizes naturally and this is a no-op
+    cost-wise (one narrow shuffle of the raw rows)."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8) + 4-band LSH candidate pairs."""
+    docs = _spread(spark, load_table(spark, sf_dir, "documents"))
+    sigs = minhash_signatures(docs, "doc_id", "text", n_hashes=8, shingle_size=3)
+    return lsh_candidate_pairs(sigs, "doc_id", n_bands=4)
+
+
+_Q_MINHASH_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+ex AS (SELECT doc_id, UNNEST(shs) AS s FROM sh),
+sig AS (
+  SELECT doc_id,
+    {', '.join(f"MIN(MD5(CONCAT('{i}|', s))) AS mh_{i}" for i in range(8))}
+  FROM ex GROUP BY doc_id
+),
+bands AS (
+  {' UNION ALL '.join(
+      f"SELECT doc_id, {b} AS band_id, "
+      f"MD5(CONCAT_WS('|', mh_{2*b}, mh_{2*b+1})) AS band_hash FROM sig"
+      for b in range(4)
+  )}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard pairs (>= 0.2), via shingle self-join."""
+    docs = _spread(spark, load_table(spark, sf_dir, "documents"))
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_size=3, threshold=0.2
+    ).select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
+
+
+_Q_JACCARD_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+ex AS (SELECT doc_id, LEN(shs) AS sh_size, UNNEST(shs) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.sh_size AS size_a, b.sh_size AS size_b, COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, inter, size_a, size_b,
+       CAST(inter AS DOUBLE) / (size_a + size_b - inter) AS jaccard
+FROM inter
+WHERE CAST(inter AS DOUBLE) / (size_a + size_b - inter) >= 0.2
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit frequency-weighted SimHash per document."""
+    docs = _spread(spark, load_table(spark, sf_dir, "documents"))
+    return simhash(docs, "doc_id", "text", bits=16)
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    bit_sums = []
+    for j in range(bits):
+        d, shift = divmod(j, 4)
+        bit = (
+            f"(((INSTR('0123456789abcdef', SUBSTRING(h, {d + 1}, 1)) - 1) "
+            f">> {3 - shift}) % 2)"
+        )
+        bit_sums.append(
+            f"SUM(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) AS b_{j}"
+        )
+    value = " + ".join(
+        f"CASE WHEN b_{j} > 0 THEN {2**j} ELSE 0 END" for j in range(bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, MD5(UNNEST({_WORD_SPLIT_SQL})) AS h FROM documents
+),
+sums AS (SELECT doc_id, {', '.join(bit_sums)} FROM toks GROUP BY doc_id)
+SELECT doc_id, CAST({value} AS BIGINT) AS simhash FROM sums
+"""
+
+
+def q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global token frequency top-20 (explode + agg + deterministic topN)."""
+    from pydala_spark.operators.dedup import explode_cheaply
+
+    docs = _spread(spark, load_table(spark, sf_dir, "documents"))
+    return (
+        explode_cheaply(
+            docs.select(word_regex_tokens("text").alias("__toks")),
+            F.col("__toks"),
+            "token",
+        )
+        .select("token")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(20)
+    )
+
+
+_Q_TOKEN_FREQ_SQL = f"""
+SELECT s AS token, COUNT(*) AS n
+FROM (SELECT UNNEST({_WORD_SPLIT_SQL}) AS s FROM documents)
+GROUP BY s ORDER BY n DESC, token LIMIT 20
+"""
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for probes vec_id < 10."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 10)
+    out = cosine_topk(emb, probes, id_col="vec_id", vec_col="embedding", k=5)
+    return out.select(
+        "probe_id", "neighbor_id", "rnk", F.round("sim", 4).alias("sim_r")
+    )
+
+
+_Q_COSINE_TOPK_SQL = """
+WITH p AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pe
+           FROM embeddings WHERE vec_id < 10),
+s AS (
+  SELECT probe_id, vec_id AS neighbor_id,
+         list_cosine_similarity(pe, CAST(embedding AS DOUBLE[])) AS sim
+  FROM embeddings, p WHERE vec_id <> probe_id
+)
+SELECT probe_id, neighbor_id, rnk, ROUND(sim, 4) AS sim_r
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                   ORDER BY sim DESC, neighbor_id) AS rnk
+      FROM s)
+WHERE rnk <= 5
+"""
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair counts per label (label-blocked cosine threshold)."""
+    emb = _spread(spark, load_table(spark, sf_dir, "embeddings"))
+    a = emb.select(F.col("label"), F.col("vec_id").alias("id_a"),
+                   F.col("embedding").alias("va"))
+    b = emb.select(F.col("label"), F.col("vec_id").alias("id_b"),
+                   F.col("embedding").alias("vb"))
+    pairs = (
+        a.join(b, "label")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", cosine_similarity(F.col("va"), F.col("vb")))
+    )
+    return pairs.where(F.col("sim") >= 0.25).groupBy("label").agg(
+        F.count("*").alias("n_pairs")
+    )
+
+
+_Q_NEARDUP_SQL = """
+SELECT a.label, COUNT(*) AS n_pairs
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.25
+GROUP BY a.label
+"""
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (no SQL oracle: hyperplane
+    derivation is library-internal; driver records rows-only)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 10)
+    out = lsh_topk(emb, probes, dim=64, k=5, bits=6)
+    return out.select("probe_id", "neighbor_id", "rnk", F.round("sim", 4).alias("sim_r"))
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approximate distinct (no oracle: estimator implementations
+    differ by design; rows-only check)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.count("*").alias("n"),
+    )
+
+
+EXT_QUERIES = {
+    "q_text_stats": q_text_stats,
+    "q_text_quality": q_text_quality,
+    "q_lang_predict": q_lang_predict,
+    "q_fingerprint_summary": q_fingerprint_summary,
+    "q_dedup_exact_docs": q_dedup_exact_docs,
+    "q_minhash_lsh": q_minhash_lsh,
+    "q_ngram_jaccard": q_ngram_jaccard,
+    "q_simhash": q_simhash,
+    "q_token_freq": q_token_freq,
+    "q_cosine_topk": q_cosine_topk,
+    "q_embedding_neardup": q_embedding_neardup,
+    "q_lsh_topk": q_lsh_topk,
+    "q_approx_distinct": q_approx_distinct,
+}
+
+EXT_ORACLE = {
+    "q_text_stats": _Q_TEXT_STATS_SQL,
+    "q_text_quality": _Q_TEXT_QUALITY_SQL,
+    "q_lang_predict": _Q_LANG_SQL,
+    "q_fingerprint_summary": _Q_FINGERPRINT_SQL,
+    "q_dedup_exact_docs": _Q_DEDUP_EXACT_SQL,
+    "q_minhash_lsh": _Q_MINHASH_SQL,
+    "q_ngram_jaccard": _Q_JACCARD_SQL,
+    "q_simhash": _simhash_sql(16),
+    "q_token_freq": _Q_TOKEN_FREQ_SQL,
+    "q_cosine_topk": _Q_COSINE_TOPK_SQL,
+    "q_embedding_neardup": _Q_NEARDUP_SQL,
+    # q_lsh_topk, q_approx_distinct: intentionally no oracle (rows-only)
+}

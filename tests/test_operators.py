@@ -1,0 +1,241 @@
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from pydala_spark.operators.asof import asof_join
+from pydala_spark.operators.dedup import (
+    dedup_exact,
+    doc_shingles,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from pydala_spark.operators.similarity import (
+    cosine_similarity,
+    cosine_topk,
+    lsh_topk,
+    neardup_pairs,
+)
+from pydala_spark.operators.textstats import (
+    fingerprint,
+    predict_lang,
+    quality_stats,
+    token_count,
+)
+
+TS = dt.datetime
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy cat"),
+            (2, "completely different words entirely unrelated text here"),
+            (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_asof_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [(1, TS(2024, 1, 1, 10), "a"), (1, TS(2024, 1, 1, 12), "b"),
+         (2, TS(2024, 1, 1, 9), "c")],
+        "k long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, TS(2024, 1, 1, 10), 100.0), (1, TS(2024, 1, 1, 11), 200.0)],
+        "k long, ts timestamp, px double",
+    )
+    out = {
+        r["tag"]: r["px"]
+        for r in asof_join(left, right, on="ts", by="k", right_cols=["px"]).collect()
+    }
+    assert out == {"a": 100.0, "b": 200.0, "c": None}  # inclusive at 10:00
+
+
+def test_asof_exclusive_and_forward(spark):
+    left = spark.createDataFrame(
+        [(1, TS(2024, 1, 1, 10), "a")], "k long, ts timestamp, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, TS(2024, 1, 1, 10), 1.0), (1, TS(2024, 1, 1, 11), 2.0)],
+        "k long, ts timestamp, px double",
+    )
+    excl = asof_join(
+        left, right, on="ts", by="k", right_cols=["px"], inclusive=False
+    ).first()
+    assert excl["px"] is None
+    fwd = asof_join(
+        left, right, on="ts", by="k", right_cols=["px"], direction="forward",
+        inclusive=False,
+    ).first()
+    assert fwd["px"] == 2.0
+
+
+def test_dedup_exact(spark):
+    out = dedup_exact(_docs(spark), "doc_id", "text")
+    rows = {r["doc_id"]: r["n_dups"] for r in out.collect()}
+    assert rows[0] == 2  # doc 3 collapsed into keeper 0
+    assert 3 not in rows
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    docs = _docs(spark)
+    sigs = minhash_signatures(docs, "doc_id", "text", n_hashes=8)
+    assert set(sigs.columns) == {"doc_id"} | {f"mh_{i}" for i in range(8)}
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(sigs, "doc_id", n_bands=4).collect()
+    }
+    assert (0, 3) in pairs  # exact dups always collide
+    assert (0, 1) in pairs or (1, 3) in pairs  # near dup should bucket too
+    assert not any(2 in p for p in pairs)
+
+
+def test_ngram_jaccard(spark):
+    out = ngram_jaccard_pairs(_docs(spark), "doc_id", "text", threshold=0.5)
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    assert pairs[(0, 3)] == 1.0
+    assert 0.5 <= pairs[(0, 1)] < 1.0
+
+
+def test_simhash_similar_docs_close(spark):
+    out = {r["doc_id"]: r["simhash"] for r in simhash(_docs(spark), "doc_id").collect()}
+    assert out[0] == out[3]
+    ham01 = bin(out[0] ^ out[1]).count("1")
+    ham02 = bin(out[0] ^ out[2]).count("1")
+    assert ham01 < ham02  # near-dup closer than unrelated
+
+
+def test_cosine_topk_and_lsh(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    probes = emb.where(F.col("vec_id") == 0)
+    out = cosine_topk(emb, probes, k=3).orderBy("rnk").collect()
+    assert [r["neighbor_id"] for r in out] == [1, 2, 3]
+    approx = lsh_topk(emb, probes, dim=4, k=3, bits=4).collect()
+    got = {r["neighbor_id"] for r in approx}
+    assert 1 in got  # same-direction vector shares every sign bucket
+
+
+def test_neardup_pairs_blocked(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0], "x"), (1, [0.99, 0.01], "x"), (2, [0.0, 1.0], "x"),
+         (3, [1.0, 0.0], "y")],
+        ["vec_id", "embedding", "blk"],
+    )
+    out = neardup_pairs(emb, block_col="blk", threshold=0.95)
+    assert {(r["id_a"], r["id_b"]) for r in out.collect()} == {(0, 1)}
+
+
+def test_textstats(spark):
+    df = spark.createDataFrame([(1, "The cat and the dog, the end.")], ["id", "text"])
+    row = quality_stats(df).first()
+    assert row["q_tokens"] == 7
+    assert row["q_punct"] == 2  # one comma, one period
+    assert row["q_stop_hits"] == 4  # 3x "the" (lowercased) + "and"
+    lang = df.select(predict_lang("text").alias("l")).first()["l"]
+    assert lang == "en"
+    fp1 = df.select(fingerprint("text").alias("f")).first()["f"]
+    df2 = spark.createDataFrame([(1, "  the CAT and the dog -- the END ")], ["id", "text"])
+    fp2 = df2.select(fingerprint("text").alias("f")).first()["f"]
+    assert fp1 == fp2  # normalization: case/punct/whitespace-insensitive
+
+
+def test_multimodal_feature_plumbing(spark):
+    from pydala_spark.operators.multimodal import extract_features, sample_frames
+
+    rows = [
+        Row(media_id=1, kind="image", content=b"\x01\x02\x03\x04" * 64,
+            mime="image/png", width=2, height=2, duration_ms=None),
+        Row(media_id=2, kind="video", content=b"\xff" * 256,
+            mime="video/mp4", width=None, height=None, duration_ms=3500),
+    ]
+    from pydala_spark.operators.multimodal import MEDIA_SCHEMA
+
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = extract_features(df).collect()
+    assert {r["media_id"]: len(r["feature"]) for r in feats} == {1: 8, 2: 8}
+    assert all(len(r["sha1"]) == 40 for r in feats)
+    # determinism
+    feats2 = extract_features(df).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, feats2))
+    frames = sample_frames(df, every_ms=1000).collect()
+    assert [r["frame_ms"] for r in frames] == [0, 1000, 2000, 3000]
+    with pytest.raises(Exception, match="NotImplementedError|decoding"):
+        extract_features(df, decode_stub=False).collect()
+
+
+def test_streaming_incremental_append(spark, tmp_path):
+    import os
+
+    from pydala_spark.dataset.reader import Dataset
+    from pydala_spark.dataset.writer import Writer
+    from pydala_spark.streaming import incremental_append
+
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    dest = str(tmp_path / "dataset")
+    df1 = spark.createDataFrame(
+        [(1, TS(2024, 1, 1), 1.0), (2, TS(2024, 1, 2), 2.0)],
+        "event_id long, ts timestamp, v double",
+    )
+    df1.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(df1.schema).parquet(src)
+    writer = Writer(spark, dest)
+    q = incremental_append(
+        stream, writer, delta_subset=["event_id"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(60)
+    assert Dataset(spark, dest).count() == 2
+    # second batch: one dup key, one new
+    spark.createDataFrame(
+        [(2, TS(2024, 1, 2), 99.0), (3, TS(2024, 1, 3), 3.0)],
+        "event_id long, ts timestamp, v double",
+    ).coalesce(1).write.mode("append").parquet(src)
+    q2 = incremental_append(
+        stream, writer, delta_subset=["event_id"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination(60)
+    df = Dataset(spark, dest).load()
+    assert df.count() == 3
+    assert df.where("event_id = 2").first()["v"] == 2.0  # original kept
+
+
+def test_windowed_counts_streaming(spark, tmp_path):
+    import os
+
+    from pydala_spark.streaming import windowed_counts
+
+    src = str(tmp_path / "stream")
+    df = spark.createDataFrame(
+        [(TS(2024, 1, 1, 0, i), "click") for i in range(10)]
+        + [(TS(2024, 1, 1, 0, 7), "view")],
+        "ts timestamp, event_type string",
+    )
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    agg = windowed_counts(stream, window="5 minutes")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("SELECT * FROM win_out ORDER BY window_start, event_type").collect()
+    assert [(r["event_type"], r["n"]) for r in rows] == [
+        ("click", 5), ("click", 5), ("view", 1)
+    ]

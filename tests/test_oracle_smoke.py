@@ -1,0 +1,62 @@
+"""Fast DuckDB-oracle parity smoke: a representative subset of the
+declared queries at sf0.001 (the full sweep is tools/check_oracle.py)."""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SMOKE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q_dedup_keep_last",
+    "q_sessionize",
+    "q_asof_purchase",
+    "q_fingerprint_summary",
+    "q_minhash_lsh",
+    "q_cosine_topk",
+]
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else repr(v)
+    return str(v)
+
+
+@pytest.fixture(scope="module")
+def ddb(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", SMOKE)
+def test_oracle_parity(spark, sf_dir, ddb, name):
+    sdf = entrymod.queries()[name](spark, sf_dir).toPandas()
+    odf = ddb.sql(entrymod.oracle_sql()[name]).df()
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert len(sdf) == len(odf)
+    cols = sorted(sdf.columns)
+    srows = sorted(
+        tuple(canon(v) for v in r) for r in sdf[cols].itertuples(index=False, name=None)
+    )
+    orows = sorted(
+        tuple(canon(v) for v in r) for r in odf[cols].itertuples(index=False, name=None)
+    )
+    assert srows == orows
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() >= 0
+    assert len(df.columns) == 10
