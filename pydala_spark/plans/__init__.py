@@ -1,0 +1,87 @@
+"""Plan inspection utilities: verify that Catalyst produced the plan we
+designed for — filters pushed to the parquet scan, small dims broadcast,
+expressions inside whole-stage codegen.
+
+The reference delegates planning entirely to its embedded engine and has
+no plan introspection; at 100 TB plan shape IS the performance model, so
+these helpers are first-class here (used by tests to pin plan properties,
+and by humans to iterate on operators).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    """The explain output as a string (what ``df.explain`` prints)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), mode
+    )
+
+
+def executed_plan_str(df: DataFrame) -> str:
+    """Final (post-AQE) physical plan — RUNS the query (count) first.
+
+    Pre-execution explain of an adaptive plan hides whole-stage-codegen
+    spans and runtime re-planning (coalesced partitions, skew splits,
+    broadcast demotions); inspect the executed plan for those. Note it
+    must be ``collect`` (not ``count``) — count() builds a *new* query
+    execution and this DataFrame's own plan would never finalize.
+    """
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """PushedFilters reported by every file scan in the physical plan."""
+    text = explain_str(df)
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", text):
+        out.extend(s.strip() for s in m.group(1).split(",") if s.strip())
+    return out
+
+
+def read_schema_columns(df: DataFrame) -> list[list[str]]:
+    """Column lists actually read by each scan (column pruning check)."""
+    text = explain_str(df)
+    schemas = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", text):
+        cols = [c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()]
+        schemas.append(cols)
+    return schemas
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in explain_str(df) or "BroadcastNestedLoopJoin" in explain_str(df)
+
+
+def shuffle_count(df: DataFrame) -> int:
+    """Number of exchanges in the physical plan (lower is better; AQE may
+    remove some at runtime)."""
+    return explain_str(df).count("Exchange ")
+
+
+def codegen_stage_count(df: DataFrame, executed: bool = True) -> int:
+    """Distinct whole-stage-codegen spans; 0 means everything runs
+    interpreted (a red flag for row-at-a-time hot paths). Executes the
+    query by default — AQE only reveals codegen in the final plan."""
+    text = executed_plan_str(df) if executed else explain_str(df)
+    ids = set(re.findall(r"WholeStageCodegen \((\d+)\)", text))
+    ids |= set(re.findall(r"\[codegen id : (\d+)\]", text))
+    ids |= set(re.findall(r"\*\((\d+)\) ", text))  # tree-string marker
+    return len(ids)
+
+
+def plan_report(df: DataFrame, executed: bool = False) -> dict:
+    """One-stop structured summary for notebooks/tests (pass
+    ``executed=True`` to run the query and report post-AQE facts)."""
+    return {
+        "pushed_filters": pushed_filters(df),
+        "read_schemas": read_schema_columns(df),
+        "broadcast_join": has_broadcast_join(df),
+        "shuffles": shuffle_count(df),
+        "codegen_stages": codegen_stage_count(df, executed=executed),
+    }

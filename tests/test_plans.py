@@ -1,0 +1,54 @@
+"""Plan-shape regression tests: these pin the 100 TB-relevant properties
+(pushdown, pruning, broadcast, codegen) so a refactor can't silently turn
+a pruned broadcast plan into a full-scan shuffle plan."""
+
+from pyspark.sql import functions as F
+
+from pydala_spark.plans import (
+    codegen_stage_count,
+    has_broadcast_join,
+    pushed_filters,
+    read_schema_columns,
+    shuffle_count,
+)
+from pydala_spark.queries import QUERIES
+
+
+def test_q06_filter_pushdown_and_pruning(spark, sf_dir):
+    df = QUERIES["q06_revenue_change"](spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    (cols,) = read_schema_columns(df)
+    # only the 4 needed columns reach the scan
+    assert set(cols) == {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}
+
+
+def test_q03_broadcasts_dimension(spark, sf_dir):
+    df = QUERIES["q03_shipping_priority"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    pushed = " ".join(pushed_filters(df))
+    assert "c_mktsegment" in pushed  # dimension filter reached its scan
+
+
+def test_q01_single_shuffle(spark, sf_dir):
+    df = QUERIES["q01_pricing_summary"](spark, sf_dir)
+    assert shuffle_count(df) == 1  # partial agg -> one exchange -> final agg
+
+
+def test_hot_paths_are_codegen(spark, sf_dir):
+    for name in ("q01_pricing_summary", "q_dedup_keep_last", "q_cosine_topk"):
+        assert codegen_stage_count(QUERIES[name](spark, sf_dir)) >= 2, name
+
+
+def test_dataset_load_prunes_partitions(spark, tmp_path):
+    from pydala_spark import Dataset, Writer
+
+    out = str(tmp_path / "ds")
+    df = spark.range(100).withColumn("part", F.col("id") % 4)
+    Writer(spark, out, partition_by=["part"]).write(df)
+    pruned = Dataset(spark, out).load().where("part = 2")
+    files = {
+        r["f"].rsplit("/", 2)[-2]
+        for r in pruned.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    assert files == {"part=2"}
