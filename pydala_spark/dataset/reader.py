@@ -261,6 +261,21 @@ class Dataset:
                 total += os.path.getsize(local)
         return total
 
+    def cache(self) -> "Dataset":
+        """Persist the loaded DataFrame in executor memory — the Spark
+        analog of the reference's remote->local cache mirror (SURVEY §2.1
+        S8, src/pydala/dataset/reader.py:84-116): cluster-local storage of
+        remote data, managed by the engine instead of an rsync layer."""
+        self.load().cache()
+        return self
+
+    def refresh(self) -> "Dataset":
+        """Invalidate cached file listings/metadata for the dataset path
+        (reference invalidate_cache, SURVEY §2.10 M12)."""
+        self.spark.catalog.refreshByPath(self.path)
+        self._df = None
+        return self
+
     def _dataset_has_files(self) -> bool:
         """Cheap existence probe for local paths (True for remote URIs —
         let the scan surface errors)."""

@@ -276,7 +276,11 @@ class Writer:
             df = df.withColumn("bucket", bucket_column(datetime_column, time_bucket))
             partition_cols = ["bucket"] + partition_cols
 
-        writer = df.write.mode(spark_mode).option("compression", self.compression)
+        compression = self.compression
+        if self.format != "parquet" and compression == "zstd":
+            # zstd is parquet-native; the hadoop text codecs don't ship it
+            compression = "none"
+        writer = df.write.mode(spark_mode).option("compression", compression)
         if self.max_records_per_file:
             writer = writer.option("maxRecordsPerFile", str(self.max_records_per_file))
         if partition_cols:

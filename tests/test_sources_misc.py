@@ -1,0 +1,107 @@
+import logging
+import os
+
+import pyarrow as pa
+import pytest
+from pyspark.sql import Row
+
+from pydala_spark import Dataset, Writer
+from pydala_spark.sources import read
+from pydala_spark.utils import logged
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "csv_ds")
+    df = spark.createDataFrame([Row(id=1, name="a"), Row(id=2, name="b")])
+    Writer(spark, out, format="csv").write(df)
+    back = Dataset(spark, out, format="csv").load()
+    assert {(r["id"], r["name"]) for r in back.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_csv_read_with_pinned_schema(spark, tmp_path):
+    p = tmp_path / "f.csv"
+    p.write_text("id,name\n1,a\n2,b\n")
+    ds = Dataset(spark, str(p), format="csv", schema={"id": "int64", "name": "string"})
+    df = ds.load()
+    assert dict(df.dtypes) == {"id": "bigint", "name": "string"}
+    assert df.count() == 2
+
+
+def test_json_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "json_ds")
+    df = spark.createDataFrame([Row(id=1, v=[1, 2])])
+    Writer(spark, out, format="json").write(df)
+    assert Dataset(spark, out, format="json").count() == 1
+
+
+def test_feather_bridge(spark, tmp_path):
+    import pyarrow.feather as pf
+
+    p = str(tmp_path / "t.feather")
+    pf.write_feather(pa.table({"a": [1, 2, 3]}), p)
+    df = read(spark, p, format="feather")
+    assert df.count() == 3
+
+
+def test_writer_coercion_inputs(spark, tmp_path):
+    import pandas as pd
+
+    out1 = str(tmp_path / "from_arrow")
+    Writer(spark, out1).write(pa.table({"a": [1, 2]}))
+    assert Dataset(spark, out1).count() == 2
+
+    out2 = str(tmp_path / "from_pandas")
+    Writer(spark, out2).write(pd.DataFrame({"a": [1.0, 2.0, 3.0]}))
+    assert Dataset(spark, out2).count() == 3
+
+    out3 = str(tmp_path / "from_path")
+    Writer(spark, out3).write(out1)  # path string -> Dataset load
+    assert Dataset(spark, out3).count() == 2
+
+
+def test_compression_honored(spark, tmp_path):
+    from pydala_spark.schema import infer_compression
+
+    out = tmp_path / "zstd_ds"
+    Writer(spark, str(out), compression="snappy").write(
+        spark.createDataFrame([Row(a=1)])
+    )
+    files = [str(f) for f in out.rglob("*.parquet")]
+    assert infer_compression(files[0]) == "snappy"
+
+
+def test_max_records_per_file(spark, tmp_path):
+    out = tmp_path / "split_ds"
+    Writer(spark, str(out), max_records_per_file=10).write(
+        spark.createDataFrame([Row(a=i) for i in range(35)]).coalesce(1)
+    )
+    files = list(out.rglob("*.parquet"))
+    assert len(files) >= 4  # 35 rows / 10-per-file
+
+
+def test_cache_and_refresh(spark, sf_dir):
+    ds = Dataset(spark, os.path.join(sf_dir, "region.parquet"))
+    ds.cache()
+    assert ds.load().storageLevel.useMemory
+    ds.load().unpersist()
+    ds.refresh()
+    assert ds.count() == 5
+
+
+def test_logged_decorator(caplog):
+    @logged
+    def add(a, b):
+        return a + b
+
+    with caplog.at_level(logging.INFO, logger="pydala_spark"):
+        assert add(1, 2) == 3
+    assert any("add finished" in r.message for r in caplog.records)
+
+    @logged(with_args=True)
+    def boom():
+        raise RuntimeError("x")
+
+    with caplog.at_level(logging.INFO, logger="pydala_spark"):
+        with pytest.raises(RuntimeError):
+            boom()
+    assert any("boom" in r.message and "failed" in r.message for r in caplog.records)
