@@ -8,7 +8,9 @@ from pydala_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
+from pydala_spark.operators.ann import ivf_topk, kmeans_centroids
 from pydala_spark.operators.similarity import cosine_similarity, cosine_topk
+from pydala_spark.operators.skew import salted_agg, salted_broadcast_left_join
 from pydala_spark.operators.textstats import (
     fingerprint,
     quality_stats,
@@ -27,6 +29,10 @@ __all__ = [
     "simhash",
     "cosine_similarity",
     "cosine_topk",
+    "ivf_topk",
+    "kmeans_centroids",
+    "salted_agg",
+    "salted_broadcast_left_join",
     "fingerprint",
     "quality_stats",
     "token_count",

@@ -1,0 +1,118 @@
+"""IVF-style approximate nearest neighbor search.
+
+The scale path for similarity search when BOTH sides are large (the
+brute-force broadcast in operators/similarity.py is optimal for small
+probe sets): build an inverted file index — a small codebook of k-means
+centroids — assign every corpus vector to its nearest centroid (one
+Arrow-batched numpy matmul pass), and search only the probe's
+``n_probe_centroids`` nearest cells.
+
+Design for 100 TB:
+
+- the codebook is learned driver-side from a bounded sample (classic IVF
+  — centroid quality needs only a representative sample, not the corpus);
+- assignment is a single scan with a vectorized pandas UDF (numpy
+  matmul per Arrow batch — no per-row Python);
+- the search is an equi-join on centroid id (shuffle keyed by cell),
+  i.e. the same bucket-join shape as LSH, with tunable recall via
+  ``n_probe_centroids``;
+- everything is deterministic given ``seed``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pydala_spark.operators.similarity import cosine_similarity
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    sample_size: int = 10_000,
+    iterations: int = 8,
+    seed: int = 42,
+) -> np.ndarray:
+    """Spherical k-means codebook from a bounded corpus sample
+    (driver-side numpy; deterministic)."""
+    total = df.count()
+    fraction = min(1.0, sample_size / max(total, 1))
+    sample = (
+        df.select(vec_col).sample(fraction=fraction, seed=seed).toPandas()[vec_col]
+    )
+    x = np.array([np.asarray(v, dtype=np.float64) for v in sample])
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    centroids = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iterations):
+        assign = np.argmax(x @ centroids.T, axis=1)
+        for c in range(len(centroids)):
+            members = x[assign == c]
+            if len(members):
+                mean = members.mean(axis=0)
+                centroids[c] = mean / max(np.linalg.norm(mean), 1e-12)
+    return centroids
+
+
+def _assigner(centroids: np.ndarray, top: int):
+    """Vectorized centroid assignment UDF factory (numpy matmul per Arrow
+    batch; centroids travel in the closure — broadcast-sized)."""
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def assign(vectors: pd.Series) -> pd.Series:
+        x = np.array([np.asarray(v, dtype=np.float64) for v in vectors])
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        sims = x @ centroids.T
+        order = np.argsort(-sims, axis=1)[:, :top]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    return assign
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe_centroids: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via IVF cells.
+
+    Returns (probe_id, neighbor_id, rnk, sim). Recall rises with
+    ``n_probe_centroids`` (== n_centroids gives exact brute force).
+    """
+    centroids = kmeans_centroids(
+        corpus, vec_col, n_centroids=n_centroids, seed=seed
+    )
+    c_assign = _assigner(centroids, 1)
+    p_assign = _assigner(centroids, n_probe_centroids)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vec"),
+        F.element_at(c_assign(F.col(vec_col)), 1).alias("cell"),
+    )
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("probe_vec"),
+        F.explode(p_assign(F.col(vec_col))).alias("cell"),
+    )
+    scored = (
+        c.join(p, "cell")
+        .where(F.col("neighbor_id") != F.col("probe_id"))
+        .withColumn("sim", cosine_similarity(F.col("probe_vec"), F.col("vec")))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("probe_id", "neighbor_id", "rnk", "sim")
+    )

@@ -42,18 +42,6 @@ FEATURE_SCHEMA = (
 )
 
 
-def _fake_decode(payload: bytes, dim: int = 8) -> list[float]:
-    """Deterministic stand-in for a real decoder: bytes -> fixed-size
-    feature vector derived from byte statistics."""
-    if not payload:
-        return [0.0] * dim
-    step = max(1, len(payload) // dim)
-    return [
-        float(sum(payload[i * step : (i + 1) * step]) % 997) / 997.0
-        for i in range(dim)
-    ]
-
-
 def extract_features(
     df: DataFrame,
     content_col: str = "content",
@@ -67,8 +55,19 @@ def extract_features(
     identical for a real decoder.
     """
 
+    # worker closure: self-contained (stdlib-only refs) so cloudpickle
+    # ships it by value — workers never import this package
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
+
+        def fake_decode(payload: bytes, dim: int) -> list[float]:
+            if not payload:
+                return [0.0] * dim
+            step = max(1, len(payload) // dim)
+            return [
+                float(sum(payload[i * step : (i + 1) * step]) % 997) / 997.0
+                for i in range(dim)
+            ]
 
         for pdf in batches:
             payloads = pdf[content_col]
@@ -86,7 +85,7 @@ def extract_features(
                         hashlib.sha1(p or b"").hexdigest() for p in payloads
                     ],
                     "feature": [
-                        _fake_decode(p or b"", feature_dim) for p in payloads
+                        fake_decode(p or b"", feature_dim) for p in payloads
                     ],
                 }
             )

@@ -1,0 +1,84 @@
+"""Skew-handling primitives for 100 TB workloads.
+
+AQE's skew-join splitting (enabled by session default) covers most join
+skew at runtime; these helpers cover the cases AQE can't re-plan:
+
+- :func:`salted_agg` — two-phase aggregation for heavily skewed group
+  keys: a random salt spreads one hot key over N partial groups, then a
+  second (tiny) aggregation merges the partials. Supported aggregate
+  specs are the algebraically mergeable ones (count/sum/min/max).
+- :func:`salted_broadcast_left_join` — replicate-right / salt-left
+  pattern for a shuffle join whose LEFT side has a hot key but whose
+  right side is too big to broadcast whole: the right side is exploded
+  ``salt_buckets`` times (bounded blow-up), the left salted randomly, so
+  one hot key lands on ``salt_buckets`` reducers instead of one.
+
+Salting uses ``rand`` seeded deterministically per call site when
+``seed`` is given, keeping tests reproducible; results are
+salt-invariant by construction.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_MERGE = {
+    "count": F.sum,  # partial counts merge by summing
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_buckets: int = 16,
+    seed: int | None = None,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation.
+
+    ``aggs`` maps output column -> (function, input column), function in
+    {count, sum, min, max}; e.g. ``{"n": ("count", "*"), "total":
+    ("sum", "v")}``.
+    """
+    for name, (fn, _col) in aggs.items():
+        if fn not in _MERGE:
+            raise ValueError(
+                f"{name}: {fn!r} is not algebraically mergeable; "
+                f"supported: {sorted(_MERGE)}"
+            )
+    salt = (F.rand(seed) if seed is not None else F.rand()) * salt_buckets
+    salted = df.withColumn("__salt", salt.cast("int"))
+    partial_cols = []
+    for name, (fn, col) in aggs.items():
+        src = F.count("*") if fn == "count" else getattr(F, fn)(col)
+        partial_cols.append(src.alias(f"__p_{name}"))
+    partial = salted.groupBy(*keys, "__salt").agg(*partial_cols)
+    final_cols = [
+        _MERGE[fn](f"__p_{name}").alias(name) for name, (fn, _c) in aggs.items()
+    ]
+    return partial.groupBy(*keys).agg(*final_cols)
+
+
+def salted_broadcast_left_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    salt_buckets: int = 8,
+    seed: int | None = None,
+) -> DataFrame:
+    """Inner equi-join resilient to a hot key on ``left``: right rows are
+    replicated once per salt bucket (explode of a small int array), left
+    rows get a random bucket, and the join key becomes (keys..., bucket).
+    Total right-side blow-up = ``salt_buckets``x — keep it small."""
+    on = list(on)
+    buckets = F.array(*[F.lit(i) for i in range(salt_buckets)])
+    r = right.withColumn("__salt", F.explode(buckets))
+    salt = (F.rand(seed) if seed is not None else F.rand()) * salt_buckets
+    l = left.withColumn("__salt", salt.cast("int"))
+    return l.join(r, on + ["__salt"], "inner").drop("__salt")

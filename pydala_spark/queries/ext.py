@@ -356,11 +356,52 @@ GROUP BY a.label
 
 
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (no SQL oracle: hyperplane
-    derivation is library-internal; driver records rows-only)."""
+    """LSH-bucketed approximate top-k. Oracle-checkable because the
+    hyperplanes are deterministic (md5-derived) and reproduced as
+    literals in the SQL."""
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.where(F.col("vec_id") < 10)
     out = lsh_topk(emb, probes, dim=64, k=5, bits=6)
+    return out.select("probe_id", "neighbor_id", "rnk", F.round("sim", 4).alias("sim_r"))
+
+
+def _lsh_topk_sql(dim: int = 64, bits: int = 6) -> str:
+    from pydala_spark.operators.similarity import _hyperplane
+
+    bucket_terms = []
+    for p in range(bits):
+        plane = "[" + ", ".join(str(v) for v in _hyperplane(p, dim)) + "]"
+        bucket_terms.append(
+            f"CASE WHEN list_dot_product(e, {plane}) >= 0 THEN {2**p} ELSE 0 END"
+        )
+    bucket = " + ".join(bucket_terms)
+    return f"""
+WITH b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+bk AS (SELECT vec_id, e, {bucket} AS bucket FROM b),
+p AS (SELECT vec_id AS probe_id, e AS pe, bucket FROM bk WHERE vec_id < 10),
+s AS (
+  SELECT probe_id, bk.vec_id AS neighbor_id,
+         list_cosine_similarity(pe, bk.e) AS sim
+  FROM bk JOIN p USING (bucket) WHERE bk.vec_id <> probe_id
+)
+SELECT probe_id, neighbor_id, rnk, ROUND(sim, 4) AS sim_r
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                   ORDER BY sim DESC, neighbor_id) AS rnk
+      FROM s)
+WHERE rnk <= 5
+"""
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means cell) approximate top-k — the large-probe-set scale
+    path (no oracle: codebook is learned, rows-only check)."""
+    from pydala_spark.operators.ann import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 10)
+    out = ivf_topk(emb, probes, k=5, n_centroids=16, n_probe_centroids=4)
     return out.select("probe_id", "neighbor_id", "rnk", F.round("sim", 4).alias("sim_r"))
 
 
@@ -387,6 +428,7 @@ EXT_QUERIES = {
     "q_cosine_topk": q_cosine_topk,
     "q_embedding_neardup": q_embedding_neardup,
     "q_lsh_topk": q_lsh_topk,
+    "q_ivf_topk": q_ivf_topk,
     "q_approx_distinct": q_approx_distinct,
 }
 
@@ -402,5 +444,7 @@ EXT_ORACLE = {
     "q_token_freq": _Q_TOKEN_FREQ_SQL,
     "q_cosine_topk": _Q_COSINE_TOPK_SQL,
     "q_embedding_neardup": _Q_NEARDUP_SQL,
-    # q_lsh_topk, q_approx_distinct: intentionally no oracle (rows-only)
+    "q_lsh_topk": _lsh_topk_sql(64, 6),
+    # q_approx_distinct: intentionally no oracle (HLL estimators differ
+    # across engines by design; rows-only)
 }

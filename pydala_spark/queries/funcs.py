@@ -440,6 +440,28 @@ GROUP BY c_mktsegment
 """
 
 
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont``, verified bit-identical)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        F.expr("percentile(l_extendedprice, 0.25)").alias("p25_price"),
+        F.expr("percentile(l_extendedprice, 0.75)").alias("p75_price"),
+        F.count("*").alias("n"),
+    )
+
+
+_Q_QUANTILES_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS median_qty,
+       quantile_cont(l_extendedprice, 0.25) AS p25_price,
+       quantile_cont(l_extendedprice, 0.75) AS p75_price,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CASE / COALESCE / NULLIF family."""
     orders = load_table(spark, sf_dir, "orders")
@@ -482,6 +504,7 @@ FUNC_QUERIES = {
     "q_cube_revenue": q_cube_revenue,
     "q_in_subquery": q_in_subquery,
     "q_scalar_subquery": q_scalar_subquery,
+    "q_quantiles": q_quantiles,
     "q_conditional_functions": q_conditional_functions,
 }
 
@@ -501,5 +524,6 @@ FUNC_ORACLE = {
     "q_cube_revenue": _Q_CUBE_SQL,
     "q_in_subquery": _Q_IN_SUBQUERY_SQL,
     "q_scalar_subquery": _Q_SCALAR_SUBQUERY_SQL,
+    "q_quantiles": _Q_QUANTILES_SQL,
     "q_conditional_functions": _Q_CONDITIONAL_SQL,
 }

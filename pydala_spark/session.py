@@ -18,6 +18,8 @@ real cluster; tests/bench pass an explicit small value for local mode.
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -40,6 +42,35 @@ RUNTIME_DEFAULTS: dict[str, str] = {
 }
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``pydala_spark`` importable on Python workers via addPyFile.
+
+    Worker processes resolve imports from their own sys.path, not the
+    driver's — a driver running from outside the repo would otherwise
+    break any UDF that pickles a reference into this package. One small
+    zip per driver process, added once per session.
+    """
+    if getattr(spark, "_pydala_spark_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"pydala_spark_pyfiles_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+        spark._pydala_spark_shipped = True
+    except Exception:
+        pass  # e.g. Spark Connect sessions without an sc; imports may still work
+
+
 def configure_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable defaults to an existing session.
 
@@ -51,6 +82,7 @@ def configure_session(spark: SparkSession) -> SparkSession:
             spark.conf.set(key, value)
         except Exception:
             pass
+    _ship_package(spark)
     return spark
 
 

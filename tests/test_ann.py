@@ -1,0 +1,47 @@
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pydala_spark.operators.ann import ivf_topk, kmeans_centroids
+from pydala_spark.operators.similarity import cosine_topk
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """3 well-separated clusters in 8d."""
+    rng = np.random.default_rng(0)
+    centers = np.eye(3, 8) * 10
+    rows = []
+    for i in range(300):
+        c = i % 3
+        v = centers[c] + rng.normal(0, 0.5, 8)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_kmeans_centroids_deterministic(clustered):
+    c1 = kmeans_centroids(clustered, n_centroids=3, seed=11)
+    c2 = kmeans_centroids(clustered, n_centroids=3, seed=11)
+    assert np.allclose(c1, c2)
+    assert c1.shape == (3, 8)
+    # unit norm (spherical k-means)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+def test_ivf_recall_on_separated_clusters(clustered):
+    probes = clustered.where(F.col("vec_id") < 6)
+    exact = cosine_topk(clustered, probes, k=5)
+    approx = ivf_topk(clustered, probes, k=5, n_centroids=3, n_probe_centroids=1)
+    exact_set = {(r["probe_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx_set = {(r["probe_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.9  # clean clusters: nearest cell has the neighbors
+
+
+def test_ivf_full_probe_equals_bruteforce(clustered):
+    probes = clustered.where(F.col("vec_id") < 3)
+    exact = cosine_topk(clustered, probes, k=3)
+    approx = ivf_topk(clustered, probes, k=3, n_centroids=4, n_probe_centroids=4)
+    assert {(r["probe_id"], r["neighbor_id"], r["rnk"]) for r in exact.collect()} == {
+        (r["probe_id"], r["neighbor_id"], r["rnk"]) for r in approx.collect()
+    }

@@ -1,0 +1,96 @@
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from pydala_spark.operators.skew import salted_agg, salted_broadcast_left_join
+
+TS = dt.datetime
+
+
+def test_salted_agg_matches_plain(spark):
+    # heavily skewed: one key holds 90% of rows
+    df = spark.createDataFrame(
+        [Row(k="hot", v=float(i)) for i in range(900)]
+        + [Row(k=f"cold{i}", v=float(i)) for i in range(100)]
+    )
+    out = {
+        r["k"]: (r["n"], r["total"], r["mx"])
+        for r in salted_agg(
+            df, ["k"],
+            {"n": ("count", "*"), "total": ("sum", "v"), "mx": ("max", "v")},
+            salt_buckets=8, seed=7,
+        ).collect()
+    }
+    plain = {
+        r["k"]: (r["n"], r["total"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("total"), F.max("v").alias("mx"))
+        .collect()
+    }
+    assert out == plain
+    assert out["hot"][0] == 900
+
+
+def test_salted_agg_rejects_nonmergeable(spark):
+    df = spark.createDataFrame([Row(k="a", v=1.0)])
+    with pytest.raises(ValueError, match="mergeable"):
+        salted_agg(df, ["k"], {"a": ("avg", "v")})
+
+
+def test_salted_join_matches_plain(spark):
+    left = spark.createDataFrame(
+        [Row(k=1, lv=i) for i in range(500)] + [Row(k=2, lv=-1)]
+    )
+    right = spark.createDataFrame([Row(k=1, rv="x"), Row(k=2, rv="y")])
+    salted = salted_broadcast_left_join(left, right, ["k"], salt_buckets=4, seed=3)
+    assert salted.count() == left.count()
+    plain = left.join(right, "k").count()
+    assert salted.count() == plain
+    assert set(salted.columns) == {"k", "lv", "rv"}
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    from pydala_spark.streaming.stateful import running_user_totals
+
+    src = str(tmp_path / "in")
+    schema = "user_id long, value double"
+    spark.createDataFrame(
+        [(1, 10.0), (1, 5.0), (2, 1.0)], schema
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out_dir = str(tmp_path / "out")
+
+    def run_once(epoch_tag: str) -> None:
+        def sink(batch_df, epoch_id: int) -> None:
+            batch_df.withColumn("tag", F.lit(epoch_tag)).write.mode(
+                "append"
+            ).parquet(out_dir)
+
+        q = (
+            running_user_totals(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once("b1")
+    first = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.read.parquet(out_dir).where("tag = 'b1'").collect()
+    }
+    assert first == {1: (2, 15.0), 2: (1, 1.0)}
+
+    # second run resumes state from the checkpoint and accumulates
+    spark.createDataFrame([(1, 1.0), (3, 7.0)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once("b2")
+    second = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.read.parquet(out_dir).where("tag = 'b2'").collect()
+    }
+    assert second == {1: (3, 16.0), 3: (1, 7.0)}  # user 1 state carried over

@@ -64,10 +64,11 @@ def test_compression_honored(spark, tmp_path):
 
     out = tmp_path / "zstd_ds"
     Writer(spark, str(out), compression="snappy").write(
-        spark.createDataFrame([Row(a=1)])
+        spark.createDataFrame([Row(a=1)]).coalesce(1)
     )
     files = [str(f) for f in out.rglob("*.parquet")]
-    assert infer_compression(files[0]) == "snappy"
+    codecs = {infer_compression(f) for f in files} - {None}  # skip empty parts
+    assert codecs == {"snappy"}
 
 
 def test_max_records_per_file(spark, tmp_path):
