@@ -59,9 +59,16 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 
 def shuffle_count(df: DataFrame) -> int:
-    """Number of exchanges in the physical plan (lower is better; AQE may
-    remove some at runtime)."""
-    return explain_str(df).count("Exchange ")
+    """Number of SHUFFLE exchanges in the physical plan (broadcast
+    exchanges excluded — they move only the small side). AQE may still
+    remove some at runtime."""
+    text = explain_str(df)
+    # formatted mode: node headers like "(5) Exchange" vs "(7) BroadcastExchange"
+    n = len(re.findall(r"\(\d+\) Exchange\b", text))
+    if n == 0:
+        # simple/tree mode fallback
+        n = len(re.findall(r"(?<!Broadcast)Exchange (?:hash|range|Single|RoundRobin)", text))
+    return n
 
 
 def codegen_stage_count(df: DataFrame, executed: bool = True) -> int:

@@ -440,6 +440,79 @@ GROUP BY c_mktsegment
 """
 
 
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map type family: build per-row maps, extract keys/values/size
+    (outputs scalars — raw map columns have engine-specific ordering)."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 100)
+    m = F.create_map(
+        F.lit("qty"), F.col("l_quantity"), F.lit("price"), F.col("l_extendedprice")
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.element_at(m, "qty").alias("qty_val"),
+        F.size(m).alias("m_size"),
+        F.array_join(F.map_keys(m), ",").alias("m_keys"),
+    )
+
+
+_Q_MAP_FUNCS_SQL = """
+SELECT l_orderkey, l_linenumber,
+  map_extract(map(['qty','price'], [l_quantity, l_extendedprice]), 'qty')[1] AS qty_val,
+  CAST(cardinality(map(['qty','price'], [l_quantity, l_extendedprice])) AS INT) AS m_size,
+  array_to_string(map_keys(map(['qty','price'], [l_quantity, l_extendedprice])), ',') AS m_keys
+FROM lineitem WHERE l_orderkey < 100
+"""
+
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide -> long) + re-aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_discount"],
+        "metric",
+        "val",
+    )
+    return long.groupBy("l_returnflag", "metric").agg(
+        F.sum(F.col("val").cast("decimal(25,6)")).cast("double").alias("total"),
+        F.count("*").alias("n"),
+    )
+
+
+_Q_UNPIVOT_SQL = """
+SELECT l_returnflag, metric,
+       CAST(SUM(CAST(val AS DECIMAL(25,6))) AS DOUBLE) AS total, COUNT(*) AS n
+FROM (
+  SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_discount' AS metric, l_discount AS val FROM lineitem
+) GROUP BY l_returnflag, metric
+"""
+
+
+def q_regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex family: extract + match-filter + count occurrences."""
+    part = load_table(spark, sf_dir, "part")
+    first_word = F.regexp_extract("p_name", r"^([a-z]+)", 1)
+    return (
+        part.where(F.col("p_name").rlike(r"^[a-z]+ [a-z]+$"))
+        .groupBy(first_word.alias("first_word"))
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("p_brand").alias("n_brands"),
+        )
+    )
+
+
+_Q_REGEXP_SQL = """
+SELECT regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+       COUNT(*) AS n, COUNT(DISTINCT p_brand) AS n_brands
+FROM part WHERE regexp_matches(p_name, '^[a-z]+ [a-z]+$')
+GROUP BY 1
+"""
+
+
 def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated quantiles (Spark ``percentile`` == DuckDB
     ``quantile_cont``, verified bit-identical)."""
@@ -506,6 +579,9 @@ FUNC_QUERIES = {
     "q_scalar_subquery": q_scalar_subquery,
     "q_quantiles": q_quantiles,
     "q_conditional_functions": q_conditional_functions,
+    "q_map_functions": q_map_functions,
+    "q_unpivot": q_unpivot,
+    "q_regexp_functions": q_regexp_functions,
 }
 
 FUNC_ORACLE = {
@@ -526,4 +602,7 @@ FUNC_ORACLE = {
     "q_scalar_subquery": _Q_SCALAR_SUBQUERY_SQL,
     "q_quantiles": _Q_QUANTILES_SQL,
     "q_conditional_functions": _Q_CONDITIONAL_SQL,
+    "q_map_functions": _Q_MAP_FUNCS_SQL,
+    "q_unpivot": _Q_UNPIVOT_SQL,
+    "q_regexp_functions": _Q_REGEXP_SQL,
 }
