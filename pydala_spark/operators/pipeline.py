@@ -1,0 +1,49 @@
+"""Composable corpus-preparation pipeline: the end-to-end shape an
+LLM training-data job runs over a document table.
+
+clean/stats -> exact dedup -> near-dup removal (MinHash-LSH) -> quality
+filter, all as one lazy DataFrame program (one action executes the whole
+pipeline; Catalyst sees every stage).
+
+Scale: stages are the shuffle-analyzed operators from operators/dedup.py
+(see SCALE.md); the near-dup removal is greedy — of each candidate pair
+the higher id drops. Greedy pair-drop approximates connected-component
+dedup without an iterative algorithm; corpora with long duplicate chains
+can iterate the near-dup stage (each pass is one LSH round).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pydala_spark.dataset.reader import apply_distinct
+from pydala_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+from pydala_spark.operators.textstats import fingerprint, quality_stats
+
+
+def prep_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: int = 2,
+    near_dup: bool = True,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Return the cleaned corpus: quality columns attached, exact and
+    near duplicates removed (keeping the lowest id), low-quality docs
+    dropped."""
+    # 1. quality features (pure column algebra)
+    out = quality_stats(df, text_col)
+    # 2. exact dedup: keep the first (lowest-id) doc per fingerprint
+    out = out.withColumn("fp", fingerprint(text_col))
+    out = apply_distinct(out, subset=["fp"], keep="first", presort=[(id_col, True)])
+    # 3. near-dup removal: greedy drop of the higher id of each LSH pair
+    if near_dup:
+        sigs = minhash_signatures(out, id_col, text_col, n_hashes=n_hashes)
+        pairs = lsh_candidate_pairs(sigs, id_col, n_bands=n_bands)
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        out = out.join(losers, id_col, "left_anti")
+    # 4. quality gate
+    return out.where(F.col("q_score") >= min_quality)

@@ -1,0 +1,90 @@
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pydala_spark.operators.pipeline import prep_documents
+from pydala_spark.sources import load_table
+
+
+def test_compat_reader_workflow(spark, sf_dir, tmp_path):
+    from pydala_spark.compat import Manager, Reader, Writer
+
+    r = Reader(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        name="li_compat",
+        sort_by="l_orderkey",
+        ddb_memory_limit="1GB",  # engine-specific: accepted + ignored
+        caching=True,
+    )
+    df = r.load_dataset("li_compat")
+    assert df.count() > 1000
+    out = r.query("SELECT count(*) AS n FROM li_compat WHERE l_quantity > 40").first()
+    assert out["n"] > 0
+    tbl = r.load_pa_table()
+    assert tbl.num_rows == df.count()
+
+    w = Writer(str(tmp_path / "compat_ds"), partitioning=["l_returnflag"], mode="append")
+    w.write_dataset(df.limit(100))
+    back = Reader(str(tmp_path / "compat_ds"))
+    assert back.count() == 100
+    # delta append of the same rows: nothing new
+    w.write_dataset(df.limit(100), mode="delta")
+    assert Reader(str(tmp_path / "compat_ds")).load(reload=True).count() == 100
+
+    with pytest.raises(TypeError, match="unknown arguments"):
+        Reader(str(tmp_path / "compat_ds"), bogus_option=1)
+
+    lake = Manager(str(tmp_path))
+    lake.add_dataset("compat_ds")
+    assert lake.sql("SELECT count(*) AS n FROM compat_ds").first()["n"] == 100
+
+
+def test_compat_time_bucket_batch_size(spark, tmp_path):
+    import datetime as dt
+
+    from pydala_spark.compat import Writer
+
+    df = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1 + i // 4, i % 4), float(i)) for i in range(12)],
+        "event_id long, ts timestamp, v double",
+    )
+    w = Writer(str(tmp_path / "tb"))
+    w.write_dataset(df, batch_size="1d", datetime_column="ts")
+    buckets = {d for d in os.listdir(tmp_path / "tb") if d.startswith("bucket=")}
+    assert len(buckets) == 3
+
+
+def test_prep_documents_pipeline(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    # inject exact dups (new ids) and near dups (one word changed)
+    exact_dups = docs.limit(20).withColumn("doc_id", F.col("doc_id") + 100000)
+    near_dups = (
+        docs.limit(10)
+        .withColumn("doc_id", F.col("doc_id") + 200000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" zzz")))
+    )
+    corpus = docs.unionByName(exact_dups).unionByName(near_dups)
+
+    cleaned = prep_documents(corpus, min_quality=0, near_dup=True)
+    ids = {r["doc_id"] for r in cleaned.select("doc_id").collect()}
+    # all injected exact dups removed (keep-first kept the original id)
+    assert not any(i >= 100000 and i < 200000 for i in ids)
+    # near dups mostly removed by LSH (word-salad docs: allow a miss)
+    near_remaining = sum(1 for i in ids if i >= 200000)
+    assert near_remaining <= 3
+    # originals retained, minus the corpus's own natural near-dup pairs
+    baseline_ids = {
+        r["doc_id"]
+        for r in prep_documents(docs, min_quality=0, near_dup=True)
+        .select("doc_id")
+        .collect()
+    }
+    assert {i for i in ids if i < 100000} == baseline_ids
+    assert len(baseline_ids) >= n_docs - 50
+
+    # quality gate actually filters
+    strict = prep_documents(corpus, min_quality=3, near_dup=False)
+    assert 0 < strict.count() < corpus.count()
+    assert "q_score" in strict.columns
