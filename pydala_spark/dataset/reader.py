@@ -227,6 +227,15 @@ class Dataset:
     query = sql
     execute = sql
 
+    create_temp_table = to_view  # reference create_temp_table (reader.py:356)
+
+    def create_table(self, name: str | None = None, mode: str = "overwrite") -> str:
+        """Persistent named table in the session catalog (reference
+        ``create_table``, reader.py:362 — CREATE OR REPLACE TABLE)."""
+        name = name or self.name
+        self.load().write.mode(mode).saveAsTable(name)
+        return name
+
     # -- materializers (utils/table.py:8-55) ----------------------------------
 
     def to_pandas(self):
@@ -250,16 +259,33 @@ class Dataset:
     def files(self) -> list[str]:
         return self.load().inputFiles()
 
-    def disk_usage(self) -> int:
-        """Total bytes of the dataset's files (reference reader.py:556-581)."""
+    def disk_usage(self, unit: str | None = None):
+        """Total bytes of the dataset's files (reference reader.py:556-581);
+        pass a unit ('KB'/'MB'/'GB'/'TB') for a converted float."""
         import os
+
+        from pydala_spark.utils.sizes import convert_size_unit
 
         total = 0
         for f in self.files():
             local = f.removeprefix("file:")
             if os.path.exists(local):
                 total += os.path.getsize(local)
-        return total
+        return convert_size_unit(total, unit) if unit else total
+
+    get_disk_usage = disk_usage
+
+    def buffer_size(self, unit: str | None = None):
+        """Executor memory held by this session's cached data (reference
+        ``buffer_size``/``get_buffer_size``, reader.py:557-583 — there:
+        bytes of the in-process table copies; here: cached RDD storage)."""
+        from pydala_spark.utils.sizes import convert_size_unit
+
+        jsc = self.spark.sparkContext._jsc.sc()
+        total = sum(info.memSize() for info in jsc.getRDDStorageInfo())
+        return convert_size_unit(total, unit) if unit else total
+
+    get_buffer_size = buffer_size
 
     def cache(self) -> "Dataset":
         """Persist the loaded DataFrame in executor memory — the Spark

@@ -94,7 +94,7 @@ class TimeFly:
                 dirnames[:] = []
                 continue
             for fn in filenames:
-                if fn.lower().endswith(DATA_EXTS):
+                if fn.lower().endswith(DATA_EXTS) and not fn.startswith(("_", ".")):
                     found.append(os.path.join(dirpath, fn))
         return found
 
@@ -112,9 +112,39 @@ class TimeFly:
             self.write_config(config)
         return config
 
-    def create_current(self) -> None:
-        """Move root-level data files into ``current/``
-        (reference timefly.py:150-174)."""
+    def _current_datafiles(self) -> list[str]:
+        found = []
+        for dirpath, _dirs, files in os.walk(self.current_path):
+            for fn in files:
+                if fn.lower().endswith(DATA_EXTS) and not fn.startswith(("_", ".")):
+                    found.append(os.path.join(dirpath, fn))
+        return found
+
+    def _infer_current_properties(self) -> dict:
+        """Dataset properties inferred from current/ files — the
+        reference persists these in the snapshot config
+        (timefly.py:176-217: format, compression, partitioning, schema +
+        schema_unique)."""
+        from pydala_spark import schema as schema_mod
+
+        files = self._current_datafiles()
+        if not files:
+            return {}
+        rels = [os.path.relpath(f, self.current_path) for f in files]
+        props: dict = {
+            "format": schema_mod.infer_format(rels),
+            "partitioning": schema_mod.infer_partitioning(rels),
+        }
+        if props["format"] == "parquet":
+            props["compression"] = schema_mod.infer_compression(files[0])
+            unified, unique = schema_mod.unified_dataset_schema(self.current_path)
+            props["schema"] = schema_mod.schema_to_dict(unified)
+            props["schema_unique"] = unique
+        return props
+
+    def create_current(self, **properties) -> None:
+        """Move root-level data files into ``current/`` and record the
+        current metadata (reference timefly.py:150-217)."""
         os.makedirs(self.current_path, exist_ok=True)
         for src in self._datafiles_in_root():
             rel = os.path.relpath(src, self.base_path)
@@ -132,7 +162,23 @@ class TimeFly:
             if dirpath != self.base_path and not os.listdir(dirpath):
                 os.rmdir(dirpath)
         config = self.read_config() or self.new(save_config=False)
-        config.setdefault("current", {})["created"] = dt.datetime.utcnow().strftime(TS_FMT)
+        now = dt.datetime.utcnow().strftime(TS_FMT)
+        current = {"created": now, "comment": "initialized", "latest_update": now}
+        current.update(self._infer_current_properties())
+        current.update(properties)
+        config.setdefault("current", {}).update(current)
+        self.write_config(config)
+
+    def update_current(self, **properties) -> None:
+        """Merge properties + refreshed inference into the current
+        metadata (reference ``update_current``, timefly.py:219-237)."""
+        config = self.read_config()
+        if "current" not in config or not os.path.isdir(self.current_path):
+            self.create_current(**properties)
+            return
+        config["current"].update(self._infer_current_properties())
+        config["current"].update(properties)
+        config["current"]["latest_update"] = dt.datetime.utcnow().strftime(TS_FMT)
         self.write_config(config)
 
     # -- snapshots ------------------------------------------------------------------

@@ -221,6 +221,7 @@ class Writer:
         time_bucket: str | None = None,
         transform_func: Callable[[DataFrame], DataFrame] | None = None,
         transform_func_kwargs: dict | None = None,
+        skip_empty: bool = True,
     ) -> None:
         """Write ``data`` (DataFrame / arrow / pandas / path) to the dataset.
 
@@ -257,6 +258,12 @@ class Writer:
             spark_mode = "overwrite"
         elif mode == "delta" and exists:
             df = self._delta_diff(df, delta_subset, datetime_column, start_time, end_time)
+
+        if skip_empty and spark_mode == "append" and df.isEmpty():
+            # empty-write gate (reference checks rel.shape[0] before every
+            # write, SURVEY §2.6 A3) — keeps delta no-ops from littering
+            # the dataset with empty part files. isEmpty is a limit-1 probe.
+            return
 
         partition_cols = list(self.partition_by)
         if not partition_cols and exists and spark_mode == "append":

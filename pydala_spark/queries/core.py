@@ -21,12 +21,30 @@ from pydala_spark.sources import load_table
 
 def _dsum(expr: Column, scale: int = 6) -> Column:
     """Exact cross-engine double sum: per-row decimal cast -> exact sum ->
-    one cast back to double (see queries/__init__ docstring)."""
+    one cast back to double (see queries/__init__ docstring).
+
+    Only safe while the sum's UNSCALED value stays <= 2^53: beyond that,
+    decimal->double suffers double rounding (int->double then /10^scale)
+    in one engine vs a single correctly-rounded conversion in the other —
+    observed 1-ulp mismatches at sf0.1 with scale 8. Use :func:`_dsum_str`
+    for aggregates that can exceed ~15 significant digits.
+    """
     return F.sum(expr.cast(f"decimal(25,{scale})")).cast("double")
 
 
 def _sql_dsum(expr: str, scale: int = 6) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(25,{scale}))) AS DOUBLE)"
+
+
+def _dsum_str(expr: Column, scale: int = 6) -> Column:
+    """Exact sum emitted as the decimal's canonical string — immune to
+    the double-rounding hazard at any magnitude (formats verified
+    identical across engines, trailing zeros included)."""
+    return F.sum(expr.cast(f"decimal(25,{scale})")).cast("string")
+
+
+def _sql_dsum_str(expr: str, scale: int = 6) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(25,{scale}))) AS VARCHAR)"
 
 
 _REV = "l_extendedprice * (1 - l_discount)"
@@ -52,7 +70,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(qty).cast("double").alias("sum_qty"),
             F.sum(price).cast("double").alias("sum_base_price"),
             _dsum(_rev()).alias("sum_disc_price"),
-            _dsum(_rev() * (F.lit(1) + F.col("l_tax")), 8).alias("sum_charge"),
+            _dsum_str(_rev() * (F.lit(1) + F.col("l_tax")), 8).alias("sum_charge"),
             (F.sum(qty).cast("double") / n).alias("avg_qty"),
             (F.sum(price).cast("double") / n).alias("avg_price"),
             (F.sum(F.col("l_discount").cast("decimal(25,6)")).cast("double") / n).alias(
@@ -68,7 +86,7 @@ SELECT l_returnflag, l_linestatus,
   CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sum_qty,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) AS sum_base_price,
   {_sql_dsum(_REV)} AS sum_disc_price,
-  {_sql_dsum(_REV + ' * (1 + l_tax)', 8)} AS sum_charge,
+  {_sql_dsum_str(_REV + ' * (1 + l_tax)', 8)} AS sum_charge,
   CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) / COUNT(*) AS avg_price,
   CAST(SUM(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
@@ -164,12 +182,12 @@ def q05_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
         .where(F.col("r_name") == "ASIA")
         .groupBy("n_name")
-        .agg(_dsum(_rev()).alias("revenue"))
+        .agg(_dsum_str(_rev()).alias("revenue"))
     )
 
 
 _Q05_SQL = f"""
-SELECT n_name, {_sql_dsum(_REV)} AS revenue
+SELECT n_name, {_sql_dsum_str(_REV)} AS revenue
 FROM customer, orders, lineitem, supplier, nation, region
 WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
   AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -193,14 +211,14 @@ def q06_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            _dsum(F.col("l_extendedprice") * F.col("l_discount"), 8).alias("revenue"),
+            _dsum_str(F.col("l_extendedprice") * F.col("l_discount"), 8).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
 
 
 _Q06_SQL = f"""
-SELECT {_sql_dsum('l_extendedprice * l_discount', 8)} AS revenue, COUNT(*) AS n_items
+SELECT {_sql_dsum_str('l_extendedprice * l_discount', 8)} AS revenue, COUNT(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
@@ -476,12 +494,12 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.count("*").alias("n"), _dsum(_rev()).alias("revenue"))
+        .agg(F.count("*").alias("n"), _dsum_str(_rev()).alias("revenue"))
     )
 
 
 _Q_ROLLUP_SQL = f"""
-SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {_sql_dsum(_REV)} AS revenue
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {_sql_dsum_str(_REV)} AS revenue
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 

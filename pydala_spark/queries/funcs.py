@@ -9,7 +9,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pydala_spark.queries.core import _dsum, _rev, _sql_dsum, _REV
+from pydala_spark.queries.core import (
+    _dsum,
+    _dsum_str,
+    _rev,
+    _sql_dsum,
+    _sql_dsum_str,
+    _REV,
+)
 from pydala_spark.sources import load_table
 
 
@@ -74,13 +81,13 @@ def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
-        .agg(_dsum(profit, 8).alias("sum_profit"))
+        .agg(_dsum_str(profit, 8).alias("sum_profit"))
     )
 
 
 _Q09_SQL = f"""
 SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS INT) AS o_year,
-  {_sql_dsum(_REV + " - 0.5 * p_retailprice * l_quantity", 8)} AS sum_profit
+  {_sql_dsum_str(_REV + " - 0.5 * p_retailprice * l_quantity", 8)} AS sum_profit
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -385,12 +392,12 @@ def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping sets."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
-        F.count("*").alias("n"), _dsum(_rev()).alias("revenue")
+        F.count("*").alias("n"), _dsum_str(_rev()).alias("revenue")
     )
 
 
 _Q_CUBE_SQL = f"""
-SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {_sql_dsum(_REV)} AS revenue
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {_sql_dsum_str(_REV)} AS revenue
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 

@@ -106,3 +106,23 @@ def test_logged_decorator(caplog):
         with pytest.raises(RuntimeError):
             boom()
     assert any("boom" in r.message and "failed" in r.message for r in caplog.records)
+
+
+def test_size_reporting_and_tables(spark, sf_dir, tmp_path):
+    from pydala_spark.utils.sizes import convert_size_unit
+
+    assert convert_size_unit(1048576, "MB") == 1.0
+    assert convert_size_unit(512, "KB") == 0.5
+    with pytest.raises(ValueError):
+        convert_size_unit(1, "XB")
+
+    ds = Dataset(spark, os.path.join(sf_dir, "nation.parquet"))
+    assert ds.disk_usage() > 100
+    assert ds.disk_usage("KB") > 0
+    ds.cache()
+    ds.count()  # materialize the cache
+    assert ds.buffer_size() >= 0
+    ds.load().unpersist()
+
+    name = ds.create_temp_table("nation_tmp")
+    assert spark.sql("SELECT count(*) AS n FROM nation_tmp").first()["n"] == 25

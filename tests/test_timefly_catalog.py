@@ -85,3 +85,47 @@ def test_repartition_in_place_with_snapshot(spark, tmp_path):
     tf.create_current()
     Repartition(spark, tf.current_path, with_snapshot=False).run()
     assert tf.read().count() == 50
+
+
+def test_timefly_current_metadata(spark, tmp_path):
+    from pyspark.sql import Row
+
+    base = str(tmp_path / "meta_ds")
+    spark.createDataFrame([Row(id=1, part="a"), Row(id=2, part="b")]).write.partitionBy(
+        "part"
+    ).parquet(base)
+    tf = TimeFly(spark, base)
+    tf.new()
+    tf.create_current(sort_by="id", distinct=False)
+    cur = tf.read_config()["current"]
+    assert cur["format"] == "parquet"
+    assert cur["partitioning"] == ["part"]
+    assert cur["compression"] == "zstd"
+    assert cur["schema"] == {"id": "int64"} or "id" in cur["schema"]
+    assert cur["schema_unique"] is True
+    assert cur["sort_by"] == "id"
+
+    tf.update_current(comment="after append", batch_size="1d")
+    cur = tf.read_config()["current"]
+    assert cur["comment"] == "after append"
+    assert cur["batch_size"] == "1d"
+    assert cur["latest_update"] >= cur["created"]
+
+
+def test_writer_empty_delta_no_files(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from pydala_spark import Writer
+
+    out = str(tmp_path / "empty_delta")
+    df = spark.createDataFrame([Row(k=1, v=1.0)])
+    Writer(spark, out).write(df)
+    import os
+
+    n_before = sum(len(fs) for _, _, fs in os.walk(out))
+    Writer(spark, out).write(df, mode="delta")  # diff is empty
+    n_after = sum(len(fs) for _, _, fs in os.walk(out))
+    assert n_after == n_before  # no empty part files appended
+    from pydala_spark import Dataset
+
+    assert Dataset(spark, out).count() == 1
