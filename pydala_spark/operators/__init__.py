@@ -1,5 +1,6 @@
 from pydala_spark.operators.asof import asof_join
 from pydala_spark.operators.dedup import (
+    dedup_clusters,
     dedup_exact,
     dedup_subset,
     doc_shingles,
@@ -20,6 +21,7 @@ from pydala_spark.operators.textstats import (
 
 __all__ = [
     "asof_join",
+    "dedup_clusters",
     "dedup_exact",
     "dedup_subset",
     "doc_shingles",

@@ -220,6 +220,62 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 # SimHash
 
+def dedup_clusters(
+    pairs: DataFrame,
+    max_iterations: int = 10,
+) -> DataFrame:
+    """Connected components over candidate pairs -> (id, cluster_id).
+
+    Greedy pair-drop (pipeline.py) under-merges duplicate CHAINS
+    (a~b, b~c but a!~c); this resolves full clusters by iterative
+    min-label propagation: every node repeatedly adopts the smallest id
+    reachable over an edge, converging in O(cluster diameter) rounds.
+    Each round is two shuffles over the EDGE set (candidate pairs —
+    already LSH-reduced, orders of magnitude smaller than the corpus), so
+    the loop is cheap; diameters beyond ``max_iterations`` raise.
+    Returns one row per node appearing in ``pairs`` with its cluster's
+    minimum id as ``cluster_id``.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "cluster_id", F.col("id")
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)  # cut the lineage per round
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "id")
+            .where(F.col("u.cluster_id") != F.col("l.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"dedup_clusters did not converge in {max_iterations} iterations "
+        "(duplicate chains deeper than expected — raise max_iterations)"
+    )
+
+
 #: hex-digit -> int via instr into this table: identical semantics in
 #: Spark SQL and DuckDB (unlike conv/from_hex).
 _HEX = "0123456789abcdef"

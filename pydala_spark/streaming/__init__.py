@@ -52,6 +52,29 @@ def incremental_append(
     return ws.start()
 
 
+def session_windows(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    key_cols: Sequence[str] = ("user_id",),
+) -> DataFrame:
+    """Session-window aggregation: events separated by less than ``gap``
+    merge into one session per key (Structured Streaming's native
+    session_window — the streaming form of the batch sessionize query)."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("win"), *key_cols)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            *key_cols,
+            "n_events",
+        )
+    )
+
+
 def windowed_counts(
     stream_df: DataFrame,
     ts_col: str = "ts",

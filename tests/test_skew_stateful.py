@@ -94,3 +94,44 @@ def test_stateful_running_totals(spark, tmp_path):
         for r in spark.read.parquet(out_dir).where("tag = 'b2'").collect()
     }
     assert second == {1: (3, 16.0), 3: (1, 7.0)}  # user 1 state carried over
+
+
+def test_dedup_clusters_chain(spark):
+    from pydala_spark.operators.dedup import dedup_clusters
+
+    # chain 1-2-3-4, pair (10,11), singleton edges absent
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    out = {r["id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_session_windows_streaming(spark, tmp_path):
+    import datetime as dt
+
+    from pydala_spark.streaming import session_windows
+
+    TS = dt.datetime
+    src = str(tmp_path / "sess_in")
+    df = spark.createDataFrame(
+        [(1, TS(2024, 1, 1, 10, 0)), (1, TS(2024, 1, 1, 10, 10)),
+         (1, TS(2024, 1, 1, 12, 0)), (2, TS(2024, 1, 1, 9, 0))],
+        "user_id long, ts timestamp",
+    )
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        session_windows(stream, gap="30 minutes")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT user_id, n_events FROM sess_out ORDER BY user_id, session_start"
+    ).collect()
+    # user 1: one 2-event session + one 1-event session; user 2: one session
+    assert [(r["user_id"], r["n_events"]) for r in rows] == [(1, 2), (1, 1), (2, 1)]
