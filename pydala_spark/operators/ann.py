@@ -112,7 +112,7 @@ def ivf_topk(
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= k)
         .select("probe_id", "neighbor_id", "rnk", "sim")
     )

@@ -191,7 +191,7 @@ def ngram_jaccard_pairs(
     integer ratio. Returns (id_a, id_b, inter, size_a, size_b, jaccard).
     """
     sh = doc_shingles(df, id_col, text_col, shingle_size).withColumn(
-        "sh_size", F.size("shs")
+        "sh_size", F.size("shs").cast("long")
     )
     exploded = explode_cheaply(sh, F.col("shs"), "sh").select(
         "id", "sh_size", "sh"

@@ -378,10 +378,10 @@ def q_except_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     week1 = ev.where(
         (F.col("ts") >= "2024-01-01") & (F.col("ts") < "2024-01-08")
-    ).select("user_id", F.hour("ts").alias("h"))
+    ).select("user_id", F.hour("ts").cast("long").alias("h"))
     week4 = ev.where(
         (F.col("ts") >= "2024-01-22") & (F.col("ts") < "2024-01-29")
-    ).select("user_id", F.hour("ts").alias("h"))
+    ).select("user_id", F.hour("ts").cast("long").alias("h"))
     return week1.subtract(week4)
 
 
@@ -425,7 +425,7 @@ def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
     return (
-        orders.withColumn("rnk", F.row_number().over(w))
+        orders.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= 3)
         .select("o_custkey", "o_orderkey", "rnk", "o_totalprice")
     )
@@ -572,7 +572,7 @@ def q_delta_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose (user_id, event_type) key was never seen before Jan 15."""
     from pydala_spark.dataset.writer import tables_diff
 
-    ev = load_table(spark, sf_dir, "events").withColumn("h", F.hour("ts"))
+    ev = load_table(spark, sf_dir, "events").withColumn("h", F.hour("ts").cast("long"))
     incoming = ev.where(
         (F.col("ts") >= "2024-01-15") & (F.col("ts") < "2024-01-16")
     )

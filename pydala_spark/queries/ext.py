@@ -39,10 +39,10 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = F.col("text")
     return docs.select(
         "doc_id",
-        F.length(c).alias("n_chars_calc"),
-        token_count(c).alias("n_tokens"),
-        (F.length(c) - F.length(F.regexp_replace(c, r"[.,;:!?]", ""))).alias("n_punct"),
-        F.size(F.array_distinct(word_regex_tokens(c))).alias("n_unique_words"),
+        F.length(c).cast("long").alias("n_chars_calc"),
+        token_count(c).cast("long").alias("n_tokens"),
+        (F.length(c) - F.length(F.regexp_replace(c, r"[.,;:!?]", ""))).cast("long").alias("n_punct"),
+        F.size(F.array_distinct(word_regex_tokens(c))).cast("long").alias("n_unique_words"),
     )
 
 
@@ -73,7 +73,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select(
         "doc_id",
-        n_toks.alias("n_tokens"),
+        n_toks.cast("long").alias("n_tokens"),
         punct_ratio.alias("punct_ratio"),
         stop_ratio.alias("stop_ratio"),
         score.alias("q_score"),

@@ -234,7 +234,7 @@ def q_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.row_number().over(w).alias("seq"),
+        F.row_number().over(w).cast("long").alias("seq"),
         F.lag("o_totalprice").over(w).alias("prev_price"),
         F.sum(F.col("o_totalprice").cast("decimal(25,4)"))
         .over(wrun)
@@ -242,6 +242,7 @@ def q_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("running_total"),
         F.rank()
         .over(Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")))
+        .cast("long")
         .alias("price_rank"),
     )
 
@@ -321,7 +322,7 @@ def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.select(
         "c_custkey",
         F.upper("c_name").alias("upper_name"),
-        F.length("c_name").alias("name_len"),
+        F.length("c_name").cast("long").alias("name_len"),
         F.substring("c_name", 1, 8).alias("prefix"),
         F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded_key"),
         F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("short_name"),
@@ -349,7 +350,7 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = word_regex_tokens("text")
     return docs.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
         F.array_contains(toks, "spark").alias("has_spark"),
         F.array_join(F.slice(F.array_sort(F.array_distinct(toks)), 1, 5), " ").alias(
             "first5_sorted"

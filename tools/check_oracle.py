@@ -99,6 +99,14 @@ def main() -> int:
                 problems.append(
                     f"cols spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"
                 )
+            else:
+                dtype_mismatch = [
+                    (c, str(sdf[c].dtype), str(odf[c].dtype))
+                    for c in sorted(sdf.columns)
+                    if str(sdf[c].dtype) != str(odf[c].dtype)
+                ]
+                if dtype_mismatch:
+                    print(f"warn  {qname}: pandas dtypes differ: {dtype_mismatch}")
             if not problems:
                 s_rows, o_rows = canonical_rows(sdf), canonical_rows(odf)
                 if s_rows != o_rows:
