@@ -35,7 +35,9 @@ from pyspark.sql import functions as F
 
 from pydala_spark.session import configure_session
 
-WRITE_MODES = ("append", "overwrite", "error", "raise", "delta")
+WRITE_MODES = (
+    "append", "overwrite", "overwrite_partitions", "error", "raise", "delta"
+)
 
 #: unit aliases from the reference's batch-size grammar
 #: (src/pydala/dataset/writer.py:312-334).
@@ -256,6 +258,12 @@ class Writer:
                 )
         elif mode == "overwrite":
             spark_mode = "overwrite"
+        elif mode == "overwrite_partitions":
+            # dynamic partition overwrite: replace only the partitions
+            # present in the incoming data — the scale-friendly variant of
+            # the reference's rm-everything overwrite (writer.py:210-214):
+            # a daily re-run rewrites one day, not the dataset.
+            spark_mode = "overwrite"
         elif mode == "delta" and exists:
             df = self._delta_diff(df, delta_subset, datetime_column, start_time, end_time)
 
@@ -288,6 +296,8 @@ class Writer:
             # zstd is parquet-native; the hadoop text codecs don't ship it
             compression = "none"
         writer = df.write.mode(spark_mode).option("compression", compression)
+        if mode == "overwrite_partitions":
+            writer = writer.option("partitionOverwriteMode", "dynamic")
         if self.max_records_per_file:
             writer = writer.option("maxRecordsPerFile", str(self.max_records_per_file))
         if partition_cols:

@@ -52,3 +52,41 @@ def test_dataset_load_prunes_partitions(spark, tmp_path):
         for r in pruned.select(F.input_file_name().alias("f")).distinct().collect()
     }
     assert files == {"part=2"}
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    from pydala_spark.dataset.maintain import bucketize
+    from pydala_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    bucketize(spark, orders, "orders_bkt", "o_orderkey", n_buckets=8,
+              sort_cols="o_orderkey")
+    bucketize(spark, li.select("l_orderkey", "l_quantity"), "lineitem_bkt",
+              "l_orderkey", n_buckets=8, sort_cols="l_orderkey")
+    try:
+        joined = spark.table("lineitem_bkt").join(
+            spark.table("orders_bkt"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        # co-located bucketed join: zero shuffle exchanges in the plan
+        assert shuffle_count(joined) == 0
+        assert joined.count() > 1000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_bkt")
+        spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    from pydala_spark import Dataset, Writer
+
+    out = str(tmp_path / "dyn")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], ["id", "part"]
+    )
+    Writer(spark, out, partition_by=["part"]).write(df)
+    # overwrite ONLY partition 'a' with one new row
+    repl = spark.createDataFrame([(9, "a")], ["id", "part"])
+    Writer(spark, out, partition_by=["part"]).write(repl, mode="overwrite_partitions")
+    rows = {(r["id"], r["part"]) for r in Dataset(spark, out).load().collect()}
+    assert rows == {(9, "a"), (3, "b")}  # 'b' untouched, 'a' replaced

@@ -50,16 +50,33 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("-q", "--queries", nargs="*", default=None)
+    ap.add_argument(
+        "--vanilla",
+        action="store_true",
+        help="use a bare SparkSession (driver simulation: no engine confs "
+        "preset; queries must self-configure)",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
-    from pydala_spark.session import get_session
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     names = args.queries or list(queries)
 
-    spark = get_session(app_name="check_oracle", shuffle_partitions=8)
+    if args.vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("check_oracle_vanilla")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        from pydala_spark.session import get_session
+
+        spark = get_session(app_name="check_oracle", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
