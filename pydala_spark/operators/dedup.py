@@ -82,9 +82,12 @@ def shingles_of_tokens(tok_col: Column, k: int = 3) -> Column:
     regex split once per shingle index (measured 3x slowdown).
     """
     idx = F.sequence(F.lit(0), F.greatest(F.size(tok_col) - k, F.lit(0)))
-    return F.array_distinct(
+    shingled = F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tok_col, i + 1, k)))
     )
+    # empty/null text would otherwise yield a '' shingle, making every
+    # contentless doc an LSH near-dup of every other
+    return F.filter(shingled, lambda s: s != F.lit(""))
 
 
 def doc_shingles(

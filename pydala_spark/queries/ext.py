@@ -179,9 +179,9 @@ FROM documents GROUP BY 1
 # shingles: word 3-grams over regex tokens (distinct); DuckDB mirrors the
 # slice/sequence construction (1-based inclusive slices).
 _SHINGLES_SQL = f"""
-SELECT doc_id, list_distinct(list_transform(
+SELECT doc_id, list_filter(list_distinct(list_transform(
          generate_series(1, GREATEST(LEN(t) - 2, 1)),
-         i -> array_to_string(t[i:i+2], ' '))) AS shs
+         i -> array_to_string(t[i:i+2], ' '))), x -> x <> '') AS shs
 FROM (SELECT doc_id, {_WORD_SPLIT_SQL} AS t FROM documents)
 """
 
