@@ -448,6 +448,115 @@ GROUP BY c_mktsegment
 """
 
 
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity threshold), expressed as a window/join in the DataFrame."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3")
+    per_part_avg = (
+        li.groupBy(F.col("l_partkey").alias("avg_partkey"))
+        .agg(
+            (
+                F.sum(F.col("l_quantity").cast("decimal(25,4)")).cast("double")
+                / F.count("*")
+            ).alias("avg_qty")
+        )
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part_avg, F.col("l_partkey") == F.col("avg_partkey"))
+        .where(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(25,4)")).cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+_Q17_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) / 7.0 AS avg_yearly,
+       COUNT(*) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#3'
+  AND l_quantity < 0.5 * (
+    SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(25,4))) AS DOUBLE) / COUNT(*)
+    FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((flag),(status)) with grouping() markers
+    (distinct shape from rollup/cube)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+               CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+               COUNT(*) AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+_Q_GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+"""
+
+
+def q_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from EXACT decimal moment sums — built-in
+    corr() accumulates doubles in engine-specific order; computing the
+    five moments exactly then combining in double is bit-identical."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(25,4)")
+    y = F.col("l_discount").cast("decimal(25,6)")
+    xy = (F.col("l_quantity") * F.col("l_discount")).cast("decimal(25,8)")
+    xx = (F.col("l_quantity") * F.col("l_quantity")).cast("decimal(25,4)")
+    yy = (F.col("l_discount") * F.col("l_discount")).cast("decimal(25,8)")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(xy).cast("double").alias("sxy"),
+        F.sum(xx).cast("double").alias("sxx"),
+        F.sum(yy).cast("double").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        n * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return agg.select("l_returnflag", "n", (num / den).alias("corr_qty_disc"))
+
+
+_Q_CORRELATION_SQL = """
+WITH m AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(25,8))) AS DOUBLE) AS sxy,
+    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(25,8))) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+  (CAST(n AS DOUBLE) * sxy - sx * sy)
+  / (SQRT(CAST(n AS DOUBLE) * sxx - sx * sx) * SQRT(CAST(n AS DOUBLE) * syy - sy * sy))
+    AS corr_qty_disc
+FROM m
+"""
+
+
 def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map type family: build per-row maps, extract keys/values/size
     (outputs scalars — raw map columns have engine-specific ordering)."""
@@ -590,6 +699,9 @@ FUNC_QUERIES = {
     "q_map_functions": q_map_functions,
     "q_unpivot": q_unpivot,
     "q_regexp_functions": q_regexp_functions,
+    "q17_small_quantity": q17_small_quantity,
+    "q_grouping_sets": q_grouping_sets,
+    "q_correlation": q_correlation,
 }
 
 FUNC_ORACLE = {
@@ -613,4 +725,7 @@ FUNC_ORACLE = {
     "q_map_functions": _Q_MAP_FUNCS_SQL,
     "q_unpivot": _Q_UNPIVOT_SQL,
     "q_regexp_functions": _Q_REGEXP_SQL,
+    "q17_small_quantity": _Q17_SQL,
+    "q_grouping_sets": _Q_GROUPING_SETS_SQL,
+    "q_correlation": _Q_CORRELATION_SQL,
 }
