@@ -24,6 +24,7 @@ stragglers once.
 from __future__ import annotations
 
 import posixpath
+import re
 from typing import Callable, Iterable, Sequence
 
 import pyarrow as pa
@@ -78,7 +79,13 @@ class Dataset:
             schema = schema_mod.schema_from_dict(schema)
         self._pinned_schema = schema
         self.partitioning = partitioning
-        self.name = name or posixpath.basename(path.rstrip("/")) or "dataset"
+        if name is None:
+            # derived default: strip a file extension and squash anything
+            # Spark would parse as a multi-part / invalid view identifier
+            base = posixpath.basename(path.rstrip("/"))
+            base = re.sub(r"\.[A-Za-z0-9]+$", "", base)
+            name = re.sub(r"\W", "_", base) or "dataset"
+        self.name = name
         self._csv_options = csv_options or {}
         # post-pipeline config (reference base.py:77-115)
         self._drop: list[str] = []
@@ -88,6 +95,7 @@ class Dataset:
         self._distinct_presort: list[tuple[str, bool]] | None = None
         self._sort: list[tuple[str, bool]] | None = None
         self._df: DataFrame | None = None
+        self._view_name: str | None = None
 
     # -- post-pipeline config (chainable) -----------------------------------
 
@@ -216,8 +224,9 @@ class Dataset:
     # -- registration / SQL (reader.py:235-255, 478-484) ---------------------
 
     def to_view(self, name: str | None = None) -> str:
-        name = name or self.name
+        name = name or self._view_name or self.name
         self.load().createOrReplaceTempView(name)
+        self._view_name = name
         return name
 
     def sql(self, query: str) -> DataFrame:

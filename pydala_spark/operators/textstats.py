@@ -54,6 +54,42 @@ def fingerprint(col: str | Column) -> Column:
     return F.md5(normalize_text(col))
 
 
+def winnowing_fingerprints(
+    df, id_col: str, text_col: str = "text", k: int = 8, window: int = 4
+):
+    """Winnowing document fingerprints (the MOSS rolling-hash scheme):
+    hash every character k-gram of the normalized text, then keep the
+    minimum hash of each sliding window of ``window`` consecutive k-grams
+    — a content-defined fingerprint set robust to insertions/reordering,
+    guaranteed to share fingerprints with any document sharing a run of
+    k+window-1 characters.
+
+    Returns (id, fps) with the distinct fingerprint array sorted
+    ascending. Staged as three projections on purpose: each lambda must
+    reference a MATERIALIZED column, not an expression — Catalyst
+    substitutes expressions into lambda bodies, turning the window pass
+    into O(n²) re-hashing (measured: minutes instead of seconds).
+    md5 plays the portable rolling hash (identical hex both engines).
+    """
+    norm_df = df.select(
+        F.col(id_col).alias("id"), normalize_text(text_col).alias("__norm")
+    )
+    n_grams = F.greatest(F.length("__norm") - (k - 1), F.lit(1))
+    hash_df = norm_df.select(
+        "id",
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.md5(F.substr(F.col("__norm"), i, F.lit(k))),
+        ).alias("__hashes"),
+    )
+    n_windows = F.greatest(F.size("__hashes") - (window - 1), F.lit(1))
+    fps = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda j: F.array_min(F.slice(F.col("__hashes"), j, window)),
+    )
+    return hash_df.select("id", F.array_sort(F.array_distinct(fps)).alias("fps"))
+
+
 def stopword_hits(col: str | Column, words: list[str]) -> Column:
     """Number of tokens that are in ``words`` (counts duplicates)."""
     toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))

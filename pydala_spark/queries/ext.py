@@ -165,6 +165,39 @@ FROM documents GROUP BY source
 """
 
 
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (k=8 char-grams, window 4):
+    per-doc fingerprint count + extremes."""
+    from pydala_spark.operators.textstats import winnowing_fingerprints
+
+    docs = _spread(spark, load_table(spark, sf_dir, "documents"))
+    fps = winnowing_fingerprints(docs, "doc_id", "text", k=8, window=4)
+    return fps.select(
+        F.col("id").alias("doc_id"),
+        F.size("fps").cast("long").alias("n_fps"),
+        F.element_at("fps", 1).alias("min_fp"),
+        F.element_at("fps", -1).alias("max_fp"),
+    )
+
+
+_Q_WINNOWING_SQL = f"""
+WITH n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+h AS (
+  SELECT doc_id, list_transform(
+           generate_series(1, GREATEST(LENGTH(norm) - 7, 1)),
+           i -> MD5(SUBSTR(norm, i, 8))) AS hashes
+  FROM n
+),
+f AS (
+  SELECT doc_id, list_sort(list_distinct(list_transform(
+           generate_series(1, GREATEST(LEN(hashes) - 3, 1)),
+           j -> list_min(hashes[j:j+3])))) AS fps
+  FROM h
+)
+SELECT doc_id, LEN(fps) AS n_fps, fps[1] AS min_fp, fps[-1] AS max_fp FROM f
+"""
+
+
 def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup keeper list: min doc_id + group size per fingerprint."""
     docs = load_table(spark, sf_dir, "documents")
@@ -420,6 +453,7 @@ EXT_QUERIES = {
     "q_text_quality": q_text_quality,
     "q_lang_predict": q_lang_predict,
     "q_fingerprint_summary": q_fingerprint_summary,
+    "q_winnowing": q_winnowing,
     "q_dedup_exact_docs": q_dedup_exact_docs,
     "q_minhash_lsh": q_minhash_lsh,
     "q_ngram_jaccard": q_ngram_jaccard,
@@ -437,6 +471,7 @@ EXT_ORACLE = {
     "q_text_quality": _Q_TEXT_QUALITY_SQL,
     "q_lang_predict": _Q_LANG_SQL,
     "q_fingerprint_summary": _Q_FINGERPRINT_SQL,
+    "q_winnowing": _Q_WINNOWING_SQL,
     "q_dedup_exact_docs": _Q_DEDUP_EXACT_SQL,
     "q_minhash_lsh": _Q_MINHASH_SQL,
     "q_ngram_jaccard": _Q_JACCARD_SQL,

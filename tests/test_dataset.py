@@ -20,6 +20,17 @@ def test_sql_passthrough(spark, sf_dir):
     assert out["n"] > 0
 
 
+def test_default_view_name_from_file_path(spark, sf_dir):
+    # basename "lineitem.parquet" must sanitize to a single-part identifier
+    ds = Dataset(spark, os.path.join(sf_dir, "lineitem.parquet"))
+    assert ds.name == "lineitem"
+    assert ds.sql("SELECT count(*) AS n FROM lineitem").first()["n"] > 1000
+    # an explicit to_view name sticks for later sql() calls
+    ds2 = Dataset(spark, os.path.join(sf_dir, "region.parquet"))
+    ds2.to_view("my_regions")
+    assert ds2.sql("SELECT count(*) AS n FROM my_regions").first()["n"] == 5
+
+
 def test_events_ns_timestamp_boundary(spark, sf_dir):
     df = load_table(spark, sf_dir, "events")
     assert dict(df.dtypes)["ts"] == "timestamp"

@@ -239,3 +239,31 @@ def test_windowed_counts_streaming(spark, tmp_path):
     assert [(r["event_type"], r["n"]) for r in rows] == [
         ("click", 5), ("click", 5), ("view", 1)
     ]
+
+
+def test_winnowing_fingerprints_overlap(spark):
+    from pydala_spark.operators.textstats import winnowing_fingerprints
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "the quick brown fox jumps over the lazy cat tonight"),  # near dup
+            (3, "entirely different content with nothing shared at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = {
+        r["id"]: set(r["fps"])
+        for r in winnowing_fingerprints(docs, "doc_id", "text").collect()
+    }
+    def jac(a, b):
+        return len(fps[a] & fps[b]) / len(fps[a] | fps[b])
+
+    assert jac(1, 2) > 0.4  # near dups share a large fingerprint fraction
+    assert jac(1, 3) < 0.1  # unrelated docs share almost none
+    # determinism
+    fps2 = {
+        r["id"]: set(r["fps"])
+        for r in winnowing_fingerprints(docs, "doc_id", "text").collect()
+    }
+    assert fps == fps2
