@@ -10,6 +10,12 @@ from pydala_spark.operators.dedup import (
     simhash,
 )
 from pydala_spark.operators.ann import ivf_topk, kmeans_centroids
+from pydala_spark.operators.sampling import (
+    hash_bucket,
+    hash_sample,
+    stratified_sample,
+    train_test_split,
+)
 from pydala_spark.operators.similarity import cosine_similarity, cosine_topk
 from pydala_spark.operators.skew import salted_agg, salted_broadcast_left_join
 from pydala_spark.operators.textstats import (
@@ -31,6 +37,10 @@ __all__ = [
     "simhash",
     "cosine_similarity",
     "cosine_topk",
+    "hash_bucket",
+    "hash_sample",
+    "stratified_sample",
+    "train_test_split",
     "ivf_topk",
     "kmeans_centroids",
     "salted_agg",

@@ -1,0 +1,102 @@
+"""Deterministic sampling for training-data pipelines.
+
+The reference has no sampling surface of its own (query execution is
+delegated to DuckDB, src/pydala/dataset/reader.py:478-484); these are
+north-star extension operators (BASELINE.json). All selections are a
+pure function of a key column — ``md5(key)`` plays the RNG — so every
+run, every engine, and every executor picks the SAME rows:
+
+- reproducible experiments (a re-run of the pipeline resamples
+  identically, no seed plumbing, no RNG state);
+- no coordination: on a 1000-executor cluster the Bernoulli sample and
+  the split are narrow map-side filters/projections — zero shuffle,
+  zero driver involvement, trivially restartable;
+- nested samples for free: ``hash_sample(f1)`` is a strict subset of
+  ``hash_sample(f2)`` whenever ``f1 <= f2`` (threshold sampling), so a
+  10% dev slice is contained in the 50% training slice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: hash space: the first 8 hex digits of md5, i.e. [0, 2^32).
+HASH_SPACE = 1 << 32
+
+
+def _key(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def hash_bucket(col: str | Column, num_buckets: int = HASH_SPACE) -> Column:
+    """Uniform deterministic bucket in ``[0, num_buckets)`` for a key:
+    the first 8 md5 hex digits as an integer (optionally folded by mod).
+    md5 is identical across engines, so bucket assignments are portable.
+    """
+    v = F.conv(F.substring(F.md5(_key(col).cast("string")), 1, 8), 16, 10).cast("long")
+    return v if num_buckets == HASH_SPACE else v % F.lit(num_buckets)
+
+
+def sample_threshold(fraction: float) -> int:
+    """The bucket threshold selecting ``fraction`` of the hash space."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    return int(fraction * HASH_SPACE)
+
+
+def hash_sample(df: DataFrame, key: str | Column, fraction: float) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose hash bucket falls
+    in the first ``fraction`` of the space. A narrow filter — no shuffle,
+    no RNG; at 100 TB it runs entirely map-side during the scan."""
+    return df.where(hash_bucket(key) < F.lit(sample_threshold(fraction)))
+
+
+def train_test_split(
+    df: DataFrame,
+    key: str | Column,
+    test_fraction: float = 0.2,
+    val_fraction: float = 0.0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/test(/val) assignment as a ``split`` column.
+
+    Disjoint + exhaustive by construction (threshold ranges on one
+    bucket value); membership depends only on the key, so re-ingesting a
+    document lands it in the same split — no train/test leakage across
+    pipeline runs. Narrow projection: zero shuffle at any scale.
+    """
+    v = hash_bucket(key)
+    test_hi = sample_threshold(test_fraction)
+    val_hi = test_hi + sample_threshold(val_fraction)
+    split = (
+        F.when(v < test_hi, F.lit("test"))
+        .when(v < val_hi, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn(split_col, split)
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: str | Column,
+    group_cols: list[str],
+    n_per_group: int,
+) -> DataFrame:
+    """Exactly ``n_per_group`` rows per group, chosen by hash order —
+    a deterministic class-balanced sample (e.g. N docs per language).
+
+    One shuffle on ``group_cols``; the per-group order is
+    ``(md5(key), key)`` so ties are impossible and the pick is stable.
+    At scale this is a window top-N: Spark's ``row_number`` ranks within
+    each hash partition without a global sort, and AQE handles skewed
+    groups. For heavily skewed group keys pre-filter with
+    ``hash_sample`` to cap the per-group sort input.
+    """
+    k = _key(key)
+    w = Window.partitionBy(*group_cols).orderBy(F.md5(k.cast("string")), k)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n_per_group)
+        .drop("__rn")
+    )

@@ -21,8 +21,9 @@ bit-exact, not "close"):
 from pydala_spark.queries.core import CORE_ORACLE, CORE_QUERIES
 from pydala_spark.queries.ext import EXT_ORACLE, EXT_QUERIES
 from pydala_spark.queries.funcs import FUNC_ORACLE, FUNC_QUERIES
+from pydala_spark.queries.sampling import SAMPLING_ORACLE, SAMPLING_QUERIES
 
-QUERIES = {**CORE_QUERIES, **FUNC_QUERIES, **EXT_QUERIES}
-ORACLE = {**CORE_ORACLE, **FUNC_ORACLE, **EXT_ORACLE}
+QUERIES = {**CORE_QUERIES, **FUNC_QUERIES, **EXT_QUERIES, **SAMPLING_QUERIES}
+ORACLE = {**CORE_ORACLE, **FUNC_ORACLE, **EXT_ORACLE, **SAMPLING_ORACLE}
 
 __all__ = ["QUERIES", "ORACLE"]

@@ -1,0 +1,73 @@
+import os
+
+from pydala_spark.operators.sampling import (
+    HASH_SPACE,
+    hash_bucket,
+    hash_sample,
+    sample_threshold,
+    stratified_sample,
+    train_test_split,
+)
+from pydala_spark.sources import load_table
+
+from pyspark.sql import functions as F
+
+
+def test_hash_sample_deterministic_and_nested(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.count()
+
+    s10 = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.10).collect()}
+    s30 = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.30).collect()}
+    # deterministic: a second run picks the identical rows
+    assert s10 == {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.10).collect()}
+    # nested: smaller fraction is a strict subset of the larger
+    assert s10 < s30
+    # roughly proportional (md5 is uniform; wide tolerance at 500 rows)
+    assert 0.03 * total < len(s10) < 0.20 * total
+    assert 0.18 * total < len(s30) < 0.45 * total
+
+
+def test_train_test_split_disjoint_exhaustive(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    split = train_test_split(docs, "doc_id", test_fraction=0.2, val_fraction=0.1)
+    counts = {r["split"]: r["n"] for r in
+              split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "test", "val"}
+    assert sum(counts.values()) == docs.count()
+    # split agrees with the standalone sample at the same threshold
+    test_ids = {r["doc_id"] for r in
+                split.where("split = 'test'").select("doc_id").collect()}
+    assert test_ids == {
+        r["doc_id"] for r in hash_sample(docs, "doc_id", 0.2).collect()
+    }
+
+
+def test_stratified_sample_exact_per_group(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_sample(docs, "doc_id", ["lang"], 7)
+    per_group = {r["lang"]: r["n"] for r in
+                 out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    avail = {r["lang"]: r["n"] for r in
+             docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in per_group.items():
+        assert n == min(7, avail[lang])
+    # deterministic pick
+    ids1 = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(
+        r["doc_id"] for r in stratified_sample(docs, "doc_id", ["lang"], 7).collect()
+    )
+    assert ids1 == ids2
+
+
+def test_hash_bucket_range_and_threshold():
+    assert sample_threshold(0.0) == 0
+    assert sample_threshold(1.0) == HASH_SPACE
+    assert sample_threshold(0.5) == HASH_SPACE // 2
+
+
+def test_hash_sample_plan_is_narrow(spark, sf_dir):
+    # the sample must be a map-side filter: no shuffle in the plan
+    docs = load_table(spark, sf_dir, "documents")
+    plan = hash_sample(docs, "doc_id", 0.1)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
