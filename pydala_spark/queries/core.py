@@ -567,6 +567,47 @@ FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
 """
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized interval-containment join (SURVEY §2.5 extension —
+    reference range predicates run on DuckDB's IEJoin): clicks attributed
+    to the 15-minute window after each same-user error event, aggregated
+    per window. Equi-join on (time bin, user_id), never a nested loop."""
+    from pydala_spark.operators.rangejoin import time_range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 15 MINUTE")).alias("w_end"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), "value"
+    )
+    j = time_range_join(
+        clicks, errors, "c_ts", "w_start", "w_end", on=["user_id"], bucket="15min"
+    )
+    return j.groupBy("err_id").agg(
+        F.count("*").alias("n_clicks"), _dsum(F.col("value"), 4).alias("sum_value")
+    )
+
+
+_Q_RANGE_JOIN_SQL = """
+WITH e AS (
+  SELECT event_id AS err_id, user_id, CAST(ts AS TIMESTAMP) AS w_start,
+         CAST(ts AS TIMESTAMP) + INTERVAL 15 MINUTE AS w_end
+  FROM events WHERE event_type = 'error'
+), c AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS c_ts, value
+  FROM events WHERE event_type = 'click'
+)
+SELECT err_id, CAST(COUNT(*) AS BIGINT) AS n_clicks,
+       CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS sum_value
+FROM c JOIN e ON c.user_id = e.user_id AND c.c_ts BETWEEN e.w_start AND e.w_end
+GROUP BY err_id
+"""
+
+
 def q_delta_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta-mode anti-diff as a query (SURVEY §2.2 W6): events on Jan 15
     whose (user_id, event_type) key was never seen before Jan 15."""
@@ -658,6 +699,7 @@ CORE_QUERIES = {
     "q_rollup_revenue": q_rollup_revenue,
     "q_pivot_status": q_pivot_status,
     "q_asof_purchase": q_asof_purchase,
+    "q_range_join": q_range_join,
     "q_delta_diff_events": q_delta_diff_events,
     "q_json_extract": q_json_extract,
     "q_part_stats": q_part_stats,
@@ -682,6 +724,7 @@ CORE_ORACLE = {
     "q_rollup_revenue": _Q_ROLLUP_SQL,
     "q_pivot_status": _Q_PIVOT_SQL,
     "q_asof_purchase": _Q_ASOF_SQL,
+    "q_range_join": _Q_RANGE_JOIN_SQL,
     "q_delta_diff_events": _Q_DELTA_DIFF_SQL,
     "q_json_extract": _Q_JSON_SQL,
     "q_part_stats": _Q_PART_STATS_SQL,

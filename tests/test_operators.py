@@ -241,6 +241,43 @@ def test_windowed_counts_streaming(spark, tmp_path):
     ]
 
 
+def test_time_range_join_matches_naive(spark, sf_dir):
+    from pydala_spark.operators.rangejoin import time_range_join
+    from pydala_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    windows = ev.where("event_type = 'error'").select(
+        F.col("event_id").alias("w_id"),
+        "user_id",
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTE")).alias("hi"),
+    )
+    points = ev.where("event_type = 'view'").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("pts")
+    )
+    got = time_range_join(points, windows, "pts", "lo", "hi",
+                          on=["user_id"], bucket="5min")
+    naive = points.alias("p").join(
+        windows.alias("w"),
+        (F.col("p.user_id") == F.col("w.user_id"))
+        & F.col("p.pts").between(F.col("w.lo"), F.col("w.hi")),
+    )
+    assert {(r["p_id"], r["w_id"]) for r in got.collect()} == {
+        (r["p_id"], r["w_id"]) for r in naive.collect()
+    }
+    # the whole point: an equi-join plan, not a nested loop
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+    semi = time_range_join(points, windows, "pts", "lo", "hi",
+                           on=["user_id"], bucket="5min", how="left_semi")
+    assert {r["p_id"] for r in semi.collect()} == {
+        r["p_id"] for r in naive.select("p_id").collect()
+    }
+    assert semi.columns == points.columns
+
+
 def test_winnowing_fingerprints_overlap(spark):
     from pydala_spark.operators.textstats import winnowing_fingerprints
 
