@@ -1,19 +1,26 @@
-"""Bucketed table maintenance: co-located joins without a shuffle.
+"""Dataset maintenance: bucketing, small-file compaction, z-ordering.
 
-At 100 TB the dominant recurring cost is re-shuffling big fact tables for
-every join on the same key. Bucketing (``bucketBy`` + ``saveAsTable``)
-pre-partitions the data by key hash ONCE at write time; later equi-joins
-between tables bucketed the same way run with zero shuffle exchanges
-(verified by plan in tests). This is the Spark-native replacement for the
-reference's repartitioned-dataset layout (SURVEY §2.2 W11) when a join
-key is stable.
+At 100 TB the dominant recurring costs are (a) re-shuffling big fact
+tables for every join on the same key — fixed once by bucketing; (b) the
+small-file problem: streaming/delta appends accrete thousands of tiny
+files per partition until scan task scheduling and footer reads dominate
+— fixed by periodic ``compact``; (c) scans filtered on a column the
+layout isn't sorted by — fixed by ``zorder_write``, which clusters rows
+on an interleaved-bit curve so parquet min/max pruning works on SEVERAL
+columns at once. These are the Spark-native counterparts of the
+reference's repartitioned-dataset layout (SURVEY §2.2 W11,
+src/pydala/dataset/repartition.py).
 """
 
 from __future__ import annotations
 
+import math
+import os
+import shutil
 from typing import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from pydala_spark.session import configure_session
 
@@ -46,3 +53,133 @@ def bucketize(
         writer = writer.sortBy(sort_cols[0], *sort_cols[1:])
     writer.saveAsTable(table_name)
     return table_name
+
+
+def _data_files(root: str) -> list[tuple[str, int]]:
+    """(path, bytes) of every data file under ``root`` (skips sidecars)."""
+    out = []
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                p = os.path.join(dirpath, f)
+                out.append((p, os.path.getsize(p)))
+    return out
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    format: str = "parquet",
+    compression: str = "zstd",
+) -> dict:
+    """Rewrite a dataset's small files into ~``target_file_mb`` files,
+    preserving any hive partition layout. Returns before/after stats.
+
+    Streaming and delta appends accrete tiny files; at scale the scan
+    cost becomes task scheduling + footer reads, not I/O. One
+    ``repartition`` sized from the on-disk byte count fixes it: with
+    partition columns the shuffle keys on them, so each hive directory
+    collapses to a handful of full-size files. The rewrite stages into a
+    sibling directory and swaps atomically-ish (local FS rename); on an
+    object store, run against a copy target instead.
+    """
+    from pydala_spark.schema import infer_partitioning
+
+    configure_session(spark)
+    local = path.removeprefix("file:").rstrip("/")
+    files = _data_files(local)
+    if not files:
+        raise FileNotFoundError(f"no data files under {path}")
+    total_bytes = sum(sz for _, sz in files)
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    part_cols = infer_partitioning(
+        [os.path.relpath(p, local) for p, _ in files]
+    ) or []
+
+    df = spark.read.format(format).load(local)
+    tmp = local + "__compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shuffled = (
+        df.repartition(n_files, *part_cols) if part_cols else df.repartition(n_files)
+    )
+    writer = shuffled.write.format(format).mode("overwrite")
+    if format == "parquet":
+        writer = writer.option("compression", compression)
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.save(tmp)
+
+    old = local + "__precompact"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(local, old)
+    os.rename(tmp, local)
+    shutil.rmtree(old)
+    spark.catalog.refreshByPath(local)
+    return {
+        "files_before": len(files),
+        "files_after": len(_data_files(local)),
+        "bytes": total_bytes,
+        "partition_cols": part_cols,
+    }
+
+
+def zorder_value(cols: Sequence[Column], bits: int = 16) -> Column:
+    """Interleave the bits of pre-scaled integer columns (each already in
+    ``[0, 2**bits)``) into one Morton/z-curve value. Pure JVM bit
+    arithmetic — whole-stage-codegen-friendly, no UDF."""
+    z = F.lit(0).cast("long")
+    k = len(cols)
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * k + i))
+    return z
+
+
+def zorder_write(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    n_files: int = 32,
+    bits: int = 10,
+    format: str = "parquet",
+    compression: str = "zstd",
+) -> dict:
+    """Write ``df`` clustered on a z-order curve over numeric/timestamp
+    ``cols`` so parquet min/max row-group pruning is effective on EVERY
+    listed column, not just a lexicographic sort leader.
+
+    Each column is min-max scaled to ``bits`` bits (one tiny agg job for
+    the bounds — two scalars per column to the driver), interleaved into
+    a z-value, then ``repartitionByRange`` + in-partition sort on it.
+    Every output file covers a compact z-range, i.e. a small hyper-
+    rectangle of the column space. Range partitioning samples keys at
+    runtime, so skewed value distributions still yield balanced files.
+    """
+    configure_session(spark)
+    nums = [F.col(c).cast("double") for c in cols]
+    bounds = df.select(
+        *[f(c).alias(f"{i}_{j}") for i, c in enumerate(nums) for j, f in
+          (("lo", F.min), ("hi", F.max))]
+    ).first()
+    top = (1 << bits) - 1
+    scaled = []
+    for i, c in enumerate(nums):
+        lo, hi = bounds[f"{i}_lo"], bounds[f"{i}_hi"]
+        span = (hi - lo) or 1.0
+        scaled.append(
+            F.least(F.lit(top), F.floor((c - F.lit(lo)) / F.lit(span) * top))
+        )
+    zed = df.withColumn("__z", zorder_value(scaled, bits))
+    out = (
+        zed.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    writer = out.write.format(format).mode("overwrite")
+    if format == "parquet":
+        writer = writer.option("compression", compression)
+    writer.save(path)
+    return {"n_files": n_files, "bits": bits, "cols": list(cols)}

@@ -1,0 +1,109 @@
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from pydala_spark.dataset.maintain import compact, zorder_value, zorder_write
+from pydala_spark.sources import load_table
+
+
+def _data_files(root):
+    out = []
+    for dirpath, _, files in os.walk(root):
+        out.extend(
+            os.path.join(dirpath, f)
+            for f in files
+            if not f.startswith(("_", "."))
+        )
+    return out
+
+
+def test_compact_partitioned_small_files(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "orders_frag")
+    df = load_table(spark, sf_dir, "orders").limit(2000)
+    # fragment: 8 files per hive partition
+    (
+        df.repartition(8)
+        .write.mode("overwrite")
+        .partitionBy("o_orderpriority")
+        .parquet(path)
+    )
+    before_files = _data_files(path)
+    before_count = spark.read.parquet(path).count()
+    assert len(before_files) > 10
+
+    stats = compact(spark, path, target_file_mb=128)
+    assert stats["files_before"] == len(before_files)
+    assert stats["partition_cols"] == ["o_orderpriority"]
+    # one target-size chunk total -> one file per hive partition
+    after_files = _data_files(path)
+    assert stats["files_after"] == len(after_files)
+    assert len(after_files) < len(before_files)
+
+    out = spark.read.parquet(path)
+    assert out.count() == before_count
+    # hive layout preserved
+    assert "o_orderpriority" in out.columns
+    assert any("o_orderpriority=" in f for f in after_files)
+
+
+def test_compact_unpartitioned(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "nation_frag")
+    df = load_table(spark, sf_dir, "nation")
+    df.repartition(12).write.mode("overwrite").parquet(path)
+    assert len(_data_files(path)) >= 12
+    stats = compact(spark, path)
+    assert stats["partition_cols"] == []
+    assert stats["files_after"] == 1
+    assert spark.read.parquet(path).count() == 25
+
+
+def test_zorder_value_interleaves_bits(spark):
+    # x=0b11, y=0b00 with 2 bits -> z = x bits at even positions = 0b0101
+    df = spark.createDataFrame([(3, 0)], ["x", "y"])
+    z = df.select(
+        zorder_value([F.col("x"), F.col("y")], bits=2).alias("z")
+    ).first()["z"]
+    assert z == 0b0101
+    # symmetric: y bits land at odd positions
+    df2 = spark.createDataFrame([(0, 3)], ["x", "y"])
+    z2 = df2.select(
+        zorder_value([F.col("x"), F.col("y")], bits=2).alias("z")
+    ).first()["z"]
+    assert z2 == 0b1010
+
+
+def test_zorder_write_clusters_both_columns(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "li_z")
+    df = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    n = df.count()
+    zorder_write(spark, df, path, ["l_orderkey", "l_partkey"], n_files=8)
+    out = spark.read.parquet(path)
+    assert out.count() == n
+
+    # every file should cover a small hyper-rectangle: the per-file
+    # min/max span on EACH z-ordered column must be well below the
+    # global span for most files (that's what enables min/max pruning).
+    files = _data_files(path)
+    assert len(files) > 1
+    glb = df.agg(
+        F.min("l_orderkey"), F.max("l_orderkey"),
+        F.min("l_partkey"), F.max("l_partkey"),
+    ).first()
+    spans = {"l_orderkey": glb[1] - glb[0], "l_partkey": glb[3] - glb[2]}
+    for col in ("l_orderkey", "l_partkey"):
+        tight = 0
+        for f in files:
+            md = pq.read_metadata(f)
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col:
+                        los.append(c.statistics.min)
+                        his.append(c.statistics.max)
+            if max(his) - min(los) <= 0.75 * spans[col]:
+                tight += 1
+        assert tight >= len(files) // 2, col
