@@ -217,6 +217,35 @@ class TimeFly:
         timefly.setdefault("deleted", []).append(ts_str)
         self.write_config(config)
 
+    def vacuum(
+        self,
+        older_than: str | dt.datetime | None = None,
+        retain_last: int | None = None,
+    ) -> list[str]:
+        """Physically delete old snapshots (Delta-style ``VACUUM`` for the
+        copy-on-snapshot layout; the reference keeps every snapshot
+        forever — timefly.py:313-326 only tombstones one at a time).
+
+        ``older_than`` drops snapshots taken at or before that time;
+        ``retain_last=N`` always keeps the newest N regardless. With
+        neither given, keeps the newest one. Returns deleted stamps.
+        At 100 TB this is the knob that bounds storage amplification:
+        each snapshot is a full copy until manifest-pointer snapshots
+        replace it (SCALE.md).
+        """
+        stamps = self.snapshots()
+        keep = set(stamps[-(retain_last or 1):]) if retain_last or older_than is None else set()
+        if older_than is not None:
+            cutoff = _to_ts(older_than)
+            keep |= {
+                s for s in stamps
+                if dt.datetime.strptime(s, TS_FMT) > cutoff
+            }
+        doomed = [s for s in stamps if s not in keep]
+        for s in doomed:
+            self.delete_snapshot(s)
+        return doomed
+
     def load_snapshot(self, ts: str | dt.datetime) -> None:
         """Restore a snapshot into current/ (reference timefly.py:354-387).
         The replaced current is itself snapshotted first so nothing is lost.

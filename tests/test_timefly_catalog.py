@@ -129,3 +129,30 @@ def test_writer_empty_delta_no_files(spark, tmp_path):
     from pydala_spark import Dataset
 
     assert Dataset(spark, out).count() == 1
+
+
+def test_timefly_vacuum(spark, tmp_path):
+    base = str(tmp_path / "ds_vac")
+    _write(spark, base, [1, 2, 3])
+    tf = TimeFly(spark, base)
+    tf.new()
+    tf.create_current()
+    stamps = [tf.add_snapshot(TS(2024, m, 1)) for m in (1, 2, 3, 4)]
+
+    # retention by count: keep the newest two
+    gone = tf.vacuum(retain_last=2)
+    assert gone == stamps[:2]
+    assert tf.snapshots() == stamps[2:]
+    for s in gone:
+        assert not os.path.exists(tf.snapshot_path(s))
+
+    # retention by age, but retain_last still protects the newest
+    gone2 = tf.vacuum(older_than=TS(2025, 1, 1), retain_last=1)
+    assert gone2 == [stamps[2]]
+    assert tf.snapshots() == [stamps[3]]
+
+    # default: keep only the newest
+    assert tf.vacuum() == []
+    assert tf.snapshots() == [stamps[3]]
+    # vacuumed stamps are tombstoned, not forgotten
+    assert set(tf.snapshots(include_deleted=True)) == set(stamps)
