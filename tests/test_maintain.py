@@ -107,3 +107,23 @@ def test_zorder_write_clusters_both_columns(spark, sf_dir, tmp_path):
             if max(his) - min(los) <= 0.75 * spans[col]:
                 tight += 1
         assert tight >= len(files) // 2, col
+
+
+def test_zorder_value_stays_jvm_side(spark, sf_dir):
+    """The Morton interleave must be pure Column bit arithmetic: no
+    Python UDF in the plan, and the write is range-partitioned on the
+    z-value (that's the clustering mechanism)."""
+    from pydala_spark.plans import explain_str
+
+    df = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    zed = df.withColumn(
+        "__z",
+        zorder_value(
+            [F.col("l_orderkey").cast("long"), F.col("l_partkey").cast("long")],
+            bits=8,
+        ),
+    ).repartitionByRange(4, "__z")
+    plan = explain_str(zed, mode="formatted")
+    assert "pythonUDF" not in plan and "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "rangepartitioning" in plan.lower()
