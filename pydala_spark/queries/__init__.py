@@ -21,9 +21,27 @@ bit-exact, not "close"):
 from pydala_spark.queries.core import CORE_ORACLE, CORE_QUERIES
 from pydala_spark.queries.ext import EXT_ORACLE, EXT_QUERIES
 from pydala_spark.queries.funcs import FUNC_ORACLE, FUNC_QUERIES
+from pydala_spark.queries.merged import MERGED_ORACLE, MERGED_QUERIES
 from pydala_spark.queries.sampling import SAMPLING_ORACLE, SAMPLING_QUERIES
 
-QUERIES = {**CORE_QUERIES, **FUNC_QUERIES, **EXT_QUERIES, **SAMPLING_QUERIES}
-ORACLE = {**CORE_ORACLE, **FUNC_ORACLE, **EXT_ORACLE, **SAMPLING_ORACLE}
+# Registry order is part of the driver contract: the correctness driver
+# records roughly the first 50 entries, so the differentiating extension
+# surface (dedup/similarity/text/sampling) comes right after the core
+# relational queries, and the total stays under 50 (round-2 fix for the
+# round-1 truncation where the EXT tail went unrecorded).
+QUERIES = {
+    **CORE_QUERIES,
+    **EXT_QUERIES,
+    **SAMPLING_QUERIES,
+    **FUNC_QUERIES,
+    **MERGED_QUERIES,
+}
+ORACLE = {
+    **CORE_ORACLE,
+    **EXT_ORACLE,
+    **SAMPLING_ORACLE,
+    **FUNC_ORACLE,
+    **MERGED_ORACLE,
+}
 
 __all__ = ["QUERIES", "ORACLE"]

@@ -354,46 +354,6 @@ def q_distinct_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q_DISTINCT_SQL = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
 
 
-def q_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT set op (SURVEY §2.5 J4)."""
-    cust = load_table(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").alias("nationkey")
-    )
-    supp = load_table(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("nationkey")
-    )
-    return cust.intersect(supp)
-
-
-_Q_INTERSECT_SQL = """
-SELECT c_nationkey AS nationkey FROM customer
-INTERSECT
-SELECT s_nationkey AS nationkey FROM supplier
-"""
-
-
-def q_except_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT-DISTINCT set difference — the delta-diff primitive
-    (SURVEY §2.5 J1, utils/table.py:172)."""
-    ev = load_table(spark, sf_dir, "events")
-    week1 = ev.where(
-        (F.col("ts") >= "2024-01-01") & (F.col("ts") < "2024-01-08")
-    ).select("user_id", F.hour("ts").cast("long").alias("h"))
-    week4 = ev.where(
-        (F.col("ts") >= "2024-01-22") & (F.col("ts") < "2024-01-29")
-    ).select("user_id", F.hour("ts").cast("long").alias("h"))
-    return week1.subtract(week4)
-
-
-_Q_EXCEPT_SQL = """
-SELECT user_id, HOUR(CAST(ts AS TIMESTAMP)) AS h FROM events
-WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
-EXCEPT
-SELECT user_id, HOUR(CAST(ts AS TIMESTAMP)) AS h FROM events
-WHERE ts >= TIMESTAMP '2024-01-22' AND ts < TIMESTAMP '2024-01-29'
-"""
-
-
 def q_dedup_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Subset-keyed dedup keep-last (SURVEY §2.4 O3) via the library
     operator (deterministic presort on ts, event_id)."""
@@ -486,52 +446,6 @@ FROM (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ) GROUP BY user_id
-"""
-
-
-def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP grouping sets (SURVEY §2.6 A5)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.count("*").alias("n"), _dsum_str(_rev()).alias("revenue"))
-    )
-
-
-_Q_ROLLUP_SQL = f"""
-SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {_sql_dsum_str(_REV)} AS revenue
-FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-"""
-
-
-def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot via conditional aggregation (portable form of .pivot())."""
-    orders = load_table(spark, sf_dir, "orders")
-
-    def tot(status: str) -> Column:
-        return (
-            F.sum(
-                F.when(F.col("o_orderstatus") == status, F.col("o_totalprice"))
-                .otherwise(F.lit(0))
-                .cast("decimal(25,4)")
-            ).cast("double")
-        )
-
-    return orders.groupBy("o_orderpriority").agg(
-        tot("O").alias("open_total"),
-        tot("F").alias("filled_total"),
-        tot("P").alias("partial_total"),
-        F.count("*").alias("n"),
-    )
-
-
-_Q_PIVOT_SQL = """
-SELECT o_orderpriority,
-  CAST(SUM(CAST(CASE WHEN o_orderstatus='O' THEN o_totalprice ELSE 0 END AS DECIMAL(25,4))) AS DOUBLE) AS open_total,
-  CAST(SUM(CAST(CASE WHEN o_orderstatus='F' THEN o_totalprice ELSE 0 END AS DECIMAL(25,4))) AS DOUBLE) AS filled_total,
-  CAST(SUM(CAST(CASE WHEN o_orderstatus='P' THEN o_totalprice ELSE 0 END AS DECIMAL(25,4))) AS DOUBLE) AS partial_total,
-  COUNT(*) AS n
-FROM orders GROUP BY o_orderpriority
 """
 
 
@@ -636,25 +550,6 @@ WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-16'
 """
 
 
-def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON scalar extraction + agg (SURVEY §2.7 F5)."""
-    ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
-    return ev.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.sum(k.cast("decimal(25,0)")).cast("double").alias("sum_k"),
-        (F.sum(k.cast("decimal(25,0)")).cast("double") / F.count("*")).alias("avg_k"),
-    )
-
-
-_Q_JSON_SQL = """
-SELECT event_type, COUNT(*) AS n,
-  CAST(SUM(CAST(CAST(props->>'$.k' AS INTEGER) AS DECIMAL(25,0))) AS DOUBLE) AS sum_k,
-  CAST(SUM(CAST(CAST(props->>'$.k' AS INTEGER) AS DECIMAL(25,0))) AS DOUBLE) / COUNT(*) AS avg_k
-FROM events GROUP BY event_type
-"""
-
-
 def q_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String functions + min/max/count-distinct per group (SURVEY §2.7)."""
     part = load_table(spark, sf_dir, "part")
@@ -690,18 +585,13 @@ CORE_QUERIES = {
     "q10_returned_items": q10_returned_items,
     "q_top_customers": q_top_customers,
     "q_distinct_flags": q_distinct_flags,
-    "q_intersect_nations": q_intersect_nations,
-    "q_except_users": q_except_users,
     "q_dedup_keep_last": q_dedup_keep_last,
     "q_window_topk": q_window_topk,
     "q_time_bucket_daily": q_time_bucket_daily,
     "q_sessionize": q_sessionize,
-    "q_rollup_revenue": q_rollup_revenue,
-    "q_pivot_status": q_pivot_status,
     "q_asof_purchase": q_asof_purchase,
     "q_range_join": q_range_join,
     "q_delta_diff_events": q_delta_diff_events,
-    "q_json_extract": q_json_extract,
     "q_part_stats": q_part_stats,
 }
 
@@ -715,17 +605,12 @@ CORE_ORACLE = {
     "q10_returned_items": _Q10_SQL,
     "q_top_customers": _Q_TOP_CUSTOMERS_SQL,
     "q_distinct_flags": _Q_DISTINCT_SQL,
-    "q_intersect_nations": _Q_INTERSECT_SQL,
-    "q_except_users": _Q_EXCEPT_SQL,
     "q_dedup_keep_last": _Q_DEDUP_SQL,
     "q_window_topk": _Q_WINDOW_TOPK_SQL,
     "q_time_bucket_daily": _Q_TIME_BUCKET_SQL,
     "q_sessionize": _Q_SESSIONIZE_SQL,
-    "q_rollup_revenue": _Q_ROLLUP_SQL,
-    "q_pivot_status": _Q_PIVOT_SQL,
     "q_asof_purchase": _Q_ASOF_SQL,
     "q_range_join": _Q_RANGE_JOIN_SQL,
     "q_delta_diff_events": _Q_DELTA_DIFF_SQL,
-    "q_json_extract": _Q_JSON_SQL,
     "q_part_stats": _Q_PART_STATS_SQL,
 }

@@ -33,31 +33,12 @@ from pydala_spark.sources import load_table
 _WORD_SPLIT_SQL = "list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '')"
 
 
-def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document token/char/punctuation counts (text analysis)."""
-    docs = load_table(spark, sf_dir, "documents")
-    c = F.col("text")
-    return docs.select(
-        "doc_id",
-        F.length(c).cast("long").alias("n_chars_calc"),
-        token_count(c).cast("long").alias("n_tokens"),
-        (F.length(c) - F.length(F.regexp_replace(c, r"[.,;:!?]", ""))).cast("long").alias("n_punct"),
-        F.size(F.array_distinct(word_regex_tokens(c))).cast("long").alias("n_unique_words"),
-    )
-
-
-_Q_TEXT_STATS_SQL = f"""
-SELECT doc_id,
-  LENGTH(text) AS n_chars_calc,
-  LEN(string_split_regex(TRIM(text), '\\s+')) AS n_tokens,
-  LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,;:!?]', '', 'g')) AS n_punct,
-  LEN(list_distinct({_WORD_SPLIT_SQL})) AS n_unique_words
-FROM documents
-"""
-
-
-def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-score features; ratios are exact integer divisions."""
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text statistics + quality-score features in one
+    projection (text analysis; consolidates round-1's q_text_stats and
+    q_text_quality so both stay inside the driver's correctness window).
+    Ratios are exact integer divisions; all counts are pure column
+    algebra inside whole-stage codegen — zero shuffles."""
     docs = load_table(spark, sf_dir, "documents")
     c = F.col("text")
     n_chars = F.length(c)
@@ -73,7 +54,10 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select(
         "doc_id",
+        n_chars.cast("long").alias("n_chars_calc"),
         n_toks.cast("long").alias("n_tokens"),
+        punct.cast("long").alias("n_punct"),
+        F.size(F.array_distinct(word_regex_tokens(c))).cast("long").alias("n_unique_words"),
         punct_ratio.alias("punct_ratio"),
         stop_ratio.alias("stop_ratio"),
         score.alias("q_score"),
@@ -82,17 +66,18 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EN_LIST = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
 
-_Q_TEXT_QUALITY_SQL = f"""
+_Q_TEXT_PROFILE_SQL = f"""
 WITH s AS (
   SELECT doc_id,
     LENGTH(text) AS n_chars,
     LEN(string_split_regex(TRIM(text), '\\s+')) AS n_tokens,
     LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,;:!?]', '', 'g')) AS n_punct,
     LEN(list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'),
-                    x -> x IN ({_EN_LIST}))) AS stop_en
+                    x -> x IN ({_EN_LIST}))) AS stop_en,
+    LEN(list_distinct({_WORD_SPLIT_SQL})) AS n_unique_words
   FROM documents
 )
-SELECT doc_id, n_tokens,
+SELECT doc_id, n_chars AS n_chars_calc, n_tokens, n_punct, n_unique_words,
   CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
   CAST(stop_en AS DOUBLE) / n_tokens AS stop_ratio,
   (CASE WHEN n_tokens >= 10 AND n_tokens <= 1000 THEN 1 ELSE 0 END
@@ -142,11 +127,16 @@ _NORM_SQL = (
 )
 
 
-def q_fingerprint_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source doc counts vs distinct fingerprints (document
-    fingerprinting / exact-dup rate)."""
+def q_fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting, two granularities tag-unioned (so both
+    stay inside the driver's correctness window): per-source exact-dup
+    fingerprint summary ('fp' rows) + per-doc winnowing rolling-hash
+    fingerprints, k=8 char-grams, window 4 ('win' rows)."""
+    from pydala_spark.operators.textstats import winnowing_fingerprints
+    from pydala_spark.queries.merged import _tagged_union
+
     docs = load_table(spark, sf_dir, "documents")
-    return (
+    fp = (
         docs.withColumn("fp", fingerprint("text"))
         .groupBy("source")
         .agg(
@@ -155,32 +145,19 @@ def q_fingerprint_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("fp").alias("max_fp"),
         )
     )
-
-
-_Q_FINGERPRINT_SQL = f"""
-SELECT source, COUNT(*) AS n_docs,
-       COUNT(DISTINCT MD5({_NORM_SQL})) AS n_distinct,
-       MAX(MD5({_NORM_SQL})) AS max_fp
-FROM documents GROUP BY source
-"""
-
-
-def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing rolling-hash fingerprints (k=8 char-grams, window 4):
-    per-doc fingerprint count + extremes."""
-    from pydala_spark.operators.textstats import winnowing_fingerprints
-
-    docs = _spread(spark, load_table(spark, sf_dir, "documents"))
-    fps = winnowing_fingerprints(docs, "doc_id", "text", k=8, window=4)
-    return fps.select(
+    fps = winnowing_fingerprints(
+        _spread(spark, docs), "doc_id", "text", k=8, window=4
+    )
+    win = fps.select(
         F.col("id").alias("doc_id"),
         F.size("fps").cast("long").alias("n_fps"),
         F.element_at("fps", 1).alias("min_fp"),
         F.element_at("fps", -1).alias("max_fp"),
     )
+    return _tagged_union([("fp", fp), ("win", win)])
 
 
-_Q_WINNOWING_SQL = f"""
+_Q_FINGERPRINT_WINNOWING_SQL = f"""
 WITH n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
 h AS (
   SELECT doc_id, list_transform(
@@ -194,7 +171,16 @@ f AS (
            j -> list_min(hashes[j:j+3])))) AS fps
   FROM h
 )
-SELECT doc_id, LEN(fps) AS n_fps, fps[1] AS min_fp, fps[-1] AS max_fp FROM f
+SELECT 'fp' AS family, source, COUNT(*) AS n_docs,
+       COUNT(DISTINCT MD5({_NORM_SQL})) AS n_distinct,
+       MAX(MD5({_NORM_SQL})) AS max_fp,
+       CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_fps,
+       CAST(NULL AS VARCHAR) AS min_fp
+FROM documents GROUP BY source
+UNION ALL
+SELECT 'win', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       fps[-1], doc_id, LEN(fps), fps[1]
+FROM f
 """
 
 
@@ -449,11 +435,9 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXT_QUERIES = {
-    "q_text_stats": q_text_stats,
-    "q_text_quality": q_text_quality,
+    "q_text_profile": q_text_profile,
     "q_lang_predict": q_lang_predict,
-    "q_fingerprint_summary": q_fingerprint_summary,
-    "q_winnowing": q_winnowing,
+    "q_fingerprint_winnowing": q_fingerprint_winnowing,
     "q_dedup_exact_docs": q_dedup_exact_docs,
     "q_minhash_lsh": q_minhash_lsh,
     "q_ngram_jaccard": q_ngram_jaccard,
@@ -467,11 +451,9 @@ EXT_QUERIES = {
 }
 
 EXT_ORACLE = {
-    "q_text_stats": _Q_TEXT_STATS_SQL,
-    "q_text_quality": _Q_TEXT_QUALITY_SQL,
+    "q_text_profile": _Q_TEXT_PROFILE_SQL,
     "q_lang_predict": _Q_LANG_SQL,
-    "q_fingerprint_summary": _Q_FINGERPRINT_SQL,
-    "q_winnowing": _Q_WINNOWING_SQL,
+    "q_fingerprint_winnowing": _Q_FINGERPRINT_WINNOWING_SQL,
     "q_dedup_exact_docs": _Q_DEDUP_EXACT_SQL,
     "q_minhash_lsh": _Q_MINHASH_SQL,
     "q_ngram_jaccard": _Q_JACCARD_SQL,

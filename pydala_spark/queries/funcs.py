@@ -1,5 +1,11 @@
-"""Function-family and additional TPC-H-shaped queries (SURVEY §2.5 J4+,
-§2.6 A5+, §2.7 F5 — the SQL-passthrough surface made explicit).
+"""Additional TPC-H-shaped queries and the window-function family
+(SURVEY §2.5 J4+, §2.6 A5+, §2.7 F5 — the SQL-passthrough surface made
+explicit).
+
+The single-family scalar/collection/set-op demos that lived here in
+round 1 were consolidated into tagged multi-family queries in
+``queries/merged.py`` so the whole registry fits inside the correctness
+driver's ~50-query window.
 
 Same exactness rules as queries/core.py (decimal sums, identical aliases).
 """
@@ -261,193 +267,6 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
-def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Date-part extraction family."""
-    orders = load_table(spark, sf_dir, "orders")
-    return (
-        orders.groupBy(
-            F.year("o_orderdate").alias("y"),
-            F.quarter("o_orderdate").alias("q"),
-            F.month("o_orderdate").alias("m"),
-        )
-        .agg(
-            F.count("*").alias("n"),
-            F.min(F.dayofmonth("o_orderdate")).alias("min_dom"),
-            F.max(F.dayofyear("o_orderdate")).alias("max_doy"),
-        )
-    )
-
-
-_Q_DATE_FUNCS_SQL = """
-SELECT CAST(YEAR(o_orderdate) AS INT) AS y, CAST(QUARTER(o_orderdate) AS INT) AS q,
-       CAST(MONTH(o_orderdate) AS INT) AS m, COUNT(*) AS n,
-       CAST(MIN(DAYOFMONTH(o_orderdate)) AS INT) AS min_dom,
-       CAST(MAX(DAYOFYEAR(o_orderdate)) AS INT) AS max_doy
-FROM orders GROUP BY 1, 2, 3
-"""
-
-
-def q_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Math scalar family on supplier balances (exact per-row ops)."""
-    supp = load_table(spark, sf_dir, "supplier")
-    return supp.select(
-        "s_suppkey",
-        F.abs("s_acctbal").alias("abs_bal"),
-        F.ceil("s_acctbal").alias("ceil_bal"),
-        F.floor("s_acctbal").alias("floor_bal"),
-        F.sqrt(F.abs("s_acctbal")).alias("sqrt_bal"),
-        (F.col("s_suppkey") % 7).alias("mod7"),
-        F.pow(F.lit(2.0), (F.col("s_suppkey") % 10)).alias("pow2"),
-        F.greatest("s_acctbal", F.lit(0.0)).alias("pos_bal"),
-    )
-
-
-_Q_MATH_FUNCS_SQL = """
-SELECT s_suppkey, ABS(s_acctbal) AS abs_bal,
-       CAST(CEIL(s_acctbal) AS BIGINT) AS ceil_bal,
-       CAST(FLOOR(s_acctbal) AS BIGINT) AS floor_bal,
-       SQRT(ABS(s_acctbal)) AS sqrt_bal,
-       s_suppkey % 7 AS mod7,
-       POW(2.0, s_suppkey % 10) AS pow2,
-       GREATEST(s_acctbal, 0.0) AS pos_bal
-FROM supplier
-"""
-
-
-def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String scalar family on customer names."""
-    cust = load_table(spark, sf_dir, "customer").where(
-        F.col("c_name").like("%1%")
-    )
-    return cust.select(
-        "c_custkey",
-        F.upper("c_name").alias("upper_name"),
-        F.length("c_name").cast("long").alias("name_len"),
-        F.substring("c_name", 1, 8).alias("prefix"),
-        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded_key"),
-        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("short_name"),
-        F.concat_ws("-", F.col("c_mktsegment"), F.col("c_custkey").cast("string")).alias(
-            "seg_key"
-        ),
-    )
-
-
-_Q_STRING_FUNCS_SQL = """
-SELECT c_custkey, UPPER(c_name) AS upper_name, LENGTH(c_name) AS name_len,
-       SUBSTRING(c_name, 1, 8) AS prefix,
-       LPAD(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key,
-       REPLACE(c_name, 'Customer', 'Cust') AS short_name,
-       CONCAT_WS('-', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS seg_key
-FROM customer WHERE c_name LIKE '%1%'
-"""
-
-
-def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array family: split/sort/distinct/contains/join over doc tokens."""
-    from pydala_spark.operators.textstats import word_regex_tokens
-
-    docs = load_table(spark, sf_dir, "documents")
-    toks = word_regex_tokens("text")
-    return docs.select(
-        "doc_id",
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.array_contains(toks, "spark").alias("has_spark"),
-        F.array_join(F.slice(F.array_sort(F.array_distinct(toks)), 1, 5), " ").alias(
-            "first5_sorted"
-        ),
-    )
-
-
-_Q_ARRAY_FUNCS_SQL = """
-SELECT doc_id,
-  LEN(t) AS n_tokens,
-  list_contains(t, 'spark') AS has_spark,
-  array_to_string(list_sort(list_distinct(t))[1:5], ' ') AS first5_sorted
-FROM (SELECT doc_id,
-        list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '') AS t
-      FROM documents)
-"""
-
-
-def q_union_all_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION ALL + re-aggregation."""
-    cust = load_table(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").alias("nationkey")
-    )
-    supp = load_table(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("nationkey")
-    )
-    return cust.unionAll(supp).groupBy("nationkey").agg(F.count("*").alias("n"))
-
-
-_Q_UNION_ALL_SQL = """
-SELECT nationkey, COUNT(*) AS n FROM (
-  SELECT c_nationkey AS nationkey FROM customer
-  UNION ALL
-  SELECT s_nationkey AS nationkey FROM supplier
-) GROUP BY nationkey
-"""
-
-
-def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE grouping sets."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.count("*").alias("n"), _dsum_str(_rev()).alias("revenue")
-    )
-
-
-_Q_CUBE_SQL = f"""
-SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {_sql_dsum_str(_REV)} AS revenue
-FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
-"""
-
-
-def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IN-subquery (left-semi join form): customers with any order over
-    400k."""
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
-    return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
-        .select("c_custkey", "c_name", "c_mktsegment")
-    )
-
-
-_Q_IN_SUBQUERY_SQL = """
-SELECT c_custkey, c_name, c_mktsegment FROM customer
-WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
-"""
-
-
-def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar-subquery comparison: customers above the mean balance
-    (mean as exact decimal-sum / count)."""
-    cust = load_table(spark, sf_dir, "customer")
-    mean = cust.agg(
-        (
-            F.sum(F.col("c_acctbal").cast("decimal(25,4)")).cast("double")
-            / F.count("*")
-        ).alias("mean_bal")
-    )
-    return (
-        cust.crossJoin(F.broadcast(mean))
-        .where(F.col("c_acctbal") > F.col("mean_bal"))
-        .groupBy("c_mktsegment")
-        .agg(F.count("*").alias("n_above"))
-    )
-
-
-_Q_SCALAR_SUBQUERY_SQL = """
-SELECT c_mktsegment, COUNT(*) AS n_above
-FROM customer
-WHERE c_acctbal > (
-  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(25,4))) AS DOUBLE) / COUNT(*)
-  FROM customer)
-GROUP BY c_mktsegment
-"""
-
-
 def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: correlated scalar subquery (per-part average
     quantity threshold), expressed as a window/join in the DataFrame."""
@@ -487,197 +306,6 @@ WHERE p_brand = 'Brand#3'
 """
 
 
-def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS ((flag),(status)) with grouping() markers
-    (distinct shape from rollup/cube)."""
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
-    return spark.sql(
-        """
-        SELECT l_returnflag, l_linestatus,
-               CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
-               CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
-               COUNT(*) AS n
-        FROM lineitem_gs
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
-        """
-    )
-
-
-_Q_GROUPING_SETS_SQL = """
-SELECT l_returnflag, l_linestatus,
-       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
-       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
-       COUNT(*) AS n
-FROM lineitem
-GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
-"""
-
-
-def q_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pearson correlation from EXACT decimal moment sums — built-in
-    corr() accumulates doubles in engine-specific order; computing the
-    five moments exactly then combining in double is bit-identical."""
-    li = load_table(spark, sf_dir, "lineitem")
-    x = F.col("l_quantity").cast("decimal(25,4)")
-    y = F.col("l_discount").cast("decimal(25,6)")
-    xy = (F.col("l_quantity") * F.col("l_discount")).cast("decimal(25,8)")
-    xx = (F.col("l_quantity") * F.col("l_quantity")).cast("decimal(25,4)")
-    yy = (F.col("l_discount") * F.col("l_discount")).cast("decimal(25,8)")
-    agg = li.groupBy("l_returnflag").agg(
-        F.count("*").alias("n"),
-        F.sum(x).cast("double").alias("sx"),
-        F.sum(y).cast("double").alias("sy"),
-        F.sum(xy).cast("double").alias("sxy"),
-        F.sum(xx).cast("double").alias("sxx"),
-        F.sum(yy).cast("double").alias("syy"),
-    )
-    n = F.col("n").cast("double")
-    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
-    den = F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
-        n * F.col("syy") - F.col("sy") * F.col("sy")
-    )
-    return agg.select("l_returnflag", "n", (num / den).alias("corr_qty_disc"))
-
-
-_Q_CORRELATION_SQL = """
-WITH m AS (
-  SELECT l_returnflag, COUNT(*) AS n,
-    CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sx,
-    CAST(SUM(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) AS sy,
-    CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(25,8))) AS DOUBLE) AS sxy,
-    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sxx,
-    CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(25,8))) AS DOUBLE) AS syy
-  FROM lineitem GROUP BY l_returnflag
-)
-SELECT l_returnflag, n,
-  (CAST(n AS DOUBLE) * sxy - sx * sy)
-  / (SQRT(CAST(n AS DOUBLE) * sxx - sx * sx) * SQRT(CAST(n AS DOUBLE) * syy - sy * sy))
-    AS corr_qty_disc
-FROM m
-"""
-
-
-def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map type family: build per-row maps, extract keys/values/size
-    (outputs scalars — raw map columns have engine-specific ordering)."""
-    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 100)
-    m = F.create_map(
-        F.lit("qty"), F.col("l_quantity"), F.lit("price"), F.col("l_extendedprice")
-    )
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.element_at(m, "qty").alias("qty_val"),
-        F.size(m).alias("m_size"),
-        F.array_join(F.map_keys(m), ",").alias("m_keys"),
-    )
-
-
-_Q_MAP_FUNCS_SQL = """
-SELECT l_orderkey, l_linenumber,
-  map_extract(map(['qty','price'], [l_quantity, l_extendedprice]), 'qty')[1] AS qty_val,
-  CAST(cardinality(map(['qty','price'], [l_quantity, l_extendedprice])) AS INT) AS m_size,
-  array_to_string(map_keys(map(['qty','price'], [l_quantity, l_extendedprice])), ',') AS m_keys
-FROM lineitem WHERE l_orderkey < 100
-"""
-
-
-def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unpivot (wide -> long) + re-aggregate."""
-    li = load_table(spark, sf_dir, "lineitem")
-    long = li.unpivot(
-        ["l_returnflag"],
-        ["l_quantity", "l_discount"],
-        "metric",
-        "val",
-    )
-    return long.groupBy("l_returnflag", "metric").agg(
-        F.sum(F.col("val").cast("decimal(25,6)")).cast("double").alias("total"),
-        F.count("*").alias("n"),
-    )
-
-
-_Q_UNPIVOT_SQL = """
-SELECT l_returnflag, metric,
-       CAST(SUM(CAST(val AS DECIMAL(25,6))) AS DOUBLE) AS total, COUNT(*) AS n
-FROM (
-  SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
-  UNION ALL
-  SELECT l_returnflag, 'l_discount' AS metric, l_discount AS val FROM lineitem
-) GROUP BY l_returnflag, metric
-"""
-
-
-def q_regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Regex family: extract + match-filter + count occurrences."""
-    part = load_table(spark, sf_dir, "part")
-    first_word = F.regexp_extract("p_name", r"^([a-z]+)", 1)
-    return (
-        part.where(F.col("p_name").rlike(r"^[a-z]+ [a-z]+$"))
-        .groupBy(first_word.alias("first_word"))
-        .agg(
-            F.count("*").alias("n"),
-            F.countDistinct("p_brand").alias("n_brands"),
-        )
-    )
-
-
-_Q_REGEXP_SQL = """
-SELECT regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
-       COUNT(*) AS n, COUNT(DISTINCT p_brand) AS n_brands
-FROM part WHERE regexp_matches(p_name, '^[a-z]+ [a-z]+$')
-GROUP BY 1
-"""
-
-
-def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated quantiles (Spark ``percentile`` == DuckDB
-    ``quantile_cont``, verified bit-identical)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
-        F.expr("percentile(l_extendedprice, 0.25)").alias("p25_price"),
-        F.expr("percentile(l_extendedprice, 0.75)").alias("p75_price"),
-        F.count("*").alias("n"),
-    )
-
-
-_Q_QUANTILES_SQL = """
-SELECT l_returnflag,
-       quantile_cont(l_quantity, 0.5) AS median_qty,
-       quantile_cont(l_extendedprice, 0.25) AS p25_price,
-       quantile_cont(l_extendedprice, 0.75) AS p75_price,
-       COUNT(*) AS n
-FROM lineitem GROUP BY l_returnflag
-"""
-
-
-def q_conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CASE / COALESCE / NULLIF family."""
-    orders = load_table(spark, sf_dir, "orders")
-    status = F.coalesce(
-        F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")
-    )
-    band = (
-        F.when(F.col("o_totalprice") < 50000, "small")
-        .when(F.col("o_totalprice") < 200000, "medium")
-        .otherwise("large")
-    )
-    return orders.groupBy(status.alias("status"), band.alias("band")).agg(
-        F.count("*").alias("n")
-    )
-
-
-_Q_CONDITIONAL_SQL = """
-SELECT COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status,
-       CASE WHEN o_totalprice < 50000 THEN 'small'
-            WHEN o_totalprice < 200000 THEN 'medium'
-            ELSE 'large' END AS band,
-       COUNT(*) AS n
-FROM orders GROUP BY 1, 2
-"""
-
-
 FUNC_QUERIES = {
     "q07_volume_shipping": q07_volume_shipping,
     "q09_product_profit": q09_product_profit,
@@ -686,22 +314,7 @@ FUNC_QUERIES = {
     "q18_large_orders": q18_large_orders,
     "q19_discounted_parts": q19_discounted_parts,
     "q_window_functions": q_window_functions,
-    "q_date_functions": q_date_functions,
-    "q_math_functions": q_math_functions,
-    "q_string_functions": q_string_functions,
-    "q_array_functions": q_array_functions,
-    "q_union_all_counts": q_union_all_counts,
-    "q_cube_revenue": q_cube_revenue,
-    "q_in_subquery": q_in_subquery,
-    "q_scalar_subquery": q_scalar_subquery,
-    "q_quantiles": q_quantiles,
-    "q_conditional_functions": q_conditional_functions,
-    "q_map_functions": q_map_functions,
-    "q_unpivot": q_unpivot,
-    "q_regexp_functions": q_regexp_functions,
     "q17_small_quantity": q17_small_quantity,
-    "q_grouping_sets": q_grouping_sets,
-    "q_correlation": q_correlation,
 }
 
 FUNC_ORACLE = {
@@ -712,20 +325,5 @@ FUNC_ORACLE = {
     "q18_large_orders": _Q18_SQL,
     "q19_discounted_parts": _Q19_SQL,
     "q_window_functions": _Q_WINDOW_FUNCS_SQL,
-    "q_date_functions": _Q_DATE_FUNCS_SQL,
-    "q_math_functions": _Q_MATH_FUNCS_SQL,
-    "q_string_functions": _Q_STRING_FUNCS_SQL,
-    "q_array_functions": _Q_ARRAY_FUNCS_SQL,
-    "q_union_all_counts": _Q_UNION_ALL_SQL,
-    "q_cube_revenue": _Q_CUBE_SQL,
-    "q_in_subquery": _Q_IN_SUBQUERY_SQL,
-    "q_scalar_subquery": _Q_SCALAR_SUBQUERY_SQL,
-    "q_quantiles": _Q_QUANTILES_SQL,
-    "q_conditional_functions": _Q_CONDITIONAL_SQL,
-    "q_map_functions": _Q_MAP_FUNCS_SQL,
-    "q_unpivot": _Q_UNPIVOT_SQL,
-    "q_regexp_functions": _Q_REGEXP_SQL,
     "q17_small_quantity": _Q17_SQL,
-    "q_grouping_sets": _Q_GROUPING_SETS_SQL,
-    "q_correlation": _Q_CORRELATION_SQL,
 }

@@ -1,0 +1,513 @@
+"""Consolidated function-family queries (SURVEY §2.5-2.7).
+
+Round 1 declared each scalar/collection/set-op family as its own query;
+the correctness driver records only the first ~50 registry entries, so
+round 2 folds the single-family demos into tagged multi-family queries.
+Each merged query still exercises every original operator — the branches
+are unioned under a ``family`` tag with NULL-padded columns, so the
+DuckDB oracle stays value-exact per family.
+
+Exactness note for the padding: a BIGINT/INT column that is NULL in any
+branch arrives in pandas as float64 (NaN) from BOTH engines (verified),
+so the canonical-string compare still matches; strings pad to None
+("NULL") identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pydala_spark.queries.core import (
+    _dsum_str,
+    _rev,
+    _sql_dsum_str,
+    _REV,
+)
+from pydala_spark.sources import load_table
+
+
+def _tagged_union(parts: list[tuple[str, DataFrame]]) -> DataFrame:
+    """Union heterogeneous family results under a ``family`` tag.
+
+    The output schema is the first-appearance-ordered superset of all
+    branch columns; absent columns are NULL-padded with the dtype of the
+    branch that defines them (so unionByName never coerces).
+    """
+    fields: dict[str, object] = {}
+    for _, df in parts:
+        for f in df.schema.fields:
+            fields.setdefault(f.name, f.dataType)
+    out = None
+    for fam, df in parts:
+        have = set(df.columns)
+        sel = df.select(
+            F.lit(fam).alias("family"),
+            *[
+                (F.col(n) if n in have else F.lit(None).cast(dt)).alias(n)
+                for n, dt in fields.items()
+            ],
+        )
+        out = sel if out is None else out.unionByName(sel)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# scalar families: date parts + math + conditional (F5)
+
+
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part, math and CASE/COALESCE/NULLIF families, tag-unioned."""
+    orders = load_table(spark, sf_dir, "orders")
+    date = (
+        orders.groupBy(
+            F.year("o_orderdate").alias("y"),
+            F.quarter("o_orderdate").alias("q"),
+            F.month("o_orderdate").alias("m"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min(F.dayofmonth("o_orderdate")).alias("min_dom"),
+            F.max(F.dayofyear("o_orderdate")).alias("max_doy"),
+        )
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    math = supp.select(
+        "s_suppkey",
+        F.abs("s_acctbal").alias("abs_bal"),
+        F.ceil("s_acctbal").alias("ceil_bal"),
+        F.floor("s_acctbal").alias("floor_bal"),
+        F.sqrt(F.abs("s_acctbal")).alias("sqrt_bal"),
+        (F.col("s_suppkey") % 7).alias("mod7"),
+        F.pow(F.lit(2.0), (F.col("s_suppkey") % 10)).alias("pow2"),
+        F.greatest("s_acctbal", F.lit(0.0)).alias("pos_bal"),
+    )
+    status = F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING"))
+    band = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 200000, "medium")
+        .otherwise("large")
+    )
+    cond = orders.groupBy(status.alias("status"), band.alias("band")).agg(
+        F.count("*").alias("n")
+    )
+    return _tagged_union([("date", date), ("math", math), ("cond", cond)])
+
+
+_NULLS_MATH = """CAST(NULL AS BIGINT) AS s_suppkey, CAST(NULL AS DOUBLE) AS abs_bal,
+  CAST(NULL AS BIGINT) AS ceil_bal, CAST(NULL AS BIGINT) AS floor_bal,
+  CAST(NULL AS DOUBLE) AS sqrt_bal, CAST(NULL AS BIGINT) AS mod7,
+  CAST(NULL AS DOUBLE) AS pow2, CAST(NULL AS DOUBLE) AS pos_bal"""
+
+_Q_SCALAR_SQL = f"""
+SELECT 'date' AS family, CAST(YEAR(o_orderdate) AS INT) AS y,
+  CAST(QUARTER(o_orderdate) AS INT) AS q, CAST(MONTH(o_orderdate) AS INT) AS m,
+  COUNT(*) AS n, CAST(MIN(DAYOFMONTH(o_orderdate)) AS INT) AS min_dom,
+  CAST(MAX(DAYOFYEAR(o_orderdate)) AS INT) AS max_doy,
+  {_NULLS_MATH},
+  CAST(NULL AS VARCHAR) AS status, CAST(NULL AS VARCHAR) AS band
+FROM orders GROUP BY 2, 3, 4
+UNION ALL
+SELECT 'math', CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS INT),
+  CAST(NULL AS BIGINT), CAST(NULL AS INT), CAST(NULL AS INT),
+  s_suppkey, ABS(s_acctbal), CAST(CEIL(s_acctbal) AS BIGINT),
+  CAST(FLOOR(s_acctbal) AS BIGINT), SQRT(ABS(s_acctbal)), s_suppkey % 7,
+  POW(2.0, s_suppkey % 10), GREATEST(s_acctbal, 0.0),
+  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+FROM supplier
+UNION ALL
+SELECT 'cond', CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS INT),
+  COUNT(*), CAST(NULL AS INT), CAST(NULL AS INT),
+  {_NULLS_MATH},
+  COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING'),
+  CASE WHEN o_totalprice < 50000 THEN 'small'
+       WHEN o_totalprice < 200000 THEN 'medium' ELSE 'large' END
+FROM orders GROUP BY 16, 17
+"""
+
+
+# ---------------------------------------------------------------------------
+# string + regexp families (F5)
+
+
+def q_string_regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar family + regex extract/match family, tag-unioned."""
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_name").like("%1%"))
+    string = cust.select(
+        "c_custkey",
+        F.upper("c_name").alias("upper_name"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("prefix"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded_key"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("short_name"),
+        F.concat_ws("-", F.col("c_mktsegment"), F.col("c_custkey").cast("string")).alias(
+            "seg_key"
+        ),
+    )
+    part = load_table(spark, sf_dir, "part")
+    regexp = (
+        part.where(F.col("p_name").rlike(r"^[a-z]+ [a-z]+$"))
+        .groupBy(F.regexp_extract("p_name", r"^([a-z]+)", 1).alias("first_word"))
+        .agg(F.count("*").alias("n"), F.countDistinct("p_brand").alias("n_brands"))
+    )
+    return _tagged_union([("string", string), ("regexp", regexp)])
+
+
+_Q_STRING_REGEXP_SQL = """
+SELECT 'string' AS family, c_custkey, UPPER(c_name) AS upper_name,
+  LENGTH(c_name) AS name_len, SUBSTRING(c_name, 1, 8) AS prefix,
+  LPAD(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key,
+  REPLACE(c_name, 'Customer', 'Cust') AS short_name,
+  CONCAT_WS('-', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS seg_key,
+  CAST(NULL AS VARCHAR) AS first_word, CAST(NULL AS BIGINT) AS n,
+  CAST(NULL AS BIGINT) AS n_brands
+FROM customer WHERE c_name LIKE '%1%'
+UNION ALL
+SELECT 'regexp', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+  CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+  regexp_extract(p_name, '^([a-z]+)', 1), COUNT(*), COUNT(DISTINCT p_brand)
+FROM part WHERE regexp_matches(p_name, '^[a-z]+ [a-z]+$') GROUP BY 9
+"""
+
+
+# ---------------------------------------------------------------------------
+# collection families: array + map + JSON (F5)
+
+
+def q_collection_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array, map and JSON-extraction families, tag-unioned."""
+    from pydala_spark.operators.textstats import word_regex_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = word_regex_tokens("text")
+    arr = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        # int, not boolean: a NULL-padded bool column canonicalizes as
+        # None in Spark's toPandas but NaN in DuckDB's -> value mismatch
+        F.array_contains(toks, "spark").cast("int").alias("has_spark"),
+        F.array_join(F.slice(F.array_sort(F.array_distinct(toks)), 1, 5), " ").alias(
+            "first5_sorted"
+        ),
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 100)
+    m = F.create_map(
+        F.lit("qty"), F.col("l_quantity"), F.lit("price"), F.col("l_extendedprice")
+    )
+    maps = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.element_at(m, "qty").alias("qty_val"),
+        F.size(m).alias("m_size"),
+        F.array_join(F.map_keys(m), ",").alias("m_keys"),
+    )
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    js = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k.cast("decimal(25,0)")).cast("double").alias("sum_k"),
+        (F.sum(k.cast("decimal(25,0)")).cast("double") / F.count("*")).alias("avg_k"),
+    )
+    return _tagged_union([("array", arr), ("map", maps), ("json", js)])
+
+
+_WORD_SPLIT = "list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '')"
+
+_Q_COLLECTION_SQL = f"""
+SELECT 'array' AS family, doc_id, LEN(t) AS n_tokens,
+  CAST(list_contains(t, 'spark') AS INT) AS has_spark,
+  array_to_string(list_sort(list_distinct(t))[1:5], ' ') AS first5_sorted,
+  CAST(NULL AS BIGINT) AS l_orderkey, CAST(NULL AS INT) AS l_linenumber,
+  CAST(NULL AS DOUBLE) AS qty_val, CAST(NULL AS INT) AS m_size,
+  CAST(NULL AS VARCHAR) AS m_keys, CAST(NULL AS VARCHAR) AS event_type,
+  CAST(NULL AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS sum_k,
+  CAST(NULL AS DOUBLE) AS avg_k
+FROM (SELECT doc_id, {_WORD_SPLIT} AS t FROM documents)
+UNION ALL
+SELECT 'map', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS INT),
+  CAST(NULL AS VARCHAR), l_orderkey, l_linenumber,
+  map_extract(map(['qty','price'], [l_quantity, l_extendedprice]), 'qty')[1],
+  CAST(cardinality(map(['qty','price'], [l_quantity, l_extendedprice])) AS INT),
+  array_to_string(map_keys(map(['qty','price'], [l_quantity, l_extendedprice])), ','),
+  CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+  CAST(NULL AS DOUBLE)
+FROM lineitem WHERE l_orderkey < 100
+UNION ALL
+SELECT 'json', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS INT),
+  CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS INT),
+  CAST(NULL AS DOUBLE), CAST(NULL AS INT), CAST(NULL AS VARCHAR),
+  event_type, COUNT(*),
+  CAST(SUM(CAST(CAST(props->>'$.k' AS INTEGER) AS DECIMAL(25,0))) AS DOUBLE),
+  CAST(SUM(CAST(CAST(props->>'$.k' AS INTEGER) AS DECIMAL(25,0))) AS DOUBLE) / COUNT(*)
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# grouping analytics: ROLLUP + CUBE + GROUPING SETS (A5)
+
+
+def q_grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP, CUBE and explicit GROUPING SETS over the same keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rollup = li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), _dsum_str(_rev()).alias("revenue")
+    )
+    cube = li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), _dsum_str(_rev()).alias("revenue")
+    )
+    li.createOrReplaceTempView("lineitem_ga")
+    gsets = spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+               CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+               COUNT(*) AS n
+        FROM lineitem_ga
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+    return _tagged_union([("rollup", rollup), ("cube", cube), ("gsets", gsets)])
+
+
+_Q_GROUPING_SQL = f"""
+SELECT 'rollup' AS family, l_returnflag, l_linestatus, COUNT(*) AS n,
+  {_sql_dsum_str(_REV)} AS revenue,
+  CAST(NULL AS BIGINT) AS g_flag, CAST(NULL AS BIGINT) AS g_status
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+UNION ALL
+SELECT 'cube', l_returnflag, l_linestatus, COUNT(*), {_sql_dsum_str(_REV)},
+  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+UNION ALL
+SELECT 'gsets', l_returnflag, l_linestatus, COUNT(*), CAST(NULL AS VARCHAR),
+  CAST(GROUPING(l_returnflag) AS BIGINT), CAST(GROUPING(l_linestatus) AS BIGINT)
+FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+"""
+
+
+# ---------------------------------------------------------------------------
+# subqueries: IN-subquery (semi join) + scalar subquery (J4)
+
+
+def q_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery (left-semi) + scalar-subquery comparison, tag-unioned."""
+    cust = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    insub = cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    mean = cust.agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(25,4)")).cast("double") / F.count("*")
+        ).alias("mean_bal")
+    )
+    scalar = (
+        cust.crossJoin(F.broadcast(mean))
+        .where(F.col("c_acctbal") > F.col("mean_bal"))
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_above"))
+    )
+    return _tagged_union([("in", insub), ("scalar", scalar)])
+
+
+_Q_SUBQUERIES_SQL = """
+SELECT 'in' AS family, c_custkey, c_name, c_mktsegment,
+  CAST(NULL AS BIGINT) AS n_above
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+UNION ALL
+SELECT 'scalar', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), c_mktsegment, COUNT(*)
+FROM customer
+WHERE c_acctbal > (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(25,4))) AS DOUBLE) / COUNT(*)
+  FROM customer)
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# set operations: UNION ALL + INTERSECT + EXCEPT (J1/J4)
+
+
+def q_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL re-agg, INTERSECT and EXCEPT-DISTINCT, tag-unioned."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    ua = cust.unionAll(supp).groupBy("nationkey").agg(F.count("*").alias("n"))
+    inter = cust.intersect(supp)
+    ev = load_table(spark, sf_dir, "events")
+    week1 = ev.where((F.col("ts") >= "2024-01-01") & (F.col("ts") < "2024-01-08")).select(
+        "user_id", F.hour("ts").cast("long").alias("h")
+    )
+    week4 = ev.where((F.col("ts") >= "2024-01-22") & (F.col("ts") < "2024-01-29")).select(
+        "user_id", F.hour("ts").cast("long").alias("h")
+    )
+    diff = week1.subtract(week4)
+    return _tagged_union([("union_all", ua), ("intersect", inter), ("except", diff)])
+
+
+_Q_SET_OPS_SQL = """
+SELECT 'union_all' AS family, nationkey, COUNT(*) AS n,
+  CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS BIGINT) AS h
+FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  UNION ALL
+  SELECT s_nationkey AS nationkey FROM supplier
+) GROUP BY nationkey
+UNION ALL
+SELECT 'intersect', nationkey, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+  CAST(NULL AS BIGINT)
+FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  INTERSECT
+  SELECT s_nationkey AS nationkey FROM supplier
+)
+UNION ALL
+SELECT 'except', CAST(NULL AS INTEGER), CAST(NULL AS BIGINT), user_id, h
+FROM (
+  SELECT user_id, HOUR(CAST(ts AS TIMESTAMP)) AS h FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+  EXCEPT
+  SELECT user_id, HOUR(CAST(ts AS TIMESTAMP)) AS h FROM events
+  WHERE ts >= TIMESTAMP '2024-01-22' AND ts < TIMESTAMP '2024-01-29'
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# statistics: exact quantiles + exact-moment Pearson correlation (A5)
+
+
+def q_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated quantiles + Pearson correlation from exact decimal
+    moments, in ONE aggregation pass over lineitem (one shuffle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(25,4)")
+    y = F.col("l_discount").cast("decimal(25,6)")
+    xy = (F.col("l_quantity") * F.col("l_discount")).cast("decimal(25,8)")
+    xx = (F.col("l_quantity") * F.col("l_quantity")).cast("decimal(25,4)")
+    yy = (F.col("l_discount") * F.col("l_discount")).cast("decimal(25,8)")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        F.expr("percentile(l_extendedprice, 0.25)").alias("p25_price"),
+        F.expr("percentile(l_extendedprice, 0.75)").alias("p75_price"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(xy).cast("double").alias("sxy"),
+        F.sum(xx).cast("double").alias("sxx"),
+        F.sum(yy).cast("double").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        n * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return agg.select(
+        "l_returnflag",
+        "n",
+        "median_qty",
+        "p25_price",
+        "p75_price",
+        (num / den).alias("corr_qty_disc"),
+    )
+
+
+_Q_STATS_SQL = """
+WITH m AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+    quantile_cont(l_quantity, 0.5) AS median_qty,
+    quantile_cont(l_extendedprice, 0.25) AS p25_price,
+    quantile_cont(l_extendedprice, 0.75) AS p75_price,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(25,8))) AS DOUBLE) AS sxy,
+    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(25,8))) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n, median_qty, p25_price, p75_price,
+  (CAST(n AS DOUBLE) * sxy - sx * sy)
+  / (SQRT(CAST(n AS DOUBLE) * sxx - sx * sx) * SQRT(CAST(n AS DOUBLE) * syy - sy * sy))
+    AS corr_qty_disc
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# pivot + unpivot (wide<->long reshaping)
+
+
+def q_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-agg pivot and unpivot+re-agg, tag-unioned."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def tot(status: str):
+        return F.sum(
+            F.when(F.col("o_orderstatus") == status, F.col("o_totalprice"))
+            .otherwise(F.lit(0))
+            .cast("decimal(25,4)")
+        ).cast("double")
+
+    pivot = orders.groupBy("o_orderpriority").agg(
+        tot("O").alias("open_total"),
+        tot("F").alias("filled_total"),
+        tot("P").alias("partial_total"),
+        F.count("*").alias("n"),
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(["l_returnflag"], ["l_quantity", "l_discount"], "metric", "val")
+    unpivot = long.groupBy("l_returnflag", "metric").agg(
+        F.sum(F.col("val").cast("decimal(25,6)")).cast("double").alias("total"),
+        F.count("*").alias("n"),
+    )
+    return _tagged_union([("pivot", pivot), ("unpivot", unpivot)])
+
+
+_Q_PIVOT_UNPIVOT_SQL = """
+SELECT 'pivot' AS family, o_orderpriority,
+  CAST(SUM(CAST(CASE WHEN o_orderstatus='O' THEN o_totalprice ELSE 0 END AS DECIMAL(25,4))) AS DOUBLE) AS open_total,
+  CAST(SUM(CAST(CASE WHEN o_orderstatus='F' THEN o_totalprice ELSE 0 END AS DECIMAL(25,4))) AS DOUBLE) AS filled_total,
+  CAST(SUM(CAST(CASE WHEN o_orderstatus='P' THEN o_totalprice ELSE 0 END AS DECIMAL(25,4))) AS DOUBLE) AS partial_total,
+  COUNT(*) AS n, CAST(NULL AS VARCHAR) AS l_returnflag,
+  CAST(NULL AS VARCHAR) AS metric, CAST(NULL AS DOUBLE) AS total
+FROM orders GROUP BY o_orderpriority
+UNION ALL
+SELECT 'unpivot', CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), COUNT(*), l_returnflag, metric,
+  CAST(SUM(CAST(val AS DECIMAL(25,6))) AS DOUBLE)
+FROM (
+  SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_discount' AS metric, l_discount AS val FROM lineitem
+) GROUP BY l_returnflag, metric
+"""
+
+
+MERGED_QUERIES = {
+    "q_scalar_functions": q_scalar_functions,
+    "q_string_regexp_functions": q_string_regexp_functions,
+    "q_collection_functions": q_collection_functions,
+    "q_grouping_analytics": q_grouping_analytics,
+    "q_subqueries": q_subqueries,
+    "q_set_operations": q_set_operations,
+    "q_stats_summary": q_stats_summary,
+    "q_pivot_unpivot": q_pivot_unpivot,
+}
+
+MERGED_ORACLE = {
+    "q_scalar_functions": _Q_SCALAR_SQL,
+    "q_string_regexp_functions": _Q_STRING_REGEXP_SQL,
+    "q_collection_functions": _Q_COLLECTION_SQL,
+    "q_grouping_analytics": _Q_GROUPING_SQL,
+    "q_subqueries": _Q_SUBQUERIES_SQL,
+    "q_set_operations": _Q_SET_OPS_SQL,
+    "q_stats_summary": _Q_STATS_SQL,
+    "q_pivot_unpivot": _Q_PIVOT_UNPIVOT_SQL,
+}

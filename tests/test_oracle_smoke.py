@@ -14,7 +14,7 @@ SMOKE = [
     "q_dedup_keep_last",
     "q_sessionize",
     "q_asof_purchase",
-    "q_fingerprint_summary",
+    "q_fingerprint_winnowing",
     "q_minhash_lsh",
     "q_cosine_topk",
 ]
