@@ -19,7 +19,7 @@ from pydala_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
-from pydala_spark.operators.similarity import cosine_similarity, cosine_topk, lsh_topk
+from pydala_spark.operators.similarity import cosine_topk, lsh_topk
 from pydala_spark.operators.textstats import (
     STOPWORDS,
     fingerprint,
@@ -348,29 +348,57 @@ WHERE rnk <= 5
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pair counts per label (label-blocked cosine threshold)."""
+    """Embedding near-dup pairs blocked on a deterministic LSH bucket.
+
+    Round 1 blocked on ``label`` — a low-cardinality key whose blocks grow
+    O(corpus/|labels|), making the within-block pair materialization
+    quadratic at 100 TB. Blocking on ``lsh_bucket`` (sign-bit hyperplane
+    hash) keeps blocks near-duplicate-sized: block count scales 2^bits
+    with corpus size (raise ``bits``), so per-block pair work stays
+    bounded and the join remains a bucket equi-join, never a cross join.
+    """
+    from pydala_spark.operators.similarity import lsh_bucket, neardup_pairs
+
     emb = _spread(spark, load_table(spark, sf_dir, "embeddings"))
-    a = emb.select(F.col("label"), F.col("vec_id").alias("id_a"),
-                   F.col("embedding").alias("va"))
-    b = emb.select(F.col("label"), F.col("vec_id").alias("id_b"),
-                   F.col("embedding").alias("vb"))
-    pairs = (
-        a.join(b, "label")
-        .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", cosine_similarity(F.col("va"), F.col("vb")))
+    bucketed = emb.withColumn("bucket", lsh_bucket(F.col("embedding"), 64, bits=6))
+    pairs = neardup_pairs(
+        bucketed,
+        id_col="vec_id",
+        vec_col="embedding",
+        block_col="bucket",
+        threshold=0.25,
     )
-    return pairs.where(F.col("sim") >= 0.25).groupBy("label").agg(
-        F.count("*").alias("n_pairs")
+    return pairs.select(
+        F.col("blk").alias("bucket"),
+        "id_a",
+        "id_b",
+        F.round("sim", 4).alias("sim_r"),
     )
 
 
-_Q_NEARDUP_SQL = """
-SELECT a.label, COUNT(*) AS n_pairs
-FROM embeddings a JOIN embeddings b
-  ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                             CAST(b.embedding AS DOUBLE[])) >= 0.25
-GROUP BY a.label
+def _lsh_bucket_sql(dim: int, bits: int, vec: str = "e") -> str:
+    """DuckDB expression mirroring operators.similarity.lsh_bucket — the
+    hyperplanes are deterministic md5 literals, so the oracle reproduces
+    the exact bucket assignment."""
+    from pydala_spark.operators.similarity import _hyperplane
+
+    terms = []
+    for p in range(bits):
+        plane = "[" + ", ".join(str(v) for v in _hyperplane(p, dim)) + "]"
+        terms.append(
+            f"CASE WHEN list_dot_product({vec}, {plane}) >= 0 THEN {2**p} ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+def _neardup_sql(dim: int = 64, bits: int = 6) -> str:
+    return f"""
+WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+bk AS (SELECT vec_id, e, {_lsh_bucket_sql(dim, bits)} AS bucket FROM b)
+SELECT a.bucket, a.vec_id AS id_a, c.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.e, c.e), 4) AS sim_r
+FROM bk a JOIN bk c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE list_cosine_similarity(a.e, c.e) >= 0.25
 """
 
 
@@ -385,20 +413,11 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_topk_sql(dim: int = 64, bits: int = 6) -> str:
-    from pydala_spark.operators.similarity import _hyperplane
-
-    bucket_terms = []
-    for p in range(bits):
-        plane = "[" + ", ".join(str(v) for v in _hyperplane(p, dim)) + "]"
-        bucket_terms.append(
-            f"CASE WHEN list_dot_product(e, {plane}) >= 0 THEN {2**p} ELSE 0 END"
-        )
-    bucket = " + ".join(bucket_terms)
     return f"""
 WITH b AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
 ),
-bk AS (SELECT vec_id, e, {bucket} AS bucket FROM b),
+bk AS (SELECT vec_id, e, {_lsh_bucket_sql(dim, bits)} AS bucket FROM b),
 p AS (SELECT vec_id AS probe_id, e AS pe, bucket FROM bk WHERE vec_id < 10),
 s AS (
   SELECT probe_id, bk.vec_id AS neighbor_id,
@@ -460,7 +479,7 @@ EXT_ORACLE = {
     "q_simhash": _simhash_sql(16),
     "q_token_freq": _Q_TOKEN_FREQ_SQL,
     "q_cosine_topk": _Q_COSINE_TOPK_SQL,
-    "q_embedding_neardup": _Q_NEARDUP_SQL,
+    "q_embedding_neardup": _neardup_sql(64, 6),
     "q_lsh_topk": _lsh_topk_sql(64, 6),
     # q_approx_distinct: intentionally no oracle (HLL estimators differ
     # across engines by design; rows-only)
