@@ -78,11 +78,15 @@ def compact(
 
     Streaming and delta appends accrete tiny files; at scale the scan
     cost becomes task scheduling + footer reads, not I/O. One
-    ``repartition`` sized from the on-disk byte count fixes it: with
-    partition columns the shuffle keys on them, so each hive directory
-    collapses to a handful of full-size files. The rewrite stages into a
-    sibling directory and swaps atomically-ish (local FS rename); on an
-    object store, run against a copy target instead.
+    ``repartition`` sized from the on-disk byte count fixes it. With hive
+    partition columns, hashing on them alone would collapse every
+    directory to exactly ONE file regardless of size (a 10 GB partition
+    becoming one 10 GB file); instead each partition gets a deterministic
+    salt sized from its own byte count, so big partitions split into
+    ~``target_file_mb`` files while small ones still collapse to one.
+    The rewrite stages into a sibling directory and swaps atomically-ish
+    (local FS rename); on an object store, run against a copy target
+    instead.
     """
     from pydala_spark.schema import infer_partitioning
 
@@ -92,7 +96,8 @@ def compact(
     if not files:
         raise FileNotFoundError(f"no data files under {path}")
     total_bytes = sum(sz for _, sz in files)
-    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    target_bytes = target_file_mb * 1024 * 1024
+    n_files = max(1, math.ceil(total_bytes / target_bytes))
     part_cols = infer_partitioning(
         [os.path.relpath(p, local) for p, _ in files]
     ) or []
@@ -100,9 +105,42 @@ def compact(
     df = spark.read.format(format).load(local)
     tmp = local + "__compacting"
     shutil.rmtree(tmp, ignore_errors=True)
-    shuffled = (
-        df.repartition(n_files, *part_cols) if part_cols else df.repartition(n_files)
-    )
+    if part_cols:
+        # per-partition chunk counts from on-disk bytes (metadata already
+        # in hand from the file listing — no extra Spark job)
+        per_part_bytes: dict[tuple, int] = {}
+        for p, sz in files:
+            segs = os.path.relpath(p, local).split(os.sep)[:-1]
+            key = tuple(s.split("=", 1)[1] for s in segs if "=" in s)
+            per_part_bytes[key] = per_part_bytes.get(key, 0) + sz
+        chunk_rows = [
+            (*key, max(1, math.ceil(b / target_bytes)))
+            for key, b in per_part_bytes.items()
+        ]
+        schema_str = ", ".join(
+            [f"`__pv_{i}` string" for i in range(len(part_cols))] + ["__n_chunks int"]
+        )
+        chunks = spark.createDataFrame(chunk_rows, schema_str)
+        cond = [
+            F.col(c).cast("string").eqNullSafe(F.col(f"__pv_{i}"))
+            for i, c in enumerate(part_cols)
+        ]
+        data_cols = [c for c in df.columns if c not in part_cols]
+        shuffled = (
+            df.join(F.broadcast(chunks), cond, "left")
+            # deterministic salt (hash of the data columns, NOT rand():
+            # rand() re-evaluates differently on task retry and can
+            # duplicate/lose rows through a shuffle)
+            .withColumn(
+                "__salt",
+                F.pmod(F.hash(*[F.col(c) for c in data_cols]),
+                       F.coalesce(F.col("__n_chunks"), F.lit(1))),
+            )
+            .repartition(n_files, *part_cols, "__salt")
+            .drop("__salt", "__n_chunks", *[f"__pv_{i}" for i in range(len(part_cols))])
+        )
+    else:
+        shuffled = df.repartition(n_files)
     writer = shuffled.write.format(format).mode("overwrite")
     if format == "parquet":
         writer = writer.option("compression", compression)
@@ -168,9 +206,20 @@ def zorder_write(
     scaled = []
     for i, c in enumerate(nums):
         lo, hi = bounds[f"{i}_lo"], bounds[f"{i}_hi"]
+        if lo is None or hi is None:
+            raise ValueError(
+                f"zorder_write: no non-NULL values in column {cols[i]!r} "
+                "(empty input or all-NULL column) — z-order bounds undefined"
+            )
         span = (hi - lo) or 1.0
         scaled.append(
-            F.least(F.lit(top), F.floor((c - F.lit(lo)) / F.lit(span) * top))
+            # NULLs deliberately cluster into the top z-bucket (coalesce
+            # AFTER scaling) so they land together in one file range
+            # instead of poisoning the whole curve
+            F.coalesce(
+                F.least(F.lit(top), F.floor((c - F.lit(lo)) / F.lit(span) * top)),
+                F.lit(top),
+            )
         )
     zed = df.withColumn("__z", zorder_value(scaled, bits))
     out = (

@@ -175,15 +175,20 @@ class Dataset:
         for frag in dataset.get_fragments():
             groups.setdefault(str(frag.physical_schema), []).append(frag.path)
         spark_unified = schema_mod.arrow_schema_to_spark(unified)
+        footer_names = {f.name for f in spark_unified.fields}
         out: DataFrame | None = None
         for paths in groups.values():
-            part = self.spark.read.parquet(*paths)
+            # basePath keeps Spark's hive partition discovery active even
+            # though explicit file paths are given — without it the
+            # partition columns (directory names, absent from footers)
+            # would silently vanish from the unified read
+            part = self.spark.read.option("basePath", self.path).parquet(*paths)
             cols = [
                 F.col(f.name).cast(f.dataType).alias(f.name)
                 if f.name in part.columns
                 else F.lit(None).cast(f.dataType).alias(f.name)
                 for f in spark_unified.fields
-            ]
+            ] + [F.col(c) for c in part.columns if c not in footer_names]
             part = part.select(*cols)
             out = part if out is None else out.unionByName(part)
         assert out is not None
@@ -196,7 +201,17 @@ class Dataset:
         if self.format == "parquet" and self._pinned_schema is None:
             try:
                 df = self._base_read()
-            except Exception:
+            except Exception as exc:
+                # only a schema-merge failure means "retry as a grouped
+                # unified read" — anything else (missing path, corrupt
+                # footer, permissions) must surface as-is, not as a
+                # confusing secondary error from fragment discovery
+                msg = str(exc)
+                if not any(
+                    marker in msg
+                    for marker in ("CANNOT_MERGE_SCHEMAS", "Failed to merge", "Failed merging")
+                ):
+                    raise
                 df = self._unified_read()
         else:
             df = self._base_read()

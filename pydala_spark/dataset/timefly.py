@@ -193,12 +193,22 @@ class TimeFly:
 
     def add_snapshot(self, ts: dt.datetime | None = None) -> str:
         """Copy current/ into snapshot/<ts>/ (reference timefly.py:246-310)."""
-        ts_str = (ts or dt.datetime.utcnow()).strftime(TS_FMT)
+        auto = ts is None
+        t = ts or dt.datetime.utcnow()
+        ts_str = t.strftime(TS_FMT)
         if not os.path.isdir(self.current_path):
             self.create_current()
         dst = self.snapshot_path(ts_str)
         if os.path.exists(dst):
-            raise FileExistsError(f"snapshot {ts_str} already exists")
+            if not auto:
+                raise FileExistsError(f"snapshot {ts_str} already exists")
+            # second-granularity stamps: two auto snapshots in the same
+            # second (e.g. back-to-back load_snapshot restores) bump
+            # forward instead of failing
+            while os.path.exists(dst):
+                t += dt.timedelta(seconds=1)
+                ts_str = t.strftime(TS_FMT)
+                dst = self.snapshot_path(ts_str)
         shutil.copytree(self.current_path, dst)
         config = self.read_config() or self.new(save_config=False)
         config.setdefault("timefly", {}).setdefault("available", []).append(ts_str)
@@ -249,8 +259,22 @@ class TimeFly:
     def load_snapshot(self, ts: str | dt.datetime) -> None:
         """Restore a snapshot into current/ (reference timefly.py:354-387).
         The replaced current is itself snapshotted first so nothing is lost.
+
+        An exact stamp match wins before any rounding: the reference's
+        default usage is ``match='exact'`` (timefly.py:354), and routing
+        the stamp returned by :meth:`add_snapshot` through the
+        strictly-after ``resolve`` rounding would skip that snapshot (and
+        restore a later one, or silently no-op).
         """
-        ts_str = self.resolve(ts)
+        want = ts if isinstance(ts, str) else ts.strftime(TS_FMT)
+        try:
+            want = _to_ts(want).strftime(TS_FMT)
+        except ValueError:
+            pass
+        if want in self.snapshots():
+            ts_str = f"snapshot/{want}"
+        else:
+            ts_str = self.resolve(ts)
         if ts_str == "current":
             return
         src = self.snapshot_path(ts_str.removeprefix("snapshot/"))

@@ -274,10 +274,14 @@ class Writer:
             return
 
         partition_cols = list(self.partition_by)
-        if not partition_cols and exists and spark_mode == "append":
+        if not partition_cols and exists and (
+            spark_mode == "append" or mode == "overwrite_partitions"
+        ):
             # Inherit the existing hive layout: appending flat files into a
             # partitioned dataset would land them at the root, where Spark's
-            # partition discovery silently ignores them on read.
+            # partition discovery silently ignores them on read; and a
+            # dynamic partition overwrite without partitionBy degrades to a
+            # full-dataset overwrite (silent loss of absent partitions).
             inherited = self._existing_partitioning()
             if inherited:
                 missing = [c for c in inherited if c not in df.columns]
@@ -290,6 +294,13 @@ class Writer:
         if time_bucket:
             df = df.withColumn("bucket", bucket_column(datetime_column, time_bucket))
             partition_cols = ["bucket"] + partition_cols
+        if mode == "overwrite_partitions" and not partition_cols:
+            raise ValueError(
+                "mode='overwrite_partitions' needs partition columns "
+                "(partition_by=, time_bucket=, or an existing hive layout to "
+                "inherit) — without partitionBy the dynamic overwrite would "
+                "silently replace the WHOLE dataset"
+            )
 
         compression = self.compression
         if self.format != "parquet" and compression == "zstd":
@@ -347,22 +358,37 @@ class Writer:
     def unify_schema(self, sort_columns: bool = False) -> bool:
         """Rewrite the dataset so every file conforms to the unified schema.
 
-        Returns True if a rewrite happened. Local-path implementation
-        (write-aside then swap); on object stores prefer table formats with
-        schema evolution.
+        Returns True if a rewrite happened. Parquet-only (the unified
+        schema is built from parquet footers). Hive partition columns live
+        in directory names, not footers, so they are re-attached to the
+        projection and the rewrite preserves the partition layout —
+        otherwise a partitioned mixed-schema dataset would lose its
+        partition-column values permanently. Local-path implementation
+        (write-aside then swap); on object stores prefer table formats
+        with schema evolution.
         """
         from pydala_spark import schema as schema_mod
         from pydala_spark.dataset.reader import Dataset
 
+        if self.format != "parquet":
+            raise ValueError(
+                f"unify_schema supports parquet datasets only, not {self.format!r}"
+            )
         unified, equal = schema_mod.unified_dataset_schema(self.path)
         if equal:
             return False
         if sort_columns:
             unified = schema_mod.sort_schema(unified)
+        part_cols = self._existing_partitioning() or []
         df = Dataset(self.spark, self.path, format=self.format).load()
-        df = df.select(*[f.name for f in unified])
+        footer_names = [f.name for f in unified]
+        names = footer_names + [c for c in part_cols if c not in footer_names]
+        df = df.select(*names)
         tmp = self.path.rstrip("/") + "__unify_tmp"
-        df.write.mode("overwrite").option("compression", self.compression).parquet(tmp)
+        writer = df.write.mode("overwrite").option("compression", self.compression)
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(tmp)
         local, local_tmp = self.path.removeprefix("file:"), tmp.removeprefix("file:")
         shutil.rmtree(local)
         os.rename(local_tmp, local)

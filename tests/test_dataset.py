@@ -104,3 +104,31 @@ def test_materializers(spark, sf_dir):
     assert len(pdf) == 5
     tbl = ds.to_arrow()
     assert tbl.num_rows == 5
+
+
+def test_load_missing_path_raises_cleanly(spark):
+    # a missing path must NOT be swallowed into the mixed-schema retry
+    # (which would die later inside pyarrow fragment discovery)
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    with pytest.raises(AnalysisException, match="PATH_NOT_FOUND"):
+        Dataset(spark, "/nonexistent_pydala_ds").load()
+
+
+def test_unified_read_preserves_hive_partitions(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = tmp_path / "mixed_part"
+    (out / "part=x").mkdir(parents=True)
+    (out / "part=y").mkdir(parents=True)
+    pq.write_table(
+        pa.table({"id": pa.array([1], pa.int32())}), out / "part=x" / "a.parquet"
+    )
+    pq.write_table(
+        pa.table({"id": pa.array([2], pa.int64()), "v": ["b"]}),
+        out / "part=y" / "b.parquet",
+    )
+    df = Dataset(spark, str(out)).load()
+    rows = {(r["id"], r["part"]) for r in df.select("id", "part").collect()}
+    assert rows == {(1, "x"), (2, "y")}

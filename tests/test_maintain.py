@@ -127,3 +127,32 @@ def test_zorder_value_stays_jvm_side(spark, sf_dir):
     assert "pythonUDF" not in plan and "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "rangepartitioning" in plan.lower()
+
+
+def test_compact_splits_large_partition(spark, tmp_path):
+    # a 'big' hive partition several times the target size must split
+    # into multiple ~target files, while 'small' still collapses to one
+    path = str(tmp_path / "skewed")
+    big = spark.range(300000).select(
+        F.lit("big").alias("part"), F.md5(F.col("id").cast("string")).alias("payload")
+    )
+    small = spark.range(10).select(
+        F.lit("small").alias("part"), F.md5(F.col("id").cast("string")).alias("payload")
+    )
+    big.unionAll(small).repartition(6).write.partitionBy("part").parquet(path)
+    stats = compact(spark, path, target_file_mb=1)
+    files = _data_files(path)
+    big_files = [f for f in files if "part=big" in f]
+    small_files = [f for f in files if "part=small" in f]
+    assert len(big_files) >= 2, "oversized partition was not split"
+    assert len(small_files) == 1
+    assert stats["partition_cols"] == ["part"]
+    assert spark.read.parquet(path).count() == 300010
+
+
+def test_zorder_write_rejects_all_null_bounds(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, None), (2, None)], "id long, v double")
+    with pytest.raises(ValueError, match="no non-NULL values"):
+        zorder_write(spark, df, "/tmp/unused_z", ["id", "v"])

@@ -156,3 +156,24 @@ def test_timefly_vacuum(spark, tmp_path):
     assert tf.snapshots() == [stamps[3]]
     # vacuumed stamps are tombstoned, not forgotten
     assert set(tf.snapshots(include_deleted=True)) == set(stamps)
+
+
+def test_timefly_load_snapshot_exact_stamp(spark, tmp_path):
+    # the stamp returned by add_snapshot must restore THAT snapshot:
+    # round-1 routed it through strictly-after rounding, which skipped
+    # the exact match (restoring a later snapshot or no-oping)
+    base = str(tmp_path / "ds_exact")
+    _write(spark, base, [1, 2, 3])
+    tf = TimeFly(spark, base)
+    tf.new()
+    tf.create_current()
+    snap1 = tf.add_snapshot(TS(2024, 1, 1, 12, 0, 0))
+    _write(spark, tf.current_path, [1, 2, 3, 4])
+    snap2 = tf.add_snapshot(TS(2024, 6, 1, 12, 0, 0))
+    _write(spark, tf.current_path, [1, 2, 3, 4, 5])
+
+    tf.load_snapshot(snap1)  # exact stamp string
+    assert tf.read().count() == 3
+    tf.load_snapshot(TS(2024, 6, 1, 12, 0, 0))  # exact datetime
+    assert tf.read().count() == 4
+    assert snap2 in tf.snapshots()

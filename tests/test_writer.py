@@ -165,3 +165,52 @@ def test_tables_diff_missing_column_errors(spark):
     b = spark.createDataFrame([Row(x=1)])
     with pytest.raises(ValueError):
         tables_diff(a, b)
+
+
+def test_dynamic_partition_overwrite_inherits_layout(spark, tmp_path):
+    # no partition_by on the writer: the existing hive layout must be
+    # inherited, otherwise the dynamic overwrite degrades to a full
+    # overwrite and silently drops every absent partition
+    out = str(tmp_path / "dyn_inherit")
+    df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], ["id", "part"])
+    Writer(spark, out, partition_by=["part"]).write(df)
+    repl = spark.createDataFrame([(9, "a")], ["id", "part"])
+    Writer(spark, out).write(repl, mode="overwrite_partitions")
+    rows = {(r["id"], r["part"]) for r in Dataset(spark, out).load().collect()}
+    assert rows == {(9, "a"), (3, "b")}
+
+
+def test_dynamic_partition_overwrite_requires_partitioning(spark, tmp_path):
+    out = str(tmp_path / "dyn_flat")
+    df = spark.createDataFrame([(1, "a")], ["id", "part"])
+    Writer(spark, out).write(df)  # unpartitioned dataset
+    with pytest.raises(ValueError, match="overwrite_partitions"):
+        Writer(spark, out).write(df, mode="overwrite_partitions")
+
+
+def test_unify_schema_preserves_hive_partitions(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = tmp_path / "ds_part"
+    (out / "part=x").mkdir(parents=True)
+    (out / "part=y").mkdir(parents=True)
+    pq.write_table(
+        pa.table({"id": pa.array([1], pa.int32())}), out / "part=x" / "a.parquet"
+    )
+    pq.write_table(
+        pa.table({"id": pa.array([2], pa.int64()), "v": ["x"]}),
+        out / "part=y" / "b.parquet",
+    )
+    assert Writer(spark, str(out)).unify_schema()
+    df = Dataset(spark, str(out)).load()
+    assert df.count() == 2
+    # partition column survived the rewrite, as values AND as layout
+    assert {r["part"] for r in df.select("part").collect()} == {"x", "y"}
+    assert (out / "part=x").is_dir() and (out / "part=y").is_dir()
+    assert dict(df.dtypes)["id"] == "bigint"
+
+
+def test_unify_schema_rejects_non_parquet(spark, tmp_path):
+    with pytest.raises(ValueError, match="parquet"):
+        Writer(spark, str(tmp_path / "csvds"), format="csv").unify_schema()
