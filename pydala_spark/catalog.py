@@ -23,6 +23,11 @@ from pydala_spark.session import configure_session
 
 MANIFEST_NAME = "_pydala.json"
 DATASET_SIDECAR = "_dataset.json"
+#: reference-layout sidecars (TOML) are discovered read-only so pointing
+#: this catalog at an existing reference lake finds its datasets
+#: (manager.py:48, 93-96); writes stay JSON.
+TOML_MANIFEST_NAME = "_pydala.toml"
+TOML_DATASET_SIDECAR = "_dataset.toml"
 
 
 class Datalake:
@@ -35,10 +40,18 @@ class Datalake:
     # -- manifest ---------------------------------------------------------------
 
     def read_manifest(self) -> dict:
-        if not os.path.exists(self.manifest_path):
-            return {"datasets": {}}
-        with open(self.manifest_path) as f:
-            return json.load(f)
+        if os.path.exists(self.manifest_path):
+            with open(self.manifest_path) as f:
+                return json.load(f)
+        toml_path = os.path.join(self.root, TOML_MANIFEST_NAME)
+        if os.path.exists(toml_path):
+            import tomllib
+
+            with open(toml_path, "rb") as f:
+                manifest = tomllib.load(f)
+            if isinstance(manifest.get("datasets"), dict):
+                return manifest
+        return {"datasets": {}}
 
     def write_manifest(self, manifest: dict) -> None:
         os.makedirs(self.root, exist_ok=True)
@@ -48,14 +61,18 @@ class Datalake:
     # -- discovery (manager.py:90-131) --------------------------------------------
 
     def discover(self) -> dict[str, str]:
-        """name -> dataset base path, by ``**/_dataset.json`` glob plus any
-        directory directly containing data files."""
+        """name -> dataset base path, by ``**/_dataset.json`` glob (plus
+        reference-layout ``**/_dataset.toml``) plus any directory directly
+        containing data files."""
         found: dict[str, str] = {}
-        for sidecar in glob.glob(
-            os.path.join(self.root, "**", DATASET_SIDECAR), recursive=True
-        ):
-            base = os.path.dirname(sidecar)
-            found[os.path.relpath(base, self.root).replace(os.sep, ".")] = base
+        for sidecar_name in (DATASET_SIDECAR, TOML_DATASET_SIDECAR):
+            for sidecar in glob.glob(
+                os.path.join(self.root, "**", sidecar_name), recursive=True
+            ):
+                base = os.path.dirname(sidecar)
+                found.setdefault(
+                    os.path.relpath(base, self.root).replace(os.sep, "."), base
+                )
         manifest = self.read_manifest()
         for name, rel in manifest.get("datasets", {}).items():
             found.setdefault(name, os.path.join(self.root, rel))

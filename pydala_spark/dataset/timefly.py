@@ -65,10 +65,19 @@ class TimeFly:
     # -- manifest --------------------------------------------------------------
 
     def read_config(self) -> dict:
-        if not os.path.exists(self.config_path):
-            return {}
-        with open(self.config_path) as f:
-            return json.load(f)
+        if os.path.exists(self.config_path):
+            with open(self.config_path) as f:
+                return json.load(f)
+        # read-only migration compat: a dataset written by the reference
+        # carries a TOML sidecar (_dataset.toml, reference timefly.py:50);
+        # writes stay JSON (_dataset.json)
+        toml_path = os.path.join(self.base_path, "_dataset.toml")
+        if os.path.exists(toml_path):
+            import tomllib
+
+            with open(toml_path, "rb") as f:
+                return tomllib.load(f)
+        return {}
 
     def write_config(self, config: dict) -> None:
         os.makedirs(self.base_path, exist_ok=True)

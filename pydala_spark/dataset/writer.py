@@ -206,7 +206,9 @@ class Writer:
                 return True
             except Exception:
                 return False
-        return os.path.exists(local) and any(
+        if os.path.isfile(local):  # single-file target (feather bridge)
+            return True
+        return os.path.isdir(local) and any(
             f for f in os.listdir(local) if not f.startswith(("_", "."))
         )
 
@@ -302,9 +304,19 @@ class Writer:
                 "silently replace the WHOLE dataset"
             )
 
+        if self.format in ("feather", "ipc", "arrow"):
+            if partition_cols:
+                raise ValueError(
+                    "feather/IPC write is a single-file driver bridge and does "
+                    "not support partitioning — use parquet for partitioned data"
+                )
+            self._write_feather(df, spark_mode)
+            return
+
         compression = self.compression
-        if self.format != "parquet" and compression == "zstd":
-            # zstd is parquet-native; the hadoop text codecs don't ship it
+        if self.format in ("csv", "json") and compression == "zstd":
+            # zstd is parquet/feather-native; the hadoop text codecs don't
+            # ship it
             compression = "none"
         writer = df.write.mode(spark_mode).option("compression", compression)
         if mode == "overwrite_partitions":
@@ -321,6 +333,44 @@ class Writer:
             writer.json(self.path)
         else:
             raise ValueError(f"unsupported write format {self.format!r}")
+
+    def _write_feather(self, df: DataFrame, spark_mode: str) -> None:
+        """Driver-side feather/IPC write bridge (reference writes feather
+        via polars ``write_ipc``, writer.py:398-409). Mirrors the read
+        bridge in ``sources.read``: feather has no distributed Spark
+        writer, so this collects through Arrow on the driver — meant for
+        small sidecar/interchange files, not big datasets (use parquet).
+
+        A path ending in .feather/.ipc/.arrow is written as that single
+        file (append concatenates through Arrow); a directory path gets
+        sequentially numbered part files, so append stays cheap.
+        """
+        import pyarrow as pa
+        import pyarrow.feather as pf
+
+        local = self.path.removeprefix("file:")
+        if "://" in self.path and not self.path.startswith("file:"):
+            raise ValueError("feather write bridge supports local paths only")
+        table = pa.Table.from_pandas(df.toPandas(), preserve_index=False)
+        comp = self.compression if self.compression in ("zstd", "lz4") else "uncompressed"
+        if local.lower().endswith((".feather", ".ipc", ".arrow")):
+            if spark_mode == "append" and os.path.exists(local):
+                existing = pf.read_table(local)
+                table = pa.concat_tables([existing, table], promote_options="default")
+            os.makedirs(os.path.dirname(local) or ".", exist_ok=True)
+            pf.write_feather(table, local, compression=comp)
+            return
+        os.makedirs(local, exist_ok=True)
+        parts = sorted(
+            f for f in os.listdir(local)
+            if f.endswith(".feather") and not f.startswith(("_", "."))
+        )
+        if spark_mode == "overwrite":
+            for f in parts:
+                os.remove(os.path.join(local, f))
+            parts = []
+        target = os.path.join(local, f"part-{len(parts):05d}.feather")
+        pf.write_feather(table, target, compression=comp)
 
     def _delta_diff(
         self,

@@ -126,3 +126,40 @@ def test_size_reporting_and_tables(spark, sf_dir, tmp_path):
 
     name = ds.create_temp_table("nation_tmp")
     assert spark.sql("SELECT count(*) AS n FROM nation_tmp").first()["n"] == 25
+
+
+def test_feather_write_roundtrip_single_file(spark, tmp_path):
+    # W1 parity: the reference writes feather via polars write_ipc
+    # (writer.py:398-409); the driver bridge must round-trip with the
+    # read bridge, including append-as-concat
+    p = str(tmp_path / "t.feather")
+    df = spark.createDataFrame([Row(id=1, name="a"), Row(id=2, name="b")])
+    Writer(spark, p, format="feather").write(df)
+    back = read(spark, p, format="feather")
+    assert {(r["id"], r["name"]) for r in back.collect()} == {(1, "a"), (2, "b")}
+
+    Writer(spark, p, format="feather").write(
+        spark.createDataFrame([Row(id=3, name="c")])
+    )
+    assert read(spark, p, format="feather").count() == 3
+
+    Writer(spark, p, format="feather").write(df, mode="overwrite")
+    assert read(spark, p, format="feather").count() == 2
+
+
+def test_feather_write_directory_parts(spark, tmp_path):
+    out = str(tmp_path / "feather_ds")
+    df = spark.createDataFrame([Row(id=1), Row(id=2)])
+    Writer(spark, out, format="feather").write(df)
+    Writer(spark, out, format="feather").write(spark.createDataFrame([Row(id=3)]))
+    files = sorted(os.listdir(out))
+    assert files == ["part-00000.feather", "part-00001.feather"]
+    assert read(spark, out, format="feather").count() == 3
+
+
+def test_feather_write_rejects_partitioning(spark, tmp_path):
+    df = spark.createDataFrame([Row(id=1, part="a")])
+    with pytest.raises(ValueError, match="partition"):
+        Writer(
+            spark, str(tmp_path / "fp"), format="feather", partition_by=["part"]
+        ).write(df)

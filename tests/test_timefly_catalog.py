@@ -177,3 +177,44 @@ def test_timefly_load_snapshot_exact_stamp(spark, tmp_path):
     tf.load_snapshot(TS(2024, 6, 1, 12, 0, 0))  # exact datetime
     assert tf.read().count() == 4
     assert snap2 in tf.snapshots()
+
+
+def _write_toml(path, text):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(text)
+
+
+def test_datalake_discovers_reference_toml_layout(spark, tmp_path):
+    # a lake written by the reference has _dataset.toml sidecars and a
+    # _pydala.toml manifest; discovery must find those datasets read-only
+    root = str(tmp_path / "ref_lake")
+    _write(spark, os.path.join(root, "a"), [1, 2])
+    _write(spark, os.path.join(root, "sub/b"), [3])
+    _write_toml(
+        os.path.join(root, "a", "_dataset.toml"),
+        '[dataset]\nname = "a"\nformat = "parquet"\n',
+    )
+    _write_toml(
+        os.path.join(root, "sub", "b", "_dataset.toml"),
+        '[dataset]\nname = "b"\nformat = "parquet"\n',
+    )
+    lake = Datalake(spark, root)
+    found = lake.discover()
+    assert set(found) >= {"a", "sub.b"}
+    ds = lake.load()
+    assert lake.sql("SELECT count(*) AS n FROM a").first()["n"] == 2
+    assert lake.sql("SELECT count(*) AS n FROM sub_b").first()["n"] == 1
+
+
+def test_timefly_reads_reference_toml_config(spark, tmp_path):
+    base = str(tmp_path / "ref_ds")
+    _write(spark, os.path.join(base, "current"), [1, 2, 3])
+    _write_toml(
+        os.path.join(base, "_dataset.toml"),
+        '[dataset]\nname = "ref_ds"\n\n'
+        '[timefly]\navailable = ["20240101_120000"]\ndeleted = []\n',
+    )
+    tf = TimeFly(spark, base)
+    assert tf.snapshots() == ["20240101_120000"]
+    assert tf.read().count() == 3
