@@ -15,8 +15,6 @@ src/pydala/dataset/repartition.py).
 from __future__ import annotations
 
 import math
-import os
-import shutil
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -55,17 +53,6 @@ def bucketize(
     return table_name
 
 
-def _data_files(root: str) -> list[tuple[str, int]]:
-    """(path, bytes) of every data file under ``root`` (skips sidecars)."""
-    out = []
-    for dirpath, _, files in os.walk(root):
-        for f in files:
-            if not f.startswith(("_", ".")):
-                p = os.path.join(dirpath, f)
-                out.append((p, os.path.getsize(p)))
-    return out
-
-
 def compact(
     spark: SparkSession,
     path: str,
@@ -89,28 +76,29 @@ def compact(
     instead.
     """
     from pydala_spark.schema import infer_partitioning
+    from pydala_spark.utils.pathops import PathOps, strip_scheme
 
     configure_session(spark)
-    local = path.removeprefix("file:").rstrip("/")
-    files = _data_files(local)
+    local = strip_scheme(path).rstrip("/")
+    ops = PathOps(spark, local)
+    files = [(p, sz) for p, sz in ops.data_files(local)]
     if not files:
         raise FileNotFoundError(f"no data files under {path}")
     total_bytes = sum(sz for _, sz in files)
     target_bytes = target_file_mb * 1024 * 1024
     n_files = max(1, math.ceil(total_bytes / target_bytes))
-    part_cols = infer_partitioning(
-        [os.path.relpath(p, local) for p, _ in files]
-    ) or []
+    rels = [p[len(local):].lstrip("/") for p, _ in files]
+    part_cols = infer_partitioning(rels) or []
 
     df = spark.read.format(format).load(local)
     tmp = local + "__compacting"
-    shutil.rmtree(tmp, ignore_errors=True)
+    ops.delete(tmp)
     if part_cols:
         # per-partition chunk counts from on-disk bytes (metadata already
         # in hand from the file listing — no extra Spark job)
         per_part_bytes: dict[tuple, int] = {}
-        for p, sz in files:
-            segs = os.path.relpath(p, local).split(os.sep)[:-1]
+        for rel, (_, sz) in zip(rels, files):
+            segs = rel.split("/")[:-1]
             key = tuple(s.split("=", 1)[1] for s in segs if "=" in s)
             per_part_bytes[key] = per_part_bytes.get(key, 0) + sz
         chunk_rows = [
@@ -148,15 +136,17 @@ def compact(
         writer = writer.partitionBy(*part_cols)
     writer.save(tmp)
 
+    # staged swap (rename is atomic on HDFS/local; copy+delete on object
+    # stores — run against a copy target there, as the docstring says)
     old = local + "__precompact"
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(local, old)
-    os.rename(tmp, local)
-    shutil.rmtree(old)
+    ops.delete(old)
+    ops.rename(local, old)
+    ops.rename(tmp, local)
+    ops.delete(old)
     spark.catalog.refreshByPath(local)
     return {
         "files_before": len(files),
-        "files_after": len(_data_files(local)),
+        "files_after": len(ops.data_files(local)),
         "bytes": total_bytes,
         "partition_cols": part_cols,
     }

@@ -14,8 +14,6 @@ re-clustering are one shuffle. Sorting within partitions
 
 from __future__ import annotations
 
-import os
-import shutil
 from typing import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -97,15 +95,20 @@ class Repartition:
             ).write(df)
             return
 
-        local = self.source_path.removeprefix("file:")
+        import posixpath
+
+        from pydala_spark.utils.pathops import PathOps, strip_scheme
+
+        local = strip_scheme(self.source_path).rstrip("/")
+        ops = PathOps(self.spark, local)
         if self.with_snapshot:
             from pydala_spark.dataset.timefly import TimeFly
 
             tf = TimeFly(self.spark, local, format=self.source_format)
-            if os.path.isdir(tf.current_path):
+            if ops.is_dir(tf.current_path):
                 tf.add_snapshot()
 
-        tmp = local.rstrip("/") + "__repartition_tmp"
+        tmp = local + "__repartition_tmp"
         Writer(
             self.spark,
             tmp,
@@ -115,14 +118,10 @@ class Repartition:
             compression=self.compression,
             max_records_per_file=self.max_records_per_file,
         ).write(df)
-        for entry in os.listdir(local):
-            full = os.path.join(local, entry)
+        for entry in ops.list_dir(local):
             if entry in ("snapshot", "_dataset.json"):
                 continue
-            if os.path.isdir(full):
-                shutil.rmtree(full)
-            else:
-                os.remove(full)
-        for entry in os.listdir(tmp):
-            shutil.move(os.path.join(tmp, entry), os.path.join(local, entry))
-        shutil.rmtree(tmp, ignore_errors=True)
+            ops.delete(posixpath.join(local, entry))
+        for entry in ops.list_dir(tmp):
+            ops.rename(posixpath.join(tmp, entry), posixpath.join(local, entry))
+        ops.delete(tmp)

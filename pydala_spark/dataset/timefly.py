@@ -3,8 +3,9 @@
 Reference parity (src/pydala/dataset/timefly.py): live data lives under
 ``<base>/current/``, snapshots under ``<base>/snapshot/<YYYYMMDD_HHMMSS>/``,
 tracked in a sidecar manifest (the reference uses ``_dataset.toml``,
-timefly.py:50; we use ``_dataset.json`` — same content, no TOML
-None-sanitization quirk needed, SURVEY §2.10 M6).
+timefly.py:50; we write ``_dataset.json`` — same content, no TOML
+None-sanitization quirk needed, SURVEY §2.10 M6 — and fall back to
+reading ``_dataset.toml`` for reference-written datasets).
 
 Semantics reproduced:
 
@@ -20,22 +21,26 @@ Semantics reproduced:
   the latest version <= ts; SURVEY §2.10 M8). ``resolve(..., rounding=
   "latest_before")`` gives the Delta-style behavior when wanted.
 
-This backend is for local/posix paths (driver-side file ops are metadata
-work). On real object stores, a transactional table format's time travel
-is the right tool; this module keeps the reference's layout reproducible
-and testable without extra jars.
+All file operations go through the Hadoop FileSystem
+(``utils.pathops``), so the snapshot layout works on any scheme the
+Spark conf resolves, not just local POSIX (the reference gets this from
+fsspec, src/pydala/filesystem/fs.py:7-139). Copy-on-snapshot is a real
+byte copy; at object-store scale prefer a transactional table format, or
+bound the amplification with :meth:`vacuum` (SCALE.md). Schema/property
+inference for the manifest reads parquet footers via pyarrow and is
+skipped on non-local schemes.
 """
 
 from __future__ import annotations
 
 import datetime as dt
 import json
-import os
-import shutil
+import posixpath
 
 from pyspark.sql import DataFrame, SparkSession
 
 from pydala_spark.session import configure_session
+from pydala_spark.utils.pathops import PathOps, strip_scheme
 
 TS_FMT = "%Y%m%d_%H%M%S"
 DATA_EXTS = (".parquet", ".csv", ".json", ".feather", ".arrow", ".ipc")
@@ -58,60 +63,59 @@ class TimeFly:
 
     def __init__(self, spark: SparkSession, base_path: str, format: str = "parquet"):
         self.spark = configure_session(spark)
-        self.base_path = base_path.removeprefix("file:").rstrip("/")
+        self.base_path = strip_scheme(base_path).rstrip("/")
         self.format = format
-        self.config_path = os.path.join(self.base_path, "_dataset.json")
+        self.config_path = posixpath.join(self.base_path, "_dataset.json")
+        self.ops = PathOps(self.spark, self.base_path)
 
     # -- manifest --------------------------------------------------------------
 
     def read_config(self) -> dict:
-        if os.path.exists(self.config_path):
-            with open(self.config_path) as f:
-                return json.load(f)
+        if self.ops.exists(self.config_path):
+            return json.loads(self.ops.read_text(self.config_path))
         # read-only migration compat: a dataset written by the reference
         # carries a TOML sidecar (_dataset.toml, reference timefly.py:50);
         # writes stay JSON (_dataset.json)
-        toml_path = os.path.join(self.base_path, "_dataset.toml")
-        if os.path.exists(toml_path):
+        toml_path = posixpath.join(self.base_path, "_dataset.toml")
+        if self.ops.exists(toml_path):
             import tomllib
 
-            with open(toml_path, "rb") as f:
-                return tomllib.load(f)
+            return tomllib.loads(self.ops.read_text(toml_path))
         return {}
 
     def write_config(self, config: dict) -> None:
-        os.makedirs(self.base_path, exist_ok=True)
-        with open(self.config_path, "w") as f:
-            json.dump(config, f, indent=2, default=str)
+        self.ops.write_text(self.config_path, json.dumps(config, indent=2, default=str))
 
     # -- layout ------------------------------------------------------------------
 
     @property
     def current_path(self) -> str:
-        return os.path.join(self.base_path, "current")
+        return posixpath.join(self.base_path, "current")
 
     def snapshot_path(self, ts: str) -> str:
-        return os.path.join(self.base_path, "snapshot", ts)
+        return posixpath.join(self.base_path, "snapshot", ts)
+
+    def _rel_to_base(self, path: str) -> str:
+        return path[len(self.base_path):].lstrip("/")
 
     def _datafiles_in_root(self) -> list[str]:
-        """Data files sitting directly in the dataset root (to be migrated
-        into current/ — reference timefly.py:488-507)."""
+        """Data files sitting outside current/ and snapshot/ (to be
+        migrated into current/ — reference timefly.py:488-507)."""
         found = []
-        for dirpath, dirnames, filenames in os.walk(self.base_path):
-            rel = os.path.relpath(dirpath, self.base_path)
-            if rel.split(os.sep)[0] in ("current", "snapshot"):
-                dirnames[:] = []
+        for p, _ in self.ops.data_files(self.base_path):
+            rel = self._rel_to_base(p)
+            head = rel.split("/", 1)[0]
+            if head in ("current", "snapshot"):
                 continue
-            for fn in filenames:
-                if fn.lower().endswith(DATA_EXTS) and not fn.startswith(("_", ".")):
-                    found.append(os.path.join(dirpath, fn))
+            if rel.lower().endswith(DATA_EXTS):
+                found.append(p)
         return found
 
     def new(self, save_config: bool = True) -> dict:
         """Initialize the manifest (reference timefly.py:130-148)."""
         config = {
             "dataset": {
-                "name": os.path.basename(self.base_path),
+                "name": posixpath.basename(self.base_path),
                 "init": dt.datetime.utcnow().strftime(TS_FMT),
                 "format": self.format,
             },
@@ -122,24 +126,26 @@ class TimeFly:
         return config
 
     def _current_datafiles(self) -> list[str]:
-        found = []
-        for dirpath, _dirs, files in os.walk(self.current_path):
-            for fn in files:
-                if fn.lower().endswith(DATA_EXTS) and not fn.startswith(("_", ".")):
-                    found.append(os.path.join(dirpath, fn))
-        return found
+        return [
+            p
+            for p, _ in self.ops.data_files(self.current_path)
+            if p.lower().endswith(DATA_EXTS)
+        ]
 
     def _infer_current_properties(self) -> dict:
         """Dataset properties inferred from current/ files — the
         reference persists these in the snapshot config
         (timefly.py:176-217: format, compression, partitioning, schema +
-        schema_unique)."""
+        schema_unique). Footer reads go through pyarrow, so this is
+        local-path-only; on other schemes the properties are omitted."""
         from pydala_spark import schema as schema_mod
 
+        if "://" in self.current_path:
+            return {}
         files = self._current_datafiles()
         if not files:
             return {}
-        rels = [os.path.relpath(f, self.current_path) for f in files]
+        rels = [p[len(self.current_path):].lstrip("/") for p in files]
         props: dict = {
             "format": schema_mod.infer_format(rels),
             "partitioning": schema_mod.infer_partitioning(rels),
@@ -154,22 +160,24 @@ class TimeFly:
     def create_current(self, **properties) -> None:
         """Move root-level data files into ``current/`` and record the
         current metadata (reference timefly.py:150-217)."""
-        os.makedirs(self.current_path, exist_ok=True)
+        self.ops.mkdirs(self.current_path)
         for src in self._datafiles_in_root():
-            rel = os.path.relpath(src, self.base_path)
-            dst = os.path.join(self.current_path, rel)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            shutil.move(src, dst)
+            rel = self._rel_to_base(src)
+            self.ops.rename(src, posixpath.join(self.current_path, rel))
         # sweep spark markers and emptied partition-dir shells off the root
-        for dirpath, dirnames, filenames in os.walk(self.base_path, topdown=False):
-            rel = os.path.relpath(dirpath, self.base_path)
-            if rel.split(os.sep)[0] in ("current", "snapshot"):
+        for p, _ in self.ops.list_files(self.base_path):
+            rel = self._rel_to_base(p)
+            if rel.split("/", 1)[0] in ("current", "snapshot"):
                 continue
-            for fn in filenames:
-                if fn in ("_SUCCESS",) or fn.endswith(".crc"):
-                    os.remove(os.path.join(dirpath, fn))
-            if dirpath != self.base_path and not os.listdir(dirpath):
-                os.rmdir(dirpath)
+            name = posixpath.basename(rel)
+            if name == "_SUCCESS" or name.endswith(".crc"):
+                self.ops.delete(p)
+        for entry in self.ops.list_dir(self.base_path):
+            if entry in ("current", "snapshot"):
+                continue
+            full = posixpath.join(self.base_path, entry)
+            if self.ops.is_dir(full) and not self.ops.list_files(full):
+                self.ops.delete(full)
         config = self.read_config() or self.new(save_config=False)
         now = dt.datetime.utcnow().strftime(TS_FMT)
         current = {"created": now, "comment": "initialized", "latest_update": now}
@@ -182,7 +190,7 @@ class TimeFly:
         """Merge properties + refreshed inference into the current
         metadata (reference ``update_current``, timefly.py:219-237)."""
         config = self.read_config()
-        if "current" not in config or not os.path.isdir(self.current_path):
+        if "current" not in config or not self.ops.is_dir(self.current_path):
             self.create_current(**properties)
             return
         config["current"].update(self._infer_current_properties())
@@ -205,20 +213,20 @@ class TimeFly:
         auto = ts is None
         t = ts or dt.datetime.utcnow()
         ts_str = t.strftime(TS_FMT)
-        if not os.path.isdir(self.current_path):
+        if not self.ops.is_dir(self.current_path):
             self.create_current()
         dst = self.snapshot_path(ts_str)
-        if os.path.exists(dst):
+        if self.ops.exists(dst):
             if not auto:
                 raise FileExistsError(f"snapshot {ts_str} already exists")
             # second-granularity stamps: two auto snapshots in the same
             # second (e.g. back-to-back load_snapshot restores) bump
             # forward instead of failing
-            while os.path.exists(dst):
+            while self.ops.exists(dst):
                 t += dt.timedelta(seconds=1)
                 ts_str = t.strftime(TS_FMT)
                 dst = self.snapshot_path(ts_str)
-        shutil.copytree(self.current_path, dst)
+        self.ops.copy_tree(self.current_path, dst)
         config = self.read_config() or self.new(save_config=False)
         config.setdefault("timefly", {}).setdefault("available", []).append(ts_str)
         self.write_config(config)
@@ -226,9 +234,7 @@ class TimeFly:
 
     def delete_snapshot(self, ts: str | dt.datetime) -> None:
         ts_str = ts if isinstance(ts, str) else ts.strftime(TS_FMT)
-        path = self.snapshot_path(ts_str)
-        if os.path.exists(path):
-            shutil.rmtree(path)
+        self.ops.delete(self.snapshot_path(ts_str))
         config = self.read_config()
         timefly = config.setdefault("timefly", {})
         if ts_str in timefly.get("available", []):
@@ -287,12 +293,12 @@ class TimeFly:
         if ts_str == "current":
             return
         src = self.snapshot_path(ts_str.removeprefix("snapshot/"))
-        if not os.path.isdir(src):
+        if not self.ops.is_dir(src):
             raise FileNotFoundError(f"snapshot {ts_str} not found")
-        if os.path.isdir(self.current_path):
+        if self.ops.is_dir(self.current_path):
             self.add_snapshot()
-            shutil.rmtree(self.current_path)
-        shutil.copytree(src, self.current_path)
+            self.ops.delete(self.current_path)
+        self.ops.copy_tree(src, self.current_path)
 
     def resolve(
         self, timefly: str | dt.datetime | None, rounding: str = "earliest_after"
@@ -330,4 +336,6 @@ class TimeFly:
         from pydala_spark.dataset.reader import Dataset
 
         sub = self.resolve(timefly, rounding)
-        return Dataset(self.spark, os.path.join(self.base_path, sub), self.format).load()
+        return Dataset(
+            self.spark, posixpath.join(self.base_path, sub), self.format
+        ).load()

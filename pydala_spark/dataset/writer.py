@@ -183,34 +183,28 @@ class Writer:
 
     def _existing_partitioning(self) -> list[str] | None:
         """Hive partition columns of the existing dataset, from file paths
-        (schema.infer_partitioning — reference timefly.py:105-112)."""
+        (schema.infer_partitioning — reference timefly.py:105-112).
+        Listed through the Hadoop FileSystem, so this works on any scheme
+        the Spark conf resolves (s3a/gs/abfs/...), not just local POSIX."""
         from pydala_spark.schema import infer_partitioning
+        from pydala_spark.utils.pathops import PathOps, strip_scheme
 
-        local = self.path.removeprefix("file:")
-        if "://" in self.path and not self.path.startswith("file:"):
-            return None
-        paths = []
-        for dirpath, _, files in os.walk(local):
-            rel = os.path.relpath(dirpath, local)
-            for f in files:
-                if not f.startswith(("_", ".")):
-                    paths.append(os.path.join(rel, f))
-        return infer_partitioning(paths)
+        ops = PathOps(self.spark, self.path)
+        base = strip_scheme(self.path).rstrip("/")
+        rels = [
+            p[len(base):].lstrip("/")
+            for p, _ in ops.data_files(self.path)
+            if p.startswith(base)
+        ]
+        return infer_partitioning(rels)
 
     def _dataset_exists(self) -> bool:
-        local = self.path.removeprefix("file:")
-        if "://" in self.path and not self.path.startswith("file:"):
-            # object store: probe via a cheap read attempt
-            try:
-                self.spark.read.format(self.format).load(self.path).schema
-                return True
-            except Exception:
-                return False
-        if os.path.isfile(local):  # single-file target (feather bridge)
+        from pydala_spark.utils.pathops import PathOps
+
+        ops = PathOps(self.spark, self.path)
+        if ops.is_file(self.path):  # single-file target (feather bridge)
             return True
-        return os.path.isdir(local) and any(
-            f for f in os.listdir(local) if not f.startswith(("_", "."))
-        )
+        return bool(ops.data_files(self.path))
 
     # -- the write ------------------------------------------------------------
 

@@ -125,7 +125,11 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str, n_bands: int = 4
+    signatures: DataFrame,
+    id_col: str,
+    n_bands: int = 4,
+    max_bucket_size: int | None = None,
+    log_dropped: bool = True,
 ) -> DataFrame:
     """Banded LSH over a MinHash signature frame: docs agreeing on all
     rows of any band become a candidate pair (id_a < id_b, distinct).
@@ -134,8 +138,15 @@ def lsh_candidate_pairs(
     the bucket's ids, and explode in-bucket pairs — a self-join would
     recompute the entire signature pipeline for each join side (measured
     2-3x). In-bucket pair explosion is quadratic per bucket, which is the
-    point of LSH (buckets are tiny); a degenerate corpus of near-identical
-    docs makes one giant bucket — cap/salt upstream if that's expected.
+    point of LSH (buckets are tiny).
+
+    ``max_bucket_size`` guards the degenerate corpus (one viral duplicate
+    -> a giant bucket whose pair explosion is quadratic in corpus size):
+    oversized buckets are dropped, because at that size the bucket's
+    members are already known-near-identical — route them through exact
+    dedup instead of pairwise scoring. When ``log_dropped`` the dropped
+    bucket count/sizes are logged (costs one extra aggregation job; set
+    False on hot paths).
     """
     sig_cols = sorted(
         (c for c in signatures.columns if c.startswith("mh_")),
@@ -161,6 +172,26 @@ def lsh_candidate_pairs(
         .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("ids"))
         .where(F.size("ids") > 1)
     )
+    if max_bucket_size is not None:
+        if log_dropped:
+            import logging
+
+            dropped = (
+                buckets.where(F.size("ids") > max_bucket_size)
+                .agg(
+                    F.count("*").alias("n_buckets"),
+                    F.sum(F.size("ids")).alias("n_members"),
+                )
+                .first()
+            )
+            if dropped["n_buckets"]:
+                logging.getLogger("pydala_spark").warning(
+                    "lsh_candidate_pairs: dropping %d oversized bucket(s) "
+                    "(> %d members, %d total members) — run exact dedup on "
+                    "these first",
+                    dropped["n_buckets"], max_bucket_size, dropped["n_members"],
+                )
+        buckets = buckets.where(F.size("ids") <= max_bucket_size)
     pairs = F.flatten(
         F.transform(
             F.col("ids"),

@@ -304,3 +304,25 @@ def test_winnowing_fingerprints_overlap(spark):
         for r in winnowing_fingerprints(docs, "doc_id", "text").collect()
     }
     assert fps == fps2
+
+
+def test_lsh_max_bucket_size_drops_degenerate_bucket(spark):
+    # a viral duplicate: 12 identical docs -> every band hashes to one
+    # giant bucket whose pair explosion is quadratic; the cap drops it
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="the same viral text repeated again and again here")
+         for i in range(12)]
+        + [Row(doc_id=100, text="a completely different document about spark plans"),
+           Row(doc_id=101, text="a completely different document about spark plans")]
+    )
+    sigs = minhash_signatures(docs, "doc_id", "text", n_hashes=8)
+    uncapped = lsh_candidate_pairs(sigs, "doc_id", n_bands=4).count()
+    assert uncapped >= 12 * 11 // 2  # quadratic blow-up present
+    capped = lsh_candidate_pairs(
+        sigs, "doc_id", n_bands=4, max_bucket_size=5, log_dropped=False
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in pairs          # small bucket survives
+    assert all(a >= 100 for a, _ in pairs)  # viral bucket dropped
