@@ -59,12 +59,42 @@ def _to_ts(value: str | dt.datetime) -> dt.datetime:
 
 
 class TimeFly:
-    """Snapshot manager for one dataset rooted at ``base_path``."""
+    """Snapshot manager for one dataset rooted at ``base_path``.
 
-    def __init__(self, spark: SparkSession, base_path: str, format: str = "parquet"):
+    Two snapshot backends:
+
+    - ``snapshot_mode="copy"`` (default, reference parity): snapshot =
+      full copy of current/ under snapshot/<ts>/. Simple, works with any
+      write pattern, but storage-amplifies by a full copy per snapshot.
+    - ``snapshot_mode="pointer"``: snapshot = a manifest listing the
+      data files live at snapshot time (snapshot/<ts>.manifest.json) —
+      O(file count) metadata, zero byte copies. Restoring an older
+      manifest RENAMES the files it doesn't list into a shared
+      ``snapshot/archive/`` area (still zero copies), so every other
+      manifest stays restorable: a manifest's files are resolved against
+      current/ first, then the archive. ``delete_snapshot`` garbage-
+      collects archive files no remaining manifest references. Valid
+      while writes are append-only (the Writer's default append/delta
+      modes): a rewrite that physically deletes listed files breaks the
+      pointer (read/restore raise). This is the 100 TB-shaped backend
+      (SCALE.md names copy-on-snapshot as the storage-amplification
+      bound); both kinds can coexist on one dataset and reads dispatch
+      on what exists on disk.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_path: str,
+        format: str = "parquet",
+        snapshot_mode: str = "copy",
+    ):
+        if snapshot_mode not in ("copy", "pointer"):
+            raise ValueError("snapshot_mode must be 'copy' or 'pointer'")
         self.spark = configure_session(spark)
         self.base_path = strip_scheme(base_path).rstrip("/")
         self.format = format
+        self.snapshot_mode = snapshot_mode
         self.config_path = posixpath.join(self.base_path, "_dataset.json")
         self.ops = PathOps(self.spark, self.base_path)
 
@@ -94,6 +124,29 @@ class TimeFly:
 
     def snapshot_path(self, ts: str) -> str:
         return posixpath.join(self.base_path, "snapshot", ts)
+
+    def manifest_path(self, ts: str) -> str:
+        return posixpath.join(self.base_path, "snapshot", f"{ts}.manifest.json")
+
+    @property
+    def archive_path(self) -> str:
+        """Shared parking area for files trimmed out of current/ by a
+        pointer restore (plain name, not ``_archive`` — Spark's file
+        index hides underscore-prefixed path components)."""
+        return posixpath.join(self.base_path, "snapshot", "archive")
+
+    def _archive_file(self, rel: str) -> str:
+        return posixpath.join(self.archive_path, rel)
+
+    def _read_snapshot_manifest(self, ts: str) -> dict | None:
+        mpath = self.manifest_path(ts)
+        if self.ops.exists(mpath):
+            return json.loads(self.ops.read_text(mpath))
+        return None
+
+    def _current_rel_datafiles(self) -> list[str]:
+        base = self.current_path
+        return [p[len(base):].lstrip("/") for p in self._current_datafiles()]
 
     def _rel_to_base(self, path: str) -> str:
         return path[len(self.base_path):].lstrip("/")
@@ -208,39 +261,86 @@ class TimeFly:
             out += list(timefly.get("deleted", []))
         return sorted(out)
 
-    def add_snapshot(self, ts: dt.datetime | None = None) -> str:
-        """Copy current/ into snapshot/<ts>/ (reference timefly.py:246-310)."""
+    def _stamp_taken(self, s: str) -> bool:
+        return self.ops.exists(self.snapshot_path(s)) or self.ops.exists(
+            self.manifest_path(s)
+        )
+
+    def _fresh_stamp(self, ts: dt.datetime | None) -> str:
+        """Format ``ts`` (or now) as a stamp; auto stamps landing on a
+        taken second bump forward instead of failing (back-to-back
+        restores), explicit stamps raise."""
         auto = ts is None
         t = ts or dt.datetime.utcnow()
         ts_str = t.strftime(TS_FMT)
-        if not self.ops.is_dir(self.current_path):
-            self.create_current()
-        dst = self.snapshot_path(ts_str)
-        if self.ops.exists(dst):
+        if self._stamp_taken(ts_str):
             if not auto:
                 raise FileExistsError(f"snapshot {ts_str} already exists")
-            # second-granularity stamps: two auto snapshots in the same
-            # second (e.g. back-to-back load_snapshot restores) bump
-            # forward instead of failing
-            while self.ops.exists(dst):
+            while self._stamp_taken(ts_str):
                 t += dt.timedelta(seconds=1)
                 ts_str = t.strftime(TS_FMT)
-                dst = self.snapshot_path(ts_str)
-        self.ops.copy_tree(self.current_path, dst)
+        return ts_str
+
+    def _register_snapshot(self, ts_str: str) -> None:
         config = self.read_config() or self.new(save_config=False)
         config.setdefault("timefly", {}).setdefault("available", []).append(ts_str)
         self.write_config(config)
+
+    def _write_pointer_manifest(self, ts_str: str, rels: list[str]) -> None:
+        manifest = {"ts": ts_str, "files": sorted(rels)}
+        self.ops.write_text(self.manifest_path(ts_str), json.dumps(manifest, indent=2))
+
+    def add_snapshot(self, ts: dt.datetime | None = None) -> str:
+        """Snapshot current/: a full copy under snapshot/<ts>/ (reference
+        timefly.py:246-310), or with ``snapshot_mode="pointer"`` just a
+        file-list manifest (no byte copies)."""
+        if not self.ops.is_dir(self.current_path):
+            self.create_current()
+        ts_str = self._fresh_stamp(ts)
+        if self.snapshot_mode == "pointer":
+            self._write_pointer_manifest(ts_str, self._current_rel_datafiles())
+        else:
+            self.ops.copy_tree(self.current_path, self.snapshot_path(ts_str))
+        self._register_snapshot(ts_str)
         return ts_str
 
     def delete_snapshot(self, ts: str | dt.datetime) -> None:
+        """Tombstone + physical delete (copy dir and/or pointer manifest).
+        Files a deleted pointer parked in the archive are garbage-
+        collected once no remaining manifest references them; files
+        still live in current/ are never touched."""
         ts_str = ts if isinstance(ts, str) else ts.strftime(TS_FMT)
+        was_pointer = self.ops.exists(self.manifest_path(ts_str))
         self.ops.delete(self.snapshot_path(ts_str))
+        self.ops.delete(self.manifest_path(ts_str))
         config = self.read_config()
         timefly = config.setdefault("timefly", {})
         if ts_str in timefly.get("available", []):
             timefly["available"].remove(ts_str)
         timefly.setdefault("deleted", []).append(ts_str)
         self.write_config(config)
+        if was_pointer:
+            self._gc_archive()
+
+    def _gc_archive(self) -> int:
+        """Delete archive files referenced by no remaining manifest.
+        O(total manifest entries) driver-side metadata work — the same
+        shape as a table format's expire-snapshots pass."""
+        if not self.ops.is_dir(self.archive_path):
+            return 0
+        referenced: set[str] = set()
+        for s in self.snapshots():
+            manifest = self._read_snapshot_manifest(s)
+            if manifest is not None:
+                referenced.update(manifest["files"])
+        base = self.archive_path
+        dropped = 0
+        for p, _ in self.ops.data_files(base):
+            rel = p[len(base):].lstrip("/")
+            if rel not in referenced:
+                self.ops.delete(p)
+                dropped += 1
+        return dropped
 
     def vacuum(
         self,
@@ -292,11 +392,63 @@ class TimeFly:
             ts_str = self.resolve(ts)
         if ts_str == "current":
             return
-        src = self.snapshot_path(ts_str.removeprefix("snapshot/"))
+        ts_key = ts_str.removeprefix("snapshot/")
+        manifest = self._read_snapshot_manifest(ts_key)
+        if manifest is not None:
+            # pointer restore — pure renames, no byte copies, nothing
+            # deleted: wanted files not in current/ come back from the
+            # archive; current files the manifest doesn't list are parked
+            # in the archive (where every other manifest can still find
+            # them). The replaced current is preserved first as a new
+            # manifest, which stays valid precisely because trimmed files
+            # are archived rather than deleted.
+            want = set(manifest["files"])
+            cur = set(self._current_rel_datafiles())
+            missing = [
+                r
+                for r in sorted(want - cur)
+                if not self.ops.exists(self._archive_file(r))
+            ]
+            if missing:
+                raise FileNotFoundError(
+                    f"pointer snapshot {ts_key} references {len(missing)} "
+                    f"file(s) in neither current/ nor the snapshot archive "
+                    f"(first: {missing[0]!r}) — the dataset was rewritten, "
+                    "not appended; pointer snapshots require append-only "
+                    "writes"
+                )
+            if cur != want:
+                replaced = self._fresh_stamp(None)
+                self._write_pointer_manifest(replaced, sorted(cur))
+                self._register_snapshot(replaced)
+            for rel in sorted(want - cur):
+                self.ops.rename(
+                    self._archive_file(rel), posixpath.join(self.current_path, rel)
+                )
+            for rel in sorted(cur - want):
+                self.ops.rename(
+                    posixpath.join(self.current_path, rel), self._archive_file(rel)
+                )
+            return
+        src = self.snapshot_path(ts_key)
         if not self.ops.is_dir(src):
             raise FileNotFoundError(f"snapshot {ts_str} not found")
         if self.ops.is_dir(self.current_path):
-            self.add_snapshot()
+            if self.snapshot_mode == "pointer":
+                # preserve the replaced current as a manifest whose files
+                # move to the archive — deleting current/ outright would
+                # leave that manifest (and any older one) dangling
+                cur = sorted(self._current_rel_datafiles())
+                replaced = self._fresh_stamp(None)
+                self._write_pointer_manifest(replaced, cur)
+                self._register_snapshot(replaced)
+                for rel in cur:
+                    self.ops.rename(
+                        posixpath.join(self.current_path, rel),
+                        self._archive_file(rel),
+                    )
+            else:
+                self.add_snapshot()
             self.ops.delete(self.current_path)
         self.ops.copy_tree(src, self.current_path)
 
@@ -332,10 +484,46 @@ class TimeFly:
         self, timefly: str | dt.datetime | None = None, rounding: str = "earliest_after"
     ) -> DataFrame:
         """DataFrame over the dataset as of ``timefly``
-        (reference TimeFlyReader, src/pydala/dataset/reader.py:584-653)."""
+        (reference TimeFlyReader, src/pydala/dataset/reader.py:584-653).
+        A pointer snapshot reads its manifest's file list wherever the
+        files live — current/ and/or the restore archive (per-root
+        basePath keeps hive partition discovery working)."""
         from pydala_spark.dataset.reader import Dataset
 
         sub = self.resolve(timefly, rounding)
+        if sub != "current":
+            key = sub.removeprefix("snapshot/")
+            manifest = self._read_snapshot_manifest(key)
+            if manifest is not None:
+                in_cur, in_arc, missing = [], [], []
+                for r in manifest["files"]:
+                    if self.ops.exists(posixpath.join(self.current_path, r)):
+                        in_cur.append(posixpath.join(self.current_path, r))
+                    elif self.ops.exists(self._archive_file(r)):
+                        in_arc.append(self._archive_file(r))
+                    else:
+                        missing.append(r)
+                if missing or not (in_cur or in_arc):
+                    raise FileNotFoundError(
+                        f"pointer snapshot {key}: {len(missing)} listed "
+                        f"file(s) not found (dataset rewritten, or snapshot "
+                        f"empty); first: {missing[0]!r}" if missing else
+                        f"pointer snapshot {key} lists no files"
+                    )
+                parts = [
+                    self.spark.read.option("basePath", base)
+                    .format(self.format)
+                    .load(files)
+                    for base, files in (
+                        (self.current_path, in_cur),
+                        (self.archive_path, in_arc),
+                    )
+                    if files
+                ]
+                df = parts[0]
+                for extra in parts[1:]:
+                    df = df.unionByName(extra, allowMissingColumns=True)
+                return df
         return Dataset(
             self.spark, posixpath.join(self.base_path, sub), self.format
         ).load()

@@ -17,7 +17,7 @@ from pydala_spark.operators.sampling import (
     train_test_split,
 )
 from pydala_spark.operators.similarity import cosine_similarity, cosine_topk
-from pydala_spark.operators.skew import salted_agg, salted_broadcast_left_join
+from pydala_spark.operators.skew import salted_agg, salted_broadcast_left_join, salted_join
 from pydala_spark.operators.textstats import (
     fingerprint,
     quality_stats,
@@ -45,6 +45,7 @@ __all__ = [
     "kmeans_centroids",
     "salted_agg",
     "salted_broadcast_left_join",
+    "salted_join",
     "fingerprint",
     "quality_stats",
     "token_count",

@@ -7,7 +7,7 @@ skew at runtime; these helpers cover the cases AQE can't re-plan:
   keys: a random salt spreads one hot key over N partial groups, then a
   second (tiny) aggregation merges the partials. Supported aggregate
   specs are the algebraically mergeable ones (count/sum/min/max).
-- :func:`salted_broadcast_left_join` — replicate-right / salt-left
+- :func:`salted_join` — replicate-right / salt-left
   pattern for a shuffle join whose LEFT side has a hot key but whose
   right side is too big to broadcast whole: the right side is exploded
   ``salt_buckets`` times (bounded blow-up), the left salted randomly, so
@@ -65,7 +65,7 @@ def salted_agg(
     return partial.groupBy(*keys).agg(*final_cols)
 
 
-def salted_broadcast_left_join(
+def salted_join(
     left: DataFrame,
     right: DataFrame,
     on: Sequence[str],
@@ -82,3 +82,8 @@ def salted_broadcast_left_join(
     salt = (F.rand(seed) if seed is not None else F.rand()) * salt_buckets
     l = left.withColumn("__salt", salt.cast("int"))
     return l.join(r, on + ["__salt"], "inner").drop("__salt")
+
+
+#: Round-1 name; kept for compatibility. The operator performs a salted
+#: SHUFFLE join (the name oversold a broadcast that never happens).
+salted_broadcast_left_join = salted_join

@@ -3,7 +3,7 @@ import datetime as dt
 import pytest
 from pyspark.sql import Row, functions as F
 
-from pydala_spark.operators.skew import salted_agg, salted_broadcast_left_join
+from pydala_spark.operators.skew import salted_agg, salted_join
 
 TS = dt.datetime
 
@@ -43,7 +43,7 @@ def test_salted_join_matches_plain(spark):
         [Row(k=1, lv=i) for i in range(500)] + [Row(k=2, lv=-1)]
     )
     right = spark.createDataFrame([Row(k=1, rv="x"), Row(k=2, rv="y")])
-    salted = salted_broadcast_left_join(left, right, ["k"], salt_buckets=4, seed=3)
+    salted = salted_join(left, right, ["k"], salt_buckets=4, seed=3)
     assert salted.count() == left.count()
     plain = left.join(right, "k").count()
     assert salted.count() == plain

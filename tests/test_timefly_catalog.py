@@ -218,3 +218,82 @@ def test_timefly_reads_reference_toml_config(spark, tmp_path):
     tf = TimeFly(spark, base)
     assert tf.snapshots() == ["20240101_120000"]
     assert tf.read().count() == 3
+
+
+def test_timefly_pointer_snapshots(spark, tmp_path):
+    # pointer snapshots: manifest file-lists, zero byte copies; reads and
+    # restores work while writes stay append-only
+    base = str(tmp_path / "ptr_ds")
+    _write(spark, base, [1, 2, 3])
+    tf = TimeFly(spark, base, snapshot_mode="pointer")
+    tf.new()
+    tf.create_current()
+    snap1 = tf.add_snapshot(TS(2024, 1, 1, 12, 0, 0))
+    # no copied snapshot directory — just the manifest
+    assert not os.path.isdir(tf.snapshot_path(snap1))
+    assert os.path.exists(tf.manifest_path(snap1))
+
+    Writer(spark, tf.current_path).write(
+        spark.createDataFrame([Row(id=4)], "id long")
+    )
+    assert tf.read().count() == 4
+    assert tf.read(TS(2024, 1, 1)).count() == 3  # as-of reads the manifest
+
+    tf.load_snapshot(snap1)  # archives the appended file out of current/
+    assert tf.read().count() == 3
+    assert len(tf.snapshots()) == 2  # replaced current was pointer-snapshotted
+
+    # the replaced-current snapshot is not a dangling pointer: its trimmed
+    # file sits in the archive, so it reads AND restores
+    replaced = tf.snapshots()[-1]
+    assert tf.read(TS(2030, 1, 1), rounding="latest_before").count() == 4
+    tf.load_snapshot(replaced)
+    assert tf.read().count() == 4
+
+    tf.load_snapshot(snap1)  # back to 3 for the delete checks
+    tf.delete_snapshot(snap1)
+    assert snap1 not in tf.snapshots()
+    assert tf.read().count() == 3  # live data untouched
+
+
+def test_timefly_pointer_restore_chain_and_gc(spark, tmp_path):
+    # A{3 rows} -> B{4} -> restore A -> restore B: every manifest stays
+    # valid because trims archive instead of delete; deleting all
+    # snapshots garbage-collects the archive
+    base = str(tmp_path / "ptr_chain")
+    _write(spark, base, [1, 2, 3])
+    tf = TimeFly(spark, base, snapshot_mode="pointer")
+    tf.new()
+    tf.create_current()
+    snap_a = tf.add_snapshot(TS(2024, 1, 1, 12, 0, 0))
+    Writer(spark, tf.current_path).write(spark.createDataFrame([Row(id=4)], "id long"))
+    snap_b = tf.add_snapshot(TS(2024, 2, 1, 12, 0, 0))
+    Writer(spark, tf.current_path).write(spark.createDataFrame([Row(id=5)], "id long"))
+
+    tf.load_snapshot(snap_a)
+    assert tf.read().count() == 3
+    assert tf.read(TS(2024, 1, 15)).count() == 4  # B resolves via archive
+    tf.load_snapshot(snap_b)
+    assert tf.read().count() == 4
+    assert sorted(r.id for r in tf.read().collect()) == [1, 2, 3, 4]
+
+    for s in list(tf.snapshots()):
+        tf.delete_snapshot(s)
+    assert tf.read().count() == 4  # live data untouched
+    archive = tmp_path / "ptr_chain" / "snapshot" / "archive"
+    leftover = list(archive.rglob("*.parquet")) if archive.exists() else []
+    assert leftover == []  # unreferenced archive files collected
+
+
+def test_timefly_pointer_detects_rewrite(spark, tmp_path):
+    import pytest
+
+    base = str(tmp_path / "ptr_rw")
+    _write(spark, base, [1, 2, 3])
+    tf = TimeFly(spark, base, snapshot_mode="pointer")
+    tf.new()
+    tf.create_current()
+    snap = tf.add_snapshot(TS(2024, 1, 1, 12, 0, 0))
+    _write(spark, tf.current_path, [9])  # overwrite: listed files deleted
+    with pytest.raises(FileNotFoundError, match="append-only"):
+        tf.load_snapshot(snap)
