@@ -16,6 +16,7 @@ from pydala_spark.operators.sampling import (
     stratified_sample,
     train_test_split,
 )
+from pydala_spark.operators.packing import pack_shards, shard_summary
 from pydala_spark.operators.similarity import cosine_similarity, cosine_topk
 from pydala_spark.operators.skew import salted_agg, salted_broadcast_left_join, salted_join
 from pydala_spark.operators.textstats import (
@@ -43,6 +44,8 @@ __all__ = [
     "train_test_split",
     "ivf_topk",
     "kmeans_centroids",
+    "pack_shards",
+    "shard_summary",
     "salted_agg",
     "salted_broadcast_left_join",
     "salted_join",

@@ -1,0 +1,121 @@
+"""Training-shard packing: assign rows to fixed-token-budget shards.
+
+A training-data pipeline's last step before serialization is packing
+documents into shards of ~N tokens each (sequence-packing prep, shard
+manifests for data loaders). The math is a prefix sum over a total
+order: shard(doc) = floor(tokens_before_doc / target).
+
+The naive Spark spelling — ``sum(tokens).over(Window.orderBy(key))`` —
+is the classic scale trap: an ORDER BY window with no PARTITION BY pulls
+the entire dataset into ONE task. This module computes the same exact
+prefix sum distributed:
+
+1. bucket rows by an order-monotonic range function of the (unique)
+   order key — buckets parallelize, and monotonicity means bucket-major
+   order equals global order;
+2. local prefix sums per bucket (one shuffle, all cores busy);
+3. per-bucket totals (tiny: ``n_buckets`` rows) carry the only global
+   window, then broadcast back as offsets;
+4. global prefix = bucket offset + local prefix.
+
+Cost at scale: one columnar min/max scan (parquet footer stats) + one
+shuffle keyed by bucket + one broadcast join — versus the single-task
+global window. The result is bit-identical to the naive spelling
+because the order key is unique and token counts are integers.
+
+The reference engine has no shard packer; this extends the surface the
+way SURVEY.md §2.11 ("LLM-pipeline additions") prescribes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_shards(
+    df: DataFrame,
+    token_col: str | Column,
+    order_col: str,
+    target_tokens: int,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Add ``n_tokens`` (long cast of ``token_col``), ``cum_before``
+    (exact global prefix sum of tokens in ``order_col`` order, excluding
+    the current row) and ``shard_id`` (``floor(cum_before /
+    target_tokens)``) columns.
+
+    ``order_col`` must be numeric and unique (doc ids); ties would make
+    the prefix sum order-dependent. Documents straddling a boundary
+    belong to the shard their first token lands in — the standard
+    fixed-budget contract (a loader reading shard k starts at offset
+    ``k * target_tokens``).
+    """
+    if target_tokens <= 0:
+        raise ValueError("target_tokens must be positive")
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    if n_buckets is None:
+        n_buckets = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_buckets = max(n_buckets, 1)
+
+    lo, hi = df.agg(
+        F.min(order_col).cast("double"), F.max(order_col).cast("double")
+    ).first()
+    if lo is None:
+        raise ValueError(f"pack_shards: {order_col!r} has no non-NULL values")
+    span = (hi - lo) or 1.0
+    # order-monotonic range bucketing: floor of an increasing affine map,
+    # so bucket-major order == global order. Skewed key distributions
+    # unbalance buckets but never break correctness (SCALE.md).
+    bucket = F.least(
+        F.floor((F.col(order_col).cast("double") - F.lit(lo)) / F.lit(span) * n_buckets),
+        F.lit(n_buckets - 1),
+    ).cast("int")
+
+    with_b = df.withColumn("__bucket", bucket).withColumn(
+        "n_tokens", tok.cast("long")
+    )
+    local = with_b.withColumn(
+        "__local",
+        F.sum("n_tokens").over(
+            Window.partitionBy("__bucket")
+            .orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    offsets = (
+        with_b.groupBy("__bucket")
+        .agg(F.sum("n_tokens").alias("__btotal"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__btotal").over(
+                    Window.orderBy("__bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("__btotal")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__bucket")
+        .withColumn("cum_before", F.col("__offset") + F.col("__local") - F.col("n_tokens"))
+        .withColumn(
+            "shard_id", F.floor(F.col("cum_before") / target_tokens).cast("long")
+        )
+        .drop("__bucket", "__local", "__offset")
+    )
+
+
+def shard_summary(packed: DataFrame, order_col: str) -> DataFrame:
+    """Per-shard manifest over :func:`pack_shards` output: document
+    count, token total, order-key range. This is the table a data-loader
+    consumes; one small groupBy on ``shard_id``."""
+    return packed.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("shard_tokens"),
+        F.min(order_col).cast("long").alias("first_doc"),
+        F.max(order_col).cast("long").alias("last_doc"),
+    )

@@ -321,6 +321,47 @@ GROUP BY s ORDER BY n DESC, token LIMIT 20
 """
 
 
+def q_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-budget training shards over documents: exact global
+    prefix sum of whitespace token counts in doc_id order, computed
+    DISTRIBUTED (bucketed local cumsum + broadcast bucket offsets —
+    operators/packing.py), never through the single-task global window.
+    target=4096 is a power of two so the shard division is exact in both
+    engines."""
+    from pydala_spark.operators.packing import pack_shards, shard_summary
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_shards(
+        docs.select("doc_id", token_count("text").alias("tok")),
+        "tok",
+        "doc_id",
+        target_tokens=4096,
+    )
+    return shard_summary(packed, "doc_id").orderBy("shard_id")
+
+
+_Q_SHARD_PACKING_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         LEN(string_split_regex(TRIM(text), '\s+')) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tokens AS BIGINT) AS cum_before
+  FROM t
+)
+SELECT CAST(FLOOR(cum_before / 4096) AS BIGINT) AS shard_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM c
+GROUP BY 1 ORDER BY shard_id
+"""
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for probes vec_id < 10."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -462,6 +503,7 @@ EXT_QUERIES = {
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_simhash": q_simhash,
     "q_token_freq": q_token_freq,
+    "q_shard_packing": q_shard_packing,
     "q_cosine_topk": q_cosine_topk,
     "q_embedding_neardup": q_embedding_neardup,
     "q_lsh_topk": q_lsh_topk,
@@ -478,6 +520,7 @@ EXT_ORACLE = {
     "q_ngram_jaccard": _Q_JACCARD_SQL,
     "q_simhash": _simhash_sql(16),
     "q_token_freq": _Q_TOKEN_FREQ_SQL,
+    "q_shard_packing": _Q_SHARD_PACKING_SQL,
     "q_cosine_topk": _Q_COSINE_TOPK_SQL,
     "q_embedding_neardup": _neardup_sql(64, 6),
     "q_lsh_topk": _lsh_topk_sql(64, 6),

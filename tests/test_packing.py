@@ -1,0 +1,88 @@
+"""Shard packing: the distributed prefix sum must be bit-identical to
+the naive single-task global window, under skew and tiny inputs."""
+
+import pytest
+from pyspark.sql import Row, Window
+from pyspark.sql import functions as F
+
+from pydala_spark.operators.packing import pack_shards, shard_summary
+
+
+def _naive(df, token_col, order_col, target):
+    w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, -1)
+    return df.withColumn(
+        "cum_before", F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    ).withColumn("shard_id", F.floor(F.col("cum_before") / target).cast("long"))
+
+
+def _rows(df):
+    return sorted(
+        (r["doc"], r["cum_before"], r["shard_id"])
+        for r in df.select("doc", "cum_before", "shard_id").collect()
+    )
+
+
+def test_pack_matches_global_window(spark):
+    # deterministic pseudo-random token counts, non-contiguous ids
+    df = (
+        spark.range(0, 500)
+        .select((F.col("id") * 7 + 3).alias("doc"))
+        .withColumn("tok", F.pmod(F.col("doc") * 2654435761, F.lit(97)) + 1)
+    )
+    packed = pack_shards(df, "tok", "doc", target_tokens=128, n_buckets=8)
+    assert _rows(packed) == _rows(_naive(df, "tok", "doc", 128))
+    # every doc appears exactly once
+    assert packed.count() == 500
+
+
+def test_pack_skewed_keys_and_few_rows(spark):
+    # all ids in a narrow band -> most land in one bucket; correctness holds
+    rows = [Row(doc=i, tok=10) for i in [1, 2, 3, 1000000]]
+    df = spark.createDataFrame(rows)
+    packed = pack_shards(df, "tok", "doc", target_tokens=25, n_buckets=16)
+    assert _rows(packed) == _rows(_naive(df, "tok", "doc", 25))
+    # single row
+    one = spark.createDataFrame([Row(doc=5, tok=7)])
+    got = pack_shards(one, "tok", "doc", target_tokens=3).first()
+    assert got["cum_before"] == 0 and got["shard_id"] == 0
+
+
+def test_shard_summary_totals(spark):
+    df = spark.createDataFrame([Row(doc=i, tok=100) for i in range(1, 21)])
+    packed = pack_shards(df, "tok", "doc", target_tokens=500, n_buckets=4)
+    summary = shard_summary(packed, "doc").orderBy("shard_id").collect()
+    # 20 docs x 100 tok / 500 budget -> 4 shards of 5 docs each
+    assert [r["n_docs"] for r in summary] == [5, 5, 5, 5]
+    assert [r["shard_tokens"] for r in summary] == [500] * 4
+    assert summary[0]["first_doc"] == 1 and summary[-1]["last_doc"] == 20
+    # shards partition the docs contiguously in id order
+    for a, b in zip(summary, summary[1:]):
+        assert a["last_doc"] < b["first_doc"]
+
+
+def test_pack_validates_inputs(spark):
+    df = spark.createDataFrame([Row(doc=1, tok=1)])
+    with pytest.raises(ValueError, match="positive"):
+        pack_shards(df, "tok", "doc", target_tokens=0)
+    empty = df.where(F.lit(False))
+    with pytest.raises(ValueError, match="non-NULL"):
+        pack_shards(empty, "tok", "doc", target_tokens=10)
+
+
+def test_pack_plan_has_no_global_data_window(spark):
+    """The full-data window must be partitioned (parallel); only the
+    n_buckets-row offsets frame may carry an unpartitioned window."""
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc"), (F.pmod(F.col("id"), F.lit(50)) + 1).alias("tok")
+    )
+    packed = pack_shards(df, "tok", "doc", target_tokens=64, n_buckets=8)
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    win_lines = [l for l in plan.splitlines() if "Window [" in l]
+    assert len(win_lines) == 2, plan
+    data_win = next(l for l in win_lines if "__local" in l)
+    # partition spec is printed after the function list: bucket-partitioned
+    assert "], [__bucket" in data_win, data_win
+    # the only single-partition exchange feeds the n_buckets-row offsets
+    # frame (below the broadcast), never the full data
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
