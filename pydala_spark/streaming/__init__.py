@@ -90,3 +90,42 @@ def windowed_counts(
         .agg(F.count("*").alias("n"))
         .select(F.col("win.start").alias("window_start"), *group_cols, "n")
     )
+
+
+def streaming_dedup(
+    stream_df: DataFrame,
+    subset: Sequence[str] | None = None,
+    text_col: str | None = None,
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exact dedup on ingest — the streaming form of the batch
+    ``dedup_exact`` / subset-dedup family (operators/dedup.py), for a
+    continuously-fed corpus.
+
+    ``text_col`` dedups by content: an md5 fingerprint column
+    (``__fp``, same hash as the batch operator, so a batch backfill and
+    the stream agree on what is a duplicate) is added and used as the
+    key. Otherwise ``subset`` names the key columns directly.
+
+    State at 100 TB is the concern, not the shuffle: with ``ts_col``
+    set, keys are dropped from the dedup state once the watermark passes
+    (``dropDuplicatesWithinWatermark`` — duplicates in a stream land
+    close together in event time, so bounded state buys near-exact
+    dedup). Without ``ts_col`` the state grows with distinct keys
+    forever — correct, but only for bounded key domains.
+    """
+    df = stream_df
+    keys: list[str]
+    if text_col is not None:
+        df = df.withColumn("__fp", F.md5(F.col(text_col).cast("binary")))
+        keys = ["__fp"]
+    elif subset:
+        keys = list(subset)
+    else:
+        raise ValueError("streaming_dedup needs text_col or subset")
+    if ts_col is not None:
+        out = df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    else:
+        out = df.dropDuplicates(keys)
+    return out.drop("__fp") if text_col is not None else out

@@ -241,6 +241,41 @@ def test_windowed_counts_streaming(spark, tmp_path):
     ]
 
 
+def test_streaming_dedup_by_content(spark, tmp_path):
+    from pydala_spark.streaming import streaming_dedup
+
+    src = str(tmp_path / "docs_stream")
+    df = spark.createDataFrame(
+        [
+            (1, TS(2024, 1, 1, 0, 0), "the quick brown fox"),
+            (2, TS(2024, 1, 1, 0, 1), "the quick brown fox"),  # dup content
+            (3, TS(2024, 1, 1, 0, 2), "an entirely new doc"),
+            (4, TS(2024, 1, 1, 0, 3), "an entirely new doc"),  # dup content
+            (5, TS(2024, 1, 1, 0, 4), "unique"),
+        ],
+        "doc_id long, ts timestamp, text string",
+    )
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    deduped = streaming_dedup(stream, text_col="text", ts_col="ts")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("SELECT text FROM dedup_out").collect()
+    texts = sorted(r["text"] for r in rows)
+    assert texts == ["an entirely new doc", "the quick brown fox", "unique"]
+    # fingerprint helper column does not leak into the output
+    assert "__fp" not in spark.table("dedup_out").columns
+
+    with pytest.raises(ValueError, match="text_col or subset"):
+        streaming_dedup(stream)
+
+
 def test_time_range_join_matches_naive(spark, sf_dir):
     from pydala_spark.operators.rangejoin import time_range_join
     from pydala_spark.sources import load_table
