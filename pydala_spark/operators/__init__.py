@@ -1,5 +1,7 @@
 from pydala_spark.operators.asof import asof_join
 from pydala_spark.operators.dedup import (
+    contamination_hits,
+    decontaminate,
     dedup_clusters,
     dedup_exact,
     dedup_subset,
@@ -44,6 +46,8 @@ __all__ = [
     "train_test_split",
     "ivf_topk",
     "kmeans_centroids",
+    "contamination_hits",
+    "decontaminate",
     "pack_shards",
     "shard_summary",
     "salted_agg",

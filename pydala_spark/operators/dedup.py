@@ -251,6 +251,59 @@ def ngram_jaccard_pairs(
     )
 
 
+def contamination_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_size: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Corpus documents sharing at least ``min_hits`` distinct word
+    ``shingle_size``-grams with ANY benchmark document — the standard
+    n-gram-overlap benchmark-decontamination test for training corpora.
+
+    Shape at 100 TB: the benchmark (an eval set — thousands of docs, not
+    billions) collapses to a distinct-shingle set and is broadcast, so
+    the corpus is never shuffled raw; the only exchange is the per-doc
+    distinct-hit count. Returns ``(id, n_hits)``.
+    """
+    c = explode_cheaply(
+        doc_shingles(corpus, id_col, text_col, shingle_size), F.col("shs"), "sh"
+    ).select("id", "sh")
+    b = (
+        explode_cheaply(
+            doc_shingles(benchmark, id_col, text_col, shingle_size),
+            F.col("shs"),
+            "sh",
+        )
+        .select("sh")
+        .distinct()
+    )
+    return (
+        c.join(F.broadcast(b), "sh")
+        .groupBy("id")
+        .agg(F.count_distinct("sh").alias("n_hits"))
+        .where(F.col("n_hits") >= min_hits)
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_size: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Corpus minus contaminated documents (anti-join on
+    :func:`contamination_hits`)."""
+    hits = contamination_hits(
+        corpus, benchmark, id_col, text_col, shingle_size, min_hits
+    ).select(F.col("id").alias(id_col))
+    return corpus.join(hits, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 

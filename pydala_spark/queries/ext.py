@@ -321,6 +321,36 @@ GROUP BY s ORDER BY n DESC, token LIMIT 20
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 100th document plays the eval
+    set; corpus docs sharing >= 2 distinct word 3-gram shingles with it
+    are flagged. The benchmark's distinct-shingle set broadcasts (an
+    eval set is thousands of docs at any corpus scale), so the corpus is
+    never shuffled raw — one exchange for the per-doc hit count."""
+    from pydala_spark.operators.dedup import contamination_hits
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 100 == 0)
+    corpus = docs.where(F.col("doc_id") % 100 != 0)
+    hits = contamination_hits(corpus, bench, "doc_id", "text", 3, min_hits=2)
+    return hits.select(
+        F.col("id").alias("doc_id"), F.col("n_hits").cast("long").alias("n_hits")
+    ).orderBy("doc_id")
+
+
+_Q_DECONTAMINATE_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+bs AS (SELECT DISTINCT s
+       FROM (SELECT UNNEST(shs) AS s FROM sh WHERE doc_id % 100 = 0)),
+ce AS (SELECT doc_id, UNNEST(shs) AS s FROM sh WHERE doc_id % 100 <> 0)
+SELECT ce.doc_id, CAST(COUNT(DISTINCT ce.s) AS BIGINT) AS n_hits
+FROM ce JOIN bs ON ce.s = bs.s
+GROUP BY ce.doc_id
+HAVING COUNT(DISTINCT ce.s) >= 2
+ORDER BY ce.doc_id
+"""
+
+
 def q_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-token-budget training shards over documents: exact global
     prefix sum of whitespace token counts in doc_id order, computed
@@ -503,6 +533,7 @@ EXT_QUERIES = {
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_simhash": q_simhash,
     "q_token_freq": q_token_freq,
+    "q_decontaminate": q_decontaminate,
     "q_shard_packing": q_shard_packing,
     "q_cosine_topk": q_cosine_topk,
     "q_embedding_neardup": q_embedding_neardup,
@@ -520,6 +551,7 @@ EXT_ORACLE = {
     "q_ngram_jaccard": _Q_JACCARD_SQL,
     "q_simhash": _simhash_sql(16),
     "q_token_freq": _Q_TOKEN_FREQ_SQL,
+    "q_decontaminate": _Q_DECONTAMINATE_SQL,
     "q_shard_packing": _Q_SHARD_PACKING_SQL,
     "q_cosine_topk": _Q_COSINE_TOPK_SQL,
     "q_embedding_neardup": _neardup_sql(64, 6),

@@ -57,7 +57,10 @@ def _tagged_union(parts: list[tuple[str, DataFrame]]) -> DataFrame:
 
 
 def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Date-part, math and CASE/COALESCE/NULLIF families, tag-unioned."""
+    """Date-part, math, CASE/COALESCE/NULLIF, string and regexp scalar
+    families in one tag-union (round-2 consolidation of round 1's
+    q_scalar_functions + q_string_regexp_functions, freeing a registry
+    slot inside the driver's correctness window)."""
     orders = load_table(spark, sf_dir, "orders")
     date = (
         orders.groupBy(
@@ -91,47 +94,6 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     cond = orders.groupBy(status.alias("status"), band.alias("band")).agg(
         F.count("*").alias("n")
     )
-    return _tagged_union([("date", date), ("math", math), ("cond", cond)])
-
-
-_NULLS_MATH = """CAST(NULL AS BIGINT) AS s_suppkey, CAST(NULL AS DOUBLE) AS abs_bal,
-  CAST(NULL AS BIGINT) AS ceil_bal, CAST(NULL AS BIGINT) AS floor_bal,
-  CAST(NULL AS DOUBLE) AS sqrt_bal, CAST(NULL AS BIGINT) AS mod7,
-  CAST(NULL AS DOUBLE) AS pow2, CAST(NULL AS DOUBLE) AS pos_bal"""
-
-_Q_SCALAR_SQL = f"""
-SELECT 'date' AS family, CAST(YEAR(o_orderdate) AS INT) AS y,
-  CAST(QUARTER(o_orderdate) AS INT) AS q, CAST(MONTH(o_orderdate) AS INT) AS m,
-  COUNT(*) AS n, CAST(MIN(DAYOFMONTH(o_orderdate)) AS INT) AS min_dom,
-  CAST(MAX(DAYOFYEAR(o_orderdate)) AS INT) AS max_doy,
-  {_NULLS_MATH},
-  CAST(NULL AS VARCHAR) AS status, CAST(NULL AS VARCHAR) AS band
-FROM orders GROUP BY 2, 3, 4
-UNION ALL
-SELECT 'math', CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS INT),
-  CAST(NULL AS BIGINT), CAST(NULL AS INT), CAST(NULL AS INT),
-  s_suppkey, ABS(s_acctbal), CAST(CEIL(s_acctbal) AS BIGINT),
-  CAST(FLOOR(s_acctbal) AS BIGINT), SQRT(ABS(s_acctbal)), s_suppkey % 7,
-  POW(2.0, s_suppkey % 10), GREATEST(s_acctbal, 0.0),
-  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
-FROM supplier
-UNION ALL
-SELECT 'cond', CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS INT),
-  COUNT(*), CAST(NULL AS INT), CAST(NULL AS INT),
-  {_NULLS_MATH},
-  COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING'),
-  CASE WHEN o_totalprice < 50000 THEN 'small'
-       WHEN o_totalprice < 200000 THEN 'medium' ELSE 'large' END
-FROM orders GROUP BY 16, 17
-"""
-
-
-# ---------------------------------------------------------------------------
-# string + regexp families (F5)
-
-
-def q_string_regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String scalar family + regex extract/match family, tag-unioned."""
     cust = load_table(spark, sf_dir, "customer").where(F.col("c_name").like("%1%"))
     string = cust.select(
         "c_custkey",
@@ -150,25 +112,76 @@ def q_string_regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.regexp_extract("p_name", r"^([a-z]+)", 1).alias("first_word"))
         .agg(F.count("*").alias("n"), F.countDistinct("p_brand").alias("n_brands"))
     )
-    return _tagged_union([("string", string), ("regexp", regexp)])
+    return _tagged_union(
+        [("date", date), ("math", math), ("cond", cond), ("string", string), ("regexp", regexp)]
+    )
 
 
-_Q_STRING_REGEXP_SQL = """
-SELECT 'string' AS family, c_custkey, UPPER(c_name) AS upper_name,
-  LENGTH(c_name) AS name_len, SUBSTRING(c_name, 1, 8) AS prefix,
-  LPAD(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key,
-  REPLACE(c_name, 'Customer', 'Cust') AS short_name,
-  CONCAT_WS('-', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS seg_key,
-  CAST(NULL AS VARCHAR) AS first_word, CAST(NULL AS BIGINT) AS n,
-  CAST(NULL AS BIGINT) AS n_brands
+_NULLS_MATH = """CAST(NULL AS BIGINT) AS s_suppkey, CAST(NULL AS DOUBLE) AS abs_bal,
+  CAST(NULL AS BIGINT) AS ceil_bal, CAST(NULL AS BIGINT) AS floor_bal,
+  CAST(NULL AS DOUBLE) AS sqrt_bal, CAST(NULL AS BIGINT) AS mod7,
+  CAST(NULL AS DOUBLE) AS pow2, CAST(NULL AS DOUBLE) AS pos_bal"""
+
+_NULLS_STRING = """CAST(NULL AS BIGINT) AS c_custkey, CAST(NULL AS VARCHAR) AS upper_name,
+  CAST(NULL AS BIGINT) AS name_len, CAST(NULL AS VARCHAR) AS prefix,
+  CAST(NULL AS VARCHAR) AS padded_key, CAST(NULL AS VARCHAR) AS short_name,
+  CAST(NULL AS VARCHAR) AS seg_key"""
+
+_NULLS_REGEXP = """CAST(NULL AS VARCHAR) AS first_word, CAST(NULL AS BIGINT) AS n_brands"""
+
+_Q_SCALAR_SQL = f"""
+SELECT 'date' AS family, CAST(YEAR(o_orderdate) AS INT) AS y,
+  CAST(QUARTER(o_orderdate) AS INT) AS q, CAST(MONTH(o_orderdate) AS INT) AS m,
+  COUNT(*) AS n, CAST(MIN(DAYOFMONTH(o_orderdate)) AS INT) AS min_dom,
+  CAST(MAX(DAYOFYEAR(o_orderdate)) AS INT) AS max_doy,
+  {_NULLS_MATH},
+  CAST(NULL AS VARCHAR) AS status, CAST(NULL AS VARCHAR) AS band,
+  {_NULLS_STRING}, {_NULLS_REGEXP}
+FROM orders GROUP BY 2, 3, 4
+UNION ALL
+SELECT 'math', CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS INT),
+  CAST(NULL AS BIGINT), CAST(NULL AS INT), CAST(NULL AS INT),
+  s_suppkey, ABS(s_acctbal), CAST(CEIL(s_acctbal) AS BIGINT),
+  CAST(FLOOR(s_acctbal) AS BIGINT), SQRT(ABS(s_acctbal)), s_suppkey % 7,
+  POW(2.0, s_suppkey % 10), GREATEST(s_acctbal, 0.0),
+  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+  {_NULLS_STRING}, {_NULLS_REGEXP}
+FROM supplier
+UNION ALL
+SELECT 'cond', CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS INT),
+  COUNT(*), CAST(NULL AS INT), CAST(NULL AS INT),
+  {_NULLS_MATH},
+  COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING'),
+  CASE WHEN o_totalprice < 50000 THEN 'small'
+       WHEN o_totalprice < 200000 THEN 'medium' ELSE 'large' END,
+  {_NULLS_STRING}, {_NULLS_REGEXP}
+FROM orders GROUP BY 16, 17
+UNION ALL
+SELECT 'string', CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS INT),
+  CAST(NULL AS BIGINT), CAST(NULL AS INT), CAST(NULL AS INT),
+  {_NULLS_MATH},
+  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+  c_custkey, UPPER(c_name), LENGTH(c_name), SUBSTRING(c_name, 1, 8),
+  LPAD(CAST(c_custkey AS VARCHAR), 8, '0'),
+  REPLACE(c_name, 'Customer', 'Cust'),
+  CONCAT_WS('-', c_mktsegment, CAST(c_custkey AS VARCHAR)),
+  {_NULLS_REGEXP}
 FROM customer WHERE c_name LIKE '%1%'
 UNION ALL
-SELECT 'regexp', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
-  CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+SELECT 'regexp', CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS INT),
+  COUNT(*), CAST(NULL AS INT), CAST(NULL AS INT),
+  {_NULLS_MATH},
   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
-  regexp_extract(p_name, '^([a-z]+)', 1), COUNT(*), COUNT(DISTINCT p_brand)
-FROM part WHERE regexp_matches(p_name, '^[a-z]+ [a-z]+$') GROUP BY 9
+  {_NULLS_STRING},
+  regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+  COUNT(DISTINCT p_brand) AS n_brands
+FROM part WHERE regexp_matches(p_name, '^[a-z]+ [a-z]+$')
+GROUP BY regexp_extract(p_name, '^([a-z]+)', 1)
 """
+
+
+# ---------------------------------------------------------------------------
+# string + regexp families (F5)
 
 
 # ---------------------------------------------------------------------------
@@ -492,7 +505,6 @@ FROM (
 
 MERGED_QUERIES = {
     "q_scalar_functions": q_scalar_functions,
-    "q_string_regexp_functions": q_string_regexp_functions,
     "q_collection_functions": q_collection_functions,
     "q_grouping_analytics": q_grouping_analytics,
     "q_subqueries": q_subqueries,
@@ -503,7 +515,6 @@ MERGED_QUERIES = {
 
 MERGED_ORACLE = {
     "q_scalar_functions": _Q_SCALAR_SQL,
-    "q_string_regexp_functions": _Q_STRING_REGEXP_SQL,
     "q_collection_functions": _Q_COLLECTION_SQL,
     "q_grouping_analytics": _Q_GROUPING_SQL,
     "q_subqueries": _Q_SUBQUERIES_SQL,

@@ -103,6 +103,31 @@ def test_ngram_jaccard(spark):
     assert 0.5 <= pairs[(0, 1)] < 1.0
 
 
+def test_decontaminate(spark):
+    from pydala_spark.operators.dedup import contamination_hits, decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a completely unrelated sentence about spark engines"),
+            (3, "quick brown fox jumps again and again today"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps high")], "doc_id long, text string"
+    )
+    hits = {
+        r["id"]: r["n_hits"]
+        for r in contamination_hits(corpus, bench, "doc_id").collect()
+    }
+    # doc 1 shares 'quick brown fox' + 'brown fox jumps' (+ 'the quick brown');
+    # doc 3 shares two of those; doc 2 shares none
+    assert hits[1] >= 3 and hits[2 if 2 in hits else 3] >= 2 and 2 not in hits
+    clean = decontaminate(corpus, bench, "doc_id", min_hits=2)
+    assert [r["doc_id"] for r in clean.collect()] == [2]
+
+
 def test_simhash_similar_docs_close(spark):
     out = {r["doc_id"]: r["simhash"] for r in simhash(_docs(spark), "doc_id").collect()}
     assert out[0] == out[3]
