@@ -19,7 +19,12 @@ from pydala_spark.operators.sampling import (
     train_test_split,
 )
 from pydala_spark.operators.packing import pack_shards, shard_summary
-from pydala_spark.operators.similarity import cosine_similarity, cosine_topk
+from pydala_spark.operators.similarity import (
+    cosine_similarity,
+    cosine_topk,
+    quantize_embeddings,
+    quantized_cosine_topk,
+)
 from pydala_spark.operators.skew import salted_agg, salted_broadcast_left_join, salted_join
 from pydala_spark.operators.textstats import (
     fingerprint,
@@ -40,6 +45,8 @@ __all__ = [
     "simhash",
     "cosine_similarity",
     "cosine_topk",
+    "quantize_embeddings",
+    "quantized_cosine_topk",
     "hash_bucket",
     "hash_sample",
     "stratified_sample",

@@ -152,3 +152,75 @@ def neardup_pairs(
         .where(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim", *(["blk"] if block_col else []))
     )
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "q_vec"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``q[i] = round(v[i] /
+    scale)`` with ``scale = max|v| / 127``, stored as ``array<tinyint>``
+    plus a ``{out_col}_scale`` double.
+
+    At 100 TB this is the embedding-storage workhorse: 4x less scan IO
+    and shuffle width than float32 (and 8x vs the double Spark would
+    otherwise promote to), at ~1% cosine error for typical normalized
+    embeddings. Pure column algebra — stays in whole-stage codegen.
+    All-zero vectors get scale 1.0 (quantize to zeros) rather than a
+    divide-by-zero NaN.
+    """
+    v = F.col(vec_col)
+    amax = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
+    )
+    scale = F.when(amax > 0.0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+    df = df.withColumn(f"{out_col}_scale", scale)
+    return df.withColumn(
+        out_col,
+        F.transform(
+            v,
+            lambda x: F.round(x.cast("double") / F.col(f"{out_col}_scale")).cast(
+                "tinyint"
+            ),
+        ),
+    )
+
+
+def quantized_cosine_topk(
+    corpus_q: DataFrame,
+    probes_q: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "q_vec",
+    k: int = 5,
+) -> DataFrame:
+    """Approximate top-k cosine over :func:`quantize_embeddings` output.
+
+    The integer dot product times the two scales reconstructs the real
+    dot product to quantization error; norms likewise — so the ranking
+    approximates exact cosine while scanning tinyint arrays. Same
+    broadcast-probes shape as :func:`cosine_topk`.
+    """
+    scale_col = f"{vec_col}_scale"
+    p = probes_q.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("probe_vec"),
+        F.col(scale_col).alias("probe_scale"),
+    )
+    c = corpus_q.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vec"),
+        F.col(scale_col).alias("vec_scale"),
+    )
+    # scales cancel inside the cosine ratio, so score on the raw integer
+    # arrays; only ranking matters and it is scale-invariant per pair
+    sim = cosine_similarity(F.col("probe_vec"), F.col("vec"))
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        c.join(F.broadcast(p))
+        .where(F.col("neighbor_id") != F.col("probe_id"))
+        .withColumn("sim", sim)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("probe_id", "neighbor_id", "rnk", "sim")
+    )
