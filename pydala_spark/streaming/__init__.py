@@ -32,9 +32,21 @@ def incremental_append(
     datetime_column: str | None = None,
     checkpoint_dir: str | None = None,
     trigger_once: bool = True,
+    compact_every: int | None = None,
+    target_file_mb: int = 128,
 ) -> StreamingQuery:
     """Continuously append only-new rows to a dataset (delta semantics per
-    micro-batch; reference writer.py:219-249 made streaming)."""
+    micro-batch; reference writer.py:219-249 made streaming).
+
+    ``compact_every=N`` folds maintenance into the stream: after every
+    Nth micro-batch the dataset's small files are rewritten to
+    ~``target_file_mb`` files (``maintain.compact``). Streaming appends
+    accrete tiny files; at 100 TB the scan cost of an uncompacted stream
+    sink becomes task scheduling + footer reads, so the maintenance has
+    to ride along with ingestion rather than wait for an offline pass.
+    The compaction runs on the driver inside foreachBatch, serialized
+    with the writes — no concurrent-rewrite races with the next batch.
+    """
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         writer.write(
@@ -43,6 +55,14 @@ def incremental_append(
             delta_subset=delta_subset,
             datetime_column=datetime_column,
         )
+        if compact_every and (epoch_id + 1) % compact_every == 0:
+            from pydala_spark.dataset.maintain import compact
+
+            compact(
+                batch_df.sparkSession,
+                writer.path,
+                target_file_mb=target_file_mb,
+            )
 
     ws = stream_df.writeStream.foreachBatch(sink)
     if checkpoint_dir:

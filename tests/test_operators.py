@@ -238,6 +238,42 @@ def test_streaming_incremental_append(spark, tmp_path):
     assert df.where("event_id = 2").first()["v"] == 2.0  # original kept
 
 
+def test_streaming_append_with_compaction(spark, tmp_path):
+    import glob
+    import os
+
+    from pydala_spark.dataset.reader import Dataset
+    from pydala_spark.dataset.writer import Writer
+    from pydala_spark.streaming import incremental_append
+
+    src = str(tmp_path / "in2")
+    os.makedirs(src)
+    dest = str(tmp_path / "ds2")
+    # several small input files -> several micro-batch appends worth of
+    # tiny part files; compact_every=1 folds them back together
+    for i in range(3):
+        spark.createDataFrame(
+            [(i * 10 + j, float(j)) for j in range(4)], "event_id long, v double"
+        ).repartition(4).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("event_id long, v double").option(
+        "maxFilesPerTrigger", "4"
+    ).parquet(src)
+    writer = Writer(spark, dest)
+    q = incremental_append(
+        stream,
+        writer,
+        delta_subset=["event_id"],
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+        compact_every=1,
+        target_file_mb=128,
+    )
+    q.awaitTermination(120)
+    ds = Dataset(spark, dest)
+    assert ds.count() == 12
+    # tiny dataset compacts to a single part file
+    assert len(glob.glob(os.path.join(dest, "*.parquet"))) == 1
+
+
 def test_windowed_counts_streaming(spark, tmp_path):
     import os
 
