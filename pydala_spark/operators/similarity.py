@@ -98,10 +98,18 @@ def lsh_topk(
     vec_col: str = "embedding",
     k: int = 5,
     bits: int = 8,
+    n_probes: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the probe's LSH bucket.
     Equi-join on bucket replaces the cross product — the scale path when
-    the probe set is itself large."""
+    the probe set is itself large.
+
+    ``n_probes > 1`` is the recall knob: each probe also searches the
+    ``n_probes - 1`` hamming-adjacent buckets (one sign bit flipped —
+    the buckets a near-neighbor most likely fell into). Candidate volume
+    grows linearly in ``n_probes`` while the join stays an equi-join;
+    each (probe, neighbor) pair still appears at most once because a
+    corpus vector lives in exactly one bucket."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("vec"),
@@ -112,6 +120,16 @@ def lsh_topk(
         F.col(vec_col).alias("probe_vec"),
         lsh_bucket(F.col(vec_col), dim, bits).alias("bucket"),
     )
+    if n_probes > 1:
+        # own bucket + single-bit flips; cheap bit arithmetic on an
+        # already-materialized int column, so a plain explode is fine
+        flips = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(2**b)) for b in range(bits)],
+        )
+        p = p.withColumn(
+            "bucket", F.explode(F.slice(flips, 1, min(n_probes, bits + 1)))
+        )
     scored = (
         c.join(p, "bucket")
         .where(F.col("neighbor_id") != F.col("probe_id"))

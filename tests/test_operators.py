@@ -152,6 +152,34 @@ def test_cosine_topk_and_lsh(spark):
     assert 1 in got  # same-direction vector shares every sign bucket
 
 
+def test_lsh_multiprobe_recall(spark, sf_dir):
+    from pydala_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, probes, k=5).collect()
+    }
+
+    def recall(n_probes):
+        got = {
+            (r["probe_id"], r["neighbor_id"])
+            for r in lsh_topk(
+                emb, probes, dim=64, k=5, bits=6, n_probes=n_probes
+            ).collect()
+        }
+        # multi-probe never duplicates a (probe, neighbor) candidate
+        assert len(got) <= 10 * 5
+        return len(exact & got) / len(exact)
+
+    # synthetic embeddings are near-random, so absolute recall is weak by
+    # construction; the knob's contract is monotone improvement
+    r1, r3, r7 = recall(1), recall(3), recall(7)
+    assert r3 >= r1 and r7 >= r3, (r1, r3, r7)
+    assert r7 > r1, (r1, r7)
+
+
 def test_neardup_pairs_blocked(spark):
     emb = spark.createDataFrame(
         [(0, [1.0, 0.0], "x"), (1, [0.99, 0.01], "x"), (2, [0.0, 1.0], "x"),
