@@ -311,6 +311,48 @@ class Dataset:
 
     get_buffer_size = buffer_size
 
+    def profile(self, columns: list[str] | None = None) -> DataFrame:
+        """Per-column statistics: row/null counts, approximate distinct
+        count (HLL), min/max (stringified on the native ordering).
+
+        One aggregation pass over the dataset — every statistic is
+        algebraically mergeable, so the plan is scan -> partial agg ->
+        one single-row exchange regardless of data size; the only driver
+        materialization is that one row. Extends the reference's
+        metadata surface (disk_usage/schema inspection) with the content
+        profile a pipeline health-check wants.
+        """
+        df = self.load()
+        cols = columns or df.columns
+        aggs = []
+        for c in cols:
+            aggs += [
+                F.count(F.col(c)).alias(f"{c}\t_nn"),
+                F.approx_count_distinct(c).alias(f"{c}\t_nd"),
+                F.min(F.col(c)).cast("string").alias(f"{c}\t_min"),
+                F.max(F.col(c)).cast("string").alias(f"{c}\t_max"),
+            ]
+        row = df.agg(F.count(F.lit(1)).alias("\t_total"), *aggs).first()
+        total = row["\t_total"]
+        dtypes = dict(df.dtypes)
+        data = [
+            (
+                c,
+                dtypes[c],
+                total,
+                total - row[f"{c}\t_nn"],
+                row[f"{c}\t_nd"],
+                row[f"{c}\t_min"],
+                row[f"{c}\t_max"],
+            )
+            for c in cols
+        ]
+        return self.spark.createDataFrame(
+            data,
+            "column string, dtype string, n_rows long, n_nulls long, "
+            "approx_distinct long, min string, max string",
+        )
+
     def cache(self) -> "Dataset":
         """Persist the loaded DataFrame in executor memory — the Spark
         analog of the reference's remote->local cache mirror (SURVEY §2.1

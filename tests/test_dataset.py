@@ -59,6 +59,23 @@ def test_distinct_fullrow(spark):
     assert apply_distinct(df).count() == 2
 
 
+def test_profile(spark, sf_dir):
+    from pydala_spark.dataset.reader import Dataset
+
+    prof = Dataset(spark, f"{sf_dir}/orders.parquet").profile(
+        ["o_orderkey", "o_orderstatus", "o_orderdate"]
+    )
+    rows = {r["column"]: r for r in prof.collect()}
+    assert set(rows) == {"o_orderkey", "o_orderstatus", "o_orderdate"}
+    ok = rows["o_orderkey"]
+    assert ok["n_rows"] == 1500 and ok["n_nulls"] == 0
+    assert abs(ok["approx_distinct"] - 1500) / 1500 < 0.1  # HLL tolerance
+    # min/max use native numeric ordering, not lexicographic strings
+    assert int(ok["min"]) < int(ok["max"])
+    st = rows["o_orderstatus"]
+    assert st["approx_distinct"] <= 4 and st["min"] == "F"
+
+
 def test_distinct_subset_keep_first_last(spark):
     df = spark.createDataFrame(
         [(1, 10, "x"), (1, 20, "y"), (2, 5, "z")], ["k", "ord", "v"]

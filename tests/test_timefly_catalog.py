@@ -285,6 +285,36 @@ def test_timefly_pointer_restore_chain_and_gc(spark, tmp_path):
     assert leftover == []  # unreferenced archive files collected
 
 
+def test_timefly_pointer_partitioned(spark, tmp_path):
+    # pointer manifests carry partition-dir-relative paths; as-of reads
+    # keep hive partition columns via basePath, and restores rename whole
+    # partition subpaths in and out of the archive
+    base = str(tmp_path / "ptr_part")
+    df = spark.createDataFrame(
+        [Row(id=i, part="a" if i % 2 else "b") for i in range(6)]
+    )
+    tf = TimeFly(spark, base, snapshot_mode="pointer")
+    Writer(spark, base, partition_by=["part"]).write(df)
+    tf.new()
+    tf.create_current()
+    snap = tf.add_snapshot(TS(2024, 1, 1, 12, 0, 0))
+    Writer(spark, tf.current_path, partition_by=["part"], mode="append").write(
+        spark.createDataFrame([Row(id=99, part="c")])
+    )
+    assert tf.read().count() == 7
+    asof = tf.read(TS(2024, 1, 1))
+    assert asof.count() == 6
+    assert set(asof.columns) == {"id", "part"}  # partition col survives
+    assert asof.where("part = 'c'").count() == 0
+    tf.load_snapshot(snap)
+    assert tf.read().where("part = 'c'").count() == 0
+    replaced = tf.snapshots()[-1]
+    tf.load_snapshot(replaced)
+    restored = tf.read()
+    assert restored.count() == 7
+    assert restored.where("part = 'c'").count() == 1
+
+
 def test_timefly_pointer_detects_rewrite(spark, tmp_path):
     import pytest
 
