@@ -1,8 +1,9 @@
 """Composable corpus-preparation pipeline: the end-to-end shape an
 LLM training-data job runs over a document table.
 
-clean/stats -> exact dedup -> near-dup removal (MinHash-LSH) -> quality
-filter, all as one lazy DataFrame program (one action executes the whole
+clean/stats -> exact dedup -> near-dup removal (MinHash-LSH) ->
+decontamination (vs a benchmark set) -> quality filter -> shard packing,
+all as one lazy DataFrame program (one action executes the whole
 pipeline; Catalyst sees every stage).
 
 Scale: stages are the shuffle-analyzed operators from operators/dedup.py
@@ -18,7 +19,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pydala_spark.dataset.reader import apply_distinct
-from pydala_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+from pydala_spark.operators.dedup import (
+    decontaminate,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
 from pydala_spark.operators.textstats import fingerprint, quality_stats
 
 
@@ -30,10 +35,17 @@ def prep_documents(
     near_dup: bool = True,
     n_hashes: int = 8,
     n_bands: int = 4,
+    benchmark: DataFrame | None = None,
+    decontaminate_min_hits: int = 2,
+    shard_tokens: int | None = None,
 ) -> DataFrame:
     """Return the cleaned corpus: quality columns attached, exact and
-    near duplicates removed (keeping the lowest id), low-quality docs
-    dropped."""
+    near duplicates removed (keeping the lowest id), benchmark-
+    contaminated docs dropped (when ``benchmark`` is given), low-quality
+    docs dropped — and, when ``shard_tokens`` is set, packed into
+    fixed-token-budget training shards (adds ``n_tokens``, ``cum_before``
+    and ``shard_id``; packing runs after every filter so shards are
+    gap-free)."""
     # 1. quality features (pure column algebra)
     out = quality_stats(df, text_col)
     # 2. exact dedup: keep the first (lowest-id) doc per fingerprint
@@ -45,5 +57,17 @@ def prep_documents(
         pairs = lsh_candidate_pairs(sigs, id_col, n_bands=n_bands)
         losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
         out = out.join(losers, id_col, "left_anti")
-    # 4. quality gate
-    return out.where(F.col("q_score") >= min_quality)
+    # 4. benchmark decontamination (broadcast eval-set shingles)
+    if benchmark is not None:
+        out = decontaminate(
+            out, benchmark, id_col, text_col, min_hits=decontaminate_min_hits
+        )
+    # 5. quality gate
+    out = out.where(F.col("q_score") >= min_quality)
+    # 6. training-shard packing over the surviving docs
+    if shard_tokens is not None:
+        from pydala_spark.operators.packing import pack_shards
+        from pydala_spark.operators.textstats import token_count
+
+        out = pack_shards(out, token_count(text_col), id_col, shard_tokens)
+    return out

@@ -88,3 +88,31 @@ def test_prep_documents_pipeline(spark, sf_dir):
     strict = prep_documents(corpus, min_quality=3, near_dup=False)
     assert 0 < strict.count() < corpus.count()
     assert "q_score" in strict.columns
+
+
+def test_prep_documents_decontaminate_and_pack(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    packed = prep_documents(
+        corpus,
+        min_quality=0,
+        near_dup=False,
+        benchmark=bench,
+        decontaminate_min_hits=1,
+        shard_tokens=2048,
+    )
+    rows = packed.select("doc_id", "n_tokens", "cum_before", "shard_id").collect()
+    assert rows
+    # no benchmark doc leaked through, and contaminated ids are gone
+    ids = {r["doc_id"] for r in rows}
+    assert all(i % 50 != 0 for i in ids)
+    baseline = {r["doc_id"] for r in corpus.select("doc_id").collect()}
+    assert ids < baseline  # decontamination dropped at least one doc
+    # shards are contiguous in id order with a gap-free prefix sum
+    by_id = sorted(rows, key=lambda r: r["doc_id"])
+    run = 0
+    for r in by_id:
+        assert r["cum_before"] == run
+        assert r["shard_id"] == run // 2048
+        run += r["n_tokens"]
