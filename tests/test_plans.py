@@ -77,6 +77,26 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
 
 
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    df = QUERIES["q_decontaminate"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the corpus side must never sort-merge against the benchmark
+    assert "SortMergeJoin" not in plan
+
+
+def test_shard_packing_no_global_data_window(spark, sf_dir):
+    df = QUERIES["q_shard_packing"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    data_windows = [
+        l for l in plan.splitlines() if "Window [" in l and "__local" in l
+    ]
+    assert data_windows and all("], [__bucket" in l for l in data_windows)
+    # the lone single-partition exchanges feed the n_buckets offsets frame
+    # and the final ORDER BY of the small shard summary — never full data
+    assert plan.count("Exchange SinglePartition") <= 1
+
+
 def test_dynamic_partition_overwrite(spark, tmp_path):
     from pydala_spark import Dataset, Writer
 
