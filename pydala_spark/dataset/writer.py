@@ -43,6 +43,7 @@ WRITE_MODES = (
 #: (src/pydala/dataset/writer.py:312-334).
 _UNIT_ALIASES = {
     "microseconds": "microsecond", "micro": "microsecond", "u": "microsecond",
+    "us": "microsecond",
     "milliseconds": "millisecond", "milli": "millisecond", "ms": "millisecond",
     "seconds": "second", "sec": "second", "s": "second",
     "minutes": "minute", "miuntes": "minute", "min": "minute", "t": "minute",
@@ -52,6 +53,14 @@ _UNIT_ALIASES = {
     "months": "month", "mo": "month", "m": "month",
     "years": "year", "y": "year", "a": "year",
 }
+# canonical singular forms parse as themselves ("1day", "2hour") — the
+# property fuzz found they fell through the alias table
+_UNIT_ALIASES.update(
+    {u: u for u in (
+        "microsecond", "millisecond", "second", "minute", "hour",
+        "day", "week", "month", "year",
+    )}
+)
 
 
 def parse_interval(spec: str) -> tuple[int, str]:

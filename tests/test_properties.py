@@ -73,6 +73,52 @@ def test_unify_pair_symmetric_fields(s1, s2):
         assert f12.type.equals(f21.type)
 
 
+_UNITS = ["u", "us", "ms", "s", "sec", "min", "h", "d", "w", "mo", "y",
+          "hour", "day", "week", "month", "year"]
+
+
+@given(st.integers(min_value=1, max_value=999), st.sampled_from(_UNITS))
+def test_parse_interval_grammar(n, unit):
+    from pydala_spark.dataset.writer import parse_interval
+
+    count, canonical = parse_interval(f"{n}{unit}")
+    assert count == n
+    assert canonical in {
+        "microsecond", "millisecond", "second", "minute", "hour",
+        "day", "week", "month", "year",
+    }
+    # bare unit defaults to n=1; bare number defaults to years
+    assert parse_interval(unit)[0] == 1
+    assert parse_interval(str(n)) == (n, "year")
+
+
+@given(st.text(alphabet="qzxv", min_size=1, max_size=4))
+def test_parse_interval_rejects_unknown_units(junk):
+    import pytest
+
+    from pydala_spark.dataset.writer import _UNIT_ALIASES, parse_interval
+
+    if junk in _UNIT_ALIASES:
+        return
+    with pytest.raises(ValueError, match="unknown interval unit"):
+        parse_interval(f"3{junk}")
+
+
+@given(
+    st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+    st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+)
+def test_sample_threshold_monotone(f1, f2):
+    from pydala_spark.operators.sampling import HASH_SPACE, sample_threshold
+
+    t1, t2 = sample_threshold(f1), sample_threshold(f2)
+    assert 0 <= t1 <= HASH_SPACE
+    if f1 <= f2:
+        # nested-subset property: a bigger fraction's predicate strictly
+        # contains a smaller one's (the threshold can only grow)
+        assert t1 <= t2
+
+
 @given(st.lists(schemas(), min_size=1, max_size=5))
 @settings(max_examples=50)
 def test_unified_schema_covers_all_fields(schema_list):
