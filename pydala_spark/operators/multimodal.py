@@ -1,11 +1,18 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched pandas iteration.
 
-The decode step is STUBBED (this environment has no image/audio codecs):
-``decode_stub=True`` substitutes a deterministic fake decoder so the
-Spark-side contract — schema, batch shape, partitioning, UDF signature —
-is real and tested; swapping in a real library (PIL/torchaudio/ffmpeg) is
-a one-function change inside the ``mapInPandas`` worker.
+Two decode tiers:
+
+- :func:`decode_media` REALLY decodes the formats stdlib+numpy can
+  handle — PPM (P6) images and PCM WAV audio — into per-media stats
+  (dimensions/sample rate/duration/mean/RMS). Codec-free formats are
+  enough to prove the whole distributed decode path end to end.
+- :func:`extract_features` with ``decode_stub=True`` substitutes a
+  deterministic fake decoder for codec-dependent formats (JPEG, MP4 —
+  no codec libraries in this environment); the Spark-side contract —
+  schema, batch shape, partitioning, UDF signature — is identical, so
+  swapping in PIL/torchaudio/ffmpeg is a one-function change inside the
+  ``mapInPandas`` worker.
 
 Scale notes: ``mapInPandas`` streams Arrow batches per partition, so
 memory is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``
@@ -91,6 +98,85 @@ def extract_features(
             )
 
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+DECODED_SCHEMA = (
+    "media_id long, format string, width int, height int, channels int, "
+    "sample_rate int, n_samples long, duration_ms long, mean double, rms double"
+)
+
+
+def decode_media(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Real decode of stdlib-decodable media blobs (PPM P6 images, PCM
+    WAV audio) into per-media stats; undecodable payloads yield a
+    null-format row instead of failing the job. Same Arrow-batched
+    ``mapInPandas`` shape as :func:`extract_features`."""
+
+    # worker closure: stdlib+numpy only, shipped by value via cloudpickle
+    def run(batches):
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        def one(payload: bytes) -> dict:
+            if payload[:2] == b"P6":
+                # PPM P6: ascii header (w h maxval, '#' comments), raw RGB
+                parts, idx = [], 2
+                while len(parts) < 3 and idx < len(payload):
+                    while idx < len(payload) and payload[idx : idx + 1].isspace():
+                        idx += 1
+                    if payload[idx : idx + 1] == b"#":
+                        while idx < len(payload) and payload[idx] != 0x0A:
+                            idx += 1
+                        continue
+                    start = idx
+                    while idx < len(payload) and not payload[idx : idx + 1].isspace():
+                        idx += 1
+                    parts.append(int(payload[start:idx]))
+                if len(parts) < 3:
+                    return {}
+                idx += 1  # single whitespace byte terminates the header
+                w, h, _maxval = parts
+                arr = np.frombuffer(
+                    payload, dtype=np.uint8, count=w * h * 3, offset=idx
+                ).astype(np.float64)
+                return {
+                    "format": "ppm", "width": w, "height": h, "channels": 3,
+                    "mean": float(arr.mean()),
+                    "rms": float(np.sqrt((arr * arr).mean())),
+                }
+            if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+                try:
+                    with wave.open(io.BytesIO(payload)) as wf:
+                        sr, ch = wf.getframerate(), wf.getnchannels()
+                        sw, n = wf.getsampwidth(), wf.getnframes()
+                        raw = wf.readframes(n)
+                except wave.Error:
+                    return {}
+                dt = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sw)
+                if dt is None or not sr:
+                    return {}
+                arr = np.frombuffer(raw, dtype=dt).astype(np.float64)
+                return {
+                    "format": "wav", "sample_rate": sr, "channels": ch,
+                    "n_samples": n, "duration_ms": n * 1000 // sr,
+                    "mean": float(arr.mean()) if arr.size else 0.0,
+                    "rms": float(np.sqrt((arr * arr).mean())) if arr.size else 0.0,
+                }
+            return {}
+
+        cols = ["format", "width", "height", "channels", "sample_rate",
+                "n_samples", "duration_ms", "mean", "rms"]
+        for pdf in batches:
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf[content_col]):
+                d = one(bytes(payload)) if payload is not None else {}
+                recs.append({"media_id": int(mid), **{c: d.get(c) for c in cols}})
+            yield pd.DataFrame(recs, columns=["media_id"] + cols)
+
+    return df.mapInPandas(run, schema=DECODED_SCHEMA)
 
 
 def sample_frames(

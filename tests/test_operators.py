@@ -228,6 +228,41 @@ def test_multimodal_feature_plumbing(spark):
         extract_features(df, decode_stub=False).collect()
 
 
+def test_decode_media_real_formats(spark):
+    import io
+    import wave
+
+    from pydala_spark.operators.multimodal import MEDIA_SCHEMA, decode_media
+
+    # 2x2 PPM: all pixels (200, 100, 0) -> mean = 100.0 exactly
+    ppm = b"P6\n# comment\n2 2\n255\n" + bytes([200, 100, 0]) * 4
+    # 1-channel 16-bit WAV, 8000 Hz, 4000 frames = 500 ms of silence
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(b"\x00\x00" * 4000)
+    wav = buf.getvalue()
+    rows = [
+        Row(media_id=1, kind="image", content=ppm, mime="image/x-portable-pixmap",
+            width=2, height=2, duration_ms=None),
+        Row(media_id=2, kind="audio", content=wav, mime="audio/wav",
+            width=None, height=None, duration_ms=None),
+        Row(media_id=3, kind="image", content=b"\xff\xd8 not decodable", mime="image/jpeg",
+            width=None, height=None, duration_ms=None),
+    ]
+    out = {r["media_id"]: r for r in decode_media(
+        spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()}
+    img = out[1]
+    assert img["format"] == "ppm" and (img["width"], img["height"]) == (2, 2)
+    assert img["mean"] == 100.0
+    aud = out[2]
+    assert aud["format"] == "wav" and aud["sample_rate"] == 8000
+    assert aud["duration_ms"] == 500 and aud["rms"] == 0.0
+    assert out[3]["format"] is None  # codec-dependent payloads degrade to null
+
+
 def test_streaming_incremental_append(spark, tmp_path):
     import os
 
