@@ -43,7 +43,8 @@ from pydala_spark.session import configure_session
 from pydala_spark.utils.pathops import PathOps, strip_scheme
 
 TS_FMT = "%Y%m%d_%H%M%S"
-DATA_EXTS = (".parquet", ".csv", ".json", ".feather", ".arrow", ".ipc")
+DATA_EXTS = (".parquet", ".csv", ".json", ".feather", ".arrow", ".ipc",
+             ".csv.gz", ".json.gz")
 
 
 def _to_ts(value: str | dt.datetime) -> dt.datetime:

@@ -319,8 +319,9 @@ class Writer:
         compression = self.compression
         if self.format in ("csv", "json") and compression == "zstd":
             # zstd is parquet/feather-native; the hadoop text codecs don't
-            # ship it
-            compression = "none"
+            # ship it — degrade to gzip (still transparent on read) rather
+            # than silently writing uncompressed text
+            compression = "gzip"
         writer = df.write.mode(spark_mode).option("compression", compression)
         if mode == "overwrite_partitions":
             writer = writer.option("partitionOverwriteMode", "dynamic")

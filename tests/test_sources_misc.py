@@ -16,6 +16,11 @@ def test_csv_roundtrip(spark, tmp_path):
     Writer(spark, out, format="csv").write(df)
     back = Dataset(spark, out, format="csv").load()
     assert {(r["id"], r["name"]) for r in back.collect()} == {(1, "a"), (2, "b")}
+    # the zstd default degrades to gzip for text formats (hadoop codecs
+    # have no zstd), never to uncompressed
+    import pathlib
+
+    assert any(p.suffix == ".gz" for p in pathlib.Path(out).rglob("*.csv*"))
 
 
 def test_csv_read_with_pinned_schema(spark, tmp_path):
