@@ -99,7 +99,11 @@ def compact(
         per_part_bytes: dict[tuple, int] = {}
         for rel, (_, sz) in zip(rels, files):
             segs = rel.split("/")[:-1]
-            key = tuple(s.split("=", 1)[1] for s in segs if "=" in s)
+            kv = dict(s.split("=", 1) for s in segs if "=" in s)
+            # key is always full-arity over the inferred partition
+            # columns (None for files at partial depth / the root), so
+            # chunk rows never mix tuple lengths
+            key = tuple(kv.get(c) for c in part_cols)
             per_part_bytes[key] = per_part_bytes.get(key, 0) + sz
         chunk_rows = [
             (*key, max(1, math.ceil(b / target_bytes)))
@@ -129,9 +133,11 @@ def compact(
         )
     else:
         shuffled = df.repartition(n_files)
-    writer = shuffled.write.format(format).mode("overwrite")
-    if format == "parquet":
-        writer = writer.option("compression", compression)
+    if format in ("csv", "json") and compression == "zstd":
+        compression = "gzip"  # mirror Writer: hadoop text codecs lack zstd
+    writer = shuffled.write.format(format).mode("overwrite").option(
+        "compression", compression
+    )
     if part_cols:
         writer = writer.partitionBy(*part_cols)
     writer.save(tmp)

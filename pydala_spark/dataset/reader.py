@@ -324,26 +324,31 @@ class Dataset:
         """
         df = self.load()
         cols = columns or df.columns
+        dtypes = dict(df.dtypes)
+        # map columns are neither orderable nor hashable in Spark —
+        # min/max/approx_count_distinct would fail the whole pass, so
+        # they get null stats (counts still computed)
+        plain = {c for c in cols if not dtypes[c].startswith("map<")}
         aggs = []
         for c in cols:
-            aggs += [
-                F.count(F.col(c)).alias(f"{c}\t_nn"),
-                F.approx_count_distinct(c).alias(f"{c}\t_nd"),
-                F.min(F.col(c)).cast("string").alias(f"{c}\t_min"),
-                F.max(F.col(c)).cast("string").alias(f"{c}\t_max"),
-            ]
+            aggs.append(F.count(F.col(c)).alias(f"{c}\t_nn"))
+            if c in plain:
+                aggs += [
+                    F.approx_count_distinct(c).alias(f"{c}\t_nd"),
+                    F.min(F.col(c)).cast("string").alias(f"{c}\t_min"),
+                    F.max(F.col(c)).cast("string").alias(f"{c}\t_max"),
+                ]
         row = df.agg(F.count(F.lit(1)).alias("\t_total"), *aggs).first()
         total = row["\t_total"]
-        dtypes = dict(df.dtypes)
         data = [
             (
                 c,
                 dtypes[c],
                 total,
                 total - row[f"{c}\t_nn"],
-                row[f"{c}\t_nd"],
-                row[f"{c}\t_min"],
-                row[f"{c}\t_max"],
+                row[f"{c}\t_nd"] if c in plain else None,
+                row[f"{c}\t_min"] if c in plain else None,
+                row[f"{c}\t_max"] if c in plain else None,
             )
             for c in cols
         ]

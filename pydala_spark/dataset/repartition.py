@@ -119,7 +119,9 @@ class Repartition:
             max_records_per_file=self.max_records_per_file,
         ).write(df)
         for entry in ops.list_dir(local):
-            if entry in ("snapshot", "_dataset.json"):
+            # keep snapshots and every config sidecar — including the
+            # reference-written TOML ones the compat layer reads
+            if entry in ("snapshot", "_dataset.json", "_dataset.toml", "_pydala.toml"):
                 continue
             ops.delete(posixpath.join(local, entry))
         for entry in ops.list_dir(tmp):

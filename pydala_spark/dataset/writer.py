@@ -373,7 +373,17 @@ class Writer:
             for f in parts:
                 os.remove(os.path.join(local, f))
             parts = []
-        target = os.path.join(local, f"part-{len(parts):05d}.feather")
+        # next index = max existing + 1, not len(parts): a gapped part
+        # sequence (e.g. part-00000 removed) must not overwrite part-00001
+        next_idx = (
+            max(
+                (int(p.removeprefix("part-").removesuffix(".feather"))
+                 for p in parts if p.removeprefix("part-").removesuffix(".feather").isdigit()),
+                default=-1,
+            )
+            + 1
+        )
+        target = os.path.join(local, f"part-{next_idx:05d}.feather")
         pf.write_feather(table, target, compression=comp)
 
     def _delta_diff(

@@ -121,6 +121,15 @@ def decode_media(df: DataFrame, content_col: str = "content") -> DataFrame:
         import pandas as pd
 
         def one(payload: bytes) -> dict:
+            # any malformation (garbage header ints, truncated raster,
+            # corrupt wave chunks) degrades to {} -> null-format row;
+            # a bad blob must never fail the job
+            try:
+                return _decode(payload)
+            except Exception:
+                return {}
+
+        def _decode(payload: bytes) -> dict:
             if payload[:2] == b"P6":
                 # PPM P6: ascii header (w h maxval, '#' comments), raw RGB
                 parts, idx = [], 2
@@ -139,6 +148,8 @@ def decode_media(df: DataFrame, content_col: str = "content") -> DataFrame:
                     return {}
                 idx += 1  # single whitespace byte terminates the header
                 w, h, _maxval = parts
+                if w <= 0 or h <= 0 or len(payload) - idx < w * h * 3:
+                    return {}
                 arr = np.frombuffer(
                     payload, dtype=np.uint8, count=w * h * 3, offset=idx
                 ).astype(np.float64)
@@ -148,13 +159,10 @@ def decode_media(df: DataFrame, content_col: str = "content") -> DataFrame:
                     "rms": float(np.sqrt((arr * arr).mean())),
                 }
             if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-                try:
-                    with wave.open(io.BytesIO(payload)) as wf:
-                        sr, ch = wf.getframerate(), wf.getnchannels()
-                        sw, n = wf.getsampwidth(), wf.getnframes()
-                        raw = wf.readframes(n)
-                except wave.Error:
-                    return {}
+                with wave.open(io.BytesIO(payload)) as wf:
+                    sr, ch = wf.getframerate(), wf.getnchannels()
+                    sw, n = wf.getsampwidth(), wf.getnframes()
+                    raw = wf.readframes(n)
                 dt = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sw)
                 if dt is None or not sr:
                     return {}

@@ -53,6 +53,14 @@ def pack_shards(
     """
     if target_tokens <= 0:
         raise ValueError("target_tokens must be positive")
+    order_type = dict(df.dtypes).get(order_col, "")
+    if order_type not in ("tinyint", "smallint", "int", "bigint", "float",
+                          "double") and not order_type.startswith("decimal"):
+        raise ValueError(
+            f"pack_shards: order_col {order_col!r} must be numeric "
+            f"(got {order_type or 'missing column'}); hash string ids to a "
+            "numeric key first (e.g. operators.sampling.hash_bucket)"
+        )
     tok = F.col(token_col) if isinstance(token_col, str) else token_col
     if n_buckets is None:
         n_buckets = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))

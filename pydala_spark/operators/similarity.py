@@ -217,19 +217,17 @@ def quantized_cosine_topk(
     approximates exact cosine while scanning tinyint arrays. Same
     broadcast-probes shape as :func:`cosine_topk`.
     """
-    scale_col = f"{vec_col}_scale"
+    # scales cancel inside the cosine ratio, so score on the raw integer
+    # arrays alone — carrying the scale columns through the broadcast
+    # would only widen it
     p = probes_q.select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).alias("probe_vec"),
-        F.col(scale_col).alias("probe_scale"),
     )
     c = corpus_q.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("vec"),
-        F.col(scale_col).alias("vec_scale"),
     )
-    # scales cancel inside the cosine ratio, so score on the raw integer
-    # arrays; only ranking matters and it is scale-invariant per pair
     sim = cosine_similarity(F.col("probe_vec"), F.col("vec"))
     w = Window.partitionBy("probe_id").orderBy(
         F.desc("sim"), F.asc("neighbor_id")

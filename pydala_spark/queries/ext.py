@@ -418,6 +418,54 @@ WHERE rnk <= 5
 """
 
 
+def q_quantized_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 cosine over int8-quantized embeddings
+    (operators/similarity.py quantize_embeddings — symmetric per-vector
+    scale = max|v|/127): the 4x-narrower storage path for the biggest
+    table in a training pipeline. Quantized values are small integers,
+    so the dot products are EXACT in double on both engines; ranking
+    ties break on neighbor id."""
+    from pydala_spark.operators.similarity import (
+        quantize_embeddings,
+        quantized_cosine_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb)
+    probes = quantize_embeddings(emb.where(F.col("vec_id") < 10))
+    out = quantized_cosine_topk(q, probes, k=5)
+    return out.select(
+        "probe_id", "neighbor_id", "rnk", F.round("sim", 4).alias("sim_r")
+    )
+
+
+_Q_QUANTIZED_COSINE_SQL = """
+WITH q AS (
+  SELECT vec_id,
+         CAST(list_transform(e, x -> CAST(ROUND(x / s) AS BIGINT)) AS DOUBLE[]) AS qv
+  FROM (
+    SELECT vec_id, e,
+           CASE WHEN amax > 0 THEN amax / 127.0 ELSE 1.0 END AS s
+    FROM (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> ABS(x))) AS amax
+      FROM embeddings))
+),
+p AS (SELECT vec_id AS probe_id, qv AS pq FROM q WHERE vec_id < 10),
+s AS (
+  SELECT probe_id, vec_id AS neighbor_id,
+         list_cosine_similarity(pq, qv) AS sim
+  FROM q, p WHERE vec_id <> probe_id
+)
+SELECT probe_id, neighbor_id, rnk, ROUND(sim, 4) AS sim_r
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                   ORDER BY sim DESC, neighbor_id) AS rnk
+      FROM s)
+WHERE rnk <= 5
+"""
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs blocked on a deterministic LSH bucket.
 
@@ -536,6 +584,7 @@ EXT_QUERIES = {
     "q_decontaminate": q_decontaminate,
     "q_shard_packing": q_shard_packing,
     "q_cosine_topk": q_cosine_topk,
+    "q_quantized_cosine": q_quantized_cosine,
     "q_embedding_neardup": q_embedding_neardup,
     "q_lsh_topk": q_lsh_topk,
     "q_ivf_topk": q_ivf_topk,
@@ -554,6 +603,7 @@ EXT_ORACLE = {
     "q_decontaminate": _Q_DECONTAMINATE_SQL,
     "q_shard_packing": _Q_SHARD_PACKING_SQL,
     "q_cosine_topk": _Q_COSINE_TOPK_SQL,
+    "q_quantized_cosine": _Q_QUANTIZED_COSINE_SQL,
     "q_embedding_neardup": _neardup_sql(64, 6),
     "q_lsh_topk": _lsh_topk_sql(64, 6),
     # q_approx_distinct: intentionally no oracle (HLL estimators differ

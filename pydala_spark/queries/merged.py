@@ -262,7 +262,9 @@ FROM events GROUP BY event_type
 
 
 def q_grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP, CUBE and explicit GROUPING SETS over the same keys."""
+    """ROLLUP, CUBE and explicit GROUPING SETS over the same keys, plus
+    the conditional-agg pivot and unpivot+re-agg families (round-2
+    consolidation of q_pivot_unpivot, freeing a registry slot)."""
     li = load_table(spark, sf_dir, "lineitem")
     rollup = li.rollup("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n"), _dsum_str(_rev()).alias("revenue")
@@ -281,22 +283,73 @@ def q_grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         """
     )
-    return _tagged_union([("rollup", rollup), ("cube", cube), ("gsets", gsets)])
+    orders = load_table(spark, sf_dir, "orders")
 
+    def tot(status: str):
+        return F.sum(
+            F.when(F.col("o_orderstatus") == status, F.col("o_totalprice"))
+            .otherwise(F.lit(0))
+            .cast("decimal(25,4)")
+        ).cast("double")
+
+    pivot = orders.groupBy("o_orderpriority").agg(
+        tot("O").alias("open_total"),
+        tot("F").alias("filled_total"),
+        tot("P").alias("partial_total"),
+        F.count("*").alias("n"),
+    )
+    long = li.unpivot(["l_returnflag"], ["l_quantity", "l_discount"], "metric", "val")
+    unpivot = long.groupBy("l_returnflag", "metric").agg(
+        F.sum(F.col("val").cast("decimal(25,6)")).cast("double").alias("total"),
+        F.count("*").alias("n"),
+    )
+    return _tagged_union(
+        [("rollup", rollup), ("cube", cube), ("gsets", gsets),
+         ("pivot", pivot), ("unpivot", unpivot)]
+    )
+
+
+_NULLS_PIVOT = """CAST(NULL AS VARCHAR) AS o_orderpriority,
+  CAST(NULL AS DOUBLE) AS open_total, CAST(NULL AS DOUBLE) AS filled_total,
+  CAST(NULL AS DOUBLE) AS partial_total"""
+
+_NULLS_UNPIVOT = """CAST(NULL AS VARCHAR) AS metric, CAST(NULL AS DOUBLE) AS total"""
 
 _Q_GROUPING_SQL = f"""
 SELECT 'rollup' AS family, l_returnflag, l_linestatus, COUNT(*) AS n,
   {_sql_dsum_str(_REV)} AS revenue,
-  CAST(NULL AS BIGINT) AS g_flag, CAST(NULL AS BIGINT) AS g_status
+  CAST(NULL AS BIGINT) AS g_flag, CAST(NULL AS BIGINT) AS g_status,
+  {_NULLS_PIVOT}, {_NULLS_UNPIVOT}
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 UNION ALL
 SELECT 'cube', l_returnflag, l_linestatus, COUNT(*), {_sql_dsum_str(_REV)},
-  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+  {_NULLS_PIVOT}, {_NULLS_UNPIVOT}
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 UNION ALL
 SELECT 'gsets', l_returnflag, l_linestatus, COUNT(*), CAST(NULL AS VARCHAR),
-  CAST(GROUPING(l_returnflag) AS BIGINT), CAST(GROUPING(l_linestatus) AS BIGINT)
+  CAST(GROUPING(l_returnflag) AS BIGINT), CAST(GROUPING(l_linestatus) AS BIGINT),
+  {_NULLS_PIVOT}, {_NULLS_UNPIVOT}
 FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+UNION ALL
+SELECT 'pivot', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), COUNT(*),
+  CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+  o_orderpriority,
+  CAST(SUM(CAST(CASE WHEN o_orderstatus='O' THEN o_totalprice ELSE 0 END AS DECIMAL(25,4))) AS DOUBLE),
+  CAST(SUM(CAST(CASE WHEN o_orderstatus='F' THEN o_totalprice ELSE 0 END AS DECIMAL(25,4))) AS DOUBLE),
+  CAST(SUM(CAST(CASE WHEN o_orderstatus='P' THEN o_totalprice ELSE 0 END AS DECIMAL(25,4))) AS DOUBLE),
+  {_NULLS_UNPIVOT}
+FROM orders GROUP BY o_orderpriority
+UNION ALL
+SELECT 'unpivot', l_returnflag, CAST(NULL AS VARCHAR), COUNT(*),
+  CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+  {_NULLS_PIVOT},
+  metric, CAST(SUM(CAST(val AS DECIMAL(25,6))) AS DOUBLE)
+FROM (
+  SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_discount' AS metric, l_discount AS val FROM lineitem
+) GROUP BY l_returnflag, metric
 """
 
 
@@ -457,52 +510,6 @@ FROM m
 # pivot + unpivot (wide<->long reshaping)
 
 
-def q_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Conditional-agg pivot and unpivot+re-agg, tag-unioned."""
-    orders = load_table(spark, sf_dir, "orders")
-
-    def tot(status: str):
-        return F.sum(
-            F.when(F.col("o_orderstatus") == status, F.col("o_totalprice"))
-            .otherwise(F.lit(0))
-            .cast("decimal(25,4)")
-        ).cast("double")
-
-    pivot = orders.groupBy("o_orderpriority").agg(
-        tot("O").alias("open_total"),
-        tot("F").alias("filled_total"),
-        tot("P").alias("partial_total"),
-        F.count("*").alias("n"),
-    )
-    li = load_table(spark, sf_dir, "lineitem")
-    long = li.unpivot(["l_returnflag"], ["l_quantity", "l_discount"], "metric", "val")
-    unpivot = long.groupBy("l_returnflag", "metric").agg(
-        F.sum(F.col("val").cast("decimal(25,6)")).cast("double").alias("total"),
-        F.count("*").alias("n"),
-    )
-    return _tagged_union([("pivot", pivot), ("unpivot", unpivot)])
-
-
-_Q_PIVOT_UNPIVOT_SQL = """
-SELECT 'pivot' AS family, o_orderpriority,
-  CAST(SUM(CAST(CASE WHEN o_orderstatus='O' THEN o_totalprice ELSE 0 END AS DECIMAL(25,4))) AS DOUBLE) AS open_total,
-  CAST(SUM(CAST(CASE WHEN o_orderstatus='F' THEN o_totalprice ELSE 0 END AS DECIMAL(25,4))) AS DOUBLE) AS filled_total,
-  CAST(SUM(CAST(CASE WHEN o_orderstatus='P' THEN o_totalprice ELSE 0 END AS DECIMAL(25,4))) AS DOUBLE) AS partial_total,
-  COUNT(*) AS n, CAST(NULL AS VARCHAR) AS l_returnflag,
-  CAST(NULL AS VARCHAR) AS metric, CAST(NULL AS DOUBLE) AS total
-FROM orders GROUP BY o_orderpriority
-UNION ALL
-SELECT 'unpivot', CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
-  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), COUNT(*), l_returnflag, metric,
-  CAST(SUM(CAST(val AS DECIMAL(25,6))) AS DOUBLE)
-FROM (
-  SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
-  UNION ALL
-  SELECT l_returnflag, 'l_discount' AS metric, l_discount AS val FROM lineitem
-) GROUP BY l_returnflag, metric
-"""
-
-
 MERGED_QUERIES = {
     "q_scalar_functions": q_scalar_functions,
     "q_collection_functions": q_collection_functions,
@@ -510,7 +517,6 @@ MERGED_QUERIES = {
     "q_subqueries": q_subqueries,
     "q_set_operations": q_set_operations,
     "q_stats_summary": q_stats_summary,
-    "q_pivot_unpivot": q_pivot_unpivot,
 }
 
 MERGED_ORACLE = {
@@ -520,5 +526,4 @@ MERGED_ORACLE = {
     "q_subqueries": _Q_SUBQUERIES_SQL,
     "q_set_operations": _Q_SET_OPS_SQL,
     "q_stats_summary": _Q_STATS_SQL,
-    "q_pivot_unpivot": _Q_PIVOT_UNPIVOT_SQL,
 }

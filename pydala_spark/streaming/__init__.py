@@ -58,11 +58,18 @@ def incremental_append(
         if compact_every and (epoch_id + 1) % compact_every == 0:
             from pydala_spark.dataset.maintain import compact
 
-            compact(
-                batch_df.sparkSession,
-                writer.path,
-                target_file_mb=target_file_mb,
-            )
+            try:
+                compact(
+                    batch_df.sparkSession,
+                    writer.path,
+                    target_file_mb=target_file_mb,
+                    format=writer.format,
+                    compression=writer.compression,
+                )
+            except FileNotFoundError:
+                # nothing written yet (empty first micro-batches) — the
+                # stream must not die on a maintenance no-op
+                pass
 
     ws = stream_df.writeStream.foreachBatch(sink)
     if checkpoint_dir:
@@ -123,10 +130,11 @@ def streaming_dedup(
     ``dedup_exact`` / subset-dedup family (operators/dedup.py), for a
     continuously-fed corpus.
 
-    ``text_col`` dedups by content: an md5 fingerprint column
-    (``__fp``, same hash as the batch operator, so a batch backfill and
-    the stream agree on what is a duplicate) is added and used as the
-    key. Otherwise ``subset`` names the key columns directly.
+    ``text_col`` dedups by content using the batch operators'
+    :func:`~pydala_spark.operators.textstats.fingerprint` (md5 of
+    case/punctuation-normalized text), so a batch backfill and the
+    stream agree on what is a duplicate. Otherwise ``subset`` names the
+    key columns directly.
 
     State at 100 TB is the concern, not the shuffle: with ``ts_col``
     set, keys are dropped from the dedup state once the watermark passes
@@ -135,10 +143,12 @@ def streaming_dedup(
     dedup). Without ``ts_col`` the state grows with distinct keys
     forever — correct, but only for bounded key domains.
     """
+    from pydala_spark.operators.textstats import fingerprint
+
     df = stream_df
     keys: list[str]
     if text_col is not None:
-        df = df.withColumn("__fp", F.md5(F.col(text_col).cast("binary")))
+        df = df.withColumn("__fp", fingerprint(text_col))
         keys = ["__fp"]
     elif subset:
         keys = list(subset)

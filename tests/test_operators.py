@@ -263,6 +263,27 @@ def test_decode_media_real_formats(spark):
     assert out[3]["format"] is None  # codec-dependent payloads degrade to null
 
 
+def test_decode_media_malformed_payloads_never_fail(spark):
+    from pydala_spark.operators.multimodal import MEDIA_SCHEMA, decode_media
+
+    evil = [
+        b"P6\ngarbage header\n",                    # non-numeric dims
+        b"P6\n9999 9999\n255\n\x00\x01",            # truncated raster
+        b"P6\n-3 2\n255\n" + b"\x00" * 32,          # negative dims
+        b"RIFF\x00\x00\x00\x00WAVEjunkchunk",       # corrupt wave
+        b"",                                         # empty
+        None,                                        # null blob
+    ]
+    rows = [
+        Row(media_id=i, kind="image", content=p, mime=None,
+            width=None, height=None, duration_ms=None)
+        for i, p in enumerate(evil)
+    ]
+    out = decode_media(spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()
+    assert len(out) == len(evil)
+    assert all(r["format"] is None for r in out)  # degraded, job alive
+
+
 def test_streaming_incremental_append(spark, tmp_path):
     import os
 
@@ -372,7 +393,7 @@ def test_streaming_dedup_by_content(spark, tmp_path):
     df = spark.createDataFrame(
         [
             (1, TS(2024, 1, 1, 0, 0), "the quick brown fox"),
-            (2, TS(2024, 1, 1, 0, 1), "the quick brown fox"),  # dup content
+            (2, TS(2024, 1, 1, 0, 1), "The quick, brown FOX!"),  # dup after normalization
             (3, TS(2024, 1, 1, 0, 2), "an entirely new doc"),
             (4, TS(2024, 1, 1, 0, 3), "an entirely new doc"),  # dup content
             (5, TS(2024, 1, 1, 0, 4), "unique"),
@@ -390,9 +411,10 @@ def test_streaming_dedup_by_content(spark, tmp_path):
         .start()
     )
     q.awaitTermination(60)
-    rows = spark.sql("SELECT text FROM dedup_out").collect()
-    texts = sorted(r["text"] for r in rows)
-    assert texts == ["an entirely new doc", "the quick brown fox", "unique"]
+    rows = spark.sql("SELECT doc_id FROM dedup_out").collect()
+    # the stream uses the BATCH fingerprint (case/punct-normalized), so
+    # doc 2 dedups against doc 1 exactly as dedup_exact would decide
+    assert sorted(r["doc_id"] for r in rows) == [1, 3, 5]
     # fingerprint helper column does not leak into the output
     assert "__fp" not in spark.table("dedup_out").columns
 
