@@ -94,21 +94,50 @@ class Datalake:
             ds.to_view(name.replace(".", "_"))
         return ds
 
+    def _dataset_format(self, base: str) -> str:
+        """Format recorded in the dataset's sidecar (JSON or reference
+        TOML), defaulting to parquet."""
+        for sidecar in (DATASET_SIDECAR, TOML_DATASET_SIDECAR):
+            p = os.path.join(base, sidecar)
+            if not os.path.exists(p):
+                continue
+            try:
+                if sidecar.endswith(".toml"):
+                    import tomllib
+
+                    with open(p, "rb") as f:
+                        cfg = tomllib.load(f)
+                else:
+                    with open(p) as f:
+                        cfg = json.load(f)
+                return cfg.get("dataset", {}).get("format") or "parquet"
+            except Exception:
+                return "parquet"
+        return "parquet"
+
     def load(self, register_views: bool = True) -> dict[str, Dataset]:
         """Discover every dataset and (optionally) register each as a temp
-        view named by its dotted relative path."""
+        view named by its dotted relative path. Datasets with no data
+        files are tracked but not registered (an empty dataset must not
+        abort loading the rest of the lake), and each reads with the
+        format its sidecar records."""
         for name, base in self.discover().items():
             # snapshot-managed datasets expose their live data
             current = os.path.join(base, "current")
             data_path = current if os.path.isdir(current) else base
-            ds = Dataset(self.spark, data_path, name=name)
+            ds = Dataset(self.spark, data_path, name=name,
+                         format=self._dataset_format(base))
             self.datasets[name] = ds
-            if register_views:
+            if register_views and ds._dataset_has_files():
                 ds.to_view(name.replace(".", "_"))
+        if register_views:
+            self._views_registered = True
         return self.datasets
 
     def sql(self, query: str) -> DataFrame:
-        if not self.datasets:
+        # register on demand — self.datasets being populated is NOT proof
+        # the views exist (load(register_views=False) also populates it)
+        if not getattr(self, "_views_registered", False):
             self.load()
         return self.spark.sql(query)
 

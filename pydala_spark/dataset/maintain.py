@@ -90,7 +90,13 @@ def compact(
     rels = [p[len(local):].lstrip("/") for p, _ in files]
     part_cols = infer_partitioning(rels) or []
 
-    df = spark.read.format(format).load(local)
+    reader = spark.read.format(format)
+    if format == "csv":
+        # Writer/Dataset write and read csv with headers; reading without
+        # would ingest header lines as rows and re-write headerless —
+        # silent corruption on the very next read
+        reader = reader.option("header", True).option("inferSchema", True)
+    df = reader.load(local)
     tmp = local + "__compacting"
     ops.delete(tmp)
     if part_cols:
@@ -138,6 +144,8 @@ def compact(
     writer = shuffled.write.format(format).mode("overwrite").option(
         "compression", compression
     )
+    if format == "csv":
+        writer = writer.option("header", True)
     if part_cols:
         writer = writer.partitionBy(*part_cols)
     writer.save(tmp)
@@ -164,6 +172,13 @@ def zorder_value(cols: Sequence[Column], bits: int = 16) -> Column:
     arithmetic — whole-stage-codegen-friendly, no UDF."""
     z = F.lit(0).cast("long")
     k = len(cols)
+    if k * bits > 63:
+        # Java shifts wrap mod 64 — an overflowing interleave silently
+        # scrambles the curve; the caller must lower per-column bits
+        raise ValueError(
+            f"zorder_value: {k} columns x {bits} bits exceeds 63 interleaved "
+            f"bits; use bits <= {63 // k}"
+        )
     for b in range(bits):
         for i, c in enumerate(cols):
             bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
@@ -193,6 +208,13 @@ def zorder_write(
     runtime, so skewed value distributions still yield balanced files.
     """
     configure_session(spark)
+    if len(cols) * bits > 63:
+        # per-column resolution shrinks so the interleave fits a long;
+        # scaling below uses the SAME clamped bits, keeping scale and
+        # interleave consistent
+        bits = 63 // len(cols)
+        if bits < 1:
+            raise ValueError(f"zorder_write: too many columns ({len(cols)})")
     nums = [F.col(c).cast("double") for c in cols]
     bounds = df.select(
         *[f(c).alias(f"{i}_{j}") for i, c in enumerate(nums) for j, f in

@@ -134,8 +134,7 @@ class Dataset:
     @property
     def fragment_schemas(self) -> list[pa.Schema]:
         return schema_mod.list_fragment_schemas(
-            self.path, "parquet" if self.format == "parquet" else self.format,
-            self.partitioning if self.partitioning != "hive" else "hive",
+            self.path, self.format, self.partitioning
         )
 
     @property

@@ -82,6 +82,21 @@ class Repartition:
         (Spark cannot overwrite its own input), optionally preceded by a
         TimeFly snapshot — mirroring the reference's guarded in-place
         overwrite + auto pre-snapshot (repartition.py:148-194)."""
+        import posixpath
+
+        from pydala_spark.utils.pathops import PathOps, strip_scheme
+
+        local = strip_scheme(self.source_path).rstrip("/")
+        ops = PathOps(self.spark, local)
+        if self.in_place and ops.is_dir(posixpath.join(local, "current")):
+            # rewriting a TimeFly ROOT in place would delete current/ and
+            # strand the snapshot layout — regardless of with_snapshot.
+            # Checked BEFORE the read (the read of a root fails with its
+            # own confusing schema error)
+            raise ValueError(
+                f"{self.source_path} is a TimeFly dataset root; point the "
+                "in-place Repartition at its current/ subdirectory"
+            )
         df = self.read()
         if not self.in_place:
             Writer(
@@ -94,19 +109,18 @@ class Repartition:
                 max_records_per_file=self.max_records_per_file,
             ).write(df)
             return
-
-        import posixpath
-
-        from pydala_spark.utils.pathops import PathOps, strip_scheme
-
-        local = strip_scheme(self.source_path).rstrip("/")
-        ops = PathOps(self.spark, local)
         if self.with_snapshot:
             from pydala_spark.dataset.timefly import TimeFly
 
-            tf = TimeFly(self.spark, local, format=self.source_format)
-            if ops.is_dir(tf.current_path):
-                tf.add_snapshot()
+            parent = posixpath.dirname(local)
+            if posixpath.basename(local) == "current" and any(
+                ops.exists(posixpath.join(parent, side))
+                for side in ("_dataset.json", "_dataset.toml")
+            ):
+                # the TimeFly lives at the PARENT of current/ — snapshot
+                # there (TimeFly(local) would probe local/current, which
+                # never exists, silently skipping the advertised snapshot)
+                TimeFly(self.spark, parent, format=self.source_format).add_snapshot()
 
         tmp = local + "__repartition_tmp"
         Writer(

@@ -95,9 +95,15 @@ def bucket_column(col: str, spec: str) -> F.Column:
     months_per = n * (12 if unit == "year" else 1)
     months = (F.year(F.col(col)) - F.lit(1970)) * 12 + F.month(F.col(col)) - 1
     start = (F.floor(months / months_per) * months_per).cast("int")
+    # pmod, not %: Spark's % follows the dividend's sign, so pre-1970
+    # timestamps (negative month offsets) would produce month 0/-1 —
+    # an ANSI DATETIME_FIELD_OUT_OF_BOUNDS error or a NULL bucket
     return F.to_timestamp(
-        F.make_date(F.lit(1970) + F.floor(start / 12).cast("int"),
-                    (start % 12 + 1).cast("int"), F.lit(1))
+        F.make_date(
+            F.lit(1970) + F.floor(start / 12).cast("int"),
+            (F.pmod(start, F.lit(12)) + 1).cast("int"),
+            F.lit(1),
+        )
     )
 
 
@@ -278,6 +284,11 @@ class Writer:
             # the dataset with empty part files. isEmpty is a limit-1 probe.
             return
 
+        # derive the time bucket BEFORE the inheritance gate: a repeat
+        # append to a time-bucketed dataset inherits ['bucket'] from the
+        # existing layout, and the column must exist by then
+        if time_bucket:
+            df = df.withColumn("bucket", bucket_column(datetime_column, time_bucket))
         partition_cols = list(self.partition_by)
         if not partition_cols and exists and (
             spark_mode == "append" or mode == "overwrite_partitions"
@@ -296,8 +307,7 @@ class Writer:
                         f"but the incoming data lacks columns {missing}"
                     )
                 partition_cols = inherited
-        if time_bucket:
-            df = df.withColumn("bucket", bucket_column(datetime_column, time_bucket))
+        if time_bucket and "bucket" not in partition_cols:
             partition_cols = ["bucket"] + partition_cols
         if mode == "overwrite_partitions" and not partition_cols:
             raise ValueError(
@@ -394,9 +404,15 @@ class Writer:
         start_time,
         end_time,
     ) -> DataFrame:
-        from pydala_spark.dataset.reader import Dataset
+        if self.format in ("feather", "ipc", "arrow"):
+            # Dataset has no feather reader; the driver-side bridge does
+            from pydala_spark.sources import read as _bridge_read
 
-        existing = Dataset(self.spark, self.path, format=self.format).load()
+            existing = _bridge_read(self.spark, self.path, format="feather")
+        else:
+            from pydala_spark.dataset.reader import Dataset
+
+            existing = Dataset(self.spark, self.path, format=self.format).load()
         if "bucket" in existing.columns and "bucket" not in df.columns:
             existing = existing.drop("bucket")
         incoming = df

@@ -233,7 +233,9 @@ def infer_partitioning(paths: Iterable[str]) -> list[str] | None:
     """Hive partition column names from ``col=val`` path segments
     (reference timefly.py:105-112)."""
     for p in paths:
-        cols = [seg.split("=")[0] for seg in p.split("/") if "=" in seg]
+        # directory segments only — a '=' in the FILENAME (export=2024.parquet)
+        # is not a partition and would poison the append-inheritance gate
+        cols = [seg.split("=")[0] for seg in p.split("/")[:-1] if "=" in seg]
         if cols:
             return cols
     return None

@@ -58,6 +58,37 @@ def test_compact_unpartitioned(spark, sf_dir, tmp_path):
     assert spark.read.parquet(path).count() == 25
 
 
+def test_compact_csv_keeps_headers(spark, tmp_path):
+    from pydala_spark.dataset.reader import Dataset
+    from pydala_spark.dataset.writer import Writer
+
+    path = str(tmp_path / "csv_ds")
+    df = spark.createDataFrame([(i, f"n{i}") for i in range(20)], ["id", "name"])
+    Writer(spark, path, format="csv").write(df.repartition(4))
+    compact(spark, path, format="csv")
+    back = Dataset(spark, path, format="csv").load()
+    # header lines were not ingested as rows, and the rewrite kept headers
+    assert back.count() == 20
+    assert set(back.columns) == {"id", "name"}
+    assert back.where("CAST(id AS INT) IS NULL").count() == 0
+
+
+def test_zorder_overflow_guard(spark):
+    import pytest
+
+    cols = [F.lit(1)] * 7
+    with pytest.raises(ValueError, match="63 interleaved"):
+        spark.range(1).select(zorder_value(cols, bits=10))
+    # zorder_write clamps instead (scale and interleave stay consistent)
+    df = spark.createDataFrame([(i, i, i, i, i, i, i) for i in range(10)],
+                               ["a", "b", "c", "d", "e", "f", "g"])
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        stats = zorder_write(spark, df, f"{d}/z", list("abcdefg"), n_files=2, bits=10)
+        assert spark.read.parquet(f"{d}/z").count() == 10
+
+
 def test_zorder_value_interleaves_bits(spark):
     # x=0b11, y=0b00 with 2 bits -> z = x bits at even positions = 0b0101
     df = spark.createDataFrame([(3, 0)], ["x", "y"])

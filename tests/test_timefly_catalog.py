@@ -64,6 +64,73 @@ def test_datalake_discover_register(spark, tmp_path):
     assert lake2.sql("SELECT count(*) AS n FROM sub_b").first()["n"] == 1
 
 
+def test_datalake_robust_load_and_sql(spark, tmp_path):
+    import json
+
+    root = str(tmp_path / "lake2")
+    lake = Datalake(spark, root)
+    _write(spark, os.path.join(root, "good"), [1, 2, 3])
+    lake.add_dataset("good")
+    # an EMPTY tracked dataset must not abort loading the rest
+    os.makedirs(os.path.join(root, "empty"), exist_ok=True)
+    lake.add_dataset("empty")
+    # a csv dataset loads with the format its sidecar records
+    from pydala_spark.dataset.writer import Writer as W
+
+    W(spark, os.path.join(root, "csvds"), format="csv").write(
+        spark.createDataFrame([Row(id=9)], "id long")
+    )
+    with open(os.path.join(root, "csvds", "_dataset.json"), "w") as f:
+        json.dump({"dataset": {"format": "csv"}}, f)
+    lake.add_dataset("csvds", format="csv")
+
+    lake2 = Datalake(spark, root)
+    # populate datasets WITHOUT views, then sql() must still register
+    lake2.load(register_views=False)
+    assert lake2.sql("SELECT count(*) AS n FROM good").first()["n"] == 3
+    assert lake2.sql("SELECT CAST(id AS INT) AS id FROM csvds").first()["id"] == 9
+
+
+def test_infer_partitioning_ignores_filenames():
+    from pydala_spark.schema import infer_partitioning
+
+    assert infer_partitioning(["export=2024.parquet"]) is None
+    assert infer_partitioning(["year=2024/export=x.parquet"]) == ["year"]
+
+
+def test_feather_delta_append(spark, tmp_path):
+    from pydala_spark.dataset.writer import Writer as W
+    from pydala_spark.sources import read as bridge_read
+
+    path = str(tmp_path / "f_ds")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    W(spark, path, format="feather").write(df)
+    # delta append: one dup key, one new — only the new row lands
+    W(spark, path, format="feather").write(
+        spark.createDataFrame([(2, "b"), (3, "c")], ["id", "v"]), mode="delta"
+    )
+    back = bridge_read(spark, path, format="feather")
+    assert sorted(r["id"] for r in back.collect()) == [1, 2, 3]
+
+
+def test_repartition_timefly_guard_and_snapshot(spark, tmp_path):
+    import pytest
+
+    base = str(tmp_path / "tf_rp")
+    _write(spark, base, [1, 2, 3])
+    tf = TimeFly(spark, base)
+    tf.new()
+    tf.create_current()
+    # pointing at the TimeFly ROOT is refused (would strand snapshots)
+    with pytest.raises(ValueError, match="current/ subdirectory"):
+        Repartition(spark, base).run()
+    # pointing at current/ takes the advertised pre-snapshot at the PARENT
+    before = len(tf.snapshots())
+    Repartition(spark, tf.current_path, max_records_per_file=2).run()
+    assert len(tf.snapshots()) == before + 1
+    assert tf.read().count() == 3
+
+
 def test_repartition_rewrite(spark, tmp_path):
     src = str(tmp_path / "src")
     spark.createDataFrame(

@@ -134,6 +134,30 @@ def test_bucket_column_grids(spark):
     assert got["q"] == TS(2024, 4, 1)
 
 
+def test_bucket_column_pre_epoch(spark):
+    # negative month offsets need pmod: plain % gave month 0/-1 (ANSI
+    # error or a NULL bucket) for pre-1970 timestamps
+    df = spark.createDataFrame([Row(ts=TS(1969, 12, 15))], "ts timestamp")
+    got = df.select(bucket_column("ts", "3mo").alias("q"),
+                    bucket_column("ts", "1y").alias("y")).first()
+    assert got["q"] == TS(1969, 10, 1)
+    assert got["y"] == TS(1969, 1, 1)
+
+
+def test_time_bucket_repeat_append(spark, tmp_path):
+    # second append with time_bucket and no partition_by must inherit
+    # the bucket layout, not die on the inheritance gate
+    out = str(tmp_path / "tb_repeat")
+    df1 = _events(spark, [(1, TS(2024, 1, 1, 3), 1.0)])
+    df2 = _events(spark, [(2, TS(2024, 1, 2, 5), 2.0)])
+    Writer(spark, out).write(df1, time_bucket="1d", datetime_column="ts")
+    Writer(spark, out).write(df2, time_bucket="1d", datetime_column="ts")
+    ds = Dataset(spark, out)
+    assert ds.count() == 2
+    days = {d for d in os.listdir(out) if d.startswith("bucket=")}
+    assert len(days) == 2
+
+
 def test_transform_func_hook(spark, tmp_path):
     out = str(tmp_path / "ds")
     df = _events(spark, [(1, TS(2024, 1, 1), 2.0)])
