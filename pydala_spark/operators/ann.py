@@ -47,6 +47,11 @@ def kmeans_centroids(
         df.select(vec_col).sample(fraction=fraction, seed=seed).toPandas()[vec_col]
     )
     x = np.array([np.asarray(v, dtype=np.float64) for v in sample])
+    if x.size == 0:
+        raise ValueError(
+            "kmeans_centroids: empty corpus/sample — no vectors to train a "
+            "codebook on"
+        )
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
     centroids = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
@@ -100,11 +105,19 @@ def ivf_topk(
         F.col(vec_col).alias("vec"),
         F.element_at(c_assign(F.col(vec_col)), 1).alias("cell"),
     )
-    p = probes.select(
-        F.col(id_col).alias("probe_id"),
-        F.col(vec_col).alias("probe_vec"),
-        F.explode(p_assign(F.col(vec_col))).alias("cell"),
-    )
+    from pydala_spark.operators.dedup import explode_cheaply
+
+    # explode_cheaply, not F.explode: InferFiltersFromGenerate would
+    # otherwise re-run the numpy-matmul assignment UDF a second time to
+    # evaluate the inferred size(...) > 0 filter (CLAUDE.md rule)
+    p = explode_cheaply(
+        probes.select(
+            F.col(id_col).alias("probe_id"),
+            F.col(vec_col).alias("probe_vec"),
+        ).withColumn("__cells", p_assign(F.col("probe_vec"))),
+        F.col("__cells"),
+        "cell",
+    ).drop("__cells")
     scored = (
         c.join(p, "cell")
         .where(F.col("neighbor_id") != F.col("probe_id"))

@@ -42,21 +42,27 @@ def asof_join(
         c: (c + suffix if c in left.columns else c) for c in right_cols
     }
     left_payload = [c for c in left.columns if c not in by and c != on]
-    right_types = dict(right.dtypes)
     left_types = dict(left.dtypes)
 
+    from pyspark.sql import types as T
+
+    # the right row travels as ONE struct, so the window fill carries
+    # whole rows atomically: per-column last(ignorenulls) would skip a
+    # legitimate NULL in the matched row and splice in a stale value
+    # from an older row — an output row no right row ever contained
+    rstruct_type = T.StructType([right.schema[c] for c in right_cols])
     lhs = left.select(
         *by,
         F.col(on).alias(on),
         *[F.col(c) for c in left_payload],
-        *[F.lit(None).cast(right_types[c]).alias(out_names[c]) for c in right_cols],
+        F.lit(None).cast(rstruct_type).alias("__rvals"),
         F.lit(1).alias("__side"),
     )
     rhs = right.select(
         *by,
         F.col(on).alias(on),
         *[F.lit(None).cast(left_types[c]).alias(c) for c in left_payload],
-        *[F.col(c).alias(out_names[c]) for c in right_cols],
+        F.struct(*[F.col(c) for c in right_cols]).alias("__rvals"),
         F.lit(0).alias("__side"),
     )
     unioned = lhs.unionByName(rhs)
@@ -71,9 +77,15 @@ def asof_join(
         .orderBy(time_order, side_order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = unioned
-    for c in right_cols:
-        filled = filled.withColumn(
-            out_names[c], F.last(out_names[c], ignorenulls=True).over(w)
+    filled = unioned.withColumn(
+        "__rvals", F.last("__rvals", ignorenulls=True).over(w)
+    )
+    return (
+        filled.where(F.col("__side") == 1)
+        .select(
+            *by,
+            on,
+            *left_payload,
+            *[F.col(f"__rvals.{c}").alias(out_names[c]) for c in right_cols],
         )
-    return filled.where(F.col("__side") == 1).drop("__side")
+    )

@@ -152,7 +152,14 @@ def lsh_candidate_pairs(
         (c for c in signatures.columns if c.startswith("mh_")),
         key=lambda c: int(c.split("_")[1]),
     )
-    rows_per_band = max(1, len(sig_cols) // n_bands)
+    if len(sig_cols) % n_bands != 0:
+        # silently dropping the trailing columns would lower recall with
+        # no signal that paid-for signature rows went unused
+        raise ValueError(
+            f"n_bands={n_bands} must divide the signature width "
+            f"({len(sig_cols)} mh_ columns)"
+        )
+    rows_per_band = len(sig_cols) // n_bands
     bands = []
     for b in range(n_bands):
         cols = sig_cols[b * rows_per_band : (b + 1) * rows_per_band]

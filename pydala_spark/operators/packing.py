@@ -18,10 +18,15 @@ prefix sum distributed:
    window, then broadcast back as offsets;
 4. global prefix = bucket offset + local prefix.
 
-Cost at scale: one columnar min/max scan (parquet footer stats) + one
-shuffle keyed by bucket + one broadcast join — versus the single-task
-global window. The result is bit-identical to the naive spelling
-because the order key is unique and token counts are integers.
+Cost at scale: three passes over the input — a columnar min/max scan
+(parquet footer stats make it cheap), the per-bucket totals
+aggregation, and the windowed local pass — but each reads only the
+order and token columns (column pruning), the data shuffles exactly
+once (keyed by bucket), and the offsets come back as a broadcast.
+The single-task global window it replaces would move and sort the
+whole dataset through ONE core. The result is bit-identical to the
+naive spelling because the order key is unique and token counts are
+integers.
 
 The reference engine has no shard packer; this extends the surface the
 way SURVEY.md §2.11 ("LLM-pipeline additions") prescribes.

@@ -120,6 +120,11 @@ def lsh_topk(
         F.col(vec_col).alias("probe_vec"),
         lsh_bucket(F.col(vec_col), dim, bits).alias("bucket"),
     )
+    if n_probes > bits + 1:
+        raise ValueError(
+            f"n_probes={n_probes} exceeds the {bits + 1} single-bit-flip "
+            f"buckets available at bits={bits}; raise bits or lower n_probes"
+        )
     if n_probes > 1:
         # own bucket + single-bit flips; cheap bit arithmetic on an
         # already-materialized int column, so a plain explode is fine
@@ -127,9 +132,7 @@ def lsh_topk(
             F.col("bucket"),
             *[F.col("bucket").bitwiseXOR(F.lit(2**b)) for b in range(bits)],
         )
-        p = p.withColumn(
-            "bucket", F.explode(F.slice(flips, 1, min(n_probes, bits + 1)))
-        )
+        p = p.withColumn("bucket", F.explode(F.slice(flips, 1, n_probes)))
     scored = (
         c.join(p, "bucket")
         .where(F.col("neighbor_id") != F.col("probe_id"))

@@ -56,7 +56,9 @@ def salted_agg(
     salted = df.withColumn("__salt", salt.cast("int"))
     partial_cols = []
     for name, (fn, col) in aggs.items():
-        src = F.count("*") if fn == "count" else getattr(F, fn)(col)
+        # count('*') counts rows; count(col) counts non-nulls — honoring
+        # the input column keeps parity with the unsalted aggregation
+        src = F.count("*") if (fn == "count" and col == "*") else getattr(F, fn)(col)
         partial_cols.append(src.alias(f"__p_{name}"))
     partial = salted.groupBy(*keys, "__salt").agg(*partial_cols)
     final_cols = [

@@ -24,9 +24,11 @@ STOPWORDS = {
 
 
 def tokens(col: str | Column) -> Column:
-    """Whitespace tokenization of trimmed text."""
+    """Whitespace tokenization of trimmed text. Empty/whitespace-only
+    text yields ZERO tokens (split of '' returns [''], which would
+    otherwise inflate token counts by one per empty doc)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(F.trim(c), r"\s+")
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != F.lit(""))
 
 
 def token_count(col: str | Column) -> Column:
@@ -34,11 +36,11 @@ def token_count(col: str | Column) -> Column:
 
 
 def word_regex_tokens(col: str | Column, pattern: str = r"[a-z0-9']+") -> Column:
-    """BPE-ish regex tokenization: lowercase word/number pieces."""
+    """BPE-ish regex tokenization: all matches of ``pattern`` over the
+    lowercased text (the parameter is honored — it previously silently
+    fell back to the default split)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.filter(
-        F.split(F.lower(c), r"[^a-z0-9']+"), lambda t: t != F.lit("")
-    )
+    return F.regexp_extract_all(F.lower(c), F.lit(pattern), F.lit(0))
 
 
 def normalize_text(col: str | Column) -> Column:

@@ -70,7 +70,8 @@ _Q_TEXT_PROFILE_SQL = f"""
 WITH s AS (
   SELECT doc_id,
     LENGTH(text) AS n_chars,
-    LEN(string_split_regex(TRIM(text), '\\s+')) AS n_tokens,
+    LEN(list_filter(string_split_regex(TRIM(text), '\\s+'),
+                    x -> x <> '')) AS n_tokens,
     LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,;:!?]', '', 'g')) AS n_punct,
     LEN(list_filter(string_split_regex(TRIM(LOWER(text)), '\\s+'),
                     x -> x IN ({_EN_LIST}))) AS stop_en,
@@ -373,7 +374,8 @@ def q_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q_SHARD_PACKING_SQL = r"""
 WITH t AS (
   SELECT doc_id,
-         LEN(string_split_regex(TRIM(text), '\s+')) AS n_tokens
+         LEN(list_filter(string_split_regex(TRIM(text), '\s+'),
+                         x -> x <> '')) AS n_tokens
   FROM documents
 ), c AS (
   SELECT doc_id, n_tokens,

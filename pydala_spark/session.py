@@ -99,7 +99,11 @@ def get_session(
     caller passes nothing and spark-submit's master wins.
     """
     builder = SparkSession.builder.appName(app_name)
-    if master is None and not os.environ.get("SPARK_MASTER"):
+    if master is None:
+        # Spark core does not read SPARK_MASTER itself outside
+        # spark-submit — apply it, else fall back to the local default
+        master = os.environ.get("SPARK_MASTER")
+    if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
     if master:

@@ -57,6 +57,20 @@ def test_asof_backward_inclusive(spark):
     assert out == {"a": 100.0, "b": 200.0, "c": None}  # inclusive at 10:00
 
 
+def test_asof_null_in_matched_row_not_spliced(spark):
+    # the matched right row carries its NULLs verbatim: a per-column fill
+    # would splice a stale a=5 from ts=1 into the ts=2 match
+    left = spark.createDataFrame(
+        [(1, TS(2024, 1, 1, 3), "x")], "k long, ts timestamp, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, TS(2024, 1, 1, 1), 5.0, 1.0), (1, TS(2024, 1, 1, 2), None, 2.0)],
+        "k long, ts timestamp, a double, b double",
+    )
+    got = asof_join(left, right, on="ts", by="k", right_cols=["a", "b"]).first()
+    assert got["a"] is None and got["b"] == 2.0
+
+
 def test_asof_exclusive_and_forward(spark):
     left = spark.createDataFrame(
         [(1, TS(2024, 1, 1, 10), "a")], "k long, ts timestamp, tag string"
@@ -101,6 +115,39 @@ def test_ngram_jaccard(spark):
     pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
     assert pairs[(0, 3)] == 1.0
     assert 0.5 <= pairs[(0, 1)] < 1.0
+
+
+def test_token_helpers_edge_semantics(spark):
+    from pydala_spark.operators.textstats import token_count, word_regex_tokens
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "two words"), (4, "Ab1 x_y")],
+        "i long, text string",
+    )
+    got = {r["i"]: r for r in df.select(
+        "i",
+        token_count("text").alias("n"),
+        word_regex_tokens("text").alias("w"),
+        word_regex_tokens("text", pattern=r"[a-z]+").alias("alpha"),
+    ).collect()}
+    assert got[1]["n"] == 0 and got[2]["n"] == 0  # empty text = 0 tokens
+    assert got[3]["n"] == 2
+    assert list(got[4]["w"]) == ["ab1", "x", "y"]
+    assert list(got[4]["alpha"]) == ["ab", "x", "y"]  # pattern honored
+
+
+def test_lsh_guards(spark):
+    import pytest
+
+    from pydala_spark.operators.dedup import lsh_candidate_pairs
+    from pydala_spark.operators.similarity import lsh_topk
+
+    sigs = minhash_signatures(_docs(spark), "doc_id", "text", n_hashes=8)
+    with pytest.raises(ValueError, match="must divide"):
+        lsh_candidate_pairs(sigs, "doc_id", n_bands=3)
+    emb = spark.createDataFrame([(0, [1.0, 0.0])], ["vec_id", "embedding"])
+    with pytest.raises(ValueError, match="single-bit-flip"):
+        lsh_topk(emb, emb, dim=2, bits=3, n_probes=9)
 
 
 def test_decontaminate(spark):

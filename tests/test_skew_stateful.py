@@ -38,6 +38,18 @@ def test_salted_agg_rejects_nonmergeable(spark):
         salted_agg(df, ["k"], {"a": ("avg", "v")})
 
 
+def test_salted_agg_count_column_skips_nulls(spark):
+    df = spark.createDataFrame(
+        [Row(k=1, v=1.0), Row(k=1, v=None), Row(k=1, v=3.0)]
+    )
+    got = salted_agg(
+        df, ["k"], {"n_rows": ("count", "*"), "n_v": ("count", "v")},
+        salt_buckets=4, seed=1,
+    ).first()
+    # count(v) must skip nulls exactly like the unsalted aggregation
+    assert got["n_rows"] == 3 and got["n_v"] == 2
+
+
 def test_salted_join_matches_plain(spark):
     left = spark.createDataFrame(
         [Row(k=1, lv=i) for i in range(500)] + [Row(k=2, lv=-1)]
