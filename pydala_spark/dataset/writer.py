@@ -36,7 +36,8 @@ from pyspark.sql import functions as F
 from pydala_spark.session import configure_session
 
 WRITE_MODES = (
-    "append", "overwrite", "overwrite_partitions", "error", "raise", "delta"
+    "append", "overwrite", "overwrite_partitions", "error", "raise", "delta",
+    "upsert",
 )
 
 #: unit aliases from the reference's batch-size grammar
@@ -277,6 +278,13 @@ class Writer:
             spark_mode = "overwrite"
         elif mode == "delta" and exists:
             df = self._delta_diff(df, delta_subset, datetime_column, start_time, end_time)
+        elif mode == "upsert":
+            if not delta_subset:
+                raise ValueError("mode='upsert' needs delta_subset key columns")
+            if exists:
+                self._upsert(df, delta_subset)
+                return
+            # first write: plain append lays the dataset down
 
         if skip_empty and spark_mode == "append" and df.isEmpty():
             # empty-write gate (reference checks rel.shape[0] before every
@@ -395,6 +403,99 @@ class Writer:
         )
         target = os.path.join(local, f"part-{next_idx:05d}.feather")
         pf.write_feather(table, target, compression=comp)
+
+    def _upsert(self, df: DataFrame, keys: Sequence[str]) -> None:
+        """Update-or-insert by key: incoming rows replace existing rows
+        with the same (null-safe) key tuple; everything else survives.
+
+        Scale shape: on a hive-partitioned dataset only the partitions
+        the batch TOUCHES are read, rewritten and swapped — the batch's
+        distinct partition tuples come to the driver (small: it's the
+        partition count, not rows), prune the existing read (partition
+        pruning keeps it a metadata operation), and name the directories
+        to swap. The rewrite stages into a sibling directory and swaps
+        per-partition-directory via rename (atomic on HDFS/local;
+        copy+delete on object stores — same caveat as compact). An
+        unpartitioned dataset is read, merged and swapped whole.
+
+        The upsert key should align with the partition key at scale: an
+        incoming row whose key exists in an UNTOUCHED partition (key and
+        partition disagree) is appended, not replaced — documented
+        limitation of partition-pruned upserts.
+        """
+        import posixpath
+
+        from pydala_spark.dataset.reader import Dataset
+        from pydala_spark.utils.pathops import PathOps, strip_scheme
+
+        if self.format in ("feather", "ipc", "arrow"):
+            raise ValueError("mode='upsert' is not supported for the feather bridge")
+        missing = [k for k in keys if k not in df.columns]
+        if missing:
+            raise ValueError(f"upsert keys missing from incoming data: {missing}")
+
+        local = strip_scheme(self.path).rstrip("/")
+        ops = PathOps(self.spark, local)
+        part_cols = list(self.partition_by) or (self._existing_partitioning() or [])
+        existing = Dataset(self.spark, self.path, format=self.format).load()
+
+        touched_dirs: list[str] | None = None
+        if part_cols:
+            pmissing = [c for c in part_cols if c not in df.columns]
+            if pmissing:
+                raise ValueError(
+                    f"upsert into a dataset partitioned by {part_cols} needs "
+                    f"those columns in the incoming data; missing {pmissing}"
+                )
+            touched = df.select(*part_cols).distinct().collect()
+            touched_dirs = [
+                "/".join(
+                    f"{c}={'__HIVE_DEFAULT_PARTITION__' if r[c] is None else r[c]}"
+                    for c in part_cols
+                )
+                for r in touched
+            ]
+            pred = None
+            for r in touched:
+                clause = None
+                for c in part_cols:
+                    t = F.col(c).eqNullSafe(F.lit(r[c]))
+                    clause = t if clause is None else (clause & t)
+                pred = clause if pred is None else (pred | clause)
+            existing = existing.where(pred)
+
+        survivors = _null_safe_anti_join(existing, df, keys)
+        merged = survivors.unionByName(df.select(*survivors.columns))
+
+        tmp = local + "__upserting"
+        ops.delete(tmp)
+        writer = merged.write.mode("overwrite").format(self.format)
+        if self.format == "parquet":
+            writer = writer.option("compression", self.compression)
+        elif self.format == "csv":
+            writer = writer.option("header", True)
+        if self.max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", self.max_records_per_file)
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.save(tmp)
+
+        if touched_dirs is not None:
+            for rel in touched_dirs:
+                src = posixpath.join(tmp, rel)
+                dst = posixpath.join(local, rel)
+                ops.delete(dst)
+                if ops.exists(src):  # a touched partition can merge to empty
+                    ops.rename(src, dst)
+        else:
+            for p, _ in ops.data_files(local):
+                ops.delete(p)
+            for entry in ops.list_dir(tmp):
+                if entry == "_SUCCESS" or entry.endswith(".crc"):
+                    continue
+                ops.rename(posixpath.join(tmp, entry), posixpath.join(local, entry))
+        ops.delete(tmp)
+        self.spark.catalog.refreshByPath(local)
 
     def _delta_diff(
         self,

@@ -1,0 +1,71 @@
+"""Upsert mode: update-or-insert by key with partition-pruned swaps."""
+
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from pydala_spark import Dataset, Writer
+
+
+def test_upsert_unpartitioned(spark, tmp_path):
+    out = str(tmp_path / "ups")
+    w = Writer(spark, out)
+    w.write(
+        spark.createDataFrame(
+            [Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v="c")]
+        ),
+        mode="upsert",
+        delta_subset=["k"],
+    )
+    # 2 updated, 4 inserted
+    w.write(
+        spark.createDataFrame([Row(k=2, v="B"), Row(k=4, v="d")]),
+        mode="upsert",
+        delta_subset=["k"],
+    )
+    got = {r["k"]: r["v"] for r in Dataset(spark, out).load().collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 4: "d"}
+
+
+def test_upsert_partitioned_prunes_untouched(spark, tmp_path):
+    out = str(tmp_path / "ups_part")
+    w = Writer(spark, out, partition_by=["g"])
+    w.write(
+        spark.createDataFrame(
+            [Row(k=1, g="a", v=1.0), Row(k=2, g="a", v=2.0), Row(k=3, g="b", v=3.0)]
+        ),
+        mode="upsert",
+        delta_subset=["k"],
+    )
+    # fingerprint the untouched partition's files: they must not rewrite
+    b_dir = os.path.join(out, "g=b")
+    before = sorted(os.listdir(b_dir))
+    w.write(
+        spark.createDataFrame([Row(k=2, g="a", v=22.0), Row(k=9, g="a", v=9.0)]),
+        mode="upsert",
+        delta_subset=["k"],
+    )
+    assert sorted(os.listdir(b_dir)) == before  # partition b untouched
+    got = {r["k"]: r["v"] for r in Dataset(spark, out).load().collect()}
+    assert got == {1: 1.0, 2: 22.0, 3: 3.0, 9: 9.0}
+
+
+def test_upsert_null_safe_keys_and_validation(spark, tmp_path):
+    out = str(tmp_path / "ups_null")
+    w = Writer(spark, out)
+    w.write(
+        spark.createDataFrame([(None, "old"), (1, "one")], "k long, v string"),
+        mode="upsert",
+        delta_subset=["k"],
+    )
+    w.write(
+        spark.createDataFrame([(None, "new")], "k long, v string"),
+        mode="upsert",
+        delta_subset=["k"],
+    )
+    got = {r["k"]: r["v"] for r in Dataset(spark, out).load().collect()}
+    assert got == {None: "new", 1: "one"}  # NULL key matched null-safely
+
+    with pytest.raises(ValueError, match="delta_subset"):
+        w.write(spark.createDataFrame([Row(k=1, v="x")]), mode="upsert")
