@@ -29,7 +29,7 @@ from pydala_spark.dataset.reader import Dataset
 from pydala_spark.dataset.writer import Writer
 from pydala_spark.dataset.timefly import TimeFly
 from pydala_spark.dataset.repartition import Repartition
-from pydala_spark.dataset.maintain import bucketize, compact, zorder_write
+from pydala_spark.dataset.maintain import bucketize, compact, recluster, zorder_write
 from pydala_spark.catalog import Datalake
 
 __version__ = "0.1.0"
@@ -44,5 +44,6 @@ __all__ = [
     "Datalake",
     "bucketize",
     "compact",
+    "recluster",
     "zorder_write",
 ]

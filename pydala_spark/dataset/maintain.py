@@ -250,3 +250,41 @@ def zorder_write(
         writer = writer.option("compression", compression)
     writer.save(path)
     return {"n_files": n_files, "bits": bits, "cols": list(cols)}
+
+
+def recluster(
+    spark: SparkSession,
+    path: str,
+    cols: Sequence[str],
+    n_files: int = 32,
+    bits: int = 10,
+    compression: str = "zstd",
+) -> dict:
+    """In-place z-order rewrite of an existing (unpartitioned parquet)
+    dataset: read, cluster on the Morton curve over ``cols``, stage into
+    a sibling directory, swap (same rename caveat on object stores as
+    :func:`compact`). The periodic-maintenance form of
+    :func:`zorder_write` — a streaming sink accretes arrival-ordered
+    files; reclustering restores multi-column min/max pruning without
+    taking the dataset offline longer than the swap.
+    """
+    from pydala_spark.utils.pathops import PathOps, strip_scheme
+
+    configure_session(spark)
+    local = strip_scheme(path).rstrip("/")
+    ops = PathOps(spark, local)
+    if not ops.data_files(local):
+        raise FileNotFoundError(f"no data files under {path}")
+    df = spark.read.parquet(local)
+    tmp = local + "__reclustering"
+    ops.delete(tmp)
+    stats = zorder_write(
+        spark, df, tmp, cols, n_files=n_files, bits=bits, compression=compression
+    )
+    old = local + "__precluster"
+    ops.delete(old)
+    ops.rename(local, old)
+    ops.rename(tmp, local)
+    ops.delete(old)
+    spark.catalog.refreshByPath(local)
+    return stats

@@ -34,17 +34,21 @@ def incremental_append(
     trigger_once: bool = True,
     compact_every: int | None = None,
     target_file_mb: int = 128,
+    zorder_by: Sequence[str] | None = None,
 ) -> StreamingQuery:
     """Continuously append only-new rows to a dataset (delta semantics per
     micro-batch; reference writer.py:219-249 made streaming).
 
     ``compact_every=N`` folds maintenance into the stream: after every
     Nth micro-batch the dataset's small files are rewritten to
-    ~``target_file_mb`` files (``maintain.compact``). Streaming appends
-    accrete tiny files; at 100 TB the scan cost of an uncompacted stream
-    sink becomes task scheduling + footer reads, so the maintenance has
-    to ride along with ingestion rather than wait for an offline pass.
-    The compaction runs on the driver inside foreachBatch, serialized
+    ~``target_file_mb`` files (``maintain.compact``) — or, when
+    ``zorder_by`` names cluster columns, reclustered on the z-order
+    curve (``maintain.recluster``) so multi-column min/max pruning
+    survives arrival-ordered ingestion. Streaming appends accrete tiny,
+    time-ordered files; at 100 TB the scan cost of an unmaintained
+    stream sink becomes task scheduling + footer reads, so the
+    maintenance has to ride along with ingestion rather than wait for an
+    offline pass. It runs on the driver inside foreachBatch, serialized
     with the writes — no concurrent-rewrite races with the next batch.
     """
 
@@ -56,16 +60,19 @@ def incremental_append(
             datetime_column=datetime_column,
         )
         if compact_every and (epoch_id + 1) % compact_every == 0:
-            from pydala_spark.dataset.maintain import compact
+            from pydala_spark.dataset.maintain import compact, recluster
 
             try:
-                compact(
-                    batch_df.sparkSession,
-                    writer.path,
-                    target_file_mb=target_file_mb,
-                    format=writer.format,
-                    compression=writer.compression,
-                )
+                if zorder_by:
+                    recluster(batch_df.sparkSession, writer.path, list(zorder_by))
+                else:
+                    compact(
+                        batch_df.sparkSession,
+                        writer.path,
+                        target_file_mb=target_file_mb,
+                        format=writer.format,
+                        compression=writer.compression,
+                    )
             except FileNotFoundError:
                 # nothing written yet (empty first micro-batches) — the
                 # stream must not die on a maintenance no-op

@@ -73,6 +73,56 @@ def test_compact_csv_keeps_headers(spark, tmp_path):
     assert back.where("CAST(id AS INT) IS NULL").count() == 0
 
 
+def test_recluster_in_place(spark, tmp_path):
+    from pydala_spark.dataset.maintain import recluster
+
+    path = str(tmp_path / "recl")
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 100, float(i)) for i in range(1000)], ["x", "y", "v"]
+    )
+    df.repartition(8).write.parquet(path)
+    stats = recluster(spark, path, ["x", "y"], n_files=4, bits=8)
+    assert stats["cols"] == ["x", "y"]
+    back = spark.read.parquet(path)
+    assert back.count() == 1000
+    # clustered: each file covers a narrow x-range (arrival order did not)
+    spans = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg((F.max("x") - F.min("x")).alias("span"))
+        .collect()
+    )
+    assert min(r["span"] for r in spans) < 999  # at least one tight file
+
+
+def test_streaming_append_with_zorder(spark, tmp_path):
+    import os
+
+    from pydala_spark.dataset.reader import Dataset
+    from pydala_spark.dataset.writer import Writer
+    from pydala_spark.streaming import incremental_append
+
+    src = str(tmp_path / "in_z")
+    os.makedirs(src)
+    dest = str(tmp_path / "ds_z")
+    for i in range(2):
+        spark.createDataFrame(
+            [(i * 100 + j, float(j % 7)) for j in range(50)], "event_id long, v double"
+        ).repartition(2).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("event_id long, v double").option(
+        "maxFilesPerTrigger", "2"
+    ).parquet(src)
+    q = incremental_append(
+        stream,
+        Writer(spark, dest),
+        delta_subset=["event_id"],
+        checkpoint_dir=str(tmp_path / "ckpt_z"),
+        compact_every=1,
+        zorder_by=["event_id", "v"],
+    )
+    q.awaitTermination(120)
+    assert Dataset(spark, dest).count() == 100
+
+
 def test_zorder_overflow_guard(spark):
     import pytest
 
