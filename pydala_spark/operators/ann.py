@@ -80,6 +80,31 @@ def _assigner(centroids: np.ndarray, top: int):
     return assign
 
 
+def save_codebook(spark, centroids: np.ndarray, path: str) -> None:
+    """Persist a trained IVF codebook as JSON (through the Hadoop
+    FileSystem, so it lands next to the dataset on any scheme). At scale
+    the codebook is trained ONCE and reused for every ingest/search —
+    retraining shifts cell boundaries and invalidates stored cell ids."""
+    import json
+
+    from pydala_spark.utils.pathops import PathOps
+
+    PathOps(spark, path).write_text(
+        path, json.dumps({"centroids": centroids.tolist()})
+    )
+
+
+def load_codebook(spark, path: str) -> np.ndarray:
+    import json
+
+    from pydala_spark.utils.pathops import PathOps
+
+    return np.array(
+        json.loads(PathOps(spark, path).read_text(path))["centroids"],
+        dtype=np.float64,
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -89,15 +114,19 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe_centroids: int = 2,
     seed: int = 42,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via IVF cells.
 
     Returns (probe_id, neighbor_id, rnk, sim). Recall rises with
     ``n_probe_centroids`` (== n_centroids gives exact brute force).
+    Pass ``centroids`` (e.g. from :func:`load_codebook`) to reuse a
+    trained codebook instead of re-sampling the corpus.
     """
-    centroids = kmeans_centroids(
-        corpus, vec_col, n_centroids=n_centroids, seed=seed
-    )
+    if centroids is None:
+        centroids = kmeans_centroids(
+            corpus, vec_col, n_centroids=n_centroids, seed=seed
+        )
     c_assign = _assigner(centroids, 1)
     p_assign = _assigner(centroids, n_probe_centroids)
     c = corpus.select(

@@ -45,3 +45,22 @@ def test_ivf_full_probe_equals_bruteforce(clustered):
     assert {(r["probe_id"], r["neighbor_id"], r["rnk"]) for r in exact.collect()} == {
         (r["probe_id"], r["neighbor_id"], r["rnk"]) for r in approx.collect()
     }
+
+
+def test_codebook_roundtrip_and_reuse(clustered, spark, tmp_path):
+    from pydala_spark.operators.ann import (
+        ivf_topk,
+        kmeans_centroids,
+        load_codebook,
+        save_codebook,
+    )
+
+    cb = kmeans_centroids(clustered, "embedding", n_centroids=4, seed=7)
+    path = str(tmp_path / "codebook.json")
+    save_codebook(spark, cb, path)
+    cb2 = load_codebook(spark, path)
+    assert (cb == cb2).all()
+    probes = clustered.where(F.col("vec_id") < 3)
+    a = ivf_topk(clustered, probes, k=3, centroids=cb)
+    b = ivf_topk(clustered, probes, k=3, centroids=cb2)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
