@@ -27,8 +27,10 @@ from pydala_spark.queries.sampling import SAMPLING_ORACLE, SAMPLING_QUERIES
 # Registry order is part of the driver contract: the correctness driver
 # records roughly the first 50 entries, so the differentiating extension
 # surface (dedup/similarity/text/sampling) comes right after the core
-# relational queries, and the total stays under 50 (round-2 fix for the
-# round-1 truncation where the EXT tail went unrecorded).
+# relational queries, and the total stays at <= 50 — pinned by
+# tests/test_oracle_smoke.py::test_registry_fits_driver_window (round-2
+# fix for the round-1 truncation where the EXT tail went unrecorded).
+# To add a query, first merge function-family demos in merged.py.
 QUERIES = {
     **CORE_QUERIES,
     **EXT_QUERIES,

@@ -567,7 +567,7 @@ def q_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q_PART_STATS_SQL = """
-SELECT CAST(REGEXP_REPLACE(p_brand, 'Brand#', '') AS INTEGER) AS brand_no,
+SELECT CAST(REGEXP_REPLACE(p_brand, 'Brand#', '', 'g') AS INTEGER) AS brand_no,
   COUNT(*) AS n_parts, COUNT(DISTINCT p_type) AS n_types,
   MIN(p_retailprice) AS min_price, MAX(p_retailprice) AS max_price,
   MAX(UPPER(SUBSTRING(p_name, 1, 3))) AS max_prefix

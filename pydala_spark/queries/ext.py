@@ -39,28 +39,23 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_text_quality so both stay inside the driver's correctness window).
     Ratios are exact integer divisions; all counts are pure column
     algebra inside whole-stage codegen — zero shuffles."""
+    from pydala_spark.operators.textstats import quality_stats
+
     docs = load_table(spark, sf_dir, "documents")
-    c = F.col("text")
-    n_chars = F.length(c)
-    n_toks = token_count(c)
-    punct = F.length(c) - F.length(F.regexp_replace(c, r"[.,;:!?]", ""))
-    stop_en = stopword_hits(c, STOPWORDS["en"])
-    punct_ratio = punct.cast("double") / n_chars
-    stop_ratio = stop_en.cast("double") / n_toks
-    score = (
-        F.when((n_toks >= 10) & (n_toks <= 1000), 1).otherwise(0)
-        + F.when(punct_ratio <= 0.1, 1).otherwise(0)
-        + F.when(stop_ratio >= 0.01, 1).otherwise(0)
-    )
-    return docs.select(
+    # the library operator IS the feature algebra under test — aliasing
+    # its columns (instead of re-deriving the same expressions here)
+    # keeps the declared query and the operator from drifting apart
+    return quality_stats(docs).select(
         "doc_id",
-        n_chars.cast("long").alias("n_chars_calc"),
-        n_toks.cast("long").alias("n_tokens"),
-        punct.cast("long").alias("n_punct"),
-        F.size(F.array_distinct(word_regex_tokens(c))).cast("long").alias("n_unique_words"),
-        punct_ratio.alias("punct_ratio"),
-        stop_ratio.alias("stop_ratio"),
-        score.alias("q_score"),
+        F.col("q_chars").cast("long").alias("n_chars_calc"),
+        F.col("q_tokens").cast("long").alias("n_tokens"),
+        F.col("q_punct").cast("long").alias("n_punct"),
+        F.size(F.array_distinct(word_regex_tokens(F.col("text"))))
+        .cast("long")
+        .alias("n_unique_words"),
+        F.col("q_punct_ratio").alias("punct_ratio"),
+        F.col("q_stop_ratio").alias("stop_ratio"),
+        F.col("q_score").cast("int").alias("q_score"),
     )
 
 

@@ -225,7 +225,9 @@ def q_collection_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tagged_union([("array", arr), ("map", maps), ("json", js)])
 
 
-_WORD_SPLIT = "list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '')"
+from pydala_spark.queries.ext import _WORD_SPLIT_SQL as _WORD_SPLIT  # noqa: E402
+# (one shared DuckDB tokenization expression — it must mirror
+# operators/textstats.word_regex_tokens for EVERY text oracle)
 
 _Q_COLLECTION_SQL = f"""
 SELECT 'array' AS family, doc_id, LEN(t) AS n_tokens,
@@ -272,16 +274,16 @@ def q_grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     cube = li.cube("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n"), _dsum_str(_rev()).alias("revenue")
     )
-    li.createOrReplaceTempView("lineitem_ga")
-    gsets = spark.sql(
-        """
-        SELECT l_returnflag, l_linestatus,
-               CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
-               CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
-               COUNT(*) AS n
-        FROM lineitem_ga
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
-        """
+    # native grouping sets (pyspark 4.x) — no session-global temp view
+    gsets = (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"]], "l_returnflag", "l_linestatus"
+        )
+        .agg(
+            F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+            F.grouping("l_linestatus").cast("bigint").alias("g_status"),
+            F.count("*").alias("n"),
+        )
     )
     orders = load_table(spark, sf_dir, "orders")
 

@@ -90,7 +90,7 @@ def test_writer_mode_validation(spark, tmp_path):
 
     w = Writer(spark, str(tmp_path / "x"))
     with pytest.raises(ValueError, match="mode must be one of"):
-        w.write(spark.range(1), mode="upsert")
+        w.write(spark.range(1), mode="merge_into")
 
 
 def test_dedup_empty_and_null_text(spark):

@@ -86,7 +86,10 @@ def main() -> int:
     for name in names:
         matches = [q for q in queries if q == name or q.startswith(name)]
         if not matches:
-            print(f"{name}: UNKNOWN")
+            # an unknown name must FAIL the run — "0 pass, 0 fail, exit 0"
+            # on a typo would green-light an unverified commit
+            print(f"FAIL  {name}: UNKNOWN query name")
+            n_fail += 1
             continue
         for qname in matches:
             t0 = time.time()
