@@ -141,6 +141,30 @@ class Datalake:
             self.load()
         return self.spark.sql(query)
 
+    def maintain(self, target_file_mb: int = 128) -> dict[str, dict]:
+        """Compact every parquet dataset in the lake (lake-level form of
+        ``maintain.compact``). Datasets that are empty or non-parquet are
+        skipped with a reason instead of aborting the sweep — at a
+        hundred datasets one bad entry must not kill the maintenance
+        window. Returns per-dataset stats/skip reasons."""
+        from pydala_spark.dataset.maintain import compact
+
+        results: dict[str, dict] = {}
+        for name, base in self.discover().items():
+            current = os.path.join(base, "current")
+            data_path = current if os.path.isdir(current) else base
+            fmt = self._dataset_format(base)
+            if fmt != "parquet":
+                results[name] = {"skipped": f"format {fmt}"}
+                continue
+            try:
+                results[name] = compact(
+                    self.spark, data_path, target_file_mb=target_file_mb
+                )
+            except FileNotFoundError:
+                results[name] = {"skipped": "no data files"}
+        return results
+
     def __getitem__(self, name: str) -> Dataset:
         if name not in self.datasets:
             self.load(register_views=False)

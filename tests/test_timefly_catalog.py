@@ -91,6 +91,34 @@ def test_datalake_robust_load_and_sql(spark, tmp_path):
     assert lake2.sql("SELECT CAST(id AS INT) AS id FROM csvds").first()["id"] == 9
 
 
+def test_datalake_maintain_sweep(spark, tmp_path):
+    root = str(tmp_path / "lake3")
+    lake = Datalake(spark, root)
+    # fragmented parquet dataset, an empty one, and a csv one
+    spark.createDataFrame([Row(id=i) for i in range(40)], "id long").repartition(
+        8
+    ).write.parquet(os.path.join(root, "frag"))
+    lake.add_dataset("frag")
+    os.makedirs(os.path.join(root, "hollow"), exist_ok=True)
+    lake.add_dataset("hollow")
+    from pydala_spark.dataset.writer import Writer as W
+
+    W(spark, os.path.join(root, "texty"), format="csv").write(
+        spark.createDataFrame([Row(id=1)], "id long")
+    )
+    import json
+
+    with open(os.path.join(root, "texty", "_dataset.json"), "w") as f:
+        json.dump({"dataset": {"format": "csv"}}, f)
+    lake.add_dataset("texty", format="csv")
+
+    results = Datalake(spark, root).maintain(target_file_mb=128)
+    assert results["frag"]["files_after"] == 1  # 8 fragments -> 1
+    assert results["hollow"] == {"skipped": "no data files"}
+    assert results["texty"] == {"skipped": "format csv"}
+    assert Dataset(spark, os.path.join(root, "frag")).count() == 40
+
+
 def test_infer_partitioning_ignores_filenames():
     from pydala_spark.schema import infer_partitioning
 
