@@ -38,6 +38,13 @@ RUNTIME_DEFAULTS: dict[str, str] = {
     # the boundary (see sources.load_table). DuckDB truncates ns -> us on
     # CAST, and ns//1000 matches that exactly for post-epoch data.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) — how pyarrow
+    # writes tz-naive timestamp[us] — would otherwise surface as
+    # TIMESTAMP_NTZ, a distinct type that half the timestamp builtins
+    # (unix_micros, ...) reject. Read it as the session-zoned TIMESTAMP:
+    # with the UTC session zone above, the stored micros are identical to
+    # DuckDB's naive read, so oracle hashing is unaffected.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
 }
 
