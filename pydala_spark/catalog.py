@@ -4,22 +4,31 @@ registerable on one SparkSession.
 Reference parity (src/pydala/datalake/manager.py): datasets carry a
 ``_dataset.toml`` sidecar and the lake root a ``_pydala.toml`` manifest;
 discovery is a ``**/_dataset.toml`` glob (manager.py:93-96, 128-131), and
-``add_dataset`` registers a new member (manager.py:137-181). We use JSON
-sidecars (``_dataset.json`` / ``_pydala.json``) and register every dataset
-as a temp view — fixing the reference's broken multi-dataset reader
+``add_dataset`` registers a new member (manager.py:137-181), while
+``remove_dataset`` drops one (manager.py:183-191). We use JSON sidecars
+(``_dataset.json`` / ``_pydala.json``) and register every dataset as a
+temp view — fixing the reference's broken multi-dataset reader
 (datalake/reader.py:65-80 references undefined variables).
+
+Scale: the reference reaches any protocol through fsspec
+(datalake/manager.py:93-96 glob via ``self._fs``); here every path probe,
+listing, and sidecar read/write routes through the Hadoop-FS
+:class:`~pydala_spark.utils.pathops.PathOps` layer, so a lake rooted at
+``s3a://`` / ``gs://`` / ``abfs://`` discovers and maintains exactly like
+a local one. Discovery is one recursive listing (cost ∝ file count, a
+driver-side metadata pass), not a per-directory walk.
 """
 
 from __future__ import annotations
 
-import glob
 import json
-import os
+import posixpath
 
 from pyspark.sql import DataFrame, SparkSession
 
 from pydala_spark.dataset.reader import Dataset
 from pydala_spark.session import configure_session
+from pydala_spark.utils.pathops import PathOps, strip_scheme
 
 MANIFEST_NAME = "_pydala.json"
 DATASET_SIDECAR = "_dataset.json"
@@ -33,49 +42,62 @@ TOML_DATASET_SIDECAR = "_dataset.toml"
 class Datalake:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = configure_session(spark)
-        self.root = root.removeprefix("file:").rstrip("/")
-        self.manifest_path = os.path.join(self.root, MANIFEST_NAME)
+        # strip_scheme keeps s3a://... addressable while normalizing
+        # file:/ and file:/// spellings to plain local paths
+        self.root = strip_scheme(root).rstrip("/")
+        self._po = PathOps(self.spark, root)
+        self.manifest_path = posixpath.join(self.root, MANIFEST_NAME)
         self.datasets: dict[str, Dataset] = {}
+
+    def _rel(self, path: str) -> str:
+        """Path relative to the lake root ('' if path IS the root); paths
+        outside the root are returned unchanged (absolute)."""
+        p = strip_scheme(path).rstrip("/")
+        if p == self.root:
+            return ""
+        if p.startswith(self.root + "/"):
+            return p[len(self.root) + 1:]
+        return p
 
     # -- manifest ---------------------------------------------------------------
 
     def read_manifest(self) -> dict:
-        if os.path.exists(self.manifest_path):
-            with open(self.manifest_path) as f:
-                return json.load(f)
-        toml_path = os.path.join(self.root, TOML_MANIFEST_NAME)
-        if os.path.exists(toml_path):
+        if self._po.exists(self.manifest_path):
+            return json.loads(self._po.read_text(self.manifest_path))
+        toml_path = posixpath.join(self.root, TOML_MANIFEST_NAME)
+        if self._po.exists(toml_path):
             import tomllib
 
-            with open(toml_path, "rb") as f:
-                manifest = tomllib.load(f)
+            manifest = tomllib.loads(self._po.read_text(toml_path))
             if isinstance(manifest.get("datasets"), dict):
                 return manifest
         return {"datasets": {}}
 
     def write_manifest(self, manifest: dict) -> None:
-        os.makedirs(self.root, exist_ok=True)
-        with open(self.manifest_path, "w") as f:
-            json.dump(manifest, f, indent=2)
+        # PathOps.write_text creates parent dirs on any scheme
+        self._po.write_text(self.manifest_path, json.dumps(manifest, indent=2))
 
     # -- discovery (manager.py:90-131) --------------------------------------------
 
     def discover(self) -> dict[str, str]:
-        """name -> dataset base path, by ``**/_dataset.json`` glob (plus
-        reference-layout ``**/_dataset.toml``) plus any directory directly
-        containing data files."""
+        """name -> dataset base path, by recursive sidecar listing
+        (``_dataset.json`` plus reference-layout ``_dataset.toml``) plus
+        every manifest entry. One recursive ``listFiles`` call — the
+        remote-capable analog of the reference's ``**/_dataset.toml``
+        fsspec glob (manager.py:93-96)."""
         found: dict[str, str] = {}
-        for sidecar_name in (DATASET_SIDECAR, TOML_DATASET_SIDECAR):
-            for sidecar in glob.glob(
-                os.path.join(self.root, "**", sidecar_name), recursive=True
-            ):
-                base = os.path.dirname(sidecar)
-                found.setdefault(
-                    os.path.relpath(base, self.root).replace(os.sep, "."), base
-                )
+        sidecar_names = (DATASET_SIDECAR, TOML_DATASET_SIDECAR)
+        for path, _size in self._po.list_files(self.root, recursive=True):
+            if posixpath.basename(path) not in sidecar_names:
+                continue
+            base = posixpath.dirname(path)
+            rel = self._rel(base)
+            if not rel:  # a sidecar at the lake root is the lake's, not a dataset's
+                continue
+            found.setdefault(rel.replace("/", "."), base)
         manifest = self.read_manifest()
         for name, rel in manifest.get("datasets", {}).items():
-            found.setdefault(name, os.path.join(self.root, rel))
+            found.setdefault(name, posixpath.join(self.root, rel))
         return found
 
     # -- registration ----------------------------------------------------------------
@@ -84,32 +106,62 @@ class Datalake:
         self, name: str, path: str | None = None, format: str = "parquet", **kwargs
     ) -> Dataset:
         """Track + register a dataset (manager.py:137-181)."""
-        base = path or os.path.join(self.root, name.replace(".", os.sep))
-        ds = Dataset(self.spark, base, format=format, name=name, **kwargs)
+        base = path or posixpath.join(self.root, name.replace(".", "/"))
+        # snapshot-managed datasets expose their live data (same redirect
+        # as load(); reading the root would mix snapshots into the scan)
+        current = posixpath.join(base, "current")
+        data_path = current if self._po.is_dir(current) else base
+        ds = Dataset(self.spark, data_path, format=format, name=name, **kwargs)
         self.datasets[name] = ds
         manifest = self.read_manifest()
-        manifest.setdefault("datasets", {})[name] = os.path.relpath(base, self.root)
+        manifest.setdefault("datasets", {})[name] = self._rel(base) or "."
         self.write_manifest(manifest)
         if ds._dataset_has_files():
             ds.to_view(name.replace(".", "_"))
         return ds
 
+    def remove_dataset(self, name: str, clean: bool = False) -> bool:
+        """Drop a dataset from the lake (reference ``remove_dataset``,
+        datalake/manager.py:183-191): forget it in the manifest and the
+        in-memory registry, unregister its temp view, and — only when
+        ``clean=True`` — delete its files. Returns whether anything was
+        known under that name. Without ``clean`` the bytes stay on disk
+        but a sidecar-bearing directory would be re-discovered, so the
+        sidecar is removed too (the manifest entry alone is forgotten
+        either way)."""
+        manifest = self.read_manifest()
+        rel = manifest.get("datasets", {}).pop(name, None)
+        known = rel is not None or name in self.datasets
+        self.datasets.pop(name, None)
+        self.spark.catalog.dropTempView(name.replace(".", "_"))
+        if rel is None:
+            # not in the manifest — it may still exist by sidecar discovery
+            base = self.discover().get(name)
+        else:
+            self.write_manifest(manifest)
+            base = self.root if rel == "." else posixpath.join(self.root, rel)
+        if base is not None and base != self.root:
+            if clean:
+                self._po.delete(base, recursive=True)
+            else:
+                for sidecar in (DATASET_SIDECAR, TOML_DATASET_SIDECAR):
+                    self._po.delete(posixpath.join(base, sidecar), recursive=False)
+        return known
+
     def _dataset_format(self, base: str) -> str:
         """Format recorded in the dataset's sidecar (JSON or reference
         TOML), defaulting to parquet."""
         for sidecar in (DATASET_SIDECAR, TOML_DATASET_SIDECAR):
-            p = os.path.join(base, sidecar)
-            if not os.path.exists(p):
+            p = posixpath.join(base, sidecar)
+            if not self._po.exists(p):
                 continue
             try:
                 if sidecar.endswith(".toml"):
                     import tomllib
 
-                    with open(p, "rb") as f:
-                        cfg = tomllib.load(f)
+                    cfg = tomllib.loads(self._po.read_text(p))
                 else:
-                    with open(p) as f:
-                        cfg = json.load(f)
+                    cfg = json.loads(self._po.read_text(p))
                 return cfg.get("dataset", {}).get("format") or "parquet"
             except Exception:
                 return "parquet"
@@ -123,8 +175,8 @@ class Datalake:
         format its sidecar records."""
         for name, base in self.discover().items():
             # snapshot-managed datasets expose their live data
-            current = os.path.join(base, "current")
-            data_path = current if os.path.isdir(current) else base
+            current = posixpath.join(base, "current")
+            data_path = current if self._po.is_dir(current) else base
             ds = Dataset(self.spark, data_path, name=name,
                          format=self._dataset_format(base))
             self.datasets[name] = ds
@@ -151,8 +203,8 @@ class Datalake:
 
         results: dict[str, dict] = {}
         for name, base in self.discover().items():
-            current = os.path.join(base, "current")
-            data_path = current if os.path.isdir(current) else base
+            current = posixpath.join(base, "current")
+            data_path = current if self._po.is_dir(current) else base
             fmt = self._dataset_format(base)
             if fmt != "parquet":
                 results[name] = {"skipped": f"format {fmt}"}

@@ -283,17 +283,18 @@ class Dataset:
         return self.load().inputFiles()
 
     def disk_usage(self, unit: str | None = None):
-        """Total bytes of the dataset's files (reference reader.py:556-581);
-        pass a unit ('KB'/'MB'/'GB'/'TB') for a converted float."""
-        import os
+        """Total bytes of the dataset's data files (reference
+        reader.py:556-581, which sums fsspec ``du`` sizes on any protocol);
+        pass a unit ('KB'/'MB'/'GB'/'TB') for a converted float.
 
+        Routed through the Hadoop-FS PathOps listing so remote schemes
+        (s3a/gs/abfs) report real sizes instead of silently 0 — the sizes
+        come back with the listing itself, no per-file stat calls."""
+        from pydala_spark.utils.pathops import PathOps
         from pydala_spark.utils.sizes import convert_size_unit
 
-        total = 0
-        for f in self.files():
-            local = f.removeprefix("file:")
-            if os.path.exists(local):
-                total += os.path.getsize(local)
+        po = PathOps(self.spark, self.path)
+        total = sum(size for _path, size in po.data_files(self.path))
         return convert_size_unit(total, unit) if unit else total
 
     get_disk_usage = disk_usage
