@@ -142,7 +142,65 @@ class Dataset:
         schema, _ = schema_mod.get_unified_schema(self.fragment_schemas)
         return schema
 
+    def _directory_partition_read(self) -> DataFrame:
+        """Directory-flavor (non-hive) partitioned read: bare-value dirs
+        ``base/val1/val2/file.parquet`` with column NAMES supplied by the
+        caller — reference passes them straight to pyarrow
+        (src/pydala/dataset/reader.py:219-223). Spark has no built-in for
+        this, so: ONE recursive scan (no per-partition-value reads — a
+        dataset with 10k partitions is still a single jobs' file listing)
+        plus partition columns parsed JVM-side from ``input_file_name()``.
+        Values surface as strings (cast via a pinned schema if given);
+        file paths are URI-encoded, so each segment is url-decoded with a
+        literal ``+`` protected (URLDecoder would turn it into a space).
+        """
+        import urllib.parse
+
+        from pydala_spark.utils.pathops import strip_scheme
+
+        reader = self.spark.read
+        pinned = (
+            schema_mod.arrow_schema_to_spark(self._pinned_schema)
+            if self._pinned_schema is not None
+            else None
+        )
+        if pinned is not None:
+            # partition columns come from the path, not the footers
+            data_fields = [f for f in pinned.fields if f.name not in self.partitioning]
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType(data_fields))
+        reader = reader.option("recursiveFileLookup", "true")
+        if self.format == "parquet":
+            df = reader.option("mergeSchema", "true").parquet(self.path)
+        elif self.format == "csv":
+            opts = {"header": True, **self._csv_options}
+            if self._pinned_schema is None:
+                opts.setdefault("inferSchema", True)
+            df = reader.options(**opts).csv(self.path)
+        else:
+            raise ValueError(
+                f"directory partitioning unsupported for format {self.format!r}"
+            )
+        # URI spelling of the base path, as input_file_name will render it
+        encoded_base = urllib.parse.quote(
+            strip_scheme(self.path).rstrip("/"), safe="/:~.-_"
+        )
+        rel = F.regexp_replace(
+            F.input_file_name(), "^.*\\Q" + encoded_base + "\\E/", ""
+        )
+        parts = F.split(rel, "/")
+        pinned_types = {f.name: f.dataType for f in pinned.fields} if pinned else {}
+        for i, name in enumerate(self.partitioning):
+            seg = F.url_decode(F.regexp_replace(parts[i], "\\+", "%2B"))
+            if name in pinned_types:
+                seg = seg.cast(pinned_types[name])
+            df = df.withColumn(name, seg)
+        return df
+
     def _base_read(self) -> DataFrame:
+        if isinstance(self.partitioning, (list, tuple)) and self.partitioning:
+            return self._directory_partition_read()
         reader = self.spark.read
         if self._pinned_schema is not None:
             reader = reader.schema(schema_mod.arrow_schema_to_spark(self._pinned_schema))
@@ -197,7 +255,12 @@ class Dataset:
         """Lazy DataFrame over the dataset with the post-pipeline applied."""
         if self._df is not None and not reload:
             return self._df
-        if self.format == "parquet" and self._pinned_schema is None:
+        if (
+            self.format == "parquet"
+            and self._pinned_schema is None
+            # the unified-schema retry path assumes hive layout
+            and not isinstance(self.partitioning, (list, tuple))
+        ):
             try:
                 df = self._base_read()
             except Exception as exc:

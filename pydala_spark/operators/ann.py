@@ -40,11 +40,20 @@ def kmeans_centroids(
     seed: int = 42,
 ) -> np.ndarray:
     """Spherical k-means codebook from a bounded corpus sample
-    (driver-side numpy; deterministic)."""
-    total = df.count()
-    fraction = min(1.0, sample_size / max(total, 1))
+    (driver-side numpy; deterministic given a fixed file layout).
+
+    No ``df.count()`` pre-pass: at 100 TB a full count just to size a
+    sample fraction is a wasted scan. Instead the scan stops after
+    ``4 * sample_size`` rows (LocalLimit short-circuits the read) and a
+    seeded Bernoulli sample decorrelates the kept rows from file order;
+    the driver materialization stays bounded by ``sample_size`` either
+    way."""
     sample = (
-        df.select(vec_col).sample(fraction=fraction, seed=seed).toPandas()[vec_col]
+        df.select(vec_col)
+        .limit(sample_size * 4)
+        .sample(fraction=0.5, seed=seed)
+        .limit(sample_size)
+        .toPandas()[vec_col]
     )
     x = np.array([np.asarray(v, dtype=np.float64) for v in sample])
     if x.size == 0:
@@ -74,7 +83,10 @@ def _assigner(centroids: np.ndarray, top: int):
         x = np.array([np.asarray(v, dtype=np.float64) for v in vectors])
         x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
         sims = x @ centroids.T
-        order = np.argsort(-sims, axis=1)[:, :top]
+        # stable sort: equal similarities keep centroid-index order, so a
+        # SQL oracle's "ORDER BY dot DESC, cell ASC" tiebreak reproduces
+        # the exact assignment
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :top]
         return pd.Series([row.astype("int32").tolist() for row in order])
 
     return assign

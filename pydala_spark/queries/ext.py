@@ -9,6 +9,8 @@ engines accumulate dot products in double.
 
 from __future__ import annotations
 
+import posixpath
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -548,15 +550,77 @@ WHERE rnk <= 5
 """
 
 
+#: IVF codebook trained ONCE at sf0.01 (kmeans_centroids seed=42) and
+#: pinned via save_codebook — exactly how a production deployment shares
+#: one training run across ingest and search (retraining shifts cell
+#: boundaries and invalidates stored cell ids). With the codebook fixed,
+#: cell assignment is a pure function of the vector, so the query gets a
+#: real DuckDB oracle (centroid literals, same trick as q_lsh_topk's
+#: hyperplanes).
+_IVF_FIXTURE = posixpath.join(
+    posixpath.dirname(__file__), "fixtures", "ivf_codebook_d64_c16.json"
+)
+
+
+def _ivf_centroids():
+    import json
+
+    with open(_IVF_FIXTURE) as f:
+        return json.load(f)["centroids"]
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (k-means cell) approximate top-k — the large-probe-set scale
-    path (no oracle: codebook is learned, rows-only check)."""
+    path. Uses the pinned codebook fixture so results are deterministic
+    and exact-match checkable against the SQL oracle."""
+    import numpy as np
+
     from pydala_spark.operators.ann import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.where(F.col("vec_id") < 10)
-    out = ivf_topk(emb, probes, k=5, n_centroids=16, n_probe_centroids=4)
+    out = ivf_topk(
+        emb, probes, k=5, n_probe_centroids=4,
+        centroids=np.array(_ivf_centroids(), dtype=np.float64),
+    )
     return out.select("probe_id", "neighbor_id", "rnk", F.round("sim", 4).alias("sim_r"))
+
+
+def _ivf_topk_sql(n_probe_cells: int = 4, k: int = 5) -> str:
+    """Oracle mirroring ivf_topk with the pinned codebook as literals.
+    Cell = argmax over centroid dot products (normalization cancels in
+    the argmax); probes search their ``n_probe_cells`` best cells."""
+    cents = _ivf_centroids()
+    dots = ", ".join(
+        "list_dot_product(e, [" + ", ".join(repr(v) for v in c) + "])"
+        for c in cents
+    )
+    return f"""
+WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+d AS (SELECT vec_id, e, [{dots}] AS dots FROM b),
+u AS (SELECT vec_id, e, unnest(dots) AS dp,
+             generate_subscripts(dots, 1) AS cell FROM d),
+corpus_cell AS (
+  SELECT vec_id AS neighbor_id, e, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY dp DESC, cell) AS r FROM u)
+  WHERE r = 1),
+probe_cells AS (
+  SELECT vec_id AS probe_id, e AS pe, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY dp DESC, cell) AS r
+    FROM u WHERE vec_id < 10)
+  WHERE r <= {n_probe_cells}),
+s AS (
+  SELECT probe_id, neighbor_id, list_cosine_similarity(pe, c.e) AS sim
+  FROM corpus_cell c JOIN probe_cells p USING (cell)
+  WHERE neighbor_id <> probe_id)
+SELECT probe_id, neighbor_id, rnk, ROUND(sim, 4) AS sim_r
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                   ORDER BY sim DESC, neighbor_id) AS rnk
+      FROM s)
+WHERE rnk <= {k}
+"""
 
 
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -603,6 +667,7 @@ EXT_ORACLE = {
     "q_quantized_cosine": _Q_QUANTIZED_COSINE_SQL,
     "q_embedding_neardup": _neardup_sql(64, 6),
     "q_lsh_topk": _lsh_topk_sql(64, 6),
+    "q_ivf_topk": _ivf_topk_sql(4, 5),
     # q_approx_distinct: intentionally no oracle (HLL estimators differ
     # across engines by design; rows-only)
 }

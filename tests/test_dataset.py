@@ -149,3 +149,52 @@ def test_unified_read_preserves_hive_partitions(spark, tmp_path):
     df = Dataset(spark, str(out)).load()
     rows = {(r["id"], r["part"]) for r in df.select("id", "part").collect()}
     assert rows == {(1, "x"), (2, "y")}
+
+
+def test_directory_flavor_partition_read(spark, tmp_path):
+    # bare-value partition dirs (no col= prefix) read with caller-supplied
+    # column names — migrating a reference lake written with pyarrow
+    # DirectoryPartitioning (reference dataset/reader.py:219-223)
+    import os
+
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "dirpart")
+    df = spark.range(3).withColumn("v", F.col("id") * 10)
+    for year in ("2023", "2024"):
+        for region in ("eu", "a b"):  # a value with a space round-trips
+            df.write.mode("overwrite").parquet(os.path.join(base, year, region))
+
+    from pydala_spark import Dataset
+
+    ds = Dataset(spark, base, partitioning=["year", "region"])
+    out = ds.load()
+    assert set(out.columns) == {"id", "v", "year", "region"}
+    assert out.count() == 12
+    assert sorted(
+        r["year"] for r in out.select("year").distinct().collect()
+    ) == ["2023", "2024"]
+    assert sorted(
+        r["region"] for r in out.select("region").distinct().collect()
+    ) == ["a b", "eu"]
+    assert out.where("year = '2024' AND region = 'eu'").count() == 3
+    # fragment schema discovery accepts the pyarrow field-name list
+    # (physical schemas never include path-derived partition columns)
+    assert {"id", "v"} <= set(ds.unified_schema.names)
+    assert len(ds.fragment_schemas) >= 4
+
+
+def test_directory_flavor_pinned_schema_cast(spark, tmp_path):
+    import os
+
+    base = str(tmp_path / "dirpart2")
+    spark.range(2).write.parquet(os.path.join(base, "2024"))
+    from pydala_spark import Dataset
+
+    ds = Dataset(
+        spark, base, partitioning=["year"],
+        schema={"id": "int64", "year": "int32"},
+    )
+    out = ds.load()
+    assert dict(out.dtypes)["year"] == "int"
+    assert out.where("year = 2024").count() == 2

@@ -49,7 +49,9 @@ def canonical_rows(df_pandas) -> list[tuple]:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
-    ap.add_argument("-q", "--queries", nargs="*", default=None)
+    # action="extend": `-q a -q b` accumulates — the overwrite default
+    # silently narrowed a verification sweep to the last flag's value
+    ap.add_argument("-q", "--queries", nargs="*", action="extend", default=None)
     ap.add_argument(
         "--vanilla",
         action="store_true",
