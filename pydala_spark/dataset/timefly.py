@@ -89,13 +89,20 @@ class TimeFly:
         base_path: str,
         format: str = "parquet",
         snapshot_mode: str = "copy",
+        sidecar_format: str = "json",
     ):
         if snapshot_mode not in ("copy", "pointer"):
             raise ValueError("snapshot_mode must be 'copy' or 'pointer'")
+        if sidecar_format not in ("json", "toml"):
+            raise ValueError("sidecar_format must be 'json' or 'toml'")
         self.spark = configure_session(spark)
         self.base_path = strip_scheme(base_path).rstrip("/")
         self.format = format
         self.snapshot_mode = snapshot_mode
+        #: "toml" additionally keeps _dataset.toml in sync on every config
+        #: write, so reference tooling can keep reading a migrated lake's
+        #: own sidecars (reference timefly.py:50); JSON stays canonical.
+        self.sidecar_format = sidecar_format
         self.config_path = posixpath.join(self.base_path, "_dataset.json")
         self.ops = PathOps(self.spark, self.base_path)
 
@@ -116,6 +123,13 @@ class TimeFly:
 
     def write_config(self, config: dict) -> None:
         self.ops.write_text(self.config_path, json.dumps(config, indent=2, default=str))
+        if self.sidecar_format == "toml":
+            from pydala_spark.utils import tomlout
+
+            self.ops.write_text(
+                posixpath.join(self.base_path, "_dataset.toml"),
+                tomlout.dumps(config),
+            )
 
     # -- layout ------------------------------------------------------------------
 

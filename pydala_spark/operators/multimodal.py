@@ -4,9 +4,10 @@ with typed metadata, processed via Arrow-batched pandas iteration.
 Two decode tiers:
 
 - :func:`decode_media` REALLY decodes the formats stdlib+numpy can
-  handle — PPM (P6) images and PCM WAV audio — into per-media stats
-  (dimensions/sample rate/duration/mean/RMS). Codec-free formats are
-  enough to prove the whole distributed decode path end to end.
+  handle — PPM (P6) / PGM (P5, incl. 16-bit) / PBM (P4) images, and PCM
+  or G.711 µ-law WAV audio — into per-media stats (dimensions/sample
+  rate/duration/mean/RMS). Codec-free formats are enough to prove the
+  whole distributed decode path end to end.
 - :func:`extract_features` with ``decode_stub=True`` substitutes a
   deterministic fake decoder for codec-dependent formats (JPEG, MP4 —
   no codec libraries in this environment); the Spark-side contract —
@@ -107,10 +108,10 @@ DECODED_SCHEMA = (
 
 
 def decode_media(df: DataFrame, content_col: str = "content") -> DataFrame:
-    """Real decode of stdlib-decodable media blobs (PPM P6 images, PCM
-    WAV audio) into per-media stats; undecodable payloads yield a
-    null-format row instead of failing the job. Same Arrow-batched
-    ``mapInPandas`` shape as :func:`extract_features`."""
+    """Real decode of stdlib-decodable media blobs (PPM/PGM/PBM images,
+    PCM and µ-law WAV audio) into per-media stats; undecodable payloads
+    yield a null-format row instead of failing the job. Same
+    Arrow-batched ``mapInPandas`` shape as :func:`extract_features`."""
 
     # worker closure: stdlib+numpy only, shipped by value via cloudpickle
     def run(batches):
@@ -129,44 +130,105 @@ def decode_media(df: DataFrame, content_col: str = "content") -> DataFrame:
             except Exception:
                 return {}
 
+        def _pnm_header(payload: bytes, n_ints: int) -> tuple[list[int], int]:
+            # ascii header after the magic: n_ints whitespace-separated
+            # integers with '#' comment lines; returns (ints, raster offset)
+            parts, idx = [], 2
+            while len(parts) < n_ints and idx < len(payload):
+                while idx < len(payload) and payload[idx : idx + 1].isspace():
+                    idx += 1
+                if payload[idx : idx + 1] == b"#":
+                    while idx < len(payload) and payload[idx] != 0x0A:
+                        idx += 1
+                    continue
+                start = idx
+                while idx < len(payload) and not payload[idx : idx + 1].isspace():
+                    idx += 1
+                parts.append(int(payload[start:idx]))
+            return parts, idx + 1  # single whitespace byte ends the header
+
+        def _image_stats(fmt, w, h, ch, arr):
+            return {
+                "format": fmt, "width": w, "height": h, "channels": ch,
+                "mean": float(arr.mean()),
+                "rms": float(np.sqrt((arr * arr).mean())),
+            }
+
+        def _ulaw_to_linear(b: np.ndarray) -> np.ndarray:
+            # ITU-T G.711 µ-law expansion, vectorized
+            u = (~b).astype(np.int64) & 0xFF
+            sign = u & 0x80
+            exponent = (u >> 4) & 0x07
+            mantissa = u & 0x0F
+            sample = (((mantissa << 3) + 0x84) << exponent) - 0x84
+            return np.where(sign != 0, -sample, sample).astype(np.float64)
+
         def _decode(payload: bytes) -> dict:
-            if payload[:2] == b"P6":
-                # PPM P6: ascii header (w h maxval, '#' comments), raw RGB
-                parts, idx = [], 2
-                while len(parts) < 3 and idx < len(payload):
-                    while idx < len(payload) and payload[idx : idx + 1].isspace():
-                        idx += 1
-                    if payload[idx : idx + 1] == b"#":
-                        while idx < len(payload) and payload[idx] != 0x0A:
-                            idx += 1
-                        continue
-                    start = idx
-                    while idx < len(payload) and not payload[idx : idx + 1].isspace():
-                        idx += 1
-                    parts.append(int(payload[start:idx]))
-                if len(parts) < 3:
+            magic = payload[:2]
+            if magic in (b"P6", b"P5"):
+                # PPM P6 raw RGB / PGM P5 raw grayscale; maxval > 255
+                # means 2-byte big-endian samples
+                (w, h, maxval), idx = _pnm_header(payload, 3)
+                ch = 3 if magic == b"P6" else 1
+                if w <= 0 or h <= 0 or maxval <= 0:
                     return {}
-                idx += 1  # single whitespace byte terminates the header
-                w, h, _maxval = parts
-                if w <= 0 or h <= 0 or len(payload) - idx < w * h * 3:
+                dt = np.dtype(">u2") if maxval > 255 else np.dtype(np.uint8)
+                n = w * h * ch
+                if len(payload) - idx < n * dt.itemsize:
                     return {}
                 arr = np.frombuffer(
-                    payload, dtype=np.uint8, count=w * h * 3, offset=idx
+                    payload, dtype=dt, count=n, offset=idx
                 ).astype(np.float64)
-                return {
-                    "format": "ppm", "width": w, "height": h, "channels": 3,
-                    "mean": float(arr.mean()),
-                    "rms": float(np.sqrt((arr * arr).mean())),
-                }
-            if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-                with wave.open(io.BytesIO(payload)) as wf:
-                    sr, ch = wf.getframerate(), wf.getnchannels()
-                    sw, n = wf.getsampwidth(), wf.getnframes()
-                    raw = wf.readframes(n)
-                dt = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sw)
-                if dt is None or not sr:
+                return _image_stats("ppm" if ch == 3 else "pgm", w, h, ch, arr)
+            if magic == b"P4":
+                # PBM P4: 1 bit/pixel, rows padded to whole bytes
+                (w, h), idx = _pnm_header(payload, 2)
+                if w <= 0 or h <= 0:
                     return {}
-                arr = np.frombuffer(raw, dtype=dt).astype(np.float64)
+                row_bytes = (w + 7) // 8
+                if len(payload) - idx < row_bytes * h:
+                    return {}
+                raw = np.frombuffer(
+                    payload, dtype=np.uint8, count=row_bytes * h, offset=idx
+                )
+                bits = np.unpackbits(raw.reshape(h, row_bytes), axis=1)[:, :w]
+                arr = bits.astype(np.float64)
+                return _image_stats("pbm", w, h, 1, arr)
+            if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+                try:
+                    # PCM via the stdlib wave module
+                    with wave.open(io.BytesIO(payload)) as wf:
+                        sr, ch = wf.getframerate(), wf.getnchannels()
+                        sw, n = wf.getsampwidth(), wf.getnframes()
+                        raw = wf.readframes(n)
+                    dt = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sw)
+                    if dt is None or not sr:
+                        return {}
+                    arr = np.frombuffer(raw, dtype=dt).astype(np.float64)
+                except wave.Error:
+                    # non-PCM: walk the RIFF chunks ourselves; µ-law
+                    # (format 7) expands via G.711 — still stdlib+numpy
+                    import struct
+
+                    fmt_chunk = data = None
+                    idx = 12
+                    while idx + 8 <= len(payload):
+                        cid, size = payload[idx : idx + 4], int.from_bytes(
+                            payload[idx + 4 : idx + 8], "little"
+                        )
+                        body = payload[idx + 8 : idx + 8 + size]
+                        if cid == b"fmt ":
+                            fmt_chunk = body
+                        elif cid == b"data":
+                            data = body
+                        idx += 8 + size + (size & 1)  # chunks are word-aligned
+                    if fmt_chunk is None or data is None or len(fmt_chunk) < 16:
+                        return {}
+                    audio_fmt, ch, sr = struct.unpack("<HHI", fmt_chunk[:8])
+                    if audio_fmt != 7 or not sr or not ch:
+                        return {}  # only µ-law handled beyond PCM
+                    arr = _ulaw_to_linear(np.frombuffer(data, dtype=np.uint8))
+                    n = len(arr) // ch
                 return {
                     "format": "wav", "sample_rate": sr, "channels": ch,
                     "n_samples": n, "duration_ms": n * 1000 // sr,

@@ -299,6 +299,32 @@ def test_decode_media_real_formats(spark):
         Row(media_id=3, kind="image", content=b"\xff\xd8 not decodable", mime="image/jpeg",
             width=None, height=None, duration_ms=None),
     ]
+    # PGM P5 grayscale 3x1: pixels 10, 20, 30 -> mean 20
+    pgm = b"P5\n3 1\n255\n" + bytes([10, 20, 30])
+    # 16-bit PGM (maxval > 255): 2x1, big-endian samples 256 and 512
+    pgm16 = b"P5\n2 1\n65535\n" + (256).to_bytes(2, "big") + (512).to_bytes(2, "big")
+    # PBM P4 bitmap 10x2 (rows pad to 2 bytes): row0 all 1s, row1 all 0s
+    pbm = b"P4\n10 2\n" + bytes([0xFF, 0xC0, 0x00, 0x00])
+    # µ-law WAV (format 7), 8000 Hz mono: 0xFF encodes linear 0
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+    data = b"\xff" * 800  # 800 samples of silence = 100 ms
+    ulaw = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    rows += [
+        Row(media_id=4, kind="image", content=pgm, mime="image/x-portable-graymap",
+            width=3, height=1, duration_ms=None),
+        Row(media_id=5, kind="image", content=pbm, mime="image/x-portable-bitmap",
+            width=10, height=2, duration_ms=None),
+        Row(media_id=6, kind="audio", content=ulaw, mime="audio/basic",
+            width=None, height=None, duration_ms=None),
+        Row(media_id=7, kind="image", content=pgm16, mime="image/x-portable-graymap",
+            width=2, height=1, duration_ms=None),
+    ]
     out = {r["media_id"]: r for r in decode_media(
         spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()}
     img = out[1]
@@ -308,6 +334,18 @@ def test_decode_media_real_formats(spark):
     assert aud["format"] == "wav" and aud["sample_rate"] == 8000
     assert aud["duration_ms"] == 500 and aud["rms"] == 0.0
     assert out[3]["format"] is None  # codec-dependent payloads degrade to null
+    g = out[4]
+    assert g["format"] == "pgm" and (g["width"], g["height"], g["channels"]) == (3, 1, 1)
+    assert g["mean"] == 20.0
+    b = out[5]
+    assert b["format"] == "pbm" and (b["width"], b["height"]) == (10, 2)
+    assert b["mean"] == 0.5  # 10 set bits of 20 (padding bits excluded)
+    u = out[6]
+    assert u["format"] == "wav" and u["sample_rate"] == 8000
+    assert u["n_samples"] == 800 and u["duration_ms"] == 100
+    assert u["mean"] == 0.0 and u["rms"] == 0.0  # 0xFF µ-law = linear 0
+    g16 = out[7]
+    assert g16["format"] == "pgm" and g16["mean"] == 384.0  # (256+512)/2
 
 
 def test_decode_media_malformed_payloads_never_fail(spark):

@@ -503,3 +503,55 @@ def test_disk_usage_file_scheme(spark, tmp_path):
     assert Dataset(spark, "file://" + base_plain).disk_usage() == expected
     mb = Dataset(spark, base_plain).disk_usage("KB")
     assert abs(mb - expected / 1024) < 0.01
+
+
+def test_toml_writeback_sidecar(spark, tmp_path):
+    # sidecar_format="toml" keeps _dataset.toml in sync with every config
+    # write, and the TOML round-trips through tomllib to the same dict
+    # the JSON sidecar holds — so reference tooling can keep reading a
+    # migrated lake's own sidecars
+    import json
+    import tomllib
+
+    base = str(tmp_path / "toml_ds")
+    _write(spark, base, [1, 2, 3])
+    tf = TimeFly(spark, base, sidecar_format="toml")
+    tf.new()
+    tf.create_current()
+    tf.add_snapshot(TS(2024, 1, 1, 12, 0, 0))
+
+    toml_p = os.path.join(base, "_dataset.toml")
+    json_p = os.path.join(base, "_dataset.json")
+    assert os.path.exists(toml_p) and os.path.exists(json_p)
+    with open(toml_p, "rb") as f:
+        from_toml = tomllib.load(f)
+    with open(json_p) as f:
+        from_json = json.load(f)
+
+    def drop_nones(d):
+        return {
+            k: drop_nones(v) if isinstance(v, dict) else v
+            for k, v in d.items()
+            if v is not None
+        }
+
+    # TOML has no null: None-valued keys are omitted, everything else equal
+    assert from_toml == drop_nones(from_json)
+    assert from_toml["timefly"]["available"] == ["20240101_120000"]
+    # a fresh TimeFly (default json) reads the JSON sidecar as before
+    assert TimeFly(spark, base).snapshots() == ["20240101_120000"]
+
+
+def test_tomlout_roundtrip():
+    import tomllib
+
+    from pydala_spark.utils.tomlout import dumps
+
+    cfg = {
+        "dataset": {"name": "x", "init": "2024-01-01", "format": "parquet"},
+        "timefly": {"available": ["a", "b"], "deleted": [], "n": 3,
+                    "ratio": 0.5, "flag": True},
+        "current": {"schema": {"id": "int64", "l_quantity": "double"},
+                    "sort_by": 'quo"te\nline'},
+    }
+    assert tomllib.loads(dumps(cfg)) == cfg
