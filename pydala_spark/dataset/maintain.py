@@ -15,6 +15,7 @@ src/pydala/dataset/repartition.py).
 from __future__ import annotations
 
 import math
+import posixpath
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -59,6 +60,8 @@ def compact(
     target_file_mb: int = 128,
     format: str = "parquet",
     compression: str = "zstd",
+    swap: str = "rename",
+    keep_previous: int = 1,
 ) -> dict:
     """Rewrite a dataset's small files into ~``target_file_mb`` files,
     preserving any hive partition layout. Returns before/after stats.
@@ -71,15 +74,24 @@ def compact(
     becoming one 10 GB file); instead each partition gets a deterministic
     salt sized from its own byte count, so big partitions split into
     ~``target_file_mb`` files while small ones still collapse to one.
-    The rewrite stages into a sibling directory and swaps atomically-ish
-    (local FS rename); on an object store, run against a copy target
-    instead.
+
+    Two swap strategies: ``swap="rename"`` stages into a sibling
+    directory and rename-swaps (atomic on HDFS/local; copy+delete on
+    object stores); ``swap="generation"`` writes the next
+    ``gen-NNNNNN/`` directory and commits a single pointer object —
+    the object-store-safe path (see ``dataset/generations.py``),
+    retaining ``keep_previous`` generations for in-flight readers.
     """
+    from pydala_spark.dataset import generations
     from pydala_spark.schema import infer_partitioning
     from pydala_spark.utils.pathops import PathOps, strip_scheme
 
+    if swap not in ("rename", "generation"):
+        raise ValueError("swap must be 'rename' or 'generation'")
     configure_session(spark)
-    local = strip_scheme(path).rstrip("/")
+    base = strip_scheme(path).rstrip("/")
+    # a generational dataset's live files sit in the active generation
+    local = strip_scheme(generations.resolve(spark, base)).rstrip("/")
     ops = PathOps(spark, local)
     files = [(p, sz) for p, sz in ops.data_files(local)]
     if not files:
@@ -97,7 +109,10 @@ def compact(
         # silent corruption on the very next read
         reader = reader.option("header", True).option("inferSchema", True)
     df = reader.load(local)
-    tmp = local + "__compacting"
+    if swap == "generation":
+        tmp = posixpath.join(base, generations.next_generation(spark, base))
+    else:
+        tmp = local + "__compacting"
     ops.delete(tmp)
     if part_cols:
         # per-partition chunk counts from on-disk bytes (metadata already
@@ -150,17 +165,27 @@ def compact(
         writer = writer.partitionBy(*part_cols)
     writer.save(tmp)
 
-    # staged swap (rename is atomic on HDFS/local; copy+delete on object
-    # stores — run against a copy target there, as the docstring says)
-    old = local + "__precompact"
-    ops.delete(old)
-    ops.rename(local, old)
-    ops.rename(tmp, local)
-    ops.delete(old)
-    spark.catalog.refreshByPath(local)
+    if swap == "generation":
+        # THE swap is one pointer write (atomic small-object PUT);
+        # superseded generations pruned behind a retention window
+        generations.commit(
+            spark, base, posixpath.basename(tmp), keep_previous=keep_previous
+        )
+        final = tmp
+    else:
+        # staged rename swap (atomic on HDFS/local; copy+delete on object
+        # stores — use swap="generation" there, as the docstring says)
+        old = local + "__precompact"
+        ops.delete(old)
+        ops.rename(local, old)
+        ops.rename(tmp, local)
+        ops.delete(old)
+        final = local
+    spark.catalog.refreshByPath(base)
+    spark.catalog.refreshByPath(final)
     return {
         "files_before": len(files),
-        "files_after": len(ops.data_files(local)),
+        "files_after": len(ops.data_files(final)),
         "bytes": total_bytes,
         "partition_cols": part_cols,
     }
@@ -259,32 +284,47 @@ def recluster(
     n_files: int = 32,
     bits: int = 10,
     compression: str = "zstd",
+    swap: str = "rename",
+    keep_previous: int = 1,
 ) -> dict:
     """In-place z-order rewrite of an existing (unpartitioned parquet)
-    dataset: read, cluster on the Morton curve over ``cols``, stage into
-    a sibling directory, swap (same rename caveat on object stores as
+    dataset: read, cluster on the Morton curve over ``cols``, stage, and
+    swap — ``swap="rename"`` (atomic on HDFS/local) or
+    ``swap="generation"`` (object-store-safe pointer commit, see
     :func:`compact`). The periodic-maintenance form of
     :func:`zorder_write` — a streaming sink accretes arrival-ordered
     files; reclustering restores multi-column min/max pruning without
     taking the dataset offline longer than the swap.
     """
+    from pydala_spark.dataset import generations
     from pydala_spark.utils.pathops import PathOps, strip_scheme
 
+    if swap not in ("rename", "generation"):
+        raise ValueError("swap must be 'rename' or 'generation'")
     configure_session(spark)
-    local = strip_scheme(path).rstrip("/")
+    base = strip_scheme(path).rstrip("/")
+    local = strip_scheme(generations.resolve(spark, base)).rstrip("/")
     ops = PathOps(spark, local)
     if not ops.data_files(local):
         raise FileNotFoundError(f"no data files under {path}")
     df = spark.read.parquet(local)
-    tmp = local + "__reclustering"
+    if swap == "generation":
+        tmp = posixpath.join(base, generations.next_generation(spark, base))
+    else:
+        tmp = local + "__reclustering"
     ops.delete(tmp)
     stats = zorder_write(
         spark, df, tmp, cols, n_files=n_files, bits=bits, compression=compression
     )
-    old = local + "__precluster"
-    ops.delete(old)
-    ops.rename(local, old)
-    ops.rename(tmp, local)
-    ops.delete(old)
-    spark.catalog.refreshByPath(local)
+    if swap == "generation":
+        generations.commit(
+            spark, base, posixpath.basename(tmp), keep_previous=keep_previous
+        )
+    else:
+        old = local + "__precluster"
+        ops.delete(old)
+        ops.rename(local, old)
+        ops.rename(tmp, local)
+        ops.delete(old)
+    spark.catalog.refreshByPath(base)
     return stats

@@ -73,7 +73,12 @@ class Dataset:
         csv_options: dict | None = None,
     ):
         self.spark = configure_session(spark)
-        self.path = path
+        # generation-pointer datasets (object-store-safe maintenance,
+        # dataset/generations.py) resolve to their active generation —
+        # one driver-side existence probe, transparent to everything else
+        from pydala_spark.dataset import generations
+
+        self.path = generations.resolve(self.spark, path)
         self.format = format.lower()
         if isinstance(schema, dict):
             schema = schema_mod.schema_from_dict(schema)

@@ -167,7 +167,12 @@ class Writer:
         if mode not in WRITE_MODES:
             raise ValueError(f"mode must be one of {WRITE_MODES}")
         self.spark = configure_session(spark)
-        self.path = path
+        # appends/overwrites on a generation-pointer dataset land inside
+        # the ACTIVE generation (dataset/generations.py) and are carried
+        # forward by the next maintenance pass
+        from pydala_spark.dataset import generations
+
+        self.path = generations.resolve(self.spark, path)
         self.format = format.lower()
         self.mode = mode
         self.partition_by = (

@@ -237,3 +237,87 @@ def test_zorder_write_rejects_all_null_bounds(spark):
     df = spark.createDataFrame([(1, None), (2, None)], "id long, v double")
     with pytest.raises(ValueError, match="no non-NULL values"):
         zorder_write(spark, df, "/tmp/unused_z", ["id", "v"])
+
+
+def test_compact_generation_swap_lifecycle(spark, tmp_path):
+    # object-store-safe swap: maintenance commits ONE pointer object
+    # instead of directory renames; readers/appenders resolve the pointer
+    import json
+    import os
+
+    from pydala_spark.dataset.maintain import compact
+    from pydala_spark.dataset.reader import Dataset
+    from pydala_spark.dataset.writer import Writer
+
+    base = str(tmp_path / "gen_ds")
+    spark.range(100).repartition(8).write.parquet(base)
+
+    stats = compact(spark, base, swap="generation")
+    assert stats["files_before"] == 8 and stats["files_after"] == 1
+    with open(os.path.join(base, "_generation.json")) as f:
+        ptr = json.load(f)
+    assert ptr["active"] == "gen-000001"
+    # flat root files superseded and pruned; data only in the generation
+    root_parquet = [p for p in os.listdir(base) if p.endswith(".parquet")]
+    assert root_parquet == []
+    ds = Dataset(spark, base)
+    assert ds.path.endswith("gen-000001")
+    assert ds.count() == 100
+
+    # appends land INSIDE the active generation
+    Writer(spark, base).write(spark.range(100, 110).toDF("id"))
+    assert Dataset(spark, base).count() == 110
+    assert not [p for p in os.listdir(base) if p.endswith(".parquet")]
+
+    # second compact: next generation; previous retained for in-flight
+    # readers (keep_previous=1)
+    compact(spark, base, swap="generation")
+    with open(os.path.join(base, "_generation.json")) as f:
+        ptr = json.load(f)
+    assert ptr["active"] == "gen-000002"
+    assert os.path.isdir(os.path.join(base, "gen-000001"))
+    assert Dataset(spark, base).count() == 110
+
+    # third compact: gen-000001 falls out of the retention window
+    compact(spark, base, swap="generation")
+    assert not os.path.isdir(os.path.join(base, "gen-000001"))
+    assert os.path.isdir(os.path.join(base, "gen-000002"))
+    assert Dataset(spark, base).count() == 110
+
+
+def test_recluster_generation_swap(spark, tmp_path):
+    import os
+
+    from pydala_spark.dataset.maintain import recluster
+    from pydala_spark.dataset.reader import Dataset
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "gen_zo")
+    spark.range(1000).withColumn("a", F.col("id") % 37).withColumn(
+        "b", F.col("id") % 11
+    ).repartition(6).write.parquet(base)
+    recluster(spark, base, ["a", "b"], n_files=4, swap="generation")
+    assert os.path.exists(os.path.join(base, "_generation.json"))
+    ds = Dataset(spark, base)
+    assert ds.count() == 1000
+    assert ds.path.endswith("gen-000001")
+
+
+def test_compact_generation_swap_partitioned(spark, tmp_path):
+    import os
+
+    from pydala_spark.dataset.maintain import compact
+    from pydala_spark.dataset.reader import Dataset
+    from pydala_spark.dataset.writer import Writer
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "gen_part")
+    df = spark.range(60).withColumn("part", (F.col("id") % 3).cast("string"))
+    Writer(spark, base, partition_by=["part"]).write(df.repartition(6))
+    stats = compact(spark, base, swap="generation")
+    assert stats["partition_cols"] == ["part"]
+    out = Dataset(spark, base)
+    assert out.count() == 60
+    # hive layout preserved inside the generation
+    assert os.path.isdir(os.path.join(base, "gen-000001", "part=0"))
+    assert out.load().where("part = '1'").count() == 20
