@@ -176,7 +176,12 @@ def arrow_type_to_spark(dtype: pa.DataType) -> T.DataType:
     read boundary (sources.load_table).
     """
     if pa.types.is_timestamp(dtype):
-        return T.TimestampType() if dtype.tz else T.TimestampNTZType()
+        # tz-naive also maps to session-zoned TimestampType: the session
+        # sets inferTimestampNTZ=false (session.py), so inferred reads of
+        # tz-naive parquet surface as TIMESTAMP — a pinned-schema read of
+        # the same file must produce the SAME type, not TIMESTAMP_NTZ
+        # (under the UTC session zone the stored micros are identical)
+        return T.TimestampType()
     if pa.types.is_decimal(dtype):
         return T.DecimalType(dtype.precision, dtype.scale)
     if pa.types.is_list(dtype) or pa.types.is_large_list(dtype):

@@ -43,7 +43,11 @@ RUNTIME_DEFAULTS: dict[str, str] = {
     # TIMESTAMP_NTZ, a distinct type that half the timestamp builtins
     # (unix_micros, ...) reject. Read it as the session-zoned TIMESTAMP:
     # with the UTC session zone above, the stored micros are identical to
-    # DuckDB's naive read, so oracle hashing is unaffected.
+    # DuckDB's naive read, so oracle hashing is unaffected. Scope: this
+    # only affects files WITHOUT Spark footer metadata (pyarrow/reference-
+    # written); parquet our own Writer produces carries Spark's schema in
+    # the footer, so TIMESTAMP_NTZ columns still round-trip as NTZ —
+    # pinned by tests/test_timestamp_boundary.py::test_ntz_write_roundtrip.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
 }

@@ -57,7 +57,9 @@ def test_arrow_schema_to_spark():
     st = S.arrow_schema_to_spark(s)
     assert st["i"].dataType == T.IntegerType()
     assert st["l"].dataType == T.ArrayType(T.FloatType())
-    assert st["t"].dataType == T.TimestampNTZType()
+    # tz-naive maps to session-zoned TimestampType, matching the
+    # inferTimestampNTZ=false session default (round-3 ADVICE fix)
+    assert st["t"].dataType == T.TimestampType()
     assert st["s"].dataType == T.StringType()
 
 
