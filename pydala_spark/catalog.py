@@ -193,12 +193,17 @@ class Datalake:
             self.load()
         return self.spark.sql(query)
 
-    def maintain(self, target_file_mb: int = 128) -> dict[str, dict]:
+    def maintain(
+        self, target_file_mb: int = 128, swap: str = "rename"
+    ) -> dict[str, dict]:
         """Compact every parquet dataset in the lake (lake-level form of
         ``maintain.compact``). Datasets that are empty or non-parquet are
         skipped with a reason instead of aborting the sweep — at a
         hundred datasets one bad entry must not kill the maintenance
-        window. Returns per-dataset stats/skip reasons."""
+        window. ``swap="generation"`` uses the object-store-safe pointer
+        commit per dataset (dataset/generations.py) — the right setting
+        for a lake rooted at s3a/gs/abfs. Returns per-dataset stats/skip
+        reasons."""
         from pydala_spark.dataset.maintain import compact
 
         results: dict[str, dict] = {}
@@ -211,7 +216,7 @@ class Datalake:
                 continue
             try:
                 results[name] = compact(
-                    self.spark, data_path, target_file_mb=target_file_mb
+                    self.spark, data_path, target_file_mb=target_file_mb, swap=swap
                 )
             except FileNotFoundError:
                 results[name] = {"skipped": "no data files"}

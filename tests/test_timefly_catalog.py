@@ -555,3 +555,21 @@ def test_tomlout_roundtrip():
                     "sort_by": 'quo"te\nline'},
     }
     assert tomllib.loads(dumps(cfg)) == cfg
+
+
+def test_datalake_maintain_generation_swap(spark, tmp_path):
+    # lake-wide sweep with the object-store-safe swap: every compacted
+    # dataset gains a generation pointer; reads keep working
+    import json
+
+    root = str(tmp_path / "lake_gen")
+    lake = Datalake(spark, root)
+    spark.range(30).repartition(6).write.parquet(os.path.join(root, "a"))
+    lake.add_dataset("a")
+    results = Datalake(spark, root).maintain(swap="generation")
+    assert results["a"]["files_after"] == 1
+    with open(os.path.join(root, "a", "_generation.json")) as f:
+        assert json.load(f)["active"] == "gen-000001"
+    lake2 = Datalake(spark, root)
+    lake2.load()
+    assert lake2.sql("SELECT count(*) AS n FROM a").first()["n"] == 30
