@@ -114,6 +114,112 @@ def predict_lang(col: str | Column, default: str = "other") -> Column:
     return best_lang
 
 
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 2,
+) -> DataFrame:
+    """Gopher/MassiveText-style repetition signals per document (Rae et
+    al. 2021 appendix A; standard public quality filters):
+
+    - ``n_lines`` / ``dup_line_frac`` / ``dup_line_char_frac`` — line
+      occurrences that repeat within the doc, and the character mass in
+      repeated lines;
+    - ``n_grams`` / ``dup_ngram_frac`` — word-``ngram`` occurrences that
+      are repeats (1 - distinct/total);
+    - ``top_ngram`` / ``top_ngram_cnt`` / ``top_ngram_char_frac`` — the
+      most frequent word-``ngram`` (count desc, gram asc tiebreak) and
+      the fraction of the doc's characters its occurrences cover
+      (overlaps can push it past 1; raw ratio kept).
+
+    Scale shape: NOT per-doc array nested loops (O(tokens²) per doc — a
+    single 1 MB doc would stall a task); lines/grams are exploded via
+    ``explode_cheaply`` and aggregated keyed by (doc, item) then doc, so
+    cost is O(total items) spread across the cluster, with docs of any
+    size. Empty docs survive via left joins (all-zero stats).
+    """
+    from pydala_spark.operators.dedup import explode_cheaply
+
+    c = F.col(text_col)
+    lines_arr = F.filter(
+        F.transform(F.split(c, r"\n"), lambda l: F.trim(l)),
+        lambda l: l != F.lit(""),
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.length(c).alias("__n_chars"),
+        lines_arr.alias("__lines"),
+        word_regex_tokens(c).alias("__toks"),
+    )
+    # n-grams from the MATERIALIZED token column (Catalyst substitutes
+    # expressions into lambda bodies — building grams straight off the
+    # regexp extraction would re-tokenize once per gram)
+    grams = F.when(
+        F.size("__toks") >= ngram,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__toks") - (ngram - 1)),
+            lambda i: F.concat_ws(" ", F.slice("__toks", i, ngram)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = base.select("id", "__n_chars", "__lines", grams.alias("__grams"))
+
+    per_line = (
+        explode_cheaply(base.select("id", "__lines"), F.col("__lines"), "line")
+        .groupBy("id", "line")
+        .agg(F.count("*").alias("cnt"))
+    )
+    line_stats = per_line.groupBy("id").agg(
+        F.sum("cnt").alias("n_lines"),
+        (F.lit(1.0) - F.count("*") / F.sum("cnt")).alias("dup_line_frac"),
+        (
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt") * F.length("line"))
+                  .otherwise(F.lit(0)))
+            / F.sum(F.col("cnt") * F.length("line"))
+        ).alias("dup_line_char_frac"),
+    )
+
+    per_gram = (
+        explode_cheaply(base.select("id", "__grams"), F.col("__grams"), "gram")
+        .groupBy("id", "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    gram_totals = per_gram.groupBy("id").agg(
+        F.sum("cnt").alias("n_grams"),
+        (F.lit(1.0) - F.count("*") / F.sum("cnt")).alias("dup_ngram_frac"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("gram"))
+    top_gram = (
+        per_gram.withColumn("__rnk", F.row_number().over(w))
+        .where(F.col("__rnk") == 1)
+        .select("id", F.col("gram").alias("top_ngram"),
+                F.col("cnt").alias("top_ngram_cnt"))
+    )
+
+    out = (
+        base.select("id", "__n_chars")
+        .join(line_stats, "id", "left")
+        .join(gram_totals, "id", "left")
+        .join(top_gram, "id", "left")
+    )
+    return out.select(
+        F.col("id").alias(id_col),
+        F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        F.coalesce("dup_line_frac", F.lit(0.0)).alias("dup_line_frac"),
+        F.coalesce("dup_line_char_frac", F.lit(0.0)).alias("dup_line_char_frac"),
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        F.coalesce("dup_ngram_frac", F.lit(0.0)).alias("dup_ngram_frac"),
+        "top_ngram",
+        F.coalesce("top_ngram_cnt", F.lit(0)).alias("top_ngram_cnt"),
+        F.coalesce(
+            (F.col("top_ngram_cnt") * F.length("top_ngram")) / F.col("__n_chars"),
+            F.lit(0.0),
+        ).alias("top_ngram_char_frac"),
+    )
+
+
 def quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality features: char/token counts, mean token
     length, punctuation & stopword ratios, and a composite score.

@@ -36,18 +36,21 @@ _WORD_SPLIT_SQL = "list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), 
 
 
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document text statistics + quality-score features in one
-    projection (text analysis; consolidates round-1's q_text_stats and
-    q_text_quality so both stay inside the driver's correctness window).
-    Ratios are exact integer divisions; all counts are pure column
-    algebra inside whole-stage codegen — zero shuffles."""
-    from pydala_spark.operators.textstats import quality_stats
+    """Per-document text statistics + quality-score features + Gopher-
+    style repetition signals (round 3: dup-ngram fraction, top-bigram
+    coverage — the standard public repetition filters). The feature
+    block is pure column algebra inside whole-stage codegen; the
+    repetition block adds doc-keyed aggregations (exploded grams, never
+    per-doc O(tokens²) array loops). Consolidates round-1's q_text_stats
+    and q_text_quality so everything stays inside the driver's
+    correctness window."""
+    from pydala_spark.operators.textstats import quality_stats, repetition_stats
 
     docs = load_table(spark, sf_dir, "documents")
-    # the library operator IS the feature algebra under test — aliasing
-    # its columns (instead of re-deriving the same expressions here)
-    # keeps the declared query and the operator from drifting apart
-    return quality_stats(docs).select(
+    # the library operators ARE the feature algebra under test — aliasing
+    # their columns (instead of re-deriving the same expressions here)
+    # keeps the declared query and the operators from drifting apart
+    profile = quality_stats(docs).select(
         "doc_id",
         F.col("q_chars").cast("long").alias("n_chars_calc"),
         F.col("q_tokens").cast("long").alias("n_tokens"),
@@ -59,6 +62,15 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q_stop_ratio").alias("stop_ratio"),
         F.col("q_score").cast("int").alias("q_score"),
     )
+    rep = repetition_stats(docs, id_col="doc_id", ngram=2).select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        "dup_ngram_frac",
+        "top_ngram",
+        F.col("top_ngram_cnt").cast("long").alias("top_ngram_cnt"),
+        "top_ngram_char_frac",
+    )
+    return profile.join(rep, "doc_id")
 
 
 _EN_LIST = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
@@ -74,14 +86,42 @@ WITH s AS (
                     x -> x IN ({_EN_LIST}))) AS stop_en,
     LEN(list_distinct({_WORD_SPLIT_SQL})) AS n_unique_words
   FROM documents
-)
-SELECT doc_id, n_chars AS n_chars_calc, n_tokens, n_punct, n_unique_words,
-  CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+),
+tk AS (
+  SELECT doc_id, LENGTH(text) AS n_chars, {_WORD_SPLIT_SQL} AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, LEN(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS gram
+  FROM tk WHERE LEN(toks) >= 2
+),
+pg AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
+gt AS (SELECT doc_id, SUM(cnt) AS n_grams,
+              1.0 - COUNT(*) / SUM(cnt) AS dup_ngram_frac
+       FROM pg GROUP BY 1),
+tg AS (SELECT doc_id, gram AS top_ngram, cnt AS top_ngram_cnt
+       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY cnt DESC, gram) AS r
+             FROM pg)
+       WHERE r = 1)
+SELECT s.doc_id, s.n_chars AS n_chars_calc, n_tokens, n_punct, n_unique_words,
+  CAST(n_punct AS DOUBLE) / s.n_chars AS punct_ratio,
   CAST(stop_en AS DOUBLE) / n_tokens AS stop_ratio,
   (CASE WHEN n_tokens >= 10 AND n_tokens <= 1000 THEN 1 ELSE 0 END
-   + CASE WHEN CAST(n_punct AS DOUBLE) / n_chars <= 0.1 THEN 1 ELSE 0 END
-   + CASE WHEN CAST(stop_en AS DOUBLE) / n_tokens >= 0.01 THEN 1 ELSE 0 END) AS q_score
+   + CASE WHEN CAST(n_punct AS DOUBLE) / s.n_chars <= 0.1 THEN 1 ELSE 0 END
+   + CASE WHEN CAST(stop_en AS DOUBLE) / n_tokens >= 0.01 THEN 1 ELSE 0 END) AS q_score,
+  CAST(COALESCE(gt.n_grams, 0) AS BIGINT) AS n_grams,
+  COALESCE(gt.dup_ngram_frac, 0.0) AS dup_ngram_frac,
+  tg.top_ngram,
+  CAST(COALESCE(tg.top_ngram_cnt, 0) AS BIGINT) AS top_ngram_cnt,
+  COALESCE(CAST(tg.top_ngram_cnt * LENGTH(tg.top_ngram) AS DOUBLE) / tk.n_chars,
+           0.0) AS top_ngram_char_frac
 FROM s
+JOIN tk ON s.doc_id = tk.doc_id
+LEFT JOIN gt ON s.doc_id = gt.doc_id
+LEFT JOIN tg ON s.doc_id = tg.doc_id
 """
 
 

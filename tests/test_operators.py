@@ -592,3 +592,43 @@ def test_lsh_max_bucket_size_drops_degenerate_bucket(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
     assert (100, 101) in pairs          # small bucket survives
     assert all(a >= 100 for a, _ in pairs)  # viral bucket dropped
+
+
+def test_repetition_stats_gopher_signals(spark):
+    from pydala_spark.operators.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            # 4 lines, "dup dup" twice -> line + ngram repetition
+            (1, "dup dup\nunique line one\ndup dup\nunique line two"),
+            (2, "all words distinct here now"),    # no repeats
+            (3, "go go go go"),                    # one gram repeated 3x
+            (4, ""),                               # empty doc survives
+            (5, "single"),                         # < ngram tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+
+    r1 = out[1]
+    assert r1["n_lines"] == 4
+    assert r1["dup_line_frac"] == pytest.approx(1 - 3 / 4)  # 3 distinct of 4
+    # "dup dup" = 7 chars x2 repeats of 7+15+15 char mass... dup lines: 14 of 44
+    assert r1["dup_line_char_frac"] == pytest.approx(14 / 44)
+    assert r1["top_ngram"] == "dup dup"
+
+    r2 = out[2]
+    assert r2["dup_ngram_frac"] == 0.0 and r2["dup_line_frac"] == 0.0
+    assert r2["top_ngram_cnt"] == 1
+
+    r3 = out[3]
+    assert r3["n_grams"] == 3 and r3["top_ngram"] == "go go"
+    assert r3["top_ngram_cnt"] == 3
+    assert r3["dup_ngram_frac"] == pytest.approx(1 - 1 / 3)
+    # 3 occurrences x 5 chars over 11 chars of text (overlap can exceed 1)
+    assert r3["top_ngram_char_frac"] == pytest.approx(15 / 11)
+
+    r4, r5 = out[4], out[5]
+    assert r4["n_lines"] == 0 and r4["n_grams"] == 0
+    assert r4["top_ngram"] is None and r4["top_ngram_char_frac"] == 0.0
+    assert r5["n_grams"] == 0 and r5["n_lines"] == 1
