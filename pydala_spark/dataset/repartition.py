@@ -84,9 +84,15 @@ class Repartition:
         overwrite + auto pre-snapshot (repartition.py:148-194)."""
         import posixpath
 
+        from pydala_spark.dataset import generations
         from pydala_spark.utils.pathops import PathOps, strip_scheme
 
-        local = strip_scheme(self.source_path).rstrip("/")
+        # a generation-pointer dataset rewrites INSIDE its active
+        # generation (matching the Dataset read below), keeping the
+        # pointer layout intact instead of flattening it
+        local = strip_scheme(
+            generations.resolve(self.spark, self.source_path)
+        ).rstrip("/")
         ops = PathOps(self.spark, local)
         if self.in_place and ops.is_dir(posixpath.join(local, "current")):
             # rewriting a TimeFly ROOT in place would delete current/ and

@@ -321,3 +321,22 @@ def test_compact_generation_swap_partitioned(spark, tmp_path):
     # hive layout preserved inside the generation
     assert os.path.isdir(os.path.join(base, "gen-000001", "part=0"))
     assert out.load().where("part = '1'").count() == 20
+
+
+def test_repartition_preserves_generation_layout(spark, tmp_path):
+    import json
+    import os
+
+    from pydala_spark import Dataset, Repartition
+    from pydala_spark.dataset.maintain import compact
+
+    base = str(tmp_path / "gen_rp")
+    spark.range(50).repartition(5).write.parquet(base)
+    compact(spark, base, swap="generation")
+    # in-place rewrite happens INSIDE the active generation
+    Repartition(spark, base, max_records_per_file=10, with_snapshot=False).run()
+    with open(os.path.join(base, "_generation.json")) as f:
+        assert json.load(f)["active"] == "gen-000001"  # layout intact
+    ds = Dataset(spark, base)
+    assert ds.path.endswith("gen-000001")
+    assert ds.count() == 50
