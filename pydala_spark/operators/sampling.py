@@ -77,6 +77,60 @@ def train_test_split(
     return df.withColumn(split_col, split)
 
 
+def weighted_domain_sample(
+    df: DataFrame,
+    key: str | Column,
+    domain_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Per-domain Bernoulli resampling — the mixture-weighting step of an
+    LLM data pipeline (down-weight boilerplate-heavy sources, keep
+    high-quality ones at 1.0). ``rates`` maps domain value -> keep
+    fraction; unlisted domains use ``default_rate``.
+
+    Same zero-shuffle shape as :func:`hash_sample`: the per-row
+    threshold is a CASE over the domain column and membership is a pure
+    function of the key, so the sweep is a narrow map-side filter at any
+    scale, re-runs pick identical rows, and a domain's sample at rate r1
+    is a strict subset of its sample at r2 >= r1 (threshold nesting —
+    you can cheaply re-cut the mixture downward without touching the
+    other domains).
+    """
+    for d, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for domain {d!r} must be in [0, 1], got {r}")
+    threshold = F.lit(sample_threshold(default_rate))
+    for domain, rate in rates.items():
+        threshold = F.when(
+            F.col(domain_col) == F.lit(domain), F.lit(sample_threshold(rate))
+        ).otherwise(threshold)
+    return df.where(hash_bucket(key) < threshold)
+
+
+def deterministic_shuffle(
+    df: DataFrame, key: str | Column, seed: int = 0, n_partitions: int | None = None
+) -> DataFrame:
+    """Deterministic global shuffle for training-example order: sort by
+    ``md5(seed || key)`` (key as tiebreak). Changing ``seed`` gives an
+    independent permutation; the same seed reproduces the same order on
+    any engine/run — no RNG state to plumb through restarts.
+
+    Cost shape: one range-partitioning exchange + per-partition sort
+    (Spark samples split points, so skew self-balances); writing the
+    result with ``maxRecordsPerFile`` yields shards whose row order is
+    the global permutation. At 100 TB this is the cheapest global
+    total order Spark offers — there is no single-task sort anywhere.
+    """
+    k = _key(key)
+    order = F.md5(F.concat_ws("|", F.lit(str(seed)), k.cast("string")))
+    if n_partitions is not None:
+        return df.repartitionByRange(n_partitions, order, k).sortWithinPartitions(
+            order, k
+        )
+    return df.orderBy(order, k)
+
+
 def stratified_sample(
     df: DataFrame,
     key: str | Column,

@@ -71,3 +71,56 @@ def test_hash_sample_plan_is_narrow(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     plan = hash_sample(docs, "doc_id", 0.1)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_weighted_domain_sample(spark):
+    from pydala_spark.operators.sampling import weighted_domain_sample
+
+    df = spark.createDataFrame(
+        [(i, ["web", "books", "code"][i % 3]) for i in range(900)],
+        "id long, domain string",
+    )
+    out = weighted_domain_sample(
+        df, "id", "domain", {"web": 0.3, "books": 1.0, "code": 0.0}
+    )
+    got = out.groupBy("domain").count().collect()
+    counts = {r["domain"]: r["count"] for r in got}
+    assert counts["books"] == 300          # rate 1.0 keeps everything
+    assert "code" not in counts            # rate 0.0 drops the domain
+    assert 40 < counts.get("web", 0) < 140  # ~30% of 300
+
+    # threshold nesting: web@0.3 is a strict subset of web@0.6
+    lo = {r["id"] for r in weighted_domain_sample(
+        df, "id", "domain", {"web": 0.3}, default_rate=0.0).collect()}
+    hi = {r["id"] for r in weighted_domain_sample(
+        df, "id", "domain", {"web": 0.6}, default_rate=0.0).collect()}
+    assert lo < hi
+
+    # unlisted domains take default_rate
+    dflt = weighted_domain_sample(df, "id", "domain", {"web": 0.0},
+                                  default_rate=1.0)
+    assert dflt.where("domain <> 'web'").count() == 600
+    assert dflt.where("domain = 'web'").count() == 0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="must be in"):
+        weighted_domain_sample(df, "id", "domain", {"web": 1.5})
+
+
+def test_deterministic_shuffle(spark):
+    from pydala_spark.operators.sampling import deterministic_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "id long")
+    a = [r["id"] for r in deterministic_shuffle(df, "id", seed=1).collect()]
+    b = [r["id"] for r in deterministic_shuffle(df, "id", seed=1).collect()]
+    c = [r["id"] for r in deterministic_shuffle(df, "id", seed=2).collect()]
+    assert a == b                      # same seed -> identical order
+    assert a != c                      # different seed -> different permutation
+    assert sorted(a) == list(range(500)) == sorted(c)  # nothing lost
+    assert a != list(range(500))       # actually shuffled
+
+    # the sharded form (range partitioning) yields the SAME global order
+    sharded = deterministic_shuffle(df, "id", seed=1, n_partitions=5)
+    assert [r["id"] for r in sharded.collect()] == a
+    assert sharded.rdd.getNumPartitions() == 5
