@@ -379,12 +379,19 @@ class Dataset:
 
     get_buffer_size = buffer_size
 
-    def profile(self, columns: list[str] | None = None) -> DataFrame:
+    def profile(
+        self,
+        columns: list[str] | None = None,
+        percentiles: list[float] | None = None,
+    ) -> DataFrame:
         """Per-column statistics: row/null counts, approximate distinct
-        count (HLL), min/max (stringified on the native ordering).
+        count (HLL), min/max (stringified on the native ordering), and —
+        when ``percentiles`` is given — approximate quantiles for the
+        numeric columns (one extra array column, null elsewhere).
 
         One aggregation pass over the dataset — every statistic is
-        algebraically mergeable, so the plan is scan -> partial agg ->
+        algebraically mergeable (HLL sketches, min/max, KLL-style
+        percentile sketches), so the plan is scan -> partial agg ->
         one single-row exchange regardless of data size; the only driver
         materialization is that one row. Extends the reference's
         metadata surface (disk_usage/schema inspection) with the content
@@ -397,6 +404,9 @@ class Dataset:
         # min/max/approx_count_distinct would fail the whole pass, so
         # they get null stats (counts still computed)
         plain = {c for c in cols if not dtypes[c].startswith("map<")}
+        numeric_prefixes = ("tinyint", "smallint", "int", "bigint",
+                            "float", "double", "decimal")
+        numeric = {c for c in cols if dtypes[c].startswith(numeric_prefixes)}
         aggs = []
         for c in cols:
             aggs.append(F.count(F.col(c)).alias(f"{c}\t_nn"))
@@ -406,6 +416,12 @@ class Dataset:
                     F.min(F.col(c)).cast("string").alias(f"{c}\t_min"),
                     F.max(F.col(c)).cast("string").alias(f"{c}\t_max"),
                 ]
+            if percentiles and c in numeric:
+                aggs.append(
+                    F.percentile_approx(
+                        F.col(c).cast("double"), percentiles
+                    ).alias(f"{c}\t_pct")
+                )
         row = df.agg(F.count(F.lit(1)).alias("\t_total"), *aggs).first()
         total = row["\t_total"]
         data = [
@@ -418,13 +434,20 @@ class Dataset:
                 row[f"{c}\t_min"] if c in plain else None,
                 row[f"{c}\t_max"] if c in plain else None,
             )
+            + (
+                (list(row[f"{c}\t_pct"] or []) if c in numeric else None,)
+                if percentiles
+                else ()
+            )
             for c in cols
         ]
-        return self.spark.createDataFrame(
-            data,
+        schema = (
             "column string, dtype string, n_rows long, n_nulls long, "
-            "approx_distinct long, min string, max string",
+            "approx_distinct long, min string, max string"
         )
+        if percentiles:
+            schema += ", percentiles array<double>"
+        return self.spark.createDataFrame(data, schema)
 
     def cache(self) -> "Dataset":
         """Persist the loaded DataFrame in executor memory — the Spark

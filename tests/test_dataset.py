@@ -198,3 +198,25 @@ def test_directory_flavor_pinned_schema_cast(spark, tmp_path):
     out = ds.load()
     assert dict(out.dtypes)["year"] == "int"
     assert out.where("year = 2024").count() == 2
+
+
+def test_profile_percentiles(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pydala_spark import Dataset
+
+    path = str(tmp_path / "prof_pct")
+    spark.range(1000).withColumn("v", F.col("id").cast("double")).withColumn(
+        "s", F.lit("x")
+    ).write.parquet(path)
+    prof = Dataset(spark, path).profile(percentiles=[0.25, 0.5, 0.75])
+    rows = {r["column"]: r for r in prof.collect()}
+    p = rows["v"]["percentiles"]
+    assert len(p) == 3
+    assert abs(p[1] - 499.5) < 30          # approx median of 0..999
+    assert p[0] < p[1] < p[2]
+    assert rows["s"]["percentiles"] is None  # non-numeric -> null
+    # default call keeps the original 7-column schema
+    assert "percentiles" not in Dataset(spark, path).profile().columns

@@ -110,3 +110,17 @@ def test_dynamic_partition_overwrite(spark, tmp_path):
     Writer(spark, out, partition_by=["part"]).write(repl, mode="overwrite_partitions")
     rows = {(r["id"], r["part"]) for r in Dataset(spark, out).load().collect()}
     assert rows == {(9, "a"), (3, "b")}  # 'b' untouched, 'a' replaced
+
+
+def test_repetition_stats_no_cartesian_and_pruned_scan(spark, sf_dir):
+    # the Gopher repetition signals must stay an exploded-gram
+    # aggregation: no cartesian/nested-loop pair blowup, and the
+    # documents scan reads only the needed columns
+    from pydala_spark.operators.textstats import repetition_stats
+    from pydala_spark.sources import load_table
+
+    df = repetition_stats(load_table(spark, sf_dir, "documents"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    for cols in read_schema_columns(df):
+        assert set(cols) <= {"doc_id", "text"}
