@@ -169,9 +169,12 @@ class Writer:
         self.spark = configure_session(spark)
         # appends/overwrites on a generation-pointer dataset land inside
         # the ACTIVE generation (dataset/generations.py) and are carried
-        # forward by the next maintenance pass
+        # forward by the next maintenance pass; re-resolved at every
+        # write() so a long-lived Writer (streaming foreachBatch) follows
+        # generation advances made by ride-along compaction
         from pydala_spark.dataset import generations
 
+        self._orig_path = path
         self.path = generations.resolve(self.spark, path)
         self.format = format.lower()
         self.mode = mode
@@ -255,6 +258,10 @@ class Writer:
         reference's half-open default drops them (writer.py:196-200 +
         :227-240). Explicit ``end_time`` keeps half-open semantics.
         """
+        from pydala_spark.dataset import generations
+
+        # follow any generation advance since construction (one probe)
+        self.path = generations.resolve(self.spark, self._orig_path)
         df = self._coerce(data)
         if transform_func is not None:
             df = transform_func(df, **(transform_func_kwargs or {}))

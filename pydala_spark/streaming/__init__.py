@@ -35,6 +35,7 @@ def incremental_append(
     compact_every: int | None = None,
     target_file_mb: int = 128,
     zorder_by: Sequence[str] | None = None,
+    swap: str = "rename",
 ) -> StreamingQuery:
     """Continuously append only-new rows to a dataset (delta semantics per
     micro-batch; reference writer.py:219-249 made streaming).
@@ -50,6 +51,9 @@ def incremental_append(
     maintenance has to ride along with ingestion rather than wait for an
     offline pass. It runs on the driver inside foreachBatch, serialized
     with the writes — no concurrent-rewrite races with the next batch.
+    ``swap="generation"`` makes the ride-along maintenance object-store-
+    safe (pointer commit instead of directory rename); the Writer
+    re-resolves the pointer per batch, so appends follow each advance.
     """
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
@@ -63,15 +67,24 @@ def incremental_append(
             from pydala_spark.dataset.maintain import compact, recluster
 
             try:
+                # maintain the dataset BASE (_orig_path): with the
+                # generation swap, writer.path is a resolved generation
+                # dir that the commit supersedes
                 if zorder_by:
-                    recluster(batch_df.sparkSession, writer.path, list(zorder_by))
+                    recluster(
+                        batch_df.sparkSession,
+                        writer._orig_path,
+                        list(zorder_by),
+                        swap=swap,
+                    )
                 else:
                     compact(
                         batch_df.sparkSession,
-                        writer.path,
+                        writer._orig_path,
                         target_file_mb=target_file_mb,
                         format=writer.format,
                         compression=writer.compression,
+                        swap=swap,
                     )
             except FileNotFoundError:
                 # nothing written yet (empty first micro-batches) — the

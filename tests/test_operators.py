@@ -632,3 +632,42 @@ def test_repetition_stats_gopher_signals(spark):
     assert r4["n_lines"] == 0 and r4["n_grams"] == 0
     assert r4["top_ngram"] is None and r4["top_ngram_char_frac"] == 0.0
     assert r5["n_grams"] == 0 and r5["n_lines"] == 1
+
+
+def test_streaming_compaction_generation_swap(spark, tmp_path):
+    # ride-along maintenance with the object-store-safe swap: each
+    # compaction advances the generation pointer; the long-lived Writer
+    # re-resolves per micro-batch so later appends follow the advance
+    import json
+    import os
+
+    from pydala_spark.dataset.reader import Dataset
+    from pydala_spark.dataset.writer import Writer
+    from pydala_spark.streaming import incremental_append
+
+    src = str(tmp_path / "in_gen")
+    os.makedirs(src)
+    dest = str(tmp_path / "ds_gen")
+    for i in range(3):
+        spark.createDataFrame(
+            [(i * 10 + j, float(j)) for j in range(4)], "event_id long, v double"
+        ).repartition(2).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("event_id long, v double").option(
+        "maxFilesPerTrigger", "2"
+    ).parquet(src)
+    q = incremental_append(
+        stream,
+        Writer(spark, dest),
+        delta_subset=["event_id"],
+        checkpoint_dir=str(tmp_path / "ckpt_gen"),
+        compact_every=1,
+        swap="generation",
+    )
+    q.awaitTermination(120)
+    with open(os.path.join(dest, "_generation.json")) as f:
+        ptr = json.load(f)
+    assert ptr["active"].startswith("gen-")
+    assert int(ptr["active"][4:]) >= 2  # advanced at least twice
+    ds = Dataset(spark, dest)
+    assert ds.path.endswith(ptr["active"])
+    assert ds.count() == 12  # every micro-batch's rows survived the swaps
