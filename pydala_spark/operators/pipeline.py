@@ -38,16 +38,31 @@ def prep_documents(
     benchmark: DataFrame | None = None,
     decontaminate_min_hits: int = 2,
     shard_tokens: int | None = None,
+    max_dup_ngram_frac: float | None = None,
+    max_top_ngram_char_frac: float | None = None,
 ) -> DataFrame:
     """Return the cleaned corpus: quality columns attached, exact and
     near duplicates removed (keeping the lowest id), benchmark-
     contaminated docs dropped (when ``benchmark`` is given), low-quality
-    docs dropped — and, when ``shard_tokens`` is set, packed into
-    fixed-token-budget training shards (adds ``n_tokens``, ``cum_before``
-    and ``shard_id``; packing runs after every filter so shards are
-    gap-free)."""
+    and (when the ``max_*`` thresholds are set) repetition-heavy docs
+    dropped per the Gopher rules — and, when ``shard_tokens`` is set,
+    packed into fixed-token-budget training shards (adds ``n_tokens``,
+    ``cum_before`` and ``shard_id``; packing runs after every filter so
+    shards are gap-free)."""
     # 1. quality features (pure column algebra)
     out = quality_stats(df, text_col)
+    # 1b. Gopher repetition gate (doc-keyed aggregation, only when asked)
+    if max_dup_ngram_frac is not None or max_top_ngram_char_frac is not None:
+        from pydala_spark.operators.textstats import repetition_stats
+
+        rep = repetition_stats(df, id_col=id_col, text_col=text_col)
+        cond = F.lit(True)
+        if max_dup_ngram_frac is not None:
+            cond &= F.col("dup_ngram_frac") <= max_dup_ngram_frac
+        if max_top_ngram_char_frac is not None:
+            cond &= F.col("top_ngram_char_frac") <= max_top_ngram_char_frac
+        keep = rep.where(cond).select(id_col)
+        out = out.join(keep, id_col, "left_semi")
     # 2. exact dedup: keep the first (lowest-id) doc per fingerprint
     out = out.withColumn("fp", fingerprint(text_col))
     out = apply_distinct(out, subset=["fp"], keep="first", presort=[(id_col, True)])

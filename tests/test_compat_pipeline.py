@@ -116,3 +116,23 @@ def test_prep_documents_decontaminate_and_pack(spark, sf_dir):
         assert r["cum_before"] == run
         assert r["shard_id"] == run // 2048
         run += r["n_tokens"]
+
+
+def test_prep_documents_repetition_gate(spark):
+    from pydala_spark.operators.pipeline import prep_documents
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "a normal sentence with a healthy variety of distinct words"),
+            (2, "spam spam spam spam spam spam spam spam spam spam"),
+            (3, "another perfectly ordinary document with plenty words here"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = prep_documents(
+        corpus, min_quality=0, near_dup=False, max_dup_ngram_frac=0.5
+    )
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [1, 3]  # the repeated-ngram doc is gated out
+    # no thresholds -> no gate, no extra joins
+    assert prep_documents(corpus, min_quality=0, near_dup=False).count() == 3
