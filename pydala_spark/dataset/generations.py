@@ -16,10 +16,19 @@ generation swap (``swap="generation"``) avoids renames entirely:
   the active one (the retained previous generation keeps in-flight
   readers alive — their file lists stay valid until the next sweep).
 
-``Dataset`` and ``Writer`` resolve the pointer at construction, so the
-layout is transparent to readers and appenders: appends land inside the
-active generation and are carried forward by the next maintenance pass.
-Cost: one existence probe per constructor — a driver-side metadata call.
+``Dataset`` and ``Writer`` resolve the pointer at construction (Writer
+re-resolves at every write), so the layout is transparent to readers and
+appenders: appends land inside the active generation and are carried
+forward by the next maintenance pass. Cost: one existence probe per
+constructor/write — a driver-side metadata call.
+
+Concurrency contract: ONE maintainer at a time (the same assumption the
+rename swap makes). Two concurrent ``commit`` calls race last-writer-wins
+on the pointer; serialize maintenance (the streaming ride-along does, by
+running inside foreachBatch). Concurrent readers and the single appender
+are always safe — they only ever follow the pointer. A corrupt or
+unreadable pointer degrades to reading the base path (resolve returns the
+path unchanged) rather than failing the job.
 """
 
 from __future__ import annotations

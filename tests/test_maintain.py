@@ -340,3 +340,22 @@ def test_repartition_preserves_generation_layout(spark, tmp_path):
     ds = Dataset(spark, base)
     assert ds.path.endswith("gen-000001")
     assert ds.count() == 50
+
+
+def test_generation_pointer_corruption_degrades_to_base(spark, tmp_path):
+    # a corrupt/unreadable pointer must degrade to reading the base
+    # path, never fail the job
+    import os
+
+    from pydala_spark.dataset import generations
+    from pydala_spark.dataset.reader import Dataset
+
+    base = str(tmp_path / "gen_bad")
+    spark.range(10).write.parquet(base)
+    with open(os.path.join(base, "_generation.json"), "w") as f:
+        f.write("{not valid json")
+    assert generations.read_pointer(spark, base) is None
+    assert generations.resolve(spark, base) == base
+    assert Dataset(spark, base).count() == 10
+    # and next_generation restarts the counter cleanly
+    assert generations.next_generation(spark, base) == "gen-000001"
