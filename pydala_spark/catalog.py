@@ -218,8 +218,20 @@ class Datalake:
                 results[name] = compact(
                     self.spark, data_path, target_file_mb=target_file_mb, swap=swap
                 )
+                # a generation swap moves the live data out from under
+                # any temp view registered over the old layout — rebind
+                # this session's view to the new active generation
+                view = name.replace(".", "_")
+                if swap == "generation" and any(
+                    t.name == view for t in self.spark.catalog.listTables()
+                    if t.isTemporary
+                ):
+                    Dataset(self.spark, data_path,
+                            format=fmt, name=name).to_view(view)
             except FileNotFoundError:
                 results[name] = {"skipped": "no data files"}
+            except Exception as exc:  # one bad dataset must not kill the sweep
+                results[name] = {"error": f"{type(exc).__name__}: {exc}"[:500]}
         return results
 
     def __getitem__(self, name: str) -> Dataset:

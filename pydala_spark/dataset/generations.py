@@ -44,6 +44,16 @@ GEN_POINTER = "_generation.json"
 GEN_PREFIX = "gen-"
 
 
+#: pseudo-generation name for the pre-migration flat root files; appears
+#: in the pointer's history so the first migration's originals get the
+#: SAME keep_previous retention as any other superseded generation.
+ROOT_GEN = ""
+
+
+def _gen_dirs(po: PathOps, local: str) -> list[str]:
+    return sorted(d for d in po.list_dir(local) if d.startswith(GEN_PREFIX))
+
+
 def read_pointer(spark: SparkSession, base: str) -> dict | None:
     po = PathOps(spark, base)
     p = posixpath.join(strip_scheme(base).rstrip("/"), GEN_POINTER)
@@ -57,57 +67,80 @@ def read_pointer(spark: SparkSession, base: str) -> dict | None:
 
 def resolve(spark: SparkSession, path: str) -> str:
     """``base`` -> ``base/<active generation>`` when a generation pointer
-    exists; otherwise the path unchanged. One existence probe."""
-    ptr = read_pointer(spark, path)
+    exists; otherwise the path unchanged. One existence probe.
+
+    A pointer file that exists but is unreadable (truncated PUT, crash
+    mid-write) degrades to the HIGHEST existing ``gen-*`` directory —
+    the base of a migrated dataset holds only generation subdirs, so
+    falling back to the base itself would make every read fail."""
+    local = strip_scheme(path).rstrip("/")
+    po = PathOps(spark, path)
+    p = posixpath.join(local, GEN_POINTER)
+    if not po.exists(p):
+        return path
+    try:
+        ptr = json.loads(po.read_text(p))
+    except Exception:
+        ptr = None
     if ptr and ptr.get("active"):
-        return posixpath.join(strip_scheme(path).rstrip("/"), ptr["active"])
+        return posixpath.join(local, ptr["active"])
+    gens = _gen_dirs(po, local)
+    if gens:
+        return posixpath.join(local, gens[-1])
     return path
 
 
 def next_generation(spark: SparkSession, base: str) -> str:
-    """Name of the next generation directory (monotonic counter from the
-    pointer, starting at gen-000001)."""
+    """Name of the next generation directory: one past the max of the
+    pointer's active entry and any ``gen-*`` directory actually on disk
+    (so a corrupt pointer can never hand out a name that collides with
+    an existing, possibly-retained generation)."""
+    local = strip_scheme(base).rstrip("/")
+    po = PathOps(spark, base)
     ptr = read_pointer(spark, base) or {}
-    active = ptr.get("active", "")
+    names = [ptr.get("active", "")] + _gen_dirs(po, local)
     seq = 0
-    if active.startswith(GEN_PREFIX):
-        try:
-            seq = int(active[len(GEN_PREFIX):])
-        except ValueError:
-            seq = 0
+    for name in names:
+        if name.startswith(GEN_PREFIX):
+            try:
+                seq = max(seq, int(name[len(GEN_PREFIX):]))
+            except ValueError:
+                pass
     return f"{GEN_PREFIX}{seq + 1:06d}"
 
 
 def commit(
     spark: SparkSession, base: str, gen_name: str, keep_previous: int = 1
 ) -> dict:
-    """Atomically activate ``gen_name`` (single pointer PUT), then prune:
-    generation directories more than ``keep_previous`` behind the new
-    active one are deleted, and any pre-generational flat data files at
-    the root (first migration) are removed once the pointer supersedes
-    them. Returns the written pointer."""
+    """Atomically activate ``gen_name`` (single pointer PUT), then prune
+    generations more than ``keep_previous`` behind the new active one.
+    The pre-migration flat root files participate in retention as a
+    pseudo-generation (``ROOT_GEN`` in the history), so the first
+    migration keeps in-flight readers of the original files alive for
+    exactly as long as any other superseded generation. Returns the
+    written pointer."""
     local = strip_scheme(base).rstrip("/")
     po = PathOps(spark, base)
-    prev = read_pointer(spark, base) or {}
-    history = [g for g in prev.get("generations", []) if g != gen_name]
+    prev = read_pointer(spark, base)
+    if prev is None:
+        history = [ROOT_GEN]  # the flat originals become generation zero
+    else:
+        history = [g for g in prev.get("generations", []) if g != gen_name]
     history.append(gen_name)
-    ptr = {"active": gen_name, "generations": history}
-    # THE swap: one small-object write
-    po.write_text(posixpath.join(local, GEN_POINTER), json.dumps(ptr, indent=2))
 
-    # prune generations beyond the retention window
+    # prune plan first, so THE swap is truly one small-object write
     cutoff = len(history) - 1 - keep_previous
     doomed = history[:cutoff] if cutoff > 0 else []
-    for g in doomed:
-        po.delete(posixpath.join(local, g), recursive=True)
-    if doomed:
-        ptr["generations"] = history[cutoff:]
-        po.write_text(posixpath.join(local, GEN_POINTER), json.dumps(ptr, indent=2))
+    ptr = {"active": gen_name, "generations": history[cutoff:] if doomed else history}
+    po.write_text(posixpath.join(local, GEN_POINTER), json.dumps(ptr, indent=2))
 
-    if not prev:
-        # first migration: flat root files are superseded by the pointer
-        for p, _sz in po.data_files(local):
-            rel = p[len(local):].lstrip("/")
-            if not rel.startswith(GEN_PREFIX):
-                po.delete(p, recursive=False)
+    for g in doomed:
+        if g == ROOT_GEN:
+            # the pre-migration flat files at the base root
+            for p, _sz in po.data_files(local):
+                rel = p[len(local):].lstrip("/")
+                if not rel.startswith(GEN_PREFIX):
+                    po.delete(p, recursive=False)
+        else:
+            po.delete(posixpath.join(local, g), recursive=True)
     return ptr

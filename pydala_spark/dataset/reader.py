@@ -68,7 +68,7 @@ class Dataset:
         path: str,
         format: str = "parquet",
         schema: pa.Schema | dict[str, str] | None = None,
-        partitioning: str | None = "hive",
+        partitioning: str | Sequence[str] | None = "hive",
         name: str | None = None,
         csv_options: dict | None = None,
     ):
@@ -158,11 +158,14 @@ class Dataset:
         Values surface as strings (cast via a pinned schema if given);
         file paths are URI-encoded, so each segment is url-decoded with a
         literal ``+`` protected (URLDecoder would turn it into a space).
+
+        Partition segments are taken from the END of the file path
+        (``.../v1/.../vn/file`` -> vn at -2, v1 at -(n+1)) rather than by
+        stripping an encoded base prefix — prefix matching would have to
+        reproduce Hadoop's exact URI escaping of the base path (``=``,
+        ``+``, ``&``... stay literal there), and a mismatch would silently
+        fill the partition columns with wrong segments.
         """
-        import urllib.parse
-
-        from pydala_spark.utils.pathops import strip_scheme
-
         reader = self.spark.read
         pinned = (
             schema_mod.arrow_schema_to_spark(self._pinned_schema)
@@ -187,17 +190,14 @@ class Dataset:
             raise ValueError(
                 f"directory partitioning unsupported for format {self.format!r}"
             )
-        # URI spelling of the base path, as input_file_name will render it
-        encoded_base = urllib.parse.quote(
-            strip_scheme(self.path).rstrip("/"), safe="/:~.-_"
-        )
-        rel = F.regexp_replace(
-            F.input_file_name(), "^.*\\Q" + encoded_base + "\\E/", ""
-        )
-        parts = F.split(rel, "/")
+        parts = F.split(F.input_file_name(), "/")
+        n = len(self.partitioning)
         pinned_types = {f.name: f.dataType for f in pinned.fields} if pinned else {}
         for i, name in enumerate(self.partitioning):
-            seg = F.url_decode(F.regexp_replace(parts[i], "\\+", "%2B"))
+            # value i sits i segments after the first partition dir,
+            # i.e. (n + 1 - i) segments from the end (file itself is -1)
+            seg = F.element_at(parts, i - (n + 1))
+            seg = F.url_decode(F.regexp_replace(seg, "\\+", "%2B"))
             if name in pinned_types:
                 seg = seg.cast(pinned_types[name])
             df = df.withColumn(name, seg)

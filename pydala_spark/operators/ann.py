@@ -44,18 +44,15 @@ def kmeans_centroids(
 
     No ``df.count()`` pre-pass: at 100 TB a full count just to size a
     sample fraction is a wasted scan. Instead the scan stops after
-    ``4 * sample_size`` rows (LocalLimit short-circuits the read) and a
-    seeded Bernoulli sample decorrelates the kept rows from file order;
-    the driver materialization stays bounded by ``sample_size`` either
-    way."""
-    sample = (
-        df.select(vec_col)
-        .limit(sample_size * 4)
-        .sample(fraction=0.5, seed=seed)
-        .limit(sample_size)
-        .toPandas()[vec_col]
-    )
+    ``2 * sample_size`` rows (LocalLimit short-circuits the read); a
+    seeded driver-side permutation then decorrelates the kept rows from
+    file order and truncates to ``sample_size``. Corpora smaller than
+    the limit train on EVERY row (no silent sample shrinkage); driver
+    memory stays bounded by ``2 * sample_size`` vectors."""
+    sample = df.select(vec_col).limit(sample_size * 2).toPandas()[vec_col]
     x = np.array([np.asarray(v, dtype=np.float64) for v in sample])
+    if len(x) > sample_size:
+        x = x[np.random.default_rng(seed).permutation(len(x))[:sample_size]]
     if x.size == 0:
         raise ValueError(
             "kmeans_centroids: empty corpus/sample — no vectors to train a "

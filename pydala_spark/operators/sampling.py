@@ -108,6 +108,14 @@ def weighted_domain_sample(
     return df.where(hash_bucket(key) < threshold)
 
 
+def shuffle_key(col: str | Column, seed: int = 0) -> Column:
+    """The permutation key :func:`deterministic_shuffle` sorts by:
+    ``md5(seed || '|' || key)``. Exposed so the declared query surface
+    and the operator share one definition (oracle-checkable — md5 hex is
+    identical across engines)."""
+    return F.md5(F.concat_ws("|", F.lit(str(seed)), _key(col).cast("string")))
+
+
 def deterministic_shuffle(
     df: DataFrame, key: str | Column, seed: int = 0, n_partitions: int | None = None
 ) -> DataFrame:
@@ -123,7 +131,7 @@ def deterministic_shuffle(
     total order Spark offers — there is no single-task sort anywhere.
     """
     k = _key(key)
-    order = F.md5(F.concat_ws("|", F.lit(str(seed)), k.cast("string")))
+    order = shuffle_key(k, seed)
     if n_partitions is not None:
         return df.repartitionByRange(n_partitions, order, k).sortWithinPartitions(
             order, k

@@ -17,8 +17,10 @@ from pydala_spark.operators.sampling import (
     hash_bucket,
     hash_sample,
     sample_threshold,
+    shuffle_key,
     stratified_sample,
     train_test_split,
+    weighted_domain_sample,
 )
 from pydala_spark.sources import load_table
 
@@ -36,18 +38,58 @@ def _hex_val_sql(hexpr: str, digits: int = 8) -> str:
 _BUCKET_SQL = _hex_val_sql("md5(CAST(doc_id AS VARCHAR))")
 
 
-def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """10% deterministic Bernoulli sample of documents (zero-shuffle)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return hash_sample(docs, "doc_id", 0.10).select(
-        "doc_id", "lang", hash_bucket("doc_id").alias("bucket")
-    )
+#: mixture rates for the weighted-domain family of q_hash_sample
+_MIX_RATES = {"en": 0.05, "de": 0.5}
+_MIX_DEFAULT = 0.15
 
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-selection families as a tagged union (keeps the
+    registry at 50 entries): 'hash' = 10% Bernoulli sample; 'mix' =
+    per-domain weighted mixture resampling (round 3); 'shuffle' = the
+    seeded md5 permutation key of deterministic_shuffle for a bounded
+    doc subset (the driver compare sorts rows, so the KEY is what an
+    oracle can verify — it fully determines the order). All three are
+    zero-shuffle map-side projections/filters."""
+    docs = load_table(spark, sf_dir, "documents")
+    null_s = F.lit(None).cast("string")
+    hash_part = hash_sample(docs, "doc_id", 0.10).select(
+        F.lit("hash").alias("src"), "doc_id", "lang",
+        hash_bucket("doc_id").alias("bucket"), null_s.alias("skey"),
+    )
+    mix_part = weighted_domain_sample(
+        docs, "doc_id", "lang", _MIX_RATES, default_rate=_MIX_DEFAULT
+    ).select(
+        F.lit("mix").alias("src"), "doc_id", "lang",
+        hash_bucket("doc_id").alias("bucket"), null_s.alias("skey"),
+    )
+    shuffle_part = docs.where(F.col("doc_id") < 100).select(
+        F.lit("shuffle").alias("src"), "doc_id", "lang",
+        F.lit(None).cast("long").alias("bucket"),
+        shuffle_key("doc_id", seed=7).alias("skey"),
+    )
+    return hash_part.unionByName(mix_part).unionByName(shuffle_part)
+
+
+_MIX_CASE_SQL = "CASE lang " + " ".join(
+    f"WHEN '{d}' THEN {sample_threshold(r)}" for d, r in _MIX_RATES.items()
+) + f" ELSE {sample_threshold(_MIX_DEFAULT)} END"
 
 _Q_HASH_SAMPLE_SQL = f"""
-SELECT doc_id, lang, {_BUCKET_SQL} AS bucket
+SELECT 'hash' AS src, doc_id, lang, {_BUCKET_SQL} AS bucket,
+       CAST(NULL AS VARCHAR) AS skey
 FROM documents
 WHERE {_BUCKET_SQL} < {sample_threshold(0.10)}
+UNION ALL
+SELECT 'mix' AS src, doc_id, lang, {_BUCKET_SQL} AS bucket,
+       CAST(NULL AS VARCHAR) AS skey
+FROM documents
+WHERE {_BUCKET_SQL} < {_MIX_CASE_SQL}
+UNION ALL
+SELECT 'shuffle' AS src, doc_id, lang, CAST(NULL AS BIGINT) AS bucket,
+       md5('7' || '|' || CAST(doc_id AS VARCHAR)) AS skey
+FROM documents
+WHERE doc_id < 100
 """
 
 

@@ -220,3 +220,20 @@ def test_profile_percentiles(spark, tmp_path):
     assert rows["s"]["percentiles"] is None  # non-numeric -> null
     # default call keeps the original 7-column schema
     assert "percentiles" not in Dataset(spark, path).profile().columns
+
+
+def test_directory_flavor_special_char_base_path(spark, tmp_path):
+    # the base path itself contains characters ('=', '+', '&') that
+    # Hadoop URIs keep literal — segment extraction from the END of the
+    # path must not depend on reproducing the base's URI encoding
+    import os
+
+    base = str(tmp_path / "run=5 x+y&z" / "corpus")
+    spark.range(4).write.parquet(os.path.join(base, "2024"))
+    spark.range(2).write.parquet(os.path.join(base, "2025"))
+    from pydala_spark import Dataset
+
+    out = Dataset(spark, base, partitioning=["year"]).load()
+    vals = sorted(r["year"] for r in out.select("year").distinct().collect())
+    assert vals == ["2024", "2025"]
+    assert out.where("year = '2024'").count() == 4

@@ -257,9 +257,10 @@ def test_compact_generation_swap_lifecycle(spark, tmp_path):
     with open(os.path.join(base, "_generation.json")) as f:
         ptr = json.load(f)
     assert ptr["active"] == "gen-000001"
-    # flat root files superseded and pruned; data only in the generation
+    # the flat originals are RETAINED as pseudo-generation zero
+    # (keep_previous=1 protects pre-migration in-flight readers too)
     root_parquet = [p for p in os.listdir(base) if p.endswith(".parquet")]
-    assert root_parquet == []
+    assert len(root_parquet) == 8
     ds = Dataset(spark, base)
     assert ds.path.endswith("gen-000001")
     assert ds.count() == 100
@@ -267,15 +268,15 @@ def test_compact_generation_swap_lifecycle(spark, tmp_path):
     # appends land INSIDE the active generation
     Writer(spark, base).write(spark.range(100, 110).toDF("id"))
     assert Dataset(spark, base).count() == 110
-    assert not [p for p in os.listdir(base) if p.endswith(".parquet")]
 
-    # second compact: next generation; previous retained for in-flight
-    # readers (keep_previous=1)
+    # second compact: next generation; flat originals fall out of the
+    # retention window, gen-000001 is the retained previous
     compact(spark, base, swap="generation")
     with open(os.path.join(base, "_generation.json")) as f:
         ptr = json.load(f)
     assert ptr["active"] == "gen-000002"
     assert os.path.isdir(os.path.join(base, "gen-000001"))
+    assert not [p for p in os.listdir(base) if p.endswith(".parquet")]
     assert Dataset(spark, base).count() == 110
 
     # third compact: gen-000001 falls out of the retention window
@@ -359,3 +360,27 @@ def test_generation_pointer_corruption_degrades_to_base(spark, tmp_path):
     assert Dataset(spark, base).count() == 10
     # and next_generation restarts the counter cleanly
     assert generations.next_generation(spark, base) == "gen-000001"
+
+
+def test_generation_pointer_corruption_with_migrated_layout(spark, tmp_path):
+    # corrupt pointer on an ALREADY-migrated dataset (base holds only
+    # gen-* dirs): resolve falls back to the highest generation, and
+    # next_generation never collides with an existing directory
+    import os
+
+    from pydala_spark.dataset import generations
+    from pydala_spark.dataset.maintain import compact
+    from pydala_spark.dataset.reader import Dataset
+
+    base = str(tmp_path / "gen_bad2")
+    spark.range(40).repartition(4).write.parquet(base)
+    compact(spark, base, swap="generation")
+    compact(spark, base, swap="generation")  # gen-000002 active, 1 retained
+    with open(os.path.join(base, "_generation.json"), "w") as f:
+        f.write("{truncated")
+    assert generations.resolve(spark, base).endswith("gen-000002")
+    assert Dataset(spark, base).count() == 40  # reads still work
+    assert generations.next_generation(spark, base) == "gen-000003"
+    # and a lake sweep over it recovers instead of dying
+    compact(spark, base, swap="generation")
+    assert Dataset(spark, base).count() == 40
