@@ -218,20 +218,28 @@ class Datalake:
                 results[name] = compact(
                     self.spark, data_path, target_file_mb=target_file_mb, swap=swap
                 )
-                # a generation swap moves the live data out from under
-                # any temp view registered over the old layout — rebind
-                # this session's view to the new active generation
-                view = name.replace(".", "_")
-                if swap == "generation" and any(
-                    t.name == view for t in self.spark.catalog.listTables()
-                    if t.isTemporary
-                ):
-                    Dataset(self.spark, data_path,
-                            format=fmt, name=name).to_view(view)
             except FileNotFoundError:
                 results[name] = {"skipped": "no data files"}
+                continue
             except Exception as exc:  # one bad dataset must not kill the sweep
                 results[name] = {"error": f"{type(exc).__name__}: {exc}"[:500]}
+                continue
+            # a generation swap moves the live data out from under any
+            # temp view registered over the old layout — rebind this
+            # session's view (catalog stores names lowercased). Scoped
+            # OUTSIDE the compact try: a rebind hiccup must not masquerade
+            # as a failed compaction (the rewrite already committed).
+            view = name.replace(".", "_")
+            if swap == "generation" and any(
+                t.name.lower() == view.lower()
+                for t in self.spark.catalog.listTables()
+                if t.isTemporary
+            ):
+                try:
+                    Dataset(self.spark, data_path,
+                            format=fmt, name=name).to_view(view)
+                except Exception as exc:
+                    results[name]["rebind_error"] = str(exc)[:200]
         return results
 
     def __getitem__(self, name: str) -> Dataset:

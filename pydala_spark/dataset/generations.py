@@ -51,7 +51,15 @@ ROOT_GEN = ""
 
 
 def _gen_dirs(po: PathOps, local: str) -> list[str]:
-    return sorted(d for d in po.list_dir(local) if d.startswith(GEN_PREFIX))
+    """Real generation directories only (``gen-`` + digits) — staging
+    leftovers like ``gen-000001__repartition_tmp`` must never win a
+    corrupt-pointer fallback; numeric sort so unpadded names can't
+    misorder."""
+    gens = [
+        d for d in po.list_dir(local)
+        if d.startswith(GEN_PREFIX) and d[len(GEN_PREFIX):].isdigit()
+    ]
+    return sorted(gens, key=lambda d: int(d[len(GEN_PREFIX):]))
 
 
 def read_pointer(spark: SparkSession, base: str) -> dict | None:
@@ -122,7 +130,17 @@ def commit(
     local = strip_scheme(base).rstrip("/")
     po = PathOps(spark, base)
     prev = read_pointer(spark, base)
-    if prev is None:
+    if prev is None and po.exists(posixpath.join(local, GEN_POINTER)):
+        # pointer exists but is unreadable (truncated PUT): reconstruct
+        # the history from disk so previously-retained generations stay
+        # in the retention ledger instead of becoming orphaned storage
+        history = [g for g in _gen_dirs(po, local) if g != gen_name]
+        if any(
+            not p[len(local):].lstrip("/").startswith(GEN_PREFIX)
+            for p, _sz in po.data_files(local)
+        ):
+            history = [ROOT_GEN] + history
+    elif prev is None:
         history = [ROOT_GEN]  # the flat originals become generation zero
     else:
         history = [g for g in prev.get("generations", []) if g != gen_name]

@@ -190,6 +190,20 @@ class Dataset:
             raise ValueError(
                 f"directory partitioning unsupported for format {self.format!r}"
             )
+        # end-anchoring requires every file to sit at EXACTLY
+        # base/<n partition dirs>/file — a stray deeper subdirectory
+        # would silently shift which segment becomes which partition
+        # value, so depth is validated up front (driver-side file
+        # listing; this is the migration-path reader, and the listing is
+        # already materialized for the scan)
+        depths = {f.count("/") for f in df.inputFiles()}
+        if len(depths) > 1:
+            raise ValueError(
+                "directory-partitioned dataset has files at mixed depths "
+                f"under {self.path!r} (expected every file at "
+                f"base/{'/'.join(self.partitioning)}/<file>); "
+                "clean up stray nested directories"
+            )
         parts = F.split(F.input_file_name(), "/")
         n = len(self.partitioning)
         pinned_types = {f.name: f.dataType for f in pinned.fields} if pinned else {}
@@ -404,9 +418,14 @@ class Dataset:
         # min/max/approx_count_distinct would fail the whole pass, so
         # they get null stats (counts still computed)
         plain = {c for c in cols if not dtypes[c].startswith("map<")}
-        numeric_prefixes = ("tinyint", "smallint", "int", "bigint",
-                            "float", "double", "decimal")
-        numeric = {c for c in cols if dtypes[c].startswith(numeric_prefixes)}
+        # exact names + decimal(p,s): a prefix test on "int" would also
+        # match "interval day to second", whose cast-to-double is illegal
+        # and would fail the whole profile pass
+        numeric_names = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+        numeric = {
+            c for c in cols
+            if dtypes[c] in numeric_names or dtypes[c].startswith("decimal(")
+        }
         aggs = []
         for c in cols:
             aggs.append(F.count(F.col(c)).alias(f"{c}\t_nn"))

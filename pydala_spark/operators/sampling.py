@@ -112,8 +112,12 @@ def shuffle_key(col: str | Column, seed: int = 0) -> Column:
     """The permutation key :func:`deterministic_shuffle` sorts by:
     ``md5(seed || '|' || key)``. Exposed so the declared query surface
     and the operator share one definition (oracle-checkable — md5 hex is
-    identical across engines)."""
-    return F.md5(F.concat_ws("|", F.lit(str(seed)), _key(col).cast("string")))
+    identical across engines). ``concat`` not ``concat_ws``: a NULL key
+    yields a NULL sort key, matching SQL ``||`` semantics exactly
+    (concat_ws would silently collapse every NULL-key row onto
+    ``md5(seed)``); NULL-key rows group at one end of the order — give
+    rows a real key if that matters."""
+    return F.md5(F.concat(F.lit(str(seed)), F.lit("|"), _key(col).cast("string")))
 
 
 def deterministic_shuffle(

@@ -64,6 +64,9 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rep = repetition_stats(docs, id_col="doc_id", ngram=2).select(
         "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        "dup_line_frac",
+        "dup_line_char_frac",
         F.col("n_grams").cast("long").alias("n_grams"),
         "dup_ngram_frac",
         "top_ngram",
@@ -101,6 +104,17 @@ pg AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
 gt AS (SELECT doc_id, SUM(cnt) AS n_grams,
               1.0 - COUNT(*) / SUM(cnt) AS dup_ngram_frac
        FROM pg GROUP BY 1),
+ln AS (
+  SELECT doc_id, TRIM(u.l) AS line
+  FROM documents, unnest(string_split(text, chr(10))) AS u(l)
+  WHERE TRIM(u.l) <> ''
+),
+pl AS (SELECT doc_id, line, COUNT(*) AS cnt FROM ln GROUP BY 1, 2),
+ls AS (SELECT doc_id, SUM(cnt) AS n_lines,
+              1.0 - COUNT(*) / SUM(cnt) AS dup_line_frac,
+              SUM(CASE WHEN cnt > 1 THEN cnt * LENGTH(line) ELSE 0 END)
+                / SUM(cnt * LENGTH(line)) AS dup_line_char_frac
+       FROM pl GROUP BY 1),
 tg AS (SELECT doc_id, gram AS top_ngram, cnt AS top_ngram_cnt
        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
                                           ORDER BY cnt DESC, gram) AS r
@@ -112,6 +126,9 @@ SELECT s.doc_id, s.n_chars AS n_chars_calc, n_tokens, n_punct, n_unique_words,
   (CASE WHEN n_tokens >= 10 AND n_tokens <= 1000 THEN 1 ELSE 0 END
    + CASE WHEN CAST(n_punct AS DOUBLE) / s.n_chars <= 0.1 THEN 1 ELSE 0 END
    + CASE WHEN CAST(stop_en AS DOUBLE) / n_tokens >= 0.01 THEN 1 ELSE 0 END) AS q_score,
+  CAST(COALESCE(ls.n_lines, 0) AS BIGINT) AS n_lines,
+  COALESCE(ls.dup_line_frac, 0.0) AS dup_line_frac,
+  COALESCE(ls.dup_line_char_frac, 0.0) AS dup_line_char_frac,
   CAST(COALESCE(gt.n_grams, 0) AS BIGINT) AS n_grams,
   COALESCE(gt.dup_ngram_frac, 0.0) AS dup_ngram_frac,
   tg.top_ngram,
@@ -120,6 +137,7 @@ SELECT s.doc_id, s.n_chars AS n_chars_calc, n_tokens, n_punct, n_unique_words,
            0.0) AS top_ngram_char_frac
 FROM s
 JOIN tk ON s.doc_id = tk.doc_id
+LEFT JOIN ls ON s.doc_id = ls.doc_id
 LEFT JOIN gt ON s.doc_id = gt.doc_id
 LEFT JOIN tg ON s.doc_id = tg.doc_id
 """

@@ -237,3 +237,19 @@ def test_directory_flavor_special_char_base_path(spark, tmp_path):
     vals = sorted(r["year"] for r in out.select("year").distinct().collect())
     assert vals == ["2024", "2025"]
     assert out.where("year = '2024'").count() == 4
+
+
+def test_directory_flavor_mixed_depth_raises(spark, tmp_path):
+    # a stray deeper subdirectory would silently shift partition values
+    # under end-anchored extraction — it must raise instead
+    import os
+
+    import pytest
+
+    base = str(tmp_path / "dirpart_bad")
+    spark.range(2).write.parquet(os.path.join(base, "2024"))
+    spark.range(2).write.parquet(os.path.join(base, "2025", "stray"))
+    from pydala_spark import Dataset
+
+    with pytest.raises(ValueError, match="mixed depths"):
+        Dataset(spark, base, partitioning=["year"]).load()
