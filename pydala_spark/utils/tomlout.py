@@ -19,8 +19,16 @@ def _scalar(v) -> str:
         return str(v)
     if isinstance(v, (list, tuple)):
         return "[" + ", ".join(_scalar(x) for x in v) + "]"
-    # JSON string escaping is a valid TOML basic string
-    return json.dumps(str(v))
+    return _quote(str(v))
+
+
+def _quote(text: str) -> str:
+    # JSON string escaping is a valid TOML basic string — with two
+    # fixes (both found by the hypothesis round-trip fuzz):
+    # ensure_ascii=False (ASCII-escaping emits astral-plane characters
+    # as \ud800-surrogate PAIRS, which TOML forbids) and an explicit
+    # escape for DEL, the one control char JSON leaves raw
+    return json.dumps(text, ensure_ascii=False).replace("\x7f", "\\u007f")
 
 
 def dumps(config: dict) -> str:
@@ -35,10 +43,10 @@ def dumps(config: dict) -> str:
             if isinstance(val, dict):
                 subs.append((key, val))
             else:
-                lines.append(f"{json.dumps(str(key))} = {_scalar(val)}"
+                lines.append(f"{_quote(str(key))} = {_scalar(val)}"
                              if _needs_quoting(key) else f"{key} = {_scalar(val)}")
         for key, val in subs:
-            seg = key if not _needs_quoting(key) else json.dumps(str(key))
+            seg = key if not _needs_quoting(key) else _quote(str(key))
             name = f"{prefix}.{seg}" if prefix else seg
             lines.append("")
             lines.append(f"[{name}]")
@@ -48,5 +56,12 @@ def dumps(config: dict) -> str:
     return "\n".join(lines).lstrip("\n") + "\n"
 
 
+import re
+
+_BARE_KEY = re.compile(r"^[A-Za-z0-9_-]+$")  # TOML bare keys are ASCII-only
+# (str.isalnum would wrongly accept Unicode letters like 'µ' — caught by
+# the hypothesis round-trip fuzz in tests/test_properties.py)
+
+
 def _needs_quoting(key: str) -> bool:
-    return not key.replace("-", "").replace("_", "").isalnum()
+    return not _BARE_KEY.match(key)

@@ -140,3 +140,71 @@ def test_unified_schema_covers_all_fields(schema_list):
         for s in schema_list:
             for f in s:
                 assert unified.field(f.name).type.equals(f.type)
+
+
+# -- TOML emitter round-trip (round 3: sidecar write-back) ------------------
+
+_toml_scalar = st.one_of(
+    st.text(max_size=40),
+    st.integers(min_value=-(2**53), max_value=2**53),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    st.booleans(),
+    st.lists(st.text(max_size=12), max_size=4),
+)
+_toml_key = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"),
+                           whitelist_characters="_-"),
+    min_size=1, max_size=16,
+)
+_toml_table = st.recursive(
+    st.dictionaries(_toml_key, _toml_scalar, max_size=4),
+    lambda inner: st.dictionaries(
+        _toml_key, st.one_of(_toml_scalar, inner), max_size=4
+    ),
+    max_leaves=8,
+)
+
+
+@given(_toml_table)
+@settings(max_examples=150, deadline=None)
+def test_tomlout_roundtrips_arbitrary_configs(cfg):
+    import tomllib
+
+    from pydala_spark.utils.tomlout import dumps
+
+    parsed = tomllib.loads(dumps(cfg))
+
+    def norm(d):
+        out = {}
+        for k, v in d.items():
+            if isinstance(v, dict):
+                out[k] = norm(v)
+            elif isinstance(v, float):
+                out[k] = round(v, 9)
+            elif isinstance(v, (list, tuple)):
+                out[k] = [str(x) for x in v]
+            else:
+                out[k] = v
+        return out
+
+    # floats compare to 9 places (repr round-trips, TOML parsing is
+    # exact for repr output — the rounding only guards float32 noise)
+    assert norm(parsed) == norm(cfg)
+
+
+# -- deterministic sampling thresholds (round 3: mixture weighting) ---------
+
+@given(
+    st.dictionaries(st.sampled_from(["a", "b", "c"]),
+                    st.floats(min_value=0, max_value=1), max_size=3),
+    st.floats(min_value=0, max_value=1),
+)
+def test_mixture_thresholds_nest(rates, default_rate):
+    # the per-domain threshold is monotone in the rate, so a domain's
+    # sample at r1 <= r2 is a subset — verified at the threshold level
+    # (the Spark filter compares the same bucket to the same threshold)
+    from pydala_spark.operators.sampling import sample_threshold
+
+    for d, r in rates.items():
+        assert sample_threshold(r) <= sample_threshold(min(1.0, r + 0.1) if r <= 0.9 else 1.0)
+    assert 0 <= sample_threshold(default_rate) <= 1 << 32
