@@ -114,6 +114,59 @@ def predict_lang(col: str | Column, default: str = "other") -> Column:
     return best_lang
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    standard preprocessing step before embedding or training on long
+    documents. Chunk k covers tokens ``[1 + k*stride, … + chunk_tokens)``
+    with ``stride = chunk_tokens - overlap``; a tail window that would
+    add no tokens beyond the previous chunk's coverage is dropped.
+
+    Pure column algebra (materialized token array -> start grid ->
+    ``explode_cheaply`` -> slice), so it runs inside whole-stage codegen
+    with no Python; output rows scale with total tokens / stride.
+    Returns (id, chunk_id, n_chunk_tokens, chunk_text).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    from pydala_spark.operators.dedup import explode_cheaply
+
+    base = df.select(
+        F.col(id_col).alias("id"), word_regex_tokens(text_col).alias("__toks")
+    )
+    n = F.size("__toks")
+    starts = F.when(
+        n >= 1, F.sequence(F.lit(1), n, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    ex = explode_cheaply(
+        base.select("id", "__toks", starts.alias("__starts")),
+        F.col("__starts"),
+        "start",
+    )
+    # the previous chunk covers through start + overlap - 1; a tail
+    # window beyond that adds nothing and is dropped
+    ex = ex.where(
+        (F.col("start") == 1) | (F.size("__toks") >= F.col("start") + overlap)
+    )
+    chunked = ex.select(
+        "id",
+        ((F.col("start") - 1) / stride).cast("long").alias("chunk_id"),
+        F.slice("__toks", F.col("start"), chunk_tokens).alias("__chunk"),
+    )
+    return chunked.select(
+        F.col("id").alias(id_col),
+        "chunk_id",
+        F.size("__chunk").alias("n_chunk_tokens"),
+        F.concat_ws(" ", "__chunk").alias("chunk_text"),
+    )
+
+
 def repetition_stats(
     df: DataFrame,
     id_col: str = "doc_id",

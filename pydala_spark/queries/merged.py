@@ -222,7 +222,20 @@ def q_collection_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k.cast("decimal(25,0)")).cast("double").alias("sum_k"),
         (F.sum(k.cast("decimal(25,0)")).cast("double") / F.count("*")).alias("avg_k"),
     )
-    return _tagged_union([("array", arr), ("map", maps), ("json", js)])
+    # round 3: overlapping token-window document chunking (the
+    # embed/train preprocessing step) as a fourth family
+    from pydala_spark.operators.textstats import chunk_documents
+
+    chunks = chunk_documents(
+        docs.where(F.col("doc_id") < 50), chunk_tokens=32, overlap=4
+    ).select(
+        "doc_id", "chunk_id",
+        F.col("n_chunk_tokens").cast("long").alias("n_tokens"),
+        "chunk_text",
+    )
+    return _tagged_union(
+        [("array", arr), ("map", maps), ("json", js), ("chunk", chunks)]
+    )
 
 
 from pydala_spark.queries.ext import _WORD_SPLIT_SQL as _WORD_SPLIT  # noqa: E402
@@ -237,7 +250,8 @@ SELECT 'array' AS family, doc_id, LEN(t) AS n_tokens,
   CAST(NULL AS DOUBLE) AS qty_val, CAST(NULL AS INT) AS m_size,
   CAST(NULL AS VARCHAR) AS m_keys, CAST(NULL AS VARCHAR) AS event_type,
   CAST(NULL AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS sum_k,
-  CAST(NULL AS DOUBLE) AS avg_k
+  CAST(NULL AS DOUBLE) AS avg_k,
+  CAST(NULL AS BIGINT) AS chunk_id, CAST(NULL AS VARCHAR) AS chunk_text
 FROM (SELECT doc_id, {_WORD_SPLIT} AS t FROM documents)
 UNION ALL
 SELECT 'map', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS INT),
@@ -246,7 +260,8 @@ SELECT 'map', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS INT),
   CAST(cardinality(map(['qty','price'], [l_quantity, l_extendedprice])) AS INT),
   array_to_string(map_keys(map(['qty','price'], [l_quantity, l_extendedprice])), ','),
   CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
-  CAST(NULL AS DOUBLE)
+  CAST(NULL AS DOUBLE),
+  CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
 FROM lineitem WHERE l_orderkey < 100
 UNION ALL
 SELECT 'json', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS INT),
@@ -254,8 +269,23 @@ SELECT 'json', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS INT),
   CAST(NULL AS DOUBLE), CAST(NULL AS INT), CAST(NULL AS VARCHAR),
   event_type, COUNT(*),
   CAST(SUM(CAST(CAST(props->>'$.k' AS INTEGER) AS DECIMAL(25,0))) AS DOUBLE),
-  CAST(SUM(CAST(CAST(props->>'$.k' AS INTEGER) AS DECIMAL(25,0))) AS DOUBLE) / COUNT(*)
+  CAST(SUM(CAST(CAST(props->>'$.k' AS INTEGER) AS DECIMAL(25,0))) AS DOUBLE) / COUNT(*),
+  CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
 FROM events GROUP BY event_type
+UNION ALL
+SELECT 'chunk', doc_id, LEN(t[st : st + 31]) AS n_tokens,
+  CAST(NULL AS INT), CAST(NULL AS VARCHAR),
+  CAST(NULL AS BIGINT), CAST(NULL AS INT),
+  CAST(NULL AS DOUBLE), CAST(NULL AS INT), CAST(NULL AS VARCHAR),
+  CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+  CAST(NULL AS DOUBLE),
+  CAST((st - 1) // 28 AS BIGINT) AS chunk_id,
+  array_to_string(t[st : st + 31], ' ') AS chunk_text
+FROM (
+  SELECT doc_id, t, unnest(range(1, LEN(t) + 1, 28)) AS st
+  FROM (SELECT doc_id, {_WORD_SPLIT} AS t FROM documents WHERE doc_id < 50)
+)
+WHERE st = 1 OR LEN(t) >= st + 4
 """
 
 

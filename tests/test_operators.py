@@ -671,3 +671,41 @@ def test_streaming_compaction_generation_swap(spark, tmp_path):
     ds = Dataset(spark, dest)
     assert ds.path.endswith(ptr["active"])
     assert ds.count() == 12  # every micro-batch's rows survived the swaps
+
+
+def test_chunk_documents(spark):
+    from pydala_spark.operators.textstats import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(10))),  # 10 tokens
+            (2, "only three tokens"),
+            (3, ""),                                     # empty -> no chunks
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=8, overlap=2)
+    rows = sorted(
+        (r["doc_id"], r["chunk_id"], r["n_chunk_tokens"], r["chunk_text"])
+        for r in out.collect()
+    )
+    # doc1: stride 6 -> chunk0 = w0..w7, chunk1 = w6..w9 (tail shorter)
+    assert rows == [
+        (1, 0, 8, " ".join(f"w{i}" for i in range(8))),
+        (1, 1, 4, "w6 w7 w8 w9"),
+        (2, 0, 3, "only three tokens"),
+    ]
+    # overlap: chunk1 re-covers the last `overlap` tokens of chunk0
+    assert rows[1][3].split()[:2] == ["w6", "w7"]
+
+    # a tail window that adds no new tokens is dropped
+    seven = spark.createDataFrame(
+        [(9, " ".join(f"t{i}" for i in range(7)))], "doc_id long, text string"
+    )
+    got = chunk_documents(seven, chunk_tokens=8, overlap=2).collect()
+    assert len(got) == 1 and got[0]["n_chunk_tokens"] == 7
+
+    import pytest
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
