@@ -13,10 +13,13 @@ from pydala_spark.operators.dedup import (
 )
 from pydala_spark.operators.ann import ivf_topk, kmeans_centroids
 from pydala_spark.operators.sampling import (
+    deterministic_shuffle,
     hash_bucket,
     hash_sample,
+    shuffle_key,
     stratified_sample,
     train_test_split,
+    weighted_domain_sample,
 )
 from pydala_spark.operators.packing import pack_shards, shard_summary
 from pydala_spark.operators.similarity import (
@@ -26,9 +29,12 @@ from pydala_spark.operators.similarity import (
     quantized_cosine_topk,
 )
 from pydala_spark.operators.skew import salted_agg, salted_broadcast_left_join, salted_join
+from pydala_spark.operators.multimodal import decode_media, extract_features
 from pydala_spark.operators.textstats import (
+    chunk_documents,
     fingerprint,
     quality_stats,
+    repetition_stats,
     token_count,
     tokens,
 )
@@ -51,6 +57,9 @@ __all__ = [
     "hash_sample",
     "stratified_sample",
     "train_test_split",
+    "weighted_domain_sample",
+    "deterministic_shuffle",
+    "shuffle_key",
     "ivf_topk",
     "kmeans_centroids",
     "contamination_hits",
@@ -62,6 +71,10 @@ __all__ = [
     "salted_join",
     "fingerprint",
     "quality_stats",
+    "repetition_stats",
+    "chunk_documents",
     "token_count",
     "tokens",
+    "decode_media",
+    "extract_features",
 ]

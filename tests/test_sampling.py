@@ -124,3 +124,19 @@ def test_deterministic_shuffle(spark):
     sharded = deterministic_shuffle(df, "id", seed=1, n_partitions=5)
     assert [r["id"] for r in sharded.collect()] == a
     assert sharded.rdd.getNumPartitions() == 5
+
+
+def test_weighted_domain_sample_null_domain_uses_default(spark):
+    from pydala_spark.operators.sampling import weighted_domain_sample
+
+    df = spark.createDataFrame(
+        [(1, "web"), (2, None), (3, None), (4, "web")],
+        "id long, domain string",
+    )
+    # NULL domain never equals any listed domain -> default rate applies
+    kept = weighted_domain_sample(df, "id", "domain", {"web": 0.0},
+                                  default_rate=1.0)
+    assert sorted(r["id"] for r in kept.collect()) == [2, 3]
+    dropped = weighted_domain_sample(df, "id", "domain", {"web": 1.0},
+                                     default_rate=0.0)
+    assert sorted(r["id"] for r in dropped.collect()) == [1, 4]
