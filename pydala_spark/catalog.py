@@ -207,6 +207,11 @@ class Datalake:
         from pydala_spark.dataset.maintain import compact
 
         results: dict[str, dict] = {}
+        # one catalog listing for the whole sweep — the temp-view set
+        # doesn't change during it (rebind only replaces existing views)
+        temp_views = {
+            t.name.lower() for t in self.spark.catalog.listTables() if t.isTemporary
+        }
         for name, base in self.discover().items():
             current = posixpath.join(base, "current")
             data_path = current if self._po.is_dir(current) else base
@@ -230,11 +235,7 @@ class Datalake:
             # OUTSIDE the compact try: a rebind hiccup must not masquerade
             # as a failed compaction (the rewrite already committed).
             view = name.replace(".", "_")
-            if swap == "generation" and any(
-                t.name.lower() == view.lower()
-                for t in self.spark.catalog.listTables()
-                if t.isTemporary
-            ):
+            if swap == "generation" and view.lower() in temp_views:
                 try:
                     Dataset(self.spark, data_path,
                             format=fmt, name=name).to_view(view)

@@ -27,8 +27,10 @@ rename swap makes). Two concurrent ``commit`` calls race last-writer-wins
 on the pointer; serialize maintenance (the streaming ride-along does, by
 running inside foreachBatch). Concurrent readers and the single appender
 are always safe — they only ever follow the pointer. A corrupt or
-unreadable pointer degrades to reading the base path (resolve returns the
-path unchanged) rather than failing the job.
+unreadable pointer degrades gracefully rather than failing the job:
+``resolve`` falls back to the highest existing ``gen-*`` directory (the
+base of a migrated dataset holds only generation subdirs), or to the
+base path itself when none exist.
 """
 
 from __future__ import annotations
@@ -125,8 +127,15 @@ def commit(
     The pre-migration flat root files participate in retention as a
     pseudo-generation (``ROOT_GEN`` in the history), so the first
     migration keeps in-flight readers of the original files alive for
-    exactly as long as any other superseded generation. Returns the
-    written pointer."""
+    exactly as long as any other superseded generation.
+
+    Crash safety: generations leaving the retention window are recorded
+    in the pointer's ``pending_delete`` ledger in the SAME single PUT
+    that activates the new generation; the deletes run after. A crash
+    between the PUT and the deletes leaves them in the ledger, and the
+    next commit retries them (deletes are idempotent) — no orphaned
+    storage, still one pointer write per commit. Returns the written
+    pointer."""
     local = strip_scheme(base).rstrip("/")
     po = PathOps(spark, base)
     prev = read_pointer(spark, base)
@@ -146,12 +155,33 @@ def commit(
         history = [g for g in prev.get("generations", []) if g != gen_name]
     history.append(gen_name)
 
-    # prune plan first, so THE swap is truly one small-object write
+    # prune plan first, so THE swap is truly one small-object write;
+    # unfinished deletes from a crashed previous commit are retried
     cutoff = len(history) - 1 - keep_previous
     doomed = history[:cutoff] if cutoff > 0 else []
-    ptr = {"active": gen_name, "generations": history[cutoff:] if doomed else history}
+    def _still_present(g: str) -> bool:
+        if g == ROOT_GEN:
+            return any(
+                not p[len(local):].lstrip("/").startswith(GEN_PREFIX)
+                for p, _sz in po.data_files(local)
+            )
+        return po.exists(posixpath.join(local, g))
+
+    doomed = [
+        g for g in (prev or {}).get("pending_delete", [])
+        if g not in doomed and _still_present(g)
+    ] + doomed
+    ptr = {
+        "active": gen_name,
+        "generations": history[cutoff:] if cutoff > 0 else history,
+    }
+    if doomed:
+        ptr["pending_delete"] = doomed
     po.write_text(posixpath.join(local, GEN_POINTER), json.dumps(ptr, indent=2))
 
+    # the ledger stays in the pointer until the NEXT commit rewrites it —
+    # deletes are idempotent, so there is no second PUT to clear it and a
+    # crash anywhere below simply means a retry next sweep
     for g in doomed:
         if g == ROOT_GEN:
             # the pre-migration flat files at the base root

@@ -191,12 +191,31 @@ class Dataset:
                 f"directory partitioning unsupported for format {self.format!r}"
             )
         # end-anchoring requires every file to sit at EXACTLY
-        # base/<n partition dirs>/file — a stray deeper subdirectory
-        # would silently shift which segment becomes which partition
-        # value, so depth is validated up front (driver-side file
-        # listing; this is the migration-path reader, and the listing is
-        # already materialized for the scan)
-        depths = {f.count("/") for f in df.inputFiles()}
+        # base/<n partition dirs>/file — a stray deeper OR shallower
+        # layout would silently shift which segment becomes which
+        # partition value. Validated up front (driver-side; the listing
+        # is already materialized for the scan): uniform depth, and the
+        # segment just above the partition dirs must be the base
+        # directory itself (decoded — Hadoop URI-encodes segments).
+        import urllib.parse
+
+        from pydala_spark.utils.pathops import strip_scheme
+
+        n = len(self.partitioning)
+        base_name = posixpath.basename(strip_scheme(self.path).rstrip("/"))
+        depths = set()
+        for f in df.inputFiles():
+            segs = f.split("/")
+            depths.add(len(segs))
+            parent = urllib.parse.unquote(segs[-(n + 2)].replace("+", "%2B"))
+            if parent != base_name:
+                raise ValueError(
+                    f"directory-partitioned file {f!r} is not at "
+                    f"base/{'/'.join(self.partitioning)}/<file> under "
+                    f"{self.path!r} (found {parent!r} where the base "
+                    "directory was expected) — clean up stray nesting or "
+                    "fix the partitioning column list"
+                )
         if len(depths) > 1:
             raise ValueError(
                 "directory-partitioned dataset has files at mixed depths "
@@ -205,7 +224,6 @@ class Dataset:
                 "clean up stray nested directories"
             )
         parts = F.split(F.input_file_name(), "/")
-        n = len(self.partitioning)
         pinned_types = {f.name: f.dataType for f in pinned.fields} if pinned else {}
         for i, name in enumerate(self.partitioning):
             # value i sits i segments after the first partition dir,

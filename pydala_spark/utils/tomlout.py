@@ -58,10 +58,11 @@ def dumps(config: dict) -> str:
 
 import re
 
-_BARE_KEY = re.compile(r"^[A-Za-z0-9_-]+$")  # TOML bare keys are ASCII-only
+_BARE_KEY = re.compile(r"[A-Za-z0-9_-]+")  # TOML bare keys are ASCII-only
 # (str.isalnum would wrongly accept Unicode letters like 'µ' — caught by
 # the hypothesis round-trip fuzz in tests/test_properties.py)
 
 
 def _needs_quoting(key: str) -> bool:
-    return not _BARE_KEY.match(key)
+    # fullmatch, not match-with-$: '$' would accept a trailing newline
+    return not _BARE_KEY.fullmatch(key)

@@ -251,5 +251,21 @@ def test_directory_flavor_mixed_depth_raises(spark, tmp_path):
     spark.range(2).write.parquet(os.path.join(base, "2025", "stray"))
     from pydala_spark import Dataset
 
-    with pytest.raises(ValueError, match="mixed depths"):
+    with pytest.raises(ValueError, match="mixed depths|base directory was expected"):
+        Dataset(spark, base, partitioning=["year"]).load()
+
+
+def test_directory_flavor_uniform_wrong_depth_raises(spark, tmp_path):
+    # files uniformly ONE level deeper than the partition spec: the
+    # parent-segment check must reject, not silently mis-assign
+    import os
+
+    import pytest
+
+    base = str(tmp_path / "dirpart_deep")
+    spark.range(2).write.parquet(os.path.join(base, "2024", "batch1"))
+    spark.range(2).write.parquet(os.path.join(base, "2025", "batch2"))
+    from pydala_spark import Dataset
+
+    with pytest.raises(ValueError, match="base directory was expected"):
         Dataset(spark, base, partitioning=["year"]).load()
