@@ -384,3 +384,43 @@ def test_generation_pointer_corruption_with_migrated_layout(spark, tmp_path):
     # and a lake sweep over it recovers instead of dying
     compact(spark, base, swap="generation")
     assert Dataset(spark, base).count() == 40
+
+
+def test_generation_pending_delete_ledger_retry(spark, tmp_path):
+    # simulate a crash between the pointer PUT and the prune deletes:
+    # the doomed generation sits in pending_delete; the next commit
+    # retries the delete instead of orphaning it forever
+    import json
+    import os
+
+    from pydala_spark.dataset import generations
+    from pydala_spark.dataset.maintain import compact
+    from pydala_spark.dataset.reader import Dataset
+
+    base = str(tmp_path / "gen_ledger")
+    spark.range(30).repartition(3).write.parquet(base)
+    compact(spark, base, swap="generation")  # gen-000001
+    compact(spark, base, swap="generation")  # gen-000002, root pruned
+    # craft the crashed state: gen-000001 doomed but not deleted
+    ptr_path = os.path.join(base, "_generation.json")
+    with open(ptr_path) as f:
+        ptr = json.load(f)
+    assert os.path.isdir(os.path.join(base, "gen-000001"))
+    ptr["generations"] = ["gen-000002"]
+    ptr["pending_delete"] = ["gen-000001"]
+    with open(ptr_path, "w") as f:
+        json.dump(ptr, f)
+
+    compact(spark, base, swap="generation")  # gen-000003
+    # the crashed commit's doomed dir was retried and removed
+    assert not os.path.isdir(os.path.join(base, "gen-000001"))
+    assert os.path.isdir(os.path.join(base, "gen-000002"))  # retained prev
+    with open(ptr_path) as f:
+        final = json.load(f)
+    assert final["active"] == "gen-000003"
+    # ledger does not accumulate already-deleted entries forever
+    compact(spark, base, swap="generation")
+    with open(ptr_path) as f:
+        after = json.load(f)
+    assert "gen-000001" not in after.get("pending_delete", [])
+    assert Dataset(spark, base).count() == 30
