@@ -573,3 +573,22 @@ def test_datalake_maintain_generation_swap(spark, tmp_path):
     lake2 = Datalake(spark, root)
     lake2.load()
     assert lake2.sql("SELECT count(*) AS n FROM a").first()["n"] == 30
+
+
+def test_datalake_view_rebound_across_generation_sweeps(spark, tmp_path):
+    # views registered over the flat layout must survive TWO generation
+    # sweeps (the second prunes the flat root files the old view read)
+    root = str(tmp_path / "lake_gen2")
+    lake = Datalake(spark, root)
+    spark.range(25).repartition(5).write.parquet(os.path.join(root, "tbl"))
+    lake.add_dataset("tbl")
+    lake.load()
+    assert lake.sql("SELECT count(*) AS n FROM tbl").first()["n"] == 25
+    for _ in range(2):
+        results = lake.maintain(swap="generation")
+        assert "error" not in results["tbl"], results["tbl"]
+        # the rebound view reads the new active generation immediately
+        assert lake.sql("SELECT count(*) AS n FROM tbl").first()["n"] == 25
+    # flat root files are gone after the second sweep
+    assert not [p for p in os.listdir(os.path.join(root, "tbl"))
+                if p.endswith(".parquet")]
