@@ -424,3 +424,27 @@ def test_generation_pending_delete_ledger_retry(spark, tmp_path):
         after = json.load(f)
     assert "gen-000001" not in after.get("pending_delete", [])
     assert Dataset(spark, base).count() == 30
+
+
+def test_compact_then_recluster_generation_chain(spark, tmp_path):
+    # maintenance operators chain on an already-generational dataset:
+    # recluster reads the active generation and commits the next one
+    import json
+    import os
+
+    from pydala_spark.dataset.maintain import compact, recluster
+    from pydala_spark.dataset.reader import Dataset
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "gen_chain2")
+    spark.range(500).withColumn("a", F.col("id") % 13).repartition(
+        5
+    ).write.parquet(base)
+    compact(spark, base, swap="generation")          # gen-000001
+    recluster(spark, base, ["id", "a"], n_files=2, swap="generation")  # gen-000002
+    with open(os.path.join(base, "_generation.json")) as f:
+        ptr = json.load(f)
+    assert ptr["active"] == "gen-000002"
+    ds = Dataset(spark, base)
+    assert ds.path.endswith("gen-000002")
+    assert ds.count() == 500
