@@ -25,12 +25,27 @@ constructor/write — a driver-side metadata call.
 Concurrency contract: ONE maintainer at a time (the same assumption the
 rename swap makes). Two concurrent ``commit`` calls race last-writer-wins
 on the pointer; serialize maintenance (the streaming ride-along does, by
-running inside foreachBatch). Concurrent readers and the single appender
-are always safe — they only ever follow the pointer. A corrupt or
-unreadable pointer degrades gracefully rather than failing the job:
-``resolve`` falls back to the highest existing ``gen-*`` directory (the
-base of a migrated dataset holds only generation subdirs), or to the
-base path itself when none exist.
+running inside foreachBatch). Concurrent readers are always safe — they
+only ever follow the pointer. A single appender running concurrently
+with maintenance is protected by CARRY-FORWARD: ``commit`` re-lists the
+superseded generation immediately before the pointer write and copies
+any data file the compaction did not read (a straggler append) into the
+new generation, and records the full accounted file list in the new
+generation's ``_inputs.json`` provenance sidecar. An append that becomes
+visible only AFTER that re-listing (the residual window is one listing +
+one small PUT, not the whole compaction) stays in the superseded
+generation — which is retained for ``keep_previous`` sweeps — and is
+carried into the active generation by the sweep that finally prunes it
+(prune-time carry compares the doomed generation's files against its
+successor's sidecar). Net: no append is ever deleted; worst case it is
+invisible for up to one maintenance sweep. Generations created before
+the sidecar existed have no provenance and keep the old prune behavior
+(documented legacy gap). For a zero-invisibility guarantee, serialize
+appenders with maintenance as well. A corrupt or unreadable pointer
+degrades gracefully rather than failing the job: ``resolve`` falls back
+to the highest existing ``gen-*`` directory (the base of a migrated
+dataset holds only generation subdirs), or to the base path itself when
+none exist.
 """
 
 from __future__ import annotations
@@ -44,6 +59,11 @@ from pydala_spark.utils.pathops import PathOps, strip_scheme
 
 GEN_POINTER = "_generation.json"
 GEN_PREFIX = "gen-"
+#: provenance sidecar written inside each generation by ``commit``:
+#: {"source": <gen it was compacted from>, "files": [rels accounted for],
+#:  "carried": {<doomed gen>: [rels carried at prune time]}}. The ``_``
+#: prefix hides it from Spark readers and ``PathOps.data_files``.
+INPUTS_SIDECAR = "_inputs.json"
 
 
 #: pseudo-generation name for the pre-migration flat root files; appears
@@ -119,8 +139,36 @@ def next_generation(spark: SparkSession, base: str) -> str:
     return f"{GEN_PREFIX}{seq + 1:06d}"
 
 
+def _gen_data_rels(po: PathOps, local: str, gen: str) -> list[str]:
+    """Relative data-file paths inside generation ``gen`` (``ROOT_GEN``
+    = the flat base root, excluding ``gen-*`` subtrees)."""
+    src = local if gen == ROOT_GEN else posixpath.join(local, gen)
+    rels = []
+    for p, _sz in po.data_files(src):
+        rel = p[len(src):].lstrip("/")
+        if gen == ROOT_GEN and rel.startswith(GEN_PREFIX):
+            continue
+        rels.append(rel)
+    return rels
+
+
+def _read_inputs(po: PathOps, local: str, gen: str) -> dict | None:
+    p = posixpath.join(local, gen, INPUTS_SIDECAR)
+    if po.exists(p):
+        try:
+            return json.loads(po.read_text(p))
+        except Exception:
+            return None
+    return None
+
+
 def commit(
-    spark: SparkSession, base: str, gen_name: str, keep_previous: int = 1
+    spark: SparkSession,
+    base: str,
+    gen_name: str,
+    keep_previous: int = 1,
+    source: str | None = None,
+    input_files: list[str] | None = None,
 ) -> dict:
     """Atomically activate ``gen_name`` (single pointer PUT), then prune
     generations more than ``keep_previous`` behind the new active one.
@@ -128,6 +176,20 @@ def commit(
     pseudo-generation (``ROOT_GEN`` in the history), so the first
     migration keeps in-flight readers of the original files alive for
     exactly as long as any other superseded generation.
+
+    Appender safety (carry-forward): when the caller supplies ``source``
+    (the generation the rewrite read from; ``ROOT_GEN`` for a flat root)
+    and ``input_files`` (the relative paths it actually read), commit
+    re-lists ``source`` immediately before the pointer write and copies
+    any straggler append into ``gen_name``, then records the full
+    accounted list in ``gen_name``'s ``_inputs.json``. Additionally,
+    every generation about to be PRUNED is checked against its
+    successor's sidecar and unaccounted files are carried into
+    ``gen_name`` too (recorded under ``carried`` so a pending-delete
+    retry never re-copies) — all before the PUT, so the carried data
+    activates atomically with the new generation. Copy cost ∝ straggler
+    bytes, which is bounded by the append rate during one maintenance
+    pass, not by dataset size.
 
     Crash safety: generations leaving the retention window are recorded
     in the pointer's ``pending_delete`` ledger in the SAME single PUT
@@ -171,9 +233,78 @@ def commit(
         g for g in (prev or {}).get("pending_delete", [])
         if g not in doomed and _still_present(g)
     ] + doomed
+    retained = history[cutoff:] if cutoff > 0 else history
+
+    # -- carry-forward (all BEFORE the pointer PUT, so carried data
+    # activates atomically with the new generation) ------------------------
+    new_dir = posixpath.join(local, gen_name)
+    sidecar: dict | None = None
+    if source is not None and input_files is not None:
+        # stragglers appended to the source generation after the rewrite
+        # listed its inputs: re-list now and copy the difference in
+        known = set(input_files)
+        for rel in _gen_data_rels(po, local, source):
+            if rel in known:
+                continue
+            src_file = (posixpath.join(local, rel) if source == ROOT_GEN
+                        else posixpath.join(local, source, rel))
+            dst = posixpath.join(new_dir, rel)
+            if not po.exists(dst):  # idempotent on re-run
+                po.copy_file(src_file, dst)
+            known.add(rel)
+        sidecar = {"source": source, "files": sorted(known), "carried": {}}
+
+    # prune-time carry: a doomed generation may hold an append that became
+    # visible only after its successor's pre-PUT re-listing; its
+    # successor's sidecar tells us which files WERE accounted for, so
+    # anything else is carried into the new active generation before the
+    # delete. Recorded under "carried" so a pending_delete retry (crash
+    # between PUT and deletes) never re-copies — re-copying after the
+    # carried rows were compacted onward would duplicate them.
+    if doomed:
+        # provenance comes from retained AND doomed generations: a doomed
+        # generation's sidecar still exists here (deletes run after the
+        # PUT), and on a pending_delete retry the successor that read a
+        # doomed generation may itself be doomed this round — skipping
+        # its sidecar would make the originals look like stragglers and
+        # re-copy (duplicate) them
+        provenance: list[dict] = []
+        for rg in dict.fromkeys([*retained, *doomed]):
+            if rg == ROOT_GEN:
+                continue  # the flat root never holds a sidecar
+            sc = sidecar if rg == gen_name else _read_inputs(po, local, rg)
+            if sc:
+                provenance.append(sc)
+        for g in doomed:
+            known_g: set | None = None
+            for sc in provenance:
+                if sc.get("source") == g:
+                    known_g = (known_g or set()) | set(sc.get("files", []))
+                if g in sc.get("carried", {}):
+                    known_g = (known_g or set()) | set(sc["carried"][g])
+            if known_g is None:
+                continue  # pre-sidecar legacy generation: old prune behavior
+            stragglers = [
+                rel for rel in _gen_data_rels(po, local, g) if rel not in known_g
+            ]
+            for rel in stragglers:
+                src_file = (posixpath.join(local, rel) if g == ROOT_GEN
+                            else posixpath.join(local, g, rel))
+                dst = posixpath.join(new_dir, rel)
+                if not po.exists(dst):
+                    po.copy_file(src_file, dst)
+            if stragglers:
+                if sidecar is None:
+                    sidecar = {"source": None, "files": [], "carried": {}}
+                sidecar["carried"][g] = sorted(stragglers)
+    if sidecar is not None:
+        po.write_text(
+            posixpath.join(new_dir, INPUTS_SIDECAR), json.dumps(sidecar, indent=2)
+        )
+
     ptr = {
         "active": gen_name,
-        "generations": history[cutoff:] if cutoff > 0 else history,
+        "generations": retained,
     }
     if doomed:
         ptr["pending_delete"] = doomed

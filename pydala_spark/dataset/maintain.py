@@ -167,9 +167,15 @@ def compact(
 
     if swap == "generation":
         # THE swap is one pointer write (atomic small-object PUT);
-        # superseded generations pruned behind a retention window
+        # superseded generations pruned behind a retention window.
+        # source + input_files let commit carry forward any append that
+        # landed in the superseded generation after the listing above
+        # (generations.py concurrency contract).
         generations.commit(
-            spark, base, posixpath.basename(tmp), keep_previous=keep_previous
+            spark, base, posixpath.basename(tmp), keep_previous=keep_previous,
+            source=(generations.ROOT_GEN if local == base
+                    else posixpath.basename(local)),
+            input_files=rels,
         )
         final = tmp
     else:
@@ -305,8 +311,10 @@ def recluster(
     base = strip_scheme(path).rstrip("/")
     local = strip_scheme(generations.resolve(spark, base)).rstrip("/")
     ops = PathOps(spark, local)
-    if not ops.data_files(local):
+    files = ops.data_files(local)
+    if not files:
         raise FileNotFoundError(f"no data files under {path}")
+    rels = [p[len(local):].lstrip("/") for p, _ in files]
     df = spark.read.parquet(local)
     if swap == "generation":
         tmp = posixpath.join(base, generations.next_generation(spark, base))
@@ -318,7 +326,10 @@ def recluster(
     )
     if swap == "generation":
         generations.commit(
-            spark, base, posixpath.basename(tmp), keep_previous=keep_previous
+            spark, base, posixpath.basename(tmp), keep_previous=keep_previous,
+            source=(generations.ROOT_GEN if local == base
+                    else posixpath.basename(local)),
+            input_files=rels,
         )
     else:
         old = local + "__precluster"

@@ -682,13 +682,39 @@ WHERE rnk <= {k}
 
 
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL approximate distinct (no oracle: estimator implementations
-    differ by design; rows-only check)."""
+    """HLL approximate distinct, value-checkable: the HLL estimate itself
+    differs across engines by design, so the declared output is the EXACT
+    distinct count plus a boolean asserting the Spark HLL estimate landed
+    within 5% of it. DuckDB's oracle emits the same exact count and a
+    literal TRUE — both engines hash-match while the approx path is still
+    exercised and bounded. rsd=0.02 (< the 0.05 tolerance) keeps the
+    boolean deterministic in practice."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("_approx"),
         F.count("*").alias("n"),
     )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "n",
+        (
+            F.abs(F.col("_approx") - F.col("exact_parts"))
+            / F.col("exact_parts")
+            <= F.lit(0.05)
+        ).alias("approx_within_tol"),
+    )
+
+
+_Q_APPROX_DISTINCT_SQL = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       COUNT(*) AS n,
+       TRUE AS approx_within_tol
+FROM lineitem
+GROUP BY l_returnflag
+"""
 
 
 EXT_QUERIES = {
@@ -726,6 +752,8 @@ EXT_ORACLE = {
     "q_embedding_neardup": _neardup_sql(64, 6),
     "q_lsh_topk": _lsh_topk_sql(64, 6),
     "q_ivf_topk": _ivf_topk_sql(4, 5),
-    # q_approx_distinct: intentionally no oracle (HLL estimators differ
-    # across engines by design; rows-only)
+    # HLL estimates differ across engines by design, so the query's
+    # declared output is the exact count + a within-tolerance boolean —
+    # both sides hash-match those (see q_approx_distinct docstring).
+    "q_approx_distinct": _Q_APPROX_DISTINCT_SQL,
 }

@@ -104,6 +104,18 @@ class PathOps:
         if not self.fs.rename(self._p(src), self._p(dst)):
             raise OSError(f"rename failed: {src} -> {dst}")
 
+    def copy_file(self, src: str, dst: str) -> None:
+        """Single-file copy, src preserved (parent dirs created). Used by
+        the generation carry-forward: cost ∝ straggler bytes only."""
+        FileUtil = self._jvm.org.apache.hadoop.fs.FileUtil
+        parent = self._p(dst).getParent()
+        if parent is not None:
+            self.fs.mkdirs(parent)
+        if not FileUtil.copy(
+            self.fs, self._p(src), self.fs, self._p(dst), False, self._conf
+        ):
+            raise OSError(f"copy failed: {src} -> {dst}")
+
     def copy_tree(self, src: str, dst: str) -> None:
         """Recursive copy (a real byte copy — snapshot backend only)."""
         FileUtil = self._jvm.org.apache.hadoop.fs.FileUtil

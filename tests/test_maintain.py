@@ -448,3 +448,116 @@ def test_compact_then_recluster_generation_chain(spark, tmp_path):
     ds = Dataset(spark, base)
     assert ds.path.endswith("gen-000002")
     assert ds.count() == 500
+
+
+def test_generation_commit_carries_straggler_append(spark, tmp_path):
+    # ADVICE r3: an append landing in the active generation between
+    # maintenance's input listing and the pointer commit must be carried
+    # into the new generation, not silently dropped when the superseded
+    # generation is pruned a sweep later
+    import json
+
+    from pydala_spark.dataset import generations
+    from pydala_spark.dataset.reader import Dataset
+
+    base = str(tmp_path / "gen_carry")
+    spark.range(0, 30).repartition(3).write.parquet(base)
+    compact(spark, base, swap="generation")  # gen-000001 active
+    gen1 = os.path.join(base, "gen-000001")
+    rels = sorted(
+        f for f in os.listdir(gen1) if not f.startswith(("_", "."))
+    )
+    # the rewrite reads gen1's files-as-listed...
+    gen2 = os.path.join(base, "gen-000002")
+    spark.read.parquet(*[os.path.join(gen1, r) for r in rels]).coalesce(
+        1
+    ).write.parquet(gen2)
+    # ...then an appender drops a straggler into gen1 before the commit
+    spark.range(100, 110).coalesce(1).write.mode("append").parquet(gen1)
+    generations.commit(
+        spark, base, "gen-000002", keep_previous=1,
+        source="gen-000001", input_files=rels,
+    )
+    # straggler rows are live in the ACTIVE generation immediately
+    ds = Dataset(spark, base)
+    assert ds.path.endswith("gen-000002")
+    assert ds.count() == 40
+    assert ds.load().agg(F.sum("id")).first()[0] == sum(range(30)) + sum(
+        range(100, 110)
+    )
+    # provenance sidecar accounts for every gen1 file incl. the straggler
+    with open(os.path.join(gen2, "_inputs.json")) as f:
+        sc = json.load(f)
+    assert sc["source"] == "gen-000001"
+    assert set(rels) < set(sc["files"]) and len(sc["files"]) == len(rels) + 1
+    # one sweep later gen1 is pruned and nothing is lost
+    compact(spark, base, swap="generation")  # gen-000003
+    assert not os.path.isdir(gen1)
+    assert Dataset(spark, base).count() == 40
+
+
+def test_generation_prune_time_carry(spark, tmp_path):
+    # an append that becomes visible only AFTER the successor's commit
+    # (appender held the previous pointer resolution through the PUT)
+    # stays in the retained generation; the sweep that prunes it must
+    # carry the unaccounted file into the active generation first
+    from pydala_spark.dataset import generations
+    from pydala_spark.dataset.reader import Dataset
+
+    base = str(tmp_path / "gen_carry_late")
+    spark.range(0, 30).repartition(3).write.parquet(base)
+    compact(spark, base, swap="generation")  # gen-000001
+    compact(spark, base, swap="generation")  # gen-000002 active, gen1 retained
+    gen1 = os.path.join(base, "gen-000001")
+    spark.range(200, 205).coalesce(1).write.mode("append").parquet(gen1)
+    compact(spark, base, swap="generation")  # gen-000003: prunes gen1 -> carry
+    assert not os.path.isdir(gen1)
+    live = generations.resolve(spark, base)
+    got = spark.read.parquet(live).agg(F.sum("id"), F.count("*")).first()
+    assert got[1] == 35
+    assert got[0] == sum(range(30)) + sum(range(200, 205))
+    assert Dataset(spark, base).count() == 35
+
+
+def test_generation_carry_retry_no_duplicates(spark, tmp_path, monkeypatch):
+    # crash between the pointer PUT and the prune deletes, AFTER a
+    # prune-time carry: the retry must delete the doomed generation
+    # without re-copying files that were already carried (or treating
+    # the compacted originals as stragglers) — carried rows appear
+    # exactly once
+    import json
+
+    import pytest
+
+    from pydala_spark.dataset.reader import Dataset
+    from pydala_spark.utils.pathops import PathOps
+
+    base = str(tmp_path / "gen_carry_retry")
+    spark.range(0, 30).repartition(3).write.parquet(base)
+    compact(spark, base, swap="generation")  # gen-000001
+    compact(spark, base, swap="generation")  # gen-000002
+    gen1 = os.path.join(base, "gen-000001")
+    spark.range(200, 205).coalesce(1).write.mode("append").parquet(gen1)
+
+    real_delete = PathOps.delete
+
+    def boom(self, path, recursive=True):
+        if path.rstrip("/").endswith("gen-000001"):
+            raise OSError("injected crash")
+        return real_delete(self, path, recursive)
+
+    monkeypatch.setattr(PathOps, "delete", boom)
+    with pytest.raises(OSError, match="injected crash"):
+        compact(spark, base, swap="generation")  # gen-000003 committed
+    monkeypatch.setattr(PathOps, "delete", real_delete)
+
+    # pointer committed before the crash: carried rows already live
+    with open(os.path.join(base, "_generation.json")) as f:
+        ptr = json.load(f)
+    assert ptr["active"] == "gen-000003"
+    assert "gen-000001" in ptr.get("pending_delete", [])
+    assert Dataset(spark, base).count() == 35
+
+    compact(spark, base, swap="generation")  # gen-000004: retries the delete
+    assert not os.path.isdir(gen1)
+    assert Dataset(spark, base).count() == 35  # exactly once, no duplicates
