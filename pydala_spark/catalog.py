@@ -127,8 +127,11 @@ class Datalake:
         ``clean=True`` — delete its files. Returns whether anything was
         known under that name. Without ``clean`` the bytes stay on disk
         but a sidecar-bearing directory would be re-discovered, so the
-        sidecar is removed too (the manifest entry alone is forgotten
-        either way)."""
+        sidecar is RENAMED to ``<sidecar>.removed`` rather than deleted:
+        for a TimeFly-managed dataset that file is the snapshot ledger
+        (TimeFly.config_path), and deleting it would destroy rollback
+        history the docstring promises to keep. Renaming hides it from
+        discovery while keeping every byte recoverable."""
         manifest = self.read_manifest()
         rel = manifest.get("datasets", {}).pop(name, None)
         known = rel is not None or name in self.datasets
@@ -145,7 +148,11 @@ class Datalake:
                 self._po.delete(base, recursive=True)
             else:
                 for sidecar in (DATASET_SIDECAR, TOML_DATASET_SIDECAR):
-                    self._po.delete(posixpath.join(base, sidecar), recursive=False)
+                    src = posixpath.join(base, sidecar)
+                    if self._po.exists(src):
+                        dst = src + ".removed"
+                        self._po.delete(dst, recursive=False)
+                        self._po.rename(src, dst)
         return known
 
     def _dataset_format(self, base: str) -> str:
@@ -206,6 +213,11 @@ class Datalake:
         reasons."""
         from pydala_spark.dataset.maintain import compact
 
+        # fail fast on a typo'd swap: inside the loop it would be
+        # swallowed by the per-dataset except as an {'error': ...} entry
+        # for EVERY dataset while the sweep reports having run
+        if swap not in ("rename", "generation"):
+            raise ValueError("swap must be 'rename' or 'generation'")
         results: dict[str, dict] = {}
         # one catalog listing for the whole sweep — the temp-view set
         # doesn't change during it (rebind only replaces existing views)

@@ -38,18 +38,35 @@ def kmeans_centroids(
     sample_size: int = 10_000,
     iterations: int = 8,
     seed: int = 42,
+    spread: int = 64,
 ) -> np.ndarray:
     """Spherical k-means codebook from a bounded corpus sample
     (driver-side numpy; deterministic given a fixed file layout).
 
     No ``df.count()`` pre-pass: at 100 TB a full count just to size a
-    sample fraction is a wasted scan. Instead the scan stops after
-    ``2 * sample_size`` rows (LocalLimit short-circuits the read); a
-    seeded driver-side permutation then decorrelates the kept rows from
-    file order and truncates to ``sample_size``. Corpora smaller than
-    the limit train on EVERY row (no silent sample shrinkage); driver
-    memory stays bounded by ``2 * sample_size`` vectors."""
-    sample = df.select(vec_col).limit(sample_size * 2).toPandas()[vec_col]
+    sample fraction is a wasted scan. A plain ``limit`` prefix would
+    train on the first files in layout order — badly biased on a corpus
+    sorted/clustered by domain or time (ADVICE r3) — so a seeded hash
+    filter first keeps ~1/``spread`` of rows, making the bounded scan
+    consume ~``spread``× more of the corpus before the
+    ``2 * sample_size`` LocalLimit short-circuits it; a seeded
+    driver-side permutation then decorrelates the kept rows and
+    truncates to ``sample_size``. If the filtered scan comes back short
+    (corpus smaller than ~``spread * sample_size`` rows), one unfiltered
+    bounded re-scan keeps the old guarantee: small corpora train on
+    EVERY row. Residual bias: at extreme corpus sizes the spread prefix
+    still precedes the far tail — raise ``spread`` (scan cost grows
+    linearly with it) or train the codebook once on a dedicated sample
+    and persist it (``save_codebook``). Driver memory stays bounded by
+    ``2 * sample_size`` vectors."""
+    keep = F.pmod(F.xxhash64(F.col(vec_col), F.lit(seed)), F.lit(spread)) == 0
+    sample = (
+        df.select(vec_col).where(keep).limit(sample_size * 2).toPandas()[vec_col]
+    )
+    if len(sample) < sample_size:
+        # filtered scan came back short: the corpus is small, so one
+        # unfiltered bounded scan is cheap and trains on every row
+        sample = df.select(vec_col).limit(sample_size * 2).toPandas()[vec_col]
     x = np.array([np.asarray(v, dtype=np.float64) for v in sample])
     if len(x) > sample_size:
         x = x[np.random.default_rng(seed).permutation(len(x))[:sample_size]]

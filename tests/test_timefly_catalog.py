@@ -592,3 +592,35 @@ def test_datalake_view_rebound_across_generation_sweeps(spark, tmp_path):
     # flat root files are gone after the second sweep
     assert not [p for p in os.listdir(os.path.join(root, "tbl"))
                 if p.endswith(".parquet")]
+
+
+def test_remove_dataset_preserves_timefly_sidecar(spark, tmp_path):
+    # ADVICE r3: for a TimeFly-managed dataset the _dataset.json sidecar
+    # IS the snapshot ledger — remove_dataset(clean=False) must rename it
+    # (hidden from discovery) rather than destroy rollback history
+    import json
+
+    root = str(tmp_path / "lake_rm2")
+    lake = Datalake(spark, root)
+    base = os.path.join(root, "tf_ds")
+    _write(spark, base, [1, 2])
+    cfg = {"timefly": {"snapshots": [{"id": "20240101T000000"}]}}
+    with open(os.path.join(base, "_dataset.json"), "w") as f:
+        json.dump(cfg, f)
+    lake.add_dataset("tf_ds")
+    assert lake.remove_dataset("tf_ds") is True
+    assert "tf_ds" not in lake.discover()
+    assert not os.path.exists(os.path.join(base, "_dataset.json"))
+    with open(os.path.join(base, "_dataset.json.removed")) as f:
+        assert json.load(f) == cfg  # ledger bytes intact, recoverable
+
+
+def test_datalake_maintain_bad_swap_fails_fast(spark, tmp_path):
+    # ADVICE r3: a typo'd swap must raise before the sweep, not be
+    # swallowed per-dataset as {'error': ...} entries
+    root = str(tmp_path / "lake_swapval")
+    lake = Datalake(spark, root)
+    _write(spark, os.path.join(root, "a"), [1])
+    lake.add_dataset("a")
+    with pytest.raises(ValueError, match="swap"):
+        lake.maintain(swap="generatoin")
