@@ -225,11 +225,27 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_size: int = 3,
     threshold: float = 0.1,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Pairwise Jaccard similarity over word-shingle sets, computed by
     self-joining exploded shingles (pairs materialize only where they
     share at least one shingle — no cross join). Jaccard is an exact
     integer ratio. Returns (id_a, id_b, inter, size_a, size_b, jaccard).
+
+    ``max_shingle_df`` is the stop-shingle skew guard (SCALE.md): a
+    shingle present in nearly every document (a boilerplate header, a
+    license block) makes the self-join quadratic in corpus size through
+    that one join key. With the cap set, one cheap pre-aggregate counts
+    each shingle's document frequency, the over-cap shingles (a SMALL
+    set by construction — at most total-occurrences/cap of them) are
+    broadcast anti-joined away, and per-doc set sizes are recomputed
+    over the retained shingles, so ``jaccard`` stays an exact ratio —
+    over the reduced, informative-shingle universe. Ubiquitous shingles
+    carry no near-dup signal, which is why dropping them is the standard
+    mitigation rather than an accuracy loss in practice. Documents whose
+    every shingle is dropped can no longer pair (they only ever shared
+    boilerplate). Cost: one extra aggregation plus one exchange keyed by
+    id; the join stays an equi-join on ``sh``.
     """
     sh = doc_shingles(df, id_col, text_col, shingle_size).withColumn(
         "sh_size", F.size("shs").cast("long")
@@ -237,6 +253,23 @@ def ngram_jaccard_pairs(
     exploded = explode_cheaply(sh, F.col("shs"), "sh").select(
         "id", "sh_size", "sh"
     )
+    if max_shingle_df is not None:
+        from pyspark.sql import Window
+
+        stop = (
+            exploded.groupBy("sh")
+            .agg(F.count("*").alias("__df"))
+            .where(F.col("__df") > max_shingle_df)
+            .select("sh")
+        )
+        exploded = (
+            exploded.join(F.broadcast(stop), "sh", "left_anti")
+            .withColumn(
+                "sh_size",
+                F.count("*").over(Window.partitionBy("id")).cast("long"),
+            )
+            .select("id", "sh_size", "sh")
+        )
     a, b = exploded.alias("a"), exploded.alias("b")
     inter = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
@@ -322,13 +355,18 @@ def dedup_clusters(
 
     Greedy pair-drop (pipeline.py) under-merges duplicate CHAINS
     (a~b, b~c but a!~c); this resolves full clusters by iterative
-    min-label propagation: every node repeatedly adopts the smallest id
-    reachable over an edge, converging in O(cluster diameter) rounds.
-    Each round is two shuffles over the EDGE set (candidate pairs —
-    already LSH-reduced, orders of magnitude smaller than the corpus), so
-    the loop is cheap; diameters beyond ``max_iterations`` raise.
-    Returns one row per node appearing in ``pairs`` with its cluster's
-    minimum id as ``cluster_id``.
+    min-label propagation with POINTER JUMPING: each round every node
+    adopts the smallest label reachable over an edge, then additionally
+    adopts its label's label (label-of-label join — the shortcut step of
+    pointer-jumping / hash-to-min CC). The jump halves the distance to
+    the cluster minimum every round, so convergence is O(log diameter)
+    instead of O(diameter): the default ``max_iterations=10`` covers
+    chains ~2^10 deep, making the safety raise unreachable for any
+    realistic duplicate topology. Each round is three shuffles over the
+    EDGE set (candidate pairs — already LSH-reduced, orders of magnitude
+    smaller than the corpus), so the loop is cheap. Returns one row per
+    node appearing in ``pairs`` with its cluster's minimum id as
+    ``cluster_id``.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -350,6 +388,23 @@ def dedup_clusters(
                 "id",
                 F.least(
                     F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        # pointer jump: adopt my label's label. Every cluster_id is some
+        # node's id (labels cover all nodes; mins propagate node ids), so
+        # the mapping join always hits; coalesce guards the self-row case
+        # only. This is what turns O(diameter) into O(log diameter).
+        mapping = updated.select(
+            F.col("id").alias("__mid"), F.col("cluster_id").alias("__mcl")
+        )
+        updated = (
+            updated.join(mapping, updated.cluster_id == F.col("__mid"), "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("__mcl"), F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
         )

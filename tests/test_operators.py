@@ -709,3 +709,30 @@ def test_chunk_documents(spark):
 
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_ngram_jaccard_stop_shingle_cap(spark):
+    # max_shingle_df: a shingle present in EVERY doc must not make the
+    # self-join quadratic. Docs share a ubiquitous boilerplate prefix;
+    # only the two with matching unique tails should pair once the
+    # boilerplate shingles are dropped.
+    boiler = "common header licensed under the same terms for all docs"
+    rows = [(i, f"{boiler} unique tail number {i} content") for i in range(8)]
+    rows += [(100, f"{boiler} twin payload alpha beta gamma"),
+             (101, f"{boiler} twin payload alpha beta gamma")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.01)
+    capped = ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.01, max_shingle_df=5
+    )
+    # boilerplate alone pairs every doc with every other without the cap
+    assert uncapped.count() == 45  # C(10,2)
+    got = {(r["id_a"], r["id_b"]): r for r in capped.collect()}
+    assert set(got) == {(100, 101)}  # only the true twins survive
+    # jaccard is exact over the retained-shingle universe
+    assert got[(100, 101)]["jaccard"] == 1.0
+    assert got[(100, 101)]["size_a"] == got[(100, 101)]["inter"]
+    # plan stays an equi-join (bucketed by shingle), never a cross join
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan

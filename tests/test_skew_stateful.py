@@ -147,3 +147,17 @@ def test_session_windows_streaming(spark, tmp_path):
     ).collect()
     # user 1: one 2-event session + one 1-event session; user 2: one session
     assert [(r["user_id"], r["n_events"]) for r in rows] == [(1, 2), (1, 1), (2, 1)]
+
+
+def test_dedup_clusters_deep_chain_pointer_jumping(spark):
+    # a duplicate chain deeper than max_iterations converges anyway:
+    # pointer jumping (label-of-label) makes rounds O(log diameter), so
+    # 10 iterations cover chains ~2^10 deep — diameter 60 must not raise
+    from pydala_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], ["id_a", "id_b"]
+    )
+    out = {r["id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert set(out) == set(range(61))
+    assert set(out.values()) == {0}  # one cluster labeled by its minimum
