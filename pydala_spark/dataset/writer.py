@@ -369,52 +369,37 @@ class Writer:
             raise ValueError(f"unsupported write format {self.format!r}")
 
     def _write_feather(self, df: DataFrame, spark_mode: str) -> None:
-        """Driver-side feather/IPC write bridge (reference writes feather
-        via polars ``write_ipc``, writer.py:398-409). Mirrors the read
-        bridge in ``sources.read``: feather has no distributed Spark
-        writer, so this collects through Arrow on the driver — meant for
-        small sidecar/interchange files, not big datasets (use parquet).
-
-        A path ending in .feather/.ipc/.arrow is written as that single
-        file (append concatenates through Arrow); a directory path gets
-        sequentially numbered part files, so append stays cheap.
+        """Feather/IPC write. A path ending in .feather/.ipc/.arrow is a
+        SINGLE-FILE driver bridge (append concatenates through Arrow —
+        sidecar/interchange files only); a directory path is a
+        DISTRIBUTED dataset write via :func:`write_feather_dataset` —
+        one part-file per partition, no driver materialization
+        (reference writes feather natively per batch, writer.py:390-427).
         """
         import pyarrow as pa
         import pyarrow.feather as pf
 
         local = self.path.removeprefix("file:")
+        is_single = local.lower().endswith((".feather", ".ipc", ".arrow"))
+        if not is_single:
+            write_feather_dataset(
+                self.spark, df, self.path,
+                mode="overwrite" if spark_mode == "overwrite" else "append",
+                compression=self.compression,
+            )
+            return
         if "://" in self.path and not self.path.startswith("file:"):
-            raise ValueError("feather write bridge supports local paths only")
+            raise ValueError(
+                "single-file feather bridge supports local paths only — "
+                "use a directory path for the distributed dataset write"
+            )
         table = pa.Table.from_pandas(df.toPandas(), preserve_index=False)
         comp = self.compression if self.compression in ("zstd", "lz4") else "uncompressed"
-        if local.lower().endswith((".feather", ".ipc", ".arrow")):
-            if spark_mode == "append" and os.path.exists(local):
-                existing = pf.read_table(local)
-                table = pa.concat_tables([existing, table], promote_options="default")
-            os.makedirs(os.path.dirname(local) or ".", exist_ok=True)
-            pf.write_feather(table, local, compression=comp)
-            return
-        os.makedirs(local, exist_ok=True)
-        parts = sorted(
-            f for f in os.listdir(local)
-            if f.endswith(".feather") and not f.startswith(("_", "."))
-        )
-        if spark_mode == "overwrite":
-            for f in parts:
-                os.remove(os.path.join(local, f))
-            parts = []
-        # next index = max existing + 1, not len(parts): a gapped part
-        # sequence (e.g. part-00000 removed) must not overwrite part-00001
-        next_idx = (
-            max(
-                (int(p.removeprefix("part-").removesuffix(".feather"))
-                 for p in parts if p.removeprefix("part-").removesuffix(".feather").isdigit()),
-                default=-1,
-            )
-            + 1
-        )
-        target = os.path.join(local, f"part-{next_idx:05d}.feather")
-        pf.write_feather(table, target, compression=comp)
+        if spark_mode == "append" and os.path.exists(local):
+            existing = pf.read_table(local)
+            table = pa.concat_tables([existing, table], promote_options="default")
+        os.makedirs(os.path.dirname(local) or ".", exist_ok=True)
+        pf.write_feather(table, local, compression=comp)
 
     def _upsert(self, df: DataFrame, keys: Sequence[str]) -> None:
         """Update-or-insert by key: incoming rows replace existing rows
@@ -586,3 +571,94 @@ class Writer:
         shutil.rmtree(local)
         os.rename(local_tmp, local)
         return True
+
+
+def write_feather_dataset(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str = "zstd",
+) -> dict:
+    """Distributed feather/Arrow-IPC dataset write: one ``.feather``
+    part-file per DataFrame partition, streamed task-side via
+    ``mapInArrow`` (reference writes feather natively per batch,
+    src/pydala/dataset/writer.py:390-427; rounds 1-3 bridged this
+    through a driver collect — the last driver materialization on the
+    write path).
+
+    Mechanics: each task streams its Arrow batches straight into a
+    ``part-NNNNN.feather`` file inside a job-unique ``_staging-<job>``
+    directory (worker memory bounded by Arrow batch size; feather v2 IS
+    the Arrow IPC file format, so pyarrow/polars read the parts
+    directly). The job returns one METADATA row per non-empty partition
+    (file name + row count — data bytes never reach the driver). The
+    driver then COMMITS: for ``mode="overwrite"`` the previous part
+    files are deleted only after the staged write fully succeeded (a
+    failed job leaves old data intact), and staged files move into the
+    dataset root with job-suffixed names via PathOps renames, so two
+    concurrent appends cannot collide. Workers write through
+    ``pyarrow.fs`` (PathOps is a driver-side JVM wrapper and cannot
+    cross the worker boundary); scheme'd paths resolve with
+    ``FileSystem.from_uri``. Returns ``{"n_files", "n_rows"}``.
+    """
+    import uuid
+
+    from pydala_spark.utils.pathops import PathOps, strip_scheme
+
+    configure_session(spark)
+    local = strip_scheme(path).rstrip("/")
+    po = PathOps(spark, path)
+    job = uuid.uuid4().hex[:12]
+    staging = f"{local}/_staging-{job}"
+    comp = compression if compression in ("zstd", "lz4") else None
+
+    # worker closure: pyarrow/pyspark refs only (no package imports —
+    # workers may not have the repo on sys.path)
+    def write_parts(iterator):
+        import itertools
+
+        import pyarrow as pa
+        from pyarrow import fs as pafs
+        from pyspark import TaskContext
+
+        it = iter(iterator)
+        first = next(it, None)
+        if first is None:
+            return  # empty partition: no file, no metadata row
+        pid = TaskContext.get().partitionId()
+        if "://" in staging:
+            fs, root = pafs.FileSystem.from_uri(staging)
+        else:
+            fs, root = pafs.LocalFileSystem(), staging
+        fs.create_dir(root, recursive=True)
+        name = f"part-{pid:05d}.feather"
+        n = 0
+        with fs.open_output_stream(f"{root}/{name}") as sink:
+            with pa.ipc.new_file(
+                sink, first.schema,
+                options=pa.ipc.IpcWriteOptions(compression=comp),
+            ) as w:
+                for batch in itertools.chain([first], it):
+                    w.write_batch(batch)
+                    n += batch.num_rows
+        yield pa.record_batch(
+            [pa.array([name]), pa.array([n], pa.int64())],
+            names=["part", "n_rows"],
+        )
+
+    stats = df.mapInArrow(write_parts, "part string, n_rows long").collect()
+    try:
+        if mode == "overwrite":
+            for p, _sz in po.data_files(local):
+                if p.lower().endswith((".feather", ".ipc", ".arrow")):
+                    po.delete(p, recursive=False)
+        for r in stats:
+            name = r["part"]
+            po.rename(
+                f"{staging}/{name}",
+                f"{local}/{name.removesuffix('.feather')}-{job}.feather",
+            )
+    finally:
+        po.delete(staging, recursive=True)
+    return {"n_files": len(stats), "n_rows": sum(r["n_rows"] for r in stats)}

@@ -11,9 +11,12 @@ Two decode tiers:
 - :func:`extract_features` with ``decode_stub=True`` substitutes a
   deterministic fake decoder for codec-dependent formats (JPEG, MP4 —
   no codec libraries in this environment); the Spark-side contract —
-  schema, batch shape, partitioning, UDF signature — is identical, so
-  swapping in PIL/torchaudio/ffmpeg is a one-function change inside the
-  ``mapInPandas`` worker.
+  schema, batch shape, partitioning, UDF signature — is identical.
+- both functions accept ``decoder=``, a user-supplied
+  ``Callable[[bytes, str], dict]`` that is shipped INTO the same
+  nested-closure ``mapInPandas`` worker — the seam where
+  PIL/torchaudio/ffmpeg plug in without editing this module. The
+  environment boundary is only the DEFAULT, not a hard limit.
 
 Scale notes: ``mapInPandas`` streams Arrow batches per partition, so
 memory is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``
@@ -55,16 +58,29 @@ def extract_features(
     content_col: str = "content",
     decode_stub: bool = True,
     feature_dim: int = 8,
+    decoder=None,
 ) -> DataFrame:
     """Decode/feature-extract media blobs with an Arrow-batched iterator.
 
-    With ``decode_stub=False`` this raises NotImplementedError inside the
-    workers (no codec libraries in this environment) — the plumbing stays
-    identical for a real decoder.
+    ``decoder`` is the pluggable codec seam: a user-supplied
+    ``Callable[[bytes, str], dict]`` called per blob as
+    ``decoder(payload, kind)`` and expected to return
+    ``{"feature": list[float]}`` (native length kept). It travels to the
+    workers inside this function's nested closure, so it MUST be
+    self-contained — its own imports (PIL, torchaudio, ...), no
+    references into this package (workers may not have the repo on
+    sys.path). Per-blob decoder failures or empty results degrade that
+    ROW to the fallback below instead of failing the job.
+
+    Fallback (also the behavior with no ``decoder``): the deterministic
+    stub feature when ``decode_stub=True``; with ``decode_stub=False``
+    the workers raise NotImplementedError — the honest boundary for
+    codec formats in an environment with no codec libraries.
     """
 
     # worker closure: self-contained (stdlib-only refs) so cloudpickle
-    # ships it by value — workers never import this package
+    # ships it by value — workers never import this package; `decoder`
+    # rides along by value under the same contract
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
@@ -77,13 +93,25 @@ def extract_features(
                 for i in range(dim)
             ]
 
-        for pdf in batches:
-            payloads = pdf[content_col]
+        def feature_of(payload: bytes, kind: str) -> list[float]:
+            if decoder is not None:
+                try:
+                    got = (decoder(payload, kind) or {}).get("feature")
+                    if got is not None:
+                        return [float(v) for v in got]
+                except Exception:
+                    pass  # one bad blob/codec hiccup must not fail the job
             if not decode_stub:
                 raise NotImplementedError(
                     "real media decoding requires codec libraries not present "
-                    "in this environment; pass decode_stub=True"
+                    "in this environment; pass decode_stub=True or supply "
+                    "decoder=callable(payload, kind) -> {'feature': [...]}"
                 )
+            return fake_decode(payload, feature_dim)
+
+        for pdf in batches:
+            payloads = pdf[content_col]
+            kinds = pdf["kind"] if "kind" in pdf.columns else [""] * len(pdf)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -93,7 +121,7 @@ def extract_features(
                         hashlib.sha1(p or b"").hexdigest() for p in payloads
                     ],
                     "feature": [
-                        fake_decode(p or b"", feature_dim) for p in payloads
+                        feature_of(p or b"", k) for p, k in zip(payloads, kinds)
                     ],
                 }
             )
@@ -107,11 +135,21 @@ DECODED_SCHEMA = (
 )
 
 
-def decode_media(df: DataFrame, content_col: str = "content") -> DataFrame:
+def decode_media(
+    df: DataFrame, content_col: str = "content", decoder=None
+) -> DataFrame:
     """Real decode of stdlib-decodable media blobs (PPM/PGM/PBM images,
     PCM and µ-law WAV audio) into per-media stats; undecodable payloads
     yield a null-format row instead of failing the job. Same
-    Arrow-batched ``mapInPandas`` shape as :func:`extract_features`."""
+    Arrow-batched ``mapInPandas`` shape as :func:`extract_features`.
+
+    ``decoder`` plugs codec formats in: ``decoder(payload, kind)`` is
+    tried FIRST per blob and its non-empty dict result (keys from
+    DECODED_SCHEMA: format/width/height/channels/sample_rate/n_samples/
+    duration_ms/mean/rms) is used as-is; an empty result or an exception
+    falls through to the stdlib decode path, so PPM/WAV keep working
+    next to a user JPEG codec. Same nested-closure contract as
+    :func:`extract_features`: the callable must be self-contained."""
 
     # worker closure: stdlib+numpy only, shipped by value via cloudpickle
     def run(batches):
@@ -121,10 +159,17 @@ def decode_media(df: DataFrame, content_col: str = "content") -> DataFrame:
         import numpy as np
         import pandas as pd
 
-        def one(payload: bytes) -> dict:
+        def one(payload: bytes, kind: str) -> dict:
             # any malformation (garbage header ints, truncated raster,
             # corrupt wave chunks) degrades to {} -> null-format row;
             # a bad blob must never fail the job
+            if decoder is not None:
+                try:
+                    got = decoder(payload, kind)
+                    if got:
+                        return got
+                except Exception:
+                    pass  # plugged-codec failure degrades to builtin path
             try:
                 return _decode(payload)
             except Exception:
@@ -241,8 +286,9 @@ def decode_media(df: DataFrame, content_col: str = "content") -> DataFrame:
                 "n_samples", "duration_ms", "mean", "rms"]
         for pdf in batches:
             recs = []
-            for mid, payload in zip(pdf["media_id"], pdf[content_col]):
-                d = one(bytes(payload)) if payload is not None else {}
+            kinds = pdf["kind"] if "kind" in pdf.columns else [""] * len(pdf)
+            for mid, payload, kind in zip(pdf["media_id"], pdf[content_col], kinds):
+                d = one(bytes(payload), kind) if payload is not None else {}
                 recs.append({"media_id": int(mid), **{c: d.get(c) for c in cols}})
             yield pd.DataFrame(recs, columns=["media_id"] + cols)
 

@@ -153,13 +153,59 @@ def test_feather_write_roundtrip_single_file(spark, tmp_path):
 
 
 def test_feather_write_directory_parts(spark, tmp_path):
+    # directory targets are the DISTRIBUTED write path: job-unique part
+    # names, append adds files without clobbering, overwrite replaces
     out = str(tmp_path / "feather_ds")
     df = spark.createDataFrame([Row(id=1), Row(id=2)])
     Writer(spark, out, format="feather").write(df)
+    n_first = len(os.listdir(out))
+    assert n_first >= 1 and all(f.endswith(".feather") for f in os.listdir(out))
     Writer(spark, out, format="feather").write(spark.createDataFrame([Row(id=3)]))
-    files = sorted(os.listdir(out))
-    assert files == ["part-00000.feather", "part-00001.feather"]
+    assert len(os.listdir(out)) > n_first  # append added part files
     assert read(spark, out, format="feather").count() == 3
+    Writer(spark, out, format="feather").write(df, mode="overwrite")
+    assert read(spark, out, format="feather").count() == 2
+
+
+def test_feather_distributed_roundtrip(spark, tmp_path):
+    # r3 punch list #5: a >1-partition DataFrame writes as a feather
+    # dataset WITHOUT driver materialization (mapInArrow task-side IPC)
+    # and reads back distributed with the same values and schema
+    from pyspark.sql import functions as F
+
+    from pydala_spark.dataset.writer import write_feather_dataset
+    from pydala_spark.sources import read_feather_dataset
+
+    out = str(tmp_path / "feather_big")
+    df = (
+        spark.range(0, 10_000)
+        .withColumn("v", F.col("id").cast("double") / 7)
+        .withColumn("s", F.concat(F.lit("row-"), F.col("id")))
+        .repartition(6)
+    )
+    stats = write_feather_dataset(spark, df, out, mode="overwrite")
+    assert stats["n_rows"] == 10_000 and stats["n_files"] == 6
+    parts = [f for f in os.listdir(out) if f.endswith(".feather")]
+    assert len(parts) == 6  # one per partition, no staging leftovers
+    assert not any(f.startswith("_staging") for f in os.listdir(out))
+
+    back = read_feather_dataset(spark, out)
+    assert back.rdd.getNumPartitions() == 6  # reads as wide as the files
+    assert back.count() == 10_000
+    assert back.schema == df.schema
+    got = back.agg(
+        F.sum("id").alias("si"), F.round(F.sum("v"), 6).alias("sv")
+    ).first()
+    exp = df.agg(
+        F.sum("id").alias("si"), F.round(F.sum("v"), 6).alias("sv")
+    ).first()
+    assert (got["si"], got["sv"]) == (exp["si"], exp["sv"])
+    # empty partitions produce no files (and no zero-row parts)
+    out2 = str(tmp_path / "feather_sparse")
+    sparse = spark.range(0, 3).repartition(8)
+    st2 = write_feather_dataset(spark, sparse, out2)
+    assert st2["n_rows"] == 3 and st2["n_files"] <= 3
+    assert read(spark, out2, format="feather").count() == 3
 
 
 def test_feather_write_rejects_partitioning(spark, tmp_path):
