@@ -34,19 +34,36 @@ MANIFEST_NAME = "_pydala.json"
 DATASET_SIDECAR = "_dataset.json"
 #: reference-layout sidecars (TOML) are discovered read-only so pointing
 #: this catalog at an existing reference lake finds its datasets
-#: (manager.py:48, 93-96); writes stay JSON.
+#: (manager.py:48, 93-96); writes default to JSON, and
+#: ``Datalake(sidecar_format="toml")`` mirrors every manifest write into
+#: ``_pydala.toml`` for reference tooling.
 TOML_MANIFEST_NAME = "_pydala.toml"
 TOML_DATASET_SIDECAR = "_dataset.toml"
 
 
+#: per-name manifest ledger directory: each add/remove is ONE
+#: single-object PUT keyed by dataset name, so concurrent writers of
+#: different names cannot lose each other's entries (the manifest analog
+#: of the generation-pointer commit, dataset/generations.py). The "_"
+#: prefix hides it from discovery and data scans.
+ENTRIES_DIR = "_pydala_manifest"
+
+
 class Datalake:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, sidecar_format: str = "json"):
+        if sidecar_format not in ("json", "toml"):
+            raise ValueError("sidecar_format must be 'json' or 'toml'")
         self.spark = configure_session(spark)
         # strip_scheme keeps s3a://... addressable while normalizing
         # file:/ and file:/// spellings to plain local paths
         self.root = strip_scheme(root).rstrip("/")
         self._po = PathOps(self.spark, root)
         self.manifest_path = posixpath.join(self.root, MANIFEST_NAME)
+        self.entries_dir = posixpath.join(self.root, ENTRIES_DIR)
+        #: "toml" additionally mirrors every manifest write into
+        #: ``_pydala.toml`` so reference tooling keeps parsing the lake
+        #: index (reference datalake/manager.py:48)
+        self.sidecar_format = sidecar_format
         self.datasets: dict[str, Dataset] = {}
 
     def _rel(self, path: str) -> str:
@@ -62,20 +79,66 @@ class Datalake:
     # -- manifest ---------------------------------------------------------------
 
     def read_manifest(self) -> dict:
+        """Merged manifest view: the blob (``_pydala.json``, or reference
+        ``_pydala.toml`` when only that exists) overlaid by the per-name
+        ledger entries — the ledger is TRUTH, the blob a compat view, so
+        a stale blob rewrite by a concurrent/crashed writer can never
+        lose an entry committed through the ledger."""
+        manifest: dict = {"datasets": {}}
         if self._po.exists(self.manifest_path):
-            return json.loads(self._po.read_text(self.manifest_path))
-        toml_path = posixpath.join(self.root, TOML_MANIFEST_NAME)
-        if self._po.exists(toml_path):
-            import tomllib
+            try:
+                manifest = json.loads(self._po.read_text(self.manifest_path))
+            except Exception:
+                manifest = {"datasets": {}}  # truncated blob: ledger rebuilds it
+        else:
+            toml_path = posixpath.join(self.root, TOML_MANIFEST_NAME)
+            if self._po.exists(toml_path):
+                import tomllib
 
-            manifest = tomllib.loads(self._po.read_text(toml_path))
-            if isinstance(manifest.get("datasets"), dict):
-                return manifest
-        return {"datasets": {}}
+                parsed = tomllib.loads(self._po.read_text(toml_path))
+                if isinstance(parsed.get("datasets"), dict):
+                    manifest = parsed
+        from urllib.parse import unquote
+
+        for path, _sz in self._po.list_files(self.entries_dir, recursive=False):
+            base = posixpath.basename(path)
+            if not base.endswith(".json"):
+                continue
+            try:
+                entry = json.loads(self._po.read_text(path))
+            except Exception:
+                continue  # half-written entry: ignore, not fatal
+            name = unquote(base[: -len(".json")])
+            if entry.get("removed"):
+                manifest.setdefault("datasets", {}).pop(name, None)
+            else:
+                manifest.setdefault("datasets", {})[name] = entry.get("path", ".")
+        return manifest
 
     def write_manifest(self, manifest: dict) -> None:
         # PathOps.write_text creates parent dirs on any scheme
         self._po.write_text(self.manifest_path, json.dumps(manifest, indent=2))
+        if self.sidecar_format == "toml":
+            from pydala_spark.utils import tomlout
+
+            self._po.write_text(
+                posixpath.join(self.root, TOML_MANIFEST_NAME),
+                tomlout.dumps(manifest),
+            )
+
+    def _commit_entry(self, name: str, payload: dict) -> None:
+        """Commit one manifest mutation as a single-object PUT in the
+        ledger (same safety argument as the generation pointer: writers
+        of different names touch different objects; a same-name race is
+        last-writer-wins, which is the only coherent outcome anyway),
+        then refresh the compat blob(s) from the merged view."""
+        from urllib.parse import quote
+
+        self._po.write_text(
+            posixpath.join(self.entries_dir, quote(name, safe="") + ".json"),
+            json.dumps(payload),
+        )
+        self.write_manifest(self.read_manifest())
 
     # -- discovery (manager.py:90-131) --------------------------------------------
 
@@ -113,9 +176,9 @@ class Datalake:
         data_path = current if self._po.is_dir(current) else base
         ds = Dataset(self.spark, data_path, format=format, name=name, **kwargs)
         self.datasets[name] = ds
-        manifest = self.read_manifest()
-        manifest.setdefault("datasets", {})[name] = self._rel(base) or "."
-        self.write_manifest(manifest)
+        # ledgered commit, not blob read-modify-write: two concurrent
+        # add_dataset calls can no longer lose each other's entry
+        self._commit_entry(name, {"path": self._rel(base) or "."})
         if ds._dataset_has_files():
             ds.to_view(name.replace(".", "_"))
         return ds
@@ -133,7 +196,7 @@ class Datalake:
         history the docstring promises to keep. Renaming hides it from
         discovery while keeping every byte recoverable."""
         manifest = self.read_manifest()
-        rel = manifest.get("datasets", {}).pop(name, None)
+        rel = manifest.get("datasets", {}).get(name)
         known = rel is not None or name in self.datasets
         self.datasets.pop(name, None)
         self.spark.catalog.dropTempView(name.replace(".", "_"))
@@ -141,7 +204,9 @@ class Datalake:
             # not in the manifest — it may still exist by sidecar discovery
             base = self.discover().get(name)
         else:
-            self.write_manifest(manifest)
+            # tombstone entry masks the blob too (ledger wins over any
+            # stale blob a concurrent writer may put back)
+            self._commit_entry(name, {"removed": True})
             base = self.root if rel == "." else posixpath.join(self.root, rel)
         if base is not None and base != self.root:
             if clean:
