@@ -1,0 +1,161 @@
+"""Empirical scale probe (r3 punch list #8): synthesize a ~KX document/
+embedding corpus under /tmp (TESTDATA is read-only) and check that the
+headline LLM-pipeline operators keep their SHUFFLE COUNTS constant and
+their runtimes ~linear as the corpus grows.
+
+The 100x claims elsewhere are plan-audited (SCALE.md); this records one
+measured datapoint above sf0.1. A bucketed/equi-join design scales
+~linearly in rows; anything accidentally quadratic (a cross join, an
+unbucketed self-join) blows past the ratio gate immediately at 10x.
+
+Usage:  python tools/scale_probe.py [--factor 10] [--sf /root/testdata/sf0.1]
+Prints one JSON line per operator plus a summary line, and writes
+tools/scale_probe_result.json. A runtime ratio gate of factor*2.5 allows
+constant JVM/planning overhead amortization while catching superlinear
+blowups (10x data in <= 25x time; quadratic would be ~100x).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pydala_spark.operators.dedup import (  # noqa: E402
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+)
+from pydala_spark.operators.packing import pack_shards  # noqa: E402
+from pydala_spark.plans import shuffle_count  # noqa: E402
+from pydala_spark.session import get_session  # noqa: E402
+
+
+def replicate_documents(spark, sf_dir: str, factor: int, out: str):
+    """factor replicas with distinct ids and per-replica alphabet-rotated
+    text. Rotation makes replicas DISJOINT corpora (no shared shingles),
+    so the workload scales linearly in rows — appending a replica token
+    instead would leave replicas near-dups of each other and grow the
+    cross-replica pair count quadratically in the factor, measuring a
+    property of the synthetic data rather than of the operator."""
+    import string
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    reps = spark.range(factor).withColumnRenamed("id", "__rep")
+    alpha = string.ascii_lowercase
+    rotated = None
+    for r in range(factor):
+        branch = F.translate(F.col("text"), alpha, alpha[r:] + alpha[:r])
+        rotated = (
+            F.when(F.col("__rep") == r, branch)
+            if rotated is None
+            else rotated.when(F.col("__rep") == r, branch)
+        )
+    big = (
+        docs.crossJoin(F.broadcast(reps))
+        .withColumn("doc_id", F.col("doc_id") + F.col("__rep") * (n * 10))
+        .withColumn("text", rotated)
+        .drop("__rep")
+    )
+    big.repartition(32).write.mode("overwrite").parquet(out)
+    return n * factor
+
+
+def probe_ops(spark, path: str) -> dict[str, dict]:
+    docs = spark.read.parquet(path)
+    out = {}
+
+    def timed(name, df_builder):
+        df = df_builder()
+        t0 = time.monotonic()
+        df.write.format("noop").mode("overwrite").save()
+        wall = time.monotonic() - t0
+        out[name] = {"sec": round(wall, 3), "shuffles": shuffle_count(df)}
+
+    timed(
+        "minhash_lsh",
+        lambda: lsh_candidate_pairs(
+            minhash_signatures(docs, "doc_id", "text", n_hashes=8),
+            "doc_id",
+            n_bands=4,
+            log_dropped=False,
+        ),
+    )
+    timed(
+        "ngram_jaccard",
+        lambda: ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.4, max_shingle_df=2000
+        ),
+    )
+    timed(
+        "shard_packing",
+        lambda: pack_shards(
+            docs.withColumn("__tok", F.size(F.split("text", r"\s+"))),
+            "__tok",
+            order_col="doc_id",
+            target_tokens=200_000,
+        ),
+    )
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument(
+        "--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    ap.add_argument("--ratio-gate", type=float, default=2.5,
+                    help="fail if t(Kx)/t(1x) > K * this")
+    args = ap.parse_args()
+
+    # driver memory must be set before the JVM exists; local[] mode puts
+    # executors in the driver JVM, so the default 1g heap OOMs at 10x
+    spark = get_session(
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        shuffle_partitions=32,
+        extra_conf={"spark.driver.memory": os.environ.get(
+            "SCALE_PROBE_DRIVER_MEM", "24g")},
+    )
+    base_out = "/tmp/scale_probe/docs_1x"
+    big_out = f"/tmp/scale_probe/docs_{args.factor}x"
+    replicate_documents(spark, args.sf, 1, base_out)
+    n_big = replicate_documents(spark, args.sf, args.factor, big_out)
+    print(json.dumps({"corpus_rows_big": n_big, "factor": args.factor}))
+
+    small = probe_ops(spark, base_out)
+    big = probe_ops(spark, big_out)
+
+    result, ok = {"factor": args.factor}, True
+    for op in small:
+        ratio = big[op]["sec"] / max(small[op]["sec"], 1e-9)
+        same_shuffles = small[op]["shuffles"] == big[op]["shuffles"]
+        linear = ratio <= args.factor * args.ratio_gate
+        ok = ok and same_shuffles and linear
+        result[op] = {
+            "sec_1x": small[op]["sec"],
+            f"sec_{args.factor}x": big[op]["sec"],
+            "runtime_ratio": round(ratio, 2),
+            "shuffles_1x": small[op]["shuffles"],
+            f"shuffles_{args.factor}x": big[op]["shuffles"],
+            "shuffles_constant": same_shuffles,
+            "ratio_within_gate": linear,
+        }
+        print(json.dumps({op: result[op]}))
+    result["ok"] = ok
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "scale_probe_result.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps({"scale_probe_ok": ok}))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
