@@ -302,6 +302,22 @@ def commit(
             posixpath.join(new_dir, INPUTS_SIDECAR), json.dumps(sidecar, indent=2)
         )
 
+    # orphan sweep: a maintenance run that crashed BEFORE its pointer PUT
+    # leaves a fully- or half-written gen directory no pointer ever
+    # references — permanent garbage (next_generation numbers past it),
+    # and worse, the corrupt-pointer fallback in resolve() could pick it.
+    # Under the single-maintainer contract, any gen dir that is neither
+    # retained, doomed, nor the one being committed is such a leftover;
+    # delete it here (idempotent — a crash mid-sweep just retries). A
+    # second concurrent maintainer's in-progress directory would match
+    # this test too, but concurrent maintainers are already outside the
+    # contract (previously they raced last-writer-wins on the pointer;
+    # now the loser fails loudly instead of silently).
+    referenced = set(retained) | set(doomed) | {gen_name}
+    for g in _gen_dirs(po, local):
+        if g not in referenced:
+            po.delete(posixpath.join(local, g), recursive=True)
+
     ptr = {
         "active": gen_name,
         "generations": retained,

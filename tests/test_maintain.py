@@ -561,3 +561,28 @@ def test_generation_carry_retry_no_duplicates(spark, tmp_path, monkeypatch):
     compact(spark, base, swap="generation")  # gen-000004: retries the delete
     assert not os.path.isdir(gen1)
     assert Dataset(spark, base).count() == 35  # exactly once, no duplicates
+
+
+def test_generation_orphan_dir_swept_on_next_commit(spark, tmp_path):
+    # a maintenance run that crashed BEFORE its pointer PUT leaves an
+    # unreferenced gen dir; the next successful commit sweeps it so it
+    # can't accumulate or be picked by the corrupt-pointer fallback
+    import json
+
+    from pydala_spark.dataset.reader import Dataset
+
+    base = str(tmp_path / "gen_orphan")
+    spark.range(20).repartition(2).write.parquet(base)
+    compact(spark, base, swap="generation")  # gen-000001 active
+    # crashed next attempt: staged gen-000002 exists, pointer never moved
+    orphan = os.path.join(base, "gen-000002")
+    spark.range(999, 1002).write.parquet(orphan)
+    assert Dataset(spark, base).count() == 20  # pointer still -> gen1
+
+    compact(spark, base, swap="generation")  # commits gen-000003
+    with open(os.path.join(base, "_generation.json")) as f:
+        ptr = json.load(f)
+    assert ptr["active"] == "gen-000003"
+    assert not os.path.isdir(orphan)  # orphan swept
+    assert os.path.isdir(os.path.join(base, "gen-000001"))  # retained prev
+    assert Dataset(spark, base).count() == 20
