@@ -30,11 +30,19 @@ from pydala_spark.operators.similarity import (
 )
 from pydala_spark.operators.skew import salted_agg, salted_broadcast_left_join, salted_join
 from pydala_spark.operators.multimodal import decode_media, extract_features
+from pydala_spark.operators.scrub import (
+    extract_urls,
+    filter_host_blocklist,
+    host_stats,
+    pii_stats,
+    redact_pii,
+)
 from pydala_spark.operators.textstats import (
     chunk_documents,
     fingerprint,
     quality_stats,
     repetition_stats,
+    tfidf_top_terms,
     token_count,
     tokens,
 )
@@ -69,6 +77,12 @@ __all__ = [
     "salted_agg",
     "salted_broadcast_left_join",
     "salted_join",
+    "extract_urls",
+    "filter_host_blocklist",
+    "host_stats",
+    "pii_stats",
+    "redact_pii",
+    "tfidf_top_terms",
     "fingerprint",
     "quality_stats",
     "repetition_stats",

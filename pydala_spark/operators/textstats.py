@@ -273,6 +273,57 @@ def repetition_stats(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 3,
+) -> DataFrame:
+    """Per-document top-``top_k`` salient terms by tf-idf rank — the
+    standard keyword-extraction step for corpus inspection and
+    quality-clustering in training-data pipelines.
+
+    Ranking is by ``tf / df`` (term asc, tf desc tie-breaks). Since the
+    corpus size N is constant per run, ``tf * ln(N/df)``'s *order* for a
+    fixed tf is exactly the order of ``tf/df``; ranking on the ratio
+    keeps every emitted value either an integer or an exact one-op
+    integer division — bit-identical across engines (transcendental
+    ``ln`` outputs are engine-dependent in the last ulp and would break
+    the oracle hash without buying better ranks).
+
+    Scale shape: explode tokens (``explode_cheaply`` — the tokenizer
+    regex runs once per doc), tf = groupBy (id, term), df = groupBy
+    (term) over the already-distinct tf rows (map-side combinable), one
+    equi-join on term, then a per-doc row_number window. Two shuffles
+    keyed by high-cardinality (id, term)/(term); the window partitions
+    by doc id, so no single task ever sees more than one document's
+    vocabulary. Returns (id, rank, term, tf, df, salience).
+    """
+    from pyspark.sql import Window
+
+    from pydala_spark.operators.dedup import explode_cheaply
+
+    base = df.select(
+        F.col(id_col).alias("id"), word_regex_tokens(text_col).alias("__toks")
+    )
+    term_rows = explode_cheaply(base, F.col("__toks"), "term")
+    tf = term_rows.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(dfreq, "term").withColumn(
+        "salience", F.col("tf").cast("double") / F.col("df")
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.desc("salience"), F.desc("tf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(
+            F.col("id").alias(id_col), "rank", "term", "tf", "df", "salience"
+        )
+    )
+
+
 def quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality features: char/token counts, mean token
     length, punctuation & stopword ratios, and a composite score.

@@ -73,10 +73,73 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("top_ngram_cnt").cast("long").alias("top_ngram_cnt"),
         "top_ngram_char_frac",
     )
-    return profile.join(rep, "doc_id")
+    # pii family (round 4): the synthetic corpus carries no contact
+    # info, so the query plants deterministic spans (same concat in the
+    # DuckDB oracle) and then exercises the REAL detection/redaction
+    # regexes over them — counts + an md5 of the redacted text pin the
+    # full scrub output, not just the plumbing
+    from pydala_spark.operators.scrub import pii_counts, redact_pii
+
+    did = F.col("doc_id")
+    aug_text = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"),
+                     F.lit("@example.com now")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" origin 10.0."), (did % 200).cast("string"),
+                     F.lit(".7 logged")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(F.lit(" see https://h"), (did % 9).cast("string"),
+                     F.lit(".example.org/p/"), did.cast("string"),
+                     F.lit(" page")),
+        ).otherwise(F.lit("")),
+        F.when(did % 11 == 0, F.lit(" call +1 415-555-0100 soon")).otherwise(
+            F.lit("")
+        ),
+    )
+    aug = docs.select("doc_id", aug_text.alias("text"))
+    kinds = ["url", "email", "ipv4", "phone"]
+    counts = pii_counts("text", kinds)
+    pii = aug.select(
+        "doc_id",
+        counts["url"].cast("long").alias("n_pii_urls"),
+        counts["email"].cast("long").alias("n_pii_emails"),
+        counts["ipv4"].cast("long").alias("n_pii_ipv4"),
+        counts["phone"].cast("long").alias("n_pii_phones"),
+        F.md5(redact_pii("text", kinds)).alias("redacted_md5"),
+    )
+    # tfidf family (round 4): rank-1 salient term per doc (tf/df ratio
+    # ranking — ln-free, so every value is hash-portable)
+    from pydala_spark.operators.textstats import tfidf_top_terms
+
+    tfidf = tfidf_top_terms(docs, top_k=1).select(
+        "doc_id",
+        F.col("term").alias("top_tfidf_term"),
+        F.col("tf").alias("top_tfidf_tf"),
+        F.col("df").alias("top_tfidf_df"),
+        F.col("salience").alias("top_tfidf_salience"),
+    )
+    return (
+        profile.join(rep, "doc_id").join(pii, "doc_id").join(tfidf, "doc_id", "left")
+    )
 
 
 _EN_LIST = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+
+# detection patterns shared verbatim with the DuckDB oracle (Java regex /
+# RE2 portable subset; see operators/scrub.py)
+from pydala_spark.operators.scrub import PII_PATTERNS as _PII  # noqa: E402
+
+_PAT_URL = _PII["url"]
+_PAT_EMAIL = _PII["email"]
+_PAT_IPV4 = _PII["ipv4"]
+_PAT_PHONE = _PII["phone"]
 
 _Q_TEXT_PROFILE_SQL = f"""
 WITH s AS (
@@ -119,7 +182,48 @@ tg AS (SELECT doc_id, gram AS top_ngram, cnt AS top_ngram_cnt
        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
                                           ORDER BY cnt DESC, gram) AS r
              FROM pg)
-       WHERE r = 1)
+       WHERE r = 1),
+pii_src AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' contact user' || doc_id || '@example.com now' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' origin 10.0.' || (doc_id % 200) || '.7 logged' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' see https://h' || (doc_id % 9) || '.example.org/p/'
+                 || doc_id || ' page' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN ' call +1 415-555-0100 soon' ELSE '' END AS atext
+  FROM documents
+),
+pii AS (
+  SELECT doc_id,
+    LEN(regexp_extract_all(atext, '{_PAT_URL}')) AS n_pii_urls,
+    LEN(regexp_extract_all(atext, '{_PAT_EMAIL}')) AS n_pii_emails,
+    LEN(regexp_extract_all(atext, '{_PAT_IPV4}')) AS n_pii_ipv4,
+    LEN(regexp_extract_all(atext, '{_PAT_PHONE}')) AS n_pii_phones,
+    MD5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          atext, '{_PAT_URL}', '<url>', 'g'),
+          '{_PAT_EMAIL}', '<email>', 'g'),
+          '{_PAT_IPV4}', '<ipv4>', 'g'),
+          '{_PAT_PHONE}', '<phone>', 'g')) AS redacted_md5
+  FROM pii_src
+),
+tfx AS (SELECT doc_id, term, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest({_WORD_SPLIT_SQL}) AS term FROM documents)
+        GROUP BY 1, 2),
+dfx AS (SELECT term, COUNT(*) AS df FROM tfx GROUP BY 1),
+tsc AS (SELECT t.doc_id, t.term, t.tf, d.df,
+               CAST(t.tf AS DOUBLE) / d.df AS sal,
+               ROW_NUMBER() OVER (
+                 PARTITION BY t.doc_id
+                 ORDER BY CAST(t.tf AS DOUBLE) / d.df DESC, t.tf DESC,
+                          t.term ASC) AS rn
+        FROM tfx t JOIN dfx d USING (term)),
+tf1 AS (SELECT doc_id, term AS top_tfidf_term, tf AS top_tfidf_tf,
+               df AS top_tfidf_df, sal AS top_tfidf_salience
+        FROM tsc WHERE rn = 1)
 SELECT s.doc_id, s.n_chars AS n_chars_calc, n_tokens, n_punct, n_unique_words,
   CAST(n_punct AS DOUBLE) / s.n_chars AS punct_ratio,
   CAST(stop_en AS DOUBLE) / n_tokens AS stop_ratio,
@@ -134,12 +238,18 @@ SELECT s.doc_id, s.n_chars AS n_chars_calc, n_tokens, n_punct, n_unique_words,
   tg.top_ngram,
   CAST(COALESCE(tg.top_ngram_cnt, 0) AS BIGINT) AS top_ngram_cnt,
   COALESCE(CAST(tg.top_ngram_cnt * LENGTH(tg.top_ngram) AS DOUBLE) / tk.n_chars,
-           0.0) AS top_ngram_char_frac
+           0.0) AS top_ngram_char_frac,
+  pii.n_pii_urls, pii.n_pii_emails, pii.n_pii_ipv4, pii.n_pii_phones,
+  pii.redacted_md5,
+  tf1.top_tfidf_term, tf1.top_tfidf_tf, tf1.top_tfidf_df,
+  tf1.top_tfidf_salience
 FROM s
 JOIN tk ON s.doc_id = tk.doc_id
 LEFT JOIN ls ON s.doc_id = ls.doc_id
 LEFT JOIN gt ON s.doc_id = gt.doc_id
 LEFT JOIN tg ON s.doc_id = tg.doc_id
+JOIN pii ON s.doc_id = pii.doc_id
+LEFT JOIN tf1 ON s.doc_id = tf1.doc_id
 """
 
 
