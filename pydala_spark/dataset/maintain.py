@@ -108,7 +108,13 @@ def compact(
         # would ingest header lines as rows and re-write headerless —
         # silent corruption on the very next read
         reader = reader.option("header", True).option("inferSchema", True)
-    df = reader.load(local)
+    # read the EXPLICIT listed files, not the directory: an append that
+    # lands between the listing above and Spark's own directory scan
+    # would otherwise be swept into the rewrite while staying absent
+    # from input_files — commit() would then carry it forward as a
+    # straggler AND it would be in the compacted output, duplicating
+    # its rows. basePath keeps hive partition-column derivation intact.
+    df = reader.option("basePath", local).load([p for p, _ in files])
     if swap == "generation":
         tmp = posixpath.join(base, generations.next_generation(spark, base))
     else:
@@ -315,7 +321,9 @@ def recluster(
     if not files:
         raise FileNotFoundError(f"no data files under {path}")
     rels = [p[len(local):].lstrip("/") for p, _ in files]
-    df = spark.read.parquet(local)
+    # explicit file list == input_files, so a concurrent append can only
+    # be a straggler (carried forward by commit), never double-counted
+    df = spark.read.option("basePath", local).parquet(*[p for p, _ in files])
     if swap == "generation":
         tmp = posixpath.join(base, generations.next_generation(spark, base))
     else:

@@ -593,11 +593,13 @@ def write_feather_dataset(
     the Arrow IPC file format, so pyarrow/polars read the parts
     directly). The job returns one METADATA row per non-empty partition
     (file name + row count — data bytes never reach the driver). The
-    driver then COMMITS: for ``mode="overwrite"`` the previous part
-    files are deleted only after the staged write fully succeeded (a
-    failed job leaves old data intact), and staged files move into the
-    dataset root with job-suffixed names via PathOps renames, so two
-    concurrent appends cannot collide. Workers write through
+    driver then COMMITS: staged files move into the dataset root with
+    job-suffixed names via PathOps renames (so two concurrent appends
+    cannot collide), and for ``mode="overwrite"`` the superseded part
+    files are deleted only AFTER every new part is in place — a failure
+    while renaming rolls the new parts back out, leaving the old data
+    intact; a failure while deleting old parts leaves old+new visible
+    (re-runnable), never a dataset with neither. Workers write through
     ``pyarrow.fs`` (PathOps is a driver-side JVM wrapper and cannot
     cross the worker boundary); scheme'd paths resolve with
     ``FileSystem.from_uri``. Returns ``{"n_files", "n_rows"}``.
@@ -648,17 +650,37 @@ def write_feather_dataset(
         )
 
     stats = df.mapInArrow(write_parts, "part string, n_rows long").collect()
+    renamed: list[str] = []
     try:
-        if mode == "overwrite":
-            for p, _sz in po.data_files(local):
-                if p.lower().endswith((".feather", ".ipc", ".arrow")):
+        # list the superseded files BEFORE renaming anything in (the
+        # job-suffixed new names cannot collide with them), rename every
+        # staged part in, and only then delete the old files: a rename
+        # failure rolls the new parts back out, so the old dataset is
+        # never touched until the new one is fully in place
+        old = (
+            [
+                p
+                for p, _sz in po.data_files(local)
+                if p.lower().endswith((".feather", ".ipc", ".arrow"))
+            ]
+            if mode == "overwrite"
+            else []
+        )
+        try:
+            for r in stats:
+                name = r["part"]
+                dest = f"{local}/{name.removesuffix('.feather')}-{job}.feather"
+                po.rename(f"{staging}/{name}", dest)
+                renamed.append(dest)
+        except BaseException:
+            for p in renamed:  # roll back; old data remains the dataset
+                try:
                     po.delete(p, recursive=False)
-        for r in stats:
-            name = r["part"]
-            po.rename(
-                f"{staging}/{name}",
-                f"{local}/{name.removesuffix('.feather')}-{job}.feather",
-            )
+                except Exception:
+                    pass
+            raise
+        for p in old:
+            po.delete(p, recursive=False)
     finally:
         po.delete(staging, recursive=True)
     return {"n_files": len(stats), "n_rows": sum(r["n_rows"] for r in stats)}

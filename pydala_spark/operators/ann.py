@@ -51,10 +51,15 @@ def kmeans_centroids(
     consume ~``spread``× more of the corpus before the
     ``2 * sample_size`` LocalLimit short-circuits it; a seeded
     driver-side permutation then decorrelates the kept rows and
-    truncates to ``sample_size``. If the filtered scan comes back short
-    (corpus smaller than ~``spread * sample_size`` rows), one unfiltered
-    bounded re-scan keeps the old guarantee: small corpora train on
-    EVERY row. Residual bias: at extreme corpus sizes the spread prefix
+    truncates to ``sample_size``. A SHORT filtered sample means the
+    filter exhausted the corpus without hitting its limit — i.e. it is
+    a uniform sample of the WHOLE corpus — so it is kept as-is unless
+    (a) an unfiltered bounded scan can see every row anyway (small
+    corpus: strictly more data, still unbiased) or (b) it is too thin
+    to train ``n_centroids`` on; only those two cases fall back to the
+    unfiltered scan. Mid-size domain-sorted corpora therefore train on
+    the smaller-but-uniform sample, never a single-domain file-order
+    prefix. Residual bias: at extreme corpus sizes the spread prefix
     still precedes the far tail — raise ``spread`` (scan cost grows
     linearly with it) or train the codebook once on a dedicated sample
     and persist it (``save_codebook``). Driver memory stays bounded by
@@ -64,9 +69,14 @@ def kmeans_centroids(
         df.select(vec_col).where(keep).limit(sample_size * 2).toPandas()[vec_col]
     )
     if len(sample) < sample_size:
-        # filtered scan came back short: the corpus is small, so one
-        # unfiltered bounded scan is cheap and trains on every row
-        sample = df.select(vec_col).limit(sample_size * 2).toPandas()[vec_col]
+        full = df.select(vec_col).limit(sample_size * 2).toPandas()[vec_col]
+        if len(full) < sample_size * 2 or len(sample) < max(4 * n_centroids, 64):
+            # (a) the unfiltered scan saw the whole corpus (its limit
+            # never hit) -> every row, unbiased; or (b) the filtered
+            # sample is too thin to seed n_centroids. Otherwise the
+            # short-but-uniform filtered sample wins over this
+            # file-order prefix.
+            sample = full
     x = np.array([np.asarray(v, dtype=np.float64) for v in sample])
     if len(x) > sample_size:
         x = x[np.random.default_rng(seed).permutation(len(x))[:sample_size]]

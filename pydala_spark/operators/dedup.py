@@ -236,9 +236,12 @@ def ngram_jaccard_pairs(
     shingle present in nearly every document (a boilerplate header, a
     license block) makes the self-join quadratic in corpus size through
     that one join key. With the cap set, one cheap pre-aggregate counts
-    each shingle's document frequency, the over-cap shingles (a SMALL
-    set by construction — at most total-occurrences/cap of them) are
-    broadcast anti-joined away, and per-doc set sizes are recomputed
+    each shingle's document frequency, the over-cap shingles (at most
+    total-occurrences/cap of them — usually tiny, but NOT provably under
+    the broadcast limit at web scale, so the anti-join carries no forced
+    broadcast hint; AQE broadcasts it when the stop set is actually
+    small and falls back to a shuffle join when it is not) are
+    anti-joined away, and per-doc set sizes are recomputed
     over the retained shingles, so ``jaccard`` stays an exact ratio —
     over the reduced, informative-shingle universe. Ubiquitous shingles
     carry no near-dup signal, which is why dropping them is the standard
@@ -263,7 +266,7 @@ def ngram_jaccard_pairs(
             .select("sh")
         )
         exploded = (
-            exploded.join(F.broadcast(stop), "sh", "left_anti")
+            exploded.join(stop, "sh", "left_anti")
             .withColumn(
                 "sh_size",
                 F.count("*").over(Window.partitionBy("id")).cast("long"),

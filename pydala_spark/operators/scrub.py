@@ -124,7 +124,9 @@ def filter_host_blocklist(
     broadcast when the hit set is small)."""
     spark = df.sparkSession
     if isinstance(blocked_hosts, DataFrame):
-        block = blocked_hosts.toDF("host")
+        # extract_urls emits lowercased hosts — normalize the blocklist
+        # the same way or mixed-case entries would silently never match
+        block = blocked_hosts.toDF("host").select(F.lower("host").alias("host"))
     else:
         block = spark.createDataFrame(
             [(h.lower(),) for h in blocked_hosts], "host string"

@@ -95,9 +95,20 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit("")),
         F.when(
             did % 7 == 0,
-            F.concat(F.lit(" see https://h"), (did % 9).cast("string"),
-                     F.lit(".example.org/p/"), did.cast("string"),
-                     F.lit(" page")),
+            # alternate a mixed-case www variant so the oracle also pins
+            # extract_urls' host normalization (lowercase + www-strip)
+            F.concat(
+                F.lit(" see "),
+                F.when(did % 2 == 0, F.lit("https://WWW.H")).otherwise(
+                    F.lit("https://h")
+                ),
+                (did % 9).cast("string"),
+                F.when(did % 2 == 0, F.lit(".Example.ORG/p/")).otherwise(
+                    F.lit(".example.org/p/")
+                ),
+                did.cast("string"),
+                F.lit(" page"),
+            ),
         ).otherwise(F.lit("")),
         F.when(did % 11 == 0, F.lit(" call +1 415-555-0100 soon")).otherwise(
             F.lit("")
@@ -114,6 +125,18 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts["phone"].cast("long").alias("n_pii_phones"),
         F.md5(redact_pii("text", kinds)).alias("redacted_md5"),
     )
+    # host family (round 4): extract_urls over the planted spans — the
+    # oracle pins URL extraction AND host normalization (lowercase,
+    # www-strip), plus the blocklist-membership predicate
+    # filter_host_blocklist builds on
+    from pydala_spark.operators.scrub import extract_urls
+
+    hosts = extract_urls(aug).groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_urls_extracted"),
+        F.count_distinct("host").alias("n_hosts"),
+        F.min("host").alias("first_host"),
+        F.bool_or(F.col("host") == "h3.example.org").alias("hits_blocklist"),
+    )
     # tfidf family (round 4): rank-1 salient term per doc (tf/df ratio
     # ranking — ln-free, so every value is hash-portable)
     from pydala_spark.operators.textstats import tfidf_top_terms
@@ -126,7 +149,17 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("salience").alias("top_tfidf_salience"),
     )
     return (
-        profile.join(rep, "doc_id").join(pii, "doc_id").join(tfidf, "doc_id", "left")
+        profile.join(rep, "doc_id")
+        .join(pii, "doc_id")
+        .join(hosts, "doc_id", "left")
+        .join(tfidf, "doc_id", "left")
+        .withColumn(
+            "n_urls_extracted", F.coalesce("n_urls_extracted", F.lit(0))
+        )
+        .withColumn("n_hosts", F.coalesce("n_hosts", F.lit(0)))
+        .withColumn(
+            "hits_blocklist", F.coalesce("hits_blocklist", F.lit(False))
+        )
     )
 
 
@@ -190,7 +223,10 @@ pii_src AS (
             THEN ' contact user' || doc_id || '@example.com now' ELSE '' END
     || CASE WHEN doc_id % 5 = 0
             THEN ' origin 10.0.' || (doc_id % 200) || '.7 logged' ELSE '' END
-    || CASE WHEN doc_id % 7 = 0
+    || CASE WHEN doc_id % 7 = 0 AND doc_id % 2 = 0
+            THEN ' see https://WWW.H' || (doc_id % 9) || '.Example.ORG/p/'
+                 || doc_id || ' page'
+            WHEN doc_id % 7 = 0
             THEN ' see https://h' || (doc_id % 9) || '.example.org/p/'
                  || doc_id || ' page' ELSE '' END
     || CASE WHEN doc_id % 11 = 0
@@ -209,6 +245,23 @@ pii AS (
           '{_PAT_IPV4}', '<ipv4>', 'g'),
           '{_PAT_PHONE}', '<phone>', 'g')) AS redacted_md5
   FROM pii_src
+),
+uex AS (
+  SELECT doc_id, unnest(regexp_extract_all(atext, '{_PAT_URL}')) AS url
+  FROM pii_src
+),
+hx AS (
+  SELECT doc_id,
+         regexp_replace(lower(regexp_extract(url, 'https?://([^/:]+)', 1)),
+                        '^www\\.', '') AS host
+  FROM uex
+),
+ha AS (
+  SELECT doc_id, COUNT(*) AS n_urls_extracted,
+         COUNT(DISTINCT host) AS n_hosts,
+         MIN(host) AS first_host,
+         BOOL_OR(host = 'h3.example.org') AS hits_blocklist
+  FROM hx GROUP BY 1
 ),
 tfx AS (SELECT doc_id, term, COUNT(*) AS tf
         FROM (SELECT doc_id, unnest({_WORD_SPLIT_SQL}) AS term FROM documents)
@@ -241,6 +294,10 @@ SELECT s.doc_id, s.n_chars AS n_chars_calc, n_tokens, n_punct, n_unique_words,
            0.0) AS top_ngram_char_frac,
   pii.n_pii_urls, pii.n_pii_emails, pii.n_pii_ipv4, pii.n_pii_phones,
   pii.redacted_md5,
+  CAST(COALESCE(ha.n_urls_extracted, 0) AS BIGINT) AS n_urls_extracted,
+  CAST(COALESCE(ha.n_hosts, 0) AS BIGINT) AS n_hosts,
+  ha.first_host,
+  COALESCE(ha.hits_blocklist, FALSE) AS hits_blocklist,
   tf1.top_tfidf_term, tf1.top_tfidf_tf, tf1.top_tfidf_df,
   tf1.top_tfidf_salience
 FROM s
@@ -249,6 +306,7 @@ LEFT JOIN ls ON s.doc_id = ls.doc_id
 LEFT JOIN gt ON s.doc_id = gt.doc_id
 LEFT JOIN tg ON s.doc_id = tg.doc_id
 JOIN pii ON s.doc_id = pii.doc_id
+LEFT JOIN ha ON s.doc_id = ha.doc_id
 LEFT JOIN tf1 ON s.doc_id = tf1.doc_id
 """
 

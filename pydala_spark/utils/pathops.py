@@ -73,6 +73,9 @@ class PathOps:
         out = []
         for p, sz in self.list_files(path):
             rel = p[len(base):].lstrip("/") if p.startswith(base) else p
+            if rel == "":  # ``path`` IS a file: emit it as-is (joining
+                out.append((base, sz))  # "" would append a bogus slash)
+                continue
             parts = rel.split("/")
             if any(seg.startswith(("_", ".")) for seg in parts):
                 continue

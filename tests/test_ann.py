@@ -64,3 +64,30 @@ def test_codebook_roundtrip_and_reuse(clustered, spark, tmp_path):
     a = ivf_topk(clustered, probes, k=3, centroids=cb)
     b = ivf_topk(clustered, probes, k=3, centroids=cb2)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_kmeans_short_spread_sample_beats_prefix_bias(spark):
+    # r4 review: a mid-size domain-sorted corpus (filtered spread sample
+    # comes back short; unfiltered bounded scan would see only the first
+    # domain) must still train on rows spanning the WHOLE corpus — the
+    # short-but-uniform filtered sample wins over the file-order prefix
+    import numpy as np
+
+    from pydala_spark.operators.ann import kmeans_centroids
+
+    n_half = 6400
+    # unique vectors (the spread filter hashes the vector VALUE; exact
+    # duplicates pass or fail together, which real embeddings never hit)
+    rows = [([1.0, i * 1e-6, 0.0],) for i in range(n_half)] + [
+        ([i * 1e-6, 1.0, 0.0],) for i in range(n_half)
+    ]
+    df = spark.createDataFrame(rows, "embedding array<double>").coalesce(1)
+    # sample_size=1600: unfiltered limit sees 3200 rows = first domain
+    # only; spread=16 keeps ~800 uniform rows (short, but >= the 64-row
+    # floor) spanning both domains
+    cents = kmeans_centroids(
+        df, n_centroids=2, sample_size=1600, spread=16, iterations=4
+    )
+    # with the fix, one centroid lands near each domain axis
+    axes = {int(np.argmax(np.abs(c))) for c in cents}
+    assert axes == {0, 1}, f"centroids collapsed to one domain: {cents}"

@@ -111,3 +111,11 @@ def test_tfidf_empty_doc_absent(spark):
     )
     got = tfidf_top_terms(df, top_k=1).select("doc_id").collect()
     assert sorted(r["doc_id"] for r in got) == [1]
+
+
+def test_filter_host_blocklist_dataframe_mixed_case(spark):
+    # r4 review: DataFrame blocklists must normalize like list ones —
+    # mixed-case entries previously never matched the lowercased hosts
+    block = spark.createDataFrame([("Site-A.com",)], "host string")
+    kept = filter_host_blocklist(_docs_df(spark), block)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 3, 4]

@@ -214,3 +214,72 @@ def test_feather_write_rejects_partitioning(spark, tmp_path):
         Writer(
             spark, str(tmp_path / "fp"), format="feather", partition_by=["part"]
         ).write(df)
+
+
+def test_feather_dataset_schema_promotion_read(spark, tmp_path):
+    # r4 review: parts written with promoted/narrower schemas (the old
+    # driver bridge produced these) must still read — int32 widens to
+    # int64 and a missing column null-fills, matching the bridge's
+    # concat_tables(promote_options=...) behavior
+    import pyarrow.feather as pf
+
+    root = tmp_path / "feather_mixed"
+    root.mkdir()
+    pf.write_feather(
+        pa.table({"id": pa.array([1, 2], pa.int32())}), str(root / "a.feather")
+    )
+    pf.write_feather(
+        pa.table(
+            {"id": pa.array([3], pa.int64()), "v": pa.array([0.5], pa.float64())}
+        ),
+        str(root / "b.feather"),
+    )
+    back = read(spark, str(root), format="feather")
+    assert dict(back.dtypes) == {"id": "bigint", "v": "double"}
+    rows = {r["id"]: r["v"] for r in back.collect()}
+    assert rows == {1: None, 2: None, 3: 0.5}
+
+
+def test_feather_single_file_scheme_path(spark, tmp_path):
+    # r4 review: a scheme'd SINGLE-FILE path dispatches to the
+    # distributed reader, whose listing must yield the file itself
+    # (PathOps.data_files previously appended a bogus trailing slash)
+    import pyarrow.feather as pf
+
+    p = tmp_path / "single.feather"
+    pf.write_feather(pa.table({"a": [1, 2, 3]}), str(p))
+    df = read(spark, f"file://{p}", format="feather")
+    assert sorted(r["a"] for r in df.collect()) == [1, 2, 3]
+
+
+def test_feather_overwrite_rename_failure_keeps_old_data(spark, tmp_path, monkeypatch):
+    # r4 review: a rename failure during the overwrite commit must leave
+    # the OLD dataset intact (previously old files were deleted first
+    # and the staging dir wiped in finally — both datasets lost)
+    from pydala_spark.dataset.writer import write_feather_dataset
+    from pydala_spark.sources import read_feather_dataset
+    from pydala_spark.utils import pathops as po_mod
+
+    out = str(tmp_path / "feather_guard")
+    df1 = spark.range(0, 100).repartition(2)
+    write_feather_dataset(spark, df1, out, mode="overwrite")
+
+    real_rename = po_mod.PathOps.rename
+    calls = {"n": 0}
+
+    def flaky_rename(self, src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:  # second staged part fails to move in
+            raise OSError("simulated transient rename failure")
+        return real_rename(self, src, dst)
+
+    monkeypatch.setattr(po_mod.PathOps, "rename", flaky_rename)
+    df2 = spark.range(100, 400).repartition(3)
+    with pytest.raises(OSError, match="simulated"):
+        write_feather_dataset(spark, df2, out, mode="overwrite")
+    monkeypatch.setattr(po_mod.PathOps, "rename", real_rename)
+
+    back = read_feather_dataset(spark, out)
+    assert back.count() == 100  # old data, fully intact
+    assert sorted(r["id"] for r in back.collect()) == list(range(100))
+    assert not any(f.startswith("_staging") for f in os.listdir(out))
