@@ -40,15 +40,31 @@ def prep_documents(
     shard_tokens: int | None = None,
     max_dup_ngram_frac: float | None = None,
     max_top_ngram_char_frac: float | None = None,
+    blocked_hosts: list[str] | DataFrame | None = None,
+    redact: bool = False,
 ) -> DataFrame:
-    """Return the cleaned corpus: quality columns attached, exact and
-    near duplicates removed (keeping the lowest id), benchmark-
-    contaminated docs dropped (when ``benchmark`` is given), low-quality
-    and (when the ``max_*`` thresholds are set) repetition-heavy docs
-    dropped per the Gopher rules — and, when ``shard_tokens`` is set,
-    packed into fixed-token-budget training shards (adds ``n_tokens``,
-    ``cum_before`` and ``shard_id``; packing runs after every filter so
-    shards are gap-free)."""
+    """Return the cleaned corpus: quality columns attached, docs linking
+    blocklisted hosts dropped (when ``blocked_hosts`` is given — the
+    RefinedWeb URL-filter step, run FIRST so later stages never touch
+    dropped docs), PII spans redacted in place (``redact=True`` — before
+    fingerprinting, so near-identical docs differing only in contact
+    info dedup together), exact and near duplicates removed (keeping the
+    lowest id), benchmark-contaminated docs dropped (when ``benchmark``
+    is given), low-quality and (when the ``max_*`` thresholds are set)
+    repetition-heavy docs dropped per the Gopher rules — and, when
+    ``shard_tokens`` is set, packed into fixed-token-budget training
+    shards (adds ``n_tokens``, ``cum_before`` and ``shard_id``; packing
+    runs after every filter so shards are gap-free)."""
+    # 0. URL blocklist + PII scrub (cheapest first: map-side column
+    # algebra; the blocklist anti-join shrinks every downstream stage)
+    if blocked_hosts is not None:
+        from pydala_spark.operators.scrub import filter_host_blocklist
+
+        df = filter_host_blocklist(df, blocked_hosts, id_col, text_col)
+    if redact:
+        from pydala_spark.operators.scrub import redact_pii
+
+        df = df.withColumn(text_col, redact_pii(text_col))
     # 1. quality features (pure column algebra)
     out = quality_stats(df, text_col)
     # 1b. Gopher repetition gate (doc-keyed aggregation, only when asked)

@@ -136,3 +136,34 @@ def test_prep_documents_repetition_gate(spark):
     assert ids == [1, 3]  # the repeated-ngram doc is gated out
     # no thresholds -> no gate, no extra joins
     assert prep_documents(corpus, min_quality=0, near_dup=False).count() == 3
+
+
+def test_prep_documents_scrub_stage(spark):
+    # round 4: blocklist filter runs first; redaction lands before
+    # fingerprinting so contact-info-only variants dedup together
+    from pydala_spark.operators.pipeline import prep_documents
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "wholesome training text with plenty of ordinary words"),
+            (2, "wholesome training text with plenty of ordinary words "
+                "reach me: alice@corp.example.com"),
+            (3, "wholesome training text with plenty of ordinary words "
+                "reach me: bob@other.example.net"),
+            (4, "spam document linking https://bad.example.com/deal now"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = prep_documents(
+        corpus,
+        min_quality=0,
+        near_dup=False,
+        blocked_hosts=["bad.example.com"],
+        redact=True,
+    )
+    rows = {r["doc_id"]: r["text"] for r in kept.collect()}
+    # doc 4 dropped by the blocklist; docs 2 and 3 redact to the SAME
+    # text and exact-dedup onto the lowest surviving id alongside doc 1
+    assert 4 not in rows
+    assert sorted(rows) == [1, 2]
+    assert "<email>" in rows[2] and "alice" not in rows[2]
