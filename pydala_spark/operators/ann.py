@@ -28,7 +28,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from pydala_spark.operators.similarity import cosine_similarity
 
 
 def kmeans_centroids(
@@ -165,11 +164,13 @@ def ivf_topk(
         )
     c_assign = _assigner(centroids, 1)
     p_assign = _assigner(centroids, n_probe_centroids)
+    from pydala_spark.operators.similarity import dot, norm
+
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("vec"),
         F.element_at(c_assign(F.col(vec_col)), 1).alias("cell"),
-    )
+    ).withColumn("__cn", norm(F.col("vec")))
     from pydala_spark.operators.dedup import explode_cheaply
 
     # explode_cheaply, not F.explode: InferFiltersFromGenerate would
@@ -182,11 +183,17 @@ def ivf_topk(
         ).withColumn("__cells", p_assign(F.col("probe_vec"))),
         F.col("__cells"),
         "cell",
-    ).drop("__cells")
+    ).drop("__cells").withColumn("__pn", norm(F.col("probe_vec")))
     scored = (
         c.join(p, "cell")
         .where(F.col("neighbor_id") != F.col("probe_id"))
-        .withColumn("sim", cosine_similarity(F.col("probe_vec"), F.col("vec")))
+        # norms computed below the join (once per row, not per pair —
+        # same doubles, one array pass per pair instead of three)
+        .withColumn(
+            "sim",
+            dot(F.col("probe_vec"), F.col("vec"))
+            / (F.col("__pn") * F.col("__cn")),
+        )
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (

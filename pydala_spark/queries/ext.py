@@ -450,7 +450,11 @@ WITH sh AS ({_SHINGLES_SQL}),
 ex AS (SELECT doc_id, UNNEST(shs) AS s FROM sh),
 sig AS (
   SELECT doc_id,
-    {', '.join(f"MIN(MD5(CONCAT('{i}|', s))) AS mh_{i}" for i in range(8))}
+    {', '.join(
+        f"MIN(SUBSTRING(MD5(CONCAT('{i // 4}|', s)), {(i % 4) * 8 + 1}, 8))"
+        f" AS mh_{i}"
+        for i in range(8)
+    )}
   FROM ex GROUP BY doc_id
 ),
 bands AS (
