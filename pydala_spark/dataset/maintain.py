@@ -347,3 +347,53 @@ def recluster(
         ops.delete(old)
     spark.catalog.refreshByPath(base)
     return stats
+
+
+def normalize_filenames(
+    spark: SparkSession,
+    path: str,
+    base_name: str = "data",
+    timestamp: str | None = None,
+) -> dict:
+    """Rename Spark's ``part-*`` data files to the reference's
+    ``{base}-{YYYYmmdd_HHMMSSfff}-{id}.{ext}`` scheme (reference
+    src/pydala/dataset/writer.py:141) — closes the SURVEY §7.4 part-file
+    naming divergence for lakes that must stay byte-compatible with
+    reference tooling's filename expectations.
+
+    Partition directories are preserved (only basenames change); the
+    sequence id is assigned in sorted-path order, so the mapping is
+    deterministic given the listing and a fixed ``timestamp``
+    (YYYYmmdd_HHMMSSfff; defaults to now-UTC). Metadata-only: one
+    listing + one rename per file through the Hadoop FileSystem (a
+    copy+delete per file on object stores). Run it like any other
+    maintenance op — not concurrently with readers that already
+    resolved the old file list. Returns {"n_renamed", "n_skipped"}.
+    """
+    import datetime as _dt
+    import posixpath as _pp
+    import re as _re
+
+    from pydala_spark.dataset import generations
+    from pydala_spark.utils.pathops import PathOps, strip_scheme
+
+    configure_session(spark)
+    base = strip_scheme(path).rstrip("/")
+    local = strip_scheme(generations.resolve(spark, base)).rstrip("/")
+    po = PathOps(spark, local)
+    ts = timestamp or _dt.datetime.now(_dt.timezone.utc).strftime(
+        "%Y%m%d_%H%M%S%f"
+    )[:-3]
+    already = _re.compile(rf"^{_re.escape(base_name)}-\d{{8}}_\d{{9}}-\d+\.")
+    n_renamed = n_skipped = 0
+    for seq, (p, _sz) in enumerate(sorted(po.data_files(local))):
+        name = _pp.basename(p)
+        if already.match(name):
+            n_skipped += 1
+            continue
+        ext = name.rsplit(".", 1)[-1] if "." in name else "parquet"
+        dest = _pp.join(_pp.dirname(p), f"{base_name}-{ts}-{seq:06d}.{ext}")
+        po.rename(p, dest)
+        n_renamed += 1
+    spark.catalog.refreshByPath(base)
+    return {"n_renamed": n_renamed, "n_skipped": n_skipped}

@@ -89,3 +89,39 @@ def salted_join(
 #: Round-1 name; kept for compatibility. The operator performs a salted
 #: SHUFFLE join (the name oversold a broadcast that never happens).
 salted_broadcast_left_join = salted_join
+
+
+def skew_report(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    top: int = 20,
+) -> DataFrame:
+    """Heavy-hitter diagnostic for a prospective join/groupBy key: the
+    ``top`` most frequent key values with their row counts, the share of
+    all rows they carry, and the ratio to a perfectly uniform key
+    (``x_uniform`` > ~100 on a top key is the signal to reach for
+    :func:`salted_agg`/:func:`salted_join` or AQE skew splitting).
+
+    One shuffle keyed by the (high-cardinality) key for the partial
+    counts; the totals ride a single-row broadcast join, and only
+    ``top`` rows ever reach the driver. Run it on a sample for a quick
+    look — frequencies, not exact counts, drive the decision.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    counts = df.groupBy(*keys).agg(F.count("*").alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("__total"), F.count("*").alias("__n_keys")
+    )
+    return (
+        counts.join(F.broadcast(totals))
+        .orderBy(F.desc("n_rows"), *keys)
+        .limit(top)
+        .select(
+            *keys,
+            "n_rows",
+            (F.col("n_rows") / F.col("__total")).alias("row_share"),
+            (F.col("n_rows") * F.col("__n_keys") / F.col("__total")).alias(
+                "x_uniform"
+            ),
+        )
+    )

@@ -586,3 +586,28 @@ def test_generation_orphan_dir_swept_on_next_commit(spark, tmp_path):
     assert not os.path.isdir(orphan)  # orphan swept
     assert os.path.isdir(os.path.join(base, "gen-000001"))  # retained prev
     assert Dataset(spark, base).count() == 20
+
+
+def test_normalize_filenames_reference_scheme(spark, tmp_path):
+    # closes the SURVEY §7.4 part-file naming divergence on demand:
+    # part-*.parquet -> data-<YYYYmmdd_HHMMSSfff>-<seq>.parquet
+    # (reference writer.py:141), partition dirs preserved, idempotent
+    import os
+    import re
+
+    from pydala_spark.dataset.maintain import normalize_filenames
+
+    root = str(tmp_path / "named")
+    df = spark.range(0, 100).withColumn("part", (F.col("id") % 2).cast("string"))
+    df.write.partitionBy("part").parquet(root)
+    res = normalize_filenames(spark, root, timestamp="20260814_120000000")
+    assert res["n_renamed"] > 0 and res["n_skipped"] == 0
+    pat = re.compile(r"^data-20260814_120000000-\d{6}\.parquet$")
+    for d in ("part=0", "part=1"):
+        names = [f for f in os.listdir(os.path.join(root, d))
+                 if not f.startswith((".", "_"))]
+        assert names and all(pat.match(n) for n in names), names
+    assert spark.read.parquet(root).count() == 100  # bytes unchanged
+    # second run: everything already conforms -> pure no-op
+    res2 = normalize_filenames(spark, root, timestamp="20260814_130000000")
+    assert res2["n_renamed"] == 0 and res2["n_skipped"] == res["n_renamed"]

@@ -161,3 +161,16 @@ def test_dedup_clusters_deep_chain_pointer_jumping(spark):
     out = {r["id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
     assert set(out) == set(range(61))
     assert set(out.values()) == {0}  # one cluster labeled by its minimum
+
+
+def test_skew_report_flags_hot_key(spark):
+    from pydala_spark.operators.skew import skew_report
+
+    rows = [(1, "hot") for _ in range(900)] + [(i, f"k{i}") for i in range(100)]
+    df = spark.createDataFrame(rows, "v int, k string")
+    rep = skew_report(df, "k", top=3).collect()
+    assert rep[0]["k"] == "hot" and rep[0]["n_rows"] == 900
+    assert rep[0]["row_share"] == 900 / 1000
+    # 101 distinct keys, uniform share would be ~9.9 rows -> ~91x
+    assert 85 < rep[0]["x_uniform"] < 95
+    assert rep[1]["n_rows"] == 1  # everything else is uniform
