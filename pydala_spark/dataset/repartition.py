@@ -43,10 +43,18 @@ class Repartition:
         transform_func: Callable[[DataFrame], DataFrame] | None = None,
         with_snapshot: bool = True,
     ):
+        from pydala_spark.utils.pathops import strip_scheme
+
         self.spark = configure_session(spark)
         self.source_path = source_path
         self.dest_path = dest_path or source_path
-        self.in_place = self.dest_path.rstrip("/") == source_path.rstrip("/")
+        # scheme-insensitive: 'file:///data/ds' IS '/data/ds' — a raw
+        # string compare would route the same directory through the
+        # overwrite-own-input path
+        self.in_place = (
+            strip_scheme(self.dest_path).rstrip("/")
+            == strip_scheme(source_path).rstrip("/")
+        )
         self.source_format = source_format
         self.dest_format = dest_format
         self.partition_by = list(partition_by or [])
@@ -138,12 +146,36 @@ class Repartition:
             compression=self.compression,
             max_records_per_file=self.max_records_per_file,
         ).write(df)
+        # --- swap, crash-safely: nothing is DELETED until the rewrite is
+        # fully in place. Old data files are MOVED out — to the TimeFly
+        # snapshot archive when pointer manifests reference this current/
+        # (deleting them would permanently break every pointer snapshot;
+        # parked files stay resolvable and delete_snapshot's GC reclaims
+        # the unreferenced ones), else to a __prepartition side dir
+        # dropped only after the move-in succeeds. A crash at any point
+        # leaves every byte in local, the side dir, the archive, or tmp.
+        parent = posixpath.dirname(local)
+        snap_dir = posixpath.join(parent, "snapshot")
+        has_manifests = posixpath.basename(local) == "current" and any(
+            e.endswith(".manifest.json") for e in ops.list_dir(snap_dir)
+        )
+        pre = local + "__prepartition"
+        ops.delete(pre)
+        park_root = posixpath.join(snap_dir, "archive") if has_manifests else pre
+        for p, _sz in ops.data_files(local):
+            rel = p[len(local):].lstrip("/")
+            ops.rename(p, posixpath.join(park_root, rel))
         for entry in ops.list_dir(local):
-            # keep snapshots and every config sidecar — including the
-            # reference-written TOML ones the compat layer reads
-            if entry in ("snapshot", "_dataset.json", "_dataset.toml", "_pydala.toml"):
+            # drop now-empty partition dirs and stale markers; every
+            # sidecar survives (snapshot/, _dataset.*, _pydala.toml, the
+            # generation provenance _inputs.json, ...)
+            if entry == "snapshot" or entry.startswith(("_", ".")):
                 continue
             ops.delete(posixpath.join(local, entry))
         for entry in ops.list_dir(tmp):
+            if entry.startswith(("_", ".")):  # tmp's own _SUCCESS marker
+                continue
             ops.rename(posixpath.join(tmp, entry), posixpath.join(local, entry))
+        ops.delete(pre)
         ops.delete(tmp)
+        self.spark.catalog.refreshByPath(self.source_path)

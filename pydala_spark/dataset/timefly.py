@@ -502,19 +502,43 @@ class TimeFly:
         (reference TimeFlyReader, src/pydala/dataset/reader.py:584-653).
         A pointer snapshot reads its manifest's file list wherever the
         files live — current/ and/or the restore archive (per-root
-        basePath keeps hive partition discovery working)."""
+        basePath keeps hive partition discovery working).
+
+        An EXACT stamp match wins before any rounding — same rule as
+        :meth:`load_snapshot`: the stamp :meth:`add_snapshot` returned
+        would otherwise fall through the strictly-after default rounding
+        and silently read the NEXT snapshot (or current)."""
         from pydala_spark.dataset.reader import Dataset
 
-        sub = self.resolve(timefly, rounding)
+        sub = None
+        if timefly is not None:
+            want = timefly if isinstance(timefly, str) else timefly.strftime(TS_FMT)
+            try:
+                want = _to_ts(want).strftime(TS_FMT)
+            except ValueError:
+                want = None
+            if want is not None and want in self.snapshots():
+                sub = f"snapshot/{want}"
+        if sub is None:
+            sub = self.resolve(timefly, rounding)
         if sub != "current":
             key = sub.removeprefix("snapshot/")
             manifest = self._read_snapshot_manifest(key)
             if manifest is not None:
+                # resolve against TWO bulk listings, not one existence
+                # RPC per listed file (a 100k-file manifest on an object
+                # store would pay minutes of driver metadata latency
+                # before the scan even started)
+                cur_set = set(self._current_rel_datafiles())
+                arc = self.archive_path
+                arc_set = {
+                    p[len(arc):].lstrip("/") for p, _ in self.ops.data_files(arc)
+                }
                 in_cur, in_arc, missing = [], [], []
                 for r in manifest["files"]:
-                    if self.ops.exists(posixpath.join(self.current_path, r)):
+                    if r in cur_set:
                         in_cur.append(posixpath.join(self.current_path, r))
-                    elif self.ops.exists(self._archive_file(r)):
+                    elif r in arc_set:
                         in_arc.append(self._archive_file(r))
                     else:
                         missing.append(r)
@@ -525,8 +549,18 @@ class TimeFly:
                         f"empty); first: {missing[0]!r}" if missing else
                         f"pointer snapshot {key} lists no files"
                     )
+                reader = self.spark.read
+                if self.format == "csv":
+                    # Writer writes csv WITH headers; reading without
+                    # would ingest header lines as rows under _c0.._cn
+                    # (same rule as maintain.compact / Dataset)
+                    reader = reader.option("header", True).option(
+                        "inferSchema", True
+                    )
+                elif self.format == "parquet":
+                    reader = reader.option("mergeSchema", True)
                 parts = [
-                    self.spark.read.option("basePath", base)
+                    reader.option("basePath", base)
                     .format(self.format)
                     .load(files)
                     for base, files in (

@@ -55,6 +55,13 @@ def incremental_append(
     safe (pointer commit instead of directory rename); the Writer
     re-resolves the pointer per batch, so appends follow each advance.
     """
+    if zorder_by and writer.format != "parquet":
+        # recluster reads/writes parquet only; discovering that on the
+        # Nth batch would kill a long-running stream mid-flight
+        raise ValueError(
+            f"zorder_by requires a parquet writer (got format="
+            f"{writer.format!r}); use compact_every without zorder_by"
+        )
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         writer.write(
@@ -75,6 +82,7 @@ def incremental_append(
                         batch_df.sparkSession,
                         writer._orig_path,
                         list(zorder_by),
+                        compression=writer.compression,
                         swap=swap,
                     )
                 else:

@@ -3,8 +3,8 @@
 Beyond reference parity (the reference has no streaming at all, SURVEY
 §2.8): a running per-key aggregate that survives across micro-batches —
 the canonical "custom stateful operator" shape for Structured Streaming.
-State is a single row per key (count, sum, max_ts), bounded memory per
-key regardless of stream length.
+State is a single row per key (count, sum), bounded memory per key
+regardless of stream length.
 """
 
 from __future__ import annotations
@@ -37,11 +37,9 @@ def running_user_totals(stream_df: DataFrame) -> DataFrame:
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        rows = 0
         add_n = 0
         add_total = 0.0
         for pdf in pdfs:
-            rows += len(pdf)
             add_n += len(pdf)
             add_total += float(pdf["value"].sum())
         if state.exists:
@@ -56,7 +54,7 @@ def running_user_totals(stream_df: DataFrame) -> DataFrame:
                 "user_id": [key[0]],
                 "n_events": [n],
                 "total_value": [total],
-                "batch_rows": [rows],
+                "batch_rows": [add_n],
             }
         )
 

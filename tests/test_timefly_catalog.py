@@ -685,3 +685,83 @@ def test_manifest_toml_mirror_roundtrip(spark, tmp_path):
     lake.remove_dataset("new_ds")
     with open(os.path.join(root, "_pydala.toml"), "rb") as f:
         assert set(tomllib.load(f)["datasets"]) == {"ref_ds"}
+
+
+def test_timefly_read_exact_stamp(spark, tmp_path):
+    # r4 review: read(add_snapshot()'s stamp) must hit THAT snapshot —
+    # the strictly-after default rounding would silently skip it
+    base = str(tmp_path / "exact_ds")
+    _write(spark, base, [1, 2, 3])
+    tf = TimeFly(spark, base)
+    tf.new()
+    tf.create_current()
+    snap1 = tf.add_snapshot(TS(2024, 1, 1, 12, 0, 0))
+    Writer(spark, tf.current_path).write(
+        spark.createDataFrame([Row(id=4)], "id long")
+    )
+    tf.add_snapshot(TS(2024, 6, 1, 12, 0, 0))
+    assert tf.read(snap1).count() == 3  # not the June snapshot's 4
+    assert tf.read(TS(2024, 1, 1, 12, 0, 0)).count() == 3
+
+
+def test_timefly_pointer_csv_reads_headers(spark, tmp_path):
+    # r4 review: the pointer-manifest read path must honor csv headers
+    # like every other read path (else header lines become data rows)
+    base = str(tmp_path / "csv_ptr")
+    spark.createDataFrame([Row(id=i, v=f"x{i}") for i in (1, 2, 3)]).write.mode(
+        "overwrite"
+    ).option("header", True).csv(base)
+    tf = TimeFly(spark, base, format="csv", snapshot_mode="pointer")
+    tf.new()
+    tf.create_current()
+    snap = tf.add_snapshot(TS(2024, 1, 1, 12, 0, 0))
+    got = tf.read(snap)
+    assert set(got.columns) == {"id", "v"}
+    assert got.count() == 3
+    assert {r["v"] for r in got.collect()} == {"x1", "x2", "x3"}
+
+
+def test_repartition_in_place_preserves_pointer_snapshots(spark, tmp_path):
+    # r4 review: an in-place rewrite of a pointer-snapshotted current/
+    # must PARK the old files in the snapshot archive, not delete them —
+    # otherwise every pointer manifest dangles forever
+    base = str(tmp_path / "ptr_rw")
+    _write(spark, base, [1, 2, 3])
+    tf = TimeFly(spark, base, snapshot_mode="pointer")
+    tf.new()
+    tf.create_current()
+    snap = tf.add_snapshot(TS(2024, 1, 1, 12, 0, 0))
+    Repartition(
+        spark, tf.current_path, sort_by="id DESC", with_snapshot=False
+    ).run()
+    # rewrite landed and is readable in the SAME session (cache refreshed)
+    assert Dataset(spark, tf.current_path).load().count() == 3
+    # the pre-rewrite pointer snapshot still reads via the archive
+    assert sorted(r["id"] for r in tf.read(snap).collect()) == [1, 2, 3]
+
+
+def test_repartition_in_place_keeps_sidecars(spark, tmp_path):
+    # r4 review: underscore sidecars (e.g. the generation provenance
+    # _inputs.json) survive an in-place rewrite
+    import json
+
+    root = str(tmp_path / "sidecar_rw")
+    _write(spark, root, [1, 2, 3, 4])
+    with open(os.path.join(root, "_inputs.json"), "w") as fh:
+        json.dump({"source": "gen-000001", "files": ["a.parquet"]}, fh)
+    Repartition(spark, root, sort_by="id", with_snapshot=False).run()
+    assert os.path.exists(os.path.join(root, "_inputs.json"))
+    assert Dataset(spark, root).load().count() == 4
+    assert not os.path.exists(root + "__prepartition")
+    assert not os.path.exists(root + "__repartition_tmp")
+
+
+def test_streaming_zorder_requires_parquet(spark, tmp_path):
+    from pydala_spark.streaming import incremental_append
+
+    w = Writer(spark, str(tmp_path / "s"), format="csv")
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    )
+    with pytest.raises(ValueError, match="parquet"):
+        incremental_append(stream, w, zorder_by=["value"], compact_every=1)
