@@ -385,15 +385,25 @@ def normalize_filenames(
         "%Y%m%d_%H%M%S%f"
     )[:-3]
     already = _re.compile(rf"^{_re.escape(base_name)}-\d{{8}}_\d{{9}}-\d+\.")
+    listing = sorted(po.data_files(local))
+    # seq must never collide with a name already on disk: a second run
+    # with the SAME explicit timestamp would otherwise assign seq 0 to a
+    # new file and rename onto an existing data file (silent replace on
+    # local rename(2), mid-run failure on HDFS)
+    taken = {_pp.basename(p) for p, _ in listing}
+    seq = 0
     n_renamed = n_skipped = 0
-    for seq, (p, _sz) in enumerate(sorted(po.data_files(local))):
+    for p, _sz in listing:
         name = _pp.basename(p)
         if already.match(name):
             n_skipped += 1
             continue
         ext = name.rsplit(".", 1)[-1] if "." in name else "parquet"
-        dest = _pp.join(_pp.dirname(p), f"{base_name}-{ts}-{seq:06d}.{ext}")
-        po.rename(p, dest)
+        while f"{base_name}-{ts}-{seq:06d}.{ext}" in taken:
+            seq += 1
+        new_name = f"{base_name}-{ts}-{seq:06d}.{ext}"
+        taken.add(new_name)
+        po.rename(p, _pp.join(_pp.dirname(p), new_name))
         n_renamed += 1
     spark.catalog.refreshByPath(base)
     return {"n_renamed": n_renamed, "n_skipped": n_skipped}

@@ -164,7 +164,7 @@ def ivf_topk(
         )
     c_assign = _assigner(centroids, 1)
     p_assign = _assigner(centroids, n_probe_centroids)
-    from pydala_spark.operators.similarity import dot, norm
+    from pydala_spark.operators.similarity import norm, sim_from_norms
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -180,19 +180,22 @@ def ivf_topk(
         probes.select(
             F.col(id_col).alias("probe_id"),
             F.col(vec_col).alias("probe_vec"),
-        ).withColumn("__cells", p_assign(F.col("probe_vec"))),
+        )
+        # norm BEFORE the cell explode: after it, each probe's norm
+        # would re-compute once per probed cell
+        .withColumn("__pn", norm(F.col("probe_vec")))
+        .withColumn("__cells", p_assign(F.col("probe_vec"))),
         F.col("__cells"),
         "cell",
-    ).drop("__cells").withColumn("__pn", norm(F.col("probe_vec")))
+    ).drop("__cells")
     scored = (
         c.join(p, "cell")
         .where(F.col("neighbor_id") != F.col("probe_id"))
-        # norms computed below the join (once per row, not per pair —
-        # same doubles, one array pass per pair instead of three)
         .withColumn(
             "sim",
-            dot(F.col("probe_vec"), F.col("vec"))
-            / (F.col("__pn") * F.col("__cn")),
+            sim_from_norms(
+                F.col("probe_vec"), F.col("vec"), F.col("__pn"), F.col("__cn")
+            ),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))

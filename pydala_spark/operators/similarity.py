@@ -39,6 +39,17 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def sim_from_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine from PRE-COMPUTED norms: one array pass per pair instead
+    of three. Hoist ``norm(vec)`` onto each side's projection BELOW the
+    join (once per row — a corpus row meets every probe) and pass the
+    norm columns here; same doubles as :func:`cosine_similarity`
+    (identical ops and order, just not repeated). Every similarity
+    operator in this package scores through this helper so the hoisting
+    invariant lives in one place."""
+    return dot(a, b) / (na * nb)
+
+
 def cosine_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -66,8 +77,9 @@ def cosine_topk(
         .where(F.col("neighbor_id") != F.col("probe_id"))
         .withColumn(
             "sim",
-            dot(F.col("probe_vec"), F.col("vec"))
-            / (F.col("__pn") * F.col("__cn")),
+            sim_from_norms(
+                F.col("probe_vec"), F.col("vec"), F.col("__pn"), F.col("__cn")
+            ),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
@@ -149,8 +161,9 @@ def lsh_topk(
         .where(F.col("neighbor_id") != F.col("probe_id"))
         .withColumn(
             "sim",
-            dot(F.col("probe_vec"), F.col("vec"))
-            / (F.col("__pn") * F.col("__cn")),
+            sim_from_norms(
+                F.col("probe_vec"), F.col("vec"), F.col("__pn"), F.col("__cn")
+            ),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
@@ -190,8 +203,9 @@ def neardup_pairs(
     return (
         joined.withColumn(
             "sim",
-            dot(F.col("vec_a"), F.col("vec_b"))
-            / (F.col("__na") * F.col("__nb")),
+            sim_from_norms(
+                F.col("vec_a"), F.col("vec_b"), F.col("__na"), F.col("__nb")
+            ),
         )
         .where(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim", *(["blk"] if block_col else []))
@@ -254,7 +268,9 @@ def quantized_cosine_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("vec"),
     ).withColumn("__cn", norm(F.col("vec")))
-    sim = dot(F.col("probe_vec"), F.col("vec")) / (F.col("__pn") * F.col("__cn"))
+    sim = sim_from_norms(
+        F.col("probe_vec"), F.col("vec"), F.col("__pn"), F.col("__cn")
+    )
     w = Window.partitionBy("probe_id").orderBy(
         F.desc("sim"), F.asc("neighbor_id")
     )

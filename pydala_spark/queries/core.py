@@ -551,9 +551,16 @@ WHERE ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-16'
 
 
 def q_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String functions + min/max/count-distinct per group (SURVEY §2.7)."""
+    """String functions + min/max/count-distinct per group (SURVEY §2.7),
+    plus — as a tagged-union 'skew' family (round 4) — the
+    ``skew_report`` heavy-hitter diagnostic over ``events.event_type``
+    (row counts, row share, x-uniform ratio; exact-integer-division
+    doubles, so both engines hash-match)."""
+    from pydala_spark.operators.skew import skew_report
+
     part = load_table(spark, sf_dir, "part")
-    return (
+    null_d = F.lit(None).cast("double")
+    brand = (
         part.withColumn("brand_no", F.regexp_replace("p_brand", "Brand#", "").cast("int"))
         .groupBy("brand_no")
         .agg(
@@ -563,15 +570,50 @@ def q_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("p_retailprice").alias("max_price"),
             F.max(F.upper(F.substring("p_name", 1, 3))).alias("max_prefix"),
         )
+        .select(
+            F.lit("brand").alias("src"), "brand_no", "n_parts", "n_types",
+            "min_price", "max_price", "max_prefix",
+            F.lit(None).cast("string").alias("skew_key"),
+            F.lit(None).cast("long").alias("n_rows"),
+            null_d.alias("row_share"), null_d.alias("x_uniform"),
+        )
     )
+    events = load_table(spark, sf_dir, "events")
+    skew = skew_report(events, "event_type", top=5).select(
+        F.lit("skew").alias("src"),
+        F.lit(None).cast("int").alias("brand_no"),
+        F.lit(None).cast("long").alias("n_parts"),
+        F.lit(None).cast("long").alias("n_types"),
+        null_d.alias("min_price"), null_d.alias("max_price"),
+        F.lit(None).cast("string").alias("max_prefix"),
+        F.col("event_type").alias("skew_key"),
+        "n_rows", "row_share", "x_uniform",
+    )
+    return brand.unionByName(skew)
 
 
 _Q_PART_STATS_SQL = """
-SELECT CAST(REGEXP_REPLACE(p_brand, 'Brand#', '', 'g') AS INTEGER) AS brand_no,
+SELECT 'brand' AS src,
+  CAST(REGEXP_REPLACE(p_brand, 'Brand#', '', 'g') AS INTEGER) AS brand_no,
   COUNT(*) AS n_parts, COUNT(DISTINCT p_type) AS n_types,
   MIN(p_retailprice) AS min_price, MAX(p_retailprice) AS max_price,
-  MAX(UPPER(SUBSTRING(p_name, 1, 3))) AS max_prefix
-FROM part GROUP BY 1
+  MAX(UPPER(SUBSTRING(p_name, 1, 3))) AS max_prefix,
+  CAST(NULL AS VARCHAR) AS skew_key, CAST(NULL AS BIGINT) AS n_rows,
+  CAST(NULL AS DOUBLE) AS row_share, CAST(NULL AS DOUBLE) AS x_uniform
+FROM part GROUP BY 2
+UNION ALL
+SELECT 'skew', CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
+  CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+  CAST(NULL AS VARCHAR), skew_key, n_rows, row_share, x_uniform
+FROM (
+  SELECT event_type AS skew_key, n_rows,
+         CAST(n_rows AS DOUBLE) / total AS row_share,
+         CAST(n_rows * nk AS DOUBLE) / total AS x_uniform
+  FROM (SELECT event_type, COUNT(*) AS n_rows FROM events GROUP BY 1),
+       (SELECT COUNT(*) AS nk, SUM(cnt) AS total
+        FROM (SELECT COUNT(*) AS cnt FROM events GROUP BY event_type))
+  ORDER BY n_rows DESC, skew_key LIMIT 5
+)
 """
 
 
