@@ -1,0 +1,77 @@
+"""Cross-engine regex portability for the scrub patterns: the SAME
+pattern strings must produce the SAME match counts and redactions in
+Spark (Java regex) and DuckDB (RE2) — the property the q_text_profile
+oracle relies on, checked here over adversarial generated text rather
+than only the planted spans."""
+
+import random
+
+import duckdb
+import pandas as pd
+
+from pydala_spark.operators.scrub import PII_PATTERNS, pii_stats, redact_pii
+
+from pyspark.sql import functions as F
+
+#: fragments chosen to sit NEAR pattern boundaries: partial emails,
+#: almost-IPs, digit runs, URL-ish text, punctuation soup
+_FRAGMENTS = [
+    "plain words here", "a@b", "@example.com", "user@@host.com",
+    "jo.doe+x@corp.example.com", "1.2.3.4", "1.2.3", "999.999.999.999",
+    "1.2.3.4.5", "v1.2.3-rc4", "http://", "https://x.io/p?q=1#f",
+    "http//broken.example", "ftp://not.matched/x", "call +1 415-555-0100",
+    "+12 345-678-9012", "+1 4155550100", "123-45-6789", "123-456-789",
+    "12-345-6789", "(555) 123-4567", "a.b.c.d", "x 10.0.0.256 y",
+    "trailing dot. 8.8.8.8.", "email: a.b-c_d%e+f@sub.do-main.org!",
+    "https://WWW.Mixed.CASE/Path", "..", "---", "1..2..3..4",
+]
+
+
+def _corpus(n=120, seed=7):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        k = rng.randint(1, 6)
+        rows.append((i, " ".join(rng.choice(_FRAGMENTS) for _ in range(k))))
+    return rows
+
+
+def test_pii_counts_and_redaction_match_duckdb(spark):
+    rows = _corpus()
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = (
+        pii_stats(sdf)
+        .withColumn("red", redact_pii("text"))
+        .orderBy("doc_id")
+        .toPandas()
+    )
+
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    count_cols = ", ".join(
+        f"LEN(regexp_extract_all(text, '{pat}')) AS n_{kind}"
+        for kind, pat in PII_PATTERNS.items()
+    )
+    red_expr = "text"
+    for kind, pat in PII_PATTERNS.items():
+        red_expr = f"regexp_replace({red_expr}, '{pat}', '<{kind}>', 'g')"
+    oracle = con.execute(
+        f"SELECT doc_id, {count_cols}, {red_expr} AS red "
+        "FROM docs ORDER BY doc_id"
+    ).fetchdf()
+
+    for kind in PII_PATTERNS:
+        col = f"n_{kind}"
+        mism = [
+            (int(d), int(a), int(b), rows[int(d)][1])
+            for d, a, b in zip(got["doc_id"], got[col], oracle[col])
+            if int(a) != int(b)
+        ]
+        assert not mism, f"{col} diverges between engines: {mism[:3]}"
+    red_mism = [
+        (int(d), a, b)
+        for d, a, b in zip(got["doc_id"], got["red"], oracle["red"])
+        if a != b
+    ]
+    assert not red_mism, f"redaction diverges: {red_mism[:2]}"

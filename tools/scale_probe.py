@@ -33,6 +33,7 @@ from pydala_spark.operators.dedup import (  # noqa: E402
     ngram_jaccard_pairs,
 )
 from pydala_spark.operators.packing import pack_shards  # noqa: E402
+from pydala_spark.operators.textstats import tfidf_top_terms  # noqa: E402
 from pydala_spark.plans import shuffle_count  # noqa: E402
 from pydala_spark.session import get_session  # noqa: E402
 
@@ -93,6 +94,10 @@ def probe_ops(spark, path: str) -> dict[str, dict]:
         lambda: ngram_jaccard_pairs(
             docs, "doc_id", "text", threshold=0.4, max_shingle_df=2000
         ),
+    )
+    timed(
+        "tfidf_top_terms",
+        lambda: tfidf_top_terms(docs, "doc_id", "text", top_k=3),
     )
     timed(
         "shard_packing",
