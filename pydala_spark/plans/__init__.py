@@ -35,27 +35,75 @@ def executed_plan_str(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _balanced(text: str, start: int, opens: str, closes: str) -> str:
+    """Substring from ``start`` (at an opener) to its matching closer,
+    content only. Depth counts every opener/closer class so nested
+    brackets/parens/angles survive (``In(id, [1,2,3])``,
+    ``decimal(18,2)``, ``struct<a: struct<b: int>>``)."""
+    depth = 0
+    for i in range(start, len(text)):
+        ch = text[i]
+        if ch in opens:
+            depth += 1
+        elif ch in closes:
+            depth -= 1
+            if depth == 0:
+                return text[start + 1 : i]
+    return text[start + 1 :]
+
+
+def _split_depth0(s: str) -> list[str]:
+    parts: list[str] = []
+    depth, cur = 0, []
+    for ch in s:
+        if ch in "([<":
+            depth += 1
+        elif ch in ")]>":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
-    """PushedFilters reported by every file scan in the physical plan."""
+    """PushedFilters reported by every file scan in the physical plan.
+    Bracket-aware: an ``In(id, [1,2,3])`` filter is ONE entry, and
+    filters after it are not lost to a greedy first-``]`` match."""
     text = explain_str(df)
     out: list[str] = []
-    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", text):
-        out.extend(s.strip() for s in m.group(1).split(",") if s.strip())
+    marker = "PushedFilters: "
+    idx = text.find(marker)
+    while idx != -1:
+        body = _balanced(text, idx + len(marker), "[(", ")]")
+        out.extend(_split_depth0(body))
+        idx = text.find(marker, idx + len(marker))
     return out
 
 
 def read_schema_columns(df: DataFrame) -> list[list[str]]:
-    """Column lists actually read by each scan (column pruning check)."""
+    """Column lists actually read by each scan (column pruning check).
+    Splits the struct body at depth 0 only, so ``decimal(18,2)`` and
+    nested ``struct<...>`` types don't shed phantom columns."""
     text = explain_str(df)
     schemas = []
-    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", text):
-        cols = [c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()]
+    marker = "ReadSchema: struct"
+    idx = text.find(marker)
+    while idx != -1:
+        body = _balanced(text, idx + len(marker), "<([", ")]>")
+        cols = [c.split(":")[0].strip() for c in _split_depth0(body)]
         schemas.append(cols)
+        idx = text.find(marker, idx + len(marker))
     return schemas
 
 
 def has_broadcast_join(df: DataFrame) -> bool:
-    return "BroadcastHashJoin" in explain_str(df) or "BroadcastNestedLoopJoin" in explain_str(df)
+    text = explain_str(df)
+    return "BroadcastHashJoin" in text or "BroadcastNestedLoopJoin" in text
 
 
 def shuffle_count(df: DataFrame) -> int:

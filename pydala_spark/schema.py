@@ -124,10 +124,36 @@ def schema_to_dict(schema: pa.Schema) -> dict[str, str]:
     return {field.name: str(field.type) for field in schema}
 
 
+def _split_top(s: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` at nesting depth 0 only (<>, (), [] nest)."""
+    parts: list[str] = []
+    depth, cur = 0, []
+    for ch in s:
+        if ch in "<([":
+            depth += 1
+        elif ch in ">)]":
+            depth -= 1
+        if ch == sep and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return [p.strip() for p in parts]
+
+
 def _type_from_string(type_str: str) -> pa.DataType:
-    if type_str.startswith("timestamp"):
+    """Parse ``str(pa.DataType)`` back to the type. ``type_for_alias``
+    only knows the primitive aliases — the parametric forms pyarrow
+    PRINTS (``decimal128(10, 2)``, ``list<item: string>``,
+    ``struct<a: int64>``, ``map<string, int64>``) need explicit parsing,
+    otherwise any snapshot manifest written for a dataset with such a
+    column (decimal columns are first-class here) crashes on reload."""
+    s = type_str.strip()
+    if s.startswith("timestamp"):
         # "timestamp[us]" or "timestamp[us, tz=UTC]"
-        inner = type_str[type_str.index("[") + 1 : type_str.rindex("]")]
+        inner = s[s.index("[") + 1 : s.rindex("]")]
         parts = [p.strip() for p in inner.split(",")]
         unit = parts[0]
         tz = None
@@ -135,7 +161,26 @@ def _type_from_string(type_str: str) -> pa.DataType:
             if part.startswith("tz="):
                 tz = part[3:]
         return pa.timestamp(unit, tz=tz)
-    return pa.type_for_alias(type_str)
+    if s.startswith(("decimal128(", "decimal256(", "decimal(")):
+        inner = s[s.index("(") + 1 : s.rindex(")")]
+        prec, scale = (int(x) for x in inner.split(","))
+        ctor = pa.decimal256 if s.startswith("decimal256") else pa.decimal128
+        return ctor(prec, scale)
+    for prefix, ctor in (("large_list<", pa.large_list), ("list<", pa.list_)):
+        if s.startswith(prefix) and s.endswith(">"):
+            inner = s[len(prefix):-1]
+            _label, _, value = inner.partition(": ")
+            return ctor(_type_from_string(value))
+    if s.startswith("struct<") and s.endswith(">"):
+        fields = []
+        for part in _split_top(s[len("struct<"):-1]):
+            name, _, value = part.partition(": ")
+            fields.append(pa.field(name, _type_from_string(value)))
+        return pa.struct(fields)
+    if s.startswith("map<") and s.endswith(">"):
+        key_s, val_s = _split_top(s[len("map<"):-1])
+        return pa.map_(_type_from_string(key_s), _type_from_string(val_s))
+    return pa.type_for_alias(s)
 
 
 def schema_from_dict(mapping: dict[str, str]) -> pa.Schema:
@@ -154,7 +199,10 @@ _ARROW_TO_SPARK: dict[str, T.DataType] = {
     "uint8": T.ShortType(),
     "uint16": T.IntegerType(),
     "uint32": T.LongType(),
-    "uint64": T.LongType(),
+    # Spark's parquet reader surfaces uint64 as decimal(20,0) (no
+    # unsigned 64-bit type; long would overflow above 2^63-1) — a pinned
+    # LongType schema makes the vectorized reader throw outright
+    "uint64": T.DecimalType(20, 0),
     # Spark has no half-float; widen (documented divergence, SURVEY §1.2).
     "halffloat": T.FloatType(),
     "float": T.FloatType(),

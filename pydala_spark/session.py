@@ -63,18 +63,30 @@ def _ship_package(spark: SparkSession) -> None:
     """
     if getattr(spark, "_pydala_spark_shipped", False):
         return
+    import hashlib
+
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    # zip name keyed by a CONTENT fingerprint (paths + mtimes + sizes),
+    # not the PID: a recycled PID or a second checkout on the same host
+    # would otherwise reuse a stale zip and ship outdated worker code
+    stamp = hashlib.md5()
+    sources = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for fn in files:
+            if fn.endswith(".py"):
+                full = os.path.join(root, fn)
+                sources.append(full)
+    for full in sorted(sources):
+        st = os.stat(full)
+        stamp.update(f"{full}|{st.st_mtime_ns}|{st.st_size}".encode())
     zip_path = os.path.join(
-        tempfile.gettempdir(), f"pydala_spark_pyfiles_{os.getpid()}.zip"
+        tempfile.gettempdir(), f"pydala_spark_pyfiles_{stamp.hexdigest()[:16]}.zip"
     )
     if not os.path.exists(zip_path):
         with zipfile.ZipFile(zip_path, "w") as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for fn in files:
-                    if fn.endswith(".py"):
-                        full = os.path.join(root, fn)
-                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
-                        zf.write(full, rel)
+            for full in sorted(sources):
+                rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                zf.write(full, rel)
     try:
         spark.sparkContext.addPyFile(zip_path)
         spark._pydala_spark_shipped = True
@@ -120,7 +132,10 @@ def get_session(
     if master:
         builder = builder.master(master)
     if shuffle_partitions is None:
-        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        # SPARK_GRAFT_CPUS doubles as the local[] slot string, which may
+        # legitimately be '*' — only a numeric value can size partitions
+        env_cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        shuffle_partitions = int(env_cpus) if env_cpus.isdigit() else 32
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     for key, value in RUNTIME_DEFAULTS.items():
         builder = builder.config(key, value)
@@ -138,24 +153,24 @@ def get_session(
 #: the connector; no filesystem objects are constructed.
 _STORAGE_KEY_MAP: dict[str, dict[str, str]] = {
     "s3": {
-        "key": "spark.hadoop.fs.s3a.access.key",
-        "access_key": "spark.hadoop.fs.s3a.access.key",
-        "secret": "spark.hadoop.fs.s3a.secret.key",
-        "secret_key": "spark.hadoop.fs.s3a.secret.key",
-        "token": "spark.hadoop.fs.s3a.session.token",
-        "session_token": "spark.hadoop.fs.s3a.session.token",
-        "endpoint_url": "spark.hadoop.fs.s3a.endpoint",
-        "endpoint": "spark.hadoop.fs.s3a.endpoint",
-        "region": "spark.hadoop.fs.s3a.endpoint.region",
+        "key": "fs.s3a.access.key",
+        "access_key": "fs.s3a.access.key",
+        "secret": "fs.s3a.secret.key",
+        "secret_key": "fs.s3a.secret.key",
+        "token": "fs.s3a.session.token",
+        "session_token": "fs.s3a.session.token",
+        "endpoint_url": "fs.s3a.endpoint",
+        "endpoint": "fs.s3a.endpoint",
+        "region": "fs.s3a.endpoint.region",
     },
     "gs": {
-        "project": "spark.hadoop.fs.gs.project.id",
-        "token": "spark.hadoop.google.cloud.auth.service.account.json.keyfile",
+        "project": "fs.gs.project.id",
+        "token": "google.cloud.auth.service.account.json.keyfile",
     },
-    "abfs": {
-        "account_name": "spark.hadoop.fs.azure.account.name",
-        "account_key": "spark.hadoop.fs.azure.account.key",
-    },
+    # abfs handled specially below: the ABFS connector reads
+    # fs.azure.account.key.<account>.dfs.core.windows.net — the conf
+    # NAME depends on the account, so a static map cannot express it
+    "abfs": {},
 }
 
 
@@ -165,17 +180,57 @@ def configure_storage(
     """Translate fsspec-ish storage_options to Hadoop connector confs.
 
     Unknown keys raise (better than silently ignoring credentials).
-    Note: many ``fs.*`` confs are only honored when set before the first
-    filesystem access for a scheme.
+    Confs are set on the LIVE Hadoop configuration (the one PathOps and
+    file scans actually read) — a runtime ``spark.conf.set`` of a
+    ``spark.hadoop.*`` key is never translated to the unprefixed Hadoop
+    key and would be silently ignored; the ``spark.hadoop.`` prefix is
+    only stripped at SparkContext creation. The same keys are mirrored
+    into ``spark.conf`` (prefixed) so ``newHadoopConf()``-based SQL
+    scans pick them up too. Note: some ``fs.*`` confs are only honored
+    when set before the first filesystem access for a scheme (Hadoop
+    caches FileSystem instances per scheme+authority).
     """
     mapping = _STORAGE_KEY_MAP.get(protocol)
     if mapping is None:
         raise ValueError(
             f"unsupported protocol {protocol!r}; expected one of {sorted(_STORAGE_KEY_MAP)}"
         )
-    for key, value in storage_options.items():
-        conf = mapping.get(key)
-        if conf is None:
-            raise ValueError(f"unknown storage option {key!r} for protocol {protocol!r}")
-        spark.conf.set(conf, value)
+    confs: dict[str, str] = {}
+    if protocol == "abfs":
+        account = storage_options.pop("account_name", None)
+        account_key = storage_options.pop("account_key", None)
+        if account_key is not None:
+            if account is None:
+                raise ValueError(
+                    "abfs account_key requires account_name (the Hadoop "
+                    "conf name is fs.azure.account.key.<account>"
+                    ".dfs.core.windows.net)"
+                )
+            confs[f"fs.azure.account.key.{account}.dfs.core.windows.net"] = (
+                account_key
+            )
+        if storage_options:
+            raise ValueError(
+                f"unknown storage option(s) {sorted(storage_options)} for "
+                "protocol 'abfs'"
+            )
+    else:
+        for key, value in storage_options.items():
+            conf = mapping.get(key)
+            if conf is None:
+                raise ValueError(
+                    f"unknown storage option {key!r} for protocol {protocol!r}"
+                )
+            confs[conf] = value
+    try:
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    except Exception:
+        hconf = None  # Spark Connect: no JVM handle; prefixed confs only
+    for conf, value in confs.items():
+        if hconf is not None:
+            hconf.set(conf, value)
+        try:
+            spark.conf.set(f"spark.hadoop.{conf}", value)
+        except Exception:
+            pass
     return spark

@@ -70,9 +70,25 @@ class PathOps:
         import posixpath
 
         base = strip_scheme(path).rstrip("/")
+        # listings come back QUALIFIED (absolute, scheme-resolved); a
+        # relative ``path`` (or a scheme-less one against a non-local
+        # defaultFS) would never prefix-match them, making rel the full
+        # absolute path — the hidden-segment filter would then run over
+        # every ANCESTOR directory (a dataset under /root/.cache/...
+        # would list as empty). Resolve rel against the qualified form
+        # when the raw prefix misses; returned paths stay joined on the
+        # caller's base so caller-side len(base) slicing keeps working.
+        qualified = strip_scheme(
+            self.fs.makeQualified(self._p(path)).toString()
+        ).rstrip("/")
         out = []
         for p, sz in self.list_files(path):
-            rel = p[len(base):].lstrip("/") if p.startswith(base) else p
+            if p.startswith(base):
+                rel = p[len(base):].lstrip("/")
+            elif p.startswith(qualified):
+                rel = p[len(qualified):].lstrip("/")
+            else:
+                rel = p
             if rel == "":  # ``path`` IS a file: emit it as-is (joining
                 out.append((base, sz))  # "" would append a bogus slash)
                 continue

@@ -124,3 +124,32 @@ def test_repetition_stats_no_cartesian_and_pruned_scan(spark, sf_dir):
     assert "CartesianProduct" not in plan
     for cols in read_schema_columns(df):
         assert set(cols) <= {"doc_id", "text"}
+
+
+def test_pushed_filters_handles_in_lists(spark, sf_dir):
+    # r4 review: In(col, [..]) must parse as ONE filter and not swallow
+    # filters after it
+    from pydala_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.where(F.col("l_linenumber").isin(1, 2, 3)).where(
+        F.col("l_quantity").isNotNull()
+    ).select("l_orderkey")
+    filters = pushed_filters(df)
+    ins = [f for f in filters if f.startswith("In(")]
+    assert ins and all(f.endswith(")") for f in ins), filters
+    assert any(f.startswith("IsNotNull") for f in filters), filters
+
+
+def test_read_schema_columns_decimal(spark, sf_dir):
+    # r4 review: decimal(p,s) in ReadSchema must not shed phantom cols
+    from pydala_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.select(
+        "l_orderkey", F.col("l_quantity").cast("decimal(18,2)").alias("q")
+    )
+    cols = read_schema_columns(df)
+    assert cols and all(
+        c and " " not in c and ")" not in c for schema in cols for c in schema
+    ), cols

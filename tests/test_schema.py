@@ -81,3 +81,44 @@ def test_unified_dataset_schema(tmp_path):
     assert not equal
     assert unified.field("id").type == pa.int64()
     assert unified.field("v").type == pa.string()
+
+
+def test_schema_dict_roundtrip_parametric_types():
+    # r4 review: str(pa.DataType) for decimal/list/struct/map is not a
+    # type_for_alias alias — snapshot manifests with such columns must
+    # still reload
+    import pyarrow as pa
+
+    from pydala_spark.schema import schema_from_dict, schema_to_dict
+
+    schema = pa.schema(
+        [
+            pa.field("d", pa.decimal128(10, 2)),
+            pa.field("big", pa.decimal256(42, 6)),
+            pa.field("xs", pa.list_(pa.string())),
+            pa.field("nested", pa.list_(pa.list_(pa.int64()))),
+            pa.field("st", pa.struct([("a", pa.int64()), ("b", pa.string())])),
+            pa.field("deep", pa.struct([("inner", pa.struct([("x", pa.float64())]))])),
+            pa.field("m", pa.map_(pa.string(), pa.int64())),
+            pa.field("ts", pa.timestamp("us", tz="UTC")),
+            pa.field("plain", pa.int32()),
+        ]
+    )
+    assert schema_from_dict(schema_to_dict(schema)).equals(schema)
+
+
+def test_uint64_maps_to_decimal(spark, tmp_path):
+    # r4 review: Spark loads parquet uint64 as decimal(20,0); a pinned
+    # LongType schema aborts the vectorized reader
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pydala_spark.schema import arrow_schema_to_spark
+
+    p = str(tmp_path / "u64.parquet")
+    pq.write_table(
+        pa.table({"u": pa.array([1, 2, 2**63 + 5], pa.uint64())}), p
+    )
+    pinned = arrow_schema_to_spark(pa.schema([pa.field("u", pa.uint64())]))
+    got = spark.read.schema(pinned).parquet(p).collect()
+    assert {int(r["u"]) for r in got} == {1, 2, 2**63 + 5}

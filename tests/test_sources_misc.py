@@ -283,3 +283,49 @@ def test_feather_overwrite_rename_failure_keeps_old_data(spark, tmp_path, monkey
     assert back.count() == 100  # old data, fully intact
     assert sorted(r["id"] for r in back.collect()) == list(range(100))
     assert not any(f.startswith("_staging") for f in os.listdir(out))
+
+
+def test_data_files_under_dotted_ancestor(spark, tmp_path):
+    # r4 review: the hidden-segment filter must apply to path components
+    # UNDER the dataset root only — a dataset living below a dotted
+    # directory (/x/.cache/ds) is not itself hidden
+    from pydala_spark.utils.pathops import PathOps
+
+    root = tmp_path / ".cachedir" / "ds"
+    root.mkdir(parents=True)
+    (root / "a.parquet").write_bytes(b"x")
+    (root / "_sidecar.json").write_bytes(b"{}")
+    po = PathOps(spark, str(root))
+    files = po.data_files(str(root))
+    assert [p.rsplit("/", 1)[-1] for p, _ in files] == ["a.parquet"]
+
+
+def test_get_session_star_cpus(monkeypatch):
+    # r4 review: SPARK_GRAFT_CPUS='*' is a valid local[] slot string and
+    # must not crash the shuffle-partition default
+    import pydala_spark.session as S
+
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "*")
+    spark = S.get_session(app_name="star_test")
+    assert spark.conf.get("spark.sql.shuffle.partitions") is not None
+
+
+def test_configure_storage_sets_live_hadoop_conf(spark):
+    # r4 review: credentials must land on the LIVE hadoopConfiguration
+    # (unprefixed), which is what PathOps and file scans read
+    from pydala_spark.session import configure_storage
+
+    configure_storage(spark, "s3", key="AK", secret="SK", endpoint="http://e")
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hconf.get("fs.s3a.access.key") == "AK"
+    assert hconf.get("fs.s3a.secret.key") == "SK"
+    assert spark.conf.get("spark.hadoop.fs.s3a.endpoint") == "http://e"
+    # abfs: the conf NAME embeds the account
+    configure_storage(spark, "abfs", account_name="acct", account_key="K1")
+    assert (
+        hconf.get("fs.azure.account.key.acct.dfs.core.windows.net") == "K1"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="account_name"):
+        configure_storage(spark, "abfs", account_key="K2")
