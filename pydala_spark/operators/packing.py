@@ -122,6 +122,57 @@ def pack_shards(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    text_col: str,
+    order_col: str,
+    target_tokens: int,
+    token_col: str | Column | None = None,
+    sep: str = "\n\n",
+    n_buckets: int | None = None,
+    prepacked: bool = False,
+) -> DataFrame:
+    """Materialize one packed TRAINING SEQUENCE per shard: the shard's
+    documents concatenated in ``order_col`` order with ``sep`` between
+    them — the standard sequence-packing step feeding a tokenizer/data
+    loader. Returns (shard_id, n_docs, seq_tokens, seq_text).
+
+    ``prepacked=True`` takes :func:`pack_shards` output directly (reuse
+    one packing for both the manifest and the sequences); otherwise
+    ``token_col`` is required and the packing runs here.
+
+    Scale shape: one groupBy on shard_id; each aggregation buffer holds
+    exactly one shard's text, which is BOUNDED by construction
+    (~``target_tokens`` tokens plus one straddling document) — packing
+    is the rare case where collect_list is safe at any corpus size.
+    In-shard ordering is deterministic via array_sort over (key, text)
+    structs, not collect_list arrival order.
+    """
+    if prepacked:
+        packed = df
+    else:
+        if token_col is None:
+            raise ValueError("token_col is required unless prepacked=True")
+        packed = pack_shards(df, token_col, order_col, target_tokens, n_buckets)
+    doc = F.struct(F.col(order_col).alias("k"), F.col(text_col).alias("t"))
+    return (
+        packed.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+            F.array_sort(F.collect_list(doc)).alias("__docs"),
+        )
+        .select(
+            "shard_id",
+            "n_docs",
+            "seq_tokens",
+            F.array_join(
+                F.transform("__docs", lambda d: d["t"]), sep
+            ).alias("seq_text"),
+        )
+    )
+
+
 def shard_summary(packed: DataFrame, order_col: str) -> DataFrame:
     """Per-shard manifest over :func:`pack_shards` output: document
     count, token total, order-key range. This is the table a data-loader

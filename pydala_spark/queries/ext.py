@@ -585,27 +585,40 @@ def q_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISTRIBUTED (bucketed local cumsum + broadcast bucket offsets —
     operators/packing.py), never through the single-task global window.
     target=4096 is a power of two so the shard division is exact in both
-    engines."""
-    from pydala_spark.operators.packing import pack_shards, shard_summary
+    engines. Round 4: the 'seq' columns pin SEQUENCE PACKING too —
+    ``pack_sequences`` concatenates each shard's docs in doc_id order
+    (md5 of the packed text hash-matches DuckDB's ordered string_agg)."""
+    from pydala_spark.operators.packing import (
+        pack_sequences,
+        pack_shards,
+        shard_summary,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     packed = pack_shards(
-        docs.select("doc_id", token_count("text").alias("tok")),
+        docs.select("doc_id", "text", token_count("text").alias("tok")),
         "tok",
         "doc_id",
         target_tokens=4096,
     )
-    return shard_summary(packed, "doc_id").orderBy("shard_id")
+    seqs = pack_sequences(
+        packed, "text", "doc_id", 4096, prepacked=True
+    ).select("shard_id", F.md5("seq_text").alias("seq_md5"))
+    return (
+        shard_summary(packed, "doc_id")
+        .join(seqs, "shard_id")
+        .orderBy("shard_id")
+    )
 
 
 _Q_SHARD_PACKING_SQL = r"""
 WITH t AS (
-  SELECT doc_id,
+  SELECT doc_id, text,
          LEN(list_filter(string_split_regex(TRIM(text), '\s+'),
                          x -> x <> '')) AS n_tokens
   FROM documents
 ), c AS (
-  SELECT doc_id, n_tokens,
+  SELECT doc_id, text, n_tokens,
          CAST(SUM(n_tokens) OVER (ORDER BY doc_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
               - n_tokens AS BIGINT) AS cum_before
@@ -615,7 +628,8 @@ SELECT CAST(FLOOR(cum_before / 4096) AS BIGINT) AS shard_id,
        COUNT(*) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
        CAST(MIN(doc_id) AS BIGINT) AS first_doc,
-       CAST(MAX(doc_id) AS BIGINT) AS last_doc
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc,
+       MD5(STRING_AGG(text, chr(10) || chr(10) ORDER BY doc_id)) AS seq_md5
 FROM c
 GROUP BY 1 ORDER BY shard_id
 """

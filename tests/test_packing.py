@@ -86,3 +86,28 @@ def test_pack_plan_has_no_global_data_window(spark):
     # frame (below the broadcast), never the full data
     assert plan.count("Exchange SinglePartition") == 1, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pack_sequences_concatenates_in_order(spark):
+    from pydala_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, f"doc{i}", 4) for i in range(10)],
+        "doc_id long, text string, tok int",
+    )
+    seqs = pack_sequences(
+        df, "text", "doc_id", target_tokens=12, token_col="tok", sep=" | "
+    )
+    rows = {r["shard_id"]: r for r in seqs.collect()}
+    # 4 tokens/doc, budget 12 -> 3 docs per shard, ordered by doc_id
+    assert rows[0]["seq_text"] == "doc0 | doc1 | doc2"
+    assert rows[1]["seq_text"] == "doc3 | doc4 | doc5"
+    assert rows[0]["n_docs"] == 3 and rows[0]["seq_tokens"] == 12
+    assert rows[3]["seq_text"] == "doc9"  # tail shard
+    # deterministic under repartition (array_sort, not arrival order)
+    seqs2 = pack_sequences(
+        df.repartition(7), "text", "doc_id", 12, token_col="tok", sep=" | "
+    )
+    assert {(r["shard_id"], r["seq_text"]) for r in seqs2.collect()} == {
+        (k, v["seq_text"]) for k, v in rows.items()
+    }
