@@ -170,10 +170,14 @@ class Datalake:
     ) -> Dataset:
         """Track + register a dataset (manager.py:137-181)."""
         base = path or posixpath.join(self.root, name.replace(".", "/"))
+        # a PathOps bound to BASE, not the lake root: an outside-root
+        # dataset may live on a different FileSystem (s3a path in a
+        # local-rooted lake) and the root-bound fs throws 'Wrong FS'
+        po = PathOps(self.spark, base)
         # snapshot-managed datasets expose their live data (same redirect
         # as load(); reading the root would mix snapshots into the scan)
         current = posixpath.join(base, "current")
-        data_path = current if self._po.is_dir(current) else base
+        data_path = current if po.is_dir(current) else base
         ds = Dataset(self.spark, data_path, format=format, name=name, **kwargs)
         self.datasets[name] = ds
         # ledgered commit, not blob read-modify-write: two concurrent
@@ -203,21 +207,26 @@ class Datalake:
         if rel is None:
             # not in the manifest — it may still exist by sidecar discovery
             base = self.discover().get(name)
+            # a discovered (sidecar-only) dataset that we act on below IS
+            # something known under this name; returning False while
+            # clean=True deletes its bytes would misreport the removal
+            known = known or base is not None
         else:
             # tombstone entry masks the blob too (ledger wins over any
             # stale blob a concurrent writer may put back)
             self._commit_entry(name, {"removed": True})
             base = self.root if rel == "." else posixpath.join(self.root, rel)
         if base is not None and base != self.root:
+            po = PathOps(self.spark, base)  # base may be on another FS
             if clean:
-                self._po.delete(base, recursive=True)
+                po.delete(base, recursive=True)
             else:
                 for sidecar in (DATASET_SIDECAR, TOML_DATASET_SIDECAR):
                     src = posixpath.join(base, sidecar)
-                    if self._po.exists(src):
+                    if po.exists(src):
                         dst = src + ".removed"
-                        self._po.delete(dst, recursive=False)
-                        self._po.rename(src, dst)
+                        po.delete(dst, recursive=False)
+                        po.rename(src, dst)
         return known
 
     def _dataset_format(self, base: str) -> str:

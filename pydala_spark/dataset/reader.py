@@ -258,16 +258,20 @@ class Dataset:
         unionByName (union-of-columns). This is the Spark analog of the
         reference's ArrowInvalid -> unified-schema retry
         (src/pydala/dataset/reader.py:186-188)."""
-        schemas = self.fragment_schemas
-        unified, equal = schema_mod.get_unified_schema(schemas)
-        if equal:
-            return self._base_read()
+        # ONE fragment discovery + footer pass serves both the
+        # unification and the per-schema grouping (the fragment_schemas
+        # property would re-list and re-read every footer a second time
+        # — twice the driver metadata latency on a many-file dataset)
         import pyarrow.dataset as pads
 
         dataset = pads.dataset(self.path, format="parquet", partitioning="hive")
+        frags = [(f.path, f.physical_schema) for f in dataset.get_fragments()]
+        unified, equal = schema_mod.get_unified_schema([s for _, s in frags])
+        if equal:
+            return self._base_read()
         groups: dict[str, list[str]] = {}
-        for frag in dataset.get_fragments():
-            groups.setdefault(str(frag.physical_schema), []).append(frag.path)
+        for fpath, fschema in frags:
+            groups.setdefault(str(fschema), []).append(fpath)
         spark_unified = schema_mod.arrow_schema_to_spark(unified)
         footer_names = {f.name for f in spark_unified.fields}
         out: DataFrame | None = None
@@ -502,12 +506,19 @@ class Dataset:
         return self
 
     def _dataset_has_files(self) -> bool:
-        """Cheap existence probe for local paths (True for remote URIs —
-        let the scan surface errors)."""
+        """Data-file existence probe on ANY scheme. Remote URIs probe
+        through the Hadoop listing (one bulk call) — answering True
+        unconditionally made Datalake.load abort the whole lake on one
+        empty remote dataset (UNABLE_TO_INFER_SCHEMA from the scan)."""
         import os
 
         if "://" in self.path and not self.path.startswith("file:"):
-            return True
+            from pydala_spark.utils.pathops import PathOps
+
+            ops = PathOps(self.spark, self.path)
+            if ops.is_file(self.path):
+                return True
+            return bool(ops.data_files(self.path))
         local = self.path.removeprefix("file:")
         if os.path.isfile(local):
             return True

@@ -87,9 +87,17 @@ def bucket_column(col: str, spec: str) -> F.Column:
         return F.timestamp_micros((F.floor(micros / width) * width).cast("long"))
     if n == 1 and unit in ("second", "minute", "hour", "day", "week", "month", "year"):
         return F.date_trunc(unit, F.col(col))
-    if unit in ("second", "minute", "hour", "day", "week"):
-        seconds = {"second": 1, "minute": 60, "hour": 3600, "day": 86400,
-                   "week": 604800}[unit] * n
+    if unit == "week":
+        # Monday-anchored (ISO) for ANY n, matching date_trunc('week')
+        # at n=1 — the generic epoch-seconds grid would anchor weeks at
+        # Thursday 1970-01-01, so '1w' and '2w' datasets would sit on
+        # phase-shifted grids
+        days = F.datediff(F.col(col), F.lit("1969-12-29"))
+        start = (F.floor(days / (7 * n)) * (7 * n)).cast("int")
+        return F.to_timestamp(F.date_add(F.lit("1969-12-29").cast("date"), start))
+    if unit in ("second", "minute", "hour", "day"):
+        seconds = {"second": 1, "minute": 60, "hour": 3600,
+                   "day": 86400}[unit] * n
         epoch = F.unix_timestamp(F.col(col))
         return F.timestamp_seconds((F.floor(epoch / seconds) * seconds).cast("long"))
     # n-month / n-year grids anchored at epoch
@@ -106,6 +114,36 @@ def bucket_column(col: str, spec: str) -> F.Column:
             F.lit(1),
         )
     )
+
+
+#: Hive's escapePathName character set (mirrored by Spark's
+#: ExternalCatalogUtils): these become %XX in partition directory names.
+_HIVE_ESCAPE_CHARS = set('"#%\'*/:=?\\{[]^') | {chr(0x7F)}
+
+
+def _hive_escape_partition_value(val) -> str:
+    """Format a partition VALUE the way Spark writes its directory name:
+    Hive path-escaping over Spark's value rendering (booleans lowercase,
+    timestamps space-separated). Mismatch here means upsert probes
+    directories that don't exist — guarded by an existence check at the
+    swap, but correct construction is what makes the swap work."""
+    import datetime as _dt
+
+    if val is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    if isinstance(val, bool):
+        s = "true" if val else "false"
+    elif isinstance(val, _dt.datetime):
+        s = val.isoformat(sep=" ")
+    else:
+        s = str(val)
+    out = []
+    for ch in s:
+        if ch in _HIVE_ESCAPE_CHARS or ord(ch) < 0x20:
+            out.append(f"%{ord(ch):02X}")
+        else:
+            out.append(ch)
+    return "".join(out)
 
 
 def _null_safe_anti_join(
@@ -190,9 +228,15 @@ class Writer:
         if isinstance(data, DataFrame):
             return data
         if isinstance(data, str):
+            # read the source in THIS writer's format (a csv writer fed
+            # a csv dataset path must not scan it as parquet)
+            if self.format in ("feather", "ipc", "arrow"):
+                from pydala_spark.sources import read as _bridge_read
+
+                return _bridge_read(self.spark, data, format="feather")
             from pydala_spark.dataset.reader import Dataset
 
-            return Dataset(self.spark, data).load()
+            return Dataset(self.spark, data, format=self.format).load()
         try:
             import pyarrow as pa
 
@@ -298,11 +342,40 @@ class Writer:
                 return
             # first write: plain append lays the dataset down
 
-        if skip_empty and spark_mode == "append" and df.isEmpty():
-            # empty-write gate (reference checks rel.shape[0] before every
-            # write, SURVEY §2.6 A3) — keeps delta no-ops from littering
-            # the dataset with empty part files. isEmpty is a limit-1 probe.
-            return
+        delta_cached = False
+        if skip_empty and spark_mode == "append":
+            if mode == "delta" and exists:
+                # the diff plan contains the existing-side scan + anti-
+                # join; probing it uncached would run that whole plan
+                # once for isEmpty and AGAIN for the write — persist so
+                # the hot delta path pays the diff once (spills to disk
+                # if large; freed in the finally below)
+                df = df.persist()
+                delta_cached = True
+            if df.isEmpty():
+                # empty-write gate (reference checks rel.shape[0] before
+                # every write, SURVEY §2.6 A3) — keeps delta no-ops from
+                # littering the dataset with empty part files.
+                if delta_cached:
+                    df.unpersist()
+                return
+        try:
+            self._write_resolved(
+                df, mode, spark_mode, exists, datetime_column, time_bucket
+            )
+        finally:
+            if delta_cached:
+                df.unpersist()
+
+    def _write_resolved(
+        self,
+        df: DataFrame,
+        mode: str,
+        spark_mode: str,
+        exists: bool,
+        datetime_column: str | None,
+        time_bucket: str | None,
+    ) -> None:
 
         # derive the time bucket BEFORE the inheritance gate: a repeat
         # append to a time-bucketed dataset inherits ['bucket'] from the
@@ -445,9 +518,13 @@ class Writer:
                     f"those columns in the incoming data; missing {pmissing}"
                 )
             touched = df.select(*part_cols).distinct().collect()
+            # directory names must match what SPARK writes: values are
+            # Hive-escaped (':' in a timestamp becomes %3A, booleans
+            # lowercase) — raw str(value) would probe names that don't
+            # exist and silently drop the staged merge
             touched_dirs = [
                 "/".join(
-                    f"{c}={'__HIVE_DEFAULT_PARTITION__' if r[c] is None else r[c]}"
+                    f"{c}={_hive_escape_partition_value(r[c])}"
                     for c in part_cols
                 )
                 for r in touched
@@ -481,9 +558,33 @@ class Writer:
             for rel in touched_dirs:
                 src = posixpath.join(tmp, rel)
                 dst = posixpath.join(local, rel)
+                src_exists = ops.exists(src)
+                if not src_exists and not ops.exists(dst):
+                    # the constructed name matches NEITHER the staged
+                    # output nor the dataset: a partition-value
+                    # formatting mismatch. Raising (with tmp left on
+                    # disk) beats silently discarding the merge.
+                    raise RuntimeError(
+                        f"upsert: partition directory {rel!r} not found "
+                        f"in staging or dataset — partition-value "
+                        f"escaping/formatting mismatch; staged data "
+                        f"preserved at {tmp!r}"
+                    )
                 ops.delete(dst)
-                if ops.exists(src):  # a touched partition can merge to empty
+                if src_exists:  # a touched partition can merge to empty
                     ops.rename(src, dst)
+            # data FILES (not the empty parent dirs multi-level renames
+            # leave behind) still in staging mean Spark named a partition
+            # differently than we constructed it
+            leftover = [p for p, _sz in ops.data_files(tmp)]
+            if leftover:
+                # Spark staged partition dirs under names we did not
+                # construct — deleting tmp would discard merged rows
+                raise RuntimeError(
+                    f"upsert: staged partition dir(s) {leftover} do not "
+                    f"match any constructed touched-partition name; "
+                    f"staged data preserved at {tmp!r}"
+                )
         else:
             for p, _ in ops.data_files(local):
                 ops.delete(p)
@@ -570,7 +671,26 @@ class Writer:
         local, local_tmp = self.path.removeprefix("file:"), tmp.removeprefix("file:")
         shutil.rmtree(local)
         os.rename(local_tmp, local)
+        # drop cached file listings that still name the deleted parts
+        self.spark.catalog.refreshByPath(self.path)
         return True
+
+
+def _check_pyarrow_scheme(path: str) -> None:
+    """Feather IO runs worker-side through ``pyarrow.fs`` — reject
+    schemes pyarrow has no filesystem for BEFORE launching a job that
+    would fail per-task (``s3a``/``s3n`` translate to ``s3``; ``gs`` and
+    ``hdfs`` pass through; ``abfss`` et al have no pyarrow backend)."""
+    if "://" not in path:
+        return
+    scheme = path.split("://", 1)[0].lower()
+    mapped = {"s3a": "s3", "s3n": "s3", "gcs": "gs"}.get(scheme, scheme)
+    if mapped not in ("file", "s3", "gs", "hdfs", "viewfs"):
+        raise NotImplementedError(
+            f"distributed feather IO needs a pyarrow filesystem for "
+            f"{scheme!r}:// and pyarrow has none (supported: local, s3/s3a, "
+            "gs, hdfs) — write parquet instead, or mount the store"
+        )
 
 
 def write_feather_dataset(
@@ -591,7 +711,10 @@ def write_feather_dataset(
     ``part-NNNNN.feather`` file inside a job-unique ``_staging-<job>``
     directory (worker memory bounded by Arrow batch size; feather v2 IS
     the Arrow IPC file format, so pyarrow/polars read the parts
-    directly). The job returns one METADATA row per non-empty partition
+    directly). Workers write through ``pyarrow.fs`` — Hadoop's
+    ``s3a://`` spelling translates to pyarrow's ``s3://``; schemes
+    pyarrow has no filesystem for (``abfss://`` et al) are rejected
+    driver-side BEFORE any staging state exists. The job returns one METADATA row per non-empty partition
     (file name + row count — data bytes never reach the driver). The
     driver then COMMITS: staged files move into the dataset root with
     job-suffixed names via PathOps renames (so two concurrent appends
@@ -599,16 +722,16 @@ def write_feather_dataset(
     files are deleted only AFTER every new part is in place — a failure
     while renaming rolls the new parts back out, leaving the old data
     intact; a failure while deleting old parts leaves old+new visible
-    (re-runnable), never a dataset with neither. Workers write through
-    ``pyarrow.fs`` (PathOps is a driver-side JVM wrapper and cannot
-    cross the worker boundary); scheme'd paths resolve with
-    ``FileSystem.from_uri``. Returns ``{"n_files", "n_rows"}``.
+    (re-runnable), never a dataset with neither. (PathOps is a
+    driver-side JVM wrapper and cannot cross the worker boundary, hence
+    pyarrow.fs on workers.) Returns ``{"n_files", "n_rows"}``.
     """
     import uuid
 
     from pydala_spark.utils.pathops import PathOps, strip_scheme
 
     configure_session(spark)
+    _check_pyarrow_scheme(path)
     local = strip_scheme(path).rstrip("/")
     po = PathOps(spark, path)
     job = uuid.uuid4().hex[:12]
@@ -630,7 +753,11 @@ def write_feather_dataset(
             return  # empty partition: no file, no metadata row
         pid = TaskContext.get().partitionId()
         if "://" in staging:
-            fs, root = pafs.FileSystem.from_uri(staging)
+            # pyarrow spells S3 's3://'; Hadoop paths arrive as 's3a://'
+            uri = staging.replace("s3a://", "s3://", 1).replace(
+                "s3n://", "s3://", 1
+            )
+            fs, root = pafs.FileSystem.from_uri(uri)
         else:
             fs, root = pafs.LocalFileSystem(), staging
         fs.create_dir(root, recursive=True)

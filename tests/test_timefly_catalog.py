@@ -765,3 +765,22 @@ def test_streaming_zorder_requires_parquet(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="parquet"):
         incremental_append(stream, w, zorder_by=["value"], compact_every=1)
+
+
+def test_remove_dataset_discovered_returns_true(spark, tmp_path):
+    # r4 review: removing a sidecar-discovered (manifest-less) dataset
+    # must report True — it found and acted on something
+    import json
+
+    from pydala_spark.catalog import Datalake
+
+    root = tmp_path / "lake_rm"
+    dsdir = root / "orphan"
+    dsdir.mkdir(parents=True)
+    spark.createDataFrame([Row(id=1)], "id long").write.mode("overwrite").parquet(
+        str(dsdir)
+    )
+    (dsdir / "_dataset.json").write_text(json.dumps({"dataset": {"format": "parquet"}}))
+    lake = Datalake(spark, str(root))
+    assert lake.remove_dataset("orphan", clean=True) is True
+    assert not dsdir.exists()

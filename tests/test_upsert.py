@@ -69,3 +69,30 @@ def test_upsert_null_safe_keys_and_validation(spark, tmp_path):
 
     with pytest.raises(ValueError, match="delta_subset"):
         w.write(spark.createDataFrame([Row(k=1, v="x")]), mode="upsert")
+
+
+def test_upsert_escaped_partition_values(spark, tmp_path):
+    # r4 review: Spark hive-escapes partition directory names (':' ->
+    # %3A, booleans lowercase); upsert must construct the SAME names or
+    # the swap silently discards the staged merge
+    import datetime as dt
+
+    from pydala_spark.dataset.reader import Dataset
+
+    path = str(tmp_path / "ts_parts")
+    t1 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    t2 = dt.datetime(2024, 1, 2, 12, 30, 0)
+    base = spark.createDataFrame(
+        [(1, t1, 10.0, True), (2, t1, 20.0, False), (3, t2, 30.0, True)],
+        "id long, ts timestamp, v double, flag boolean",
+    )
+    Writer(spark, path, partition_by=["ts", "flag"]).write(base)
+    incoming = spark.createDataFrame(
+        [(1, t1, 99.0, True), (4, t1, 40.0, True)],
+        "id long, ts timestamp, v double, flag boolean",
+    )
+    Writer(spark, path, partition_by=["ts", "flag"]).write(
+        incoming, mode="upsert", delta_subset=["id"]
+    )
+    rows = {r["id"]: r["v"] for r in Dataset(spark, path).load().collect()}
+    assert rows == {1: 99.0, 2: 20.0, 3: 30.0, 4: 40.0}

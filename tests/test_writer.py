@@ -238,3 +238,38 @@ def test_unify_schema_preserves_hive_partitions(spark, tmp_path):
 def test_unify_schema_rejects_non_parquet(spark, tmp_path):
     with pytest.raises(ValueError, match="parquet"):
         Writer(spark, str(tmp_path / "csvds"), format="csv").unify_schema()
+
+
+def test_bucket_column_week_grids_share_anchor(spark):
+    # r4 review: '1w' (date_trunc Monday) and 'Nw' grids must sit on the
+    # same Monday anchor — the epoch-seconds grid anchored weeks at
+    # Thursday 1970-01-01
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 5, 15, 9, 0),), (dt.datetime(1969, 12, 31, 5, 0),)],
+        "ts timestamp",
+    )
+    got = df.select(
+        bucket_column("ts", "1w").alias("w1"),
+        bucket_column("ts", "2w").alias("w2"),
+    ).collect()
+    for r in got:
+        assert r["w1"].weekday() == 0, r  # Monday
+        assert r["w2"].weekday() == 0, r  # Monday-anchored multi-week
+        assert r["w2"] <= r["w1"]
+    # 2024-05-15 is in the Monday-2024-05-13 week
+    assert got[0]["w1"] == dt.datetime(2024, 5, 13)
+
+
+def test_writer_coerce_path_uses_writer_format(spark, tmp_path):
+    # r4 review: a csv writer fed a csv dataset path must not scan it as
+    # parquet
+    src = str(tmp_path / "csv_src")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string").write.option(
+        "header", True
+    ).csv(src)
+    dst = str(tmp_path / "csv_dst")
+    Writer(spark, dst, format="csv").write(src)
+    got = spark.read.option("header", True).option("inferSchema", True).csv(dst)
+    assert {(r["id"], r["s"]) for r in got.collect()} == {(1, "a"), (2, "b")}
