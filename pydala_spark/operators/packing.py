@@ -135,7 +135,10 @@ def pack_sequences(
     """Materialize one packed TRAINING SEQUENCE per shard: the shard's
     documents concatenated in ``order_col`` order with ``sep`` between
     them — the standard sequence-packing step feeding a tokenizer/data
-    loader. Returns (shard_id, n_docs, seq_tokens, seq_text).
+    loader. Returns (shard_id, n_docs, seq_tokens, first_key, last_key,
+    seq_text) — the key range comes free from the sorted array ends, so
+    one call yields both the sequences and the manifest columns
+    :func:`shard_summary` computes (no second pass over the packing).
 
     ``prepacked=True`` takes :func:`pack_shards` output directly (reuse
     one packing for both the manifest and the sequences); otherwise
@@ -166,6 +169,8 @@ def pack_sequences(
             "shard_id",
             "n_docs",
             "seq_tokens",
+            F.element_at("__docs", 1)["k"].alias("first_key"),
+            F.element_at("__docs", -1)["k"].alias("last_key"),
             F.array_join(
                 F.transform("__docs", lambda d: d["t"]), sep
             ).alias("seq_text"),

@@ -588,11 +588,7 @@ def q_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines. Round 4: the 'seq' columns pin SEQUENCE PACKING too —
     ``pack_sequences`` concatenates each shard's docs in doc_id order
     (md5 of the packed text hash-matches DuckDB's ordered string_agg)."""
-    from pydala_spark.operators.packing import (
-        pack_sequences,
-        pack_shards,
-        shard_summary,
-    )
+    from pydala_spark.operators.packing import pack_sequences, pack_shards
 
     docs = load_table(spark, sf_dir, "documents")
     packed = pack_shards(
@@ -601,12 +597,20 @@ def q_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         target_tokens=4096,
     )
-    seqs = pack_sequences(
-        packed, "text", "doc_id", 4096, prepacked=True
-    ).select("shard_id", F.md5("seq_text").alias("seq_md5"))
+    # ONE aggregation yields the manifest columns AND the packed
+    # sequences (pack_sequences exposes the shard's key range from the
+    # sorted array ends) — joining shard_summary onto a second read of
+    # `packed` would run the whole packing subplan twice
     return (
-        shard_summary(packed, "doc_id")
-        .join(seqs, "shard_id")
+        pack_sequences(packed, "text", "doc_id", 4096, prepacked=True)
+        .select(
+            "shard_id",
+            "n_docs",
+            F.col("seq_tokens").alias("shard_tokens"),
+            F.col("first_key").cast("long").alias("first_doc"),
+            F.col("last_key").cast("long").alias("last_doc"),
+            F.md5("seq_text").alias("seq_md5"),
+        )
         .orderBy("shard_id")
     )
 
