@@ -185,6 +185,13 @@ def lsh_candidate_pairs(
         (c for c in signatures.columns if c.startswith("mh_")),
         key=lambda c: int(c.split("_")[1]),
     )
+    if not sig_cols:
+        # 0 % n_bands == 0 would sail past the divisibility guard and
+        # return ZERO candidate pairs — a silently no-op near-dup stage
+        raise ValueError(
+            "lsh_candidate_pairs: no mh_* signature columns in the input "
+            "(pass minhash_signatures output)"
+        )
     if len(sig_cols) % n_bands != 0:
         # silently dropping the trailing columns would lower recall with
         # no signal that paid-for signature rows went unused
@@ -196,16 +203,17 @@ def lsh_candidate_pairs(
     bands = []
     for b in range(n_bands):
         cols = sig_cols[b * rows_per_band : (b + 1) * rows_per_band]
-        if not cols:
-            break
         bands.append(
             F.struct(
                 F.lit(b).alias("band_id"),
                 F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
             )
         )
-    banded = signatures.select(
-        F.col(id_col), F.explode(F.array(*bands)).alias("band")
+    # explode_cheaply, not F.explode: the band array carries one md5 per
+    # band and the inferred size(...)>0 filter would re-hash every row
+    # (CLAUDE.md rule)
+    banded = explode_cheaply(
+        signatures, F.array(*bands), "band"
     ).select(id_col, "band.band_id", "band.band_hash")
     buckets = (
         banded.groupBy("band_id", "band_hash")
@@ -241,8 +249,11 @@ def lsh_candidate_pairs(
             ),
         )
     )
+    # explode_cheaply: ``pairs`` is the QUADRATIC in-bucket pair builder —
+    # plain explode's inferred size(...)>0 filter would evaluate it twice
+    # per bucket (CLAUDE.md rule)
     return (
-        buckets.select(F.explode(pairs).alias("p"))
+        explode_cheaply(buckets, pairs, "p")
         .select("p.id_a", "p.id_b")
         .distinct()
     )
@@ -408,6 +419,11 @@ def dedup_clusters(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        # cut the lineage ONCE before the loop: edges joins into every
+        # round, and without this the whole upstream candidate-pair
+        # pipeline (minhash + LSH in the prep_documents usage) would
+        # re-execute per iteration
+        .localCheckpoint(eager=True)
     )
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "cluster_id", F.col("id")

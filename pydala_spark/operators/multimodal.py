@@ -115,7 +115,9 @@ def extract_features(
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "kind": pdf["kind"],
+                    # the fallback list, not pdf['kind']: a frame without
+                    # the optional kind column must not KeyError mid-job
+                    "kind": list(kinds),
                     "n_bytes": [len(p) if p is not None else 0 for p in payloads],
                     "sha1": [
                         hashlib.sha1(p or b"").hexdigest() for p in payloads
@@ -250,6 +252,11 @@ def decode_media(
                     if dt is None or not sr:
                         return {}
                     arr = np.frombuffer(raw, dtype=dt).astype(np.float64)
+                    if sw == 1:
+                        # 8-bit PCM WAV is offset-binary (silence = 0x80);
+                        # remove the DC bias so mean/rms are comparable
+                        # with the signed 16/32-bit paths
+                        arr -= 128.0
                 except wave.Error:
                     # non-PCM: walk the RIFF chunks ourselves; µ-law
                     # (format 7) expands via G.711 — still stdlib+numpy

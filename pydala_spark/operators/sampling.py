@@ -29,12 +29,23 @@ def _key(col: str | Column) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
-def hash_bucket(col: str | Column, num_buckets: int = HASH_SPACE) -> Column:
+def hash_bucket(
+    col: str | Column, num_buckets: int = HASH_SPACE, salt: str | None = None
+) -> Column:
     """Uniform deterministic bucket in ``[0, num_buckets)`` for a key:
     the first 8 md5 hex digits as an integer (optionally folded by mod).
     md5 is identical across engines, so bucket assignments are portable.
+
+    ``salt`` prefixes the key (``md5(salt || '|' || key)``), yielding an
+    INDEPENDENT bucket assignment — required when COMPOSING the sampling
+    operators: with the shared unsalted hash, ``train_test_split`` after
+    ``hash_sample(0.1)`` would label every surviving row 'test' (both
+    decisions read the same bucket value).
     """
-    v = F.conv(F.substring(F.md5(_key(col).cast("string")), 1, 8), 16, 10).cast("long")
+    keyed = _key(col).cast("string")
+    if salt is not None:
+        keyed = F.concat(F.lit(str(salt)), F.lit("|"), keyed)
+    v = F.conv(F.substring(F.md5(keyed), 1, 8), 16, 10).cast("long")
     return v if num_buckets == HASH_SPACE else v % F.lit(num_buckets)
 
 
@@ -45,11 +56,18 @@ def sample_threshold(fraction: float) -> int:
     return int(fraction * HASH_SPACE)
 
 
-def hash_sample(df: DataFrame, key: str | Column, fraction: float) -> DataFrame:
+def hash_sample(
+    df: DataFrame, key: str | Column, fraction: float, salt: str | None = None
+) -> DataFrame:
     """Deterministic Bernoulli sample: keep rows whose hash bucket falls
     in the first ``fraction`` of the space. A narrow filter — no shuffle,
-    no RNG; at 100 TB it runs entirely map-side during the scan."""
-    return df.where(hash_bucket(key) < F.lit(sample_threshold(fraction)))
+    no RNG; at 100 TB it runs entirely map-side during the scan.
+    Pass a distinct ``salt`` when composing with the other sampling
+    operators (see :func:`hash_bucket`); samples at different fractions
+    nest only under the SAME salt."""
+    return df.where(
+        hash_bucket(key, salt=salt) < F.lit(sample_threshold(fraction))
+    )
 
 
 def train_test_split(
@@ -58,6 +76,7 @@ def train_test_split(
     test_fraction: float = 0.2,
     val_fraction: float = 0.0,
     split_col: str = "split",
+    salt: str | None = None,
 ) -> DataFrame:
     """Deterministic train/test(/val) assignment as a ``split`` column.
 
@@ -65,8 +84,16 @@ def train_test_split(
     bucket value); membership depends only on the key, so re-ingesting a
     document lands it in the same split — no train/test leakage across
     pipeline runs. Narrow projection: zero shuffle at any scale.
+    Splitting a frame that already went through :func:`hash_sample` /
+    :func:`weighted_domain_sample` needs a distinct ``salt`` — the
+    shared unsalted hash would put every sampled row in 'test'.
     """
-    v = hash_bucket(key)
+    if test_fraction + val_fraction > 1.0:
+        raise ValueError(
+            f"test_fraction + val_fraction must be <= 1 "
+            f"(got {test_fraction} + {val_fraction})"
+        )
+    v = hash_bucket(key, salt=salt)
     test_hi = sample_threshold(test_fraction)
     val_hi = test_hi + sample_threshold(val_fraction)
     split = (
@@ -83,6 +110,7 @@ def weighted_domain_sample(
     domain_col: str,
     rates: dict[str, float],
     default_rate: float = 1.0,
+    salt: str | None = None,
 ) -> DataFrame:
     """Per-domain Bernoulli resampling — the mixture-weighting step of an
     LLM data pipeline (down-weight boilerplate-heavy sources, keep
@@ -105,7 +133,7 @@ def weighted_domain_sample(
         threshold = F.when(
             F.col(domain_col) == F.lit(domain), F.lit(sample_threshold(rate))
         ).otherwise(threshold)
-    return df.where(hash_bucket(key) < threshold)
+    return df.where(hash_bucket(key, salt=salt) < threshold)
 
 
 def shuffle_key(col: str | Column, seed: int = 0) -> Column:

@@ -279,17 +279,21 @@ def tfidf_top_terms(
     text_col: str = "text",
     top_k: int = 3,
 ) -> DataFrame:
-    """Per-document top-``top_k`` salient terms by tf-idf rank — the
-    standard keyword-extraction step for corpus inspection and
-    quality-clustering in training-data pipelines.
+    """Per-document top-``top_k`` salient terms — the keyword-extraction
+    step for corpus inspection and quality-clustering in training-data
+    pipelines.
 
-    Ranking is by ``tf / df`` (term asc, tf desc tie-breaks). Since the
-    corpus size N is constant per run, ``tf * ln(N/df)``'s *order* for a
-    fixed tf is exactly the order of ``tf/df``; ranking on the ratio
-    keeps every emitted value either an integer or an exact one-op
-    integer division — bit-identical across engines (transcendental
-    ``ln`` outputs are engine-dependent in the last ulp and would break
-    the oracle hash without buying better ranks).
+    Ranking is by ``tf / df`` (tf desc, term asc tie-breaks):
+    document-frequency-normalized term frequency, the idf-free salience
+    variant. It agrees with classic ``tf * ln(N/df)`` whenever compared
+    terms share a tf (idf is monotone in 1/df) but can order terms with
+    DIFFERENT tf differently — e.g. a moderately-frequent moderately-
+    specific term may outrank a rare singleton that ln-idf would place
+    first. The ratio is chosen deliberately: every emitted value stays
+    an integer or an exact one-op integer division — bit-identical
+    across engines — while transcendental ``ln`` differs in the last ulp
+    and would poison exact-match oracles. Need literal tf·idf order?
+    Rank the returned (tf, df) client-side with any idf you like.
 
     Scale shape: explode tokens (``explode_cheaply`` — the tokenizer
     regex runs once per doc), tf = groupBy (id, term), df = groupBy
@@ -337,7 +341,16 @@ def quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_toks = token_count(c)
     punct = F.length(c) - F.length(F.regexp_replace(c, r"[.,;:!?]", ""))
     stop_en = stopword_hits(c, STOPWORDS["en"])
-    mean_tok_len = (n_chars - (n_toks - F.lit(1))).cast("double") / n_toks
+    # exact mean token length: sum of the tokens' own lengths / count.
+    # The old (n_chars - (n_toks - 1)) / n_toks shortcut assumed exactly
+    # one separator char and no padding — double spaces, newlines, or
+    # leading/trailing whitespace inflated it
+    tok_chars = F.aggregate(
+        F.transform(tokens(c), lambda t: F.length(t)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    mean_tok_len = tok_chars.cast("double") / n_toks
     punct_ratio = punct.cast("double") / n_chars
     stop_ratio = stop_en.cast("double") / n_toks
     score = (

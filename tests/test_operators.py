@@ -792,3 +792,46 @@ def test_pluggable_decoder_seam(spark):
     import pytest as _pytest
     with _pytest.raises(Exception, match="NotImplementedError|decoding"):
         extract_features(df, decoder=feat_codec, decode_stub=False).collect()
+
+
+def test_lsh_rejects_signatureless_frame(spark, sf_dir):
+    import pytest
+
+    from pydala_spark.operators.dedup import lsh_candidate_pairs
+    from pydala_spark.sources import load_table as _lt
+
+    docs = _lt(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="mh_"):
+        lsh_candidate_pairs(docs.select("doc_id"), "doc_id")
+
+
+def test_quality_stats_mean_token_len_exact(spark):
+    from pydala_spark.operators.textstats import quality_stats
+
+    df = spark.createDataFrame(
+        [(1, "  hello  "), (2, "a  b"), (3, "xx yy zz")], "id long, text string"
+    )
+    rows = {r["id"]: r["q_mean_token_len"] for r in quality_stats(df).collect()}
+    assert rows[1] == 5.0   # padding must not inflate
+    assert rows[2] == 1.0   # double space must not inflate
+    assert rows[3] == 2.0
+
+
+def test_decode_media_8bit_wav_dc_bias(spark):
+    import io
+    import wave
+
+    from pydala_spark.operators.multimodal import decode_media
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(1)
+        wf.setframerate(8000)
+        wf.writeframes(bytes([128] * 800))  # 8-bit silence = 0x80
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "media_id long, content binary"
+    )
+    row = decode_media(df).collect()[0]
+    assert row["format"] == "wav"
+    assert row["mean"] == 0.0 and row["rms"] == 0.0  # bias removed

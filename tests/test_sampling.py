@@ -140,3 +140,29 @@ def test_weighted_domain_sample_null_domain_uses_default(spark):
     dropped = weighted_domain_sample(df, "id", "domain", {"web": 1.0},
                                      default_rate=0.0)
     assert sorted(r["id"] for r in dropped.collect()) == [1, 4]
+
+
+def test_salted_composition_not_degenerate(spark, sf_dir):
+    # r4 review: composing sample -> split on the SAME unsalted hash
+    # puts every surviving row in 'test'; a distinct salt decorrelates
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = hash_sample(docs, "doc_id", 0.3)
+    degenerate = train_test_split(sampled, "doc_id", test_fraction=0.3)
+    assert degenerate.where("split <> 'test'").count() == 0  # documented hazard
+    salted = train_test_split(sampled, "doc_id", test_fraction=0.3, salt="split")
+    counts = {r["split"]: r["n"] for r in
+              salted.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("train", 0) > 0 and counts.get("test", 0) > 0
+    # and the salted assignment is still deterministic
+    again = train_test_split(sampled, "doc_id", test_fraction=0.3, salt="split")
+    assert {(r["doc_id"], r["split"]) for r in salted.collect()} == {
+        (r["doc_id"], r["split"]) for r in again.collect()
+    }
+
+
+def test_train_test_split_validates_fraction_sum(spark, sf_dir):
+    import pytest
+
+    docs = load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="<= 1"):
+        train_test_split(docs, "doc_id", test_fraction=0.8, val_fraction=0.4)
