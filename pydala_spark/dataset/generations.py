@@ -238,6 +238,32 @@ def commit(
     # -- carry-forward (all BEFORE the pointer PUT, so carried data
     # activates atomically with the new generation) ------------------------
     new_dir = posixpath.join(local, gen_name)
+
+    def _file_size(p: str) -> int:
+        listed = po.list_files(p)
+        return listed[0][1] if listed else -1
+
+    def _carry_in(src_file: str, rel: str, tag: str) -> None:
+        """Copy one straggler into the new generation. A dst that already
+        exists is EITHER this same carry retried (pending_delete retry —
+        sizes match: skip, idempotent) OR a different file whose relative
+        name collides (e.g. two generations normalized to the same
+        deterministic filenames): land the straggler under a
+        '-carried-<tag>' disambiguated name instead of silently skipping
+        it — a skip would delete the only copy one sweep later while the
+        sidecar claims it was carried."""
+        dst = posixpath.join(new_dir, rel)
+        if not po.exists(dst):
+            po.copy_file(src_file, dst)
+            return
+        if _file_size(dst) == _file_size(src_file):
+            return  # same carry, retried
+        stem, dot, ext = rel.rpartition(".")
+        alt = f"{stem}-carried-{tag}.{ext}" if dot else f"{rel}-carried-{tag}"
+        alt_dst = posixpath.join(new_dir, alt)
+        if not po.exists(alt_dst):
+            po.copy_file(src_file, alt_dst)
+
     sidecar: dict | None = None
     if source is not None and input_files is not None:
         # stragglers appended to the source generation after the rewrite
@@ -248,9 +274,7 @@ def commit(
                 continue
             src_file = (posixpath.join(local, rel) if source == ROOT_GEN
                         else posixpath.join(local, source, rel))
-            dst = posixpath.join(new_dir, rel)
-            if not po.exists(dst):  # idempotent on re-run
-                po.copy_file(src_file, dst)
+            _carry_in(src_file, rel, source)
             known.add(rel)
         sidecar = {"source": source, "files": sorted(known), "carried": {}}
 
@@ -290,9 +314,7 @@ def commit(
             for rel in stragglers:
                 src_file = (posixpath.join(local, rel) if g == ROOT_GEN
                             else posixpath.join(local, g, rel))
-                dst = posixpath.join(new_dir, rel)
-                if not po.exists(dst):
-                    po.copy_file(src_file, dst)
+                _carry_in(src_file, rel, g)
             if stragglers:
                 if sidecar is None:
                     sidecar = {"source": None, "files": [], "carried": {}}

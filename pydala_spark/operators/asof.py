@@ -38,6 +38,11 @@ def asof_join(
     by = [by] if isinstance(by, str) else list(by)
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
+    clash = {"__rvals", "__side"} & (set(left.columns) | set(right.columns))
+    if clash:
+        # colliding internal markers would surface as AMBIGUOUS_REFERENCE
+        # deep in the plan — reject clearly at the API boundary
+        raise ValueError(f"asof_join: input columns {sorted(clash)} are reserved")
     out_names = {
         c: (c + suffix if c in left.columns else c) for c in right_cols
     }
@@ -58,7 +63,10 @@ def asof_join(
         F.lit(None).cast(rstruct_type).alias("__rvals"),
         F.lit(1).alias("__side"),
     )
-    rhs = right.select(
+    rhs = right.where(F.col(on).isNotNull()).select(
+        # a NULL-timestamp right row can never be an as-of match, but
+        # ascending NULLS FIRST would make it the running fill for every
+        # early left row — drop such rows up front
         *by,
         F.col(on).alias(on),
         *[F.lit(None).cast(left_types[c]).alias(c) for c in left_payload],
@@ -77,8 +85,14 @@ def asof_join(
         .orderBy(time_order, side_order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # NULL-timestamp LEFT rows get no match (the mask, not sort order:
+    # desc NULLS LAST would otherwise hand the forward direction's
+    # null-ts rows the final running value)
     filled = unioned.withColumn(
-        "__rvals", F.last("__rvals", ignorenulls=True).over(w)
+        "__rvals",
+        F.when(
+            F.col(on).isNotNull(), F.last("__rvals", ignorenulls=True).over(w)
+        ).otherwise(F.lit(None).cast(rstruct_type)),
     )
     return (
         filled.where(F.col("__side") == 1)

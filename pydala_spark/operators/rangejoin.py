@@ -65,7 +65,11 @@ def time_range_join(
     p = points.withColumn("__bin", (F.unix_timestamp(F.col(point_ts)) / b).cast("long"))
     lo_bin = (F.unix_timestamp(F.col(interval_start)) / b).cast("long")
     hi_bin = (F.unix_timestamp(F.col(interval_end)) / b).cast("long")
-    iv = intervals.withColumn("__bin", F.explode(F.sequence(lo_bin, hi_bin)))
+    # explode_cheaply, not F.explode: the inferred size(sequence(...))>0
+    # filter would rebuild the bin array a second time (CLAUDE.md rule)
+    from pydala_spark.operators.dedup import explode_cheaply
+
+    iv = explode_cheaply(intervals, F.sequence(lo_bin, hi_bin), "__bin")
 
     cond = (F.col(point_ts) >= F.col(interval_start)) & (
         F.col(point_ts) <= F.col(interval_end)

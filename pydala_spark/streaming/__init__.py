@@ -62,6 +62,21 @@ def incremental_append(
             f"zorder_by requires a parquet writer (got format="
             f"{writer.format!r}); use compact_every without zorder_by"
         )
+    if zorder_by and writer.partition_by:
+        # zorder_write emits an UNPARTITIONED layout — reclustering a
+        # hive-partitioned stream sink would flatten it and the next
+        # delta batch would mix layouts (partition dir vs data column)
+        raise ValueError(
+            "zorder_by cannot recluster a hive-partitioned writer "
+            f"(partition_by={list(writer.partition_by)}); drop one of the two"
+        )
+    if compact_every and writer.format not in ("parquet", "csv", "json"):
+        # compact() reads via spark.read.format(...); feather has no
+        # Spark datasource and would kill the stream on the Nth batch
+        raise ValueError(
+            f"compact_every is not supported for format={writer.format!r} "
+            "(no Spark datasource to re-read it with)"
+        )
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         writer.write(

@@ -19,6 +19,14 @@ def _scalar(v) -> str:
         return str(v)
     if isinstance(v, (list, tuple)):
         return "[" + ", ".join(_scalar(x) for x in v) + "]"
+    if v is None or isinstance(v, dict):
+        # stringifying these would emit "None" / a Python repr that
+        # parses cleanly as a STRING — silent sidecar corruption the
+        # reference tooling would consume without any error
+        raise TypeError(
+            f"TOML emitter: unsupported value {v!r} inside an array "
+            "(TOML has no null; use a sub-table for mappings)"
+        )
     return _quote(str(v))
 
 

@@ -611,3 +611,33 @@ def test_normalize_filenames_reference_scheme(spark, tmp_path):
     # second run: everything already conforms -> pure no-op
     res2 = normalize_filenames(spark, root, timestamp="20260814_130000000")
     assert res2["n_renamed"] == 0 and res2["n_skipped"] == res["n_renamed"]
+
+
+def test_carry_forward_name_collision_disambiguates(spark, tmp_path):
+    # r4 review: a straggler whose relative name collides with a file
+    # already in the new generation must land under a -carried- name,
+    # not be silently skipped (and deleted one sweep later)
+    from pydala_spark.dataset import generations
+
+    base = str(tmp_path / "gen_collide")
+    src_dir = os.path.join(base, "gen-000001")
+    new_dir = os.path.join(base, "gen-000002")
+    os.makedirs(src_dir)
+    os.makedirs(new_dir)
+    with open(os.path.join(src_dir, "a.parquet"), "wb") as fh:
+        fh.write(b"input-bytes")
+    with open(os.path.join(src_dir, "s.parquet"), "wb") as fh:
+        fh.write(b"straggler-content-unique")
+    # the new generation's compacted output happens to use the same name
+    with open(os.path.join(new_dir, "s.parquet"), "wb") as fh:
+        fh.write(b"xx")
+    generations.commit(
+        spark, base, "gen-000002", keep_previous=0,
+        source="gen-000001", input_files=["a.parquet"],
+    )
+    names = sorted(os.listdir(new_dir))
+    assert "s-carried-gen-000001.parquet" in names, names
+    with open(os.path.join(new_dir, "s-carried-gen-000001.parquet"), "rb") as fh:
+        assert fh.read() == b"straggler-content-unique"
+    with open(os.path.join(new_dir, "s.parquet"), "rb") as fh:
+        assert fh.read() == b"xx"  # compacted output untouched

@@ -835,3 +835,70 @@ def test_decode_media_8bit_wav_dc_bias(spark):
     row = decode_media(df).collect()[0]
     assert row["format"] == "wav"
     assert row["mean"] == 0.0 and row["rms"] == 0.0  # bias removed
+
+
+def test_asof_null_timestamps_yield_no_match(spark):
+    import datetime as dt
+
+    from pydala_spark.operators.asof import asof_join
+
+    TS = dt.datetime
+    left = spark.createDataFrame(
+        [(1, TS(2024, 1, 1, 5)), (1, None)], "k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, None, 99.0), (1, TS(2024, 1, 1, 10), 1.0), (1, TS(2024, 1, 1, 2), 2.0)],
+        "k long, ts timestamp, v double",
+    )
+    back = {(r["k"], r["ts"]): r["v"] for r in
+            asof_join(left, right, "ts", "k", ["v"]).collect()}
+    # left@5 matches right@2 (NOT the null-ts right row's 99.0)
+    assert back[(1, TS(2024, 1, 1, 5))] == 2.0
+    assert back[(1, None)] is None  # null-ts left row: no match
+    fwd = {(r["k"], r["ts"]): r["v"] for r in
+           asof_join(left, right, "ts", "k", ["v"], direction="forward").collect()}
+    assert fwd[(1, TS(2024, 1, 1, 5))] == 1.0
+    assert fwd[(1, None)] is None
+
+
+def test_asof_rejects_reserved_columns(spark):
+    import pytest
+
+    from pydala_spark.operators.asof import asof_join
+
+    df = spark.createDataFrame([(1, 2, 3)], "k long, ts long, __side long")
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(df, df.drop("__side"), "ts", "k", [])
+
+
+def test_streaming_maintenance_guards(spark, tmp_path):
+    import pytest
+
+    from pydala_spark.dataset.writer import Writer
+    from pydala_spark.streaming import incremental_append
+
+    stream = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        incremental_append(
+            stream,
+            Writer(spark, str(tmp_path / "a"), partition_by=["p"]),
+            zorder_by=["value"],
+            compact_every=1,
+        )
+    with pytest.raises(ValueError, match="not supported for format"):
+        incremental_append(
+            stream,
+            Writer(spark, str(tmp_path / "b"), format="feather"),
+            compact_every=1,
+        )
+
+
+def test_tomlout_rejects_null_in_array():
+    import pytest
+
+    from pydala_spark.utils.tomlout import dumps
+
+    with pytest.raises(TypeError, match="unsupported value"):
+        dumps({"cols": ["a", None]})
+    with pytest.raises(TypeError, match="unsupported value"):
+        dumps({"tables": [{"k": 1}]})
