@@ -201,9 +201,13 @@ class Writer:
         partition_by: str | Sequence[str] | None = None,
         compression: str = "zstd",
         max_records_per_file: int | None = None,
+        filename_scheme: str = "spark",
+        base_name: str = "data",
     ):
         if mode not in WRITE_MODES:
             raise ValueError(f"mode must be one of {WRITE_MODES}")
+        if filename_scheme not in ("spark", "reference"):
+            raise ValueError("filename_scheme must be 'spark' or 'reference'")
         self.spark = configure_session(spark)
         # appends/overwrites on a generation-pointer dataset land inside
         # the ACTIVE generation (dataset/generations.py) and are carried
@@ -221,6 +225,8 @@ class Writer:
         )
         self.compression = compression
         self.max_records_per_file = max_records_per_file
+        self.filename_scheme = filename_scheme
+        self.base_name = base_name
 
     # -- input coercion (reference to_relation, utils/table.py:58-92) --------
 
@@ -339,6 +345,7 @@ class Writer:
                 raise ValueError("mode='upsert' needs delta_subset key columns")
             if exists:
                 self._upsert(df, delta_subset)
+                self._apply_filename_scheme()
                 return
             # first write: plain append lays the dataset down
 
@@ -366,6 +373,27 @@ class Writer:
         finally:
             if delta_cached:
                 df.unpersist()
+        self._apply_filename_scheme()
+
+    def _apply_filename_scheme(self) -> None:
+        """Opt-in reference filename compatibility (SURVEY §7.4 W2, which
+        accepted Spark's ``part-*`` names as a divergence): with
+        ``filename_scheme="reference"`` every write finishes by renaming
+        part files to the reference's ``{base}-{YYYYmmdd_HHMMSSfff}-{seq}
+        .{ext}`` scheme (reference src/pydala/dataset/writer.py:141) via
+        :func:`pydala_spark.dataset.maintain.normalize_filenames`.
+        Metadata-only (one listing + one FileSystem rename per NEW file —
+        already-conformant files are skipped, so appends touch only the
+        files this write produced). Skipped for the single-file feather
+        bridge target, which the reference names explicitly anyway."""
+        if self.filename_scheme != "reference":
+            return
+        from pydala_spark.dataset.maintain import normalize_filenames
+        from pydala_spark.utils.pathops import PathOps
+
+        if PathOps(self.spark, self.path).is_file(self.path):
+            return
+        normalize_filenames(self.spark, self.path, base_name=self.base_name)
 
     def _write_resolved(
         self,

@@ -273,3 +273,24 @@ def test_writer_coerce_path_uses_writer_format(spark, tmp_path):
     Writer(spark, dst, format="csv").write(src)
     got = spark.read.option("header", True).option("inferSchema", True).csv(dst)
     assert {(r["id"], r["s"]) for r in got.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_filename_scheme_reference(spark, tmp_path):
+    # W2 closure: filename_scheme="reference" renames Spark part files to
+    # the reference's {base}-{ts}-{seq}.{ext} scheme after every write;
+    # appends rename only the new files (already-conformant ones skip).
+    import re
+
+    out = str(tmp_path / "named")
+    w = Writer(spark, out, filename_scheme="reference", base_name="data")
+    w.write(_events(spark, [(1, TS(2024, 1, 1), 1.0)]))
+    pat = re.compile(r"^data-\d{8}_\d{9}-\d{6}\.parquet$")
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert files and all(pat.match(f) for f in files)
+    first = set(files)
+    w.write(_events(spark, [(2, TS(2024, 1, 2), 2.0)]), mode="append")
+    files2 = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert first <= set(files2) and all(pat.match(f) for f in files2)
+    assert Dataset(spark, out).count() == 2
+    with pytest.raises(ValueError, match="filename_scheme"):
+        Writer(spark, out, filename_scheme="bogus")
