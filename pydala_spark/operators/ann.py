@@ -204,3 +204,178 @@ def ivf_topk(
         .where(F.col("rnk") <= k)
         .select("probe_id", "neighbor_id", "rnk", "sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): memory-bounded ANN at 100 TB
+
+
+def pq_codebooks(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 16,
+    sample_size: int = 10_000,
+    iterations: int = 8,
+    seed: int = 42,
+    spread: int = 64,
+) -> np.ndarray:
+    """Per-subspace L2 k-means codebooks, shape ``(m, n_codes, dim/m)``.
+
+    Same bounded spread-sampled driver training as
+    :func:`kmeans_centroids` (codebook quality needs a representative
+    sample, not the corpus). Vectors are unit-normalized before
+    splitting, so the PQ inner-product score approximates cosine.
+    Subspace codebooks minimize RECONSTRUCTION error (plain L2 k-means,
+    not spherical — encoding picks the nearest codeword, search scores
+    the reconstruction by inner product: the classic IVFADC decomposition
+    of Jégou et al.'s product quantization)."""
+    keep = F.pmod(F.xxhash64(F.col(vec_col), F.lit(seed)), F.lit(spread)) == 0
+    sample = (
+        df.select(vec_col).where(keep).limit(sample_size * 2).toPandas()[vec_col]
+    )
+    if len(sample) < sample_size:
+        full = df.select(vec_col).limit(sample_size * 2).toPandas()[vec_col]
+        if len(full) < sample_size * 2 or len(sample) < max(4 * n_codes, 64):
+            sample = full
+    x = np.array([np.asarray(v, dtype=np.float64) for v in sample])
+    if x.size == 0:
+        raise ValueError("pq_codebooks: empty corpus/sample")
+    if len(x) > sample_size:
+        x = x[np.random.default_rng(seed).permutation(len(x))[:sample_size]]
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    books = []
+    for i in range(m):
+        sub = x[:, i * dsub : (i + 1) * dsub]
+        cents = sub[rng.choice(len(sub), size=min(n_codes, len(sub)), replace=False)].copy()
+        for _ in range(iterations):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(len(cents)):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books.append(cents)
+    return np.array(books)
+
+
+def _pq_encoder(books: np.ndarray):
+    """Vectorized PQ encode UDF factory: per Arrow batch, one numpy
+    matmul per subspace; nearest codeword via the dot-product identity
+    argmin ||x-c||^2 == argmax (x·c - ||c||^2/2), which a SQL oracle can
+    reproduce with codeword literals and an ``ORDER BY score DESC, code``
+    tiebreak (stable argsort here picks the lowest code on ties too).
+    ``books`` travels in the closure — (m, n_codes, dsub) doubles, i.e.
+    codebook-sized, never corpus-sized."""
+    m, _n_codes, dsub = books.shape
+    half = 0.5 * (books ** 2).sum(axis=2)  # (m, n_codes)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def encode(vectors: pd.Series) -> pd.Series:
+        x = np.array([np.asarray(v, dtype=np.float64) for v in vectors])
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        codes = np.empty((len(x), m), dtype=np.int64)
+        for i in range(m):
+            sub = x[:, i * dsub : (i + 1) * dsub]
+            score = sub @ books[i].T - half[i]
+            # stable max: ties keep the lowest code index
+            codes[:, i] = np.argsort(-score, axis=1, kind="stable")[:, 0]
+        return pd.Series([row.astype("int32").tolist() for row in codes])
+
+    return encode
+
+
+def _pq_luts(books: np.ndarray):
+    """Probe-side lookup-table UDF factory: per probe, the flattened
+    ``m * n_codes`` inner products between its unit-normalized subvectors
+    and every codeword — the asymmetric-distance (ADC) table. Broadcast
+    with the probes; scoring a corpus row is then ``m`` array lookups."""
+    m, n_codes, dsub = books.shape
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def luts(vectors: pd.Series) -> pd.Series:
+        x = np.array([np.asarray(v, dtype=np.float64) for v in vectors])
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        out = np.empty((len(x), m * n_codes), dtype=np.float64)
+        for i in range(m):
+            sub = x[:, i * dsub : (i + 1) * dsub]
+            out[:, i * n_codes : (i + 1) * n_codes] = sub @ books[i].T
+        return pd.Series([row.tolist() for row in out])
+
+    return luts
+
+
+def pq_encode(
+    df: DataFrame,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes) — the 100 TB storage form of an embedding corpus:
+    ``m`` small ints per vector instead of ``dim`` floats (dim=64, m=8:
+    32× narrower than float32 before encoding overheads). One scan, one
+    Arrow-batched numpy pass, no shuffle."""
+    return df.select(
+        F.col(id_col).alias("id"), _pq_encoder(books)(F.col(vec_col)).alias("codes")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    codes_col: str | None = None,
+) -> DataFrame:
+    """Approximate top-k by asymmetric PQ distance: corpus rows are
+    scored from their ``m`` codes alone via the probe's broadcast lookup
+    table — ``sim ≈ cosine`` for unit vectors. Returns
+    (probe_id, neighbor_id, rnk, sim).
+
+    Shape at 100 TB: the corpus is read as (id, codes) — never the raw
+    vectors (pass ``codes_col`` over a pre-encoded dataset from
+    :func:`pq_encode`); probes (with LUTs) broadcast; scoring is JVM-side
+    ``aggregate`` over ``m`` array lookups inside codegen, so the scan is
+    CPU-light and 32× narrower than raw embeddings. No shuffle except
+    the final per-probe top-k, which AQE handles as a broadcast-side
+    window over candidate rows."""
+    m, n_codes, _ = books.shape
+    if codes_col is None:
+        c = pq_encode(corpus, books, id_col, vec_col).select(
+            F.col("id").alias("neighbor_id"), "codes"
+        )
+    else:
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(codes_col).alias("codes")
+        )
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        _pq_luts(books)(F.col(vec_col)).alias("lut"),
+    )
+    # sim = sum_i lut[i*n_codes + codes[i]] — element_at is 1-based
+    sim = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.element_at(
+            F.col("lut"),
+            (i * n_codes + F.element_at(F.col("codes"), i + 1) + 1).cast("int"),
+        ),
+    )
+    scored = (
+        c.join(F.broadcast(p), F.col("neighbor_id") != F.col("probe_id"))
+        .withColumn("sim", sim)
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select("probe_id", "neighbor_id", "rnk", "sim")
+    )

@@ -282,3 +282,72 @@ def quantized_cosine_topk(
         .where(F.col("rnk") <= k)
         .select("probe_id", "neighbor_id", "rnk", "sim")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.2,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embedding space with a k-means codebook, compare pairs only
+    WITHIN a cluster, and drop every document that has a sufficiently
+    similar cluster-mate with a smaller id (a deterministic, engine-
+    reproducible stand-in for the paper's keep-one-per-group choice).
+    Returns ``(id, cell, kept)`` — callers semi-join ``kept`` against the
+    corpus to prune it.
+
+    Shape at 100 TB: cell assignment is one Arrow-batched matmul scan;
+    the pair comparison is an equi-join on ``cell``. In-cell work is
+    quadratic in cell size, so the codebook size — not this operator —
+    is the scale knob: train ``N / target_cell_size`` centroids (the
+    paper fixes ~100k clusters for its corpus) via :func:`pydala_spark.
+    operators.ann.kmeans_centroids` — centroid count growing WITH the
+    corpus keeps expected cell size, and therefore per-cell pair work,
+    constant, making total cost linear in N (measured:
+    tools/scale_probe.py);
+    degenerate semantic hotspots should be exact-deduped first (the same
+    pre-pass the LSH bucket cap expects, operators/dedup.py). For
+    repeated runs, materialize ``(id, cell)`` once with the pinned
+    codebook (save_codebook/load_codebook) instead of re-assigning.
+    """
+    import numpy as np
+
+    from pydala_spark.operators.ann import _assigner
+
+    assign = _assigner(np.asarray(centroids, dtype=np.float64), 1)
+    base = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .withColumn("cell", F.element_at(assign(F.col("vec")), 1))
+        .withColumn("__n", norm(F.col("vec")))
+    )
+    a = base.select("id", "cell", F.col("vec").alias("vec_a"), F.col("__n").alias("__na"))
+    b = base.select(
+        F.col("id").alias("id_b"), "cell",
+        F.col("vec").alias("vec_b"), F.col("__n").alias("__nb"),
+    )
+    # a doc is dropped iff SOME smaller-id cluster-mate is similar enough:
+    # left_semi keeps the join from materializing every qualifying pair
+    dropped = (
+        a.join(b, "cell")
+        .where(
+            (F.col("id_b") < F.col("id"))
+            & (
+                sim_from_norms(
+                    F.col("vec_a"), F.col("vec_b"), F.col("__na"), F.col("__nb")
+                )
+                >= F.lit(threshold)
+            )
+        )
+        .select("id")
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return (
+        base.join(dropped, "id", "left")
+        .select(
+            "id", "cell", F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept")
+        )
+    )

@@ -907,6 +907,176 @@ GROUP BY l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# consolidated ANN top-k (round-4 registry merge: q_lsh_topk + q_ivf_topk +
+# q_quantized_cosine shared one output shape, so they union under a family
+# tag — same consolidation move as queries/merged.py — freeing two
+# registry slots inside the driver's ~50-entry correctness window)
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three ANN strategies over the same probes, tag-unioned: ``lsh``
+    (random-hyperplane buckets), ``ivf`` (pinned k-means codebook cells),
+    ``quant`` (int8-quantized brute force). Each branch keeps its
+    original exact oracle; the union just stacks them."""
+    parts = [
+        ("lsh", q_lsh_topk(spark, sf_dir)),
+        ("ivf", q_ivf_topk(spark, sf_dir)),
+        ("quant", q_quantized_cosine(spark, sf_dir)),
+    ]
+    out = None
+    for fam, df in parts:
+        sel = df.select(
+            F.lit(fam).alias("family"), "probe_id", "neighbor_id", "rnk", "sim_r"
+        )
+        out = sel if out is None else out.unionByName(sel)
+    return out
+
+
+def _ann_topk_sql() -> str:
+    return (
+        "SELECT 'lsh' AS family, * FROM (" + _lsh_topk_sql(64, 6) + ")\n"
+        "UNION ALL\nSELECT 'ivf' AS family, * FROM (" + _ivf_topk_sql(4, 5) + ")\n"
+        "UNION ALL\nSELECT 'quant' AS family, * FROM ("
+        + _Q_QUANTIZED_COSINE_SQL + ")"
+    )
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup) — new in round 4
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style pruning over the pinned IVF codebook: per k-means
+    cell, drop every vector with a smaller-id cell-mate at cosine >=
+    0.25. Emits (vec_id, cell, kept) for the whole corpus — exact-
+    checkable because the codebook is pinned and the keep rule is
+    deterministic."""
+    from pydala_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = semantic_dedup(emb, _ivf_centroids(), threshold=0.25)
+    return out.select(
+        F.col("id").alias("vec_id"), F.col("cell").cast("int").alias("cell"), "kept"
+    )
+
+
+def _semantic_dedup_sql(threshold: float = 0.25) -> str:
+    """Oracle: same pinned-centroid argmax cell assignment as
+    _ivf_topk_sql (1-based subscripts shifted to the operator's 0-based
+    cells), then the drop rule as a smaller-id in-cell similarity join."""
+    cents = _ivf_centroids()
+    dots = ", ".join(
+        "list_dot_product(e, [" + ", ".join(repr(v) for v in c) + "])"
+        for c in cents
+    )
+    return f"""
+WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+d AS (SELECT vec_id, e, [{dots}] AS dots FROM b),
+u AS (SELECT vec_id, e, unnest(dots) AS dp,
+             generate_subscripts(dots, 1) AS cell FROM d),
+asgn AS (
+  SELECT vec_id, e, CAST(cell - 1 AS INT) AS cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY dp DESC, cell) AS r FROM u)
+  WHERE r = 1),
+dr AS (
+  SELECT DISTINCT a.vec_id FROM asgn a JOIN asgn b2
+    ON a.cell = b2.cell AND b2.vec_id < a.vec_id
+  WHERE list_cosine_similarity(a.e, b2.e) >= {threshold})
+SELECT a.vec_id, a.cell, (dr.vec_id IS NULL) AS kept
+FROM asgn a LEFT JOIN dr ON a.vec_id = dr.vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# product-quantized top-k — new in round 4
+
+
+#: PQ codebooks trained once on sf0.01 (tools/train_pq_fixture.py) and
+#: pinned, same train-once contract as the IVF fixture: encoding is then
+#: a pure function of the vector, so the asymmetric-distance search gets
+#: a real DuckDB oracle (codeword literals).
+_PQ_FIXTURE = posixpath.join(
+    posixpath.dirname(__file__), "fixtures", "pq_codebook_d64_m8_k16.json"
+)
+
+
+def _pq_books():
+    import json
+
+    with open(_PQ_FIXTURE) as f:
+        return json.load(f)["centroids"]
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric PQ top-5: corpus scored from its 8 codes via the
+    probes' broadcast lookup tables (operators/ann.py pq_topk)."""
+    import numpy as np
+
+    from pydala_spark.operators.ann import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 10)
+    out = pq_topk(
+        emb, probes, np.array(_pq_books(), dtype=np.float64), k=5
+    )
+    return out.select(
+        "probe_id", "neighbor_id", "rnk", F.round("sim", 4).alias("sim_r")
+    )
+
+
+def _pq_topk_sql(k: int = 5) -> str:
+    """Oracle mirroring pq_topk: codeword literals; encode = argmax of
+    (sub·c − ||c||²/2) with the same lowest-code tiebreak as the
+    operator's stable argsort; ``half`` literals come from the SAME numpy
+    expression the encoder uses, so both engines subtract bit-identical
+    doubles; the per-probe score sums the m contributions in m-order
+    (list_sum over an m-ordered list == the operator's sequential
+    F.aggregate fold)."""
+    import numpy as np
+
+    books = np.array(_pq_books(), dtype=np.float64)
+    m, n_codes, dsub = books.shape
+    half = 0.5 * (books ** 2).sum(axis=2)  # identical doubles to _pq_encoder
+    rows = []
+    for i in range(m):
+        for c in range(n_codes):
+            lit = "[" + ", ".join(repr(v) for v in books[i, c]) + "]"
+            rows.append(f"({i}, {c}, {lit}, {half[i, c]!r})")
+    values = ",\n  ".join(rows)
+    return f"""
+WITH cb(m, code, c, half) AS (VALUES
+  {values}),
+b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e0 FROM embeddings),
+n AS (SELECT vec_id,
+             list_transform(e0, x -> x / GREATEST(sqrt(list_dot_product(e0, e0)), 1e-12)) AS e
+      FROM b),
+sub AS (SELECT vec_id, m, list_slice(e, m * {dsub} + 1, (m + 1) * {dsub}) AS sub
+        FROM n, (SELECT unnest(generate_series(0, {m - 1})) AS m)),
+sc AS (SELECT s.vec_id, s.m, cb.code,
+              list_dot_product(s.sub, cb.c) - cb.half AS score
+       FROM sub s JOIN cb ON cb.m = s.m),
+codes AS (SELECT vec_id, m, code FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                 ORDER BY score DESC, code) AS r FROM sc)
+  WHERE r = 1),
+psub AS (SELECT vec_id AS probe_id, m, sub AS ps FROM sub WHERE vec_id < 10),
+contrib AS (SELECT p.probe_id, c.vec_id AS neighbor_id, c.m,
+                   list_dot_product(p.ps, cb.c) AS v
+            FROM codes c JOIN cb ON cb.m = c.m AND cb.code = c.code
+            JOIN psub p ON p.m = c.m
+            WHERE c.vec_id <> p.probe_id),
+sim AS (SELECT probe_id, neighbor_id, list_sum(list(v ORDER BY m)) AS sim
+        FROM contrib GROUP BY probe_id, neighbor_id)
+SELECT probe_id, neighbor_id, rnk, ROUND(sim, 4) AS sim_r
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                   ORDER BY sim DESC, neighbor_id) AS rnk
+      FROM sim)
+WHERE rnk <= {k}
+"""
+
+
 EXT_QUERIES = {
     "q_text_profile": q_text_profile,
     "q_lang_predict": q_lang_predict,
@@ -919,10 +1089,14 @@ EXT_QUERIES = {
     "q_decontaminate": q_decontaminate,
     "q_shard_packing": q_shard_packing,
     "q_cosine_topk": q_cosine_topk,
-    "q_quantized_cosine": q_quantized_cosine,
     "q_embedding_neardup": q_embedding_neardup,
-    "q_lsh_topk": q_lsh_topk,
-    "q_ivf_topk": q_ivf_topk,
+    # round-4 consolidation: lsh/ivf/quant top-k share one shape and are
+    # tag-unioned (each branch keeps its exact oracle) so the freed slots
+    # fund q_semantic_dedup and q_pq_topk without breaching the ~50-entry
+    # driver window
+    "q_ann_topk": q_ann_topk,
+    "q_semantic_dedup": q_semantic_dedup,
+    "q_pq_topk": q_pq_topk,
     "q_approx_distinct": q_approx_distinct,
 }
 
@@ -938,10 +1112,10 @@ EXT_ORACLE = {
     "q_decontaminate": _Q_DECONTAMINATE_SQL,
     "q_shard_packing": _Q_SHARD_PACKING_SQL,
     "q_cosine_topk": _Q_COSINE_TOPK_SQL,
-    "q_quantized_cosine": _Q_QUANTIZED_COSINE_SQL,
     "q_embedding_neardup": _neardup_sql(64, 6),
-    "q_lsh_topk": _lsh_topk_sql(64, 6),
-    "q_ivf_topk": _ivf_topk_sql(4, 5),
+    "q_ann_topk": _ann_topk_sql(),
+    "q_semantic_dedup": _semantic_dedup_sql(0.25),
+    "q_pq_topk": _pq_topk_sql(5),
     # HLL estimates differ across engines by design, so the query's
     # declared output is the exact count + a within-tolerance boolean —
     # both sides hash-match those (see q_approx_distinct docstring).

@@ -91,3 +91,79 @@ def test_kmeans_short_spread_sample_beats_prefix_bias(spark):
     # with the fix, one centroid lands near each domain axis
     axes = {int(np.argmax(np.abs(c))) for c in cents}
     assert axes == {0, 1}, f"centroids collapsed to one domain: {cents}"
+
+
+def test_pq_recall_on_separated_clusters(clustered):
+    from pydala_spark.operators.ann import pq_codebooks, pq_topk
+
+    books = pq_codebooks(clustered, m=4, n_codes=8, seed=7)
+    assert books.shape == (4, 8, 2)
+    probes = clustered.where(F.col("vec_id") < 6)
+    approx = pq_topk(clustered, probes, books, k=5)
+    rows = approx.collect()
+    assert len(rows) == 6 * 5
+    # PQ quantizes same-cluster members onto the same few codewords, so
+    # exact-rank overlap is meaningless (scores tie); the property that
+    # matters is that the quantized score still separates clusters:
+    # every retrieved neighbor shares the probe's cluster
+    for r in rows:
+        assert r["probe_id"] % 3 == r["neighbor_id"] % 3
+
+
+def test_pq_encode_deterministic_and_precomputed_codes(clustered):
+    from pydala_spark.operators.ann import pq_codebooks, pq_encode, pq_topk
+
+    books = pq_codebooks(clustered, m=4, n_codes=8, seed=7)
+    c1 = {r["id"]: r["codes"] for r in pq_encode(clustered, books).collect()}
+    c2 = {r["id"]: r["codes"] for r in pq_encode(clustered, books).collect()}
+    assert c1 == c2
+    assert all(len(v) == 4 and all(0 <= x < 8 for x in v) for v in c1.values())
+    # the 100 TB path: search a pre-encoded (id, codes) dataset — must
+    # give identical results to encoding on the fly
+    probes = clustered.where(F.col("vec_id") < 3)
+    on_fly = pq_topk(clustered, probes, books, k=3)
+    pre = pq_encode(clustered, books).withColumnRenamed("id", "vec_id")
+    stored = pq_topk(pre, probes, books, k=3, codes_col="codes")
+    assert sorted(map(tuple, on_fly.collect())) == sorted(map(tuple, stored.collect()))
+
+
+def test_pq_codebooks_rejects_bad_split(clustered):
+    from pydala_spark.operators.ann import pq_codebooks
+
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_codebooks(clustered, m=3)
+
+
+def test_semantic_dedup_drops_in_cell_twins(spark):
+    from pydala_spark.operators.similarity import semantic_dedup
+
+    # two tight clusters; within each, ids are near-identical vectors —
+    # only the smallest id per similar group survives; a lone outlier in
+    # its own cell is always kept
+    rows = []
+    for i in range(5):
+        rows.append((i, [10.0 + 0.001 * i, 0.0, 0.0, 0.0]))
+    for i in range(5, 10):
+        rows.append((i, [0.0, 10.0 + 0.001 * i, 0.0, 0.0]))
+    rows.append((10, [0.0, 0.0, 10.0, 0.0]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = [[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 0]]
+    out = {r["id"]: (r["cell"], r["kept"]) for r in
+           semantic_dedup(df, cents, threshold=0.9).collect()}
+    assert len(out) == 11
+    kept = {i for i, (_, k) in out.items() if k}
+    assert kept == {0, 5, 10}  # smallest id per cluster + the singleton
+    assert out[0][0] == 0 and out[5][0] == 1 and out[10][0] == 2
+
+
+def test_semantic_dedup_threshold_is_respected(spark):
+    from pydala_spark.operators.similarity import semantic_dedup
+
+    # same cell, but orthogonal-ish vectors: nothing is similar enough
+    df = spark.createDataFrame(
+        [(0, [10.0, 1.0, 0.0, 0.0]), (1, [10.0, -1.0, 0.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    cents = [[1.0, 0, 0, 0]]
+    out = semantic_dedup(df, cents, threshold=0.999)
+    assert all(r["kept"] for r in out.collect())

@@ -153,3 +153,23 @@ def test_read_schema_columns_decimal(spark, sf_dir):
     assert cols and all(
         c and " " not in c and ")" not in c for schema in cols for c in schema
     ), cols
+
+
+def test_pq_topk_broadcasts_probes_one_shuffle(spark, sf_dir):
+    # r4: the PQ scan must stay a broadcast map-side job — probes (with
+    # LUTs) broadcast against the corpus; the only exchange is the final
+    # per-probe top-k window
+    df = QUERIES["q_pq_topk"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert shuffle_count(df) == 1
+    pushed = " ".join(pushed_filters(df))
+    assert "LessThan(vec_id,10)" in pushed  # probe filter reached its scan
+
+
+def test_semantic_dedup_no_cartesian(spark, sf_dir):
+    # r4: the in-cell pair comparison must stay an equi-join on cell —
+    # never a cross join over the corpus
+    df = QUERIES["q_semantic_dedup"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert shuffle_count(df) <= 2

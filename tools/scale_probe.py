@@ -69,6 +69,83 @@ def replicate_documents(spark, sf_dir: str, factor: int, out: str):
     return n * factor
 
 
+def replicate_embeddings(spark, sf_dir: str, factor: int, out: str):
+    """factor replicas with distinct ids and per-replica ROLLED vectors
+    (elements rotated by r positions — a norm-preserving permutation, so
+    replicas land in different k-means cells instead of piling every
+    copy into the same cells and measuring synthetic-data pathology)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    dim = len(emb.select("embedding").first()[0])
+    reps = spark.range(factor).withColumnRenamed("id", "__rep")
+    rolled = None
+    for r in range(factor):
+        branch = (
+            F.col("embedding")
+            if r == 0
+            else F.concat(
+                F.slice(F.col("embedding"), r + 1, dim - r),
+                F.slice(F.col("embedding"), 1, r),
+            )
+        )
+        rolled = (
+            F.when(F.col("__rep") == r, branch)
+            if rolled is None
+            else rolled.when(F.col("__rep") == r, branch)
+        )
+    big = (
+        emb.crossJoin(F.broadcast(reps))
+        .withColumn("vec_id", F.col("vec_id") + F.col("__rep") * (n * 10))
+        .withColumn("embedding", rolled)
+        .drop("__rep")
+    )
+    big.repartition(32).write.mode("overwrite").parquet(out)
+    return n * factor
+
+
+def probe_embedding_ops(spark, path: str, n_centroids: int) -> dict[str, dict]:
+    """PQ search and semantic dedup at a given codebook size. The
+    semantic-dedup scale contract is centroids ∝ corpus size (constant
+    target cell size): the caller passes n_centroids scaled by the
+    replication factor, and the probe checks the resulting cost is
+    ~linear — the documented knob, measured."""
+    from pydala_spark.operators.ann import (
+        kmeans_centroids,
+        pq_codebooks,
+        pq_topk,
+    )
+    from pydala_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(path)
+    out: dict[str, dict] = {}
+
+    def timed(name, df_builder):
+        df = df_builder()
+        t0 = time.monotonic()
+        df.write.format("noop").mode("overwrite").save()
+        wall = time.monotonic() - t0
+        out[name] = {"sec": round(wall, 3), "shuffles": shuffle_count(df)}
+
+    books = pq_codebooks(emb, m=8, n_codes=16, seed=7)
+    probes = spark.read.parquet(path).where(F.col("vec_id") < 10)
+    # warmup: the first pandas-UDF job of a session pays Python-worker +
+    # Arrow-channel startup (~10 s across 32 workers); untimed here so
+    # the 1x/Kx ratio measures the operator, not daemon spawn
+    pq_topk(emb.limit(64), probes.limit(2), books, k=1).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    timed("pq_topk", lambda: pq_topk(emb, probes, books, k=5))
+    cents = kmeans_centroids(emb, n_centroids=n_centroids, seed=7)
+    semantic_dedup(emb.limit(64), cents, threshold=0.25).write.format(
+        "noop"
+    ).mode("overwrite").save()  # warm this plan shape too
+    timed(
+        "semantic_dedup",
+        lambda: semantic_dedup(emb, cents, threshold=0.25),
+    )
+    return out
+
+
 def probe_ops(spark, path: str) -> dict[str, dict]:
     docs = spark.read.parquet(path)
     out = {}
@@ -135,8 +212,17 @@ def main() -> int:
     n_big = replicate_documents(spark, args.sf, args.factor, big_out)
     print(json.dumps({"corpus_rows_big": n_big, "factor": args.factor}))
 
+    emb_base = "/tmp/scale_probe/emb_1x"
+    emb_big = f"/tmp/scale_probe/emb_{args.factor}x"
+    replicate_embeddings(spark, args.sf, 1, emb_base)
+    replicate_embeddings(spark, args.sf, args.factor, emb_big)
+
     small = probe_ops(spark, base_out)
+    small.update(probe_embedding_ops(spark, emb_base, n_centroids=16))
     big = probe_ops(spark, big_out)
+    big.update(
+        probe_embedding_ops(spark, emb_big, n_centroids=16 * args.factor)
+    )
 
     result, ok = {"factor": args.factor}, True
     for op in small:
