@@ -369,3 +369,36 @@ def quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         stop_ratio.alias("q_stop_ratio"),
         score.alias("q_score"),
     )
+
+
+def classifier_score(
+    df: DataFrame,
+    weights,
+    bias: float = 0.0,
+    logit_col: str = "clf_logit",
+    prob_col: str = "clf_prob",
+) -> DataFrame:
+    """Linear (logistic-regression-style) document scorer with PINNED
+    weights — how a trained quality/toxicity/language filter (fasttext,
+    logreg distillation) actually ships in a production pipeline: the
+    model trains offline, the weights freeze, and scoring is pure column
+    algebra over per-doc features (zero Python, codegen-friendly, scales
+    as a map-side pass).
+
+    ``weights`` is a sequence of ``(Column, float)``. The logit folds
+    left-to-right from ``bias`` (``((bias + f1*w1) + f2*w2) + ...``), so
+    a SQL oracle writing the same expression order reproduces
+    bit-identical doubles. ``prob_col`` adds the sigmoid for
+    ranking/thresholding; it is transcendental (exp differs in the last
+    ulp across engines), so exact cross-engine checks should compare the
+    LOGIT (or a sign/threshold boolean), not the probability.
+    """
+    logit = F.lit(float(bias))
+    for colx, wgt in weights:
+        logit = logit + colx.cast("double") * F.lit(float(wgt))
+    out = df.withColumn(logit_col, logit)
+    if prob_col:
+        out = out.withColumn(
+            prob_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col(logit_col)))
+        )
+    return out

@@ -148,7 +148,7 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("df").alias("top_tfidf_df"),
         F.col("salience").alias("top_tfidf_salience"),
     )
-    return (
+    joined = (
         profile.join(rep, "doc_id")
         .join(pii, "doc_id")
         .join(hosts, "doc_id", "left")
@@ -161,6 +161,41 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hits_blocklist", F.coalesce("hits_blocklist", F.lit(False))
         )
     )
+    # clf family (round 4): pinned-weights logistic quality classifier
+    # over the profile features (textstats.classifier_score). The logit
+    # folds left-to-right from the bias, and the oracle writes the SAME
+    # expression order from the SAME weight literals, so the doubles are
+    # bit-identical — no rounding needed. The sigmoid probability is the
+    # operator's ranking surface but transcendental, so the declared
+    # output pins the logit and the decision boolean instead.
+    from pydala_spark.operators.textstats import classifier_score
+
+    scored = classifier_score(
+        joined,
+        [(F.col(name), w) for name, w in _CLF_WEIGHTS],
+        bias=_CLF_BIAS,
+        prob_col=None,
+    )
+    return scored.withColumn("clf_pass", F.col("clf_logit") > 0)
+
+
+#: pinned quality-classifier weights (a logreg distillation would ship
+#: exactly like this): feature column -> weight, single source of truth
+#: for BOTH the Spark expression and the DuckDB oracle below.
+_CLF_WEIGHTS = [
+    ("n_tokens", 0.004),
+    ("punct_ratio", -6.0),
+    ("stop_ratio", 9.0),
+    ("dup_line_frac", -3.5),
+    ("dup_ngram_frac", -2.0),
+]
+_CLF_BIAS = -0.5
+
+
+def _clf_sql_expr() -> str:
+    terms = [f"{_CLF_BIAS!r}::DOUBLE"]
+    terms += [f"{name} * {w!r}::DOUBLE" for name, w in _CLF_WEIGHTS]
+    return " + ".join(terms)
 
 
 _EN_LIST = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
@@ -309,6 +344,16 @@ JOIN pii ON s.doc_id = pii.doc_id
 LEFT JOIN ha ON s.doc_id = ha.doc_id
 LEFT JOIN tf1 ON s.doc_id = tf1.doc_id
 """
+
+# clf family wrapper: same weights, same left-to-right fold as the Spark
+# expression -> bit-identical logits, no rounding
+_Q_TEXT_PROFILE_SQL = (
+    "SELECT *, clf_logit > 0 AS clf_pass FROM (SELECT *, "
+    + _clf_sql_expr()
+    + " AS clf_logit FROM ("
+    + _Q_TEXT_PROFILE_SQL
+    + "))"
+)
 
 
 def q_lang_predict(spark: SparkSession, sf_dir: str) -> DataFrame:

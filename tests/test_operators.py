@@ -902,3 +902,26 @@ def test_tomlout_rejects_null_in_array():
         dumps({"cols": ["a", None]})
     with pytest.raises(TypeError, match="unsupported value"):
         dumps({"tables": [{"k": 1}]})
+
+
+def test_classifier_score_pinned_weights(spark):
+    # r4: linear logistic scorer — logit is an exact left-to-right fold,
+    # sigmoid monotone in it; prob_col=None skips the sigmoid column
+    from pydala_spark.operators import classifier_score
+
+    df = spark.createDataFrame(
+        [(1, 100, 0.05), (2, 5, 0.5)], ["id", "n_tokens", "punct_ratio"]
+    )
+    out = {r["id"]: r for r in classifier_score(
+        df,
+        [(F.col("n_tokens"), 0.01), (F.col("punct_ratio"), -4.0)],
+        bias=-0.5,
+    ).collect()}
+    exp1 = ((-0.5 + 100 * 0.01) + 0.05 * -4.0)
+    exp2 = ((-0.5 + 5 * 0.01) + 0.5 * -4.0)
+    assert out[1]["clf_logit"] == exp1 and out[2]["clf_logit"] == exp2
+    import math
+    assert abs(out[1]["clf_prob"] - 1 / (1 + math.exp(-exp1))) < 1e-12
+    assert out[1]["clf_prob"] > out[2]["clf_prob"]
+    no_prob = classifier_score(df, [(F.col("n_tokens"), 1.0)], prob_col=None)
+    assert "clf_prob" not in no_prob.columns
