@@ -379,3 +379,91 @@ def pq_topk(
         .where(F.col("rnk") <= k)
         .select("probe_id", "neighbor_id", "rnk", "sim")
     )
+
+
+def ivf_pq_encode(
+    df: DataFrame,
+    centroids: np.ndarray,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, codes) — the persistable IVFADC index of an embedding
+    corpus (Jégou et al.: inverted file + product quantization): one
+    Arrow-batched scan assigns the k-means cell and the m PQ codes, no
+    shuffle. Write this once (e.g. partitioned by cell) and
+    :func:`ivf_pq_topk` searches it without ever re-reading raw
+    vectors — at 100 TB the index is ~32× narrower than the float32
+    corpus and the scan prunes to the probed cells."""
+    assign = _assigner(centroids, 1)
+    enc = _pq_encoder(books)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.element_at(assign(F.col(vec_col)), 1).alias("cell"),
+        enc(F.col(vec_col)).alias("codes"),
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    centroids: np.ndarray,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe_centroids: int = 2,
+    encoded: bool = False,
+) -> DataFrame:
+    """IVFADC approximate top-k: candidates come from the probes'
+    ``n_probe_centroids`` best IVF cells (equi-join on cell — the
+    candidate count scales with cell size, not corpus size), and each
+    candidate is scored from its PQ codes alone via the probe's lookup
+    table. Returns (probe_id, neighbor_id, rnk, sim).
+
+    With ``encoded=True`` the corpus is a pre-built (id, cell, codes)
+    index from :func:`ivf_pq_encode` — the 100 TB path: cell-partitioned
+    index + partition pruning means a query touches only the probed
+    cells' files. Recall knobs: ``n_probe_centroids`` (linear candidate
+    growth) and codebook sizes."""
+    m, n_codes, _ = books.shape
+    if encoded:
+        c = corpus.select(
+            F.col("id").alias("neighbor_id"), "cell", "codes"
+        )
+    else:
+        c = ivf_pq_encode(corpus, centroids, books, id_col, vec_col).select(
+            F.col("id").alias("neighbor_id"), "cell", "codes"
+        )
+    from pydala_spark.operators.dedup import explode_cheaply
+
+    p_assign = _assigner(centroids, n_probe_centroids)
+    p = explode_cheaply(
+        probes.select(
+            F.col(id_col).alias("probe_id"),
+            _pq_luts(books)(F.col(vec_col)).alias("lut"),
+            p_assign(F.col(vec_col)).alias("__cells"),
+        ),
+        F.col("__cells"),
+        "cell",
+    ).drop("__cells")
+    sim = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.element_at(
+            F.col("lut"),
+            (i * n_codes + F.element_at(F.col("codes"), i + 1) + 1).cast("int"),
+        ),
+    )
+    scored = (
+        c.join(F.broadcast(p), "cell")
+        .where(F.col("neighbor_id") != F.col("probe_id"))
+        .withColumn("sim", sim)
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select("probe_id", "neighbor_id", "rnk", "sim")
+    )

@@ -959,15 +959,39 @@ GROUP BY l_returnflag
 # registry slots inside the driver's ~50-entry correctness window)
 
 
+def _q_ivfpq_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC: candidates from the probes' 4 best pinned-codebook cells,
+    scored from PQ codes alone (operators/ann.py ivf_pq_topk) — the
+    flagship 100 TB ANN composition (cell-pruned scan over a 32x-narrower
+    code index)."""
+    import numpy as np
+
+    from pydala_spark.operators.ann import ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 10)
+    out = ivf_pq_topk(
+        emb, probes,
+        np.array(_ivf_centroids(), dtype=np.float64),
+        np.array(_pq_books(), dtype=np.float64),
+        k=5, n_probe_centroids=4,
+    )
+    return out.select(
+        "probe_id", "neighbor_id", "rnk", F.round("sim", 4).alias("sim_r")
+    )
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Three ANN strategies over the same probes, tag-unioned: ``lsh``
+    """Four ANN strategies over the same probes, tag-unioned: ``lsh``
     (random-hyperplane buckets), ``ivf`` (pinned k-means codebook cells),
-    ``quant`` (int8-quantized brute force). Each branch keeps its
-    original exact oracle; the union just stacks them."""
+    ``quant`` (int8-quantized brute force), ``ivfpq`` (IVFADC — cells +
+    PQ codes). Each branch keeps its original exact oracle; the union
+    just stacks them."""
     parts = [
         ("lsh", q_lsh_topk(spark, sf_dir)),
         ("ivf", q_ivf_topk(spark, sf_dir)),
         ("quant", q_quantized_cosine(spark, sf_dir)),
+        ("ivfpq", _q_ivfpq_branch(spark, sf_dir)),
     ]
     out = None
     for fam, df in parts:
@@ -978,12 +1002,83 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _ivfpq_topk_sql(n_probe_cells: int = 4, k: int = 5) -> str:
+    """Oracle mirroring ivf_pq_topk: pinned IVF centroid literals pick
+    the cells (normalization cancels in the top-n ordering), pinned PQ
+    codeword literals encode/score exactly as in _pq_topk_sql, and only
+    in-probed-cell pairs are scored."""
+    import numpy as np
+
+    cents = _ivf_centroids()
+    dots = ", ".join(
+        "list_dot_product(e0, [" + ", ".join(repr(v) for v in c) + "])"
+        for c in cents
+    )
+    books = np.array(_pq_books(), dtype=np.float64)
+    m, n_codes, dsub = books.shape
+    half = 0.5 * (books ** 2).sum(axis=2)
+    rows = []
+    for i in range(m):
+        for c in range(n_codes):
+            lit = "[" + ", ".join(repr(v) for v in books[i, c]) + "]"
+            rows.append(f"({i}, {c}, {lit}, {half[i, c]!r})")
+    values = ",\n  ".join(rows)
+    return f"""
+WITH cb(m, code, c, half) AS (VALUES
+  {values}),
+b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e0 FROM embeddings),
+d AS (SELECT vec_id, [{dots}] AS dots FROM b),
+u AS (SELECT vec_id, unnest(dots) AS dp,
+             generate_subscripts(dots, 1) AS cell FROM d),
+ccell AS (SELECT vec_id AS neighbor_id, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY dp DESC, cell) AS r FROM u)
+  WHERE r = 1),
+pcell AS (SELECT vec_id AS probe_id, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY dp DESC, cell) AS r
+    FROM u WHERE vec_id < 10)
+  WHERE r <= {n_probe_cells}),
+n AS (SELECT vec_id,
+             list_transform(e0, x -> x / GREATEST(sqrt(list_dot_product(e0, e0)), 1e-12)) AS e
+      FROM b),
+sub AS (SELECT vec_id, m, list_slice(e, m * {dsub} + 1, (m + 1) * {dsub}) AS sub
+        FROM n, (SELECT unnest(generate_series(0, {m - 1})) AS m)),
+sc AS (SELECT s.vec_id, s.m, cb.code,
+              list_dot_product(s.sub, cb.c) - cb.half AS score
+       FROM sub s JOIN cb ON cb.m = s.m),
+codes AS (SELECT vec_id, m, code FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                 ORDER BY score DESC, code) AS r FROM sc)
+  WHERE r = 1),
+psub AS (SELECT vec_id AS probe_id, m, sub AS ps FROM sub WHERE vec_id < 10),
+cand AS (SELECT p.probe_id, cc.neighbor_id
+         FROM pcell p JOIN ccell cc USING (cell)
+         WHERE cc.neighbor_id <> p.probe_id),
+contrib AS (SELECT ca.probe_id, ca.neighbor_id, c.m,
+                   list_dot_product(p2.ps, cb.c) AS v
+            FROM cand ca
+            JOIN codes c ON c.vec_id = ca.neighbor_id
+            JOIN cb ON cb.m = c.m AND cb.code = c.code
+            JOIN psub p2 ON p2.probe_id = ca.probe_id AND p2.m = c.m),
+sim AS (SELECT probe_id, neighbor_id, list_sum(list(v ORDER BY m)) AS sim
+        FROM contrib GROUP BY probe_id, neighbor_id)
+SELECT probe_id, neighbor_id, rnk, ROUND(sim, 4) AS sim_r
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                   ORDER BY sim DESC, neighbor_id) AS rnk
+      FROM sim)
+WHERE rnk <= {k}
+"""
+
+
 def _ann_topk_sql() -> str:
     return (
         "SELECT 'lsh' AS family, * FROM (" + _lsh_topk_sql(64, 6) + ")\n"
         "UNION ALL\nSELECT 'ivf' AS family, * FROM (" + _ivf_topk_sql(4, 5) + ")\n"
         "UNION ALL\nSELECT 'quant' AS family, * FROM ("
-        + _Q_QUANTIZED_COSINE_SQL + ")"
+        + _Q_QUANTIZED_COSINE_SQL + ")\n"
+        "UNION ALL\nSELECT 'ivfpq' AS family, * FROM ("
+        + _ivfpq_topk_sql(4, 5) + ")"
     )
 
 

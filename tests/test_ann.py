@@ -167,3 +167,31 @@ def test_semantic_dedup_threshold_is_respected(spark):
     cents = [[1.0, 0, 0, 0]]
     out = semantic_dedup(df, cents, threshold=0.999)
     assert all(r["kept"] for r in out.collect())
+
+
+def test_ivf_pq_topk_and_prebuilt_index(clustered):
+    from pydala_spark.operators.ann import (
+        ivf_pq_encode,
+        ivf_pq_topk,
+        kmeans_centroids,
+        pq_codebooks,
+    )
+
+    cents = kmeans_centroids(clustered, n_centroids=3, seed=11)
+    books = pq_codebooks(clustered, m=4, n_codes=8, seed=7)
+    probes = clustered.where(F.col("vec_id") < 6)
+    out = ivf_pq_topk(clustered, probes, cents, books, k=5, n_probe_centroids=1)
+    rows = out.collect()
+    assert len(rows) == 6 * 5
+    # separated clusters: IVF restricts candidates to the probe's cell
+    # and PQ scores keep them in-cluster
+    for r in rows:
+        assert r["probe_id"] % 3 == r["neighbor_id"] % 3
+    # the 100 TB path: search the persisted (id, cell, codes) index —
+    # identical results to on-the-fly assignment
+    idx = ivf_pq_encode(clustered, cents, books)
+    assert set(idx.columns) == {"id", "cell", "codes"}
+    stored = ivf_pq_topk(
+        idx, probes, cents, books, k=5, n_probe_centroids=1, encoded=True
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, stored.collect()))
