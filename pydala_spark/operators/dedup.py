@@ -524,3 +524,43 @@ def simhash(
         term = F.when(F.col(f"b_{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
         value = term if value is None else value + term
     return summed.select(F.col(id_col), value.cast("long").alias("simhash"))
+
+
+def keep_cluster_representatives(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    score_col: str | None = None,
+) -> DataFrame:
+    """Prune a corpus to ONE representative per duplicate cluster — the
+    selection step after :func:`dedup_clusters`: keep the member with the
+    highest ``score_col`` (e.g. a quality score from
+    ``textstats.quality_stats`` / ``classifier_score``), ties and the
+    no-score case falling back to the smallest id (deterministic).
+    Documents that appear in no cluster are kept as-is.
+
+    Shape at 100 TB: one equi-join of the corpus against the (id,
+    cluster_id) map (the map is dup-cluster-sized, typically a small
+    fraction of the corpus — AQE broadcasts it when it fits), one window
+    ranked within cluster_id. Returns the pruned corpus with the
+    original columns.
+    """
+    from pyspark.sql import Window
+
+    cols = df.columns
+    cl = clusters.select(
+        F.col("id").alias("__cid"), F.col("cluster_id").alias("__cluster")
+    )
+    joined = df.join(cl, df[id_col] == F.col("__cid"), "left")
+    order = (
+        [F.desc(score_col), F.asc(id_col)] if score_col else [F.asc(id_col)]
+    )
+    w = Window.partitionBy(
+        # singletons (no cluster) rank alone under their own id
+        F.coalesce(F.col("__cluster"), F.col(id_col))
+    ).orderBy(*order)
+    return (
+        joined.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .select(*cols)
+    )

@@ -351,3 +351,28 @@ def semantic_dedup(
             "id", "cell", F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept")
         )
     )
+
+
+def topk_recall(approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """Recall@k evaluation for ANN tuning: per-probe fraction of the
+    EXACT top-k neighbors the approximate result retrieved. Both inputs
+    use the (probe_id, neighbor_id, ...) shape every top-k operator in
+    this package emits. One equi-join on (probe_id, neighbor_id) + one
+    per-probe aggregate — evaluation is itself distributed, so recall
+    can be measured on a full production probe set, not a toy sample.
+    Returns (probe_id, n_exact, n_hit, recall)."""
+    e = exact.select("probe_id", "neighbor_id")
+    a = approx.select("probe_id", "neighbor_id").withColumn(
+        "__hit", F.lit(1)
+    )
+    return (
+        e.join(a, ["probe_id", "neighbor_id"], "left")
+        .groupBy("probe_id")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.count("__hit").alias("n_hit"),
+        )
+        .withColumn(
+            "recall", F.col("n_hit").cast("double") / F.col("n_exact")
+        )
+    )

@@ -36,9 +36,20 @@ def incremental_append(
     target_file_mb: int = 128,
     zorder_by: Sequence[str] | None = None,
     swap: str = "rename",
+    transform_func=None,
+    transform_func_kwargs: dict | None = None,
 ) -> StreamingQuery:
     """Continuously append only-new rows to a dataset (delta semantics per
     micro-batch; reference writer.py:219-249 made streaming).
+
+    ``transform_func`` (DataFrame -> DataFrame, the reference's per-batch
+    hook made streaming — writer.py:486-490) runs on each micro-batch
+    BEFORE the delta diff, so the dataset stores the transformed rows and
+    dedups on them. This is the streaming-index pattern: e.g.
+    ``transform_func=lambda b: ivf_pq_encode(b, centroids, books)`` with
+    a cell-partitioned writer maintains an IVFADC ANN index continuously
+    from an embedding stream (pinned codebooks keep streaming and batch
+    encodes byte-identical).
 
     ``compact_every=N`` folds maintenance into the stream: after every
     Nth micro-batch the dataset's small files are rewritten to
@@ -84,6 +95,8 @@ def incremental_append(
             mode="delta",
             delta_subset=delta_subset,
             datetime_column=datetime_column,
+            transform_func=transform_func,
+            transform_func_kwargs=transform_func_kwargs,
         )
         if compact_every and (epoch_id + 1) % compact_every == 0:
             from pydala_spark.dataset.maintain import compact, recluster

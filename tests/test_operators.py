@@ -925,3 +925,92 @@ def test_classifier_score_pinned_weights(spark):
     assert out[1]["clf_prob"] > out[2]["clf_prob"]
     no_prob = classifier_score(df, [(F.col("n_tokens"), 1.0)], prob_col=None)
     assert "clf_prob" not in no_prob.columns
+
+
+def test_streaming_pq_index_ingest(spark, tmp_path):
+    # r4: the streaming-index pattern — embedding stream -> per-batch
+    # ivf_pq_encode transform -> cell-partitioned delta append. Pinned
+    # codebooks make the streamed index byte-identical to a batch build.
+    from pydala_spark.dataset.reader import Dataset
+    from pydala_spark.dataset.writer import Writer
+    from pydala_spark.operators.ann import (
+        ivf_pq_encode,
+        kmeans_centroids,
+        pq_codebooks,
+    )
+    from pydala_spark.streaming import incremental_append
+
+    rows = [
+        (i, [float(i % 7), float((i * 3) % 5), 1.0, 0.5]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = kmeans_centroids(df, n_centroids=2, seed=3)
+    books = pq_codebooks(df, m=2, n_codes=4, seed=3)
+
+    src = str(tmp_path / "emb_src")
+    df.repartition(4).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).option(
+        "maxFilesPerTrigger", "2"
+    ).parquet(src)
+    out = str(tmp_path / "pq_index")
+    writer = Writer(spark, out, partition_by="cell")
+    q = incremental_append(
+        stream,
+        writer,
+        delta_subset=["id"],
+        checkpoint_dir=str(tmp_path / "ckpt_pq"),
+        transform_func=lambda b: ivf_pq_encode(b, cents, books),
+    )
+    q.awaitTermination(120)
+
+    batch = {
+        r["id"]: (r["cell"], tuple(r["codes"]))
+        for r in ivf_pq_encode(df, cents, books).collect()
+    }
+    streamed = {
+        r["id"]: (int(r["cell"]), tuple(r["codes"]))
+        for r in Dataset(spark, out).load().collect()
+    }
+    assert streamed == batch
+
+
+def test_keep_cluster_representatives(spark):
+    from pydala_spark.operators import dedup_clusters, keep_cluster_representatives
+
+    # chain a~b, b~c forms one cluster {1,2,3}; {8,9} another; 5 alone
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (8, 9)], ["id_a", "id_b"]
+    )
+    clusters = dedup_clusters(pairs)
+    docs = spark.createDataFrame(
+        [(1, "a", 0.2), (2, "b", 0.9), (3, "c", 0.5),
+         (5, "e", 0.1), (8, "h", 0.4), (9, "i", 0.4)],
+        ["doc_id", "text", "quality"],
+    )
+    # score-based: best-quality member represents each cluster; tie in
+    # {8,9} breaks to the smaller id; unclustered 5 survives
+    best = {r["doc_id"] for r in keep_cluster_representatives(
+        docs, clusters, "doc_id", score_col="quality").collect()}
+    assert best == {2, 5, 8}
+    # no score: smallest id per cluster
+    first = {r["doc_id"] for r in keep_cluster_representatives(
+        docs, clusters, "doc_id").collect()}
+    assert first == {1, 5, 8}
+
+
+def test_topk_recall(spark):
+    from pydala_spark.operators import cosine_topk, topk_recall
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3) + 1.0, float(i % 5), 1.0, 0.0]) for i in range(30)],
+        ["vec_id", "embedding"],
+    )
+    probes = emb.where(F.col("vec_id") < 3)
+    exact = cosine_topk(emb, probes, k=5)
+    # self-recall is exactly 1.0 everywhere
+    r = topk_recall(exact, exact).collect()
+    assert len(r) == 3 and all(row["recall"] == 1.0 for row in r)
+    # half the neighbors dropped -> recall reflects it per probe
+    partial = exact.where(F.col("rnk") <= 2)
+    r2 = {row["probe_id"]: row for row in topk_recall(partial, exact).collect()}
+    assert all(row["n_exact"] == 5 and row["n_hit"] == 2 for row in r2.values())
