@@ -30,6 +30,37 @@ from pyspark.sql import types as T
 
 
 
+def _bounded_spread_sample(
+    df: DataFrame,
+    vec_col: str,
+    sample_size: int,
+    seed: int,
+    spread: int,
+    min_rows: int,
+) -> np.ndarray:
+    """Shared codebook-training sample (kmeans_centroids / pq_codebooks):
+    seeded-hash spread filter ahead of a ``2 * sample_size`` bounded
+    scan, seeded driver-side permutation down to ``sample_size``. A
+    SHORT filtered sample is a uniform sample of the WHOLE corpus and is
+    kept unless (a) the unfiltered bounded scan sees every row anyway
+    (small corpus — strictly more data, still unbiased) or (b) it is
+    thinner than ``min_rows``; only those two cases fall back to the
+    file-order prefix. See kmeans_centroids' docstring for the full
+    bias argument; fix it HERE so both trainers stay in lockstep."""
+    keep = F.pmod(F.xxhash64(F.col(vec_col), F.lit(seed)), F.lit(spread)) == 0
+    sample = (
+        df.select(vec_col).where(keep).limit(sample_size * 2).toPandas()[vec_col]
+    )
+    if len(sample) < sample_size:
+        full = df.select(vec_col).limit(sample_size * 2).toPandas()[vec_col]
+        if len(full) < sample_size * 2 or len(sample) < min_rows:
+            sample = full
+    x = np.array([np.asarray(v, dtype=np.float64) for v in sample])
+    if len(x) > sample_size:
+        x = x[np.random.default_rng(seed).permutation(len(x))[:sample_size]]
+    return x
+
+
 def kmeans_centroids(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -63,22 +94,9 @@ def kmeans_centroids(
     linearly with it) or train the codebook once on a dedicated sample
     and persist it (``save_codebook``). Driver memory stays bounded by
     ``2 * sample_size`` vectors."""
-    keep = F.pmod(F.xxhash64(F.col(vec_col), F.lit(seed)), F.lit(spread)) == 0
-    sample = (
-        df.select(vec_col).where(keep).limit(sample_size * 2).toPandas()[vec_col]
+    x = _bounded_spread_sample(
+        df, vec_col, sample_size, seed, spread, min_rows=max(4 * n_centroids, 64)
     )
-    if len(sample) < sample_size:
-        full = df.select(vec_col).limit(sample_size * 2).toPandas()[vec_col]
-        if len(full) < sample_size * 2 or len(sample) < max(4 * n_centroids, 64):
-            # (a) the unfiltered scan saw the whole corpus (its limit
-            # never hit) -> every row, unbiased; or (b) the filtered
-            # sample is too thin to seed n_centroids. Otherwise the
-            # short-but-uniform filtered sample wins over this
-            # file-order prefix.
-            sample = full
-    x = np.array([np.asarray(v, dtype=np.float64) for v in sample])
-    if len(x) > sample_size:
-        x = x[np.random.default_rng(seed).permutation(len(x))[:sample_size]]
     if x.size == 0:
         raise ValueError(
             "kmeans_centroids: empty corpus/sample — no vectors to train a "
@@ -230,19 +248,11 @@ def pq_codebooks(
     not spherical — encoding picks the nearest codeword, search scores
     the reconstruction by inner product: the classic IVFADC decomposition
     of Jégou et al.'s product quantization)."""
-    keep = F.pmod(F.xxhash64(F.col(vec_col), F.lit(seed)), F.lit(spread)) == 0
-    sample = (
-        df.select(vec_col).where(keep).limit(sample_size * 2).toPandas()[vec_col]
+    x = _bounded_spread_sample(
+        df, vec_col, sample_size, seed, spread, min_rows=max(4 * n_codes, 64)
     )
-    if len(sample) < sample_size:
-        full = df.select(vec_col).limit(sample_size * 2).toPandas()[vec_col]
-        if len(full) < sample_size * 2 or len(sample) < max(4 * n_codes, 64):
-            sample = full
-    x = np.array([np.asarray(v, dtype=np.float64) for v in sample])
     if x.size == 0:
         raise ValueError("pq_codebooks: empty corpus/sample")
-    if len(x) > sample_size:
-        x = x[np.random.default_rng(seed).permutation(len(x))[:sample_size]]
     dim = x.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -428,8 +438,12 @@ def ivf_pq_topk(
     growth) and codebook sizes."""
     m, n_codes, _ = books.shape
     if encoded:
+        # the index id column is id_col when present (matching pq_topk's
+        # codes_col contract), falling back to ivf_pq_encode's "id" so
+        # its output composes directly without a rename
+        cid = id_col if id_col in corpus.columns else "id"
         c = corpus.select(
-            F.col("id").alias("neighbor_id"), "cell", "codes"
+            F.col(cid).alias("neighbor_id"), "cell", "codes"
         )
     else:
         c = ivf_pq_encode(corpus, centroids, books, id_col, vec_col).select(
@@ -466,4 +480,88 @@ def ivf_pq_topk(
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= k)
         .select("probe_id", "neighbor_id", "rnk", "sim")
+    )
+
+
+IVF_CODEBOOK_SIDECAR = "_ivf_codebook.json"
+PQ_CODEBOOK_SIDECAR = "_pq_codebooks.json"
+
+
+def save_ivfpq_index(
+    spark,
+    df: DataFrame,
+    path: str,
+    centroids: np.ndarray,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Build and persist the IVFADC index as a CELL-PARTITIONED parquet
+    dataset plus codebook sidecars — the deployable form of the index:
+    one encode scan writes ``cell=N/`` directories, and the codebooks
+    land next to the data (underscore names hide them from readers), so
+    any session can :func:`load_ivfpq_index` and search without the
+    training state. Cell partitioning is what makes search cheap: the
+    probe cells arrive as a join key on the partition column, so Spark's
+    dynamic partition pruning skips every unprobed cell's files."""
+    from pydala_spark.dataset.writer import Writer
+
+    idx = ivf_pq_encode(df, centroids, books, id_col, vec_col)
+    Writer(spark, path, partition_by="cell", mode=mode).write(idx)
+    import posixpath
+
+    save_codebook(spark, centroids, posixpath.join(path, IVF_CODEBOOK_SIDECAR))
+    from pydala_spark.utils.pathops import PathOps
+
+    import json as _json
+
+    po = PathOps(spark, path)
+    po.write_text(
+        posixpath.join(path, PQ_CODEBOOK_SIDECAR),
+        _json.dumps({"centroids": books.tolist()}),
+    )
+
+
+def load_ivfpq_index(spark, path: str):
+    """(index DataFrame, centroids, books) from :func:`save_ivfpq_index`
+    output. The DataFrame reads the cell-partitioned dataset lazily —
+    nothing is scanned until a search runs."""
+    import json as _json
+    import posixpath
+
+    from pydala_spark.dataset.reader import Dataset
+    from pydala_spark.utils.pathops import PathOps
+
+    po = PathOps(spark, path)
+    cents = load_codebook(spark, posixpath.join(path, IVF_CODEBOOK_SIDECAR))
+    books = np.array(
+        _json.loads(po.read_text(posixpath.join(path, PQ_CODEBOOK_SIDECAR)))[
+            "centroids"
+        ],
+        dtype=np.float64,
+    )
+    return Dataset(spark, path).load(), cents, books
+
+
+def search_ivfpq_index(
+    spark,
+    path: str,
+    probes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe_centroids: int = 2,
+) -> DataFrame:
+    """Top-k search over a persisted IVFADC index: loads the codebooks,
+    broadcasts the probes (cells + LUTs) and equi-joins on the ``cell``
+    PARTITION column — the broadcast join key feeds Spark's dynamic
+    partition pruning, so only the probed cells' files are read (the
+    scan cost is per-query proportional to cells probed, not index
+    size)."""
+    idx, cents, books = load_ivfpq_index(spark, path)
+    return ivf_pq_topk(
+        idx, probes, cents, books,
+        id_col=id_col, vec_col=vec_col, k=k,
+        n_probe_centroids=n_probe_centroids, encoded=True,
     )

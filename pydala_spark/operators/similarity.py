@@ -328,28 +328,24 @@ def semantic_dedup(
         F.col("id").alias("id_b"), "cell",
         F.col("vec").alias("vec_b"), F.col("__n").alias("__nb"),
     )
-    # a doc is dropped iff SOME smaller-id cluster-mate is similar enough:
-    # left_semi keeps the join from materializing every qualifying pair
-    dropped = (
-        a.join(b, "cell")
-        .where(
-            (F.col("id_b") < F.col("id"))
-            & (
-                sim_from_norms(
-                    F.col("vec_a"), F.col("vec_b"), F.col("__na"), F.col("__nb")
-                )
-                >= F.lit(threshold)
-            )
+    # a doc is dropped iff SOME smaller-id cell-mate is similar enough.
+    # One left join on cell + a per-doc MAX aggregate: every a-row
+    # survives (its own cell row matches at worst), the qualifying-pair
+    # flag collapses map-side in the partial agg, and the expensive
+    # cell-assignment scan runs exactly twice (the two join sides) —
+    # not a third time for a corpus re-join. For repeated sweeps,
+    # materialize (id, cell) once instead (see docstring).
+    sim_ok = (F.col("id_b") < F.col("id")) & (
+        sim_from_norms(
+            F.col("vec_a"), F.col("vec_b"), F.col("__na"), F.col("__nb")
         )
-        .select("id")
-        .distinct()
-        .withColumn("__dropped", F.lit(True))
+        >= F.lit(threshold)
     )
     return (
-        base.join(dropped, "id", "left")
-        .select(
-            "id", "cell", F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept")
-        )
+        a.join(b, "cell", "left")
+        .withColumn("__d", F.when(sim_ok, F.lit(1)).otherwise(F.lit(0)))
+        .groupBy("id", "cell")
+        .agg((F.max("__d") == 0).alias("kept"))
     )
 
 
@@ -360,10 +356,15 @@ def topk_recall(approx: DataFrame, exact: DataFrame) -> DataFrame:
     this package emits. One equi-join on (probe_id, neighbor_id) + one
     per-probe aggregate — evaluation is itself distributed, so recall
     can be measured on a full production probe set, not a toy sample.
+    Both sides deduplicate on (probe_id, neighbor_id) first, so a
+    multi-strategy union (e.g. q_ann_topk's family-tagged output) or
+    concatenated runs can't fan the join out and inflate the counts.
     Returns (probe_id, n_exact, n_hit, recall)."""
-    e = exact.select("probe_id", "neighbor_id")
-    a = approx.select("probe_id", "neighbor_id").withColumn(
-        "__hit", F.lit(1)
+    e = exact.select("probe_id", "neighbor_id").distinct()
+    a = (
+        approx.select("probe_id", "neighbor_id")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
     )
     return (
         e.join(a, ["probe_id", "neighbor_id"], "left")

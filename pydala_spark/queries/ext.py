@@ -516,26 +516,74 @@ FROM bands a JOIN bands b
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-3-gram Jaccard pairs (>= 0.2), via shingle self-join."""
+    """Word-3-gram Jaccard pairs (>= 0.2) via shingle self-join, plus the
+    round-4 ``reps`` family: the pairs feed ``dedup_clusters`` (min-label
+    connected components) and ``keep_cluster_representatives`` picks each
+    cluster's best-quality survivor (longest text, smallest-id tiebreak)
+    — the full fuzzy-dedup decision chain, exact-checked end to end (the
+    oracle resolves components with a recursive CTE)."""
+    from pydala_spark.operators.dedup import (
+        dedup_clusters,
+        keep_cluster_representatives,
+    )
+    from pydala_spark.queries.merged import _tagged_union
+
     docs = _spread(spark, load_table(spark, sf_dir, "documents"))
-    return ngram_jaccard_pairs(
+    pairs = ngram_jaccard_pairs(
         docs, "doc_id", "text", shingle_size=3, threshold=0.2
     ).select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
+    clusters = dedup_clusters(pairs.select("id_a", "id_b"))
+    scored = docs.select(
+        "doc_id", F.length("text").cast("long").alias("score")
+    )
+    kept = keep_cluster_representatives(
+        scored, clusters, "doc_id", score_col="score"
+    )
+    reps = kept.join(
+        clusters, kept["doc_id"] == clusters["id"]
+    ).select("doc_id", "cluster_id", "score")
+    return _tagged_union([("pairs", pairs), ("reps", reps)])
 
 
 _Q_JACCARD_SQL = f"""
-WITH sh AS ({_SHINGLES_SQL}),
+WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
 ex AS (SELECT doc_id, LEN(shs) AS sh_size, UNNEST(shs) AS s FROM sh),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          a.sh_size AS size_a, b.sh_size AS size_b, COUNT(*) AS inter
   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2, 3, 4
+),
+pairs AS (
+  SELECT id_a, id_b, inter, size_a, size_b,
+         CAST(inter AS DOUBLE) / (size_a + size_b - inter) AS jaccard
+  FROM inter
+  WHERE CAST(inter AS DOUBLE) / (size_a + size_b - inter) >= 0.2
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(id, comp) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id
+),
+comp AS (SELECT id, MIN(comp) AS cluster_id FROM reach GROUP BY id),
+rep AS (
+  SELECT c.cluster_id, d.doc_id, LENGTH(d.text) AS score,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY LENGTH(d.text) DESC, d.doc_id ASC) AS r
+  FROM comp c JOIN documents d ON d.doc_id = c.id
 )
-SELECT id_a, id_b, inter, size_a, size_b,
-       CAST(inter AS DOUBLE) / (size_a + size_b - inter) AS jaccard
-FROM inter
-WHERE CAST(inter AS DOUBLE) / (size_a + size_b - inter) >= 0.2
+SELECT 'pairs' AS family, id_a, id_b, inter, size_a, size_b, jaccard,
+       CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS cluster_id,
+       CAST(NULL AS BIGINT) AS score
+FROM pairs
+UNION ALL
+SELECT 'reps', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS DOUBLE), doc_id, cluster_id, score
+FROM rep WHERE r = 1
 """
 
 
@@ -986,20 +1034,35 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (random-hyperplane buckets), ``ivf`` (pinned k-means codebook cells),
     ``quant`` (int8-quantized brute force), ``ivfpq`` (IVFADC — cells +
     PQ codes). Each branch keeps its original exact oracle; the union
-    just stacks them."""
+    just stacks them. The round-4 ``recall`` family runs
+    ``similarity.topk_recall`` of the lsh branch against the exact
+    brute-force top-k — the recall@k evaluation loop, itself
+    exact-checked (counts and one exact division)."""
+    from pydala_spark.operators.similarity import topk_recall
+    from pydala_spark.queries.merged import _tagged_union
+
+    lsh = q_lsh_topk(spark, sf_dir)
+    recall = topk_recall(lsh, q_cosine_topk(spark, sf_dir)).select(
+        "probe_id", "n_exact", "n_hit", "recall"
+    )
     parts = [
-        ("lsh", q_lsh_topk(spark, sf_dir)),
+        ("lsh", lsh),
         ("ivf", q_ivf_topk(spark, sf_dir)),
         ("quant", q_quantized_cosine(spark, sf_dir)),
         ("ivfpq", _q_ivfpq_branch(spark, sf_dir)),
+        ("recall", recall),
     ]
-    out = None
-    for fam, df in parts:
-        sel = df.select(
-            F.lit(fam).alias("family"), "probe_id", "neighbor_id", "rnk", "sim_r"
-        )
-        out = sel if out is None else out.unionByName(sel)
-    return out
+    return _tagged_union(
+        [
+            (
+                fam,
+                df.select("probe_id", "neighbor_id", "rnk", "sim_r")
+                if fam != "recall"
+                else df,
+            )
+            for fam, df in parts
+        ]
+    )
 
 
 def _ivfpq_topk_sql(n_probe_cells: int = 4, k: int = 5) -> str:
@@ -1072,13 +1135,30 @@ WHERE rnk <= {k}
 
 
 def _ann_topk_sql() -> str:
+    pad = ("CAST(NULL AS BIGINT) AS n_exact, CAST(NULL AS BIGINT) AS n_hit, "
+           "CAST(NULL AS DOUBLE) AS recall")
+    recall = (
+        "SELECT 'recall' AS family, probe_id, CAST(NULL AS BIGINT) AS neighbor_id,\n"
+        "       CAST(NULL AS BIGINT) AS rnk, CAST(NULL AS DOUBLE) AS sim_r,\n"
+        "       n_exact, n_hit, recall\n"
+        "FROM (SELECT e.probe_id, COUNT(*) AS n_exact, COUNT(a.hit) AS n_hit,\n"
+        "             CAST(COUNT(a.hit) AS DOUBLE) / COUNT(*) AS recall\n"
+        "      FROM (SELECT DISTINCT probe_id, neighbor_id FROM ("
+        + _Q_COSINE_TOPK_SQL + ")) e\n"
+        "      LEFT JOIN (SELECT DISTINCT probe_id AS p2, neighbor_id AS n2,"
+        " 1 AS hit FROM (" + _lsh_topk_sql(64, 6) + ")) a\n"
+        "        ON e.probe_id = a.p2 AND e.neighbor_id = a.n2\n"
+        "      GROUP BY e.probe_id)"
+    )
     return (
-        "SELECT 'lsh' AS family, * FROM (" + _lsh_topk_sql(64, 6) + ")\n"
-        "UNION ALL\nSELECT 'ivf' AS family, * FROM (" + _ivf_topk_sql(4, 5) + ")\n"
-        "UNION ALL\nSELECT 'quant' AS family, * FROM ("
+        f"SELECT 'lsh' AS family, *, {pad} FROM (" + _lsh_topk_sql(64, 6) + ")\n"
+        f"UNION ALL\nSELECT 'ivf' AS family, *, {pad} FROM ("
+        + _ivf_topk_sql(4, 5) + ")\n"
+        f"UNION ALL\nSELECT 'quant' AS family, *, {pad} FROM ("
         + _Q_QUANTIZED_COSINE_SQL + ")\n"
-        "UNION ALL\nSELECT 'ivfpq' AS family, * FROM ("
-        + _ivfpq_topk_sql(4, 5) + ")"
+        f"UNION ALL\nSELECT 'ivfpq' AS family, *, {pad} FROM ("
+        + _ivfpq_topk_sql(4, 5) + ")\n"
+        "UNION ALL\n" + recall
     )
 
 

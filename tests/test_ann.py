@@ -195,3 +195,38 @@ def test_ivf_pq_topk_and_prebuilt_index(clustered):
         idx, probes, cents, books, k=5, n_probe_centroids=1, encoded=True
     )
     assert sorted(map(tuple, rows)) == sorted(map(tuple, stored.collect()))
+    # r4 review: a renamed index id column is honored via id_col, like
+    # pq_topk's codes_col contract
+    renamed = idx.withColumnRenamed("id", "vec_id")
+    stored2 = ivf_pq_topk(
+        renamed, probes, cents, books, k=5, n_probe_centroids=1, encoded=True
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, stored2.collect()))
+
+
+def test_persisted_ivfpq_index_roundtrip_and_partition_pruning(spark, tmp_path):
+    # r4: the deployable index — save (cell-partitioned parquet +
+    # codebook sidecars), load in a "fresh" context, search. The search
+    # must (a) equal the direct in-memory computation and (b) read the
+    # index through dynamic partition pruning, so only probed cells'
+    # files are scanned at 100 TB.
+    from pydala_spark.operators.ann import (
+        ivf_pq_topk,
+        kmeans_centroids,
+        pq_codebooks,
+        save_ivfpq_index,
+        search_ivfpq_index,
+    )
+
+    rows = [(i, [float((i % 3) + 1), float(i % 5), 1.0, 0.5]) for i in range(120)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = kmeans_centroids(df, n_centroids=3, seed=1)
+    books = pq_codebooks(df, m=2, n_codes=4, seed=1)
+    out = str(tmp_path / "ivfpq_idx")
+    save_ivfpq_index(spark, df, out, cents, books)
+    probes = df.where(F.col("vec_id") < 3)
+    res = search_ivfpq_index(spark, out, probes, k=5, n_probe_centroids=1)
+    direct = ivf_pq_topk(df, probes, cents, books, k=5, n_probe_centroids=1)
+    assert sorted(map(tuple, res.collect())) == sorted(map(tuple, direct.collect()))
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()  # probe cells prune the scan

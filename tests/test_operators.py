@@ -1014,3 +1014,19 @@ def test_topk_recall(spark):
     partial = exact.where(F.col("rnk") <= 2)
     r2 = {row["probe_id"]: row for row in topk_recall(partial, exact).collect()}
     assert all(row["n_exact"] == 5 and row["n_hit"] == 2 for row in r2.values())
+
+
+def test_topk_recall_dedups_multi_strategy_input(spark):
+    # r4 review: a family-tagged union (same pair under two strategies)
+    # must not fan out the join and inflate n_exact/n_hit
+    from pydala_spark.operators import cosine_topk, topk_recall
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3) + 1.0, float(i % 5), 1.0, 0.0]) for i in range(20)],
+        ["vec_id", "embedding"],
+    )
+    probes = emb.where(F.col("vec_id") < 2)
+    exact = cosine_topk(emb, probes, k=5)
+    doubled = exact.unionByName(exact)  # every pair appears twice
+    r = topk_recall(doubled, exact).collect()
+    assert all(row["n_exact"] == 5 and row["recall"] == 1.0 for row in r)
