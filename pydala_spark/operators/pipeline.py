@@ -42,6 +42,7 @@ def prep_documents(
     max_top_ngram_char_frac: float | None = None,
     blocked_hosts: list[str] | DataFrame | None = None,
     redact: bool = False,
+    strip_markup: bool = False,
 ) -> DataFrame:
     """Return the cleaned corpus: quality columns attached, docs linking
     blocklisted hosts dropped (when ``blocked_hosts`` is given — the
@@ -55,12 +56,20 @@ def prep_documents(
     ``shard_tokens`` is set, packed into fixed-token-budget training
     shards (adds ``n_tokens``, ``cum_before`` and ``shard_id``; packing
     runs after every filter so shards are gap-free)."""
-    # 0. URL blocklist + PII scrub (cheapest first: map-side column
-    # algebra; the blocklist anti-join shrinks every downstream stage)
+    # 0. scrub stages, cheapest-first map-side column algebra. Order:
+    # URL blocklist BEFORE the markup strip (filtering reads the raw
+    # text's URLs; stripping first would turn <a href> targets into
+    # plain words the extractor may miss), then ``strip_markup=True``
+    # (the web-corpus entry step — every downstream signal, fingerprint
+    # and shingle must see text, not tags), then PII redaction.
     if blocked_hosts is not None:
         from pydala_spark.operators.scrub import filter_host_blocklist
 
         df = filter_host_blocklist(df, blocked_hosts, id_col, text_col)
+    if strip_markup:
+        from pydala_spark.operators.scrub import strip_html
+
+        df = df.withColumn(text_col, strip_html(text_col))
     if redact:
         from pydala_spark.operators.scrub import redact_pii
 

@@ -233,14 +233,63 @@ def q_collection_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chunk_tokens").cast("long").alias("n_tokens"),
         "chunk_text",
     )
+    # html family (round 4): plant deterministic markup around each doc
+    # (same concat in the oracle) and run the REAL strip_html chain over
+    # it — tag count + md5 of the cleaned text pin the full output
+    from pydala_spark.operators.scrub import HTML_TAG_PATTERN, strip_html
+
+    did = F.col("doc_id")
+    html_src = F.concat(
+        F.lit("<p>"), F.col("text"),
+        F.lit('</p><script type="text/javascript">var x = '),
+        did.cast("string"),
+        F.lit(";</script><!-- note --><style>p{color:red}</style><b>bold"
+              "</b> &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;&amp;nbsp; end"),
+    )
+    html = docs.where(did < 50).select(
+        "doc_id",
+        F.size(F.regexp_extract_all(html_src, F.lit(HTML_TAG_PATTERN), F.lit(0)))
+        .cast("long")
+        .alias("n_html_tags"),
+        F.md5(strip_html(html_src)).alias("html_md5"),
+    )
     return _tagged_union(
-        [("array", arr), ("map", maps), ("json", js), ("chunk", chunks)]
+        [("array", arr), ("map", maps), ("json", js), ("chunk", chunks),
+         ("html", html)]
     )
 
 
 from pydala_spark.queries.ext import _WORD_SPLIT_SQL as _WORD_SPLIT  # noqa: E402
 # (one shared DuckDB tokenization expression — it must mirror
 # operators/textstats.word_regex_tokens for EVERY text oracle)
+
+
+def _strip_html_sql(expr: str) -> str:
+    """DuckDB expression mirroring scrub.strip_html exactly: the SAME
+    pattern strings (portable regex subset) applied in the SAME order."""
+    from pydala_spark.operators.scrub import (
+        HTML_BLOCK_PATTERNS,
+        HTML_ENTITIES,
+        HTML_TAG_PATTERN,
+    )
+
+    out = expr
+    for pat in HTML_BLOCK_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', ' ', 'g')"
+    out = f"regexp_replace({out}, '{HTML_TAG_PATTERN}', ' ', 'g')"
+    for ent, ch in HTML_ENTITIES:
+        out = f"replace({out}, '{ent}', '{ch.replace(chr(39), chr(39) * 2)}')"
+    return f"TRIM(regexp_replace({out}, '\\s+', ' ', 'g'))"
+
+
+_HTML_SRC_SQL = (
+    "'<p>' || text || '</p><script type=\"text/javascript\">var x = ' || doc_id"
+    " || ';</script><!-- note --><style>p{color:red}</style><b>bold"
+    "</b> &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;&amp;nbsp; end'"
+)
+
+from pydala_spark.operators.scrub import HTML_TAG_PATTERN as _HTML_TAG  # noqa: E402
+_STRIP_HTML_SRC = _strip_html_sql('src')
 
 _Q_COLLECTION_SQL = f"""
 SELECT 'array' AS family, doc_id, LEN(t) AS n_tokens,
@@ -251,7 +300,8 @@ SELECT 'array' AS family, doc_id, LEN(t) AS n_tokens,
   CAST(NULL AS VARCHAR) AS m_keys, CAST(NULL AS VARCHAR) AS event_type,
   CAST(NULL AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS sum_k,
   CAST(NULL AS DOUBLE) AS avg_k,
-  CAST(NULL AS BIGINT) AS chunk_id, CAST(NULL AS VARCHAR) AS chunk_text
+  CAST(NULL AS BIGINT) AS chunk_id, CAST(NULL AS VARCHAR) AS chunk_text,
+  CAST(NULL AS BIGINT) AS n_html_tags, CAST(NULL AS VARCHAR) AS html_md5
 FROM (SELECT doc_id, {_WORD_SPLIT} AS t FROM documents)
 UNION ALL
 SELECT 'map', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS INT),
@@ -261,7 +311,8 @@ SELECT 'map', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS INT),
   array_to_string(map_keys(map(['qty','price'], [l_quantity, l_extendedprice])), ','),
   CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
   CAST(NULL AS DOUBLE),
-  CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+  CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+  CAST(NULL AS BIGINT) AS n_html_tags, CAST(NULL AS VARCHAR) AS html_md5
 FROM lineitem WHERE l_orderkey < 100
 UNION ALL
 SELECT 'json', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS INT),
@@ -270,7 +321,8 @@ SELECT 'json', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS INT),
   event_type, COUNT(*),
   CAST(SUM(CAST(CAST(props->>'$.k' AS INTEGER) AS DECIMAL(25,0))) AS DOUBLE),
   CAST(SUM(CAST(CAST(props->>'$.k' AS INTEGER) AS DECIMAL(25,0))) AS DOUBLE) / COUNT(*),
-  CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+  CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+  CAST(NULL AS BIGINT) AS n_html_tags, CAST(NULL AS VARCHAR) AS html_md5
 FROM events GROUP BY event_type
 UNION ALL
 SELECT 'chunk', doc_id, LEN(t[st : st + 31]) AS n_tokens,
@@ -280,12 +332,23 @@ SELECT 'chunk', doc_id, LEN(t[st : st + 31]) AS n_tokens,
   CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
   CAST(NULL AS DOUBLE),
   CAST((st - 1) // 28 AS BIGINT) AS chunk_id,
-  array_to_string(t[st : st + 31], ' ') AS chunk_text
+  array_to_string(t[st : st + 31], ' ') AS chunk_text,
+  CAST(NULL AS BIGINT) AS n_html_tags, CAST(NULL AS VARCHAR) AS html_md5
 FROM (
   SELECT doc_id, t, unnest(range(1, LEN(t) + 1, 28)) AS st
   FROM (SELECT doc_id, {_WORD_SPLIT} AS t FROM documents WHERE doc_id < 50)
 )
 WHERE st = 1 OR LEN(t) >= st + 4
+UNION ALL
+SELECT 'html', doc_id, CAST(NULL AS BIGINT), CAST(NULL AS INT),
+  CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS INT),
+  CAST(NULL AS DOUBLE), CAST(NULL AS INT), CAST(NULL AS VARCHAR),
+  CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+  CAST(NULL AS DOUBLE),
+  CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+  LEN(regexp_extract_all(src, '{_HTML_TAG}')) AS n_html_tags,
+  MD5({_STRIP_HTML_SRC}) AS html_md5
+FROM (SELECT doc_id, {_HTML_SRC_SQL} AS src FROM documents WHERE doc_id < 50)
 """
 
 

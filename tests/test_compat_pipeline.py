@@ -167,3 +167,25 @@ def test_prep_documents_scrub_stage(spark):
     assert 4 not in rows
     assert sorted(rows) == [1, 2]
     assert "<email>" in rows[2] and "alice" not in rows[2]
+
+
+def test_prep_documents_strip_markup_stage(spark):
+    # r4: strip_markup=True cleans tags before any signal/fingerprint —
+    # two docs identical up to markup dedup together
+    from pydala_spark.operators.pipeline import prep_documents
+
+    df = spark.createDataFrame(
+        [
+            (1, "<p>the quick brown fox jumps over the lazy dog today</p>"),
+            (2, "the quick <b>brown</b> fox jumps over the lazy dog today"),
+            (3, "a completely different document about spark and parquet files"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = prep_documents(
+        df, min_quality=0, near_dup=False, strip_markup=True
+    )
+    kept = {r["doc_id"] for r in out.collect()}
+    assert kept == {1, 3}  # 2 is an exact dup of 1 after the strip
+    texts = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert "<p>" not in texts[1] and texts[1].startswith("the quick")

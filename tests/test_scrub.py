@@ -119,3 +119,27 @@ def test_filter_host_blocklist_dataframe_mixed_case(spark):
     block = spark.createDataFrame([("Site-A.com",)], "host string")
     kept = filter_host_blocklist(_docs_df(spark), block)
     assert sorted(r["doc_id"] for r in kept.collect()) == [2, 3, 4]
+
+
+def test_strip_html(spark):
+    # r4: markup -> text. Script/style lose their CONTENT, tags become
+    # separators (no word fusion), entities single-decode (&amp;lt; stays
+    # a literal &lt;), whitespace collapses.
+    from pydala_spark.operators.scrub import strip_html
+
+    src = (
+        '<p>Hello</p><p>world</p>'
+        '<script type="text/javascript">var x = 1;</script>'
+        "<style>p{color:red}</style>"
+        "<!-- secret -->"
+        "<b>bold</b> &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;"
+        "&amp;nbsp; end"
+    )
+    df = spark.createDataFrame([(src,)], ["text"])
+    out = df.select(strip_html("text").alias("clean")).first()["clean"]
+    assert out == 'Hello world bold <tag> "q" \'s\' &nbsp; end'
+    assert "var x" not in out and "color" not in out and "secret" not in out
+    raw = df.select(
+        strip_html("text", collapse_whitespace=False).alias("c")
+    ).first()["c"]
+    assert "Hello" in raw and "  " in raw  # tags became spaces, uncollapsed
