@@ -564,3 +564,66 @@ def keep_cluster_representatives(
         .where(F.col("__rk") == 1)
         .select(*cols)
     )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup (the Dolma/RefinedWeb
+    sub-document step that document-level dedup can't express): every
+    distinct paragraph survives only at its FIRST occurrence — smallest
+    (doc id, position) — and documents are reassembled from their
+    surviving paragraphs in order. Whitespace-only paragraphs drop.
+    Returns ``(id, text, n_paras, n_kept)`` with ``text`` rebuilt via
+    ``sep`` (empty string when nothing survived — the caller decides
+    whether to drop hollowed-out docs).
+
+    Shape at 100 TB: paragraphs explode map-side from a materialized
+    split array (generator input is a plain column — the
+    InferFiltersFromGenerate re-evaluation trap does not apply); the
+    first-occurrence choice is ONE window keyed by ``md5(paragraph)``
+    (128-bit key: the exchange carries hashes + positions, well-spread);
+    reassembly is one aggregation keyed by doc id using
+    ``array_sort(collect_list(struct(pos, para)))`` — buffers bounded by
+    one document's surviving paragraphs. Two shuffles total, both on
+    high-cardinality keys.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), sep).alias("__ps")
+    )
+    paras = (
+        base.select("id", F.posexplode("__ps").alias("pos", "para"))
+        .where(F.trim(F.col("para")) != "")
+        .withColumn("__ph", F.md5(F.col("para")))
+    )
+    w = Window.partitionBy("__ph").orderBy(F.asc("id"), F.asc("pos"))
+    kept = paras.withColumn("__rk", F.row_number().over(w)).where(
+        F.col("__rk") == 1
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("__text"),
+    )
+    totals = paras.groupBy("id").agg(F.count("*").cast("long").alias("n_paras"))
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(totals, "id", "left")
+        .join(rebuilt, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("__text"), F.lit("")).alias("text"),
+            F.coalesce(F.col("n_paras"), F.lit(0)).alias("n_paras"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        )
+    )

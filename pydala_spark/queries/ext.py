@@ -454,14 +454,49 @@ FROM f
 
 
 def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup keeper list: min doc_id + group size per fingerprint."""
+    """Exact dedup keeper list (min doc_id + group size per fingerprint),
+    plus the round-4 ``para`` family: corpus-wide paragraph-level dedup
+    (dedup.dedup_paragraphs — each distinct line survives at its first
+    (doc, position) only; docs reassembled) summarized per document as
+    counts + an md5 of the rebuilt text."""
+    from pydala_spark.operators.dedup import dedup_paragraphs
+    from pydala_spark.queries.merged import _tagged_union
+
     docs = load_table(spark, sf_dir, "documents")
-    return dedup_exact(docs, id_col="doc_id", text_col="text")
+    exact = dedup_exact(docs, id_col="doc_id", text_col="text")
+    para = dedup_paragraphs(docs, id_col="doc_id", text_col="text").select(
+        F.col("id").alias("para_doc_id"),
+        F.md5("text").alias("text_md5"),
+        "n_paras",
+        "n_kept",
+    )
+    return _tagged_union([("exact", exact), ("para", para)])
 
 
 _Q_DEDUP_EXACT_SQL = f"""
-SELECT MD5({_NORM_SQL}) AS fp, MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
-FROM documents GROUP BY 1
+WITH p0 AS (
+  SELECT doc_id, unnest(ps) AS para, generate_subscripts(ps, 1) AS pos
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ps FROM documents)),
+p1 AS (SELECT doc_id, para, pos FROM p0 WHERE TRIM(para) <> ''),
+win AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY MD5(para)
+                                     ORDER BY doc_id, pos) AS rk FROM p1),
+reb AS (SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(para, chr(10) ORDER BY pos) AS t
+        FROM win WHERE rk = 1 GROUP BY doc_id),
+tot AS (SELECT doc_id, COUNT(*) AS n_paras FROM p1 GROUP BY doc_id)
+SELECT 'exact' AS family, MD5({_NORM_SQL}) AS fp, MIN(doc_id) AS doc_id,
+       COUNT(*) AS n_dups, CAST(NULL AS BIGINT) AS para_doc_id,
+       CAST(NULL AS VARCHAR) AS text_md5, CAST(NULL AS BIGINT) AS n_paras,
+       CAST(NULL AS BIGINT) AS n_kept
+FROM documents GROUP BY 2
+UNION ALL
+SELECT 'para', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), d.doc_id,
+       MD5(COALESCE(reb.t, '')), COALESCE(tot.n_paras, 0),
+       COALESCE(reb.n_kept, 0)
+FROM documents d
+LEFT JOIN tot ON d.doc_id = tot.doc_id
+LEFT JOIN reb ON d.doc_id = reb.doc_id
 """
 
 # shingles: word 3-grams over regex tokens (distinct); DuckDB mirrors the

@@ -1030,3 +1030,26 @@ def test_topk_recall_dedups_multi_strategy_input(spark):
     doubled = exact.unionByName(exact)  # every pair appears twice
     r = topk_recall(doubled, exact).collect()
     assert all(row["n_exact"] == 5 and row["recall"] == 1.0 for row in r)
+
+
+def test_dedup_paragraphs_first_occurrence_wins(spark):
+    # r4: corpus-wide line dedup — a repeated boilerplate line survives
+    # only at its first (doc, position); docs reassemble in order
+    from pydala_spark.operators import dedup_paragraphs
+
+    df = spark.createDataFrame(
+        [
+            (1, "unique one\nSHARED FOOTER\nunique two"),
+            (2, "SHARED FOOTER\nonly in two"),
+            (3, "SHARED FOOTER"),
+            (4, "   \n  "),  # whitespace-only: hollowed out
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["id"]: r for r in dedup_paragraphs(df).collect()}
+    assert out[1]["text"] == "unique one\nSHARED FOOTER\nunique two"
+    assert out[1]["n_paras"] == 3 and out[1]["n_kept"] == 3
+    assert out[2]["text"] == "only in two"
+    assert out[2]["n_paras"] == 2 and out[2]["n_kept"] == 1
+    assert out[3]["text"] == "" and out[3]["n_kept"] == 0
+    assert out[4]["text"] == "" and out[4]["n_paras"] == 0
