@@ -4,14 +4,17 @@ with typed metadata, processed via Arrow-batched pandas iteration.
 Two decode tiers:
 
 - :func:`decode_media` REALLY decodes the formats stdlib+numpy can
-  handle — PPM (P6) / PGM (P5, incl. 16-bit) / PBM (P4) images, and PCM
-  or G.711 µ-law WAV audio — into per-media stats (dimensions/sample
-  rate/duration/mean/RMS). Codec-free formats are enough to prove the
-  whole distributed decode path end to end.
+  handle — PNG (zlib inflate + full filter reconstruction; 8-bit
+  gray/GA/RGB/RGBA, non-interlaced), BMP (uncompressed 24/32-bit),
+  PPM (P6) / PGM (P5, incl. 16-bit) / PBM (P4) images, and PCM or
+  G.711 µ-law WAV audio — into per-media stats (dimensions/sample
+  rate/duration/mean/RMS). That covers the dominant lossless image
+  formats for real; the stub boundary is down to the lossy codecs.
 - :func:`extract_features` with ``decode_stub=True`` substitutes a
-  deterministic fake decoder for codec-dependent formats (JPEG, MP4 —
-  no codec libraries in this environment); the Spark-side contract —
-  schema, batch shape, partitioning, UDF signature — is identical.
+  deterministic fake decoder for the remaining codec-dependent
+  formats (JPEG/MP3/MP4 — no codec libraries in this environment);
+  the Spark-side contract — schema, batch shape, partitioning, UDF
+  signature — is identical.
 - both functions accept ``decoder=``, a user-supplied
   ``Callable[[bytes, str], dict]`` that is shipped INTO the same
   nested-closure ``mapInPandas`` worker — the seam where
@@ -140,8 +143,8 @@ DECODED_SCHEMA = (
 def decode_media(
     df: DataFrame, content_col: str = "content", decoder=None
 ) -> DataFrame:
-    """Real decode of stdlib-decodable media blobs (PPM/PGM/PBM images,
-    PCM and µ-law WAV audio) into per-media stats; undecodable payloads
+    """Real decode of stdlib-decodable media blobs (PNG/BMP/PPM/PGM/PBM
+    images, PCM and µ-law WAV audio) into per-media stats; undecodable payloads
     yield a null-format row instead of failing the job. Same
     Arrow-batched ``mapInPandas`` shape as :func:`extract_features`.
 
@@ -210,8 +213,110 @@ def decode_media(
             sample = (((mantissa << 3) + 0x84) << exponent) - 0x84
             return np.where(sign != 0, -sample, sample).astype(np.float64)
 
+        def _png_unfilter(data, w, h, ch):
+            # scanline reconstruction for filters 0-4 (PNG spec 9.2);
+            # None/Up vectorize, Sub is a mod-256 cumsum over pixels,
+            # Average/Paeth carry a true sequential dependency -> per-byte
+            # loop (acceptable: encoders emit them on a minority of rows)
+            stride = w * ch
+            out = np.empty((h, stride), dtype=np.uint8)
+            prev = np.zeros(stride, dtype=np.int64)
+            pos = 0
+            for y in range(h):
+                ftype = data[pos]
+                row = np.frombuffer(
+                    data, dtype=np.uint8, count=stride, offset=pos + 1
+                ).astype(np.int64)
+                pos += 1 + stride
+                if ftype == 0:
+                    rec = row
+                elif ftype == 2:  # Up
+                    rec = (row + prev) % 256
+                elif ftype == 1:  # Sub: cumsum per byte lane, mod 256
+                    rec = np.cumsum(row.reshape(w, ch), axis=0).reshape(-1) % 256
+                elif ftype in (3, 4):  # Average / Paeth
+                    rec = np.zeros(stride, dtype=np.int64)
+                    for i in range(stride):
+                        a = rec[i - ch] if i >= ch else 0
+                        b = prev[i]
+                        if ftype == 3:
+                            pred = (a + b) >> 1
+                        else:
+                            c = prev[i - ch] if i >= ch else 0
+                            p = a + b - c
+                            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                            pred = (
+                                a if pa <= pb and pa <= pc
+                                else (b if pb <= pc else c)
+                            )
+                        rec[i] = (row[i] + pred) % 256
+                else:
+                    raise ValueError(f"png filter {ftype}")
+                out[y] = rec
+                prev = rec
+            return out
+
         def _decode(payload: bytes) -> dict:
             magic = payload[:2]
+            if payload[:8] == b"\x89PNG\r\n\x1a\n":
+                # real PNG decode, stdlib-only: zlib IS stdlib, the
+                # filters are numpy/loop arithmetic. 8-bit depths, color
+                # types gray/gray+alpha/RGB/RGBA, non-interlaced (the
+                # overwhelming majority of real PNGs); anything else
+                # degrades to {}
+                import struct as _st
+                import zlib
+
+                idx, ihdr, idat = 8, None, b""
+                while idx + 8 <= len(payload):
+                    (size,) = _st.unpack(">I", payload[idx : idx + 4])
+                    cid = payload[idx + 4 : idx + 8]
+                    body = payload[idx + 8 : idx + 8 + size]
+                    if cid == b"IHDR":
+                        ihdr = body
+                    elif cid == b"IDAT":
+                        idat += body
+                    elif cid == b"IEND":
+                        break
+                    idx += 12 + size  # size + type + crc
+                if ihdr is None or len(ihdr) < 13 or not idat:
+                    return {}
+                w, h, depth, ctype, comp, filt, ilace = _st.unpack(
+                    ">IIBBBBB", ihdr[:13]
+                )
+                ch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+                if ch is None or depth != 8 or comp or filt or ilace:
+                    return {}
+                if w <= 0 or h <= 0:
+                    return {}
+                data = zlib.decompress(idat)
+                if len(data) < h * (1 + w * ch):
+                    return {}
+                arr = _png_unfilter(data, w, h, ch).astype(np.float64)
+                return _image_stats("png", w, h, ch, arr)
+            if magic == b"BM":
+                # uncompressed (BI_RGB) 24/32-bit BMP: rows are 4-byte
+                # aligned, bottom-up (negative height = top-down; row
+                # order is irrelevant to mean/rms). Palette/compressed
+                # variants degrade to {}
+                if len(payload) < 54:
+                    return {}
+                offset = int.from_bytes(payload[10:14], "little")
+                w = int.from_bytes(payload[18:22], "little", signed=True)
+                h = int.from_bytes(payload[22:26], "little", signed=True)
+                bpp = int.from_bytes(payload[28:30], "little")
+                compression = int.from_bytes(payload[30:34], "little")
+                if compression != 0 or bpp not in (24, 32) or w <= 0 or h == 0:
+                    return {}
+                habs, ch = abs(h), bpp // 8
+                stride = ((w * ch + 3) // 4) * 4
+                if len(payload) - offset < stride * habs:
+                    return {}
+                raw = np.frombuffer(
+                    payload, dtype=np.uint8, count=stride * habs, offset=offset
+                ).reshape(habs, stride)[:, : w * ch]
+                arr = raw.astype(np.float64)
+                return _image_stats("bmp", w, habs, ch, arr)
             if magic in (b"P6", b"P5"):
                 # PPM P6 raw RGB / PGM P5 raw grayscale; maxval > 255
                 # means 2-byte big-endian samples

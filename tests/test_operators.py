@@ -1053,3 +1053,86 @@ def test_dedup_paragraphs_first_occurrence_wins(spark):
     assert out[2]["n_paras"] == 2 and out[2]["n_kept"] == 1
     assert out[3]["text"] == "" and out[3]["n_kept"] == 0
     assert out[4]["text"] == "" and out[4]["n_paras"] == 0
+
+
+def _make_png(w, h, ch, pixel_fn, filters):
+    # minimal PNG encoder for the test: 8-bit, chosen per-row filters
+    import struct
+    import zlib
+
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    raw = [[pixel_fn(x, y, c) for x in range(w) for c in range(ch)]
+           for y in range(h)]
+    scan = b""
+    prev = [0] * (w * ch)
+    for y, row in enumerate(raw):
+        f = filters[y % len(filters)]
+        if f == 0:
+            enc = row
+        elif f == 1:  # Sub
+            enc = [(row[i] - (row[i - ch] if i >= ch else 0)) % 256
+                   for i in range(len(row))]
+        elif f == 2:  # Up
+            enc = [(row[i] - prev[i]) % 256 for i in range(len(row))]
+        elif f == 3:  # Average
+            enc = [(row[i] - (((row[i - ch] if i >= ch else 0) + prev[i]) >> 1))
+                   % 256 for i in range(len(row))]
+        else:  # Paeth
+            enc = []
+            for i in range(len(row)):
+                a = row[i - ch] if i >= ch else 0
+                b, c = prev[i], (prev[i - ch] if i >= ch else 0)
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                enc.append((row[i] - pred) % 256)
+        scan += bytes([f]) + bytes(enc)
+        prev = row
+
+    def chunk(cid, body):
+        return (struct.pack(">I", len(body)) + cid + body
+                + struct.pack(">I", zlib.crc32(cid + body)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b"")), raw
+
+
+def test_decode_media_png_and_bmp(spark):
+    # r4: real stdlib PNG (zlib inflate + filter reconstruction, all 5
+    # filter types) and BMP (24bpp, row padding) decode — the codec stub
+    # now covers only JPEG/MP3/MP4
+    import numpy as np
+
+    from pydala_spark.operators.multimodal import decode_media
+
+    w, h = 5, 7  # odd width -> BMP rows need padding
+    png, raw = _make_png(w, h, 3, lambda x, y, c: (x * 40 + y * 9 + c * 3) % 256,
+                         filters=[0, 1, 2, 3, 4])
+    flat = np.array([v for row in raw for v in row], dtype=np.float64)
+    # 24bpp BMP of the same pixel values (BGR order — stats orderless)
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = b""
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = bytes(raw[y]) + b"\x00" * (stride - w * 3)
+        rows += row
+    bmp = (b"BM" + (54 + len(rows)).to_bytes(4, "little") + b"\x00" * 4
+           + (54).to_bytes(4, "little")
+           + (40).to_bytes(4, "little") + w.to_bytes(4, "little")
+           + h.to_bytes(4, "little") + (1).to_bytes(2, "little")
+           + (24).to_bytes(2, "little") + (0).to_bytes(4, "little")
+           + len(rows).to_bytes(4, "little") + b"\x00" * 16 + rows)
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(png)), (2, "image", bytearray(bmp)),
+         (3, "image", bytearray(b"\xff\xd8\xff\xe0 not decodable"))],
+        "media_id long, kind string, content binary",
+    )
+    out = {r["media_id"]: r for r in decode_media(df).collect()}
+    exp_mean = float(flat.mean())
+    exp_rms = float(np.sqrt((flat * flat).mean()))
+    assert out[1]["format"] == "png" and out[1]["width"] == w
+    assert abs(out[1]["mean"] - exp_mean) < 1e-9
+    assert abs(out[1]["rms"] - exp_rms) < 1e-9
+    assert out[2]["format"] == "bmp" and out[2]["height"] == h
+    assert abs(out[2]["mean"] - exp_mean) < 1e-9  # same pixels, padding excluded
+    assert out[3]["format"] is None  # JPEG stays the honest stub boundary
