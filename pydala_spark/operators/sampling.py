@@ -194,3 +194,52 @@ def stratified_sample(
         .where(F.col("__rn") <= n_per_group)
         .drop("__rn")
     )
+
+
+def quantile_threshold(
+    df: DataFrame,
+    score_col: str,
+    q: float,
+    exact: bool = False,
+    relative_error: float = 0.001,
+) -> float:
+    """The ``q``-quantile of ``score_col`` as a driver scalar — the
+    cutoff a percentile-based corpus filter needs. Default is the
+    one-pass bounded-memory approximation (``percentile_approx``,
+    Greenwald-Khanna — the 100 TB path: cost of one aggregation, error
+    bounded by ``relative_error``); ``exact=True`` computes the exact
+    interpolated percentile (Spark buffers each group's values — fine
+    for oracle checks and mid-size corpora, not for 100 TB)."""
+    if not 0.0 <= q <= 1.0:
+        raise ValueError("q must be in [0, 1]")
+    expr = (
+        F.expr(f"percentile({score_col}, {q!r})")
+        if exact
+        else F.percentile_approx(
+            score_col, F.lit(q), F.lit(max(1, int(1.0 / relative_error)))
+        )
+    )
+    return float(df.agg(expr.alias("t")).first()["t"])
+
+
+def filter_by_quantile(
+    df: DataFrame,
+    score_col: str,
+    keep_top_frac: float = 0.5,
+    exact: bool = False,
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """Keep the rows whose ``score_col`` reaches the top
+    ``keep_top_frac`` of the corpus — the standard form of a learned
+    quality cutoff ("keep the best-scoring 30%"), e.g. over
+    ``classifier_score``'s logit. One aggregation derives the threshold
+    (approximate by default — see :func:`quantile_threshold`); the
+    filter itself is a map-side predicate that composes with downstream
+    stages and pushes into scans where the score is a stored column."""
+    if not 0.0 < keep_top_frac <= 1.0:
+        raise ValueError("keep_top_frac must be in (0, 1]")
+    thr = quantile_threshold(
+        df, score_col, 1.0 - keep_top_frac, exact=exact,
+        relative_error=relative_error,
+    )
+    return df.where(F.col(score_col) >= F.lit(thr))

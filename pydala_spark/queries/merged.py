@@ -570,7 +570,7 @@ def q_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
         n * F.col("syy") - F.col("sy") * F.col("sy")
     )
-    return agg.select(
+    moments = agg.select(
         "l_returnflag",
         "n",
         "median_qty",
@@ -578,6 +578,19 @@ def q_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p75_price",
         (num / den).alias("corr_qty_disc"),
     )
+    # qcut family (round 4): percentile-threshold corpus filtering
+    # (sampling.quantile_threshold exact path == DuckDB quantile_cont
+    # bit-identically), counted per group after the cutoff
+    from pydala_spark.operators.sampling import quantile_threshold
+
+    thr = quantile_threshold(li, "l_extendedprice", 0.75, exact=True)
+    qcut = (
+        li.where(F.col("l_extendedprice") >= F.lit(thr))
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_kept"))
+        .withColumn("threshold", F.lit(thr))
+    )
+    return _tagged_union([("moments", moments), ("qcut", qcut)])
 
 
 _Q_STATS_SQL = """
@@ -593,11 +606,20 @@ WITH m AS (
     CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(25,8))) AS DOUBLE) AS syy
   FROM lineitem GROUP BY l_returnflag
 )
-SELECT l_returnflag, n, median_qty, p25_price, p75_price,
+SELECT 'moments' AS family, l_returnflag, n, median_qty, p25_price, p75_price,
   (CAST(n AS DOUBLE) * sxy - sx * sy)
   / (SQRT(CAST(n AS DOUBLE) * sxx - sx * sx) * SQRT(CAST(n AS DOUBLE) * syy - sy * sy))
-    AS corr_qty_disc
+    AS corr_qty_disc,
+  CAST(NULL AS BIGINT) AS n_kept, CAST(NULL AS DOUBLE) AS threshold
 FROM m
+UNION ALL
+SELECT 'qcut', l_returnflag, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+  COUNT(*) AS n_kept,
+  (SELECT quantile_cont(l_extendedprice, 0.75) FROM lineitem) AS threshold
+FROM lineitem
+WHERE l_extendedprice >= (SELECT quantile_cont(l_extendedprice, 0.75) FROM lineitem)
+GROUP BY l_returnflag
 """
 
 

@@ -166,3 +166,29 @@ def test_train_test_split_validates_fraction_sum(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     with pytest.raises(ValueError, match="<= 1"):
         train_test_split(docs, "doc_id", test_fraction=0.8, val_fraction=0.4)
+
+
+def test_filter_by_quantile(spark):
+    # r4: percentile-cutoff filter — exact path matches a hand-computed
+    # threshold; approx path keeps roughly the requested fraction
+    from pydala_spark.operators.sampling import (
+        filter_by_quantile,
+        quantile_threshold,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], ["id", "score"]
+    )
+    thr = quantile_threshold(df, "score", 0.75, exact=True)
+    assert thr == 74.25  # interpolated percentile of 0..99
+    kept = filter_by_quantile(df, "score", keep_top_frac=0.25, exact=True)
+    ids = {r["id"] for r in kept.collect()}
+    assert ids == set(range(75, 100))
+    approx = filter_by_quantile(df, "score", keep_top_frac=0.5).count()
+    assert 45 <= approx <= 55
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        filter_by_quantile(df, "score", keep_top_frac=0.0)
+    with _pt.raises(ValueError):
+        quantile_threshold(df, "score", 1.5)
