@@ -511,36 +511,22 @@ def save_ivfpq_index(
     Writer(spark, path, partition_by="cell", mode=mode).write(idx)
     import posixpath
 
+    # save_codebook's {"centroids": ...} envelope handles the 3-d PQ
+    # books array the same as the 2-d IVF matrix — one format to keep
     save_codebook(spark, centroids, posixpath.join(path, IVF_CODEBOOK_SIDECAR))
-    from pydala_spark.utils.pathops import PathOps
-
-    import json as _json
-
-    po = PathOps(spark, path)
-    po.write_text(
-        posixpath.join(path, PQ_CODEBOOK_SIDECAR),
-        _json.dumps({"centroids": books.tolist()}),
-    )
+    save_codebook(spark, books, posixpath.join(path, PQ_CODEBOOK_SIDECAR))
 
 
 def load_ivfpq_index(spark, path: str):
     """(index DataFrame, centroids, books) from :func:`save_ivfpq_index`
     output. The DataFrame reads the cell-partitioned dataset lazily —
     nothing is scanned until a search runs."""
-    import json as _json
     import posixpath
 
     from pydala_spark.dataset.reader import Dataset
-    from pydala_spark.utils.pathops import PathOps
 
-    po = PathOps(spark, path)
     cents = load_codebook(spark, posixpath.join(path, IVF_CODEBOOK_SIDECAR))
-    books = np.array(
-        _json.loads(po.read_text(posixpath.join(path, PQ_CODEBOOK_SIDECAR)))[
-            "centroids"
-        ],
-        dtype=np.float64,
-    )
+    books = load_codebook(spark, posixpath.join(path, PQ_CODEBOOK_SIDECAR))
     return Dataset(spark, path).load(), cents, books
 
 

@@ -581,29 +581,43 @@ def dedup_paragraphs(
     ``sep`` (empty string when nothing survived — the caller decides
     whether to drop hollowed-out docs).
 
-    Shape at 100 TB: paragraphs explode map-side from a materialized
-    split array (generator input is a plain column — the
-    InferFiltersFromGenerate re-evaluation trap does not apply); the
-    first-occurrence choice is ONE window keyed by ``md5(paragraph)``
-    (128-bit key: the exchange carries hashes + positions, well-spread);
-    reassembly is one aggregation keyed by doc id using
-    ``array_sort(collect_list(struct(pos, para)))`` — buffers bounded by
-    one document's surviving paragraphs. Two shuffles total, both on
-    high-cardinality keys.
+    ``sep`` is a LITERAL separator string (regex metacharacters are
+    escaped before the split, so ``sep="."`` splits on dots — and the
+    reassembly joins the same literal).
+
+    Shape at 100 TB: ``n_paras`` is pure column algebra on the split
+    array (no second explode); paragraphs explode via ``posexplode_outer``
+    (like :func:`explode_cheaply`, it infers no ``size(...) > 0`` guard,
+    so the document-wide regex split is NOT re-evaluated below the
+    generate — r4 review caught plain ``posexplode`` tripling the split);
+    the first-occurrence choice is a ``groupBy(md5(paragraph))`` MIN over
+    ``struct(id, pos, para)`` — partial-aggregated map-side, so a
+    boilerplate paragraph repeated a billion times collapses within each
+    task instead of funneling into one window partition (the skew
+    discipline of :func:`dedup_exact`); reassembly is one aggregation
+    keyed by doc id using ``array_sort(collect_list(struct(pos, para)))``
+    — buffers bounded by one document's surviving paragraphs. Two
+    shuffles total, both on high-cardinality keys.
     """
-    from pyspark.sql import Window
+    import re
 
     base = df.select(
-        F.col(id_col).alias("id"), F.split(F.col(text_col), sep).alias("__ps")
+        F.col(id_col).alias("id"),
+        F.split(F.col(text_col), re.escape(sep)).alias("__ps"),
+    ).withColumn(
+        "__np",
+        F.size(F.filter("__ps", lambda p: F.trim(p) != F.lit(""))).cast("long"),
     )
     paras = (
-        base.select("id", F.posexplode("__ps").alias("pos", "para"))
-        .where(F.trim(F.col("para")) != "")
-        .withColumn("__ph", F.md5(F.col("para")))
+        base.select("id", F.posexplode_outer("__ps").alias("pos", "para"))
+        .where(F.col("para").isNotNull() & (F.trim(F.col("para")) != ""))
     )
-    w = Window.partitionBy("__ph").orderBy(F.asc("id"), F.asc("pos"))
-    kept = paras.withColumn("__rk", F.row_number().over(w)).where(
-        F.col("__rk") == 1
+    # min over (id, pos, para): (id, pos) is unique, so the struct min IS
+    # the first occurrence, and it carries the paragraph text along
+    kept = (
+        paras.groupBy(F.md5(F.col("para")).alias("__ph"))
+        .agg(F.min(F.struct("id", "pos", "para")).alias("w"))
+        .select("w.id", "w.pos", "w.para")
     )
     rebuilt = kept.groupBy("id").agg(
         F.count("*").cast("long").alias("n_kept"),
@@ -615,15 +629,13 @@ def dedup_paragraphs(
             sep,
         ).alias("__text"),
     )
-    totals = paras.groupBy("id").agg(F.count("*").cast("long").alias("n_paras"))
     return (
-        df.select(F.col(id_col).alias("id"))
-        .join(totals, "id", "left")
+        base.select("id", F.col("__np").alias("n_paras"))
         .join(rebuilt, "id", "left")
         .select(
             "id",
             F.coalesce(F.col("__text"), F.lit("")).alias("text"),
-            F.coalesce(F.col("n_paras"), F.lit(0)).alias("n_paras"),
+            "n_paras",
             F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
         )
     )

@@ -219,7 +219,13 @@ def quantile_threshold(
             score_col, F.lit(q), F.lit(max(1, int(1.0 / relative_error)))
         )
     )
-    return float(df.agg(expr.alias("t")).first()["t"])
+    t = df.agg(expr.alias("t")).first()["t"]
+    if t is None:  # zero non-null scores: percentile comes back NULL
+        raise ValueError(
+            f"quantile_threshold: no non-null values in {score_col!r} — "
+            "empty corpus or all-NULL score column"
+        )
+    return float(t)
 
 
 def filter_by_quantile(

@@ -1136,3 +1136,24 @@ def test_decode_media_png_and_bmp(spark):
     assert out[2]["format"] == "bmp" and out[2]["height"] == h
     assert abs(out[2]["mean"] - exp_mean) < 1e-9  # same pixels, padding excluded
     assert out[3]["format"] is None  # JPEG stays the honest stub boundary
+
+
+def test_dedup_paragraphs_literal_separator_and_plan(spark):
+    # r4 review: sep is literal (a '.' separator must not be a regex
+    # wildcard), and the split must not be re-evaluated below the
+    # generate (InferFiltersFromGenerate trap)
+    from pydala_spark.operators import dedup_paragraphs
+
+    df = spark.createDataFrame(
+        [(1, "alpha.beta.alpha"), (2, "beta.gamma")], ["doc_id", "text"]
+    )
+    res = dedup_paragraphs(df, sep=".")
+    out = {r["id"]: r for r in res.collect()}
+    # doc 1's second 'alpha' is a duplicate of its own first occurrence
+    assert out[1]["text"] == "alpha.beta" and out[1]["n_paras"] == 3
+    assert out[1]["n_kept"] == 2
+    assert out[2]["text"] == "gamma" and out[2]["n_kept"] == 1
+    plan = res._jdf.queryExecution().optimizedPlan().toString()
+    # split() appears in the two base projections (paras + totals
+    # branches) but must not be duplicated into inferred generate guards
+    assert plan.count("split(") <= 2, plan

@@ -192,3 +192,15 @@ def test_filter_by_quantile(spark):
         filter_by_quantile(df, "score", keep_top_frac=0.0)
     with _pt.raises(ValueError):
         quantile_threshold(df, "score", 1.5)
+
+
+def test_quantile_threshold_empty_corpus_clear_error(spark):
+    # r4 review: NULL percentile (empty / all-null) must raise a clear
+    # ValueError, not TypeError on float(None)
+    from pydala_spark.operators.sampling import quantile_threshold
+
+    df = spark.createDataFrame([(1, 1.0)], ["id", "score"]).where("id < 0")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="no non-null values"):
+        quantile_threshold(df, "score", 0.5)
