@@ -75,3 +75,37 @@ def test_pii_counts_and_redaction_match_duckdb(spark):
         if a != b
     ]
     assert not red_mism, f"redaction diverges: {red_mism[:2]}"
+
+
+def test_strip_html_matches_duckdb(spark):
+    # r4: the strip_html chain must be regex-portable like the PII
+    # patterns — adversarial markup fragments, same strings both engines
+    from pydala_spark.operators.scrub import strip_html
+    from pydala_spark.queries.merged import _strip_html_sql
+
+    frags = [
+        "<p>plain</p>", "<SCRIPT>var x='</p>';</SCRIPT>", "<script src=\"x\">a</script>",
+        "<style media=all>p{}</style>", "<!-- <b>nested?</b> -->", "un<closed",
+        "a > b < c", "<br/>", "<  not-a-tag", "&amp;lt; &lt; &amp;amp;",
+        "&nbsp;&nbsp;", "text <i>in</i>between", "<div\nclass='x'>multi\nline</div>",
+        "<p><p><p>", "&#39;quoted&#39;", "&quot;&quot;", "trailing <", "<>",
+        "<script>unterminated", "mixed <B>CASE</B> tags",
+    ]
+    rng = random.Random(11)
+    rows = [
+        (i, " ".join(rng.choice(frags) for _ in range(rng.randint(1, 5))))
+        for i in range(100)
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = (
+        sdf.select("doc_id", strip_html("text").alias("clean"))
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    oracle = con.execute(
+        f"SELECT doc_id, {_strip_html_sql('text')} AS clean "
+        "FROM docs ORDER BY doc_id"
+    ).df()
+    assert list(got["clean"]) == list(oracle["clean"])
