@@ -43,6 +43,7 @@ def prep_documents(
     blocked_hosts: list[str] | DataFrame | None = None,
     redact: bool = False,
     strip_markup: bool = False,
+    paragraph_dedup: bool = False,
 ) -> DataFrame:
     """Return the cleaned corpus: quality columns attached, docs linking
     blocklisted hosts dropped (when ``blocked_hosts`` is given — the
@@ -55,7 +56,15 @@ def prep_documents(
     repetition-heavy docs dropped per the Gopher rules — and, when
     ``shard_tokens`` is set, packed into fixed-token-budget training
     shards (adds ``n_tokens``, ``cum_before`` and ``shard_id``; packing
-    runs after every filter so shards are gap-free)."""
+    runs after every filter so shards are gap-free).
+
+    ``strip_markup=True`` converts HTML to text before any signal;
+    ``paragraph_dedup=True`` additionally removes corpus-wide repeated
+    lines (``dedup_paragraphs``) and drops hollowed-out docs BEFORE
+    fingerprinting, so boilerplate never drives the document-level
+    dedups. Paragraph dedup rebuilds ``text_col`` via joins that later
+    stages re-traverse; for very large corpora persist/write the rebuilt
+    frame between the two phases."""
     # 0. scrub stages, cheapest-first map-side column algebra. Order:
     # URL blocklist BEFORE the markup strip (filtering reads the raw
     # text's URLs; stripping first would turn <a href> targets into
@@ -74,6 +83,21 @@ def prep_documents(
         from pydala_spark.operators.scrub import redact_pii
 
         df = df.withColumn(text_col, redact_pii(text_col))
+    if paragraph_dedup:
+        # sub-document boilerplate removal (dedup_paragraphs) BEFORE any
+        # quality signal or fingerprint: a doc that is original except
+        # for a shared footer should dedup/score on its original lines
+        from pydala_spark.operators.dedup import dedup_paragraphs
+
+        rebuilt = dedup_paragraphs(df, id_col=id_col, text_col=text_col)
+        df = (
+            df.drop(text_col)
+            .join(
+                rebuilt.where(F.col("n_kept") > 0)
+                .select(F.col("id").alias(id_col), F.col("text").alias(text_col)),
+                id_col,
+            )
+        )
     # 1. quality features (pure column algebra)
     out = quality_stats(df, text_col)
     # 1b. Gopher repetition gate (doc-keyed aggregation, only when asked)

@@ -189,3 +189,26 @@ def test_prep_documents_strip_markup_stage(spark):
     assert kept == {1, 3}  # 2 is an exact dup of 1 after the strip
     texts = {r["doc_id"]: r["text"] for r in out.collect()}
     assert "<p>" not in texts[1] and texts[1].startswith("the quick")
+
+
+def test_prep_documents_paragraph_dedup_stage(spark):
+    # r4: paragraph_dedup=True strips corpus-wide boilerplate lines
+    # before fingerprinting; docs reduced to nothing drop out
+    from pydala_spark.operators.pipeline import prep_documents
+
+    footer = "subscribe to our newsletter today friends"
+    df = spark.createDataFrame(
+        [
+            (1, f"the quick brown fox jumps high\n{footer}"),
+            (2, f"a very different second document entirely\n{footer}"),
+            (3, footer),  # boilerplate-only: hollowed out, dropped
+        ],
+        ["doc_id", "text"],
+    )
+    out = prep_documents(
+        df, min_quality=0, near_dup=False, paragraph_dedup=True
+    )
+    texts = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert set(texts) == {1, 2}
+    assert texts[1] == f"the quick brown fox jumps high\n{footer}"  # first keeps it
+    assert texts[2] == "a very different second document entirely"
