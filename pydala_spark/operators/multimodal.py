@@ -5,7 +5,8 @@ Two decode tiers:
 
 - :func:`decode_media` REALLY decodes the formats stdlib+numpy can
   handle — PNG (zlib inflate + full filter reconstruction; 8-bit
-  gray/GA/RGB/RGBA, non-interlaced), BMP (uncompressed 24/32-bit),
+  gray/GA/RGB/RGBA, non-interlaced), GIF (pure-python LZW + palette
+  mapping, first frame), BMP (uncompressed 24/32-bit),
   PPM (P6) / PGM (P5, incl. 16-bit) / PBM (P4) images, and PCM or
   G.711 µ-law WAV audio — into per-media stats (dimensions/sample
   rate/duration/mean/RMS). That covers the dominant lossless image
@@ -143,8 +144,8 @@ DECODED_SCHEMA = (
 def decode_media(
     df: DataFrame, content_col: str = "content", decoder=None
 ) -> DataFrame:
-    """Real decode of stdlib-decodable media blobs (PNG/BMP/PPM/PGM/PBM
-    images, PCM and µ-law WAV audio) into per-media stats; undecodable payloads
+    """Real decode of stdlib-decodable media blobs (PNG/GIF/BMP/PPM/PGM/
+    PBM images, PCM and µ-law WAV audio) into per-media stats; undecodable payloads
     yield a null-format row instead of failing the job. Same
     Arrow-batched ``mapInPandas`` shape as :func:`extract_features`.
 
@@ -256,8 +257,105 @@ def decode_media(
                 prev = rec
             return out
 
+        def _gif_lzw(data: bytes, min_code: int, n_px: int) -> list[int]:
+            # GIF-flavor LZW: variable code width starting at min_code+1,
+            # clear/EOI codes, dictionary grows to 4095 then waits for a
+            # clear. Returns the palette-index stream.
+            clear, eoi = 1 << min_code, (1 << min_code) + 1
+            out: list[int] = []
+            table: list[list[int]] = []
+
+            def reset():
+                nonlocal table, width
+                table = [[i] for i in range(clear)] + [[], []]
+                width = min_code + 1
+
+            width = min_code + 1
+            reset()
+            acc = nbits = 0
+            prev: list[int] | None = None
+            for byte in data:
+                acc |= byte << nbits
+                nbits += 8
+                while nbits >= width:
+                    code = acc & ((1 << width) - 1)
+                    acc >>= width
+                    nbits -= width
+                    if code == clear:
+                        reset()
+                        prev = None
+                        continue
+                    if code == eoi:
+                        return out
+                    if prev is None:
+                        entry = table[code]
+                    elif code < len(table):
+                        entry = table[code]
+                        table.append(prev + [entry[0]])
+                    else:  # the KwKwK case
+                        entry = prev + [prev[0]]
+                        table.append(entry)
+                    out.extend(entry)
+                    prev = entry
+                    if len(table) == (1 << width) and width < 12:
+                        width += 1
+                    if len(out) >= n_px:
+                        return out
+            return out
+
         def _decode(payload: bytes) -> dict:
             magic = payload[:2]
+            if payload[:6] in (b"GIF87a", b"GIF89a"):
+                # real GIF decode: pure-python LZW + palette mapping,
+                # first image only; interlacing needs no handling (row
+                # order cannot change mean/rms). Malformed streams
+                # degrade to {} via the caller's try/except
+                w = int.from_bytes(payload[6:8], "little")
+                h = int.from_bytes(payload[8:10], "little")
+                flags = payload[10]
+                idx = 13
+                gct = None
+                if flags & 0x80:
+                    n = 2 ** ((flags & 0x07) + 1)
+                    gct = payload[idx : idx + 3 * n]
+                    idx += 3 * n
+                while idx < len(payload):
+                    b0 = payload[idx]
+                    if b0 == 0x21:  # extension: label + sub-blocks
+                        idx += 2
+                        while payload[idx]:
+                            idx += 1 + payload[idx]
+                        idx += 1
+                    elif b0 == 0x2C:  # image descriptor
+                        iw = int.from_bytes(payload[idx + 5 : idx + 7], "little")
+                        ih = int.from_bytes(payload[idx + 7 : idx + 9], "little")
+                        iflags = payload[idx + 9]
+                        idx += 10
+                        pal = gct
+                        if iflags & 0x80:
+                            n = 2 ** ((iflags & 0x07) + 1)
+                            pal = payload[idx : idx + 3 * n]
+                            idx += 3 * n
+                        if pal is None or iw <= 0 or ih <= 0:
+                            return {}
+                        min_code = payload[idx]
+                        idx += 1
+                        lzw = b""
+                        while payload[idx]:
+                            size = payload[idx]
+                            lzw += payload[idx + 1 : idx + 1 + size]
+                            idx += 1 + size
+                        pix = _gif_lzw(lzw, min_code, iw * ih)
+                        if len(pix) < iw * ih:
+                            return {}
+                        p = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
+                        arr = p[
+                            np.clip(np.array(pix[: iw * ih]), 0, len(p) - 1)
+                        ].astype(np.float64)
+                        return _image_stats("gif", iw, ih, 3, arr)
+                    else:  # trailer (0x3B) or junk
+                        return {}
+                return {}
             if payload[:8] == b"\x89PNG\r\n\x1a\n":
                 # real PNG decode, stdlib-only: zlib IS stdlib, the
                 # filters are numpy/loop arithmetic. 8-bit depths, color

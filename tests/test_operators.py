@@ -1157,3 +1157,62 @@ def test_dedup_paragraphs_literal_separator_and_plan(spark):
     # split() appears in the two base projections (paras + totals
     # branches) but must not be duplicated into inferred generate guards
     assert plan.count("split(") <= 2, plan
+
+
+def test_decode_media_gif(spark):
+    # r4: pure-python GIF LZW decode. Case 1: the canonical documented
+    # 43-byte 1x1 GIF. Case 2: a hand-packed 4x2 4-color image emitted
+    # as literal LZW codes (exercises code-width growth), stats checked
+    # against the palette-mapped ground truth.
+    import numpy as np
+
+    from pydala_spark.operators.multimodal import decode_media
+
+    tiny = bytes.fromhex(
+        "474946383961010001008000"
+        "00ffffff00000021f90400000000002c00000000010001000002024401003b"
+    )
+
+    # 4x2 image, palette [(0,0,0),(85,85,85),(170,170,170),(255,255,255)]
+    pal = bytes([0, 0, 0, 85, 85, 85, 170, 170, 170, 255, 255, 255])
+    pixels = [0, 1, 2, 3, 3, 2, 1, 0]
+    min_code, clear, eoi = 2, 4, 5
+    codes = [clear] + pixels + [eoi]
+    # emit with decoder-synchronized width growth: the decoder adds one
+    # table entry per code after the first pixel code
+    bits, acc, nbits = bytearray(), 0, 0
+    width, table_size, seen_first = min_code + 1, clear + 2, False
+    for c in codes:
+        acc |= c << nbits
+        nbits += width
+        while nbits >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+        if c not in (clear, eoi):
+            if seen_first:
+                table_size += 1
+                if table_size == (1 << width) and width < 12:
+                    width += 1
+            seen_first = True
+    if nbits:
+        bits.append(acc & 0xFF)
+    gif = (
+        b"GIF89a" + (4).to_bytes(2, "little") + (2).to_bytes(2, "little")
+        + bytes([0x81, 0, 0])  # GCT present, 2-bit
+        + pal
+        + b"\x2c" + b"\x00" * 4 + (4).to_bytes(2, "little")
+        + (2).to_bytes(2, "little") + b"\x00"
+        + bytes([min_code, len(bits)]) + bytes(bits) + b"\x00" + b"\x3b"
+    )
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(tiny)), (2, "image", bytearray(gif))],
+        "media_id long, kind string, content binary",
+    )
+    out = {r["media_id"]: r for r in decode_media(df).collect()}
+    assert out[1]["format"] == "gif" and out[1]["width"] == 1
+    assert out[1]["mean"] == 255.0
+    vals = np.repeat([0.0, 85.0, 170.0, 255.0, 255.0, 170.0, 85.0, 0.0], 3)
+    assert out[2]["format"] == "gif" and out[2]["width"] == 4
+    assert abs(out[2]["mean"] - vals.mean()) < 1e-9
+    assert abs(out[2]["rms"] - float(np.sqrt((vals * vals).mean()))) < 1e-9
