@@ -291,10 +291,12 @@ def decode_media(
                         entry = table[code]
                     elif code < len(table):
                         entry = table[code]
-                        table.append(prev + [entry[0]])
+                        if len(table) < 4096:  # deferred-clear streams:
+                            table.append(prev + [entry[0]])  # stop at 4096
                     else:  # the KwKwK case
                         entry = prev + [prev[0]]
-                        table.append(entry)
+                        if len(table) < 4096:
+                            table.append(entry)
                     out.extend(entry)
                     prev = entry
                     if len(table) == (1 << width) and width < 12:
