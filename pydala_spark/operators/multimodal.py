@@ -341,20 +341,29 @@ def decode_media(
                         if pal is None or iw <= 0 or ih <= 0:
                             return {}
                         min_code = payload[idx]
+                        # spec range: clear code must fit 12 bits; an
+                        # out-of-range byte (crafted/corrupt blob) would
+                        # otherwise size the table 2**min_code — OOM
+                        if not 2 <= min_code <= 11:
+                            return {}
                         idx += 1
-                        lzw = b""
+                        lzw = bytearray()  # O(n) accumulation, not +=
                         while payload[idx]:
                             size = payload[idx]
                             lzw += payload[idx + 1 : idx + 1 + size]
                             idx += 1 + size
-                        pix = _gif_lzw(lzw, min_code, iw * ih)
+                        pix = _gif_lzw(bytes(lzw), min_code, iw * ih)
                         if len(pix) < iw * ih:
                             return {}
                         p = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
                         arr = p[
                             np.clip(np.array(pix[: iw * ih]), 0, len(p) - 1)
                         ].astype(np.float64)
-                        return _image_stats("gif", iw, ih, 3, arr)
+                        # metadata reports the LOGICAL SCREEN dims (what
+                        # every standard decoder calls the image size);
+                        # stats come from the first frame's pixels, whose
+                        # descriptor may cover a sub-region
+                        return _image_stats("gif", w, h, 3, arr)
                     else:  # trailer (0x3B) or junk
                         return {}
                 return {}

@@ -78,7 +78,13 @@ def prep_documents(
     if strip_markup:
         from pydala_spark.operators.scrub import strip_html
 
-        df = df.withColumn(text_col, strip_html(text_col))
+        # with paragraph dedup downstream, keep line breaks — the full
+        # whitespace collapse would fuse each doc into one line and
+        # silently neuter the paragraph stage (r4 review)
+        df = df.withColumn(
+            text_col,
+            strip_html(text_col, preserve_newlines=paragraph_dedup),
+        )
     if redact:
         from pydala_spark.operators.scrub import redact_pii
 

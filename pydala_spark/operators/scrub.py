@@ -162,14 +162,24 @@ HTML_ENTITIES: list[tuple[str, str]] = [
 ]
 
 
-def strip_html(col: str | Column, collapse_whitespace: bool = True) -> Column:
+def strip_html(
+    col: str | Column,
+    collapse_whitespace: bool = True,
+    preserve_newlines: bool = False,
+) -> Column:
     """HTML/markup to plain text — the first step of every web-corpus
     pipeline (C4/RefinedWeb strip markup before any quality signal):
     script/style blocks go WITH their content, comments go, remaining
     tags become spaces (so ``a</p><p>b`` doesn't fuse into ``ab``), the
     six ubiquitous entities decode (one pass, ``&amp;`` last), and
     whitespace collapses. Pure JVM regex column algebra in one codegen
-    stage — no Python, no shuffle, full scan speed at 100 TB."""
+    stage — no Python, no shuffle, full scan speed at 100 TB.
+
+    ``preserve_newlines=True`` collapses only HORIZONTAL whitespace and
+    keeps (deduplicated) line breaks — required when line-structured
+    stages follow (``dedup_paragraphs``: the default full collapse would
+    fuse each document into one line and silently neuter paragraph
+    dedup, r4 review)."""
     c = _text(col)
     for pat in HTML_BLOCK_PATTERNS:
         c = F.regexp_replace(c, pat, " ")
@@ -177,5 +187,10 @@ def strip_html(col: str | Column, collapse_whitespace: bool = True) -> Column:
     for ent, ch in HTML_ENTITIES:
         c = F.replace(c, F.lit(ent), F.lit(ch))
     if collapse_whitespace:
-        c = F.trim(F.regexp_replace(c, r"\s+", " "))
+        if preserve_newlines:
+            c = F.regexp_replace(c, r"[^\S\n]+", " ")  # horizontal only
+            c = F.regexp_replace(c, r" ?\n ?", "\n")
+            c = F.trim(F.regexp_replace(c, r"\n+", "\n"))
+        else:
+            c = F.trim(F.regexp_replace(c, r"\s+", " "))
     return c

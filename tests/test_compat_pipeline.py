@@ -212,3 +212,26 @@ def test_prep_documents_paragraph_dedup_stage(spark):
     assert set(texts) == {1, 2}
     assert texts[1] == f"the quick brown fox jumps high\n{footer}"  # first keeps it
     assert texts[2] == "a very different second document entirely"
+
+
+def test_prep_documents_strip_markup_preserves_lines_for_paragraph_dedup(spark):
+    # r4 review: strip_markup + paragraph_dedup together must still
+    # remove the shared boilerplate LINE (the strip may not fuse docs
+    # into single lines)
+    from pydala_spark.operators.pipeline import prep_documents
+
+    footer = "copyright footer two thousand twenty six all rights"
+    df = spark.createDataFrame(
+        [
+            (1, f"<p>the quick brown fox jumps high</p>\n<i>{footer}</i>"),
+            (2, f"<b>another entirely different page body</b>\n{footer}"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = prep_documents(
+        df, min_quality=0, near_dup=False,
+        strip_markup=True, paragraph_dedup=True,
+    )
+    texts = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert texts[1] == f"the quick brown fox jumps high\n{footer}"
+    assert texts[2] == "another entirely different page body"  # footer deduped

@@ -1216,3 +1216,34 @@ def test_decode_media_gif(spark):
     assert out[2]["format"] == "gif" and out[2]["width"] == 4
     assert abs(out[2]["mean"] - vals.mean()) < 1e-9
     assert abs(out[2]["rms"] - float(np.sqrt((vals * vals).mean()))) < 1e-9
+
+
+def test_decode_media_gif_static_compressed_fixture(spark):
+    # r4 review: a STATIC fixture produced once by an independent
+    # spec-faithful compressing LZW encoder (string-table compression,
+    # early-change width growth) — an 8x6 4-color image whose stream
+    # grows the code width and emits multi-pixel codes. Unlike the
+    # emitter in the test above, these bytes cannot track a regressed
+    # decoder, so any width-timing or dictionary bug fails here.
+    from pydala_spark.operators.multimodal import decode_media
+
+    gif = bytes.fromhex(
+        "474946383961080006008100000a141e3c465078828cc8d2dc2c0000000008"
+        "00060000021104122233a86cde30089e2428666e4d5000003b"
+    )
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(gif))],
+        "media_id long, kind string, content binary",
+    )
+    r = decode_media(df).first()
+    assert (r["format"], r["width"], r["height"]) == ("gif", 8, 6)
+    assert r["mean"] == 107.5
+    assert abs(r["rms"] - 129.00258395344903) < 1e-12
+    # robustness: an out-of-range LZW minimum-code byte must degrade to
+    # a null-format row, not attempt a 2**255-entry table
+    bad = bytearray(gif)
+    bad[gif.index(bytes([0x2C])) + 10] = 0xFF  # min_code byte
+    df2 = spark.createDataFrame(
+        [(1, "image", bad)], "media_id long, kind string, content binary"
+    )
+    assert decode_media(df2).first()["format"] is None
