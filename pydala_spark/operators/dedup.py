@@ -605,8 +605,15 @@ def dedup_paragraphs(
         F.col(id_col).alias("id"),
         F.split(F.col(text_col), re.escape(sep)).alias("__ps"),
     ).withColumn(
+        # coalesce: a NULL text column splits to NULL, and size(NULL) is
+        # NULL — the contract promises 0 (matching text='' / n_kept=0)
         "__np",
-        F.size(F.filter("__ps", lambda p: F.trim(p) != F.lit(""))).cast("long"),
+        F.coalesce(
+            F.size(F.filter("__ps", lambda p: F.trim(p) != F.lit(""))).cast(
+                "long"
+            ),
+            F.lit(0).cast("long"),
+        ),
     )
     paras = (
         base.select("id", F.posexplode_outer("__ps").alias("pos", "para"))

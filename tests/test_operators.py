@@ -1247,3 +1247,15 @@ def test_decode_media_gif_static_compressed_fixture(spark):
         [(1, "image", bad)], "media_id long, kind string, content binary"
     )
     assert decode_media(df2).first()["format"] is None
+
+
+def test_dedup_paragraphs_null_text(spark):
+    # r4: NULL text rows follow the empty-doc contract (text='', 0/0)
+    from pydala_spark.operators import dedup_paragraphs
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a\nb")], "doc_id long, text string"
+    )
+    out = {r["id"]: r for r in dedup_paragraphs(df).collect()}
+    assert out[1]["text"] == "" and out[1]["n_paras"] == 0 and out[1]["n_kept"] == 0
+    assert out[2]["n_paras"] == 2
