@@ -28,6 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from pydala_spark.operators.dedup import (  # noqa: E402
+    dedup_paragraphs,
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -175,6 +176,10 @@ def probe_ops(spark, path: str) -> dict[str, dict]:
     timed(
         "tfidf_top_terms",
         lambda: tfidf_top_terms(docs, "doc_id", "text", top_k=3),
+    )
+    timed(
+        "dedup_paragraphs",
+        lambda: dedup_paragraphs(docs, "doc_id", "text"),
     )
     timed(
         "shard_packing",
