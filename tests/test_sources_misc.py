@@ -329,3 +329,27 @@ def test_configure_storage_sets_live_hadoop_conf(spark):
 
     with _pytest.raises(ValueError, match="account_name"):
         configure_storage(spark, "abfs", account_key="K2")
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    # r4: ORC through the same Dataset/Writer dispatch (Spark-native —
+    # vectorized, pushdown, zstd), incl. hive partitioning + append
+    from pydala_spark.dataset.reader import Dataset
+    from pydala_spark.dataset.writer import Writer
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 2}", float(i)) for i in range(20)], ["id", "g", "v"]
+    )
+    out = str(tmp_path / "orc_ds")
+    w = Writer(spark, out, format="orc", partition_by="g")
+    w.write(df, mode="overwrite")
+    ds = Dataset(spark, out, format="orc")
+    got = ds.load()
+    assert got.count() == 20 and set(got.columns) == {"id", "g", "v"}
+    # predicate pushdown reaches the ORC scan
+    from pyspark.sql import functions as F
+
+    plan = got.where(F.col("id") > 10)._jdf.queryExecution().executedPlan().toString()
+    assert "orc" in plan.lower()
+    w.write(df.where("id < 3"), mode="append")
+    assert Dataset(spark, out, format="orc").count() == 23
