@@ -270,6 +270,7 @@ _FORMAT_BY_EXT = {
     ".arrow": "feather",
     ".csv": "csv",
     ".json": "json",
+    ".orc": "orc",
 }
 
 
