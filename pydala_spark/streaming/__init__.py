@@ -215,3 +215,45 @@ def streaming_dedup(
     else:
         out = df.dropDuplicates(keys)
     return out.drop("__fp") if text_col is not None else out
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower: str = "0 seconds",
+    upper: str = "10 minutes",
+    watermark: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream interval join (event enrichment at ingest): a left
+    event matches right events with the same ``key`` whose timestamp
+    falls in ``[left_ts - lower, left_ts + upper]`` — e.g. joining
+    clicks to the purchases that follow within ten minutes, while both
+    sides are still flowing.
+
+    Both sides carry a watermark, which is what makes this bounded at
+    100 TB: the join state holds only rows inside
+    watermark + interval bounds — late data beyond it is dropped, state
+    is purged as the watermark advances, and the join itself is a
+    key-partitioned shuffle like its batch counterpart. ``how`` may be
+    any join type Structured Streaming supports for stream-stream joins
+    (inner, leftOuter, rightOuter, fullOuter — outer results emit only
+    once the watermark closes the interval).
+
+    Column naming: the right side's key and timestamp are returned as
+    ``right_<name>`` so the joined schema never collides.
+    """
+    l_al = left.withWatermark(left_ts, watermark).alias("l")
+    r_pref = right.select(
+        *[F.col(c).alias(f"right_{c}") for c in right.columns]
+    )
+    r_al = r_pref.withWatermark(f"right_{right_ts}", watermark).alias("r")
+    cond = F.expr(
+        f"l.{key} = r.right_{key} AND "
+        f"r.right_{right_ts} >= l.{left_ts} - interval {lower} AND "
+        f"r.right_{right_ts} <= l.{left_ts} + interval {upper}"
+    )
+    return l_al.join(r_al, cond, how)

@@ -174,3 +174,51 @@ def test_skew_report_flags_hot_key(spark):
     # 101 distinct keys, uniform share would be ~9.9 rows -> ~91x
     assert 85 < rep[0]["x_uniform"] < 95
     assert rep[1]["n_rows"] == 1  # everything else is uniform
+
+
+def test_stream_interval_join(spark, tmp_path):
+    # r4: stream-stream interval join — clicks match purchases by the
+    # same user within [click, click + 10 min); watermarks bound state
+    import datetime as dt
+
+    from pydala_spark.streaming import stream_interval_join
+
+    TS = dt.datetime
+    clicks = spark.createDataFrame(
+        [
+            (1, TS(2024, 1, 1, 10, 0), "c1"),
+            (2, TS(2024, 1, 1, 10, 0), "c2"),
+            (1, TS(2024, 1, 1, 12, 0), "c3"),
+        ],
+        "user_id long, ts timestamp, click string",
+    )
+    purchases = spark.createDataFrame(
+        [
+            (1, TS(2024, 1, 1, 10, 5), 9.99),   # matches c1
+            (2, TS(2024, 1, 1, 11, 0), 5.00),   # outside c2's window
+            (1, TS(2024, 1, 1, 12, 1), 20.00),  # matches c3
+        ],
+        "user_id long, ts timestamp, amount double",
+    )
+    csrc, psrc = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    clicks.write.parquet(csrc)
+    purchases.write.parquet(psrc)
+    cs = spark.readStream.schema(clicks.schema).parquet(csrc)
+    ps = spark.readStream.schema(purchases.schema).parquet(psrc)
+    joined = stream_interval_join(
+        cs, ps, key="user_id", lower="0 seconds", upper="10 minutes",
+        watermark="1 hour",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ij_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["click"], r["right_amount"])
+        for r in spark.sql("SELECT * FROM ij_out").collect()
+    }
+    assert rows == {("c1", 9.99), ("c3", 20.00)}
