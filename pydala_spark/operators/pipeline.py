@@ -44,6 +44,7 @@ def prep_documents(
     redact: bool = False,
     strip_markup: bool = False,
     paragraph_dedup: bool = False,
+    stage_frames: dict | None = None,
 ) -> DataFrame:
     """Return the cleaned corpus: quality columns attached, docs linking
     blocklisted hosts dropped (when ``blocked_hosts`` is given — the
@@ -64,7 +65,18 @@ def prep_documents(
     fingerprinting, so boilerplate never drives the document-level
     dedups. Paragraph dedup rebuilds ``text_col`` via joins that later
     stages re-traverse; for very large corpora persist/write the rebuilt
-    frame between the two phases."""
+    frame between the two phases.
+
+    Pass an empty dict as ``stage_frames`` to receive the intermediate
+    DataFrame after each enabled stage (keys: input, blocklist,
+    paragraph_dedup, repetition, exact_dedup, near_dup, decontaminate,
+    quality) — the hook :func:`pipeline_report` uses to count per-stage
+    survivors without duplicating the stage logic."""
+    def _stage(name: str, frame: DataFrame) -> None:
+        if stage_frames is not None:
+            stage_frames[name] = frame
+
+    _stage("input", df)
     # 0. scrub stages, cheapest-first map-side column algebra. Order:
     # URL blocklist BEFORE the markup strip (filtering reads the raw
     # text's URLs; stripping first would turn <a href> targets into
@@ -75,6 +87,7 @@ def prep_documents(
         from pydala_spark.operators.scrub import filter_host_blocklist
 
         df = filter_host_blocklist(df, blocked_hosts, id_col, text_col)
+        _stage("blocklist", df)
     if strip_markup:
         from pydala_spark.operators.scrub import strip_html
 
@@ -104,6 +117,7 @@ def prep_documents(
                 id_col,
             )
         )
+        _stage("paragraph_dedup", df)
     # 1. quality features (pure column algebra)
     out = quality_stats(df, text_col)
     # 1b. Gopher repetition gate (doc-keyed aggregation, only when asked)
@@ -118,22 +132,27 @@ def prep_documents(
             cond &= F.col("top_ngram_char_frac") <= max_top_ngram_char_frac
         keep = rep.where(cond).select(id_col)
         out = out.join(keep, id_col, "left_semi")
+        _stage("repetition", out)
     # 2. exact dedup: keep the first (lowest-id) doc per fingerprint
     out = out.withColumn("fp", fingerprint(text_col))
     out = apply_distinct(out, subset=["fp"], keep="first", presort=[(id_col, True)])
+    _stage("exact_dedup", out)
     # 3. near-dup removal: greedy drop of the higher id of each LSH pair
     if near_dup:
         sigs = minhash_signatures(out, id_col, text_col, n_hashes=n_hashes)
         pairs = lsh_candidate_pairs(sigs, id_col, n_bands=n_bands)
         losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
         out = out.join(losers, id_col, "left_anti")
+        _stage("near_dup", out)
     # 4. benchmark decontamination (broadcast eval-set shingles)
     if benchmark is not None:
         out = decontaminate(
             out, benchmark, id_col, text_col, min_hits=decontaminate_min_hits
         )
+        _stage("decontaminate", out)
     # 5. quality gate
     out = out.where(F.col("q_score") >= min_quality)
+    _stage("quality", out)
     # 6. training-shard packing over the surviving docs
     if shard_tokens is not None:
         from pydala_spark.operators.packing import pack_shards
@@ -141,3 +160,16 @@ def prep_documents(
 
         out = pack_shards(out, token_count(text_col), id_col, shard_tokens)
     return out
+
+
+def pipeline_report(df: DataFrame, **prep_kwargs) -> dict[str, int]:
+    """Per-stage survivor counts for a :func:`prep_documents` run — the
+    "where did my corpus go" diagnostic every production cleaning job
+    needs when a config change suddenly halves the output. Runs the SAME
+    lazy program (stage frames come from prep_documents itself, so the
+    numbers cannot drift from the real pipeline); cost is one count
+    action per enabled stage, so use it on a sample or during tuning,
+    not inside the hot ingest path."""
+    stages: dict[str, DataFrame] = {}
+    prep_documents(df, stage_frames=stages, **prep_kwargs)
+    return {name: frame.count() for name, frame in stages.items()}

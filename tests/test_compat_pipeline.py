@@ -235,3 +235,24 @@ def test_prep_documents_strip_markup_preserves_lines_for_paragraph_dedup(spark):
     texts = {r["doc_id"]: r["text"] for r in out.collect()}
     assert texts[1] == f"the quick brown fox jumps high\n{footer}"
     assert texts[2] == "another entirely different page body"  # footer deduped
+
+
+def test_pipeline_report_counts_stages(spark):
+    # r4: the per-stage survivor report comes from prep_documents' own
+    # stage frames (cannot drift from the real pipeline)
+    from pydala_spark.operators.pipeline import pipeline_report
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog today"),  # dup
+            (3, "an entirely different document about spark and parquet"),
+            (4, "x"),  # fails the quality gate
+        ],
+        ["doc_id", "text"],
+    )
+    rep = pipeline_report(df, min_quality=2, near_dup=False)
+    assert rep["input"] == 4
+    assert rep["exact_dedup"] == 3  # dup collapsed
+    assert rep["quality"] == 2  # the one-token doc dropped
+    assert "near_dup" not in rep  # disabled stages don't appear
