@@ -44,7 +44,7 @@ from pydala_spark.utils.pathops import PathOps, strip_scheme
 
 TS_FMT = "%Y%m%d_%H%M%S"
 DATA_EXTS = (".parquet", ".csv", ".json", ".feather", ".arrow", ".ipc",
-             ".csv.gz", ".json.gz")
+             ".orc", ".csv.gz", ".json.gz")
 
 
 def _to_ts(value: str | dt.datetime) -> dt.datetime:

@@ -574,7 +574,7 @@ class Writer:
         tmp = local + "__upserting"
         ops.delete(tmp)
         writer = merged.write.mode("overwrite").format(self.format)
-        if self.format == "parquet":
+        if self.format in ("parquet", "orc"):
             writer = writer.option("compression", self.compression)
         elif self.format == "csv":
             writer = writer.option("header", True)

@@ -81,7 +81,7 @@ def incremental_append(
             "zorder_by cannot recluster a hive-partitioned writer "
             f"(partition_by={list(writer.partition_by)}); drop one of the two"
         )
-    if compact_every and writer.format not in ("parquet", "csv", "json"):
+    if compact_every and writer.format not in ("parquet", "csv", "json", "orc"):
         # compact() reads via spark.read.format(...); feather has no
         # Spark datasource and would kill the stream on the Nth batch
         raise ValueError(
@@ -245,15 +245,24 @@ def stream_interval_join(
 
     Column naming: the right side's key and timestamp are returned as
     ``right_<name>`` so the joined schema never collides.
+
+    Oracle note: the ROW-MATCHING semantics (same key, right_ts within
+    an interval of left_ts) are exactly the batch range join already
+    exact-checked as ``q_range_join``; what this operator adds is the
+    streaming execution (watermarks, state purging, append emission),
+    which is not SQL-expressible and is pinned by pytest instead — the
+    same convention as every §2.8 streaming operator.
     """
     l_al = left.withWatermark(left_ts, watermark).alias("l")
     r_pref = right.select(
         *[F.col(c).alias(f"right_{c}") for c in right.columns]
     )
     r_al = r_pref.withWatermark(f"right_{right_ts}", watermark).alias("r")
+    # backquoted identifiers: a hyphenated/spaced column name must not
+    # parse as arithmetic inside the expr (r4 review)
     cond = F.expr(
-        f"l.{key} = r.right_{key} AND "
-        f"r.right_{right_ts} >= l.{left_ts} - interval {lower} AND "
-        f"r.right_{right_ts} <= l.{left_ts} + interval {upper}"
+        f"l.`{key}` = r.`right_{key}` AND "
+        f"r.`right_{right_ts}` >= l.`{left_ts}` - interval {lower} AND "
+        f"r.`right_{right_ts}` <= l.`{left_ts}` + interval {upper}"
     )
     return l_al.join(r_al, cond, how)

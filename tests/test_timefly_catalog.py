@@ -784,3 +784,25 @@ def test_remove_dataset_discovered_returns_true(spark, tmp_path):
     lake = Datalake(spark, str(root))
     assert lake.remove_dataset("orphan", clean=True) is True
     assert not dsdir.exists()
+
+
+def test_timefly_snapshot_orc_dataset(spark, tmp_path):
+    # r4 review: TimeFly must see .orc data files (DATA_EXTS gap made
+    # snapshots record zero files for ORC datasets)
+    from pydala_spark import TimeFly, Writer
+
+    base = str(tmp_path / "orc_tf")
+    Writer(spark, base, format="orc").write(
+        spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]),
+        mode="overwrite",
+    )
+    tf = TimeFly(spark, base, format="orc", snapshot_mode="pointer")
+    tf.new()
+    tf.create_current()  # root .orc files must migrate into current/
+    cur = tf._current_datafiles()
+    assert cur and all(f.endswith(".orc") for f in cur)
+    snap = tf.add_snapshot()
+    manifest = tf._read_snapshot_manifest(snap)
+    assert manifest["files"] and all(
+        f.endswith(".orc") for f in manifest["files"]
+    )
