@@ -641,3 +641,23 @@ def test_carry_forward_name_collision_disambiguates(spark, tmp_path):
         assert fh.read() == b"straggler-content-unique"
     with open(os.path.join(new_dir, "s.parquet"), "rb") as fh:
         assert fh.read() == b"xx"  # compacted output untouched
+
+
+def test_compact_orc_dataset(spark, tmp_path):
+    # r4: compact is format-generic — ORC small files fold together too
+    import os
+
+    from pydala_spark.dataset.maintain import compact
+    from pydala_spark.dataset.reader import Dataset
+    from pydala_spark.dataset.writer import Writer
+
+    base = str(tmp_path / "orc_compact")
+    w = Writer(spark, base, format="orc")
+    for i in range(4):
+        w.write(spark.range(i * 10, (i + 1) * 10).repartition(3))
+    n_before = len([f for f in os.listdir(base) if f.endswith(".orc")])
+    assert n_before >= 8
+    compact(spark, base, target_file_mb=128, format="orc")
+    n_after = len([f for f in os.listdir(base) if f.endswith(".orc")])
+    assert n_after < n_before
+    assert Dataset(spark, base, format="orc").count() == 40

@@ -806,3 +806,27 @@ def test_timefly_snapshot_orc_dataset(spark, tmp_path):
     assert manifest["files"] and all(
         f.endswith(".orc") for f in manifest["files"]
     )
+
+
+def test_datalake_discovers_orc_dataset_format(spark, tmp_path):
+    # r4: a sidecar-bearing ORC dataset loads with its recorded format
+    import json
+
+    from pydala_spark import Datalake, Writer
+
+    root = str(tmp_path / "lake_orc")
+    base = root + "/events_orc"
+    Writer(spark, base, format="orc").write(
+        spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]),
+        mode="overwrite",
+    )
+    import os
+
+    os.makedirs(base, exist_ok=True)
+    with open(base + "/_dataset.json", "w") as f:
+        json.dump({"dataset": {"format": "orc"}}, f)
+    lake = Datalake(spark, root)
+    datasets = lake.load()
+    assert "events_orc" in datasets
+    assert datasets["events_orc"].load().count() == 2
+    assert spark.sql("SELECT COUNT(*) FROM events_orc").first()[0] == 2

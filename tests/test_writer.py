@@ -294,3 +294,24 @@ def test_filename_scheme_reference(spark, tmp_path):
     assert Dataset(spark, out).count() == 2
     with pytest.raises(ValueError, match="filename_scheme"):
         Writer(spark, out, filename_scheme="bogus")
+
+
+def test_filename_scheme_composes_with_time_bucket(spark, tmp_path):
+    # r4: reference filename scheme + time-bucket partitioning compose —
+    # every part file in every bucket directory gets the reference name
+    import re
+
+    out = str(tmp_path / "bucketed_named")
+    w = Writer(spark, out, filename_scheme="reference")
+    df = _events(
+        spark,
+        [(1, TS(2024, 1, 1, 5), 1.0), (2, TS(2024, 1, 2, 6), 2.0),
+         (3, TS(2024, 1, 2, 7), 3.0)],
+    )
+    w.write(df, datetime_column="ts", time_bucket="1d")
+    pat = re.compile(r"^data-\d{8}_\d{9}-\d{6}\.parquet$")
+    found = []
+    for root, _, files in os.walk(out):
+        found += [f for f in files if f.endswith(".parquet")]
+    assert found and all(pat.match(f) for f in found)
+    assert Dataset(spark, out).count() == 3
