@@ -571,6 +571,7 @@ def dedup_paragraphs(
     id_col: str = "doc_id",
     text_col: str = "text",
     sep: str = "\n",
+    max_occurrences: int | None = None,
 ) -> DataFrame:
     """Corpus-wide paragraph-level exact dedup (the Dolma/RefinedWeb
     sub-document step that document-level dedup can't express): every
@@ -584,6 +585,14 @@ def dedup_paragraphs(
     ``sep`` is a LITERAL separator string (regex metacharacters are
     escaped before the split, so ``sep="."`` splits on dots — and the
     reassembly joins the same literal).
+
+    ``max_occurrences`` is the Dolma-style boilerplate killer: a
+    paragraph whose corpus-wide occurrence count EXCEEDS it is dropped
+    from every document INCLUDING the first (a navigation header seen a
+    million times carries no content; keeping one stranded copy just
+    pollutes one arbitrary document). None keeps the plain
+    first-occurrence-wins rule. The count rides the same MIN
+    aggregation — no extra shuffle.
 
     Shape at 100 TB: ``n_paras`` is pure column algebra on the split
     array (no second explode); paragraphs explode via ``posexplode_outer``
@@ -620,12 +629,15 @@ def dedup_paragraphs(
         .where(F.col("para").isNotNull() & (F.trim(F.col("para")) != ""))
     )
     # min over (id, pos, para): (id, pos) is unique, so the struct min IS
-    # the first occurrence, and it carries the paragraph text along
-    kept = (
-        paras.groupBy(F.md5(F.col("para")).alias("__ph"))
-        .agg(F.min(F.struct("id", "pos", "para")).alias("w"))
-        .select("w.id", "w.pos", "w.para")
+    # the first occurrence, and it carries the paragraph text along; the
+    # occurrence count shares the aggregation for the max_occurrences gate
+    grouped = paras.groupBy(F.md5(F.col("para")).alias("__ph")).agg(
+        F.min(F.struct("id", "pos", "para")).alias("w"),
+        F.count("*").alias("__occ"),
     )
+    if max_occurrences is not None:
+        grouped = grouped.where(F.col("__occ") <= max_occurrences)
+    kept = grouped.select("w.id", "w.pos", "w.para")
     rebuilt = kept.groupBy("id").agg(
         F.count("*").cast("long").alias("n_kept"),
         F.array_join(

@@ -1259,3 +1259,69 @@ def test_dedup_paragraphs_null_text(spark):
     out = {r["id"]: r for r in dedup_paragraphs(df).collect()}
     assert out[1]["text"] == "" and out[1]["n_paras"] == 0 and out[1]["n_kept"] == 0
     assert out[2]["n_paras"] == 2
+
+
+def test_dedup_paragraphs_max_occurrences_kills_boilerplate(spark):
+    # r4: max_occurrences drops a ubiquitous line from EVERY doc,
+    # including its first occurrence
+    from pydala_spark.operators import dedup_paragraphs
+
+    nav = "home about contact sitemap"
+    df = spark.createDataFrame(
+        [(i, f"{nav}\ncontent number {i}") for i in range(5)],
+        ["doc_id", "text"],
+    )
+    out = {r["id"]: r["text"] for r in
+           dedup_paragraphs(df, max_occurrences=3).collect()}
+    assert all(t == f"content number {i}" for i, t in out.items())
+    # within the cap: first-occurrence-wins is unchanged
+    out2 = {r["id"]: r["text"] for r in
+            dedup_paragraphs(df, max_occurrences=10).collect()}
+    assert out2[0] == f"{nav}\ncontent number 0"
+    assert out2[1] == "content number 1"
+
+
+def test_decode_media_gif_subcanvas_frame(spark):
+    # r4: a cropped/optimized first frame — metadata must report the
+    # LOGICAL SCREEN (4x4, what every decoder calls the image size)
+    # while stats come from the 2x2 frame region's pixels
+    import numpy as np
+
+    from pydala_spark.operators.multimodal import decode_media
+
+    pal = bytes([0, 0, 0, 255, 255, 255, 10, 10, 10, 20, 20, 20])
+    pix = [0, 1, 1, 0]
+    min_code, clear, eoi = 2, 4, 5
+    codes = [clear] + pix + [eoi]
+    bits, acc, nbits = bytearray(), 0, 0
+    width, tsize, first = 3, 6, False
+    for c in codes:
+        acc |= c << nbits
+        nbits += width
+        while nbits >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+        if c not in (clear, eoi):
+            if first:
+                tsize += 1
+                if tsize == (1 << width) and width < 12:
+                    width += 1
+            first = True
+    if nbits:
+        bits.append(acc & 0xFF)
+    gif = (
+        b"GIF89a" + (4).to_bytes(2, "little") + (4).to_bytes(2, "little")
+        + bytes([0x81, 0, 0]) + pal
+        + b"\x2c" + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (2).to_bytes(2, "little") + (2).to_bytes(2, "little") + b"\x00"
+        + bytes([min_code, len(bits)]) + bytes(bits) + b"\x00\x3b"
+    )
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(gif))],
+        "media_id long, kind string, content binary",
+    )
+    r = decode_media(df).first()
+    assert (r["width"], r["height"]) == (4, 4)  # logical screen
+    vals = np.repeat([0.0, 255.0, 255.0, 0.0], 3)
+    assert abs(r["mean"] - vals.mean()) < 1e-9  # frame pixels only
