@@ -44,6 +44,7 @@ def prep_documents(
     redact: bool = False,
     strip_markup: bool = False,
     paragraph_dedup: bool = False,
+    paragraph_max_occurrences: int | None = None,
     stage_frames: dict | None = None,
 ) -> DataFrame:
     """Return the cleaned corpus: quality columns attached, docs linking
@@ -61,7 +62,8 @@ def prep_documents(
 
     ``strip_markup=True`` converts HTML to text before any signal;
     ``paragraph_dedup=True`` additionally removes corpus-wide repeated
-    lines (``dedup_paragraphs``) and drops hollowed-out docs BEFORE
+    lines (``dedup_paragraphs``; ``paragraph_max_occurrences`` drops
+    ubiquitous boilerplate from every doc) and drops hollowed-out docs BEFORE
     fingerprinting, so boilerplate never drives the document-level
     dedups. Paragraph dedup rebuilds ``text_col`` via joins that later
     stages re-traverse; for very large corpora persist/write the rebuilt
@@ -108,7 +110,10 @@ def prep_documents(
         # for a shared footer should dedup/score on its original lines
         from pydala_spark.operators.dedup import dedup_paragraphs
 
-        rebuilt = dedup_paragraphs(df, id_col=id_col, text_col=text_col)
+        rebuilt = dedup_paragraphs(
+            df, id_col=id_col, text_col=text_col,
+            max_occurrences=paragraph_max_occurrences,
+        )
         df = (
             df.drop(text_col)
             .join(
