@@ -1325,3 +1325,91 @@ def test_decode_media_gif_subcanvas_frame(spark):
     assert (r["width"], r["height"]) == (4, 4)  # logical screen
     vals = np.repeat([0.0, 255.0, 255.0, 0.0], 3)
     assert abs(r["mean"] - vals.mean()) < 1e-9  # frame pixels only
+
+
+def _gif_lzw_compress(pixels, min_code):
+    # spec-faithful compressing GIF-LZW encoder (string table, early
+    # change) — independent of the decoder's internals
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    out_codes = [clear]
+    table = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    w = ()
+    for px in pixels:
+        wk = w + (px,)
+        if wk in table:
+            w = wk
+        else:
+            out_codes.append(table[w])
+            if next_code < 4096:
+                table[wk] = next_code
+                next_code += 1
+            w = (px,)
+    if w:
+        out_codes.append(table[w])
+    out_codes.append(eoi)
+    bits, acc, nbits = bytearray(), 0, 0
+    width, tsize, emitted = min_code + 1, eoi + 1, 0
+    for c in out_codes:
+        acc |= c << nbits
+        nbits += width
+        while nbits >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+        if c == clear:
+            width, tsize, emitted = min_code + 1, eoi + 1, 0
+        elif c != eoi:
+            if emitted and tsize < 4096:
+                tsize += 1
+                if tsize == (1 << width) and width < 12:
+                    width += 1
+            emitted += 1
+    if nbits:
+        bits.append(acc & 0xFF)
+    return bytes(bits)
+
+
+def test_decode_media_gif_randomized_roundtrip(spark):
+    # r4: randomized compressed GIFs (varied dims, palette sizes,
+    # min_code widths) decoded in one Spark job; stats must match the
+    # palette-mapped ground truth exactly
+    import random
+
+    import numpy as np
+
+    from pydala_spark.operators.multimodal import decode_media
+
+    rng = random.Random(42)
+    rows, expected = [], {}
+    for i in range(10):
+        min_code = rng.choice([2, 3, 4])
+        n_colors = 1 << min_code
+        w, h = rng.randint(3, 17), rng.randint(2, 13)
+        pal = bytes(rng.randrange(256) for _ in range(3 * n_colors))
+        pix = [rng.randrange(n_colors) for _ in range(w * h)]
+        lzw = _gif_lzw_compress(pix, min_code)
+        flags = 0x80 | (min_code - 1)
+        gif = (
+            b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+            + bytes([flags, 0, 0]) + pal
+            + b"\x2c" + b"\x00" * 4 + w.to_bytes(2, "little")
+            + h.to_bytes(2, "little") + b"\x00" + bytes([min_code])
+        )
+        for off in range(0, len(lzw), 255):
+            chunk = lzw[off : off + 255]
+            gif += bytes([len(chunk)]) + chunk
+        gif += b"\x00\x3b"
+        p = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
+        vals = p[np.array(pix)].astype(np.float64).ravel()
+        rows.append((i, "image", bytearray(gif)))
+        expected[i] = (w, h, float(vals.mean()),
+                       float(np.sqrt((vals * vals).mean())))
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, content binary"
+    )
+    out = {r["media_id"]: r for r in decode_media(df).collect()}
+    for i, (w, h, mean, rms) in expected.items():
+        r = out[i]
+        assert r["format"] == "gif" and (r["width"], r["height"]) == (w, h), i
+        assert abs(r["mean"] - mean) < 1e-9 and abs(r["rms"] - rms) < 1e-9, i
