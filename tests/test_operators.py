@@ -1413,3 +1413,42 @@ def test_decode_media_gif_randomized_roundtrip(spark):
         r = out[i]
         assert r["format"] == "gif" and (r["width"], r["height"]) == (w, h), i
         assert abs(r["mean"] - mean) < 1e-9 and abs(r["rms"] - rms) < 1e-9, i
+
+
+def test_decode_media_png_randomized_roundtrip(spark):
+    # r4: randomized PNGs (all channel counts, random per-row filters,
+    # varied dims) in one decode job; exact stat match vs ground truth
+    import random
+
+    import numpy as np
+
+    from pydala_spark.operators.multimodal import decode_media
+
+    rng = random.Random(7)
+    rows, expected = [], {}
+    for i in range(8):
+        ch = rng.choice([1, 2, 3, 4])
+        w, h = rng.randint(2, 23), rng.randint(2, 19)
+        pixels = [
+            [rng.randrange(256) for _ in range(ch)] for _ in range(w * h)
+        ]
+        filters = [rng.randint(0, 4) for _ in range(h)]
+
+        def pixel_fn(x, y, c, _p=pixels, _w=w, _ch=ch):
+            return _p[y * _w + x][c]
+
+        png, raw = _make_png(w, h, ch, pixel_fn, filters)
+        flat = np.array([v for row in raw for v in row], dtype=np.float64)
+        rows.append((i, "image", bytearray(png)))
+        expected[i] = (w, h, ch, float(flat.mean()),
+                       float(np.sqrt((flat * flat).mean())))
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, content binary"
+    )
+    out = {r["media_id"]: r for r in decode_media(df).collect()}
+    for i, (w, h, ch, mean, rms) in expected.items():
+        r = out[i]
+        assert (r["format"], r["width"], r["height"], r["channels"]) == (
+            "png", w, h, ch
+        ), i
+        assert abs(r["mean"] - mean) < 1e-9 and abs(r["rms"] - rms) < 1e-9, i
