@@ -96,3 +96,26 @@ def test_upsert_escaped_partition_values(spark, tmp_path):
     )
     rows = {r["id"]: r["v"] for r in Dataset(spark, path).load().collect()}
     assert rows == {1: 99.0, 2: 20.0, 3: 30.0, 4: 40.0}
+
+
+def test_upsert_applies_filename_scheme(spark, tmp_path):
+    # r4: the upsert path also finishes with the reference rename
+    import os
+    import re
+
+    from pydala_spark.dataset.reader import Dataset
+    from pydala_spark.dataset.writer import Writer
+
+    out = str(tmp_path / "ups_named")
+    w = Writer(spark, out, filename_scheme="reference")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    w.write(df, mode="overwrite")
+    w.write(
+        spark.createDataFrame([(2, "B"), (3, "c")], ["id", "v"]),
+        mode="upsert", delta_subset=["id"],
+    )
+    pat = re.compile(r"^data-\d{8}_\d{9}-\d{6}\.parquet$")
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert files and all(pat.match(f) for f in files)
+    got = {r["id"]: r["v"] for r in Dataset(spark, out).load().collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
