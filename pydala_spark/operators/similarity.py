@@ -290,12 +290,17 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.2,
+    score_col: str | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
     the embedding space with a k-means codebook, compare pairs only
     WITHIN a cluster, and drop every document that has a sufficiently
     similar cluster-mate with a smaller id (a deterministic, engine-
     reproducible stand-in for the paper's keep-one-per-group choice).
+    With ``score_col`` the BEST-SCORED member of each similar group
+    survives instead (ties break to the smaller id) — e.g. keep the
+    highest quality_stats/classifier_score document among semantic
+    near-dups rather than an arbitrary lowest id.
     Returns ``(id, cell, kept)`` — callers semi-join ``kept`` against the
     corpus to prune it.
 
@@ -318,15 +323,22 @@ def semantic_dedup(
     from pydala_spark.operators.ann import _assigner
 
     assign = _assigner(np.asarray(centroids, dtype=np.float64), 1)
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("vec")]
+    if score_col:
+        cols.append(F.col(score_col).cast("double").alias("__s"))
     base = (
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        df.select(*cols)
         .withColumn("cell", F.element_at(assign(F.col("vec")), 1))
         .withColumn("__n", norm(F.col("vec")))
     )
-    a = base.select("id", "cell", F.col("vec").alias("vec_a"), F.col("__n").alias("__na"))
+    a = base.select(
+        "id", "cell", F.col("vec").alias("vec_a"), F.col("__n").alias("__na"),
+        *([F.col("__s").alias("__sa")] if score_col else []),
+    )
     b = base.select(
         F.col("id").alias("id_b"), "cell",
         F.col("vec").alias("vec_b"), F.col("__n").alias("__nb"),
+        *([F.col("__s").alias("__sb")] if score_col else []),
     )
     # a doc is dropped iff SOME smaller-id cell-mate is similar enough.
     # One left join on cell + a per-doc MAX aggregate: every a-row
@@ -335,7 +347,16 @@ def semantic_dedup(
     # cell-assignment scan runs exactly twice (the two join sides) —
     # not a third time for a corpus re-join. For repeated sweeps,
     # materialize (id, cell) once instead (see docstring).
-    sim_ok = (F.col("id_b") < F.col("id")) & (
+    # the "b beats a" order: by (score desc, id asc) when scored, by
+    # id asc otherwise — a is dropped iff some similar cell-mate ranks
+    # ahead of it, so exactly the group's top-ranked member survives
+    if score_col:
+        beats = (F.col("__sb") > F.col("__sa")) | (
+            (F.col("__sb") == F.col("__sa")) & (F.col("id_b") < F.col("id"))
+        )
+    else:
+        beats = F.col("id_b") < F.col("id")
+    sim_ok = beats & (
         sim_from_norms(
             F.col("vec_a"), F.col("vec_b"), F.col("__na"), F.col("__nb")
         )

@@ -230,3 +230,25 @@ def test_persisted_ivfpq_index_roundtrip_and_partition_pruning(spark, tmp_path):
     assert sorted(map(tuple, res.collect())) == sorted(map(tuple, direct.collect()))
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()  # probe cells prune the scan
+
+
+def test_semantic_dedup_score_based_survivor(spark):
+    # r4: with score_col, the best-scored member of a similar group
+    # survives (ties -> smaller id), not the lowest id
+    from pydala_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (0, [10.0, 0.0], 0.1),
+        (1, [10.001, 0.0], 0.9),  # best quality of the near-dup group
+        (2, [10.002, 0.0], 0.9),  # ties with 1 -> 1 wins
+        (3, [0.0, 10.0], 0.5),    # different cell, always kept
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "quality"])
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    out = {r["id"]: r["kept"] for r in semantic_dedup(
+        df, cents, threshold=0.99, score_col="quality").collect()}
+    assert out == {0: False, 1: True, 2: False, 3: True}
+    # default stays lowest-id
+    out2 = {r["id"]: r["kept"] for r in semantic_dedup(
+        df, cents, threshold=0.99).collect()}
+    assert out2 == {0: True, 1: False, 2: False, 3: True}
