@@ -45,6 +45,7 @@ def prep_documents(
     strip_markup: bool = False,
     paragraph_dedup: bool = False,
     paragraph_max_occurrences: int | None = None,
+    near_dup_score_col: str | None = None,
     stage_frames: dict | None = None,
 ) -> DataFrame:
     """Return the cleaned corpus: quality columns attached, docs linking
@@ -142,11 +143,34 @@ def prep_documents(
     out = out.withColumn("fp", fingerprint(text_col))
     out = apply_distinct(out, subset=["fp"], keep="first", presort=[(id_col, True)])
     _stage("exact_dedup", out)
-    # 3. near-dup removal: greedy drop of the higher id of each LSH pair
+    # 3. near-dup removal: greedy per-pair drop. Default loser is the
+    # higher id; with ``near_dup_score_col`` (e.g. "q_score", already on
+    # ``out`` by this stage) the LOWER-SCORED member of each pair drops,
+    # ties falling back to the higher id — keep the best-quality copy,
+    # not an arbitrary one. One extra broadcast-sized join of the pair
+    # list against the (id, score) projection; plan shape unchanged.
     if near_dup:
         sigs = minhash_signatures(out, id_col, text_col, n_hashes=n_hashes)
         pairs = lsh_candidate_pairs(sigs, id_col, n_bands=n_bands)
-        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        if near_dup_score_col:
+            sc = out.select(
+                F.col(id_col).alias("__sid"),
+                F.col(near_dup_score_col).cast("double").alias("__sc"),
+            )
+            p2 = (
+                pairs.join(sc, pairs["id_a"] == F.col("__sid"))
+                .withColumnRenamed("__sc", "__sc_a").drop("__sid")
+                .join(sc, pairs["id_b"] == F.col("__sid"))
+                .withColumnRenamed("__sc", "__sc_b").drop("__sid")
+            )
+            loser = (
+                F.when(F.col("__sc_a") < F.col("__sc_b"), F.col("id_a"))
+                .when(F.col("__sc_b") < F.col("__sc_a"), F.col("id_b"))
+                .otherwise(F.greatest("id_a", "id_b"))
+            )
+            losers = p2.select(loser.alias(id_col)).distinct()
+        else:
+            losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
         out = out.join(losers, id_col, "left_anti")
         _stage("near_dup", out)
     # 4. benchmark decontamination (broadcast eval-set shingles)

@@ -256,3 +256,24 @@ def test_pipeline_report_counts_stages(spark):
     assert rep["exact_dedup"] == 3  # dup collapsed
     assert rep["quality"] == 2  # the one-token doc dropped
     assert "near_dup" not in rep  # disabled stages don't appear
+
+
+def test_prep_documents_near_dup_keeps_best_score(spark):
+    # r4: near_dup_score_col drops the lower-quality member of each LSH
+    # pair — the higher id survives when it scores better
+    from pydala_spark.operators.pipeline import prep_documents
+
+    short = "the quick brown fox jumps over the lazy dog today"
+    long_ = short + " with much more useful additional context attached here"
+    df = spark.createDataFrame(
+        [(1, short), (2, long_)], ["doc_id", "text"]
+    )
+    # default: lower id (the SHORT doc) wins
+    base = prep_documents(df, min_quality=0, near_dup=True)
+    assert {r["doc_id"] for r in base.collect()} == {1}
+    # scored on length: the richer doc 2 wins despite the higher id
+    scored = df.withColumn("len_score", F.length("text").cast("double"))
+    best = prep_documents(
+        scored, min_quality=0, near_dup=True, near_dup_score_col="len_score"
+    )
+    assert {r["doc_id"] for r in best.collect()} == {2}
