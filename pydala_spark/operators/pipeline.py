@@ -8,7 +8,8 @@ pipeline; Catalyst sees every stage).
 
 Scale: stages are the shuffle-analyzed operators from operators/dedup.py
 (see SCALE.md); the near-dup removal is greedy — of each candidate pair
-the higher id drops. Greedy pair-drop approximates connected-component
+the higher id drops (or the lower-scored member, with
+``near_dup_score_col``). Greedy pair-drop approximates connected-component
 dedup without an iterative algorithm; corpora with long duplicate chains
 can iterate the near-dup stage (each pass is one LSH round).
 """
@@ -54,7 +55,8 @@ def prep_documents(
     dropped docs), PII spans redacted in place (``redact=True`` — before
     fingerprinting, so near-identical docs differing only in contact
     info dedup together), exact and near duplicates removed (keeping the
-    lowest id), benchmark-contaminated docs dropped (when ``benchmark``
+    lowest id — or, for near-dups with ``near_dup_score_col``, the
+    best-scored member of each pair, NULL scores losing first), benchmark-contaminated docs dropped (when ``benchmark``
     is given), low-quality and (when the ``max_*`` thresholds are set)
     repetition-heavy docs dropped per the Gopher rules — and, when
     ``shard_tokens`` is set, packed into fixed-token-budget training
@@ -75,6 +77,17 @@ def prep_documents(
     paragraph_dedup, repetition, exact_dedup, near_dup, decontaminate,
     quality) — the hook :func:`pipeline_report` uses to count per-stage
     survivors without duplicating the stage logic."""
+    if paragraph_max_occurrences is not None:
+        # the cap only means anything inside the paragraph stage; a
+        # silently ignored knob would ship the boilerplate it promised
+        # to drop (r4 review)
+        paragraph_dedup = True
+    if near_dup_score_col and not near_dup:
+        raise ValueError(
+            "near_dup_score_col requires near_dup=True — with the "
+            "near-dup stage disabled the score would be silently ignored"
+        )
+
     def _stage(name: str, frame: DataFrame) -> None:
         if stage_frames is not None:
             stage_frames[name] = frame
@@ -153,22 +166,39 @@ def prep_documents(
         sigs = minhash_signatures(out, id_col, text_col, n_hashes=n_hashes)
         pairs = lsh_candidate_pairs(sigs, id_col, n_bands=n_bands)
         if near_dup_score_col:
+            # ONE join of the exploded pair members against the (id,
+            # score) projection (joining the corpus projection twice
+            # would traverse the whole upstream lineage twice — r4
+            # review), then a per-pair MIN_BY over (score asc, id desc):
+            # the loser is the lower-scored member, NULL scores rank as
+            # -inf (lose first), ties drop the higher id — identical to
+            # semantic_dedup's scored rule
             sc = out.select(
                 F.col(id_col).alias("__sid"),
-                F.col(near_dup_score_col).cast("double").alias("__sc"),
+                F.coalesce(
+                    F.col(near_dup_score_col).cast("double"),
+                    F.lit(float("-inf")),
+                ).alias("__sc"),
             )
-            p2 = (
-                pairs.join(sc, pairs["id_a"] == F.col("__sid"))
-                .withColumnRenamed("__sc", "__sc_a").drop("__sid")
-                .join(sc, pairs["id_b"] == F.col("__sid"))
-                .withColumnRenamed("__sc", "__sc_b").drop("__sid")
+            ex = pairs.select(
+                "id_a", "id_b",
+                F.explode(F.array("id_a", "id_b")).alias("__mid"),
             )
-            loser = (
-                F.when(F.col("__sc_a") < F.col("__sc_b"), F.col("id_a"))
-                .when(F.col("__sc_b") < F.col("__sc_a"), F.col("id_b"))
-                .otherwise(F.greatest("id_a", "id_b"))
+            losers = (
+                ex.join(sc, F.col("__mid") == F.col("__sid"))
+                .groupBy("id_a", "id_b")
+                .agg(
+                    F.min_by(
+                        "__mid",
+                        F.struct(
+                            F.col("__sc").alias("s"),
+                            (-F.col("__mid")).alias("ni"),
+                        ),
+                    ).alias(id_col)
+                )
+                .select(id_col)
+                .distinct()
             )
-            losers = p2.select(loser.alias(id_col)).distinct()
         else:
             losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
         out = out.join(losers, id_col, "left_anti")

@@ -349,11 +349,16 @@ def semantic_dedup(
     # materialize (id, cell) once instead (see docstring).
     # the "b beats a" order: by (score desc, id asc) when scored, by
     # id asc otherwise — a is dropped iff some similar cell-mate ranks
-    # ahead of it, so exactly the group's top-ranked member survives
+    # ahead of it, so exactly the group's top-ranked member survives.
+    # NULL scores rank as -inf (a scored doc always beats an unscored
+    # near-dup; two NULLs fall back to id order) — without the coalesce
+    # a NULL on either side would null the comparison and silently keep
+    # BOTH near-duplicates (r4 review).
     if score_col:
-        beats = (F.col("__sb") > F.col("__sa")) | (
-            (F.col("__sb") == F.col("__sa")) & (F.col("id_b") < F.col("id"))
-        )
+        neg_inf = F.lit(float("-inf"))
+        sa = F.coalesce(F.col("__sa"), neg_inf)
+        sb = F.coalesce(F.col("__sb"), neg_inf)
+        beats = (sb > sa) | ((sb == sa) & (F.col("id_b") < F.col("id")))
     else:
         beats = F.col("id_b") < F.col("id")
     sim_ok = beats & (

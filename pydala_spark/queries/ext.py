@@ -1202,15 +1202,18 @@ def _ann_topk_sql() -> str:
 
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style pruning over the pinned IVF codebook: per k-means
-    cell, drop every vector with a smaller-id cell-mate at cosine >=
-    0.25. Emits (vec_id, cell, kept) for the whole corpus — exact-
-    checkable because the codebook is pinned and the keep rule is
-    deterministic."""
+    """SemDeDup-style pruning over the pinned IVF codebook with the
+    round-4 SCORED survivor rule: per k-means cell, among cell-mates at
+    cosine >= 0.25 the best ``label`` survives (score desc, id asc
+    tiebreak — ``score_col="label"`` stands in for a quality score).
+    Emits (vec_id, cell, kept) for the whole corpus — exact-checkable
+    because the codebook is pinned and the keep rule is deterministic."""
     from pydala_spark.operators.similarity import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    out = semantic_dedup(emb, _ivf_centroids(), threshold=0.25)
+    out = semantic_dedup(
+        emb, _ivf_centroids(), threshold=0.25, score_col="label"
+    )
     return out.select(
         F.col("id").alias("vec_id"), F.col("cell").cast("int").alias("cell"), "kept"
     )
@@ -1219,25 +1222,30 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _semantic_dedup_sql(threshold: float = 0.25) -> str:
     """Oracle: same pinned-centroid argmax cell assignment as
     _ivf_topk_sql (1-based subscripts shifted to the operator's 0-based
-    cells), then the drop rule as a smaller-id in-cell similarity join."""
+    cells), then the scored drop rule as an in-cell similarity join —
+    dropped iff a similar cell-mate ranks ahead by (label desc, id asc),
+    mirroring semantic_dedup(score_col="label")."""
     cents = _ivf_centroids()
     dots = ", ".join(
         "list_dot_product(e, [" + ", ".join(repr(v) for v in c) + "])"
         for c in cents
     )
     return f"""
-WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-d AS (SELECT vec_id, e, [{dots}] AS dots FROM b),
-u AS (SELECT vec_id, e, unnest(dots) AS dp,
+WITH b AS (SELECT vec_id, CAST(label AS DOUBLE) AS score,
+                  CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+d AS (SELECT vec_id, score, e, [{dots}] AS dots FROM b),
+u AS (SELECT vec_id, score, e, unnest(dots) AS dp,
              generate_subscripts(dots, 1) AS cell FROM d),
 asgn AS (
-  SELECT vec_id, e, CAST(cell - 1 AS INT) AS cell FROM (
+  SELECT vec_id, score, e, CAST(cell - 1 AS INT) AS cell FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                                  ORDER BY dp DESC, cell) AS r FROM u)
   WHERE r = 1),
 dr AS (
   SELECT DISTINCT a.vec_id FROM asgn a JOIN asgn b2
-    ON a.cell = b2.cell AND b2.vec_id < a.vec_id
+    ON a.cell = b2.cell
+   AND (b2.score > a.score
+        OR (b2.score = a.score AND b2.vec_id < a.vec_id))
   WHERE list_cosine_similarity(a.e, b2.e) >= {threshold})
 SELECT a.vec_id, a.cell, (dr.vec_id IS NULL) AS kept
 FROM asgn a LEFT JOIN dr ON a.vec_id = dr.vec_id

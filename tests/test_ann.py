@@ -252,3 +252,24 @@ def test_semantic_dedup_score_based_survivor(spark):
     out2 = {r["id"]: r["kept"] for r in semantic_dedup(
         df, cents, threshold=0.99).collect()}
     assert out2 == {0: True, 1: False, 2: False, 3: True}
+
+
+def test_semantic_dedup_null_scores_fall_back_to_id(spark):
+    # r4 review: NULL scores rank as -inf — a scored doc beats an
+    # unscored near-dup, two NULLs fall back to smallest id (the NULL
+    # comparison must not silently keep both duplicates)
+    from pydala_spark.operators.similarity import semantic_dedup
+
+    df = spark.createDataFrame(
+        [
+            (0, [10.0, 0.0], None),   # unscored loses to scored 1
+            (1, [10.001, 0.0], 0.4),
+            (5, [0.0, 10.0], None),   # two NULLs: smaller id wins
+            (6, [0.0, 10.001], None),
+        ],
+        "vec_id long, embedding array<double>, quality double",
+    )
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    out = {r["id"]: r["kept"] for r in semantic_dedup(
+        df, cents, threshold=0.99, score_col="quality").collect()}
+    assert out == {0: False, 1: True, 5: True, 6: False}

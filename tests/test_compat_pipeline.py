@@ -277,3 +277,24 @@ def test_prep_documents_near_dup_keeps_best_score(spark):
         scored, min_quality=0, near_dup=True, near_dup_score_col="len_score"
     )
     assert {r["doc_id"] for r in best.collect()} == {2}
+
+
+def test_prep_documents_knob_validation(spark):
+    # r4 review: paragraph_max_occurrences implies the paragraph stage;
+    # near_dup_score_col without near_dup is an error, not a silent no-op
+    from pydala_spark.operators.pipeline import prep_documents
+
+    footer = "subscribe to the newsletter today please friends"
+    df = spark.createDataFrame(
+        [(i, f"{footer}\ncontent {i} number {i}") for i in range(4)],
+        ["doc_id", "text"],
+    )
+    out = prep_documents(
+        df, min_quality=0, near_dup=False, paragraph_max_occurrences=2
+    )
+    texts = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert all(footer not in t for t in texts.values())  # stage implied
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="near_dup_score_col"):
+        prep_documents(df, near_dup=False, near_dup_score_col="x")
