@@ -50,11 +50,25 @@ def dedup_exact(
     df: DataFrame, id_col: str, text_col: str = "text"
 ) -> DataFrame:
     """One row per distinct normalized text: keeps the minimum id
-    (deterministic), adds the group size as ``n_dups``."""
+    (deterministic), adds the group size as ``n_dups``.
+
+    A NULL fingerprint (empty normalized text — punctuation-only doc,
+    see :func:`~pydala_spark.operators.textstats.fingerprint`) never
+    joins a dedup group: the groupBy key falls back to a per-row
+    surrogate (``\\x00`` prefix — outside md5's hex alphabet, so it can
+    never collide with a real fingerprint), keeping every contentless
+    doc as its own singleton instead of collapsing them all into one
+    NULL group."""
+    surrogate = F.concat(F.lit("\x00id:"), F.col(id_col).cast("string"))
     return (
         df.withColumn("fp", fingerprint(text_col))
-        .groupBy("fp")
-        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_dups"))
+        .groupBy(F.coalesce(F.col("fp"), surrogate).alias("__gk"))
+        .agg(
+            F.min("fp").alias("fp"),
+            F.min(id_col).alias(id_col),
+            F.count("*").alias("n_dups"),
+        )
+        .select("fp", id_col, "n_dups")
     )
 
 

@@ -152,9 +152,20 @@ def prep_documents(
         keep = rep.where(cond).select(id_col)
         out = out.join(keep, id_col, "left_semi")
         _stage("repetition", out)
-    # 2. exact dedup: keep the first (lowest-id) doc per fingerprint
+    # 2. exact dedup: keep the first (lowest-id) doc per fingerprint.
+    # NULL fingerprints (empty normalized text) dedup on a per-row
+    # surrogate so punctuation-only docs never collapse into one NULL
+    # group (textstats.fingerprint contract)
     out = out.withColumn("fp", fingerprint(text_col))
-    out = apply_distinct(out, subset=["fp"], keep="first", presort=[(id_col, True)])
+    out = out.withColumn(
+        "__fpk",
+        F.coalesce(
+            F.col("fp"), F.concat(F.lit("\x00id:"), F.col(id_col).cast("string"))
+        ),
+    )
+    out = apply_distinct(
+        out, subset=["__fpk"], keep="first", presort=[(id_col, True)]
+    ).drop("__fpk")
     _stage("exact_dedup", out)
     # 3. near-dup removal: greedy per-pair drop. Default loser is the
     # higher id; with ``near_dup_score_col`` (e.g. "q_score", already on

@@ -35,25 +35,46 @@ def token_count(col: str | Column) -> Column:
     return F.size(tokens(col))
 
 
-def word_regex_tokens(col: str | Column, pattern: str = r"[a-z0-9']+") -> Column:
+#: Unicode-aware token / normalization classes (round 5). ``\p{L}`` /
+#: ``\p{N}`` are the Unicode letter/digit categories with the SAME syntax
+#: and semantics in Java regex (Spark) and RE2 (DuckDB), so every oracle
+#: stays portable. The previous ASCII classes (``[a-z0-9]``) normalized
+#: every non-Latin document — CJK, Cyrillic, Arabic, Greek… — to the
+#: EMPTY string, giving an entire non-English corpus ONE shared
+#: fingerprint and collapsing it to a single doc under exact dedup.
+WORD_TOKEN_PATTERN = r"[\p{L}\p{N}']+"
+NORMALIZE_STRIP_PATTERN = r"[^\p{L}\p{N} ]"
+
+
+def word_regex_tokens(
+    col: str | Column, pattern: str = WORD_TOKEN_PATTERN
+) -> Column:
     """BPE-ish regex tokenization: all matches of ``pattern`` over the
     lowercased text (the parameter is honored — it previously silently
-    fell back to the default split)."""
+    fell back to the default split). The default pattern matches runs of
+    Unicode letters/digits, so CJK/Cyrillic/Arabic text yields real
+    tokens instead of none."""
     c = F.col(col) if isinstance(col, str) else col
     return F.regexp_extract_all(F.lower(c), F.lit(pattern), F.lit(0))
 
 
 def normalize_text(col: str | Column) -> Column:
-    """Canonical form for fingerprinting: lowercase, strip non-alnum,
-    collapse whitespace."""
+    """Canonical form for fingerprinting: lowercase, strip everything
+    outside Unicode letters/digits/space, collapse whitespace."""
     c = F.col(col) if isinstance(col, str) else col
-    cleaned = F.regexp_replace(F.lower(c), r"[^a-z0-9 ]", " ")
+    cleaned = F.regexp_replace(F.lower(c), NORMALIZE_STRIP_PATTERN, " ")
     return F.trim(F.regexp_replace(cleaned, r"\s+", " "))
 
 
 def fingerprint(col: str | Column) -> Column:
-    """Deterministic document fingerprint: md5 of the normalized text."""
-    return F.md5(normalize_text(col))
+    """Deterministic document fingerprint: md5 of the normalized text —
+    NULL when the normalized text is EMPTY (no letters or digits at
+    all). A NULL fingerprint must never join a dedup group: punctuation-
+    only docs carry no content signal, and a shared sentinel hash would
+    silently merge all of them into one surviving document
+    (``dedup_exact`` / ``prep_documents`` key on a per-row surrogate for
+    the NULL case)."""
+    return F.md5(F.nullif(normalize_text(col), F.lit("")))
 
 
 def winnowing_fingerprints(
@@ -92,6 +113,44 @@ def winnowing_fingerprints(
     return hash_df.select("id", F.array_sort(F.array_distinct(fps)).alias("fps"))
 
 
+#: Coarse Unicode-script code-point ranges → language, in PRIORITY order
+#: (earlier entries win ties): kana implies Japanese even though Han
+#: characters are present too, Hangul implies Korean, bare Han Chinese,
+#: then Cyrillic/Arabic/Devanagari/Greek. Ranges are emitted as LITERAL
+#: character-class endpoints (``[぀-ヿ]``), which mean the same thing in
+#: Java regex and RE2 — no ``\p{IsHan}`` vs ``\p{Han}`` dialect split —
+#: so the DuckDB oracle reuses the identical pattern strings.
+SCRIPT_RANGES: dict[str, list[tuple[int, int]]] = {
+    "ja": [(0x3040, 0x30FF)],  # Hiragana + Katakana
+    "ko": [(0xAC00, 0xD7A3)],  # Hangul syllables
+    "zh": [(0x4E00, 0x9FFF)],  # CJK Unified Ideographs
+    "ru": [(0x0400, 0x04FF)],  # Cyrillic
+    "ar": [(0x0600, 0x06FF)],  # Arabic
+    "hi": [(0x0900, 0x097F)],  # Devanagari
+    "el": [(0x0370, 0x03FF)],  # Greek and Coptic
+}
+
+
+def script_class(lang: str) -> str:
+    """Regex character class covering ``lang``'s script ranges (literal
+    endpoints — portable across Java regex and RE2)."""
+    return (
+        "["
+        + "".join(f"{chr(lo)}-{chr(hi)}" for lo, hi in SCRIPT_RANGES[lang])
+        + "]"
+    )
+
+
+def script_char_counts(col: str | Column) -> dict[str, Column]:
+    """Per-script character counts over the raw text (case-carrying
+    scripts keep their upper-case rows inside the same block)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        lang: F.regexp_count(c, F.lit(script_class(lang)))
+        for lang in SCRIPT_RANGES
+    }
+
+
 def stopword_hits(col: str | Column, words: list[str]) -> Column:
     """Number of tokens that are in ``words`` (counts duplicates)."""
     toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
@@ -103,15 +162,37 @@ def lang_scores(col: str | Column) -> dict[str, Column]:
 
 
 def predict_lang(col: str | Column, default: str = "other") -> Column:
-    """Argmax stopword-hit language with deterministic tie-break (the
-    ordering of STOPWORDS); 0 hits everywhere -> ``default``."""
-    scores = lang_scores(col)
+    """Two-stage language ID, pure column algebra (codegen-friendly,
+    oracle-exact):
+
+    1. **Script stage** (round 5): count characters per non-Latin script
+       (``SCRIPT_RANGES`` — Han/kana/Hangul/Cyrillic/Arabic/Devanagari/
+       Greek). If the best script's character count EXCEEDS the Latin
+       letter count, the doc is that script's language (priority-order
+       tie-break: kana beats Han, so Japanese text with kanji stays
+       ``ja``). Before this stage every non-Latin doc fell through to
+       ``default`` because stopword lists only know Latin scripts.
+    2. **Stopword stage**: argmax stopword-hit language among the Latin
+       ``STOPWORDS`` lists with deterministic tie-break (dict order);
+       0 hits everywhere -> ``default``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    # stage 2 first (the fallback expression)
+    scores = lang_scores(c)
     best_lang = F.lit(default)
     best_score = F.lit(0)
     for lang, score in scores.items():  # later entries win only strictly
         best_lang = F.when(score > best_score, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(score > best_score, score).otherwise(best_score)
-    return best_lang
+    # stage 1: script counts (earlier entries win ties -> strict >)
+    sc = script_char_counts(c)
+    best_script = F.lit(None).cast("string")
+    best_count = F.lit(0)
+    for lang, cnt in sc.items():
+        best_script = F.when(cnt > best_count, F.lit(lang)).otherwise(best_script)
+        best_count = F.when(cnt > best_count, cnt).otherwise(best_count)
+    latin = F.regexp_count(F.lower(c), F.lit("[a-z]"))
+    return F.when(best_count > latin, best_script).otherwise(best_lang)
 
 
 def chunk_documents(

@@ -32,7 +32,14 @@ from pydala_spark.operators.textstats import (
 )
 from pydala_spark.sources import load_table
 
-_WORD_SPLIT_SQL = "list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), x -> x <> '')"
+# DuckDB mirror of textstats.word_regex_tokens' default: split on the
+# complement of WORD_TOKEN_PATTERN's class. \p{L}/\p{N} mean the same in
+# RE2 and Java regex (round 5: Unicode classes, so non-Latin text
+# tokenizes — tests/test_operators.py pins the two patterns together).
+_WORD_SPLIT_SQL = (
+    "list_filter(string_split_regex(lower(text), "
+    "'[^\\p{L}\\p{N}'']+'), x -> x <> '')"
+)
 
 
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -356,14 +363,44 @@ _Q_TEXT_PROFILE_SQL = (
 )
 
 
+#: Planted multi-script docs for the round-5 ``script`` family: each
+#: exercises one stage of the two-stage predict_lang (script-ratio
+#: first, Latin stopwords second). Shared verbatim with the oracle's
+#: VALUES clause. sid 1 mixes kana+kanji (kana priority → ja); sid 10
+#: is English with two stray Han chars (latin majority → stopword
+#: stage → en); sid 11 is digits/punctuation only → 'other'.
+_SCRIPT_DOCS: list[tuple[int, str]] = [
+    (1, "日本語のテキストです 漢字も含む"),
+    (2, "한국어 텍스트입니다"),
+    (3, "这是一段中文文本 没有假名"),
+    (4, "Это русский текст для проверки"),
+    (5, "هذا نص عربي للاختبار"),
+    (6, "यह हिंदी पाठ है"),
+    (7, "Ελληνικό κείμενο εδώ"),
+    (8, "the quick brown fox is definitely an english sentence"),
+    (9, "le chat est sur la table pour le test dans ce cas"),
+    (10, "english sentence that mentions 你好 once for the mixed case"),
+    (11, "12345 67890 !!!"),
+]
+
+
 def q_lang_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-hit language ID vs the labeled lang (confusion counts)."""
+    """Language ID, two families tag-unioned: ``stop`` — stopword-hit
+    confusion counts over the (Latin-script) corpus vs the labeled lang;
+    ``script`` (round 5) — the Unicode-script stage over planted
+    multi-script docs (textstats.SCRIPT_RANGES char-class ratios beat
+    stopwords whenever a non-Latin script outnumbers Latin letters)."""
+    from pydala_spark.queries.merged import _tagged_union
+
     docs = load_table(spark, sf_dir, "documents")
-    return (
+    stop = (
         docs.withColumn("lang_pred", predict_lang("text"))
         .groupBy("lang", "lang_pred")
         .agg(F.count("*").alias("n"))
     )
+    planted = spark.createDataFrame(_SCRIPT_DOCS, "sid bigint, text string")
+    script = planted.select("sid", predict_lang("text").alias("lang_pred"))
+    return _tagged_union([("stop", stop), ("script", script)])
 
 
 def _hits_sql(lang: str) -> str:
@@ -374,26 +411,83 @@ def _hits_sql(lang: str) -> str:
     )
 
 
-_Q_LANG_SQL = f"""
+#: the stopword-argmax CASE (Spark iterates en,de,es,fr with
+#: strictly-greater wins — equivalent to this nested-GREATEST chain)
+_STOPWORD_CASE = """CASE WHEN h_fr > GREATEST(h_en, h_de, h_es) THEN 'fr'
+       WHEN h_es > GREATEST(h_en, h_de) THEN 'es'
+       WHEN h_de > h_en THEN 'de'
+       WHEN h_en > 0 THEN 'en'
+       ELSE 'other' END"""
+
+
+def _script_stage_sql() -> tuple[str, str, str]:
+    """(count-select-list, best expr, script CASE) mirroring
+    textstats.predict_lang's script stage — the SAME literal char-class
+    strings, priority order = SCRIPT_RANGES order (earlier wins ties,
+    matching Spark's strictly-greater iteration)."""
+    from pydala_spark.operators.textstats import SCRIPT_RANGES, script_class
+
+    langs = list(SCRIPT_RANGES)
+    counts = ", ".join(
+        f"LEN(regexp_extract_all(text, '{script_class(lang)}')) AS c_{lang}"
+        for lang in langs
+    )
+    best = "GREATEST(" + ", ".join(f"c_{lang}" for lang in langs) + ")"
+    case = (
+        "CASE "
+        + " ".join(f"WHEN c_{lang} = best THEN '{lang}'" for lang in langs)
+        + " END"
+    )
+    return counts, best, case
+
+
+def _lang_sql() -> str:
+    counts, best, case = _script_stage_sql()
+    rows = ", ".join(f"({i}, '{t}')" for i, t in _SCRIPT_DOCS)
+    return f"""
 WITH s AS (
   SELECT lang, {_hits_sql('en')} AS h_en, {_hits_sql('de')} AS h_de,
          {_hits_sql('es')} AS h_es, {_hits_sql('fr')} AS h_fr
   FROM documents
-)
-SELECT lang,
-  CASE WHEN h_fr > GREATEST(h_en, h_de, h_es) THEN 'fr'
-       WHEN h_es > GREATEST(h_en, h_de) THEN 'es'
-       WHEN h_de > h_en THEN 'de'
-       WHEN h_en > 0 THEN 'en'
-       ELSE 'other' END AS lang_pred,
-  COUNT(*) AS n
-FROM s GROUP BY 1, 2
+),
+u(sid, text) AS (VALUES {rows}),
+uc AS (
+  SELECT sid, {counts},
+         LEN(regexp_extract_all(lower(text), '[a-z]')) AS latin,
+         {_hits_sql('en')} AS h_en, {_hits_sql('de')} AS h_de,
+         {_hits_sql('es')} AS h_es, {_hits_sql('fr')} AS h_fr
+  FROM u
+),
+ub AS (SELECT *, {best} AS best FROM uc)
+SELECT 'stop' AS family, lang, {_STOPWORD_CASE} AS lang_pred,
+       COUNT(*) AS n, CAST(NULL AS BIGINT) AS sid
+FROM s GROUP BY 1, 2, 3
+UNION ALL
+SELECT 'script', CAST(NULL AS VARCHAR),
+       CASE WHEN best > latin THEN {case} ELSE {_STOPWORD_CASE} END,
+       CAST(NULL AS BIGINT), sid
+FROM ub
 """
 
-_NORM_SQL = (
-    "TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', ' ', 'g'),"
-    " '\\s+', ' ', 'g'))"
-)
+
+_Q_LANG_SQL = _lang_sql()
+
+def _norm_sql(col: str = "text") -> str:
+    """DuckDB mirror of textstats.normalize_text (Unicode classes,
+    round 5 — identical semantics in RE2 and Java regex)."""
+    return (
+        f"TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER({col}), "
+        "'[^\\p{L}\\p{N} ]', ' ', 'g'), '\\s+', ' ', 'g'))"
+    )
+
+
+def _fp_sql(col: str = "text") -> str:
+    """DuckDB mirror of textstats.fingerprint: md5 of the normalized
+    text, NULL when the normalized text is empty."""
+    return f"MD5(NULLIF({_norm_sql(col)}, ''))"
+
+
+_NORM_SQL = _norm_sql()
 
 
 def q_fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -441,8 +535,8 @@ f AS (
   FROM h
 )
 SELECT 'fp' AS family, source, COUNT(*) AS n_docs,
-       COUNT(DISTINCT MD5({_NORM_SQL})) AS n_distinct,
-       MAX(MD5({_NORM_SQL})) AS max_fp,
+       COUNT(DISTINCT {_fp_sql()}) AS n_distinct,
+       MAX({_fp_sql()}) AS max_fp,
        CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_fps,
        CAST(NULL AS VARCHAR) AS min_fp
 FROM documents GROUP BY source
@@ -453,13 +547,46 @@ FROM f
 """
 
 
+#: Planted multilingual docs for the round-5 ``uni``/``unidedup``
+#: families — ONE Python list feeds both the Spark frame and the DuckDB
+#: VALUES clause, proving (a) non-Latin corpora get DISTINCT fingerprints
+#: and nonzero token counts (the pre-round-5 ASCII normalizer collapsed
+#: them all to the empty string), (b) punctuation-only docs fingerprint
+#: as NULL and each survive exact dedup as their own singleton, and
+#: (c) ASCII behavior is unchanged. 9001/9002 differ only in case and
+#: punctuation, so they must still dedup together.
+_UNI_DOCS: list[tuple[int, str]] = [
+    (9001, "Привет мир это тест"),
+    (9002, "Привет, мир — это ТЕСТ!!!"),
+    (9003, "你好世界 这是测试"),
+    (9004, "مرحبا بالعالم هذا اختبار"),
+    (9005, "The quick brown Fox 42"),
+    (9006, "!!! ??? ..."),
+    (9007, "*** ((( )))"),
+]
+
+
+def _uni_docs_frame(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(_UNI_DOCS, "doc_id bigint, text string")
+
+
+def _uni_docs_values() -> str:
+    rows = ", ".join(f"({i}, '{t}')" for i, t in _UNI_DOCS)
+    return f"(VALUES {rows}) AS uni(doc_id, text)"
+
+
 def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup keeper list (min doc_id + group size per fingerprint),
     plus the round-4 ``para`` family: corpus-wide paragraph-level dedup
     (dedup.dedup_paragraphs — each distinct line survives at its first
     (doc, position) only; docs reassembled) summarized per document as
-    counts + an md5 of the rebuilt text."""
+    counts + an md5 of the rebuilt text. Round 5 adds the ``uni``
+    (per-doc Unicode fingerprint + token count over planted multilingual
+    docs) and ``unidedup`` (dedup_exact over them — distinct non-Latin
+    groups, NULL-fingerprint singletons) families."""
     from pydala_spark.operators.dedup import dedup_paragraphs
+    from pydala_spark.operators.textstats import fingerprint as _fp
+    from pydala_spark.operators.textstats import word_regex_tokens as _tok
     from pydala_spark.queries.merged import _tagged_union
 
     docs = load_table(spark, sf_dir, "documents")
@@ -470,7 +597,16 @@ def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_paras",
         "n_kept",
     )
-    return _tagged_union([("exact", exact), ("para", para)])
+    planted = _uni_docs_frame(spark)
+    uni = planted.select(
+        "doc_id",
+        _fp("text").alias("fp"),
+        F.size(_tok("text")).cast("long").alias("n_tokens"),
+    )
+    unidedup = dedup_exact(planted, id_col="doc_id", text_col="text")
+    return _tagged_union(
+        [("exact", exact), ("para", para), ("uni", uni), ("unidedup", unidedup)]
+    )
 
 
 _Q_DEDUP_EXACT_SQL = f"""
@@ -484,20 +620,35 @@ reb AS (SELECT doc_id, COUNT(*) AS n_kept,
                string_agg(para, chr(10) ORDER BY pos) AS t
         FROM win WHERE rk = 1 GROUP BY doc_id),
 tot AS (SELECT doc_id, COUNT(*) AS n_paras FROM p1 GROUP BY doc_id)
-SELECT 'exact' AS family, MD5({_NORM_SQL}) AS fp, MIN(doc_id) AS doc_id,
+SELECT 'exact' AS family, MIN(fp) AS fp, MIN(doc_id) AS doc_id,
        COUNT(*) AS n_dups, CAST(NULL AS BIGINT) AS para_doc_id,
        CAST(NULL AS VARCHAR) AS text_md5, CAST(NULL AS BIGINT) AS n_paras,
-       CAST(NULL AS BIGINT) AS n_kept
-FROM documents GROUP BY 2
+       CAST(NULL AS BIGINT) AS n_kept,
+       CAST(NULL AS BIGINT) AS n_tokens
+FROM (SELECT doc_id, {_fp_sql()} AS fp FROM documents)
+GROUP BY COALESCE(fp, chr(0) || 'id:' || doc_id)
 UNION ALL
 SELECT 'para', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
        CAST(NULL AS BIGINT), d.doc_id,
        MD5(COALESCE(reb.t, '')), COALESCE(tot.n_paras, 0),
-       COALESCE(reb.n_kept, 0)
+       COALESCE(reb.n_kept, 0), CAST(NULL AS BIGINT)
 FROM documents d
 LEFT JOIN tot ON d.doc_id = tot.doc_id
 LEFT JOIN reb ON d.doc_id = reb.doc_id
-"""
+UNION ALL
+SELECT 'uni', {_fp_sql()}, doc_id, CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT),
+       LEN(list_filter(string_split_regex(lower(text),
+           '[^\\p{{L}}\\p{{N}}'']+'), x -> x <> ''))
+FROM {{UNI_VALUES}}
+UNION ALL
+SELECT 'unidedup', MIN(fp), MIN(doc_id), COUNT(*),
+       CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+FROM (SELECT doc_id, {_fp_sql()} AS fp FROM {{UNI_VALUES}})
+GROUP BY COALESCE(fp, chr(0) || 'id:' || doc_id)
+""".replace("{UNI_VALUES}", _uni_docs_values())
 
 # shingles: word 3-grams over regex tokens (distinct); DuckDB mirrors the
 # slice/sequence construction (1-based inclusive slices).

@@ -204,7 +204,24 @@ def streaming_dedup(
     df = stream_df
     keys: list[str]
     if text_col is not None:
-        df = df.withColumn("__fp", fingerprint(text_col))
+        # fingerprint is NULL for empty normalized text (punctuation-only
+        # docs); dropDuplicates treats NULL keys as equal, which would
+        # collapse every contentless doc into one. Fall back to md5 of
+        # the RAW text (\x00 prefix — outside the hex fingerprint
+        # alphabet): byte-identical contentless docs still dedup, while
+        # different ones stay distinct.
+        df = df.withColumn(
+            "__fp",
+            F.coalesce(
+                fingerprint(text_col),
+                F.md5(
+                    F.concat(
+                        F.lit("\x00raw\x00"),
+                        F.coalesce(F.col(text_col), F.lit("")),
+                    )
+                ),
+            ),
+        )
         keys = ["__fp"]
     elif subset:
         keys = list(subset)

@@ -103,7 +103,9 @@ def test_dedup_empty_and_null_text(spark):
     )
     fps = df.select("doc_id", fingerprint("text").alias("fp")).collect()
     by_id = {r["doc_id"]: r["fp"] for r in fps}
-    assert by_id[1] is not None  # empty text fingerprints (md5(''))
+    # round 5: EMPTY normalized text fingerprints as NULL too — a shared
+    # md5('') sentinel would dedup all contentless docs into one
+    assert by_id[1] is None
     assert by_id[2] is None  # null text stays null, never equal to anything
     sigs = minhash_signatures(df, "doc_id")
     ids = {r["doc_id"] for r in sigs.collect()}

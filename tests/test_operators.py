@@ -237,6 +237,88 @@ def test_neardup_pairs_blocked(spark):
     assert {(r["id_a"], r["id_b"]) for r in out.collect()} == {(0, 1)}
 
 
+def test_unicode_normalization_and_dedup(spark):
+    """Round 5: non-Latin corpora must NOT collapse under exact dedup.
+    Pre-round-5 the [a-z0-9]-only normalizer mapped every CJK/Cyrillic/
+    Arabic doc to the empty string (one shared fingerprint)."""
+    from pydala_spark.operators.textstats import word_regex_tokens
+
+    df = spark.createDataFrame(
+        [
+            (1, "Привет мир это тест"),
+            (2, "Привет, мир — это ТЕСТ!!!"),  # case/punct variant of 1
+            (3, "你好世界 这是测试"),
+            (4, "مرحبا بالعالم هذا اختبار"),
+            (5, "The quick brown Fox 42"),
+            (6, "!!! ??? ..."),  # punctuation-only -> NULL fingerprint
+            (7, "*** ((( )))"),  # punctuation-only -> NULL fingerprint
+        ],
+        ["doc_id", "text"],
+    )
+    fps = {
+        r["doc_id"]: r["fp"]
+        for r in df.select("doc_id", fingerprint("text").alias("fp")).collect()
+    }
+    # distinct scripts -> distinct fingerprints; variants dedup together
+    assert fps[1] == fps[2]
+    assert len({fps[1], fps[3], fps[4], fps[5]}) == 4
+    assert fps[6] is None and fps[7] is None
+    # tokenization: every non-Latin doc yields real tokens
+    toks = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", F.size(word_regex_tokens("text")).alias("n")
+        ).collect()
+    }
+    assert toks[1] == 4 and toks[3] == 2 and toks[4] == 4 and toks[5] == 5
+    assert toks[6] == 0 and toks[7] == 0
+    # dedup_exact: 1+2 merge; NULL-fingerprint docs each survive alone
+    out = {r["doc_id"]: r["n_dups"] for r in dedup_exact(df, "doc_id").collect()}
+    assert out == {1: 2, 3: 1, 4: 1, 5: 1, 6: 1, 7: 1}
+
+
+def test_predict_lang_scripts(spark):
+    """Round 5 script stage: non-Latin scripts are identified by
+    character-class ratios; Latin text still goes through stopwords;
+    a couple of stray CJK chars cannot override a Latin-majority doc."""
+    rows = [
+        (1, "日本語のテキストです 漢字も含む", "ja"),  # kana beats Han
+        (2, "한국어 텍스트입니다", "ko"),
+        (3, "这是一段中文文本 没有假名", "zh"),
+        (4, "Это русский текст для проверки", "ru"),
+        (5, "هذا نص عربي للاختبار", "ar"),
+        (6, "यह हिंदी पाठ है", "hi"),
+        (7, "Ελληνικό κείμενο εδώ", "el"),
+        (8, "the quick brown fox is an english sentence", "en"),
+        (9, "le chat est sur la table pour le test dans ce cas", "fr"),
+        (10, "english sentence that mentions 你好 once for the mixed case", "en"),
+        (11, "12345 67890 !!!", "other"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], ["sid", "text"]
+    ).select("sid", predict_lang("text").alias("pred"))
+    got = {r["sid"]: r["pred"] for r in df.collect()}
+    assert got == {i: want for i, _, want in rows}
+
+
+def test_tokenizer_patterns_shared_with_oracle():
+    """The DuckDB oracle's split/normalize SQL must track the operators'
+    default patterns — this pins the two representations together so an
+    operator-side change can't silently diverge from the oracles."""
+    from pydala_spark.operators.textstats import (
+        NORMALIZE_STRIP_PATTERN,
+        WORD_TOKEN_PATTERN,
+    )
+    from pydala_spark.queries.ext import _WORD_SPLIT_SQL, _norm_sql
+
+    assert WORD_TOKEN_PATTERN == r"[\p{L}\p{N}']+"
+    assert NORMALIZE_STRIP_PATTERN == r"[^\p{L}\p{N} ]"
+    # the SQL split class is the complement of the token class (the
+    # apostrophe doubles for SQL string quoting)
+    assert r"'[^\p{L}\p{N}'']+'" in _WORD_SPLIT_SQL
+    assert r"'[^\p{L}\p{N} ]'" in _norm_sql()
+
+
 def test_textstats(spark):
     df = spark.createDataFrame([(1, "The cat and the dog, the end.")], ["id", "text"])
     row = quality_stats(df).first()
