@@ -134,6 +134,7 @@ def minhash_signatures(
     text_col: str = "text",
     n_hashes: int = 8,
     shingle_size: int = 3,
+    seed: int = 0,
 ) -> DataFrame:
     """MinHash signature per document: hash_i(doc) = lexicographic MIN
     over the doc's shingles of an 8-hex-digit (32-bit) slice of
@@ -151,14 +152,22 @@ def minhash_signatures(
     (DuckDB: same md5/substring). Executes as explode + one groupBy with
     n MIN aggregates (partial-agg friendly); the md5s are MATERIALIZED
     once per shingle row so the n agg expressions only slice.
+
+    ``seed`` (round 5) salts the hash family: a nonzero seed draws a
+    fresh, independent set of min-hash functions, so a SECOND near-dup
+    pass (the documented chain-iteration strategy, pipeline.py) can
+    recover pairs the first pass's banding happened to miss. ``seed=0``
+    is bit-identical to the historical unseeded hashes, which the
+    ``q_minhash_lsh`` oracle pins.
     """
     n_md5 = (n_hashes + 3) // 4
+    salt = f"{seed}:" if seed else ""
     exploded = explode_cheaply(
         doc_shingles(df, id_col, text_col, shingle_size), F.col("shs"), "sh"
     ).select(
         F.col("id").alias(id_col),
         *[
-            F.md5(F.concat(F.lit(f"{j}|"), F.col("sh"))).alias(f"__h{j}")
+            F.md5(F.concat(F.lit(f"{salt}{j}|"), F.col("sh"))).alias(f"__h{j}")
             for j in range(n_md5)
         ],
     )
@@ -177,6 +186,7 @@ def lsh_candidate_pairs(
     n_bands: int = 4,
     max_bucket_size: int | None = None,
     log_dropped: bool = True,
+    seed: int = 0,
 ) -> DataFrame:
     """Banded LSH over a MinHash signature frame: docs agreeing on all
     rows of any band become a candidate pair (id_a < id_b, distinct).
@@ -194,6 +204,16 @@ def lsh_candidate_pairs(
     dedup instead of pairwise scoring. When ``log_dropped`` the dropped
     bucket count/sizes are logged (costs one extra aggregation job; set
     False on hot paths).
+
+    ``seed`` (round 5) rotates which signature rows group into which
+    band (band b of a seeded pass covers ``mh_{(b*r+seed) % n} ...``):
+    two passes with different seeds slice the SAME signatures along
+    different band boundaries, so a pair whose agreeing hashes straddle
+    every seed-0 band can still collide in a seed-1 band — the cheap
+    half of the chain-iteration recall strategy (pair it with a
+    ``minhash_signatures(seed=...)`` resalt for fully independent
+    passes). ``seed=0`` preserves the historical banding, which the
+    ``q_minhash_lsh`` oracle pins.
     """
     sig_cols = sorted(
         (c for c in signatures.columns if c.startswith("mh_")),
@@ -214,6 +234,9 @@ def lsh_candidate_pairs(
             f"({len(sig_cols)} mh_ columns)"
         )
     rows_per_band = len(sig_cols) // n_bands
+    if seed:
+        shift = seed % len(sig_cols)
+        sig_cols = sig_cols[shift:] + sig_cols[:shift]
     bands = []
     for b in range(n_bands):
         cols = sig_cols[b * rows_per_band : (b + 1) * rows_per_band]
@@ -570,8 +593,16 @@ def keep_cluster_representatives(
         [F.desc(score_col), F.asc(id_col)] if score_col else [F.asc(id_col)]
     )
     w = Window.partitionBy(
-        # singletons (no cluster) rank alone under their own id
-        F.coalesce(F.col("__cluster"), F.col(id_col))
+        # singletons (no cluster) rank alone under their own id. The key
+        # is a (is_singleton, key) STRUCT, not a bare coalesce: cluster
+        # ids are drawn from the id domain, so if a doc's id equals some
+        # cluster_id whose min member was filtered out upstream, a
+        # coalesced key would merge the unrelated singleton into that
+        # cluster's window and silently drop one of them (r4 advice)
+        F.struct(
+            F.col("__cluster").isNull().alias("s"),
+            F.coalesce(F.col("__cluster"), F.col(id_col)).alias("k"),
+        )
     ).orderBy(*order)
     return (
         joined.withColumn("__rk", F.row_number().over(w))

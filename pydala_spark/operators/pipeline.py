@@ -47,6 +47,9 @@ def prep_documents(
     paragraph_dedup: bool = False,
     paragraph_max_occurrences: int | None = None,
     near_dup_score_col: str | None = None,
+    near_dup_max_bucket: int | None = 1000,
+    near_dup_log_dropped: bool = False,
+    near_dup_seed: int = 0,
     stage_frames: dict | None = None,
 ) -> DataFrame:
     """Return the cleaned corpus: quality columns attached, docs linking
@@ -71,6 +74,12 @@ def prep_documents(
     dedups. Paragraph dedup rebuilds ``text_col`` via joins that later
     stages re-traverse; for very large corpora persist/write the rebuilt
     frame between the two phases.
+
+    ``near_dup_max_bucket`` caps LSH bucket size (degenerate viral
+    near-dup buckets drop instead of exploding quadratically;
+    ``near_dup_log_dropped`` logs what dropped at the cost of one extra
+    job); ``near_dup_seed`` salts the MinHash family AND rotates band
+    boundaries so chained passes recover pairs a single banding misses.
 
     Pass an empty dict as ``stage_frames`` to receive the intermediate
     DataFrame after each enabled stage (keys: input, blocklist,
@@ -174,16 +183,39 @@ def prep_documents(
     # not an arbitrary one. One extra broadcast-sized join of the pair
     # list against the (id, score) projection; plan shape unchanged.
     if near_dup:
-        sigs = minhash_signatures(out, id_col, text_col, n_hashes=n_hashes)
-        pairs = lsh_candidate_pairs(sigs, id_col, n_bands=n_bands)
+        sigs = minhash_signatures(
+            out, id_col, text_col, n_hashes=n_hashes, seed=near_dup_seed
+        )
+        # near_dup_max_bucket (round 5): the degenerate-bucket cap IS
+        # exposed in the flagship path — exact dedup runs first, but a
+        # near-identical viral template (not byte-identical, so it
+        # survives exact dedup) would otherwise make one bucket's pair
+        # explosion quadratic in corpus size. Oversized buckets drop
+        # (their members are already known-near-identical — route them
+        # through a tighter exact/paragraph dedup instead);
+        # near_dup_log_dropped=False by default because the drop log
+        # costs one extra aggregation job in the hot ingest path.
+        pairs = lsh_candidate_pairs(
+            sigs,
+            id_col,
+            n_bands=n_bands,
+            max_bucket_size=near_dup_max_bucket,
+            log_dropped=near_dup_log_dropped,
+            seed=near_dup_seed,
+        )
         if near_dup_score_col:
             # ONE join of the exploded pair members against the (id,
             # score) projection (joining the corpus projection twice
             # would traverse the whole upstream lineage twice — r4
-            # review), then a per-pair MIN_BY over (score asc, id desc):
+            # review), then a per-pair rank over (score asc, id desc):
             # the loser is the lower-scored member, NULL scores rank as
             # -inf (lose first), ties drop the higher id — identical to
-            # semantic_dedup's scored rule
+            # semantic_dedup's scored rule. row_number over the 2-row
+            # pair partition (not min_by over a negated id) keeps the
+            # tiebreak type-agnostic: string doc ids can't be negated
+            # (r4 advice)
+            from pyspark.sql import Window
+
             sc = out.select(
                 F.col(id_col).alias("__sid"),
                 F.coalesce(
@@ -195,19 +227,14 @@ def prep_documents(
                 "id_a", "id_b",
                 F.explode(F.array("id_a", "id_b")).alias("__mid"),
             )
+            w = Window.partitionBy("id_a", "id_b").orderBy(
+                F.asc("__sc"), F.desc("__mid")
+            )
             losers = (
                 ex.join(sc, F.col("__mid") == F.col("__sid"))
-                .groupBy("id_a", "id_b")
-                .agg(
-                    F.min_by(
-                        "__mid",
-                        F.struct(
-                            F.col("__sc").alias("s"),
-                            (-F.col("__mid")).alias("ni"),
-                        ),
-                    ).alias(id_col)
-                )
-                .select(id_col)
+                .withColumn("__rk", F.row_number().over(w))
+                .where(F.col("__rk") == 1)
+                .select(F.col("__mid").alias(id_col))
                 .distinct()
             )
         else:
@@ -240,6 +267,12 @@ def pipeline_report(df: DataFrame, **prep_kwargs) -> dict[str, int]:
     numbers cannot drift from the real pipeline); cost is one count
     action per enabled stage, so use it on a sample or during tuning,
     not inside the hot ingest path."""
+    if "stage_frames" in prep_kwargs:
+        raise ValueError(
+            "pipeline_report owns the stage_frames parameter — pass only "
+            "the other prep_documents kwargs (the report is built from "
+            "the frames prep_documents records itself)"
+        )
     stages: dict[str, DataFrame] = {}
     prep_documents(df, stage_frames=stages, **prep_kwargs)
     return {name: frame.count() for name, frame in stages.items()}

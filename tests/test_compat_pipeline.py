@@ -298,3 +298,63 @@ def test_prep_documents_knob_validation(spark):
 
     with _pt.raises(ValueError, match="near_dup_score_col"):
         prep_documents(df, near_dup=False, near_dup_score_col="x")
+
+
+def test_prep_documents_viral_bucket_cap(spark):
+    # round 5: near_dup_max_bucket plumbs the LSH degenerate-bucket cap
+    # through the flagship pipeline — a viral near-identical template
+    # family (NOT byte-identical, so exact dedup keeps every copy) can't
+    # go quadratic; with the cap below the family size its bucket drops
+    # and the copies survive the near-dup stage
+    from pydala_spark.operators.pipeline import prep_documents
+
+    viral = [
+        (i, f"breaking news template shared everywhere variant {i} "
+            "read all about the story today")
+        for i in range(30)
+    ]
+    distinct = [
+        (100, "a completely unrelated original research document"),
+        (101, "another genuinely different piece of quality writing"),
+    ]
+    df = spark.createDataFrame(viral + distinct, ["doc_id", "text"])
+    # default cap (1000) > family size: greedy pair-drop prunes the virals
+    pruned = prep_documents(df, min_quality=0, near_dup=True)
+    n_viral_kept = sum(
+        1 for r in pruned.collect() if r["doc_id"] < 100
+    )
+    assert n_viral_kept < 30
+    # cap below the family size: the viral bucket drops, no pairs form,
+    # every copy survives (route such families through exact/paragraph
+    # dedup instead) — and the distinct docs are untouched either way
+    capped = prep_documents(
+        df, min_quality=0, near_dup=True, near_dup_max_bucket=10
+    )
+    kept = {r["doc_id"] for r in capped.collect()}
+    assert all(i in kept for i in range(30))
+    assert {100, 101} <= kept
+
+
+def test_prep_documents_scored_near_dup_string_ids(spark):
+    # r4 advice: the scored-loser tiebreak must not negate the id column
+    # — string doc ids go through the same (score asc, id desc) rule
+    from pydala_spark.operators.pipeline import prep_documents
+
+    short = "the quick brown fox jumps over the lazy dog today"
+    long_ = short + " with much more useful additional context attached here"
+    df = spark.createDataFrame(
+        [("doc-b", short), ("doc-a", long_)], ["doc_id", "text"]
+    )
+    scored = df.withColumn("len_score", F.length("text").cast("double"))
+    best = prep_documents(
+        scored, min_quality=0, near_dup=True, near_dup_score_col="len_score"
+    )
+    assert {r["doc_id"] for r in best.collect()} == {"doc-a"}
+
+
+def test_pipeline_report_rejects_stage_frames_kwarg(spark):
+    from pydala_spark.operators.pipeline import pipeline_report
+
+    df = spark.createDataFrame([(1, "some text here")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="stage_frames"):
+        pipeline_report(df, stage_frames={})

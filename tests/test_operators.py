@@ -110,6 +110,38 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert not any(2 in p for p in pairs)
 
 
+def test_lsh_seed_rotates_band_boundaries(spark):
+    """Round 5: a pair whose agreeing hashes straddle every seed-0 band
+    ((0,1),(2,3),(4,5),(6,7)) still collides in a seed-1 band ((1,2),…)
+    — the chain-iteration recall mechanism. seed=0 stays bit-identical
+    (the q_minhash_lsh oracle pins it)."""
+    rows = []
+    for did in (1, 2):
+        vals = {f"mh_{i}": f"{'same' if i in (1, 2) else f'd{did}h{i}'}"
+                for i in range(8)}
+        rows.append({"doc_id": did, **vals})
+    sigs = spark.createDataFrame(rows)
+    p0 = lsh_candidate_pairs(sigs, "doc_id", n_bands=4).collect()
+    assert p0 == []  # no seed-0 band fully agrees
+    p1 = {(r["id_a"], r["id_b"])
+          for r in lsh_candidate_pairs(sigs, "doc_id", n_bands=4, seed=1).collect()}
+    assert p1 == {(1, 2)}
+
+
+def test_minhash_seed_salts_hash_family(spark):
+    docs = _docs(spark)
+    s0 = minhash_signatures(docs, "doc_id", "text", n_hashes=4).collect()
+    s0b = minhash_signatures(docs, "doc_id", "text", n_hashes=4, seed=0).collect()
+    s7 = minhash_signatures(docs, "doc_id", "text", n_hashes=4, seed=7).collect()
+    key = lambda rows: {r["doc_id"]: tuple(r[f"mh_{i}"] for i in range(4))
+                        for r in rows}
+    assert key(s0) == key(s0b)  # seed=0 is the historical (oracle-pinned) family
+    m0, m7 = key(s0), key(s7)
+    assert all(m0[d] != m7[d] for d in m0)  # a fresh, independent family
+    # exact dups still agree under any seed
+    assert m7[0] == m7[3]
+
+
 def test_ngram_jaccard(spark):
     out = ngram_jaccard_pairs(_docs(spark), "doc_id", "text", threshold=0.5)
     pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
@@ -1078,6 +1110,29 @@ def test_keep_cluster_representatives(spark):
     first = {r["doc_id"] for r in keep_cluster_representatives(
         docs, clusters, "doc_id").collect()}
     assert first == {1, 5, 8}
+
+
+def test_keep_cluster_representatives_singleton_id_collision(spark):
+    """r4 advice: a corpus doc whose id EQUALS a cluster_id (cluster ids
+    are drawn from the id domain) while that cluster's min-id member was
+    filtered out of the corpus must not share a window with the
+    cluster's members — both it and the cluster's survivor stay."""
+    from pydala_spark.operators import dedup_clusters, keep_cluster_representatives
+
+    clusters = dedup_clusters(
+        spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    )  # cluster {1,2,3} labeled cluster_id=1
+    # corpus: doc 1 (the label holder) was filtered out upstream; doc 1's
+    # id value appears only as the CLUSTER label now. An unclustered doc
+    # with id 1 would previously coalesce into the cluster's window.
+    docs = spark.createDataFrame(
+        [(1, "unrelated singleton"), (2, "b"), (3, "c")], ["doc_id", "text"]
+    )
+    # make doc 1 genuinely unclustered: restrict the cluster map to 2,3
+    cl = clusters.where(F.col("id") != 1)
+    kept = {r["doc_id"] for r in
+            keep_cluster_representatives(docs, cl, "doc_id").collect()}
+    assert kept == {1, 2}  # singleton 1 survives AND cluster {2,3} keeps 2
 
 
 def test_topk_recall(spark):
