@@ -1,0 +1,211 @@
+"""Command-line entry points for lake maintenance workflows.
+
+Parity surface for the reference's runnable scripts
+(``/root/reference/scripts/repartition.py`` and ``scripts/timefly.py``,
+typer apps driven by a TOML config whose string ``"None"`` values mean
+null): a migrating user's cron jobs call scripts, not Python APIs.
+
+Two invocation styles, both per subcommand:
+
+- **Config parity** — pass a ``.toml`` path (the reference's calling
+  convention)::
+
+      python -m pydala_spark.cli repartition job.toml
+      python -m pydala_spark.cli timefly add job.toml
+
+  with the options under a ``[repartition]`` / ``[timefly]`` table
+  (keys = the flag names below; ``"None"`` strings are nulls, matching
+  the reference's NestedDictReplacer semantics).
+
+- **Flags** — plain argparse options, no file needed::
+
+      python -m pydala_spark.cli repartition --source /lake/ds \\
+          --partition-by l_returnflag --sort-by l_orderkey
+      python -m pydala_spark.cli timefly add --path /lake/ds
+
+Everything delegates to the library operators
+(:class:`~pydala_spark.dataset.repartition.Repartition`,
+:class:`~pydala_spark.dataset.timefly.TimeFly`) — the CLI only parses.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _load_toml_config(path: str, section: str) -> dict:
+    """Read ``[section]`` from a TOML config, mapping the reference's
+    ``"None"`` string sentinel to real nulls (NestedDictReplacer
+    parity, reference scripts/repartition.py:8-11)."""
+    import tomllib
+
+    with open(path, "rb") as f:
+        raw = tomllib.load(f)
+    table = raw.get(section, raw)  # flat files work too
+
+    def _none(v):
+        if isinstance(v, dict):
+            return {k: _none(x) for k, x in v.items()}
+        if isinstance(v, list):
+            return [_none(x) for x in v]
+        return None if v == "None" else v
+
+    return {k: _none(v) for k, v in table.items()}
+
+
+def _csv(value):
+    if value is None or isinstance(value, list):
+        return value
+    return [p for p in str(value).split(",") if p]
+
+
+def _session(args):
+    from pydala_spark.session import get_session
+
+    return get_session(
+        app_name="pydala-spark-cli",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+
+
+def _cmd_repartition(args) -> int:
+    opts: dict = {}
+    if args.config:
+        opts.update(_load_toml_config(args.config, "repartition"))
+    for key in (
+        "source", "dest", "source_format", "dest_format", "partition_by",
+        "sort_by", "drop", "compression", "mode", "max_records_per_file",
+    ):
+        v = getattr(args, key)
+        if v is not None:
+            opts[key] = v
+    if args.distinct:
+        opts["distinct"] = True
+    if args.no_snapshot:
+        opts["with_snapshot"] = False
+    source = opts.pop("source", None)
+    if not source:
+        print("repartition: --source (or config key 'source') is required",
+              file=sys.stderr)
+        return 2
+    from pydala_spark.dataset.repartition import Repartition
+
+    spark = _session(args)
+    Repartition(
+        spark,
+        source,
+        dest_path=opts.pop("dest", None),
+        partition_by=_csv(opts.pop("partition_by", None)),
+        sort_by=opts.pop("sort_by", None),
+        drop=_csv(opts.pop("drop", None)),
+        **opts,
+    ).run()
+    print(f"repartitioned {source}")
+    return 0
+
+
+def _cmd_timefly(args) -> int:
+    opts: dict = {}
+    if args.config:
+        opts.update(_load_toml_config(args.config, "timefly"))
+    if args.path is not None:
+        opts["path"] = args.path
+    if args.ts is not None:
+        opts["ts"] = args.ts
+    if args.snapshot_mode is not None:
+        opts["snapshot_mode"] = args.snapshot_mode
+    path = opts.get("path")
+    if not path:
+        print("timefly: --path (or config key 'path') is required",
+              file=sys.stderr)
+        return 2
+    from pydala_spark.dataset.timefly import TimeFly
+
+    spark = _session(args)
+    tf = TimeFly(spark, path, snapshot_mode=opts.get("snapshot_mode", "copy"))
+    action = args.action
+    if action == "init":
+        # reference timefly.py `init`: materialize the manifest and the
+        # current/ layout (migrating loose root files into current/)
+        tf.new()
+        tf.create_current()
+        print(f"initialized TimeFly at {path}")
+    elif action == "add":
+        ts = tf.add_snapshot()
+        print(f"snapshot {ts}")
+    elif action == "delete":
+        if not opts.get("ts"):
+            print("timefly delete: --ts is required", file=sys.stderr)
+            return 2
+        tf.delete_snapshot(opts["ts"])
+        print(f"deleted snapshot {opts['ts']}")
+    elif action == "load":
+        if not opts.get("ts"):
+            print("timefly load: --ts is required", file=sys.stderr)
+            return 2
+        tf.load_snapshot(opts["ts"])
+        print(f"restored snapshot {opts['ts']}")
+    elif action == "list":
+        for ts in tf.snapshots():
+            print(ts)
+    else:  # pragma: no cover - argparse restricts choices
+        return 2
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="python -m pydala_spark.cli",
+        description="pydala_spark lake maintenance CLI",
+    )
+    ap.add_argument("--master", default=None,
+                    help="Spark master (default: local[*])")
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    rp = sub.add_parser("repartition", help="rewrite a dataset "
+                        "(repartition/compact/re-sort), reference "
+                        "scripts/repartition.py parity")
+    rp.add_argument("config", nargs="?", default=None,
+                    help="TOML config with a [repartition] table")
+    rp.add_argument("--source", default=None)
+    rp.add_argument("--dest", default=None)
+    rp.add_argument("--source-format", dest="source_format", default=None)
+    rp.add_argument("--dest-format", dest="dest_format", default=None)
+    rp.add_argument("--partition-by", dest="partition_by", default=None,
+                    help="comma-separated partition columns")
+    rp.add_argument("--sort-by", dest="sort_by", default=None)
+    rp.add_argument("--drop", default=None, help="comma-separated columns")
+    rp.add_argument("--compression", default=None)
+    rp.add_argument("--mode", default=None)
+    rp.add_argument("--max-records-per-file", dest="max_records_per_file",
+                    type=int, default=None)
+    rp.add_argument("--distinct", action="store_true")
+    rp.add_argument("--no-snapshot", action="store_true",
+                    help="skip the pre-rewrite TimeFly snapshot on "
+                    "in-place rewrites")
+    rp.set_defaults(func=_cmd_repartition)
+
+    tf = sub.add_parser("timefly", help="snapshot lifecycle, reference "
+                        "scripts/timefly.py parity")
+    tf.add_argument("action",
+                    choices=["init", "add", "delete", "load", "list"])
+    tf.add_argument("config", nargs="?", default=None,
+                    help="TOML config with a [timefly] table")
+    tf.add_argument("--path", default=None)
+    tf.add_argument("--ts", default=None)
+    tf.add_argument("--snapshot-mode", dest="snapshot_mode", default=None,
+                    choices=["copy", "pointer"])
+    tf.set_defaults(func=_cmd_timefly)
+    return ap
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

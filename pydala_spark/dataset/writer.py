@@ -491,13 +491,30 @@ class Writer:
                 compression=self.compression,
             )
             return
-        if "://" in self.path and not self.path.startswith("file:"):
-            raise ValueError(
-                "single-file feather bridge supports local paths only — "
-                "use a directory path for the distributed dataset write"
-            )
         table = pa.Table.from_pandas(df.toPandas(), preserve_index=False)
         comp = self.compression if self.compression in ("zstd", "lz4") else "uncompressed"
+        if "://" in self.path:
+            # remote single-file bridge (round 5 — previously raised):
+            # GET the existing file for append, write a local temp, PUT
+            # through the Hadoop FileSystem, so the bridge works on any
+            # configured scheme. Still a driver bridge — sidecar and
+            # interchange files only, use directory targets for data.
+            import tempfile
+
+            from pydala_spark.utils.pathops import PathOps
+
+            ops = PathOps(self.spark, self.path)
+            with tempfile.TemporaryDirectory() as tmp:
+                scratch = os.path.join(tmp, "bridge.feather")
+                if spark_mode == "append" and ops.is_file(self.path):
+                    ops.get_file(self.path, scratch)
+                    existing = pf.read_table(scratch)
+                    table = pa.concat_tables(
+                        [existing, table], promote_options="default"
+                    )
+                pf.write_feather(table, scratch, compression=comp)
+                ops.put_file(scratch, self.path)
+            return
         if spark_mode == "append" and os.path.exists(local):
             existing = pf.read_table(local)
             table = pa.concat_tables([existing, table], promote_options="default")

@@ -143,6 +143,20 @@ class PathOps:
         ):
             raise OSError(f"copy failed: {src} -> {dst}")
 
+    def put_file(self, local_src: str, dst: str) -> None:
+        """Upload one LOCAL file to this PathOps' filesystem (parent
+        dirs created, destination overwritten) — the driver-bridge
+        upload half of a write-local-temp-then-PUT pattern."""
+        parent = self._p(dst).getParent()
+        if parent is not None:
+            self.fs.mkdirs(parent)
+        self.fs.copyFromLocalFile(False, True, self._p(local_src), self._p(dst))
+
+    def get_file(self, src: str, local_dst: str) -> None:
+        """Download one file from this PathOps' filesystem to a LOCAL
+        path (the GET half of the driver bridge)."""
+        self.fs.copyToLocalFile(False, self._p(src), self._p(local_dst), True)
+
     # -- small-text sidecar IO ---------------------------------------------------
 
     def read_text(self, path: str) -> str:

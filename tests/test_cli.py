@@ -1,0 +1,75 @@
+import subprocess
+import sys
+
+import pytest
+
+from pydala_spark.cli import _load_toml_config, main
+
+
+@pytest.fixture()
+def dataset(spark, tmp_path):
+    path = str(tmp_path / "ds")
+    spark.range(60).selectExpr(
+        "id", "id % 3 AS g", "cast(id * 1.5 as double) AS v"
+    ).write.parquet(path)
+    return path
+
+
+def test_cli_timefly_lifecycle(spark, dataset, capsys):
+    # init -> add -> list -> delete, through the argparse surface (the
+    # session is reused via getOrCreate, so this exercises the real
+    # wiring without a JVM per call)
+    assert main(["timefly", "init", "--path", dataset]) == 0
+    assert main(["timefly", "add", "--path", dataset]) == 0
+    capsys.readouterr()
+    assert main(["timefly", "list", "--path", dataset]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1
+    ts = out[0]
+    assert main(["timefly", "delete", "--path", dataset, "--ts", ts]) == 0
+    capsys.readouterr()
+    assert main(["timefly", "list", "--path", dataset]) == 0
+    assert capsys.readouterr().out.strip() == ""
+
+
+def test_cli_timefly_missing_args(dataset):
+    assert main(["timefly", "add"]) == 2  # no path
+    assert main(["timefly", "delete", "--path", dataset]) == 2  # no ts
+
+
+def test_cli_repartition_toml_config(spark, dataset, tmp_path):
+    # the reference scripts' calling convention: a TOML config file,
+    # "None" strings meaning null (NestedDictReplacer parity)
+    cfg = tmp_path / "job.toml"
+    cfg.write_text(
+        "[repartition]\n"
+        f'source = "{dataset}"\n'
+        'partition_by = "g"\n'
+        'sort_by = "id"\n'
+        'dest = "None"\n'
+        'mode = "overwrite"\n'
+    )
+    opts = _load_toml_config(str(cfg), "repartition")
+    assert opts["dest"] is None  # "None" sentinel parity
+    assert main(["repartition", str(cfg), "--no-snapshot"]) == 0
+    import os
+
+    parts = {d for d in os.listdir(dataset) if d.startswith("g=")}
+    assert parts == {"g=0", "g=1", "g=2"}
+    back = spark.read.parquet(dataset)
+    assert back.count() == 60
+
+
+def test_cli_repartition_requires_source():
+    assert main(["repartition"]) == 2
+
+
+def test_cli_module_entrypoint_runs():
+    # `python -m pydala_spark.cli --help` must work from a shell (cron
+    # parity); --help exits 0 without building a session
+    res = subprocess.run(
+        [sys.executable, "-m", "pydala_spark.cli", "--help"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert res.returncode == 0
+    assert "repartition" in res.stdout and "timefly" in res.stdout

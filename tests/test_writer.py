@@ -315,3 +315,22 @@ def test_filename_scheme_composes_with_time_bucket(spark, tmp_path):
         found += [f for f in files if f.endswith(".parquet")]
     assert found and all(pat.match(f) for f in found)
     assert Dataset(spark, out).count() == 3
+
+
+def test_single_file_feather_bridge_remote_scheme(spark, tmp_path):
+    # round 5: a scheme-qualified single-file feather target goes
+    # through the PathOps GET/PUT bridge instead of raising — exercised
+    # via file:// (any configured Hadoop scheme takes the same branch)
+    import pyarrow.feather as pf
+
+    target = f"file://{tmp_path}/remote/t.feather"
+    local = str(tmp_path / "remote" / "t.feather")
+    w = Writer(spark, target, format="feather")
+    df = spark.range(3).selectExpr("id", "id * 2 AS v")
+    w.write(df, mode="overwrite")
+    assert pf.read_table(local).num_rows == 3
+    # append: existing remote content is fetched and concatenated
+    w.write(df, mode="append")
+    t = pf.read_table(local)
+    assert t.num_rows == 6
+    assert sorted(t["id"].to_pylist()) == [0, 0, 1, 1, 2, 2]
