@@ -68,3 +68,95 @@ def running_user_totals(stream_df: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_semantic_dedup(
+    stream_df: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.2,
+    max_state_per_cell: int = 1000,
+) -> DataFrame:
+    """SemDeDup at ingest (round 5 stretch): drop semantic near-dups
+    from a stream, mirroring the batch
+    :func:`~pydala_spark.operators.similarity.semantic_dedup` contract
+    under the SAME pinned codebook — cell assignment is the identical
+    Arrow-batched argmax (``ann._assigner``), and in-cell similarity is
+    the same unit-vector cosine against the cell's surviving
+    representatives. Emits one ``(id, cell)`` row per KEPT document
+    (streams cannot retract, so only survivors flow downstream —
+    semi-join against the payload stream to prune it).
+
+    Contract vs batch: batch compares every doc against ALL smaller-id
+    cell-mates; the stream compares each arrival against the cell's
+    KEPT representatives (the standard online rule — first-arrived
+    survives). When arrivals come in id order and near-dup groups are
+    mutually similar, the two produce identical survivor sets (pinned
+    by test); out-of-order arrival keeps the first arrival instead of
+    the smallest id.
+
+    State at 100 TB: one representative list per cell, capped at
+    ``max_state_per_cell`` unit vectors — when a cell's list is full,
+    new non-duplicate docs still pass through but stop being added as
+    representatives (documented recall loss on overflowing hotspots;
+    size the codebook so cells stay small, the same knob as batch
+    SemDeDup). Rows are processed in id order within each micro-batch
+    for determinism.
+    """
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from pydala_spark.operators.ann import _assigner
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    assign = _assigner(cents, 1)
+    keyed = stream_df.select(
+        F.element_at(assign(F.col(vec_col)), 1).alias("cell"),
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__vec"),
+    )
+    thr = float(threshold)
+    cap = int(max_state_per_cell)
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np  # worker-side import (nested closure rule)
+
+        if state.exists:
+            rep_ids, rep_vecs = state.get
+            rep_ids = list(rep_ids)
+            reps = [np.asarray(v, dtype=np.float64) for v in rep_vecs]
+        else:
+            rep_ids, reps = [], []
+        rep_mat = np.array(reps) if reps else np.empty((0, 0))
+        kept = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("__id")
+            for _id, vec in zip(pdf["__id"], pdf["__vec"]):
+                x = np.asarray(vec, dtype=np.float64)
+                x = x / max(float(np.linalg.norm(x)), 1e-12)
+                if rep_mat.size and float((rep_mat @ x).max()) >= thr:
+                    continue
+                kept.append(int(_id))
+                if len(reps) < cap:
+                    reps.append(x)
+                    rep_ids.append(int(_id))
+                    rep_mat = np.array(reps)
+        state.update((rep_ids, [r.tolist() for r in reps]))
+        yield pd.DataFrame(
+            {"id": pd.Series(kept, dtype="int64"),
+             "cell": pd.Series([int(key[0])] * len(kept), dtype="int32")}
+        )
+
+    return keyed.groupBy("cell").applyInPandasWithState(
+        update,
+        outputStructType="id long, cell int",
+        stateStructType="ids array<long>, vecs array<array<double>>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

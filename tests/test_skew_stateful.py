@@ -222,3 +222,71 @@ def test_stream_interval_join(spark, tmp_path):
         for r in spark.sql("SELECT * FROM ij_out").collect()
     }
     assert rows == {("c1", 9.99), ("c3", 20.00)}
+
+
+def test_streaming_semantic_dedup_matches_batch(spark, tmp_path):
+    # round 5 stretch: under a pinned codebook, in-id-order arrival and
+    # mutually-similar near-dup groups, the streaming survivor set must
+    # equal batch semantic_dedup's kept set — including state carried
+    # across micro-batches (maxFilesPerTrigger=1 over sorted files)
+    from pydala_spark.operators.similarity import semantic_dedup
+    from pydala_spark.streaming.stateful import streaming_semantic_dedup
+
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    # cell 0: {0,1,2} a mutually-similar group + 3 dissimilar;
+    # cell 1: {10,11} similar pair. Batch keeps 0, 3, 10.
+    rows = [
+        (0, [10.0, 0.1, 0.0]),
+        (1, [10.0, 0.2, 0.0]),
+        (2, [10.1, 0.1, 0.0]),
+        (3, [10.0, 0.0, 9.9]),   # cell 0, similarity < threshold
+        (10, [0.1, 8.0, 0.0]),
+        (11, [0.1, 8.1, 0.0]),
+    ]
+    schema = "vec_id long, embedding array<double>"
+    df = spark.createDataFrame(rows, schema)
+    batch_kept = {
+        r["id"] for r in semantic_dedup(
+            df, cents, threshold=0.9).collect() if r["kept"]
+    }
+    assert batch_kept == {0, 3, 10}
+
+    src = str(tmp_path / "sem_in")
+    # two sorted files -> two micro-batches; ids 0-3 land before 10-11
+    spark.createDataFrame(rows[:3], schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(rows[3:], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    out_dir = str(tmp_path / "sem_out")
+    q = (
+        streaming_semantic_dedup(stream, cents, threshold=0.9)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "sem_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {r["id"] for r in spark.read.parquet(out_dir).collect()}
+    assert streamed == batch_kept
+    # state survives across runs: a near-dup of survivor 0 arriving in a
+    # LATER run is dropped against the checkpointed representatives
+    spark.createDataFrame(
+        [(20, [10.05, 0.15, 0.0]), (21, [0.0, 0.1, 12.0])], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    q2 = (
+        streaming_semantic_dedup(stream, cents, threshold=0.9)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "sem_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    streamed2 = {r["id"] for r in spark.read.parquet(out_dir).collect()}
+    assert streamed2 == batch_kept | {21}  # 20 dropped vs survivor 0's state
