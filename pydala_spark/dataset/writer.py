@@ -203,11 +203,14 @@ class Writer:
         max_records_per_file: int | None = None,
         filename_scheme: str = "spark",
         base_name: str = "data",
+        partition_flavor: str = "hive",
     ):
         if mode not in WRITE_MODES:
             raise ValueError(f"mode must be one of {WRITE_MODES}")
         if filename_scheme not in ("spark", "reference"):
             raise ValueError("filename_scheme must be 'spark' or 'reference'")
+        if partition_flavor not in ("hive", "directory"):
+            raise ValueError("partition_flavor must be 'hive' or 'directory'")
         self.spark = configure_session(spark)
         # appends/overwrites on a generation-pointer dataset land inside
         # the ACTIVE generation (dataset/generations.py) and are carried
@@ -227,6 +230,12 @@ class Writer:
         self.max_records_per_file = max_records_per_file
         self.filename_scheme = filename_scheme
         self.base_name = base_name
+        #: "directory" writes bare-value partition dirs (``2024/eu/``
+        #: instead of ``year=2024/region=eu/``) — the WRITE side of the
+        #: reference's pyarrow DirectoryPartitioning (reference
+        #: dataset/writer.py:136-137; read side: Dataset(partitioning=)).
+        #: SURVEY §7.4 accepted this as a divergence; round 5 closes it.
+        self.partition_flavor = partition_flavor
 
     # -- input coercion (reference to_relation, utils/table.py:58-92) --------
 
@@ -324,6 +333,31 @@ class Writer:
             raise TypeError("datetime_column must be set when time_bucket is used")
 
         exists = self._dataset_exists()
+        if (
+            self.partition_flavor == "directory"
+            and exists
+            and not self.partition_by
+            and not time_bucket
+            and mode not in ("error", "raise")
+        ):
+            # bare-value layouts carry no column names, so nothing can be
+            # inherited: a flat append onto a depth>0 directory layout
+            # would land files the partition parser mis-reads. Fail loud.
+            from pydala_spark.utils.pathops import PathOps, strip_scheme
+
+            ops = PathOps(self.spark, self.path)
+            base = strip_scheme(self.path).rstrip("/")
+            if any(
+                "/" in p[len(base):].lstrip("/")
+                for p, _ in ops.data_files(self.path)
+                if p.startswith(base)
+            ):
+                raise ValueError(
+                    "partition_flavor='directory' dataset has a partitioned "
+                    "layout but no partition_by was given — bare-value dirs "
+                    "carry no column names to inherit; pass partition_by "
+                    "matching the existing directory depth"
+                )
         spark_mode = "append"
         if mode in ("error", "raise"):
             if exists:
@@ -343,6 +377,12 @@ class Writer:
         elif mode == "upsert":
             if not delta_subset:
                 raise ValueError("mode='upsert' needs delta_subset key columns")
+            if self.partition_flavor == "directory":
+                raise ValueError(
+                    "mode='upsert' is not supported with "
+                    "partition_flavor='directory' — the partition-swap "
+                    "path keys on hive col=value directories"
+                )
             if exists:
                 self._upsert(df, delta_subset)
                 self._apply_filename_scheme()
@@ -373,7 +413,61 @@ class Writer:
         finally:
             if delta_cached:
                 df.unpersist()
+        if self.partition_flavor == "directory":
+            self._dehive_layout(mode)
         self._apply_filename_scheme()
+
+    def _dehive_layout(self, mode: str) -> None:
+        """Convert the hive ``col=value/`` directories THIS write
+        produced into bare-value directories (``2024/eu/``) — the WRITE
+        side of directory-flavor partitioning (reference
+        dataset/writer.py:136-137; pyarrow DirectoryPartitioning).
+        Round 5 closes what SURVEY §7.4 had accepted as a divergence.
+
+        Invariant: an established directory-flavor dataset contains NO
+        hive dirs (every prior write dehived them), so every ``col=``
+        directory found here belongs to the current write. Metadata-only
+        cost: one listing + one rename per new file (object stores:
+        copy+delete, same caveat as compact). For
+        ``overwrite_partitions`` the touched partitions' bare dirs are
+        cleared BEFORE the move — Spark's dynamic overwrite only
+        replaced the hive-side dirs it could see, and merging into the
+        old bare files would resurrect replaced data. Appends into
+        existing bare dirs are collision-free (Spark part names embed a
+        job UUID). Reads go through ``Dataset(partitioning=[...])``;
+        appends must re-pass ``partition_by`` (bare layouts carry no
+        column names to inherit — documented flavor contract)."""
+        import posixpath
+
+        from pydala_spark.utils.pathops import PathOps, strip_scheme
+
+        ops = PathOps(self.spark, self.path)
+        base = strip_scheme(self.path).rstrip("/")
+        moves: list[tuple[str, str]] = []
+        hive_tops: set[str] = set()
+        targets: set[str] = set()
+        for p, _ in ops.data_files(self.path):
+            rel = p[len(base):].lstrip("/") if p.startswith(base) else None
+            if not rel:
+                continue
+            segs = rel.split("/")
+            dirs = segs[:-1]
+            if not any("=" in s and not s.startswith("_") for s in dirs):
+                continue
+            bare = [s.split("=", 1)[1] if "=" in s else s for s in dirs]
+            moves.append((p, posixpath.join(base, *bare, segs[-1])))
+            targets.add(posixpath.join(base, *bare))
+            hive_tops.add(next(s for s in dirs if "=" in s))
+        if not moves:
+            return
+        if mode == "overwrite_partitions":
+            for t in sorted(targets):
+                ops.delete(t)
+        for src, dst in moves:
+            ops.rename(src, dst)
+        for top in hive_tops:
+            # the now-empty hive tree (rename created the bare one)
+            ops.delete(posixpath.join(base, top))
 
     def _apply_filename_scheme(self) -> None:
         """Opt-in reference filename compatibility (SURVEY §7.4 W2, which

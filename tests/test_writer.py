@@ -334,3 +334,77 @@ def test_single_file_feather_bridge_remote_scheme(spark, tmp_path):
     t = pf.read_table(local)
     assert t.num_rows == 6
     assert sorted(t["id"].to_pylist()) == [0, 0, 1, 1, 2, 2]
+
+
+def test_directory_flavor_partition_write_roundtrip(spark, tmp_path):
+    # round 5: WRITE side of directory-flavor partitioning (bare-value
+    # dirs, reference pyarrow DirectoryPartitioning) — closes the last
+    # W-side divergence SURVEY §7.4 had accepted. Read back through the
+    # round-3 directory-flavor reader.
+    import os
+
+    from pydala_spark.dataset.reader import Dataset
+
+    out = str(tmp_path / "dirpart")
+    df = spark.createDataFrame(
+        [(1, "2023", "eu", 10.0), (2, "2023", "us", 20.0),
+         (3, "2024", "eu", 30.0)],
+        "id long, year string, region string, v double",
+    )
+    w = Writer(spark, out, partition_by=["year", "region"],
+               partition_flavor="directory")
+    w.write(df, mode="overwrite")
+    top = {d for d in os.listdir(out) if not d.startswith(("_", "."))}
+    assert top == {"2023", "2024"}  # bare values, no year= prefix
+    assert {d for d in os.listdir(os.path.join(out, "2023"))
+            if not d.startswith(("_", "."))} == {"eu", "us"}
+    back = Dataset(spark, out, partitioning=["year", "region"]).load()
+    assert back.count() == 3
+    assert {(r["year"], r["region"]) for r in back.collect()} == {
+        ("2023", "eu"), ("2023", "us"), ("2024", "eu")
+    }
+    # append merges into existing bare dirs (no col= dirs left behind)
+    w.write(spark.createDataFrame(
+        [(4, "2023", "eu", 40.0)],
+        "id long, year string, region string, v double"), mode="append")
+    back2 = Dataset(spark, out, partitioning=["year", "region"]).load()
+    assert back2.count() == 4
+    assert back2.where("year = '2023' AND region = 'eu'").count() == 2
+    assert not any("=" in d for d in os.listdir(out))
+
+
+def test_directory_flavor_overwrite_partitions_replaces(spark, tmp_path):
+    from pydala_spark.dataset.reader import Dataset
+
+    out = str(tmp_path / "dirpart2")
+    schema = "id long, g string, v double"
+    w = Writer(spark, out, partition_by=["g"], partition_flavor="directory")
+    w.write(spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], schema), mode="overwrite")
+    # dynamic overwrite of partition a only: its old rows are REPLACED,
+    # partition b untouched
+    w.write(spark.createDataFrame([(9, "a", 9.0)], schema),
+            mode="overwrite_partitions")
+    back = Dataset(spark, out, partitioning=["g"]).load()
+    rows = {(r["id"], r["g"]) for r in back.collect()}
+    assert rows == {(9, "a"), (2, "b")}
+
+
+def test_directory_flavor_flat_append_rejected(spark, tmp_path):
+    out = str(tmp_path / "dirpart3")
+    schema = "id long, g string, v double"
+    Writer(spark, out, partition_by=["g"], partition_flavor="directory").write(
+        spark.createDataFrame([(1, "a", 1.0)], schema), mode="overwrite"
+    )
+    # a later writer without partition_by cannot silently write flat files
+    with pytest.raises(ValueError, match="directory"):
+        Writer(spark, out, partition_flavor="directory").write(
+            spark.createDataFrame([(2, "b", 2.0)], schema), mode="append"
+        )
+    # and upsert is an explicit unsupported combination
+    with pytest.raises(ValueError, match="upsert"):
+        Writer(spark, out, partition_by=["g"],
+               partition_flavor="directory").write(
+            spark.createDataFrame([(3, "a", 3.0)], schema),
+            mode="upsert", delta_subset=["id"],
+        )
