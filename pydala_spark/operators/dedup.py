@@ -119,10 +119,49 @@ def shingles_of_tokens(tok_col: Column, k: int = 3) -> Column:
     return F.filter(shingled, lambda s: s != F.lit(""))
 
 
+def char_shingles(text_col: str | Column, k: int = 5) -> Column:
+    """Distinct character k-shingles over the NORMALIZED text — the
+    near-dup unit for unsegmented scripts (round 5): word shingles
+    degenerate on CJK (no spaces → a whole clause is one "token", so a
+    one-character edit changes every word-shingle), while character
+    n-grams stay fine-grained in any script. Normalization is the same
+    Unicode :func:`~pydala_spark.operators.textstats.normalize_text`
+    the fingerprint path uses. Built-ins only: one substring per index
+    over the MATERIALIZED normalized string (callers must pass a
+    materialized column — Catalyst substitutes expressions into lambda
+    bodies, re-normalizing once per shingle otherwise). Texts shorter
+    than ``k`` yield their whole normalized text as one shingle; empty
+    text yields none."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    n = F.greatest(F.length(c) - (k - 1), F.lit(1))
+    shingled = F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: F.substr(c, i, F.lit(k)))
+    )
+    return F.filter(shingled, lambda s: s != F.lit(""))
+
+
 def doc_shingles(
-    df: DataFrame, id_col: str, text_col: str = "text", k: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    mode: str = "word",
 ) -> DataFrame:
-    """(id, shs) frame of distinct word k-shingles per document."""
+    """(id, shs) frame of distinct k-shingles per document.
+
+    ``mode="word"`` (default): word k-shingles over regex tokens.
+    ``mode="char"`` (round 5): character k-shingles over the normalized
+    text — use for CJK/unsegmented corpora, where word shingling
+    collapses to one shingle per punctuation-separated run (k should be
+    larger, e.g. 5-9 chars ≈ 2-3 words of signal)."""
+    if mode == "char":
+        from pydala_spark.operators.textstats import normalize_text
+
+        return df.select(
+            F.col(id_col).alias("id"), normalize_text(text_col).alias("__n")
+        ).select("id", char_shingles(F.col("__n"), k).alias("shs"))
+    if mode != "word":
+        raise ValueError("mode must be 'word' or 'char'")
     return df.select(
         F.col(id_col).alias("id"), word_regex_tokens(text_col).alias("__t")
     ).select("id", shingles_of_tokens(F.col("__t"), k).alias("shs"))
@@ -135,6 +174,7 @@ def minhash_signatures(
     n_hashes: int = 8,
     shingle_size: int = 3,
     seed: int = 0,
+    shingle_mode: str = "word",
 ) -> DataFrame:
     """MinHash signature per document: hash_i(doc) = lexicographic MIN
     over the doc's shingles of an 8-hex-digit (32-bit) slice of
@@ -163,7 +203,9 @@ def minhash_signatures(
     n_md5 = (n_hashes + 3) // 4
     salt = f"{seed}:" if seed else ""
     exploded = explode_cheaply(
-        doc_shingles(df, id_col, text_col, shingle_size), F.col("shs"), "sh"
+        doc_shingles(df, id_col, text_col, shingle_size, mode=shingle_mode),
+        F.col("shs"),
+        "sh",
     ).select(
         F.col("id").alias(id_col),
         *[
@@ -307,6 +349,7 @@ def ngram_jaccard_pairs(
     shingle_size: int = 3,
     threshold: float = 0.1,
     max_shingle_df: int | None = None,
+    shingle_mode: str = "word",
 ) -> DataFrame:
     """Pairwise Jaccard similarity over word-shingle sets, computed by
     self-joining exploded shingles (pairs materialize only where they
@@ -331,9 +374,9 @@ def ngram_jaccard_pairs(
     boilerplate). Cost: one extra aggregation plus one exchange keyed by
     id; the join stays an equi-join on ``sh``.
     """
-    sh = doc_shingles(df, id_col, text_col, shingle_size).withColumn(
-        "sh_size", F.size("shs").cast("long")
-    )
+    sh = doc_shingles(
+        df, id_col, text_col, shingle_size, mode=shingle_mode
+    ).withColumn("sh_size", F.size("shs").cast("long"))
     exploded = explode_cheaply(sh, F.col("shs"), "sh").select(
         "id", "sh_size", "sh"
     )

@@ -45,6 +45,23 @@ def token_count(col: str | Column) -> Column:
 WORD_TOKEN_PATTERN = r"[\p{L}\p{N}']+"
 NORMALIZE_STRIP_PATTERN = r"[^\p{L}\p{N} ]"
 
+#: Pre-lower case-fold map neutralizing the ONLY two places where
+#: Java's full Unicode lowercasing diverges from a simple 1:1 mapping
+#: (cross-engine fuzz, round 5): Greek capital sigma (Java applies the
+#: context-sensitive FINAL-sigma rule — "ΟΣ" lowers to "ος" while
+#: simple-mapping engines give "οσ") and Turkish dotted İ (Java expands
+#: U+0130 to "i" + combining dot U+0307 — a mark the normalizer then
+#: strips as a separator, SPLITTING the token). One ``translate`` pass
+#: (codegen-friendly, identical semantics in DuckDB) maps both to
+#: their plain lowercase BEFORE ``lower()``, so fingerprints and tokens
+#: are engine-portable for every script the fuzz covers.
+CASE_FOLD_SRC = "Σİ"
+CASE_FOLD_DST = "σi"
+
+
+def _folded_lower(c: Column) -> Column:
+    return F.lower(F.translate(c, CASE_FOLD_SRC, CASE_FOLD_DST))
+
 
 def word_regex_tokens(
     col: str | Column, pattern: str = WORD_TOKEN_PATTERN
@@ -55,14 +72,15 @@ def word_regex_tokens(
     Unicode letters/digits, so CJK/Cyrillic/Arabic text yields real
     tokens instead of none."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_extract_all(F.lower(c), F.lit(pattern), F.lit(0))
+    return F.regexp_extract_all(_folded_lower(c), F.lit(pattern), F.lit(0))
 
 
 def normalize_text(col: str | Column) -> Column:
-    """Canonical form for fingerprinting: lowercase, strip everything
-    outside Unicode letters/digits/space, collapse whitespace."""
+    """Canonical form for fingerprinting: lowercase (with the
+    ``CASE_FOLD_SRC`` pre-fold — see above), strip everything outside
+    Unicode letters/digits/space, collapse whitespace."""
     c = F.col(col) if isinstance(col, str) else col
-    cleaned = F.regexp_replace(F.lower(c), NORMALIZE_STRIP_PATTERN, " ")
+    cleaned = F.regexp_replace(_folded_lower(c), NORMALIZE_STRIP_PATTERN, " ")
     return F.trim(F.regexp_replace(cleaned, r"\s+", " "))
 
 

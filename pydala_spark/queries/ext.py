@@ -36,8 +36,13 @@ from pydala_spark.sources import load_table
 # complement of WORD_TOKEN_PATTERN's class. \p{L}/\p{N} mean the same in
 # RE2 and Java regex (round 5: Unicode classes, so non-Latin text
 # tokenizes — tests/test_operators.py pins the two patterns together).
+# The translate() pre-fold mirrors textstats.CASE_FOLD_SRC: it
+# neutralizes Java's context-sensitive final-sigma rule and the İ →
+# i+combining-dot expansion, the only lower() divergences between the
+# engines (round-5 cross-engine fuzz).
+_FOLDED_LOWER = "lower(translate(text, 'Σİ', 'σi'))"
 _WORD_SPLIT_SQL = (
-    "list_filter(string_split_regex(lower(text), "
+    f"list_filter(string_split_regex({_FOLDED_LOWER}, "
     "'[^\\p{L}\\p{N}'']+'), x -> x <> '')"
 )
 
@@ -473,10 +478,12 @@ FROM ub
 _Q_LANG_SQL = _lang_sql()
 
 def _norm_sql(col: str = "text") -> str:
-    """DuckDB mirror of textstats.normalize_text (Unicode classes,
-    round 5 — identical semantics in RE2 and Java regex)."""
+    """DuckDB mirror of textstats.normalize_text (Unicode classes +
+    the Σ/İ translate pre-fold, round 5 — identical semantics in RE2
+    and Java regex; see _FOLDED_LOWER)."""
     return (
-        f"TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER({col}), "
+        f"TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(TRANSLATE({col}, "
+        "'Σİ', 'σi')), "
         "'[^\\p{L}\\p{N} ]', ' ', 'g'), '\\s+', ' ', 'g'))"
     )
 
@@ -701,13 +708,30 @@ FROM bands a JOIN bands b
 """
 
 
+#: Planted CJK docs for the round-5 ``cjk`` family: word shingling
+#: degenerates on unsegmented scripts (no spaces → one "token" per
+#: punctuation run), so near-dup detection switches to CHARACTER
+#: shingles (``shingle_mode="char"``). 101/102 are a near-dup pair
+#: sharing a long prefix; 103/104 are unrelated. One Python list feeds
+#: both engines.
+_CJK_DOCS: list[tuple[int, str]] = [
+    (101, "今日は良い天気ですね散歩に行きましょう"),
+    (102, "今日は良い天気ですね散歩に出かけましょう"),
+    (103, "機械学習モデルの訓練には大量のデータが必要です"),
+    (104, "股市今天大幅上涨投资者信心增强"),
+]
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard pairs (>= 0.2) via shingle self-join, plus the
     round-4 ``reps`` family: the pairs feed ``dedup_clusters`` (min-label
     connected components) and ``keep_cluster_representatives`` picks each
     cluster's best-quality survivor (longest text, smallest-id tiebreak)
     — the full fuzzy-dedup decision chain, exact-checked end to end (the
-    oracle resolves components with a recursive CTE)."""
+    oracle resolves components with a recursive CTE). Round 5 adds the
+    ``cjk`` family: character-5-gram Jaccard over planted CJK docs
+    (``shingle_mode="char"`` — the near-dup unit for unsegmented
+    scripts, where word shingles collapse to one per clause)."""
     from pydala_spark.operators.dedup import (
         dedup_clusters,
         keep_cluster_representatives,
@@ -728,7 +752,12 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     reps = kept.join(
         clusters, kept["doc_id"] == clusters["id"]
     ).select("doc_id", "cluster_id", "score")
-    return _tagged_union([("pairs", pairs), ("reps", reps)])
+    cjk_src = spark.createDataFrame(_CJK_DOCS, "doc_id bigint, text string")
+    cjk = ngram_jaccard_pairs(
+        cjk_src, "doc_id", "text",
+        shingle_size=5, threshold=0.15, shingle_mode="char",
+    ).select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
+    return _tagged_union([("pairs", pairs), ("reps", reps), ("cjk", cjk)])
 
 
 _Q_JACCARD_SQL = f"""
@@ -770,7 +799,35 @@ SELECT 'reps', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
        CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
        CAST(NULL AS DOUBLE), doc_id, cluster_id, score
 FROM rep WHERE r = 1
-"""
+UNION ALL
+SELECT 'cjk', id_a, id_b, inter, size_a, size_b,
+       CAST(inter AS DOUBLE) / (size_a + size_b - inter),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.sh_size AS size_a, b.sh_size AS size_b, COUNT(*) AS inter
+  FROM (SELECT doc_id, LEN(shs) AS sh_size, UNNEST(shs) AS s FROM (
+          SELECT doc_id, list_filter(list_distinct(list_transform(
+                   generate_series(1, GREATEST(LENGTH(norm) - 4, 1)),
+                   i -> substr(norm, i, 5))), x -> x <> '') AS shs
+          FROM (SELECT doc_id, {_norm_sql()} AS norm
+                FROM {{CJK_VALUES}}))) a
+  JOIN (SELECT doc_id, LEN(shs) AS sh_size, UNNEST(shs) AS s FROM (
+          SELECT doc_id, list_filter(list_distinct(list_transform(
+                   generate_series(1, GREATEST(LENGTH(norm) - 4, 1)),
+                   i -> substr(norm, i, 5))), x -> x <> '') AS shs
+          FROM (SELECT doc_id, {_norm_sql()} AS norm
+                FROM {{CJK_VALUES}}))) b
+    ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+WHERE CAST(inter AS DOUBLE) / (size_a + size_b - inter) >= 0.15
+""".replace(
+    "{CJK_VALUES}",
+    "(VALUES "
+    + ", ".join(f"({i}, '{t}')" for i, t in _CJK_DOCS)
+    + ") AS cj(doc_id, text)",
+)
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

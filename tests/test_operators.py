@@ -142,6 +142,47 @@ def test_minhash_seed_salts_hash_family(spark):
     assert m7[0] == m7[3]
 
 
+def test_char_shingle_mode_for_cjk(spark):
+    """Round 5: word shingles degenerate on unsegmented scripts (a CJK
+    doc has one "token" per punctuation run); shingle_mode='char' keeps
+    near-dup detection fine-grained in any script."""
+    docs = spark.createDataFrame(
+        [
+            (1, "今日は良い天気ですね散歩に行きましょう"),
+            (2, "今日は良い天気ですね散歩に出かけましょう"),  # near-dup of 1
+            (3, "機械学習モデルの訓練には大量のデータが必要です"),
+        ],
+        ["doc_id", "text"],
+    )
+    # word mode: each doc is ONE token -> one whole-text shingle; the
+    # near-dup pair shares nothing
+    word_pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_size=3, threshold=0.1
+    ).collect()
+    assert word_pairs == []
+    # char mode finds the near-dup pair and rejects the unrelated doc
+    char_pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text",
+            shingle_size=5, threshold=0.15, shingle_mode="char",
+        ).collect()
+    }
+    assert set(char_pairs) == {(1, 2)}
+    assert 0.15 <= char_pairs[(1, 2)] < 1.0
+    # minhash + LSH over char shingles buckets the pair too
+    sigs = minhash_signatures(
+        docs, "doc_id", "text", n_hashes=8, shingle_size=5,
+        shingle_mode="char",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(sigs, "doc_id", n_bands=4).collect()
+    }
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
 def test_ngram_jaccard(spark):
     out = ngram_jaccard_pairs(_docs(spark), "doc_id", "text", threshold=0.5)
     pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}

@@ -109,3 +109,50 @@ def test_strip_html_matches_duckdb(spark):
         "FROM docs ORDER BY doc_id"
     ).df()
     assert list(got["clean"]) == list(oracle["clean"])
+
+
+def test_unicode_fingerprint_tokens_match_duckdb(spark):
+    """Round 5: the Unicode normalize/tokenize stack must be engine-
+    portable — same fingerprints and token counts in Spark (Java regex
+    + full Unicode lower) and DuckDB (RE2 + simple lower). The Σ/İ
+    translate pre-fold exists exactly for this: Java's context-
+    sensitive final-sigma rule and the İ → i+combining-dot expansion
+    are the two places the engines' lower() disagree (found by this
+    fuzz, fixed by CASE_FOLD_SRC)."""
+    import duckdb as _duckdb
+
+    from pydala_spark.operators.textstats import fingerprint, word_regex_tokens
+    from pydala_spark.queries.ext import _WORD_SPLIT_SQL, _norm_sql
+
+    edge = "İıßΣσςǅǈŉﬀﬁ"
+    scripts = "abcXYZ012 привет ПРИВЕТ 你好日本語한국مرحباहिन्दीΕλλάδα"
+    punct = "!?.,—«»'\"()[]{}\t\n  ~@#$%^&*"
+    alphabet = edge + scripts + punct
+    rng = random.Random(11)
+    cases = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40)))
+        for _ in range(80)
+    ]
+    cases += [e * 3 for e in edge]
+    cases += ["ΟΔΟΣ ΚΑΛΟΣ", "İstanbul İİ", "", "   ", "!!!"]
+
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "i long, t string"
+    )
+    got = {
+        r["i"]: (r["fp"], r["nt"])
+        for r in sdf.select(
+            "i",
+            fingerprint("t").alias("fp"),
+            F.size(word_regex_tokens("t")).alias("nt"),
+        ).collect()
+    }
+    con = _duckdb.connect()
+    split_sql = _WORD_SPLIT_SQL.replace("(text", "(t")
+    for i, t in enumerate(cases):
+        fp, nt = con.execute(
+            f"SELECT md5(nullif({_norm_sql('t')}, '')), len({split_sql}) "
+            "FROM (SELECT ? AS t)",
+            [t],
+        ).fetchone()
+        assert got[i] == (fp, nt), f"case {i}: {t[:40]!r}"
