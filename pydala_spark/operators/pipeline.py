@@ -50,6 +50,8 @@ def prep_documents(
     near_dup_max_bucket: int | None = 1000,
     near_dup_log_dropped: bool = False,
     near_dup_seed: int = 0,
+    near_dup_shingle_mode: str = "word",
+    near_dup_shingle_size: int | None = None,
     stage_frames: dict | None = None,
 ) -> DataFrame:
     """Return the cleaned corpus: quality columns attached, docs linking
@@ -80,6 +82,10 @@ def prep_documents(
     ``near_dup_log_dropped`` logs what dropped at the cost of one extra
     job); ``near_dup_seed`` salts the MinHash family AND rotates band
     boundaries so chained passes recover pairs a single banding misses.
+    ``near_dup_shingle_mode="char"`` switches the MinHash stage to
+    character shingles (size defaults to 7 chars; word mode defaults to
+    3 words) — required for CJK/unsegmented corpora, where word
+    shingling collapses each clause into one token.
 
     Pass an empty dict as ``stage_frames`` to receive the intermediate
     DataFrame after each enabled stage (keys: input, blocklist,
@@ -183,8 +189,12 @@ def prep_documents(
     # not an arbitrary one. One extra broadcast-sized join of the pair
     # list against the (id, score) projection; plan shape unchanged.
     if near_dup:
+        shingle_size = near_dup_shingle_size or (
+            7 if near_dup_shingle_mode == "char" else 3
+        )
         sigs = minhash_signatures(
-            out, id_col, text_col, n_hashes=n_hashes, seed=near_dup_seed
+            out, id_col, text_col, n_hashes=n_hashes, seed=near_dup_seed,
+            shingle_size=shingle_size, shingle_mode=near_dup_shingle_mode,
         )
         # near_dup_max_bucket (round 5): the degenerate-bucket cap IS
         # exposed in the flagship path — exact dedup runs first, but a

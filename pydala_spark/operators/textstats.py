@@ -35,6 +35,36 @@ def token_count(col: str | Column) -> Column:
     return F.size(tokens(col))
 
 
+#: CJK-ish character class (literal ranges — portable across Java regex
+#: and RE2): Hiragana/Katakana, CJK Unified Ideographs, Hangul
+#: syllables. Used by the multilingual token counter: these scripts
+#: don't separate words with spaces, so whitespace counting sees a whole
+#: clause as ONE token.
+CJK_CHAR_CLASS = (
+    "["
+    + f"{chr(0x3040)}-{chr(0x30FF)}"
+    + f"{chr(0x4E00)}-{chr(0x9FFF)}"
+    + f"{chr(0xAC00)}-{chr(0xD7A3)}"
+    + "]"
+)
+
+
+def token_count_multilingual(col: str | Column) -> Column:
+    """Token count that is budget-meaningful on unsegmented scripts:
+    every CJK/kana/Hangul character counts as one token (the ~1
+    token/char BPE convention), and the remaining text counts by
+    whitespace as usual. Whitespace counting alone prices a 500-char
+    Chinese document at ~1 token — useless for training-shard budgets
+    (``pack_shards`` accepts any count column; pass this one for
+    multilingual corpora) and quality length gates. Pure column algebra
+    (two regexes + the whitespace split), engine-portable literal
+    ranges."""
+    c = F.col(col) if isinstance(col, str) else col
+    cjk = F.regexp_count(c, F.lit(CJK_CHAR_CLASS))
+    rest = F.regexp_replace(c, CJK_CHAR_CLASS, " ")
+    return token_count(rest) + cjk
+
+
 #: Unicode-aware token / normalization classes (round 5). ``\p{L}`` /
 #: ``\p{N}`` are the Unicode letter/digit categories with the SAME syntax
 #: and semantics in Java regex (Spark) and RE2 (DuckDB), so every oracle

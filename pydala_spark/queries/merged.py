@@ -188,6 +188,20 @@ GROUP BY regexp_extract(p_name, '^([a-z]+)', 1)
 # collection families: array + map + JSON (F5)
 
 
+#: planted mixed-script docs for the ``unitok`` family (one list feeds
+#: both engines); no quotes/backslashes in the texts (VALUES literals)
+_UNITOK_DOCS: list[tuple[int, str]] = [
+    (9101, "plain english words here"),
+    (9102, "今日は良い天気ですね"),
+    (9103, "mixed 中文 text 混合もじ with 한글"),
+    (9104, "   "),
+]
+
+from pydala_spark.operators.textstats import CJK_CHAR_CLASS as _CJK_CLS  # noqa: E402
+
+_UNITOK_VALUES = ", ".join(f"({i}, '{t}')" for i, t in _UNITOK_DOCS)
+
+
 def q_collection_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array, map and JSON-extraction families, tag-unioned."""
     from pydala_spark.operators.textstats import word_regex_tokens
@@ -253,9 +267,26 @@ def q_collection_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_html_tags"),
         F.md5(strip_html(html_src)).alias("html_md5"),
     )
+    # unitok family (round 5): multilingual token counting — planted
+    # mixed-script docs pin that CJK/kana/Hangul characters count
+    # individually (whitespace counting prices a Chinese clause at ONE
+    # token) while plain text counts by whitespace, both engines
+    from pydala_spark.operators.textstats import (
+        token_count,
+        token_count_multilingual,
+    )
+
+    uni_src = spark.createDataFrame(
+        _UNITOK_DOCS, "doc_id bigint, text string"
+    )
+    unitok = uni_src.select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_tokens"),
+        token_count_multilingual("text").cast("long").alias("n_tokens_multi"),
+    )
     return _tagged_union(
         [("array", arr), ("map", maps), ("json", js), ("chunk", chunks),
-         ("html", html)]
+         ("html", html), ("unitok", unitok)]
     )
 
 
@@ -301,7 +332,8 @@ SELECT 'array' AS family, doc_id, LEN(t) AS n_tokens,
   CAST(NULL AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS sum_k,
   CAST(NULL AS DOUBLE) AS avg_k,
   CAST(NULL AS BIGINT) AS chunk_id, CAST(NULL AS VARCHAR) AS chunk_text,
-  CAST(NULL AS BIGINT) AS n_html_tags, CAST(NULL AS VARCHAR) AS html_md5
+  CAST(NULL AS BIGINT) AS n_html_tags, CAST(NULL AS VARCHAR) AS html_md5,
+  CAST(NULL AS BIGINT) AS n_tokens_multi
 FROM (SELECT doc_id, {_WORD_SPLIT} AS t FROM documents)
 UNION ALL
 SELECT 'map', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS INT),
@@ -312,7 +344,8 @@ SELECT 'map', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS INT),
   CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
   CAST(NULL AS DOUBLE),
   CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
-  CAST(NULL AS BIGINT) AS n_html_tags, CAST(NULL AS VARCHAR) AS html_md5
+  CAST(NULL AS BIGINT) AS n_html_tags, CAST(NULL AS VARCHAR) AS html_md5,
+  CAST(NULL AS BIGINT) AS n_tokens_multi
 FROM lineitem WHERE l_orderkey < 100
 UNION ALL
 SELECT 'json', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS INT),
@@ -322,7 +355,8 @@ SELECT 'json', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS INT),
   CAST(SUM(CAST(CAST(props->>'$.k' AS INTEGER) AS DECIMAL(25,0))) AS DOUBLE),
   CAST(SUM(CAST(CAST(props->>'$.k' AS INTEGER) AS DECIMAL(25,0))) AS DOUBLE) / COUNT(*),
   CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
-  CAST(NULL AS BIGINT) AS n_html_tags, CAST(NULL AS VARCHAR) AS html_md5
+  CAST(NULL AS BIGINT) AS n_html_tags, CAST(NULL AS VARCHAR) AS html_md5,
+  CAST(NULL AS BIGINT) AS n_tokens_multi
 FROM events GROUP BY event_type
 UNION ALL
 SELECT 'chunk', doc_id, LEN(t[st : st + 31]) AS n_tokens,
@@ -333,7 +367,8 @@ SELECT 'chunk', doc_id, LEN(t[st : st + 31]) AS n_tokens,
   CAST(NULL AS DOUBLE),
   CAST((st - 1) // 28 AS BIGINT) AS chunk_id,
   array_to_string(t[st : st + 31], ' ') AS chunk_text,
-  CAST(NULL AS BIGINT) AS n_html_tags, CAST(NULL AS VARCHAR) AS html_md5
+  CAST(NULL AS BIGINT) AS n_html_tags, CAST(NULL AS VARCHAR) AS html_md5,
+  CAST(NULL AS BIGINT) AS n_tokens_multi
 FROM (
   SELECT doc_id, t, unnest(range(1, LEN(t) + 1, 28)) AS st
   FROM (SELECT doc_id, {_WORD_SPLIT} AS t FROM documents WHERE doc_id < 50)
@@ -347,8 +382,24 @@ SELECT 'html', doc_id, CAST(NULL AS BIGINT), CAST(NULL AS INT),
   CAST(NULL AS DOUBLE),
   CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
   LEN(regexp_extract_all(src, '{_HTML_TAG}')) AS n_html_tags,
-  MD5({_STRIP_HTML_SRC}) AS html_md5
+  MD5({_STRIP_HTML_SRC}) AS html_md5,
+  CAST(NULL AS BIGINT) AS n_tokens_multi
 FROM (SELECT doc_id, {_HTML_SRC_SQL} AS src FROM documents WHERE doc_id < 50)
+UNION ALL
+SELECT 'unitok', doc_id,
+  LEN(list_filter(string_split_regex(TRIM(text), '\\s+'), x -> x <> '')),
+  CAST(NULL AS INT), CAST(NULL AS VARCHAR),
+  CAST(NULL AS BIGINT), CAST(NULL AS INT),
+  CAST(NULL AS DOUBLE), CAST(NULL AS INT), CAST(NULL AS VARCHAR),
+  CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+  CAST(NULL AS DOUBLE),
+  CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+  CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+  LEN(list_filter(string_split_regex(
+        TRIM(regexp_replace(text, '{_CJK_CLS}', ' ', 'g')), '\\s+'),
+      x -> x <> ''))
+    + LEN(regexp_extract_all(text, '{_CJK_CLS}')) AS n_tokens_multi
+FROM (VALUES {_UNITOK_VALUES}) u(doc_id, text)
 """
 
 

@@ -358,3 +358,24 @@ def test_pipeline_report_rejects_stage_frames_kwarg(spark):
     df = spark.createDataFrame([(1, "some text here")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="stage_frames"):
         pipeline_report(df, stage_frames={})
+
+
+def test_prep_documents_cjk_char_shingles(spark):
+    # round 5: a CJK corpus through the flagship pipeline — word-mode
+    # near-dup misses the unsegmented near-dup pair; char mode drops it
+    from pydala_spark.operators.pipeline import prep_documents
+
+    df = spark.createDataFrame(
+        [
+            (1, "今日は良い天気ですね散歩に行きましょう"),
+            (2, "今日は良い天気ですね散歩に出かけましょう"),  # near-dup of 1
+            (3, "機械学習モデルの訓練には大量のデータが必要です"),
+        ],
+        ["doc_id", "text"],
+    )
+    word = prep_documents(df, min_quality=0, near_dup=True)
+    assert {r["doc_id"] for r in word.collect()} == {1, 2, 3}
+    char = prep_documents(
+        df, min_quality=0, near_dup=True, near_dup_shingle_mode="char"
+    )
+    assert {r["doc_id"] for r in char.collect()} == {1, 3}

@@ -1630,3 +1630,32 @@ def test_decode_media_png_randomized_roundtrip(spark):
             "png", w, h, ch
         ), i
         assert abs(r["mean"] - mean) < 1e-9 and abs(r["rms"] - rms) < 1e-9, i
+
+
+def test_token_count_multilingual(spark):
+    # round 5: CJK/kana/Hangul chars count individually (~1 token/char
+    # BPE convention); whitespace counting prices a whole clause at 1
+    from pydala_spark.operators.textstats import (
+        token_count,
+        token_count_multilingual,
+    )
+
+    rows = [
+        (1, "plain english words here"),
+        (2, "今日は良い天気ですね"),
+        (3, "mixed 中文 text with 한글"),
+        (4, "   "),
+    ]
+    df = spark.createDataFrame(rows, ["i", "text"])
+    got = {
+        r["i"]: (r["ws"], r["multi"])
+        for r in df.select(
+            "i",
+            token_count("text").alias("ws"),
+            token_count_multilingual("text").alias("multi"),
+        ).collect()
+    }
+    assert got[1] == (4, 4)          # pure Latin: identical
+    assert got[2] == (1, 10)         # 10 Japanese chars, one ws "token"
+    assert got[3] == (5, 3 + 2 + 2)  # 3 latin words + 2 hanzi + 2 hangul
+    assert got[4] == (0, 0)
