@@ -425,6 +425,7 @@ def contamination_hits(
     text_col: str = "text",
     shingle_size: int = 3,
     min_hits: int = 1,
+    shingle_mode: str = "word",
 ) -> DataFrame:
     """Corpus documents sharing at least ``min_hits`` distinct word
     ``shingle_size``-grams with ANY benchmark document — the standard
@@ -436,11 +437,15 @@ def contamination_hits(
     distinct-hit count. Returns ``(id, n_hits)``.
     """
     c = explode_cheaply(
-        doc_shingles(corpus, id_col, text_col, shingle_size), F.col("shs"), "sh"
+        doc_shingles(corpus, id_col, text_col, shingle_size, mode=shingle_mode),
+        F.col("shs"),
+        "sh",
     ).select("id", "sh")
     b = (
         explode_cheaply(
-            doc_shingles(benchmark, id_col, text_col, shingle_size),
+            doc_shingles(
+                benchmark, id_col, text_col, shingle_size, mode=shingle_mode
+            ),
             F.col("shs"),
             "sh",
         )
@@ -462,11 +467,14 @@ def decontaminate(
     text_col: str = "text",
     shingle_size: int = 3,
     min_hits: int = 1,
+    shingle_mode: str = "word",
 ) -> DataFrame:
     """Corpus minus contaminated documents (anti-join on
-    :func:`contamination_hits`)."""
+    :func:`contamination_hits`). ``shingle_mode="char"`` for
+    CJK/unsegmented benchmarks (see :func:`doc_shingles`)."""
     hits = contamination_hits(
-        corpus, benchmark, id_col, text_col, shingle_size, min_hits
+        corpus, benchmark, id_col, text_col, shingle_size, min_hits,
+        shingle_mode=shingle_mode,
     ).select(F.col("id").alias(id_col))
     return corpus.join(hits, id_col, "left_anti")
 

@@ -500,6 +500,80 @@ def quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def lm_perplexity_score(
+    df: DataFrame,
+    vocab: dict[str, int],
+    unk_millinats: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    head_threshold: int = -4500,
+    middle_threshold: int = -6000,
+) -> DataFrame:
+    """CCNet-style LM quality filter (Wenzek et al. 2020): score every
+    document under a PINNED unigram language model and bucket the
+    corpus by per-token log-likelihood into ``head`` / ``middle`` /
+    ``tail`` — the classic keep-the-head perplexity filter, shipped the
+    way a trained LM actually ships (model trains offline, the log-prob
+    table freezes, scoring is a broadcast join).
+
+    ``vocab`` maps token → log-prob in MILLINATS (``round(1000·ln p)``,
+    negative ints; ``tools/train_lm_fixture.py``); out-of-vocabulary
+    tokens score ``unk_millinats``. Integer log-probs are the exactness
+    trick: distributed LONG sums are order-independent (double sums are
+    not), so the score — and the oracle hash — is deterministic.
+    ``avg_millinats`` (= sum/n, one exact division) is monotone in
+    perplexity (ppl = exp(−avg/1000)), so bucketing thresholds compare
+    the average directly and nothing transcendental enters the result.
+
+    Returns ``(id, n_tokens, sum_millinats, avg_millinats, bucket)``;
+    empty docs keep NULL score and bucket ``unscored``.
+
+    Shape at 100 TB: explode tokens (``explode_cheaply``), ONE
+    broadcast join against the vocab (a real LM vocab is ~100k rows —
+    broadcast-sized by construction), one per-doc aggregation; a final
+    left join hands empty docs back. Two shuffles, both keyed by doc id.
+    """
+    from pydala_spark.operators.dedup import explode_cheaply
+
+    spark = df.sparkSession
+    vocab_df = F.broadcast(
+        spark.createDataFrame(
+            list(vocab.items()), "tok string, lp long"
+        )
+    )
+    base = df.select(
+        F.col(id_col).alias("id"), word_regex_tokens(text_col).alias("__toks")
+    )
+    toks = explode_cheaply(base.select("id", "__toks"), F.col("__toks"), "tok")
+    scored = (
+        toks.join(vocab_df, "tok", "left")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("lp"), F.lit(int(unk_millinats))))
+            .cast("long")
+            .alias("sum_millinats"),
+        )
+    )
+    avg = F.col("sum_millinats").cast("double") / F.col("n_tokens")
+    out = (
+        base.select("id")
+        .join(scored, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            "sum_millinats",
+            avg.alias("avg_millinats"),
+            F.when(F.col("n_tokens").isNull(), F.lit("unscored"))
+            .when(avg >= head_threshold, F.lit("head"))
+            .when(avg >= middle_threshold, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )
+    return out
+
+
 def classifier_score(
     df: DataFrame,
     weights,

@@ -641,10 +641,52 @@ def q_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_kept"))
         .withColumn("threshold", F.lit(thr))
     )
-    return _tagged_union([("moments", moments), ("qcut", qcut)])
+    # ppl family (round 5): CCNet-style pinned-unigram-LM perplexity
+    # filter over documents (textstats.lm_perplexity_score) — millinat
+    # integer log-probs make the distributed sum exact, so both engines
+    # hash-match the per-doc scores and head/middle/tail buckets
+    from pydala_spark.operators.textstats import lm_perplexity_score
+    from pydala_spark.queries.merged import _lm_fixture
+
+    lm = _lm_fixture()
+    # thresholds sit at the synthetic corpus's rough tertiles so all
+    # three buckets are exercised (exactness never depends on their
+    # placement — avg_millinats is bit-identical in both engines)
+    ppl = lm_perplexity_score(
+        load_table(spark, sf_dir, "documents"),
+        lm["vocab"],
+        lm["unk_millinats"],
+        head_threshold=-3401,
+        middle_threshold=-3405,
+    ).select(
+        F.col("id").alias("doc_id"),
+        F.col("n_tokens").alias("n_lm_tokens"),
+        "sum_millinats",
+        "avg_millinats",
+        "bucket",
+    )
+    return _tagged_union([("moments", moments), ("qcut", qcut), ("ppl", ppl)])
 
 
-_Q_STATS_SQL = """
+def _lm_fixture() -> dict:
+    import json
+    import posixpath
+
+    path = posixpath.join(
+        posixpath.dirname(__file__), "fixtures", "unigram_lm_millinats.json"
+    )
+    with open(path) as f:
+        return json.load(f)
+
+
+_LM = _lm_fixture()
+_LM_VALUES = ", ".join(
+    f"('{t.replace(chr(39), chr(39) * 2)}', {lp})"
+    for t, lp in _LM["vocab"].items()
+)
+_LM_UNK = _LM["unk_millinats"]
+
+_Q_STATS_SQL = f"""
 WITH m AS (
   SELECT l_returnflag, COUNT(*) AS n,
     quantile_cont(l_quantity, 0.5) AS median_qty,
@@ -661,16 +703,39 @@ SELECT 'moments' AS family, l_returnflag, n, median_qty, p25_price, p75_price,
   (CAST(n AS DOUBLE) * sxy - sx * sy)
   / (SQRT(CAST(n AS DOUBLE) * sxx - sx * sx) * SQRT(CAST(n AS DOUBLE) * syy - sy * sy))
     AS corr_qty_disc,
-  CAST(NULL AS BIGINT) AS n_kept, CAST(NULL AS DOUBLE) AS threshold
+  CAST(NULL AS BIGINT) AS n_kept, CAST(NULL AS DOUBLE) AS threshold,
+  CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_lm_tokens,
+  CAST(NULL AS BIGINT) AS sum_millinats, CAST(NULL AS DOUBLE) AS avg_millinats,
+  CAST(NULL AS VARCHAR) AS bucket
 FROM m
 UNION ALL
 SELECT 'qcut', l_returnflag, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
   COUNT(*) AS n_kept,
-  (SELECT quantile_cont(l_extendedprice, 0.75) FROM lineitem) AS threshold
+  (SELECT quantile_cont(l_extendedprice, 0.75) FROM lineitem) AS threshold,
+  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+  CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)
 FROM lineitem
 WHERE l_extendedprice >= (SELECT quantile_cont(l_extendedprice, 0.75) FROM lineitem)
 GROUP BY l_returnflag
+UNION ALL
+SELECT 'ppl', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+  CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+  d.doc_id, COALESCE(sc.n, 0), sc.s,
+  CAST(sc.s AS DOUBLE) / sc.n,
+  CASE WHEN sc.n IS NULL THEN 'unscored'
+       WHEN CAST(sc.s AS DOUBLE) / sc.n >= -3401 THEN 'head'
+       WHEN CAST(sc.s AS DOUBLE) / sc.n >= -3405 THEN 'middle'
+       ELSE 'tail' END
+FROM documents d
+LEFT JOIN (
+  SELECT doc_id, COUNT(*) AS n,
+         CAST(SUM(COALESCE(v.lp, {_LM_UNK})) AS BIGINT) AS s
+  FROM (SELECT doc_id, unnest({_WORD_SPLIT}) AS tok FROM documents) tk
+  LEFT JOIN (VALUES {_LM_VALUES}) v(tok, lp) ON tk.tok = v.tok
+  GROUP BY doc_id
+) sc ON d.doc_id = sc.doc_id
 """
 
 

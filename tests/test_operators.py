@@ -1659,3 +1659,54 @@ def test_token_count_multilingual(spark):
     assert got[2] == (1, 10)         # 10 Japanese chars, one ws "token"
     assert got[3] == (5, 3 + 2 + 2)  # 3 latin words + 2 hanzi + 2 hangul
     assert got[4] == (0, 0)
+
+
+def test_decontaminate_char_shingles(spark):
+    # round 5: benchmark decontamination over unsegmented text needs
+    # char shingles — word mode can't see the contained CJK overlap
+    from pydala_spark.operators.dedup import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "機械学習モデルの訓練には大量のデータが必要です"),
+            (2, "全く別の話題について書かれた文書です"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "機械学習モデルの訓練には")], ["doc_id", "text"]
+    )
+    word = decontaminate(corpus, bench, "doc_id", min_hits=2)
+    assert {r["doc_id"] for r in word.collect()} == {1, 2}  # blind
+    char = decontaminate(
+        corpus, bench, "doc_id", shingle_size=5, min_hits=2,
+        shingle_mode="char",
+    )
+    assert {r["doc_id"] for r in char.collect()} == {2}  # doc 1 flagged
+
+
+def test_lm_perplexity_score(spark):
+    # round 5: CCNet-style pinned-unigram-LM quality filter — millinat
+    # integer log-probs make the distributed sum exact; OOV tokens get
+    # the unk score; empty docs come back 'unscored'
+    from pydala_spark.operators.textstats import lm_perplexity_score
+
+    vocab = {"the": -1000, "cat": -3000, "sat": -3500}
+    rows = [
+        (1, "the cat sat"),                  # all in-vocab: avg -2500
+        (2, "the zyzzyva"),                  # one unk: avg (-1000-9000)/2
+        (3, "zyzzyva qwormp"),               # all unk: avg -9000 -> tail
+        (4, ""),                             # unscored
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["id"]: (r["n_tokens"], r["sum_millinats"], r["bucket"])
+        for r in lm_perplexity_score(
+            df, vocab, unk_millinats=-9000,
+            head_threshold=-3000, middle_threshold=-6000,
+        ).collect()
+    }
+    assert out[1] == (3, -7500, "head")
+    assert out[2] == (2, -10000, "middle")
+    assert out[3] == (2, -18000, "tail")
+    assert out[4] == (0, None, "unscored")
