@@ -70,10 +70,27 @@ def _session(args):
     )
 
 
+_REPARTITION_KEYS = {
+    "source", "dest", "source_format", "dest_format", "partition_by",
+    "sort_by", "drop", "compression", "mode", "max_records_per_file",
+    "distinct", "with_snapshot",
+}
+
+
 def _cmd_repartition(args) -> int:
     opts: dict = {}
     if args.config:
         opts.update(_load_toml_config(args.config, "repartition"))
+        unknown = sorted(set(opts) - _REPARTITION_KEYS)
+        if unknown:
+            # a clean exit-2 diagnosis beats the raw TypeError a splat
+            # into Repartition(**opts) would raise (r5 review)
+            print(
+                f"repartition: unknown config key(s) {unknown} — "
+                f"valid keys: {sorted(_REPARTITION_KEYS)}",
+                file=sys.stderr,
+            )
+            return 2
     for key in (
         "source", "dest", "source_format", "dest_format", "partition_by",
         "sort_by", "drop", "compression", "mode", "max_records_per_file",
@@ -110,6 +127,14 @@ def _cmd_timefly(args) -> int:
     opts: dict = {}
     if args.config:
         opts.update(_load_toml_config(args.config, "timefly"))
+        unknown = sorted(set(opts) - {"path", "ts", "snapshot_mode"})
+        if unknown:
+            print(
+                f"timefly: unknown config key(s) {unknown} — valid keys: "
+                "['path', 'snapshot_mode', 'ts']",
+                file=sys.stderr,
+            )
+            return 2
     if args.path is not None:
         opts["path"] = args.path
     if args.ts is not None:

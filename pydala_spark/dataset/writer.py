@@ -338,7 +338,10 @@ class Writer:
             and exists
             and not self.partition_by
             and not time_bucket
-            and mode not in ("error", "raise")
+            # a full overwrite deletes the whole layout first — nothing
+            # to inherit, nothing to mis-read (r5 review); only modes
+            # that land files NEXT TO the existing layout need the guard
+            and mode not in ("error", "raise", "overwrite")
         ):
             # bare-value layouts carry no column names, so nothing can be
             # inherited: a flat append onto a depth>0 directory layout
@@ -432,7 +435,12 @@ class Writer:
         ``overwrite_partitions`` the touched partitions' bare dirs are
         cleared BEFORE the move — Spark's dynamic overwrite only
         replaced the hive-side dirs it could see, and merging into the
-        old bare files would resurrect replaced data. Appends into
+        old bare files would resurrect replaced data. That clear+move
+        is NOT atomic (same caveat ``maintain.compact``'s swap and
+        PathOps.rename carry): a crash between the delete and the last
+        rename leaves the new files under ``col=value`` dirs that a
+        flavor reader skips until the next write's dehive pass — rerun
+        the write (idempotent: the moves resume) to heal. Appends into
         existing bare dirs are collision-free (Spark part names embed a
         job UUID). Reads go through ``Dataset(partitioning=[...])``;
         appends must re-pass ``partition_by`` (bare layouts carry no

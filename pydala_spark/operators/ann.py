@@ -228,6 +228,52 @@ def ivf_topk(
 # Product quantization (PQ): memory-bounded ANN at 100 TB
 
 
+def _subspace_kmeans(
+    x: np.ndarray, m: int, n_codes: int, seed: int, iterations: int
+) -> np.ndarray:
+    """Per-subspace L2 k-means over pre-normalized (or residual) rows —
+    the ONE shared training loop. ``pq_codebooks``, ``train_residual_pq``
+    AND the offline fixture tool (tools/train_pq_fixture.py) all call
+    this, so a tweak to the seeding/tie-break/update rule can never
+    desynchronize the pinned oracle fixtures from the operators
+    (r5 review). The RNG draw sequence is part of the pinned contract:
+    one generator, one ``choice`` per subspace in order."""
+    n, dim = x.shape
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = []
+    for i in range(m):
+        sub = x[:, i * dsub : (i + 1) * dsub]
+        cents = sub[
+            rng.choice(len(sub), size=min(n_codes, len(sub)), replace=False)
+        ].copy()
+        for _ in range(iterations):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(len(cents)):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books.append(cents)
+    return np.array(books)
+
+
+def _cell_mean_anchors(
+    xu: np.ndarray, cents: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(assignments, anchors): stable-argmax cell assignment of unit
+    rows plus per-cell MEAN anchors (empty cells fall back to the unit
+    centroid). Shared by ``train_residual_pq`` and the fixture tool."""
+    assign = np.argsort(-(xu @ cents.T), axis=1, kind="stable")[:, 0]
+    anchors = np.stack(
+        [
+            xu[assign == c].mean(axis=0) if (assign == c).any() else cents[c]
+            for c in range(len(cents))
+        ]
+    )
+    return assign, anchors
+
+
 def pq_codebooks(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -271,20 +317,7 @@ def pq_codebooks(
         cents = np.asarray(centroids, dtype=np.float64)
         assign = np.argsort(-(x @ cents.T), axis=1, kind="stable")[:, 0]
         x = x - cents[assign]
-    rng = np.random.default_rng(seed)
-    books = []
-    for i in range(m):
-        sub = x[:, i * dsub : (i + 1) * dsub]
-        cents = sub[rng.choice(len(sub), size=min(n_codes, len(sub)), replace=False)].copy()
-        for _ in range(iterations):
-            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            assign = np.argmin(d2, axis=1)
-            for c in range(len(cents)):
-                members = sub[assign == c]
-                if len(members):
-                    cents[c] = members.mean(axis=0)
-        books.append(cents)
-    return np.array(books)
+    return _subspace_kmeans(x, m, n_codes, seed, iterations)
 
 
 def _pq_encoder(books: np.ndarray):
@@ -367,30 +400,10 @@ def train_residual_pq(
     dim = x.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
-    dsub = dim // m
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-    assign = np.argsort(-(x @ cents.T), axis=1, kind="stable")[:, 0]
-    anchors = np.stack(
-        [
-            x[assign == c].mean(axis=0) if (assign == c).any() else cents[c]
-            for c in range(len(cents))
-        ]
-    )
+    assign, anchors = _cell_mean_anchors(x, cents)
     res = x - anchors[assign]
-    rng = np.random.default_rng(seed)
-    books = []
-    for i in range(m):
-        sub = res[:, i * dsub : (i + 1) * dsub]
-        cs = sub[rng.choice(len(sub), size=min(n_codes, len(sub)), replace=False)].copy()
-        for _ in range(iterations):
-            d2 = ((sub[:, None, :] - cs[None, :, :]) ** 2).sum(axis=2)
-            a = np.argmin(d2, axis=1)
-            for c in range(len(cs)):
-                members = sub[a == c]
-                if len(members):
-                    cs[c] = members.mean(axis=0)
-        books.append(cs)
-    return anchors, np.array(books)
+    return anchors, _subspace_kmeans(res, m, n_codes, seed, iterations)
 
 
 def _ivfpq_encoder(
@@ -668,9 +681,31 @@ def save_ivfpq_index(
     The ``residual`` encoding choice AND the anchors are STORED in the
     PQ sidecar, so search always scores with the math the codes were
     built with (a round-4 index with raw codes loads with
-    ``residual=False`` automatically — the keys are absent)."""
-    from pydala_spark.dataset.writer import Writer
+    ``residual=False`` automatically — the keys are absent). Appending
+    to an existing index whose sidecar declares a DIFFERENT encoding
+    raises: mixed raw/residual codes in one index would silently score
+    half the rows with the wrong math (r5 review — note the round-5
+    default flipped to residual, so a round-4 ingest job upgraded
+    without passing ``residual=False`` fails loud here instead)."""
+    import json as _json
+    import posixpath as _pp
 
+    from pydala_spark.dataset.writer import Writer
+    from pydala_spark.utils.pathops import PathOps as _PathOps
+
+    _ops = _PathOps(spark, path)
+    _sidecar = _pp.join(path, PQ_CODEBOOK_SIDECAR)
+    if mode == "append" and _ops.exists(_sidecar):
+        stored = bool(
+            _json.loads(_ops.read_text(_sidecar)).get("residual", False)
+        )
+        if stored != bool(residual):
+            raise ValueError(
+                f"index at {path} was encoded with residual={stored} but "
+                f"this append requests residual={bool(residual)} — mixed "
+                "encodings in one index score incorrectly; pass the "
+                "matching flag (or rebuild with mode='overwrite')"
+            )
     idx = ivf_pq_encode(
         df, centroids, books, id_col, vec_col,
         residual=residual, anchors=anchors,

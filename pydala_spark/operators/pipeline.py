@@ -251,10 +251,20 @@ def prep_documents(
             losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
         out = out.join(losers, id_col, "left_anti")
         _stage("near_dup", out)
-    # 4. benchmark decontamination (broadcast eval-set shingles)
+    # 4. benchmark decontamination (broadcast eval-set shingles). The
+    # corpus's script decides the shingle unit ONCE: near_dup_shingle_mode
+    # governs decontamination too — char-mode corpora would otherwise be
+    # decontaminated with word shingles, which are blind on unsegmented
+    # text (r5 review)
     if benchmark is not None:
         out = decontaminate(
-            out, benchmark, id_col, text_col, min_hits=decontaminate_min_hits
+            out, benchmark, id_col, text_col,
+            min_hits=decontaminate_min_hits,
+            shingle_size=(
+                near_dup_shingle_size
+                or (7 if near_dup_shingle_mode == "char" else 3)
+            ),
+            shingle_mode=near_dup_shingle_mode,
         )
         _stage("decontaminate", out)
     # 5. quality gate

@@ -216,10 +216,13 @@ def predict_lang(col: str | Column, default: str = "other") -> Column:
     1. **Script stage** (round 5): count characters per non-Latin script
        (``SCRIPT_RANGES`` — Han/kana/Hangul/Cyrillic/Arabic/Devanagari/
        Greek). If the best script's character count EXCEEDS the Latin
-       letter count, the doc is that script's language (priority-order
-       tie-break: kana beats Han, so Japanese text with kanji stays
-       ``ja``). Before this stage every non-Latin doc fell through to
-       ``default`` because stopword lists only know Latin scripts.
+       letter count, the doc is that script's language. Japanese gets
+       the standard kana-presence rule: Han characters are shared with
+       Chinese, so a doc whose argmax script is ``zh`` but that contains
+       ANY kana reclassifies as ``ja`` (kanji-majority Japanese — news/
+       technical prose — would otherwise mislabel; bare Han with no kana
+       stays ``zh``). Before this stage every non-Latin doc fell through
+       to ``default`` because stopword lists only know Latin scripts.
     2. **Stopword stage**: argmax stopword-hit language among the Latin
        ``STOPWORDS`` lists with deterministic tie-break (dict order);
        0 hits everywhere -> ``default``.
@@ -239,6 +242,11 @@ def predict_lang(col: str | Column, default: str = "other") -> Column:
     for lang, cnt in sc.items():
         best_script = F.when(cnt > best_count, F.lit(lang)).otherwise(best_script)
         best_count = F.when(cnt > best_count, cnt).otherwise(best_count)
+    # kana-presence rule: Han is shared with Chinese; any kana at all
+    # marks the doc Japanese even when kanji outnumber kana
+    best_script = F.when(
+        (best_script == F.lit("zh")) & (sc["ja"] > 0), F.lit("ja")
+    ).otherwise(best_script)
     latin = F.regexp_count(F.lower(c), F.lit("[a-z]"))
     return F.when(best_count > latin, best_script).otherwise(best_lang)
 
@@ -525,53 +533,52 @@ def lm_perplexity_score(
     perplexity (ppl = exp(−avg/1000)), so bucketing thresholds compare
     the average directly and nothing transcendental enters the result.
 
-    Returns ``(id, n_tokens, sum_millinats, avg_millinats, bucket)``;
-    empty docs keep NULL score and bucket ``unscored``.
+    Returns ``(id_col, n_tokens, sum_millinats, avg_millinats, bucket)``
+    — the id keeps the caller's column name; empty docs keep NULL score
+    and bucket ``unscored``.
 
-    Shape at 100 TB: explode tokens (``explode_cheaply``), ONE
-    broadcast join against the vocab (a real LM vocab is ~100k rows —
-    broadcast-sized by construction), one per-doc aggregation; a final
-    left join hands empty docs back. Two shuffles, both keyed by doc id.
+    Shape at 100 TB: ONE pass — ``explode_outer`` keeps a null-token
+    row per empty doc (and, like ``explode_cheaply``, infers no
+    ``size(...) > 0`` re-evaluation of the tokenizer), so the per-doc
+    aggregation sees every document and no second corpus scan is needed
+    to resurrect empty ones; the vocab join is broadcast (a real LM
+    vocab is ~100k rows — broadcast-sized by construction). One shuffle,
+    keyed by doc id.
     """
-    from pydala_spark.operators.dedup import explode_cheaply
-
     spark = df.sparkSession
     vocab_df = F.broadcast(
-        spark.createDataFrame(
-            list(vocab.items()), "tok string, lp long"
-        )
+        spark.createDataFrame(list(vocab.items()), "tok string, lp long")
     )
-    base = df.select(
-        F.col(id_col).alias("id"), word_regex_tokens(text_col).alias("__toks")
-    )
-    toks = explode_cheaply(base.select("id", "__toks"), F.col("__toks"), "tok")
+    toks = df.select(
+        F.col(id_col), word_regex_tokens(text_col).alias("__toks")
+    ).select(id_col, F.explode_outer("__toks").alias("tok"))
     scored = (
         toks.join(vocab_df, "tok", "left")
-        .groupBy("id")
+        .groupBy(id_col)
         .agg(
-            F.count("*").cast("long").alias("n_tokens"),
-            F.sum(F.coalesce(F.col("lp"), F.lit(int(unk_millinats))))
+            F.count("tok").cast("long").alias("n_tokens"),
+            F.sum(
+                F.when(
+                    F.col("tok").isNotNull(),
+                    F.coalesce(F.col("lp"), F.lit(int(unk_millinats))),
+                )
+            )
             .cast("long")
             .alias("sum_millinats"),
         )
     )
     avg = F.col("sum_millinats").cast("double") / F.col("n_tokens")
-    out = (
-        base.select("id")
-        .join(scored, "id", "left")
-        .select(
-            "id",
-            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
-            "sum_millinats",
-            avg.alias("avg_millinats"),
-            F.when(F.col("n_tokens").isNull(), F.lit("unscored"))
-            .when(avg >= head_threshold, F.lit("head"))
-            .when(avg >= middle_threshold, F.lit("middle"))
-            .otherwise(F.lit("tail"))
-            .alias("bucket"),
-        )
+    return scored.select(
+        id_col,
+        "n_tokens",
+        "sum_millinats",
+        avg.alias("avg_millinats"),
+        F.when(F.col("n_tokens") == 0, F.lit("unscored"))
+        .when(avg >= head_threshold, F.lit("head"))
+        .when(avg >= middle_threshold, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
     )
-    return out
 
 
 def classifier_score(

@@ -386,6 +386,7 @@ _SCRIPT_DOCS: list[tuple[int, str]] = [
     (9, "le chat est sur la table pour le test dans ce cas"),
     (10, "english sentence that mentions 你好 once for the mixed case"),
     (11, "12345 67890 !!!"),
+    (12, "日本国憲法第九条は戦争の放棄を定める"),  # kanji-majority ja (kana rule)
 ]
 
 
@@ -438,10 +439,15 @@ def _script_stage_sql() -> tuple[str, str, str]:
         for lang in langs
     )
     best = "GREATEST(" + ", ".join(f"c_{lang}" for lang in langs) + ")"
-    case = (
+    argmax = (
         "CASE "
         + " ".join(f"WHEN c_{lang} = best THEN '{lang}'" for lang in langs)
         + " END"
+    )
+    # kana-presence rule mirrored: an argmax of zh with any kana is ja
+    case = (
+        f"CASE WHEN ({argmax}) = 'zh' AND c_ja > 0 THEN 'ja' "
+        f"ELSE ({argmax}) END"
     )
     return counts, best, case
 

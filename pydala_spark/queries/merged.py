@@ -659,7 +659,7 @@ def q_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         head_threshold=-3401,
         middle_threshold=-3405,
     ).select(
-        F.col("id").alias("doc_id"),
+        "doc_id",
         F.col("n_tokens").alias("n_lm_tokens"),
         "sum_millinats",
         "avg_millinats",

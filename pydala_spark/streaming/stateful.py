@@ -112,9 +112,14 @@ def streaming_semantic_dedup(
 
     cents = np.asarray(centroids, dtype=np.float64)
     assign = _assigner(cents, 1)
+    # the id keeps ITS OWN type end-to-end (batch semantic_dedup works
+    # with any orderable id; a hard cast to long would NULL string doc
+    # ids and crash the state update) — output and state schemas are
+    # derived from the input column
+    id_type = stream_df.schema[id_col].dataType.simpleString()
     keyed = stream_df.select(
         F.element_at(assign(F.col(vec_col)), 1).alias("cell"),
-        F.col(id_col).cast("long").alias("__id"),
+        F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__vec"),
     )
     thr = float(threshold)
@@ -142,21 +147,21 @@ def streaming_semantic_dedup(
                 x = x / max(float(np.linalg.norm(x)), 1e-12)
                 if rep_mat.size and float((rep_mat @ x).max()) >= thr:
                     continue
-                kept.append(int(_id))
+                kept.append(_id)
                 if len(reps) < cap:
                     reps.append(x)
-                    rep_ids.append(int(_id))
+                    rep_ids.append(_id)
                     rep_mat = np.array(reps)
         state.update((rep_ids, [r.tolist() for r in reps]))
         yield pd.DataFrame(
-            {"id": pd.Series(kept, dtype="int64"),
+            {"id": pd.Series(kept, dtype="object"),
              "cell": pd.Series([int(key[0])] * len(kept), dtype="int32")}
         )
 
     return keyed.groupBy("cell").applyInPandasWithState(
         update,
-        outputStructType="id long, cell int",
-        stateStructType="ids array<long>, vecs array<array<double>>",
+        outputStructType=f"id {id_type}, cell int",
+        stateStructType=f"ids array<{id_type}>, vecs array<array<double>>",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

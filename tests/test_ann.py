@@ -385,3 +385,27 @@ def test_pre_round5_index_sidecar_loads_as_raw(spark, tmp_path):
     _, _, books2, residual, anchors = load_ivfpq_index(spark, out)
     assert residual is False and anchors is None
     assert np.allclose(books2, books)
+
+
+def test_save_ivfpq_append_rejects_mixed_encoding(spark, tmp_path):
+    # r5 review: appending residual codes onto a raw-coded index (or
+    # vice versa) must fail loud — mixed encodings score half the index
+    # with the wrong math
+    from pydala_spark.operators.ann import (
+        kmeans_centroids,
+        pq_codebooks,
+        save_ivfpq_index,
+    )
+
+    rows = [(i, [float((i % 3) + 1), float(i % 5), 1.0, 0.5]) for i in range(60)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = kmeans_centroids(df, n_centroids=3, seed=1)
+    books = pq_codebooks(df, m=2, n_codes=4, seed=1)
+    out = str(tmp_path / "mixed_idx")
+    save_ivfpq_index(spark, df, out, cents, books, residual=False)
+    with pytest.raises(ValueError, match="residual=False"):
+        save_ivfpq_index(spark, df, out, cents, books,
+                         mode="append", residual=True)
+    # matching flag appends fine
+    save_ivfpq_index(spark, df, out, cents, books,
+                     mode="append", residual=False)

@@ -73,3 +73,12 @@ def test_cli_module_entrypoint_runs():
     )
     assert res.returncode == 0
     assert "repartition" in res.stdout and "timefly" in res.stdout
+
+
+def test_cli_rejects_unknown_config_keys(tmp_path):
+    cfg = tmp_path / "bad.toml"
+    cfg.write_text('[repartition]\nsource = "/x"\ntime_range = "1d"\n')
+    assert main(["repartition", str(cfg)]) == 2
+    cfg2 = tmp_path / "bad2.toml"
+    cfg2.write_text('[timefly]\npath = "/x"\nsnapshots = 3\n')
+    assert main(["timefly", "add", str(cfg2)]) == 2

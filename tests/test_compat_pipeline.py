@@ -379,3 +379,25 @@ def test_prep_documents_cjk_char_shingles(spark):
         df, min_quality=0, near_dup=True, near_dup_shingle_mode="char"
     )
     assert {r["doc_id"] for r in char.collect()} == {1, 3}
+
+
+def test_prep_documents_cjk_decontamination(spark):
+    # r5 review: near_dup_shingle_mode also governs the decontamination
+    # stage — word shingles are blind on unsegmented benchmark overlap
+    from pydala_spark.operators.pipeline import prep_documents
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "機械学習モデルの訓練には大量のデータが必要です"),
+            (2, "全く別の話題について書かれた独自の文書です"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "機械学習モデルの訓練には")], ["doc_id", "text"]
+    )
+    out = prep_documents(
+        corpus, min_quality=0, near_dup=False, benchmark=bench,
+        decontaminate_min_hits=2, near_dup_shingle_mode="char",
+    )
+    assert {r["doc_id"] for r in out.collect()} == {2}

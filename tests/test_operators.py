@@ -366,6 +366,9 @@ def test_predict_lang_scripts(spark):
         (9, "le chat est sur la table pour le test dans ce cas", "fr"),
         (10, "english sentence that mentions 你好 once for the mixed case", "en"),
         (11, "12345 67890 !!!", "other"),
+        # kana-presence rule: kanji outnumber kana (common in formal
+        # Japanese) but ANY kana marks the doc ja, never zh
+        (12, "日本国憲法第九条は戦争の放棄を定める", "ja"),
     ]
     df = spark.createDataFrame(
         [(i, t) for i, t, _ in rows], ["sid", "text"]
@@ -1700,7 +1703,7 @@ def test_lm_perplexity_score(spark):
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     out = {
-        r["id"]: (r["n_tokens"], r["sum_millinats"], r["bucket"])
+        r["doc_id"]: (r["n_tokens"], r["sum_millinats"], r["bucket"])
         for r in lm_perplexity_score(
             df, vocab, unk_millinats=-9000,
             head_threshold=-3000, middle_threshold=-6000,

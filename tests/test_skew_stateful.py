@@ -290,3 +290,30 @@ def test_streaming_semantic_dedup_matches_batch(spark, tmp_path):
     q2.awaitTermination(120)
     streamed2 = {r["id"] for r in spark.read.parquet(out_dir).collect()}
     assert streamed2 == batch_kept | {21}  # 20 dropped vs survivor 0's state
+
+
+def test_streaming_semantic_dedup_string_ids(spark, tmp_path):
+    # r5 review: the id keeps its own type — string doc ids must work
+    # (a hard long cast NULLed them and crashed the state update)
+    from pydala_spark.streaming.stateful import streaming_semantic_dedup
+
+    cents = [[1.0, 0.0]]
+    rows = [("doc-a", [10.0, 0.1]), ("doc-b", [10.0, 0.2]),
+            ("doc-c", [10.0, 9.9])]
+    schema = "vec_id string, embedding array<double>"
+    src = str(tmp_path / "sid_in")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out_dir = str(tmp_path / "sid_out")
+    q = (
+        streaming_semantic_dedup(stream, cents, threshold=0.9)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "sid_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = {r["id"] for r in spark.read.parquet(out_dir).collect()}
+    assert kept == {"doc-a", "doc-c"}  # doc-b near-dups doc-a

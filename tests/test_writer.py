@@ -408,3 +408,21 @@ def test_directory_flavor_flat_append_rejected(spark, tmp_path):
             spark.createDataFrame([(3, "a", 3.0)], schema),
             mode="upsert", delta_subset=["id"],
         )
+
+
+def test_directory_flavor_full_overwrite_without_partition_by(spark, tmp_path):
+    # r5 review: a FULL overwrite deletes the whole layout first, so it
+    # is legitimate without partition_by (the flat-append guard must not
+    # fire); the result is simply an unpartitioned dataset
+    from pydala_spark.dataset.reader import Dataset
+
+    out = str(tmp_path / "dirpart4")
+    schema = "id long, g string, v double"
+    Writer(spark, out, partition_by=["g"], partition_flavor="directory").write(
+        spark.createDataFrame([(1, "a", 1.0)], schema), mode="overwrite"
+    )
+    Writer(spark, out, partition_flavor="directory").write(
+        spark.createDataFrame([(2, "b", 2.0)], schema), mode="overwrite"
+    )
+    back = Dataset(spark, out).load()
+    assert [(r["id"], r["g"]) for r in back.collect()] == [(2, "b")]

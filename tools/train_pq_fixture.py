@@ -37,30 +37,22 @@ IVF_FIXTURE = posixpath.join(_FIXDIR, "ivf_codebook_d64_c16.json")
 
 def train(x: np.ndarray, m: int, n_codes: int, seed: int, iterations: int,
           normalize: bool = True):
-    """Plain (non-spherical) per-subspace k-means — PQ encodes by
-    RECONSTRUCTION error, so the codebooks minimize L2, while search
-    scores by inner product against the reconstruction. Residual
-    training passes pre-residualized rows with ``normalize=False``
-    (residuals must NOT be re-normalized)."""
-    n, dim = x.shape
-    assert dim % m == 0
-    dsub = dim // m
+    """Delegates to the operators' ONE shared subspace-k-means loop
+    (ann._subspace_kmeans — same RNG draw sequence, tie-break and
+    update rule), so the pinned fixture can never desynchronize from
+    what the engine computes. Residual training passes pre-residualized
+    rows with ``normalize=False`` (residuals must NOT be
+    re-normalized)."""
+    import sys as _sys
+
+    _sys.path.insert(0, posixpath.dirname(posixpath.dirname(
+        posixpath.abspath(__file__))))
+    from pydala_spark.operators.ann import _subspace_kmeans
+
+    assert x.shape[1] % m == 0
     if normalize:
         x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-    books = []
-    rng = np.random.default_rng(seed)
-    for i in range(m):
-        sub = x[:, i * dsub : (i + 1) * dsub]
-        cents = sub[rng.choice(n, size=n_codes, replace=False)].copy()
-        for _ in range(iterations):
-            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            assign = np.argmin(d2, axis=1)
-            for c in range(n_codes):
-                members = sub[assign == c]
-                if len(members):
-                    cents[c] = members.mean(axis=0)
-        books.append(cents.tolist())
-    return books
+    return _subspace_kmeans(x, m, n_codes, seed, iterations).tolist()
 
 
 def main() -> None:
@@ -78,14 +70,12 @@ def main() -> None:
     # L2-optimal anchor), and books train on x_unit − anchor[cell], so
     # the q_ann_topk ivfpq oracle and the operator share one
     # deterministic (anchors, books) set
+    from pydala_spark.operators.ann import _cell_mean_anchors
+
     with open(IVF_FIXTURE) as f:
         cents = np.array(json.load(f)["centroids"], dtype=np.float64)
     xu = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-    assign = np.argsort(-(xu @ cents.T), axis=1, kind="stable")[:, 0]
-    anchors = np.stack([
-        xu[assign == c].mean(axis=0) if (assign == c).any() else cents[c]
-        for c in range(len(cents))
-    ])
+    assign, anchors = _cell_mean_anchors(xu, cents)
     res = xu - anchors[assign]
     rbooks = train(res, M, N_CODES, SEED, ITERATIONS, normalize=False)
     with open(RESIDUAL_FIXTURE, "w") as f:
