@@ -516,6 +516,8 @@ def lm_perplexity_score(
     text_col: str = "text",
     head_threshold: int = -4500,
     middle_threshold: int = -6000,
+    bigrams: dict[str, int] | None = None,
+    backoff_millinats: int = -693,
 ) -> DataFrame:
     """CCNet-style LM quality filter (Wenzek et al. 2020): score every
     document under a PINNED unigram language model and bucket the
@@ -537,36 +539,97 @@ def lm_perplexity_score(
     — the id keeps the caller's column name; empty docs keep NULL score
     and bucket ``unscored``.
 
+    With ``bigrams`` (a ``"prev cur"`` → millinat conditional log-prob
+    table; space-joined keys — the tokenizer class cannot emit one) the
+    score upgrades to a bigram model with STUPID BACKOFF (Brants et al.
+    2007, the web-scale rule KenLM-style filters degrade to): token i
+    scores ``bigram[prev cur]`` when the pair is in the table, else
+    ``unigram(cur) + backoff_millinats``; the first token always scores
+    its unigram. Still integer-exact.
+
     Shape at 100 TB: ONE pass — ``explode_outer`` keeps a null-token
     row per empty doc (and, like ``explode_cheaply``, infers no
     ``size(...) > 0`` re-evaluation of the tokenizer), so the per-doc
     aggregation sees every document and no second corpus scan is needed
-    to resurrect empty ones; the vocab join is broadcast (a real LM
-    vocab is ~100k rows — broadcast-sized by construction). One shuffle,
-    keyed by doc id.
+    to resurrect empty ones; the vocab/bigram joins are broadcast (a
+    real LM table is ~100k-1M rows — broadcast-sized by construction).
+    One shuffle, keyed by doc id.
     """
     spark = df.sparkSession
     vocab_df = F.broadcast(
         spark.createDataFrame(list(vocab.items()), "tok string, lp long")
     )
-    toks = df.select(
-        F.col(id_col), word_regex_tokens(text_col).alias("__toks")
-    ).select(id_col, F.explode_outer("__toks").alias("tok"))
-    scored = (
-        toks.join(vocab_df, "tok", "left")
-        .groupBy(id_col)
-        .agg(
-            F.count("tok").cast("long").alias("n_tokens"),
-            F.sum(
-                F.when(
-                    F.col("tok").isNotNull(),
-                    F.coalesce(F.col("lp"), F.lit(int(unk_millinats))),
+    if bigrams is None:
+        toks = df.select(
+            F.col(id_col), word_regex_tokens(text_col).alias("__toks")
+        ).select(id_col, F.explode_outer("__toks").alias("tok"))
+        scored = (
+            toks.join(vocab_df, "tok", "left")
+            .groupBy(id_col)
+            .agg(
+                F.count("tok").cast("long").alias("n_tokens"),
+                F.sum(
+                    F.when(
+                        F.col("tok").isNotNull(),
+                        F.coalesce(F.col("lp"), F.lit(int(unk_millinats))),
+                    )
                 )
+                .cast("long")
+                .alias("sum_millinats"),
             )
-            .cast("long")
-            .alias("sum_millinats"),
         )
-    )
+    else:
+        bi_df = F.broadcast(
+            spark.createDataFrame(
+                list(bigrams.items()), "pair string, bi_lp long"
+            )
+        )
+        base = df.select(
+            F.col(id_col), word_regex_tokens(text_col).alias("__toks")
+        )
+        n = F.size("__toks")
+        idx = F.when(n > 0, F.sequence(F.lit(1), n)).otherwise(
+            F.array().cast("array<int>")
+        )
+        # (cur, prev) pairs from the MATERIALIZED token array; prev is
+        # NULL at position 1, so the pair key nulls out and the bigram
+        # join misses — exactly the first-token-scores-unigram rule
+        pair_arr = F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at(F.col("__toks"), i).alias("cur"),
+                F.when(
+                    i > 1, F.element_at(F.col("__toks"), i - 1)
+                ).alias("prev"),
+            ),
+        )
+        ex = base.select(
+            id_col, F.explode_outer(pair_arr).alias("p")
+        ).select(
+            id_col,
+            F.col("p.cur").alias("tok"),
+            F.concat(F.col("p.prev"), F.lit(" "), F.col("p.cur")).alias(
+                "pair"
+            ),
+        )
+        uni_or_unk = F.coalesce(F.col("lp"), F.lit(int(unk_millinats)))
+        token_lp = F.coalesce(
+            F.col("bi_lp"),
+            uni_or_unk
+            + F.when(F.col("pair").isNotNull(), F.lit(int(backoff_millinats)))
+            .otherwise(F.lit(0)),
+        )
+        scored = (
+            ex.join(vocab_df, "tok", "left")
+            .join(bi_df, "pair", "left")
+            .groupBy(id_col)
+            .agg(
+                F.count("tok").cast("long").alias("n_tokens"),
+                F.sum(F.when(F.col("tok").isNotNull(), token_lp))
+                .cast("long")
+                .alias("sum_millinats"),
+            )
+        )
     avg = F.col("sum_millinats").cast("double") / F.col("n_tokens")
     return scored.select(
         id_col,

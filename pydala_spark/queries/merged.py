@@ -641,10 +641,11 @@ def q_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_kept"))
         .withColumn("threshold", F.lit(thr))
     )
-    # ppl family (round 5): CCNet-style pinned-unigram-LM perplexity
-    # filter over documents (textstats.lm_perplexity_score) — millinat
-    # integer log-probs make the distributed sum exact, so both engines
-    # hash-match the per-doc scores and head/middle/tail buckets
+    # ppl family (round 5): CCNet-style pinned-LM perplexity filter over
+    # documents (textstats.lm_perplexity_score) — BIGRAM with stupid
+    # backoff; millinat integer log-probs make the distributed sum
+    # exact, so both engines hash-match the per-doc scores and
+    # head/middle/tail buckets
     from pydala_spark.operators.textstats import lm_perplexity_score
     from pydala_spark.queries.merged import _lm_fixture
 
@@ -656,8 +657,10 @@ def q_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"),
         lm["vocab"],
         lm["unk_millinats"],
-        head_threshold=-3401,
-        middle_threshold=-3405,
+        head_threshold=_PPL_HEAD,
+        middle_threshold=_PPL_MIDDLE,
+        bigrams=lm["bigrams"],
+        backoff_millinats=lm["backoff_millinats"],
     ).select(
         "doc_id",
         F.col("n_tokens").alias("n_lm_tokens"),
@@ -684,7 +687,16 @@ _LM_VALUES = ", ".join(
     f"('{t.replace(chr(39), chr(39) * 2)}', {lp})"
     for t, lp in _LM["vocab"].items()
 )
+_LM_BI_VALUES = ", ".join(
+    f"('{t.replace(chr(39), chr(39) * 2)}', {lp})"
+    for t, lp in _LM["bigrams"].items()
+)
 _LM_UNK = _LM["unk_millinats"]
+_LM_BACKOFF = _LM["backoff_millinats"]
+#: rough corpus tertiles under the bigram model (bucket spread only;
+#: exactness never depends on placement)
+_PPL_HEAD = -3391
+_PPL_MIDDLE = -3417
 
 _Q_STATS_SQL = f"""
 WITH m AS (
@@ -725,15 +737,29 @@ SELECT 'ppl', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
   d.doc_id, COALESCE(sc.n, 0), sc.s,
   CAST(sc.s AS DOUBLE) / sc.n,
   CASE WHEN sc.n IS NULL THEN 'unscored'
-       WHEN CAST(sc.s AS DOUBLE) / sc.n >= -3401 THEN 'head'
-       WHEN CAST(sc.s AS DOUBLE) / sc.n >= -3405 THEN 'middle'
+       WHEN CAST(sc.s AS DOUBLE) / sc.n >= {_PPL_HEAD} THEN 'head'
+       WHEN CAST(sc.s AS DOUBLE) / sc.n >= {_PPL_MIDDLE} THEN 'middle'
        ELSE 'tail' END
 FROM documents d
 LEFT JOIN (
   SELECT doc_id, COUNT(*) AS n,
-         CAST(SUM(COALESCE(v.lp, {_LM_UNK})) AS BIGINT) AS s
-  FROM (SELECT doc_id, unnest({_WORD_SPLIT}) AS tok FROM documents) tk
-  LEFT JOIN (VALUES {_LM_VALUES}) v(tok, lp) ON tk.tok = v.tok
+         CAST(SUM(COALESCE(b.lp,
+                COALESCE(v.lp, {_LM_UNK})
+                + CASE WHEN pe.pair IS NOT NULL THEN {_LM_BACKOFF}
+                       ELSE 0 END)) AS BIGINT) AS s
+  FROM (
+    SELECT doc_id, p['cur'] AS tok,
+           p['prev'] || ' ' || p['cur'] AS pair
+    FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(1, LEN(toks) + 1),
+               i -> {{'cur': toks[i],
+                      'prev': CASE WHEN i > 1 THEN toks[i - 1] END}})) AS p
+      FROM (SELECT doc_id, {_WORD_SPLIT} AS toks FROM documents)
+    )
+  ) pe
+  LEFT JOIN (VALUES {_LM_VALUES}) v(tok, lp) ON pe.tok = v.tok
+  LEFT JOIN (VALUES {_LM_BI_VALUES}) b(pair, lp) ON pe.pair = b.pair
   GROUP BY doc_id
 ) sc ON d.doc_id = sc.doc_id
 """

@@ -1713,3 +1713,29 @@ def test_lm_perplexity_score(spark):
     assert out[2] == (2, -10000, "middle")
     assert out[3] == (2, -18000, "tail")
     assert out[4] == (0, None, "unscored")
+
+
+def test_lm_perplexity_score_bigram_backoff(spark):
+    # round 5: bigram scoring with stupid backoff — in-table pairs score
+    # the conditional, misses score unigram(cur)+backoff, first token
+    # scores its unigram, all still integer-exact
+    from pydala_spark.operators.textstats import lm_perplexity_score
+
+    vocab = {"the": -1000, "cat": -3000, "sat": -3500}
+    bigrams = {"the cat": -500}
+    rows = [(1, "the cat sat"), (2, "cat zyzzyva"), (3, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["sum_millinats"], r["bucket"])
+        for r in lm_perplexity_score(
+            df, vocab, unk_millinats=-9000,
+            head_threshold=-3000, middle_threshold=-6000,
+            bigrams=bigrams, backoff_millinats=-700,
+        ).collect()
+    }
+    # -1000 (uni the) + -500 (bigram) + (-3500-700) (backoff) = -5700;
+    # avg -1900 >= -3000 -> head
+    assert out[1] == (3, -5700, "head")
+    # -3000 (uni cat) + (-9000-700) (unk+backoff) = -12700
+    assert out[2] == (2, -12700, "tail")
+    assert out[3] == (0, None, "unscored")

@@ -39,13 +39,20 @@ def tokenize(text: str) -> list[str]:
     return _TOKEN.findall(text.translate(str.maketrans("Σİ", "σi")).lower())
 
 
+MIN_BIGRAM = 5
+BACKOFF_MILLINATS = -693  # ln(0.5): simple stupid-backoff penalty
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     t = pq.read_table(posixpath.join(sf_dir, "documents.parquet"))
     counts: Counter[str] = Counter()
+    pair_counts: Counter[tuple[str, str]] = Counter()
     for text in t["text"].to_pylist():
         if text:
-            counts.update(tokenize(text))
+            toks = tokenize(text)
+            counts.update(toks)
+            pair_counts.update(zip(toks, toks[1:]))
     total = sum(counts.values())
     top = counts.most_common(VOCAB)
     vocab = {
@@ -53,10 +60,22 @@ def main() -> None:
     }
     # unk: one order of magnitude under the rarest in-vocab token
     unk = min(vocab.values()) - 2303  # -ln(10) in millinats
+    # bigrams (round 5): conditional log-probs for pairs seen at least
+    # MIN_BIGRAM times and whose both sides are in-vocab; everything
+    # else backs off to unigram(cur) + BACKOFF_MILLINATS (stupid
+    # backoff — the scalable KenLM-lite rule). Keys are 'prev cur'
+    # (space-joined: the tokenizer class cannot produce a space)
+    bigrams = {
+        f"{a} {b}": round(1000.0 * math.log(n / counts[a]))
+        for (a, b), n in pair_counts.items()
+        if n >= MIN_BIGRAM and a in vocab and b in vocab
+    }
     with open(FIXTURE, "w") as f:
         json.dump({"total_tokens": total, "unk_millinats": unk,
-                   "vocab": vocab}, f)
-    print(f"wrote {FIXTURE}: {len(vocab)} tokens, unk={unk}")
+                   "backoff_millinats": BACKOFF_MILLINATS,
+                   "vocab": vocab, "bigrams": bigrams}, f)
+    print(f"wrote {FIXTURE}: {len(vocab)} tokens, {len(bigrams)} bigrams, "
+          f"unk={unk}")
 
 
 if __name__ == "__main__":
