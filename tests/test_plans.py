@@ -173,3 +173,29 @@ def test_semantic_dedup_no_cartesian(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert shuffle_count(df) <= 2
+
+
+def test_ivfpq_encode_single_python_pass(spark, sf_dir):
+    # r5: the residual encoder computes cell + codes in ONE combined
+    # Arrow UDF pass — the round-4 split assigner+encoder normalized and
+    # matmul'd the ingest scan twice; pin the plan so a projection
+    # rewrite can't silently re-duplicate the Python stage
+    import numpy as np
+
+    from pydala_spark.operators.ann import ivf_pq_encode
+    from pydala_spark.queries.ext import (
+        _ivf_centroids,
+        _pq_res_anchors,
+        _pq_res_books,
+    )
+    from pydala_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = ivf_pq_encode(
+        emb,
+        np.array(_ivf_centroids(), dtype=np.float64),
+        np.array(_pq_res_books(), dtype=np.float64),
+        anchors=np.array(_pq_res_anchors(), dtype=np.float64),
+    )
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1, plan
