@@ -375,6 +375,57 @@ def semantic_dedup(
     )
 
 
+def semantic_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Ids of corpus rows whose embedding lies within cosine
+    ``threshold`` of ANY benchmark embedding — EMBEDDING-SPACE benchmark
+    decontamination, the semantic complement of the n-gram
+    :func:`~pydala_spark.operators.dedup.contamination_hits` (paraphrased
+    eval leakage shares no shingles but sits next to the benchmark in
+    embedding space).
+
+    Shape at 100 TB: the benchmark (an eval set — thousands of vectors)
+    broadcasts with pre-hoisted norms; the corpus joins it with a LEFT
+    SEMI broadcast-nested-loop on the similarity predicate, so each
+    corpus row stops at its FIRST qualifying benchmark neighbor and
+    non-matching pairs never materialize. The corpus is scanned once and
+    never shuffled; cost is O(|corpus| × |benchmark| × dim) JVM flops
+    worst-case — for very large benchmarks pre-block both sides on
+    :func:`lsh_bucket` instead. Returns ``(id,)`` of contaminated rows.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("__cv")
+    ).withColumn("__cn", norm(F.col("__cv")))
+    b = benchmark.select(F.col(vec_col).alias("__bv")).withColumn(
+        "__bn", norm(F.col("__bv"))
+    )
+    cond = (
+        sim_from_norms(F.col("__cv"), F.col("__bv"), F.col("__cn"), F.col("__bn"))
+        >= F.lit(float(threshold))
+    )
+    return c.join(F.broadcast(b), cond, "left_semi").select("id")
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Corpus minus semantically contaminated rows (anti-join on
+    :func:`semantic_contamination`)."""
+    hits = semantic_contamination(
+        corpus, benchmark, id_col, vec_col, threshold
+    ).select(F.col("id").alias(id_col))
+    return corpus.join(hits, id_col, "left_anti")
+
+
 def topk_recall(approx: DataFrame, exact: DataFrame) -> DataFrame:
     """Recall@k evaluation for ANN tuning: per-probe fraction of the
     EXACT top-k neighbors the approximate result retrieved. Both inputs

@@ -1453,16 +1453,44 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine >= 0.25 the best ``label`` survives (score desc, id asc
     tiebreak — ``score_col="label"`` stands in for a quality score).
     Emits (vec_id, cell, kept) for the whole corpus — exact-checkable
-    because the codebook is pinned and the keep rule is deterministic."""
-    from pydala_spark.operators.similarity import semantic_dedup
+    because the codebook is pinned and the keep rule is deterministic.
+    Round 5 adds the ``decon`` family: EMBEDDING-SPACE benchmark
+    decontamination (similarity.semantic_contamination — every 50th
+    vector plays the eval set; corpus rows within cosine 0.30 of any
+    benchmark vector are flagged), the semantic complement of
+    q_decontaminate's n-gram overlap."""
+    from pydala_spark.operators.similarity import (
+        semantic_contamination,
+        semantic_dedup,
+    )
+    from pydala_spark.queries.merged import _tagged_union
 
     emb = load_table(spark, sf_dir, "embeddings")
     out = semantic_dedup(
         emb, _ivf_centroids(), threshold=0.25, score_col="label"
     )
-    return out.select(
-        F.col("id").alias("vec_id"), F.col("cell").cast("int").alias("cell"), "kept"
+    # booleans cast to INT: a NULL-padded bool canonicalizes as None in
+    # Spark's toPandas but NaN in DuckDB's (the q_collection_functions
+    # trap), so tagged-union bool columns ship as ints
+    dedup = out.select(
+        F.col("id").alias("vec_id"),
+        F.col("cell").cast("int").alias("cell"),
+        F.col("kept").cast("int").alias("kept"),
     )
+    bench = emb.where(F.col("vec_id") % 50 == 0)
+    corpus = emb.where(F.col("vec_id") % 50 != 0)
+    hits = semantic_contamination(corpus, bench, threshold=0.30).select(
+        F.col("id").alias("vec_id"), F.lit(1).alias("contaminated")
+    )
+    decon = (
+        corpus.select("vec_id")
+        .join(hits, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("contaminated", F.lit(0)).cast("int").alias("contaminated"),
+        )
+    )
+    return _tagged_union([("dedup", dedup), ("decon", decon)])
 
 
 def _semantic_dedup_sql(threshold: float = 0.25) -> str:
@@ -1493,8 +1521,16 @@ dr AS (
    AND (b2.score > a.score
         OR (b2.score = a.score AND b2.vec_id < a.vec_id))
   WHERE list_cosine_similarity(a.e, b2.e) >= {threshold})
-SELECT a.vec_id, a.cell, (dr.vec_id IS NULL) AS kept
+SELECT 'dedup' AS family, a.vec_id, a.cell,
+       CAST(dr.vec_id IS NULL AS INT) AS kept,
+       CAST(NULL AS INT) AS contaminated
 FROM asgn a LEFT JOIN dr ON a.vec_id = dr.vec_id
+UNION ALL
+SELECT 'decon', c.vec_id, CAST(NULL AS INT), CAST(NULL AS INT),
+       CAST(EXISTS (SELECT 1 FROM b bm
+               WHERE bm.vec_id % 50 = 0
+                 AND list_cosine_similarity(c.e, bm.e) >= 0.30) AS INT)
+FROM b c WHERE c.vec_id % 50 <> 0
 """
 
 

@@ -409,3 +409,38 @@ def test_save_ivfpq_append_rejects_mixed_encoding(spark, tmp_path):
     # matching flag appends fine
     save_ivfpq_index(spark, df, out, cents, books,
                      mode="append", residual=False)
+
+
+def test_semantic_decontamination(spark):
+    # round 5: embedding-space benchmark decontamination — corpus rows
+    # within cosine threshold of ANY benchmark vector are flagged; the
+    # semi join is broadcast (no shuffle of the corpus)
+    from pydala_spark.operators.similarity import (
+        semantic_contamination,
+        semantic_decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [0.99, 0.1, 0.0]),   # near bench 100 -> contaminated
+            (2, [0.1, 5.0, 0.1]),    # near bench 101 -> contaminated
+            (3, [0.0, 0.0, 7.0]),    # orthogonal -> clean
+        ],
+        ["vec_id", "embedding"],
+    )
+    hits = {r["id"] for r in
+            semantic_contamination(corpus, bench, threshold=0.9).collect()}
+    assert hits == {1, 2}
+    kept = {r["vec_id"] for r in
+            semantic_decontaminate(corpus, bench, threshold=0.9).collect()}
+    assert kept == {3}
+    plan = semantic_contamination(corpus, bench, threshold=0.9)\
+        ._jdf.queryExecution().executedPlan().toString()
+    # broadcast semi join: the benchmark broadcasts, the corpus is never
+    # hash-shuffled (BroadcastExchange is expected; a shuffle is not)
+    assert "hashpartitioning" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
