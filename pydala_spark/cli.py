@@ -70,11 +70,14 @@ def _session(args):
     )
 
 
-_REPARTITION_KEYS = {
+#: flag-backed option names (read off args in the loop below); the
+#: config whitelist derives from this ONE tuple plus the two
+#: boolean-only keys, so the lists cannot desynchronize (r5 review)
+_REPARTITION_FLAG_KEYS = (
     "source", "dest", "source_format", "dest_format", "partition_by",
     "sort_by", "drop", "compression", "mode", "max_records_per_file",
-    "distinct", "with_snapshot",
-}
+)
+_REPARTITION_KEYS = set(_REPARTITION_FLAG_KEYS) | {"distinct", "with_snapshot"}
 
 
 def _cmd_repartition(args) -> int:
@@ -91,10 +94,7 @@ def _cmd_repartition(args) -> int:
                 file=sys.stderr,
             )
             return 2
-    for key in (
-        "source", "dest", "source_format", "dest_format", "partition_by",
-        "sort_by", "drop", "compression", "mode", "max_records_per_file",
-    ):
+    for key in _REPARTITION_FLAG_KEYS:
         v = getattr(args, key)
         if v is not None:
             opts[key] = v

@@ -696,9 +696,8 @@ def save_ivfpq_index(
     _ops = _PathOps(spark, path)
     _sidecar = _pp.join(path, PQ_CODEBOOK_SIDECAR)
     if mode == "append" and _ops.exists(_sidecar):
-        stored = bool(
-            _json.loads(_ops.read_text(_sidecar)).get("residual", False)
-        )
+        meta = _json.loads(_ops.read_text(_sidecar))
+        stored = bool(meta.get("residual", False))
         if stored != bool(residual):
             raise ValueError(
                 f"index at {path} was encoded with residual={stored} but "
@@ -706,6 +705,41 @@ def save_ivfpq_index(
                 "encodings in one index score incorrectly; pass the "
                 "matching flag (or rebuild with mode='overwrite')"
             )
+        # the flag alone is not enough: appending rows encoded with
+        # DIFFERENT books/anchors/centroids would silently re-key every
+        # existing row when the sidecars are rewritten below (r5 review)
+        old_books = np.array(meta["centroids"], dtype=np.float64)
+        if old_books.shape != books.shape or not np.array_equal(
+            old_books, np.asarray(books, dtype=np.float64)
+        ):
+            raise ValueError(
+                f"index at {path} was encoded with different PQ codebooks "
+                "— appends must reuse the index's pinned books (load them "
+                "via load_ivfpq_index) or rebuild with mode='overwrite'"
+            )
+        old_anchors = meta.get("anchors")
+        new_anchors = (
+            None if anchors is None
+            else np.asarray(anchors, dtype=np.float64).tolist()
+        )
+        if (old_anchors is None) != (new_anchors is None) or (
+            old_anchors is not None and old_anchors != new_anchors
+        ):
+            raise ValueError(
+                f"index at {path} was encoded with different anchors — "
+                "appends must reuse the index's pinned anchors"
+            )
+        _ivf = _pp.join(path, IVF_CODEBOOK_SIDECAR)
+        if _ops.exists(_ivf):
+            old_cents = load_codebook(spark, _ivf)
+            if old_cents.shape != np.asarray(centroids).shape or not (
+                np.array_equal(old_cents, np.asarray(centroids, dtype=np.float64))
+            ):
+                raise ValueError(
+                    f"index at {path} was encoded with a different IVF "
+                    "codebook — appends must reuse the index's pinned "
+                    "centroids (cell ids would shift otherwise)"
+                )
     idx = ivf_pq_encode(
         df, centroids, books, id_col, vec_col,
         residual=residual, anchors=anchors,

@@ -52,6 +52,7 @@ def prep_documents(
     near_dup_seed: int = 0,
     near_dup_shingle_mode: str = "word",
     near_dup_shingle_size: int | None = None,
+    decontaminate_shingle_size: int | None = None,
     stage_frames: dict | None = None,
 ) -> DataFrame:
     """Return the cleaned corpus: quality columns attached, docs linking
@@ -82,10 +83,14 @@ def prep_documents(
     ``near_dup_log_dropped`` logs what dropped at the cost of one extra
     job); ``near_dup_seed`` salts the MinHash family AND rotates band
     boundaries so chained passes recover pairs a single banding misses.
-    ``near_dup_shingle_mode="char"`` switches the MinHash stage to
-    character shingles (size defaults to 7 chars; word mode defaults to
-    3 words) — required for CJK/unsegmented corpora, where word
-    shingling collapses each clause into one token.
+    ``near_dup_shingle_mode="char"`` switches the MinHash stage AND the
+    decontamination stage to character shingles (the corpus's script
+    decides the unit once) — required for CJK/unsegmented corpora,
+    where word shingling collapses each clause into one token. Sizes
+    default per mode (3 words / 7 chars) and are tuned INDEPENDENTLY:
+    ``near_dup_shingle_size`` affects only the MinHash stage,
+    ``decontaminate_shingle_size`` only decontamination — retuning LSH
+    granularity must not silently weaken the benchmark overlap test.
 
     Pass an empty dict as ``stage_frames`` to receive the intermediate
     DataFrame after each enabled stage (keys: input, blocklist,
@@ -188,9 +193,12 @@ def prep_documents(
     # ties falling back to the higher id — keep the best-quality copy,
     # not an arbitrary one. One extra broadcast-sized join of the pair
     # list against the (id, score) projection; plan shape unchanged.
+    default_shingle = 7 if near_dup_shingle_mode == "char" else 3
     if near_dup:
-        shingle_size = near_dup_shingle_size or (
-            7 if near_dup_shingle_mode == "char" else 3
+        shingle_size = (
+            near_dup_shingle_size
+            if near_dup_shingle_size is not None
+            else default_shingle
         )
         sigs = minhash_signatures(
             out, id_col, text_col, n_hashes=n_hashes, seed=near_dup_seed,
@@ -252,17 +260,19 @@ def prep_documents(
         out = out.join(losers, id_col, "left_anti")
         _stage("near_dup", out)
     # 4. benchmark decontamination (broadcast eval-set shingles). The
-    # corpus's script decides the shingle unit ONCE: near_dup_shingle_mode
-    # governs decontamination too — char-mode corpora would otherwise be
-    # decontaminated with word shingles, which are blind on unsegmented
-    # text (r5 review)
+    # corpus's script decides the shingle UNIT once (near_dup_shingle_mode
+    # — char-mode corpora would otherwise be decontaminated with word
+    # shingles, which are blind on unsegmented text), but the SIZE is
+    # independent: retuning LSH granularity must not silently weaken the
+    # overlap test (r5 review)
     if benchmark is not None:
         out = decontaminate(
             out, benchmark, id_col, text_col,
             min_hits=decontaminate_min_hits,
             shingle_size=(
-                near_dup_shingle_size
-                or (7 if near_dup_shingle_mode == "char" else 3)
+                decontaminate_shingle_size
+                if decontaminate_shingle_size is not None
+                else default_shingle
             ),
             shingle_mode=near_dup_shingle_mode,
         )

@@ -398,17 +398,32 @@ def semantic_contamination(
     worst-case — for very large benchmarks pre-block both sides on
     :func:`lsh_bucket` instead. Returns ``(id,)`` of contaminated rows.
     """
-    c = corpus.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("__cv")
-    ).withColumn("__cn", norm(F.col("__cv")))
+    return (
+        _semantic_bench_join(corpus, benchmark, vec_col, threshold, "left_semi")
+        .select(F.col(id_col).alias("id"))
+    )
+
+
+def _semantic_bench_join(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    vec_col: str,
+    threshold: float,
+    how: str,
+) -> DataFrame:
+    """ONE broadcast semi/anti join of the corpus against the benchmark
+    on the cosine predicate — the corpus is scanned once and never
+    shuffled for either direction (a derived-hits anti-join on id would
+    plan a full-corpus shuffle AND a second scan — r5 review)."""
+    c = corpus.withColumn("__cn", norm(F.col(vec_col)))
     b = benchmark.select(F.col(vec_col).alias("__bv")).withColumn(
         "__bn", norm(F.col("__bv"))
     )
     cond = (
-        sim_from_norms(F.col("__cv"), F.col("__bv"), F.col("__cn"), F.col("__bn"))
+        sim_from_norms(F.col(vec_col), F.col("__bv"), F.col("__cn"), F.col("__bn"))
         >= F.lit(float(threshold))
     )
-    return c.join(F.broadcast(b), cond, "left_semi").select("id")
+    return c.join(F.broadcast(b), cond, how).drop("__cn")
 
 
 def semantic_decontaminate(
@@ -418,12 +433,12 @@ def semantic_decontaminate(
     vec_col: str = "embedding",
     threshold: float = 0.9,
 ) -> DataFrame:
-    """Corpus minus semantically contaminated rows (anti-join on
-    :func:`semantic_contamination`)."""
-    hits = semantic_contamination(
-        corpus, benchmark, id_col, vec_col, threshold
-    ).select(F.col("id").alias(id_col))
-    return corpus.join(hits, id_col, "left_anti")
+    """Corpus minus semantically contaminated rows — the LEFT ANTI twin
+    of :func:`semantic_contamination` (same single broadcast join on
+    the cosine predicate; original corpus columns preserved)."""
+    return _semantic_bench_join(
+        corpus, benchmark, vec_col, threshold, "left_anti"
+    )
 
 
 def topk_recall(approx: DataFrame, exact: DataFrame) -> DataFrame:

@@ -647,9 +647,8 @@ def q_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact, so both engines hash-match the per-doc scores and
     # head/middle/tail buckets
     from pydala_spark.operators.textstats import lm_perplexity_score
-    from pydala_spark.queries.merged import _lm_fixture
 
-    lm = _lm_fixture()
+    lm = _LM  # module-level fixture — already parsed for the SQL constants
     # thresholds sit at the synthetic corpus's rough tertiles so all
     # three buckets are exercised (exactness never depends on their
     # placement — avg_millinats is bit-identical in both engines)

@@ -444,3 +444,29 @@ def test_semantic_decontamination(spark):
     # hash-shuffled (BroadcastExchange is expected; a shuffle is not)
     assert "hashpartitioning" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_save_ivfpq_append_rejects_different_books(spark, tmp_path):
+    # r5 review follow-up: the residual flag alone is not enough — an
+    # append with retrained books/centroids would silently re-key every
+    # existing row when the sidecars rewrite
+    from pydala_spark.operators.ann import (
+        kmeans_centroids,
+        pq_codebooks,
+        save_ivfpq_index,
+    )
+
+    rows = [(i, [float((i % 3) + 1), float(i % 5), 1.0, 0.5]) for i in range(60)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = kmeans_centroids(df, n_centroids=3, seed=1)
+    books = pq_codebooks(df, m=2, n_codes=4, seed=1)
+    out = str(tmp_path / "rekey_idx")
+    save_ivfpq_index(spark, df, out, cents, books, residual=False)
+    books2 = pq_codebooks(df, m=2, n_codes=4, seed=2)  # retrained
+    with pytest.raises(ValueError, match="different PQ codebooks"):
+        save_ivfpq_index(spark, df, out, cents, books2,
+                         mode="append", residual=False)
+    cents2 = kmeans_centroids(df, n_centroids=3, seed=9)
+    with pytest.raises(ValueError, match="different IVF codebook"):
+        save_ivfpq_index(spark, df, out, cents2, books,
+                         mode="append", residual=False)
