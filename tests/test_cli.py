@@ -82,3 +82,20 @@ def test_cli_rejects_unknown_config_keys(tmp_path):
     cfg2 = tmp_path / "bad2.toml"
     cfg2.write_text('[timefly]\npath = "/x"\nsnapshots = 3\n')
     assert main(["timefly", "add", str(cfg2)]) == 2
+
+
+def test_cli_timefly_snapshot_restore(spark, dataset, capsys):
+    # full snapshot lifecycle through the CLI including the LOAD path:
+    # snapshot, mutate, restore, verify the pre-mutation state came back
+    assert main(["timefly", "init", "--path", dataset]) == 0
+    assert main(["timefly", "add", "--path", dataset]) == 0
+    capsys.readouterr()
+    assert main(["timefly", "list", "--path", dataset]) == 0
+    ts = capsys.readouterr().out.strip()
+    n0 = spark.read.parquet(f"{dataset}/current").count()
+    spark.range(1000, 1005).selectExpr(
+        "id", "id % 3 AS g", "cast(id * 1.5 as double) AS v"
+    ).write.mode("append").parquet(f"{dataset}/current")
+    assert spark.read.parquet(f"{dataset}/current").count() == n0 + 5
+    assert main(["timefly", "load", "--path", dataset, "--ts", ts]) == 0
+    assert spark.read.parquet(f"{dataset}/current").count() == n0

@@ -317,3 +317,38 @@ def test_streaming_semantic_dedup_string_ids(spark, tmp_path):
     q.awaitTermination(120)
     kept = {r["id"] for r in spark.read.parquet(out_dir).collect()}
     assert kept == {"doc-a", "doc-c"}  # doc-b near-dups doc-a
+
+
+def test_streaming_semantic_dedup_state_cap_passthrough(spark, tmp_path):
+    # max_state_per_cell: when a cell's representative list is full, new
+    # non-duplicate docs still PASS THROUGH (never silently dropped) but
+    # stop being added as representatives — a later dup of an un-added
+    # doc is the documented recall loss, a dup of a stored rep still drops
+    from pydala_spark.streaming.stateful import streaming_semantic_dedup
+
+    cents = [[1.0, 0.0, 0.0]]
+    rows = [
+        (1, [10.0, 0.0, 0.1]),   # rep (cap 1)
+        (2, [10.0, 9.9, 0.0]),   # dissimilar -> kept, NOT stored (cap)
+        (3, [10.0, 9.89, 0.01]), # dup of 2 -> kept anyway (recall loss)
+        (4, [10.0, 0.01, 0.1]),  # dup of stored rep 1 -> dropped
+    ]
+    schema = "vec_id long, embedding array<double>"
+    src = str(tmp_path / "cap_in")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out_dir = str(tmp_path / "cap_out")
+    q = (
+        streaming_semantic_dedup(
+            stream, cents, threshold=0.9, max_state_per_cell=1
+        )
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "cap_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = {r["id"] for r in spark.read.parquet(out_dir).collect()}
+    assert kept == {1, 2, 3}

@@ -426,3 +426,33 @@ def test_directory_flavor_full_overwrite_without_partition_by(spark, tmp_path):
     )
     back = Dataset(spark, out).load()
     assert [(r["id"], r["g"]) for r in back.collect()] == [(2, "b")]
+
+
+def test_directory_flavor_dehive_heals_stranded_hive_dirs(spark, tmp_path):
+    # the documented crash-window recovery: col=value dirs stranded by an
+    # interrupted dehive are picked up and merged by the NEXT write's
+    # dehive pass (it processes every hive dir it finds, not just its own)
+    import os
+    import shutil
+
+    from pydala_spark.dataset.reader import Dataset
+
+    out = str(tmp_path / "dirpart_heal")
+    schema = "id long, g string, v double"
+    w = Writer(spark, out, partition_by=["g"], partition_flavor="directory")
+    w.write(spark.createDataFrame([(1, "a", 1.0)], schema), mode="overwrite")
+    # simulate the crash: a hive dir with a data file that never moved
+    src = os.path.join(out, "a")
+    stranded = os.path.join(out, "g=a")
+    os.makedirs(stranded)
+    for f in os.listdir(src):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(src, f),
+                        os.path.join(stranded, "stranded-" + f))
+            break
+    # next write heals: the stranded file merges into the bare dir
+    w.write(spark.createDataFrame([(2, "b", 2.0)], schema), mode="append")
+    assert not any("=" in d for d in os.listdir(out))
+    back = Dataset(spark, out, partitioning=["g"]).load()
+    assert back.where("g = 'a'").count() == 2  # original + healed stranded
+    assert back.count() == 3

@@ -144,6 +144,16 @@ def probe_embedding_ops(spark, path: str, n_centroids: int) -> dict[str, dict]:
         "semantic_dedup",
         lambda: semantic_dedup(emb, cents, threshold=0.25),
     )
+    # round 5: embedding-space decontamination — benchmark FIXED (an
+    # eval set doesn't grow with the corpus), so cost must be linear in
+    # corpus rows via the broadcast semi join
+    from pydala_spark.operators.similarity import semantic_contamination
+
+    bench = spark.read.parquet(path).where(F.col("vec_id") < 500)
+    timed(
+        "semantic_decon",
+        lambda: semantic_contamination(emb, bench, threshold=0.30),
+    )
     return out
 
 
@@ -188,6 +198,28 @@ def probe_ops(spark, path: str) -> dict[str, dict]:
             "__tok",
             order_col="doc_id",
             target_tokens=200_000,
+        ),
+    )
+    # round 5: bigram-LM perplexity filter — broadcast vocab/bigram
+    # joins + one doc-keyed aggregation, must stay linear
+    import json as _json
+    import posixpath as _pp
+
+    from pydala_spark.operators.textstats import lm_perplexity_score
+
+    with open(
+        _pp.join(
+            _pp.dirname(_pp.dirname(_pp.abspath(__file__))),
+            "pydala_spark", "queries", "fixtures", "unigram_lm_millinats.json",
+        )
+    ) as f:
+        _lm = _json.load(f)
+    timed(
+        "lm_perplexity",
+        lambda: lm_perplexity_score(
+            docs, _lm["vocab"], _lm["unk_millinats"],
+            bigrams=_lm["bigrams"],
+            backoff_millinats=_lm["backoff_millinats"],
         ),
     )
     return out
