@@ -460,6 +460,59 @@ def contamination_hits(
     )
 
 
+def winnowing_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Corpus documents sharing at least ``min_hits`` WINNOWING
+    fingerprints with any benchmark document — the robust-hash third
+    decontamination modality (round 5), between exact n-gram overlap
+    (:func:`contamination_hits` — word-order-exact) and embedding
+    similarity (:func:`~pydala_spark.operators.similarity.
+    semantic_contamination` — fully semantic): winnowing selects
+    content-defined character k-gram hashes, so a benchmark passage
+    survives tokenizer-hostile edits (inserted punctuation, spacing,
+    casing) and is GUARANTEED to share a fingerprint with any document
+    containing a run of ``k + window − 1`` normalized characters from
+    it. Character-level, so it works on unsegmented scripts without a
+    shingle-mode switch.
+
+    Same 100 TB shape as the n-gram variant: the benchmark's distinct
+    fingerprint set broadcasts, the corpus is never shuffled raw; one
+    exchange for the per-doc distinct-hit count. Returns ``(id,
+    n_hits)``.
+    """
+    from pydala_spark.operators.textstats import winnowing_fingerprints
+
+    c = explode_cheaply(
+        winnowing_fingerprints(corpus, id_col, text_col, k=k, window=window),
+        F.col("fps"),
+        "fp",
+    ).select("id", "fp")
+    b = (
+        explode_cheaply(
+            winnowing_fingerprints(
+                benchmark, id_col, text_col, k=k, window=window
+            ),
+            F.col("fps"),
+            "fp",
+        )
+        .select("fp")
+        .distinct()
+    )
+    return (
+        c.join(F.broadcast(b), "fp")
+        .groupBy("id")
+        .agg(F.count_distinct("fp").alias("n_hits"))
+        .where(F.col("n_hits") >= min_hits)
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -504,10 +504,15 @@ _NORM_SQL = _norm_sql()
 
 
 def q_fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprinting, two granularities tag-unioned (so both
-    stay inside the driver's correctness window): per-source exact-dup
-    fingerprint summary ('fp' rows) + per-doc winnowing rolling-hash
-    fingerprints, k=8 char-grams, window 4 ('win' rows)."""
+    """Document fingerprinting, tag-unioned (all inside the driver's
+    correctness window): per-source exact-dup fingerprint summary ('fp'
+    rows) + per-doc winnowing rolling-hash fingerprints, k=8 char-grams,
+    window 4 ('win' rows) + the round-5 'contam' family — WINNOWING
+    decontamination (every 100th doc plays the eval set; corpus docs
+    sharing >= 2 robust fingerprints with it are flagged — the
+    edit-tolerant middle ground between exact n-gram overlap and
+    embedding similarity)."""
+    from pydala_spark.operators.dedup import winnowing_contamination
     from pydala_spark.operators.textstats import winnowing_fingerprints
     from pydala_spark.queries.merged import _tagged_union
 
@@ -521,16 +526,23 @@ def q_fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("fp").alias("max_fp"),
         )
     )
-    fps = winnowing_fingerprints(
-        _spread(spark, docs), "doc_id", "text", k=8, window=4
-    )
+    spread = _spread(spark, docs)
+    fps = winnowing_fingerprints(spread, "doc_id", "text", k=8, window=4)
     win = fps.select(
         F.col("id").alias("doc_id"),
         F.size("fps").cast("long").alias("n_fps"),
         F.element_at("fps", 1).alias("min_fp"),
         F.element_at("fps", -1).alias("max_fp"),
     )
-    return _tagged_union([("fp", fp), ("win", win)])
+    contam = winnowing_contamination(
+        spread.where(F.col("doc_id") % 100 != 0),
+        spread.where(F.col("doc_id") % 100 == 0),
+        "doc_id", k=8, window=4, min_hits=2,
+    ).select(
+        F.col("id").alias("doc_id"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+    )
+    return _tagged_union([("fp", fp), ("win", win), ("contam", contam)])
 
 
 _Q_FINGERPRINT_WINNOWING_SQL = f"""
@@ -551,12 +563,23 @@ SELECT 'fp' AS family, source, COUNT(*) AS n_docs,
        COUNT(DISTINCT {_fp_sql()}) AS n_distinct,
        MAX({_fp_sql()}) AS max_fp,
        CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_fps,
-       CAST(NULL AS VARCHAR) AS min_fp
+       CAST(NULL AS VARCHAR) AS min_fp, CAST(NULL AS BIGINT) AS n_hits
 FROM documents GROUP BY source
 UNION ALL
 SELECT 'win', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-       fps[-1], doc_id, LEN(fps), fps[1]
+       fps[-1], doc_id, LEN(fps), fps[1], CAST(NULL AS BIGINT)
 FROM f
+UNION ALL
+SELECT 'contam', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), ce.doc_id,
+       CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+       COUNT(DISTINCT ce.fp) AS n_hits
+FROM (SELECT doc_id, UNNEST(fps) AS fp FROM f WHERE doc_id % 100 <> 0) ce
+JOIN (SELECT DISTINCT fp
+      FROM (SELECT UNNEST(fps) AS fp FROM f WHERE doc_id % 100 = 0)) bs
+  ON ce.fp = bs.fp
+GROUP BY ce.doc_id
+HAVING COUNT(DISTINCT ce.fp) >= 2
 """
 
 

@@ -1739,3 +1739,35 @@ def test_lm_perplexity_score_bigram_backoff(spark):
     # -3000 (uni cat) + (-9000-700) (unk+backoff) = -12700
     assert out[2] == (2, -12700, "tail")
     assert out[3] == (0, None, "unscored")
+
+
+def test_winnowing_contamination(spark):
+    # round 5: robust-hash decontamination — a contained benchmark
+    # passage is caught through punctuation/casing edits AND on
+    # unsegmented text, with no shingle-mode switch
+    from pydala_spark.operators.dedup import winnowing_contamination
+
+    bench = spark.createDataFrame(
+        [
+            (100, "the secret benchmark answer is forty two exactly"),
+            (101, "機械学習モデルの訓練には大量のデータが必要です"),
+        ],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains the passage, re-punctuated and re-cased
+            (1, "As noted, THE SECRET benchmark answer... is forty-two, "
+                "exactly!! plus some original commentary around it"),
+            (2, "completely unrelated original writing about gardens"),
+            (3, "前置きの後で機械学習モデルの訓練には大量のデータが必要ですと結論する"),
+        ],
+        ["doc_id", "text"],
+    )
+    hits = {
+        r["id"]: r["n_hits"]
+        for r in winnowing_contamination(
+            corpus, bench, "doc_id", k=8, window=4, min_hits=2
+        ).collect()
+    }
+    assert 1 in hits and 3 in hits and 2 not in hits
