@@ -20,6 +20,12 @@ STOPWORDS = {
     "de": ["der", "die", "das", "und", "ist", "ein", "nicht", "mit", "zu", "auf"],
     "es": ["el", "la", "de", "que", "y", "en", "un", "es", "por", "con"],
     "fr": ["le", "la", "de", "et", "un", "est", "que", "pour", "dans", "ce"],
+    # round 5: three more Latin-script languages (dict order = tiebreak
+    # priority; lists avoid single-letter words so English-ish corpora
+    # can't accidentally accumulate hits)
+    "it": ["il", "di", "che", "per", "non", "una", "sono", "come", "anche", "della"],
+    "pt": ["que", "não", "uma", "para", "com", "os", "mais", "das", "foi", "como"],
+    "nl": ["het", "een", "van", "niet", "dat", "ze", "voor", "met", "maar", "zijn"],
 }
 
 

@@ -387,6 +387,10 @@ _SCRIPT_DOCS: list[tuple[int, str]] = [
     (10, "english sentence that mentions 你好 once for the mixed case"),
     (11, "12345 67890 !!!"),
     (12, "日本国憲法第九条は戦争の放棄を定める"),  # kanji-majority ja (kana rule)
+    # round-5 Latin-script extensions (stopword stage)
+    (13, "il gatto che dorme non vede una cosa come anche della casa"),
+    (14, "ela disse que não era uma coisa para se fazer com os amigos mais"),
+    (15, "het is een dag van niet veel dat ze voor hebben met maar weinig"),
 ]
 
 
@@ -417,9 +421,13 @@ def _hits_sql(lang: str) -> str:
     )
 
 
-#: the stopword-argmax CASE (Spark iterates en,de,es,fr with
-#: strictly-greater wins — equivalent to this nested-GREATEST chain)
-_STOPWORD_CASE = """CASE WHEN h_fr > GREATEST(h_en, h_de, h_es) THEN 'fr'
+#: the stopword-argmax CASE (Spark iterates en,de,es,fr,it,pt,nl with
+#: strictly-greater wins — equivalent to this last-first
+#: nested-GREATEST chain)
+_STOPWORD_CASE = """CASE WHEN h_nl > GREATEST(h_en, h_de, h_es, h_fr, h_it, h_pt) THEN 'nl'
+       WHEN h_pt > GREATEST(h_en, h_de, h_es, h_fr, h_it) THEN 'pt'
+       WHEN h_it > GREATEST(h_en, h_de, h_es, h_fr) THEN 'it'
+       WHEN h_fr > GREATEST(h_en, h_de, h_es) THEN 'fr'
        WHEN h_es > GREATEST(h_en, h_de) THEN 'es'
        WHEN h_de > h_en THEN 'de'
        WHEN h_en > 0 THEN 'en'
@@ -455,18 +463,19 @@ def _script_stage_sql() -> tuple[str, str, str]:
 def _lang_sql() -> str:
     counts, best, case = _script_stage_sql()
     rows = ", ".join(f"({i}, '{t}')" for i, t in _SCRIPT_DOCS)
+    hits = ", ".join(
+        f"{_hits_sql(lang)} AS h_{lang}" for lang in STOPWORDS
+    )
     return f"""
 WITH s AS (
-  SELECT lang, {_hits_sql('en')} AS h_en, {_hits_sql('de')} AS h_de,
-         {_hits_sql('es')} AS h_es, {_hits_sql('fr')} AS h_fr
+  SELECT lang, {hits}
   FROM documents
 ),
 u(sid, text) AS (VALUES {rows}),
 uc AS (
   SELECT sid, {counts},
          LEN(regexp_extract_all(lower(text), '[a-z]')) AS latin,
-         {_hits_sql('en')} AS h_en, {_hits_sql('de')} AS h_de,
-         {_hits_sql('es')} AS h_es, {_hits_sql('fr')} AS h_fr
+         {hits}
   FROM u
 ),
 ub AS (SELECT *, {best} AS best FROM uc)

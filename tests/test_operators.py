@@ -369,6 +369,10 @@ def test_predict_lang_scripts(spark):
         # kana-presence rule: kanji outnumber kana (common in formal
         # Japanese) but ANY kana marks the doc ja, never zh
         (12, "日本国憲法第九条は戦争の放棄を定める", "ja"),
+        # round-5 Latin-script extensions
+        (13, "il gatto che dorme non vede una cosa come anche della casa", "it"),
+        (14, "ela disse que não era uma coisa para se fazer com os amigos mais", "pt"),
+        (15, "het is een dag van niet veel dat ze voor hebben met maar weinig", "nl"),
     ]
     df = spark.createDataFrame(
         [(i, t) for i, t, _ in rows], ["sid", "text"]
