@@ -10,6 +10,8 @@ because its hex output is identical across engines (oracle-checkable).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -118,6 +120,30 @@ def normalize_text(col: str | Column) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     cleaned = F.regexp_replace(_folded_lower(c), NORMALIZE_STRIP_PATTERN, " ")
     return F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+
+
+def nfc_normalize(col: str | Column) -> Column:
+    """Unicode NFC normalization (UAX #15) — the opt-in pre-pass for
+    corpora that mix composed and DECOMPOSED byte forms of the same
+    text ("café" as ``é`` vs ``e``+U+0301): the two forms are
+    byte-different, so every downstream md5 fingerprint, shingle and
+    join key treats them as different documents unless normalized
+    first. Arrow-batched pandas UDF (Spark has no built-in NFC
+    expression) — Python in the path is why it is OPT-IN: run it once
+    at ingest/write time, not inside every query. DuckDB's
+    ``nfc_normalize`` matches Python's ``unicodedata`` byte-for-byte
+    (both implement UAX #15 — oracle-pinned)."""
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.StringType())
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata  # worker-side import (nested closure rule)
+
+        return s.map(
+            lambda t: None if t is None else unicodedata.normalize("NFC", t)
+        )
+
+    return _nfc(F.col(col) if isinstance(col, str) else col)
 
 
 def fingerprint(col: str | Column) -> Column:

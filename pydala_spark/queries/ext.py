@@ -610,6 +610,15 @@ _UNI_DOCS: list[tuple[int, str]] = [
     (9007, "*** ((( )))"),
 ]
 
+#: composed vs DECOMPOSED byte forms of the same text (round 5 ``nfc``
+#: family): 9501/9502 are canonically equivalent but byte-different —
+#: raw fingerprints differ, NFC fingerprints match.
+_NFC_DOCS: list[tuple[int, str]] = [
+    (9501, "gar\u00e7on caf\u00e9 r\u00e9sum\u00e9"),        # precomposed
+    (9502, "garc\u0327on cafe\u0301 re\u0301sume\u0301"),    # combining marks
+    (9503, "a completely different document"),
+]
+
 
 def _uni_docs_frame(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(_UNI_DOCS, "doc_id bigint, text string")
@@ -649,8 +658,19 @@ def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(_tok("text")).cast("long").alias("n_tokens"),
     )
     unidedup = dedup_exact(planted, id_col="doc_id", text_col="text")
+    # nfc family (round 5): composed vs decomposed byte forms — raw
+    # fingerprints differ, NFC-normalized fingerprints dedup together
+    from pydala_spark.operators.textstats import nfc_normalize
+
+    nfc_src = spark.createDataFrame(_NFC_DOCS, "doc_id bigint, text string")
+    nfc = nfc_src.select(
+        "doc_id",
+        _fp("text").alias("fp"),
+        _fp(nfc_normalize("text")).alias("fp_nfc"),
+    )
     return _tagged_union(
-        [("exact", exact), ("para", para), ("uni", uni), ("unidedup", unidedup)]
+        [("exact", exact), ("para", para), ("uni", uni),
+         ("unidedup", unidedup), ("nfc", nfc)]
     )
 
 
@@ -669,14 +689,14 @@ SELECT 'exact' AS family, MIN(fp) AS fp, MIN(doc_id) AS doc_id,
        COUNT(*) AS n_dups, CAST(NULL AS BIGINT) AS para_doc_id,
        CAST(NULL AS VARCHAR) AS text_md5, CAST(NULL AS BIGINT) AS n_paras,
        CAST(NULL AS BIGINT) AS n_kept,
-       CAST(NULL AS BIGINT) AS n_tokens
+       CAST(NULL AS BIGINT) AS n_tokens, CAST(NULL AS VARCHAR) AS fp_nfc
 FROM (SELECT doc_id, {_fp_sql()} AS fp FROM documents)
 GROUP BY COALESCE(fp, chr(0) || 'id:' || doc_id)
 UNION ALL
 SELECT 'para', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
        CAST(NULL AS BIGINT), d.doc_id,
        MD5(COALESCE(reb.t, '')), COALESCE(tot.n_paras, 0),
-       COALESCE(reb.n_kept, 0), CAST(NULL AS BIGINT)
+       COALESCE(reb.n_kept, 0), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
 FROM documents d
 LEFT JOIN tot ON d.doc_id = tot.doc_id
 LEFT JOIN reb ON d.doc_id = reb.doc_id
@@ -685,15 +705,30 @@ SELECT 'uni', {_fp_sql()}, doc_id, CAST(NULL AS BIGINT),
        CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
        CAST(NULL AS BIGINT),
        LEN(list_filter(string_split_regex(lower(text),
-           '[^\\p{{L}}\\p{{N}}'']+'), x -> x <> ''))
+           '[^\\p{{L}}\\p{{N}}'']+'), x -> x <> '')),
+       CAST(NULL AS VARCHAR)
 FROM {{UNI_VALUES}}
 UNION ALL
 SELECT 'unidedup', MIN(fp), MIN(doc_id), COUNT(*),
        CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
-       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
 FROM (SELECT doc_id, {_fp_sql()} AS fp FROM {{UNI_VALUES}})
 GROUP BY COALESCE(fp, chr(0) || 'id:' || doc_id)
-""".replace("{UNI_VALUES}", _uni_docs_values())
+UNION ALL
+SELECT 'nfc', {_fp_sql()}, doc_id, CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       {_fp_sql('nfc_normalize(text)')}
+FROM {{NFC_VALUES}}
+""".replace("{UNI_VALUES}", _uni_docs_values()).replace(
+    "{NFC_VALUES}",
+    "(VALUES "
+    + ", ".join(
+        "({}, '{}')".format(i, t.replace(chr(39), chr(39) * 2))
+        for i, t in _NFC_DOCS
+    )
+    + ") AS nf(doc_id, text)",
+)
 
 # shingles: word 3-grams over regex tokens (distinct); DuckDB mirrors the
 # slice/sequence construction (1-based inclusive slices).

@@ -1775,3 +1775,27 @@ def test_winnowing_contamination(spark):
         ).collect()
     }
     assert 1 in hits and 3 in hits and 2 not in hits
+
+
+def test_nfc_normalize_dedups_decomposed_forms(spark):
+    # round 5: composed vs decomposed byte forms of the same text are
+    # different documents to every hash until NFC-normalized
+    from pydala_spark.operators.textstats import nfc_normalize
+
+    composed = "garçon café"
+    decomposed = "garçon café"
+    df = spark.createDataFrame(
+        [(1, composed), (2, decomposed), (3, None)], ["doc_id", "text"]
+    )
+    raw = {r["doc_id"]: r["fp"] for r in df.select(
+        "doc_id", fingerprint("text").alias("fp")).collect()}
+    assert raw[1] != raw[2]  # byte-different -> distinct fingerprints
+    nfc = {r["doc_id"]: r["fp"] for r in df.select(
+        "doc_id", fingerprint(nfc_normalize("text")).alias("fp")).collect()}
+    assert nfc[1] == nfc[2]  # canonically equivalent -> one fingerprint
+    assert nfc[3] is None    # NULL text stays NULL
+    out = dedup_exact(
+        df.withColumn("text", nfc_normalize("text")), "doc_id"
+    ).collect()
+    dups = {r["doc_id"]: r["n_dups"] for r in out}
+    assert dups[1] == 2 and 2 not in dups
