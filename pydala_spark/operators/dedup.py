@@ -439,23 +439,32 @@ def contamination_hits(
     c = explode_cheaply(
         doc_shingles(corpus, id_col, text_col, shingle_size, mode=shingle_mode),
         F.col("shs"),
-        "sh",
-    ).select("id", "sh")
-    b = (
-        explode_cheaply(
-            doc_shingles(
-                benchmark, id_col, text_col, shingle_size, mode=shingle_mode
-            ),
-            F.col("shs"),
-            "sh",
-        )
-        .select("sh")
-        .distinct()
-    )
+        "key",
+    ).select("id", "key")
+    b = explode_cheaply(
+        doc_shingles(
+            benchmark, id_col, text_col, shingle_size, mode=shingle_mode
+        ),
+        F.col("shs"),
+        "key",
+    ).select("key")
+    return _overlap_hits(c, b, min_hits)
+
+
+def _overlap_hits(
+    corpus_keys: DataFrame, bench_keys: DataFrame, min_hits: int
+) -> DataFrame:
+    """Shared broadcast-overlap counter behind BOTH decontamination
+    modalities: ``corpus_keys`` is an exploded ``(id, key)`` frame,
+    ``bench_keys`` a ``(key,)`` frame (made distinct and broadcast
+    here). One exchange — the per-doc distinct-hit count. Factored so
+    the n-gram and winnowing variants cannot silently diverge
+    (r5 review)."""
+    b = bench_keys.distinct()
     return (
-        c.join(F.broadcast(b), "sh")
+        corpus_keys.join(F.broadcast(b), "key")
         .groupBy("id")
-        .agg(F.count_distinct("sh").alias("n_hits"))
+        .agg(F.count_distinct("key").alias("n_hits"))
         .where(F.col("n_hits") >= min_hits)
     )
 
@@ -468,6 +477,7 @@ def winnowing_contamination(
     k: int = 8,
     window: int = 4,
     min_hits: int = 1,
+    precomputed_fps: bool = False,
 ) -> DataFrame:
     """Corpus documents sharing at least ``min_hits`` WINNOWING
     fingerprints with any benchmark document — the robust-hash third
@@ -482,35 +492,29 @@ def winnowing_contamination(
     it. Character-level, so it works on unsegmented scripts without a
     shingle-mode switch.
 
-    Same 100 TB shape as the n-gram variant: the benchmark's distinct
+    Same 100 TB shape as the n-gram variant (shared
+    :func:`_overlap_hits` skeleton): the benchmark's distinct
     fingerprint set broadcasts, the corpus is never shuffled raw; one
     exchange for the per-doc distinct-hit count. Returns ``(id,
-    n_hits)``.
+    n_hits)``. With ``precomputed_fps`` the inputs are ``(id, fps)``
+    frames from :func:`~pydala_spark.operators.textstats.
+    winnowing_fingerprints` (skip the hashing when the fingerprints
+    already exist — e.g. materialized at ingest).
     """
     from pydala_spark.operators.textstats import winnowing_fingerprints
 
-    c = explode_cheaply(
-        winnowing_fingerprints(corpus, id_col, text_col, k=k, window=window),
-        F.col("fps"),
-        "fp",
-    ).select("id", "fp")
-    b = (
-        explode_cheaply(
-            winnowing_fingerprints(
-                benchmark, id_col, text_col, k=k, window=window
-            ),
-            F.col("fps"),
-            "fp",
+    if precomputed_fps:
+        cf, bf = corpus, benchmark
+    else:
+        cf = winnowing_fingerprints(corpus, id_col, text_col, k=k, window=window)
+        bf = winnowing_fingerprints(
+            benchmark, id_col, text_col, k=k, window=window
         )
-        .select("fp")
-        .distinct()
+    c = explode_cheaply(cf.select("id", "fps"), F.col("fps"), "key").select(
+        "id", "key"
     )
-    return (
-        c.join(F.broadcast(b), "fp")
-        .groupBy("id")
-        .agg(F.count_distinct("fp").alias("n_hits"))
-        .where(F.col("n_hits") >= min_hits)
-    )
+    b = explode_cheaply(bf.select("fps"), F.col("fps"), "key").select("key")
+    return _overlap_hits(c, b, min_hits)
 
 
 def decontaminate(

@@ -180,6 +180,7 @@ def winnowing_fingerprints(
     n_grams = F.greatest(F.length("__norm") - (k - 1), F.lit(1))
     hash_df = norm_df.select(
         "id",
+        F.length("__norm").alias("__nlen"),
         F.transform(
             F.sequence(F.lit(1), n_grams),
             lambda i: F.md5(F.substr(F.col("__norm"), i, F.lit(k))),
@@ -190,7 +191,14 @@ def winnowing_fingerprints(
         F.sequence(F.lit(1), n_windows),
         lambda j: F.array_min(F.slice(F.col("__hashes"), j, window)),
     )
-    return hash_df.select("id", F.array_sort(F.array_distinct(fps)).alias("fps"))
+    # EMPTY normalized text yields an EMPTY fingerprint set (round-5
+    # review): without the guard every contentless doc fingerprints as
+    # [md5('')], making all punctuation-only docs "share content" with
+    # each other — the same never-joins rule fingerprint() enforces
+    fps = F.when(
+        F.col("__nlen") > 0, F.array_sort(F.array_distinct(fps))
+    ).otherwise(F.array().cast("array<string>"))
+    return hash_df.select("id", fps.alias("fps"))
 
 
 #: Coarse Unicode-script code-point ranges → language, in PRIORITY order

@@ -421,17 +421,23 @@ def _hits_sql(lang: str) -> str:
     )
 
 
-#: the stopword-argmax CASE (Spark iterates en,de,es,fr,it,pt,nl with
-#: strictly-greater wins — equivalent to this last-first
-#: nested-GREATEST chain)
-_STOPWORD_CASE = """CASE WHEN h_nl > GREATEST(h_en, h_de, h_es, h_fr, h_it, h_pt) THEN 'nl'
-       WHEN h_pt > GREATEST(h_en, h_de, h_es, h_fr, h_it) THEN 'pt'
-       WHEN h_it > GREATEST(h_en, h_de, h_es, h_fr) THEN 'it'
-       WHEN h_fr > GREATEST(h_en, h_de, h_es) THEN 'fr'
-       WHEN h_es > GREATEST(h_en, h_de) THEN 'es'
-       WHEN h_de > h_en THEN 'de'
-       WHEN h_en > 0 THEN 'en'
-       ELSE 'other' END"""
+def _stopword_case() -> str:
+    """The stopword-argmax CASE, GENERATED from STOPWORDS so the SQL
+    chain can never desync from Spark's iteration (r5 review): Spark
+    iterates dict order with strictly-greater wins, equivalent to
+    checking the LAST language first against the max of all earlier
+    ones."""
+    langs = list(STOPWORDS)
+    clauses = []
+    for i in range(len(langs) - 1, 0, -1):
+        earlier = ", ".join(f"h_{l}" for l in langs[:i])
+        guard = f"GREATEST({earlier})" if i > 1 else earlier
+        clauses.append(f"WHEN h_{langs[i]} > {guard} THEN '{langs[i]}'")
+    clauses.append(f"WHEN h_{langs[0]} > 0 THEN '{langs[0]}'")
+    return "CASE " + "\n       ".join(clauses) + "\n       ELSE 'other' END"
+
+
+_STOPWORD_CASE = _stopword_case()
 
 
 def _script_stage_sql() -> tuple[str, str, str]:
@@ -543,10 +549,14 @@ def q_fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("fps", 1).alias("min_fp"),
         F.element_at("fps", -1).alias("max_fp"),
     )
+    # contam derives from the SAME fps frame the 'win' family computed
+    # (precomputed_fps) — re-hashing the whole corpus a second time
+    # doubled the query's expensive step (r5 review; oracle reuses its
+    # f CTE identically)
     contam = winnowing_contamination(
-        spread.where(F.col("doc_id") % 100 != 0),
-        spread.where(F.col("doc_id") % 100 == 0),
-        "doc_id", k=8, window=4, min_hits=2,
+        fps.where(F.col("id") % 100 != 0),
+        fps.where(F.col("id") % 100 == 0),
+        "doc_id", min_hits=2, precomputed_fps=True,
     ).select(
         F.col("id").alias("doc_id"),
         F.col("n_hits").cast("long").alias("n_hits"),
@@ -557,15 +567,18 @@ def q_fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q_FINGERPRINT_WINNOWING_SQL = f"""
 WITH n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
 h AS (
-  SELECT doc_id, list_transform(
+  SELECT doc_id, LENGTH(norm) AS nlen, list_transform(
            generate_series(1, GREATEST(LENGTH(norm) - 7, 1)),
            i -> MD5(SUBSTR(norm, i, 8))) AS hashes
   FROM n
 ),
 f AS (
-  SELECT doc_id, list_sort(list_distinct(list_transform(
-           generate_series(1, GREATEST(LEN(hashes) - 3, 1)),
-           j -> list_min(hashes[j:j+3])))) AS fps
+  SELECT doc_id,
+         CASE WHEN nlen > 0
+              THEN list_sort(list_distinct(list_transform(
+                     generate_series(1, GREATEST(LEN(hashes) - 3, 1)),
+                     j -> list_min(hashes[j:j+3]))))
+              ELSE [] END AS fps
   FROM h
 )
 SELECT 'fp' AS family, source, COUNT(*) AS n_docs,

@@ -1799,3 +1799,22 @@ def test_nfc_normalize_dedups_decomposed_forms(spark):
     ).collect()
     dups = {r["doc_id"]: r["n_dups"] for r in out}
     assert dups[1] == 2 and 2 not in dups
+
+
+def test_winnowing_empty_text_never_joins(spark):
+    # r5 review: contentless docs must yield an EMPTY fingerprint set —
+    # a shared md5('') would make every punctuation-only doc "share
+    # content" with a contentless benchmark row
+    from pydala_spark.operators.dedup import winnowing_contamination
+    from pydala_spark.operators.textstats import winnowing_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "!!! ???"), (2, "real content here for sure")],
+        ["doc_id", "text"],
+    )
+    fps = {r["id"]: r["fps"] for r in
+           winnowing_fingerprints(df, "doc_id").collect()}
+    assert fps[1] == [] and len(fps[2]) > 0
+    bench = spark.createDataFrame([(100, "... ...")], ["doc_id", "text"])
+    hits = winnowing_contamination(df, bench, "doc_id", min_hits=1).collect()
+    assert hits == []  # contentless benchmark flags nothing
