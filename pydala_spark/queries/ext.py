@@ -549,10 +549,14 @@ def q_fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("fps", 1).alias("min_fp"),
         F.element_at("fps", -1).alias("max_fp"),
     )
-    # contam derives from the SAME fps frame the 'win' family computed
-    # (precomputed_fps) — re-hashing the whole corpus a second time
-    # doubled the query's expensive step (r5 review; oracle reuses its
-    # f CTE identically)
+    # contam derives from the SAME fps frame as the 'win' family via
+    # the operator's precomputed_fps path (single source of truth; the
+    # oracle reuses its f CTE identically). NOTE: Catalyst still
+    # REPLAYS the shared hashing lineage per union branch — physical
+    # dedup needs materialization, which is the documented production
+    # pattern (compute winnowing_fingerprints once at ingest, persist,
+    # then feed precomputed_fps=True); a cache inside a registry query
+    # would outlive the comparison, so the recompute is accepted here
     contam = winnowing_contamination(
         fps.where(F.col("id") % 100 != 0),
         fps.where(F.col("id") % 100 == 0),
