@@ -407,3 +407,142 @@ def normalize_filenames(
         n_renamed += 1
     spark.catalog.refreshByPath(base)
     return {"n_renamed": n_renamed, "n_skipped": n_skipped}
+
+# ---------------------------------------------------------------------------
+# Ingest-time signature materialization
+
+#: Sidecar directory name under a dataset base path. One subdirectory per
+#: signature kind (``_signatures/winnowing``, ``_signatures/minhash``),
+#: each a plain parquet dataset plus a ``_params.json`` recording the
+#: hashing parameters — the same "sidecar stores the encoding so search
+#: can't mismatch it" rule the PQ codebooks follow (operators/ann.py).
+SIGNATURES_DIR = "_signatures"
+
+
+def materialize_signatures(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    kinds: Sequence[str] = ("winnowing",),
+    winnowing_k: int = 8,
+    winnowing_window: int = 4,
+    n_hashes: int = 8,
+    shingle_size: int = 3,
+    seed: int = 0,
+    shingle_mode: str = "word",
+    mode: str = "overwrite",
+) -> dict[str, str]:
+    """Persist per-document dedup/decontamination signatures as sidecar
+    parquet next to the dataset — hash the corpus text ONCE at ingest so
+    every later decontamination sweep / chained near-dup pass reads the
+    (tiny) signature table instead of replaying the per-character hashing
+    lineage over 100 TB of text (the round-5 advisory: Catalyst replays
+    a winnowing lineage per consumer; materialization is the production
+    pattern, now one call instead of a docstring).
+
+    ``kinds`` ⊆ {"winnowing", "minhash"}:
+
+    - ``winnowing`` → ``(id, fps)`` from :func:`~pydala_spark.operators.
+      textstats.winnowing_fingerprints` (k/window knobs);
+    - ``minhash`` → ``(id_col, mh_0..mh_{n-1})`` from :func:`~pydala_
+      spark.operators.dedup.minhash_signatures` (n_hashes / shingle /
+      seed knobs).
+
+    Each kind lands at ``<path>/_signatures/<kind>`` with a
+    ``_params.json`` sidecar recording the exact hashing parameters;
+    :func:`read_signatures` refuses to serve a frame whose recorded
+    params contradict the caller's expectation, so a k=8 fingerprint
+    table can never silently answer a k=5 contamination query. One scan
+    of the corpus per kind, one narrow parquet write — no shuffle for
+    winnowing, one doc-keyed aggregate for minhash. Returns
+    ``{kind: sidecar_path}``.
+
+    This is also the Writer ride-along seam: pass the freshly written
+    dataset's own frame (reference ``dataset/writer.py:486-490`` runs a
+    per-batch transform hook at the same point in its ingest path).
+    """
+    import json as _json
+
+    from pydala_spark.utils.pathops import PathOps, strip_scheme
+
+    configure_session(spark)
+    base = strip_scheme(path).rstrip("/")
+    po = PathOps(spark, base)
+    out: dict[str, str] = {}
+    for kind in kinds:
+        target = posixpath.join(base, SIGNATURES_DIR, kind)
+        if kind == "winnowing":
+            from pydala_spark.operators.textstats import winnowing_fingerprints
+
+            sigs = winnowing_fingerprints(
+                df, id_col, text_col, k=winnowing_k, window=winnowing_window
+            )
+            params = {
+                "kind": kind, "id_col": id_col, "text_col": text_col,
+                "k": winnowing_k, "window": winnowing_window,
+            }
+        elif kind == "minhash":
+            from pydala_spark.operators.dedup import minhash_signatures
+
+            sigs = minhash_signatures(
+                df, id_col, text_col, n_hashes=n_hashes,
+                shingle_size=shingle_size, seed=seed,
+                shingle_mode=shingle_mode,
+            )
+            params = {
+                "kind": kind, "id_col": id_col, "text_col": text_col,
+                "n_hashes": n_hashes, "shingle_size": shingle_size,
+                "seed": seed, "shingle_mode": shingle_mode,
+            }
+        else:
+            raise ValueError(
+                f"materialize_signatures: unknown kind {kind!r} "
+                "(expected 'winnowing' or 'minhash')"
+            )
+        sigs.write.mode(mode).parquet(target)
+        po.write_text(
+            posixpath.join(target, "_params.json"),
+            _json.dumps(params, indent=2, sort_keys=True),
+        )
+        out[kind] = target
+    return out
+
+
+def read_signatures(
+    spark: SparkSession,
+    path: str,
+    kind: str,
+    expect: dict | None = None,
+) -> tuple[DataFrame, dict]:
+    """Load a :func:`materialize_signatures` sidecar → ``(frame,
+    params)``. ``expect`` pins parameters the consumer depends on (e.g.
+    ``{"k": 8, "window": 4}``): any recorded value that contradicts an
+    expected one raises instead of silently joining fingerprints hashed
+    under a different scheme (the mismatch would not error downstream —
+    it would just find zero overlaps, which is indistinguishable from a
+    clean corpus)."""
+    import json as _json
+
+    from pydala_spark.utils.pathops import PathOps, strip_scheme
+
+    configure_session(spark)
+    target = posixpath.join(
+        strip_scheme(path).rstrip("/"), SIGNATURES_DIR, kind
+    )
+    po = PathOps(spark, target)
+    params = _json.loads(po.read_text(posixpath.join(target, "_params.json")))
+    if expect:
+        bad = {
+            key: (params.get(key), val)
+            for key, val in expect.items()
+            if params.get(key) != val
+        }
+        if bad:
+            raise ValueError(
+                f"read_signatures({kind}): sidecar params disagree with "
+                f"expectation: {bad} (recorded, expected) — re-materialize "
+                "with the consumer's parameters"
+            )
+    return spark.read.parquet(target), params

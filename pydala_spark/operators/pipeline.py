@@ -7,11 +7,17 @@ all as one lazy DataFrame program (one action executes the whole
 pipeline; Catalyst sees every stage).
 
 Scale: stages are the shuffle-analyzed operators from operators/dedup.py
-(see SCALE.md); the near-dup removal is greedy — of each candidate pair
-the higher id drops (or the lower-scored member, with
+(see SCALE.md); the near-dup removal is greedy by default — of each
+candidate pair the higher id drops (or the lower-scored member, with
 ``near_dup_score_col``). Greedy pair-drop approximates connected-component
 dedup without an iterative algorithm; corpora with long duplicate chains
-can iterate the near-dup stage (each pass is one LSH round).
+set ``near_dup_mode="cluster"`` (pointer-jumping connected components +
+one representative per component) or iterate the near-dup stage (each
+pass is one LSH round). Decontamination is selectable across all three
+modalities (``decontaminate_mode="ngram"|"winnowing"|"embedding"``), and
+the near-dup / winnowing stages can consume ingest-materialized
+signature sidecars (``precomputed_minhash`` / ``precomputed_fps``, see
+dataset/maintain.py:materialize_signatures) instead of re-hashing text.
 """
 
 from __future__ import annotations
@@ -53,6 +59,14 @@ def prep_documents(
     near_dup_shingle_mode: str = "word",
     near_dup_shingle_size: int | None = None,
     decontaminate_shingle_size: int | None = None,
+    near_dup_mode: str = "greedy",
+    decontaminate_mode: str = "ngram",
+    decontaminate_threshold: float = 0.9,
+    vec_col: str | None = None,
+    winnowing_k: int = 8,
+    winnowing_window: int = 4,
+    precomputed_minhash: DataFrame | None = None,
+    precomputed_fps: DataFrame | None = None,
     stage_frames: dict | None = None,
 ) -> DataFrame:
     """Return the cleaned corpus: quality columns attached, docs linking
@@ -92,6 +106,42 @@ def prep_documents(
     ``decontaminate_shingle_size`` only decontamination — retuning LSH
     granularity must not silently weaken the benchmark overlap test.
 
+    ``near_dup_mode`` (round 6) selects how LSH candidate pairs turn
+    into drops: ``"greedy"`` (default, historical) drops the loser of
+    each PAIR independently — a~b, b~c keeps {a, c} even though the
+    chain is one duplicate family; ``"cluster"`` resolves full
+    connected components first (:func:`~pydala_spark.operators.dedup.
+    dedup_clusters`, pointer-jumping over the LSH-reduced edge set) and
+    keeps exactly one representative per component
+    (:func:`~pydala_spark.operators.dedup.keep_cluster_representatives`
+    — best ``near_dup_score_col`` when set, else smallest id). Cluster
+    mode costs O(log chain-diameter) extra shuffles over the PAIR set
+    only (orders of magnitude smaller than the corpus), and is the mode
+    that matches what "near-duplicate removal" means on corpora with
+    viral template chains.
+
+    ``decontaminate_mode`` (round 6) selects the benchmark-overlap
+    modality, all three sharing the broadcast-benchmark shape:
+    ``"ngram"`` (default, historical) = exact shingle overlap;
+    ``"winnowing"`` = MOSS robust character fingerprints
+    (``winnowing_k``/``winnowing_window``, survives tokenizer-hostile
+    edits); ``"embedding"`` = cosine proximity in embedding space
+    (requires ``vec_col`` on BOTH corpus and benchmark;
+    ``decontaminate_threshold`` is the cosine cutoff — catches
+    paraphrased leakage that shares no shingles).
+
+    ``precomputed_minhash`` / ``precomputed_fps`` (round 6) feed
+    ingest-materialized signature sidecars
+    (:func:`~pydala_spark.dataset.maintain.materialize_signatures`) so
+    the near-dup / winnowing-decontamination stages never re-hash the
+    corpus text: the minhash frame is semi-joined down to the docs still
+    alive after exact dedup (so pair semantics match the inline path),
+    the fps frame feeds ``winnowing_contamination(precomputed_fps=
+    True)`` directly. Both REQUIRE the text-mutating stages
+    (``strip_markup`` / ``redact`` / ``paragraph_dedup``) to be off —
+    signatures hashed from raw ingest text must not stand in for text
+    those stages rewrote.
+
     Pass an empty dict as ``stage_frames`` to receive the intermediate
     DataFrame after each enabled stage (keys: input, blocklist,
     paragraph_dedup, repetition, exact_dedup, near_dup, decontaminate,
@@ -106,6 +156,39 @@ def prep_documents(
         raise ValueError(
             "near_dup_score_col requires near_dup=True — with the "
             "near-dup stage disabled the score would be silently ignored"
+        )
+    if near_dup_mode not in ("greedy", "cluster"):
+        raise ValueError(
+            f"near_dup_mode={near_dup_mode!r} (expected 'greedy' or "
+            "'cluster')"
+        )
+    if decontaminate_mode not in ("ngram", "winnowing", "embedding"):
+        raise ValueError(
+            f"decontaminate_mode={decontaminate_mode!r} (expected "
+            "'ngram', 'winnowing' or 'embedding')"
+        )
+    if decontaminate_mode == "embedding" and benchmark is not None and not vec_col:
+        raise ValueError(
+            "decontaminate_mode='embedding' requires vec_col — the "
+            "modality compares embeddings, not text"
+        )
+    if precomputed_minhash is not None or precomputed_fps is not None:
+        # ingest-time signatures hash the RAW text; any stage that
+        # rewrites text_col before the consuming stage would silently
+        # dedup/decontaminate against stale hashes (round-6 contract)
+        if strip_markup or redact or paragraph_dedup:
+            raise ValueError(
+                "precomputed signatures cannot be combined with "
+                "strip_markup/redact/paragraph_dedup — those stages "
+                "rewrite the text the signatures were hashed from; "
+                "either materialize signatures from the cleaned text or "
+                "compute inline"
+            )
+    if precomputed_fps is not None and decontaminate_mode != "winnowing":
+        raise ValueError(
+            "precomputed_fps is a winnowing-fingerprint sidecar — set "
+            "decontaminate_mode='winnowing' (a silently ignored sidecar "
+            "would re-hash the corpus the caller paid to avoid)"
         )
 
     def _stage(name: str, frame: DataFrame) -> None:
@@ -200,10 +283,19 @@ def prep_documents(
             if near_dup_shingle_size is not None
             else default_shingle
         )
-        sigs = minhash_signatures(
-            out, id_col, text_col, n_hashes=n_hashes, seed=near_dup_seed,
-            shingle_size=shingle_size, shingle_mode=near_dup_shingle_mode,
-        )
+        if precomputed_minhash is not None:
+            # ingest sidecar covers the FULL corpus; restrict to docs
+            # still alive after exact dedup so candidate pairs (and thus
+            # greedy losers / cluster members) match the inline path —
+            # a pair against an already-dropped doc must not exist
+            sigs = precomputed_minhash.join(
+                out.select(id_col), id_col, "left_semi"
+            )
+        else:
+            sigs = minhash_signatures(
+                out, id_col, text_col, n_hashes=n_hashes, seed=near_dup_seed,
+                shingle_size=shingle_size, shingle_mode=near_dup_shingle_mode,
+            )
         # near_dup_max_bucket (round 5): the degenerate-bucket cap IS
         # exposed in the flagship path — exact dedup runs first, but a
         # near-identical viral template (not byte-identical, so it
@@ -221,7 +313,23 @@ def prep_documents(
             log_dropped=near_dup_log_dropped,
             seed=near_dup_seed,
         )
-        if near_dup_score_col:
+        if near_dup_mode == "cluster":
+            # resolve full connected components over the pair set, then
+            # keep ONE representative per component — the a~b~c chain
+            # that greedy under-merges (keeps {a, c}) collapses to {a}
+            # (or the best-scored member). Extra cost is O(log diameter)
+            # rounds over the LSH-reduced EDGE set only.
+            from pydala_spark.operators.dedup import (
+                dedup_clusters,
+                keep_cluster_representatives,
+            )
+
+            clusters = dedup_clusters(pairs)
+            out = keep_cluster_representatives(
+                out, clusters, id_col, score_col=near_dup_score_col
+            )
+            _stage("near_dup", out)
+        elif near_dup_score_col:
             # ONE join of the exploded pair members against the (id,
             # score) projection (joining the corpus projection twice
             # would traverse the whole upstream lineage twice — r4
@@ -255,10 +363,12 @@ def prep_documents(
                 .select(F.col("__mid").alias(id_col))
                 .distinct()
             )
+            out = out.join(losers, id_col, "left_anti")
+            _stage("near_dup", out)
         else:
             losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
-        out = out.join(losers, id_col, "left_anti")
-        _stage("near_dup", out)
+            out = out.join(losers, id_col, "left_anti")
+            _stage("near_dup", out)
     # 4. benchmark decontamination (broadcast eval-set shingles). The
     # corpus's script decides the shingle UNIT once (near_dup_shingle_mode
     # — char-mode corpora would otherwise be decontaminated with word
@@ -266,16 +376,55 @@ def prep_documents(
     # independent: retuning LSH granularity must not silently weaken the
     # overlap test (r5 review)
     if benchmark is not None:
-        out = decontaminate(
-            out, benchmark, id_col, text_col,
-            min_hits=decontaminate_min_hits,
-            shingle_size=(
-                decontaminate_shingle_size
-                if decontaminate_shingle_size is not None
-                else default_shingle
-            ),
-            shingle_mode=near_dup_shingle_mode,
-        )
+        if decontaminate_mode == "ngram":
+            out = decontaminate(
+                out, benchmark, id_col, text_col,
+                min_hits=decontaminate_min_hits,
+                shingle_size=(
+                    decontaminate_shingle_size
+                    if decontaminate_shingle_size is not None
+                    else default_shingle
+                ),
+                shingle_mode=near_dup_shingle_mode,
+            )
+        elif decontaminate_mode == "winnowing":
+            from pydala_spark.operators.dedup import winnowing_contamination
+            from pydala_spark.operators.textstats import (
+                winnowing_fingerprints,
+            )
+
+            if precomputed_fps is not None:
+                # sidecar covers the full corpus; hits on already-dropped
+                # ids are harmless (the anti-join only removes survivors)
+                # and filtering them here would cost a join for nothing
+                hits = winnowing_contamination(
+                    precomputed_fps,
+                    winnowing_fingerprints(
+                        benchmark, id_col, text_col,
+                        k=winnowing_k, window=winnowing_window,
+                    ),
+                    id_col,
+                    min_hits=decontaminate_min_hits,
+                    precomputed_fps=True,
+                )
+            else:
+                hits = winnowing_contamination(
+                    out, benchmark, id_col, text_col,
+                    k=winnowing_k, window=winnowing_window,
+                    min_hits=decontaminate_min_hits,
+                )
+            out = out.join(
+                hits.select(F.col("id").alias(id_col)), id_col, "left_anti"
+            )
+        else:  # embedding
+            from pydala_spark.operators.similarity import (
+                semantic_decontaminate,
+            )
+
+            out = semantic_decontaminate(
+                out, benchmark, id_col, vec_col,
+                threshold=decontaminate_threshold,
+            )
         _stage("decontaminate", out)
     # 5. quality gate
     out = out.where(F.col("q_score") >= min_quality)

@@ -1,0 +1,251 @@
+"""Round 6: ingest-time signature materialization (maintain.
+materialize_signatures / read_signatures), cluster-mode near-dup, and
+the three-way decontaminate_mode in prep_documents."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pydala_spark.dataset.maintain import (
+    materialize_signatures,
+    read_signatures,
+)
+from pydala_spark.operators.dedup import winnowing_contamination
+from pydala_spark.operators.pipeline import prep_documents
+from pydala_spark.operators.textstats import winnowing_fingerprints
+
+#: 38-word base doc; b = base with "apple" at position 8, c = b with
+#: "stone" at position 28. Under n_hashes=32 / n_bands=4 the realized
+#: (md5-deterministic) LSH candidate pairs are EXACTLY {(1,2),(2,3)} —
+#: a duplicate CHAIN with no a~c edge, the topology greedy pair-drop
+#: under-merges (pinned by search; stable forever, no RNG anywhere).
+_BASE = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+    "kilo lima mike november oscar papa quebec romeo sierra tango "
+    "uniform victor whiskey xray yankee zulu one two three four "
+    "five six seven eight nine ten eleven twelve"
+).split()
+
+
+def _chain_docs(spark):
+    def variant(subs):
+        w = list(_BASE)
+        for p, word in subs.items():
+            w[p] = word
+        return " ".join(w)
+
+    return spark.createDataFrame(
+        [
+            (1, variant({})),
+            (2, variant({8: "apple"})),
+            (3, variant({8: "apple", 28: "stone"})),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def _docs(spark):
+    rows = [
+        (i, f"document number {i} talks about topic {i % 7} in detail "
+            f"with several words of content body text segment {i * 3}")
+        for i in range(1, 21)
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_materialize_signatures_roundtrip_and_params_guard(spark, tmp_path):
+    base = str(tmp_path / "ds")
+    df = _docs(spark)
+    df.write.parquet(base + "/data")
+    out = materialize_signatures(
+        spark, df, base, kinds=("winnowing", "minhash")
+    )
+    assert set(out) == {"winnowing", "minhash"}
+
+    # winnowing sidecar == inline computation, row for row
+    fps, params = read_signatures(spark, base, "winnowing")
+    assert params["k"] == 8 and params["window"] == 4
+    inline = winnowing_fingerprints(df, "doc_id")
+    got = {r["id"]: r["fps"] for r in fps.collect()}
+    want = {r["id"]: r["fps"] for r in inline.collect()}
+    assert got == want
+
+    # minhash sidecar == inline computation
+    from pydala_spark.operators.dedup import minhash_signatures
+
+    mh, mh_params = read_signatures(
+        spark, base, "minhash", expect={"n_hashes": 8, "seed": 0}
+    )
+    got = {tuple(r) for r in mh.collect()}
+    want = {tuple(r) for r in minhash_signatures(df, "doc_id").collect()}
+    assert got == want
+
+    # the params guard refuses a mismatched consumer expectation
+    with pytest.raises(ValueError, match="disagree"):
+        read_signatures(spark, base, "winnowing", expect={"k": 5})
+    with pytest.raises(ValueError):
+        materialize_signatures(spark, df, base, kinds=("bogus",))
+
+
+def test_precomputed_fps_plan_never_scans_corpus_text(spark, tmp_path):
+    # THE round-6 contract: the precomputed decontamination path's
+    # physical plan reads ONLY the signature sidecar — zero scans of the
+    # corpus data files, no 'text' column in any ReadSchema
+    from pydala_spark.plans import explain_str, read_schema_columns
+
+    base = str(tmp_path / "ds")
+    df = _docs(spark)
+    df.write.parquet(base + "/data")
+    materialize_signatures(spark, df, base, kinds=("winnowing",))
+
+    fps, _ = read_signatures(spark, base, "winnowing")
+    bench = spark.createDataFrame(
+        [(100, "document number 3 talks about topic 3 in detail")],
+        ["doc_id", "text"],
+    )
+    hits = winnowing_contamination(
+        fps, winnowing_fingerprints(bench, "doc_id"), "doc_id",
+        precomputed_fps=True,
+    )
+    plan = explain_str(hits)
+    assert "/data" not in plan  # corpus parquet never scanned
+    assert "_signatures/winnowing" in plan  # the sidecar is the scan
+    for cols in read_schema_columns(hits):
+        assert "text" not in cols
+
+    # and it finds the same contaminated docs as the inline path
+    inline = winnowing_contamination(df, bench, "doc_id")
+    assert {r["id"] for r in hits.collect()} == {
+        r["id"] for r in inline.collect()
+    }
+
+
+def test_prep_documents_precomputed_signatures_match_inline(spark, tmp_path):
+    base = str(tmp_path / "ds")
+    chain = _chain_docs(spark)
+    corpus = _docs(spark).unionByName(chain.where(F.col("doc_id") == 1))
+    bench = _docs(spark).where(F.col("doc_id") == 7)
+    materialize_signatures(
+        spark, corpus, base, kinds=("winnowing", "minhash")
+    )
+    mh, _ = read_signatures(spark, base, "minhash")
+    fps, _ = read_signatures(spark, base, "winnowing")
+
+    kwargs = dict(
+        min_quality=0, near_dup=True, benchmark=bench,
+        decontaminate_mode="winnowing", decontaminate_min_hits=1,
+    )
+    inline = prep_documents(corpus, **kwargs)
+    pre = prep_documents(
+        corpus, precomputed_minhash=mh, precomputed_fps=fps, **kwargs
+    )
+    assert sorted(r["doc_id"] for r in pre.collect()) == sorted(
+        r["doc_id"] for r in inline.collect()
+    )
+
+
+def test_prep_documents_cluster_mode_chain(spark):
+    # a~b, b~c candidate pairs with no a~c edge. The under-merge greedy
+    # exhibits on chains: score the MIDDLE doc worst — greedy drops only
+    # the per-pair loser (doc 2, twice), keeping BOTH chain ends {1, 3}
+    # even though they are transitive near-dups; cluster mode resolves
+    # the full component and keeps exactly one representative.
+    chain = _chain_docs(spark)
+    scored = chain.withColumn(
+        "sc", F.when(F.col("doc_id") == 2, 1.0).otherwise(9.0)
+    )
+    greedy = prep_documents(
+        scored, min_quality=0, near_dup=True, n_hashes=32, n_bands=4,
+        near_dup_score_col="sc",
+    )
+    assert {r["doc_id"] for r in greedy.collect()} == {1, 3}
+    cluster = prep_documents(
+        scored, min_quality=0, near_dup=True, n_hashes=32, n_bands=4,
+        near_dup_mode="cluster", near_dup_score_col="sc",
+    )
+    assert {r["doc_id"] for r in cluster.collect()} == {1}
+
+    # unscored: greedy drops every pair's higher id ({2, 3} here —
+    # transitively correct by luck of the id order); cluster keeps the
+    # component minimum, same answer, ONE representative by construction
+    assert {
+        r["doc_id"]
+        for r in prep_documents(
+            chain, min_quality=0, near_dup=True, n_hashes=32, n_bands=4,
+            near_dup_mode="cluster",
+        ).collect()
+    } == {1}
+
+    # scored cluster mode keeps the BEST member, not the smallest id
+    best = prep_documents(
+        chain.withColumn(
+            "sc", F.when(F.col("doc_id") == 2, 9.0).otherwise(1.0)
+        ),
+        min_quality=0, near_dup=True, n_hashes=32, n_bands=4,
+        near_dup_mode="cluster", near_dup_score_col="sc",
+    )
+    assert {r["doc_id"] for r in best.collect()} == {2}
+
+
+def test_prep_documents_decontaminate_winnowing_mode(spark):
+    # DIVERSE corpus (no shared template — winnowing fingerprints of a
+    # common template would legitimately hit every doc)
+    import hashlib
+
+    def words(i):
+        return " ".join(
+            hashlib.md5(f"{i}|{j}".encode()).hexdigest()[:6]
+            for j in range(12)
+        )
+
+    corpus = spark.createDataFrame(
+        [(i, words(i)) for i in range(1, 21)], ["doc_id", "text"]
+    )
+    # tokenizer-hostile edit of doc 5's text: inserted punctuation and
+    # casing churn — word shingles diverge, winnowing fingerprints don't
+    hostile = words(5).replace(" ", ",  ").upper()
+    bench = spark.createDataFrame([(900, hostile)], ["doc_id", "text"])
+    out = prep_documents(
+        corpus, min_quality=0, near_dup=False, benchmark=bench,
+        decontaminate_mode="winnowing", decontaminate_min_hits=2,
+    )
+    kept = {r["doc_id"] for r in out.collect()}
+    assert 5 not in kept
+    assert len(kept) >= 15  # only near-matches of doc 5 dropped
+
+
+def test_prep_documents_decontaminate_embedding_mode(spark):
+    rows = [
+        (1, "first clean document with enough words here", [1.0, 0.0, 0.0]),
+        (2, "second clean document with enough words here", [0.0, 1.0, 0.0]),
+        (3, "paraphrased benchmark leak with other words", [0.6, 0.8, 0.0]),
+    ]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text", "emb"])
+    bench = spark.createDataFrame(
+        [(99, [0.6, 0.8, 0.0])], ["doc_id", "emb"]
+    )
+    out = prep_documents(
+        corpus, min_quality=0, near_dup=False, benchmark=bench,
+        decontaminate_mode="embedding", vec_col="emb",
+        decontaminate_threshold=0.95,
+    )
+    assert {r["doc_id"] for r in out.collect()} == {1, 2}
+
+
+def test_prep_documents_mode_validation(spark):
+    df = spark.createDataFrame([(1, "hello world")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="near_dup_mode"):
+        prep_documents(df, near_dup_mode="bogus")
+    with pytest.raises(ValueError, match="decontaminate_mode"):
+        prep_documents(df, decontaminate_mode="bogus")
+    with pytest.raises(ValueError, match="vec_col"):
+        prep_documents(
+            df, benchmark=df, decontaminate_mode="embedding"
+        )
+    sidecar = df.select("doc_id", F.array(F.lit("x")).alias("fps"))
+    with pytest.raises(ValueError, match="rewrite the text"):
+        prep_documents(
+            df, strip_markup=True, decontaminate_mode="winnowing",
+            precomputed_fps=sidecar,
+        )
+    with pytest.raises(ValueError, match="winnowing"):
+        prep_documents(df, precomputed_fps=sidecar)  # mode left ngram
