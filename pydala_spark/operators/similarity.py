@@ -381,6 +381,9 @@ def semantic_contamination(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
+    block_bits: int | None = None,
+    dim: int | None = None,
+    n_probes: int = 1,
 ) -> DataFrame:
     """Ids of corpus rows whose embedding lies within cosine
     ``threshold`` of ANY benchmark embedding — EMBEDDING-SPACE benchmark
@@ -395,11 +398,25 @@ def semantic_contamination(
     corpus row stops at its FIRST qualifying benchmark neighbor and
     non-matching pairs never materialize. The corpus is scanned once and
     never shuffled; cost is O(|corpus| × |benchmark| × dim) JVM flops
-    worst-case — for very large benchmarks pre-block both sides on
-    :func:`lsh_bucket` instead. Returns ``(id,)`` of contaminated rows.
+    worst-case. For LARGE benchmarks set ``block_bits`` (round 6): both
+    sides get a :func:`lsh_bucket` sign-bit key and the join becomes a
+    broadcast HASH join on bucket with the cosine as a post-join filter
+    — per-corpus-row work drops from |benchmark| to the benchmark rows
+    sharing its bucket (×``n_probes``), an EXPECTED ~2^block_bits/
+    n_probes reduction in comparisons at a bounded recall cost (a pair
+    within ``threshold`` may still land in buckets more than
+    ``n_probes-1`` bit-flips apart; raise ``n_probes`` to trade
+    comparisons back for recall — hyperplanes are md5-deterministic, so
+    recall is reproducible, measurable with :func:`topk_recall`-style
+    planted tests, and identical across runs/engines). ``dim`` (the
+    embedding width) is required with ``block_bits``. Returns ``(id,)``
+    of contaminated rows.
     """
     return (
-        _semantic_bench_join(corpus, benchmark, vec_col, threshold, "left_semi")
+        _semantic_bench_join(
+            corpus, benchmark, vec_col, threshold, "left_semi",
+            block_bits=block_bits, dim=dim, n_probes=n_probes,
+        )
         .select(F.col(id_col).alias("id"))
     )
 
@@ -410,11 +427,22 @@ def _semantic_bench_join(
     vec_col: str,
     threshold: float,
     how: str,
+    block_bits: int | None = None,
+    dim: int | None = None,
+    n_probes: int = 1,
 ) -> DataFrame:
     """ONE broadcast semi/anti join of the corpus against the benchmark
     on the cosine predicate — the corpus is scanned once and never
     shuffled for either direction (a derived-hits anti-join on id would
-    plan a full-corpus shuffle AND a second scan — r5 review)."""
+    plan a full-corpus shuffle AND a second scan — r5 review).
+
+    With ``block_bits`` the join carries an LSH-bucket EQUI key, so
+    Catalyst plans a broadcast HASH join (bucket lookup) instead of a
+    nested loop, with the cosine predicate evaluated only on same-bucket
+    pairs. The benchmark side (small, already broadcast) expands to its
+    own bucket plus ``n_probes - 1`` hamming-adjacent buckets — the
+    recall knob, same convention as :func:`lsh_topk`; semi/anti
+    semantics dedup the expansion for free."""
     c = corpus.withColumn("__cn", norm(F.col(vec_col)))
     b = benchmark.select(F.col(vec_col).alias("__bv")).withColumn(
         "__bn", norm(F.col("__bv"))
@@ -423,7 +451,34 @@ def _semantic_bench_join(
         sim_from_norms(F.col(vec_col), F.col("__bv"), F.col("__cn"), F.col("__bn"))
         >= F.lit(float(threshold))
     )
-    return c.join(F.broadcast(b), cond, how).drop("__cn")
+    if block_bits is None:
+        return c.join(F.broadcast(b), cond, how).drop("__cn")
+    if dim is None:
+        raise ValueError(
+            "block_bits requires dim (the embedding width) — the LSH "
+            "hyperplanes are materialized per dimension"
+        )
+    if n_probes > block_bits + 1:
+        raise ValueError(
+            f"n_probes={n_probes} exceeds the {block_bits + 1} "
+            f"single-bit-flip buckets available at block_bits={block_bits}"
+        )
+    c = c.withColumn("__cb", lsh_bucket(F.col(vec_col), dim, block_bits))
+    b = b.withColumn("__bb", lsh_bucket(F.col("__bv"), dim, block_bits))
+    if n_probes > 1:
+        # own bucket + single-bit flips: cheap bit arithmetic on an
+        # already-materialized int column, so a plain explode is fine
+        flips = F.array(
+            F.col("__bb"),
+            *[
+                F.col("__bb").bitwiseXOR(F.lit(2**p))
+                for p in range(block_bits)
+            ],
+        )
+        b = b.withColumn("__bb", F.explode(F.slice(flips, 1, n_probes)))
+    return c.join(
+        F.broadcast(b), (F.col("__cb") == F.col("__bb")) & cond, how
+    ).drop("__cn", "__cb")
 
 
 def semantic_decontaminate(
@@ -432,12 +487,19 @@ def semantic_decontaminate(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
+    block_bits: int | None = None,
+    dim: int | None = None,
+    n_probes: int = 1,
 ) -> DataFrame:
     """Corpus minus semantically contaminated rows — the LEFT ANTI twin
     of :func:`semantic_contamination` (same single broadcast join on
-    the cosine predicate; original corpus columns preserved)."""
+    the cosine predicate; original corpus columns preserved; same
+    ``block_bits``/``n_probes`` LSH-blocking knobs — note that in the
+    anti direction a blocking MISS keeps a contaminated doc, so size
+    ``n_probes`` for the recall the cleaning contract requires)."""
     return _semantic_bench_join(
-        corpus, benchmark, vec_col, threshold, "left_anti"
+        corpus, benchmark, vec_col, threshold, "left_anti",
+        block_bits=block_bits, dim=dim, n_probes=n_probes,
     )
 
 

@@ -446,6 +446,80 @@ def test_semantic_decontamination(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_semantic_contamination_lsh_blocked(spark):
+    # round 6: block_bits turns the broadcast nested-loop into a
+    # broadcast HASH join on an LSH bucket key — measurably fewer
+    # cosine comparisons at a pinned (md5-deterministic) recall vs the
+    # exact BNL path on a planted contaminated set
+    import hashlib
+
+    from pydala_spark.operators.similarity import (
+        lsh_bucket,
+        semantic_contamination,
+    )
+
+    DIM = 16
+
+    def vec(seed):
+        h = (
+            hashlib.md5(f"v|{seed}".encode()).digest()
+            + hashlib.md5(f"w|{seed}".encode()).digest()
+        )
+        return [(b - 127.5) / 127.5 for b in h[:DIM]]
+
+    def perturb(v, seed):
+        h = hashlib.md5(f"p|{seed}".encode()).digest() * 2
+        d = [(b - 127.5) / 127.5 for b in h[:DIM]]
+        return [a + 0.15 * x for a, x in zip(v, d)]
+
+    N, B = 200, 20
+    corpus = spark.createDataFrame(
+        [(i, vec(i)) for i in range(N)], ["vec_id", "embedding"]
+    )
+    bench = spark.createDataFrame(
+        [(1000 + i, perturb(vec(i), i)) for i in range(B)],
+        ["vec_id", "embedding"],
+    )
+    bnl = {
+        r["id"]
+        for r in semantic_contamination(corpus, bench, threshold=0.9).collect()
+    }
+    assert len(bnl) >= 15  # the planted contamination is found
+    blocked_df = semantic_contamination(
+        corpus, bench, threshold=0.9, block_bits=4, dim=DIM, n_probes=4
+    )
+    blocked = {r["id"] for r in blocked_df.collect()}
+    # blocking only removes candidates, never invents hits
+    assert blocked <= bnl
+    # pinned recall at this (deterministic) hyperplane family
+    assert len(blocked) / len(bnl) >= 0.9
+
+    # measurably fewer comparisons: same-bucket pair count < half the
+    # full cross size the BNL path evaluates
+    c = corpus.select(lsh_bucket(F.col("embedding"), DIM, 4).alias("b"))
+    bb = bench.withColumn("b", lsh_bucket(F.col("embedding"), DIM, 4))
+    flips = F.array(
+        F.col("b"), *[F.col("b").bitwiseXOR(F.lit(2**p)) for p in range(4)]
+    )
+    bb = bb.withColumn("b", F.explode(F.slice(flips, 1, 4)))
+    comps = c.join(bb.select("b"), "b").count()
+    assert comps < (N * B) / 2
+
+    # the blocked plan is a broadcast HASH join (bucket lookup), not a
+    # nested loop, and the corpus side is never shuffled
+    plan = blocked_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "hashpartitioning" not in plan
+
+    with pytest.raises(ValueError, match="dim"):
+        semantic_contamination(corpus, bench, block_bits=4)
+    with pytest.raises(ValueError, match="n_probes"):
+        semantic_contamination(
+            corpus, bench, block_bits=2, dim=DIM, n_probes=9
+        )
+
+
 def test_save_ivfpq_append_rejects_different_books(spark, tmp_path):
     # r5 review follow-up: the residual flag alone is not enough — an
     # append with retrained books/centroids would silently re-key every
