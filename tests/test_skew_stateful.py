@@ -352,3 +352,91 @@ def test_streaming_semantic_dedup_state_cap_passthrough(spark, tmp_path):
     q.awaitTermination(120)
     kept = {r["id"] for r in spark.read.parquet(out_dir).collect()}
     assert kept == {1, 2, 3}
+
+def test_streaming_semantic_dedup_out_of_order_buffered(spark, tmp_path):
+    # round 6: with event_time_col + watermark_delay, shuffled arrival
+    # order within the watermark still dedups to the SMALLEST id — the
+    # buffered stream matches batch semantic_dedup where the immediate
+    # mode would keep the first arrival (id 2 here)
+    import datetime as dt
+
+    from pydala_spark.operators.similarity import semantic_dedup
+    from pydala_spark.streaming.stateful import streaming_semantic_dedup
+
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    # near-dup group {0,1,2} + dissimilar 3, all cell 0; batch keeps 0,3
+    group = [
+        (0, [10.0, 0.1, 0.0], ts(3)),
+        (1, [10.0, 0.2, 0.0], ts(1)),
+        (2, [10.1, 0.1, 0.0], ts(2)),
+        (3, [10.0, 0.0, 9.9], ts(4)),
+    ]
+    batch_kept = {
+        r["id"]
+        for r in semantic_dedup(
+            spark.createDataFrame(
+                [(i, v) for i, v, _ in group],
+                "vec_id long, embedding array<double>",
+            ),
+            cents, threshold=0.9,
+        ).collect()
+        if r["kept"]
+    }
+    assert batch_kept == {0, 3}
+
+    schema = "vec_id long, embedding array<double>, evt timestamp"
+    src = str(tmp_path / "ooo_in")
+    # arrival order SHUFFLED across micro-batches: the near-dup group's
+    # HIGHEST ids arrive first, smallest id last; two far-future
+    # sentinels (cell 0, dissimilar) advance the watermark past the
+    # group so the buffered cohort flushes
+    batches = [
+        [group[2], group[1]],                      # ids 2, 1 first
+        [group[0], group[3]],                      # id 0 arrives LAST
+        [(90, [10.0, 0.0, -9.9], ts(100))],        # watermark push
+        [(91, [10.0, 0.5, -9.8], ts(101))],        # flush trigger
+    ]
+    for b in batches:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    out_dir = str(tmp_path / "ooo_out")
+    q = (
+        streaming_semantic_dedup(
+            stream, cents, threshold=0.9,
+            event_time_col="evt", watermark_delay="10 seconds",
+        )
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ooo_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {r["id"] for r in spark.read.parquet(out_dir).collect()}
+    # the planted cohort dedups exactly like batch: smallest id 0 kept,
+    # first-arrivals 1/2 dropped (immediate mode would keep 2)
+    assert streamed & {0, 1, 2, 3} == batch_kept
+    # sentinel 91 is still inside the watermark -> pending, not emitted
+    assert 91 not in streamed
+
+
+def test_streaming_semantic_dedup_buffered_knob_validation(spark):
+    from pydala_spark.streaming.stateful import streaming_semantic_dedup
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="come together"):
+        streaming_semantic_dedup(df, [[1.0, 0.0]], event_time_col="evt")
