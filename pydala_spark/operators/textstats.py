@@ -122,8 +122,8 @@ def normalize_text(col: str | Column) -> Column:
     return F.trim(F.regexp_replace(cleaned, r"\s+", " "))
 
 
-def nfc_normalize(col: str | Column) -> Column:
-    """Unicode NFC normalization (UAX #15) — the opt-in pre-pass for
+def nfc_normalize(col: str | Column, form: str = "NFC") -> Column:
+    """Unicode normalization (UAX #15) — the opt-in pre-pass for
     corpora that mix composed and DECOMPOSED byte forms of the same
     text ("café" as ``é`` vs ``e``+U+0301): the two forms are
     byte-different, so every downstream md5 fingerprint, shingle and
@@ -132,7 +132,21 @@ def nfc_normalize(col: str | Column) -> Column:
     expression) — Python in the path is why it is OPT-IN: run it once
     at ingest/write time, not inside every query. DuckDB's
     ``nfc_normalize`` matches Python's ``unicodedata`` byte-for-byte
-    (both implement UAX #15 — oracle-pinned)."""
+    (both implement UAX #15 — oracle-pinned).
+
+    ``form="NFKC"`` (round 6) adds COMPATIBILITY folding: CJK corpora
+    carry full-width Latin (``ＡＢＣ`` vs ``ABC``) and half-width kana
+    that NFC keeps distinct, so fingerprints of visually identical text
+    differ; NFKC folds width variants (and ligatures, Roman numerals,
+    superscripts) onto their canonical compatibility forms so they
+    dedup together. DuckDB has no NFKC function, so the NFKC behavior
+    is pinned by pytest against ``unicodedata`` (the NFC oracle family
+    stays the cross-engine check)."""
+    if form not in ("NFC", "NFKC"):
+        raise ValueError(
+            f"form={form!r} (expected 'NFC' or 'NFKC' — the D forms "
+            "decompose text other operators expect composed)"
+        )
     from pyspark.sql import types as T
 
     @F.pandas_udf(T.StringType())
@@ -140,7 +154,7 @@ def nfc_normalize(col: str | Column) -> Column:
         import unicodedata  # worker-side import (nested closure rule)
 
         return s.map(
-            lambda t: None if t is None else unicodedata.normalize("NFC", t)
+            lambda t: None if t is None else unicodedata.normalize(form, t)
         )
 
     return _nfc(F.col(col) if isinstance(col, str) else col)
@@ -289,6 +303,105 @@ def predict_lang(col: str | Column, default: str = "other") -> Column:
     ).otherwise(best_script)
     latin = F.regexp_count(F.lower(c), F.lit("[a-z]"))
     return F.when(best_count > latin, best_script).otherwise(best_lang)
+
+
+def lang_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    default: str = "other",
+    mixed_min_frac: float = 0.2,
+) -> DataFrame:
+    """Language ID with confidence + mixed-script columns (round 6) —
+    real pipelines route on confidence, not a bare argmax. Appends:
+
+    - ``lang_pred`` — :func:`predict_lang`'s two-stage label, value-
+      identical (same counts, same earliest-max-wins tie-breaks, same
+      kana rule — pinned by test against the monolithic expression).
+    - ``script_frac`` — best non-Latin script char count / total
+      scripted letters (best + Latin ``[a-z]``), the script stage's
+      winning margin as a fraction.
+    - ``stop_ratio`` — best stopword-hit count / whitespace token count,
+      the stopword stage's evidence density (0.0 for non-Latin or
+      unknown-language docs).
+    - ``is_mixed`` — the documented code-switch rule: a doc is
+      mixed-script when BOTH the best non-Latin script and Latin hold
+      at least ``mixed_min_frac`` of its scripted letters (equivalently
+      ``least(best, latin) / (best + latin) >= mixed_min_frac``) —
+      Latin+CJK code-switch docs get flagged for routing instead of
+      silently landing on whichever side has one more character.
+
+    DataFrame-level ON PURPOSE: every per-script count / stopword-hit
+    expression is materialized ONCE in a first projection and the
+    argmax/ratio layer reads the materialized COLUMNS — the
+    Column-returning formulation embedded each regex/lambda leaf in
+    every consumer and its codegen OOMed a 1 GiB driver at sf0.01
+    (CollapseProject keeps the stages apart because the count columns
+    are multiply-referenced and non-cheap). Ratios are int-ratio
+    doubles — IEEE division of exactly-representable ints, identical in
+    both engines (oracle-exact)."""
+    c = F.col(text_col)
+    sc_names = list(SCRIPT_RANGES)
+    stop_names = list(STOPWORDS)
+    scores = lang_scores(c)
+    p1 = df.select(
+        "*",
+        *[
+            cnt.alias(f"__c_{lang}")
+            for lang, cnt in script_char_counts(c).items()
+        ],
+        F.regexp_count(F.lower(c), F.lit("[a-z]")).alias("__latin"),
+        *[scores[lang].alias(f"__h_{lang}") for lang in stop_names],
+        token_count(c).alias("__ntok"),
+    )
+    best = F.greatest(*[F.col(f"__c_{l}") for l in sc_names], F.lit(0))
+    besth = F.greatest(*[F.col(f"__h_{l}") for l in stop_names], F.lit(0))
+    p2 = p1.withColumn("__best", best).withColumn("__besth", besth)
+    # earliest-max-wins argmaxes over the MATERIALIZED count columns —
+    # semantics identical to predict_lang's strictly-greater fold
+    script_label = F.lit(None).cast("string")
+    for lang in reversed(sc_names):
+        script_label = F.when(
+            F.col(f"__c_{lang}") == F.col("__best"), F.lit(lang)
+        ).otherwise(script_label)
+    script_label = F.when(
+        (script_label == F.lit("zh")) & (F.col("__c_ja") > 0), F.lit("ja")
+    ).otherwise(script_label)
+    stop_label = F.lit(default)
+    for lang in reversed(stop_names):
+        stop_label = F.when(
+            (F.col(f"__h_{lang}") == F.col("__besth"))
+            & (F.col("__besth") > 0),
+            F.lit(lang),
+        ).otherwise(stop_label)
+    denom = F.greatest(
+        F.col("__best") + F.col("__latin"), F.lit(1)
+    ).cast("double")
+    out = p2.select(
+        *df.columns,
+        F.when(F.col("__best") > F.col("__latin"), script_label)
+        .otherwise(stop_label)
+        .alias("lang_pred"),
+        (F.col("__best").cast("double") / denom).alias("script_frac"),
+        (
+            F.col("__besth").cast("double")
+            / F.greatest(F.col("__ntok"), F.lit(1)).cast("double")
+        ).alias("stop_ratio"),
+        (
+            (F.col("__best") > 0)
+            & (F.col("__latin") > 0)
+            & (
+                F.least(F.col("__best"), F.col("__latin")).cast("double")
+                / denom
+                >= F.lit(float(mixed_min_frac))
+            )
+        )
+        # INT, not BOOLEAN: the oracle board's convention for flags —
+        # NULL booleans round-trip differently through the two engines'
+        # pandas conversions ('NULL' vs 'NaN' in the canonical compare)
+        .cast("int")
+        .alias("is_mixed"),
+    )
+    return out
 
 
 def chunk_documents(

@@ -394,12 +394,29 @@ _SCRIPT_DOCS: list[tuple[int, str]] = [
 ]
 
 
+#: Round-6 ``conf`` family: planted code-switch docs for
+#: predict_lang_confidence — 20/21 are genuinely mixed (both scripts
+#: hold >= 20% of scripted letters), 22 is pure Latin, 23 pure CJK,
+#: 24 Latin with ONE stray Han char (below the mixed threshold).
+_MIXED_DOCS: list[tuple[int, str]] = [
+    (20, "machine learning 機械学習の手法と自然言語処理 is used 研究でも"),
+    (21, "этот документ mixes русский язык and some english words"),
+    (22, "just an english sentence with nothing else in here at all"),
+    (23, "完全に日本語だけの文章ですから混在なし"),
+    (24, "english sentence that mentions 你 once which is not mixed"),
+]
+
+
 def q_lang_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language ID, two families tag-unioned: ``stop`` — stopword-hit
+    """Language ID, three families tag-unioned: ``stop`` — stopword-hit
     confusion counts over the (Latin-script) corpus vs the labeled lang;
     ``script`` (round 5) — the Unicode-script stage over planted
     multi-script docs (textstats.SCRIPT_RANGES char-class ratios beat
-    stopwords whenever a non-Latin script outnumbers Latin letters)."""
+    stopwords whenever a non-Latin script outnumbers Latin letters);
+    ``conf`` (round 6) — lang_profile's score columns (script_frac /
+    stop_ratio) and the mixed-script code-switch rule over planted
+    mixed docs."""
+    from pydala_spark.operators.textstats import lang_profile
     from pydala_spark.queries.merged import _tagged_union
 
     docs = load_table(spark, sf_dir, "documents")
@@ -410,7 +427,9 @@ def q_lang_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     planted = spark.createDataFrame(_SCRIPT_DOCS, "sid bigint, text string")
     script = planted.select("sid", predict_lang("text").alias("lang_pred"))
-    return _tagged_union([("stop", stop), ("script", script)])
+    mixed = spark.createDataFrame(_MIXED_DOCS, "sid bigint, text string")
+    conf = lang_profile(mixed).drop("text")
+    return _tagged_union([("stop", stop), ("script", script), ("conf", conf)])
 
 
 def _hits_sql(lang: str) -> str:
@@ -469,8 +488,23 @@ def _script_stage_sql() -> tuple[str, str, str]:
 def _lang_sql() -> str:
     counts, best, case = _script_stage_sql()
     rows = ", ".join(f"({i}, '{t}')" for i, t in _SCRIPT_DOCS)
+    mixed_rows = ", ".join(f"({i}, '{t}')" for i, t in _MIXED_DOCS)
     hits = ", ".join(
         f"{_hits_sql(lang)} AS h_{lang}" for lang in STOPWORDS
+    )
+    besth = "GREATEST(" + ", ".join(f"h_{l}" for l in STOPWORDS) + ")"
+    # conf family mirrors predict_lang_confidence: int-ratio doubles
+    # (IEEE division of exactly-representable ints — identical both
+    # engines) and the least/greatest mixed-script comparison
+    frac = "CAST(best AS DOUBLE) / CAST(GREATEST(best + latin, 1) AS DOUBLE)"
+    minfrac = (
+        "CAST(LEAST(best, latin) AS DOUBLE) / "
+        "CAST(GREATEST(best + latin, 1) AS DOUBLE)"
+    )
+    pad = (
+        "CAST(NULL AS DOUBLE) AS script_frac, "
+        "CAST(NULL AS DOUBLE) AS stop_ratio, "
+        "CAST(NULL AS INT) AS is_mixed"
     )
     return f"""
 WITH s AS (
@@ -484,15 +518,34 @@ uc AS (
          {hits}
   FROM u
 ),
-ub AS (SELECT *, {best} AS best FROM uc)
+ub AS (SELECT *, {best} AS best FROM uc),
+m(sid, text) AS (VALUES {mixed_rows}),
+mc AS (
+  SELECT sid, {counts},
+         LEN(regexp_extract_all(lower(text), '[a-z]')) AS latin,
+         LEN(list_filter(string_split_regex(TRIM(text), '\\s+'),
+             x -> x <> '')) AS ntok,
+         {hits}
+  FROM m
+),
+mb AS (SELECT *, {best} AS best, {besth} AS besth FROM mc)
 SELECT 'stop' AS family, lang, {_STOPWORD_CASE} AS lang_pred,
-       COUNT(*) AS n, CAST(NULL AS BIGINT) AS sid
+       COUNT(*) AS n, CAST(NULL AS BIGINT) AS sid, {pad}
 FROM s GROUP BY 1, 2, 3
 UNION ALL
 SELECT 'script', CAST(NULL AS VARCHAR),
        CASE WHEN best > latin THEN {case} ELSE {_STOPWORD_CASE} END,
-       CAST(NULL AS BIGINT), sid
+       CAST(NULL AS BIGINT), sid, {pad}
 FROM ub
+UNION ALL
+SELECT 'conf', CAST(NULL AS VARCHAR),
+       CASE WHEN best > latin THEN {case} ELSE {_STOPWORD_CASE} END,
+       CAST(NULL AS BIGINT), sid,
+       {frac} AS script_frac,
+       CAST(besth AS DOUBLE) / CAST(GREATEST(ntok, 1) AS DOUBLE)
+         AS stop_ratio,
+       CAST((best > 0 AND latin > 0 AND {minfrac} >= 0.2) AS INT) AS is_mixed
+FROM mb
 """
 
 

@@ -1818,3 +1818,58 @@ def test_winnowing_empty_text_never_joins(spark):
     bench = spark.createDataFrame([(100, "... ...")], ["doc_id", "text"])
     hits = winnowing_contamination(df, bench, "doc_id", min_hits=1).collect()
     assert hits == []  # contentless benchmark flags nothing
+
+def test_nfkc_normalize_folds_width_variants(spark):
+    # round 6: full-width Latin (ＡＢＣ) and half-width forms are
+    # visually identical text that NFC keeps byte-distinct; NFKC folds
+    # them together so fingerprints dedup. Pinned against unicodedata
+    # (DuckDB has no NFKC function; the NFC family stays the oracle).
+    import unicodedata
+
+    from pydala_spark.operators.textstats import nfc_normalize
+
+    full = "ｈｅｌｌｏ ＡＢＣ １２３"
+    half = "hello ABC 123"
+    df = spark.createDataFrame(
+        [(1, full), (2, half)], ["doc_id", "text"]
+    )
+    nfc = {r["doc_id"]: r["t"] for r in df.select(
+        "doc_id", nfc_normalize("text").alias("t")).collect()}
+    assert nfc[1] != nfc[2]  # NFC keeps width variants distinct
+    nfkc = {r["doc_id"]: r["t"] for r in df.select(
+        "doc_id", nfc_normalize("text", form="NFKC").alias("t")).collect()}
+    assert nfkc[1] == nfkc[2] == half
+    assert nfkc[1] == unicodedata.normalize("NFKC", full)
+    fps = {r["doc_id"]: r["fp"] for r in df.select(
+        "doc_id",
+        fingerprint(nfc_normalize("text", form="NFKC")).alias("fp"),
+    ).collect()}
+    assert fps[1] == fps[2]  # width-folded -> one dedup group
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="form"):
+        nfc_normalize("text", form="NFD")
+
+
+def test_lang_profile_matches_predict_lang_and_flags_mixed(spark):
+    # round 6: the staged lang_profile must be value-identical to the
+    # monolithic predict_lang label, and the mixed-script rule flags
+    # code-switch docs without disturbing single-script ones
+    from pydala_spark.operators.textstats import lang_profile, predict_lang
+    from pydala_spark.queries.ext import _MIXED_DOCS, _SCRIPT_DOCS
+
+    df = spark.createDataFrame(
+        _SCRIPT_DOCS + _MIXED_DOCS, "sid bigint, text string"
+    )
+    prof = {r["sid"]: r for r in lang_profile(df).collect()}
+    mono = {r["sid"]: r["lp"] for r in df.select(
+        "sid", predict_lang("text").alias("lp")).collect()}
+    assert {k: v["lang_pred"] for k, v in prof.items()} == mono
+    mixed = {k for k, v in prof.items() if v["is_mixed"]}
+    assert mixed == {20, 21}
+    # confidence columns are sane fractions
+    for v in prof.values():
+        assert 0.0 <= v["script_frac"] <= 1.0
+        assert v["stop_ratio"] >= 0.0
+    assert prof[23]["script_frac"] == 1.0  # pure CJK
+    assert prof[22]["script_frac"] == 0.0  # pure Latin
