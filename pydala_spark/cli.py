@@ -12,6 +12,7 @@ Two invocation styles, both per subcommand:
 
       python -m pydala_spark.cli repartition job.toml
       python -m pydala_spark.cli timefly add job.toml
+      python -m pydala_spark.cli pipeline clean.toml
 
   with the options under a ``[repartition]`` / ``[timefly]`` table
   (keys = the flag names below; ``"None"`` strings are nulls, matching
@@ -180,6 +181,81 @@ def _cmd_timefly(args) -> int:
     return 0
 
 
+#: CLI-level keys for the pipeline subcommand (IO wiring); the cleaning
+#: knobs themselves are whitelisted against prep_documents' signature at
+#: run time so the two can never desynchronize
+_PIPELINE_IO_KEYS = (
+    "source", "dest", "source_format", "dest_format",
+    "benchmark", "benchmark_format", "mode", "report",
+)
+
+
+def _pipeline_prep_keys() -> set:
+    import inspect
+
+    from pydala_spark.operators.pipeline import prep_documents
+
+    params = set(inspect.signature(prep_documents).parameters)
+    # frames / hooks are not expressible in a TOML config
+    return params - {"df", "benchmark", "stage_frames",
+                     "precomputed_minhash", "precomputed_fps"}
+
+
+def _cmd_pipeline(args) -> int:
+    """The third thing a production cron runs beside repartition and
+    timefly: the cleaning pipeline itself — ``[pipeline]`` TOML keys map
+    onto :func:`~pydala_spark.operators.pipeline.prep_documents` kwargs
+    plus source/dest/benchmark IO wiring."""
+    prep_keys = _pipeline_prep_keys()
+    opts: dict = {}
+    if args.config:
+        opts.update(_load_toml_config(args.config, "pipeline"))
+        unknown = sorted(set(opts) - set(_PIPELINE_IO_KEYS) - prep_keys)
+        if unknown:
+            print(
+                f"pipeline: unknown config key(s) {unknown} — valid keys: "
+                f"{sorted(set(_PIPELINE_IO_KEYS) | prep_keys)}",
+                file=sys.stderr,
+            )
+            return 2
+    for key in ("source", "dest", "benchmark", "min_quality",
+                "shard_tokens"):
+        v = getattr(args, key)
+        if v is not None:
+            opts[key] = v
+    if args.report:
+        opts["report"] = True
+    source = opts.pop("source", None)
+    dest = opts.pop("dest", None)
+    if not source or not dest:
+        print("pipeline: --source and --dest (or config keys) are required",
+              file=sys.stderr)
+        return 2
+    src_fmt = opts.pop("source_format", None) or "parquet"
+    dest_fmt = opts.pop("dest_format", None) or "parquet"
+    bench_path = opts.pop("benchmark", None)
+    bench_fmt = opts.pop("benchmark_format", None) or src_fmt
+    mode = opts.pop("mode", None) or "overwrite"
+    report = bool(opts.pop("report", False))
+
+    from pydala_spark.operators.pipeline import pipeline_report, prep_documents
+
+    spark = _session(args)
+    df = spark.read.format(src_fmt).load(source)
+    bench = (
+        spark.read.format(bench_fmt).load(bench_path)
+        if bench_path else None
+    )
+    if report:
+        counts = pipeline_report(df, benchmark=bench, **opts)
+        for stage, n in counts.items():
+            print(f"{stage}: {n}")
+    out = prep_documents(df, benchmark=bench, **opts)
+    out.write.format(dest_fmt).mode(mode).save(dest)
+    print(f"pipeline: wrote {dest}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="python -m pydala_spark.cli",
@@ -224,6 +300,24 @@ def build_parser() -> argparse.ArgumentParser:
     tf.add_argument("--snapshot-mode", dest="snapshot_mode", default=None,
                     choices=["copy", "pointer"])
     tf.set_defaults(func=_cmd_timefly)
+
+    pl = sub.add_parser("pipeline", help="run the document-cleaning "
+                        "pipeline (prep_documents) from a TOML config "
+                        "or flags and write the cleaned corpus")
+    pl.add_argument("config", nargs="?", default=None,
+                    help="TOML config with a [pipeline] table "
+                    "(IO keys + any prep_documents kwarg)")
+    pl.add_argument("--source", default=None)
+    pl.add_argument("--dest", default=None)
+    pl.add_argument("--benchmark", default=None,
+                    help="decontamination benchmark dataset path")
+    pl.add_argument("--min-quality", dest="min_quality", type=int,
+                    default=None)
+    pl.add_argument("--shard-tokens", dest="shard_tokens", type=int,
+                    default=None)
+    pl.add_argument("--report", action="store_true",
+                    help="print per-stage survivor counts before writing")
+    pl.set_defaults(func=_cmd_pipeline)
     return ap
 
 
