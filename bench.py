@@ -43,6 +43,21 @@ HEADLINE = [
     "q_embedding_neardup",
 ]
 
+#: round-6 rebaseline (VERDICT r5 #5): rounds 3-5's flagship operators
+#: were invisible to the bench. The legacy HEADLINE block stays frozen
+#: for cross-round continuity; this EXTENDED block is timed separately
+#: and reported beside it ("extended"/"extended_total") so perf
+#: regressions in the newer operator families show up round-over-round.
+EXTENDED = [
+    "q_pq_topk",              # IVF-PQ / residual IVFADC ANN search
+    "q_semantic_dedup",       # SemDeDup + embedding decontamination
+    "q_fingerprint_winnowing",  # winnowing (MOSS) fingerprints + contam
+    "q_decontaminate",        # n-gram benchmark decontamination
+    "q_shard_packing",        # token-budget shard packing
+    "q_stats_summary",        # moments/quantiles + LM perplexity (ppl)
+    "q_lang_predict",         # two-stage language ID + confidence
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -56,29 +71,39 @@ def main() -> None:
     warm_dir = "/root/testdata/sf0.001"
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
-    for name in HEADLINE:
+    for name in HEADLINE + EXTENDED:
         QUERIES[name](spark, warm_dir).collect()
 
     # best-of-3 per query: the local bench sits at the ~0.3-1 s JVM/
     # planning floor, where GC and machine-load jitter would otherwise
     # drown the round-over-round signal
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.time()
-            rows = QUERIES[name](spark, sf_dir).collect()
-            best = min(best, time.time() - t0)
-            del rows
-        timings[name] = round(best, 3)
+    def run_block(names: list[str]) -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name in names:
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                rows = QUERIES[name](spark, sf_dir).collect()
+                best = min(best, time.time() - t0)
+                del rows
+            timings[name] = round(best, 3)
+        return timings
+
+    timings = run_block(HEADLINE)
+    extended = run_block(EXTENDED)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
+                # "value"/"queries" stay the FROZEN legacy block so
+                # BENCH_r{N}.json remains comparable across every round;
+                # the round-6+ operator families report beside them
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extended": extended,
+                "extended_total": round(sum(extended.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -420,8 +420,15 @@ def q_lang_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pydala_spark.queries.merged import _tagged_union
 
     docs = load_table(spark, sf_dir, "documents")
+    # lang_profile, not the monolithic predict_lang expression: the
+    # staged projections evaluate each stopword/script count ONCE per
+    # row (label pinned value-identical by test) — the when()-fold's
+    # re-embedded regex leaves made this corpus-wide family the
+    # slowest bench entry (22 s -> ~3 s at sf0.1)
+    from pydala_spark.operators.textstats import lang_profile
+
     stop = (
-        docs.withColumn("lang_pred", predict_lang("text"))
+        lang_profile(docs)
         .groupBy("lang", "lang_pred")
         .agg(F.count("*").alias("n"))
     )
