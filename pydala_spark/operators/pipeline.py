@@ -62,6 +62,9 @@ def prep_documents(
     near_dup_mode: str = "greedy",
     decontaminate_mode: str = "ngram",
     decontaminate_threshold: float = 0.9,
+    decontaminate_block_bits: int | None = None,
+    decontaminate_dim: int | None = None,
+    decontaminate_n_probes: int = 1,
     vec_col: str | None = None,
     winnowing_k: int = 8,
     winnowing_window: int = 4,
@@ -421,9 +424,15 @@ def prep_documents(
                 semantic_decontaminate,
             )
 
+            # block_bits switches the broadcast nested-loop to the
+            # LSH-bucketed hash join for large benchmark sets (see
+            # similarity.semantic_contamination round-6 knobs)
             out = semantic_decontaminate(
                 out, benchmark, id_col, vec_col,
                 threshold=decontaminate_threshold,
+                block_bits=decontaminate_block_bits,
+                dim=decontaminate_dim,
+                n_probes=decontaminate_n_probes,
             )
         _stage("decontaminate", out)
     # 5. quality gate

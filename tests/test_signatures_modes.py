@@ -249,3 +249,23 @@ def test_prep_documents_mode_validation(spark):
         )
     with pytest.raises(ValueError, match="winnowing"):
         prep_documents(df, precomputed_fps=sidecar)  # mode left ngram
+
+def test_prep_documents_embedding_mode_blocked(spark):
+    # round 6: the LSH-blocking knobs reach the pipeline's embedding
+    # decontamination (orthogonal planted set — blocking cannot change
+    # the answer here, only the join strategy)
+    rows = [
+        (1, "first clean document with enough words here", [1.0, 0.0, 0.0]),
+        (2, "second clean document with enough words here", [0.0, 1.0, 0.0]),
+        (3, "paraphrased benchmark leak with other words", [0.6, 0.8, 0.0]),
+    ]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text", "emb"])
+    bench = spark.createDataFrame([(99, [0.6, 0.8, 0.0])], ["doc_id", "emb"])
+    out = prep_documents(
+        corpus, min_quality=0, near_dup=False, benchmark=bench,
+        decontaminate_mode="embedding", vec_col="emb",
+        decontaminate_threshold=0.95,
+        decontaminate_block_bits=4, decontaminate_dim=3,
+        decontaminate_n_probes=4,
+    )
+    assert {r["doc_id"] for r in out.collect()} == {1, 2}
