@@ -204,6 +204,8 @@ class Writer:
         filename_scheme: str = "spark",
         base_name: str = "data",
         partition_flavor: str = "hive",
+        signatures: Sequence[str] | None = None,
+        signature_kwargs: dict | None = None,
     ):
         if mode not in WRITE_MODES:
             raise ValueError(f"mode must be one of {WRITE_MODES}")
@@ -236,6 +238,15 @@ class Writer:
         #: dataset/writer.py:136-137; read side: Dataset(partitioning=)).
         #: SURVEY §7.4 accepted this as a divergence; round 5 closes it.
         self.partition_flavor = partition_flavor
+        #: signature ride-along (round 6): kinds for
+        #: maintain.materialize_signatures to run on each batch AFTER a
+        #: successful write — the W9 per-batch-hook seam (reference
+        #: dataset/writer.py:486-490) applied to the "hash the corpus
+        #: once at ingest" pattern. Appends sign only the landed rows
+        #: (delta mode: only the diff); a full overwrite rewrites the
+        #: sidecar. signature_kwargs passes id_col/text_col/k/seed etc.
+        self.signatures = list(signatures or [])
+        self.signature_kwargs = dict(signature_kwargs or {})
 
     # -- input coercion (reference to_relation, utils/table.py:58-92) --------
 
@@ -328,6 +339,16 @@ class Writer:
         mode = mode or self.mode
         if mode not in WRITE_MODES:
             raise ValueError(f"mode must be one of {WRITE_MODES}")
+        if self.signatures and mode in ("upsert", "overwrite_partitions"):
+            # both modes REPLACE existing rows, whose sidecar entries
+            # would silently go stale (append) or survive a partition
+            # swap (overwrite) — re-run materialize_signatures after
+            # such maintenance instead of trusting a wrong sidecar
+            raise ValueError(
+                "signature ride-along supports append/overwrite/delta/"
+                f"error modes, not mode={mode!r} — re-materialize "
+                "signatures after row-replacing writes"
+            )
 
         if time_bucket and not datetime_column:
             raise TypeError("datetime_column must be set when time_bucket is used")
@@ -413,6 +434,20 @@ class Writer:
             self._write_resolved(
                 df, mode, spark_mode, exists, datetime_column, time_bucket
             )
+            if self.signatures:
+                # inside the try: delta mode's diff frame is still
+                # persisted here, so signing the landed rows re-reads
+                # the cached diff instead of re-running the anti-join
+                from pydala_spark.dataset.maintain import (
+                    materialize_signatures,
+                )
+
+                materialize_signatures(
+                    self.spark, df, self.path,
+                    kinds=self.signatures,
+                    mode="overwrite" if spark_mode == "overwrite" else "append",
+                    **self.signature_kwargs,
+                )
         finally:
             if delta_cached:
                 df.unpersist()

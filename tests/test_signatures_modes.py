@@ -269,3 +269,41 @@ def test_prep_documents_embedding_mode_blocked(spark):
         decontaminate_n_probes=4,
     )
     assert {r["doc_id"] for r in out.collect()} == {1, 2}
+
+def test_writer_signature_ride_along(spark, tmp_path):
+    # round 6: Writer(signatures=...) materializes signature sidecars
+    # per batch after each successful write — the W9 per-batch-hook seam
+    # applied to hash-once-at-ingest
+    from pydala_spark.dataset.writer import Writer
+    from pydala_spark.operators.textstats import winnowing_fingerprints
+
+    base = str(tmp_path / "lake_ds")
+    d1 = _docs(spark).where(F.col("doc_id") <= 10)
+    d2 = _docs(spark).where(F.col("doc_id") > 10)
+    w = Writer(spark, base, mode="append", signatures=("winnowing",))
+    w.write(d1)
+    fps, params = read_signatures(spark, base, "winnowing")
+    assert params["k"] == 8
+    assert fps.count() == 10
+    # append signs ONLY the new batch; sidecar accumulates to the corpus
+    w.write(d2)
+    fps, _ = read_signatures(spark, base, "winnowing")
+    got = {r["id"]: r["fps"] for r in fps.collect()}
+    want = {
+        r["id"]: r["fps"]
+        for r in winnowing_fingerprints(_docs(spark), "doc_id").collect()
+    }
+    assert got == want
+    # delta mode with nothing new: empty diff -> no write, no signing
+    Writer(spark, base, mode="delta", signatures=("winnowing",)).write(
+        _docs(spark)
+    )
+    assert read_signatures(spark, base, "winnowing")[0].count() == 20
+    # full overwrite rewrites the sidecar to the new corpus
+    Writer(spark, base, mode="overwrite", signatures=("winnowing",)).write(d1)
+    assert read_signatures(spark, base, "winnowing")[0].count() == 10
+    # row-replacing modes refuse the ride-along (stale-sidecar hazard)
+    with pytest.raises(ValueError, match="ride-along"):
+        Writer(spark, base, signatures=("winnowing",)).write(
+            d1, mode="upsert", delta_subset=["doc_id"]
+        )

@@ -154,6 +154,15 @@ def probe_embedding_ops(spark, path: str, n_centroids: int) -> dict[str, dict]:
         "semantic_decon",
         lambda: semantic_contamination(emb, bench, threshold=0.30),
     )
+    # round 6: the LSH-blocked variant — same linear contract, fewer
+    # cosine evaluations per corpus row (bucket hash join)
+    dim = len(emb.select("embedding").first()[0])
+    timed(
+        "semantic_decon_blocked",
+        lambda: semantic_contamination(
+            emb, bench, threshold=0.30, block_bits=4, dim=dim, n_probes=2
+        ),
+    )
     return out
 
 
@@ -222,6 +231,32 @@ def probe_ops(spark, path: str) -> dict[str, dict]:
             backoff_millinats=_lm["backoff_millinats"],
         ),
     )
+    # round 6: cluster-mode near-dup — pointer-jumping rounds run over
+    # the LSH-reduced PAIR set, so cost must stay ~linear in corpus rows
+    from pydala_spark.operators.dedup import (
+        dedup_clusters,
+        keep_cluster_representatives,
+    )
+
+    timed(
+        "cluster_neardup",
+        lambda: keep_cluster_representatives(
+            docs,
+            dedup_clusters(
+                lsh_candidate_pairs(
+                    minhash_signatures(docs, "doc_id", "text", n_hashes=8),
+                    "doc_id",
+                    n_bands=4,
+                    log_dropped=False,
+                )
+            ),
+            "doc_id",
+        ),
+    )
+    # round 6: staged language-ID profile — column algebra, zero joins
+    from pydala_spark.operators.textstats import lang_profile
+
+    timed("lang_profile", lambda: lang_profile(docs))
     return out
 
 
