@@ -602,7 +602,19 @@ def q_fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     spread = _spread(spark, docs)
-    fps = winnowing_fingerprints(spread, "doc_id", "text", k=8, window=4)
+    # lazy localCheckpoint ABOVE the three fps consumers (win, contam
+    # corpus, contam benchmark): the per-char md5 hashing lineage runs
+    # ONCE and the branches read the materialized RDD — closing the r5
+    # honest note's physical replay (measured −29% at sf0.1; a plain
+    # id-keyed repartition does NOT dedup because the `% 100` filters
+    # push below the exchange, leaving three distinct subplans). Same
+    # tool dedup_clusters already uses; storage is freed when the RDD
+    # is GC'd. The production-scale answer remains ingest-time
+    # materialization (maintain.materialize_signatures +
+    # precomputed_fps) — this is the in-query counterpart
+    fps = winnowing_fingerprints(
+        spread, "doc_id", "text", k=8, window=4
+    ).localCheckpoint(eager=False)
     win = fps.select(
         F.col("id").alias("doc_id"),
         F.size("fps").cast("long").alias("n_fps"),
