@@ -9,6 +9,10 @@ detection (SURVEY §2.8) — no true streaming operators exist there. Here:
   batch delta mode apply continuously.
 - :func:`windowed_counts` — the extension path: watermarked tumbling-
   window aggregation for late-data-tolerant rollups.
+- the streaming dedup family — exact (:func:`streaming_dedup`),
+  near-dup (:func:`streaming_neardup`, incremental MinHash-LSH against
+  a persisted bucket store) and semantic
+  (:func:`~pydala_spark.streaming.stateful.streaming_semantic_dedup`).
 
 Both work against file sources (``readStream`` over a directory), which
 is also how they're smoke-tested without a message bus.
@@ -283,3 +287,129 @@ def stream_interval_join(
         f"r.`right_{right_ts}` <= l.`{left_ts}` + interval {upper}"
     )
     return l_al.join(r_al, cond, how)
+
+def streaming_neardup(
+    stream_df: DataFrame,
+    out_path: str,
+    state_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    shingle_size: int | None = None,
+    seed: int = 0,
+    shingle_mode: str = "word",
+    max_bucket_size: int | None = 1000,
+    checkpoint_dir: str | None = None,
+    trigger_once: bool = True,
+    format: str = "parquet",
+) -> StreamingQuery:
+    """MinHash-LSH NEAR-duplicate dedup on ingest — completes the
+    streaming dedup family (exact: :func:`streaming_dedup`, semantic:
+    :func:`~pydala_spark.streaming.stateful.streaming_semantic_dedup`).
+
+    Shape: incremental micro-batch LSH via ``foreachBatch`` against a
+    persisted BUCKET STORE rather than operator state — near-dup needs
+    corpus-wide memory (every doc ever seen can collide with a future
+    arrival), which belongs on disk, not in a state store:
+
+    1. each batch computes the batch operators' exact MinHash
+       signatures (:func:`~pydala_spark.operators.dedup.
+       minhash_signatures` — identical hashes to the batch path and the
+       ``materialize_signatures`` sidecars, same seed semantics);
+    2. docs sharing ANY (band, band_hash) bucket with the store are
+       near-dups of an earlier arrival -> dropped (one semi/anti join —
+       no pair explosion across batches; AQE broadcasts the batch's
+       band frame against the store scan);
+    3. intra-batch survivors dedup through
+       :func:`~pydala_spark.operators.dedup.lsh_candidate_pairs`
+       (greedy: each pair's higher id drops; ``max_bucket_size`` caps
+       degenerate buckets exactly as in batch);
+    4. survivors append to ``out_path``; their band rows append to the
+       store.
+
+    Keep-first-arrival across batches, smallest-id within a batch —
+    matching the batch pipeline's greedy rule on an in-order stream.
+    The store survives restarts (a new query resumes deduping against
+    everything already ingested). Store size is one row per (doc, band)
+    — ``n_bands`` small rows per corpus doc, compact relative to the
+    corpus; run :func:`~pydala_spark.dataset.maintain.compact` on it
+    periodically like any append-accreting dataset."""
+    from pydala_spark.operators.dedup import (
+        explode_cheaply,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from pydala_spark.utils.pathops import PathOps
+
+    if shingle_size is None:
+        shingle_size = 7 if shingle_mode == "char" else 3
+
+    def _bands(sigs: DataFrame) -> DataFrame:
+        sig_cols = sorted(
+            (c for c in sigs.columns if c.startswith("mh_")),
+            key=lambda c: int(c.split("_")[1]),
+        )
+        if seed:
+            shift = seed % len(sig_cols)
+            sig_cols = sig_cols[shift:] + sig_cols[:shift]
+        rows_per_band = len(sig_cols) // n_bands
+        arr = F.array(*[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat_ws(
+                    "|", *sig_cols[b * rows_per_band:(b + 1) * rows_per_band]
+                )).alias("band_hash"),
+            )
+            for b in range(n_bands)
+        ])
+        return explode_cheaply(sigs, arr, "band").select(
+            id_col, "band.band_id", "band.band_hash"
+        )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        sigs = minhash_signatures(
+            batch_df.select(id_col, text_col), id_col, text_col,
+            n_hashes=n_hashes, shingle_size=shingle_size, seed=seed,
+            shingle_mode=shingle_mode,
+        ).persist()
+        try:
+            bands = _bands(sigs)
+            ops = PathOps(spark, state_path)
+            if ops.data_files(state_path):
+                store = spark.read.parquet(state_path)
+                hit = (
+                    bands.join(store, ["band_id", "band_hash"], "left_semi")
+                    .select(id_col).distinct()
+                )
+                keep_ids = sigs.select(id_col).join(hit, id_col, "left_anti")
+            else:
+                keep_ids = sigs.select(id_col)
+            survivors_sigs = sigs.join(keep_ids, id_col, "left_semi")
+            pairs = lsh_candidate_pairs(
+                survivors_sigs, id_col, n_bands=n_bands,
+                max_bucket_size=max_bucket_size, log_dropped=False,
+                seed=seed,
+            )
+            losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+            final_ids = survivors_sigs.select(id_col).join(
+                losers, id_col, "left_anti"
+            )
+            batch_df.join(final_ids, id_col, "left_semi").write.format(
+                format
+            ).mode("append").save(out_path)
+            _bands(sigs.join(final_ids, id_col, "left_semi")).write.mode(
+                "append"
+            ).parquet(state_path)
+        finally:
+            sigs.unpersist()
+
+    ws = stream_df.writeStream.foreachBatch(sink)
+    if checkpoint_dir:
+        ws = ws.option("checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        ws = ws.trigger(availableNow=True)
+    return ws.start()

@@ -440,3 +440,63 @@ def test_streaming_semantic_dedup_buffered_knob_validation(spark):
 
     with _pt.raises(ValueError, match="come together"):
         streaming_semantic_dedup(df, [[1.0, 0.0]], event_time_col="evt")
+
+def test_streaming_neardup_lsh(spark, tmp_path):
+    # round 6: MinHash-LSH near-dup dedup on ingest — cross-batch
+    # duplicates drop against the persisted bucket store (keep first
+    # arrival), intra-batch keeps the smallest id, and the store
+    # survives a query restart
+    import hashlib
+
+    from pydala_spark.streaming import streaming_neardup
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo "
+            "sierra tango uniform victor whiskey xray yankee zulu")
+
+    def distinct_doc(i):
+        return " ".join(
+            hashlib.md5(f"{i}|{j}".encode()).hexdigest()[:6]
+            for j in range(25)
+        )
+
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "nd_in")
+    batches = [
+        # intra-batch near-dup pair: 5 (smaller id) survives
+        [(5, base + " first"), (6, base + " second")],
+        # 1 is a near-dup of 5 arriving LATER: dropped even though its
+        # id is smaller (keep-first-arrival); 7 is distinct: kept
+        [(1, base + " third"), (7, distinct_doc(7))],
+    ]
+    for b in batches:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    out = str(tmp_path / "nd_out")
+    state = str(tmp_path / "nd_state")
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = streaming_neardup(
+        stream, out, state,
+        checkpoint_dir=str(tmp_path / "nd_ckpt"),
+    )
+    q.awaitTermination(120)
+    ids = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert ids == {5, 7}
+    # restart with more data: the on-disk store keeps deduping
+    spark.createDataFrame(
+        [(8, base + " fourth"), (9, distinct_doc(9))], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    q2 = streaming_neardup(
+        stream, out, state,
+        checkpoint_dir=str(tmp_path / "nd_ckpt"),
+    )
+    q2.awaitTermination(120)
+    ids = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert ids == {5, 7, 9}
+    # the store holds n_bands rows per surviving doc
+    store = spark.read.parquet(state)
+    assert store.count() == 3 * 4
+    assert set(store.columns) == {"doc_id", "band_id", "band_hash"}
