@@ -1873,3 +1873,49 @@ def test_lang_profile_matches_predict_lang_and_flags_mixed(spark):
         assert v["stop_ratio"] >= 0.0
     assert prof[23]["script_frac"] == 1.0  # pure CJK
     assert prof[22]["script_frac"] == 0.0  # pure Latin
+
+def test_lang_profile_equality_fuzz(spark):
+    # round 6: lang_profile claims VALUE-IDENTITY with predict_lang;
+    # fuzz it over ~300 deterministic pseudo-random docs mixing every
+    # script predict_lang knows, plus adversarial shapes (empty,
+    # whitespace, digits-only, single-char, tie-heavy mixes) — one
+    # Spark job, batched like the round-5 case-folding fuzz
+    import hashlib
+
+    from pydala_spark.operators.textstats import lang_profile, predict_lang
+
+    pools = [
+        "the and of to a in is it that for ",
+        "der die das und ist ein nicht mit ",
+        "el la de que y en un es por con ",
+        "le la de et un est que pour dans ",
+        "il di che per non una sono come ",
+        "что это для как при мы они был ",
+        "هذا نص من في على ما لا إلى ",
+        "これ は です の に を 漢字 言葉 ",
+        "한국어 텍스트 문장 그리고 입니다 ",
+        "中文 文本 没有 这是 一段 字符 ",
+        "यह एक पाठ है और में ",
+        "και το είναι ένα από ",
+        "0123456789 !!! ??? ... ",
+    ]
+
+    def doc(i):
+        h = hashlib.md5(f"fuzz|{i}".encode()).digest()
+        parts = []
+        for j, b in enumerate(h[:6]):
+            pool = pools[(b + i) % len(pools)]
+            words = pool.split()
+            parts.append(words[(b * 7 + j) % len(words)])
+        return " ".join(parts)
+
+    rows = [(i, doc(i)) for i in range(280)] + [
+        (1000, ""), (1001, "   "), (1002, "7"), (1003, "x"),
+        (1004, "語 a"), (1005, "a 語"), (1006, "語語 aa"),
+        (1007, "что is"), (1008, "ω z"),
+    ]
+    df = spark.createDataFrame(rows, "sid bigint, text string")
+    mono = {r["sid"]: r["lp"] for r in df.select(
+        "sid", predict_lang("text").alias("lp")).collect()}
+    staged = {r["sid"]: r["lang_pred"] for r in lang_profile(df).collect()}
+    assert staged == mono
