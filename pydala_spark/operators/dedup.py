@@ -469,6 +469,61 @@ def _overlap_hits(
     )
 
 
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_size: int = 3,
+    min_hits: int = 1,
+    shingle_mode: str = "word",
+) -> DataFrame:
+    """Per-BENCHMARK-document leak audit (round 6) — the drop operators
+    (:func:`decontaminate` et al.) answer "which corpus docs are dirty";
+    a cleaning team ALSO needs "which eval items leaked, and how
+    widely": a benchmark question that appears verbatim in thousands of
+    scraped pages is a different problem (and a different eval-set
+    decision) than one matching a single mirror. Returns one row per
+    leaked benchmark doc: ``(bench_id, n_docs, total_hits)`` — the
+    number of corpus documents sharing at least ``min_hits`` distinct
+    shingles with it, and the summed distinct-shingle overlap.
+
+    Shape at 100 TB: both sides reduce to DISTINCT (id, shingle) pairs;
+    the benchmark side (eval-set sized) broadcasts, the corpus side is
+    scanned once — the equi-join on shingle emits only ACTUAL overlaps,
+    so the pair aggregation shuffles rows bounded by the leak volume,
+    not the corpus. Two exchanges (per-pair count, per-bench rollup).
+    """
+    c = (
+        explode_cheaply(
+            doc_shingles(corpus, id_col, text_col, shingle_size,
+                         mode=shingle_mode),
+            F.col("shs"), "key",
+        )
+        .select(F.col("id").alias("corpus_id"), "key")
+        .distinct()
+    )
+    b = (
+        explode_cheaply(
+            doc_shingles(benchmark, id_col, text_col, shingle_size,
+                         mode=shingle_mode),
+            F.col("shs"), "key",
+        )
+        .select(F.col("id").alias("bench_id"), "key")
+        .distinct()
+    )
+    pair = (
+        c.join(F.broadcast(b), "key")
+        .groupBy("bench_id", "corpus_id")
+        .agg(F.count("*").alias("pair_hits"))
+        .where(F.col("pair_hits") >= min_hits)
+    )
+    return pair.groupBy("bench_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("pair_hits").alias("total_hits"),
+    )
+
+
 def winnowing_contamination(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -1048,32 +1048,66 @@ GROUP BY s ORDER BY n DESC, token LIMIT 20
 
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination: every 100th document plays the eval
-    set; corpus docs sharing >= 2 distinct word 3-gram shingles with it
-    are flagged. The benchmark's distinct-shingle set broadcasts (an
-    eval set is thousands of docs at any corpus scale), so the corpus is
-    never shuffled raw — one exchange for the per-doc hit count."""
-    from pydala_spark.operators.dedup import contamination_hits
+    """Benchmark decontamination, two families tag-unioned: ``hits`` —
+    every 100th document plays the eval set; corpus docs sharing >= 2
+    distinct word 3-gram shingles with it are flagged (the benchmark's
+    distinct-shingle set broadcasts, the corpus is never shuffled raw);
+    ``report`` (round 6) — the per-BENCHMARK-doc leak audit
+    (dedup.contamination_report: which eval items leaked, into how many
+    corpus docs, at what total overlap)."""
+    from pydala_spark.operators.dedup import (
+        contamination_hits,
+        contamination_report,
+    )
+    from pydala_spark.queries.merged import _tagged_union
 
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") % 100 == 0)
     corpus = docs.where(F.col("doc_id") % 100 != 0)
-    hits = contamination_hits(corpus, bench, "doc_id", "text", 3, min_hits=2)
-    return hits.select(
-        F.col("id").alias("doc_id"), F.col("n_hits").cast("long").alias("n_hits")
-    ).orderBy("doc_id")
+    hits = (
+        contamination_hits(corpus, bench, "doc_id", "text", 3, min_hits=2)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+        )
+    )
+    report = contamination_report(
+        corpus, bench, "doc_id", "text", 3, min_hits=2
+    ).select(
+        F.col("bench_id").cast("long").alias("bench_id"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_hits").cast("long").alias("total_hits"),
+    )
+    return _tagged_union([("hits", hits), ("report", report)])
 
 
 _Q_DECONTAMINATE_SQL = f"""
 WITH sh AS ({_SHINGLES_SQL}),
 bs AS (SELECT DISTINCT s
        FROM (SELECT UNNEST(shs) AS s FROM sh WHERE doc_id % 100 = 0)),
-ce AS (SELECT doc_id, UNNEST(shs) AS s FROM sh WHERE doc_id % 100 <> 0)
-SELECT ce.doc_id, CAST(COUNT(DISTINCT ce.s) AS BIGINT) AS n_hits
+ce AS (SELECT doc_id, UNNEST(shs) AS s FROM sh WHERE doc_id % 100 <> 0),
+bd AS (SELECT DISTINCT doc_id AS bench_id, s
+       FROM (SELECT doc_id, UNNEST(shs) AS s FROM sh
+             WHERE doc_id % 100 = 0)),
+cd AS (SELECT DISTINCT doc_id AS corpus_id, s FROM ce),
+pair AS (
+  SELECT bd.bench_id, cd.corpus_id, COUNT(*) AS pair_hits
+  FROM cd JOIN bd ON cd.s = bd.s
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+)
+SELECT 'hits' AS family, ce.doc_id, CAST(COUNT(DISTINCT ce.s) AS BIGINT)
+         AS n_hits,
+       CAST(NULL AS BIGINT) AS bench_id, CAST(NULL AS BIGINT) AS n_docs,
+       CAST(NULL AS BIGINT) AS total_hits
 FROM ce JOIN bs ON ce.s = bs.s
 GROUP BY ce.doc_id
 HAVING COUNT(DISTINCT ce.s) >= 2
-ORDER BY ce.doc_id
+UNION ALL
+SELECT 'report', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       bench_id, CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(pair_hits) AS BIGINT)
+FROM pair GROUP BY bench_id
 """
 
 

@@ -1919,3 +1919,38 @@ def test_lang_profile_equality_fuzz(spark):
         "sid", predict_lang("text").alias("lp")).collect()}
     staged = {r["sid"]: r["lang_pred"] for r in lang_profile(df).collect()}
     assert staged == mono
+
+def test_contamination_report_per_benchmark_audit(spark):
+    # round 6: the leak audit answers "which eval items leaked and how
+    # widely" — planted: bench 100's question appears in 3 corpus docs,
+    # bench 200's in 1, bench 300 is clean
+    from pydala_spark.operators.dedup import contamination_report
+
+    q1 = "what is the capital of france and where is it located"
+    q2 = "solve the equation for the unknown variable value now"
+    corpus = spark.createDataFrame(
+        [
+            (1, f"intro text then {q1} and some trailing words"),
+            (2, f"{q1} copied verbatim into another page"),
+            (3, f"a third mirror containing {q1} again"),
+            (4, f"one single page quoting {q2} here"),
+            (5, "entirely unrelated content about gardening and soil"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, q1), (200, q2), (300, "completely novel benchmark item xyz")],
+        ["doc_id", "text"],
+    )
+    rep = {
+        r["bench_id"]: (r["n_docs"], r["total_hits"])
+        for r in contamination_report(
+            corpus, bench, "doc_id", min_hits=2
+        ).collect()
+    }
+    assert set(rep) == {100, 200}  # 300 never leaked
+    assert rep[100][0] == 3  # three corpus docs carry bench 100
+    assert rep[200][0] == 1
+    # total_hits is the summed distinct-shingle overlap, at least
+    # min_hits per leaked doc
+    assert rep[100][1] >= 3 * 2 and rep[200][1] >= 2
