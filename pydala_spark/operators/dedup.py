@@ -774,6 +774,23 @@ def keep_cluster_representatives(
     )
 
 
+def cluster_size_stats(clusters: DataFrame) -> DataFrame:
+    """Cluster-size histogram over :func:`dedup_clusters` output —
+    ``(cluster_size, n_clusters)`` (round 6). The corpus-health view of
+    near-dup structure: a heavy tail of large clusters means viral
+    templates/boilerplate the pipeline should route through paragraph
+    or exact dedup BEFORE pairwise scoring (the same diagnosis
+    ``lsh_candidate_pairs``'s bucket cap enforces mechanically).
+    Two partial-agg-friendly exchanges over the cluster map, which is
+    dup-cluster-sized — tiny relative to the corpus."""
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters")
+    )
+
+
 def dedup_paragraphs(
     df: DataFrame,
     id_col: str = "doc_id",

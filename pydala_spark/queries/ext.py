@@ -893,8 +893,12 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle resolves components with a recursive CTE). Round 5 adds the
     ``cjk`` family: character-5-gram Jaccard over planted CJK docs
     (``shingle_mode="char"`` — the near-dup unit for unsegmented
-    scripts, where word shingles collapse to one per clause)."""
+    scripts, where word shingles collapse to one per clause). Round 6
+    adds ``clstats``: the cluster-size histogram
+    (``cluster_size_stats`` — the corpus-health view of near-dup
+    structure)."""
     from pydala_spark.operators.dedup import (
+        cluster_size_stats,
         dedup_clusters,
         keep_cluster_representatives,
     )
@@ -919,7 +923,14 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         cjk_src, "doc_id", "text",
         shingle_size=5, threshold=0.15, shingle_mode="char",
     ).select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
-    return _tagged_union([("pairs", pairs), ("reps", reps), ("cjk", cjk)])
+    clstats = cluster_size_stats(clusters).select(
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.col("n_clusters").cast("long").alias("n_clusters"),
+    )
+    return _tagged_union(
+        [("pairs", pairs), ("reps", reps), ("cjk", cjk),
+         ("clstats", clstats)]
+    )
 
 
 _Q_JACCARD_SQL = f"""
@@ -954,17 +965,29 @@ rep AS (
 )
 SELECT 'pairs' AS family, id_a, id_b, inter, size_a, size_b, jaccard,
        CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS cluster_id,
-       CAST(NULL AS BIGINT) AS score
+       CAST(NULL AS BIGINT) AS score,
+       CAST(NULL AS BIGINT) AS cluster_size,
+       CAST(NULL AS BIGINT) AS n_clusters
 FROM pairs
 UNION ALL
 SELECT 'reps', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
        CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-       CAST(NULL AS DOUBLE), doc_id, cluster_id, score
+       CAST(NULL AS DOUBLE), doc_id, cluster_id, score,
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
 FROM rep WHERE r = 1
+UNION ALL
+SELECT 'clstats', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), cluster_size, CAST(COUNT(*) AS BIGINT)
+FROM (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM comp GROUP BY 1)
+GROUP BY cluster_size
 UNION ALL
 SELECT 'cjk', id_a, id_b, inter, size_a, size_b,
        CAST(inter AS DOUBLE) / (size_a + size_b - inter),
-       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
 FROM (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          a.sh_size AS size_a, b.sh_size AS size_b, COUNT(*) AS inter

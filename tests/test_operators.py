@@ -1954,3 +1954,19 @@ def test_contamination_report_per_benchmark_audit(spark):
     # total_hits is the summed distinct-shingle overlap, at least
     # min_hits per leaked doc
     assert rep[100][1] >= 3 * 2 and rep[200][1] >= 2
+
+def test_cluster_size_stats_histogram(spark):
+    # round 6: (cluster_size, n_clusters) histogram over the cluster map
+    from pydala_spark.operators.dedup import cluster_size_stats
+
+    clusters = spark.createDataFrame(
+        # cluster 1: 3 members; cluster 10: 2; clusters 20, 30: 2 each
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10),
+         (20, 20), (21, 20), (30, 30), (31, 30)],
+        ["id", "cluster_id"],
+    )
+    hist = {
+        r["cluster_size"]: r["n_clusters"]
+        for r in cluster_size_stats(clusters).collect()
+    }
+    assert hist == {3: 1, 2: 3}
