@@ -136,6 +136,107 @@ def weighted_domain_sample(
     return df.where(hash_bucket(key, salt=salt) < threshold)
 
 
+def token_budget_mixture(
+    df: DataFrame,
+    key: str,
+    domain_col: str,
+    token_col: str | Column,
+    budgets: dict[str, int],
+    default_budget: int | None = None,
+    salt: str | None = None,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Execute a TOKEN-budgeted data recipe (round 6): per domain, keep
+    documents in deterministic md5(key) order until the domain's token
+    budget is reached — the mixture step of an LLM pipeline when the
+    recipe is "X billion tokens of web, Y of code, Z of books", which
+    doc-fraction resampling (:func:`weighted_domain_sample`) cannot
+    express because token counts per doc vary by orders of magnitude.
+
+    ``budgets`` maps domain value -> token budget; unlisted domains use
+    ``default_budget`` (``None`` = uncapped). A document straddling its
+    domain's boundary is KEPT (``cum_before < budget`` — the same
+    gap-free contract as :func:`~pydala_spark.operators.packing.
+    pack_shards`: budgets are floors of what you get, not ceilings).
+    Deterministic: same inputs + salt => same docs, and a domain's
+    selection under budget b1 is a strict PREFIX of its selection under
+    b2 >= b1, so recipes can be re-cut downward without touching other
+    domains.
+
+    Scale shape: the naive spelling is a per-domain ORDER BY window —
+    one task per domain, single-core for a 50 TB web domain. Here the
+    md5 order key range-buckets (hash prefixes are uniform, and the
+    bucket is order-monotonic in the full (md5, key) order since equal
+    prefixes share a bucket), local prefix sums run per (domain,
+    bucket), and per-bucket totals (tiny) carry the only per-domain
+    window before broadcasting back as offsets — the pack_shards
+    decomposition, partitioned by recipe domain. Adds ``n_tokens`` and
+    ``cum_before`` (tokens before this doc within its domain's order).
+    """
+    for d, b in budgets.items():
+        if b < 0:
+            raise ValueError(f"budget for domain {d!r} must be >= 0, got {b}")
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    if n_buckets is None:
+        n_buckets = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    n_buckets = max(int(n_buckets), 1)
+    prefix = f"{salt}|" if salt else ""
+    ordk = F.md5(F.concat(F.lit(prefix), F.col(key).cast("string")))
+    bucket = F.floor(
+        F.conv(F.substring(ordk, 1, 4), 16, 10).cast("long")
+        * n_buckets
+        / 65536
+    ).cast("int")
+    with_b = (
+        df.withColumn("__ord", ordk)
+        .withColumn("__bucket", bucket)
+        .withColumn("n_tokens", tok.cast("long"))
+    )
+    local = with_b.withColumn(
+        "__local",
+        F.sum("n_tokens").over(
+            Window.partitionBy(domain_col, "__bucket")
+            .orderBy("__ord", key)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    offsets = (
+        with_b.groupBy(domain_col, "__bucket")
+        .agg(F.sum("n_tokens").alias("__btotal"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__btotal").over(
+                    Window.partitionBy(domain_col)
+                    .orderBy("__bucket")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("__btotal")
+    )
+    cum = (
+        local.join(F.broadcast(offsets), [domain_col, "__bucket"])
+        .withColumn(
+            "cum_before",
+            F.col("__offset") + F.col("__local") - F.col("n_tokens"),
+        )
+        .drop("__ord", "__bucket", "__local", "__offset")
+    )
+    if default_budget is None:
+        budget = F.lit(None).cast("long")
+    else:
+        budget = F.lit(int(default_budget))
+    for domain, b in budgets.items():
+        budget = F.when(
+            F.col(domain_col) == F.lit(domain), F.lit(int(b))
+        ).otherwise(budget)
+    return cum.where(budget.isNull() | (F.col("cum_before") < budget))
+
+
 def shuffle_key(col: str | Column, seed: int = 0) -> Column:
     """The permutation key :func:`deterministic_shuffle` sorts by:
     ``md5(seed || '|' || key)``. Exposed so the declared query surface

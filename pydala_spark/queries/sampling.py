@@ -113,17 +113,54 @@ FROM documents GROUP BY 1, 2
 """
 
 
+#: token budgets for the round-6 ``mix`` family (recipe execution)
+_TOKEN_BUDGETS = {"en": 2000, "de": 1000}
+_TOKEN_DEFAULT = 500
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Class-balanced sample: exactly 20 documents per language, picked
-    by deterministic hash order."""
+    """Deterministic selection, two families tag-unioned: ``strat`` —
+    class-balanced sample (exactly 20 documents per language, picked by
+    hash order); ``mix`` (round 6) — TOKEN-budgeted mixture execution
+    (``token_budget_mixture``: per language, docs in md5 order until the
+    recipe's token budget fills — the distributed per-domain prefix
+    sum)."""
+    from pydala_spark.operators.sampling import token_budget_mixture
+    from pydala_spark.operators.textstats import token_count
+    from pydala_spark.queries.merged import _tagged_union
+
     docs = load_table(spark, sf_dir, "documents")
-    return stratified_sample(docs, "doc_id", ["lang"], 20).select("doc_id", "lang")
+    strat = stratified_sample(docs, "doc_id", ["lang"], 20).select(
+        "doc_id", "lang"
+    )
+    mix = token_budget_mixture(
+        docs.select("doc_id", "lang", token_count("text").alias("tok")),
+        "doc_id", "lang", "tok",
+        budgets=_TOKEN_BUDGETS, default_budget=_TOKEN_DEFAULT,
+    ).select("doc_id", "lang", "n_tokens", "cum_before")
+    return _tagged_union([("strat", strat), ("mix", mix)])
 
 
-_Q_STRATIFIED_SQL = """
-SELECT doc_id, lang FROM documents
+_Q_STRATIFIED_SQL = f"""
+SELECT 'strat' AS family, doc_id, lang,
+       CAST(NULL AS BIGINT) AS n_tokens, CAST(NULL AS BIGINT) AS cum_before
+FROM documents
 QUALIFY ROW_NUMBER() OVER (
   PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 20
+UNION ALL
+SELECT 'mix', doc_id, lang, n_tokens, cum_before FROM (
+  SELECT doc_id, lang, n_tokens,
+         SUM(n_tokens) OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+  FROM (SELECT doc_id, lang,
+               CAST(LEN(list_filter(string_split_regex(TRIM(text),
+                 '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents))
+WHERE cum_before < CASE lang
+  {" ".join(f"WHEN '{d}' THEN {b}" for d, b in _TOKEN_BUDGETS.items())}
+  ELSE {_TOKEN_DEFAULT} END
 """
 
 

@@ -204,3 +204,58 @@ def test_quantile_threshold_empty_corpus_clear_error(spark):
 
     with _pt.raises(ValueError, match="no non-null values"):
         quantile_threshold(df, "score", 0.5)
+
+def test_token_budget_mixture_recipe(spark):
+    # round 6: per-domain token budgets in deterministic hash order
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pydala_spark.operators.sampling import token_budget_mixture
+
+    rows = [
+        (i, "web" if i % 3 else "code", 10 + (i % 7) * 5)
+        for i in range(1, 201)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "domain", "tok"])
+    out = token_budget_mixture(
+        df, "doc_id", "domain", "tok",
+        budgets={"web": 300}, default_budget=None,
+    )
+    got = out.collect()
+    # bit-identical to the naive single-window spelling
+    w = Window.partitionBy("domain").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    naive = (
+        df.withColumn("n_tokens", F.col("tok").cast("long"))
+        .withColumn("cum_before", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        .where((F.col("domain") != "web") | (F.col("cum_before") < 300))
+    )
+    assert sorted((r["doc_id"], r["cum_before"]) for r in got) == sorted(
+        (r["doc_id"], r["cum_before"]) for r in naive.collect()
+    )
+    # uncapped default keeps every code doc; web stops past the budget
+    # (boundary doc included -> total may overshoot, never undershoot)
+    by_dom = {}
+    for r in got:
+        by_dom.setdefault(r["domain"], []).append(r)
+    assert len(by_dom["code"]) == sum(1 for _, d, _t in rows if d == "code")
+    web_total = sum(r["n_tokens"] for r in by_dom["web"])
+    assert web_total >= 300
+    assert max(r["cum_before"] for r in by_dom["web"]) < 300
+
+    # budget monotonicity: the 300-token web selection is a strict
+    # subset of the 600-token one (recipes re-cut downward cleanly)
+    bigger = {
+        r["doc_id"]
+        for r in token_budget_mixture(
+            df, "doc_id", "domain", "tok",
+            budgets={"web": 600}, default_budget=None,
+        ).collect()
+    }
+    assert {r["doc_id"] for r in got} < bigger
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="budget"):
+        token_budget_mixture(df, "doc_id", "domain", "tok", {"web": -1})
