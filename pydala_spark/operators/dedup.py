@@ -774,6 +774,49 @@ def keep_cluster_representatives(
     )
 
 
+def split_leakage_report(
+    df: DataFrame,
+    id_col: str,
+    split_col: str,
+    text_col: str = "text",
+    shingle_size: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+    shingle_mode: str = "word",
+) -> DataFrame:
+    """Near-duplicate pairs that CROSS split boundaries (round 6) — the
+    train/test leakage audit: a test doc with a near-dup in train
+    inflates eval scores exactly like benchmark contamination, and a
+    hash-based split assigns near-duplicates to different splits
+    freely (only EXACT duplicates share a hash). Run it after
+    :func:`~pydala_spark.operators.sampling.train_test_split` (or any
+    split assignment) and before trusting the eval; fix = dedup before
+    splitting, or move/drop the flagged pairs.
+
+    Returns ``(id_a, id_b, split_a, split_b, jaccard)`` for pairs at or
+    above ``threshold`` whose splits differ. Shape at 100 TB: the pair
+    set comes from :func:`ngram_jaccard_pairs` (shingle-keyed equi-join,
+    never a cross join; ``max_shingle_df`` caps stop-shingles); the two
+    label joins run against the (id, split) projection, and AQE
+    broadcasts the Jaccard-reduced pair side."""
+    pairs = ngram_jaccard_pairs(
+        df, id_col, text_col, shingle_size, threshold,
+        max_shingle_df=max_shingle_df, shingle_mode=shingle_mode,
+    )
+    labels = df.select(F.col(id_col).alias("__lid"),
+                       F.col(split_col).alias("__split"))
+    return (
+        pairs.join(labels, pairs["id_a"] == F.col("__lid"))
+        .withColumnRenamed("__split", "split_a")
+        .drop("__lid")
+        .join(labels, pairs["id_b"] == F.col("__lid"))
+        .withColumnRenamed("__split", "split_b")
+        .drop("__lid")
+        .where(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b", "jaccard")
+    )
+
+
 def cluster_size_stats(clusters: DataFrame) -> DataFrame:
     """Cluster-size histogram over :func:`dedup_clusters` output —
     ``(cluster_size, n_clusters)`` (round 6). The corpus-health view of

@@ -94,23 +94,64 @@ WHERE doc_id < 100
 
 
 def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic 70/20/10 train/test/val split: counts per (lang, split)."""
+    """Deterministic 70/20/10 train/test/val split, two families
+    tag-unioned: ``counts`` — docs per (lang, split); ``leak`` (round
+    6) — the train/test LEAKAGE audit (dedup.split_leakage_report:
+    word-3-gram Jaccard >= 0.2 pairs whose hash-assigned splits differ
+    — near-dups the split scattered across the eval boundary)."""
+    from pydala_spark.operators.dedup import split_leakage_report
+    from pydala_spark.queries.merged import _tagged_union
+
     docs = load_table(spark, sf_dir, "documents")
     split = train_test_split(docs, "doc_id", test_fraction=0.2, val_fraction=0.1)
-    return split.groupBy("lang", "split").agg(F.count("*").alias("n"))
+    counts = split.groupBy("lang", "split").agg(F.count("*").alias("n"))
+    leak = split_leakage_report(
+        split, "doc_id", "split", "text", shingle_size=3, threshold=0.2
+    )
+    return _tagged_union([("counts", counts), ("leak", leak)])
 
 
 _TEST_HI = sample_threshold(0.2)
 _VAL_HI = _TEST_HI + sample_threshold(0.1)
 
-_Q_SPLIT_SQL = f"""
-SELECT lang,
-  CASE WHEN {_BUCKET_SQL} < {_TEST_HI} THEN 'test'
+_SPLIT_CASE = f"""CASE WHEN {_BUCKET_SQL} < {_TEST_HI} THEN 'test'
        WHEN {_BUCKET_SQL} < {_VAL_HI} THEN 'val'
-       ELSE 'train' END AS split,
-  CAST(COUNT(*) AS BIGINT) AS n
-FROM documents GROUP BY 1, 2
+       ELSE 'train' END"""
+
+
+def _split_sql() -> str:
+    from pydala_spark.queries.ext import _SHINGLES_SQL
+
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+ex AS (SELECT doc_id, LEN(shs) AS sh_size, UNNEST(shs) AS s FROM sh),
+pairs AS (
+  SELECT id_a, id_b, CAST(inter AS DOUBLE) / (size_a + size_b - inter)
+           AS jaccard
+  FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.sh_size AS size_a, b.sh_size AS size_b, COUNT(*) AS inter
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4)
+  WHERE CAST(inter AS DOUBLE) / (size_a + size_b - inter) >= 0.2
+),
+sp AS (SELECT doc_id, {_SPLIT_CASE} AS split FROM documents)
+SELECT 'counts' AS family, lang, {_SPLIT_CASE} AS split,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
+       CAST(NULL AS VARCHAR) AS split_a, CAST(NULL AS VARCHAR) AS split_b,
+       CAST(NULL AS DOUBLE) AS jaccard
+FROM documents GROUP BY 1, 2, 3
+UNION ALL
+SELECT 'leak', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(NULL AS BIGINT), id_a, id_b, sa.split, sb.split, jaccard
+FROM pairs
+JOIN sp sa ON sa.doc_id = id_a
+JOIN sp sb ON sb.doc_id = id_b
+WHERE sa.split <> sb.split
 """
+
+
+_Q_SPLIT_SQL = _split_sql()
 
 
 #: token budgets for the round-6 ``mix`` family (recipe execution)

@@ -259,3 +259,28 @@ def test_token_budget_mixture_recipe(spark):
 
     with _pt.raises(ValueError, match="budget"):
         token_budget_mixture(df, "doc_id", "domain", "tok", {"web": -1})
+
+def test_split_leakage_report_flags_cross_split_neardups(spark):
+    # round 6: near-dup pairs straddling the split boundary are the
+    # leakage audit's output; same-split near-dups and cross-split
+    # non-dups stay silent
+    from pydala_spark.operators.dedup import split_leakage_report
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec")
+    rows = [
+        (1, base + " one", "train"),
+        (2, base + " two", "test"),      # near-dup of 1, crosses split
+        (3, base + " three", "train"),   # near-dup of 1, SAME split
+        (4, "totally different content about gardening soil and plants "
+            "growing under glass with care", "test"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "split"])
+    leaks = split_leakage_report(
+        df, "doc_id", "split", threshold=0.5
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): (r["split_a"], r["split_b"]) for r in leaks}
+    assert (1, 2) in got and got[(1, 2)] == ("train", "test")
+    assert (2, 3) in got  # the other cross pair of the triangle
+    assert (1, 3) not in got  # same split -> not leakage
+    assert all(4 not in pair for pair in got)
