@@ -222,6 +222,47 @@ def minhash_signatures(
     return exploded.groupBy(id_col).agg(*aggs)
 
 
+def lsh_tuning(
+    target_jaccard: float,
+    n_hashes: int = 8,
+) -> list[dict]:
+    """Banding-parameter decision table (round 6): for every banding of
+    ``n_hashes`` MinHash rows, the standard S-curve numbers — collision
+    probability ``1 - (1 - j^r)^b`` at the target Jaccard, at a clear
+    non-dup (j/2) and at a clear dup ((1+j)/2), plus the curve's
+    threshold ``(1/b)^(1/r)`` (where collision probability crosses
+    ~0.5). Driver-side math, no Spark — run it BEFORE a corpus-sized
+    LSH sweep instead of guessing ``n_bands``: pick the row whose
+    threshold brackets your target with acceptable miss/noise rates,
+    then pass its ``n_bands`` to :func:`minhash_signatures` +
+    :func:`lsh_candidate_pairs` (chained seeded passes halve the miss
+    rate again — see their ``seed`` docs). Sorted by bands ascending;
+    rows where ``n_bands`` doesn't divide ``n_hashes`` are omitted, the
+    same divisibility contract lsh_candidate_pairs enforces."""
+    if not 0.0 < target_jaccard < 1.0:
+        raise ValueError(
+            f"target_jaccard must be in (0, 1), got {target_jaccard}"
+        )
+
+    def p_collide(j: float, r: int, b: int) -> float:
+        return 1.0 - (1.0 - j**r) ** b
+
+    out = []
+    for b in range(1, n_hashes + 1):
+        if n_hashes % b:
+            continue
+        r = n_hashes // b
+        out.append({
+            "n_bands": b,
+            "rows_per_band": r,
+            "threshold": (1.0 / b) ** (1.0 / r),
+            "p_at_target": p_collide(target_jaccard, r, b),
+            "p_at_nondup": p_collide(target_jaccard / 2.0, r, b),
+            "p_at_cleardup": p_collide((1.0 + target_jaccard) / 2.0, r, b),
+        })
+    return out
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str,

@@ -404,6 +404,49 @@ def lang_profile(
     return out
 
 
+def corpus_profile(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """ONE-pass corpus health summary (round 6) — the first number a
+    data engineer asks for on a new crawl drop, before any cleaning
+    decision: volume, length distribution, emptiness, and an exact-dup
+    rate estimate. Returns a single row:
+
+    ``n_docs``, ``total_tokens``, ``mean_tokens``, ``p50_tokens`` /
+    ``p95_tokens`` (t-digest sketch via ``percentile_approx`` — exact
+    percentiles would buffer the corpus per group), ``n_empty`` (docs
+    with no letters/digits at all), ``approx_distinct_fp`` (HLL over
+    the md5 content fingerprint) and ``dup_rate_est`` (``1 −
+    distinct/n`` — the fraction exact dedup would remove, estimated
+    without running it).
+
+    Scale shape: one scan, one partial-agg-friendly aggregation, every
+    accumulator mergeable (count/sum/HLL/t-digest) — a 100 TB profile
+    is a single map-reduce pass reading two columns. Sketch-based on
+    purpose, so there is no oracle family; behavior is pinned by pytest
+    on planted corpora."""
+    tok = token_count(text_col)
+    fp = fingerprint(text_col)
+    return df.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(tok).cast("long").alias("total_tokens"),
+        F.avg(tok).alias("mean_tokens"),
+        F.percentile_approx(tok, 0.5).cast("long").alias("p50_tokens"),
+        F.percentile_approx(tok, 0.95).cast("long").alias("p95_tokens"),
+        F.count_if(fp.isNull()).alias("n_empty"),
+        F.approx_count_distinct(fp).alias("approx_distinct_fp"),
+    ).withColumn(
+        "dup_rate_est",
+        F.greatest(
+            F.lit(0.0),
+            F.lit(1.0)
+            - F.col("approx_distinct_fp")
+            / F.greatest(F.col("n_docs") - F.col("n_empty"), F.lit(1)),
+        ),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str = "doc_id",

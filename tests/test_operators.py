@@ -1970,3 +1970,48 @@ def test_cluster_size_stats_histogram(spark):
         for r in cluster_size_stats(clusters).collect()
     }
     assert hist == {3: 1, 2: 3}
+
+def test_lsh_tuning_s_curve():
+    # round 6: driver-side banding decision table — the S-curve math
+    from pydala_spark.operators.dedup import lsh_tuning
+
+    rows = lsh_tuning(0.8, n_hashes=8)
+    # only divisors of 8 appear, ascending
+    assert [r["n_bands"] for r in rows] == [1, 2, 4, 8]
+    by_bands = {r["n_bands"]: r for r in rows}
+    # more bands -> lower threshold, higher collision probability
+    assert by_bands[8]["threshold"] < by_bands[1]["threshold"]
+    assert by_bands[8]["p_at_target"] > by_bands[1]["p_at_target"]
+    # the default pipeline config (8 hashes / 4 bands): catches clear
+    # dups far more often than clear non-dups
+    cfg = by_bands[4]
+    assert cfg["p_at_cleardup"] > 0.9 * cfg["p_at_target"]
+    assert cfg["p_at_nondup"] < cfg["p_at_target"]
+    # closed form spot check: b=4, r=2, j=0.8 -> 1 - (1 - 0.64)^4
+    assert abs(cfg["p_at_target"] - (1 - (1 - 0.8**2) ** 4)) < 1e-12
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="target_jaccard"):
+        lsh_tuning(1.5)
+
+
+def test_corpus_profile_one_pass(spark):
+    # round 6: single-row corpus health summary with mergeable sketches
+    from pydala_spark.operators.textstats import corpus_profile
+
+    rows = (
+        [(i, "short doc number " + str(i)) for i in range(1, 41)]   # 4 tokens
+        + [(100 + i, " ".join(["word"] * 20)) for i in range(10)]   # dups
+        + [(200, "!!!"), (201, "   ")]                              # empty
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    p = corpus_profile(df).collect()[0]
+    assert p["n_docs"] == 52
+    assert p["n_empty"] == 2
+    assert p["total_tokens"] == 40 * 4 + 10 * 20 + 1  # "!!!" counts 1 ws token
+    assert p["p50_tokens"] == 4
+    assert p["p95_tokens"] == 20
+    # 40 distinct short docs + 1 repeated 20-word doc = 41 distinct fps
+    # among 50 non-empty; HLL is near-exact at this cardinality
+    assert 39 <= p["approx_distinct_fp"] <= 43
+    assert 0.1 < p["dup_rate_est"] < 0.25
