@@ -812,3 +812,40 @@ def search_ivfpq_index(
         n_probe_centroids=n_probe_centroids, encoded=True,
         residual=residual, anchors=anchors,
     )
+
+def index_stats(spark, path: str) -> dict:
+    """Health report for a persisted IVFADC index (round 6) — the check
+    an ops runbook runs before trusting search latency: IVF cost is
+    proportional to the PROBED cells' sizes, so one hot cell (skewed
+    corpus, stale codebook after drift) silently turns an n_probes=8
+    search into a near-full scan. Returns::
+
+        {"n_cells", "n_vectors", "min_cell", "max_cell", "avg_cell",
+         "imbalance",            # max_cell / avg_cell — 1.0 is perfect
+         "empty_cells",          # centroids that attract nothing
+         "residual", "dim", "m"} # how the codes were built (sidecar)
+
+    Cost: ONE count aggregation over the cell partition column (parquet
+    scans count from footer metadata — no code columns are read), plus
+    the two sidecar reads. Remedies for a bad report: retrain the
+    codebook on fresh data (imbalance), or lower n_centroids
+    (empty_cells)."""
+    idx, cents, books, residual, _anchors = load_ivfpq_index(spark, path)
+    sizes = idx.groupBy("cell").count().collect()
+    counts = [r["count"] for r in sizes]
+    n_vec = int(sum(counts))
+    n_cells_used = len(counts)
+    n_cells = int(cents.shape[0])
+    avg = n_vec / max(n_cells_used, 1)
+    return {
+        "n_cells": n_cells,
+        "n_vectors": n_vec,
+        "min_cell": int(min(counts)) if counts else 0,
+        "max_cell": int(max(counts)) if counts else 0,
+        "avg_cell": avg,
+        "imbalance": (max(counts) / avg) if counts else 0.0,
+        "empty_cells": n_cells - n_cells_used,
+        "residual": residual,
+        "dim": int(cents.shape[1]),
+        "m": int(books.shape[0]),
+    }

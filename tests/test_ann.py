@@ -544,3 +544,30 @@ def test_save_ivfpq_append_rejects_different_books(spark, tmp_path):
     with pytest.raises(ValueError, match="different IVF codebook"):
         save_ivfpq_index(spark, df, out, cents2, books,
                          mode="append", residual=False)
+
+def test_index_stats_health_report(spark, tmp_path):
+    # round 6: the ops health check over a persisted IVFADC index —
+    # cell balance, empty centroids, and the sidecar's encoding facts
+    from pydala_spark.operators.ann import (
+        index_stats,
+        kmeans_centroids,
+        pq_codebooks,
+        save_ivfpq_index,
+        train_residual_pq,
+    )
+
+    rows = [(i, [float((i % 3) + 1), float(i % 5), 1.0, 0.5])
+            for i in range(90)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = kmeans_centroids(df, n_centroids=3, seed=1)
+    anchors, books = train_residual_pq(df, cents, m=2, n_codes=4, seed=1)
+    out = str(tmp_path / "health_idx")
+    save_ivfpq_index(spark, df, out, cents, books, anchors=anchors)
+    st = index_stats(spark, out)
+    assert st["n_vectors"] == 90
+    assert st["n_cells"] == 3
+    assert 0 <= st["empty_cells"] < 3
+    assert st["min_cell"] >= 1 and st["max_cell"] <= 90
+    assert st["imbalance"] >= 1.0
+    assert st["residual"] is True
+    assert st["dim"] == 4 and st["m"] == 2
