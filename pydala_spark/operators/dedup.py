@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pydala_spark.dataset.reader import apply_distinct
@@ -856,6 +856,153 @@ def split_leakage_report(
         .where(F.col("split_a") != F.col("split_b"))
         .select("id_a", "id_b", "split_a", "split_b", "jaccard")
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 20,
+    window: int = 8,
+    min_span: int = 50,
+    min_df: int = 2,
+) -> DataFrame:
+    """Character ranges covered by CROSS-DOCUMENT duplicated content
+    (round 6) — the sub-document complement of doc/paragraph dedup, in
+    the spirit of ExactSubstr (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better") by way of BFF-style n-gram
+    membership: instead of a suffix array, every char ``k``-gram is
+    hashed, winnowing picks the per-window minimum (content-defined, so
+    BOTH copies of a duplicated passage select the same fingerprints at
+    the same content offsets), fingerprints occurring in >= ``min_df``
+    documents mark their coverage, and maximal runs of marked windows
+    longer than ``min_span`` chars become spans. Guarantee: a passage
+    of >= ``k + window - 1`` chars duplicated across docs shares
+    fingerprints; boundaries are approximate within ~``window`` chars
+    (the standard trade of sketch-based span dedup — Lee et al. trim
+    boundaries too). Raw text, no normalization: span offsets must map
+    back to the document for surgery, and exact-substring dedup is
+    case/punctuation-sensitive by definition.
+
+    Returns ``(id, span_start, span_end)`` — 1-based inclusive char
+    ranges, disjoint per doc. Shape at 100 TB: one row per WINDOW
+    (corpus chars / 1, the honest cost of sub-document dedup — same
+    order as a suffix array build), ONE fingerprint-keyed shuffle for
+    the document-frequency count, one join back (hits only), one
+    id-keyed shuffle for the run grouping. Every stage is
+    partial-agg/window algebra; no Python.
+    """
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    n_grams = F.greatest(F.length("__t") - (k - 1), F.lit(1))
+    # staged projections (winnowing rule): lambdas must reference
+    # MATERIALIZED columns or Catalyst re-substitutes the hashing
+    # expression per consumer
+    h = base.select(
+        "id",
+        F.length("__t").alias("__len"),
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.md5(F.substr(F.col("__t"), i, F.lit(k))),
+        ).alias("__hashes"),
+    )
+    n_windows = F.greatest(F.size("__hashes") - (window - 1), F.lit(1))
+    wins = h.select(
+        "id",
+        "__len",
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda j: F.struct(
+                j.alias("pos"),
+                F.array_min(F.slice(F.col("__hashes"), j, window)).alias("fp"),
+            ),
+        ).alias("__wins"),
+    )
+    pos = explode_cheaply(wins, F.col("__wins"), "z").select(
+        "id", "__len", F.col("z.fp").alias("fp"), F.col("z.pos").alias("pos")
+    )
+    dup = (
+        pos.groupBy("fp")
+        .agg(F.count_distinct("id").alias("__df"))
+        .where(F.col("__df") >= min_df)
+        .select("fp")
+    )
+    hits = pos.join(dup, "fp")
+    gap = k + window - 1
+    w_ord = Window.partitionBy("id").orderBy("pos")
+    runs = hits.withColumn(
+        "__new",
+        F.when(F.col("pos") - F.lag("pos").over(w_ord) <= gap, F.lit(0))
+        .otherwise(F.lit(1)),
+    ).withColumn(
+        "__grp",
+        F.sum("__new").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    spans = runs.groupBy("id", "__grp").agg(
+        F.min("pos").alias("span_start"),
+        F.least(
+            F.max("pos") + F.lit(k + window - 2), F.min("__len")
+        ).alias("span_end"),
+    )
+    return spans.where(
+        F.col("span_end") - F.col("span_start") + 1 >= min_span
+    ).select("id", "span_start", "span_end")
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 20,
+    window: int = 8,
+    min_span: int = 50,
+    min_df: int = 2,
+    spans: DataFrame | None = None,
+) -> DataFrame:
+    """Rewrite ``text_col`` with :func:`duplicate_spans` ranges CUT OUT
+    — the surgery half of sub-document dedup. Pass a precomputed
+    ``spans`` frame to reuse one span computation across sweeps (the
+    signature-sidecar pattern). The cut is a JVM-side fold over the
+    doc's sorted disjoint spans (``F.aggregate`` carrying a (cursor,
+    acc) struct — no Python, no explode): docs without spans pass
+    through untouched, so the rewrite joins only the affected rows'
+    span lists (AQE broadcasts the span side when small)."""
+    if spans is None:
+        spans = duplicate_spans(
+            df, id_col, text_col, k=k, window=window,
+            min_span=min_span, min_df=min_df,
+        )
+    per_doc = spans.groupBy("id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("__spans")
+    )
+    joined = df.join(
+        per_doc, df[id_col] == per_doc["id"], "left"
+    ).drop(per_doc["id"])
+    t = F.col(text_col)
+    cut = F.aggregate(
+        F.col("__spans"),
+        F.struct(
+            F.lit(1).cast("int").alias("cur"), F.lit("").alias("acc")
+        ),
+        lambda acc, s: F.struct(
+            (s["span_end"] + 1).cast("int").alias("cur"),
+            F.concat(
+                acc["acc"],
+                F.substr(t, acc["cur"], s["span_start"] - acc["cur"]),
+            ).alias("acc"),
+        ),
+        lambda acc: F.concat(
+            acc["acc"],
+            F.substr(t, acc["cur"], F.length(t) - acc["cur"] + 1),
+        ),
+    )
+    return joined.withColumn(
+        text_col,
+        F.when(F.col("__spans").isNull(), t).otherwise(cut),
+    ).drop("__spans")
 
 
 def cluster_size_stats(clusters: DataFrame) -> DataFrame:

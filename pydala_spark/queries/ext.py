@@ -578,6 +578,24 @@ def _fp_sql(col: str = "text") -> str:
 _NORM_SQL = _norm_sql()
 
 
+#: Planted docs for the round-6 ``spans`` family: 8101/8102 share a
+#: ~115-char passage (cross-doc duplicated span), 8103 is unique —
+#: duplicate_spans must flag the shared range in both carriers only.
+_SPAN_DOCS: list[tuple[int, str]] = [
+    (8101, "unique opening about gardens and trees. it was the best of "
+           "times it was the worst of times it was the age of wisdom it "
+           "was the age of foolishness indeed. unique closing about "
+           "rivers and stones in the valley below here"),
+    (8102, "completely different preamble text goes here now. it was "
+           "the best of times it was the worst of times it was the age "
+           "of wisdom it was the age of foolishness indeed. and then a "
+           "different ending altogether for this one too"),
+    (8103, "this document shares nothing with the others at all and "
+           "talks at length about cooking pasta with garlic and olive "
+           "oil on a slow flame until fragrant and golden brown"),
+]
+
+
 def q_fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting, tag-unioned (all inside the driver's
     correctness window): per-source exact-dup fingerprint summary ('fp'
@@ -637,11 +655,45 @@ def q_fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id"),
         F.col("n_hits").cast("long").alias("n_hits"),
     )
-    return _tagged_union([("fp", fp), ("win", win), ("contam", contam)])
+    # round 6 'spans' family: cross-document duplicated-SPAN detection
+    # (dedup.duplicate_spans — positional winnowing, df>=2 fingerprints,
+    # gap-grouped runs) over planted docs sharing one long passage
+    from pydala_spark.operators.dedup import duplicate_spans
 
+    planted = spark.createDataFrame(_SPAN_DOCS, "sid bigint, text string")
+    spans = duplicate_spans(
+        planted, "sid", k=20, window=8, min_span=50, min_df=2
+    ).select(
+        F.col("id").alias("doc_id"),
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+    )
+    return _tagged_union(
+        [("fp", fp), ("win", win), ("contam", contam), ("spans", spans)]
+    )
+
+
+_SPAN_VALUES = ", ".join(f"({i}, '{t}')" for i, t in _SPAN_DOCS)
 
 _Q_FINGERPRINT_WINNOWING_SQL = f"""
 WITH n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+sp(sid, text) AS (VALUES {_SPAN_VALUES}),
+sph AS (
+  SELECT sid, LENGTH(text) AS len, list_transform(
+           generate_series(1, GREATEST(LENGTH(text) - 19, 1)),
+           i -> MD5(SUBSTR(text, i, 20))) AS hashes
+  FROM sp
+),
+spl AS (
+  SELECT sid, len, list_transform(
+           generate_series(1, GREATEST(LEN(hashes) - 7, 1)),
+           j -> list_min(hashes[j:j+7])) AS fps
+  FROM sph
+),
+spw AS (
+  SELECT sid, len, UNNEST(fps) AS fp, generate_subscripts(fps, 1) AS pos
+  FROM spl
+),
 h AS (
   SELECT doc_id, LENGTH(norm) AS nlen, list_transform(
            generate_series(1, GREATEST(LENGTH(norm) - 7, 1)),
@@ -661,23 +713,52 @@ SELECT 'fp' AS family, source, COUNT(*) AS n_docs,
        COUNT(DISTINCT {_fp_sql()}) AS n_distinct,
        MAX({_fp_sql()}) AS max_fp,
        CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_fps,
-       CAST(NULL AS VARCHAR) AS min_fp, CAST(NULL AS BIGINT) AS n_hits
+       CAST(NULL AS VARCHAR) AS min_fp, CAST(NULL AS BIGINT) AS n_hits,
+       CAST(NULL AS BIGINT) AS span_start, CAST(NULL AS BIGINT) AS span_end
 FROM documents GROUP BY source
 UNION ALL
 SELECT 'win', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-       fps[-1], doc_id, LEN(fps), fps[1], CAST(NULL AS BIGINT)
+       fps[-1], doc_id, LEN(fps), fps[1], CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
 FROM f
 UNION ALL
 SELECT 'contam', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
        CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), ce.doc_id,
        CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
-       COUNT(DISTINCT ce.fp) AS n_hits
+       COUNT(DISTINCT ce.fp) AS n_hits,
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
 FROM (SELECT doc_id, UNNEST(fps) AS fp FROM f WHERE doc_id % 100 <> 0) ce
 JOIN (SELECT DISTINCT fp
       FROM (SELECT UNNEST(fps) AS fp FROM f WHERE doc_id % 100 = 0)) bs
   ON ce.fp = bs.fp
 GROUP BY ce.doc_id
 HAVING COUNT(DISTINCT ce.fp) >= 2
+UNION ALL
+SELECT 'spans', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), sid,
+       CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       CAST(span_start AS BIGINT), CAST(span_end AS BIGINT)
+FROM (
+  SELECT sid, MIN(pos) AS span_start,
+         LEAST(MAX(pos) + 26, MIN(len)) AS span_end
+  FROM (
+    SELECT sid, len, pos,
+           SUM(nw) OVER (PARTITION BY sid ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS g
+    FROM (
+      SELECT sid, len, pos,
+             CASE WHEN pos - LAG(pos) OVER (PARTITION BY sid
+                                            ORDER BY pos) <= 27
+                  THEN 0 ELSE 1 END AS nw
+      FROM (SELECT spw.sid, spw.len, spw.pos FROM spw
+            JOIN (SELECT fp FROM spw GROUP BY fp
+                  HAVING COUNT(DISTINCT sid) >= 2) spdup
+              ON spw.fp = spdup.fp)
+    )
+  )
+  GROUP BY sid, g
+)
+WHERE span_end - span_start + 1 >= 50
 """
 
 

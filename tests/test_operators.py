@@ -2015,3 +2015,90 @@ def test_corpus_profile_one_pass(spark):
     # among 50 non-empty; HLL is near-exact at this cardinality
     assert 39 <= p["approx_distinct_fp"] <= 43
     assert 0.1 < p["dup_rate_est"] < 0.25
+
+def _py_duplicate_spans(texts, k, window, min_span, min_df):
+    # pure-Python reference of the duplicate_spans algorithm
+    import hashlib
+
+    def wins(t):
+        n_g = max(len(t) - (k - 1), 1)
+        hs = [hashlib.md5(t[i:i + k].encode()).hexdigest()
+              for i in range(n_g)]
+        n_w = max(len(hs) - (window - 1), 1)
+        return [(j + 1, min(hs[j:j + window])) for j in range(n_w)]
+
+    per_doc = {i: wins(t) for i, t in texts.items()}
+    df_count = {}
+    for i, ws in per_doc.items():
+        for _, fp in set((0, fp) for _, fp in ws):
+            df_count.setdefault(fp, set()).add(i)
+    dup = {fp for fp, ids in df_count.items() if len(ids) >= min_df}
+    gap = k + window - 1
+    out = {}
+    for i, ws in per_doc.items():
+        hits = sorted(p for p, fp in ws if fp in dup)
+        runs, cur = [], None
+        for p in hits:
+            if cur and p - cur[-1] <= gap:
+                cur.append(p)
+            else:
+                cur = [p]
+                runs.append(cur)
+        for r in runs:
+            start, end = r[0], min(r[-1] + k + window - 2, len(texts[i]))
+            if end - start + 1 >= min_span:
+                out.setdefault(i, []).append((start, end))
+    return out
+
+
+def test_duplicate_spans_matches_python_reference(spark):
+    # round 6: sub-document duplicated-span detection — the Spark
+    # window/join pipeline must agree exactly with a sequential Python
+    # implementation of the same winnowing-run algorithm
+    from pydala_spark.operators.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    shared = ("it was the best of times it was the worst of times it was "
+              "the age of wisdom it was the age of foolishness indeed")
+    texts = {
+        1: f"unique opening about gardens and trees. {shared} unique "
+           "closing about rivers and stones in the valley below here",
+        2: f"completely different preamble text goes here now. {shared} "
+           "and then a different ending altogether for this one too",
+        3: "this document shares nothing with the others at all and "
+           "talks at length about cooking pasta with garlic and olive "
+           "oil on a slow flame until fragrant and golden",
+    }
+    k, window, min_span, min_df = 20, 8, 50, 2
+    want = _py_duplicate_spans(texts, k, window, min_span, min_df)
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    got = {}
+    spans_df = duplicate_spans(
+        df, "doc_id", k=k, window=window, min_span=min_span, min_df=min_df
+    )
+    for r in spans_df.collect():
+        got.setdefault(r["id"], []).append((r["span_start"], r["span_end"]))
+    got = {i: sorted(v) for i, v in got.items()}
+    assert got == want
+    assert set(got) == {1, 2}  # doc 3 untouched
+    # the flagged span actually covers the shared passage
+    s, e = got[1][0]
+    assert shared in texts[1][s - 1:e]
+
+    # surgery: spans cut out, untouched docs byte-identical
+    cleaned = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicate_spans(
+            df, "doc_id", k=k, window=window,
+            min_span=min_span, min_df=min_df,
+        ).collect()
+    }
+    assert cleaned[3] == texts[3]
+    for i in (1, 2):
+        expect = texts[i]
+        for s, e in reversed(want[i]):
+            expect = expect[:s - 1] + expect[e:]
+        assert cleaned[i] == expect
+        assert shared not in cleaned[i]
