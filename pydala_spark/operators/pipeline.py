@@ -52,6 +52,11 @@ def prep_documents(
     strip_markup: bool = False,
     paragraph_dedup: bool = False,
     paragraph_max_occurrences: int | None = None,
+    span_dedup: bool = False,
+    span_min_chars: int = 50,
+    span_k: int = 20,
+    span_window: int = 8,
+    span_min_df: int = 2,
     near_dup_score_col: str | None = None,
     near_dup_max_bucket: int | None = 1000,
     near_dup_log_dropped: bool = False,
@@ -179,13 +184,13 @@ def prep_documents(
         # ingest-time signatures hash the RAW text; any stage that
         # rewrites text_col before the consuming stage would silently
         # dedup/decontaminate against stale hashes (round-6 contract)
-        if strip_markup or redact or paragraph_dedup:
+        if strip_markup or redact or paragraph_dedup or span_dedup:
             raise ValueError(
                 "precomputed signatures cannot be combined with "
-                "strip_markup/redact/paragraph_dedup — those stages "
-                "rewrite the text the signatures were hashed from; "
-                "either materialize signatures from the cleaned text or "
-                "compute inline"
+                "strip_markup/redact/paragraph_dedup/span_dedup — those "
+                "stages rewrite the text the signatures were hashed "
+                "from; either materialize signatures from the cleaned "
+                "text or compute inline"
             )
     if precomputed_fps is not None and decontaminate_mode != "winnowing":
         raise ValueError(
@@ -243,6 +248,21 @@ def prep_documents(
             )
         )
         _stage("paragraph_dedup", df)
+    if span_dedup:
+        # cross-document duplicated-SPAN removal (ExactSubstr/BFF-style,
+        # dedup.remove_duplicate_spans) — like the paragraph stage it
+        # rewrites text BEFORE any fingerprint/signal, so a doc that is
+        # original except for a widely-duplicated passage dedups and
+        # scores on its original content. Runs after paragraph dedup:
+        # line-exact boilerplate is cheaper to kill there; this stage
+        # catches the re-wrapped/mid-paragraph copies lines miss.
+        from pydala_spark.operators.dedup import remove_duplicate_spans
+
+        df = remove_duplicate_spans(
+            df, id_col, text_col, k=span_k, window=span_window,
+            min_span=span_min_chars, min_df=span_min_df,
+        )
+        _stage("span_dedup", df)
     # 1. quality features (pure column algebra)
     out = quality_stats(df, text_col)
     # 1b. Gopher repetition gate (doc-keyed aggregation, only when asked)

@@ -307,3 +307,43 @@ def test_writer_signature_ride_along(spark, tmp_path):
         Writer(spark, base, signatures=("winnowing",)).write(
             d1, mode="upsert", delta_subset=["doc_id"]
         )
+
+def test_prep_documents_span_dedup_stage(spark):
+    # round 6: the duplicated-span stage rewrites text before any
+    # fingerprint/signal — the shared passage disappears from BOTH
+    # carriers while their original content survives
+    shared = ("it was the best of times it was the worst of times it "
+              "was the age of wisdom it was the age of foolishness "
+              "indeed")
+    rows = [
+        (1, f"unique opening about gardens and trees. {shared} unique "
+            "closing about rivers and stones in the valley below"),
+        (2, f"completely different preamble text goes here now. {shared}"
+            " and then a different ending altogether for this one"),
+        (3, "this document shares nothing with the others at all and "
+            "talks at length about cooking pasta with garlic and oil"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    frames = {}
+    out = prep_documents(
+        df, min_quality=0, near_dup=False, span_dedup=True,
+        stage_frames=frames,
+    )
+    texts = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert set(texts) == {1, 2, 3}
+    assert shared not in texts[1] and shared not in texts[2]
+    # original content outside the span survives (boundaries are
+    # approximate within ~k+window chars — the documented trade; the
+    # exact behavior is pinned by the Python-reference test)
+    assert "unique opening about gardens" in texts[1]
+    assert "rivers and stones" in texts[1]
+    assert "different preamble text" in texts[2]
+    assert texts[3] == rows[2][1]
+    assert "span_dedup" in frames
+    # precomputed signatures refuse the text-mutating stage
+    sidecar = df.select("doc_id", F.array(F.lit("x")).alias("fps"))
+    with pytest.raises(ValueError, match="span_dedup"):
+        prep_documents(
+            df, span_dedup=True, decontaminate_mode="winnowing",
+            precomputed_fps=sidecar,
+        )
