@@ -2102,3 +2102,53 @@ def test_duplicate_spans_matches_python_reference(spark):
             expect = expect[:s - 1] + expect[e:]
         assert cleaned[i] == expect
         assert shared not in cleaned[i]
+
+
+def test_bpe_train_encode_roundtrip(spark, tmp_path):
+    # round 6: BPE merge learning on a deterministic sample + Arrow-
+    # batched distributed encoding
+    from pydala_spark.operators.bpe import (
+        EOW,
+        bpe_token_count,
+        bpe_tokens,
+        load_bpe,
+        save_bpe,
+        train_bpe,
+    )
+
+    rows = [(i, "the theater thesis then there " * 3) for i in range(20)]
+    rows += [(100 + i, "banana bandana ban " * 4) for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    merges = train_bpe(df, n_merges=40)
+    assert merges and all(len(m) == 2 for m in merges)
+    # determinism: retrain learns the identical table
+    assert merges == train_bpe(df, n_merges=40)
+    # 'th' should merge early in a the-heavy corpus
+    assert ("t", "h") in merges[:5]
+
+    toks = df.select(
+        "doc_id", bpe_tokens("text", merges).alias("tk"),
+        bpe_token_count("text", merges).alias("n"),
+    ).collect()
+    for r in toks:
+        assert r["n"] == len(r["tk"])
+    rebuilt = {r["doc_id"]: "".join(r["tk"]).replace(EOW, " ").strip()
+               for r in toks}
+    originals = {i: t.lower().strip() for i, t in rows}
+    for i, t in originals.items():
+        assert rebuilt[i] == " ".join(t.split())
+    # learned vocab compresses: fewer tokens than characters, at least
+    # as many as whitespace words
+    n_bpe = {r["doc_id"]: r["n"] for r in toks}
+    for i, t in rows:
+        assert len(t.split()) <= n_bpe[i] < len(t.replace(" ", "")) + len(t.split())
+
+    # sidecar round-trip
+    p = str(tmp_path / "bpe.json")
+    save_bpe(spark, merges, p)
+    assert load_bpe(spark, p) == merges
+
+    # NULL text stays NULL
+    nn = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    r = nn.select(bpe_token_count("text", merges).alias("n")).collect()[0]
+    assert r["n"] is None
