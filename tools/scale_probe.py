@@ -257,6 +257,17 @@ def probe_ops(spark, path: str) -> dict[str, dict]:
     from pydala_spark.operators.textstats import lang_profile
 
     timed("lang_profile", lambda: lang_profile(docs))
+    # round 6: sub-document duplicated-span dedup — one row per char
+    # window (the honest cost), ONE fp-keyed shuffle + one id-keyed
+    # run-grouping shuffle; must stay linear in corpus chars
+    from pydala_spark.operators.dedup import duplicate_spans
+
+    timed(
+        "duplicate_spans",
+        lambda: duplicate_spans(
+            docs, "doc_id", "text", k=20, window=8, min_span=50
+        ),
+    )
     return out
 
 
