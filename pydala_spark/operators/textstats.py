@@ -438,11 +438,15 @@ def corpus_profile(
         F.approx_count_distinct(fp).alias("approx_distinct_fp"),
     ).withColumn(
         "dup_rate_est",
-        F.greatest(
-            F.lit(0.0),
-            F.lit(1.0)
-            - F.col("approx_distinct_fp")
-            / F.greatest(F.col("n_docs") - F.col("n_empty"), F.lit(1)),
+        # 0.0 when there is no non-empty content at all — without the
+        # guard an empty corpus reads as "100% duplicated"
+        F.when(F.col("n_docs") - F.col("n_empty") <= 0, F.lit(0.0)).otherwise(
+            F.greatest(
+                F.lit(0.0),
+                F.lit(1.0)
+                - F.col("approx_distinct_fp")
+                / F.greatest(F.col("n_docs") - F.col("n_empty"), F.lit(1)),
+            )
         ),
     )
 

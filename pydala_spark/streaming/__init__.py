@@ -378,6 +378,11 @@ def streaming_neardup(
         ).persist()
         try:
             bands = _bands(sigs)
+            # base on the BATCH ids, not the signature ids: a doc whose
+            # text yields no shingles (NULL/empty) has no signature row,
+            # cannot collide with anything, and must PASS THROUGH — an
+            # id set derived from sigs would silently swallow it
+            ids_all = batch_df.select(id_col).distinct()
             ops = PathOps(spark, state_path)
             if ops.data_files(state_path):
                 store = spark.read.parquet(state_path)
@@ -385,9 +390,9 @@ def streaming_neardup(
                     bands.join(store, ["band_id", "band_hash"], "left_semi")
                     .select(id_col).distinct()
                 )
-                keep_ids = sigs.select(id_col).join(hit, id_col, "left_anti")
+                keep_ids = ids_all.join(hit, id_col, "left_anti")
             else:
-                keep_ids = sigs.select(id_col)
+                keep_ids = ids_all
             survivors_sigs = sigs.join(keep_ids, id_col, "left_semi")
             pairs = lsh_candidate_pairs(
                 survivors_sigs, id_col, n_bands=n_bands,
@@ -395,9 +400,7 @@ def streaming_neardup(
                 seed=seed,
             )
             losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
-            final_ids = survivors_sigs.select(id_col).join(
-                losers, id_col, "left_anti"
-            )
+            final_ids = keep_ids.join(losers, id_col, "left_anti")
             batch_df.join(final_ids, id_col, "left_semi").write.format(
                 format
             ).mode("append").save(out_path)

@@ -2152,3 +2152,16 @@ def test_bpe_train_encode_roundtrip(spark, tmp_path):
     nn = spark.createDataFrame([(1, None)], "doc_id long, text string")
     r = nn.select(bpe_token_count("text", merges).alias("n")).collect()[0]
     assert r["n"] is None
+
+def test_corpus_profile_degenerate_corpora(spark):
+    # empty / all-empty corpora must not read as "100% duplicated"
+    from pydala_spark.operators.textstats import corpus_profile
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    p = corpus_profile(empty).collect()[0]
+    assert p["n_docs"] == 0 and p["dup_rate_est"] == 0.0
+    punct = spark.createDataFrame(
+        [(1, "!!!"), (2, "???")], ["doc_id", "text"]
+    )
+    p = corpus_profile(punct).collect()[0]
+    assert p["n_empty"] == 2 and p["dup_rate_est"] == 0.0

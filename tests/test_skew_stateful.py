@@ -463,8 +463,9 @@ def test_streaming_neardup_lsh(spark, tmp_path):
     schema = "doc_id long, text string"
     src = str(tmp_path / "nd_in")
     batches = [
-        # intra-batch near-dup pair: 5 (smaller id) survives
-        [(5, base + " first"), (6, base + " second")],
+        # intra-batch near-dup pair: 5 (smaller id) survives; 50 has
+        # NULL text -> no shingles, no signature -> must PASS THROUGH
+        [(5, base + " first"), (6, base + " second"), (50, None)],
         # 1 is a near-dup of 5 arriving LATER: dropped even though its
         # id is smaller (keep-first-arrival); 7 is distinct: kept
         [(1, base + " third"), (7, distinct_doc(7))],
@@ -484,7 +485,7 @@ def test_streaming_neardup_lsh(spark, tmp_path):
     )
     q.awaitTermination(120)
     ids = {r["doc_id"] for r in spark.read.parquet(out).collect()}
-    assert ids == {5, 7}
+    assert ids == {5, 7, 50}
     # restart with more data: the on-disk store keeps deduping
     spark.createDataFrame(
         [(8, base + " fourth"), (9, distinct_doc(9))], schema
@@ -495,7 +496,7 @@ def test_streaming_neardup_lsh(spark, tmp_path):
     )
     q2.awaitTermination(120)
     ids = {r["doc_id"] for r in spark.read.parquet(out).collect()}
-    assert ids == {5, 7, 9}
+    assert ids == {5, 7, 9, 50}
     # the store holds n_bands rows per surviving doc
     store = spark.read.parquet(state)
     assert store.count() == 3 * 4
