@@ -245,6 +245,11 @@ class Writer:
         #: once at ingest" pattern. Appends sign only the landed rows
         #: (delta mode: only the diff); a full overwrite rewrites the
         #: sidecar. signature_kwargs passes id_col/text_col/k/seed etc.
+        #: Crash semantics: the data write commits before the sidecar
+        #: write — a crash between the two leaves the batch unsigned
+        #: (a delta re-run writes no rows, so it will NOT re-sign);
+        #: heal with maintain.materialize_signatures over the dataset,
+        #: which is idempotent.
         self.signatures = list(signatures or [])
         self.signature_kwargs = dict(signature_kwargs or {})
 
