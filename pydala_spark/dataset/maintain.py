@@ -501,6 +501,21 @@ def materialize_signatures(
                 f"materialize_signatures: unknown kind {kind!r} "
                 "(expected 'winnowing' or 'minhash')"
             )
+        params_path = posixpath.join(target, "_params.json")
+        if mode == "append" and po.exists(params_path):
+            # an append under DIFFERENT hashing params would silently
+            # mix schemes in one sidecar and then overwrite the params
+            # record — defeating read_signatures' guard (round-6
+            # review). Fail loud instead.
+            existing = _json.loads(po.read_text(params_path))
+            if existing != params:
+                raise ValueError(
+                    f"materialize_signatures({kind}): append params "
+                    f"{params} disagree with the sidecar's recorded "
+                    f"{existing} — appending would mix hashing schemes; "
+                    "re-materialize with mode='overwrite' or match the "
+                    "recorded params"
+                )
         sigs.write.mode(mode).parquet(target)
         po.write_text(
             posixpath.join(target, "_params.json"),

@@ -113,12 +113,14 @@ def _encoder(merges: list[tuple[str, str]]):
     merge RANKS are rebuilt inside so workers never import this
     package). Applies merges in rank order per word, the standard
     greedy BPE apply."""
-    merge_list = [tuple(m) for m in merges]
+    # ranks built ONCE here (a plain dict riding the closure — still no
+    # package references), not per document inside encode_text (round-6
+    # review: an O(n_merges) dict rebuild per row in the hot path)
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
 
     def encode_text(text):
         if text is None:
             return None
-        ranks = {m: i for i, m in enumerate(merge_list)}
         out = []
         eow = "</w>"
         for w in text.lower().split():

@@ -263,6 +263,59 @@ def lsh_tuning(
     return out
 
 
+def band_frame(
+    signatures: DataFrame,
+    id_col: str,
+    n_bands: int,
+    seed: int = 0,
+) -> DataFrame:
+    """The banding step of LSH as a standalone frame: one ``(id,
+    band_id, band_hash)`` row per document per band, with the SAME
+    column ordering, seed rotation and md5 band hash as
+    :func:`lsh_candidate_pairs` uses internally — factored out (round-6
+    review) so streaming's persisted bucket store and the batch pair
+    stage can never silently diverge on what a band hash is. Guards:
+    missing ``mh_*`` columns and non-dividing ``n_bands`` raise instead
+    of silently truncating signature rows."""
+    sig_cols = sorted(
+        (c for c in signatures.columns if c.startswith("mh_")),
+        key=lambda c: int(c.split("_")[1]),
+    )
+    if not sig_cols:
+        # 0 % n_bands == 0 would sail past the divisibility guard and
+        # return ZERO candidate pairs — a silently no-op near-dup stage
+        raise ValueError(
+            "band_frame: no mh_* signature columns in the input "
+            "(pass minhash_signatures output)"
+        )
+    if len(sig_cols) % n_bands != 0:
+        # silently dropping the trailing columns would lower recall with
+        # no signal that paid-for signature rows went unused
+        raise ValueError(
+            f"n_bands={n_bands} must divide the signature width "
+            f"({len(sig_cols)} mh_ columns)"
+        )
+    rows_per_band = len(sig_cols) // n_bands
+    if seed:
+        shift = seed % len(sig_cols)
+        sig_cols = sig_cols[shift:] + sig_cols[:shift]
+    bands = []
+    for b in range(n_bands):
+        cols = sig_cols[b * rows_per_band : (b + 1) * rows_per_band]
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
+            )
+        )
+    # explode_cheaply, not F.explode: the band array carries one md5 per
+    # band and the inferred size(...)>0 filter would re-hash every row
+    # (CLAUDE.md rule)
+    return explode_cheaply(
+        signatures, F.array(*bands), "band"
+    ).select(id_col, "band.band_id", "band.band_hash")
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str,
@@ -298,43 +351,7 @@ def lsh_candidate_pairs(
     passes). ``seed=0`` preserves the historical banding, which the
     ``q_minhash_lsh`` oracle pins.
     """
-    sig_cols = sorted(
-        (c for c in signatures.columns if c.startswith("mh_")),
-        key=lambda c: int(c.split("_")[1]),
-    )
-    if not sig_cols:
-        # 0 % n_bands == 0 would sail past the divisibility guard and
-        # return ZERO candidate pairs — a silently no-op near-dup stage
-        raise ValueError(
-            "lsh_candidate_pairs: no mh_* signature columns in the input "
-            "(pass minhash_signatures output)"
-        )
-    if len(sig_cols) % n_bands != 0:
-        # silently dropping the trailing columns would lower recall with
-        # no signal that paid-for signature rows went unused
-        raise ValueError(
-            f"n_bands={n_bands} must divide the signature width "
-            f"({len(sig_cols)} mh_ columns)"
-        )
-    rows_per_band = len(sig_cols) // n_bands
-    if seed:
-        shift = seed % len(sig_cols)
-        sig_cols = sig_cols[shift:] + sig_cols[:shift]
-    bands = []
-    for b in range(n_bands):
-        cols = sig_cols[b * rows_per_band : (b + 1) * rows_per_band]
-        bands.append(
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
-            )
-        )
-    # explode_cheaply, not F.explode: the band array carries one md5 per
-    # band and the inferred size(...)>0 filter would re-hash every row
-    # (CLAUDE.md rule)
-    banded = explode_cheaply(
-        signatures, F.array(*bands), "band"
-    ).select(id_col, "band.band_id", "band.band_hash")
+    banded = band_frame(signatures, id_col, n_bands, seed=seed)
     buckets = (
         banded.groupBy("band_id", "band_hash")
         .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("ids"))

@@ -152,8 +152,8 @@ def prep_documents(
 
     Pass an empty dict as ``stage_frames`` to receive the intermediate
     DataFrame after each enabled stage (keys: input, blocklist,
-    paragraph_dedup, repetition, exact_dedup, near_dup, decontaminate,
-    quality) — the hook :func:`pipeline_report` uses to count per-stage
+    paragraph_dedup, span_dedup, repetition, exact_dedup, near_dup,
+    decontaminate, quality) — the hook :func:`pipeline_report` uses to count per-stage
     survivors without duplicating the stage logic."""
     if paragraph_max_occurrences is not None:
         # the cap only means anything inside the paragraph stage; a
@@ -197,6 +197,12 @@ def prep_documents(
             "precomputed_fps is a winnowing-fingerprint sidecar — set "
             "decontaminate_mode='winnowing' (a silently ignored sidecar "
             "would re-hash the corpus the caller paid to avoid)"
+        )
+    if precomputed_minhash is not None and not near_dup:
+        raise ValueError(
+            "precomputed_minhash requires near_dup=True — with the "
+            "near-dup stage disabled the sidecar would be silently "
+            "ignored (same rule as precomputed_fps)"
         )
 
     def _stage(name: str, frame: DataFrame) -> None:

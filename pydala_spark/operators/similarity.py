@@ -149,13 +149,22 @@ def lsh_topk(
             f"buckets available at bits={bits}; raise bits or lower n_probes"
         )
     if n_probes > 1:
-        # own bucket + single-bit flips; cheap bit arithmetic on an
-        # already-materialized int column, so a plain explode is fine
+        # explode_cheaply, not F.explode: the bucket column is an alias
+        # over the lsh_bucket expression, and InferFiltersFromGenerate's
+        # size()>0 filter would re-substitute and re-evaluate it below
+        # the projection (CLAUDE.md rule — round-6 review; the earlier
+        # "already-materialized int column" justification was wrong in
+        # Catalyst terms)
+        from pydala_spark.operators.dedup import explode_cheaply
+
         flips = F.array(
             F.col("bucket"),
             *[F.col("bucket").bitwiseXOR(F.lit(2**b)) for b in range(bits)],
         )
-        p = p.withColumn("bucket", F.explode(F.slice(flips, 1, n_probes)))
+        p = explode_cheaply(
+            p.withColumn("__flips", flips).drop("bucket"),
+            F.col("__flips"), "bucket",
+        ).drop("__flips")
     scored = (
         c.join(p, "bucket")
         .where(F.col("neighbor_id") != F.col("probe_id"))
@@ -466,8 +475,10 @@ def _semantic_bench_join(
     c = c.withColumn("__cb", lsh_bucket(F.col(vec_col), dim, block_bits))
     b = b.withColumn("__bb", lsh_bucket(F.col("__bv"), dim, block_bits))
     if n_probes > 1:
-        # own bucket + single-bit flips: cheap bit arithmetic on an
-        # already-materialized int column, so a plain explode is fine
+        # explode_cheaply, not F.explode (CLAUDE.md rule — the alias
+        # substitution would re-evaluate lsh_bucket per generated row)
+        from pydala_spark.operators.dedup import explode_cheaply
+
         flips = F.array(
             F.col("__bb"),
             *[
@@ -475,7 +486,10 @@ def _semantic_bench_join(
                 for p in range(block_bits)
             ],
         )
-        b = b.withColumn("__bb", F.explode(F.slice(flips, 1, n_probes)))
+        b = explode_cheaply(
+            b.withColumn("__flips", flips).drop("__bb"),
+            F.col("__flips"), "__bb",
+        ).drop("__flips")
     return c.join(
         F.broadcast(b), (F.col("__cb") == F.col("__bb")) & cond, how
     ).drop("__cn", "__cb")

@@ -425,8 +425,6 @@ def q_lang_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row (label pinned value-identical by test) — the when()-fold's
     # re-embedded regex leaves made this corpus-wide family the
     # slowest bench entry (22 s -> ~3 s at sf0.1)
-    from pydala_spark.operators.textstats import lang_profile
-
     stop = (
         lang_profile(docs)
         .groupBy("lang", "lang_pred")

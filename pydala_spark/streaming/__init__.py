@@ -334,9 +334,20 @@ def streaming_neardup(
     everything already ingested). Store size is one row per (doc, band)
     — ``n_bands`` small rows per corpus doc, compact relative to the
     corpus; run :func:`~pydala_spark.dataset.maintain.compact` on it
-    periodically like any append-accreting dataset."""
+    periodically like any append-accreting dataset.
+
+    **At-least-once safety** (round-6 review): foreachBatch may REPLAY
+    an epoch after a crash, and the two appends (survivors, then their
+    band rows) are not atomic. The sink is idempotent by construction:
+    survivors write FIRST with an anti-join against the ids already in
+    ``out_path`` (a replayed batch appends nothing), and the band
+    append runs second — if the crash fell between the two, the replay
+    re-derives the same survivor set (their bands are still absent from
+    the store) and completes the missing band write; if both committed,
+    the replayed batch's docs collide with their own stored bands and
+    the epoch is a no-op end to end."""
     from pydala_spark.operators.dedup import (
-        explode_cheaply,
+        band_frame,
         lsh_candidate_pairs,
         minhash_signatures,
     )
@@ -344,28 +355,6 @@ def streaming_neardup(
 
     if shingle_size is None:
         shingle_size = 7 if shingle_mode == "char" else 3
-
-    def _bands(sigs: DataFrame) -> DataFrame:
-        sig_cols = sorted(
-            (c for c in sigs.columns if c.startswith("mh_")),
-            key=lambda c: int(c.split("_")[1]),
-        )
-        if seed:
-            shift = seed % len(sig_cols)
-            sig_cols = sig_cols[shift:] + sig_cols[:shift]
-        rows_per_band = len(sig_cols) // n_bands
-        arr = F.array(*[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.md5(F.concat_ws(
-                    "|", *sig_cols[b * rows_per_band:(b + 1) * rows_per_band]
-                )).alias("band_hash"),
-            )
-            for b in range(n_bands)
-        ])
-        return explode_cheaply(sigs, arr, "band").select(
-            id_col, "band.band_id", "band.band_hash"
-        )
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -377,7 +366,10 @@ def streaming_neardup(
             shingle_mode=shingle_mode,
         ).persist()
         try:
-            bands = _bands(sigs)
+            # SAME band construction as the batch pair stage — shared
+            # helper so the persisted store can never diverge on what a
+            # band hash is (round-6 review)
+            bands = band_frame(sigs, id_col, n_bands, seed=seed)
             # base on the BATCH ids, not the signature ids: a doc whose
             # text yields no shingles (NULL/empty) has no signature row,
             # cannot collide with anything, and must PASS THROUGH — an
@@ -400,13 +392,33 @@ def streaming_neardup(
                 seed=seed,
             )
             losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
-            final_ids = keep_ids.join(losers, id_col, "left_anti")
-            batch_df.join(final_ids, id_col, "left_semi").write.format(
-                format
-            ).mode("append").save(out_path)
-            _bands(sigs.join(final_ids, id_col, "left_semi")).write.mode(
-                "append"
-            ).parquet(state_path)
+            final_ids = keep_ids.join(losers, id_col, "left_anti").persist()
+            try:
+                # replay idempotence, asymmetric ON PURPOSE: the OUT
+                # write additionally anti-joins ids already written
+                # (never append a doc twice), while the BAND write keys
+                # on the full survivor set — after an out-committed/
+                # bands-missing crash the replay must still write the
+                # bands (the store semi-check upstream already makes
+                # fully-committed docs a no-op: they collide with their
+                # own stored bands and never reach final_ids)
+                out_ids = final_ids
+                out_ops = PathOps(spark, out_path)
+                if out_ops.data_files(out_path):
+                    out_ids = final_ids.join(
+                        spark.read.format(format).load(out_path)
+                        .select(id_col),
+                        id_col, "left_anti",
+                    )
+                batch_df.join(out_ids, id_col, "left_semi").write.format(
+                    format
+                ).mode("append").save(out_path)
+                band_frame(
+                    sigs.join(final_ids, id_col, "left_semi"),
+                    id_col, n_bands, seed=seed,
+                ).write.mode("append").parquet(state_path)
+            finally:
+                final_ids.unpersist()
         finally:
             sigs.unpersist()
 

@@ -347,3 +347,29 @@ def test_prep_documents_span_dedup_stage(spark):
             df, span_dedup=True, decontaminate_mode="winnowing",
             precomputed_fps=sidecar,
         )
+
+def test_materialize_signatures_append_params_guard(spark, tmp_path):
+    # round-6 review: appending under DIFFERENT hashing params would
+    # silently mix schemes in one sidecar — must fail loud
+    base = str(tmp_path / "apg")
+    df = _docs(spark)
+    materialize_signatures(spark, df, base, kinds=("winnowing",))
+    with pytest.raises(ValueError, match="mix"):
+        materialize_signatures(
+            spark, df, base, kinds=("winnowing",), winnowing_k=5,
+            mode="append",
+        )
+    # same params append is fine; overwrite with new params is fine
+    materialize_signatures(spark, df, base, kinds=("winnowing",),
+                           mode="append")
+    materialize_signatures(spark, df, base, kinds=("winnowing",),
+                           winnowing_k=5, mode="overwrite")
+    _, params = read_signatures(spark, base, "winnowing")
+    assert params["k"] == 5
+
+
+def test_precomputed_minhash_requires_near_dup(spark):
+    df = spark.createDataFrame([(1, "hello world")], ["doc_id", "text"])
+    sidecar = df.select("doc_id", F.lit("x").alias("mh_0"))
+    with pytest.raises(ValueError, match="precomputed_minhash"):
+        prep_documents(df, near_dup=False, precomputed_minhash=sidecar)
