@@ -256,6 +256,24 @@ def _cmd_pipeline(args) -> int:
     return 0
 
 
+def _cmd_profile(args) -> int:
+    """One-line JSON corpus health summary (operators.textstats.
+    corpus_profile) — the first look a cron/runbook takes at a new
+    crawl drop."""
+    if not args.source:
+        print("profile: --source is required", file=sys.stderr)
+        return 2
+    import json
+
+    from pydala_spark.operators.textstats import corpus_profile
+
+    spark = _session(args)
+    df = spark.read.format(args.format or "parquet").load(args.source)
+    row = corpus_profile(df, text_col=args.text_col).collect()[0]
+    print(json.dumps(row.asDict(), default=float))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="python -m pydala_spark.cli",
@@ -318,6 +336,14 @@ def build_parser() -> argparse.ArgumentParser:
     pl.add_argument("--report", action="store_true",
                     help="print per-stage survivor counts before writing")
     pl.set_defaults(func=_cmd_pipeline)
+
+    pf = sub.add_parser("profile", help="one-line JSON corpus health "
+                        "summary (volume, token distribution, dup-rate "
+                        "estimate)")
+    pf.add_argument("--source", default=None)
+    pf.add_argument("--format", default=None)
+    pf.add_argument("--text-col", dest="text_col", default="text")
+    pf.set_defaults(func=_cmd_profile)
     return ap
 
 

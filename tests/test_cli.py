@@ -174,3 +174,19 @@ def test_cli_pipeline_subprocess_smoke(spark, tmp_path):
     assert f"wrote {dest}" in proc.stdout
     ids = {r["doc_id"] for r in spark.read.parquet(dest).collect()}
     assert ids == {0, 1, 2, 3, 4, 5}  # exact dup 100 dropped
+
+def test_cli_profile_corpus_summary(spark, tmp_path, capsys):
+    # round 6: the corpus-health one-liner as a subcommand
+    import json
+
+    src = str(tmp_path / "pf_corpus")
+    spark.createDataFrame(
+        [(i, f"some document body {i} here") for i in range(8)]
+        + [(100, "some document body 0 here"), (200, "!!!")],
+        ["doc_id", "text"],
+    ).write.parquet(src)
+    assert main(["profile", "--source", src]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["n_docs"] == 10 and out["n_empty"] == 1
+    assert out["total_tokens"] == 9 * 5 + 1
+    assert main(["profile"]) == 2  # missing source

@@ -2165,3 +2165,43 @@ def test_corpus_profile_degenerate_corpora(spark):
     )
     p = corpus_profile(punct).collect()[0]
     assert p["n_empty"] == 2 and p["dup_rate_est"] == 0.0
+
+def test_duplicate_spans_randomized_fuzz(spark):
+    # round 6: 30 deterministic pseudo-random docs with planted shared
+    # passages at random offsets — the distributed pipeline must agree
+    # with the sequential reference on every doc (batched, one job)
+    import hashlib
+
+    def words(seed, n):
+        return " ".join(
+            hashlib.md5(f"{seed}|{j}".encode()).hexdigest()[:5]
+            for j in range(n)
+        )
+
+    shared_a = words("passage-a", 18)   # ~105 chars
+    shared_b = words("passage-b", 15)
+    texts = {}
+    for i in range(30):
+        h = hashlib.md5(f"doc|{i}".encode()).digest()
+        body = words(f"body|{i}", 25)
+        cut = (h[0] % 20) * 5
+        if i % 3 == 0:
+            texts[i] = body[:cut] + " " + shared_a + " " + body[cut:]
+        elif i % 3 == 1:
+            texts[i] = body[:cut] + " " + shared_b + " " + body[cut:]
+        else:
+            texts[i] = body
+    k, window, min_span, min_df = 20, 8, 50, 2
+    want = _py_duplicate_spans(texts, k, window, min_span, min_df)
+    from pydala_spark.operators.dedup import duplicate_spans
+
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    got = {}
+    for r in duplicate_spans(
+        df, "doc_id", k=k, window=window, min_span=min_span, min_df=min_df
+    ).collect():
+        got.setdefault(r["id"], []).append((r["span_start"], r["span_end"]))
+    got = {i: sorted(v) for i, v in got.items()}
+    assert got == want
+    # every shared-passage carrier is flagged; every pure-body doc is not
+    assert set(got) == {i for i in texts if i % 3 != 2}
