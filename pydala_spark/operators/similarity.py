@@ -163,7 +163,7 @@ def lsh_topk(
         )
         p = explode_cheaply(
             p.withColumn("__flips", flips).drop("bucket"),
-            F.col("__flips"), "bucket",
+            F.slice(F.col("__flips"), 1, n_probes), "bucket",
         ).drop("__flips")
     scored = (
         c.join(p, "bucket")
@@ -488,7 +488,7 @@ def _semantic_bench_join(
         )
         b = explode_cheaply(
             b.withColumn("__flips", flips).drop("__bb"),
-            F.col("__flips"), "__bb",
+            F.slice(F.col("__flips"), 1, n_probes), "__bb",
         ).drop("__flips")
     return c.join(
         F.broadcast(b), (F.col("__cb") == F.col("__bb")) & cond, how

@@ -571,3 +571,36 @@ def test_index_stats_health_report(spark, tmp_path):
     assert st["imbalance"] >= 1.0
     assert st["residual"] is True
     assert st["dim"] == 4 and st["m"] == 2
+
+def test_lsh_topk_n_probes_actually_limits_buckets(spark):
+    # round-6 regression pin: the explode_cheaply conversion once
+    # dropped the slice(flips, 1, n_probes), silently probing ALL
+    # bits+1 buckets — n_probes settings must produce different
+    # candidate sets
+    import hashlib
+
+    from pydala_spark.operators.similarity import lsh_topk
+
+    DIM = 8
+
+    def vec(seed):
+        h = hashlib.md5(f"l|{seed}".encode()).digest()
+        return [(b - 127.5) / 127.5 for b in h[:DIM]]
+
+    corpus = spark.createDataFrame(
+        [(i, vec(i)) for i in range(120)], ["vec_id", "embedding"]
+    )
+    probes = corpus.where(F.col("vec_id") < 8)
+    res = {}
+    for np_ in (1, 2, 5):
+        res[np_] = {
+            (r["probe_id"], r["neighbor_id"])
+            for r in lsh_topk(
+                corpus, probes, DIM, k=10, bits=4, n_probes=np_
+            ).collect()
+        }
+    # monotone recall AND strictly growing candidate exposure: if the
+    # slice were dead, all three sets would be identical
+    assert res[1] != res[5]
+    assert len(res[1] & res[5]) > 0
+    assert res[2] != res[5] or res[1] != res[2]

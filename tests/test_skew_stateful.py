@@ -501,3 +501,60 @@ def test_streaming_neardup_lsh(spark, tmp_path):
     store = spark.read.parquet(state)
     assert store.count() == 3 * 4
     assert set(store.columns) == {"doc_id", "band_id", "band_hash"}
+
+def test_streaming_neardup_replay_idempotence(spark, tmp_path):
+    # round-6 review: foreachBatch is at-least-once — replayed epochs
+    # (fresh checkpoint over the same files) must append NOTHING new,
+    # and an out-committed/bands-missing crash (simulated by deleting
+    # the store) must heal: bands rewritten, out unchanged
+    import hashlib
+    import shutil
+
+    from pydala_spark.streaming import streaming_neardup
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo "
+            "sierra tango uniform victor whiskey xray yankee zulu")
+
+    def distinct_doc(i):
+        return " ".join(
+            hashlib.md5(f"{i}|{j}".encode()).hexdigest()[:6]
+            for j in range(25)
+        )
+
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "ri_in")
+    for b in [[(1, base + " one"), (2, base + " two")],
+              [(3, distinct_doc(3))]]:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    out, state = str(tmp_path / "ri_out"), str(tmp_path / "ri_state")
+
+    def run(ckpt):
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        q = streaming_neardup(stream, out, state, checkpoint_dir=ckpt)
+        q.awaitTermination(120)
+
+    run(str(tmp_path / "ck1"))
+    rows1 = spark.read.parquet(out).collect()
+    assert {r["doc_id"] for r in rows1} == {1, 3}
+    n_state = spark.read.parquet(state).count()
+    assert n_state == 2 * 4
+
+    # full replay (fresh checkpoint, same files): nothing duplicates
+    run(str(tmp_path / "ck2"))
+    rows2 = spark.read.parquet(out).collect()
+    assert len(rows2) == len(rows1)
+    assert spark.read.parquet(state).count() == n_state
+
+    # crash window: out committed, bands lost -> replay heals the store
+    shutil.rmtree(state)
+    run(str(tmp_path / "ck3"))
+    rows3 = spark.read.parquet(out).collect()
+    assert len(rows3) == len(rows1)  # no duplicate out rows
+    healed = spark.read.parquet(state)
+    assert healed.count() == n_state  # bands fully rewritten
+    assert {r["doc_id"] for r in healed.select("doc_id").collect()} == {1, 3}
