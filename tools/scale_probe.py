@@ -268,6 +268,20 @@ def probe_ops(spark, path: str) -> dict[str, dict]:
             docs, "doc_id", "text", k=20, window=8, min_span=50
         ),
     )
+    # round 6: token-budgeted mixture — the bucketed per-domain prefix
+    # sum must stay linear (budget scaled with the corpus so the probe
+    # measures the prefix-sum machinery, not an early cutoff)
+    from pydala_spark.operators.sampling import token_budget_mixture
+
+    n_docs = docs.count()
+    timed(
+        "token_mixture",
+        lambda: token_budget_mixture(
+            docs.withColumn("__tok", F.size(F.split("text", r"\s+"))),
+            "doc_id", "source", "__tok",
+            budgets={}, default_budget=40 * n_docs,
+        ),
+    )
     return out
 
 
