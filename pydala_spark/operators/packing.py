@@ -131,6 +131,7 @@ def pack_sequences(
     sep: str = "\n\n",
     n_buckets: int | None = None,
     prepacked: bool = False,
+    with_offsets: bool = False,
 ) -> DataFrame:
     """Materialize one packed TRAINING SEQUENCE per shard: the shard's
     documents concatenated in ``order_col`` order with ``sep`` between
@@ -150,6 +151,13 @@ def pack_sequences(
     is the rare case where collect_list is safe at any corpus size.
     In-shard ordering is deterministic via array_sort over (key, text)
     structs, not collect_list arrival order.
+
+    ``with_offsets=True`` (round 6) additionally emits ``doc_offsets``
+    — each document's cumulative TOKEN start within its shard (in
+    concatenated-token space, separators excluded) — the
+    loss-masking/attention-reset boundary list a trainer needs to stop
+    attention bleeding across packed documents. A JVM ``aggregate``
+    fold over the already-sorted doc array; no extra pass.
     """
     if prepacked:
         packed = df
@@ -157,7 +165,27 @@ def pack_sequences(
         if token_col is None:
             raise ValueError("token_col is required unless prepacked=True")
         packed = pack_shards(df, token_col, order_col, target_tokens, n_buckets)
-    doc = F.struct(F.col(order_col).alias("k"), F.col(text_col).alias("t"))
+    doc = F.struct(
+        F.col(order_col).alias("k"),
+        F.col(text_col).alias("t"),
+        F.col("n_tokens").alias("n"),
+    )
+    extra = []
+    if with_offsets:
+        extra.append(
+            F.aggregate(
+                F.col("__docs"),
+                F.struct(
+                    F.lit(0).cast("long").alias("cur"),
+                    F.array().cast("array<bigint>").alias("arr"),
+                ),
+                lambda acc, d: F.struct(
+                    (acc["cur"] + d["n"]).alias("cur"),
+                    F.concat(acc["arr"], F.array(acc["cur"])).alias("arr"),
+                ),
+                lambda acc: acc["arr"],
+            ).alias("doc_offsets")
+        )
     return (
         packed.groupBy("shard_id")
         .agg(
@@ -174,6 +202,7 @@ def pack_sequences(
             F.array_join(
                 F.transform("__docs", lambda d: d["t"]), sep
             ).alias("seq_text"),
+            *extra,
         )
     )
 

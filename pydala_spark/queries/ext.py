@@ -1236,7 +1236,10 @@ def q_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sorted array ends) — joining shard_summary onto a second read of
     # `packed` would run the whole packing subplan twice
     return (
-        pack_sequences(packed, "text", "doc_id", 4096, prepacked=True)
+        pack_sequences(
+            packed, "text", "doc_id", 4096, prepacked=True,
+            with_offsets=True,
+        )
         .select(
             "shard_id",
             "n_docs",
@@ -1244,6 +1247,9 @@ def q_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("first_key").cast("long").alias("first_doc"),
             F.col("last_key").cast("long").alias("last_doc"),
             F.md5("seq_text").alias("seq_md5"),
+            # round 6: per-doc token-start boundaries (loss masking),
+            # stringified for the cross-engine compare
+            F.array_join("doc_offsets", ",").alias("offsets_str"),
         )
         .orderBy("shard_id")
     )
@@ -1267,8 +1273,17 @@ SELECT CAST(FLOOR(cum_before / 4096) AS BIGINT) AS shard_id,
        CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
        CAST(MIN(doc_id) AS BIGINT) AS first_doc,
        CAST(MAX(doc_id) AS BIGINT) AS last_doc,
-       MD5(STRING_AGG(text, chr(10) || chr(10) ORDER BY doc_id)) AS seq_md5
-FROM c
+       MD5(STRING_AGG(text, chr(10) || chr(10) ORDER BY doc_id)) AS seq_md5,
+       STRING_AGG(CAST(off AS VARCHAR), ',' ORDER BY doc_id) AS offsets_str
+FROM (
+  SELECT *,
+         CAST(SUM(n_tokens) OVER (
+              PARTITION BY CAST(FLOOR(cum_before / 4096) AS BIGINT)
+              ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tokens AS BIGINT) AS off
+  FROM c
+)
 GROUP BY 1 ORDER BY shard_id
 """
 

@@ -111,3 +111,33 @@ def test_pack_sequences_concatenates_in_order(spark):
     assert {(r["shard_id"], r["seq_text"]) for r in seqs2.collect()} == {
         (k, v["seq_text"]) for k, v in rows.items()
     }
+
+def test_pack_sequences_doc_offsets(spark):
+    # round 6: per-doc token-start boundaries within each packed
+    # sequence — the trainer's loss-masking/attention-reset list
+    from pydala_spark.operators.packing import pack_sequences
+
+    rows = [(1, "a b c", 3), (2, "d e", 2), (3, "f g h i", 4),
+            (4, "j", 1)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "tok"])
+    out = pack_sequences(
+        df, "text", "doc_id", target_tokens=5, token_col="tok",
+        with_offsets=True,
+    ).orderBy("shard_id").collect()
+    # shard 0: docs 1 (cum 0) + 2 (cum 3); shard 1: doc 3 (cum 5);
+    # shard 2: doc 4 (cum 9 -> shard 9//5=1? 9/5=1.8 -> shard 1)
+    by_shard = {r["shard_id"]: r for r in out}
+    assert list(by_shard[0]["doc_offsets"]) == [0, 3]
+    # doc 3 starts shard 1 at offset 0; doc 4 (cum_before 9) also
+    # lands in shard 1 and starts at token 4 within it
+    assert list(by_shard[1]["doc_offsets"]) == [0, 4]
+    # offsets align with n_docs and are strictly increasing
+    for r in out:
+        offs = list(r["doc_offsets"])
+        assert len(offs) == r["n_docs"]
+        assert offs == sorted(set(offs)) and offs[0] == 0
+    # default path unchanged: no doc_offsets column
+    plain = pack_sequences(
+        df, "text", "doc_id", target_tokens=5, token_col="tok"
+    )
+    assert "doc_offsets" not in plain.columns
