@@ -45,6 +45,7 @@ def prep_documents(
     benchmark: DataFrame | None = None,
     decontaminate_min_hits: int = 2,
     shard_tokens: int | None = None,
+    shard_bpe_merges: list | None = None,
     max_dup_ngram_frac: float | None = None,
     max_top_ngram_char_frac: float | None = None,
     blocked_hosts: list[str] | DataFrame | None = None,
@@ -89,7 +90,10 @@ def prep_documents(
     repetition-heavy docs dropped per the Gopher rules — and, when
     ``shard_tokens`` is set, packed into fixed-token-budget training
     shards (adds ``n_tokens``, ``cum_before`` and ``shard_id``; packing
-    runs after every filter so shards are gap-free).
+    runs after every filter so shards are gap-free; pass a
+    ``shard_bpe_merges`` table from :func:`~pydala_spark.operators.bpe.
+    train_bpe` to budget by LEARNED subword counts instead of
+    whitespace words).
 
     ``strip_markup=True`` converts HTML to text before any signal;
     ``paragraph_dedup=True`` additionally removes corpus-wide repeated
@@ -467,9 +471,19 @@ def prep_documents(
     # 6. training-shard packing over the surviving docs
     if shard_tokens is not None:
         from pydala_spark.operators.packing import pack_shards
-        from pydala_spark.operators.textstats import token_count
 
-        out = pack_shards(out, token_count(text_col), id_col, shard_tokens)
+        if shard_bpe_merges is not None:
+            # learned-vocabulary budgets (operators/bpe.py): shards
+            # sized by what a trained tokenizer would actually produce
+            # instead of whitespace word counts
+            from pydala_spark.operators.bpe import bpe_token_count
+
+            tok = bpe_token_count(text_col, shard_bpe_merges)
+        else:
+            from pydala_spark.operators.textstats import token_count
+
+            tok = token_count(text_col)
+        out = pack_shards(out, tok, id_col, shard_tokens)
     return out
 
 

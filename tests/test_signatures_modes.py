@@ -373,3 +373,33 @@ def test_precomputed_minhash_requires_near_dup(spark):
     sidecar = df.select("doc_id", F.lit("x").alias("mh_0"))
     with pytest.raises(ValueError, match="precomputed_minhash"):
         prep_documents(df, near_dup=False, precomputed_minhash=sidecar)
+
+def test_prep_documents_bpe_shard_budgets(spark):
+    # round 6: shard packing can budget by learned BPE subword counts
+    from pydala_spark.operators.bpe import bpe_token_count, train_bpe
+
+    rows = [
+        (i, f"doc number {i} says " + "the theater thesis there " * (2 + i))
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    merges = train_bpe(df, n_merges=20)
+    out = prep_documents(
+        df, min_quality=0, near_dup=False, shard_tokens=64,
+        shard_bpe_merges=merges,
+    )
+    got = {r["doc_id"]: r["n_tokens"] for r in out.collect()}
+    want = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", bpe_token_count("text", merges).alias("n")
+        ).collect()
+    }
+    assert got == want  # shard budgets use the BPE counts
+    ws = {
+        r["doc_id"]: r["n_tokens"]
+        for r in prep_documents(
+            df, min_quality=0, near_dup=False, shard_tokens=64
+        ).collect()
+    }
+    assert got != ws  # and they differ from whitespace counts
