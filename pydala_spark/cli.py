@@ -13,6 +13,7 @@ Two invocation styles, both per subcommand:
       python -m pydala_spark.cli repartition job.toml
       python -m pydala_spark.cli timefly add job.toml
       python -m pydala_spark.cli pipeline clean.toml
+      python -m pydala_spark.cli profile --source /lake/docs
 
   with the options under a ``[repartition]`` / ``[timefly]`` table
   (keys = the flag names below; ``"None"`` strings are nulls, matching

@@ -9,7 +9,7 @@ regardless of stream length.
 
 from __future__ import annotations
 
-from typing import Any, Iterable, Iterator, Tuple
+from typing import Any, Iterator, Tuple
 
 import pandas as pd
 
