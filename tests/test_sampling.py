@@ -284,3 +284,26 @@ def test_split_leakage_report_flags_cross_split_neardups(spark):
     assert (2, 3) in got  # the other cross pair of the triangle
     assert (1, 3) not in got  # same split -> not leakage
     assert all(4 not in pair for pair in got)
+
+def test_token_budget_mixture_bucket_count_invariance(spark):
+    # the bucketed per-domain prefix sum must be EXACTLY independent of
+    # n_buckets — the decomposition's core invariant (any dependence
+    # would mean bucket-major order != global order somewhere)
+    from pydala_spark.operators.sampling import token_budget_mixture
+
+    rows = [
+        (i, ["web", "code", "books"][i % 3], 5 + (i * 7) % 40)
+        for i in range(1, 151)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "domain", "tok"])
+    results = {}
+    for nb in (1, 7, 32):
+        out = token_budget_mixture(
+            df, "doc_id", "domain", "tok",
+            budgets={"web": 400, "code": 250}, default_budget=300,
+            n_buckets=nb,
+        )
+        results[nb] = sorted(
+            (r["doc_id"], r["cum_before"]) for r in out.collect()
+        )
+    assert results[1] == results[7] == results[32]
