@@ -844,6 +844,80 @@ def lm_perplexity_score(
     )
 
 
+def train_quality_classifier(
+    df: DataFrame,
+    label_col: str,
+    feature_cols: list[str],
+    sample_size: int = 10_000,
+    iterations: int = 300,
+    lr: float = 0.5,
+    l2: float = 1e-3,
+) -> dict:
+    """Train the logistic quality classifier :func:`classifier_score`
+    applies (round 6) — closing the loop the BPE/k-means codebooks
+    follow: TRAINING is driver-side over a bounded deterministic sample
+    (full-batch gradient descent is sequential; the "train offline,
+    freeze weights, score as column algebra" shipping model is exactly
+    what classifier_score documents), APPLICATION stays a zero-Python
+    map-side pass at any corpus size.
+
+    ``label_col`` is 0/1 (keep/drop, human or LLM labels);
+    ``feature_cols`` are numeric per-doc features (e.g.
+    :func:`quality_stats` columns). The sample is the ``sample_size``
+    rows with the smallest md5 over the stringified feature/label tuple
+    — RNG-free, re-runs train identical weights. Features standardize
+    internally; the returned weights are mapped BACK to raw feature
+    space, so they feed ``classifier_score`` directly::
+
+        model = train_quality_classifier(labeled, "keep", feats)
+        scored = classifier_score(
+            docs, [(F.col(k), w) for k, w in model["weights"].items()],
+            bias=model["bias"])
+
+    Returns ``{"weights": {col: w}, "bias": b, "n_sample": n}``.
+    """
+    import numpy as np
+
+    rows = (
+        df.select(label_col, *feature_cols)
+        .where(F.col(label_col).isNotNull())
+        .orderBy(
+            F.md5(F.concat_ws("|", *(
+                F.col(c).cast("string") for c in [label_col, *feature_cols]
+            ))),
+            *feature_cols,
+        )
+        .limit(sample_size)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("train_quality_classifier: no labeled rows")
+    y = np.array([float(r[label_col]) for r in rows])
+    x = np.array(
+        [[float(r[c] or 0.0) for c in feature_cols] for r in rows]
+    )
+    mean = x.mean(axis=0)
+    std = np.maximum(x.std(axis=0), 1e-9)
+    xs = (x - mean) / std
+    w = np.zeros(len(feature_cols))
+    b = 0.0
+    n = len(y)
+    for _ in range(int(iterations)):
+        z = xs @ w + b
+        p = 1.0 / (1.0 + np.exp(-np.clip(z, -30, 30)))
+        g = p - y
+        w -= lr * ((xs.T @ g) / n + l2 * w)
+        b -= lr * float(g.mean())
+    # back to raw feature space: w_raw = w/std, b_raw = b - sum(w*mean/std)
+    w_raw = w / std
+    b_raw = b - float((w * mean / std).sum())
+    return {
+        "weights": {c: float(wi) for c, wi in zip(feature_cols, w_raw)},
+        "bias": b_raw,
+        "n_sample": n,
+    }
+
+
 def classifier_score(
     df: DataFrame,
     weights,

@@ -2205,3 +2205,48 @@ def test_duplicate_spans_randomized_fuzz(spark):
     assert got == want
     # every shared-passage carrier is flagged; every pure-body doc is not
     assert set(got) == {i for i in texts if i % 3 != 2}
+
+def test_train_quality_classifier_end_to_end(spark):
+    # round 6: train on labeled quality features, score distributed —
+    # the trained raw-space weights must separate a linearly separable
+    # planted rule and reproduce deterministically
+    from pydala_spark.operators.textstats import (
+        classifier_score,
+        quality_stats,
+        train_quality_classifier,
+    )
+
+    good = [
+        (i, "a perfectly reasonable document with varied words and "
+            f"sensible sentence structure number {i} for training")
+        for i in range(40)
+    ]
+    bad = [(100 + i, "spam " * 2) for i in range(40)]
+    df = quality_stats(
+        spark.createDataFrame(good + bad, ["doc_id", "text"])
+    )
+    labeled = df.withColumn(
+        "keep", F.when(F.col("doc_id") < 100, 1).otherwise(0)
+    )
+    feats = ["q_tokens", "q_chars", "q_mean_token_len"]
+    model = train_quality_classifier(labeled, "keep", feats)
+    assert model["n_sample"] == 80
+    # deterministic retrain
+    assert model == train_quality_classifier(labeled, "keep", feats)
+    scored = classifier_score(
+        labeled,
+        [(F.col(k), w) for k, w in model["weights"].items()],
+        bias=model["bias"],
+    )
+    rows = scored.select("doc_id", "clf_logit").collect()
+    acc = sum(
+        1 for r in rows if (r["clf_logit"] > 0) == (r["doc_id"] < 100)
+    ) / len(rows)
+    assert acc >= 0.95
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="no labeled"):
+        train_quality_classifier(
+            labeled.where(F.lit(False)), "keep", feats
+        )
