@@ -535,6 +535,9 @@ def contamination_report(
     shingle_size: int = 3,
     min_hits: int = 1,
     shingle_mode: str = "word",
+    mode: str = "ngram",
+    winnowing_k: int = 8,
+    winnowing_window: int = 4,
 ) -> DataFrame:
     """Per-BENCHMARK-document leak audit (round 6) — the drop operators
     (:func:`decontaminate` et al.) answer "which corpus docs are dirty";
@@ -551,25 +554,49 @@ def contamination_report(
     scanned once — the equi-join on shingle emits only ACTUAL overlaps,
     so the pair aggregation shuffles rows bounded by the leak volume,
     not the corpus. Two exchanges (per-pair count, per-bench rollup).
+
+    ``mode="winnowing"`` audits with the MOSS robust fingerprints
+    instead of exact shingles (``winnowing_k``/``winnowing_window``) —
+    the edit-tolerant modality: a benchmark item copied with churned
+    punctuation/casing still counts toward its leak spread.
     """
-    c = (
-        explode_cheaply(
-            doc_shingles(corpus, id_col, text_col, shingle_size,
-                         mode=shingle_mode),
-            F.col("shs"), "key",
+    if mode not in ("ngram", "winnowing"):
+        raise ValueError(
+            f"mode={mode!r} (expected 'ngram' or 'winnowing')"
         )
-        .select(F.col("id").alias("corpus_id"), "key")
-        .distinct()
-    )
-    b = (
-        explode_cheaply(
-            doc_shingles(benchmark, id_col, text_col, shingle_size,
-                         mode=shingle_mode),
-            F.col("shs"), "key",
+    if mode == "winnowing":
+        from pydala_spark.operators.textstats import winnowing_fingerprints
+
+        def keys(frame, alias):
+            fps = winnowing_fingerprints(
+                frame, id_col, text_col,
+                k=winnowing_k, window=winnowing_window,
+            )
+            return explode_cheaply(fps, F.col("fps"), "key").select(
+                F.col("id").alias(alias), "key"
+            )
+
+        c = keys(corpus, "corpus_id")
+        b = keys(benchmark, "bench_id")
+    else:
+        c = (
+            explode_cheaply(
+                doc_shingles(corpus, id_col, text_col, shingle_size,
+                             mode=shingle_mode),
+                F.col("shs"), "key",
+            )
+            .select(F.col("id").alias("corpus_id"), "key")
+            .distinct()
         )
-        .select(F.col("id").alias("bench_id"), "key")
-        .distinct()
-    )
+        b = (
+            explode_cheaply(
+                doc_shingles(benchmark, id_col, text_col, shingle_size,
+                             mode=shingle_mode),
+                F.col("shs"), "key",
+            )
+            .select(F.col("id").alias("bench_id"), "key")
+            .distinct()
+        )
     pair = (
         c.join(F.broadcast(b), "key")
         .groupBy("bench_id", "corpus_id")

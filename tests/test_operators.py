@@ -2250,3 +2250,37 @@ def test_train_quality_classifier_end_to_end(spark):
         train_quality_classifier(
             labeled.where(F.lit(False)), "keep", feats
         )
+
+def test_contamination_report_winnowing_mode(spark):
+    # the edit-tolerant audit modality: a copy with every third word
+    # SUBSTITUTED breaks every word 3-gram but keeps >=11-char runs of
+    # original text, so winnowing still counts it toward the leak
+    # spread while exact shingles see only the verbatim copy
+    from pydala_spark.operators.dedup import contamination_report
+
+    q = ("considering the remarkable developments throughout "
+         "contemporary machine learning research communities "
+         "worldwide recently")
+    words = q.split()
+    hostile = " ".join(
+        "zz" if i % 3 == 2 else w for i, w in enumerate(words)
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, f"page one quoting {q} verbatim"),
+            (2, f"page two with {hostile} mangled"),
+            (3, "unrelated gardening content about soil and compost"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(500, q)], ["doc_id", "text"])
+    ng = {r["bench_id"]: r["n_docs"] for r in contamination_report(
+        corpus, bench, "doc_id", min_hits=2).collect()}
+    wn = {r["bench_id"]: r["n_docs"] for r in contamination_report(
+        corpus, bench, "doc_id", min_hits=2, mode="winnowing").collect()}
+    assert ng.get(500) == 1      # word shingles see only the verbatim copy
+    assert wn.get(500) == 2      # winnowing also counts the mangled copy
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="mode"):
+        contamination_report(corpus, bench, "doc_id", mode="bogus")
