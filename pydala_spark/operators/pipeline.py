@@ -53,6 +53,8 @@ def prep_documents(
     strip_markup: bool = False,
     paragraph_dedup: bool = False,
     paragraph_max_occurrences: int | None = None,
+    keep_langs: list | None = None,
+    drop_mixed: bool = False,
     span_dedup: bool = False,
     span_min_chars: int = 50,
     span_k: int = 20,
@@ -156,7 +158,7 @@ def prep_documents(
 
     Pass an empty dict as ``stage_frames`` to receive the intermediate
     DataFrame after each enabled stage (keys: input, blocklist,
-    paragraph_dedup, span_dedup, repetition, exact_dedup, near_dup,
+    paragraph_dedup, lang_filter, span_dedup, repetition, exact_dedup, near_dup,
     decontaminate, quality) — the hook :func:`pipeline_report` uses to count per-stage
     survivors without duplicating the stage logic."""
     if paragraph_max_occurrences is not None:
@@ -258,6 +260,24 @@ def prep_documents(
             )
         )
         _stage("paragraph_dedup", df)
+    if keep_langs is not None or drop_mixed:
+        # language routing (textstats.lang_profile): the standard
+        # web-pipeline stage — run AFTER markup strip (tags would skew
+        # the Latin count) and BEFORE any dedup/quality cost is paid on
+        # docs that will not ship. keep_langs filters on the two-stage
+        # label; drop_mixed additionally drops code-switch docs (the
+        # is_mixed rule) whose single label is unreliable either way.
+        from pydala_spark.operators.textstats import lang_profile
+
+        prof = lang_profile(df.select(id_col, text_col), text_col)
+        cond = F.lit(True)
+        if keep_langs is not None:
+            cond &= F.col("lang_pred").isin([str(x) for x in keep_langs])
+        if drop_mixed:
+            cond &= F.col("is_mixed") == 0
+        keep = prof.where(cond).select(id_col)
+        df = df.join(keep, id_col, "left_semi")
+        _stage("lang_filter", df)
     if span_dedup:
         # cross-document duplicated-SPAN removal (ExactSubstr/BFF-style,
         # dedup.remove_duplicate_spans) — like the paragraph stage it

@@ -403,3 +403,30 @@ def test_prep_documents_bpe_shard_budgets(spark):
         ).collect()
     }
     assert got != ws  # and they differ from whitespace counts
+
+def test_prep_documents_language_filter(spark):
+    # round 6: language routing in the flagship pipeline — keep_langs
+    # filters on the two-stage label, drop_mixed removes code-switch
+    # docs whose single label is unreliable
+    rows = [
+        (1, "the quick brown fox is definitely an english sentence here"),
+        (2, "le chat est sur la table pour le test dans ce cas present"),
+        (3, "это русский текст для проверки системы сегодня"),
+        (4, "machine learning 機械学習の手法と自然言語処理 is used 研究でも"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    frames = {}
+    out = prep_documents(
+        df, min_quality=0, near_dup=False, keep_langs=["en", "fr"],
+        stage_frames=frames,
+    )
+    kept = {r["doc_id"] for r in out.collect()}
+    assert 1 in kept and 2 in kept and 3 not in kept
+    assert "lang_filter" in frames
+    # doc 4 is mixed Latin+CJK: its label lands SOMEWHERE, but
+    # drop_mixed removes it regardless
+    strict = prep_documents(
+        df, min_quality=0, near_dup=False, keep_langs=["en", "fr"],
+        drop_mixed=True,
+    )
+    assert {r["doc_id"] for r in strict.collect()} == kept - {4}
