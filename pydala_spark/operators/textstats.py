@@ -431,7 +431,15 @@ def corpus_profile(
     return df.agg(
         F.count("*").alias("n_docs"),
         F.sum(tok).cast("long").alias("total_tokens"),
-        F.avg(tok).alias("mean_tokens"),
+        # explicit exact-sum / count (the board's average rule), not
+        # F.avg — the spelled-out division is what the DuckDB oracle
+        # family reproduces bit-for-bit. Denominator is ALL docs (a
+        # NULL-text doc is still a doc), where avg() would silently
+        # exclude them
+        (
+            F.sum(tok).cast("double")
+            / F.greatest(F.count("*"), F.lit(1)).cast("double")
+        ).alias("mean_tokens"),
         F.percentile_approx(tok, 0.5).cast("long").alias("p50_tokens"),
         F.percentile_approx(tok, 0.95).cast("long").alias("p95_tokens"),
         F.count_if(fp.isNull()).alias("n_empty"),

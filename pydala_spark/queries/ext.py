@@ -836,9 +836,20 @@ def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _fp("text").alias("fp"),
         _fp(nfc_normalize("text")).alias("fp_nfc"),
     )
+    # corpus family (round 6): corpus_profile's EXACT sub-metrics
+    # (the sketch columns stay pytest-pinned — HLL/t-digest estimates
+    # differ across engines by design, like q_approx_distinct)
+    from pydala_spark.operators.textstats import corpus_profile
+
+    corpus = corpus_profile(docs).select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "total_tokens",
+        "mean_tokens",
+        F.col("n_empty").cast("long").alias("n_empty"),
+    )
     return _tagged_union(
         [("exact", exact), ("para", para), ("uni", uni),
-         ("unidedup", unidedup), ("nfc", nfc)]
+         ("unidedup", unidedup), ("nfc", nfc), ("corpus", corpus)]
     )
 
 
@@ -857,14 +868,18 @@ SELECT 'exact' AS family, MIN(fp) AS fp, MIN(doc_id) AS doc_id,
        COUNT(*) AS n_dups, CAST(NULL AS BIGINT) AS para_doc_id,
        CAST(NULL AS VARCHAR) AS text_md5, CAST(NULL AS BIGINT) AS n_paras,
        CAST(NULL AS BIGINT) AS n_kept,
-       CAST(NULL AS BIGINT) AS n_tokens, CAST(NULL AS VARCHAR) AS fp_nfc
+       CAST(NULL AS BIGINT) AS n_tokens, CAST(NULL AS VARCHAR) AS fp_nfc,
+       CAST(NULL AS BIGINT) AS n_docs, CAST(NULL AS BIGINT) AS total_tokens,
+       CAST(NULL AS DOUBLE) AS mean_tokens, CAST(NULL AS BIGINT) AS n_empty
 FROM (SELECT doc_id, {_fp_sql()} AS fp FROM documents)
 GROUP BY COALESCE(fp, chr(0) || 'id:' || doc_id)
 UNION ALL
 SELECT 'para', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
        CAST(NULL AS BIGINT), d.doc_id,
        MD5(COALESCE(reb.t, '')), COALESCE(tot.n_paras, 0),
-       COALESCE(reb.n_kept, 0), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+       COALESCE(reb.n_kept, 0), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+       CAST(NULL AS BIGINT) AS n_docs, CAST(NULL AS BIGINT) AS total_tokens,
+       CAST(NULL AS DOUBLE) AS mean_tokens, CAST(NULL AS BIGINT) AS n_empty
 FROM documents d
 LEFT JOIN tot ON d.doc_id = tot.doc_id
 LEFT JOIN reb ON d.doc_id = reb.doc_id
@@ -874,20 +889,38 @@ SELECT 'uni', {_fp_sql()}, doc_id, CAST(NULL AS BIGINT),
        CAST(NULL AS BIGINT),
        LEN(list_filter(string_split_regex(lower(text),
            '[^\\p{{L}}\\p{{N}}'']+'), x -> x <> '')),
-       CAST(NULL AS VARCHAR)
+       CAST(NULL AS VARCHAR),
+       CAST(NULL AS BIGINT) AS n_docs, CAST(NULL AS BIGINT) AS total_tokens,
+       CAST(NULL AS DOUBLE) AS mean_tokens, CAST(NULL AS BIGINT) AS n_empty
 FROM {{UNI_VALUES}}
 UNION ALL
 SELECT 'unidedup', MIN(fp), MIN(doc_id), COUNT(*),
        CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
-       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+       CAST(NULL AS BIGINT) AS n_docs, CAST(NULL AS BIGINT) AS total_tokens,
+       CAST(NULL AS DOUBLE) AS mean_tokens, CAST(NULL AS BIGINT) AS n_empty
 FROM (SELECT doc_id, {_fp_sql()} AS fp FROM {{UNI_VALUES}})
 GROUP BY COALESCE(fp, chr(0) || 'id:' || doc_id)
 UNION ALL
 SELECT 'nfc', {_fp_sql()}, doc_id, CAST(NULL AS BIGINT),
        CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
        CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-       {_fp_sql('nfc_normalize(text)')}
+       {_fp_sql('nfc_normalize(text)')},
+       CAST(NULL AS BIGINT) AS n_docs, CAST(NULL AS BIGINT) AS total_tokens,
+       CAST(NULL AS DOUBLE) AS mean_tokens, CAST(NULL AS BIGINT) AS n_empty
 FROM {{NFC_VALUES}}
+UNION ALL
+SELECT 'corpus', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS VARCHAR),
+       COUNT(*), CAST(SUM(tk) AS BIGINT),
+       CAST(SUM(tk) AS DOUBLE) / CAST(GREATEST(COUNT(*), 1) AS DOUBLE),
+       COUNT(*) FILTER (WHERE fp IS NULL)
+FROM (SELECT {_fp_sql()} AS fp,
+             LEN(list_filter(string_split_regex(TRIM(text), '\\s+'),
+                 x -> x <> '')) AS tk
+      FROM documents)
 """.replace("{UNI_VALUES}", _uni_docs_values()).replace(
     "{NFC_VALUES}",
     "(VALUES "
