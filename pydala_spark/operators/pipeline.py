@@ -267,16 +267,34 @@ def prep_documents(
         # docs that will not ship. keep_langs filters on the two-stage
         # label; drop_mixed additionally drops code-switch docs (the
         # is_mixed rule) whose single label is unreliable either way.
-        from pydala_spark.operators.textstats import lang_profile
+        # lang_profile is pure projection, so the filter runs IN-LINE
+        # on the same pass (a semi-join of a derived profile would
+        # re-execute every upstream stage as a self-join — r6 review).
+        from pydala_spark.operators.textstats import (
+            SCRIPT_RANGES,
+            STOPWORDS,
+            lang_profile,
+        )
 
-        prof = lang_profile(df.select(id_col, text_col), text_col)
+        if keep_langs is not None:
+            known = set(SCRIPT_RANGES) | set(STOPWORDS) | {"other"}
+            keep_langs = [str(x).lower() for x in keep_langs]
+            bad = sorted(set(keep_langs) - known)
+            if bad or not keep_langs:
+                # an unknown code (or empty list) matches zero labels
+                # and would silently drop the entire corpus
+                raise ValueError(
+                    f"keep_langs: unknown language code(s) {bad or '[]'} "
+                    f"— known labels: {sorted(known)}"
+                )
+        cols = df.columns
+        prof = lang_profile(df, text_col)
         cond = F.lit(True)
         if keep_langs is not None:
-            cond &= F.col("lang_pred").isin([str(x) for x in keep_langs])
+            cond &= F.col("lang_pred").isin(keep_langs)
         if drop_mixed:
             cond &= F.col("is_mixed") == 0
-        keep = prof.where(cond).select(id_col)
-        df = df.join(keep, id_col, "left_semi")
+        df = prof.where(cond).select(*cols)
         _stage("lang_filter", df)
     if span_dedup:
         # cross-document duplicated-SPAN removal (ExactSubstr/BFF-style,

@@ -886,9 +886,16 @@ def train_quality_classifier(
     """
     import numpy as np
 
+    # train under the SAME NULL semantics the apply path has:
+    # classifier_score propagates a NULL feature to a NULL logit, so a
+    # NULL-feature row must not silently train as an all-zero vector
+    # (r6 review) — it is excluded here and will score NULL downstream
+    notnull = F.lit(True)
+    for c in feature_cols:
+        notnull &= F.col(c).isNotNull()
     rows = (
         df.select(label_col, *feature_cols)
-        .where(F.col(label_col).isNotNull())
+        .where(F.col(label_col).isNotNull() & notnull)
         .orderBy(
             F.md5(F.concat_ws("|", *(
                 F.col(c).cast("string") for c in [label_col, *feature_cols]
@@ -901,9 +908,7 @@ def train_quality_classifier(
     if not rows:
         raise ValueError("train_quality_classifier: no labeled rows")
     y = np.array([float(r[label_col]) for r in rows])
-    x = np.array(
-        [[float(r[c] or 0.0) for c in feature_cols] for r in rows]
-    )
+    x = np.array([[float(r[c]) for c in feature_cols] for r in rows])
     mean = x.mean(axis=0)
     std = np.maximum(x.std(axis=0), 1e-9)
     xs = (x - mean) / std

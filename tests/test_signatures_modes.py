@@ -430,3 +430,17 @@ def test_prep_documents_language_filter(spark):
         drop_mixed=True,
     )
     assert {r["doc_id"] for r in strict.collect()} == kept - {4}
+
+def test_prep_documents_keep_langs_validation(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox is definitely an english sentence")],
+        ["doc_id", "text"],
+    )
+    with pytest.raises(ValueError, match="keep_langs"):
+        prep_documents(df, keep_langs=["eng"])  # unknown code
+    with pytest.raises(ValueError, match="keep_langs"):
+        prep_documents(df, keep_langs=[])  # silently-empty corpus trap
+    # case-normalized: "EN" works
+    out = prep_documents(df, min_quality=0, near_dup=False,
+                         keep_langs=["EN"])
+    assert out.count() == 1
