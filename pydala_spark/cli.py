@@ -248,11 +248,32 @@ def _cmd_pipeline(args) -> int:
         if bench_path else None
     )
     if report:
-        counts = pipeline_report(df, benchmark=bench, **opts)
-        for stage, n in counts.items():
-            print(f"{stage}: {n}")
-    out = prep_documents(df, benchmark=bench, **opts)
-    out.write.format(dest_fmt).mode(mode).save(dest)
+        # ONE lazy program serves both the per-stage counts and the
+        # final write (round-6 advice: the old spelling ran the whole
+        # pipeline twice). Each stage frame is persisted just before its
+        # count and released once the next stage's count has built on
+        # top of it — every stage computes exactly once, at most two
+        # stage caches are live at any moment, and the write reuses the
+        # last cached stage's plan subtree instead of re-running the
+        # lineage from the scan.
+        stages: dict = {}
+        out = prep_documents(df, benchmark=bench, stage_frames=stages,
+                             **opts)
+        prev = None
+        try:
+            for stage, frame in stages.items():
+                frame.persist()
+                print(f"{stage}: {frame.count()}")
+                if prev is not None:
+                    prev.unpersist()
+                prev = frame
+            out.write.format(dest_fmt).mode(mode).save(dest)
+        finally:
+            if prev is not None:
+                prev.unpersist()
+    else:
+        out = prep_documents(df, benchmark=bench, **opts)
+        out.write.format(dest_fmt).mode(mode).save(dest)
     print(f"pipeline: wrote {dest}")
     return 0
 

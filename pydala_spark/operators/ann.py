@@ -820,10 +820,18 @@ def index_stats(spark, path: str) -> dict:
     corpus, stale codebook after drift) silently turns an n_probes=8
     search into a near-full scan. Returns::
 
-        {"n_cells", "n_vectors", "min_cell", "max_cell", "avg_cell",
+        {"n_cells", "n_vectors", "min_cell", "max_cell",
+         "avg_cell",             # n_vectors / n_cells (ALL centroids)
+         "avg_occupied_cell",    # n_vectors / occupied cells only
          "imbalance",            # max_cell / avg_cell — 1.0 is perfect
          "empty_cells",          # centroids that attract nothing
          "residual", "dim", "m"} # how the codes were built (sidecar)
+
+    ``avg_cell`` (and hence ``imbalance``) divides by ALL centroids, so
+    a codebook where half the cells are empty reads as imbalance ≈ 2×
+    even if the occupied cells are even — empty cells ARE skew (probes
+    that land on them scan nothing while hot cells absorb their mass).
+    ``avg_occupied_cell`` is the per-occupied-cell mean for sizing.
 
     Cost: ONE count aggregation over the cell partition column (parquet
     scans count from footer metadata — no code columns are read), plus
@@ -836,14 +844,15 @@ def index_stats(spark, path: str) -> dict:
     n_vec = int(sum(counts))
     n_cells_used = len(counts)
     n_cells = int(cents.shape[0])
-    avg = n_vec / max(n_cells_used, 1)
+    avg = n_vec / max(n_cells, 1)
     return {
         "n_cells": n_cells,
         "n_vectors": n_vec,
         "min_cell": int(min(counts)) if counts else 0,
         "max_cell": int(max(counts)) if counts else 0,
         "avg_cell": avg,
-        "imbalance": (max(counts) / avg) if counts else 0.0,
+        "avg_occupied_cell": n_vec / max(n_cells_used, 1),
+        "imbalance": (max(counts) / avg) if counts and avg else 0.0,
         "empty_cells": n_cells - n_cells_used,
         "residual": residual,
         "dim": int(cents.shape[1]),

@@ -210,6 +210,19 @@ def prep_documents(
             "near-dup stage disabled the sidecar would be silently "
             "ignored (same rule as precomputed_fps)"
         )
+    if precomputed_fps is not None and benchmark is None:
+        raise ValueError(
+            "precomputed_fps requires a benchmark — without one the "
+            "decontamination stage never runs and the sidecar would be "
+            "silently ignored (same loud-fail rule as the other "
+            "precomputed mismatches)"
+        )
+    if near_dup_mode != "greedy" and not near_dup:
+        raise ValueError(
+            "near_dup_mode requires near_dup=True — with the near-dup "
+            "stage disabled the mode selection would be silently ignored "
+            "(same rule as near_dup_score_col)"
+        )
 
     def _stage(name: str, frame: DataFrame) -> None:
         if stage_frames is not None:

@@ -192,7 +192,12 @@ def token_budget_mixture(
     with_b = (
         df.withColumn("__ord", ordk)
         .withColumn("__bucket", bucket)
-        .withColumn("n_tokens", tok.cast("long"))
+        # NULL token counts would make cum_before NULL — dropped in
+        # budgeted domains (NULL < budget is NULL) yet kept in uncapped
+        # ones, and invisible to the prefix sums. Coalesce to 0 so the
+        # keep/drop contract is uniform: a NULL-count doc costs nothing
+        # against the budget and is kept wherever its hash order falls.
+        .withColumn("n_tokens", F.coalesce(tok.cast("long"), F.lit(0)))
     )
     local = with_b.withColumn(
         "__local",

@@ -216,12 +216,20 @@ def _buffered_semantic_dedup(
     pending timestamp so quiet cells drain."""
     from pyspark.sql import functions as F
 
-    keyed = stream_df.select(
-        F.element_at(assign(F.col(vec_col)), 1).alias("cell"),
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).cast("array<double>").alias("__vec"),
-        F.col(event_time_col).cast("timestamp").alias("__ts"),
-    ).withWatermark("__ts", watermark_delay)
+    keyed = (
+        stream_df.select(
+            F.element_at(assign(F.col(vec_col)), 1).alias("cell"),
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).cast("array<double>").alias("__vec"),
+            F.col(event_time_col).cast("timestamp").alias("__ts"),
+        )
+        # a NULL event time (NaT) would convert via astype('int64') to
+        # int64-min and flush immediately ahead of its cohort, silently
+        # bypassing the smallest-id ordering — drop it like Spark's own
+        # watermark operators drop null-event-time rows
+        .where(F.col("__ts").isNotNull())
+        .withWatermark("__ts", watermark_delay)
+    )
 
     def update(
         key: Tuple[Any, ...],

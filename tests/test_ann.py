@@ -569,6 +569,12 @@ def test_index_stats_health_report(spark, tmp_path):
     assert 0 <= st["empty_cells"] < 3
     assert st["min_cell"] >= 1 and st["max_cell"] <= 90
     assert st["imbalance"] >= 1.0
+    # round-7 advice: avg_cell divides by ALL centroids (empty cells
+    # are skew), avg_occupied_cell by occupied ones only
+    assert st["avg_cell"] == 90 / st["n_cells"]
+    occupied = st["n_cells"] - st["empty_cells"]
+    assert st["avg_occupied_cell"] == 90 / occupied
+    assert st["imbalance"] == st["max_cell"] / st["avg_cell"]
     assert st["residual"] is True
     assert st["dim"] == 4 and st["m"] == 2
 

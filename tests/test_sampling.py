@@ -260,6 +260,30 @@ def test_token_budget_mixture_recipe(spark):
     with _pt.raises(ValueError, match="budget"):
         token_budget_mixture(df, "doc_id", "domain", "tok", {"web": -1})
 
+
+def test_token_budget_mixture_null_tokens_uniform(spark):
+    # round-7 advice: NULL token counts used to make cum_before NULL —
+    # dropped in budgeted domains (NULL < budget is NULL) yet kept in
+    # uncapped ones, and invisible to the prefix sums. Now coalesced to
+    # 0: kept everywhere, costing nothing against the budget.
+    from pydala_spark.operators.sampling import token_budget_mixture
+
+    rows = [
+        (1, "web", 100), (2, "web", None), (3, "web", 100),
+        (4, "code", None), (5, "code", 50),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, tok long")
+    out = token_budget_mixture(
+        df, "doc_id", "domain", "tok",
+        budgets={"web": 10_000}, default_budget=None,
+    ).collect()
+    assert {r["doc_id"] for r in out} == {1, 2, 3, 4, 5}
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[2]["n_tokens"] == 0 and by_id[4]["n_tokens"] == 0
+    # prefix sums stay non-null and the NULL doc contributes nothing
+    assert all(r["cum_before"] is not None for r in out)
+    assert sum(r["n_tokens"] for r in out if r["domain"] == "web") == 200
+
 def test_split_leakage_report_flags_cross_split_neardups(spark):
     # round 6: near-dup pairs straddling the split boundary are the
     # leakage audit's output; same-split near-dups and cross-split

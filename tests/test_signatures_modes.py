@@ -249,6 +249,13 @@ def test_prep_documents_mode_validation(spark):
         )
     with pytest.raises(ValueError, match="winnowing"):
         prep_documents(df, precomputed_fps=sidecar)  # mode left ngram
+    # round-7 advice: the remaining silent-ignore gaps now raise too
+    with pytest.raises(ValueError, match="requires a benchmark"):
+        prep_documents(
+            df, decontaminate_mode="winnowing", precomputed_fps=sidecar
+        )
+    with pytest.raises(ValueError, match="near_dup_mode requires"):
+        prep_documents(df, near_dup=False, near_dup_mode="cluster")
 
 def test_prep_documents_embedding_mode_blocked(spark):
     # round 6: the LSH-blocking knobs reach the pipeline's embedding

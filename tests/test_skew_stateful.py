@@ -430,6 +430,58 @@ def test_streaming_semantic_dedup_out_of_order_buffered(spark, tmp_path):
     assert 91 not in streamed
 
 
+def test_streaming_semantic_dedup_buffered_drops_null_event_time(
+    spark, tmp_path
+):
+    # round-7 advice: a NULL event timestamp (NaT) used to convert via
+    # astype('int64') to int64-min — always watermark-eligible, flushing
+    # ahead of its cohort and bypassing the smallest-id ordering. Such
+    # rows are now dropped in the keyed projection, matching how Spark's
+    # own watermark operators treat null event times.
+    import datetime as dt
+
+    from pydala_spark.streaming.stateful import streaming_semantic_dedup
+
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    schema = "vec_id long, embedding array<double>, evt timestamp"
+    src = str(tmp_path / "nullts_in")
+    batches = [
+        [(50, [10.0, 0.3, 0.0], None),             # NULL evt -> dropped
+         (1, [10.0, 0.2, 0.0], ts(1))],
+        [(90, [10.0, 0.0, -9.9], ts(100))],        # watermark push
+        [(91, [10.0, 0.5, -9.8], ts(101))],        # flush trigger
+    ]
+    for b in batches:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    out_dir = str(tmp_path / "nullts_out")
+    q = (
+        streaming_semantic_dedup(
+            stream, cents, threshold=0.9,
+            event_time_col="evt", watermark_delay="10 seconds",
+        )
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "nullts_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {r["id"] for r in spark.read.parquet(out_dir).collect()}
+    assert 50 not in streamed        # null-ts row never emitted
+    assert 1 in streamed             # its timestamped cohort flushes
+
+
 def test_streaming_semantic_dedup_buffered_knob_validation(spark):
     from pydala_spark.streaming.stateful import streaming_semantic_dedup
 
