@@ -432,6 +432,8 @@ def materialize_signatures(
     shingle_size: int = 3,
     seed: int = 0,
     shingle_mode: str = "word",
+    span_k: int = 20,
+    span_window: int = 8,
     mode: str = "overwrite",
 ) -> dict[str, str]:
     """Persist per-document dedup/decontamination signatures as sidecar
@@ -442,13 +444,31 @@ def materialize_signatures(
     a winnowing lineage per consumer; materialization is the production
     pattern, now one call instead of a docstring).
 
-    ``kinds`` ⊆ {"winnowing", "minhash"}:
+    ``kinds`` ⊆ {"winnowing", "minhash", "spans"}:
 
     - ``winnowing`` → ``(id, fps)`` from :func:`~pydala_spark.operators.
       textstats.winnowing_fingerprints` (k/window knobs);
     - ``minhash`` → ``(id_col, mh_0..mh_{n-1})`` from :func:`~pydala_
       spark.operators.dedup.minhash_signatures` (n_hashes / shingle /
-      seed knobs).
+      seed knobs);
+    - ``spans`` (round 7) → ``(id, fp, pos, len)`` from :func:`~pydala_
+      spark.operators.dedup.span_fingerprints` (span_k / span_window
+      knobs) — the POSITIONAL table sub-document span dedup needs; one
+      row per char window (the honest cost of the modality — this is
+      the engine's most expensive hashing pass, which is exactly why it
+      belongs at ingest, not in every sweep). ``min_df``/``min_span``
+      are deliberately NOT baked in: the document-frequency count runs
+      per sweep on the sidecar.
+
+    Every kind's ``_params.json`` additionally records a content marker
+    (``content_rows`` + ``content_xor`` — xor of ``xxhash64(id,
+    octet_length(text))``, ONE narrow aggregate): any out-of-band
+    mutation of the corpus (an upsert, a ``remove_duplicate_spans``
+    rewrite) changes it, and :func:`read_signatures` can re-verify the
+    marker against the live dataset so a stale sidecar fails LOUD
+    instead of silently reporting zero overlaps. Appends fold in (xor
+    is associative; rows add), so incremental ingest keeps the marker
+    exact without rescanning history.
 
     Each kind lands at ``<path>/_signatures/<kind>`` with a
     ``_params.json`` sidecar recording the exact hashing parameters;
@@ -467,10 +487,23 @@ def materialize_signatures(
 
     from pydala_spark.utils.pathops import PathOps, strip_scheme
 
+    from pyspark.sql import functions as F
+
     configure_session(spark)
     base = strip_scheme(path).rstrip("/")
     po = PathOps(spark, base)
     out: dict[str, str] = {}
+    # ONE narrow aggregate over (id, octet_length(text)) shared by every
+    # kind — the content marker read_signatures verifies against
+    marker_row = df.agg(
+        F.count("*").alias("rows"),
+        F.coalesce(
+            F.bit_xor(F.xxhash64(F.col(id_col), F.octet_length(text_col))),
+            F.lit(0),
+        ).alias("xor"),
+    ).collect()[0]
+    marker = {"content_rows": int(marker_row["rows"]),
+              "content_xor": int(marker_row["xor"])}
     for kind in kinds:
         target = posixpath.join(base, SIGNATURES_DIR, kind)
         if kind == "winnowing":
@@ -496,18 +529,34 @@ def materialize_signatures(
                 "n_hashes": n_hashes, "shingle_size": shingle_size,
                 "seed": seed, "shingle_mode": shingle_mode,
             }
+        elif kind == "spans":
+            from pydala_spark.operators.dedup import span_fingerprints
+
+            sigs = span_fingerprints(
+                df, id_col, text_col, k=span_k, window=span_window
+            )
+            params = {
+                "kind": kind, "id_col": id_col, "text_col": text_col,
+                "k": span_k, "window": span_window,
+            }
         else:
             raise ValueError(
                 f"materialize_signatures: unknown kind {kind!r} "
-                "(expected 'winnowing' or 'minhash')"
+                "(expected 'winnowing', 'minhash' or 'spans')"
             )
+        kind_marker = dict(marker)
         params_path = posixpath.join(target, "_params.json")
         if mode == "append" and po.exists(params_path):
             # an append under DIFFERENT hashing params would silently
             # mix schemes in one sidecar and then overwrite the params
             # record — defeating read_signatures' guard (round-6
-            # review). Fail loud instead.
+            # review). Fail loud instead. The content marker is NOT a
+            # hashing param: appends fold it in (rows add, xor xors).
             existing = _json.loads(po.read_text(params_path))
+            prior_marker = {
+                "content_rows": existing.pop("content_rows", 0),
+                "content_xor": existing.pop("content_xor", 0),
+            }
             if existing != params:
                 raise ValueError(
                     f"materialize_signatures({kind}): append params "
@@ -516,10 +565,17 @@ def materialize_signatures(
                     "re-materialize with mode='overwrite' or match the "
                     "recorded params"
                 )
+            kind_marker = {
+                "content_rows": prior_marker["content_rows"]
+                + marker["content_rows"],
+                "content_xor": prior_marker["content_xor"]
+                ^ marker["content_xor"],
+            }
         sigs.write.mode(mode).parquet(target)
         po.write_text(
             posixpath.join(target, "_params.json"),
-            _json.dumps(params, indent=2, sort_keys=True),
+            _json.dumps({**params, **kind_marker},
+                        indent=2, sort_keys=True),
         )
         out[kind] = target
     return out
@@ -530,6 +586,7 @@ def read_signatures(
     path: str,
     kind: str,
     expect: dict | None = None,
+    verify_against: DataFrame | None = None,
 ) -> tuple[DataFrame, dict]:
     """Load a :func:`materialize_signatures` sidecar → ``(frame,
     params)``. ``expect`` pins parameters the consumer depends on (e.g.
@@ -537,7 +594,18 @@ def read_signatures(
     expected one raises instead of silently joining fingerprints hashed
     under a different scheme (the mismatch would not error downstream —
     it would just find zero overlaps, which is indistinguishable from a
-    clean corpus)."""
+    clean corpus).
+
+    ``verify_against`` (round 7) closes the CONTENT half of that same
+    failure mode: pass the live corpus frame and the sidecar's recorded
+    content marker (row count + xor of ``xxhash64(id,
+    octet_length(text))``) is re-verified against it — an out-of-band
+    text mutation (upsert, span-dedup rewrite, manual fix-up) raises
+    here instead of producing a clean-looking empty decon result. Cost:
+    ONE narrow aggregate over (id, text-length); same-length in-place
+    character edits are the one blind spot (re-materialize after any
+    deliberate text surgery — the pipeline's own text-mutating stages
+    already refuse precomputed signatures outright)."""
     import json as _json
 
     from pydala_spark.utils.pathops import PathOps, strip_scheme
@@ -559,5 +627,38 @@ def read_signatures(
                 f"read_signatures({kind}): sidecar params disagree with "
                 f"expectation: {bad} (recorded, expected) — re-materialize "
                 "with the consumer's parameters"
+            )
+    if verify_against is not None:
+        from pyspark.sql import functions as F
+
+        if "content_rows" not in params:
+            raise ValueError(
+                f"read_signatures({kind}): sidecar predates content "
+                "markers (round 7) — re-materialize to enable staleness "
+                "verification, or pass verify_against=None"
+            )
+        live = verify_against.agg(
+            F.count("*").alias("rows"),
+            F.coalesce(
+                F.bit_xor(
+                    F.xxhash64(
+                        F.col(params["id_col"]),
+                        F.octet_length(params["text_col"]),
+                    )
+                ),
+                F.lit(0),
+            ).alias("xor"),
+        ).collect()[0]
+        if (int(live["rows"]) != params["content_rows"]
+                or int(live["xor"]) != params["content_xor"]):
+            raise ValueError(
+                f"read_signatures({kind}): STALE sidecar — live dataset "
+                f"content marker (rows={int(live['rows'])}, "
+                f"xor={int(live['xor'])}) disagrees with the recorded "
+                f"(rows={params['content_rows']}, "
+                f"xor={params['content_xor']}); the corpus text mutated "
+                "since materialization (upsert / span rewrite?) and the "
+                "signatures would silently report zero overlaps — "
+                "re-materialize before the sweep"
             )
     return spark.read.parquet(target), params

@@ -902,6 +902,61 @@ def split_leakage_report(
     )
 
 
+def span_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 20,
+    window: int = 8,
+) -> DataFrame:
+    """The hashing half of :func:`duplicate_spans` (round 7), split out
+    so it can be materialized ONCE at ingest as a signature sidecar
+    (:func:`~pydala_spark.dataset.maintain.materialize_signatures`
+    ``kinds=("spans",)``) — per-char-window hashing is the single most
+    expensive pass in the engine, and every ``span_dedup`` sweep used to
+    replay it over the full corpus text.
+
+    Returns ``(id, fp, pos, len)``: one row per character window, where
+    ``fp`` is ``xxhash64`` of the window's winnowing-selected minimum
+    md5 ``k``-gram (the 64-bit narrowing changes NO grouping — selection
+    happens on the md5 strings first, and fingerprint identity across
+    copies survives any deterministic mapping; it does make the
+    fingerprint-keyed shuffle and the persisted sidecar 4× narrower than
+    32-char hex), ``pos`` the window's 1-based char offset and ``len``
+    the doc's char length (denormalized so consumers never re-join the
+    corpus for boundary clamping)."""
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    n_grams = F.greatest(F.length("__t") - (k - 1), F.lit(1))
+    # staged projections (winnowing rule): lambdas must reference
+    # MATERIALIZED columns or Catalyst re-substitutes the hashing
+    # expression per consumer
+    h = base.select(
+        "id",
+        F.length("__t").alias("len"),
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.md5(F.substr(F.col("__t"), i, F.lit(k))),
+        ).alias("__hashes"),
+    )
+    n_windows = F.greatest(F.size("__hashes") - (window - 1), F.lit(1))
+    wins = h.select(
+        "id",
+        "len",
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda j: F.struct(
+                j.alias("pos"),
+                F.xxhash64(
+                    F.array_min(F.slice(F.col("__hashes"), j, window))
+                ).alias("fp"),
+            ),
+        ).alias("__wins"),
+    )
+    return explode_cheaply(wins, F.col("__wins"), "z").select(
+        "id", F.col("z.fp").alias("fp"), F.col("z.pos").alias("pos"), "len"
+    )
+
+
 def duplicate_spans(
     df: DataFrame,
     id_col: str,
@@ -910,6 +965,7 @@ def duplicate_spans(
     window: int = 8,
     min_span: int = 50,
     min_df: int = 2,
+    fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """Character ranges covered by CROSS-DOCUMENT duplicated content
     (round 6) — the sub-document complement of doc/paragraph dedup, in
@@ -935,34 +991,22 @@ def duplicate_spans(
     the document-frequency count, one join back (hits only), one
     id-keyed shuffle for the run grouping. Every stage is
     partial-agg/window algebra; no Python.
+
+    ``fingerprints`` (round 7) takes a precomputed
+    :func:`span_fingerprints` frame — e.g. the ``spans`` signature
+    sidecar — and skips the hashing pass entirely: ``df``/``text_col``
+    are then IGNORED and the plan never touches corpus text (the
+    sidecar's ``_params.json`` guards that its k/window match; pass
+    ``expect=`` to ``read_signatures``). ``min_df``/``min_span`` remain
+    free per sweep — the document-frequency count runs on the sidecar,
+    which is exactly why the sidecar stores positions, not spans.
     """
-    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
-    n_grams = F.greatest(F.length("__t") - (k - 1), F.lit(1))
-    # staged projections (winnowing rule): lambdas must reference
-    # MATERIALIZED columns or Catalyst re-substitutes the hashing
-    # expression per consumer
-    h = base.select(
-        "id",
-        F.length("__t").alias("__len"),
-        F.transform(
-            F.sequence(F.lit(1), n_grams),
-            lambda i: F.md5(F.substr(F.col("__t"), i, F.lit(k))),
-        ).alias("__hashes"),
-    )
-    n_windows = F.greatest(F.size("__hashes") - (window - 1), F.lit(1))
-    wins = h.select(
-        "id",
-        "__len",
-        F.transform(
-            F.sequence(F.lit(1), n_windows),
-            lambda j: F.struct(
-                j.alias("pos"),
-                F.array_min(F.slice(F.col("__hashes"), j, window)).alias("fp"),
-            ),
-        ).alias("__wins"),
-    )
-    pos = explode_cheaply(wins, F.col("__wins"), "z").select(
-        "id", "__len", F.col("z.fp").alias("fp"), F.col("z.pos").alias("pos")
+    if fingerprints is None:
+        fingerprints = span_fingerprints(
+            df, id_col, text_col, k=k, window=window
+        )
+    pos = fingerprints.select(
+        "id", F.col("len").alias("__len"), "fp", "pos"
     )
     dup = (
         pos.groupBy("fp")
@@ -1003,19 +1047,29 @@ def remove_duplicate_spans(
     min_span: int = 50,
     min_df: int = 2,
     spans: DataFrame | None = None,
+    fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """Rewrite ``text_col`` with :func:`duplicate_spans` ranges CUT OUT
     — the surgery half of sub-document dedup. Pass a precomputed
-    ``spans`` frame to reuse one span computation across sweeps (the
-    signature-sidecar pattern). The cut is a JVM-side fold over the
-    doc's sorted disjoint spans (``F.aggregate`` carrying a (cursor,
-    acc) struct — no Python, no explode): docs without spans pass
-    through untouched, so the rewrite joins only the affected rows'
-    span lists (AQE broadcasts the span side when small)."""
+    ``spans`` frame to reuse one span computation across sweeps, or a
+    ``fingerprints`` frame (the ``spans`` signature sidecar, round 7) to
+    skip only the hashing pass while keeping ``min_df``/``min_span``
+    free per sweep — with either, the corpus text is scanned exactly
+    ONCE (the surgery itself) instead of once more for the per-char
+    window hashing. The cut is a JVM-side fold over the doc's sorted
+    disjoint spans (``F.aggregate`` carrying a (cursor, acc) struct — no
+    Python, no explode): docs without spans pass through untouched, so
+    the rewrite joins only the affected rows' span lists (AQE broadcasts
+    the span side when small)."""
+    if spans is not None and fingerprints is not None:
+        raise ValueError(
+            "pass spans OR fingerprints, not both — spans already bake "
+            "in a min_df/min_span decision, fingerprints defer it"
+        )
     if spans is None:
         spans = duplicate_spans(
             df, id_col, text_col, k=k, window=window,
-            min_span=min_span, min_df=min_df,
+            min_span=min_span, min_df=min_df, fingerprints=fingerprints,
         )
     per_doc = spans.groupBy("id").agg(
         F.array_sort(
