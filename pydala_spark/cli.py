@@ -239,7 +239,7 @@ def _cmd_pipeline(args) -> int:
     mode = opts.pop("mode", None) or "overwrite"
     report = bool(opts.pop("report", False))
 
-    from pydala_spark.operators.pipeline import pipeline_report, prep_documents
+    from pydala_spark.operators.pipeline import prep_documents
 
     spark = _session(args)
     df = spark.read.format(src_fmt).load(source)
@@ -259,18 +259,21 @@ def _cmd_pipeline(args) -> int:
         stages: dict = {}
         out = prep_documents(df, benchmark=bench, stage_frames=stages,
                              **opts)
-        prev = None
+        live: list = []  # currently-persisted frames; finally drains ALL
         try:
+            prev = None
             for stage, frame in stages.items():
                 frame.persist()
+                live.append(frame)
                 print(f"{stage}: {frame.count()}")
                 if prev is not None:
                     prev.unpersist()
+                    live.remove(prev)
                 prev = frame
             out.write.format(dest_fmt).mode(mode).save(dest)
         finally:
-            if prev is not None:
-                prev.unpersist()
+            for frame in live:
+                frame.unpersist()
     else:
         out = prep_documents(df, benchmark=bench, **opts)
         out.write.format(dest_fmt).mode(mode).save(dest)

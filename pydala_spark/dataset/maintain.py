@@ -553,8 +553,19 @@ def materialize_signatures(
             # review). Fail loud instead. The content marker is NOT a
             # hashing param: appends fold it in (rows add, xor xors).
             existing = _json.loads(po.read_text(params_path))
+            if "content_rows" not in existing:
+                # folding against an implicit zero marker would record a
+                # marker covering ONLY the appended rows; a later
+                # verify_against= would then misdiagnose a complete,
+                # fresh sidecar as "corpus text mutated" (r7 advice)
+                raise ValueError(
+                    f"materialize_signatures({kind}): the existing "
+                    "sidecar predates content markers — appending would "
+                    "record a marker covering only the appended rows; "
+                    "re-materialize with mode='overwrite' first"
+                )
             prior_marker = {
-                "content_rows": existing.pop("content_rows", 0),
+                "content_rows": existing.pop("content_rows"),
                 "content_xor": existing.pop("content_xor", 0),
             }
             if existing != params:

@@ -966,6 +966,7 @@ def duplicate_spans(
     min_span: int = 50,
     min_df: int = 2,
     fingerprints: DataFrame | None = None,
+    params: dict | None = None,
 ) -> DataFrame:
     """Character ranges covered by CROSS-DOCUMENT duplicated content
     (round 6) — the sub-document complement of doc/paragraph dedup, in
@@ -995,12 +996,39 @@ def duplicate_spans(
     ``fingerprints`` (round 7) takes a precomputed
     :func:`span_fingerprints` frame — e.g. the ``spans`` signature
     sidecar — and skips the hashing pass entirely: ``df``/``text_col``
-    are then IGNORED and the plan never touches corpus text (the
-    sidecar's ``_params.json`` guards that its k/window match; pass
-    ``expect=`` to ``read_signatures``). ``min_df``/``min_span`` remain
-    free per sweep — the document-frequency count runs on the sidecar,
-    which is exactly why the sidecar stores positions, not spans.
+    are then IGNORED and the plan never touches corpus text. Pass the
+    sidecar's ``_params.json`` dict as ``params`` (the second element
+    ``read_signatures`` returns) and the run-gap / span-extent math
+    derives ``k``/``window`` from the RECORDED values — a caller-side
+    mismatch would otherwise produce silently wrong span boundaries
+    (round-7 advice). Without ``params``, the caller-supplied
+    ``k``/``window`` MUST equal the values the sidecar was hashed under
+    (guard with ``expect={"k": ..., "window": ...}`` on
+    ``read_signatures``). ``min_df``/``min_span`` remain free per sweep
+    — the document-frequency count runs on the sidecar, which is
+    exactly why the sidecar stores positions, not spans.
+
+    Collision floor: fingerprints are 64-bit (xxhash64-narrowed), so at
+    trillion-window scale isolated collisions can mark a single stray
+    window; the resulting span is ≈ ``k + window - 1`` chars, below the
+    default ``min_span=50`` and filtered. Keep ``min_span`` above
+    ``k + window - 1`` (27 for the defaults) — lowering it beneath that
+    floor lets a hash collision cut real text.
     """
+    if params is not None:
+        if fingerprints is None:
+            raise ValueError(
+                "duplicate_spans: params= describes a precomputed "
+                "fingerprints frame — pass fingerprints= alongside it"
+            )
+        if params.get("kind", "spans") != "spans":
+            raise ValueError(
+                f"duplicate_spans: params kind={params.get('kind')!r} is "
+                "not a 'spans' sidecar — span boundaries need the "
+                "k/window the positional fingerprints were hashed under"
+            )
+        k = int(params["k"])
+        window = int(params["window"])
     if fingerprints is None:
         fingerprints = span_fingerprints(
             df, id_col, text_col, k=k, window=window
@@ -1048,6 +1076,7 @@ def remove_duplicate_spans(
     min_df: int = 2,
     spans: DataFrame | None = None,
     fingerprints: DataFrame | None = None,
+    params: dict | None = None,
 ) -> DataFrame:
     """Rewrite ``text_col`` with :func:`duplicate_spans` ranges CUT OUT
     — the surgery half of sub-document dedup. Pass a precomputed
@@ -1070,6 +1099,7 @@ def remove_duplicate_spans(
         spans = duplicate_spans(
             df, id_col, text_col, k=k, window=window,
             min_span=min_span, min_df=min_df, fingerprints=fingerprints,
+            params=params,
         )
     per_doc = spans.groupBy("id").agg(
         F.array_sort(
