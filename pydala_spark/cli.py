@@ -188,6 +188,7 @@ def _cmd_timefly(args) -> int:
 _PIPELINE_IO_KEYS = (
     "source", "dest", "source_format", "dest_format",
     "benchmark", "benchmark_format", "mode", "report",
+    "signatures", "signatures_path", "signatures_verify",
 )
 
 
@@ -199,7 +200,8 @@ def _pipeline_prep_keys() -> set:
     params = set(inspect.signature(prep_documents).parameters)
     # frames / hooks are not expressible in a TOML config
     return params - {"df", "benchmark", "stage_frames",
-                     "precomputed_minhash", "precomputed_fps"}
+                     "precomputed_minhash", "precomputed_fps",
+                     "precomputed_spans"}
 
 
 def _cmd_pipeline(args) -> int:
@@ -238,6 +240,9 @@ def _cmd_pipeline(args) -> int:
     bench_fmt = opts.pop("benchmark_format", None) or src_fmt
     mode = opts.pop("mode", None) or "overwrite"
     report = bool(opts.pop("report", False))
+    sig_kinds = opts.pop("signatures", None) or ()
+    sig_path = opts.pop("signatures_path", None) or source
+    sig_verify = bool(opts.pop("signatures_verify", True))
 
     from pydala_spark.operators.pipeline import prep_documents
 
@@ -247,6 +252,47 @@ def _cmd_pipeline(args) -> int:
         spark.read.format(bench_fmt).load(bench_path)
         if bench_path else None
     )
+    if sig_kinds:
+        # ingest-materialized signature sidecars feed the pipeline's
+        # hashing stages; the content marker is re-verified against the
+        # live corpus BY DEFAULT (signatures_verify=false to opt out) —
+        # one narrow aggregate per sidecar buys out the silent
+        # zero-overlap failure a stale sidecar would otherwise produce.
+        # Params the config also sets become expect= pins, so a config/
+        # sidecar hashing mismatch fails loud instead of finding nothing.
+        from pydala_spark.dataset.maintain import read_signatures
+
+        verify = df if sig_verify else None
+        _expect_map = {
+            "minhash": {"n_hashes": "n_hashes",
+                        "seed": "near_dup_seed",
+                        "shingle_mode": "near_dup_shingle_mode",
+                        "shingle_size": "near_dup_shingle_size"},
+            "winnowing": {"k": "winnowing_k", "window": "winnowing_window"},
+        }
+        for kind in sig_kinds:
+            if kind not in ("spans", "minhash", "winnowing"):
+                print(
+                    f"pipeline: unknown signatures kind {kind!r} — valid: "
+                    "spans, minhash, winnowing", file=sys.stderr,
+                )
+                return 2
+            expect = {
+                rec: opts[opt]
+                for rec, opt in _expect_map.get(kind, {}).items()
+                if opt in opts
+            } or None
+            frame, params = read_signatures(
+                spark, sig_path, kind, expect=expect, verify_against=verify
+            )
+            if kind == "spans":
+                # (frame, params) tuple: the recorded k/window drive the
+                # span-boundary math inside prep_documents
+                opts["precomputed_spans"] = (frame, params)
+            elif kind == "minhash":
+                opts["precomputed_minhash"] = frame
+            else:
+                opts["precomputed_fps"] = frame
     if report:
         # ONE lazy program serves both the per-stage counts and the
         # final write (round-6 advice: the old spelling ran the whole

@@ -78,6 +78,7 @@ def prep_documents(
     winnowing_window: int = 4,
     precomputed_minhash: DataFrame | None = None,
     precomputed_fps: DataFrame | None = None,
+    precomputed_spans: DataFrame | tuple | None = None,
     stage_frames: dict | None = None,
 ) -> DataFrame:
     """Return the cleaned corpus: quality columns attached, docs linking
@@ -156,6 +157,25 @@ def prep_documents(
     signatures hashed from raw ingest text must not stand in for text
     those stages rewrote.
 
+    ``precomputed_spans`` (round 8) feeds the ``span_dedup`` stage from
+    the ``spans`` signature sidecar so the engine's single most
+    expensive hashing pass (per-char-window fingerprints) runs ONCE at
+    ingest instead of every sweep: the stage then scans corpus text
+    exactly once — the surgery itself — with zero hashing. Pass the
+    ``(frame, params)`` tuple :func:`~pydala_spark.dataset.maintain.
+    read_signatures` returns (recommended — the recorded params then
+    drive the span-boundary math, making a ``span_k``/``span_window``
+    mismatch impossible) or the bare frame (then ``span_k`` /
+    ``span_window`` MUST equal the sidecar's hashing params; guard with
+    ``expect=`` on ``read_signatures``). Requires ``span_dedup=True``
+    and, like the other sidecars, forbids the stages that rewrite text
+    BEFORE spans are consumed (``strip_markup`` / ``redact`` /
+    ``paragraph_dedup``); row-dropping stages (blocklist, lang filter)
+    are fine — the sidecar is semi-joined down to the surviving docs so
+    document-frequency counts match the inline path. Unlike
+    minhash/fps, ``span_dedup``'s own rewrite is the POINT here, so the
+    near-dup/decontamination sidecars cannot be combined with it.
+
     Pass an empty dict as ``stage_frames`` to receive the intermediate
     DataFrame after each enabled stage (keys: input, blocklist,
     paragraph_dedup, lang_filter, span_dedup, repetition, exact_dedup, near_dup,
@@ -217,6 +237,24 @@ def prep_documents(
             "silently ignored (same loud-fail rule as the other "
             "precomputed mismatches)"
         )
+    precomputed_spans_params = None
+    if isinstance(precomputed_spans, tuple):
+        precomputed_spans, precomputed_spans_params = precomputed_spans
+    if precomputed_spans is not None:
+        if not span_dedup:
+            raise ValueError(
+                "precomputed_spans requires span_dedup=True — with the "
+                "span stage disabled the sidecar would be silently "
+                "ignored (same rule as the other precomputed sidecars)"
+            )
+        if strip_markup or redact or paragraph_dedup:
+            raise ValueError(
+                "precomputed_spans cannot be combined with "
+                "strip_markup/redact/paragraph_dedup — those stages "
+                "rewrite the text the span fingerprints were hashed "
+                "from; materialize the sidecar from the cleaned text or "
+                "compute inline"
+            )
     if near_dup_mode != "greedy" and not near_dup:
         raise ValueError(
             "near_dup_mode requires near_dup=True — with the near-dup "
@@ -319,10 +357,24 @@ def prep_documents(
         # catches the re-wrapped/mid-paragraph copies lines miss.
         from pydala_spark.operators.dedup import remove_duplicate_spans
 
-        df = remove_duplicate_spans(
-            df, id_col, text_col, k=span_k, window=span_window,
-            min_span=span_min_chars, min_df=span_min_df,
-        )
+        if precomputed_spans is not None:
+            # ingest sidecar covers the FULL corpus; restrict to docs
+            # still alive (blocklist / lang filter drop rows without
+            # rewriting text) so document-frequency counts — and thus
+            # the spans — match the inline path
+            span_fps = precomputed_spans.join(
+                df.select(F.col(id_col).alias("id")), "id", "left_semi"
+            )
+            df = remove_duplicate_spans(
+                df, id_col, text_col, k=span_k, window=span_window,
+                min_span=span_min_chars, min_df=span_min_df,
+                fingerprints=span_fps, params=precomputed_spans_params,
+            )
+        else:
+            df = remove_duplicate_spans(
+                df, id_col, text_col, k=span_k, window=span_window,
+                min_span=span_min_chars, min_df=span_min_df,
+            )
         _stage("span_dedup", df)
     # 1. quality features (pure column algebra)
     out = quality_stats(df, text_col)

@@ -695,9 +695,14 @@ def quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.lit(0),
         lambda acc, x: acc + x,
     )
-    mean_tok_len = tok_chars.cast("double") / n_toks
-    punct_ratio = punct.cast("double") / n_chars
-    stop_ratio = stop_en.cast("double") / n_toks
+    # try_divide: empty/whitespace-only text has n_toks = n_chars = 0 —
+    # NULL ratios (DuckDB's own x/0 semantics) instead of an ANSI
+    # DIVIDE_BY_ZERO that kills the whole pipeline run; the score's
+    # when() conditions treat NULL as false, so empty docs score 0 and
+    # the default min_quality gate drops them
+    mean_tok_len = F.try_divide(tok_chars.cast("double"), n_toks)
+    punct_ratio = F.try_divide(punct.cast("double"), n_chars)
+    stop_ratio = F.try_divide(stop_en.cast("double"), n_toks)
     score = (
         F.when((n_toks >= 10) & (n_toks <= 1000), F.lit(1)).otherwise(F.lit(0))
         + F.when(punct_ratio <= 0.1, F.lit(1)).otherwise(F.lit(0))

@@ -979,6 +979,26 @@ def test_quality_stats_mean_token_len_exact(spark):
     assert rows[3] == 2.0
 
 
+def test_quality_stats_empty_text_scores_zero(spark):
+    # round 8: empty/whitespace-only docs (e.g. hollowed out by span
+    # surgery) must yield NULL ratios (DuckDB x/0 semantics) and score
+    # 0 — not an ANSI DIVIDE_BY_ZERO that kills the pipeline run
+    from pydala_spark.operators.textstats import quality_stats
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "real text with several words here")],
+        "id long, text string",
+    )
+    rows = {r["id"]: r for r in quality_stats(df).collect()}
+    for i in (1, 2):
+        assert rows[i]["q_mean_token_len"] is None
+        assert rows[i]["q_stop_ratio"] is None
+    assert rows[1]["q_punct_ratio"] is None  # zero chars -> NULL ratio
+    assert rows[1]["q_score"] == 0  # every NULL criterion reads false
+    assert rows[2]["q_score"] == 1  # whitespace-only: punct test only
+    assert rows[3]["q_score"] >= 1
+
+
 def test_decode_media_8bit_wav_dc_bias(spark):
     import io
     import wave

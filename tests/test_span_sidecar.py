@@ -221,3 +221,139 @@ def test_append_onto_premarker_sidecar_raises(spark, tmp_path):
     # and the read-side guard gives the same diagnosis
     with pytest.raises(ValueError, match="predates content markers"):
         read_signatures(spark, base, "spans", verify_against=df)
+
+
+def test_prep_documents_precomputed_spans_matches_inline(spark, tmp_path):
+    # round 8: the flagship pipeline consumes the spans sidecar — same
+    # output as the inline span_dedup path, including with a row-dropping
+    # stage (lang filter) upstream (the sidecar is semi-joined down)
+    from pydala_spark.operators.pipeline import prep_documents
+
+    base = str(tmp_path / "ds")
+    df = _span_docs(spark)
+    materialize_signatures(
+        spark, df, base, kinds=("spans",), span_k=K, span_window=WINDOW
+    )
+    sidecar = read_signatures(spark, base, "spans", verify_against=df)
+    kwargs = dict(
+        min_quality=0, near_dup=False, span_dedup=True,
+        span_k=K, span_window=WINDOW, span_min_chars=MIN_SPAN,
+        span_min_df=MIN_DF, keep_langs=["en"],
+    )
+    inline = prep_documents(df, **kwargs)
+    pre = prep_documents(df, precomputed_spans=sidecar, **kwargs)
+    assert _rows(pre.select("doc_id", "text")) == _rows(
+        inline.select("doc_id", "text")
+    )
+    # bogus span_k/span_window are overridden by the recorded params
+    # when the (frame, params) tuple is passed
+    pre2 = prep_documents(
+        df, precomputed_spans=sidecar,
+        **{**kwargs, "span_k": 5, "span_window": 2},
+    )
+    assert _rows(pre2.select("doc_id", "text")) == _rows(
+        inline.select("doc_id", "text")
+    )
+
+
+def test_prep_documents_precomputed_spans_plan_is_hash_free(spark, tmp_path):
+    # the span_dedup stage with a sidecar scans corpus text exactly ONCE
+    # (the surgery) and performs zero md5 hashing
+    from pydala_spark.operators.pipeline import prep_documents
+    from pydala_spark.plans import explain_str, read_schema_columns
+
+    base = str(tmp_path / "ds")
+    df = _span_docs(spark)
+    df.write.parquet(base + "/data")
+    corpus = spark.read.parquet(base + "/data")
+    materialize_signatures(
+        spark, corpus, base, kinds=("spans",), span_k=K, span_window=WINDOW
+    )
+    sidecar = read_signatures(spark, base, "spans")
+    frames: dict = {}
+    prep_documents(
+        corpus, min_quality=0, near_dup=False, span_dedup=True,
+        span_min_chars=MIN_SPAN, span_min_df=MIN_DF,
+        precomputed_spans=sidecar, stage_frames=frames,
+    )
+    stage = frames["span_dedup"]
+    plan = explain_str(stage)
+    assert "md5" not in plan.lower()  # zero hashing in the sweep
+    assert "_signatures/spans" in plan
+    text_scans = [c for c in read_schema_columns(stage) if "text" in c]
+    assert len(text_scans) == 1  # the surgery scan, nothing else
+
+
+def test_prep_documents_precomputed_spans_guards(spark, tmp_path):
+    from pydala_spark.operators.pipeline import prep_documents
+
+    df = _span_docs(spark)
+    sidecar = span_fingerprints(df, "doc_id", k=K, window=WINDOW)
+    with pytest.raises(ValueError, match="span_dedup=True"):
+        prep_documents(df, precomputed_spans=sidecar)
+    with pytest.raises(ValueError, match="rewrite"):
+        prep_documents(
+            df, span_dedup=True, paragraph_dedup=True,
+            precomputed_spans=sidecar,
+        )
+    # minhash/fps sidecars still cannot ride along with span_dedup:
+    # the span rewrite would make their raw-text hashes stale
+    with pytest.raises(ValueError, match="span_dedup"):
+        prep_documents(
+            df, span_dedup=True, near_dup=True,
+            precomputed_spans=sidecar,
+            precomputed_minhash=df.select("doc_id"),
+        )
+
+
+def test_cli_pipeline_consumes_and_verifies_sidecars(spark, tmp_path):
+    # round 8: [pipeline] signatures=["spans"] reads the sidecar, the
+    # content marker verifies by default, and a stale sidecar fails the
+    # run LOUD instead of silently finding nothing
+    from pydala_spark.cli import main
+
+    src = str(tmp_path / "corpus")
+    df = _span_docs(spark)
+    df.write.parquet(src)
+    corpus = spark.read.parquet(src)
+    materialize_signatures(
+        spark, corpus, src, kinds=("spans",), span_k=K, span_window=WINDOW
+    )
+    dest = str(tmp_path / "cleaned")
+    cfg = tmp_path / "clean.toml"
+    cfg.write_text(
+        "[pipeline]\n"
+        f'source = "{src}"\n'
+        f'dest = "{dest}"\n'
+        "min_quality = 0\n"
+        "near_dup = false\n"
+        "span_dedup = true\n"
+        f"span_min_chars = {MIN_SPAN}\n"
+        f"span_min_df = {MIN_DF}\n"
+        'signatures = ["spans"]\n'
+    )
+    assert main(["--master", "local[4]", "pipeline", str(cfg)]) == 0
+    got = {r["doc_id"]: r["text"]
+           for r in spark.read.parquet(dest).select("doc_id", "text").collect()}
+    want = {r["doc_id"]: r["text"]
+            for r in remove_duplicate_spans(
+                corpus, "doc_id", k=K, window=WINDOW,
+                min_span=MIN_SPAN, min_df=MIN_DF).collect()}
+    assert got == want
+
+    # corpus mutates out-of-band -> the CLI run dies loud on the marker
+    spark.createDataFrame(
+        [(9, "a brand new document appended after materialization ok")],
+        ["doc_id", "text"],
+    ).write.mode("append").parquet(src)
+    with pytest.raises(ValueError, match="STALE"):
+        main(["--master", "local[4]", "pipeline", str(cfg)])
+
+    # unknown kind is a usage error, and signatures_verify=false opts out
+    cfg.write_text(cfg.read_text().replace('["spans"]', '["bogus"]'))
+    assert main(["--master", "local[4]", "pipeline", str(cfg)]) == 2
+    cfg.write_text(
+        cfg.read_text().replace('["bogus"]', '["spans"]')
+        + "signatures_verify = false\n"
+    )
+    assert main(["--master", "local[4]", "pipeline", str(cfg)]) == 0
