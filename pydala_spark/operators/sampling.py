@@ -302,6 +302,81 @@ def stratified_sample(
     )
 
 
+def _exact_quantile_distributed(
+    df: DataFrame,
+    score_col: str,
+    q: float,
+    accuracy: int = 10_000,
+    max_bracket: int = 2_000_000,
+) -> float | None:
+    """Exact interpolated ``q``-quantile WITHOUT the single-task sort
+    (round 8): Spark's ``percentile`` buffers and sorts EVERY value in
+    one reducer — the old exact path's scale-killer and the dominant
+    cost of ``q_stats_summary``. This computes the same value from
+    order statistics in three map-side passes over one double column:
+
+    1. one agg → non-null count ``n`` plus a Greenwald-Khanna bracket
+       ``[lo, hi]`` around the quantile (``percentile_approx`` at
+       ``q ± 2/accuracy`` — GK's rank error is ≤ n/accuracy, so the
+       true order statistics land inside);
+    2. one agg → exact ranks: ``below`` = #values < lo, ``inbr`` =
+       #values in the bracket (verifies the GK guarantee and bounds the
+       collect);
+    3. collect the bracket (≈ 4·n/accuracy values — tiny) and index the
+       exact k-th / (k+1)-th order statistics out of it.
+
+    Interpolation replicates Spark's ``Percentile`` formula
+    ``(higher - pos)·v_k + (pos - lower)·v_{k+1}`` bit-for-bit, so the
+    result is indistinguishable from the buffered path (and from DuckDB
+    ``quantile_cont``, which the oracle pins). Returns None when the
+    bracket would exceed ``max_bracket`` or a rank check fails (heavy
+    ties around the quantile) — the caller falls back to the buffered
+    path, trading speed, never exactness. Values are compared as
+    doubles, matching ``percentile``'s own double conversion."""
+    import math
+
+    vals = (
+        df.select(F.col(score_col).cast("double").alias("__v"))
+        .where(F.col("__v").isNotNull())
+    )
+    eps = 2.0 / accuracy
+    first = vals.agg(
+        F.count("*").alias("n"),
+        F.percentile_approx(
+            "__v", F.lit(max(0.0, q - eps)), F.lit(accuracy)
+        ).alias("lo"),
+        F.percentile_approx(
+            "__v", F.lit(min(1.0, q + eps)), F.lit(accuracy)
+        ).alias("hi"),
+    ).first()
+    n = int(first["n"])
+    if n == 0:
+        return None
+    pos = (n - 1) * q
+    k = int(math.floor(pos))
+    k2 = min(k + 1, n - 1)
+    lo, hi = float(first["lo"]), float(first["hi"])
+    ranks = vals.agg(
+        F.count(F.when(F.col("__v") < lo, 1)).alias("below"),
+        F.count(
+            F.when((F.col("__v") >= lo) & (F.col("__v") <= hi), 1)
+        ).alias("inbr"),
+    ).first()
+    below, inbr = int(ranks["below"]), int(ranks["inbr"])
+    if inbr > max_bracket or below > k or below + inbr <= k2:
+        return None
+    bracket = sorted(
+        r["__v"]
+        for r in vals.where(
+            (F.col("__v") >= lo) & (F.col("__v") <= hi)
+        ).collect()
+    )
+    v_k, v_k2 = bracket[k - below], bracket[k2 - below]
+    if k == pos:
+        return v_k
+    return (k + 1 - pos) * v_k + (pos - k) * v_k2
+
+
 def quantile_threshold(
     df: DataFrame,
     score_col: str,
@@ -314,17 +389,22 @@ def quantile_threshold(
     one-pass bounded-memory approximation (``percentile_approx``,
     Greenwald-Khanna — the 100 TB path: cost of one aggregation, error
     bounded by ``relative_error``); ``exact=True`` computes the exact
-    interpolated percentile (Spark buffers each group's values — fine
-    for oracle checks and mid-size corpora, not for 100 TB)."""
+    interpolated percentile distributed (three map-side passes + a tiny
+    bracket collect — :func:`_exact_quantile_distributed`), falling
+    back to Spark's buffered single-task ``percentile`` only when heavy
+    ties around the quantile defeat the bracket. Both exact spellings
+    return bit-identical values."""
     if not 0.0 <= q <= 1.0:
         raise ValueError("q must be in [0, 1]")
-    expr = (
-        F.expr(f"percentile({score_col}, {q!r})")
-        if exact
-        else F.percentile_approx(
+    if exact:
+        t = _exact_quantile_distributed(df, score_col, q)
+        if t is not None:
+            return float(t)
+        expr = F.expr(f"percentile({score_col}, {q!r})")
+    else:
+        expr = F.percentile_approx(
             score_col, F.lit(q), F.lit(max(1, int(1.0 / relative_error)))
         )
-    )
     t = df.agg(expr.alias("t")).first()["t"]
     if t is None:  # zero non-null scores: percentile comes back NULL
         raise ValueError(

@@ -331,3 +331,42 @@ def test_token_budget_mixture_bucket_count_invariance(spark):
             (r["doc_id"], r["cum_before"]) for r in out.collect()
         )
     assert results[1] == results[7] == results[32]
+
+
+def test_exact_quantile_distributed_matches_buffered(spark):
+    # round 8: the distributed exact percentile (bracket + order
+    # statistics) is bit-identical to Spark's buffered percentile —
+    # including interpolation, ties, negatives, and n=1 — and falls
+    # back (returns None) when ties defeat the bracket
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from pydala_spark.operators.sampling import (
+        _exact_quantile_distributed,
+        quantile_threshold,
+    )
+
+    def buffered(df, q):
+        return float(
+            df.agg(F.expr(f"percentile(s, {q!r})").alias("t")).first()["t"]
+        )
+
+    fixtures = [
+        [float(v) for v in (5, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5)],  # ties
+        [-2.5, -0.1, -9.75],
+        [42.0],
+        [float(i) * 1.01 for i in range(100)],
+    ]
+    for vals in fixtures:
+        df = spark.createDataFrame([(v,) for v in vals], "s double")
+        for q in (0.0, 0.25, 0.5, 0.75, 1.0):
+            a = quantile_threshold(df, "s", q, exact=True)
+            b = buffered(df, q)
+            assert struct.pack("d", a) == struct.pack("d", b), (vals, q)
+
+    # all-tie corpus defeats the bracket cap -> distributed path bows
+    # out, the public API falls back to the buffered path, same value
+    ties = spark.createDataFrame([(2.0,)] * 50, "s double")
+    assert _exact_quantile_distributed(ties, "s", 0.5, max_bracket=5) is None
+    assert quantile_threshold(ties, "s", 0.5, exact=True) == 2.0
