@@ -303,6 +303,8 @@ def streaming_neardup(
     checkpoint_dir: str | None = None,
     trigger_once: bool = True,
     format: str = "parquet",
+    compact_store_every: int | None = None,
+    store_target_file_mb: int = 128,
 ) -> StreamingQuery:
     """MinHash-LSH NEAR-duplicate dedup on ingest — completes the
     streaming dedup family (exact: :func:`streaming_dedup`, semantic:
@@ -333,8 +335,19 @@ def streaming_neardup(
     The store survives restarts (a new query resumes deduping against
     everything already ingested). Store size is one row per (doc, band)
     — ``n_bands`` small rows per corpus doc, compact relative to the
-    corpus; run :func:`~pydala_spark.dataset.maintain.compact` on it
-    periodically like any append-accreting dataset.
+    corpus — but every epoch APPENDS a fresh parquet file set, so the
+    store's FILE COUNT grows one set per micro-batch forever and the
+    per-epoch store scan degrades into task scheduling + footer reads
+    (the round-6 punch item). ``compact_store_every=N`` folds the fix
+    into the stream, mirroring :func:`incremental_append`: after every
+    N epochs the sink rewrites the store into ~``store_target_file_mb``
+    files (:func:`~pydala_spark.dataset.maintain.compact`,
+    ``swap="rename"`` so the plain ``spark.read.parquet(state_path)``
+    the next epoch issues keeps working). Compaction runs INSIDE the
+    sink after the epoch's band append — foreachBatch epochs are
+    serial, so it can never race a store write from this query; do not
+    point two concurrent queries at one store (the dedup semantics
+    already forbid that).
 
     **At-least-once safety** (round-6 review): foreachBatch may REPLAY
     an epoch after a crash, and the two appends (survivors, then their
@@ -421,6 +434,21 @@ def streaming_neardup(
                 final_ids.unpersist()
         finally:
             sigs.unpersist()
+        if compact_store_every and (epoch_id + 1) % compact_store_every == 0:
+            from pydala_spark.dataset.maintain import compact
+
+            try:
+                # rename-swap keeps the store a plain parquet directory
+                # for the next epoch's read; serialized with writes by
+                # construction (epochs are sequential in this query)
+                compact(
+                    spark, state_path,
+                    target_file_mb=store_target_file_mb, swap="rename",
+                )
+            except FileNotFoundError:
+                # store not born yet (every doc so far was a dup or the
+                # first batches were empty) — maintenance must be a no-op
+                pass
 
     ws = stream_df.writeStream.foreachBatch(sink)
     if checkpoint_dir:

@@ -610,3 +610,68 @@ def test_streaming_neardup_replay_idempotence(spark, tmp_path):
     healed = spark.read.parquet(state)
     assert healed.count() == n_state  # bands fully rewritten
     assert {r["doc_id"] for r in healed.select("doc_id").collect()} == {1, 3}
+
+
+def test_streaming_neardup_store_compaction_bounds_files(spark, tmp_path):
+    # round 8: compact_store_every folds store maintenance into the
+    # stream — file count stays bounded across many micro-batches while
+    # dedup semantics and restart/replay idempotence hold
+    import glob
+    import hashlib
+
+    from pydala_spark.streaming import streaming_neardup
+
+    def distinct_doc(i):
+        return " ".join(
+            hashlib.md5(f"{i}|{j}".encode()).hexdigest()[:6]
+            for j in range(25)
+        )
+
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "ndc_in")
+    n_batches = 8
+    for i in range(n_batches):
+        spark.createDataFrame(
+            [(i * 10, distinct_doc(i)),          # distinct: kept
+             (i * 10 + 1, distinct_doc(0))],     # near-dup of batch 0
+            schema,
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        q = streaming_neardup(
+            stream, out, state,
+            checkpoint_dir=str(tmp_path / "ndc_ckpt"),
+            compact_store_every=2,
+        )
+        q.awaitTermination(180)
+
+    out = str(tmp_path / "ndc_out")
+    state = str(tmp_path / "ndc_state")
+    run()
+
+    ids = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    # batch 0 keeps the smaller member of its intra-batch pair; later
+    # batches keep only their distinct doc (the near-dup collides with
+    # the store)
+    assert ids == [0] + [i * 10 for i in range(1, n_batches)]
+    store_files = glob.glob(state + "/*.parquet")
+    # without compaction: one file set per epoch (>= n_batches files);
+    # the every-2-epochs rewrite keeps the tail bounded
+    assert 0 < len(store_files) <= 3
+    # the compacted store still holds every survivor's bands
+    store = spark.read.parquet(state)
+    assert set(
+        r["doc_id"] for r in store.select("doc_id").distinct().collect()
+    ) == set(ids)
+
+    # restart on the same checkpoint + one replayed-looking batch: no
+    # duplicate appends, store still deduping
+    spark.createDataFrame(
+        [(900, distinct_doc(0)), (901, distinct_doc(99))], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    ids2 = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert ids2 == ids + [901]
