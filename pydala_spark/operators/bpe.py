@@ -87,54 +87,184 @@ def train_bpe(
         .limit(sample_size)
         .collect()
     )
-    freqs = _word_freqs([r["t"] for r in rows])
+    return _train_merges(
+        _word_freqs([r["t"] for r in rows]), n_merges, min_pair_freq
+    )
+
+
+def _rev_key(s: str) -> bytes:
+    """Order-inverting byte key: complemented UTF-8 plus a 0xFF
+    sentinel, so ``_rev_key(a) < _rev_key(b)  ⇔  a > b`` — including
+    the prefix case ("ab" vs "abc", where the sentinel outranks any
+    complemented byte). Lets the merge heap break count ties toward the
+    lexicographically GREATEST pair (the same tie-break as
+    ``max(counts.items(), key=lambda kv: (kv[1], kv[0]))``) while heap
+    comparisons stay C-speed bytes compares — a Python ``__lt__``
+    adapter here was 40% of training time."""
+    return bytes(255 - b for b in s.encode("utf-8")) + b"\xff"
+
+
+def _train_merges(
+    freqs: dict[tuple[str, ...], int],
+    n_merges: int,
+    min_pair_freq: int,
+) -> list[tuple[str, str]]:
+    """The merge-learning loop, INCREMENTAL (round 8): the old spelling
+    recounted every pair over the whole sample per merge —
+    O(n_merges × sample chars), ~20 min for n_merges=2000 on a 3k-doc
+    sample. Now pair counts update only for the words that actually
+    contain the merged pair (a pair→words index), and the
+    best-pair-by-(count, lexicographic) selection is a lazy max-heap:
+    increments push one fresh entry per touched pair per merge,
+    decrements push nothing (a stale-high entry pops early and
+    reinserts at its true count), and pops discard entries whose
+    recorded count no longer matches. Merge sequence is byte-identical
+    to the full recount (same counts, same tie-break — pinned by the
+    equality fuzz in tests), so saved sidecars stay valid."""
+    import heapq
+
+    pair_counts: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set] = {}
+    heap: list = []
+
+    rev_cache: dict[str, bytes] = {}
+
+    def entry(p: tuple[str, str], c: int):
+        a = rev_cache.get(p[0])
+        if a is None:
+            a = rev_cache[p[0]] = _rev_key(p[0])
+        b = rev_cache.get(p[1])
+        if b is None:
+            b = rev_cache[p[1]] = _rev_key(p[1])
+        return (-c, a, b, p)
+
+    for word, n in freqs.items():
+        for p in zip(word, word[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + n
+            where.setdefault(p, set()).add(word)
+    for p, c in pair_counts.items():
+        heapq.heappush(heap, entry(p, c))
+
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
-        pair_counts: dict[tuple[str, str], int] = {}
-        for word, n in freqs.items():
-            for a, b in zip(word, word[1:]):
-                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + n
-        if not pair_counts:
+    while len(merges) < n_merges and heap:
+        negc, _, _, pair = heapq.heappop(heap)
+        c = pair_counts.get(pair)
+        if c is None:
+            continue  # pair eliminated since the push
+        if c != -negc:
+            # lazy update: decrements never push (they dominate the
+            # update volume); a stale-HIGH entry pops early and
+            # reinserts at its true count, so every live pair always
+            # keeps an entry >= its truth and extract-max still holds
+            heapq.heappush(heap, entry(pair, c))
+            continue
+        if c < min_pair_freq:
             break
-        # max by (count, lexicographic) — deterministic tie-break
-        best = max(pair_counts.items(), key=lambda kv: (kv[1], kv[0]))
-        if best[1] < min_pair_freq:
-            break
-        pair = best[0]
         merges.append(pair)
-        freqs = {
-            _apply_merge(word, pair): n for word, n in freqs.items()
-        }
+        bumped: set = set()
+        for word in where.pop(pair, set()):
+            n = freqs.pop(word, None)
+            if n is None:
+                continue
+            for p in zip(word, word[1:]):
+                c2 = pair_counts.get(p, 0) - n
+                if c2 <= 0:
+                    pair_counts.pop(p, None)
+                else:
+                    pair_counts[p] = c2  # no push: lazy decrease
+                s = where.get(p)
+                if s is not None:
+                    s.discard(word)
+            new = _apply_merge(word, pair)
+            freqs[new] = freqs.get(new, 0) + n
+            for p in zip(new, new[1:]):
+                pair_counts[p] = pair_counts.get(p, 0) + n
+                bumped.add(p)  # one push per pair AFTER the sweep
+                where.setdefault(p, set()).add(new)
+        for p in bumped:
+            c2 = pair_counts.get(p)
+            if c2 is not None:
+                heapq.heappush(heap, entry(p, c2))
     return merges
 
 
 def _encoder(merges: list[tuple[str, str]]):
     """Worker-side encode closure (nested per the shipping rule — the
     merge RANKS are rebuilt inside so workers never import this
-    package). Applies merges in rank order per word, the standard
-    greedy BPE apply."""
+    package). Applies merges in rank order per word — token-identical
+    to the naive lowest-rank-leftmost rescan (pinned by the equality
+    fuzz), but round 8 makes it practical at real vocab sizes:
+
+    - **rank heap + linked list** per word: the old rescan was
+      O(len²) rank probes per word; the heap pops the lowest-rank
+      (then leftmost — same tie-break) candidate and only the two
+      pairs adjacent to a merge get re-probed, O(len·log len);
+    - **word memo** (Zipf skew: a few thousand distinct words cover
+      most tokens): each UDF worker process caches ``word → tokens``
+      across rows AND Arrow batches, cleared if it ever reaches
+      ~256k entries so executor memory stays bounded.
+    """
     # ranks built ONCE here (a plain dict riding the closure — still no
     # package references), not per document inside encode_text (round-6
     # review: an O(n_merges) dict rebuild per row in the hot path)
+    import heapq
+
     ranks = {tuple(m): i for i, m in enumerate(merges)}
+    cache: dict = {}
+    eow = "</w>"
+
+    def encode_word(w):
+        word = list(w) + [eow]
+        n = len(word)
+        if n == 1:
+            return word
+        nxt = list(range(1, n + 1))
+        prv = list(range(-1, n - 1))
+        alive = [True] * n
+        heap = []
+        for i in range(n - 1):
+            r = ranks.get((word[i], word[i + 1]))
+            if r is not None:
+                heap.append((r, i))
+        heapq.heapify(heap)
+        while heap:
+            r, i = heapq.heappop(heap)
+            if not alive[i]:
+                continue
+            j = nxt[i]
+            if j >= n or not alive[j]:
+                continue
+            if ranks.get((word[i], word[j])) != r:
+                continue  # stale: one side already merged into
+            word[i] = word[i] + word[j]
+            alive[j] = False
+            k = nxt[j]
+            nxt[i] = k
+            if k < n:
+                prv[k] = i
+            p = prv[i]
+            if p >= 0:
+                rp = ranks.get((word[p], word[i]))
+                if rp is not None:
+                    heapq.heappush(heap, (rp, p))
+            if k < n:
+                rk = ranks.get((word[i], word[k]))
+                if rk is not None:
+                    heapq.heappush(heap, (rk, i))
+        return [t for t, a in zip(word, alive) if a]
 
     def encode_text(text):
         if text is None:
             return None
         out = []
-        eow = "</w>"
         for w in text.lower().split():
-            word = list(w) + [eow]
-            while len(word) > 1:
-                best_rank, best_i = None, None
-                for i in range(len(word) - 1):
-                    r = ranks.get((word[i], word[i + 1]))
-                    if r is not None and (best_rank is None or r < best_rank):
-                        best_rank, best_i = r, i
-                if best_i is None:
-                    break
-                word[best_i:best_i + 2] = [word[best_i] + word[best_i + 1]]
-            out.extend(word)
+            toks = cache.get(w)
+            if toks is None:
+                if len(cache) >= 262_144:
+                    cache.clear()
+                toks = encode_word(w)
+                cache[w] = toks
+            out.extend(toks)
         return out
 
     return encode_text

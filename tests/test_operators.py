@@ -2304,3 +2304,114 @@ def test_contamination_report_winnowing_mode(spark):
 
     with _pt.raises(ValueError, match="mode"):
         contamination_report(corpus, bench, "doc_id", mode="bogus")
+
+
+def _naive_train_merges(freqs, n_merges, min_pair_freq):
+    # pre-round-8 full-recount reference (kept as the equality oracle)
+    from pydala_spark.operators.bpe import _apply_merge
+
+    merges = []
+    for _ in range(n_merges):
+        pc = {}
+        for word, n in freqs.items():
+            for a, b in zip(word, word[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + n
+        if not pc:
+            break
+        best = max(pc.items(), key=lambda kv: (kv[1], kv[0]))
+        if best[1] < min_pair_freq:
+            break
+        merges.append(best[0])
+        freqs = {_apply_merge(w, best[0]): n for w, n in freqs.items()}
+    return merges
+
+
+def _naive_encode(text, merges):
+    # pre-round-8 lowest-rank-leftmost rescan reference
+    if text is None:
+        return None
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    out = []
+    for w in text.lower().split():
+        word = list(w) + ["</w>"]
+        while len(word) > 1:
+            best_rank, best_i = None, None
+            for i in range(len(word) - 1):
+                r = ranks.get((word[i], word[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_i is None:
+                break
+            word[best_i:best_i + 2] = [word[best_i] + word[best_i + 1]]
+        out.extend(word)
+    return out
+
+
+def test_bpe_incremental_train_and_heap_encode_match_naive():
+    # round 8: the incremental pair-count trainer (lazy max-heap, same
+    # (count, lexicographic) tie-break) and the rank-heap + memo encoder
+    # are byte-identical to the naive references on randomized corpora
+    import random
+
+    from pydala_spark.operators.bpe import (
+        _encoder,
+        _train_merges,
+        _word_freqs,
+    )
+
+    rng = random.Random(8)
+    alphabet = "abcdefg"
+    for trial in range(6):
+        texts = [
+            " ".join(
+                "".join(rng.choice(alphabet)
+                        for _ in range(rng.randint(1, 9)))
+                for _ in range(rng.randint(1, 40))
+            )
+            for _ in range(rng.randint(5, 60))
+        ]
+        n_merges = rng.choice([1, 10, 60, 200])
+        min_freq = rng.choice([1, 2, 3])
+        freqs = _word_freqs(texts)
+        fast = _train_merges(dict(freqs), n_merges, min_freq)
+        slow = _naive_train_merges(dict(freqs), n_merges, min_freq)
+        assert fast == slow, (trial, n_merges, min_freq)
+        enc = _encoder(fast)
+        for t in texts + [None, "", "zzz unseen tokens qqq"]:
+            assert enc(t) == _naive_encode(t, fast), (trial, t)
+
+
+def test_bpe_train_2000_merges_is_practical():
+    # round 8 "done" criterion: n_merges >= 2000 trains in seconds, not
+    # the ~20 minutes the full recount took on the same corpus
+    import hashlib
+    import time
+
+    from pydala_spark.operators.bpe import (
+        _encoder,
+        _train_merges,
+        _word_freqs,
+    )
+
+    texts = []
+    for i in range(3000):
+        words = [
+            hashlib.md5(f"{i}|{j}".encode()).hexdigest()[: 3 + (i + j) % 8]
+            for j in range(60)
+        ]
+        texts.append(
+            " ".join(words + ["the", "of", "and", "token", "merge"] * 6)
+        )
+    t0 = time.time()
+    merges = _train_merges(_word_freqs(texts), 2000, 2)
+    train_s = time.time() - t0
+    assert len(merges) == 2000
+    t0 = time.time()
+    enc = _encoder(merges)
+    n = sum(len(enc(t)) for t in texts)
+    encode_s = time.time() - t0
+    assert n > 0
+    # generous co-tenancy headroom; the old spellings took ~1200s/~60s
+    # on this corpus (measured r8: ~10s / ~1.2s)
+    assert train_s < 90, f"train took {train_s:.1f}s"
+    assert encode_s < 30, f"encode took {encode_s:.1f}s"
