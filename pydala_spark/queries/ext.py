@@ -1598,22 +1598,25 @@ GROUP BY l_returnflag
 
 def _q_ivfpq_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC: candidates from the probes' 4 best pinned-codebook cells,
-    scored from RESIDUAL PQ codes (round 5 — the actual Jégou IVFADC:
-    codes quantize x − centroid[cell], search adds q·centroid back) via
-    operators/ann.py ivf_pq_topk — the flagship 100 TB ANN composition
-    (cell-pruned scan over a 32x-narrower code index)."""
+    scored from OPQ-ROTATED RESIDUAL PQ codes (round 8; Ge et al. 2013
+    on top of round 5's Jégou IVFADC: codes quantize
+    R·(x − anchor[cell]), search rotates the probe and adds q·anchor
+    back) via operators/ann.py ivf_pq_topk — the flagship 100 TB ANN
+    composition (cell-pruned scan over a 32x-narrower code index)."""
     import numpy as np
 
     from pydala_spark.operators.ann import ivf_pq_topk
 
+    meta = _pq_opq_meta()
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.where(F.col("vec_id") < 10)
     out = ivf_pq_topk(
         emb, probes,
         np.array(_ivf_centroids(), dtype=np.float64),
-        np.array(_pq_res_books(), dtype=np.float64),
+        np.array(meta["centroids"], dtype=np.float64),
         k=5, n_probe_centroids=4, residual=True,
-        anchors=np.array(_pq_res_anchors(), dtype=np.float64),
+        anchors=np.array(meta["anchors"], dtype=np.float64),
+        rotation=np.array(meta["rotation"], dtype=np.float64),
     )
     return out.select(
         "probe_id", "neighbor_id", "rnk", F.round("sim", 4).alias("sim_r")
@@ -1657,17 +1660,21 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivfpq_topk_sql(n_probe_cells: int = 4, k: int = 5) -> str:
-    """Oracle mirroring the RESIDUAL ivf_pq_topk (round 5): pinned IVF
-    centroid literals pick the cells (normalization cancels in the top-n
-    ordering); each corpus vector's residual ``e_unit − centroid[cell]``
-    is encoded with the pinned RESIDUAL codeword literals (same argmax
-    identity + lowest-code tiebreak as _pq_topk_sql) against the pinned
-    cell-mean ANCHORS (residual = e_unit − anchor[cell]); sim adds the
-    probe's ``q·anchor/|q|`` cell term (mirroring the operator's JVM
-    dot(q,a)/max(|q|,1e-12)) to the m LUT contributions summed in
-    m-order — the exact fold Spark computes."""
+    """Oracle mirroring the OPQ-ROTATED residual ivf_pq_topk (round 8):
+    pinned IVF centroid literals pick the cells (normalization cancels
+    in the top-n ordering); each corpus vector's residual
+    ``e_unit − anchor[cell]`` is ROTATED by the pinned OPQ matrix (a
+    64-row VALUES table ``rot(i, rvec)``; row i of ``R·x`` is
+    ``dot(rvec_i, x)``) and encoded with the pinned OPQ codeword
+    literals (same argmax identity + lowest-code tiebreak as
+    _pq_topk_sql); the probe's unit vector rotates the same way before
+    slicing into LUT subvectors (``q·(Rᵀ·recon) == (R·q)·recon``); sim
+    adds the probe's UNROTATED ``q·anchor/|q|`` cell term (mirroring
+    the operator's JVM dot(q,a)/max(|q|,1e-12)) to the m LUT
+    contributions summed in m-order — the exact fold Spark computes."""
     import numpy as np
 
+    meta = _pq_opq_meta()
     cents = _ivf_centroids()
     dots = ", ".join(
         "list_dot_product(e0, [" + ", ".join(repr(v) for v in c) + "])"
@@ -1678,9 +1685,13 @@ def _ivfpq_topk_sql(n_probe_cells: int = 4, k: int = 5) -> str:
     # codebooks by design (train_residual_pq)
     cent_rows = ",\n  ".join(
         f"({j + 1}, [" + ", ".join(repr(v) for v in a) + "])"
-        for j, a in enumerate(_pq_res_anchors())
+        for j, a in enumerate(meta["anchors"])
     )
-    books = np.array(_pq_res_books(), dtype=np.float64)
+    rot_rows = ",\n  ".join(
+        f"({i + 1}, [" + ", ".join(repr(v) for v in row) + "])"
+        for i, row in enumerate(meta["rotation"])
+    )
+    books = np.array(meta["centroids"], dtype=np.float64)
     m, n_codes, dsub = books.shape
     half = 0.5 * (books ** 2).sum(axis=2)
     rows = []
@@ -1694,6 +1705,8 @@ WITH cb(m, code, c, half) AS (VALUES
   {values}),
 cv(cell, cvec) AS (VALUES
   {cent_rows}),
+rot(i, rvec) AS (VALUES
+  {rot_rows}),
 b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e0 FROM embeddings),
 d AS (SELECT vec_id, [{dots}] AS dots FROM b),
 u AS (SELECT vec_id, unnest(dots) AS dp,
@@ -1715,8 +1728,11 @@ res AS (SELECT n.vec_id,
                               i -> n.e[i] - cv.cvec[i]) AS re
         FROM n JOIN ccell ON n.vec_id = ccell.neighbor_id
         JOIN cv ON cv.cell = ccell.cell),
+rres AS (SELECT res.vec_id,
+                list(list_dot_product(res.re, rot.rvec) ORDER BY rot.i) AS re
+         FROM res, rot GROUP BY res.vec_id),
 sub AS (SELECT vec_id, m, list_slice(re, m * {dsub} + 1, (m + 1) * {dsub}) AS sub
-        FROM res, (SELECT unnest(generate_series(0, {m - 1})) AS m)),
+        FROM rres, (SELECT unnest(generate_series(0, {m - 1})) AS m)),
 sc AS (SELECT s.vec_id, s.m, cb.code,
               list_dot_product(s.sub, cb.c) - cb.half AS score
        FROM sub s JOIN cb ON cb.m = s.m),
@@ -1724,10 +1740,12 @@ codes AS (SELECT vec_id, m, code FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
                                  ORDER BY score DESC, code) AS r FROM sc)
   WHERE r = 1),
+pn AS (SELECT n.vec_id,
+              list(list_dot_product(n.e, rot.rvec) ORDER BY rot.i) AS e
+       FROM n, rot WHERE n.vec_id < 10 GROUP BY n.vec_id),
 psub AS (SELECT vec_id AS probe_id, m,
                 list_slice(e, m * {dsub} + 1, (m + 1) * {dsub}) AS ps
-         FROM n, (SELECT unnest(generate_series(0, {m - 1})) AS m)
-         WHERE vec_id < 10),
+         FROM pn, (SELECT unnest(generate_series(0, {m - 1})) AS m)),
 pcd AS (SELECT p.probe_id, p.cell,
                list_dot_product(b.e0, cv.cvec)
                  / GREATEST(sqrt(list_dot_product(b.e0, b.e0)), 1e-12) AS cd
@@ -1914,6 +1932,22 @@ def _pq_res_anchors():
 
     with open(_PQ_RES_FIXTURE) as f:
         return json.load(f)["anchors"]
+
+
+#: OPQ fixture (round 8): same anchors, but the books quantize the
+#: ROTATED residual R·(x_unit − anchor[cell]) with R learned by the
+#: shared alternating-minimization loop (ann._opq_alternate) — the
+#: ``ivfpq`` family now exercises the full OPQ geometry end to end.
+_PQ_OPQ_FIXTURE = posixpath.join(
+    posixpath.dirname(__file__), "fixtures", "pq_codebook_d64_m8_k16_opq.json"
+)
+
+
+def _pq_opq_meta():
+    import json
+
+    with open(_PQ_OPQ_FIXTURE) as f:
+        return json.load(f)
 
 
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

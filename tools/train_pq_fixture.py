@@ -32,7 +32,9 @@ FIXTURE = posixpath.join(_FIXDIR, "pq_codebook_d64_m8_k16.json")
 RESIDUAL_FIXTURE = posixpath.join(
     _FIXDIR, "pq_codebook_d64_m8_k16_residual.json"
 )
+OPQ_FIXTURE = posixpath.join(_FIXDIR, "pq_codebook_d64_m8_k16_opq.json")
 IVF_FIXTURE = posixpath.join(_FIXDIR, "ivf_codebook_d64_c16.json")
+OPQ_ITERATIONS = 40
 
 
 def train(x: np.ndarray, m: int, n_codes: int, seed: int, iterations: int,
@@ -85,6 +87,24 @@ def main() -> None:
             f,
         )
     print(f"wrote {RESIDUAL_FIXTURE} (cell-mean anchors + residual books)")
+    # OPQ variant (round 8, Ge et al. 2013): the SAME anchors, but the
+    # books quantize the ROTATED residual R·(x_unit − anchor[cell]) with
+    # R learned by the shared alternating-minimization loop
+    # (ann._opq_alternate) — rotation rides the fixture/sidecar exactly
+    # like the anchors so the oracle and the operator share one geometry
+    from pydala_spark.operators.ann import _opq_alternate
+
+    obooks, rot = _opq_alternate(
+        res, M, N_CODES, SEED, ITERATIONS, OPQ_ITERATIONS
+    )
+    with open(OPQ_FIXTURE, "w") as f:
+        json.dump(
+            {"m": M, "n_codes": N_CODES, "residual": True,
+             "anchors": anchors.tolist(), "rotation": rot.tolist(),
+             "centroids": obooks.tolist()},
+            f,
+        )
+    print(f"wrote {OPQ_FIXTURE} (OPQ rotation + rotated-residual books)")
 
 
 if __name__ == "__main__":
