@@ -25,6 +25,7 @@ import json
 import posixpath
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from pydala_spark.dataset.reader import Dataset
 from pydala_spark.session import configure_session
@@ -327,6 +328,138 @@ class Datalake:
                             format=fmt, name=name).to_view(view)
                 except Exception as exc:
                     results[name]["rebind_error"] = str(exc)[:200]
+        return results
+
+    def decontaminate(
+        self,
+        benchmarks: dict[str, DataFrame],
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        k: int = 8,
+        window: int = 4,
+        min_hits: int = 2,
+        materialize: bool = True,
+        verify: bool = True,
+        report_dir: str | None = None,
+    ) -> dict[str, dict]:
+        """Lake-wide benchmark-decontamination sweep (round 8) — the
+        production cron entry composing rounds 5–7: for every dataset
+        exposing ``(id_col, text_col)``, serve the winnowing-fingerprint
+        sweep from the dataset's SIGNATURE SIDECAR (materializing it on
+        first contact when ``materialize=True``, re-materializing when
+        the content marker says the corpus mutated), never re-hashing a
+        corpus whose fingerprints are already on disk — across a
+        hundred datasets that is the difference between a sweep that
+        reads signature tables and one that replays per-character
+        hashing over the whole lake. ``verify=True`` (default) checks
+        each sidecar's content marker against the live dataset first,
+        so a stale sidecar re-materializes (or, with
+        ``materialize=False``, reports an error) instead of silently
+        finding zero overlaps.
+
+        ``benchmarks`` maps benchmark name → ``(id_col, text_col)``
+        frame; each benchmark's fingerprints compute once and broadcast
+        against every dataset. Per-dataset hit tables land under
+        ``report_dir`` (default ``<root>/_decontamination``) as
+        ``<dataset>/`` parquet of ``(benchmark, id, n_hits)`` plus a
+        lake-level ``_summary.json``; datasets without the text columns
+        (or with no files) are skipped with a reason, and one broken
+        dataset records an error instead of killing the sweep (the
+        ``maintain`` rule). Returns the summary dict."""
+        import json as _json
+
+        from pydala_spark.dataset.maintain import (
+            materialize_signatures,
+            read_signatures,
+        )
+        from pydala_spark.operators.dedup import winnowing_contamination
+        from pydala_spark.operators.textstats import winnowing_fingerprints
+
+        expect = {"k": k, "window": window,
+                  "id_col": id_col, "text_col": text_col}
+        rep_base = (
+            strip_scheme(report_dir).rstrip("/") if report_dir
+            else posixpath.join(self.root, "_decontamination")
+        )
+        bench_fps = {
+            bname: winnowing_fingerprints(
+                bdf, id_col, text_col, k=k, window=window
+            )
+            for bname, bdf in benchmarks.items()
+        }
+        results: dict[str, dict] = {}
+        for name, base in self.discover().items():
+            current = posixpath.join(base, "current")
+            data_path = current if self._po.is_dir(current) else base
+            fmt = self._dataset_format(base)
+            try:
+                ds = Dataset(self.spark, data_path, name=name, format=fmt)
+                if not ds._dataset_has_files():
+                    results[name] = {"skipped": "no data files"}
+                    continue
+                df = ds.load()
+                if id_col not in df.columns or text_col not in df.columns:
+                    results[name] = {
+                        "skipped": f"no ({id_col}, {text_col}) columns"
+                    }
+                    continue
+
+                def _read():
+                    return read_signatures(
+                        self.spark, data_path, "winnowing", expect=expect,
+                        verify_against=df if verify else None,
+                    )
+
+                materialized = False
+                try:
+                    fps, _params = _read()
+                except Exception as exc:
+                    if not materialize:
+                        raise
+                    # absent, param-mismatched, or stale sidecar — pay
+                    # the hashing ONCE here; every later sweep reads it
+                    materialize_signatures(
+                        self.spark, df, data_path, id_col=id_col,
+                        text_col=text_col, kinds=("winnowing",),
+                        winnowing_k=k, winnowing_window=window,
+                    )
+                    fps, _params = _read()
+                    materialized = f"{type(exc).__name__}"
+                entry: dict = {"sidecar": "materialized" if materialized
+                               else "reused"}
+                report_rows = None
+                for bname, bfp in bench_fps.items():
+                    hits = winnowing_contamination(
+                        fps, bfp, id_col, min_hits=min_hits,
+                        precomputed_fps=True,
+                    ).select(
+                        F.lit(bname).alias("benchmark"), "id", "n_hits"
+                    )
+                    report_rows = (
+                        hits if report_rows is None
+                        else report_rows.unionByName(hits)
+                    )
+                target = posixpath.join(rep_base, name)
+                report_rows.write.mode("overwrite").parquet(target)
+                counts = {
+                    r["benchmark"]: int(r["n"])
+                    for r in self.spark.read.parquet(target)
+                    .groupBy("benchmark").agg(F.count("*").alias("n"))
+                    .collect()
+                }
+                entry.update({
+                    "report": target,
+                    "contaminated": {
+                        bname: counts.get(bname, 0) for bname in bench_fps
+                    },
+                })
+                results[name] = entry
+            except Exception as exc:  # one bad dataset must not kill it
+                results[name] = {"error": f"{type(exc).__name__}: {exc}"[:500]}
+        self._po.write_text(
+            posixpath.join(rep_base, "_summary.json"),
+            _json.dumps(results, indent=2, sort_keys=True, default=str),
+        )
         return results
 
     def __getitem__(self, name: str) -> Dataset:

@@ -345,6 +345,46 @@ def _cmd_profile(args) -> int:
     return 0
 
 
+def _cmd_decontaminate(args) -> int:
+    """Lake-wide benchmark-decontamination sweep
+    (catalog.Datalake.decontaminate) — serves every dataset from its
+    signature sidecar (materializing/refreshing as needed), writes
+    per-dataset hit reports + a lake summary, prints the summary."""
+    if not args.root or not args.benchmark:
+        print("decontaminate: --root and --benchmark are required",
+              file=sys.stderr)
+        return 2
+    import json
+
+    from pydala_spark.catalog import Datalake
+
+    spark = _session(args)
+    benchmarks = {}
+    for spec in args.benchmark:
+        name, _, path = spec.rpartition("=")
+        if not name:
+            name, path = "benchmark", spec
+        benchmarks[name] = spark.read.format(
+            args.format or "parquet"
+        ).load(path)
+    results = Datalake(spark, args.root).decontaminate(
+        benchmarks,
+        id_col=args.id_col, text_col=args.text_col,
+        min_hits=args.min_hits,
+        materialize=not args.no_materialize,
+        verify=not args.no_verify,
+        report_dir=args.report_dir,
+    )
+    print(json.dumps(results, indent=2, sort_keys=True, default=str))
+    flagged = [
+        n for n, r in results.items()
+        if any(v > 0 for v in r.get("contaminated", {}).values())
+    ]
+    return 1 if any("error" in r for r in results.values()) else (
+        3 if flagged and args.fail_on_hits else 0
+    )
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="python -m pydala_spark.cli",
@@ -415,6 +455,28 @@ def build_parser() -> argparse.ArgumentParser:
     pf.add_argument("--format", default=None)
     pf.add_argument("--text-col", dest="text_col", default="text")
     pf.set_defaults(func=_cmd_profile)
+
+    dc = sub.add_parser("decontaminate", help="lake-wide benchmark-"
+                        "decontamination sweep served from signature "
+                        "sidecars (per-dataset reports + summary)")
+    dc.add_argument("--root", default=None, help="lake root directory")
+    dc.add_argument("--benchmark", action="append", default=None,
+                    help="benchmark dataset as [name=]path "
+                    "(repeatable)")
+    dc.add_argument("--format", default=None)
+    dc.add_argument("--id-col", dest="id_col", default="doc_id")
+    dc.add_argument("--text-col", dest="text_col", default="text")
+    dc.add_argument("--min-hits", dest="min_hits", type=int, default=2)
+    dc.add_argument("--report-dir", dest="report_dir", default=None)
+    dc.add_argument("--no-materialize", action="store_true",
+                    help="fail datasets without a fresh sidecar instead "
+                    "of hashing them")
+    dc.add_argument("--no-verify", action="store_true",
+                    help="skip the sidecar content-marker check")
+    dc.add_argument("--fail-on-hits", dest="fail_on_hits",
+                    action="store_true",
+                    help="exit 3 when any dataset has contaminated docs")
+    dc.set_defaults(func=_cmd_decontaminate)
     return ap
 
 

@@ -830,3 +830,95 @@ def test_datalake_discovers_orc_dataset_format(spark, tmp_path):
     assert "events_orc" in datasets
     assert datasets["events_orc"].load().count() == 2
     assert spark.sql("SELECT COUNT(*) FROM events_orc").first()[0] == 2
+
+
+def test_datalake_decontaminate_sweep(spark, tmp_path):
+    # round 8: the lake-wide decontamination cron — sidecar-served,
+    # marker-verified, per-dataset reports; one contaminated dataset
+    # flagged, clean/odd datasets pass through with reasons
+    import json
+
+    from pyspark.sql import functions as F
+
+    leak = ("the benchmark passage that absolutely must not appear in "
+            "training corpora under any circumstances at all")
+    root = str(tmp_path / "dlake")
+    lake = Datalake(spark, root)
+    clean = spark.createDataFrame(
+        [(i, f"ordinary training document number {i} about topic {i % 3} "
+             "with plenty of harmless filler words")
+         for i in range(8)],
+        ["doc_id", "text"],
+    )
+    dirty = clean.unionByName(spark.createDataFrame(
+        [(99, f"prefix words then {leak} and a suffix")],
+        ["doc_id", "text"],
+    ))
+    clean.write.parquet(os.path.join(root, "clean_ds"))
+    dirty.write.parquet(os.path.join(root, "dirty_ds"))
+    spark.createDataFrame([(1, 2.5)], ["k", "v"]).write.parquet(
+        os.path.join(root, "metrics")
+    )
+    for n in ("clean_ds", "dirty_ds", "metrics"):
+        lake.add_dataset(n)
+    bench = spark.createDataFrame([(0, leak)], ["doc_id", "text"])
+
+    results = lake.decontaminate({"evalset": bench})
+    assert results["metrics"]["skipped"].startswith("no (doc_id")
+    assert results["clean_ds"]["contaminated"] == {"evalset": 0}
+    assert results["dirty_ds"]["contaminated"] == {"evalset": 1}
+    assert results["clean_ds"]["sidecar"] == "materialized"
+    rep = spark.read.parquet(results["dirty_ds"]["report"])
+    assert [r["id"] for r in rep.collect()] == [99]
+    summary = json.loads(
+        (tmp_path / "dlake" / "_decontamination" / "_summary.json")
+        .read_text()
+    )
+    assert summary["dirty_ds"]["contaminated"]["evalset"] == 1
+
+    # second sweep REUSES the sidecars (no re-hash)
+    again = lake.decontaminate({"evalset": bench})
+    assert again["dirty_ds"]["sidecar"] == "reused"
+
+    # corpus mutates -> marker mismatch -> auto re-materialize; with
+    # materialize=False the same state is an error, not a silent zero
+    spark.createDataFrame(
+        [(100, f"a new doc slipping in {leak} after ingest")],
+        ["doc_id", "text"],
+    ).write.mode("append").parquet(os.path.join(root, "dirty_ds"))
+    stale = lake.decontaminate({"evalset": bench}, materialize=False)
+    assert "error" in stale["dirty_ds"] and "STALE" in stale["dirty_ds"]["error"]
+    fresh = lake.decontaminate({"evalset": bench})
+    assert fresh["dirty_ds"]["sidecar"] == "materialized"
+    assert fresh["dirty_ds"]["contaminated"] == {"evalset": 2}
+
+
+def test_cli_decontaminate_smoke(spark, tmp_path, capsys):
+    import json
+
+    from pydala_spark.cli import main
+
+    leak = ("the benchmark passage that absolutely must not appear in "
+            "training corpora under any circumstances at all")
+    root = str(tmp_path / "clilake")
+    lake = Datalake(spark, root)
+    spark.createDataFrame(
+        [(1, "harmless doc one with words"),
+         (2, f"contains {leak} inside")],
+        ["doc_id", "text"],
+    ).write.parquet(os.path.join(root, "docs"))
+    lake.add_dataset("docs")
+    bpath = str(tmp_path / "bench")
+    spark.createDataFrame([(0, leak)], ["doc_id", "text"]).write.parquet(bpath)
+
+    rc = main(["--master", "local[4]", "decontaminate",
+               "--root", root, "--benchmark", f"evalset={bpath}"])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0
+    assert out["docs"]["contaminated"]["evalset"] == 1
+    # --fail-on-hits flips the exit code for cron alerting
+    rc2 = main(["--master", "local[4]", "decontaminate",
+                "--root", root, "--benchmark", f"evalset={bpath}",
+                "--fail-on-hits"])
+    capsys.readouterr()
+    assert rc2 == 3
