@@ -865,6 +865,7 @@ def train_quality_classifier(
     iterations: int = 300,
     lr: float = 0.5,
     l2: float = 1e-3,
+    backend: str = "driver",
 ) -> dict:
     """Train the logistic quality classifier :func:`classifier_score`
     applies (round 6) — closing the loop the BPE/k-means codebooks
@@ -888,9 +889,25 @@ def train_quality_classifier(
             bias=model["bias"])
 
     Returns ``{"weights": {col: w}, "bias": b, "n_sample": n}``.
+
+    ``backend="ml"`` (round 8) trains DISTRIBUTED instead: pyspark.ml
+    ``LogisticRegression`` (LBFGS) over the FULL labeled frame — the
+    million-label path, where a 10k driver sample would throw away most
+    of the signal. Spark ML standardizes internally and reports
+    coefficients back in RAW feature space (``standardization=True``),
+    so the returned dict is drop-in identical in shape and feeds
+    ``classifier_score`` unchanged; ``sample_size``/``lr`` are driver-
+    path knobs and are ignored (``iterations`` caps LBFGS, ``l2`` maps
+    to ``regParam``). Both backends learn the same separating
+    direction — pinned by the planted-separation agreement test.
     """
     import numpy as np
 
+    if backend not in ("driver", "ml"):
+        raise ValueError(
+            f"train_quality_classifier: backend={backend!r} "
+            "(expected 'driver' or 'ml')"
+        )
     # train under the SAME NULL semantics the apply path has:
     # classifier_score propagates a NULL feature to a NULL logit, so a
     # NULL-feature row must not silently train as an all-zero vector
@@ -898,6 +915,36 @@ def train_quality_classifier(
     notnull = F.lit(True)
     for c in feature_cols:
         notnull &= F.col(c).isNotNull()
+    if backend == "ml":
+        from pyspark.ml.classification import LogisticRegression
+        from pyspark.ml.feature import VectorAssembler
+
+        labeled = (
+            df.select(
+                F.col(label_col).cast("double").alias("__y"),
+                *(F.col(c).cast("double") for c in feature_cols),
+            )
+            .where(F.col("__y").isNotNull() & notnull)
+        )
+        n_labeled = labeled.count()
+        if n_labeled == 0:
+            raise ValueError("train_quality_classifier: no labeled rows")
+        assembled = VectorAssembler(
+            inputCols=list(feature_cols), outputCol="__features"
+        ).transform(labeled)
+        model = LogisticRegression(
+            featuresCol="__features", labelCol="__y",
+            maxIter=int(iterations), regParam=float(l2),
+            elasticNetParam=0.0, standardization=True, fitIntercept=True,
+        ).fit(assembled)
+        coefs = model.coefficients.toArray()
+        return {
+            "weights": {
+                c: float(wi) for c, wi in zip(feature_cols, coefs)
+            },
+            "bias": float(model.intercept),
+            "n_sample": int(n_labeled),
+        }
     rows = (
         df.select(label_col, *feature_cols)
         .where(F.col(label_col).isNotNull() & notnull)

@@ -2415,3 +2415,53 @@ def test_bpe_train_2000_merges_is_practical():
     # on this corpus (measured r8: ~10s / ~1.2s)
     assert train_s < 90, f"train took {train_s:.1f}s"
     assert encode_s < 30, f"encode took {encode_s:.1f}s"
+
+
+def test_classifier_ml_backend_agrees_with_driver(spark):
+    # round 8: the distributed pyspark.ml backend learns the same
+    # separating direction as the driver-sample GD — per-feature weight
+    # signs agree, both classify the planted rule perfectly, and both
+    # rank a spread eval set identically
+    import pytest
+
+    from pydala_spark.operators.textstats import (
+        classifier_score,
+        train_quality_classifier,
+    )
+
+    # planted rule: keep iff 2*f1 - f2 > 0, with clear margin
+    rows = []
+    for i in range(200):
+        f1 = (i % 20) / 2.0
+        f2 = ((i * 7) % 23) / 1.5
+        planted = 2.0 * f1 - f2
+        if abs(planted) < 1.0:
+            continue  # margin
+        rows.append((i, f1, f2, 1 if planted > 0 else 0))
+    df = spark.createDataFrame(rows, ["doc_id", "f1", "f2", "keep"])
+    feats = ["f1", "f2"]
+    driver = train_quality_classifier(df, "keep", feats)
+    ml = train_quality_classifier(df, "keep", feats, backend="ml")
+    assert ml["n_sample"] == len(rows)
+    for c in feats:
+        assert (driver["weights"][c] > 0) == (ml["weights"][c] > 0), c
+    assert ml["weights"]["f1"] > 0 and ml["weights"]["f2"] < 0
+
+    def rank(model):
+        scored = classifier_score(
+            df, [(F.col(c), model["weights"][c]) for c in feats],
+            bias=model["bias"],
+        )
+        rows_ = scored.select("doc_id", "clf_logit", "keep").collect()
+        # perfect separation on the planted rule
+        assert all((r["clf_logit"] > 0) == (r["keep"] == 1) for r in rows_)
+        return [r["doc_id"] for r in sorted(rows_, key=lambda r: -r["clf_logit"])]
+
+    assert rank(driver) == rank(ml)
+
+    with pytest.raises(ValueError, match="backend"):
+        train_quality_classifier(df, "keep", feats, backend="bogus")
+    with pytest.raises(ValueError, match="no labeled rows"):
+        train_quality_classifier(
+            df.where(F.col("keep").isNull()), "keep", feats, backend="ml"
+        )
