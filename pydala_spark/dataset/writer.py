@@ -453,12 +453,39 @@ class Writer:
                     mode="overwrite" if spark_mode == "overwrite" else "append",
                     **self.signature_kwargs,
                 )
+            else:
+                # round 8 (r7 review): a write WITHOUT the ride-along
+                # mutates the corpus out from under any existing
+                # signature sidecars — delete them so the next consumer
+                # re-materializes (loud missing-sidecar path) instead of
+                # serving stale hashes to a reader that skipped
+                # verify_against. Ride-along writers above keep theirs
+                # fresh (markers fold); this only fires on the mismatch.
+                self._invalidate_signatures()
         finally:
             if delta_cached:
                 df.unpersist()
         if self.partition_flavor == "directory":
             self._dehive_layout(mode)
         self._apply_filename_scheme()
+
+    def _invalidate_signatures(self) -> None:
+        """Delete any ``_signatures`` sidecars under the dataset base: a
+        write that did not carry the signature ride-along just mutated
+        the text the sidecars were hashed from, so keeping them would
+        hand every verify-less consumer silently-stale fingerprints —
+        the exact failure the content marker exists to catch, closed at
+        the source instead (r7 review item 4). The next sweep
+        re-materializes (Datalake.decontaminate does so automatically)."""
+        import posixpath
+
+        from pydala_spark.dataset.maintain import SIGNATURES_DIR
+        from pydala_spark.utils.pathops import PathOps
+
+        sig_dir = posixpath.join(self.path, SIGNATURES_DIR)
+        po = PathOps(self.spark, sig_dir)
+        if po.is_dir(sig_dir):
+            po.delete(sig_dir, recursive=True)
 
     def _dehive_layout(self, mode: str) -> None:
         """Convert the hive ``col=value/`` directories THIS write

@@ -357,3 +357,36 @@ def test_cli_pipeline_consumes_and_verifies_sidecars(spark, tmp_path):
         + "signatures_verify = false\n"
     )
     assert main(["--master", "local[4]", "pipeline", str(cfg)]) == 0
+
+
+def test_writer_without_ridealong_invalidates_sidecars(spark, tmp_path):
+    # round 8 (r7 review item 4): a write that skips the signature
+    # ride-along mutates the corpus out from under the sidecars —
+    # the Writer deletes them so no consumer can read silently-stale
+    # fingerprints; ride-along writes keep theirs
+    from pydala_spark.dataset.writer import Writer
+
+    base = str(tmp_path / "wds")
+    df = _span_docs(spark)
+    Writer(spark, base, mode="overwrite").write(df)
+    corpus = spark.read.parquet(base)
+    materialize_signatures(spark, corpus, base, kinds=("winnowing",))
+    read_signatures(spark, base, "winnowing")  # present
+
+    extra = spark.createDataFrame(
+        [(9, "a new document appended without signing it first ok")],
+        ["doc_id", "text"],
+    )
+    Writer(spark, base, mode="append").write(extra)
+    with pytest.raises(Exception):  # sidecar gone -> loud missing path
+        read_signatures(spark, base, "winnowing")
+
+    # ride-along writes keep the sidecar fresh instead (marker folds)
+    base2 = str(tmp_path / "wds2")
+    w = Writer(spark, base2, mode="overwrite", signatures=["winnowing"])
+    w.write(df)
+    Writer(spark, base2, mode="append", signatures=["winnowing"]).write(extra)
+    live = spark.read.parquet(base2)
+    _, params = read_signatures(spark, base2, "winnowing",
+                                verify_against=live)
+    assert params["content_rows"] == live.count()
