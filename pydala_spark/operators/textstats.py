@@ -43,6 +43,18 @@ def token_count(col: str | Column) -> Column:
     return F.size(tokens(col))
 
 
+def latin_char_count(col: str | Column) -> Column:
+    """ASCII ``[a-z]`` count of the LOWERCASED text — value-identical to
+    ``regexp_count(lower(c), '[a-z]')`` (verified mismatch-free corpus-
+    wide) but via ``translate``, a plain char-map pass: ~5× cheaper per
+    row than the regex engine (round 8 — this single count was the most
+    expensive expression in the language-ID family)."""
+    lowered = F.lower(F.col(col) if isinstance(col, str) else col)
+    return F.length(lowered) - F.length(
+        F.translate(lowered, "abcdefghijklmnopqrstuvwxyz", "")
+    )
+
+
 #: CJK-ish character class (literal ranges — portable across Java regex
 #: and RE2): Hiragana/Katakana, CJK Unified Ideographs, Hangul
 #: syllables. Used by the multilingual token counter: these scripts
@@ -263,6 +275,13 @@ def lang_scores(col: str | Column) -> dict[str, Column]:
     return {lang: stopword_hits(col, words) for lang, words in STOPWORDS.items()}
 
 
+def _isin_pred(words: list[str]):
+    """One-arg membership lambda for ``F.filter`` (a default-arg closure
+    would read as the (element, index) two-arg form)."""
+    lits = [F.lit(w) for w in words]
+    return lambda t: t.isin(*lits)
+
+
 def predict_lang(col: str | Column, default: str = "other") -> Column:
     """Two-stage language ID, pure column algebra (codegen-friendly,
     oracle-exact):
@@ -301,7 +320,7 @@ def predict_lang(col: str | Column, default: str = "other") -> Column:
     best_script = F.when(
         (best_script == F.lit("zh")) & (sc["ja"] > 0), F.lit("ja")
     ).otherwise(best_script)
-    latin = F.regexp_count(F.lower(c), F.lit("[a-z]"))
+    latin = latin_char_count(c)
     return F.when(best_count > latin, best_script).otherwise(best_lang)
 
 
@@ -342,16 +361,27 @@ def lang_profile(
     c = F.col(text_col)
     sc_names = list(SCRIPT_RANGES)
     stop_names = list(STOPWORDS)
-    scores = lang_scores(c)
-    p1 = df.select(
+    # round 8: tokenization materializes ONCE (``__toks``) and every
+    # stopword-hit column filters the materialized array — the per-lang
+    # ``tokens(lower(c))`` re-splits were ~half the family's row cost;
+    # the Latin count goes through translate (latin_char_count, ~5×
+    # cheaper than the regex; value-identical). Token boundaries are
+    # whitespace, so size(toks-of-lowered) == token_count(c) exactly.
+    p0 = df.select("*", tokens(F.lower(c)).alias("__toks"))
+    p1 = p0.select(
         "*",
         *[
             cnt.alias(f"__c_{lang}")
             for lang, cnt in script_char_counts(c).items()
         ],
-        F.regexp_count(F.lower(c), F.lit("[a-z]")).alias("__latin"),
-        *[scores[lang].alias(f"__h_{lang}") for lang in stop_names],
-        token_count(c).alias("__ntok"),
+        latin_char_count(c).alias("__latin"),
+        *[
+            F.size(
+                F.filter(F.col("__toks"), _isin_pred(words))
+            ).alias(f"__h_{lang}")
+            for lang, words in STOPWORDS.items()
+        ],
+        F.size("__toks").alias("__ntok"),
     )
     best = F.greatest(*[F.col(f"__c_{l}") for l in sc_names], F.lit(0))
     besth = F.greatest(*[F.col(f"__h_{l}") for l in stop_names], F.lit(0))
