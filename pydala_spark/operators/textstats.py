@@ -714,7 +714,10 @@ def quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.col(text_col)
     n_chars = F.length(c)
     n_toks = token_count(c)
-    punct = F.length(c) - F.length(F.regexp_replace(c, r"[.,;:!?]", ""))
+    # translate, not regexp_replace: same six literal ASCII chars, a
+    # char-map pass instead of the regex engine (the latin_char_count
+    # move, round 8)
+    punct = F.length(c) - F.length(F.translate(c, ".,;:!?", ""))
     stop_en = stopword_hits(c, STOPWORDS["en"])
     # exact mean token length: sum of the tokens' own lengths / count.
     # The old (n_chars - (n_toks - 1)) / n_toks shortcut assumed exactly
