@@ -269,6 +269,11 @@ def _cmd_pipeline(args) -> int:
                         "shingle_mode": "near_dup_shingle_mode",
                         "shingle_size": "near_dup_shingle_size"},
             "winnowing": {"k": "winnowing_k", "window": "winnowing_window"},
+            # the sidecar's recorded k/window DRIVE the span math via
+            # params=; pinning config-set values here turns a config/
+            # sidecar contradiction into a loud error instead of a
+            # silent override
+            "spans": {"k": "span_k", "window": "span_window"},
         }
         for kind in sig_kinds:
             if kind not in ("spans", "minhash", "winnowing"):

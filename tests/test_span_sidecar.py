@@ -390,3 +390,27 @@ def test_writer_without_ridealong_invalidates_sidecars(spark, tmp_path):
     _, params = read_signatures(spark, base2, "winnowing",
                                 verify_against=live)
     assert params["content_rows"] == live.count()
+
+
+def test_cli_spans_config_mismatch_fails_loud(spark, tmp_path):
+    # a config span_k contradicting the sidecar's recorded k must raise
+    # (not silently defer to the recorded value)
+    from pydala_spark.cli import main
+
+    src = str(tmp_path / "corpus")
+    _span_docs(spark).write.parquet(src)
+    corpus = spark.read.parquet(src)
+    materialize_signatures(
+        spark, corpus, src, kinds=("spans",), span_k=K, span_window=WINDOW
+    )
+    cfg = tmp_path / "clean.toml"
+    cfg.write_text(
+        "[pipeline]\n"
+        f'source = "{src}"\n'
+        f'dest = "{tmp_path / "out"}"\n'
+        "min_quality = 0\nnear_dup = false\nspan_dedup = true\n"
+        "span_k = 30\n"  # sidecar was hashed with k=20
+        'signatures = ["spans"]\n'
+    )
+    with pytest.raises(ValueError, match="disagree"):
+        main(["--master", "local[4]", "pipeline", str(cfg)])
