@@ -191,6 +191,23 @@ def compact(
         ops.delete(old)
         ops.rename(local, old)
         ops.rename(tmp, local)
+        # carry over NON-DATA sidecars (underscore/dot-prefixed entries:
+        # `_signatures/`, ANN codebook JSONs, config sidecars + their
+        # .crc twins) the staged rewrite never knew about — a compaction
+        # rewrites the SAME rows, so e.g. signature content markers stay
+        # exactly valid; dropping them with the old directory silently
+        # destroyed the sidecars the ingest path paid to build (r8).
+        # Spark's own write artifacts are excluded; anything the new
+        # layout already has (its own _SUCCESS/.crc) wins.
+        for name in ops.list_dir(old):
+            if not (name.startswith("_") or name.startswith(".")):
+                continue
+            if name == "_SUCCESS" or name.startswith(("_temporary",
+                                                      "._SUCCESS")):
+                continue
+            target_entry = posixpath.join(local, name)
+            if not ops.exists(target_entry):
+                ops.rename(posixpath.join(old, name), target_entry)
         ops.delete(old)
         final = local
     spark.catalog.refreshByPath(base)

@@ -661,3 +661,56 @@ def test_compact_orc_dataset(spark, tmp_path):
     n_after = len([f for f in os.listdir(base) if f.endswith(".orc")])
     assert n_after < n_before
     assert Dataset(spark, base, format="orc").count() == 40
+
+
+def test_compact_rename_swap_preserves_sidecars(spark, tmp_path):
+    # round 8: the staged rename swap used to REPLACE the dataset dir
+    # wholesale, silently destroying signature sidecars and ANN codebook
+    # JSONs; compaction rewrites the same rows, so the sidecars (and
+    # their content markers) remain exactly valid and must survive
+    import numpy as np
+
+    from pydala_spark.dataset.maintain import (
+        compact,
+        materialize_signatures,
+        read_signatures,
+    )
+    from pydala_spark.operators.ann import (
+        kmeans_centroids,
+        save_ivfpq_index,
+        search_ivfpq_index,
+        train_residual_pq,
+    )
+
+    base = str(tmp_path / "sig_ds")
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} body text words") for i in range(60)],
+        ["doc_id", "text"],
+    )
+    docs.repartition(8).write.parquet(base)
+    corpus = spark.read.parquet(base)
+    materialize_signatures(spark, corpus, base, kinds=("winnowing",))
+    stats = compact(spark, base, target_file_mb=128)
+    assert stats["files_after"] < stats["files_before"]
+    fps, params = read_signatures(
+        spark, base, "winnowing",
+        verify_against=spark.read.parquet(base),  # marker still exact
+    )
+    assert fps.count() == 60 and params["content_rows"] == 60
+
+    # ANN index: codebook sidecars survive, search still works
+    idx = str(tmp_path / "ivfpq_idx")
+    vecs = spark.createDataFrame(
+        [(i, [float((i % 3) + 1), float(i % 5), 1.0, 0.5])
+         for i in range(120)],
+        ["vec_id", "embedding"],
+    )
+    cents = kmeans_centroids(vecs, n_centroids=3, seed=1)
+    anchors, books = train_residual_pq(vecs, cents, m=2, n_codes=4, seed=1)
+    save_ivfpq_index(spark, vecs, idx, cents, books, anchors=anchors)
+    before = sorted(map(tuple, search_ivfpq_index(
+        spark, idx, vecs.where("vec_id < 2"), k=3).collect()))
+    compact(spark, idx, target_file_mb=128)
+    after = sorted(map(tuple, search_ivfpq_index(
+        spark, idx, vecs.where("vec_id < 2"), k=3).collect()))
+    assert before == after and before
