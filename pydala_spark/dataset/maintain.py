@@ -54,6 +54,27 @@ def bucketize(
     return table_name
 
 
+def _carry_over_sidecars(ops, old: str, local: str) -> None:
+    """After a staged rename swap, move NON-DATA sidecars (underscore/
+    dot-prefixed entries: ``_signatures/``, ANN codebook JSONs, config
+    sidecars + their .crc twins) from the superseded directory into the
+    new layout — a compact/recluster rewrites the SAME rows, so e.g.
+    signature content markers stay exactly valid (count + xor are
+    order-independent); dropping them with the old directory silently
+    destroyed the sidecars the ingest path paid to build (r8). Spark's
+    own write artifacts are excluded; anything the new layout already
+    has (its own ``_SUCCESS``/.crc) wins."""
+    for name in ops.list_dir(old):
+        if not (name.startswith("_") or name.startswith(".")):
+            continue
+        if name == "_SUCCESS" or name.startswith(("_temporary",
+                                                  "._SUCCESS")):
+            continue
+        target_entry = posixpath.join(local, name)
+        if not ops.exists(target_entry):
+            ops.rename(posixpath.join(old, name), target_entry)
+
+
 def compact(
     spark: SparkSession,
     path: str,
@@ -191,23 +212,7 @@ def compact(
         ops.delete(old)
         ops.rename(local, old)
         ops.rename(tmp, local)
-        # carry over NON-DATA sidecars (underscore/dot-prefixed entries:
-        # `_signatures/`, ANN codebook JSONs, config sidecars + their
-        # .crc twins) the staged rewrite never knew about — a compaction
-        # rewrites the SAME rows, so e.g. signature content markers stay
-        # exactly valid; dropping them with the old directory silently
-        # destroyed the sidecars the ingest path paid to build (r8).
-        # Spark's own write artifacts are excluded; anything the new
-        # layout already has (its own _SUCCESS/.crc) wins.
-        for name in ops.list_dir(old):
-            if not (name.startswith("_") or name.startswith(".")):
-                continue
-            if name == "_SUCCESS" or name.startswith(("_temporary",
-                                                      "._SUCCESS")):
-                continue
-            target_entry = posixpath.join(local, name)
-            if not ops.exists(target_entry):
-                ops.rename(posixpath.join(old, name), target_entry)
+        _carry_over_sidecars(ops, old, local)
         ops.delete(old)
         final = local
     spark.catalog.refreshByPath(base)
@@ -361,6 +366,7 @@ def recluster(
         ops.delete(old)
         ops.rename(local, old)
         ops.rename(tmp, local)
+        _carry_over_sidecars(ops, old, local)
         ops.delete(old)
     spark.catalog.refreshByPath(base)
     return stats
