@@ -423,10 +423,18 @@ class Writer:
             if mode == "delta" and exists:
                 # the diff plan contains the existing-side scan + anti-
                 # join; probing it uncached would run that whole plan
-                # once for isEmpty and AGAIN for the write — persist so
-                # the hot delta path pays the diff once (spills to disk
-                # if large; freed in the finally below)
-                df = df.persist()
+                # once for isEmpty and AGAIN for the write.
+                # localCheckpoint, NOT persist (round 8): the append
+                # below lands in the very path the diff's existing side
+                # scans, and Spark's recacheByPath then RE-EXECUTES a
+                # merely-persisted plan against the new file listing —
+                # every post-write consumer (the signature ride-along)
+                # saw an EMPTY diff and silently signed zero rows.
+                # Checkpointing truncates the lineage to a LogicalRDD
+                # with no path dependency, so the landed rows stay
+                # readable after the write. Storage is freed when the
+                # RDD is GC'd (the q_fingerprint_winnowing pattern).
+                df = df.localCheckpoint(eager=True)
                 delta_cached = True
             if df.isEmpty():
                 # empty-write gate (reference checks rel.shape[0] before

@@ -414,3 +414,41 @@ def test_cli_spans_config_mismatch_fails_loud(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="disagree"):
         main(["--master", "local[4]", "pipeline", str(cfg)])
+
+
+def test_incremental_append_signature_ridealong_streams(spark, tmp_path):
+    # round 8: the streaming ingest path (incremental_append +
+    # Writer(signatures=...)) folds the content marker exactly across
+    # micro-batches — the sidecar stays verified, and a sweep consumes
+    # it without re-hashing
+    import os
+
+    from pydala_spark.dataset.writer import Writer
+    from pydala_spark.streaming import incremental_append
+
+    src = str(tmp_path / "stream_in")
+    os.makedirs(src)
+    dest = str(tmp_path / "stream_ds")
+    for b in range(3):
+        spark.createDataFrame(
+            [(b * 10 + j, f"streamed document {b * 10 + j} body words")
+             for j in range(4)],
+            "doc_id long, text string",
+        ).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = incremental_append(
+        stream,
+        Writer(spark, dest, signatures=("winnowing",),
+               signature_kwargs={"id_col": "doc_id"}),
+        delta_subset=["doc_id"],
+        checkpoint_dir=str(tmp_path / "stream_ckpt"),
+    )
+    q.awaitTermination(120)
+    live = spark.read.parquet(dest)
+    assert live.count() == 12
+    fps, params = read_signatures(spark, dest, "winnowing",
+                                  verify_against=live)
+    assert params["content_rows"] == 12
+    assert fps.count() == 12
