@@ -414,6 +414,11 @@ class Writer:
                 )
             if exists:
                 self._upsert(df, delta_subset)
+                # the early return skips the ride-along block below, and
+                # an upsert REPLACES rows — any existing sidecar is now
+                # stale (the ctor guard already rejects signatures= with
+                # this mode, so there is never a fresh one to keep)
+                self._invalidate_signatures()
                 self._apply_filename_scheme()
                 return
             # first write: plain append lays the dataset down

@@ -452,3 +452,22 @@ def test_incremental_append_signature_ridealong_streams(spark, tmp_path):
                                   verify_against=live)
     assert params["content_rows"] == 12
     assert fps.count() == 12
+
+
+def test_upsert_invalidates_sidecars(spark, tmp_path):
+    # upsert takes an early-return path around the ride-along block —
+    # it REPLACES rows, so sidecars must not survive it either
+    from pydala_spark.dataset.writer import Writer
+
+    base = str(tmp_path / "ups_ds")
+    df = _span_docs(spark)
+    Writer(spark, base, mode="overwrite").write(df)
+    materialize_signatures(spark, spark.read.parquet(base), base,
+                           kinds=("winnowing",))
+    Writer(spark, base, mode="upsert").write(
+        spark.createDataFrame([(1, "entirely rewritten text body here")],
+                              ["doc_id", "text"]),
+        mode="upsert", delta_subset=["doc_id"],
+    )
+    with pytest.raises(Exception):
+        read_signatures(spark, base, "winnowing")
