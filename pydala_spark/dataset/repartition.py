@@ -178,4 +178,12 @@ class Repartition:
             ops.rename(posixpath.join(tmp, entry), posixpath.join(local, entry))
         ops.delete(pre)
         ops.delete(tmp)
+        if self.distinct:
+            # the rewrite REMOVED rows — any surviving signature sidecar
+            # is stale (pure repartition/sort preserves content and keeps
+            # its sidecars valid; distinct is the one content-changing
+            # knob on this path). Same unsigned-write rule as Writer (r8).
+            from pydala_spark.dataset.maintain import SIGNATURES_DIR
+
+            ops.delete(posixpath.join(local, SIGNATURES_DIR))
         self.spark.catalog.refreshByPath(self.source_path)

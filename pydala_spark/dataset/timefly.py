@@ -444,6 +444,8 @@ class TimeFly:
                 self.ops.rename(
                     posixpath.join(self.current_path, rel), self._archive_file(rel)
                 )
+            if cur != want:  # content actually changed under the sidecars
+                self._invalidate_signatures()
             return
         src = self.snapshot_path(ts_key)
         if not self.ops.is_dir(src):
@@ -465,7 +467,24 @@ class TimeFly:
             else:
                 self.add_snapshot()
             self.ops.delete(self.current_path)
+        # the copy restore replaces current/ WHOLESALE with the snapshot
+        # tree — if the snapshot carried `_signatures`, they describe
+        # exactly the restored content and stay; if not, none survive.
+        # Only the POINTER restore above needs explicit invalidation
+        # (it renames data files around a sidecar dir it never touches).
         self.ops.copy_tree(src, self.current_path)
+
+    def _invalidate_signatures(self) -> None:
+        """A pointer restore replaces current/'s DATA files in place;
+        signature sidecars under it were hashed from the pre-restore
+        corpus and would silently serve stale fingerprints to
+        verify-less consumers — delete them so the next sweep
+        re-materializes (the Writer's unsigned-write rule, round 8)."""
+        from pydala_spark.dataset.maintain import SIGNATURES_DIR
+
+        sig = posixpath.join(self.current_path, SIGNATURES_DIR)
+        if self.ops.is_dir(sig):
+            self.ops.delete(sig)
 
     def resolve(
         self, timefly: str | dt.datetime | None, rounding: str = "earliest_after"

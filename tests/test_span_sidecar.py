@@ -471,3 +471,48 @@ def test_upsert_invalidates_sidecars(spark, tmp_path):
     )
     with pytest.raises(Exception):
         read_signatures(spark, base, "winnowing")
+
+
+def test_restore_and_distinct_rewrite_invalidate_sidecars(spark, tmp_path):
+    # two more content-changing paths must not strand stale sidecars:
+    # a TimeFly POINTER restore (renames data files around the sidecar)
+    # and an in-place Repartition(distinct=True) (removes rows); a pure
+    # in-place repartition preserves content and KEEPS its sidecar
+    from pydala_spark.dataset.repartition import Repartition
+    from pydala_spark.dataset.timefly import TimeFly
+    from pydala_spark.dataset.writer import Writer
+
+    # --- pointer restore
+    root = str(tmp_path / "tf_ds")
+    df = _span_docs(spark)
+    df.write.parquet(root)
+    tf = TimeFly(spark, root, snapshot_mode="pointer")
+    tf.new()
+    tf.create_current()
+    stamp = tf.add_snapshot()
+    Writer(spark, tf.current_path, mode="append").write(
+        spark.createDataFrame([(9, "a doc appended after the snapshot ok")],
+                              ["doc_id", "text"]))
+    cur = spark.read.parquet(tf.current_path)
+    materialize_signatures(spark, cur, tf.current_path,
+                           kinds=("winnowing",))
+    tf.load_snapshot(stamp)  # roll back -> sidecar must go
+    with pytest.raises(Exception):
+        read_signatures(spark, tf.current_path, "winnowing")
+
+    # --- in-place rewrites
+    base = str(tmp_path / "rp_ds")
+    dup = df.unionByName(df.where(F.col("doc_id") == 1))
+    dup.repartition(4).write.parquet(base)
+    materialize_signatures(spark, spark.read.parquet(base), base,
+                           kinds=("winnowing",))
+    # pure repartition: content unchanged -> sidecar survives + verifies
+    Repartition(spark, base, max_records_per_file=100).run()
+    _, params = read_signatures(
+        spark, base, "winnowing",
+        verify_against=spark.read.parquet(base))
+    assert params["content_rows"] == 4
+    # distinct rewrite: rows removed -> sidecar must go
+    Repartition(spark, base, distinct=True).run()
+    with pytest.raises(Exception):
+        read_signatures(spark, base, "winnowing")
