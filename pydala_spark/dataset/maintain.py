@@ -457,6 +457,8 @@ def materialize_signatures(
     shingle_mode: str = "word",
     span_k: int = 20,
     span_window: int = 8,
+    vec_col: str = "embedding",
+    centroids=None,
     mode: str = "overwrite",
 ) -> dict[str, str]:
     """Persist per-document dedup/decontamination signatures as sidecar
@@ -467,7 +469,7 @@ def materialize_signatures(
     a winnowing lineage per consumer; materialization is the production
     pattern, now one call instead of a docstring).
 
-    ``kinds`` ⊆ {"winnowing", "minhash", "spans"}:
+    ``kinds`` ⊆ {"winnowing", "minhash", "spans", "embedding_cells"}:
 
     - ``winnowing`` → ``(id, fps)`` from :func:`~pydala_spark.operators.
       textstats.winnowing_fingerprints` (k/window knobs);
@@ -482,6 +484,21 @@ def materialize_signatures(
       belongs at ingest, not in every sweep). ``min_df``/``min_span``
       are deliberately NOT baked in: the document-frequency count runs
       per sweep on the sidecar.
+    - ``embedding_cells`` (round 8) → ``(id, cell, norm)`` — the
+      k-means cell assignment + hoisted L2 norm that SemDeDup-style
+      :func:`~pydala_spark.operators.similarity.semantic_dedup` blocks
+      on, materialized ONCE with a pinned ``centroids`` codebook (train
+      via :func:`~pydala_spark.operators.ann.kmeans_centroids`, persist
+      via ``save_codebook``). ``df`` here is the EMBEDDINGS frame
+      (``id_col`` + ``vec_col``), not the text corpus. At production
+      codebook sizes the assignment matmul (n_centroids × dim flops per
+      vector — the SemDeDup paper runs ~100k clusters) dwarfs every
+      other cost of a sweep, which is exactly why it belongs at ingest;
+      the params record ``codebook_sha`` so a cell table can never
+      silently answer for a retrained codebook. The content marker for
+      this kind hashes the FULL vector (``xxhash64(id, vec)`` — cheap
+      relative to the matmul it replaces, and with no same-length blind
+      spot), not ``octet_length``.
 
     Every kind's ``_params.json`` additionally records a content marker
     (``content_rows`` + ``content_xor`` — xor of ``xxhash64(id,
@@ -516,17 +533,25 @@ def materialize_signatures(
     base = strip_scheme(path).rstrip("/")
     po = PathOps(spark, base)
     out: dict[str, str] = {}
-    # ONE narrow aggregate over (id, octet_length(text)) shared by every
-    # kind — the content marker read_signatures verifies against
-    marker_row = df.agg(
-        F.count("*").alias("rows"),
-        F.coalesce(
-            F.bit_xor(F.xxhash64(F.col(id_col), F.octet_length(text_col))),
-            F.lit(0),
-        ).alias("xor"),
-    ).collect()[0]
-    marker = {"content_rows": int(marker_row["rows"]),
-              "content_xor": int(marker_row["xor"])}
+
+    def _marker(content):
+        # ONE narrow aggregate — the content marker read_signatures
+        # verifies against. Text kinds share one (octet_length-keyed);
+        # embedding_cells hashes the full vector (see docstring).
+        row = df.agg(
+            F.count("*").alias("rows"),
+            F.coalesce(
+                F.bit_xor(F.xxhash64(F.col(id_col), content)), F.lit(0)
+            ).alias("xor"),
+        ).collect()[0]
+        return {"content_rows": int(row["rows"]),
+                "content_xor": int(row["xor"])}
+
+    text_kinds = ("winnowing", "minhash", "spans")
+    marker = (_marker(F.octet_length(text_col))
+              if any(k in text_kinds for k in kinds) else None)
+    emb_marker = (_marker(F.col(vec_col))
+                  if "embedding_cells" in kinds else None)
     for kind in kinds:
         target = posixpath.join(base, SIGNATURES_DIR, kind)
         if kind == "winnowing":
@@ -562,12 +587,40 @@ def materialize_signatures(
                 "kind": kind, "id_col": id_col, "text_col": text_col,
                 "k": span_k, "window": span_window,
             }
+        elif kind == "embedding_cells":
+            import numpy as np
+
+            from pydala_spark.operators.ann import _assigner, codebook_sha
+            from pydala_spark.operators.similarity import norm
+
+            if centroids is None:
+                raise ValueError(
+                    "materialize_signatures(embedding_cells): pass "
+                    "centroids= — the cell table is only meaningful "
+                    "under a pinned codebook (train once via "
+                    "operators.ann.kmeans_centroids, persist via "
+                    "save_codebook/load_codebook)"
+                )
+            cb = np.asarray(centroids, dtype=np.float64)
+            assign = _assigner(cb, 1)
+            sigs = df.select(
+                F.col(id_col).alias("id"),
+                F.element_at(assign(F.col(vec_col)), 1).alias("cell"),
+                norm(F.col(vec_col)).alias("norm"),
+            )
+            params = {
+                "kind": kind, "id_col": id_col, "vec_col": vec_col,
+                "n_centroids": int(cb.shape[0]), "dim": int(cb.shape[1]),
+                "codebook_sha": codebook_sha(cb),
+            }
         else:
             raise ValueError(
                 f"materialize_signatures: unknown kind {kind!r} "
-                "(expected 'winnowing', 'minhash' or 'spans')"
+                "(expected 'winnowing', 'minhash', 'spans' or "
+                "'embedding_cells')"
             )
-        kind_marker = dict(marker)
+        kind_marker = dict(emb_marker if kind == "embedding_cells"
+                           else marker)
         params_path = posixpath.join(target, "_params.json")
         if mode == "append" and po.exists(params_path):
             # an append under DIFFERENT hashing params would silently
@@ -671,15 +724,16 @@ def read_signatures(
                 "markers (round 7) — re-materialize to enable staleness "
                 "verification, or pass verify_against=None"
             )
+        # embedding sidecars marker the FULL vector; text kinds marker
+        # (id, octet_length(text)) — must mirror materialize_signatures
+        content = (
+            F.col(params["vec_col"]) if "vec_col" in params
+            else F.octet_length(params["text_col"])
+        )
         live = verify_against.agg(
             F.count("*").alias("rows"),
             F.coalesce(
-                F.bit_xor(
-                    F.xxhash64(
-                        F.col(params["id_col"]),
-                        F.octet_length(params["text_col"]),
-                    )
-                ),
+                F.bit_xor(F.xxhash64(F.col(params["id_col"]), content)),
                 F.lit(0),
             ).alias("xor"),
         ).collect()[0]

@@ -133,6 +133,21 @@ def _assigner(centroids: np.ndarray, top: int):
     return assign
 
 
+def codebook_sha(centroids) -> str:
+    """Deterministic 16-hex fingerprint of a codebook (sha256 of its
+    float64 bytes). Recorded in the ``embedding_cells`` sidecar params
+    (dataset/maintain.py:materialize_signatures) so a persisted cell
+    table can never silently answer for a DIFFERENT codebook — the same
+    "sidecar stores the encoding so search can't mismatch it" rule the
+    PQ codebook JSONs follow; a retrained codebook shifts cell
+    boundaries, and a mismatched cell join would just find fewer
+    in-cell pairs, indistinguishable from a clean corpus."""
+    import hashlib
+
+    cb = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
+    return hashlib.sha256(cb.tobytes()).hexdigest()[:16]
+
+
 def save_codebook(spark, centroids: np.ndarray, path: str) -> None:
     """Persist a trained IVF codebook as JSON (through the Hadoop
     FileSystem, so it lands next to the dataset on any scheme). At scale
@@ -479,7 +494,18 @@ def train_residual_opq(
     (:func:`save_ivfpq_index` ``rotation=``), so search always scores
     with the encode-time geometry; sidecars without the key load as
     rotation=None (pre-round-8 indexes keep working). Use with
-    ``ivf_pq_encode(..., anchors=anchors, rotation=rotation)``."""
+    ``ivf_pq_encode(..., anchors=anchors, rotation=rotation)``.
+
+    Measurement honesty: the recall@10 numbers above come from training
+    AND searching on the SAME fixture corpus (in-distribution — the
+    production situation, since the rotation is trained on a sample of
+    the corpus it indexes). Do NOT read a cross-scale-factor transfer
+    into them: the sf0.001/sf0.01/sf0.1 ``embeddings`` test tables are
+    INDEPENDENT random draws (~500 vectors each), not nested subsets,
+    so a rotation trained at one SF scores near-noise at another — that
+    says nothing about real corpora, where a bounded sample IS
+    distributionally representative of the whole (the premise the
+    bounded-spread sampler is built on)."""
     cents = np.asarray(centroids, dtype=np.float64)
     x = _bounded_spread_sample(
         df, vec_col, sample_size, seed, spread, min_rows=max(4 * n_codes, 64)

@@ -295,11 +295,13 @@ def quantized_cosine_topk(
 
 def semantic_dedup(
     df: DataFrame,
-    centroids,
+    centroids=None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.2,
     score_col: str | None = None,
+    cells: DataFrame | None = None,
+    params: dict | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
     the embedding space with a k-means codebook, compare pairs only
@@ -324,22 +326,88 @@ def semantic_dedup(
     tools/scale_probe.py);
     degenerate semantic hotspots should be exact-deduped first (the same
     pre-pass the LSH bucket cap expects, operators/dedup.py). For
-    repeated runs, materialize ``(id, cell)`` once with the pinned
-    codebook (save_codebook/load_codebook) instead of re-assigning.
+    repeated runs, materialize ``(id, cell, norm)`` ONCE with the pinned
+    codebook — ``maintain.materialize_signatures(kinds=
+    ("embedding_cells",), centroids=cb)`` — and pass the sidecar here as
+    ``cells=`` (+ its recorded ``params=`` from ``read_signatures``,
+    which pins ``codebook_sha`` so the table can't answer for a
+    retrained codebook): the assignment matmul (n_centroids × dim flops
+    per vector — the sweep's dominant cost at SemDeDup codebook sizes)
+    is replaced by one id-keyed equi-join, and the pair join's cell
+    shuffle is unchanged. An id missing from ``cells`` fails LOUD
+    (``raise_error``) instead of silently keeping an unassigned doc.
     """
-    import numpy as np
-
-    from pydala_spark.operators.ann import _assigner
-
-    assign = _assigner(np.asarray(centroids, dtype=np.float64), 1)
     cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("vec")]
     if score_col:
         cols.append(F.col(score_col).cast("double").alias("__s"))
-    base = (
-        df.select(*cols)
-        .withColumn("cell", F.element_at(assign(F.col("vec")), 1))
-        .withColumn("__n", norm(F.col("vec")))
-    )
+    if params is not None:
+        if cells is None:
+            raise ValueError(
+                "semantic_dedup: params= without cells= — pass the "
+                "sidecar frame read_signatures returned alongside its "
+                "params"
+            )
+        if params.get("kind") != "embedding_cells":
+            raise ValueError(
+                f"semantic_dedup: params recorded kind "
+                f"{params.get('kind')!r}, not 'embedding_cells' — a "
+                "text-signature sidecar cannot drive cell blocking"
+            )
+        if centroids is not None and "codebook_sha" in params:
+            from pydala_spark.operators.ann import codebook_sha
+
+            got = codebook_sha(centroids)
+            if got != params["codebook_sha"]:
+                raise ValueError(
+                    f"semantic_dedup: caller codebook ({got}) is not "
+                    f"the one the cells sidecar was assigned under "
+                    f"({params['codebook_sha']}) — re-materialize the "
+                    "embedding_cells sidecar or load the pinned "
+                    "codebook (operators.ann.load_codebook)"
+                )
+    if cells is not None:
+        need = {"id", "cell", "norm"}
+        if not need <= set(cells.columns):
+            raise ValueError(
+                f"semantic_dedup: cells= needs columns {sorted(need)} "
+                f"(an embedding_cells sidecar); got {cells.columns}"
+            )
+        # left join + loud per-row null guard, not an inner join: an id
+        # the sidecar doesn't cover must RAISE, not silently vanish
+        # from the dedup verdict (the same zero-overlap failure class
+        # the content marker kills; read_signatures(verify_against=) is
+        # the first line of defense, this is the belt-and-braces one)
+        base = (
+            df.select(*cols)
+            .join(cells.select("id", "cell",
+                               F.col("norm").alias("__n")), "id", "left")
+            .withColumn(
+                "cell",
+                F.when(F.col("cell").isNotNull(), F.col("cell")).otherwise(
+                    F.raise_error(F.lit(
+                        "semantic_dedup: precomputed cells miss ids "
+                        "present in the corpus — stale or partial "
+                        "embedding_cells sidecar; re-materialize"
+                    ))
+                ),
+            )
+        )
+    else:
+        import numpy as np
+
+        from pydala_spark.operators.ann import _assigner
+
+        if centroids is None:
+            raise ValueError(
+                "semantic_dedup: pass centroids= (inline assignment) "
+                "or cells= (a materialized embedding_cells sidecar)"
+            )
+        assign = _assigner(np.asarray(centroids, dtype=np.float64), 1)
+        base = (
+            df.select(*cols)
+            .withColumn("cell", F.element_at(assign(F.col("vec")), 1))
+            .withColumn("__n", norm(F.col("vec")))
+        )
     a = base.select(
         "id", "cell", F.col("vec").alias("vec_a"), F.col("__n").alias("__na"),
         *([F.col("__s").alias("__sa")] if score_col else []),
