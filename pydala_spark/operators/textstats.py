@@ -245,6 +245,26 @@ SCRIPT_RANGES: dict[str, list[tuple[int, int]]] = {
 }
 
 
+#: translate source deleting every ASCII char (chr(1)..chr(127); NUL is
+#: left alone — it travels awkwardly in literals and no script class
+#: matches it anyway). See :func:`strip_ascii`.
+_ASCII_STRIP_SRC = "".join(chr(i) for i in range(1, 128))
+
+
+def strip_ascii(col: str | Column) -> Column:
+    """Non-ASCII remainder of the text via ONE ``translate`` char-map
+    pass. Every ``SCRIPT_RANGES`` class is entirely non-ASCII (all
+    ranges start ≥ U+0370), so counting script characters over this
+    remainder is value-identical to counting over the full text — while
+    the regex engine only ever touches the (typically tiny) non-ASCII
+    tail instead of re-scanning the whole corpus once per script. On an
+    English/ASCII-dominant corpus the seven per-script ``regexp_count``
+    passes collapse to near-zero work; accented-Latin corpora keep only
+    their accent characters in the remainder."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.translate(c, _ASCII_STRIP_SRC, "")
+
+
 def script_class(lang: str) -> str:
     """Regex character class covering ``lang``'s script ranges (literal
     endpoints — portable across Java regex and RE2)."""
@@ -367,17 +387,32 @@ def lang_profile(
     # the Latin count goes through translate (latin_char_count, ~5×
     # cheaper than the regex; value-identical). Token boundaries are
     # whitespace, so size(toks-of-lowered) == token_count(c) exactly.
-    p0 = df.select("*", tokens(F.lower(c)).alias("__toks"))
+    # round 8 (late): the seven per-script regexp_counts run over the
+    # ASCII-stripped remainder (strip_ascii — one translate pass), not
+    # the raw text: value-identical (script classes are all non-ASCII)
+    # and the regex engine stops re-scanning the whole corpus per script
+    p0 = df.select(
+        "*",
+        tokens(F.lower(c)).alias("__toks"),
+        strip_ascii(c).alias("__nonascii"),
+    )
     p1 = p0.select(
         "*",
         *[
             cnt.alias(f"__c_{lang}")
-            for lang, cnt in script_char_counts(c).items()
+            for lang, cnt in script_char_counts(F.col("__nonascii")).items()
         ],
         latin_char_count(c).alias("__latin"),
+        # F.expr, not F.filter(lambda): the python-lambda→expression
+        # conversion costs ~13 ms of driver time PER filter (measured —
+        # 10 langs made this block the projection's build hot spot);
+        # the SQL spelling parses in one round trip and is
+        # value-identical (pinned by the same test that pins the whole
+        # profile against predict_lang's F.filter spelling)
         *[
-            F.size(
-                F.filter(F.col("__toks"), _isin_pred(words))
+            F.expr(
+                "size(filter(__toks, t -> t IN (%s)))"
+                % ", ".join(f"'{w}'" for w in words)
             ).alias(f"__h_{lang}")
             for lang, words in STOPWORDS.items()
         ],
