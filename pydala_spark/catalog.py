@@ -462,6 +462,148 @@ class Datalake:
         )
         return results
 
+    def semantic_dedup(
+        self,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        threshold: float = 0.9,
+        n_centroids: int = 16,
+        codebook_path: str | None = None,
+        score_col: str | None = None,
+        materialize: bool = True,
+        verify: bool = True,
+        report_dir: str | None = None,
+        seed: int = 42,
+    ) -> dict[str, dict]:
+        """Lake-wide SemDeDup sweep (round 8) — the embedding-modality
+        sibling of :meth:`decontaminate`, served by the
+        ``embedding_cells`` signature sidecar: for every dataset
+        exposing ``(id_col, vec_col)``, assign k-means cells ONCE at
+        first contact (the sweep's dominant cost at production codebook
+        sizes — an n_centroids × dim matmul per vector) and let every
+        later sweep run pure-JVM cell-blocked pair joins over the
+        sidecar, re-materializing only when the content marker says the
+        vectors mutated.
+
+        The codebook is LAKE-PINNED: loaded from ``codebook_path``
+        (default ``<root>/_codebooks/semantic_dedup.json``), trained on
+        the first eligible dataset when absent and persisted before any
+        assignment — retraining per sweep would shift cell boundaries
+        and invalidate every dataset's sidecar (the ``codebook_sha``
+        guard would force a lake-wide re-assignment), so one codebook
+        serves all sweeps until deliberately rotated. ``score_col``
+        (when a dataset carries it) keeps the best-scored member of
+        each similar group instead of the smallest id.
+
+        Per-dataset verdict tables land under ``report_dir`` (default
+        ``<root>/_semantic_dedup``) as ``(id, cell, kept)`` parquet plus
+        a lake-level ``_summary.json``; datasets without the columns are
+        skipped with a reason and one broken dataset records an error
+        instead of killing the sweep (the ``maintain`` rule). Returns
+        the summary dict."""
+        import json as _json
+
+        from pydala_spark.dataset.maintain import (
+            materialize_signatures,
+            read_signatures,
+        )
+        from pydala_spark.operators.ann import (
+            codebook_sha,
+            kmeans_centroids,
+            load_codebook,
+            save_codebook,
+        )
+        from pydala_spark.operators.similarity import semantic_dedup
+
+        cb_path = (
+            strip_scheme(codebook_path) if codebook_path
+            else posixpath.join(self.root, "_codebooks", "semantic_dedup.json")
+        )
+        rep_base = (
+            strip_scheme(report_dir).rstrip("/") if report_dir
+            else posixpath.join(self.root, "_semantic_dedup")
+        )
+        cb = None
+        if self._po.exists(cb_path):
+            cb = load_codebook(self.spark, cb_path)
+        results: dict[str, dict] = {}
+        for name, base in self.discover().items():
+            current = posixpath.join(base, "current")
+            data_path = current if self._po.is_dir(current) else base
+            fmt = self._dataset_format(base)
+            try:
+                ds = Dataset(self.spark, data_path, name=name, format=fmt)
+                if not ds._dataset_has_files():
+                    results[name] = {"skipped": "no data files"}
+                    continue
+                df = ds.load()
+                if id_col not in df.columns or vec_col not in df.columns:
+                    results[name] = {
+                        "skipped": f"no ({id_col}, {vec_col}) columns"
+                    }
+                    continue
+                if cb is None:
+                    # first eligible dataset trains the lake codebook —
+                    # persisted BEFORE any assignment so a crash between
+                    # training and sidecar writes can't strand cells
+                    # under an unrecorded codebook
+                    cb = kmeans_centroids(
+                        df, vec_col=vec_col, n_centroids=n_centroids,
+                        seed=seed,
+                    )
+                    save_codebook(self.spark, cb, cb_path)
+                sha = codebook_sha(cb)
+
+                def _read():
+                    return read_signatures(
+                        self.spark, data_path, "embedding_cells",
+                        expect={"codebook_sha": sha, "id_col": id_col,
+                                "vec_col": vec_col},
+                        verify_against=df if verify else None,
+                    )
+
+                materialized = False
+                try:
+                    cells, params = _read()
+                except Exception as exc:
+                    if not materialize:
+                        raise
+                    materialize_signatures(
+                        self.spark, df, data_path, id_col=id_col,
+                        vec_col=vec_col, kinds=("embedding_cells",),
+                        centroids=cb,
+                    )
+                    cells, params = _read()
+                    materialized = f"{type(exc).__name__}"
+                verdict = semantic_dedup(
+                    df, id_col=id_col, vec_col=vec_col,
+                    threshold=threshold,
+                    score_col=score_col if score_col in df.columns else None,
+                    cells=cells, params=params,
+                )
+                target = posixpath.join(rep_base, name)
+                verdict.write.mode("overwrite").parquet(target)
+                counts = self.spark.read.parquet(target).agg(
+                    F.count("*").alias("n"),
+                    F.count_if(~F.col("kept")).alias("n_dropped"),
+                ).collect()[0]
+                results[name] = {
+                    "sidecar": "materialized" if materialized else "reused",
+                    "report": target,
+                    "n_vectors": int(counts["n"]),
+                    "n_dropped": int(counts["n_dropped"]),
+                }
+            except Exception as exc:  # one bad dataset must not kill it
+                results[name] = {"error": f"{type(exc).__name__}: {exc}"[:500]}
+        results["_codebook"] = {"path": cb_path,
+                                "sha": codebook_sha(cb) if cb is not None
+                                else None}
+        self._po.write_text(
+            posixpath.join(rep_base, "_summary.json"),
+            _json.dumps(results, indent=2, sort_keys=True, default=str),
+        )
+        return results
+
     def __getitem__(self, name: str) -> Dataset:
         if name not in self.datasets:
             self.load(register_views=False)

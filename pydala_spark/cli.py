@@ -390,6 +390,34 @@ def _cmd_decontaminate(args) -> int:
     )
 
 
+def _cmd_semantic_dedup(args) -> int:
+    """Lake-wide SemDeDup sweep (catalog.Datalake.semantic_dedup) —
+    cells-sidecar served under the lake-pinned codebook, per-dataset
+    (id, cell, kept) reports + summary, printed as JSON."""
+    if not args.root:
+        print("semantic-dedup: --root is required", file=sys.stderr)
+        return 2
+    import json
+
+    from pydala_spark.catalog import Datalake
+
+    spark = _session(args)
+    results = Datalake(spark, args.root).semantic_dedup(
+        id_col=args.id_col, vec_col=args.vec_col,
+        threshold=args.threshold, n_centroids=args.n_centroids,
+        codebook_path=args.codebook, score_col=args.score_col,
+        materialize=not args.no_materialize,
+        verify=not args.no_verify,
+        report_dir=args.report_dir,
+    )
+    print(json.dumps(results, indent=2, sort_keys=True, default=str))
+    dropped = [n for n, r in results.items()
+               if r.get("n_dropped", 0) > 0]
+    return 1 if any(
+        "error" in r for r in results.values() if isinstance(r, dict)
+    ) else (3 if dropped and args.fail_on_dups else 0)
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="python -m pydala_spark.cli",
@@ -482,6 +510,33 @@ def build_parser() -> argparse.ArgumentParser:
                     action="store_true",
                     help="exit 3 when any dataset has contaminated docs")
     dc.set_defaults(func=_cmd_decontaminate)
+
+    sd = sub.add_parser("semantic-dedup", help="lake-wide SemDeDup "
+                        "sweep served from embedding_cells sidecars "
+                        "under the lake-pinned codebook")
+    sd.add_argument("--root", default=None, help="lake root directory")
+    sd.add_argument("--id-col", dest="id_col", default="vec_id")
+    sd.add_argument("--vec-col", dest="vec_col", default="embedding")
+    sd.add_argument("--threshold", type=float, default=0.9,
+                    help="cosine cutoff for 'same content'")
+    sd.add_argument("--n-centroids", dest="n_centroids", type=int,
+                    default=16, help="codebook size when training "
+                    "(ignored once the lake codebook exists)")
+    sd.add_argument("--codebook", default=None,
+                    help="pinned codebook JSON (default "
+                    "<root>/_codebooks/semantic_dedup.json)")
+    sd.add_argument("--score-col", dest="score_col", default=None,
+                    help="keep the best-scored member of each group")
+    sd.add_argument("--report-dir", dest="report_dir", default=None)
+    sd.add_argument("--no-materialize", action="store_true",
+                    help="fail datasets without a fresh cells sidecar "
+                    "instead of assigning them")
+    sd.add_argument("--no-verify", action="store_true",
+                    help="skip the sidecar content-marker check")
+    sd.add_argument("--fail-on-dups", dest="fail_on_dups",
+                    action="store_true",
+                    help="exit 3 when any dataset has near-duplicates")
+    sd.set_defaults(func=_cmd_semantic_dedup)
     return ap
 
 

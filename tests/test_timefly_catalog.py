@@ -893,6 +893,61 @@ def test_datalake_decontaminate_sweep(spark, tmp_path):
     assert fresh["dirty_ds"]["contaminated"] == {"evalset": 2}
 
 
+def test_datalake_semantic_dedup_sweep(spark, tmp_path):
+    # round 8 (late): the embedding-modality lake sweep — cells-sidecar
+    # served, lake-pinned codebook, marker-verified; near-dup vectors
+    # dropped, text/odd datasets skipped with reasons
+    import json
+
+    import numpy as np
+
+    root = str(tmp_path / "slake")
+    lake = Datalake(spark, root)
+    rng = np.random.default_rng(5)
+    anchors = rng.normal(size=(3, 8))
+    rows = [(i, [float(x) for x in anchors[i % 3] + rng.normal(scale=0.05, size=8)])
+            for i in range(12)]
+    rows.append((50, [float(x) for x in anchors[0] + 1e-4]))  # near-dup of i=0's anchor
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    embs.write.parquet(os.path.join(root, "embs"))
+    spark.createDataFrame([(1, "plain text only")], ["doc_id", "text"]).write.parquet(
+        os.path.join(root, "texts"))
+    for n in ("embs", "texts"):
+        lake.add_dataset(n)
+
+    results = lake.semantic_dedup(threshold=0.995, n_centroids=3)
+    assert results["texts"]["skipped"].startswith("no (vec_id")
+    assert results["embs"]["sidecar"] == "materialized"
+    assert results["embs"]["n_vectors"] == 13
+    assert results["embs"]["n_dropped"] >= 1
+    assert results["_codebook"]["sha"]
+    rep = spark.read.parquet(results["embs"]["report"])
+    assert set(rep.columns) == {"id", "cell", "kept"}
+    summary = json.loads(
+        (tmp_path / "slake" / "_semantic_dedup" / "_summary.json").read_text()
+    )
+    assert summary["embs"]["n_dropped"] >= 1
+
+    # second sweep: codebook loaded from the pinned path, sidecar reused
+    again = lake.semantic_dedup(threshold=0.995, n_centroids=3)
+    assert again["embs"]["sidecar"] == "reused"
+    assert again["_codebook"]["sha"] == results["_codebook"]["sha"]
+
+    # vectors mutate -> marker mismatch -> error without materialize,
+    # auto re-materialize with it (the decontaminate contract)
+    spark.createDataFrame(
+        [(60, [float(x) for x in anchors[1] + 2e-4])],
+        "vec_id long, embedding array<double>",
+    ).write.mode("append").parquet(os.path.join(root, "embs"))
+    stale = lake.semantic_dedup(threshold=0.995, n_centroids=3,
+                                materialize=False)
+    assert "error" in stale["embs"] and "STALE" in stale["embs"]["error"]
+    fresh = lake.semantic_dedup(threshold=0.995, n_centroids=3)
+    assert fresh["embs"]["sidecar"] == "materialized"
+    assert fresh["embs"]["n_vectors"] == 14
+    assert fresh["embs"]["n_dropped"] >= 2
+
+
 def test_cli_decontaminate_smoke(spark, tmp_path, capsys):
     import json
 
@@ -922,3 +977,41 @@ def test_cli_decontaminate_smoke(spark, tmp_path, capsys):
                 "--fail-on-hits"])
     capsys.readouterr()
     assert rc2 == 3
+
+
+def test_cli_semantic_dedup_smoke(spark, tmp_path, capsys):
+    import json
+
+    import numpy as np
+
+    from pydala_spark.cli import main
+
+    root = str(tmp_path / "sdlake")
+    lake = Datalake(spark, root)
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=8)
+    rows = [(i, [float(x) for x in base + rng.normal(scale=0.5, size=8)])
+            for i in range(6)]
+    rows.append((9, rows[0][1]))  # exact duplicate vector of id 0
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).write.parquet(os.path.join(root, "embs"))
+    lake.add_dataset("embs")
+
+    rc = main(["--master", "local[4]", "semantic-dedup",
+               "--root", root, "--threshold", "0.999",
+               "--n-centroids", "2"])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0
+    assert out["embs"]["n_vectors"] == 7
+    assert out["embs"]["n_dropped"] >= 1
+    assert out["_codebook"]["path"].endswith("semantic_dedup.json")
+    # --fail-on-dups flips the exit code for cron alerting
+    rc2 = main(["--master", "local[4]", "semantic-dedup",
+                "--root", root, "--threshold", "0.999",
+                "--n-centroids", "2", "--fail-on-dups"])
+    capsys.readouterr()
+    assert rc2 == 3
+    # missing --root is a usage error
+    assert main(["--master", "local[4]", "semantic-dedup"]) == 2
+    capsys.readouterr()
