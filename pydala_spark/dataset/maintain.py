@@ -619,8 +619,9 @@ def materialize_signatures(
                 "(expected 'winnowing', 'minhash', 'spans' or "
                 "'embedding_cells')"
             )
-        kind_marker = dict(emb_marker if kind == "embedding_cells"
-                           else marker)
+        this_marker = (emb_marker if kind == "embedding_cells"
+                       else marker)
+        kind_marker = dict(this_marker)
         params_path = posixpath.join(target, "_params.json")
         if mode == "append" and po.exists(params_path):
             # an append under DIFFERENT hashing params would silently
@@ -654,9 +655,9 @@ def materialize_signatures(
                 )
             kind_marker = {
                 "content_rows": prior_marker["content_rows"]
-                + marker["content_rows"],
+                + this_marker["content_rows"],
                 "content_xor": prior_marker["content_xor"]
-                ^ marker["content_xor"],
+                ^ this_marker["content_xor"],
             }
         sigs.write.mode(mode).parquet(target)
         po.write_text(

@@ -105,6 +105,43 @@ def test_cells_marker_catches_vector_mutation(spark, tmp_path):
                         verify_against=mutated)
 
 
+def test_writer_ridealong_embedding_cells(spark, tmp_path):
+    # the Writer signature ride-along is kind-generic: an embeddings
+    # ingest signs cell assignments as it lands, append folds the
+    # full-vector marker exactly, and appending under a RETRAINED
+    # codebook refuses (params mismatch) instead of mixing geometries
+    from pydala_spark.dataset.writer import Writer
+
+    base = str(tmp_path / "emb_ds")
+    df = _emb(spark)
+    cb = kmeans_centroids(df, vec_col="embedding", n_centroids=4, seed=1)
+    kw = dict(id_col="vec_id", vec_col="embedding", centroids=cb)
+    Writer(spark, base, mode="overwrite",
+           signatures=("embedding_cells",), signature_kwargs=kw).write(df)
+    extra = spark.createDataFrame(
+        [(500, [0.5] * 6)], "vec_id long, embedding array<double>")
+    Writer(spark, base, mode="append",
+           signatures=("embedding_cells",), signature_kwargs=kw).write(extra)
+    live = spark.read.parquet(base)
+    cells, params = read_signatures(
+        spark, base, "embedding_cells",
+        expect={"codebook_sha": codebook_sha(cb)}, verify_against=live)
+    assert params["content_rows"] == live.count()
+    assert cells.count() == live.count()
+    # the folded sidecar serves the full corpus end to end
+    pre = semantic_dedup(live, threshold=0.995, cells=cells, params=params)
+    inline = semantic_dedup(live, cb, threshold=0.995)
+    assert _rows(pre) == _rows(inline)
+
+    other = kmeans_centroids(df, vec_col="embedding", n_centroids=3, seed=9)
+    with pytest.raises(ValueError, match="mix hashing schemes"):
+        Writer(spark, base, mode="append",
+               signatures=("embedding_cells",),
+               signature_kwargs={**kw, "centroids": other}).write(
+            spark.createDataFrame(
+                [(501, [0.1] * 6)], "vec_id long, embedding array<double>"))
+
+
 def test_cells_guards(spark, tmp_path):
     base = str(tmp_path / "emb_ds")
     df = _emb(spark)
