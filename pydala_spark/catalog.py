@@ -575,10 +575,15 @@ class Datalake:
                     )
                     cells, params = _read()
                     materialized = f"{type(exc).__name__}"
+                # record whether scoring actually applied — a dataset
+                # missing the score column silently falling back to
+                # smallest-id would otherwise be indistinguishable from
+                # a scored sweep in the report
+                scored = bool(score_col) and score_col in df.columns
                 verdict = semantic_dedup(
                     df, id_col=id_col, vec_col=vec_col,
                     threshold=threshold,
-                    score_col=score_col if score_col in df.columns else None,
+                    score_col=score_col if scored else None,
                     cells=cells, params=params,
                 )
                 target = posixpath.join(rep_base, name)
@@ -592,6 +597,7 @@ class Datalake:
                     "report": target,
                     "n_vectors": int(counts["n"]),
                     "n_dropped": int(counts["n_dropped"]),
+                    "scored": scored,
                 }
             except Exception as exc:  # one bad dataset must not kill it
                 results[name] = {"error": f"{type(exc).__name__}: {exc}"[:500]}

@@ -539,6 +539,34 @@ class Dataset:
         src/pydala/dataset/writer.py:444-445)."""
         return func(self.load())
 
+    def materialize_signatures(self, kinds=("winnowing",), **kwargs):
+        """Hash THIS dataset's dedup/decontamination signatures into its
+        ``_signatures`` sidecar — :func:`pydala_spark.dataset.maintain.
+        materialize_signatures` with ``df=self.load()`` and
+        ``path=self.path`` filled in (kind/param knobs pass through:
+        winnowing/minhash/spans text kinds, ``embedding_cells`` with
+        ``centroids=``). Returns ``{kind: sidecar_path}``."""
+        from pydala_spark.dataset.maintain import materialize_signatures
+
+        return materialize_signatures(
+            self.spark, self.load(), self.path, kinds=kinds, **kwargs
+        )
+
+    def read_signatures(self, kind: str, expect: dict | None = None,
+                        verify: bool = True):
+        """Load one of this dataset's signature sidecars → ``(frame,
+        params)`` (:func:`pydala_spark.dataset.maintain.
+        read_signatures`). The content marker verifies against the LIVE
+        dataset BY DEFAULT — a corpus mutated since materialization
+        raises here instead of silently sweeping to zero overlaps; pass
+        ``verify=False`` to skip the (one narrow aggregate) check."""
+        from pydala_spark.dataset.maintain import read_signatures
+
+        return read_signatures(
+            self.spark, self.path, kind, expect=expect,
+            verify_against=self.load() if verify else None,
+        )
+
 
 def apply_distinct(
     df: DataFrame,

@@ -105,6 +105,36 @@ def test_cells_marker_catches_vector_mutation(spark, tmp_path):
                         verify_against=mutated)
 
 
+def test_dataset_signature_convenience_methods(spark, tmp_path):
+    # Dataset.materialize_signatures / .read_signatures fill in the
+    # frame + path and verify the content marker BY DEFAULT
+    from pydala_spark.dataset.reader import Dataset
+
+    base = str(tmp_path / "emb_ds")
+    _emb(spark).write.parquet(base)
+    ds = Dataset(spark, base)
+    cb = kmeans_centroids(ds.load(), vec_col="embedding",
+                          n_centroids=4, seed=1)
+    out = ds.materialize_signatures(
+        kinds=("embedding_cells",), id_col="vec_id", centroids=cb)
+    assert set(out) == {"embedding_cells"}
+    cells, params = ds.read_signatures(
+        "embedding_cells", expect={"codebook_sha": codebook_sha(cb)})
+    assert cells.count() == ds.load().count()
+    assert params["content_rows"] == ds.load().count()
+
+    # verify-by-default: mutate the dataset out-of-band -> loud raise;
+    # verify=False opts out
+    spark.createDataFrame(
+        [(777, [0.2] * 6)], "vec_id long, embedding array<double>"
+    ).write.mode("append").parquet(base)
+    ds2 = Dataset(spark, base)
+    with pytest.raises(ValueError, match="STALE"):
+        ds2.read_signatures("embedding_cells")
+    cells2, _ = ds2.read_signatures("embedding_cells", verify=False)
+    assert cells2.count() == ds.load().count()
+
+
 def test_writer_ridealong_embedding_cells(spark, tmp_path):
     # the Writer signature ride-along is kind-generic: an embeddings
     # ingest signs cell assignments as it lands, append folds the
