@@ -341,6 +341,12 @@ class Datalake:
         materialize: bool = True,
         verify: bool = True,
         report_dir: str | None = None,
+        mode: str = "winnowing",
+        vec_col: str = "embedding",
+        threshold: float = 0.9,
+        block_bits: int | None = None,
+        dim: int | None = None,
+        n_probes: int = 1,
     ) -> dict[str, dict]:
         """Lake-wide benchmark-decontamination sweep (round 8) — the
         production cron entry composing rounds 5–7: for every dataset
@@ -365,7 +371,19 @@ class Datalake:
         lake-level ``_summary.json``; datasets without the text columns
         (or with no files) are skipped with a reason, and one broken
         dataset records an error instead of killing the sweep (the
-        ``maintain`` rule). Returns the summary dict."""
+        ``maintain`` rule). Returns the summary dict.
+
+        ``mode="embedding"`` (round 8, late) runs the SEMANTIC modality
+        instead: benchmarks are EMBEDDING frames (``vec_col``), datasets
+        qualify on ``(id_col, vec_col)``, and each dataset is swept with
+        :func:`~pydala_spark.operators.similarity.semantic_contamination`
+        (cosine ``threshold``; ``block_bits``/``dim``/``n_probes`` for
+        the LSH-blocked hash join on large benchmarks) — catches
+        paraphrased leakage that shares no shingles. No sidecar serves
+        this mode, honestly: the sweep is ONE broadcast left-semi scan
+        of the vectors per dataset (never shuffled, no hashing pass to
+        amortize), so the report records no sidecar status and hit rows
+        carry no ``n_hits``."""
         import json as _json
 
         from pydala_spark.dataset.maintain import (
@@ -373,20 +391,28 @@ class Datalake:
             read_signatures,
         )
         from pydala_spark.operators.dedup import winnowing_contamination
+        from pydala_spark.operators.similarity import semantic_contamination
         from pydala_spark.operators.textstats import winnowing_fingerprints
 
+        if mode not in ("winnowing", "embedding"):
+            raise ValueError(
+                f"decontaminate: unknown mode {mode!r} "
+                "(expected 'winnowing' or 'embedding')"
+            )
         expect = {"k": k, "window": window,
                   "id_col": id_col, "text_col": text_col}
         rep_base = (
             strip_scheme(report_dir).rstrip("/") if report_dir
             else posixpath.join(self.root, "_decontamination")
         )
-        bench_fps = {
-            bname: winnowing_fingerprints(
-                bdf, id_col, text_col, k=k, window=window
-            )
-            for bname, bdf in benchmarks.items()
-        }
+        bench_fps = {}
+        if mode == "winnowing":
+            bench_fps = {
+                bname: winnowing_fingerprints(
+                    bdf, id_col, text_col, k=k, window=window
+                )
+                for bname, bdf in benchmarks.items()
+            }
         results: dict[str, dict] = {}
         for name, base in self.discover().items():
             current = posixpath.join(base, "current")
@@ -398,47 +424,69 @@ class Datalake:
                     results[name] = {"skipped": "no data files"}
                     continue
                 df = ds.load()
-                if id_col not in df.columns or text_col not in df.columns:
+                need_col = vec_col if mode == "embedding" else text_col
+                if id_col not in df.columns or need_col not in df.columns:
                     results[name] = {
-                        "skipped": f"no ({id_col}, {text_col}) columns"
+                        "skipped": f"no ({id_col}, {need_col}) columns"
                     }
                     continue
 
-                def _read():
-                    return read_signatures(
-                        self.spark, data_path, "winnowing", expect=expect,
-                        verify_against=df if verify else None,
-                    )
+                if mode == "embedding":
+                    # one broadcast left-semi vector scan per benchmark
+                    # — no hashing pass to amortize, hence no sidecar
+                    entry: dict = {}
+                    report_rows = None
+                    for bname, bdf in benchmarks.items():
+                        hits = semantic_contamination(
+                            df, bdf, id_col=id_col, vec_col=vec_col,
+                            threshold=threshold, block_bits=block_bits,
+                            dim=dim, n_probes=n_probes,
+                        ).select(F.lit(bname).alias("benchmark"), "id")
+                        report_rows = (
+                            hits if report_rows is None
+                            else report_rows.unionByName(hits)
+                        )
+                    bench_names = benchmarks
+                else:
 
-                materialized = False
-                try:
-                    fps, _params = _read()
-                except Exception as exc:
-                    if not materialize:
-                        raise
-                    # absent, param-mismatched, or stale sidecar — pay
-                    # the hashing ONCE here; every later sweep reads it
-                    materialize_signatures(
-                        self.spark, df, data_path, id_col=id_col,
-                        text_col=text_col, kinds=("winnowing",),
-                        winnowing_k=k, winnowing_window=window,
-                    )
-                    fps, _params = _read()
-                    materialized = f"{type(exc).__name__}"
-                entry: dict = {"sidecar": "materialized" if materialized
-                               else "reused"}
-                report_rows = None
-                for bname, bfp in bench_fps.items():
-                    hits = winnowing_contamination(
-                        fps, bfp, id_col, min_hits=min_hits,
-                        precomputed_fps=True,
-                    ).select(
-                        F.lit(bname).alias("benchmark"), "id", "n_hits"
-                    )
-                    report_rows = (
-                        hits if report_rows is None
-                        else report_rows.unionByName(hits)
-                    )
+                    def _read():
+                        return read_signatures(
+                            self.spark, data_path, "winnowing",
+                            expect=expect,
+                            verify_against=df if verify else None,
+                        )
+
+                    materialized = False
+                    try:
+                        fps, _params = _read()
+                    except Exception as exc:
+                        if not materialize:
+                            raise
+                        # absent, param-mismatched, or stale sidecar —
+                        # pay the hashing ONCE here; every later sweep
+                        # reads it
+                        materialize_signatures(
+                            self.spark, df, data_path, id_col=id_col,
+                            text_col=text_col, kinds=("winnowing",),
+                            winnowing_k=k, winnowing_window=window,
+                        )
+                        fps, _params = _read()
+                        materialized = f"{type(exc).__name__}"
+                    entry = {"sidecar": "materialized" if materialized
+                             else "reused"}
+                    report_rows = None
+                    for bname, bfp in bench_fps.items():
+                        hits = winnowing_contamination(
+                            fps, bfp, id_col, min_hits=min_hits,
+                            precomputed_fps=True,
+                        ).select(
+                            F.lit(bname).alias("benchmark"), "id", "n_hits"
+                        )
+                        report_rows = (
+                            hits if report_rows is None
+                            else report_rows.unionByName(hits)
+                        )
+                    bench_names = bench_fps
                 target = posixpath.join(rep_base, name)
                 report_rows.write.mode("overwrite").parquet(target)
                 counts = {
@@ -450,7 +498,7 @@ class Datalake:
                 entry.update({
                     "report": target,
                     "contaminated": {
-                        bname: counts.get(bname, 0) for bname in bench_fps
+                        bname: counts.get(bname, 0) for bname in bench_names
                     },
                 })
                 results[name] = entry

@@ -379,6 +379,9 @@ def _cmd_decontaminate(args) -> int:
         materialize=not args.no_materialize,
         verify=not args.no_verify,
         report_dir=args.report_dir,
+        mode=args.mode, vec_col=args.vec_col,
+        threshold=args.threshold, block_bits=args.block_bits,
+        dim=args.dim, n_probes=args.n_probes,
     )
     print(json.dumps(results, indent=2, sort_keys=True, default=str))
     flagged = [
@@ -509,6 +512,18 @@ def build_parser() -> argparse.ArgumentParser:
     dc.add_argument("--fail-on-hits", dest="fail_on_hits",
                     action="store_true",
                     help="exit 3 when any dataset has contaminated docs")
+    dc.add_argument("--mode", default="winnowing",
+                    choices=["winnowing", "embedding"],
+                    help="overlap modality: winnowing fingerprints "
+                    "(sidecar-served) or embedding cosine proximity")
+    dc.add_argument("--vec-col", dest="vec_col", default="embedding")
+    dc.add_argument("--threshold", type=float, default=0.9,
+                    help="cosine cutoff (embedding mode)")
+    dc.add_argument("--block-bits", dest="block_bits", type=int,
+                    default=None, help="LSH sign-bit blocking for large "
+                    "embedding benchmarks (requires --dim)")
+    dc.add_argument("--dim", type=int, default=None)
+    dc.add_argument("--n-probes", dest="n_probes", type=int, default=1)
     dc.set_defaults(func=_cmd_decontaminate)
 
     sd = sub.add_parser("semantic-dedup", help="lake-wide SemDeDup "

@@ -893,6 +893,53 @@ def test_datalake_decontaminate_sweep(spark, tmp_path):
     assert fresh["dirty_ds"]["contaminated"] == {"evalset": 2}
 
 
+def test_datalake_decontaminate_embedding_mode(spark, tmp_path):
+    # round 8 (late): the semantic lake-decon modality — embedding
+    # benchmarks, cosine proximity, no sidecar (one-pass scan); text
+    # datasets skipped, winnowing behavior untouched elsewhere
+    import json
+
+    import numpy as np
+
+    root = str(tmp_path / "elake")
+    lake = Datalake(spark, root)
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(10, 8))
+    leak_vec = [float(x) for x in vecs[0]]
+    corpus = [(i, [float(x) for x in vecs[i]]) for i in range(10)]
+    spark.createDataFrame(
+        corpus, "doc_id long, embedding array<double>"
+    ).write.parquet(os.path.join(root, "embs"))
+    spark.createDataFrame([(1, "text only")], ["doc_id", "text"]).write.parquet(
+        os.path.join(root, "texts"))
+    for n in ("embs", "texts"):
+        lake.add_dataset(n)
+    # benchmark holds an exact copy of corpus vector 0 (cos = 1.0)
+    bench = spark.createDataFrame(
+        [(0, leak_vec)], "doc_id long, embedding array<double>")
+
+    results = lake.decontaminate({"evalset": bench}, mode="embedding",
+                                 threshold=0.999)
+    assert results["texts"]["skipped"].startswith("no (doc_id, embedding)")
+    assert results["embs"]["contaminated"] == {"evalset": 1}
+    assert "sidecar" not in results["embs"]  # honestly: nothing served
+    rep = spark.read.parquet(results["embs"]["report"])
+    assert [r["id"] for r in rep.collect()] == [0]
+    summary = json.loads(
+        (tmp_path / "elake" / "_decontamination" / "_summary.json")
+        .read_text()
+    )
+    assert summary["embs"]["contaminated"]["evalset"] == 1
+
+    # LSH-blocked variant agrees on the planted exact copy
+    blocked = lake.decontaminate({"evalset": bench}, mode="embedding",
+                                 threshold=0.999, block_bits=4, dim=8)
+    assert blocked["embs"]["contaminated"] == {"evalset": 1}
+    # unknown mode fails loud
+    with pytest.raises(ValueError, match="mode"):
+        lake.decontaminate({"evalset": bench}, mode="bogus")
+
+
 def test_datalake_semantic_dedup_sweep(spark, tmp_path):
     # round 8 (late): the embedding-modality lake sweep — cells-sidecar
     # served, lake-pinned codebook, marker-verified; near-dup vectors
