@@ -347,6 +347,8 @@ class Datalake:
         block_bits: int | None = None,
         dim: int | None = None,
         n_probes: int = 1,
+        shingle_size: int = 3,
+        shingle_mode: str = "word",
     ) -> dict[str, dict]:
         """Lake-wide benchmark-decontamination sweep (round 8) — the
         production cron entry composing rounds 5–7: for every dataset
@@ -383,21 +385,32 @@ class Datalake:
         this mode, honestly: the sweep is ONE broadcast left-semi scan
         of the vectors per dataset (never shuffled, no hashing pass to
         amortize), so the report records no sidecar status and hit rows
-        carry no ``n_hits``."""
+        carry no ``n_hits``.
+
+        ``mode="ngram"`` completes the pipeline's three-modality story
+        lake-wide: exact ``shingle_size``-gram overlap
+        (:func:`~pydala_spark.operators.dedup.contamination_hits`,
+        ``shingle_mode="char"`` for CJK benchmarks). Also sidecar-less —
+        the shingle universe is corpus-sized, so materializing it would
+        store more than the corpus; the winnowing modality IS the
+        amortizable middle ground and stays the default."""
         import json as _json
 
         from pydala_spark.dataset.maintain import (
             materialize_signatures,
             read_signatures,
         )
-        from pydala_spark.operators.dedup import winnowing_contamination
+        from pydala_spark.operators.dedup import (
+            contamination_hits,
+            winnowing_contamination,
+        )
         from pydala_spark.operators.similarity import semantic_contamination
         from pydala_spark.operators.textstats import winnowing_fingerprints
 
-        if mode not in ("winnowing", "embedding"):
+        if mode not in ("winnowing", "embedding", "ngram"):
             raise ValueError(
                 f"decontaminate: unknown mode {mode!r} "
-                "(expected 'winnowing' or 'embedding')"
+                "(expected 'winnowing', 'embedding' or 'ngram')"
             )
         expect = {"k": k, "window": window,
                   "id_col": id_col, "text_col": text_col}
@@ -442,6 +455,24 @@ class Datalake:
                             threshold=threshold, block_bits=block_bits,
                             dim=dim, n_probes=n_probes,
                         ).select(F.lit(bname).alias("benchmark"), "id")
+                        report_rows = (
+                            hits if report_rows is None
+                            else report_rows.unionByName(hits)
+                        )
+                    bench_names = benchmarks
+                elif mode == "ngram":
+                    # exact shingle overlap — sidecar-less by design
+                    # (the shingle universe outweighs the corpus)
+                    entry = {}
+                    report_rows = None
+                    for bname, bdf in benchmarks.items():
+                        hits = contamination_hits(
+                            df, bdf, id_col, text_col=text_col,
+                            shingle_size=shingle_size, min_hits=min_hits,
+                            shingle_mode=shingle_mode,
+                        ).select(
+                            F.lit(bname).alias("benchmark"), "id", "n_hits"
+                        )
                         report_rows = (
                             hits if report_rows is None
                             else report_rows.unionByName(hits)

@@ -382,6 +382,7 @@ def _cmd_decontaminate(args) -> int:
         mode=args.mode, vec_col=args.vec_col,
         threshold=args.threshold, block_bits=args.block_bits,
         dim=args.dim, n_probes=args.n_probes,
+        shingle_size=args.shingle_size, shingle_mode=args.shingle_mode,
     )
     print(json.dumps(results, indent=2, sort_keys=True, default=str))
     flagged = [
@@ -513,9 +514,15 @@ def build_parser() -> argparse.ArgumentParser:
                     action="store_true",
                     help="exit 3 when any dataset has contaminated docs")
     dc.add_argument("--mode", default="winnowing",
-                    choices=["winnowing", "embedding"],
+                    choices=["winnowing", "embedding", "ngram"],
                     help="overlap modality: winnowing fingerprints "
-                    "(sidecar-served) or embedding cosine proximity")
+                    "(sidecar-served), embedding cosine proximity, or "
+                    "exact n-gram shingle overlap")
+    dc.add_argument("--shingle-size", dest="shingle_size", type=int,
+                    default=3, help="n-gram size (ngram mode)")
+    dc.add_argument("--shingle-mode", dest="shingle_mode",
+                    default="word", choices=["word", "char"],
+                    help="shingle unit (ngram mode; char for CJK)")
     dc.add_argument("--vec-col", dest="vec_col", default="embedding")
     dc.add_argument("--threshold", type=float, default=0.9,
                     help="cosine cutoff (embedding mode)")

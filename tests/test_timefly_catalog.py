@@ -939,6 +939,23 @@ def test_datalake_decontaminate_embedding_mode(spark, tmp_path):
     with pytest.raises(ValueError, match="mode"):
         lake.decontaminate({"evalset": bench}, mode="bogus")
 
+    # ngram mode: exact shingle overlap over the text dataset; the
+    # embeddings dataset is the one skipped now
+    leak = "the quick brown fox jumps over the lazy benchmark dog"
+    spark.createDataFrame(
+        [(1, f"innocent words here then {leak} trailing tail"),
+         (2, "nothing shared with the benchmark at all in this one")],
+        ["doc_id", "text"],
+    ).write.parquet(os.path.join(root, "docs"))
+    lake.add_dataset("docs")
+    tbench = spark.createDataFrame([(0, leak)], ["doc_id", "text"])
+    ng = lake.decontaminate({"evalset": tbench}, mode="ngram", min_hits=2)
+    assert ng["embs"]["skipped"].startswith("no (doc_id, text)")
+    assert ng["docs"]["contaminated"] == {"evalset": 1}
+    assert "sidecar" not in ng["docs"]
+    rep2 = spark.read.parquet(ng["docs"]["report"])
+    assert [(r["id"], r["n_hits"] >= 2) for r in rep2.collect()] == [(1, True)]
+
 
 def test_datalake_semantic_dedup_sweep(spark, tmp_path):
     # round 8 (late): the embedding-modality lake sweep — cells-sidecar
