@@ -689,6 +689,252 @@ class Datalake:
         )
         return results
 
+    def neardup_dedup(
+        self,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        n_hashes: int = 8,
+        n_bands: int = 4,
+        shingle_size: int = 3,
+        shingle_mode: str = "word",
+        seed: int = 0,
+        max_bucket_size: int | None = 256,
+        score_col: str | None = None,
+        materialize: bool = True,
+        verify: bool = True,
+        report_dir: str | None = None,
+    ) -> dict[str, dict]:
+        """Lake-wide CROSS-DATASET text near-dup sweep (round 8) — the
+        text-modality sibling of :meth:`semantic_dedup`, and the one
+        sweep no per-dataset pass can replace: the same crawl document
+        landing in two datasets (dump A and dump B) is invisible to
+        per-dataset dedup, so the lake level is where it must run.
+
+        Served from each dataset's ``minhash`` signature sidecar
+        (materialized on first contact, marker-verified, re-hashed only
+        when the content marker says the corpus mutated): the
+        cross-dataset phase unions the (tiny) signature tables under
+        lake-qualified ids — at 8×8-hex hashes that is ~100 bytes/doc,
+        so a 100 TB corpus contributes a ~100 GB signature union — then
+        runs ONE (band, band_hash)-keyed shuffle
+        (:func:`~pydala_spark.operators.dedup.lsh_candidate_pairs`,
+        viral buckets capped at ``max_bucket_size``), connected
+        components over the LSH-reduced edge set
+        (:func:`~pydala_spark.operators.dedup.dedup_clusters`), and one
+        window rank to pick each cluster's keeper. Corpus text is never
+        read except the per-dataset marker aggregate when ``verify``.
+
+        ``score_col``: when a dataset carries it, a narrow ``(id,
+        score)`` projection (column-pruned at the parquet scan) joins
+        in so the BEST-scored cluster member is kept, smallest
+        lake-qualified id breaking ties and covering unscored members
+        (``desc_nulls_last``); each dataset's report records whether
+        scoring applied (the :meth:`semantic_dedup` honesty rule).
+
+        Output: ONE partitioned verdict table under ``report_dir``
+        (default ``<root>/_neardup``) at ``_verdicts/dataset=<name>/``
+        with columns ``(id, cluster, kept, rep_dataset, rep_id)`` —
+        ``rep_*`` name the cluster's keeper so a dropped row says WHERE
+        its surviving copy lives (ids stringified: lake-qualified keys
+        must union across datasets whose id types differ). Plus a
+        ``_summary.json`` recording, per dataset, ``n_docs`` /
+        ``n_dropped`` / ``n_cross_dropped`` (dropped rows whose keeper
+        lives in a DIFFERENT dataset — the number only this sweep can
+        produce) and, lake-level, ``n_clusters`` /
+        ``n_cross_dataset_clusters``. Datasets without the columns are
+        skipped with a reason and one broken dataset records an error
+        and sits out the union instead of killing the sweep (the
+        ``maintain`` rule); the global phase itself is all-or-nothing.
+        """
+        import json as _json
+
+        from pyspark.sql import Window
+
+        from pydala_spark.dataset.maintain import (
+            materialize_signatures,
+            read_signatures,
+        )
+        from pydala_spark.operators.dedup import (
+            dedup_clusters,
+            lsh_candidate_pairs,
+        )
+
+        if n_hashes % n_bands != 0:
+            # band_frame would raise too, but only AFTER every dataset
+            # paid sidecar materialization — fail before touching any
+            raise ValueError(
+                f"neardup_dedup: n_bands={n_bands} must divide "
+                f"n_hashes={n_hashes}"
+            )
+        expect = {
+            "id_col": id_col, "text_col": text_col, "n_hashes": n_hashes,
+            "shingle_size": shingle_size, "seed": seed,
+            "shingle_mode": shingle_mode,
+        }
+        rep_base = (
+            strip_scheme(report_dir).rstrip("/") if report_dir
+            else posixpath.join(self.root, "_neardup")
+        )
+        #: \x1f (unit separator) cannot appear in a manifest dataset
+        #: name, so lake-qualified ids split back unambiguously
+        sep = "\x1f"
+        results: dict[str, dict] = {}
+        union = None
+        scores = None
+        for name, base in self.discover().items():
+            current = posixpath.join(base, "current")
+            data_path = current if self._po.is_dir(current) else base
+            fmt = self._dataset_format(base)
+            try:
+                ds = Dataset(self.spark, data_path, name=name, format=fmt)
+                if not ds._dataset_has_files():
+                    results[name] = {"skipped": "no data files"}
+                    continue
+                df = ds.load()
+                if id_col not in df.columns or text_col not in df.columns:
+                    results[name] = {
+                        "skipped": f"no ({id_col}, {text_col}) columns"
+                    }
+                    continue
+
+                def _read():
+                    return read_signatures(
+                        self.spark, data_path, "minhash", expect=expect,
+                        verify_against=df if verify else None,
+                    )
+
+                materialized = False
+                try:
+                    sigs, _params = _read()
+                except Exception as exc:
+                    if not materialize:
+                        raise
+                    # absent, param-mismatched or stale sidecar — pay
+                    # the shingle hashing ONCE; every later sweep reads
+                    materialize_signatures(
+                        self.spark, df, data_path, id_col=id_col,
+                        text_col=text_col, kinds=("minhash",),
+                        n_hashes=n_hashes, shingle_size=shingle_size,
+                        seed=seed, shingle_mode=shingle_mode,
+                    )
+                    sigs, _params = _read()
+                    materialized = f"{type(exc).__name__}"
+                mh_cols = sorted(
+                    (c for c in sigs.columns if c.startswith("mh_")),
+                    key=lambda c: int(c.split("_")[1]),
+                )
+                doc = F.col(id_col).cast("string")
+                tagged = sigs.select(
+                    F.lit(name).alias("__ds"),
+                    doc.alias("__doc"),
+                    F.concat_ws(sep, F.lit(name), doc).alias("__lid"),
+                    *mh_cols,
+                )
+                union = tagged if union is None else union.unionByName(tagged)
+                scored = bool(score_col) and score_col in df.columns
+                if scored:
+                    # narrow projection — parquet reads two columns,
+                    # never the text
+                    sc = df.select(
+                        F.lit(name).alias("__ds"),
+                        F.col(id_col).cast("string").alias("__doc"),
+                        F.col(score_col).cast("double").alias("__score"),
+                    )
+                    scores = sc if scores is None else scores.unionByName(sc)
+                results[name] = {
+                    "sidecar": "materialized" if materialized else "reused",
+                    "scored": scored,
+                }
+            except Exception as exc:  # one bad dataset must not kill it
+                results[name] = {"error": f"{type(exc).__name__}: {exc}"[:500]}
+
+        lake_stats = {"n_clusters": 0, "n_cross_dataset_clusters": 0}
+        if union is not None:
+            pairs = lsh_candidate_pairs(
+                union, "__lid", n_bands=n_bands,
+                max_bucket_size=max_bucket_size,
+            )
+            clusters = dedup_clusters(pairs).select(
+                F.col("id").alias("__cid"),
+                F.col("cluster_id").alias("cluster"),
+            )
+            members = union.select("__ds", "__doc", "__lid").join(
+                clusters, F.col("__lid") == F.col("__cid"), "left"
+            ).drop("__cid")
+            if scores is not None:
+                members = members.join(scores, ["__ds", "__doc"], "left")
+            order = (
+                [F.desc_nulls_last("__score"), F.asc("__lid")]
+                if scores is not None else [F.asc("__lid")]
+            )
+            # singleton-safe window key: cluster ids are drawn from the
+            # lake-id domain, so a bare coalesce could merge an
+            # unrelated singleton into a cluster's window (the
+            # keep_cluster_representatives struct-key rule)
+            w = Window.partitionBy(
+                F.struct(
+                    F.col("cluster").isNull().alias("s"),
+                    F.coalesce(F.col("cluster"), F.col("__lid")).alias("k"),
+                )
+            ).orderBy(*order)
+            ranked = members.withColumn(
+                "__rk", F.row_number().over(w)
+            # ranked feeds the verdict select AND the keeper self-join —
+            # without the cut the minhash union + LSH + CC re-executes
+            # per consumer
+            ).localCheckpoint(eager=True)
+            reps = ranked.where(
+                (F.col("__rk") == 1) & F.col("cluster").isNotNull()
+            ).select(
+                F.col("cluster").alias("__rcl"),
+                F.col("__ds").alias("rep_dataset"),
+                F.col("__doc").alias("rep_id"),
+            )
+            verdict = ranked.join(
+                reps, ranked["cluster"] == F.col("__rcl"), "left"
+            ).select(
+                F.col("__ds").alias("dataset"),
+                F.col("__doc").alias("id"),
+                "cluster",
+                (F.col("__rk") == 1).alias("kept"),
+                "rep_dataset", "rep_id",
+            )
+            target = posixpath.join(rep_base, "_verdicts")
+            verdict.write.mode("overwrite").partitionBy(
+                "dataset").parquet(target)
+            written = self.spark.read.parquet(target)
+            for r in written.groupBy("dataset").agg(
+                F.count("*").alias("n"),
+                F.count_if(~F.col("kept")).alias("nd"),
+                F.count_if(
+                    ~F.col("kept")
+                    & (F.col("rep_dataset") != F.col("dataset"))
+                ).alias("nx"),
+            ).collect():
+                results[r["dataset"]].update({
+                    "report": posixpath.join(
+                        target, f"dataset={r['dataset']}"),
+                    "n_docs": int(r["n"]),
+                    "n_dropped": int(r["nd"]),
+                    "n_cross_dropped": int(r["nx"]),
+                })
+            cl = written.where(F.col("cluster").isNotNull()).groupBy(
+                "cluster").agg(
+                F.count_distinct("dataset").alias("nds")).agg(
+                F.count("*").alias("n"),
+                F.count_if(F.col("nds") > 1).alias("nx"),
+            ).collect()[0]
+            lake_stats = {
+                "n_clusters": int(cl["n"] or 0),
+                "n_cross_dataset_clusters": int(cl["nx"] or 0),
+            }
+        results["_lake"] = lake_stats
+        self._po.write_text(
+            posixpath.join(rep_base, "_summary.json"),
+            _json.dumps(results, indent=2, sort_keys=True, default=str),
+        )
+        return results
+
     def __getitem__(self, name: str) -> Dataset:
         if name not in self.datasets:
             self.load(register_views=False)

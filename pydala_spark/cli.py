@@ -422,6 +422,37 @@ def _cmd_semantic_dedup(args) -> int:
     ) else (3 if dropped and args.fail_on_dups else 0)
 
 
+def _cmd_neardup_dedup(args) -> int:
+    """Lake-wide cross-dataset text near-dup sweep
+    (catalog.Datalake.neardup_dedup) — minhash-sidecar served, LSH +
+    connected components across every dataset, per-dataset verdict
+    partitions + summary, printed as JSON."""
+    if not args.root:
+        print("neardup-dedup: --root is required", file=sys.stderr)
+        return 2
+    import json
+
+    from pydala_spark.catalog import Datalake
+
+    spark = _session(args)
+    results = Datalake(spark, args.root).neardup_dedup(
+        id_col=args.id_col, text_col=args.text_col,
+        n_hashes=args.n_hashes, n_bands=args.n_bands,
+        shingle_size=args.shingle_size, shingle_mode=args.shingle_mode,
+        seed=args.seed, max_bucket_size=args.max_bucket_size,
+        score_col=args.score_col,
+        materialize=not args.no_materialize,
+        verify=not args.no_verify,
+        report_dir=args.report_dir,
+    )
+    print(json.dumps(results, indent=2, sort_keys=True, default=str))
+    dropped = [n for n, r in results.items()
+               if isinstance(r, dict) and r.get("n_dropped", 0) > 0]
+    return 1 if any(
+        "error" in r for r in results.values() if isinstance(r, dict)
+    ) else (3 if dropped and args.fail_on_dups else 0)
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="python -m pydala_spark.cli",
@@ -559,6 +590,36 @@ def build_parser() -> argparse.ArgumentParser:
                     action="store_true",
                     help="exit 3 when any dataset has near-duplicates")
     sd.set_defaults(func=_cmd_semantic_dedup)
+
+    nd = sub.add_parser("neardup-dedup", help="lake-wide cross-dataset "
+                        "text near-dup sweep served from minhash "
+                        "sidecars (LSH + connected components)")
+    nd.add_argument("--root", default=None, help="lake root directory")
+    nd.add_argument("--id-col", dest="id_col", default="doc_id")
+    nd.add_argument("--text-col", dest="text_col", default="text")
+    nd.add_argument("--n-hashes", dest="n_hashes", type=int, default=8)
+    nd.add_argument("--n-bands", dest="n_bands", type=int, default=4)
+    nd.add_argument("--shingle-size", dest="shingle_size", type=int,
+                    default=3)
+    nd.add_argument("--shingle-mode", dest="shingle_mode",
+                    default="word", choices=("word", "char"))
+    nd.add_argument("--seed", type=int, default=0)
+    nd.add_argument("--max-bucket-size", dest="max_bucket_size",
+                    type=int, default=256,
+                    help="drop viral LSH buckets larger than this "
+                    "(route them through exact dedup instead)")
+    nd.add_argument("--score-col", dest="score_col", default=None,
+                    help="keep the best-scored member of each cluster")
+    nd.add_argument("--report-dir", dest="report_dir", default=None)
+    nd.add_argument("--no-materialize", action="store_true",
+                    help="fail datasets without a fresh minhash sidecar "
+                    "instead of hashing them")
+    nd.add_argument("--no-verify", action="store_true",
+                    help="skip the sidecar content-marker check")
+    nd.add_argument("--fail-on-dups", dest="fail_on_dups",
+                    action="store_true",
+                    help="exit 3 when any dataset has near-duplicates")
+    nd.set_defaults(func=_cmd_neardup_dedup)
     return ap
 
 

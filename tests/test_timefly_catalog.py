@@ -1012,6 +1012,87 @@ def test_datalake_semantic_dedup_sweep(spark, tmp_path):
     assert fresh["embs"]["n_dropped"] >= 2
 
 
+def test_datalake_neardup_dedup_sweep(spark, tmp_path):
+    # round 8 (late): the text-modality lake sweep — minhash-sidecar
+    # served, cross-dataset LSH + connected components; the same crawl
+    # doc planted in two dumps keeps its best-scored copy, verdicts say
+    # WHERE the keeper lives, non-text datasets skipped with reasons
+    import json
+
+    root = str(tmp_path / "ndlake")
+    lake = Datalake(spark, root)
+    shared = ("the quick brown fox jumps over the lazy dog "
+              "again and again in every single crawl dump")
+    spark.createDataFrame(
+        [(1, shared, 0.9),
+         (2, "completely different unique content nothing alike here", 0.1)],
+        ["doc_id", "text", "score"],
+    ).write.parquet(os.path.join(root, "dump_a"))
+    spark.createDataFrame(
+        [(10, shared, 0.2),
+         (11, "another entirely distinct document with its own words", 0.5)],
+        ["doc_id", "text", "score"],
+    ).write.parquet(os.path.join(root, "dump_b"))
+    spark.createDataFrame(
+        [(0, [0.1, 0.2])], "vec_id long, embedding array<double>"
+    ).write.parquet(os.path.join(root, "embs"))
+    for n in ("dump_a", "dump_b", "embs"):
+        lake.add_dataset(n)
+
+    results = lake.neardup_dedup(score_col="score")
+    assert results["embs"]["skipped"].startswith("no (doc_id, text)")
+    assert results["dump_a"]["sidecar"] == "materialized"
+    assert results["dump_a"]["scored"] is True
+    # ONE cluster: the planted copy — and it spans datasets, the number
+    # only the lake-level sweep can see
+    assert results["_lake"]["n_clusters"] == 1
+    assert results["_lake"]["n_cross_dataset_clusters"] == 1
+    # keeper is the BEST-scored member (dump_a doc 1 at 0.9)
+    assert results["dump_a"]["n_dropped"] == 0
+    assert results["dump_b"]["n_dropped"] == 1
+    assert results["dump_b"]["n_cross_dropped"] == 1
+    rep_b = spark.read.parquet(results["dump_b"]["report"])
+    assert set(rep_b.columns) == {"id", "cluster", "kept",
+                                  "rep_dataset", "rep_id"}
+    by_id = {r["id"]: r for r in rep_b.collect()}
+    assert by_id["10"]["kept"] is False
+    assert (by_id["10"]["rep_dataset"], by_id["10"]["rep_id"]) == (
+        "dump_a", "1")
+    assert by_id["11"]["kept"] is True and by_id["11"]["cluster"] is None
+    summary = json.loads(
+        (tmp_path / "ndlake" / "_neardup" / "_summary.json").read_text())
+    assert summary["dump_b"]["n_cross_dropped"] == 1
+    assert summary["_lake"]["n_cross_dataset_clusters"] == 1
+
+    # second sweep: signatures served from the sidecars, no re-hash
+    again = lake.neardup_dedup(score_col="score")
+    assert again["dump_a"]["sidecar"] == "reused"
+    assert again["dump_b"]["sidecar"] == "reused"
+
+    # text mutates -> content marker mismatch -> loud without
+    # materialize, auto re-materialize with it (the sweep contract)
+    spark.createDataFrame(
+        [(12, shared + " with a slight tail", 0.95)],
+        ["doc_id", "text", "score"],
+    ).write.mode("append").parquet(os.path.join(root, "dump_b"))
+    stale = lake.neardup_dedup(score_col="score", materialize=False)
+    assert "error" in stale["dump_b"] and "STALE" in stale["dump_b"]["error"]
+    assert stale["dump_a"]["sidecar"] == "reused"  # one bad ds, sweep lives
+    fresh = lake.neardup_dedup(score_col="score")
+    assert fresh["dump_b"]["sidecar"] == "materialized"
+    assert fresh["dump_b"]["n_docs"] == 3
+
+    # unscored sweep still works: smallest lake-qualified id kept
+    plain = lake.neardup_dedup()
+    assert plain["dump_a"]["scored"] is False
+    rep_a = spark.read.parquet(plain["dump_a"]["report"])
+    assert {r["id"]: r["kept"] for r in rep_a.collect()}["1"] is True
+
+    # banding mismatch fails before any dataset pays materialization
+    with pytest.raises(ValueError, match="must divide"):
+        lake.neardup_dedup(n_hashes=8, n_bands=3)
+
+
 def test_cli_decontaminate_smoke(spark, tmp_path, capsys):
     import json
 
@@ -1078,4 +1159,39 @@ def test_cli_semantic_dedup_smoke(spark, tmp_path, capsys):
     assert rc2 == 3
     # missing --root is a usage error
     assert main(["--master", "local[4]", "semantic-dedup"]) == 2
+    capsys.readouterr()
+
+
+def test_cli_neardup_dedup_smoke(spark, tmp_path, capsys):
+    import json
+
+    from pydala_spark.cli import main
+
+    root = str(tmp_path / "ndclake")
+    lake = Datalake(spark, root)
+    shared = ("shared crawl document text that appears in both dumps "
+              "word for word with enough shingles to minhash")
+    spark.createDataFrame(
+        [(1, shared), (2, "unique words live here and nowhere else")],
+        ["doc_id", "text"],
+    ).write.parquet(os.path.join(root, "dump_a"))
+    spark.createDataFrame(
+        [(10, shared)], ["doc_id", "text"],
+    ).write.parquet(os.path.join(root, "dump_b"))
+    for n in ("dump_a", "dump_b"):
+        lake.add_dataset(n)
+
+    rc = main(["--master", "local[4]", "neardup-dedup", "--root", root])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0
+    assert out["_lake"]["n_cross_dataset_clusters"] == 1
+    # smallest lake-qualified id wins unscored: dump_a keeps, dump_b drops
+    assert out["dump_b"]["n_cross_dropped"] == 1
+    # --fail-on-dups flips the exit code for cron alerting
+    rc2 = main(["--master", "local[4]", "neardup-dedup", "--root", root,
+                "--fail-on-dups"])
+    capsys.readouterr()
+    assert rc2 == 3
+    # missing --root is a usage error
+    assert main(["--master", "local[4]", "neardup-dedup"]) == 2
     capsys.readouterr()
