@@ -349,6 +349,7 @@ class Datalake:
         n_probes: int = 1,
         shingle_size: int = 3,
         shingle_mode: str = "word",
+        signatures_root: str | None = None,
     ) -> dict[str, dict]:
         """Lake-wide benchmark-decontamination sweep (round 8) — the
         production cron entry composing rounds 5–7: for every dataset
@@ -387,6 +388,14 @@ class Datalake:
         amortize), so the report records no sidecar status and hit rows
         carry no ``n_hits``.
 
+        ``signatures_root`` (round 8, late): host each dataset's
+        signature sidecars at ``<signatures_root>/<dataset>`` instead
+        of next to the data — the READ-ONLY-lake layout (crawl dumps
+        you cannot write into); marker verification still ties every
+        sidecar to the exact corpus it hashed. Applies to every
+        sidecar-served sweep (:meth:`semantic_dedup`,
+        :meth:`neardup_dedup` take the same knob).
+
         ``mode="ngram"`` completes the pipeline's three-modality story
         lake-wide: exact ``shingle_size``-gram overlap
         (:func:`~pydala_spark.operators.dedup.contamination_hits`,
@@ -418,6 +427,8 @@ class Datalake:
             strip_scheme(report_dir).rstrip("/") if report_dir
             else posixpath.join(self.root, "_decontamination")
         )
+        sig_root = (strip_scheme(signatures_root).rstrip("/")
+                    if signatures_root else None)
         bench_fps = {}
         if mode == "winnowing":
             bench_fps = {
@@ -479,12 +490,15 @@ class Datalake:
                         )
                     bench_names = benchmarks
                 else:
+                    sp = (posixpath.join(sig_root, name)
+                          if sig_root else None)
 
                     def _read():
                         return read_signatures(
                             self.spark, data_path, "winnowing",
                             expect=expect,
                             verify_against=df if verify else None,
+                            signatures_path=sp,
                         )
 
                     materialized = False
@@ -500,6 +514,7 @@ class Datalake:
                             self.spark, df, data_path, id_col=id_col,
                             text_col=text_col, kinds=("winnowing",),
                             winnowing_k=k, winnowing_window=window,
+                            signatures_path=sp,
                         )
                         fps, _params = _read()
                         materialized = f"{type(exc).__name__}"
@@ -553,6 +568,7 @@ class Datalake:
         verify: bool = True,
         report_dir: str | None = None,
         seed: int = 42,
+        signatures_root: str | None = None,
     ) -> dict[str, dict]:
         """Lake-wide SemDeDup sweep (round 8) — the embedding-modality
         sibling of :meth:`decontaminate`, served by the
@@ -632,6 +648,9 @@ class Datalake:
                     )
                     save_codebook(self.spark, cb, cb_path)
                 sha = codebook_sha(cb)
+                sp = (posixpath.join(
+                    strip_scheme(signatures_root).rstrip("/"), name)
+                    if signatures_root else None)
 
                 def _read():
                     return read_signatures(
@@ -639,6 +658,7 @@ class Datalake:
                         expect={"codebook_sha": sha, "id_col": id_col,
                                 "vec_col": vec_col},
                         verify_against=df if verify else None,
+                        signatures_path=sp,
                     )
 
                 materialized = False
@@ -650,7 +670,7 @@ class Datalake:
                     materialize_signatures(
                         self.spark, df, data_path, id_col=id_col,
                         vec_col=vec_col, kinds=("embedding_cells",),
-                        centroids=cb,
+                        centroids=cb, signatures_path=sp,
                     )
                     cells, params = _read()
                     materialized = f"{type(exc).__name__}"
@@ -703,6 +723,7 @@ class Datalake:
         materialize: bool = True,
         verify: bool = True,
         report_dir: str | None = None,
+        signatures_root: str | None = None,
     ) -> dict[str, dict]:
         """Lake-wide CROSS-DATASET text near-dup sweep (round 8) — the
         text-modality sibling of :meth:`semantic_dedup`, and the one
@@ -796,11 +817,15 @@ class Datalake:
                         "skipped": f"no ({id_col}, {text_col}) columns"
                     }
                     continue
+                sp = (posixpath.join(
+                    strip_scheme(signatures_root).rstrip("/"), name)
+                    if signatures_root else None)
 
                 def _read():
                     return read_signatures(
                         self.spark, data_path, "minhash", expect=expect,
                         verify_against=df if verify else None,
+                        signatures_path=sp,
                     )
 
                 materialized = False
@@ -816,6 +841,7 @@ class Datalake:
                         text_col=text_col, kinds=("minhash",),
                         n_hashes=n_hashes, shingle_size=shingle_size,
                         seed=seed, shingle_mode=shingle_mode,
+                        signatures_path=sp,
                     )
                     sigs, _params = _read()
                     materialized = f"{type(exc).__name__}"

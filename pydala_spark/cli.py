@@ -383,6 +383,7 @@ def _cmd_decontaminate(args) -> int:
         threshold=args.threshold, block_bits=args.block_bits,
         dim=args.dim, n_probes=args.n_probes,
         shingle_size=args.shingle_size, shingle_mode=args.shingle_mode,
+        signatures_root=args.signatures_root,
     )
     print(json.dumps(results, indent=2, sort_keys=True, default=str))
     flagged = [
@@ -413,6 +414,7 @@ def _cmd_semantic_dedup(args) -> int:
         materialize=not args.no_materialize,
         verify=not args.no_verify,
         report_dir=args.report_dir,
+        signatures_root=args.signatures_root,
     )
     print(json.dumps(results, indent=2, sort_keys=True, default=str))
     dropped = [n for n, r in results.items()
@@ -444,6 +446,7 @@ def _cmd_neardup_dedup(args) -> int:
         materialize=not args.no_materialize,
         verify=not args.no_verify,
         report_dir=args.report_dir,
+        signatures_root=args.signatures_root,
     )
     print(json.dumps(results, indent=2, sort_keys=True, default=str))
     dropped = [n for n, r in results.items()
@@ -536,6 +539,10 @@ def build_parser() -> argparse.ArgumentParser:
     dc.add_argument("--text-col", dest="text_col", default="text")
     dc.add_argument("--min-hits", dest="min_hits", type=int, default=2)
     dc.add_argument("--report-dir", dest="report_dir", default=None)
+    dc.add_argument("--signatures-root", dest="signatures_root",
+                    default=None, help="host signature sidecars at "
+                    "<root>/<dataset> instead of next to the data "
+                    "(read-only lakes)")
     dc.add_argument("--no-materialize", action="store_true",
                     help="fail datasets without a fresh sidecar instead "
                     "of hashing them")
@@ -581,6 +588,10 @@ def build_parser() -> argparse.ArgumentParser:
     sd.add_argument("--score-col", dest="score_col", default=None,
                     help="keep the best-scored member of each group")
     sd.add_argument("--report-dir", dest="report_dir", default=None)
+    sd.add_argument("--signatures-root", dest="signatures_root",
+                    default=None, help="host signature sidecars at "
+                    "<root>/<dataset> instead of next to the data "
+                    "(read-only lakes)")
     sd.add_argument("--no-materialize", action="store_true",
                     help="fail datasets without a fresh cells sidecar "
                     "instead of assigning them")
@@ -611,6 +622,10 @@ def build_parser() -> argparse.ArgumentParser:
     nd.add_argument("--score-col", dest="score_col", default=None,
                     help="keep the best-scored member of each cluster")
     nd.add_argument("--report-dir", dest="report_dir", default=None)
+    nd.add_argument("--signatures-root", dest="signatures_root",
+                    default=None, help="host signature sidecars at "
+                    "<root>/<dataset> instead of next to the data "
+                    "(read-only lakes)")
     nd.add_argument("--no-materialize", action="store_true",
                     help="fail datasets without a fresh minhash sidecar "
                     "instead of hashing them")

@@ -460,6 +460,7 @@ def materialize_signatures(
     vec_col: str = "embedding",
     centroids=None,
     mode: str = "overwrite",
+    signatures_path: str | None = None,
 ) -> dict[str, str]:
     """Persist per-document dedup/decontamination signatures as sidecar
     parquet next to the dataset — hash the corpus text ONCE at ingest so
@@ -511,7 +512,17 @@ def materialize_signatures(
     exact without rescanning history.
 
     Each kind lands at ``<path>/_signatures/<kind>`` with a
-    ``_params.json`` sidecar recording the exact hashing parameters;
+    ``_params.json`` sidecar recording the exact hashing parameters —
+    or at ``<signatures_path>/_signatures/<kind>`` when the dataset's
+    own storage is READ-ONLY (crawl dumps, shared lakes): signatures
+    are derived data, so they can live anywhere, and the content
+    marker still ties them to the exact corpus they were hashed from
+    (same semantics as the pipeline CLI's ``signatures_path`` config
+    key — an alternate base standing in for the dataset path). The
+    trade: Writer auto-invalidation only sweeps ``<dest>/_signatures``,
+    so out-of-place sidecars rely entirely on marker verification —
+    which is exactly the right posture for a dataset nobody can write
+    to.
     :func:`read_signatures` refuses to serve a frame whose recorded
     params contradict the caller's expectation, so a k=8 fingerprint
     table can never silently answer a k=5 contamination query. One scan
@@ -531,7 +542,12 @@ def materialize_signatures(
 
     configure_session(spark)
     base = strip_scheme(path).rstrip("/")
-    po = PathOps(spark, base)
+    sig_base = posixpath.join(
+        strip_scheme(signatures_path).rstrip("/") if signatures_path
+        else base,
+        SIGNATURES_DIR,
+    )
+    po = PathOps(spark, sig_base)
     out: dict[str, str] = {}
 
     def _marker(content):
@@ -553,7 +569,7 @@ def materialize_signatures(
     emb_marker = (_marker(F.col(vec_col))
                   if "embedding_cells" in kinds else None)
     for kind in kinds:
-        target = posixpath.join(base, SIGNATURES_DIR, kind)
+        target = posixpath.join(sig_base, kind)
         if kind == "winnowing":
             from pydala_spark.operators.textstats import winnowing_fingerprints
 
@@ -675,6 +691,7 @@ def read_signatures(
     kind: str,
     expect: dict | None = None,
     verify_against: DataFrame | None = None,
+    signatures_path: str | None = None,
 ) -> tuple[DataFrame, dict]:
     """Load a :func:`materialize_signatures` sidecar → ``(frame,
     params)``. ``expect`` pins parameters the consumer depends on (e.g.
@@ -693,14 +710,18 @@ def read_signatures(
     ONE narrow aggregate over (id, text-length); same-length in-place
     character edits are the one blind spot (re-materialize after any
     deliberate text surgery — the pipeline's own text-mutating stages
-    already refuse precomputed signatures outright)."""
+    already refuse precomputed signatures outright).
+
+    ``signatures_path`` reads an out-of-place sidecar family dir (the
+    read-only-dataset layout — see :func:`materialize_signatures`)."""
     import json as _json
 
     from pydala_spark.utils.pathops import PathOps, strip_scheme
 
     configure_session(spark)
     target = posixpath.join(
-        strip_scheme(path).rstrip("/"), SIGNATURES_DIR, kind
+        strip_scheme(signatures_path or path).rstrip("/"),
+        SIGNATURES_DIR, kind,
     )
     po = PathOps(spark, target)
     params = _json.loads(po.read_text(posixpath.join(target, "_params.json")))

@@ -553,7 +553,8 @@ class Dataset:
         )
 
     def read_signatures(self, kind: str, expect: dict | None = None,
-                        verify: bool = True):
+                        verify: bool = True,
+                        signatures_path: str | None = None):
         """Load one of this dataset's signature sidecars → ``(frame,
         params)`` (:func:`pydala_spark.dataset.maintain.
         read_signatures`). The content marker verifies against the LIVE
@@ -565,6 +566,7 @@ class Dataset:
         return read_signatures(
             self.spark, self.path, kind, expect=expect,
             verify_against=self.load() if verify else None,
+            signatures_path=signatures_path,
         )
 
 

@@ -86,6 +86,82 @@ def test_materialize_signatures_roundtrip_and_params_guard(spark, tmp_path):
         materialize_signatures(spark, df, base, kinds=("bogus",))
 
 
+def test_signatures_path_out_of_place_sidecar(spark, tmp_path):
+    # round 8 (late): READ-ONLY datasets — signatures_path hosts the
+    # _signatures dir under an alternate base; nothing touches the
+    # dataset dir, the marker still verifies, staleness still raises
+    import os
+
+    base = str(tmp_path / "readonly_ds")
+    alt = str(tmp_path / "derived" / "ds")
+    df = _docs(spark)
+    df.write.parquet(base + "/data")
+    before = sorted(os.listdir(base))
+
+    out = materialize_signatures(
+        spark, df, base, kinds=("winnowing",), signatures_path=alt
+    )
+    assert out["winnowing"].startswith(alt)
+    assert sorted(os.listdir(base)) == before  # dataset dir untouched
+    assert os.path.isdir(os.path.join(alt, "_signatures", "winnowing"))
+
+    # default-location read finds nothing; the override finds the
+    # sidecar, marker-verified against the live corpus
+    with pytest.raises(Exception):
+        read_signatures(spark, base, "winnowing")
+    fps, params = read_signatures(
+        spark, base, "winnowing", verify_against=df, signatures_path=alt
+    )
+    inline = winnowing_fingerprints(df, "doc_id")
+    assert ({r["id"]: r["fps"] for r in fps.collect()}
+            == {r["id"]: r["fps"] for r in inline.collect()})
+
+    # staleness detection is location-independent
+    mutated = df.withColumn(
+        "text", F.concat(F.col("text"), F.lit(" tail")))
+    with pytest.raises(ValueError, match="STALE"):
+        read_signatures(spark, base, "winnowing",
+                        verify_against=mutated, signatures_path=alt)
+
+    # append folds the marker at the alternate location too
+    extra = spark.createDataFrame(
+        [(99, "ninety nine brand new words appended here")],
+        ["doc_id", "text"])
+    materialize_signatures(spark, extra, base, kinds=("winnowing",),
+                           mode="append", signatures_path=alt)
+    read_signatures(spark, base, "winnowing",
+                    verify_against=df.unionByName(extra),
+                    signatures_path=alt)
+
+
+def test_datalake_sweep_signatures_root(spark, tmp_path):
+    # round 8 (late): lake sweeps host per-dataset sidecars under
+    # signatures_root/<name> — the read-only-lake cron layout
+    import os
+
+    from pydala_spark.catalog import Datalake
+
+    root = str(tmp_path / "rolake")
+    sig_root = str(tmp_path / "sidecar_store")
+    lake = Datalake(spark, root)
+    _docs(spark).write.parquet(os.path.join(root, "docs"))
+    lake.add_dataset("docs")
+
+    bench = spark.createDataFrame(
+        [(0, "alpha bravo charlie delta echo foxtrot golf hotel")],
+        ["doc_id", "text"])
+    res = lake.decontaminate({"b": bench}, signatures_root=sig_root)
+    assert res["docs"]["sidecar"] == "materialized"
+    assert os.path.isdir(os.path.join(
+        sig_root, "docs", "_signatures", "winnowing"))
+    assert not os.path.exists(os.path.join(root, "docs", "_signatures"))
+    again = lake.decontaminate({"b": bench}, signatures_root=sig_root)
+    assert again["docs"]["sidecar"] == "reused"
+    # without the override the sweep can't see those sidecars
+    default = lake.decontaminate({"b": bench})
+    assert default["docs"]["sidecar"] == "materialized"
+
+
 def test_precomputed_fps_plan_never_scans_corpus_text(spark, tmp_path):
     # THE round-6 contract: the precomputed decontamination path's
     # physical plan reads ONLY the signature sidecar — zero scans of the
