@@ -78,11 +78,19 @@ def token_count_multilingual(col: str | Column) -> Column:
     (``pack_shards`` accepts any count column; pass this one for
     multilingual corpora) and quality length gates. Pure column algebra
     (two regexes + the whitespace split), engine-portable literal
-    ranges."""
+    ranges.
+
+    Pure-ASCII rows (``octet_length == length`` — UTF-8 is multi-byte
+    exactly for non-ASCII) short-circuit to the plain whitespace count:
+    CASE WHEN is lazy per row in codegen, so on an ASCII-dominant
+    corpus the two CJK regex passes never run (round 8, late; value-
+    identical — an ASCII row has cjk = 0 and rest = text)."""
     c = F.col(col) if isinstance(col, str) else col
     cjk = F.regexp_count(c, F.lit(CJK_CHAR_CLASS))
     rest = F.regexp_replace(c, CJK_CHAR_CLASS, " ")
-    return token_count(rest) + cjk
+    return F.when(
+        F.octet_length(c) == F.length(c), token_count(c)
+    ).otherwise(token_count(rest) + cjk)
 
 
 #: Unicode-aware token / normalization classes (round 5). ``\p{L}`` /
