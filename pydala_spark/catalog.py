@@ -50,6 +50,21 @@ TOML_DATASET_SIDECAR = "_dataset.toml"
 ENTRIES_DIR = "_pydala_manifest"
 
 
+def _frame_marker(frame: DataFrame, id_col: str, content) -> dict:
+    """Content marker of a frame — ``rows`` + xor of ``xxhash64(id,
+    content)`` — the exact formula sidecar ``_params.json`` markers use
+    (``dataset/maintain.py``), so a benchmark frame's marker is
+    comparable across sweeps the same way a corpus marker is. ONE
+    narrow aggregate."""
+    row = frame.agg(
+        F.count("*").alias("rows"),
+        F.coalesce(
+            F.bit_xor(F.xxhash64(F.col(id_col), content)), F.lit(0)
+        ).alias("xor"),
+    ).collect()[0]
+    return {"rows": int(row["rows"]), "xor": int(row["xor"])}
+
+
 class Datalake:
     def __init__(self, spark: SparkSession, root: str, sidecar_format: str = "json"):
         if sidecar_format not in ("json", "toml"):
@@ -350,6 +365,7 @@ class Datalake:
         shingle_size: int = 3,
         shingle_mode: str = "word",
         signatures_root: str | None = None,
+        incremental: bool = False,
     ) -> dict[str, dict]:
         """Lake-wide benchmark-decontamination sweep (round 8) — the
         production cron entry composing rounds 5–7: for every dataset
@@ -396,6 +412,23 @@ class Datalake:
         sidecar-served sweep (:meth:`semantic_dedup`,
         :meth:`neardup_dedup` take the same knob).
 
+        ``incremental=True`` (round 8, late; winnowing mode only) is
+        the nightly-cron economy: a dataset whose VERIFIED content
+        marker equals the marker recorded in the previous sweep's
+        ``_summary.json`` — under the same benchmark content markers
+        and the same sweep config — skips the overlap join and report
+        write entirely and reuses the prior report + counts (entry
+        carries ``"fresh"`` saying so). On a 500-dataset lake where 5
+        datasets changed overnight, the cron does ~1% of the work; the
+        per-dataset marker aggregate (one narrow (id, length) scan)
+        still runs, so a corpus mutated out-of-band can NEVER be
+        skipped on a stale verdict. Benchmarks changed → full sweep;
+        no prior summary → full sweep; ``verify=False`` extends the
+        same trust to skipping that it already grants to sweeping.
+        :meth:`neardup_dedup` deliberately has no incremental mode —
+        its clusters are lake-global, so one changed dataset can
+        re-shape every verdict.
+
         ``mode="ngram"`` completes the pipeline's three-modality story
         lake-wide: exact ``shingle_size``-gram overlap
         (:func:`~pydala_spark.operators.dedup.contamination_hits`,
@@ -429,6 +462,33 @@ class Datalake:
         )
         sig_root = (strip_scheme(signatures_root).rstrip("/")
                     if signatures_root else None)
+        if incremental and mode != "winnowing":
+            raise ValueError(
+                "decontaminate: incremental=True is winnowing-mode only "
+                "— the embedding/ngram modes are sidecar-less, so there "
+                "is no recorded marker to prove a dataset unchanged"
+            )
+        config = {"mode": mode, "min_hits": min_hits, "k": k,
+                  "window": window, "id_col": id_col, "text_col": text_col}
+        bench_markers = None
+        prior = None
+        if mode == "winnowing":
+            bench_markers = {
+                bname: _frame_marker(bdf, id_col, F.octet_length(text_col))
+                for bname, bdf in benchmarks.items()
+            }
+        if incremental:
+            try:
+                prior = _json.loads(self._po.read_text(
+                    posixpath.join(rep_base, "_summary.json")))
+            except Exception:
+                prior = None
+            if prior is not None and (
+                    prior.get("_benchmarks") != bench_markers
+                    or prior.get("_config") != config):
+                # benchmarks or sweep config moved — nothing is provably
+                # fresh; fall back to the full sweep
+                prior = None
         bench_fps = {}
         if mode == "winnowing":
             bench_fps = {
@@ -518,8 +578,30 @@ class Datalake:
                         )
                         fps, _params = _read()
                         materialized = f"{type(exc).__name__}"
+                    marker = (
+                        {"rows": int(_params["content_rows"]),
+                         "xor": int(_params["content_xor"])}
+                        if "content_rows" in _params else None
+                    )
+                    prior_entry = (prior or {}).get(name)
+                    if (incremental and not materialized
+                            and marker is not None
+                            and isinstance(prior_entry, dict)
+                            and prior_entry.get("marker") == marker
+                            and "contaminated" in prior_entry):
+                        # VERIFIED marker identical to the one recorded
+                        # at the last sweep, same benchmarks, same
+                        # config — the prior verdict is provably current
+                        results[name] = {
+                            **prior_entry, "sidecar": "reused",
+                            "fresh": "unchanged since last sweep — "
+                                     "report reused",
+                        }
+                        continue
                     entry = {"sidecar": "materialized" if materialized
                              else "reused"}
+                    if marker is not None:
+                        entry["marker"] = marker
                     report_rows = None
                     for bname, bfp in bench_fps.items():
                         hits = winnowing_contamination(
@@ -550,6 +632,10 @@ class Datalake:
                 results[name] = entry
             except Exception as exc:  # one bad dataset must not kill it
                 results[name] = {"error": f"{type(exc).__name__}: {exc}"[:500]}
+        if mode == "winnowing":
+            # seed the NEXT sweep's incremental skip decision
+            results["_benchmarks"] = bench_markers
+            results["_config"] = config
         self._po.write_text(
             posixpath.join(rep_base, "_summary.json"),
             _json.dumps(results, indent=2, sort_keys=True, default=str),
@@ -569,6 +655,7 @@ class Datalake:
         report_dir: str | None = None,
         seed: int = 42,
         signatures_root: str | None = None,
+        incremental: bool = False,
     ) -> dict[str, dict]:
         """Lake-wide SemDeDup sweep (round 8) — the embedding-modality
         sibling of :meth:`decontaminate`, served by the
@@ -595,7 +682,16 @@ class Datalake:
         a lake-level ``_summary.json``; datasets without the columns are
         skipped with a reason and one broken dataset records an error
         instead of killing the sweep (the ``maintain`` rule). Returns
-        the summary dict."""
+        the summary dict.
+
+        ``incremental=True`` (round 8, late): datasets whose VERIFIED
+        content marker equals the marker the previous ``_summary.json``
+        recorded — under the same codebook sha and sweep config — skip
+        the pair join and report write and reuse the prior verdict
+        (entry carries ``"fresh"``); the semantics and caveats are
+        :meth:`decontaminate`'s (verdicts here are per-dataset, so the
+        skip is sound — unlike :meth:`neardup_dedup`, whose clusters
+        are lake-global)."""
         import json as _json
 
         from pydala_spark.dataset.maintain import (
@@ -621,6 +717,21 @@ class Datalake:
         cb = None
         if self._po.exists(cb_path):
             cb = load_codebook(self.spark, cb_path)
+        config = {"threshold": threshold, "score_col": score_col,
+                  "id_col": id_col, "vec_col": vec_col}
+        prior = None
+        if incremental:
+            try:
+                prior = _json.loads(self._po.read_text(
+                    posixpath.join(rep_base, "_summary.json")))
+            except Exception:
+                prior = None
+            if prior is not None and (
+                    prior.get("_config") != config
+                    or cb is None
+                    or (prior.get("_codebook") or {}).get("sha")
+                    != codebook_sha(cb)):
+                prior = None  # config/codebook moved — full sweep
         results: dict[str, dict] = {}
         for name, base in self.discover().items():
             current = posixpath.join(base, "current")
@@ -674,6 +785,25 @@ class Datalake:
                     )
                     cells, params = _read()
                     materialized = f"{type(exc).__name__}"
+                marker = (
+                    {"rows": int(params["content_rows"]),
+                     "xor": int(params["content_xor"])}
+                    if "content_rows" in params else None
+                )
+                prior_entry = (prior or {}).get(name)
+                if (incremental and not materialized
+                        and marker is not None
+                        and isinstance(prior_entry, dict)
+                        and prior_entry.get("marker") == marker
+                        and "n_dropped" in prior_entry):
+                    # verified marker unchanged since the recorded sweep
+                    # under the same codebook + config — verdict current
+                    results[name] = {
+                        **prior_entry, "sidecar": "reused",
+                        "fresh": "unchanged since last sweep — "
+                                 "report reused",
+                    }
+                    continue
                 # record whether scoring actually applied — a dataset
                 # missing the score column silently falling back to
                 # smallest-id would otherwise be indistinguishable from
@@ -697,12 +827,14 @@ class Datalake:
                     "n_vectors": int(counts["n"]),
                     "n_dropped": int(counts["n_dropped"]),
                     "scored": scored,
+                    **({"marker": marker} if marker is not None else {}),
                 }
             except Exception as exc:  # one bad dataset must not kill it
                 results[name] = {"error": f"{type(exc).__name__}: {exc}"[:500]}
         results["_codebook"] = {"path": cb_path,
                                 "sha": codebook_sha(cb) if cb is not None
                                 else None}
+        results["_config"] = config
         self._po.write_text(
             posixpath.join(rep_base, "_summary.json"),
             _json.dumps(results, indent=2, sort_keys=True, default=str),

@@ -384,6 +384,7 @@ def _cmd_decontaminate(args) -> int:
         dim=args.dim, n_probes=args.n_probes,
         shingle_size=args.shingle_size, shingle_mode=args.shingle_mode,
         signatures_root=args.signatures_root,
+        incremental=args.incremental,
     )
     print(json.dumps(results, indent=2, sort_keys=True, default=str))
     flagged = [
@@ -415,6 +416,7 @@ def _cmd_semantic_dedup(args) -> int:
         verify=not args.no_verify,
         report_dir=args.report_dir,
         signatures_root=args.signatures_root,
+        incremental=args.incremental,
     )
     print(json.dumps(results, indent=2, sort_keys=True, default=str))
     dropped = [n for n, r in results.items()
@@ -546,6 +548,10 @@ def build_parser() -> argparse.ArgumentParser:
     dc.add_argument("--no-materialize", action="store_true",
                     help="fail datasets without a fresh sidecar instead "
                     "of hashing them")
+    dc.add_argument("--incremental", action="store_true",
+                    help="skip datasets whose verified content "
+                    "marker matches the previous summary (reuse "
+                    "their reports)")
     dc.add_argument("--no-verify", action="store_true",
                     help="skip the sidecar content-marker check")
     dc.add_argument("--fail-on-hits", dest="fail_on_hits",
@@ -595,6 +601,10 @@ def build_parser() -> argparse.ArgumentParser:
     sd.add_argument("--no-materialize", action="store_true",
                     help="fail datasets without a fresh cells sidecar "
                     "instead of assigning them")
+    sd.add_argument("--incremental", action="store_true",
+                    help="skip datasets whose verified content "
+                    "marker matches the previous summary (reuse "
+                    "their reports)")
     sd.add_argument("--no-verify", action="store_true",
                     help="skip the sidecar content-marker check")
     sd.add_argument("--fail-on-dups", dest="fail_on_dups",

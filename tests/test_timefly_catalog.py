@@ -957,6 +957,101 @@ def test_datalake_decontaminate_embedding_mode(spark, tmp_path):
     assert [(r["id"], r["n_hits"] >= 2) for r in rep2.collect()] == [(1, True)]
 
 
+def test_datalake_decontaminate_incremental(spark, tmp_path):
+    # round 8 (late): the nightly-cron economy — a dataset whose
+    # verified marker matches the previous summary skips the overlap
+    # join and reuses its report; mutated datasets and changed
+    # benchmarks always re-sweep
+    leak = "the quick brown fox jumps over the lazy benchmark dog"
+    root = str(tmp_path / "inclake")
+    lake = Datalake(spark, root)
+    spark.createDataFrame(
+        [(1, f"padding words then {leak} and a tail of filler text"),
+         (2, "zebra umbrella xylophone quartz jigsaw vortex plinth")],
+        ["doc_id", "text"],
+    ).write.parquet(os.path.join(root, "da"))
+    spark.createDataFrame(
+        [(10, "gizmo parsnip okapi wombat fjord crypt glyph nymph")],
+        ["doc_id", "text"],
+    ).write.parquet(os.path.join(root, "db"))
+    for n in ("da", "db"):
+        lake.add_dataset(n)
+    bench = spark.createDataFrame([(0, leak)], ["doc_id", "text"])
+
+    first = lake.decontaminate({"evalset": bench})
+    assert first["da"]["sidecar"] == "materialized"
+    assert first["da"]["contaminated"] == {"evalset": 1}
+    assert "marker" in first["da"] and "_benchmarks" in first
+
+    # unchanged lake, same benchmark: every dataset skips, counts reused
+    second = lake.decontaminate({"evalset": bench}, incremental=True)
+    for n in ("da", "db"):
+        assert second[n]["fresh"].startswith("unchanged"), second[n]
+        assert second[n]["contaminated"] == first[n]["contaminated"]
+
+    # mutate db -> only db re-sweeps (stale marker re-materializes)
+    spark.createDataFrame(
+        [(11, f"now db also contains {leak} hidden inside")],
+        ["doc_id", "text"],
+    ).write.mode("append").parquet(os.path.join(root, "db"))
+    third = lake.decontaminate({"evalset": bench}, incremental=True)
+    assert third["da"]["fresh"].startswith("unchanged")
+    assert "fresh" not in third["db"]
+    assert third["db"]["sidecar"] == "materialized"
+    assert third["db"]["contaminated"] == {"evalset": 1}
+
+    # benchmark content changed -> nothing is provably fresh
+    bench2 = spark.createDataFrame([(0, leak + " extended")],
+                                   ["doc_id", "text"])
+    fourth = lake.decontaminate({"evalset": bench2}, incremental=True)
+    assert all("fresh" not in fourth[n] for n in ("da", "db"))
+
+    # incremental needs a marker-recording modality
+    with pytest.raises(ValueError, match="winnowing-mode only"):
+        lake.decontaminate({"evalset": bench}, mode="ngram",
+                           incremental=True)
+
+
+def test_datalake_semantic_dedup_incremental(spark, tmp_path):
+    import numpy as np
+
+    root = str(tmp_path / "incslake")
+    lake = Datalake(spark, root)
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=8)
+    rows = [(i, [float(x) for x in base + rng.normal(scale=0.4, size=8)])
+            for i in range(8)]
+    rows.append((9, rows[0][1]))  # exact dup of id 0
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).write.parquet(os.path.join(root, "embs"))
+    lake.add_dataset("embs")
+
+    first = lake.semantic_dedup(threshold=0.999, n_centroids=2)
+    assert first["embs"]["n_dropped"] >= 1 and "marker" in first["embs"]
+
+    second = lake.semantic_dedup(threshold=0.999, n_centroids=2,
+                                 incremental=True)
+    assert second["embs"]["fresh"].startswith("unchanged")
+    assert second["embs"]["n_dropped"] == first["embs"]["n_dropped"]
+
+    # config moved -> full sweep (threshold is part of the verdict)
+    third = lake.semantic_dedup(threshold=0.9, n_centroids=2,
+                                incremental=True)
+    assert "fresh" not in third["embs"]
+
+    # vectors moved -> re-materialize, no skip
+    spark.createDataFrame(
+        [(20, [float(x) for x in base + 0.3])],
+        "vec_id long, embedding array<double>",
+    ).write.mode("append").parquet(os.path.join(root, "embs"))
+    fourth = lake.semantic_dedup(threshold=0.999, n_centroids=2,
+                                 incremental=True)
+    assert "fresh" not in fourth["embs"]
+    assert fourth["embs"]["sidecar"] == "materialized"
+    assert fourth["embs"]["n_vectors"] == 10
+
+
 def test_datalake_semantic_dedup_sweep(spark, tmp_path):
     # round 8 (late): the embedding-modality lake sweep — cells-sidecar
     # served, lake-pinned codebook, marker-verified; near-dup vectors
