@@ -366,6 +366,7 @@ class Datalake:
         shingle_mode: str = "word",
         signatures_root: str | None = None,
         incremental: bool = False,
+        max_concurrency: int = 1,
     ) -> dict[str, dict]:
         """Lake-wide benchmark-decontamination sweep (round 8) — the
         production cron entry composing rounds 5–7: for every dataset
@@ -428,6 +429,13 @@ class Datalake:
         :meth:`neardup_dedup` deliberately has no incremental mode —
         its clusters are lake-global, so one changed dataset can
         re-shape every verdict.
+
+        ``max_concurrency`` (round 8, late): sweep N datasets'
+        independent Spark jobs from a thread pool. Serially sweeping
+        hundreds of SMALL datasets leaves a big cluster mostly idle
+        between jobs; concurrent submission keeps it fed (Spark's
+        scheduler interleaves jobs; per-dataset faults stay contained
+        exactly as in the serial path). Default 1 = serial.
 
         ``mode="ngram"`` completes the pipeline's three-modality story
         lake-wide: exact ``shingle_size``-gram overlap
@@ -497,23 +505,18 @@ class Datalake:
                 )
                 for bname, bdf in benchmarks.items()
             }
-        results: dict[str, dict] = {}
-        for name, base in self.discover().items():
+        def _sweep_one(name: str, base: str) -> dict:
             current = posixpath.join(base, "current")
             data_path = current if self._po.is_dir(current) else base
             fmt = self._dataset_format(base)
             try:
                 ds = Dataset(self.spark, data_path, name=name, format=fmt)
                 if not ds._dataset_has_files():
-                    results[name] = {"skipped": "no data files"}
-                    continue
+                    return {"skipped": "no data files"}
                 df = ds.load()
                 need_col = vec_col if mode == "embedding" else text_col
                 if id_col not in df.columns or need_col not in df.columns:
-                    results[name] = {
-                        "skipped": f"no ({id_col}, {need_col}) columns"
-                    }
-                    continue
+                    return {"skipped": f"no ({id_col}, {need_col}) columns"}
 
                 if mode == "embedding":
                     # one broadcast left-semi vector scan per benchmark
@@ -592,12 +595,11 @@ class Datalake:
                         # VERIFIED marker identical to the one recorded
                         # at the last sweep, same benchmarks, same
                         # config — the prior verdict is provably current
-                        results[name] = {
+                        return {
                             **prior_entry, "sidecar": "reused",
                             "fresh": "unchanged since last sweep — "
                                      "report reused",
                         }
-                        continue
                     entry = {"sidecar": "materialized" if materialized
                              else "reused"}
                     if marker is not None:
@@ -629,9 +631,30 @@ class Datalake:
                         bname: counts.get(bname, 0) for bname in bench_names
                     },
                 })
-                results[name] = entry
+                return entry
             except Exception as exc:  # one bad dataset must not kill it
-                results[name] = {"error": f"{type(exc).__name__}: {exc}"[:500]}
+                return {"error": f"{type(exc).__name__}: {exc}"[:500]}
+
+        items = list(self.discover().items())
+        results: dict[str, dict] = {}
+        if max_concurrency > 1 and len(items) > 1:
+            # datasets are independent here (unlike neardup_dedup's
+            # global clustering), so submit their jobs from a thread
+            # pool: hundreds of SMALL datasets swept serially leave a
+            # large cluster mostly idle — Spark's scheduler interleaves
+            # concurrent jobs fine, and per-dataset faults stay
+            # contained inside _sweep_one exactly as in the serial path
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
+                entries = list(pool.map(
+                    lambda nb: _sweep_one(*nb), items))
+            results.update(
+                (name, entry)
+                for (name, _), entry in zip(items, entries))
+        else:
+            for name, base in items:
+                results[name] = _sweep_one(name, base)
         if mode == "winnowing":
             # seed the NEXT sweep's incremental skip decision
             results["_benchmarks"] = bench_markers

@@ -385,6 +385,7 @@ def _cmd_decontaminate(args) -> int:
         shingle_size=args.shingle_size, shingle_mode=args.shingle_mode,
         signatures_root=args.signatures_root,
         incremental=args.incremental,
+        max_concurrency=args.max_concurrency,
     )
     print(json.dumps(results, indent=2, sort_keys=True, default=str))
     flagged = [
@@ -548,6 +549,9 @@ def build_parser() -> argparse.ArgumentParser:
     dc.add_argument("--no-materialize", action="store_true",
                     help="fail datasets without a fresh sidecar instead "
                     "of hashing them")
+    dc.add_argument("--max-concurrency", dest="max_concurrency",
+                    type=int, default=1, help="sweep N datasets' "
+                    "independent jobs concurrently (thread pool)")
     dc.add_argument("--incremental", action="store_true",
                     help="skip datasets whose verified content "
                     "marker matches the previous summary (reuse "

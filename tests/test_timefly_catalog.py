@@ -1011,6 +1011,13 @@ def test_datalake_decontaminate_incremental(spark, tmp_path):
         lake.decontaminate({"evalset": bench}, mode="ngram",
                            incremental=True)
 
+    # concurrent sweep: identical verdicts to the serial path (thread
+    # pool only changes job submission, never the math)
+    conc = lake.decontaminate({"evalset": bench2}, max_concurrency=3)
+    assert {n: conc[n].get("contaminated") for n in ("da", "db")} \
+        == {n: fourth[n].get("contaminated") for n in ("da", "db")}
+    assert conc["_benchmarks"] == fourth["_benchmarks"]
+
 
 def test_datalake_semantic_dedup_incremental(spark, tmp_path):
     import numpy as np
