@@ -679,6 +679,7 @@ class Datalake:
         seed: int = 42,
         signatures_root: str | None = None,
         incremental: bool = False,
+        max_concurrency: int = 1,
     ) -> dict[str, dict]:
         """Lake-wide SemDeDup sweep (round 8) — the embedding-modality
         sibling of :meth:`decontaminate`, served by the
@@ -714,7 +715,10 @@ class Datalake:
         (entry carries ``"fresh"``); the semantics and caveats are
         :meth:`decontaminate`'s (verdicts here are per-dataset, so the
         skip is sound — unlike :meth:`neardup_dedup`, whose clusters
-        are lake-global)."""
+        are lake-global). ``max_concurrency`` pools the per-dataset
+        jobs (the :meth:`decontaminate` knob) once the lake codebook is
+        pinned; until then datasets sweep serially so the SAME dataset
+        trains it that the serial path would pick."""
         import json as _json
 
         from pydala_spark.dataset.maintain import (
@@ -755,22 +759,18 @@ class Datalake:
                     or (prior.get("_codebook") or {}).get("sha")
                     != codebook_sha(cb)):
                 prior = None  # config/codebook moved — full sweep
-        results: dict[str, dict] = {}
-        for name, base in self.discover().items():
+        def _sweep_one(name: str, base: str) -> dict:
+            nonlocal cb
             current = posixpath.join(base, "current")
             data_path = current if self._po.is_dir(current) else base
             fmt = self._dataset_format(base)
             try:
                 ds = Dataset(self.spark, data_path, name=name, format=fmt)
                 if not ds._dataset_has_files():
-                    results[name] = {"skipped": "no data files"}
-                    continue
+                    return {"skipped": "no data files"}
                 df = ds.load()
                 if id_col not in df.columns or vec_col not in df.columns:
-                    results[name] = {
-                        "skipped": f"no ({id_col}, {vec_col}) columns"
-                    }
-                    continue
+                    return {"skipped": f"no ({id_col}, {vec_col}) columns"}
                 if cb is None:
                     # first eligible dataset trains the lake codebook —
                     # persisted BEFORE any assignment so a crash between
@@ -821,12 +821,11 @@ class Datalake:
                         and "n_dropped" in prior_entry):
                     # verified marker unchanged since the recorded sweep
                     # under the same codebook + config — verdict current
-                    results[name] = {
+                    return {
                         **prior_entry, "sidecar": "reused",
                         "fresh": "unchanged since last sweep — "
                                  "report reused",
                     }
-                    continue
                 # record whether scoring actually applied — a dataset
                 # missing the score column silently falling back to
                 # smallest-id would otherwise be indistinguishable from
@@ -844,7 +843,7 @@ class Datalake:
                     F.count("*").alias("n"),
                     F.count_if(~F.col("kept")).alias("n_dropped"),
                 ).collect()[0]
-                results[name] = {
+                return {
                     "sidecar": "materialized" if materialized else "reused",
                     "report": target,
                     "n_vectors": int(counts["n"]),
@@ -853,7 +852,32 @@ class Datalake:
                     **({"marker": marker} if marker is not None else {}),
                 }
             except Exception as exc:  # one bad dataset must not kill it
-                results[name] = {"error": f"{type(exc).__name__}: {exc}"[:500]}
+                return {"error": f"{type(exc).__name__}: {exc}"[:500]}
+
+        items = list(self.discover().items())
+        results: dict[str, dict] = {}
+        if max_concurrency > 1 and len(items) > 1:
+            # the lake codebook must be PINNED before pooling — and by
+            # the same dataset the serial path would pick (determinism)
+            # — so sweep serially until it exists, then pool the rest
+            idx = 0
+            while idx < len(items) and cb is None:
+                name, base = items[idx]
+                results[name] = _sweep_one(name, base)
+                idx += 1
+            rest = items[idx:]
+            if rest:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(
+                        max_workers=max_concurrency) as pool:
+                    entries = list(pool.map(
+                        lambda nb: _sweep_one(*nb), rest))
+                results.update(
+                    (n, e) for (n, _), e in zip(rest, entries))
+        else:
+            for name, base in items:
+                results[name] = _sweep_one(name, base)
         results["_codebook"] = {"path": cb_path,
                                 "sha": codebook_sha(cb) if cb is not None
                                 else None}
@@ -879,6 +903,7 @@ class Datalake:
         verify: bool = True,
         report_dir: str | None = None,
         signatures_root: str | None = None,
+        max_concurrency: int = 1,
     ) -> dict[str, dict]:
         """Lake-wide CROSS-DATASET text near-dup sweep (round 8) — the
         text-modality sibling of :meth:`semantic_dedup`, and the one
@@ -921,6 +946,10 @@ class Datalake:
         skipped with a reason and one broken dataset records an error
         and sits out the union instead of killing the sweep (the
         ``maintain`` rule); the global phase itself is all-or-nothing.
+        ``max_concurrency`` pools the per-dataset SIDECAR phase only
+        (verification / first-contact materialization — the
+        :meth:`decontaminate` knob); the clustering that follows is one
+        lake-global job and needs no pooling.
         """
         import json as _json
 
@@ -954,24 +983,23 @@ class Datalake:
         #: \x1f (unit separator) cannot appear in a manifest dataset
         #: name, so lake-qualified ids split back unambiguously
         sep = "\x1f"
-        results: dict[str, dict] = {}
-        union = None
-        scores = None
-        for name, base in self.discover().items():
+        def _prep_one(name: str, base: str):
+            """-> (entry, tagged_signatures | None, scores | None) — the
+            per-dataset sidecar phase, independent across datasets (the
+            GLOBAL clustering below is not, which is why only this
+            phase rides the max_concurrency pool)."""
             current = posixpath.join(base, "current")
             data_path = current if self._po.is_dir(current) else base
             fmt = self._dataset_format(base)
             try:
                 ds = Dataset(self.spark, data_path, name=name, format=fmt)
                 if not ds._dataset_has_files():
-                    results[name] = {"skipped": "no data files"}
-                    continue
+                    return {"skipped": "no data files"}, None, None
                 df = ds.load()
                 if id_col not in df.columns or text_col not in df.columns:
-                    results[name] = {
-                        "skipped": f"no ({id_col}, {text_col}) columns"
-                    }
-                    continue
+                    return ({"skipped":
+                             f"no ({id_col}, {text_col}) columns"},
+                            None, None)
                 sp = (posixpath.join(
                     strip_scheme(signatures_root).rstrip("/"), name)
                     if signatures_root else None)
@@ -1011,23 +1039,41 @@ class Datalake:
                     F.concat_ws(sep, F.lit(name), doc).alias("__lid"),
                     *mh_cols,
                 )
-                union = tagged if union is None else union.unionByName(tagged)
                 scored = bool(score_col) and score_col in df.columns
-                if scored:
-                    # narrow projection — parquet reads two columns,
-                    # never the text
-                    sc = df.select(
-                        F.lit(name).alias("__ds"),
-                        F.col(id_col).cast("string").alias("__doc"),
-                        F.col(score_col).cast("double").alias("__score"),
-                    )
-                    scores = sc if scores is None else scores.unionByName(sc)
-                results[name] = {
+                # scores: narrow projection — parquet reads two
+                # columns, never the text
+                sc = df.select(
+                    F.lit(name).alias("__ds"),
+                    F.col(id_col).cast("string").alias("__doc"),
+                    F.col(score_col).cast("double").alias("__score"),
+                ) if scored else None
+                entry = {
                     "sidecar": "materialized" if materialized else "reused",
                     "scored": scored,
                 }
+                return entry, tagged, sc
             except Exception as exc:  # one bad dataset must not kill it
-                results[name] = {"error": f"{type(exc).__name__}: {exc}"[:500]}
+                return ({"error": f"{type(exc).__name__}: {exc}"[:500]},
+                        None, None)
+
+        items = list(self.discover().items())
+        results: dict[str, dict] = {}
+        union = None
+        scores = None
+        if max_concurrency > 1 and len(items) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
+                prepped = list(pool.map(lambda nb: _prep_one(*nb), items))
+        else:
+            prepped = [_prep_one(name, base) for name, base in items]
+        for (name, _), (entry, tagged, sc) in zip(items, prepped):
+            results[name] = entry
+            if tagged is not None:
+                union = (tagged if union is None
+                         else union.unionByName(tagged))
+            if sc is not None:
+                scores = sc if scores is None else scores.unionByName(sc)
 
         lake_stats = {"n_clusters": 0, "n_cross_dataset_clusters": 0}
         if union is not None:

@@ -418,6 +418,7 @@ def _cmd_semantic_dedup(args) -> int:
         report_dir=args.report_dir,
         signatures_root=args.signatures_root,
         incremental=args.incremental,
+        max_concurrency=args.max_concurrency,
     )
     print(json.dumps(results, indent=2, sort_keys=True, default=str))
     dropped = [n for n, r in results.items()
@@ -450,6 +451,7 @@ def _cmd_neardup_dedup(args) -> int:
         verify=not args.no_verify,
         report_dir=args.report_dir,
         signatures_root=args.signatures_root,
+        max_concurrency=args.max_concurrency,
     )
     print(json.dumps(results, indent=2, sort_keys=True, default=str))
     dropped = [n for n, r in results.items()
@@ -609,6 +611,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="skip datasets whose verified content "
                     "marker matches the previous summary (reuse "
                     "their reports)")
+    sd.add_argument("--max-concurrency", dest="max_concurrency",
+                    type=int, default=1, help="sweep N datasets' "
+                    "independent jobs concurrently (thread pool)")
     sd.add_argument("--no-verify", action="store_true",
                     help="skip the sidecar content-marker check")
     sd.add_argument("--fail-on-dups", dest="fail_on_dups",
@@ -643,6 +648,9 @@ def build_parser() -> argparse.ArgumentParser:
     nd.add_argument("--no-materialize", action="store_true",
                     help="fail datasets without a fresh minhash sidecar "
                     "instead of hashing them")
+    nd.add_argument("--max-concurrency", dest="max_concurrency",
+                    type=int, default=1, help="sweep N datasets' "
+                    "independent jobs concurrently (thread pool)")
     nd.add_argument("--no-verify", action="store_true",
                     help="skip the sidecar content-marker check")
     nd.add_argument("--fail-on-dups", dest="fail_on_dups",

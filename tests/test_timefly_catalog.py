@@ -1113,6 +1113,12 @@ def test_datalake_semantic_dedup_sweep(spark, tmp_path):
     assert fresh["embs"]["n_vectors"] == 14
     assert fresh["embs"]["n_dropped"] >= 2
 
+    # thread-pooled sweep: identical verdicts (codebook already pinned)
+    conc = lake.semantic_dedup(threshold=0.995, n_centroids=3,
+                               max_concurrency=3)
+    assert conc["embs"]["n_dropped"] == fresh["embs"]["n_dropped"]
+    assert conc["_codebook"]["sha"] == fresh["_codebook"]["sha"]
+
 
 def test_datalake_neardup_dedup_sweep(spark, tmp_path):
     # round 8 (late): the text-modality lake sweep — minhash-sidecar
@@ -1189,6 +1195,12 @@ def test_datalake_neardup_dedup_sweep(spark, tmp_path):
     assert plain["dump_a"]["scored"] is False
     rep_a = spark.read.parquet(plain["dump_a"]["report"])
     assert {r["id"]: r["kept"] for r in rep_a.collect()}["1"] is True
+
+    # thread-pooled sidecar phase: identical lake verdicts
+    conc = lake.neardup_dedup(max_concurrency=3)
+    assert conc["_lake"] == plain["_lake"]
+    assert {n: conc[n].get("n_dropped") for n in ("dump_a", "dump_b")} \
+        == {n: plain[n].get("n_dropped") for n in ("dump_a", "dump_b")}
 
     # banding mismatch fails before any dataset pays materialization
     with pytest.raises(ValueError, match="must divide"):
