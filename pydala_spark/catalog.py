@@ -818,7 +818,13 @@ class Datalake:
                         and marker is not None
                         and isinstance(prior_entry, dict)
                         and prior_entry.get("marker") == marker
-                        and "n_dropped" in prior_entry):
+                        and "n_dropped" in prior_entry
+                        # the marker covers (id, vec) only — a score
+                        # column ADDED since the last sweep changes the
+                        # verdict without moving the marker, so scoring
+                        # applicability must match too
+                        and prior_entry.get("scored")
+                        == (bool(score_col) and score_col in df.columns)):
                     # verified marker unchanged since the recorded sweep
                     # under the same codebook + config — verdict current
                     return {

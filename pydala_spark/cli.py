@@ -461,6 +461,106 @@ def _cmd_neardup_dedup(args) -> int:
     ) else (3 if dropped and args.fail_on_dups else 0)
 
 
+#: sweep sections a cron config may carry, in execution order; each
+#: maps onto the same-named Datalake method, kwargs whitelisted against
+#: its signature at run time so the lists can never desynchronize
+_CRON_SECTIONS = ("decontaminate", "semantic_dedup", "neardup_dedup")
+
+
+def _cmd_cron(args) -> int:
+    """ONE config file = the whole lake-maintenance cron: run any of
+    ``[decontaminate]`` / ``[semantic_dedup]`` / ``[neardup_dedup]``
+    tables against one lake root in order, printing a combined summary
+    — the config-parity calling convention the repartition / timefly /
+    pipeline subcommands already use (a production crontab holds one
+    line, not three). Section keys are the Datalake method's kwargs
+    (whitelisted against its signature); ``[decontaminate]`` takes
+    ``benchmark = ["name=path", ...]`` specs like the flag form, plus
+    ``fail_on_hits``; the dedup sections take ``fail_on_dups``. Exit:
+    1 on any per-dataset error, else 3 when a fail_on_* tripped, else
+    0."""
+    import inspect
+    import json
+    import tomllib
+
+    from pydala_spark.catalog import Datalake
+
+    with open(args.config, "rb") as f:
+        raw = tomllib.load(f)
+
+    def _none(v):
+        if isinstance(v, dict):
+            return {k: _none(x) for k, x in v.items()}
+        if isinstance(v, list):
+            return [_none(x) for x in v]
+        return None if v == "None" else v
+
+    raw = {k: _none(v) for k, v in raw.items()}
+    root = args.root or raw.get("root")
+    if not root:
+        print("cron: --root (or top-level config key 'root') is required",
+              file=sys.stderr)
+        return 2
+    sections = [s for s in _CRON_SECTIONS if s in raw]
+    if not sections:
+        print(f"cron: config has none of {list(_CRON_SECTIONS)}",
+              file=sys.stderr)
+        return 2
+    unknown = sorted(set(raw) - set(_CRON_SECTIONS) - {"root"})
+    if unknown:
+        print(f"cron: unknown top-level key(s) {unknown} — valid: "
+              f"{['root', *_CRON_SECTIONS]}", file=sys.stderr)
+        return 2
+
+    spark = _session(args)
+    lake = Datalake(spark, root)
+    combined: dict = {}
+    rc = 0
+    for section in sections:
+        opts = dict(raw[section])
+        fail_on = bool(opts.pop("fail_on_hits", False)
+                       or opts.pop("fail_on_dups", False))
+        method = getattr(lake, section)
+        valid = set(inspect.signature(method).parameters) - {"benchmarks"}
+        bad = sorted(set(opts) - valid - {"benchmark", "benchmark_format"})
+        if bad:
+            print(f"cron: unknown [{section}] key(s) {bad} — valid: "
+                  f"{sorted(valid)}", file=sys.stderr)
+            return 2
+        call_args = []
+        if section == "decontaminate":
+            specs = opts.pop("benchmark", None) or []
+            if not specs:
+                print("cron: [decontaminate] needs benchmark = "
+                      "[\"name=path\", ...]", file=sys.stderr)
+                return 2
+            fmt = opts.pop("benchmark_format", None) or "parquet"
+            benchmarks = {}
+            for spec in specs:
+                name, _, path = str(spec).rpartition("=")
+                if not name:
+                    name, path = "benchmark", spec
+                benchmarks[name] = spark.read.format(fmt).load(path)
+            call_args = [benchmarks]
+        results = method(*call_args, **opts)
+        combined[section] = results
+        if any(isinstance(r, dict) and "error" in r
+               for r in results.values()):
+            rc = 1
+        elif rc == 0 and fail_on:
+            tripped = any(
+                isinstance(r, dict) and (
+                    r.get("n_dropped", 0) > 0
+                    or any(v > 0 for v in r.get("contaminated", {}).values())
+                )
+                for r in results.values()
+            )
+            if tripped:
+                rc = 3
+    print(json.dumps(combined, indent=2, sort_keys=True, default=str))
+    return rc
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="python -m pydala_spark.cli",
@@ -657,6 +757,15 @@ def build_parser() -> argparse.ArgumentParser:
                     action="store_true",
                     help="exit 3 when any dataset has near-duplicates")
     nd.set_defaults(func=_cmd_neardup_dedup)
+
+    cr = sub.add_parser("cron", help="run the lake-maintenance sweeps "
+                        "([decontaminate]/[semantic_dedup]/"
+                        "[neardup_dedup] tables) from ONE TOML config")
+    cr.add_argument("config", help="TOML config; top-level 'root' plus "
+                    "one table per sweep (keys = Datalake method kwargs)")
+    cr.add_argument("--root", default=None,
+                    help="lake root (overrides the config key)")
+    cr.set_defaults(func=_cmd_cron)
     return ap
 
 

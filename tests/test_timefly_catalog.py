@@ -1309,3 +1309,84 @@ def test_cli_neardup_dedup_smoke(spark, tmp_path, capsys):
     # missing --root is a usage error
     assert main(["--master", "local[4]", "neardup-dedup"]) == 2
     capsys.readouterr()
+
+
+def test_cli_cron_config_runs_all_sweeps(spark, tmp_path, capsys):
+    # round 8 (late): ONE TOML = the whole lake-maintenance cron —
+    # all three sweep tables execute in order against one root
+    import json
+
+    import numpy as np
+
+    from pydala_spark.cli import main
+
+    root = str(tmp_path / "cronlake")
+    lake = Datalake(spark, root)
+    leak = "the quick brown fox jumps over the lazy benchmark dog"
+    spark.createDataFrame(
+        [(1, f"some filler then {leak} and more filler words"),
+         (2, "zebra umbrella xylophone quartz jigsaw vortex plinth")],
+        ["doc_id", "text"],
+    ).write.parquet(os.path.join(root, "docs"))
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(6)]
+    rows.append((9, rows[0][1]))  # exact dup vector
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).write.parquet(os.path.join(root, "embs"))
+    for n in ("docs", "embs"):
+        lake.add_dataset(n)
+    bench_path = str(tmp_path / "cron_bench")
+    spark.createDataFrame([(0, leak)], ["doc_id", "text"]) \
+        .write.parquet(bench_path)
+
+    cfg = tmp_path / "cron.toml"
+    cfg.write_text(f"""
+root = "{root}"
+
+[decontaminate]
+benchmark = ["eval={bench_path}"]
+incremental = true
+max_concurrency = 2
+
+[semantic_dedup]
+threshold = 0.999
+n_centroids = 2
+
+[neardup_dedup]
+max_concurrency = 2
+""")
+    rc = main(["--master", "local[4]", "cron", str(cfg)])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0
+    assert set(out) == {"decontaminate", "semantic_dedup", "neardup_dedup"}
+    assert out["decontaminate"]["docs"]["contaminated"] == {"eval": 1}
+    assert out["semantic_dedup"]["embs"]["n_dropped"] >= 1
+    assert out["neardup_dedup"]["_lake"]["n_clusters"] == 0
+
+    # second run: incremental decontaminate reuses its verdict
+    rc2 = main(["--master", "local[4]", "cron", str(cfg)])
+    out2 = json.loads(capsys.readouterr().out)
+    assert rc2 == 0
+    assert out2["decontaminate"]["docs"]["fresh"].startswith("unchanged")
+
+    # fail_on_hits in the section flips the exit code
+    cfg.write_text(f"""
+root = "{root}"
+
+[decontaminate]
+benchmark = ["eval={bench_path}"]
+fail_on_hits = true
+""")
+    rc3 = main(["--master", "local[4]", "cron", str(cfg)])
+    capsys.readouterr()
+    assert rc3 == 3
+
+    # config hygiene fails loud before any Spark work
+    cfg.write_text(f'root = "{root}"\n\n[decontaminate]\nbogus_key = 1\n'
+                   f'benchmark = ["eval={bench_path}"]\n')
+    assert main(["--master", "local[4]", "cron", str(cfg)]) == 2
+    capsys.readouterr()
+    cfg.write_text(f'root = "{root}"\n\n[unknown_section]\nx = 1\n')
+    assert main(["--master", "local[4]", "cron", str(cfg)]) == 2
+    capsys.readouterr()
