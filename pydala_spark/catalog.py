@@ -894,6 +894,76 @@ class Datalake:
         )
         return results
 
+    def signatures_report(
+        self,
+        verify: bool = False,
+        signatures_root: str | None = None,
+    ) -> dict[str, dict]:
+        """Sidecar-freshness dashboard — the observability face of the
+        sweep economy: per dataset, which signature kinds exist, the
+        params + content marker each recorded, and (``verify=True``)
+        whether the marker still matches the live data — i.e. which
+        datasets the next sweep will serve from sidecars and which
+        will pay re-hashing. ``verify=False`` (default) is pure
+        metadata (one tiny JSON read per sidecar, no Spark jobs);
+        ``verify=True`` adds one narrow marker aggregate per dataset
+        that has any sidecar. ``signatures_root`` reads the
+        out-of-place layout. Sweeps stay the enforcement point — this
+        only reports."""
+        import json as _json
+
+        from pydala_spark.dataset.maintain import (
+            SIGNATURES_DIR,
+            read_signatures,
+        )
+
+        kinds = ("winnowing", "minhash", "spans", "embedding_cells")
+        sig_root = (strip_scheme(signatures_root).rstrip("/")
+                    if signatures_root else None)
+        results: dict[str, dict] = {}
+        for name, base in self.discover().items():
+            current = posixpath.join(base, "current")
+            data_path = current if self._po.is_dir(current) else base
+            sp = posixpath.join(sig_root, name) if sig_root else None
+            sig_base = posixpath.join(sp or data_path, SIGNATURES_DIR)
+            entry: dict = {"sidecars": {}}
+            try:
+                df = None
+                for kind in kinds:
+                    pj = posixpath.join(sig_base, kind, "_params.json")
+                    if not self._po.exists(pj):
+                        continue
+                    params = _json.loads(self._po.read_text(pj))
+                    info: dict = {
+                        "params": {k: v for k, v in params.items()
+                                   if not k.startswith("content_")},
+                        "marker": (
+                            {"rows": params["content_rows"],
+                             "xor": params["content_xor"]}
+                            if "content_rows" in params
+                            else None  # predates markers: re-materialize
+                        ),
+                    }
+                    if verify:
+                        if df is None:
+                            fmt = self._dataset_format(base)
+                            df = Dataset(self.spark, data_path,
+                                         name=name, format=fmt).load()
+                        try:
+                            read_signatures(
+                                self.spark, data_path, kind,
+                                verify_against=df, signatures_path=sp,
+                            )
+                            info["fresh"] = True
+                        except Exception as exc:
+                            info["fresh"] = False
+                            info["stale_reason"] = str(exc)[:300]
+                    entry["sidecars"][kind] = info
+            except Exception as exc:  # one bad dataset must not kill it
+                entry["error"] = f"{type(exc).__name__}: {exc}"[:500]
+            results[name] = entry
+        return results
+
     def neardup_dedup(
         self,
         id_col: str = "doc_id",

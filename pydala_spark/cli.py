@@ -461,6 +461,36 @@ def _cmd_neardup_dedup(args) -> int:
     ) else (3 if dropped and args.fail_on_dups else 0)
 
 
+def _cmd_signatures(args) -> int:
+    """Sidecar-freshness dashboard (catalog.Datalake.signatures_report)
+    — which datasets the next sweep serves from sidecars and which pay
+    re-hashing; --verify re-checks every marker against live data.
+    Exit 3 with --fail-on-stale when anything is stale or pre-marker."""
+    if not args.root:
+        print("signatures: --root is required", file=sys.stderr)
+        return 2
+    import json
+
+    from pydala_spark.catalog import Datalake
+
+    spark = _session(args)
+    results = Datalake(spark, args.root).signatures_report(
+        verify=args.verify, signatures_root=args.signatures_root,
+    )
+    print(json.dumps(results, indent=2, sort_keys=True, default=str))
+    if any("error" in r for r in results.values()):
+        return 1
+    if args.fail_on_stale:
+        stale = any(
+            info.get("fresh") is False or info.get("marker") is None
+            for r in results.values()
+            for info in r.get("sidecars", {}).values()
+        )
+        if stale:
+            return 3
+    return 0
+
+
 #: sweep sections a cron config may carry, in execution order; each
 #: maps onto the same-named Datalake method, kwargs whitelisted against
 #: its signature at run time so the lists can never desynchronize
@@ -766,6 +796,21 @@ def build_parser() -> argparse.ArgumentParser:
     cr.add_argument("--root", default=None,
                     help="lake root (overrides the config key)")
     cr.set_defaults(func=_cmd_cron)
+
+    sg = sub.add_parser("signatures", help="sidecar-freshness dashboard "
+                        "— which datasets the next sweep serves from "
+                        "sidecars and which re-hash")
+    sg.add_argument("--root", default=None, help="lake root directory")
+    sg.add_argument("--verify", action="store_true",
+                    help="re-check every marker against live data "
+                    "(one narrow aggregate per dataset)")
+    sg.add_argument("--signatures-root", dest="signatures_root",
+                    default=None, help="out-of-place sidecar layout")
+    sg.add_argument("--fail-on-stale", dest="fail_on_stale",
+                    action="store_true",
+                    help="exit 3 when any sidecar is stale or predates "
+                    "content markers")
+    sg.set_defaults(func=_cmd_signatures)
     return ap
 
 

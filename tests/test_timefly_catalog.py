@@ -1390,3 +1390,55 @@ fail_on_hits = true
     cfg.write_text(f'root = "{root}"\n\n[unknown_section]\nx = 1\n')
     assert main(["--master", "local[4]", "cron", str(cfg)]) == 2
     capsys.readouterr()
+
+
+def test_datalake_signatures_report(spark, tmp_path, capsys):
+    # round 8 (late): the sidecar-freshness dashboard — metadata-only
+    # by default, live marker re-check with verify=True, CLI exit codes
+    import json
+
+    from pydala_spark.cli import main
+
+    root = str(tmp_path / "sigrep")
+    lake = Datalake(spark, root)
+    spark.createDataFrame(
+        [(1, "alpha bravo charlie delta echo foxtrot golf hotel india")],
+        ["doc_id", "text"],
+    ).write.parquet(os.path.join(root, "docs"))
+    spark.createDataFrame([(0, 1)], ["a", "b"]).write.parquet(
+        os.path.join(root, "bare"))
+    for n in ("docs", "bare"):
+        lake.add_dataset(n)
+    lake["docs"].materialize_signatures(kinds=("winnowing", "minhash"))
+
+    rep = lake.signatures_report()
+    assert set(rep["docs"]["sidecars"]) == {"winnowing", "minhash"}
+    assert rep["docs"]["sidecars"]["winnowing"]["marker"]["rows"] == 1
+    assert rep["docs"]["sidecars"]["winnowing"]["params"]["k"] == 8
+    assert "fresh" not in rep["docs"]["sidecars"]["winnowing"]
+    assert rep["bare"]["sidecars"] == {}
+
+    fresh = lake.signatures_report(verify=True)
+    assert all(i["fresh"] for i in fresh["docs"]["sidecars"].values())
+
+    # mutate -> verify flags BOTH sidecars stale with a reason
+    spark.createDataFrame(
+        [(2, "juliet kilo lima mike november oscar papa quebec")],
+        ["doc_id", "text"],
+    ).write.mode("append").parquet(os.path.join(root, "docs"))
+    stale = lake.signatures_report(verify=True)
+    for info in stale["docs"]["sidecars"].values():
+        assert info["fresh"] is False
+        assert "STALE" in info["stale_reason"]
+
+    # CLI: dashboard prints, --fail-on-stale alerts
+    rc = main(["--master", "local[4]", "signatures", "--root", root])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0 and set(out["docs"]["sidecars"]) == {"winnowing",
+                                                        "minhash"}
+    rc2 = main(["--master", "local[4]", "signatures", "--root", root,
+                "--verify", "--fail-on-stale"])
+    capsys.readouterr()
+    assert rc2 == 3
+    assert main(["--master", "local[4]", "signatures"]) == 2
+    capsys.readouterr()
