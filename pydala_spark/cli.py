@@ -494,13 +494,17 @@ def _cmd_signatures(args) -> int:
 #: sweep sections a cron config may carry, in execution order; each
 #: maps onto the same-named Datalake method, kwargs whitelisted against
 #: its signature at run time so the lists can never desynchronize
-_CRON_SECTIONS = ("decontaminate", "semantic_dedup", "neardup_dedup")
+#: maintain (compaction) runs FIRST — sidecars carry over compaction
+#: (round 8 lifecycle matrix), so the sweeps that follow still reuse them
+_CRON_SECTIONS = ("maintain", "decontaminate", "semantic_dedup",
+                  "neardup_dedup")
 
 
 def _cmd_cron(args) -> int:
     """ONE config file = the whole lake-maintenance cron: run any of
     ``[decontaminate]`` / ``[semantic_dedup]`` / ``[neardup_dedup]``
-    tables against one lake root in order, printing a combined summary
+    tables — plus ``[maintain]`` (lake-wide compaction, run first) —
+    against one lake root in order, printing a combined summary
     — the config-parity calling convention the repartition / timefly /
     pipeline subcommands already use (a production crontab holds one
     line, not three). Section keys are the Datalake method's kwargs

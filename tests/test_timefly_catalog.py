@@ -1344,6 +1344,9 @@ def test_cli_cron_config_runs_all_sweeps(spark, tmp_path, capsys):
     cfg.write_text(f"""
 root = "{root}"
 
+[maintain]
+target_file_mb = 64
+
 [decontaminate]
 benchmark = ["eval={bench_path}"]
 incremental = true
@@ -1359,7 +1362,9 @@ max_concurrency = 2
     rc = main(["--master", "local[4]", "cron", str(cfg)])
     out = json.loads(capsys.readouterr().out)
     assert rc == 0
-    assert set(out) == {"decontaminate", "semantic_dedup", "neardup_dedup"}
+    assert set(out) == {"maintain", "decontaminate", "semantic_dedup",
+                        "neardup_dedup"}
+    assert "files_after" in out["maintain"]["docs"]
     assert out["decontaminate"]["docs"]["contaminated"] == {"eval": 1}
     assert out["semantic_dedup"]["embs"]["n_dropped"] >= 1
     assert out["neardup_dedup"]["_lake"]["n_clusters"] == 0
