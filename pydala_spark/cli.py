@@ -13,7 +13,9 @@ Two invocation styles, both per subcommand:
       python -m pydala_spark.cli repartition job.toml
       python -m pydala_spark.cli timefly add job.toml
       python -m pydala_spark.cli pipeline clean.toml
+      python -m pydala_spark.cli cron lake.toml      # maintain + sweeps
       python -m pydala_spark.cli profile --source /lake/docs
+      python -m pydala_spark.cli signatures --root /lake --verify
 
   with the options under a ``[repartition]`` / ``[timefly]`` table
   (keys = the flag names below; ``"None"`` strings are nulls, matching
