@@ -1202,6 +1202,30 @@ def test_datalake_neardup_dedup_sweep(spark, tmp_path):
     assert {n: conc[n].get("n_dropped") for n in ("dump_a", "dump_b")} \
         == {n: plain[n].get("n_dropped") for n in ("dump_a", "dump_b")}
 
+    # the zero-text-scan contract, behaviorally: REPLACE every corpus
+    # text with garbage (same ids) — a sweep that hashed text would now
+    # cluster nothing; with verify=False it must serve the sidecars and
+    # reproduce the pre-mutation verdicts exactly
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    for dn in ("dump_a", "dump_b"):
+        p = os.path.join(root, dn)
+        spark.read.parquet(p).select(
+            "doc_id", F.lit("x").alias("text"), "score"
+        ).write.parquet(p + "_g")
+        # the sidecars ride along (the compact carry-over convention);
+        # only the corpus text is garbled
+        os.rename(os.path.join(p, "_signatures"),
+                  os.path.join(p + "_g", "_signatures"))
+        _sh.rmtree(p)
+        os.rename(p + "_g", p)
+    blind = lake.neardup_dedup(verify=False, materialize=False)
+    assert blind["_lake"] == plain["_lake"]
+    assert all(blind[n]["sidecar"] == "reused"
+               for n in ("dump_a", "dump_b"))
+
     # banding mismatch fails before any dataset pays materialization
     with pytest.raises(ValueError, match="must divide"):
         lake.neardup_dedup(n_hashes=8, n_bands=3)
