@@ -192,7 +192,8 @@ def fingerprint(col: str | Column) -> Column:
 
 
 def winnowing_fingerprints(
-    df, id_col: str, text_col: str = "text", k: int = 8, window: int = 4
+    df, id_col: str, text_col: str = "text", k: int = 8, window: int = 4,
+    keep_columns: bool = False,
 ):
     """Winnowing document fingerprints (the MOSS rolling-hash scheme):
     hash every character k-gram of the normalized text, then keep the
@@ -207,7 +208,36 @@ def winnowing_fingerprints(
     substitutes expressions into lambda bodies, turning the window pass
     into O(n²) re-hashing (measured: minutes instead of seconds).
     md5 plays the portable rolling hash (identical hex both engines).
+
+    ``keep_columns=True`` (round 8, late) preserves every input column
+    and appends the array as ``__fps`` — the ROW-PRESERVING form
+    streaming consumers need (a streaming frame cannot join its
+    fingerprints back to itself without a stream-stream join); the
+    fingerprint math is the same staged expressions, so the two forms
+    can never diverge.
     """
+    if keep_columns:
+        p0 = df.select("*", normalize_text(text_col).alias("__norm"))
+        n_grams_k = F.greatest(F.length("__norm") - (k - 1), F.lit(1))
+        p1 = p0.select(
+            "*",
+            F.length("__norm").alias("__nlen"),
+            F.transform(
+                F.sequence(F.lit(1), n_grams_k),
+                lambda i: F.md5(F.substr(F.col("__norm"), i, F.lit(k))),
+            ).alias("__hashes"),
+        )
+        n_w = F.greatest(F.size("__hashes") - (window - 1), F.lit(1))
+        fp_arr = F.transform(
+            F.sequence(F.lit(1), n_w),
+            lambda j: F.array_min(F.slice(F.col("__hashes"), j, window)),
+        )
+        fp_arr = F.when(
+            F.col("__nlen") > 0, F.array_sort(F.array_distinct(fp_arr))
+        ).otherwise(F.array().cast("array<string>"))
+        return p1.select("*", fp_arr.alias("__fps")).drop(
+            "__norm", "__nlen", "__hashes"
+        )
     norm_df = df.select(
         F.col(id_col).alias("id"), normalize_text(text_col).alias("__norm")
     )

@@ -288,6 +288,68 @@ def stream_interval_join(
     )
     return l_al.join(r_al, cond, how)
 
+def streaming_decontaminate(
+    stream_df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+    min_hits: int = 1,
+    flag_col: str | None = None,
+    benchmark_fps: DataFrame | None = None,
+) -> DataFrame:
+    """Ingest-time benchmark decontamination — the streaming face of
+    :func:`~pydala_spark.operators.dedup.winnowing_contamination`
+    (round 8, late): documents arriving on a stream that share at least
+    ``min_hits`` winnowing fingerprints with any benchmark document are
+    dropped before they ever land (or annotated when ``flag_col`` names
+    an output column — route to quarantine instead of silently
+    discarding). A doc that slips past the nightly
+    ``Datalake.decontaminate`` cron sits in training shards until the
+    next sweep; this closes that window at the door.
+
+    ZERO state and ZERO shuffles — the streaming-safe construction: the
+    benchmark's distinct fingerprint set collects once and rides a
+    ONE-ROW broadcast static frame (array as DATA, not as a literal
+    expression tree — a 100k-fp benchmark would otherwise blow up
+    codegen), and each arriving doc counts shared fingerprints IN-ROW
+    via ``array_intersect`` over its own fingerprint array. Both
+    arrays are distinct, so the count is value-identical to the batch
+    operator's ``count_distinct`` join — same verdicts on backfill and
+    stream. Benchmark size is the one knob to watch: the fp set lives
+    in executor memory (~32 B/fp; a million-passage benchmark is
+    ~tens of MB — fine; re-block with the batch sweep beyond that).
+
+    ``benchmark`` is a STATIC ``(id_col, text_col)`` frame;
+    ``benchmark_fps`` passes a precomputed ``(id, fps)`` frame instead
+    (e.g. :func:`~pydala_spark.dataset.maintain.read_signatures` from a
+    benchmark's own sidecar) — hash once, guard every stream.
+    """
+    from pydala_spark.operators.textstats import winnowing_fingerprints
+
+    bf = (benchmark_fps if benchmark_fps is not None
+          else winnowing_fingerprints(benchmark, id_col, text_col,
+                                      k=k, window=window))
+    fps_set = sorted({
+        fp for row in bf.select("fps").collect() for fp in row["fps"]
+    })
+    spark = stream_df.sparkSession
+    bench_static = spark.createDataFrame(
+        [(fps_set,)], "__bench_fps array<string>"
+    )
+    with_fps = winnowing_fingerprints(
+        stream_df, id_col, text_col, k=k, window=window, keep_columns=True
+    )
+    joined = with_fps.join(F.broadcast(bench_static), F.lit(True), "inner")
+    hits = F.size(F.array_intersect(F.col("__fps"), F.col("__bench_fps")))
+    if flag_col:
+        return joined.select(
+            "*", hits.alias(flag_col)
+        ).drop("__fps", "__bench_fps")
+    return joined.where(hits < min_hits).drop("__fps", "__bench_fps")
+
+
 def streaming_neardup(
     stream_df: DataFrame,
     out_path: str,

@@ -669,6 +669,62 @@ def test_streaming_dedup_by_content(spark, tmp_path):
         streaming_dedup(stream)
 
 
+def test_streaming_decontaminate(spark, tmp_path):
+    # round 8 (late): ingest-time benchmark filtering — zero state,
+    # zero shuffles, verdicts identical to the batch operator
+    from pydala_spark.operators.dedup import winnowing_contamination
+    from pydala_spark.streaming import streaming_decontaminate
+
+    leak = "the quick brown fox jumps over the lazy benchmark dog"
+    docs = spark.createDataFrame(
+        [
+            (1, f"leading filler then {leak} trailing words here"),
+            (2, "zebra umbrella xylophone quartz jigsaw vortex plinth"),
+            (3, "gizmo parsnip okapi wombat fjord crypt glyph nymph"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(0, leak)], ["doc_id", "text"])
+
+    src = str(tmp_path / "decon_stream")
+    docs.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+
+    out = streaming_decontaminate(stream, bench)
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("decon_out").trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    kept = sorted(r["doc_id"]
+                  for r in spark.sql("SELECT doc_id FROM decon_out").collect())
+    # stream verdicts == batch operator verdicts on the same frames
+    batch_hits = {r["id"] for r in winnowing_contamination(
+        docs, bench, "doc_id").collect()}
+    assert batch_hits == {1}
+    assert kept == [2, 3]
+    assert "__fps" not in spark.table("decon_out").columns
+
+    # flag mode annotates instead of dropping (quarantine routing)
+    flagged = streaming_decontaminate(stream, bench, flag_col="n_hits")
+    q2 = (flagged.writeStream.outputMode("append").format("memory")
+          .queryName("decon_flag").trigger(availableNow=True).start())
+    q2.awaitTermination(60)
+    rows = {r["doc_id"]: r["n_hits"] for r in
+            spark.sql("SELECT doc_id, n_hits FROM decon_flag").collect()}
+    assert rows[1] >= 1 and rows[2] == 0 and rows[3] == 0
+    # flag counts match the batch n_hits exactly
+    batch_n = {r["id"]: r["n_hits"] for r in winnowing_contamination(
+        docs, bench, "doc_id").collect()}
+    assert rows[1] == batch_n[1]
+
+    # empty benchmark: everything passes (empty-text fps guard holds)
+    empty = spark.createDataFrame([(0, "...")], ["doc_id", "text"])
+    out3 = streaming_decontaminate(stream, empty)
+    q3 = (out3.writeStream.outputMode("append").format("memory")
+          .queryName("decon_empty").trigger(availableNow=True).start())
+    q3.awaitTermination(60)
+    assert spark.sql("SELECT count(*) n FROM decon_empty").first()["n"] == 3
+
+
 def test_time_range_join_matches_naive(spark, sf_dir):
     from pydala_spark.operators.rangejoin import time_range_join
     from pydala_spark.sources import load_table
