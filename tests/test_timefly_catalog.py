@@ -1018,6 +1018,17 @@ def test_datalake_decontaminate_incremental(spark, tmp_path):
         == {n: fourth[n].get("contaminated") for n in ("da", "db")}
     assert conc["_benchmarks"] == fourth["_benchmarks"]
 
+    # fault containment holds inside the pool: a dataset whose files
+    # are garbage records an error; the healthy ones still sweep
+    os.makedirs(os.path.join(root, "broken"))
+    lake.add_dataset("broken")  # registered empty; garbage lands after
+    with open(os.path.join(root, "broken", "junk.parquet"), "w") as f:
+        f.write("not parquet")
+    pooled = lake.decontaminate({"evalset": bench2}, max_concurrency=3)
+    assert "error" in pooled["broken"]
+    assert pooled["da"]["contaminated"] == fourth["da"]["contaminated"]
+    assert pooled["db"]["contaminated"] == fourth["db"]["contaminated"]
+
 
 def test_datalake_semantic_dedup_incremental(spark, tmp_path):
     import numpy as np
