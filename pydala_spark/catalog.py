@@ -680,6 +680,7 @@ class Datalake:
         signatures_root: str | None = None,
         incremental: bool = False,
         max_concurrency: int = 1,
+        cross_dataset: bool = False,
     ) -> dict[str, dict]:
         """Lake-wide SemDeDup sweep (round 8) — the embedding-modality
         sibling of :meth:`decontaminate`, served by the
@@ -718,7 +719,23 @@ class Datalake:
         are lake-global). ``max_concurrency`` pools the per-dataset
         jobs (the :meth:`decontaminate` knob) once the lake codebook is
         pinned; until then datasets sweep serially so the SAME dataset
-        trains it that the serial path would pick."""
+        trains it that the serial path would pick.
+
+        ``cross_dataset=True`` (round 8, late) is the embedding-modality
+        sibling of :meth:`neardup_dedup`: the same content embedded in
+        two datasets is invisible to per-dataset SemDeDup, so this mode
+        unions every dataset's narrow ``(lake_id, vec, score)``
+        projection and its ``embedding_cells`` sidecar — sound ONLY
+        because every sidecar is assigned under the one lake-pinned
+        codebook, so cell ids mean the same thing across datasets —
+        and runs ONE cell-blocked
+        :func:`~pydala_spark.operators.similarity.semantic_dedup` over
+        the union: a doc duplicated across datasets keeps exactly one
+        copy lake-wide (best-scored, NULL-scored losing to scored,
+        smallest lake-qualified id on ties). Verdicts land as one
+        parquet table partitioned by dataset at
+        ``<report_dir>/_verdicts``; ``incremental`` is refused here for
+        :meth:`neardup_dedup`'s reason (verdicts are lake-global)."""
         import json as _json
 
         from pydala_spark.dataset.maintain import (
@@ -759,6 +776,166 @@ class Datalake:
                     or (prior.get("_codebook") or {}).get("sha")
                     != codebook_sha(cb)):
                 prior = None  # config/codebook moved — full sweep
+
+        if cross_dataset:
+            if incremental:
+                raise ValueError(
+                    "semantic_dedup: incremental=True is unsound with "
+                    "cross_dataset=True — verdicts are lake-global, so "
+                    "one changed dataset can re-shape every verdict"
+                )
+            #: same unambiguous-id separator as neardup_dedup
+            sep = "\x1f"
+
+            def _prep_cross(name: str, base: str):
+                nonlocal cb
+                current = posixpath.join(base, "current")
+                data_path = current if self._po.is_dir(current) else base
+                fmt = self._dataset_format(base)
+                try:
+                    ds = Dataset(self.spark, data_path, name=name,
+                                 format=fmt)
+                    if not ds._dataset_has_files():
+                        return {"skipped": "no data files"}, None, None
+                    df = ds.load()
+                    if (id_col not in df.columns
+                            or vec_col not in df.columns):
+                        return ({"skipped":
+                                 f"no ({id_col}, {vec_col}) columns"},
+                                None, None)
+                    if cb is None:
+                        cb_new = kmeans_centroids(
+                            df, vec_col=vec_col,
+                            n_centroids=n_centroids, seed=seed)
+                        save_codebook(self.spark, cb_new, cb_path)
+                        cb = cb_new
+                    sha = codebook_sha(cb)
+                    sp = (posixpath.join(
+                        strip_scheme(signatures_root).rstrip("/"), name)
+                        if signatures_root else None)
+
+                    def _read():
+                        return read_signatures(
+                            self.spark, data_path, "embedding_cells",
+                            expect={"codebook_sha": sha,
+                                    "id_col": id_col, "vec_col": vec_col},
+                            verify_against=df if verify else None,
+                            signatures_path=sp,
+                        )
+
+                    materialized = False
+                    try:
+                        cells, _p = _read()
+                    except Exception as exc:
+                        if not materialize:
+                            raise
+                        materialize_signatures(
+                            self.spark, df, data_path, id_col=id_col,
+                            vec_col=vec_col, kinds=("embedding_cells",),
+                            centroids=cb, signatures_path=sp,
+                        )
+                        cells, _p = _read()
+                        materialized = f"{type(exc).__name__}"
+                    scored = bool(score_col) and score_col in df.columns
+                    doc = F.col(id_col).cast("string")
+                    vecs = df.select(
+                        F.lit(name).alias("__ds"),
+                        doc.alias("__doc"),
+                        F.concat_ws(sep, F.lit(name), doc).alias("__lid"),
+                        F.col(vec_col).alias("__vec"),
+                        (F.col(score_col).cast("double") if scored
+                         else F.lit(None).cast("double")).alias("__score"),
+                    )
+                    cl = cells.select(
+                        F.concat_ws(
+                            sep, F.lit(name), F.col("id").cast("string")
+                        ).alias("id"),
+                        "cell", "norm",
+                    )
+                    entry = {"sidecar": ("materialized" if materialized
+                                         else "reused"),
+                             "scored": scored}
+                    return entry, vecs, cl
+                except Exception as exc:  # one bad dataset, sweep lives
+                    return ({"error":
+                             f"{type(exc).__name__}: {exc}"[:500]},
+                            None, None)
+
+            items = list(self.discover().items())
+            results: dict[str, dict] = {}
+            prepped: list = []
+            if max_concurrency > 1 and len(items) > 1:
+                # codebook pins serially first (the determinism rule)
+                idx = 0
+                while idx < len(items) and cb is None:
+                    prepped.append(_prep_cross(*items[idx]))
+                    idx += 1
+                rest = items[idx:]
+                if rest:
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    with ThreadPoolExecutor(
+                            max_workers=max_concurrency) as pool:
+                        prepped.extend(pool.map(
+                            lambda nb: _prep_cross(*nb), rest))
+            else:
+                prepped = [_prep_cross(*nb) for nb in items]
+            union_v = None
+            union_c = None
+            for (name, _), (entry, vecs, cl) in zip(items, prepped):
+                results[name] = entry
+                if vecs is not None:
+                    union_v = (vecs if union_v is None
+                               else union_v.unionByName(vecs))
+                    union_c = (cl if union_c is None
+                               else union_c.unionByName(cl))
+            lake_stats = {"n_vectors": 0, "n_dropped": 0}
+            if union_v is not None:
+                verdict = semantic_dedup(
+                    union_v, id_col="__lid", vec_col="__vec",
+                    threshold=threshold, score_col="__score",
+                    cells=union_c,
+                )
+                meta = union_v.select(
+                    F.col("__lid").alias("id"), "__ds", "__doc")
+                target = posixpath.join(rep_base, "_verdicts")
+                verdict.join(meta, "id").select(
+                    F.col("__ds").alias("dataset"),
+                    F.col("__doc").alias("id"),
+                    "cell", "kept",
+                ).write.mode("overwrite").partitionBy(
+                    "dataset").parquet(target)
+                written = self.spark.read.parquet(target)
+                for r in written.groupBy("dataset").agg(
+                    F.count("*").alias("n"),
+                    F.count_if(~F.col("kept")).alias("nd"),
+                ).collect():
+                    results[r["dataset"]].update({
+                        "report": posixpath.join(
+                            target, f"dataset={r['dataset']}"),
+                        "n_vectors": int(r["n"]),
+                        "n_dropped": int(r["nd"]),
+                    })
+                tot = written.agg(
+                    F.count("*").alias("n"),
+                    F.count_if(~F.col("kept")).alias("nd"),
+                ).collect()[0]
+                lake_stats = {"n_vectors": int(tot["n"]),
+                              "n_dropped": int(tot["nd"])}
+            results["_lake"] = lake_stats
+            results["_codebook"] = {
+                "path": cb_path,
+                "sha": codebook_sha(cb) if cb is not None else None}
+            # cross summaries are NOT a valid incremental seed for the
+            # per-dataset mode (different verdict semantics)
+            results["_config"] = {**config, "cross_dataset": True}
+            self._po.write_text(
+                posixpath.join(rep_base, "_summary.json"),
+                _json.dumps(results, indent=2, sort_keys=True,
+                            default=str),
+            )
+            return results
+
         def _sweep_one(name: str, base: str) -> dict:
             nonlocal cb
             current = posixpath.join(base, "current")

@@ -421,6 +421,7 @@ def _cmd_semantic_dedup(args) -> int:
         signatures_root=args.signatures_root,
         incremental=args.incremental,
         max_concurrency=args.max_concurrency,
+        cross_dataset=args.cross_dataset,
     )
     print(json.dumps(results, indent=2, sort_keys=True, default=str))
     dropped = [n for n, r in results.items()
@@ -747,6 +748,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="skip datasets whose verified content "
                     "marker matches the previous summary (reuse "
                     "their reports)")
+    sd.add_argument("--cross-dataset", dest="cross_dataset",
+                    action="store_true",
+                    help="ONE lake-global sweep over the unioned cell "
+                    "sidecars: a vector duplicated across datasets "
+                    "keeps one copy lake-wide")
     sd.add_argument("--max-concurrency", dest="max_concurrency",
                     type=int, default=1, help="sweep N datasets' "
                     "independent jobs concurrently (thread pool)")

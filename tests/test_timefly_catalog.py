@@ -1482,3 +1482,74 @@ def test_datalake_signatures_report(spark, tmp_path, capsys):
     assert rc2 == 3
     assert main(["--master", "local[4]", "signatures"]) == 2
     capsys.readouterr()
+
+
+def test_datalake_semantic_dedup_cross_dataset(spark, tmp_path):
+    # round 8 (late): the embedding-modality CROSS-DATASET sweep — the
+    # same vector planted in two datasets keeps exactly one copy
+    # lake-wide, served from cells sidecars under the one lake codebook
+    import json
+
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "xslake")
+    lake = Datalake(spark, root)
+    rng = np.random.default_rng(13)
+    anchors = rng.normal(size=(2, 8))
+    a_rows = [(i, [float(x) for x in anchors[i % 2]
+                   + rng.normal(scale=0.3, size=8)], 0.9 - i * 0.01)
+              for i in range(6)]
+    shared = a_rows[0][1]  # vector 0 of dump ea
+    spark.createDataFrame(
+        a_rows, "vec_id long, embedding array<double>, q double"
+    ).write.parquet(os.path.join(root, "ea"))
+    b_rows = [(100 + i, [float(x) for x in anchors[(i + 1) % 2]
+                         + rng.normal(scale=0.3, size=8)], 0.5)
+              for i in range(4)]
+    b_rows.append((200, shared, 0.1))  # planted cross-dataset dup
+    spark.createDataFrame(
+        b_rows, "vec_id long, embedding array<double>, q double"
+    ).write.parquet(os.path.join(root, "eb"))
+    spark.createDataFrame([(1, "text only")], ["doc_id", "text"]) \
+        .write.parquet(os.path.join(root, "texts"))
+    for n in ("ea", "eb", "texts"):
+        lake.add_dataset(n)
+
+    res = lake.semantic_dedup(threshold=0.999, n_centroids=2,
+                              score_col="q", cross_dataset=True)
+    assert res["texts"]["skipped"].startswith("no (vec_id")
+    assert res["ea"]["sidecar"] == "materialized"
+    assert res["ea"]["scored"] is True
+    assert res["_lake"]["n_vectors"] == 11
+    assert res["_lake"]["n_dropped"] >= 1
+    # the planted dup lost (lower score); its ea original survived
+    rep_b = spark.read.parquet(res["eb"]["report"])
+    verd = {r["id"]: r["kept"] for r in rep_b.collect()}
+    assert verd["200"] is False
+    rep_a = spark.read.parquet(res["ea"]["report"])
+    assert {r["id"]: r["kept"] for r in rep_a.collect()}["0"] is True
+    summary = json.loads(
+        (tmp_path / "xslake" / "_semantic_dedup" / "_summary.json")
+        .read_text())
+    assert summary["_config"]["cross_dataset"] is True
+
+    # second sweep: sidecars reused, verdicts stable; pooled identical
+    again = lake.semantic_dedup(threshold=0.999, n_centroids=2,
+                                score_col="q", cross_dataset=True)
+    assert again["ea"]["sidecar"] == "reused"
+    assert again["_lake"] == res["_lake"]
+    pooled = lake.semantic_dedup(threshold=0.999, n_centroids=2,
+                                 score_col="q", cross_dataset=True,
+                                 max_concurrency=3)
+    assert pooled["_lake"] == res["_lake"]
+
+    # a cross summary never seeds a per-dataset incremental skip
+    per_ds = lake.semantic_dedup(threshold=0.999, n_centroids=2,
+                                 score_col="q", incremental=True)
+    assert "fresh" not in per_ds["ea"]
+
+    # incremental is refused in cross mode (lake-global verdicts)
+    with pytest.raises(ValueError, match="unsound"):
+        lake.semantic_dedup(cross_dataset=True, incremental=True)
