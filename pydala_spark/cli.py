@@ -499,8 +499,11 @@ def _cmd_signatures(args) -> int:
 #: its signature at run time so the lists can never desynchronize
 #: maintain (compaction) runs FIRST — sidecars carry over compaction
 #: (round 8 lifecycle matrix), so the sweeps that follow still reuse them
+#: signatures_report runs LAST: after the sweeps have re-materialized
+#: whatever was stale, it is the post-sweep invariant check — with
+#: fail_on_stale the cron exits 3 when anything STILL fails to verify
 _CRON_SECTIONS = ("maintain", "decontaminate", "semantic_dedup",
-                  "neardup_dedup")
+                  "neardup_dedup", "signatures_report")
 
 
 def _cmd_cron(args) -> int:
@@ -559,7 +562,8 @@ def _cmd_cron(args) -> int:
                        or opts.pop("fail_on_dups", False))
         method = getattr(lake, section)
         valid = set(inspect.signature(method).parameters) - {"benchmarks"}
-        bad = sorted(set(opts) - valid - {"benchmark", "benchmark_format"})
+        bad = sorted(set(opts) - valid
+                     - {"benchmark", "benchmark_format", "fail_on_stale"})
         if bad:
             print(f"cron: unknown [{section}] key(s) {bad} — valid: "
                   f"{sorted(valid)}", file=sys.stderr)
@@ -579,11 +583,21 @@ def _cmd_cron(args) -> int:
                     name, path = "benchmark", spec
                 benchmarks[name] = spark.read.format(fmt).load(path)
             call_args = [benchmarks]
+        if section == "signatures_report":
+            fail_on = bool(opts.pop("fail_on_stale", False)) or fail_on
         results = method(*call_args, **opts)
         combined[section] = results
         if any(isinstance(r, dict) and "error" in r
                for r in results.values()):
             rc = 1
+        elif rc == 0 and fail_on and section == "signatures_report":
+            stale = any(
+                info.get("fresh") is False or info.get("marker") is None
+                for r in results.values()
+                for info in r.get("sidecars", {}).values()
+            )
+            if stale:
+                rc = 3
         elif rc == 0 and fail_on:
             tripped = any(
                 isinstance(r, dict) and (

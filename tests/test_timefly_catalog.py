@@ -1422,6 +1422,38 @@ fail_on_hits = true
     capsys.readouterr()
     assert rc3 == 3
 
+    # [signatures_report] runs last as the post-sweep invariant: after
+    # the sweeps re-materialized everything, nothing is stale -> rc 0
+    cfg.write_text(f"""
+root = "{root}"
+
+[decontaminate]
+benchmark = ["eval={bench_path}"]
+
+[signatures_report]
+verify = true
+fail_on_stale = true
+""")
+    rc4 = main(["--master", "local[4]", "cron", str(cfg)])
+    out4 = json.loads(capsys.readouterr().out)
+    assert rc4 == 0
+    assert out4["signatures_report"]["docs"]["sidecars"][
+        "winnowing"]["fresh"] is True
+    # ...and when the corpus mutates under a report-only config, the
+    # stale sidecar trips the alert
+    spark.createDataFrame([(9, "freshly appended words change marker")],
+                          ["doc_id", "text"]).write.mode("append")         .parquet(os.path.join(root, "docs"))
+    cfg.write_text(f"""
+root = "{root}"
+
+[signatures_report]
+verify = true
+fail_on_stale = true
+""")
+    rc5 = main(["--master", "local[4]", "cron", str(cfg)])
+    capsys.readouterr()
+    assert rc5 == 3
+
     # config hygiene fails loud before any Spark work
     cfg.write_text(f'root = "{root}"\n\n[decontaminate]\nbogus_key = 1\n'
                    f'benchmark = ["eval={bench_path}"]\n')
