@@ -285,6 +285,39 @@ def probe_ops(spark, path: str) -> dict[str, dict]:
     return out
 
 
+def probe_lake_sweeps(spark, docs_path: str, tag: str) -> dict[str, dict]:
+    """Opt-in (--lake): wall-clock the COMPOSED lake near-dup sweep
+    end-to-end over a 3-dataset lake built from the replicated corpus —
+    cold (first contact: minhash sidecar materialization, the hashing
+    pass) and hot (sidecar-served: marker verify + signature union +
+    banded LSH + connected components + verdict write). The kernels'
+    shuffle constancy is gated above; this records that the composition
+    — including its report IO — stays ~linear too."""
+    import shutil
+
+    from pydala_spark.catalog import Datalake
+
+    root = f"/tmp/scale_probe/lake_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    docs = spark.read.parquet(docs_path)
+    names = ("d0", "d1", "d2")
+    for i, n in enumerate(names):
+        docs.where(F.col("doc_id") % 3 == i).write.parquet(f"{root}/{n}")
+    lake = Datalake(spark, root)
+    for n in names:
+        lake.add_dataset(n)
+    out = {}
+    t0 = time.monotonic()
+    res = lake.neardup_dedup()
+    out["lake_neardup_cold"] = {"sec": round(time.monotonic() - t0, 3)}
+    assert all(res[n]["sidecar"] == "materialized" for n in names)
+    t0 = time.monotonic()
+    res = lake.neardup_dedup()
+    out["lake_neardup_hot"] = {"sec": round(time.monotonic() - t0, 3)}
+    assert all(res[n]["sidecar"] == "reused" for n in names)
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
@@ -293,6 +326,9 @@ def main() -> int:
     )
     ap.add_argument("--ratio-gate", type=float, default=2.5,
                     help="fail if t(Kx)/t(1x) > K * this")
+    ap.add_argument("--lake", action="store_true",
+                    help="also probe the composed lake near-dup sweep "
+                    "(cold sidecar materialization + hot sidecar-served)")
     args = ap.parse_args()
 
     # driver memory must be set before the JVM exists; local[] mode puts
@@ -316,23 +352,29 @@ def main() -> int:
 
     small = probe_ops(spark, base_out)
     small.update(probe_embedding_ops(spark, emb_base, n_centroids=16))
+    if args.lake:
+        small.update(probe_lake_sweeps(spark, base_out, "1x"))
     big = probe_ops(spark, big_out)
     big.update(
         probe_embedding_ops(spark, emb_big, n_centroids=16 * args.factor)
     )
+    if args.lake:
+        big.update(probe_lake_sweeps(spark, big_out, f"{args.factor}x"))
 
     result, ok = {"factor": args.factor}, True
     for op in small:
         ratio = big[op]["sec"] / max(small[op]["sec"], 1e-9)
-        same_shuffles = small[op]["shuffles"] == big[op]["shuffles"]
+        # lake-sweep entries are wall-clock-only (the sweep executes
+        # internally; its kernels' shuffle shapes are gated above)
+        same_shuffles = small[op].get("shuffles") == big[op].get("shuffles")
         linear = ratio <= args.factor * args.ratio_gate
         ok = ok and same_shuffles and linear
         result[op] = {
             "sec_1x": small[op]["sec"],
             f"sec_{args.factor}x": big[op]["sec"],
             "runtime_ratio": round(ratio, 2),
-            "shuffles_1x": small[op]["shuffles"],
-            f"shuffles_{args.factor}x": big[op]["shuffles"],
+            "shuffles_1x": small[op].get("shuffles"),
+            f"shuffles_{args.factor}x": big[op].get("shuffles"),
             "shuffles_constant": same_shuffles,
             "ratio_within_gate": linear,
         }
