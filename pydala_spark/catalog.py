@@ -1071,6 +1071,196 @@ class Datalake:
         )
         return results
 
+    def span_dedup_report(
+        self,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        span_k: int = 20,
+        span_window: int = 8,
+        min_span: int = 50,
+        min_df: int = 2,
+        materialize: bool = True,
+        verify: bool = True,
+        report_dir: str | None = None,
+        signatures_root: str | None = None,
+        max_concurrency: int = 1,
+    ) -> dict[str, dict]:
+        """Lake-wide CROSS-DATASET duplicated-span detection (round 8,
+        late) — the sub-document member of the cross-dataset family
+        (:meth:`neardup_dedup` text-doc, :meth:`semantic_dedup
+        (cross_dataset=True)` embedding): boilerplate that appears ONCE
+        per dump — shared headers, footers, license blocks, injected
+        banners across 50 crawl snapshots — has per-dataset document
+        frequency 1 and is invisible to any per-dataset ``min_df``
+        count; lake-wide it has df = 50 and lights up immediately.
+
+        Served from each dataset's ``spans`` signature sidecar
+        (positions, not spans — which is exactly what makes the
+        document-frequency threshold re-decidable per sweep): the
+        sidecars union under lake-qualified ids and ONE
+        :func:`~pydala_spark.operators.dedup.duplicate_spans` pass
+        counts fingerprint df across the whole lake (one fp-keyed
+        shuffle, one id-keyed run grouping — the same shape as the
+        per-dataset path, just a bigger union; the honest cost is the
+        sidecar's one-row-per-char-window size, identical either way).
+        ``k``/``window`` derive from the sidecars' recorded params;
+        ``min_span``/``min_df`` stay free per sweep.
+
+        DETECTION ONLY — spans land as one parquet table partitioned by
+        dataset at ``<report_dir>/_spans`` (``id, span_start,
+        span_end``, 1-based inclusive), plus a ``_summary.json`` with
+        per-dataset ``n_spans`` / ``n_docs`` / ``chars_flagged``. The
+        surgery stays per dataset and explicit: feed a partition to
+        :func:`~pydala_spark.operators.dedup.remove_duplicate_spans`
+        ``(spans=...)`` (which then invalidates that dataset's sidecars
+        — rewriting inside this sweep would mutate the very corpora the
+        other datasets' verdicts were counted against). Runs as a
+        ``[span_dedup_report]`` cron section. Datasets without the
+        columns are skipped with a reason; one broken dataset sits out
+        the union; ``max_concurrency`` pools the sidecar phase."""
+        import json as _json
+
+        from pydala_spark.dataset.maintain import (
+            materialize_signatures,
+            read_signatures,
+        )
+        from pydala_spark.operators.dedup import duplicate_spans
+
+        expect = {"k": span_k, "window": span_window,
+                  "id_col": id_col, "text_col": text_col}
+        rep_base = (
+            strip_scheme(report_dir).rstrip("/") if report_dir
+            else posixpath.join(self.root, "_span_dedup")
+        )
+        sep = "\x1f"
+
+        def _prep_one(name: str, base: str):
+            current = posixpath.join(base, "current")
+            data_path = current if self._po.is_dir(current) else base
+            fmt = self._dataset_format(base)
+            try:
+                ds = Dataset(self.spark, data_path, name=name, format=fmt)
+                if not ds._dataset_has_files():
+                    return {"skipped": "no data files"}, None, None
+                df = ds.load()
+                if id_col not in df.columns or text_col not in df.columns:
+                    return ({"skipped":
+                             f"no ({id_col}, {text_col}) columns"},
+                            None, None)
+                sp = (posixpath.join(
+                    strip_scheme(signatures_root).rstrip("/"), name)
+                    if signatures_root else None)
+
+                def _read():
+                    return read_signatures(
+                        self.spark, data_path, "spans", expect=expect,
+                        verify_against=df if verify else None,
+                        signatures_path=sp,
+                    )
+
+                materialized = False
+                try:
+                    fps, params = _read()
+                except Exception as exc:
+                    if not materialize:
+                        raise
+                    # the engine's most expensive hashing pass — paid
+                    # once here, every later sweep reads positions
+                    materialize_signatures(
+                        self.spark, df, data_path, id_col=id_col,
+                        text_col=text_col, kinds=("spans",),
+                        span_k=span_k, span_window=span_window,
+                        signatures_path=sp,
+                    )
+                    fps, params = _read()
+                    materialized = f"{type(exc).__name__}"
+                tagged = fps.select(
+                    F.concat_ws(
+                        sep, F.lit(name), F.col("id").cast("string")
+                    ).alias("id"),
+                    "fp", "pos", "len",
+                )
+                entry = {"sidecar": ("materialized" if materialized
+                                     else "reused")}
+                return entry, tagged, params
+            except Exception as exc:  # one bad dataset, sweep lives
+                return ({"error": f"{type(exc).__name__}: {exc}"[:500]},
+                        None, None)
+
+        items = list(self.discover().items())
+        results: dict[str, dict] = {}
+        if max_concurrency > 1 and len(items) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
+                prepped = list(pool.map(lambda nb: _prep_one(*nb), items))
+        else:
+            prepped = [_prep_one(*nb) for nb in items]
+        union = None
+        sidecar_params = None
+        for (name, _), (entry, tagged, params) in zip(items, prepped):
+            results[name] = entry
+            if tagged is not None:
+                union = (tagged if union is None
+                         else union.unionByName(tagged))
+                sidecar_params = sidecar_params or params
+        lake_stats = {"n_spans": 0, "n_docs": 0, "chars_flagged": 0}
+        if union is not None:
+            # spans output is tiny (flagged ranges only) — the eager
+            # cut means the heavy df-count pipeline runs ONCE for the
+            # emptiness probe, the write, and the stats
+            spans = duplicate_spans(
+                union, "id", min_span=min_span, min_df=min_df,
+                fingerprints=union, params=sidecar_params,
+            ).localCheckpoint(eager=True)
+        if union is not None and not spans.isEmpty():
+            # names cannot contain the separator, so the FIRST field is
+            # always the dataset; the doc id is everything after it
+            # (substring, not split_part — a doc id may contain any char)
+            ds_col = F.split_part(F.col("id"), F.lit(sep), F.lit(1))
+            doc = F.col("id").substr(
+                F.length(ds_col) + F.lit(2), F.length(F.col("id")))
+            target = posixpath.join(rep_base, "_spans")
+            spans.select(
+                ds_col.alias("dataset"), doc.alias("id"),
+                "span_start", "span_end",
+            ).write.mode("overwrite").partitionBy("dataset").parquet(target)
+            written = self.spark.read.parquet(target)
+            for r in written.groupBy("dataset").agg(
+                F.count("*").alias("n"),
+                F.count_distinct("id").alias("nd"),
+                F.sum(F.col("span_end") - F.col("span_start")
+                      + F.lit(1)).alias("ch"),
+            ).collect():
+                results[r["dataset"]].update({
+                    "report": posixpath.join(
+                        target, f"dataset={r['dataset']}"),
+                    "n_spans": int(r["n"]),
+                    "n_docs": int(r["nd"]),
+                    "chars_flagged": int(r["ch"]),
+                })
+            tot = written.agg(
+                F.count("*").alias("n"),
+                F.count_distinct("id").alias("nd"),
+                F.sum(F.col("span_end") - F.col("span_start")
+                      + F.lit(1)).alias("ch"),
+            ).collect()[0]
+            lake_stats = {"n_spans": int(tot["n"] or 0),
+                          "n_docs": int(tot["nd"] or 0),
+                          "chars_flagged": int(tot["ch"] or 0)}
+        # datasets that swept but produced no spans (including the
+        # clean-lake case) still get the zero counts a cron expects
+        for name in results:
+            if "sidecar" in results[name] and "n_spans" not in results[name]:
+                results[name].update(
+                    {"n_spans": 0, "n_docs": 0, "chars_flagged": 0})
+        results["_lake"] = lake_stats
+        self._po.write_text(
+            posixpath.join(rep_base, "_summary.json"),
+            _json.dumps(results, indent=2, sort_keys=True, default=str),
+        )
+        return results
+
     def signatures_report(
         self,
         verify: bool = False,

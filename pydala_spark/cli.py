@@ -503,7 +503,8 @@ def _cmd_signatures(args) -> int:
 #: whatever was stale, it is the post-sweep invariant check — with
 #: fail_on_stale the cron exits 3 when anything STILL fails to verify
 _CRON_SECTIONS = ("maintain", "decontaminate", "semantic_dedup",
-                  "neardup_dedup", "signatures_report")
+                  "neardup_dedup", "span_dedup_report",
+                  "signatures_report")
 
 
 def _cmd_cron(args) -> int:

@@ -1393,12 +1393,17 @@ n_centroids = 2
 
 [neardup_dedup]
 max_concurrency = 2
+
+[span_dedup_report]
+min_df = 2
 """)
     rc = main(["--master", "local[4]", "cron", str(cfg)])
     out = json.loads(capsys.readouterr().out)
     assert rc == 0
     assert set(out) == {"maintain", "decontaminate", "semantic_dedup",
-                        "neardup_dedup"}
+                        "neardup_dedup", "span_dedup_report"}
+    assert out["span_dedup_report"]["docs"]["sidecar"] == "materialized"
+    assert out["span_dedup_report"]["embs"]["skipped"].startswith("no (")
     assert "files_after" in out["maintain"]["docs"]
     assert out["decontaminate"]["docs"]["contaminated"] == {"eval": 1}
     assert out["semantic_dedup"]["embs"]["n_dropped"] >= 1
@@ -1585,3 +1590,76 @@ def test_datalake_semantic_dedup_cross_dataset(spark, tmp_path):
     # incremental is refused in cross mode (lake-global verdicts)
     with pytest.raises(ValueError, match="unsound"):
         lake.semantic_dedup(cross_dataset=True, incremental=True)
+
+
+def test_datalake_span_dedup_report(spark, tmp_path):
+    # round 8 (late): cross-dataset boilerplate detection — a license
+    # block appearing ONCE PER DUMP has per-dataset df=1 (invisible to
+    # any per-dataset min_df count) but lake-wide df=3
+    import json
+
+    from pyspark.sql import functions as F
+
+    from pydala_spark.operators.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    boiler = ("This dataset is licensed under the Creative Commons "
+              "Attribution ShareAlike license version four point zero. ")
+    uniq = {
+        "w1": "alpha bravo charlie delta echo foxtrot golf hotel india",
+        "w2": "zebra umbrella xylophone quartz jigsaw vortex plinth",
+        "w3": "gizmo parsnip okapi wombat fjord crypt glyph nymph",
+    }
+    root = str(tmp_path / "spanlake")
+    lake = Datalake(spark, root)
+    for i, (n, tail) in enumerate(uniq.items()):
+        spark.createDataFrame(
+            [(i * 10, boiler + tail),
+             (i * 10 + 1, {0: "cobalt meadows hum beneath auroral "
+                              "lattices while quiet finches tally seeds",
+                           1: "rusty harbor cranes pivot over brackish "
+                              "tides hauling crated citrus north",
+                           2: "velvet monsoon drums syncopate across "
+                              "tin roofs waking saffron parakeets"}[i])],
+            ["doc_id", "text"],
+        ).write.parquet(os.path.join(root, n))
+        lake.add_dataset(n)
+
+    # per-dataset: the boilerplate is invisible at min_df=2
+    for n in uniq:
+        per = duplicate_spans(
+            Dataset(spark, os.path.join(root, n)).load(), "doc_id",
+            min_df=2, min_span=50)
+        assert per.count() == 0
+
+    res = lake.span_dedup_report(min_df=2, min_span=50)
+    assert all(res[n]["sidecar"] == "materialized" for n in uniq)
+    # ...but lake-wide every dump's copy lights up
+    assert res["_lake"]["n_docs"] == 3
+    assert res["_lake"]["n_spans"] >= 3
+    for n in uniq:
+        assert res[n]["n_docs"] == 1, res[n]
+        assert res[n]["chars_flagged"] >= 50
+    summary = json.loads(
+        (tmp_path / "spanlake" / "_span_dedup" / "_summary.json")
+        .read_text())
+    assert summary["_lake"]["n_docs"] == 3
+
+    # the report composes with per-dataset surgery: cutting w1's span
+    # removes the boilerplate, keeps the unique tail
+    rep = spark.read.parquet(res["w1"]["report"]).select(
+        F.col("id").cast("long").alias("id"),
+        "span_start", "span_end")
+    w1 = Dataset(spark, os.path.join(root, "w1")).load()
+    cut = remove_duplicate_spans(w1, "doc_id", spans=rep)
+    texts = {r["doc_id"]: r["text"] for r in cut.collect()}
+    assert "Creative Commons" not in texts[0]
+    assert uniq["w1"].split()[-1] in texts[0]
+
+    # second sweep serves the sidecars; pooled verdicts identical
+    again = lake.span_dedup_report(min_df=2, min_span=50,
+                                   max_concurrency=3)
+    assert all(again[n]["sidecar"] == "reused" for n in uniq)
+    assert again["_lake"] == res["_lake"]
