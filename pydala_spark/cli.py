@@ -203,7 +203,7 @@ def _pipeline_prep_keys() -> set:
     # frames / hooks are not expressible in a TOML config
     return params - {"df", "benchmark", "stage_frames",
                      "precomputed_minhash", "precomputed_fps",
-                     "precomputed_spans"}
+                     "precomputed_spans", "precomputed_cells"}
 
 
 def _cmd_pipeline(args) -> int:
@@ -276,12 +276,18 @@ def _cmd_pipeline(args) -> int:
             # sidecar contradiction into a loud error instead of a
             # silent override
             "spans": {"k": "span_k", "window": "span_window"},
+            # the recorded vec_col must be the one the semantic stage
+            # reads — cells assigned from a different embedding column
+            # would block-dedup the wrong space
+            "embedding_cells": {"vec_col": "vec_col"},
         }
         for kind in sig_kinds:
-            if kind not in ("spans", "minhash", "winnowing"):
+            if kind not in ("spans", "minhash", "winnowing",
+                            "embedding_cells"):
                 print(
                     f"pipeline: unknown signatures kind {kind!r} — valid: "
-                    "spans, minhash, winnowing", file=sys.stderr,
+                    "spans, minhash, winnowing, embedding_cells",
+                    file=sys.stderr,
                 )
                 return 2
             expect = {
@@ -298,6 +304,10 @@ def _cmd_pipeline(args) -> int:
                 opts["precomputed_spans"] = (frame, params)
             elif kind == "minhash":
                 opts["precomputed_minhash"] = frame
+            elif kind == "embedding_cells":
+                # (frame, params) tuple: the recorded codebook_sha then
+                # refuses cells assigned under a retrained codebook
+                opts["precomputed_cells"] = (frame, params)
             else:
                 opts["precomputed_fps"] = frame
     if report:
@@ -454,6 +464,7 @@ def _cmd_neardup_dedup(args) -> int:
         verify=not args.no_verify,
         report_dir=args.report_dir,
         signatures_root=args.signatures_root,
+        incremental=args.incremental,
         max_concurrency=args.max_concurrency,
     )
     print(json.dumps(results, indent=2, sort_keys=True, default=str))
@@ -704,7 +715,7 @@ def build_parser() -> argparse.ArgumentParser:
                     help="fail datasets without a fresh sidecar instead "
                     "of hashing them")
     dc.add_argument("--max-concurrency", dest="max_concurrency",
-                    type=int, default=1, help="sweep N datasets' "
+                    type=int, default=4, help="sweep N datasets' "
                     "independent jobs concurrently (thread pool)")
     dc.add_argument("--incremental", action="store_true",
                     help="skip datasets whose verified content "
@@ -769,7 +780,7 @@ def build_parser() -> argparse.ArgumentParser:
                     "sidecars: a vector duplicated across datasets "
                     "keeps one copy lake-wide")
     sd.add_argument("--max-concurrency", dest="max_concurrency",
-                    type=int, default=1, help="sweep N datasets' "
+                    type=int, default=4, help="sweep N datasets' "
                     "independent jobs concurrently (thread pool)")
     sd.add_argument("--no-verify", action="store_true",
                     help="skip the sidecar content-marker check")
@@ -805,8 +816,14 @@ def build_parser() -> argparse.ArgumentParser:
     nd.add_argument("--no-materialize", action="store_true",
                     help="fail datasets without a fresh minhash sidecar "
                     "instead of hashing them")
+    nd.add_argument("--incremental", action="store_true",
+                    help="ALL-FRESH fast path: when every dataset's "
+                    "verified marker (and score marker) matches the "
+                    "previous summary under the same config, reuse the "
+                    "prior verdict wholesale; any change falls back to "
+                    "the full lake-global sweep")
     nd.add_argument("--max-concurrency", dest="max_concurrency",
-                    type=int, default=1, help="sweep N datasets' "
+                    type=int, default=4, help="sweep N datasets' "
                     "independent jobs concurrently (thread pool)")
     nd.add_argument("--no-verify", action="store_true",
                     help="skip the sidecar content-marker check")

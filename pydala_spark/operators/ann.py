@@ -723,6 +723,8 @@ def ivf_pq_topk(
     residual: bool = True,
     anchors: np.ndarray | None = None,
     rotation: np.ndarray | None = None,
+    rerank_top: int | None = None,
+    rerank_source: DataFrame | None = None,
 ) -> DataFrame:
     """IVFADC approximate top-k: candidates come from the probes'
     ``n_probe_centroids`` best IVF cells (equi-join on cell — the
@@ -741,8 +743,34 @@ def ivf_pq_topk(
     ``sim = q·anchor[cell] + Σᵢ lut[i][code_i]``: the anchor term is
     JVM column algebra against broadcast anchor literals (one dot per
     (probe, probed cell) — n_probes × dim work, independent of corpus
-    size), and only the small displacement goes through the LUTs."""
+    size), and only the small displacement goes through the LUTs.
+
+    ``rerank_top=C`` (round 9 — IVFADC+R, Jégou et al. 2011 §III.D):
+    PQ codes RANK the probed cells' candidates, then the top-C per
+    probe are re-scored with EXACT cosine against their full vectors
+    and the final top-k comes from those exact scores — the standard
+    public fix for the PQ quantization-error recall ceiling. Cost is
+    one narrow join of a C×n_probes-row broadcast candidate list
+    against the source frame's ``(id, vec)`` projection (column-pruned
+    at the scan; the corpus is never re-scanned wholesale) plus a
+    second per-probe window over ≤C rows. With ``encoded=True`` the
+    codes can't reconstruct exact vectors, so ``rerank_source`` (the
+    original ``(id_col, vec_col)`` frame) is REQUIRED; inline callers
+    may omit it (the corpus itself is the source)."""
     m, n_codes, _ = books.shape
+    if rerank_top is not None:
+        if rerank_top < k:
+            raise ValueError(
+                f"ivf_pq_topk: rerank_top={rerank_top} < k={k} — the "
+                "re-ranked pool must at least cover the requested top-k"
+            )
+        if encoded and rerank_source is None:
+            raise ValueError(
+                "ivf_pq_topk: rerank_top with encoded=True requires "
+                "rerank_source= (the original (id, vec) frame) — PQ "
+                "codes cannot reconstruct the exact vectors re-ranking "
+                "scores against"
+            )
     if encoded:
         # the index id column is id_col when present (matching pq_topk's
         # codes_col contract), falling back to ivf_pq_encode's "id" so
@@ -804,8 +832,51 @@ def ivf_pq_topk(
         .withColumn("sim", sim)
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    if rerank_top is None:
+        return (
+            scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .where(F.col("rnk") <= k)
+            .select("probe_id", "neighbor_id", "rnk", "sim")
+        )
+    # IVFADC+R: PQ scores only SELECT the pool; the top-C candidate
+    # list (C×n_probes rows — broadcast-sized by construction) joins
+    # the source's narrow (id, vec) projection for exact cosine, and
+    # the final rank comes from the exact scores. Probe vectors rejoin
+    # by id (the probe set is small) instead of riding __pv through
+    # the corpus-sized scored frame.
+    from pydala_spark.operators.similarity import norm, sim_from_norms
+
+    src = rerank_source if rerank_source is not None else corpus
+    cand = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= rerank_top)
+        .select("probe_id", "neighbor_id")
+    )
+    sv = src.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__xv"),
+    )
+    pv = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("__qv"),
+    )
+    exact = (
+        sv.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(pv), "probe_id")
+        .withColumn("__nx", norm(F.col("__xv")))
+        .withColumn("__nq", norm(F.col("__qv")))
+        .withColumn(
+            "sim",
+            sim_from_norms(
+                F.col("__qv"), F.col("__xv"), F.col("__nq"), F.col("__nx")
+            ),
+        )
+    )
+    w2 = Window.partitionBy("probe_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
     return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        exact.withColumn("rnk", F.row_number().over(w2).cast("long"))
         .where(F.col("rnk") <= k)
         .select("probe_id", "neighbor_id", "rnk", "sim")
     )
@@ -976,6 +1047,8 @@ def search_ivfpq_index(
     vec_col: str = "embedding",
     k: int = 5,
     n_probe_centroids: int = 2,
+    rerank_top: int | None = None,
+    rerank_source: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k search over a persisted IVFADC index: loads the codebooks,
     broadcasts the probes (cells + LUTs) and equi-joins on the ``cell``
@@ -984,7 +1057,10 @@ def search_ivfpq_index(
     scan cost is per-query proportional to cells probed, not index
     size). The sidecar's stored ``residual`` flag, anchors and OPQ
     rotation pick the scoring math, so a search can never silently
-    mismatch the index encoding."""
+    mismatch the index encoding. ``rerank_top=C`` + ``rerank_source=``
+    (the original vector frame) add the IVFADC+R exact re-ranking pass
+    — see :func:`ivf_pq_topk` (the index stores codes, not vectors, so
+    the source frame is required here)."""
     idx, cents, books, residual, anchors, rotation = load_ivfpq_index(
         spark, path
     )
@@ -993,6 +1069,7 @@ def search_ivfpq_index(
         id_col=id_col, vec_col=vec_col, k=k,
         n_probe_centroids=n_probe_centroids, encoded=True,
         residual=residual, anchors=anchors, rotation=rotation,
+        rerank_top=rerank_top, rerank_source=rerank_source,
     )
 
 def index_stats(spark, path: str) -> dict:

@@ -79,6 +79,11 @@ def prep_documents(
     precomputed_minhash: DataFrame | None = None,
     precomputed_fps: DataFrame | None = None,
     precomputed_spans: DataFrame | tuple | None = None,
+    semantic_dedup: bool = False,
+    semantic_threshold: float = 0.2,
+    semantic_centroids=None,
+    semantic_score_col: str | None = None,
+    precomputed_cells: DataFrame | tuple | None = None,
     stage_frames: dict | None = None,
 ) -> DataFrame:
     """Return the cleaned corpus: quality columns attached, docs linking
@@ -176,10 +181,33 @@ def prep_documents(
     minhash/fps, ``span_dedup``'s own rewrite is the POINT here, so the
     near-dup/decontamination sidecars cannot be combined with it.
 
+    ``semantic_dedup=True`` (round 9) runs SemDeDup — embedding-space
+    near-duplicate removal (:func:`~pydala_spark.operators.similarity.
+    semantic_dedup`) — as a stage between near-dup and decontamination,
+    closing the one dedup modality the one-call pipeline couldn't run:
+    a corpus carrying ``vec_col`` drops every doc with a sufficiently
+    cosine-similar cluster-mate (``semantic_threshold``), keeping the
+    smallest id — or the best ``semantic_score_col`` member (e.g.
+    ``"q_score"``, already attached by the quality stage). Cell
+    assignment needs either ``semantic_centroids`` (inline k-means
+    codebook — one Arrow-batched matmul scan) or ``precomputed_cells``:
+    the ``embedding_cells`` signature sidecar
+    (:func:`~pydala_spark.dataset.maintain.materialize_signatures`),
+    passed as the ``(frame, params)`` tuple ``read_signatures`` returns
+    (recommended — the recorded ``codebook_sha`` then refuses a
+    retrained codebook) or the bare frame. With cells the assignment
+    matmul (the stage's dominant cost at SemDeDup codebook sizes)
+    disappears into one id-keyed equi-join. Unlike the TEXT sidecars,
+    ``precomputed_cells`` composes with ``strip_markup`` / ``redact`` /
+    ``paragraph_dedup`` / ``span_dedup`` — cells are hashed from the
+    EMBEDDINGS, which text surgery never rewrites — and row-dropping
+    stages are covered by the survivor restriction (an id the sidecar
+    misses still fails loud inside the operator).
+
     Pass an empty dict as ``stage_frames`` to receive the intermediate
     DataFrame after each enabled stage (keys: input, blocklist,
     paragraph_dedup, lang_filter, span_dedup, repetition, exact_dedup, near_dup,
-    decontaminate, quality) — the hook :func:`pipeline_report` uses to count per-stage
+    semantic_dedup, decontaminate, quality) — the hook :func:`pipeline_report` uses to count per-stage
     survivors without duplicating the stage logic."""
     if paragraph_max_occurrences is not None:
         # the cap only means anything inside the paragraph stage; a
@@ -261,6 +289,32 @@ def prep_documents(
             "stage disabled the mode selection would be silently ignored "
             "(same rule as near_dup_score_col)"
         )
+    precomputed_cells_params = None
+    if isinstance(precomputed_cells, tuple):
+        precomputed_cells, precomputed_cells_params = precomputed_cells
+    if precomputed_cells is not None and not semantic_dedup:
+        raise ValueError(
+            "precomputed_cells requires semantic_dedup=True — with the "
+            "semantic stage disabled the sidecar would be silently "
+            "ignored (same rule as the other precomputed sidecars)"
+        )
+    if semantic_score_col and not semantic_dedup:
+        raise ValueError(
+            "semantic_score_col requires semantic_dedup=True — with the "
+            "semantic stage disabled the score would be silently ignored"
+        )
+    if semantic_dedup:
+        if not vec_col:
+            raise ValueError(
+                "semantic_dedup=True requires vec_col — the stage "
+                "compares embeddings, not text"
+            )
+        if semantic_centroids is None and precomputed_cells is None:
+            raise ValueError(
+                "semantic_dedup=True needs semantic_centroids= (inline "
+                "cell assignment) or precomputed_cells= (a materialized "
+                "embedding_cells sidecar)"
+            )
 
     def _stage(name: str, frame: DataFrame) -> None:
         if stage_frames is not None:
@@ -505,6 +559,34 @@ def prep_documents(
             losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
             out = out.join(losers, id_col, "left_anti")
             _stage("near_dup", out)
+    # 3b. SemDeDup over the text-dedup survivors: the embedding modality
+    # catches paraphrases that share no shingles, and running it AFTER
+    # the cheap text dedups means the quadratic-in-cell pair work never
+    # pays for docs MinHash already killed. With a cells sidecar the
+    # operator's left-join restriction doubles as the survivor filter
+    # (dropped ids simply never join), and a survivor the sidecar
+    # misses raises inside semantic_dedup rather than slipping through.
+    if semantic_dedup:
+        from pydala_spark.operators.similarity import (
+            semantic_dedup as _semantic_dedup,
+        )
+
+        verdict = _semantic_dedup(
+            out,
+            centroids=semantic_centroids,
+            id_col=id_col,
+            vec_col=vec_col,
+            threshold=semantic_threshold,
+            score_col=semantic_score_col,
+            cells=precomputed_cells,
+            params=precomputed_cells_params,
+        )
+        out = out.join(
+            verdict.where(F.col("kept")).select(F.col("id").alias(id_col)),
+            id_col,
+            "left_semi",
+        )
+        _stage("semantic_dedup", out)
     # 4. benchmark decontamination (broadcast eval-set shingles). The
     # corpus's script decides the shingle UNIT once (near_dup_shingle_mode
     # — char-mode corpora would otherwise be decontaminated with word

@@ -290,7 +290,7 @@ def stream_interval_join(
 
 def streaming_decontaminate(
     stream_df: DataFrame,
-    benchmark: DataFrame,
+    benchmark: DataFrame | None,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 8,
@@ -298,6 +298,8 @@ def streaming_decontaminate(
     min_hits: int = 1,
     flag_col: str | None = None,
     benchmark_fps: DataFrame | None = None,
+    benchmark_signatures: str | None = None,
+    verify: bool = True,
 ) -> DataFrame:
     """Ingest-time benchmark decontamination — the streaming face of
     :func:`~pydala_spark.operators.dedup.winnowing_contamination`
@@ -322,19 +324,65 @@ def streaming_decontaminate(
     ~tens of MB — fine; re-block with the batch sweep beyond that).
 
     ``benchmark`` is a STATIC ``(id_col, text_col)`` frame;
-    ``benchmark_fps`` passes a precomputed ``(id, fps)`` frame instead
-    (e.g. :func:`~pydala_spark.dataset.maintain.read_signatures` from a
-    benchmark's own sidecar) — hash once, guard every stream.
+    ``benchmark_fps`` passes a precomputed ``(id, fps)`` frame instead,
+    and ``benchmark_signatures`` (round 9) goes one step further: the
+    PATH of the benchmark dataset whose ``winnowing`` signature sidecar
+    (:func:`~pydala_spark.dataset.maintain.materialize_signatures`)
+    holds the fingerprints — hash once at benchmark ingest, guard every
+    stream. The sidecar's recorded k/window are pinned against this
+    call's (``expect=``), and ``verify=True`` (default) re-checks its
+    content marker against the live ``benchmark`` frame when one is
+    passed — a benchmark edited after materialization raises instead of
+    silently letting fresh leakage through the door (pass
+    ``benchmark=None`` to trust the sidecar without the marker scan).
+
+    The fp set is built by ONE distributed explode→distinct→collect_set
+    aggregate — executor-side dedup, a single driver row carrying the
+    final array — not a per-row collect.
     """
     from pydala_spark.operators.textstats import winnowing_fingerprints
 
-    bf = (benchmark_fps if benchmark_fps is not None
-          else winnowing_fingerprints(benchmark, id_col, text_col,
-                                      k=k, window=window))
-    fps_set = sorted({
-        fp for row in bf.select("fps").collect() for fp in row["fps"]
-    })
     spark = stream_df.sparkSession
+    if benchmark_signatures is not None:
+        if benchmark_fps is not None:
+            raise ValueError(
+                "streaming_decontaminate: pass benchmark_fps= OR "
+                "benchmark_signatures=, not both — two fingerprint "
+                "sources cannot both be authoritative"
+            )
+        from pydala_spark.dataset.maintain import read_signatures
+
+        bf, _params = read_signatures(
+            spark, benchmark_signatures, "winnowing",
+            expect={"k": k, "window": window},
+            verify_against=(
+                benchmark if (verify and benchmark is not None) else None
+            ),
+        )
+    elif benchmark_fps is not None:
+        bf = benchmark_fps
+    else:
+        if benchmark is None:
+            raise ValueError(
+                "streaming_decontaminate: no fingerprint source — pass "
+                "benchmark= (a text frame), benchmark_fps= (a "
+                "fingerprint frame) or benchmark_signatures= (a sidecar "
+                "path)"
+            )
+        bf = winnowing_fingerprints(benchmark, id_col, text_col,
+                                    k=k, window=window)
+    # distinct fingerprint set as ONE aggregate: dedup happens on the
+    # executors (explode + distinct), the driver receives exactly one
+    # row holding the final sorted array (~32 B/fp — the documented
+    # benchmark-size bound), and createDataFrame re-ships it as DATA
+    # so a restarted/cloned stream never re-runs the aggregate
+    row = (
+        bf.select(F.explode("fps").alias("__f"))
+        .distinct()
+        .agg(F.array_sort(F.collect_list("__f")).alias("__fps"))
+        .collect()
+    )
+    fps_set = list(row[0]["__fps"]) if row and row[0]["__fps"] else []
     bench_static = spark.createDataFrame(
         [(fps_set,)], "__bench_fps array<string>"
     )

@@ -2521,3 +2521,92 @@ def test_classifier_ml_backend_agrees_with_driver(spark):
         train_quality_classifier(
             df.where(F.col("keep").isNull()), "keep", feats, backend="ml"
         )
+
+
+def test_streaming_decontaminate_sidecar(spark, tmp_path):
+    # round 9: the benchmark's winnowing SIDECAR (not a frame) guards
+    # the stream — hash once at benchmark ingest; verdicts match the
+    # frame-input path; a stale sidecar raises at build time
+    import pytest
+
+    from pydala_spark.dataset.maintain import materialize_signatures
+    from pydala_spark.streaming import streaming_decontaminate
+
+    leak = "the quick brown fox jumps over the lazy benchmark dog"
+    docs = spark.createDataFrame(
+        [
+            (1, f"leading filler then {leak} trailing words here"),
+            (2, "zebra umbrella xylophone quartz jigsaw vortex plinth"),
+            (3, "gizmo parsnip okapi wombat fjord crypt glyph nymph"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(0, leak)], ["doc_id", "text"])
+    bench_path = str(tmp_path / "bench_ds")
+    bench.write.parquet(bench_path)
+    stored = spark.read.parquet(bench_path)
+    materialize_signatures(
+        spark, stored, bench_path, id_col="doc_id", text_col="text",
+        kinds=("winnowing",), winnowing_k=8, winnowing_window=4,
+    )
+
+    src = str(tmp_path / "decon_stream9")
+    docs.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+
+    out = streaming_decontaminate(
+        stream, stored, benchmark_signatures=bench_path
+    )
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("decon_sc").trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    kept = sorted(r["doc_id"] for r in
+                  spark.sql("SELECT doc_id FROM decon_sc").collect())
+    assert kept == [2, 3]  # == the frame-input path's verdicts
+
+    # benchmark=None trusts the sidecar without a marker scan
+    out2 = streaming_decontaminate(
+        stream, None, benchmark_signatures=bench_path
+    )
+    q2 = (out2.writeStream.outputMode("append").format("memory")
+          .queryName("decon_sc2").trigger(availableNow=True).start())
+    q2.awaitTermination(60)
+    assert sorted(r["doc_id"] for r in
+                  spark.sql("SELECT doc_id FROM decon_sc2").collect()) \
+        == [2, 3]
+
+    # two authoritative sources -> loud; no source at all -> loud
+    from pydala_spark.dataset.maintain import read_signatures
+
+    bf, _ = read_signatures(spark, bench_path, "winnowing")
+    with pytest.raises(ValueError, match="not both"):
+        streaming_decontaminate(stream, None, benchmark_fps=bf,
+                                benchmark_signatures=bench_path)
+    with pytest.raises(ValueError, match="no fingerprint source"):
+        streaming_decontaminate(stream, None)
+
+    # k/window pins: a mismatched consumer raises instead of silently
+    # letting everything through
+    with pytest.raises(ValueError, match="disagree"):
+        streaming_decontaminate(stream, None, k=5, window=3,
+                                benchmark_signatures=bench_path)
+
+    # benchmark edited after materialization -> STALE raises when the
+    # live frame is passed; verify=False extends the old trust
+    spark.createDataFrame(
+        [(1, "a brand new leaked passage nobody hashed yet")],
+        ["doc_id", "text"],
+    ).write.mode("append").parquet(bench_path)
+    live = spark.read.parquet(bench_path)
+    with pytest.raises(ValueError, match="STALE"):
+        streaming_decontaminate(stream, live,
+                                benchmark_signatures=bench_path)
+    out3 = streaming_decontaminate(
+        stream, live, benchmark_signatures=bench_path, verify=False
+    )
+    q3 = (out3.writeStream.outputMode("append").format("memory")
+          .queryName("decon_sc3").trigger(availableNow=True).start())
+    q3.awaitTermination(60)
+    assert sorted(r["doc_id"] for r in
+                  spark.sql("SELECT doc_id FROM decon_sc3").collect()) \
+        == [2, 3]

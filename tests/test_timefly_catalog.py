@@ -3,6 +3,7 @@ import os
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from pydala_spark import Datalake, Dataset, Repartition, TimeFly, Writer
 
@@ -1663,3 +1664,162 @@ def test_datalake_span_dedup_report(spark, tmp_path):
                                    max_concurrency=3)
     assert all(again[n]["sidecar"] == "reused" for n in uniq)
     assert again["_lake"] == res["_lake"]
+
+
+def test_datalake_neardup_incremental(spark, tmp_path):
+    # round 9: the ALL-FRESH fast path — because clusters are
+    # lake-global there is no per-dataset skip, but a provably
+    # unchanged lake reuses the prior verdict wholesale; and the score
+    # column (invisible to the text marker, yet it drives keeper
+    # selection) gets its own marker so a re-scored corpus breaks
+    # freshness even when the text didn't move
+    root = str(tmp_path / "ndinc")
+    sig_root = str(tmp_path / "ndinc_sigs")
+    lake = Datalake(spark, root)
+    shared = ("the quick brown fox jumps over the lazy dog "
+              "again and again in every single crawl dump")
+    spark.createDataFrame(
+        [(1, shared, 0.9),
+         (2, "completely different unique content nothing alike here", 0.1)],
+        ["doc_id", "text", "score"],
+    ).write.parquet(os.path.join(root, "dump_a"))
+    spark.createDataFrame(
+        [(10, shared, 0.2)], ["doc_id", "text", "score"],
+    ).write.parquet(os.path.join(root, "dump_b"))
+    for n in ("dump_a", "dump_b"):
+        lake.add_dataset(n)
+
+    kw = dict(score_col="score", signatures_root=sig_root,
+              incremental=True)
+    first = lake.neardup_dedup(**kw)
+    assert "marker" in first["dump_a"]
+    assert "score_marker" in first["dump_a"]
+    assert first["_lake"]["n_clusters"] == 1
+    assert first["dump_a"]["n_dropped"] == 0  # 0.9 keeper
+    assert first["dump_b"]["n_dropped"] == 1
+
+    # unchanged lake -> verdicts reused, union/LSH/CC skipped
+    second = lake.neardup_dedup(**kw)
+    for n in ("dump_a", "dump_b"):
+        assert second[n]["fresh"].startswith("lake unchanged"), second[n]
+    assert second["_lake"] == first["_lake"]
+    assert second["dump_b"]["n_dropped"] == 1
+    rep = spark.read.parquet(second["dump_b"]["report"])
+    assert {r["id"]: r["kept"] for r in rep.collect()} == {"10": False}
+
+    # score-only overwrite: same (id, text) so the TEXT marker — and
+    # the out-of-place minhash sidecar — still verify, but the keeper
+    # must flip; the score marker alone breaks the fast path
+    spark.createDataFrame(
+        [(10, shared, 0.95)], ["doc_id", "text", "score"],
+    ).write.mode("overwrite").parquet(os.path.join(root, "dump_b"))
+    third = lake.neardup_dedup(**kw)
+    assert "fresh" not in third["dump_a"] and "fresh" not in third["dump_b"]
+    assert third["dump_b"]["sidecar"] == "reused"  # text is unchanged
+    assert third["dump_b"]["n_dropped"] == 0
+    assert third["dump_a"]["n_dropped"] == 1  # 0.95 beats 0.9 now
+
+    # and the new state is itself reusable
+    fourth = lake.neardup_dedup(**kw)
+    assert fourth["dump_a"]["fresh"].startswith("lake unchanged")
+    assert fourth["dump_a"]["n_dropped"] == 1
+
+    # config moved -> nothing is provably fresh
+    fifth = lake.neardup_dedup(n_bands=2, **kw)
+    assert "fresh" not in fifth["dump_a"]
+
+    # dataset added -> full sweep (lake-global clusters)
+    spark.createDataFrame(
+        [(100, "fresh dataset with entirely novel content words", 0.5)],
+        ["doc_id", "text", "score"],
+    ).write.parquet(os.path.join(root, "dump_c"))
+    lake.add_dataset("dump_c")
+    sixth = lake.neardup_dedup(**kw)
+    assert all("fresh" not in sixth[n]
+               for n in ("dump_a", "dump_b", "dump_c"))
+    assert sixth["dump_c"]["sidecar"] == "materialized"
+
+    # text mutated -> sidecar re-materializes -> full sweep
+    spark.createDataFrame(
+        [(101, shared + " with a tail", 0.99)],
+        ["doc_id", "text", "score"],
+    ).write.mode("append").parquet(os.path.join(root, "dump_c"))
+    seventh = lake.neardup_dedup(**kw)
+    assert "fresh" not in seventh["dump_c"]
+    assert seventh["dump_c"]["sidecar"] == "materialized"
+
+
+def test_datalake_neardup_matches_manual_union(spark, tmp_path):
+    # round 9 property pin: the lake sweep's clusters and keepers equal
+    # the single-corpus operator chain (minhash -> LSH -> connected
+    # components -> smallest-id representative) over a hand-unioned
+    # corpus with dataset-qualified ids — across id TYPES (int and
+    # string) and with cross-dataset duplicates. Pins the \x1f
+    # lake-qualification plumbing against drift.
+    from pydala_spark.operators.dedup import (
+        dedup_clusters,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    root = str(tmp_path / "ndeq")
+    lake = Datalake(spark, root)
+    t1 = ("the quick brown fox jumps over the lazy dog "
+          "again and again in every single crawl dump")
+    t2 = ("another widely duplicated passage appearing in both "
+          "dumps with exactly identical wording throughout")
+    spark.createDataFrame(
+        [(1, t1), (2, "unique alpha content with its own vocabulary"),
+         (3, t2)],
+        ["doc_id", "text"],
+    ).write.parquet(os.path.join(root, "dump_a"))
+    spark.createDataFrame(
+        [("x10", t1), ("x11", "unique beta content nothing shared here"),
+         ("x12", t2)],
+        ["doc_id", "text"],
+    ).write.parquet(os.path.join(root, "dump_b"))
+    for n in ("dump_a", "dump_b"):
+        lake.add_dataset(n)
+
+    res = lake.neardup_dedup()
+    verdicts = spark.read.parquet(
+        os.path.join(root, "_neardup", "_verdicts"))
+    sep = "\x1f"
+    got = {
+        (r["dataset"] + sep + r["id"]): r
+        for r in verdicts.collect()
+    }
+
+    # manual union with dataset-prefixed ids (sweep defaults: 8 hashes,
+    # 4 bands, 3-word shingles, seed 0, bucket cap 256)
+    union = None
+    for name in ("dump_a", "dump_b"):
+        df = spark.read.parquet(os.path.join(root, name))
+        sig = minhash_signatures(
+            df, "doc_id", "text", n_hashes=8, shingle_size=3, seed=0,
+        ).withColumn(
+            "lid",
+            F.concat_ws(sep, F.lit(name), F.col("doc_id").cast("string")),
+        ).drop("doc_id")
+        union = sig if union is None else union.unionByName(sig)
+    pairs = lsh_candidate_pairs(union, "lid", n_bands=4,
+                                max_bucket_size=256)
+    manual = {r["id"]: r["cluster_id"]
+              for r in dedup_clusters(pairs).collect()}
+    all_lids = {r["lid"] for r in union.select("lid").collect()}
+
+    # same cluster membership (by qualified id), same keepers
+    # (smallest lake-qualified id per cluster; singletons kept)
+    exp_cluster = {lid: manual.get(lid) for lid in all_lids}
+    assert {lid: got[lid]["cluster"] for lid in all_lids} == exp_cluster
+    exp_kept = {
+        lid: (manual.get(lid) is None
+              or lid == min(m for m, c in manual.items()
+                            if c == manual[lid]))
+        for lid in all_lids
+    }
+    assert {lid: got[lid]["kept"] for lid in all_lids} == exp_kept
+    # cross-dataset stats line up with the planted topology:
+    # two clusters, both spanning datasets
+    assert res["_lake"] == {"n_clusters": 2,
+                            "n_cross_dataset_clusters": 2}
