@@ -719,7 +719,11 @@ class Datalake:
         (entry carries ``"fresh"``); the semantics and caveats are
         :meth:`decontaminate`'s (verdicts here are per-dataset, so the
         skip is sound — unlike :meth:`neardup_dedup`, whose clusters
-        are lake-global). ``max_concurrency`` pools the per-dataset
+        are lake-global). For ``score_col`` datasets a dedicated SCORE
+        marker is recorded too (round 9): the content marker covers
+        ``(id, vec)`` only, so score values rewritten in place — a
+        re-run quality classifier — would otherwise reuse a verdict
+        whose keeper choice they just changed. ``max_concurrency`` pools the per-dataset
         jobs (the :meth:`decontaminate` knob) once the lake codebook is
         pinned; until then datasets sweep serially so the SAME dataset
         trains it that the serial path would pick.
@@ -993,18 +997,32 @@ class Datalake:
                      "xor": int(params["content_xor"])}
                     if "content_rows" in params else None
                 )
+                scored = bool(score_col) and score_col in df.columns
+                score_marker = None
+                if incremental and scored:
+                    # the content marker covers (id, vec) only — score
+                    # VALUES rewritten in place (a re-run classifier)
+                    # change the keeper without moving it, so the score
+                    # column gets its own marker (ONE narrow (id, score)
+                    # aggregate, paid only when incremental is on — the
+                    # round-9 neardup_dedup rule)
+                    score_marker = _frame_marker(
+                        df, id_col, F.col(score_col).cast("double")
+                    )
                 prior_entry = (prior or {}).get(name)
                 if (incremental and not materialized
                         and marker is not None
                         and isinstance(prior_entry, dict)
                         and prior_entry.get("marker") == marker
                         and "n_dropped" in prior_entry
-                        # the marker covers (id, vec) only — a score
-                        # column ADDED since the last sweep changes the
-                        # verdict without moving the marker, so scoring
-                        # applicability must match too
-                        and prior_entry.get("scored")
-                        == (bool(score_col) and score_col in df.columns)):
+                        # a score column ADDED/removed since the last
+                        # sweep changes the verdict without moving the
+                        # marker, so scoring applicability must match —
+                        # and so must the score values themselves
+                        and prior_entry.get("scored") == scored
+                        and (not scored
+                             or prior_entry.get("score_marker")
+                             == score_marker)):
                     # verified marker unchanged since the recorded sweep
                     # under the same codebook + config — verdict current
                     return {
@@ -1016,7 +1034,6 @@ class Datalake:
                 # missing the score column silently falling back to
                 # smallest-id would otherwise be indistinguishable from
                 # a scored sweep in the report
-                scored = bool(score_col) and score_col in df.columns
                 verdict = semantic_dedup(
                     df, id_col=id_col, vec_col=vec_col,
                     threshold=threshold,
@@ -1036,6 +1053,8 @@ class Datalake:
                     "n_dropped": int(counts["n_dropped"]),
                     "scored": scored,
                     **({"marker": marker} if marker is not None else {}),
+                    **({"score_marker": score_marker}
+                       if score_marker is not None else {}),
                 }
             except Exception as exc:  # one bad dataset must not kill it
                 return {"error": f"{type(exc).__name__}: {exc}"[:500]}

@@ -1623,12 +1623,41 @@ def _q_ivfpq_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ivfpq_rerank_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC+R (round 9; Jégou et al. 2011 §III.D via ann.ivf_pq_topk
+    ``rerank_top=``): the SAME OPQ-rotated PQ ranking selects a top-15
+    pool per probe, then the pool re-scores with EXACT cosine over the
+    full vectors (one broadcast-candidate join) and the final top-5
+    comes from the exact scores — the production recall fix,
+    exact-checked end to end."""
+    import numpy as np
+
+    from pydala_spark.operators.ann import ivf_pq_topk
+
+    meta = _pq_opq_meta()
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 10)
+    out = ivf_pq_topk(
+        emb, probes,
+        np.array(_ivf_centroids(), dtype=np.float64),
+        np.array(meta["centroids"], dtype=np.float64),
+        k=5, n_probe_centroids=4, residual=True,
+        anchors=np.array(meta["anchors"], dtype=np.float64),
+        rotation=np.array(meta["rotation"], dtype=np.float64),
+        rerank_top=15,
+    )
+    return out.select(
+        "probe_id", "neighbor_id", "rnk", F.round("sim", 4).alias("sim_r")
+    )
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Four ANN strategies over the same probes, tag-unioned: ``lsh``
+    """Five ANN strategies over the same probes, tag-unioned: ``lsh``
     (random-hyperplane buckets), ``ivf`` (pinned k-means codebook cells),
     ``quant`` (int8-quantized brute force), ``ivfpq`` (IVFADC — cells +
-    PQ codes). Each branch keeps its original exact oracle; the union
-    just stacks them. The round-4 ``recall`` family runs
+    PQ codes), ``rerank`` (round 9: IVFADC+R — the ivfpq pool re-scored
+    with exact cosine). Each branch keeps its original exact oracle; the
+    union just stacks them. The round-4 ``recall`` family runs
     ``similarity.topk_recall`` of the lsh branch against the exact
     brute-force top-k — the recall@k evaluation loop, itself
     exact-checked (counts and one exact division)."""
@@ -1644,6 +1673,7 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ivf", q_ivf_topk(spark, sf_dir)),
         ("quant", q_quantized_cosine(spark, sf_dir)),
         ("ivfpq", _q_ivfpq_branch(spark, sf_dir)),
+        ("rerank", _q_ivfpq_rerank_branch(spark, sf_dir)),
         ("recall", recall),
     ]
     return _tagged_union(
@@ -1773,6 +1803,34 @@ WHERE rnk <= {k}
 """
 
 
+def _ivfpq_rerank_sql(n_probe_cells: int = 4, k: int = 5,
+                      c: int = 15) -> str:
+    """Oracle mirroring ``ivf_pq_topk(rerank_top=c)`` (round 9): the
+    full ivfpq oracle at k=c yields the PQ-ranked POOL (membership
+    only — the rounding inside it never matters), then each pool pair
+    re-scores with exact cosine over the raw embeddings (DuckDB
+    list_dot_product == Spark's zip_with fold, same element order) and
+    the final rank comes from the exact scores, ties on neighbor_id —
+    the operator's exact second window."""
+    pool = _ivfpq_topk_sql(n_probe_cells, c)
+    return f"""
+WITH pool AS (SELECT probe_id, neighbor_id FROM ({pool})),
+eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e0 FROM embeddings),
+ex AS (SELECT pool.probe_id, pool.neighbor_id,
+              list_dot_product(q.e0, x.e0)
+                / (sqrt(list_dot_product(q.e0, q.e0))
+                   * sqrt(list_dot_product(x.e0, x.e0))) AS sim
+       FROM pool
+       JOIN eb q ON q.vec_id = pool.probe_id
+       JOIN eb x ON x.vec_id = pool.neighbor_id)
+SELECT probe_id, neighbor_id, rnk, ROUND(sim, 4) AS sim_r
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                   ORDER BY sim DESC, neighbor_id) AS rnk
+      FROM ex)
+WHERE rnk <= {k}
+"""
+
+
 def _ann_topk_sql() -> str:
     pad = ("CAST(NULL AS BIGINT) AS n_exact, CAST(NULL AS BIGINT) AS n_hit, "
            "CAST(NULL AS DOUBLE) AS recall")
@@ -1797,6 +1855,8 @@ def _ann_topk_sql() -> str:
         + _Q_QUANTIZED_COSINE_SQL + ")\n"
         f"UNION ALL\nSELECT 'ivfpq' AS family, *, {pad} FROM ("
         + _ivfpq_topk_sql(4, 5) + ")\n"
+        f"UNION ALL\nSELECT 'rerank' AS family, *, {pad} FROM ("
+        + _ivfpq_rerank_sql(4, 5, 15) + ")\n"
         "UNION ALL\n" + recall
     )
 

@@ -1071,6 +1071,54 @@ def test_datalake_semantic_dedup_incremental(spark, tmp_path):
     assert fourth["embs"]["n_vectors"] == 10
 
 
+def test_datalake_semantic_dedup_incremental_score_marker(spark, tmp_path):
+    # round 9: the (id, vec) marker is blind to score VALUES — a
+    # re-scored corpus with unchanged vectors must break the skip and
+    # flip the keeper (same rule as neardup_dedup's score marker)
+    import numpy as np
+
+    root = str(tmp_path / "incsclake")
+    lake = Datalake(spark, root)
+    rng = np.random.default_rng(11)
+    v = [float(x) for x in rng.normal(size=6)]
+    rows_v1 = [(0, v, 0.9), (1, [x + 1e-5 for x in v], 0.1),
+               (2, [float(x) for x in rng.normal(size=6) + 8], 0.5)]
+    spark.createDataFrame(
+        rows_v1, "vec_id long, embedding array<double>, q double"
+    ).write.parquet(os.path.join(root, "embs"))
+    lake.add_dataset("embs")
+
+    kw = dict(threshold=0.999, n_centroids=2, score_col="q",
+              incremental=True,
+              signatures_root=str(tmp_path / "incsclake_sigs"))
+    first = lake.semantic_dedup(**kw)
+    assert first["embs"]["scored"] is True
+    assert "score_marker" in first["embs"]
+    rep = spark.read.parquet(first["embs"]["report"])
+    kept1 = {r["id"] for r in rep.collect() if r["kept"]}
+    assert kept1 == {0, 2}  # 0.9 beats 0.1
+
+    second = lake.semantic_dedup(**kw)
+    assert second["embs"]["fresh"].startswith("unchanged")
+
+    # overwrite SCORES only (same ids, same vectors): the vec marker
+    # AND the out-of-place cells sidecar still verify (sidecar stays
+    # "reused") — the score marker ALONE must force the re-sweep, and
+    # the keeper flips
+    rows_v2 = [(i, vec, {0: 0.1, 1: 0.9, 2: 0.5}[i])
+               for i, vec, _ in rows_v1]
+    spark.createDataFrame(
+        rows_v2, "vec_id long, embedding array<double>, q double"
+    ).write.mode("overwrite").parquet(os.path.join(root, "embs"))
+    third = lake.semantic_dedup(**kw)
+    assert "fresh" not in third["embs"]
+    assert third["embs"]["sidecar"] == "reused"  # vectors unchanged
+    assert third["embs"]["marker"] == first["embs"]["marker"]
+    assert third["embs"]["score_marker"] != first["embs"]["score_marker"]
+    rep3 = spark.read.parquet(third["embs"]["report"])
+    assert {r["id"] for r in rep3.collect() if r["kept"]} == {1, 2}
+
+
 def test_datalake_semantic_dedup_sweep(spark, tmp_path):
     # round 8 (late): the embedding-modality lake sweep — cells-sidecar
     # served, lake-pinned codebook, marker-verified; near-dup vectors
