@@ -1039,6 +1039,71 @@ def load_ivfpq_index(spark, path: str):
     return Dataset(spark, path).load(), cents, books, residual, anchors, rotation
 
 
+def append_ivfpq_index(
+    spark,
+    path: str,
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    check_ids: bool = True,
+) -> None:
+    """Incrementally grow a persisted IVFADC index (round 9) — the
+    daily-ingest path: new vectors encode under the index's OWN pinned
+    codebooks (loaded from the sidecars, so a caller can never pass
+    mismatched training state) and append into the cell partitions;
+    nothing existing is re-encoded or rewritten, and a search
+    immediately sees the union. Cost is one encode scan of the NEW rows
+    — at a 100 TB corpus growing 0.1%/day that is 1000× cheaper than
+    the rebuild, and the cell-partitioned layout means the append only
+    touches the cells the new vectors land in.
+
+    ``check_ids=True`` (default) anti-checks the new ids against the
+    index first — ONE narrow id-column scan (parquet reads one column)
+    — and raises on overlap: a duplicate id would surface twice in
+    every search result, which no caller wants silently. Pass False
+    when ingest already guarantees fresh ids (e.g. the rows came
+    through ``streaming_dedup``).
+
+    Codebook drift is the operational caveat, deliberately NOT hidden
+    here: appended vectors are assigned under the ORIGINAL centroids,
+    so a distribution shift degrades cell balance rather than erroring
+    — watch :func:`index_stats`'s ``imbalance`` / ``avg_occupied_cell``
+    in the ingest cron and rebuild (``save_ivfpq_index``, fresh
+    training) when it drifts. That trade (stale codebook vs. rebuild)
+    is the standard IVF production posture; SemDeDup's lake codebook
+    pins work the same way (catalog.py)."""
+    from pydala_spark.dataset.reader import Dataset
+
+    _, cents, books, residual, anchors, rotation = load_ivfpq_index(
+        spark, path
+    )
+    if check_ids:
+        idx_ids = Dataset(spark, path).load()
+        idc = id_col if id_col in idx_ids.columns else "id"
+        dup = (
+            df.select(F.col(id_col).cast("string").alias("__nid"))
+            .join(
+                idx_ids.select(F.col(idc).cast("string").alias("__nid")),
+                "__nid", "left_semi",
+            )
+            .limit(5)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"append_ivfpq_index: id(s) already present in the index "
+                f"at {path}: {sorted(r['__nid'] for r in dup)}"
+                " — duplicate ids would surface twice in every search; "
+                "dedup the batch first or pass check_ids=False only "
+                "when ingest guarantees fresh ids"
+            )
+    save_ivfpq_index(
+        spark, df, path, cents, books,
+        id_col=id_col, vec_col=vec_col, mode="append",
+        residual=residual, anchors=anchors, rotation=rotation,
+    )
+
+
 def search_ivfpq_index(
     spark,
     path: str,

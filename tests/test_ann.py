@@ -796,3 +796,58 @@ def test_ivfpq_rerank_validation_and_index_path(spark, tmp_path):
     )
     assert sorted(map(tuple, via_idx.collect())) \
         == sorted(map(tuple, inline.collect()))
+
+
+def test_append_ivfpq_index_equals_rebuild(spark, tmp_path):
+    # round 9: incremental index growth — new vectors encode under the
+    # index's own pinned codebooks and land in the cell partitions;
+    # search over the appended index == search over a full rebuild of
+    # the combined corpus; duplicate ids refuse loud; sidecars untouched
+    import json
+
+    import numpy as np
+
+    from pydala_spark.operators.ann import (
+        PQ_CODEBOOK_SIDECAR,
+        append_ivfpq_index,
+        kmeans_centroids,
+        save_ivfpq_index,
+        search_ivfpq_index,
+        train_residual_pq,
+    )
+
+    def mk(ids):
+        return spark.createDataFrame(
+            [(i, [float((i % 3) + 1), float(i % 5), 1.0, 0.5])
+             for i in ids],
+            ["vec_id", "embedding"],
+        )
+
+    base = mk(range(100))
+    newer = mk(range(100, 140))
+    cents = kmeans_centroids(base, n_centroids=3, seed=1)
+    anchors, books = train_residual_pq(base, cents, m=2, n_codes=4, seed=1)
+
+    grown = str(tmp_path / "idx_grown")
+    save_ivfpq_index(spark, base, grown, cents, books, anchors=anchors)
+    before = json.loads(open(f"{grown}/{PQ_CODEBOOK_SIDECAR}").read())
+    append_ivfpq_index(spark, grown, newer)
+    after = json.loads(open(f"{grown}/{PQ_CODEBOOK_SIDECAR}").read())
+    assert after == before  # pinned training state survives the append
+
+    rebuilt = str(tmp_path / "idx_rebuilt")
+    save_ivfpq_index(spark, base.unionByName(newer), rebuilt, cents,
+                     books, anchors=anchors)
+    probes = mk(range(3))
+    a = search_ivfpq_index(spark, grown, probes, k=5, n_probe_centroids=3)
+    b = search_ivfpq_index(spark, rebuilt, probes, k=5, n_probe_centroids=3)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    # overlapping ids refuse loud (they would double every search hit)
+    with pytest.raises(ValueError, match="already present"):
+        append_ivfpq_index(spark, grown, mk([139, 200]))
+    # ...unless ingest guarantees freshness
+    append_ivfpq_index(spark, grown, mk([200]), check_ids=False)
+    c = search_ivfpq_index(spark, grown, mk([200]), k=3,
+                           n_probe_centroids=3)
+    assert c.count() == 3
