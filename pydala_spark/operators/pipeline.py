@@ -84,6 +84,9 @@ def prep_documents(
     semantic_centroids=None,
     semantic_score_col: str | None = None,
     precomputed_cells: DataFrame | tuple | None = None,
+    classifier_weights: list | None = None,
+    classifier_bias: float = 0.0,
+    min_classifier_logit: float | None = None,
     stage_frames: dict | None = None,
 ) -> DataFrame:
     """Return the cleaned corpus: quality columns attached, docs linking
@@ -204,10 +207,27 @@ def prep_documents(
     stages are covered by the survivor restriction (an id the sidecar
     misses still fails loud inside the operator).
 
+    ``classifier_weights`` (round 9) ships a TRAINED quality/toxicity
+    filter inside the pipeline — the CCNet/fastText production pattern
+    (:func:`~pydala_spark.operators.textstats.classifier_score`): a
+    list of ``(feature_column, weight)`` pairs (column names resolve
+    against the quality_stats features and any input column; TOML form
+    ``[["stopword_ratio", 2.0], ...]``) plus ``classifier_bias``
+    attaches ``clf_logit``/``clf_prob`` right after the quality
+    features — so ``near_dup_score_col="clf_prob"`` /
+    ``semantic_score_col="clf_prob"`` can keep the classifier-best
+    member of each duplicate group — and ``min_classifier_logit`` gates
+    on the logit beside the q_score gate (the logit, not the sigmoid:
+    thresholds on a monotone transform are the same filter, and the
+    logit is exactly reproducible cross-engine). Scoring is pure column
+    algebra — zero Python, map-side, the weights froze offline
+    (:func:`~pydala_spark.operators.textstats.
+    train_quality_classifier`).
+
     Pass an empty dict as ``stage_frames`` to receive the intermediate
     DataFrame after each enabled stage (keys: input, blocklist,
     paragraph_dedup, lang_filter, span_dedup, repetition, exact_dedup, near_dup,
-    semantic_dedup, decontaminate, quality) — the hook :func:`pipeline_report` uses to count per-stage
+    semantic_dedup, decontaminate, quality, classifier) — the hook :func:`pipeline_report` uses to count per-stage
     survivors without duplicating the stage logic."""
     if paragraph_max_occurrences is not None:
         # the cap only means anything inside the paragraph stage; a
@@ -315,6 +335,12 @@ def prep_documents(
                 "cell assignment) or precomputed_cells= (a materialized "
                 "embedding_cells sidecar)"
             )
+    if min_classifier_logit is not None and not classifier_weights:
+        raise ValueError(
+            "min_classifier_logit requires classifier_weights — without "
+            "a model the threshold would be silently ignored (same rule "
+            "as the other orphaned knobs)"
+        )
 
     def _stage(name: str, frame: DataFrame) -> None:
         if stage_frames is not None:
@@ -432,6 +458,19 @@ def prep_documents(
         _stage("span_dedup", df)
     # 1. quality features (pure column algebra)
     out = quality_stats(df, text_col)
+    if classifier_weights:
+        # attach the trained filter's score EARLY (right after its
+        # feature columns exist) so the dedup stages can keep the
+        # classifier-best member (near_dup_score_col / semantic_score_col
+        # = "clf_prob"); the GATE itself runs with the quality gate at
+        # the end — scoring is map-side column algebra either way
+        from pydala_spark.operators.textstats import classifier_score
+
+        out = classifier_score(
+            out,
+            [(F.col(str(name)), float(w)) for name, w in classifier_weights],
+            bias=classifier_bias,
+        )
     # 1b. Gopher repetition gate (doc-keyed aggregation, only when asked)
     if max_dup_ngram_frac is not None or max_top_ngram_char_frac is not None:
         from pydala_spark.operators.textstats import repetition_stats
@@ -653,6 +692,11 @@ def prep_documents(
     # 5. quality gate
     out = out.where(F.col("q_score") >= min_quality)
     _stage("quality", out)
+    # 5b. trained-classifier gate (logit threshold — exactly
+    # reproducible; the sigmoid is monotone so the filter is identical)
+    if min_classifier_logit is not None:
+        out = out.where(F.col("clf_logit") >= F.lit(float(min_classifier_logit)))
+        _stage("classifier", out)
     # 6. training-shard packing over the surviving docs
     if shard_tokens is not None:
         from pydala_spark.operators.packing import pack_shards

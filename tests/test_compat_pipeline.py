@@ -520,3 +520,65 @@ def test_prep_documents_semantic_cells_sidecar(spark, tmp_path):
         precomputed_cells=(cells, params), strip_markup=True,
     )
     assert {r["doc_id"] for r in washed.collect()} == {1, 3}
+
+
+def test_prep_documents_classifier_gate(spark):
+    # round 9: a TRAINED quality filter ships inside the pipeline —
+    # pinned weights over the quality_stats features, logit-gated, and
+    # usable as the dedup score (keep the classifier-best duplicate)
+    from pydala_spark.operators.textstats import classifier_score, quality_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"),
+            (3, "a well formed sentence with many common stop words in it"),
+        ],
+        ["doc_id", "text"],
+    )
+    weights = [["q_stop_ratio", 4.0], ["q_punct_ratio", -6.0]]
+    stages: dict = {}
+    out = prep_documents(
+        df, min_quality=0, near_dup=False,
+        classifier_weights=weights, classifier_bias=-0.5,
+        min_classifier_logit=0.0, stage_frames=stages,
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert "classifier" in stages
+    assert "clf_logit" in out.columns and "clf_prob" in out.columns
+    assert 2 not in rows          # punctuation junk gated out
+    assert {1, 3} <= set(rows)    # wordy docs pass
+    # the stage IS classifier_score with the same fold order
+    expect = classifier_score(
+        quality_stats(df, "text"),
+        [(F.col(n), w) for n, w in weights], bias=-0.5,
+    )
+    exp = {r["doc_id"]: r["clf_logit"] for r in expect.collect()}
+    assert all(rows[i]["clf_logit"] == exp[i] for i in rows)
+
+    # weights without a threshold: score attached, nothing gated
+    scored_only = prep_documents(
+        df, min_quality=0, near_dup=False, classifier_weights=weights,
+    )
+    assert scored_only.count() == 3
+    assert "clf_prob" in scored_only.columns
+
+    # orphaned threshold refuses loud
+    with pytest.raises(ValueError, match="min_classifier_logit requires"):
+        prep_documents(df, min_classifier_logit=0.0)
+
+    # classifier prob drives near-dup keeper choice: two near-identical
+    # docs, the higher-classifier one survives
+    dup = spark.createDataFrame(
+        [
+            (10, "shared template words one two three four five six !!!!!!!!"),
+            (11, "shared template words one two three four five six seven"),
+        ],
+        ["doc_id", "text"],
+    )
+    best = prep_documents(
+        dup, min_quality=0, near_dup=True, n_hashes=8, n_bands=8,
+        classifier_weights=[["q_punct_ratio", -10.0]],
+        near_dup_score_col="clf_prob",
+    )
+    assert {r["doc_id"] for r in best.collect()} == {11}
