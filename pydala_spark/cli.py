@@ -475,6 +475,45 @@ def _cmd_neardup_dedup(args) -> int:
     ) else (3 if dropped and args.fail_on_dups else 0)
 
 
+def _cmd_ann(args) -> int:
+    """ANN index maintenance (round 9) — the two jobs a nightly
+    embedding-index cron runs: ``ann append`` grows a persisted IVFADC
+    index with new vectors (``--if-exists skip`` is the idempotent form
+    — point it at the full, growing embeddings dataset every night and
+    exactly the unseen rows index; codebooks stay pinned), and
+    ``ann stats`` prints the index health report, exiting 3 with
+    ``--fail-imbalance X`` when the hot-cell ratio drifts past X (the
+    "rebuild the codebook" alert — see operators/ann.py
+    append_ivfpq_index on drift)."""
+    import json
+
+    from pydala_spark.operators.ann import append_ivfpq_index, index_stats
+
+    if not args.index:
+        print("ann: --index is required", file=sys.stderr)
+        return 2
+    spark = _session(args)
+    if args.action == "append":
+        if not args.source:
+            print("ann append: --source is required", file=sys.stderr)
+            return 2
+        df = spark.read.format(args.source_format).load(args.source)
+        n = append_ivfpq_index(
+            spark, args.index, df,
+            id_col=args.id_col, vec_col=args.vec_col,
+            check_ids=not args.no_check_ids,
+            if_exists=args.if_exists,
+        )
+        print(json.dumps({"appended": n}))
+        return 0
+    stats = index_stats(spark, args.index)
+    print(json.dumps(stats, indent=2, sort_keys=True, default=str))
+    if args.fail_imbalance is not None \
+            and stats["imbalance"] > args.fail_imbalance:
+        return 3
+    return 0
+
+
 def _cmd_signatures(args) -> int:
     """Sidecar-freshness dashboard (catalog.Datalake.signatures_report)
     — which datasets the next sweep serves from sidecars and which pay
@@ -840,6 +879,33 @@ def build_parser() -> argparse.ArgumentParser:
     cr.add_argument("--root", default=None,
                     help="lake root (overrides the config key)")
     cr.set_defaults(func=_cmd_cron)
+
+    an = sub.add_parser("ann", help="ANN index maintenance: append new "
+                        "vectors to a persisted IVFADC index under its "
+                        "pinned codebooks, or print/alert on its health "
+                        "report")
+    an.add_argument("action", choices=("append", "stats"))
+    an.add_argument("--index", default=None, help="persisted index path "
+                    "(save_ivfpq_index output)")
+    an.add_argument("--source", default=None,
+                    help="dataset with new (id, vector) rows")
+    an.add_argument("--source-format", dest="source_format",
+                    default="parquet")
+    an.add_argument("--id-col", dest="id_col", default="vec_id")
+    an.add_argument("--vec-col", dest="vec_col", default="embedding")
+    an.add_argument("--if-exists", dest="if_exists", default="raise",
+                    choices=("raise", "skip"),
+                    help="'skip' = idempotent cron form: only unseen "
+                    "ids append")
+    an.add_argument("--no-check-ids", dest="no_check_ids",
+                    action="store_true",
+                    help="trust ingest to deliver fresh ids (skips the "
+                    "narrow id overlap check)")
+    an.add_argument("--fail-imbalance", dest="fail_imbalance",
+                    type=float, default=None,
+                    help="stats: exit 3 when max_cell/avg_cell exceeds "
+                    "this (codebook drift alert)")
+    an.set_defaults(func=_cmd_ann)
 
     sg = sub.add_parser("signatures", help="sidecar-freshness dashboard "
                         "— which datasets the next sweep serves from "

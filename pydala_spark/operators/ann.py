@@ -1046,7 +1046,8 @@ def append_ivfpq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     check_ids: bool = True,
-) -> None:
+    if_exists: str = "raise",
+) -> int:
     """Incrementally grow a persisted IVFADC index (round 9) — the
     daily-ingest path: new vectors encode under the index's OWN pinned
     codebooks (loaded from the sidecars, so a caller can never pass
@@ -1058,11 +1059,18 @@ def append_ivfpq_index(
     touches the cells the new vectors land in.
 
     ``check_ids=True`` (default) anti-checks the new ids against the
-    index first — ONE narrow id-column scan (parquet reads one column)
-    — and raises on overlap: a duplicate id would surface twice in
-    every search result, which no caller wants silently. Pass False
-    when ingest already guarantees fresh ids (e.g. the rows came
-    through ``streaming_dedup``).
+    index first — ONE narrow id-column scan (parquet reads one column).
+    ``if_exists`` picks what an overlap means: ``"raise"`` (default —
+    a duplicate id would surface twice in every search result, which
+    no caller wants silently) or ``"skip"`` (anti-join the batch down
+    to UNSEEN ids first — the idempotent nightly-cron form: pointing
+    the append at the full, growing embeddings dataset every night
+    indexes exactly the new rows, re-runs included). Pass
+    ``check_ids=False`` when ingest already guarantees fresh ids (e.g.
+    the rows came through ``streaming_dedup``). Returns the number of
+    rows appended (0 is a normal "nothing new" cron outcome —
+    ``save_ivfpq_index`` is skipped entirely so the sidecars are not
+    rewritten for nothing).
 
     Codebook drift is the operational caveat, deliberately NOT hidden
     here: appended vectors are assigned under the ORIGINAL centroids,
@@ -1074,34 +1082,49 @@ def append_ivfpq_index(
     pins work the same way (catalog.py)."""
     from pydala_spark.dataset.reader import Dataset
 
+    if if_exists not in ("raise", "skip"):
+        raise ValueError(
+            f"append_ivfpq_index: if_exists={if_exists!r} "
+            "(expected 'raise' or 'skip')"
+        )
     _, cents, books, residual, anchors, rotation = load_ivfpq_index(
         spark, path
     )
     if check_ids:
         idx_ids = Dataset(spark, path).load()
         idc = id_col if id_col in idx_ids.columns else "id"
-        dup = (
-            df.select(F.col(id_col).cast("string").alias("__nid"))
-            .join(
-                idx_ids.select(F.col(idc).cast("string").alias("__nid")),
-                "__nid", "left_semi",
-            )
-            .limit(5)
-            .collect()
-        )
-        if dup:
-            raise ValueError(
-                f"append_ivfpq_index: id(s) already present in the index "
-                f"at {path}: {sorted(r['__nid'] for r in dup)}"
-                " — duplicate ids would surface twice in every search; "
-                "dedup the batch first or pass check_ids=False only "
-                "when ingest guarantees fresh ids"
-            )
+        old = idx_ids.select(F.col(idc).cast("string").alias("__nid"))
+        keyed = df.withColumn("__nid", F.col(id_col).cast("string"))
+        if if_exists == "skip":
+            df = keyed.join(old, "__nid", "left_anti").drop("__nid")
+            # the anti-join must decide BEFORE the encode job appends —
+            # and an all-duplicates batch must not rewrite the sidecars
+            df = df.localCheckpoint(eager=True)
+            n_new = df.count()
+            if n_new == 0:
+                return 0
+        else:
+            dup = keyed.join(old, "__nid", "left_semi").limit(5).collect()
+            if dup:
+                raise ValueError(
+                    f"append_ivfpq_index: id(s) already present in the "
+                    f"index at {path}: "
+                    f"{sorted(str(r['__nid']) for r in dup)}"
+                    " — duplicate ids would surface twice in every "
+                    "search; dedup the batch first, pass "
+                    "if_exists='skip' for the idempotent cron form, or "
+                    "check_ids=False only when ingest guarantees fresh "
+                    "ids"
+                )
+            n_new = None
+    else:
+        n_new = None
     save_ivfpq_index(
         spark, df, path, cents, books,
         id_col=id_col, vec_col=vec_col, mode="append",
         residual=residual, anchors=anchors, rotation=rotation,
     )
+    return int(n_new) if n_new is not None else int(df.count())
 
 
 def search_ivfpq_index(

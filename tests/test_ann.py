@@ -846,8 +846,16 @@ def test_append_ivfpq_index_equals_rebuild(spark, tmp_path):
     # overlapping ids refuse loud (they would double every search hit)
     with pytest.raises(ValueError, match="already present"):
         append_ivfpq_index(spark, grown, mk([139, 200]))
-    # ...unless ingest guarantees freshness
-    append_ivfpq_index(spark, grown, mk([200]), check_ids=False)
+    # if_exists="skip" is the idempotent cron form: only unseen ids
+    # land, an all-duplicates batch appends nothing, and re-pointing
+    # the job at the full corpus every night is safe
+    assert append_ivfpq_index(spark, grown, mk([139, 200]),
+                              if_exists="skip") == 1
+    assert append_ivfpq_index(spark, grown, mk([139, 200]),
+                              if_exists="skip") == 0
     c = search_ivfpq_index(spark, grown, mk([200]), k=3,
                            n_probe_centroids=3)
     assert c.count() == 3
+    # ...and check_ids=False trusts ingest outright
+    assert append_ivfpq_index(spark, grown, mk([300]),
+                              check_ids=False) == 1

@@ -190,3 +190,52 @@ def test_cli_profile_corpus_summary(spark, tmp_path, capsys):
     assert out["n_docs"] == 10 and out["n_empty"] == 1
     assert out["total_tokens"] == 9 * 5 + 1
     assert main(["profile"]) == 2  # missing source
+
+
+def test_cli_ann_append_and_stats(spark, tmp_path, capsys):
+    # round 9: the nightly embedding-index cron through the argparse
+    # surface — idempotent --if-exists skip append + drift alerting
+    import json
+
+    from pydala_spark.operators.ann import (
+        kmeans_centroids,
+        save_ivfpq_index,
+        train_residual_pq,
+    )
+
+    def mk(ids):
+        return spark.createDataFrame(
+            [(i, [float((i % 3) + 1), float(i % 5), 1.0, 0.5])
+             for i in ids],
+            ["vec_id", "embedding"],
+        )
+
+    base = mk(range(60))
+    cents = kmeans_centroids(base, n_centroids=3, seed=1)
+    anchors, books = train_residual_pq(base, cents, m=2, n_codes=4, seed=1)
+    idx = str(tmp_path / "cli_idx")
+    save_ivfpq_index(spark, base, idx, cents, books, anchors=anchors)
+    src = str(tmp_path / "new_vecs")
+    mk(range(40, 80)).write.parquet(src)  # 20 overlap, 20 new
+
+    assert main(["ann", "append", "--index", idx, "--source", src,
+                 "--if-exists", "skip"]) == 0
+    assert json.loads(capsys.readouterr().out)["appended"] == 20
+    # re-run: idempotent, nothing new
+    assert main(["ann", "append", "--index", idx, "--source", src,
+                 "--if-exists", "skip"]) == 0
+    assert json.loads(capsys.readouterr().out)["appended"] == 0
+    # default raise mode trips loud on the overlap
+    with pytest.raises(ValueError, match="already present"):
+        main(["ann", "append", "--index", idx, "--source", src])
+    capsys.readouterr()
+    # stats: healthy report; absurd threshold alerts with exit 3
+    assert main(["ann", "stats", "--index", idx]) == 0
+    stats = json.loads(capsys.readouterr().out)
+    assert stats["n_vectors"] == 80 and stats["n_cells"] == 3
+    assert main(["ann", "stats", "--index", idx,
+                 "--fail-imbalance", "0.5"]) == 3
+    capsys.readouterr()
+    # missing args fail with usage, not a traceback
+    assert main(["ann", "append", "--index", idx]) == 2
+    assert main(["ann", "stats"]) == 2
