@@ -484,10 +484,17 @@ def _cmd_ann(args) -> int:
     ``ann stats`` prints the index health report, exiting 3 with
     ``--fail-imbalance X`` when the hot-cell ratio drifts past X (the
     "rebuild the codebook" alert — see operators/ann.py
-    append_ivfpq_index on drift)."""
+    append_ivfpq_index on drift); ``ann eval`` measures recall@k
+    against exact brute force on a deterministic probe panel — the
+    number imbalance only proxies — exiting 3 with ``--fail-recall R``
+    when it drops below R."""
     import json
 
-    from pydala_spark.operators.ann import append_ivfpq_index, index_stats
+    from pydala_spark.operators.ann import (
+        append_ivfpq_index,
+        index_recall,
+        index_stats,
+    )
 
     if not args.index:
         print("ann: --index is required", file=sys.stderr)
@@ -505,6 +512,24 @@ def _cmd_ann(args) -> int:
             if_exists=args.if_exists,
         )
         print(json.dumps({"appended": n}))
+        return 0
+    if args.action == "eval":
+        if not args.source:
+            print("ann eval: --source is required (the vector dataset "
+                  "the exact side scans)", file=sys.stderr)
+            return 2
+        df = spark.read.format(args.source_format).load(args.source)
+        rep = index_recall(
+            spark, args.index, df,
+            id_col=args.id_col, vec_col=args.vec_col,
+            k=args.k, n_probe_centroids=args.n_probe_centroids,
+            n_probes=args.n_probes, rerank_top=args.rerank_top,
+        )
+        print(json.dumps(rep, indent=2, sort_keys=True))
+        if args.fail_recall is not None and (
+                rep["recall_at_k"] is None
+                or rep["recall_at_k"] < args.fail_recall):
+            return 3
         return 0
     stats = index_stats(spark, args.index)
     print(json.dumps(stats, indent=2, sort_keys=True, default=str))
@@ -884,7 +909,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "vectors to a persisted IVFADC index under its "
                         "pinned codebooks, or print/alert on its health "
                         "report")
-    an.add_argument("action", choices=("append", "stats"))
+    an.add_argument("action", choices=("append", "stats", "eval"))
     an.add_argument("--index", default=None, help="persisted index path "
                     "(save_ivfpq_index output)")
     an.add_argument("--source", default=None,
@@ -905,6 +930,20 @@ def build_parser() -> argparse.ArgumentParser:
                     type=float, default=None,
                     help="stats: exit 3 when max_cell/avg_cell exceeds "
                     "this (codebook drift alert)")
+    an.add_argument("--k", type=int, default=10,
+                    help="eval: recall@k depth")
+    an.add_argument("--n-probes", dest="n_probes", type=int, default=50,
+                    help="eval: deterministic probe panel size")
+    an.add_argument("--n-probe-centroids", dest="n_probe_centroids",
+                    type=int, default=2,
+                    help="eval: cells probed per query")
+    an.add_argument("--rerank-top", dest="rerank_top", type=int,
+                    default=None,
+                    help="eval: measure the IVFADC+R configuration "
+                    "(exact re-rank of the top-C PQ pool)")
+    an.add_argument("--fail-recall", dest="fail_recall", type=float,
+                    default=None,
+                    help="eval: exit 3 when recall@k drops below this")
     an.set_defaults(func=_cmd_ann)
 
     sg = sub.add_parser("signatures", help="sidecar-freshness dashboard "

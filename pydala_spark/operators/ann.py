@@ -1127,6 +1127,70 @@ def append_ivfpq_index(
     return int(n_new) if n_new is not None else int(df.count())
 
 
+def index_recall(
+    spark,
+    path: str,
+    source: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe_centroids: int = 2,
+    n_probes: int = 50,
+    salt: str = "index_recall",
+    rerank_top: int | None = None,
+) -> dict:
+    """Measured recall@k of a persisted IVFADC index against exact
+    brute-force cosine on a deterministic probe sample (round 9) — the
+    ops check that actually answers "is the index still good?": cell
+    imbalance (:func:`index_stats`) is a cheap PROXY for codebook
+    drift, but the number a retrieval product cares about is recall,
+    and after enough distribution shift an index can stay balanced
+    while recall rots. Run this weekly (or after large appends) beside
+    the nightly ``ann stats``.
+
+    Probes are a hash-sampled, smallest-id-first slice of ``source``
+    (deterministic across runs — week-over-week recall numbers compare
+    a fixed probe set, not sampling noise; change ``salt`` to rotate
+    the panel). Honest cost: ONE scan of the source's (id, vec)
+    projection against the broadcast probe set for the exact
+    brute-force side — bounded ``n_probes`` keeps the per-row work
+    constant — plus one index search (cell-pruned; ``rerank_top``
+    evaluates the IVFADC+R configuration end-to-end). Returns
+    ``{"recall_at_k", "k", "n_probes", "n_probe_centroids",
+    "rerank_top"}``."""
+    from pydala_spark.operators.sampling import hash_sample
+    from pydala_spark.operators.similarity import cosine_topk, topk_recall
+
+    n_src = source.count()
+    frac = min(1.0, (4.0 * n_probes) / max(n_src, 1))
+    probes = (
+        hash_sample(source, id_col, frac, salt=salt)
+        .orderBy(F.col(id_col).asc())
+        .limit(n_probes)
+        # the probe panel feeds BOTH sides; without the cut the hash
+        # sample + sort re-executes per consumer and a tie at the limit
+        # boundary could even differ between them
+        .localCheckpoint(eager=True)
+    )
+    exact = cosine_topk(source, probes, id_col=id_col, vec_col=vec_col, k=k)
+    appx = search_ivfpq_index(
+        spark, path, probes, id_col=id_col, vec_col=vec_col, k=k,
+        n_probe_centroids=n_probe_centroids,
+        rerank_top=rerank_top,
+        rerank_source=source if rerank_top is not None else None,
+    )
+    row = topk_recall(appx, exact).agg(
+        F.avg("recall").alias("r"), F.count("*").alias("n")
+    ).collect()[0]
+    return {
+        "recall_at_k": float(row["r"]) if row["r"] is not None else None,
+        "k": k,
+        "n_probes": int(row["n"]),
+        "n_probe_centroids": n_probe_centroids,
+        "rerank_top": rerank_top,
+    }
+
+
 def search_ivfpq_index(
     spark,
     path: str,

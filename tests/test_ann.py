@@ -859,3 +859,74 @@ def test_append_ivfpq_index_equals_rebuild(spark, tmp_path):
     # ...and check_ids=False trusts ingest outright
     assert append_ivfpq_index(spark, grown, mk([300]),
                               check_ids=False) == 1
+
+
+def test_ivfpq_rerank_full_pool_equals_exact_fuzz(spark):
+    # seeded fuzz over dims/sizes/codebook shapes: whenever the rerank
+    # pool covers every candidate (all cells probed, C = corpus size),
+    # IVFADC+R degenerates to brute-force cosine EXACTLY — same rows,
+    # same ranks, same doubles — regardless of how bad the PQ ranking
+    # underneath is. Pins the pool-selection/exact-rescore plumbing
+    # across geometries, not just the one testdata shape.
+    import numpy as np
+
+    from pydala_spark.operators.ann import (
+        ivf_pq_topk,
+        kmeans_centroids,
+        train_residual_pq,
+    )
+    from pydala_spark.operators.similarity import cosine_topk
+
+    for seed, n, dim, m in ((0, 40, 4, 2), (1, 60, 8, 4), (2, 30, 6, 3)):
+        rng = np.random.default_rng(seed)
+        rows = [(i, [float(x) for x in rng.normal(size=dim)])
+                for i in range(n)]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        cents = kmeans_centroids(df, n_centroids=3, seed=seed)
+        anchors, books = train_residual_pq(df, cents, m=m, n_codes=4,
+                                           seed=seed)
+        probes = df.where(F.col("vec_id") < 4)
+        exact = cosine_topk(df, probes, id_col="vec_id",
+                            vec_col="embedding", k=7)
+        rr = ivf_pq_topk(
+            df, probes, cents, books, k=7, n_probe_centroids=3,
+            residual=True, anchors=anchors, rerank_top=n,
+        )
+        assert sorted(map(tuple, rr.collect())) \
+            == sorted(map(tuple, exact.collect())), f"seed={seed}"
+
+
+def test_index_recall_harness(spark, tmp_path):
+    # round 9: the "is my index still good" ops check — deterministic
+    # probe panel, exact brute-force reference; the IVFADC+R config
+    # with a full pool must read recall 1.0 (it IS brute force), and
+    # repeated runs measure the SAME panel (week-over-week comparable)
+    import numpy as np
+
+    from pydala_spark.operators.ann import (
+        index_recall,
+        kmeans_centroids,
+        save_ivfpq_index,
+        train_residual_pq,
+    )
+
+    rng = np.random.default_rng(4)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=6)]) for i in range(80)],
+        ["vec_id", "embedding"],
+    )
+    cents = kmeans_centroids(df, n_centroids=3, seed=1)
+    anchors, books = train_residual_pq(df, cents, m=2, n_codes=4, seed=1)
+    idx = str(tmp_path / "recall_idx")
+    save_ivfpq_index(spark, df, idx, cents, books, anchors=anchors)
+
+    a = index_recall(spark, idx, df, k=5, n_probe_centroids=2,
+                     n_probes=10)
+    assert 0.0 <= a["recall_at_k"] <= 1.0 and a["n_probes"] == 10
+    b = index_recall(spark, idx, df, k=5, n_probe_centroids=2,
+                     n_probes=10)
+    assert b == a  # fixed panel, fixed math — no sampling noise
+    full = index_recall(spark, idx, df, k=5, n_probe_centroids=3,
+                        n_probes=10, rerank_top=80)
+    assert full["recall_at_k"] == 1.0  # full pool == brute force
+    assert full["recall_at_k"] >= a["recall_at_k"]

@@ -236,6 +236,18 @@ def test_cli_ann_append_and_stats(spark, tmp_path, capsys):
     assert main(["ann", "stats", "--index", idx,
                  "--fail-imbalance", "0.5"]) == 3
     capsys.readouterr()
+    # eval: recall report + alerting threshold (an impossible bar
+    # trips exit 3; the panel is deterministic so this can't flake)
+    assert main(["ann", "eval", "--index", idx, "--source", src,
+                 "--k", "3", "--n-probes", "5",
+                 "--n-probe-centroids", "3"]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert 0.0 <= rep["recall_at_k"] <= 1.0 and rep["n_probes"] == 5
+    assert main(["ann", "eval", "--index", idx, "--source", src,
+                 "--k", "3", "--n-probes", "5",
+                 "--fail-recall", "1.01"]) == 3
+    capsys.readouterr()
     # missing args fail with usage, not a traceback
     assert main(["ann", "append", "--index", idx]) == 2
     assert main(["ann", "stats"]) == 2
+    assert main(["ann", "eval", "--index", idx]) == 2

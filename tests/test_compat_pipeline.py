@@ -521,6 +521,15 @@ def test_prep_documents_semantic_cells_sidecar(spark, tmp_path):
     )
     assert {r["doc_id"] for r in washed.collect()} == {1, 3}
 
+    # span_dedup composes too (the TEXT sidecars refuse this pairing;
+    # cells must not — embeddings are untouched by span surgery)
+    spanned = prep_documents(
+        df, min_quality=0, near_dup=False, semantic_dedup=True,
+        vec_col="embedding", semantic_threshold=0.999,
+        precomputed_cells=(cells, params), span_dedup=True,
+    )
+    assert {r["doc_id"] for r in spanned.collect()} == {1, 3}
+
 
 def test_prep_documents_classifier_gate(spark):
     # round 9: a TRAINED quality filter ships inside the pipeline —
