@@ -1353,6 +1353,168 @@ class Datalake:
             results[name] = entry
         return results
 
+    def prep_sweep(
+        self,
+        dest_root: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        benchmark: DataFrame | None = None,
+        dest_format: str = "parquet",
+        mode: str = "overwrite",
+        report_dir: str | None = None,
+        incremental: bool = False,
+        max_concurrency: int = 4,
+        **prep_kwargs,
+    ) -> dict[str, dict]:
+        """Lake-wide corpus-prep sweep (round 9) — run ONE cleaning
+        config (:func:`~pydala_spark.operators.pipeline.prep_documents`:
+        blocklist → lang filter → span/exact/near/semantic dedup →
+        decontamination → quality/classifier gates → packing) over
+        every text dataset in the lake and write each cleaned corpus to
+        ``<dest_root>/<dataset>``. The last production workflow that
+        wasn't lake-orchestrated: maintain compacts, the sweeps audit,
+        this one actually produces the training-ready copies, nightly,
+        from one ``[prep_sweep]`` cron section.
+
+        ``prep_kwargs`` are prep_documents knobs, validated against its
+        signature UP FRONT (a typo'd knob fails the sweep before any
+        dataset pays a job, not as 500 identical per-dataset errors);
+        the sidecar-frame parameters are excluded — per-dataset sidecar
+        consumption belongs to the single-corpus CLI where the frames
+        can be read for THAT corpus. ``benchmark`` decontaminates every
+        dataset against the same eval set. Datasets without
+        ``(id_col, text_col)`` are skipped with a reason, one broken
+        dataset records an error instead of killing the sweep, and
+        ``max_concurrency`` pools the independent per-dataset jobs (the
+        :meth:`decontaminate` knob). Per-dataset entries record
+        ``n_in`` / ``n_out`` / ``dest``; a ``_summary.json`` (with the
+        echoed config) lands under ``report_dir`` (default
+        ``<root>/_prep``). Outputs land OUTSIDE the lake root by
+        convention — pointing ``dest_root`` inside it would register
+        cleaned copies as new sweep inputs on the next discovery.
+
+        ``incremental=True``: re-cleaning an unchanged corpus is the
+        dominant nightly waste (the full pipeline re-runs per dataset),
+        so each entry records the corpus content marker (rows + xor of
+        ``xxhash64(id, octet_length(text))`` — ONE narrow aggregate)
+        and a dataset whose marker matches the previous summary — under
+        the same config and the same benchmark marker — keeps its
+        previously-written cleaned copy and skips the pipeline (entry
+        carries ``"fresh"``). Per-dataset skip is sound here for the
+        :meth:`decontaminate` reason: every verdict is local to its
+        dataset. Caveat shared with the sidecar markers: the marker
+        sees (id, text length), so same-length in-place edits — and
+        changes to NON-text columns a custom config might read — are
+        invisible; run a periodic full sweep if those apply."""
+        import inspect
+        import json as _json
+
+        from pydala_spark.operators.pipeline import prep_documents
+
+        allowed = set(inspect.signature(prep_documents).parameters) - {
+            "df", "benchmark", "stage_frames", "id_col", "text_col",
+            "precomputed_minhash", "precomputed_fps", "precomputed_spans",
+            "precomputed_cells",
+        }
+        bad = sorted(set(prep_kwargs) - allowed)
+        if bad:
+            raise ValueError(
+                f"prep_sweep: unknown prep_documents knob(s) {bad} — "
+                f"valid: {sorted(allowed)}"
+            )
+        dest_base = strip_scheme(dest_root).rstrip("/")
+        rep_base = (
+            strip_scheme(report_dir).rstrip("/") if report_dir
+            else posixpath.join(self.root, "_prep")
+        )
+        config = {
+            "dest_root": dest_base, "id_col": id_col,
+            "text_col": text_col, "dest_format": dest_format,
+            "mode": mode, "benchmark": benchmark is not None,
+            **{k: v for k, v in sorted(prep_kwargs.items())},
+        }
+        bench_marker = (
+            _frame_marker(benchmark, id_col, F.octet_length(text_col))
+            if (incremental and benchmark is not None) else None
+        )
+        prior = None
+        if incremental:
+            try:
+                prior = _json.loads(self._po.read_text(
+                    posixpath.join(rep_base, "_summary.json")))
+            except Exception:
+                prior = None
+            if prior is not None and (
+                    _json.loads(_json.dumps(prior.get("_config"),
+                                            default=str))
+                    != _json.loads(_json.dumps(config, default=str))
+                    or prior.get("_benchmark") != bench_marker):
+                # cleaning config or benchmark moved — yesterday's
+                # copies answered a different question
+                prior = None
+
+        def _prep_one(name: str, base: str) -> dict:
+            current = posixpath.join(base, "current")
+            data_path = current if self._po.is_dir(current) else base
+            fmt = self._dataset_format(base)
+            try:
+                ds = Dataset(self.spark, data_path, name=name, format=fmt)
+                if not ds._dataset_has_files():
+                    return {"skipped": "no data files"}
+                df = ds.load()
+                if id_col not in df.columns or text_col not in df.columns:
+                    return {"skipped": f"no ({id_col}, {text_col}) columns"}
+                marker = None
+                if incremental:
+                    marker = _frame_marker(
+                        df, id_col, F.octet_length(text_col))
+                    pe = (prior or {}).get(name)
+                    if (isinstance(pe, dict)
+                            and pe.get("marker") == marker
+                            and "n_out" in pe):
+                        # corpus unchanged since the recorded sweep,
+                        # same config + benchmark — yesterday's cleaned
+                        # copy IS today's answer
+                        return {**pe, "fresh": "unchanged since last "
+                                "sweep — cleaned copy kept"}
+                out = prep_documents(
+                    df, id_col=id_col, text_col=text_col,
+                    benchmark=benchmark, **prep_kwargs,
+                )
+                dest = posixpath.join(dest_base, name)
+                out.write.format(dest_format).mode(mode).save(dest)
+                # count the WRITTEN output — re-counting the lazy plan
+                # would re-run the whole pipeline a second time
+                n_out = self.spark.read.format(dest_format).load(dest).count()
+                entry = {"dest": dest, "n_in": df.count(),
+                         "n_out": int(n_out)}
+                if marker is not None:
+                    entry["marker"] = marker
+                return entry
+            except Exception as exc:  # one bad dataset must not kill it
+                return {"error": f"{type(exc).__name__}: {exc}"[:500]}
+
+        items = list(self.discover().items())
+        results: dict[str, dict] = {}
+        if max_concurrency > 1 and len(items) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
+                entries = list(pool.map(lambda nb: _prep_one(*nb), items))
+            results.update(
+                (name, entry)
+                for (name, _), entry in zip(items, entries))
+        else:
+            for name, base in items:
+                results[name] = _prep_one(name, base)
+        results["_config"] = config
+        results["_benchmark"] = bench_marker
+        self._po.write_text(
+            posixpath.join(rep_base, "_summary.json"),
+            _json.dumps(results, indent=2, sort_keys=True, default=str),
+        )
+        return results
+
     def neardup_dedup(
         self,
         id_col: str = "doc_id",

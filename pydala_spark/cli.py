@@ -577,8 +577,8 @@ def _cmd_signatures(args) -> int:
 #: signatures_report runs LAST: after the sweeps have re-materialized
 #: whatever was stale, it is the post-sweep invariant check — with
 #: fail_on_stale the cron exits 3 when anything STILL fails to verify
-_CRON_SECTIONS = ("maintain", "decontaminate", "semantic_dedup",
-                  "neardup_dedup", "span_dedup_report",
+_CRON_SECTIONS = ("maintain", "prep_sweep", "decontaminate",
+                  "semantic_dedup", "neardup_dedup", "span_dedup_report",
                   "signatures_report")
 
 
@@ -638,6 +638,12 @@ def _cmd_cron(args) -> int:
                        or opts.pop("fail_on_dups", False))
         method = getattr(lake, section)
         valid = set(inspect.signature(method).parameters) - {"benchmarks"}
+        if section == "prep_sweep":
+            # the section's knobs pass through **prep_kwargs; surface
+            # prep_documents' own signature so a typo'd cleaning knob
+            # still fails the config check, not 500 per-dataset errors
+            valid -= {"prep_kwargs"}
+            valid |= _pipeline_prep_keys()
         bad = sorted(set(opts) - valid
                      - {"benchmark", "benchmark_format", "fail_on_stale"})
         if bad:
@@ -645,6 +651,16 @@ def _cmd_cron(args) -> int:
                   f"{sorted(valid)}", file=sys.stderr)
             return 2
         call_args = []
+        if section == "prep_sweep":
+            if not opts.get("dest_root"):
+                print("cron: [prep_sweep] needs dest_root = "
+                      "\"<cleaned-copies root, OUTSIDE the lake root>\"",
+                      file=sys.stderr)
+                return 2
+            bpath = opts.pop("benchmark", None)
+            fmt = opts.pop("benchmark_format", None) or "parquet"
+            if bpath:
+                opts["benchmark"] = spark.read.format(fmt).load(bpath)
         if section == "decontaminate":
             specs = opts.pop("benchmark", None) or []
             if not specs:

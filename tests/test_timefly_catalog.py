@@ -1425,11 +1425,18 @@ def test_cli_cron_config_runs_all_sweeps(spark, tmp_path, capsys):
         .write.parquet(bench_path)
 
     cfg = tmp_path / "cron.toml"
+    prep_dest = str(tmp_path / "cron_prep_out")
     cfg.write_text(f"""
 root = "{root}"
 
 [maintain]
 target_file_mb = 64
+
+[prep_sweep]
+dest_root = "{prep_dest}"
+benchmark = "{bench_path}"
+min_quality = 0
+near_dup = false
 
 [decontaminate]
 benchmark = ["eval={bench_path}"]
@@ -1449,11 +1456,18 @@ min_df = 2
     rc = main(["--master", "local[4]", "cron", str(cfg)])
     out = json.loads(capsys.readouterr().out)
     assert rc == 0
-    assert set(out) == {"maintain", "decontaminate", "semantic_dedup",
-                        "neardup_dedup", "span_dedup_report"}
+    assert set(out) == {"maintain", "prep_sweep", "decontaminate",
+                        "semantic_dedup", "neardup_dedup",
+                        "span_dedup_report"}
     assert out["span_dedup_report"]["docs"]["sidecar"] == "materialized"
     assert out["span_dedup_report"]["embs"]["skipped"].startswith("no (")
     assert "files_after" in out["maintain"]["docs"]
+    # prep_sweep wrote the cleaned copy: the leaked doc is gone
+    assert out["prep_sweep"]["docs"]["n_in"] == 2
+    assert out["prep_sweep"]["docs"]["n_out"] == 1
+    assert out["prep_sweep"]["embs"]["skipped"].startswith("no (")
+    cleaned = spark.read.parquet(out["prep_sweep"]["docs"]["dest"])
+    assert [r["doc_id"] for r in cleaned.collect()] == [2]
     assert out["decontaminate"]["docs"]["contaminated"] == {"eval": 1}
     assert out["semantic_dedup"]["embs"]["n_dropped"] >= 1
     assert out["neardup_dedup"]["_lake"]["n_clusters"] == 0
@@ -1871,3 +1885,95 @@ def test_datalake_neardup_matches_manual_union(spark, tmp_path):
     # two clusters, both spanning datasets
     assert res["_lake"] == {"n_clusters": 2,
                             "n_cross_dataset_clusters": 2}
+
+
+def test_datalake_prep_sweep(spark, tmp_path):
+    # round 9: one cleaning config over every text dataset in the lake,
+    # cleaned copies written outside the lake root — skip reasons,
+    # error containment and pooling follow the sweep conventions
+    import json
+
+    root = str(tmp_path / "preplake")
+    dest = str(tmp_path / "prep_out")
+    lake = Datalake(spark, root)
+    leak = "the quick brown fox jumps over the lazy benchmark dog"
+    spark.createDataFrame(
+        [(1, f"plenty of ordinary words and then {leak} at the end"),
+         (2, "a perfectly ordinary document with enough real words here"),
+         (2, "a perfectly ordinary document with enough real words here"),
+         (3, "!!!")],
+        ["doc_id", "text"],
+    ).write.parquet(os.path.join(root, "da"))
+    spark.createDataFrame(
+        [(10, "another clean corpus document with plain readable text")],
+        ["doc_id", "text"],
+    ).write.parquet(os.path.join(root, "db"))
+    spark.createDataFrame(
+        [(0, [0.1, 0.2])], "vec_id long, embedding array<double>"
+    ).write.parquet(os.path.join(root, "embs"))
+    for n in ("da", "db", "embs"):
+        lake.add_dataset(n)
+    bench = spark.createDataFrame([(0, leak)], ["doc_id", "text"])
+
+    res = lake.prep_sweep(dest, benchmark=bench, min_quality=1,
+                          near_dup=False)
+    assert res["embs"]["skipped"].startswith("no (doc_id, text)")
+    # da: doc 1 decontaminated, dup doc 2 exact-deduped, doc 3 gated
+    assert res["da"]["n_in"] == 4 and res["da"]["n_out"] == 1
+    assert res["db"]["n_out"] == 1
+    out = spark.read.parquet(res["da"]["dest"])
+    assert [r["doc_id"] for r in out.collect()] == [2]
+    assert "q_score" in out.columns
+    summary = json.loads(
+        (tmp_path / "preplake" / "_prep" / "_summary.json").read_text())
+    assert summary["da"]["n_out"] == 1
+    assert summary["_config"]["min_quality"] == 1
+    assert summary["_config"]["benchmark"] is True
+
+    # typo'd cleaning knob fails BEFORE any dataset pays a job
+    with pytest.raises(ValueError, match="unknown prep_documents knob"):
+        lake.prep_sweep(dest, min_qualty=1)
+
+    # pooled sweep: identical counts; garbage dataset contained
+    os.makedirs(os.path.join(root, "broken"))
+    lake.add_dataset("broken")
+    with open(os.path.join(root, "broken", "junk.parquet"), "w") as f:
+        f.write("not parquet")
+    pooled = lake.prep_sweep(dest, benchmark=bench, min_quality=1,
+                             near_dup=False, max_concurrency=3)
+    assert "error" in pooled["broken"]
+    assert pooled["da"]["n_out"] == res["da"]["n_out"]
+    assert pooled["db"]["n_out"] == res["db"]["n_out"]
+
+    # incremental: first run records markers, second keeps yesterday's
+    # cleaned copies without re-running the pipeline
+    kw = dict(benchmark=bench, min_quality=1, near_dup=False,
+              incremental=True)
+    first = lake.prep_sweep(dest, **kw)
+    assert "marker" in first["da"] and "fresh" not in first["da"]
+    second = lake.prep_sweep(dest, **kw)
+    assert second["da"]["fresh"].startswith("unchanged")
+    assert second["db"]["fresh"].startswith("unchanged")
+    assert second["da"]["n_out"] == first["da"]["n_out"]
+
+    # corpus mutated -> only that dataset re-cleans
+    spark.createDataFrame(
+        [(11, "a newly appended clean document with plenty of words")],
+        ["doc_id", "text"],
+    ).write.mode("append").parquet(os.path.join(root, "db"))
+    third = lake.prep_sweep(dest, **kw)
+    assert third["da"]["fresh"].startswith("unchanged")
+    assert "fresh" not in third["db"]
+    assert third["db"]["n_out"] == 2
+
+    # config moved -> nothing provably current
+    fourth = lake.prep_sweep(dest, benchmark=bench, min_quality=2,
+                             near_dup=False, incremental=True)
+    assert "fresh" not in fourth["da"]
+
+    # benchmark content moved -> nothing provably current either
+    bench2 = spark.createDataFrame([(0, leak + " longer")],
+                                   ["doc_id", "text"])
+    fifth = lake.prep_sweep(dest, benchmark=bench2, min_quality=1,
+                            near_dup=False, incremental=True)
+    assert "fresh" not in fifth["da"]
