@@ -1363,6 +1363,10 @@ class Datalake:
         mode: str = "overwrite",
         report_dir: str | None = None,
         incremental: bool = False,
+        signatures: tuple = (),
+        materialize: bool = True,
+        verify: bool = True,
+        signatures_root: str | None = None,
         max_concurrency: int = 4,
         **prep_kwargs,
     ) -> dict[str, dict]:
@@ -1379,10 +1383,24 @@ class Datalake:
         ``prep_kwargs`` are prep_documents knobs, validated against its
         signature UP FRONT (a typo'd knob fails the sweep before any
         dataset pays a job, not as 500 identical per-dataset errors);
-        the sidecar-frame parameters are excluded — per-dataset sidecar
-        consumption belongs to the single-corpus CLI where the frames
-        can be read for THAT corpus. ``benchmark`` decontaminates every
-        dataset against the same eval set. Datasets without
+        the raw sidecar-FRAME parameters are excluded — instead,
+        ``signatures=("minhash",)`` / ``("winnowing",)`` names the
+        sidecar KINDS to serve per dataset (each dataset's own
+        ``_signatures`` table feeds the matching stage via
+        ``precomputed_minhash`` / ``precomputed_fps``), so the near-dup
+        shingle hashing / decontamination fingerprinting that the
+        nightly clean would otherwise replay over every corpus is paid
+        once at ingest and SHARED with :meth:`neardup_dedup` /
+        :meth:`decontaminate`, which read the same sidecars. The
+        recorded hashing params are pinned against this sweep's prep
+        knobs (``expect=``), markers verify by default (``verify``),
+        stale/absent sidecars re-materialize when ``materialize=True``
+        (the sweep contract), and ``signatures_root`` hosts them
+        out-of-place for read-only lakes. prep_documents' own loud-fail
+        rules still apply — e.g. a config that also rewrites text
+        (``strip_markup``) refuses the sidecars rather than consuming
+        hashes of text it was about to change. ``benchmark``
+        decontaminates every dataset against the same eval set. Datasets without
         ``(id_col, text_col)`` are skipped with a reason, one broken
         dataset records an error instead of killing the sweep, and
         ``max_concurrency`` pools the independent per-dataset jobs (the
@@ -1422,6 +1440,33 @@ class Datalake:
                 f"prep_sweep: unknown prep_documents knob(s) {bad} — "
                 f"valid: {sorted(allowed)}"
             )
+        bad_kinds = sorted(set(signatures) - {"minhash", "winnowing"})
+        if bad_kinds:
+            raise ValueError(
+                f"prep_sweep: unknown signatures kind(s) {bad_kinds} — "
+                "valid: minhash, winnowing (spans/embedding_cells "
+                "consumption needs per-corpus params; use the "
+                "single-corpus pipeline CLI)"
+            )
+        # the sidecars' recorded hashing params must be the ones THIS
+        # sweep's prep knobs imply — same pinning map as the pipeline
+        # CLI (cli.py _expect_map), derived from prep_kwargs defaults
+        sh_mode = prep_kwargs.get("near_dup_shingle_mode", "word")
+        eff_shingle = (prep_kwargs.get("near_dup_shingle_size")
+                       or (7 if sh_mode == "char" else 3))
+        sig_expect = {
+            "minhash": {
+                "id_col": id_col, "text_col": text_col,
+                "n_hashes": prep_kwargs.get("n_hashes", 8),
+                "seed": prep_kwargs.get("near_dup_seed", 0),
+                "shingle_mode": sh_mode, "shingle_size": eff_shingle,
+            },
+            "winnowing": {
+                "id_col": id_col, "text_col": text_col,
+                "k": prep_kwargs.get("winnowing_k", 8),
+                "window": prep_kwargs.get("winnowing_window", 4),
+            },
+        }
         dest_base = strip_scheme(dest_root).rstrip("/")
         rep_base = (
             strip_scheme(report_dir).rstrip("/") if report_dir
@@ -1477,9 +1522,53 @@ class Datalake:
                         # copy IS today's answer
                         return {**pe, "fresh": "unchanged since last "
                                 "sweep — cleaned copy kept"}
+                sidecar_status: dict = {}
+                extra: dict = {}
+                for kind in signatures:
+                    from pydala_spark.dataset.maintain import (
+                        materialize_signatures,
+                        read_signatures,
+                    )
+
+                    sp = (posixpath.join(
+                        strip_scheme(signatures_root).rstrip("/"), name)
+                        if signatures_root else None)
+
+                    def _read():
+                        return read_signatures(
+                            self.spark, data_path, kind,
+                            expect=sig_expect[kind],
+                            verify_against=df if verify else None,
+                            signatures_path=sp,
+                        )
+
+                    try:
+                        frame, _params = _read()
+                        sidecar_status[kind] = "reused"
+                    except Exception:
+                        if not materialize:
+                            raise
+                        materialize_signatures(
+                            self.spark, df, data_path, id_col=id_col,
+                            text_col=text_col, kinds=(kind,),
+                            n_hashes=sig_expect["minhash"]["n_hashes"],
+                            shingle_size=eff_shingle,
+                            seed=sig_expect["minhash"]["seed"],
+                            shingle_mode=sh_mode,
+                            winnowing_k=sig_expect["winnowing"]["k"],
+                            winnowing_window=(
+                                sig_expect["winnowing"]["window"]),
+                            signatures_path=sp,
+                        )
+                        frame, _params = _read()
+                        sidecar_status[kind] = "materialized"
+                    if kind == "minhash":
+                        extra["precomputed_minhash"] = frame
+                    else:
+                        extra["precomputed_fps"] = frame
                 out = prep_documents(
                     df, id_col=id_col, text_col=text_col,
-                    benchmark=benchmark, **prep_kwargs,
+                    benchmark=benchmark, **extra, **prep_kwargs,
                 )
                 dest = posixpath.join(dest_base, name)
                 out.write.format(dest_format).mode(mode).save(dest)
@@ -1488,6 +1577,8 @@ class Datalake:
                 n_out = self.spark.read.format(dest_format).load(dest).count()
                 entry = {"dest": dest, "n_in": df.count(),
                          "n_out": int(n_out)}
+                if sidecar_status:
+                    entry["sidecars"] = sidecar_status
                 if marker is not None:
                     entry["marker"] = marker
                 return entry

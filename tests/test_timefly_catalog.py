@@ -1977,3 +1977,62 @@ def test_datalake_prep_sweep(spark, tmp_path):
     fifth = lake.prep_sweep(dest, benchmark=bench2, min_quality=1,
                             near_dup=False, incremental=True)
     assert "fresh" not in fifth["da"]
+
+
+def test_datalake_prep_sweep_signature_sidecars(spark, tmp_path):
+    # round 9: the prep sweep serves its near-dup stage from each
+    # dataset's minhash sidecar — verdicts identical to the inline
+    # sweep, hashing paid once, and the SAME sidecar then serves
+    # neardup_dedup (shared ingest economy)
+    root = str(tmp_path / "prepsig")
+    dest = str(tmp_path / "prepsig_out")
+    lake = Datalake(spark, root)
+    shared = ("the quick brown fox jumps over the lazy dog "
+              "again and again in every single crawl dump")
+    spark.createDataFrame(
+        [(1, shared),
+         (2, shared + " trailing"),
+         (3, "a completely different document with its own words here")],
+        ["doc_id", "text"],
+    ).write.parquet(os.path.join(root, "da"))
+    lake.add_dataset("da")
+
+    inline = lake.prep_sweep(dest + "_inline", min_quality=0)
+    first = lake.prep_sweep(dest, min_quality=0,
+                            signatures=("minhash",))
+    assert first["da"]["sidecars"] == {"minhash": "materialized"}
+    assert first["da"]["n_out"] == inline["da"]["n_out"]
+    a = spark.read.parquet(first["da"]["dest"])
+    b = spark.read.parquet(inline["da"]["dest"])
+    assert sorted(r["doc_id"] for r in a.collect()) \
+        == sorted(r["doc_id"] for r in b.collect())
+
+    # second run reads the sidecar (no re-hash); neardup_dedup then
+    # reuses the very same table
+    second = lake.prep_sweep(dest, min_quality=0,
+                             signatures=("minhash",))
+    assert second["da"]["sidecars"] == {"minhash": "reused"}
+    nd = lake.neardup_dedup()
+    assert nd["da"]["sidecar"] == "reused"
+
+    # param pin: a sweep under different hashing knobs refuses to
+    # consume the stale-parameter sidecar and re-materializes
+    third = lake.prep_sweep(dest, min_quality=0, n_hashes=4,
+                            signatures=("minhash",))
+    assert third["da"]["sidecars"] == {"minhash": "materialized"}
+
+    # unknown kind fails before any dataset pays a job
+    with pytest.raises(ValueError, match="unknown signatures kind"):
+        lake.prep_sweep(dest, signatures=("spans",))
+
+    # winnowing sidecar serves the decontamination stage
+    bench = spark.createDataFrame([(0, shared)], ["doc_id", "text"])
+    wn = lake.prep_sweep(
+        dest + "_wn", min_quality=0, benchmark=bench,
+        decontaminate_mode="winnowing", near_dup=False,
+        signatures=("winnowing",),
+    )
+    assert wn["da"]["sidecars"] == {"winnowing": "materialized"}
+    kept = {r["doc_id"] for r in
+            spark.read.parquet(wn["da"]["dest"]).collect()}
+    assert 1 not in kept and 3 in kept
