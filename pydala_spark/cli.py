@@ -913,8 +913,10 @@ def build_parser() -> argparse.ArgumentParser:
     nd.set_defaults(func=_cmd_neardup_dedup)
 
     cr = sub.add_parser("cron", help="run the lake-maintenance sweeps "
-                        "([decontaminate]/[semantic_dedup]/"
-                        "[neardup_dedup] tables) from ONE TOML config")
+                        "([maintain]/[prep_sweep]/[decontaminate]/"
+                        "[semantic_dedup]/[neardup_dedup]/"
+                        "[span_dedup_report]/[signatures_report] "
+                        "tables) from ONE TOML config")
     cr.add_argument("config", help="TOML config; top-level 'root' plus "
                     "one table per sweep (keys = Datalake method kwargs)")
     cr.add_argument("--root", default=None,
