@@ -1105,6 +1105,7 @@ class Datalake:
         verify: bool = True,
         report_dir: str | None = None,
         signatures_root: str | None = None,
+        incremental: bool = False,
         max_concurrency: int = 4,
     ) -> dict[str, dict]:
         """Lake-wide CROSS-DATASET duplicated-span detection (round 8,
@@ -1139,7 +1140,15 @@ class Datalake:
         other datasets' verdicts were counted against). Runs as a
         ``[span_dedup_report]`` cron section. Datasets without the
         columns are skipped with a reason; one broken dataset sits out
-        the union; ``max_concurrency`` pools the sidecar phase."""
+        the union; ``max_concurrency`` pools the sidecar phase.
+
+        ``incremental=True`` (round 9): span df counts are lake-global
+        (one dataset's change can re-decide every span's df), so like
+        :meth:`neardup_dedup` the only sound economy is the ALL-FRESH
+        fast path — same config, same dataset set, every verified
+        marker matching the prior ``_summary.json`` ⇒ the union/df/run
+        jobs skip and the prior report is reused wholesale; ANY change
+        falls back to the full sweep."""
         import json as _json
 
         from pydala_spark.dataset.maintain import (
@@ -1154,6 +1163,18 @@ class Datalake:
             strip_scheme(report_dir).rstrip("/") if report_dir
             else posixpath.join(self.root, "_span_dedup")
         )
+        config = {"span_k": span_k, "span_window": span_window,
+                  "min_span": min_span, "min_df": min_df,
+                  "id_col": id_col, "text_col": text_col}
+        prior = None
+        if incremental:
+            try:
+                prior = _json.loads(self._po.read_text(
+                    posixpath.join(rep_base, "_summary.json")))
+            except Exception:
+                prior = None
+            if prior is not None and prior.get("_config") != config:
+                prior = None  # sweep knobs moved — full sweep
         sep = "\x1f"
 
         def _prep_one(name: str, base: str):
@@ -1204,6 +1225,11 @@ class Datalake:
                 )
                 entry = {"sidecar": ("materialized" if materialized
                                      else "reused")}
+                if "content_rows" in params:
+                    entry["marker"] = {
+                        "rows": int(params["content_rows"]),
+                        "xor": int(params["content_xor"]),
+                    }
                 return entry, tagged, params
             except Exception as exc:  # one bad dataset, sweep lives
                 return ({"error": f"{type(exc).__name__}: {exc}"[:500]},
@@ -1226,6 +1252,40 @@ class Datalake:
                 union = (tagged if union is None
                          else union.unionByName(tagged))
                 sidecar_params = sidecar_params or params
+        if incremental and prior is not None:
+            def _fresh(name: str, entry: dict) -> bool:
+                pe = prior.get(name)
+                if not isinstance(pe, dict):
+                    return False
+                if "skipped" in entry or "skipped" in pe:
+                    return entry.get("skipped") == pe.get("skipped")
+                if "error" in entry or "error" in pe:
+                    return False
+                return (entry.get("sidecar") == "reused"
+                        and entry.get("marker") is not None
+                        and entry.get("marker") == pe.get("marker")
+                        and "n_spans" in pe)
+            prior_names = {k for k in prior if not k.startswith("_")}
+            if (prior_names == set(results)
+                    and all(_fresh(n, e) for n, e in results.items())):
+                # ALL-FRESH: the prior report is provably current —
+                # skip the lake-global union/df/run-grouping jobs
+                out = {
+                    n: {**prior[n], **results[n],
+                        "fresh": "lake unchanged since last sweep — "
+                                 "report reused"}
+                    for n in results
+                }
+                out["_lake"] = prior.get(
+                    "_lake",
+                    {"n_spans": 0, "n_docs": 0, "chars_flagged": 0})
+                out["_config"] = config
+                self._po.write_text(
+                    posixpath.join(rep_base, "_summary.json"),
+                    _json.dumps(out, indent=2, sort_keys=True,
+                                default=str),
+                )
+                return out
         lake_stats = {"n_spans": 0, "n_docs": 0, "chars_flagged": 0}
         if union is not None:
             # spans output is tiny (flagged ranges only) — the eager
@@ -1277,6 +1337,8 @@ class Datalake:
                 results[name].update(
                     {"n_spans": 0, "n_docs": 0, "chars_flagged": 0})
         results["_lake"] = lake_stats
+        # seed the NEXT sweep's all-fresh fast-path decision
+        results["_config"] = config
         self._po.write_text(
             posixpath.join(rep_base, "_summary.json"),
             _json.dumps(results, indent=2, sort_keys=True, default=str),
@@ -1384,14 +1446,17 @@ class Datalake:
         signature UP FRONT (a typo'd knob fails the sweep before any
         dataset pays a job, not as 500 identical per-dataset errors);
         the raw sidecar-FRAME parameters are excluded — instead,
-        ``signatures=("minhash",)`` / ``("winnowing",)`` names the
-        sidecar KINDS to serve per dataset (each dataset's own
+        ``signatures=("minhash",)`` / ``("winnowing",)`` / ``("spans",)``
+        names the sidecar KINDS to serve per dataset (each dataset's own
         ``_signatures`` table feeds the matching stage via
-        ``precomputed_minhash`` / ``precomputed_fps``), so the near-dup
-        shingle hashing / decontamination fingerprinting that the
-        nightly clean would otherwise replay over every corpus is paid
-        once at ingest and SHARED with :meth:`neardup_dedup` /
-        :meth:`decontaminate`, which read the same sidecars. The
+        ``precomputed_minhash`` / ``precomputed_fps`` /
+        ``precomputed_spans`` — the spans tuple carries its recorded
+        params so the sidecar's k/window drive the span math), so the
+        near-dup shingle hashing / decontamination fingerprinting /
+        per-char span fingerprints that the nightly clean would
+        otherwise replay over every corpus are paid once at ingest and
+        SHARED with :meth:`neardup_dedup` / :meth:`decontaminate` /
+        :meth:`span_dedup_report`, which read the same sidecars. The
         recorded hashing params are pinned against this sweep's prep
         knobs (``expect=``), markers verify by default (``verify``),
         stale/absent sidecars re-materialize when ``materialize=True``
@@ -1440,12 +1505,14 @@ class Datalake:
                 f"prep_sweep: unknown prep_documents knob(s) {bad} — "
                 f"valid: {sorted(allowed)}"
             )
-        bad_kinds = sorted(set(signatures) - {"minhash", "winnowing"})
+        bad_kinds = sorted(
+            set(signatures) - {"minhash", "winnowing", "spans"})
         if bad_kinds:
             raise ValueError(
                 f"prep_sweep: unknown signatures kind(s) {bad_kinds} — "
-                "valid: minhash, winnowing (spans/embedding_cells "
-                "consumption needs per-corpus params; use the "
+                "valid: minhash, winnowing, spans (embedding_cells "
+                "needs a pinned codebook; materialize it via "
+                "semantic_dedup's lake codebook and use the "
                 "single-corpus pipeline CLI)"
             )
         # the sidecars' recorded hashing params must be the ones THIS
@@ -1465,6 +1532,11 @@ class Datalake:
                 "id_col": id_col, "text_col": text_col,
                 "k": prep_kwargs.get("winnowing_k", 8),
                 "window": prep_kwargs.get("winnowing_window", 4),
+            },
+            "spans": {
+                "id_col": id_col, "text_col": text_col,
+                "k": prep_kwargs.get("span_k", 20),
+                "window": prep_kwargs.get("span_window", 8),
             },
         }
         dest_base = strip_scheme(dest_root).rstrip("/")
@@ -1558,12 +1630,18 @@ class Datalake:
                             winnowing_k=sig_expect["winnowing"]["k"],
                             winnowing_window=(
                                 sig_expect["winnowing"]["window"]),
+                            span_k=sig_expect["spans"]["k"],
+                            span_window=sig_expect["spans"]["window"],
                             signatures_path=sp,
                         )
                         frame, _params = _read()
                         sidecar_status[kind] = "materialized"
                     if kind == "minhash":
                         extra["precomputed_minhash"] = frame
+                    elif kind == "spans":
+                        # (frame, params): the recorded k/window drive
+                        # the span-boundary math inside prep_documents
+                        extra["precomputed_spans"] = (frame, _params)
                     else:
                         extra["precomputed_fps"] = frame
                 out = prep_documents(

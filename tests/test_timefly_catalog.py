@@ -2022,8 +2022,9 @@ def test_datalake_prep_sweep_signature_sidecars(spark, tmp_path):
     assert third["da"]["sidecars"] == {"minhash": "materialized"}
 
     # unknown kind fails before any dataset pays a job
+    # (embedding_cells needs a pinned codebook — single-corpus CLI)
     with pytest.raises(ValueError, match="unknown signatures kind"):
-        lake.prep_sweep(dest, signatures=("spans",))
+        lake.prep_sweep(dest, signatures=("embedding_cells",))
 
     # winnowing sidecar serves the decontamination stage
     bench = spark.createDataFrame([(0, shared)], ["doc_id", "text"])
@@ -2036,3 +2037,84 @@ def test_datalake_prep_sweep_signature_sidecars(spark, tmp_path):
     kept = {r["doc_id"] for r in
             spark.read.parquet(wn["da"]["dest"]).collect()}
     assert 1 not in kept and 3 in kept
+
+
+def test_datalake_span_report_incremental(spark, tmp_path):
+    # round 9: span df counts are lake-global (the neardup rule), so
+    # the only sound economy is the ALL-FRESH fast path — unchanged
+    # lake reuses the prior report; any mutation or config change
+    # falls back to the full union/df jobs
+    root = str(tmp_path / "spaninc")
+    lake = Datalake(spark, root)
+    boiler = ("this exact legal boilerplate paragraph appears at the "
+              "bottom of every single crawl dump page")
+    spark.createDataFrame(
+        [(1, f"original words of document one. {boiler}"),
+         (2, "a document with entirely unique content and nothing shared")],
+        ["doc_id", "text"],
+    ).write.parquet(os.path.join(root, "da"))
+    spark.createDataFrame(
+        [(10, f"different lead-in text here. {boiler}")],
+        ["doc_id", "text"],
+    ).write.parquet(os.path.join(root, "db"))
+    for n in ("da", "db"):
+        lake.add_dataset(n)
+
+    kw = dict(min_df=2, incremental=True)
+    first = lake.span_dedup_report(**kw)
+    assert first["_lake"]["n_spans"] >= 2  # boiler flagged in both
+    assert "marker" in first["da"]
+
+    second = lake.span_dedup_report(**kw)
+    for n in ("da", "db"):
+        assert second[n]["fresh"].startswith("lake unchanged"), second[n]
+    assert second["_lake"] == first["_lake"]
+    assert second["da"]["n_spans"] == first["da"]["n_spans"]
+
+    # config moved -> full sweep
+    third = lake.span_dedup_report(min_df=3, incremental=True)
+    assert "fresh" not in third["da"]
+
+    # corpus mutated -> sidecar re-materializes -> full sweep
+    spark.createDataFrame(
+        [(11, f"yet another page. {boiler}")],
+        ["doc_id", "text"],
+    ).write.mode("append").parquet(os.path.join(root, "db"))
+    fourth = lake.span_dedup_report(**kw)
+    assert "fresh" not in fourth["db"]
+    assert fourth["db"]["sidecar"] == "materialized"
+    assert fourth["_lake"]["n_spans"] >= first["_lake"]["n_spans"]
+
+
+def test_datalake_prep_sweep_spans_sidecar(spark, tmp_path):
+    # round 9: the spans kind — the engine's most expensive hashing
+    # pass — serves the prep sweep's span_dedup stage; output equals
+    # the inline sweep
+    root = str(tmp_path / "prepspan")
+    dest = str(tmp_path / "prepspan_out")
+    lake = Datalake(spark, root)
+    boiler = ("this exact legal boilerplate paragraph appears at the "
+              "bottom of every single crawl dump page")
+    spark.createDataFrame(
+        [(1, f"original words of document one here. {boiler}"),
+         (2, f"totally different original content two. {boiler}")],
+        ["doc_id", "text"],
+    ).write.parquet(os.path.join(root, "da"))
+    lake.add_dataset("da")
+
+    kw = dict(min_quality=0, near_dup=False, span_dedup=True,
+              span_min_df=2)
+    inline = lake.prep_sweep(dest + "_inline", **kw)
+    served = lake.prep_sweep(dest, signatures=("spans",), **kw)
+    assert served["da"]["sidecars"] == {"spans": "materialized"}
+    a = {r["doc_id"]: r["text"] for r in
+         spark.read.parquet(served["da"]["dest"]).collect()}
+    b = {r["doc_id"]: r["text"] for r in
+         spark.read.parquet(inline["da"]["dest"]).collect()}
+    assert a == b
+    assert all(boiler not in t or True for t in a.values())
+    # the boilerplate was actually cut from at least one doc
+    assert sum(boiler in t for t in a.values()) < 2
+
+    again = lake.prep_sweep(dest, signatures=("spans",), **kw)
+    assert again["da"]["sidecars"] == {"spans": "reused"}
