@@ -1429,6 +1429,7 @@ class Datalake:
         materialize: bool = True,
         verify: bool = True,
         signatures_root: str | None = None,
+        stage_counts: bool = False,
         max_concurrency: int = 4,
         **prep_kwargs,
     ) -> dict[str, dict]:
@@ -1475,6 +1476,16 @@ class Datalake:
         ``<root>/_prep``). Outputs land OUTSIDE the lake root by
         convention — pointing ``dest_root`` inside it would register
         cleaned copies as new sweep inputs on the next discovery.
+
+        ``stage_counts=True`` adds per-stage survivor counts to each
+        entry (``{"stages": {"input": n, "exact_dedup": n, ...}}``) —
+        the lake-wide "where did my corpus go" diagnostic when a config
+        change suddenly halves a dataset's output. Same economy as the
+        CLI's ``--report``: each stage frame persists just before its
+        count and releases once the next stage has built on it, so
+        every stage computes exactly once and the final write reuses
+        the last cached subtree. Costs one count action per enabled
+        stage per dataset — a tuning-run knob, not the nightly default.
 
         ``incremental=True``: re-cleaning an unchanged corpus is the
         dominant nightly waste (the full pipeline re-runs per dataset),
@@ -1644,17 +1655,45 @@ class Datalake:
                         extra["precomputed_spans"] = (frame, _params)
                     else:
                         extra["precomputed_fps"] = frame
+                stages: dict = {} if stage_counts else None
                 out = prep_documents(
                     df, id_col=id_col, text_col=text_col,
-                    benchmark=benchmark, **extra, **prep_kwargs,
+                    benchmark=benchmark, stage_frames=stages,
+                    **extra, **prep_kwargs,
                 )
                 dest = posixpath.join(dest_base, name)
-                out.write.format(dest_format).mode(mode).save(dest)
+                counts: dict = {}
+                if stage_counts:
+                    # the CLI --report economy: persist each stage just
+                    # before its count, release it once the next stage
+                    # built on top — every stage computes once and the
+                    # write reuses the last cached subtree
+                    live: list = []
+                    try:
+                        prev = None
+                        for stage, frame in stages.items():
+                            frame.persist()
+                            live.append(frame)
+                            counts[stage] = frame.count()
+                            if prev is not None:
+                                prev.unpersist()
+                                live.remove(prev)
+                            prev = frame
+                        out.write.format(dest_format).mode(mode).save(dest)
+                    finally:
+                        for frame in live:
+                            frame.unpersist()
+                else:
+                    out.write.format(dest_format).mode(mode).save(dest)
                 # count the WRITTEN output — re-counting the lazy plan
                 # would re-run the whole pipeline a second time
                 n_out = self.spark.read.format(dest_format).load(dest).count()
-                entry = {"dest": dest, "n_in": df.count(),
+                entry = {"dest": dest,
+                         "n_in": (counts.get("input", df.count())
+                                  if stage_counts else df.count()),
                          "n_out": int(n_out)}
+                if stage_counts:
+                    entry["stages"] = counts
                 if sidecar_status:
                     entry["sidecars"] = sidecar_status
                 if marker is not None:

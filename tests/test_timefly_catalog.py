@@ -2118,3 +2118,34 @@ def test_datalake_prep_sweep_spans_sidecar(spark, tmp_path):
 
     again = lake.prep_sweep(dest, signatures=("spans",), **kw)
     assert again["da"]["sidecars"] == {"spans": "reused"}
+
+
+def test_datalake_prep_sweep_stage_counts(spark, tmp_path):
+    # round 9: the lake-wide "where did my corpus go" diagnostic —
+    # per-stage survivor counts ride the summary, consistent with the
+    # final n_out
+    root = str(tmp_path / "prepstages")
+    dest = str(tmp_path / "prepstages_out")
+    lake = Datalake(spark, root)
+    leak = "the quick brown fox jumps over the lazy benchmark dog"
+    spark.createDataFrame(
+        [(1, f"plenty of ordinary words and then {leak} at the end"),
+         (2, "a perfectly ordinary document with enough real words here"),
+         (2, "a perfectly ordinary document with enough real words here"),
+         (3, "!!!")],
+        ["doc_id", "text"],
+    ).write.parquet(os.path.join(root, "da"))
+    lake.add_dataset("da")
+    bench = spark.createDataFrame([(0, leak)], ["doc_id", "text"])
+
+    res = lake.prep_sweep(dest, benchmark=bench, min_quality=1,
+                          near_dup=False, stage_counts=True)
+    st = res["da"]["stages"]
+    assert st["input"] == 4
+    assert st["exact_dedup"] == 3      # dup doc 2 collapsed
+    assert st["decontaminate"] == 2    # leak doc gone
+    assert st["quality"] == 1          # "!!!" gated
+    assert res["da"]["n_in"] == 4 and res["da"]["n_out"] == 1
+    # counts are monotone non-increasing through the funnel
+    vals = list(st.values())
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
