@@ -1430,6 +1430,7 @@ class Datalake:
         verify: bool = True,
         signatures_root: str | None = None,
         stage_counts: bool = False,
+        sign_outputs: tuple = (),
         max_concurrency: int = 4,
         **prep_kwargs,
     ) -> dict[str, dict]:
@@ -1477,6 +1478,16 @@ class Datalake:
         convention — pointing ``dest_root`` inside it would register
         cleaned copies as new sweep inputs on the next discovery.
 
+        ``sign_outputs=("minhash", ...)`` materializes signature
+        sidecars ON the cleaned copies right after each write — the
+        cleaned corpus is a NEW lake, and signing it at creation is its
+        ingest moment: every later sweep/pipeline over the training
+        copies starts sidecar-served instead of paying first-contact
+        hashing. Kinds and hashing params are the same family as
+        ``signatures=`` (minhash/winnowing/spans, pinned to this
+        sweep's prep knobs), hashed over the POST-clean text — exactly
+        what a consumer of the cleaned data must match.
+
         ``stage_counts=True`` adds per-stage survivor counts to each
         entry (``{"stages": {"input": n, "exact_dedup": n, ...}}``) —
         the lake-wide "where did my corpus go" diagnostic when a config
@@ -1517,7 +1528,8 @@ class Datalake:
                 f"valid: {sorted(allowed)}"
             )
         bad_kinds = sorted(
-            set(signatures) - {"minhash", "winnowing", "spans"})
+            (set(signatures) | set(sign_outputs))
+            - {"minhash", "winnowing", "spans"})
         if bad_kinds:
             raise ValueError(
                 f"prep_sweep: unknown signatures kind(s) {bad_kinds} — "
@@ -1602,9 +1614,36 @@ class Datalake:
                             and "n_out" in pe):
                         # corpus unchanged since the recorded sweep,
                         # same config + benchmark — yesterday's cleaned
-                        # copy IS today's answer
-                        return {**pe, "fresh": "unchanged since last "
-                                "sweep — cleaned copy kept"}
+                        # copy IS today's answer. If this run asks for
+                        # output signatures the prior didn't record,
+                        # sign the KEPT copy (no re-clean needed).
+                        entry = {**pe, "fresh": "unchanged since last "
+                                 "sweep — cleaned copy kept"}
+                        want = sorted(sign_outputs)
+                        if want and pe.get("signed") != want:
+                            from pydala_spark.dataset.maintain import (
+                                materialize_signatures,
+                            )
+
+                            materialize_signatures(
+                                self.spark,
+                                self.spark.read.format(dest_format)
+                                .load(pe["dest"]),
+                                pe["dest"], id_col=id_col,
+                                text_col=text_col,
+                                kinds=tuple(sign_outputs),
+                                n_hashes=sig_expect["minhash"]["n_hashes"],
+                                shingle_size=eff_shingle,
+                                seed=sig_expect["minhash"]["seed"],
+                                shingle_mode=sh_mode,
+                                winnowing_k=sig_expect["winnowing"]["k"],
+                                winnowing_window=(
+                                    sig_expect["winnowing"]["window"]),
+                                span_k=sig_expect["spans"]["k"],
+                                span_window=sig_expect["spans"]["window"],
+                            )
+                            entry["signed"] = want
+                        return entry
                 sidecar_status: dict = {}
                 extra: dict = {}
                 for kind in signatures:
@@ -1687,11 +1726,33 @@ class Datalake:
                     out.write.format(dest_format).mode(mode).save(dest)
                 # count the WRITTEN output — re-counting the lazy plan
                 # would re-run the whole pipeline a second time
-                n_out = self.spark.read.format(dest_format).load(dest).count()
+                cleaned = self.spark.read.format(dest_format).load(dest)
+                n_out = cleaned.count()
                 entry = {"dest": dest,
                          "n_in": (counts.get("input", df.count())
                                   if stage_counts else df.count()),
                          "n_out": int(n_out)}
+                if sign_outputs:
+                    # the cleaned copy's ingest moment: hash the
+                    # POST-clean text once so every later sweep over
+                    # the training copies starts sidecar-served
+                    from pydala_spark.dataset.maintain import (
+                        materialize_signatures,
+                    )
+
+                    materialize_signatures(
+                        self.spark, cleaned, dest, id_col=id_col,
+                        text_col=text_col, kinds=tuple(sign_outputs),
+                        n_hashes=sig_expect["minhash"]["n_hashes"],
+                        shingle_size=eff_shingle,
+                        seed=sig_expect["minhash"]["seed"],
+                        shingle_mode=sh_mode,
+                        winnowing_k=sig_expect["winnowing"]["k"],
+                        winnowing_window=sig_expect["winnowing"]["window"],
+                        span_k=sig_expect["spans"]["k"],
+                        span_window=sig_expect["spans"]["window"],
+                    )
+                    entry["signed"] = sorted(sign_outputs)
                 if stage_counts:
                     entry["stages"] = counts
                 if sidecar_status:

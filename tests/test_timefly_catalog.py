@@ -2149,3 +2149,48 @@ def test_datalake_prep_sweep_stage_counts(spark, tmp_path):
     # counts are monotone non-increasing through the funnel
     vals = list(st.values())
     assert all(a >= b for a, b in zip(vals, vals[1:]))
+
+
+def test_datalake_prep_sweep_sign_outputs(spark, tmp_path):
+    # round 9: the cleaned copies get their own signature sidecars at
+    # creation — a Datalake over the training copies starts every
+    # sweep sidecar-served; incremental keeps + signs as needed
+    from pydala_spark.dataset.maintain import read_signatures
+
+    root = str(tmp_path / "prepsign2")
+    dest = str(tmp_path / "prepsign2_out")
+    lake = Datalake(spark, root)
+    spark.createDataFrame(
+        [(1, "a perfectly ordinary document with enough real words"),
+         (2, "another clean corpus document with plain readable text")],
+        ["doc_id", "text"],
+    ).write.parquet(os.path.join(root, "da"))
+    lake.add_dataset("da")
+
+    kw = dict(min_quality=0, near_dup=False, incremental=True)
+    first = lake.prep_sweep(dest, sign_outputs=("minhash",), **kw)
+    assert first["da"]["signed"] == ["minhash"]
+    # the sidecar verifies against the CLEANED copy
+    cleaned = spark.read.parquet(first["da"]["dest"])
+    sigs, params = read_signatures(
+        spark, first["da"]["dest"], "minhash", verify_against=cleaned)
+    assert sigs.count() == cleaned.count()
+
+    # a cleaned-copies lake is sidecar-served from the start
+    lake2 = Datalake(spark, dest)
+    lake2.add_dataset("da")
+    nd = lake2.neardup_dedup()
+    assert nd["da"]["sidecar"] == "reused"
+
+    # fresh skip keeps the copy; a NEW signing request signs it
+    # without re-cleaning
+    second = lake.prep_sweep(dest, sign_outputs=("minhash", "spans"),
+                             **kw)
+    assert second["da"]["fresh"].startswith("unchanged")
+    assert second["da"]["signed"] == ["minhash", "spans"]
+    read_signatures(spark, second["da"]["dest"], "spans",
+                    verify_against=cleaned)
+
+    # unknown sign kind fails up front
+    with pytest.raises(ValueError, match="unknown signatures kind"):
+        lake.prep_sweep(dest, sign_outputs=("embedding_cells",))
