@@ -1431,6 +1431,7 @@ class Datalake:
         signatures_root: str | None = None,
         stage_counts: bool = False,
         sign_outputs: tuple = (),
+        codebook_path: str | None = None,
         max_concurrency: int = 4,
         **prep_kwargs,
     ) -> dict[str, dict]:
@@ -1477,6 +1478,18 @@ class Datalake:
         ``<root>/_prep``). Outputs land OUTSIDE the lake root by
         convention — pointing ``dest_root`` inside it would register
         cleaned copies as new sweep inputs on the next discovery.
+
+        ``codebook_path`` makes lake-wide SemDeDup cleaning practical:
+        real-dimensional centroids don't belong in a TOML literal, so
+        the semantic stage's codebook loads from the path the
+        :meth:`semantic_dedup` sweep pins (default location
+        ``<root>/_codebooks/semantic_dedup.json``, or any
+        ``save_codebook`` output) and rides into every dataset's
+        ``semantic_centroids``; add ``"embedding_cells"`` to
+        ``signatures=`` (valid only WITH ``codebook_path``) and each
+        dataset's cells sidecar — sha-pinned to that codebook — feeds
+        the stage with zero assignment matmul, materialized on first
+        contact under the same codebook.
 
         ``sign_outputs=("minhash", ...)`` materializes signature
         sidecars ON the cleaned copies right after each write — the
@@ -1527,16 +1540,35 @@ class Datalake:
                 f"prep_sweep: unknown prep_documents knob(s) {bad} — "
                 f"valid: {sorted(allowed)}"
             )
-        bad_kinds = sorted(
-            (set(signatures) | set(sign_outputs))
-            - {"minhash", "winnowing", "spans"})
-        if bad_kinds:
+        cb = None
+        cb_sha = None
+        if codebook_path is not None:
+            from pydala_spark.operators.ann import (
+                codebook_sha as _cb_sha,
+                load_codebook,
+            )
+
+            cb = load_codebook(self.spark, strip_scheme(codebook_path))
+            cb_sha = _cb_sha(cb)
+            prep_kwargs.setdefault("semantic_centroids", cb)
+        text_kinds = {"minhash", "winnowing", "spans"}
+        read_kinds = text_kinds | (
+            {"embedding_cells"} if cb is not None else set())
+        bad_read = sorted(set(signatures) - read_kinds)
+        if bad_read:
             raise ValueError(
-                f"prep_sweep: unknown signatures kind(s) {bad_kinds} — "
-                "valid: minhash, winnowing, spans (embedding_cells "
-                "needs a pinned codebook; materialize it via "
-                "semantic_dedup's lake codebook and use the "
-                "single-corpus pipeline CLI)"
+                f"prep_sweep: unknown signatures kind(s) {bad_read} — "
+                f"valid: {sorted(read_kinds)}"
+                + ("" if cb is not None else
+                   " (embedding_cells requires codebook_path= — cells "
+                   "must be sha-pinned to a codebook)")
+            )
+        bad_sign = sorted(set(sign_outputs) - text_kinds)
+        if bad_sign:
+            raise ValueError(
+                f"prep_sweep: unknown sign_outputs kind(s) {bad_sign} "
+                f"— valid: {sorted(text_kinds)} (cells for the cleaned "
+                "lake belong to a semantic_dedup sweep over it)"
             )
         # the sidecars' recorded hashing params must be the ones THIS
         # sweep's prep knobs imply — same pinning map as the pipeline
@@ -1561,7 +1593,19 @@ class Datalake:
                 "k": prep_kwargs.get("span_k", 20),
                 "window": prep_kwargs.get("span_window", 8),
             },
+            "embedding_cells": {
+                "id_col": id_col,
+                "vec_col": prep_kwargs.get("vec_col"),
+                "codebook_sha": cb_sha,
+            },
         }
+        if "embedding_cells" in signatures \
+                and not prep_kwargs.get("vec_col"):
+            raise ValueError(
+                "prep_sweep: signatures=('embedding_cells',) requires "
+                "the vec_col prep knob — the cells block the embedding "
+                "column the semantic stage reads"
+            )
         dest_base = strip_scheme(dest_root).rstrip("/")
         rep_base = (
             strip_scheme(report_dir).rstrip("/") if report_dir
@@ -1573,6 +1617,12 @@ class Datalake:
             "mode": mode, "benchmark": benchmark is not None,
             **{k: v for k, v in sorted(prep_kwargs.items())},
         }
+        if cb is not None:
+            # a numpy codebook stringifies SUMMARIZED ("...") at real
+            # sizes, so two different codebooks could echo identically
+            # and wrongly satisfy the incremental config match — record
+            # the sha, which is exactly the identity that matters
+            config["semantic_centroids"] = f"codebook:{cb_sha}"
         bench_marker = (
             _frame_marker(benchmark, id_col, F.octet_length(text_col))
             if (incremental and benchmark is not None) else None
@@ -1670,9 +1720,9 @@ class Datalake:
                     except Exception:
                         if not materialize:
                             raise
-                        materialize_signatures(
-                            self.spark, df, data_path, id_col=id_col,
-                            text_col=text_col, kinds=(kind,),
+                        mat_kw = dict(
+                            id_col=id_col, text_col=text_col,
+                            kinds=(kind,), signatures_path=sp,
                             n_hashes=sig_expect["minhash"]["n_hashes"],
                             shingle_size=eff_shingle,
                             seed=sig_expect["minhash"]["seed"],
@@ -1682,8 +1732,14 @@ class Datalake:
                                 sig_expect["winnowing"]["window"]),
                             span_k=sig_expect["spans"]["k"],
                             span_window=sig_expect["spans"]["window"],
-                            signatures_path=sp,
                         )
+                        if kind == "embedding_cells":
+                            mat_kw.update(
+                                centroids=cb,
+                                vec_col=prep_kwargs["vec_col"],
+                            )
+                        materialize_signatures(
+                            self.spark, df, data_path, **mat_kw)
                         frame, _params = _read()
                         sidecar_status[kind] = "materialized"
                     if kind == "minhash":
@@ -1692,6 +1748,10 @@ class Datalake:
                         # (frame, params): the recorded k/window drive
                         # the span-boundary math inside prep_documents
                         extra["precomputed_spans"] = (frame, _params)
+                    elif kind == "embedding_cells":
+                        # (frame, params): the recorded codebook_sha
+                        # refuses cells from a retrained codebook
+                        extra["precomputed_cells"] = (frame, _params)
                     else:
                         extra["precomputed_fps"] = frame
                 stages: dict = {} if stage_counts else None

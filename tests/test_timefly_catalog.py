@@ -2191,6 +2191,61 @@ def test_datalake_prep_sweep_sign_outputs(spark, tmp_path):
     read_signatures(spark, second["da"]["dest"], "spans",
                     verify_against=cleaned)
 
-    # unknown sign kind fails up front
-    with pytest.raises(ValueError, match="unknown signatures kind"):
+    # unknown sign kind fails up front (cells never sign here — they
+    # belong to a semantic_dedup sweep over the cleaned lake)
+    with pytest.raises(ValueError, match="unknown sign_outputs"):
+        lake.prep_sweep(dest, sign_outputs=("embedding_cells",))
+
+
+def test_datalake_prep_sweep_semantic_codebook(spark, tmp_path):
+    # round 9: lake-wide SemDeDup cleaning — the semantic stage's
+    # codebook loads from the pinned save_codebook path (real
+    # dimensions don't belong in TOML), and embedding_cells sidecars
+    # (sha-pinned to it) serve the assignment
+    import numpy as np
+
+    from pydala_spark.operators.ann import save_codebook
+
+    root = str(tmp_path / "prepsem")
+    dest = str(tmp_path / "prepsem_out")
+    lake = Datalake(spark, root)
+    rng = np.random.default_rng(13)
+    v = [float(x) for x in rng.normal(size=4)]
+    spark.createDataFrame(
+        [(1, "first document with its own textual content entirely", v),
+         (2, "a paraphrase sharing no words with document number one",
+          [x + 1e-5 for x in v]),
+         (3, "third document about an unrelated topic and vector",
+          [float(x) for x in rng.normal(size=4) + 6])],
+        "doc_id long, text string, embedding array<double>",
+    ).write.parquet(os.path.join(root, "da"))
+    lake.add_dataset("da")
+    cb = np.stack([np.asarray(v) / np.linalg.norm(v),
+                   (rng.normal(size=4) + 6)
+                   / np.linalg.norm(rng.normal(size=4) + 6)])
+    cb_path = str(tmp_path / "cb.json")
+    save_codebook(spark, cb, cb_path)
+
+    kw = dict(min_quality=0, near_dup=False, semantic_dedup=True,
+              vec_col="embedding", semantic_threshold=0.999)
+    res = lake.prep_sweep(dest, codebook_path=cb_path,
+                          signatures=("embedding_cells",), **kw)
+    assert res["da"]["sidecars"] == {"embedding_cells": "materialized"}
+    kept = {r["doc_id"] for r in
+            spark.read.parquet(res["da"]["dest"]).collect()}
+    assert kept == {1, 3}  # the embedding paraphrase collapsed
+
+    again = lake.prep_sweep(dest, codebook_path=cb_path,
+                            signatures=("embedding_cells",), **kw)
+    assert again["da"]["sidecars"] == {"embedding_cells": "reused"}
+
+    # cells without a codebook refuse; cells without vec_col refuse
+    with pytest.raises(ValueError, match="requires codebook_path"):
+        lake.prep_sweep(dest, signatures=("embedding_cells",), **kw)
+    with pytest.raises(ValueError, match="requires the vec_col"):
+        lake.prep_sweep(dest, codebook_path=cb_path,
+                        signatures=("embedding_cells",), min_quality=0,
+                        near_dup=False, semantic_dedup=True,
+                        semantic_threshold=0.999, vec_col=None)
+    with pytest.raises(ValueError, match="unknown sign_outputs"):
         lake.prep_sweep(dest, sign_outputs=("embedding_cells",))
