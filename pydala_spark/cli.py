@@ -487,19 +487,32 @@ def _cmd_ann(args) -> int:
     append_ivfpq_index on drift); ``ann eval`` measures recall@k
     against exact brute force on a deterministic probe panel — the
     number imbalance only proxies — exiting 3 with ``--fail-recall R``
-    when it drops below R."""
+    when it drops below R. ``ann remove`` deletes vectors by id (the
+    GDPR path — only the affected cell partitions rewrite)."""
     import json
 
     from pydala_spark.operators.ann import (
         append_ivfpq_index,
         index_recall,
         index_stats,
+        remove_from_ivfpq_index,
     )
 
     if not args.index:
         print("ann: --index is required", file=sys.stderr)
         return 2
     spark = _session(args)
+    if args.action == "remove":
+        if not args.source:
+            print("ann remove: --source is required (a dataset whose "
+                  "FIRST column holds the ids to delete)",
+                  file=sys.stderr)
+            return 2
+        ids = spark.read.format(args.source_format).load(args.source)
+        n = remove_from_ivfpq_index(
+            spark, args.index, ids, id_col=args.id_col)
+        print(json.dumps({"removed": n}))
+        return 0
     if args.action == "append":
         if not args.source:
             print("ann append: --source is required", file=sys.stderr)
@@ -927,7 +940,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "vectors to a persisted IVFADC index under its "
                         "pinned codebooks, or print/alert on its health "
                         "report")
-    an.add_argument("action", choices=("append", "stats", "eval"))
+    an.add_argument("action", choices=("append", "stats", "eval",
+                                       "remove"))
     an.add_argument("--index", default=None, help="persisted index path "
                     "(save_ivfpq_index output)")
     an.add_argument("--source", default=None,

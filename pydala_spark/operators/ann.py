@@ -1127,6 +1127,79 @@ def append_ivfpq_index(
     return int(n_new) if n_new is not None else int(df.count())
 
 
+def remove_from_ivfpq_index(
+    spark,
+    path: str,
+    ids,
+    id_col: str = "vec_id",
+) -> int:
+    """Delete vectors from a persisted IVFADC index by id (round 9) —
+    the GDPR/right-to-be-forgotten path, and the other half of index
+    maintenance beside :func:`append_ivfpq_index`: deletions rewrite
+    ONLY the cell partitions that actually contain the ids (dynamic
+    partition overwrite), so removing a handful of documents from a
+    billion-vector index touches a handful of cell directories, not
+    the index. ``ids`` is a list or a single-column DataFrame; ids are
+    compared as strings (the append-path convention). Returns the
+    number of rows removed (0 = nothing matched — a no-op, nothing
+    rewritten).
+
+    Shape: one broadcast semi-join finds the affected cells, the
+    surviving rows of those cells localCheckpoint (the write replaces
+    the very files being read — same self-referential rule as the
+    append's anti-join), one dynamic-overwrite write replaces exactly
+    those partitions, and any cell emptied outright has its directory
+    deleted explicitly (dynamic overwrite can only REPLACE partitions
+    it has rows for — an emptied cell would otherwise silently keep
+    its stale files). Codebook sidecars are untouched: deletion never
+    changes the encoding."""
+    import posixpath
+
+    from pydala_spark.dataset.reader import Dataset
+    from pydala_spark.utils.pathops import PathOps, strip_scheme
+
+    if isinstance(ids, DataFrame):
+        rid = ids.select(
+            F.col(ids.columns[0]).cast("string").alias("__rid"))
+    else:
+        ids = [str(x) for x in ids]
+        if not ids:
+            return 0
+        rid = spark.createDataFrame([(x,) for x in ids], "__rid string")
+    idx = Dataset(spark, path).load()
+    idc = id_col if id_col in idx.columns else "id"
+    keyed = idx.withColumn("__k", F.col(idc).cast("string"))
+    hit = keyed.join(F.broadcast(rid), keyed["__k"] == rid["__rid"],
+                     "left_semi")
+    affected = [r["cell"] for r in
+                hit.select("cell").distinct().collect()]
+    if not affected:
+        return 0
+    n_removed = hit.count()
+    survivors = (
+        keyed.where(F.col("cell").isin(affected))
+        .join(F.broadcast(rid), keyed["__k"] == rid["__rid"],
+              "left_anti")
+        .drop("__k")
+        # the write replaces the files this plan reads — cut the
+        # lineage first (bounded by the affected cells' size; at real
+        # deletion rates that is a handful of cells)
+        .localCheckpoint(eager=True)
+    )
+    kept_cells = {r["cell"] for r in
+                  survivors.select("cell").distinct().collect()}
+    if kept_cells:
+        (survivors.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("cell").parquet(strip_scheme(path)))
+    po = PathOps(spark, path)
+    for cell in set(affected) - kept_cells:
+        # dynamic overwrite never touches a partition it has no rows
+        # for — an emptied cell's stale directory must go explicitly
+        po.delete(posixpath.join(strip_scheme(path), f"cell={cell}"))
+    return int(n_removed)
+
+
 def index_recall(
     spark,
     path: str,

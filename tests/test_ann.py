@@ -930,3 +930,101 @@ def test_index_recall_harness(spark, tmp_path):
                         n_probes=10, rerank_top=80)
     assert full["recall_at_k"] == 1.0  # full pool == brute force
     assert full["recall_at_k"] >= a["recall_at_k"]
+
+
+def test_remove_from_ivfpq_index(spark, tmp_path):
+    # round 9: the deletion half of index maintenance — removal by id
+    # rewrites only the affected cell partitions, equals a rebuild
+    # without those rows, leaves the codebooks untouched, and an
+    # emptied cell's stale directory actually disappears
+    import json
+    import os
+
+    from pydala_spark.operators.ann import (
+        PQ_CODEBOOK_SIDECAR,
+        kmeans_centroids,
+        remove_from_ivfpq_index,
+        save_ivfpq_index,
+        search_ivfpq_index,
+        train_residual_pq,
+    )
+
+    def mk(ids):
+        return spark.createDataFrame(
+            [(i, [float((i % 3) + 1), float(i % 5), 1.0, 0.5])
+             for i in ids],
+            ["vec_id", "embedding"],
+        )
+
+    base = mk(range(120))
+    cents = kmeans_centroids(base, n_centroids=3, seed=1)
+    anchors, books = train_residual_pq(base, cents, m=2, n_codes=4, seed=1)
+    idx = str(tmp_path / "del_idx")
+    save_ivfpq_index(spark, base, idx, cents, books, anchors=anchors)
+    before_cb = json.loads(open(f"{idx}/{PQ_CODEBOOK_SIDECAR}").read())
+
+    drop = [5, 17, 40]
+    assert remove_from_ivfpq_index(spark, idx, drop) == 3
+    assert json.loads(open(f"{idx}/{PQ_CODEBOOK_SIDECAR}").read()) \
+        == before_cb
+
+    rebuilt = str(tmp_path / "del_rebuilt")
+    keep = base.where(~F.col("vec_id").isin(drop))
+    save_ivfpq_index(spark, keep, rebuilt, cents, books, anchors=anchors)
+    probes = mk(range(3))
+    a = search_ivfpq_index(spark, idx, probes, k=5, n_probe_centroids=3)
+    b = search_ivfpq_index(spark, rebuilt, probes, k=5,
+                           n_probe_centroids=3)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    # nothing matched -> no-op, nothing rewritten
+    assert remove_from_ivfpq_index(spark, idx, [99999]) == 0
+
+    # DataFrame form + emptying an entire cell: the stale partition
+    # directory is gone and search over the remainder still works
+    from pydala_spark.dataset.reader import Dataset
+
+    rows = Dataset(spark, idx).load()
+    cells = {r["cell"] for r in rows.select("cell").distinct().collect()}
+    victim = sorted(cells)[0]
+    # the stored index id column is ivf_pq_encode's "id"
+    victim_ids = rows.where(F.col("cell") == victim).select("id")
+    n_victim = victim_ids.count()
+    assert remove_from_ivfpq_index(spark, idx, victim_ids) == n_victim
+    assert not os.path.exists(os.path.join(idx, f"cell={victim}"))
+    left = Dataset(spark, idx).load()
+    assert left.where(F.col("cell") == victim).count() == 0
+    assert left.count() == 117 - n_victim
+    assert search_ivfpq_index(spark, idx, probes, k=3,
+                              n_probe_centroids=3).count() == 9
+
+
+def test_ivfpq_index_survives_compact(spark, tmp_path):
+    # the nightly-cron collision a production user hits: maintain's
+    # compaction over an index directory must keep the codebook
+    # sidecars and leave search bit-identical
+    from pydala_spark.dataset.maintain import compact
+    from pydala_spark.operators.ann import (
+        kmeans_centroids,
+        save_ivfpq_index,
+        search_ivfpq_index,
+        train_residual_pq,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float((i % 3) + 1), float(i % 5), 1.0, 0.5])
+         for i in range(200)],
+        ["vec_id", "embedding"],
+    )
+    cents = kmeans_centroids(df, n_centroids=3, seed=1)
+    anchors, books = train_residual_pq(df, cents, m=2, n_codes=4, seed=1)
+    idx = str(tmp_path / "cpt_idx")
+    save_ivfpq_index(spark, df, idx, cents, books, anchors=anchors)
+    probes = df.where(F.col("vec_id") < 3)
+    before = sorted(map(tuple, search_ivfpq_index(
+        spark, idx, probes, k=5, n_probe_centroids=3).collect()))
+    stats = compact(spark, idx, target_file_mb=64)
+    assert stats["files_after"] <= stats["files_before"]
+    after = sorted(map(tuple, search_ivfpq_index(
+        spark, idx, probes, k=5, n_probe_centroids=3).collect()))
+    assert after == before

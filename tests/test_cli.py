@@ -251,3 +251,32 @@ def test_cli_ann_append_and_stats(spark, tmp_path, capsys):
     assert main(["ann", "append", "--index", idx]) == 2
     assert main(["ann", "stats"]) == 2
     assert main(["ann", "eval", "--index", idx]) == 2
+
+
+def test_cli_ann_remove(spark, tmp_path, capsys):
+    import json
+
+    from pydala_spark.operators.ann import (
+        kmeans_centroids,
+        save_ivfpq_index,
+        train_residual_pq,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float((i % 3) + 1), float(i % 5), 1.0, 0.5])
+         for i in range(60)],
+        ["vec_id", "embedding"],
+    )
+    cents = kmeans_centroids(df, n_centroids=3, seed=1)
+    anchors, books = train_residual_pq(df, cents, m=2, n_codes=4, seed=1)
+    idx = str(tmp_path / "rm_idx")
+    save_ivfpq_index(spark, df, idx, cents, books, anchors=anchors)
+    ids = str(tmp_path / "rm_ids")
+    spark.createDataFrame([(7,), (9,)], ["vec_id"]).write.parquet(ids)
+
+    assert main(["ann", "remove", "--index", idx, "--source", ids]) == 0
+    assert json.loads(capsys.readouterr().out)["removed"] == 2
+    # idempotent: a second run removes nothing
+    assert main(["ann", "remove", "--index", idx, "--source", ids]) == 0
+    assert json.loads(capsys.readouterr().out)["removed"] == 0
+    assert main(["ann", "remove", "--index", idx]) == 2
