@@ -1606,6 +1606,15 @@ class Datalake:
                 "the vec_col prep knob — the cells block the embedding "
                 "column the semantic stage reads"
             )
+        # an embedding-reading config (semantic stage, embedding
+        # decontamination) makes vec_col part of the dataset
+        # QUALIFICATION: a text-only dataset must SKIP with a reason,
+        # not error every night and defeat the cron's exit code +
+        # incremental economy
+        vec_needed = prep_kwargs.get("vec_col") if (
+            prep_kwargs.get("semantic_dedup")
+            or prep_kwargs.get("decontaminate_mode") == "embedding"
+        ) else None
         dest_base = strip_scheme(dest_root).rstrip("/")
         rep_base = (
             strip_scheme(report_dir).rstrip("/") if report_dir
@@ -1617,12 +1626,20 @@ class Datalake:
             "mode": mode, "benchmark": benchmark is not None,
             **{k: v for k, v in sorted(prep_kwargs.items())},
         }
-        if cb is not None:
+        if prep_kwargs.get("semantic_centroids") is not None:
             # a numpy codebook stringifies SUMMARIZED ("...") at real
             # sizes, so two different codebooks could echo identically
             # and wrongly satisfy the incremental config match — record
-            # the sha, which is exactly the identity that matters
-            config["semantic_centroids"] = f"codebook:{cb_sha}"
+            # the sha, which is exactly the identity that matters.
+            # Covers BOTH the codebook_path load and a directly-passed
+            # array (the same hole either way).
+            from pydala_spark.operators.ann import (
+                codebook_sha as _cc_sha,
+            )
+
+            config["semantic_centroids"] = (
+                f"codebook:{_cc_sha(prep_kwargs['semantic_centroids'])}"
+            )
         bench_marker = (
             _frame_marker(benchmark, id_col, F.octet_length(text_col))
             if (incremental and benchmark is not None) else None
@@ -1654,6 +1671,9 @@ class Datalake:
                 df = ds.load()
                 if id_col not in df.columns or text_col not in df.columns:
                     return {"skipped": f"no ({id_col}, {text_col}) columns"}
+                if vec_needed and vec_needed not in df.columns:
+                    return {"skipped": f"no ({vec_needed}) column — "
+                            "config reads embeddings"}
                 marker = None
                 if incremental:
                     marker = _frame_marker(
@@ -1788,9 +1808,14 @@ class Datalake:
                 # would re-run the whole pipeline a second time
                 cleaned = self.spark.read.format(dest_format).load(dest)
                 n_out = cleaned.count()
-                entry = {"dest": dest,
-                         "n_in": (counts.get("input", df.count())
-                                  if stage_counts else df.count()),
+                n_in = (
+                    counts["input"] if stage_counts and "input" in counts
+                    # the incremental marker aggregate already counted
+                    # the corpus — don't pay a second full scan for it
+                    else marker["rows"] if marker is not None
+                    else df.count()
+                )
+                entry = {"dest": dest, "n_in": int(n_in),
                          "n_out": int(n_out)}
                 if sign_outputs:
                     # the cleaned copy's ingest moment: hash the

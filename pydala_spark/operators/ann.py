@@ -1080,20 +1080,23 @@ def append_ivfpq_index(
     training) when it drifts. That trade (stale codebook vs. rebuild)
     is the standard IVF production posture; SemDeDup's lake codebook
     pins work the same way (catalog.py)."""
-    from pydala_spark.dataset.reader import Dataset
-
     if if_exists not in ("raise", "skip"):
         raise ValueError(
             f"append_ivfpq_index: if_exists={if_exists!r} "
             "(expected 'raise' or 'skip')"
         )
-    _, cents, books, residual, anchors, rotation = load_ivfpq_index(
-        spark, path
-    )
+    idx_frame, cents, books, residual, anchors, rotation = \
+        load_ivfpq_index(spark, path)
+    # pin the batch ONCE: the documented caller points this at a live,
+    # growing source, so without the cut the duplicate check, the
+    # encode write and the returned count would each re-execute the
+    # input plan at different moments — rows arriving in between would
+    # slip past the id guard (TOCTOU) and inflate the count with rows
+    # never written
+    df = df.localCheckpoint(eager=True)
     if check_ids:
-        idx_ids = Dataset(spark, path).load()
-        idc = id_col if id_col in idx_ids.columns else "id"
-        old = idx_ids.select(F.col(idc).cast("string").alias("__nid"))
+        idc = id_col if id_col in idx_frame.columns else "id"
+        old = idx_frame.select(F.col(idc).cast("string").alias("__nid"))
         keyed = df.withColumn("__nid", F.col(id_col).cast("string"))
         if if_exists == "skip":
             df = keyed.join(old, "__nid", "left_anti").drop("__nid")
@@ -1116,15 +1119,15 @@ def append_ivfpq_index(
                     "check_ids=False only when ingest guarantees fresh "
                     "ids"
                 )
-            n_new = None
+            n_new = df.count()
     else:
-        n_new = None
+        n_new = df.count()
     save_ivfpq_index(
         spark, df, path, cents, books,
         id_col=id_col, vec_col=vec_col, mode="append",
         residual=residual, anchors=anchors, rotation=rotation,
     )
-    return int(n_new) if n_new is not None else int(df.count())
+    return int(n_new)
 
 
 def remove_from_ivfpq_index(
@@ -1158,6 +1161,8 @@ def remove_from_ivfpq_index(
     from pydala_spark.dataset.reader import Dataset
     from pydala_spark.utils.pathops import PathOps, strip_scheme
 
+    from pydala_spark.dataset import generations
+
     if isinstance(ids, DataFrame):
         rid = ids.select(
             F.col(ids.columns[0]).cast("string").alias("__rid"))
@@ -1166,7 +1171,14 @@ def remove_from_ivfpq_index(
         if not ids:
             return 0
         rid = spark.createDataFrame([(x,) for x in ids], "__rid string")
-    idx = Dataset(spark, path).load()
+    # a compacted index may live under a generation pointer
+    # (maintain.compact swap="generation") — every read resolves to
+    # the active gen-NNNNNN/ dir, so the write and the emptied-cell
+    # deletes must target THAT dir too, not the bare base (a write at
+    # the base would be invisible to resolving readers and the
+    # deletion would silently do nothing)
+    live = generations.resolve(spark, strip_scheme(path))
+    idx = Dataset(spark, live).load()
     idc = id_col if id_col in idx.columns else "id"
     keyed = idx.withColumn("__k", F.col(idc).cast("string"))
     hit = keyed.join(F.broadcast(rid), keyed["__k"] == rid["__rid"],
@@ -1191,12 +1203,12 @@ def remove_from_ivfpq_index(
     if kept_cells:
         (survivors.write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("cell").parquet(strip_scheme(path)))
-    po = PathOps(spark, path)
+         .partitionBy("cell").parquet(live))
+    po = PathOps(spark, live)
     for cell in set(affected) - kept_cells:
         # dynamic overwrite never touches a partition it has no rows
         # for — an emptied cell's stale directory must go explicitly
-        po.delete(posixpath.join(strip_scheme(path), f"cell={cell}"))
+        po.delete(posixpath.join(live, f"cell={cell}"))
     return int(n_removed)
 
 

@@ -1028,3 +1028,38 @@ def test_ivfpq_index_survives_compact(spark, tmp_path):
     after = sorted(map(tuple, search_ivfpq_index(
         spark, idx, probes, k=5, n_probe_centroids=3).collect()))
     assert after == before
+
+
+def test_remove_from_ivfpq_index_generation_layout(spark, tmp_path):
+    # review find (round 9): after maintain.compact(swap="generation")
+    # the live data sits under gen-NNNNNN/ — the deletion's write and
+    # emptied-cell deletes must land THERE, or the GDPR removal
+    # silently does nothing while reporting success
+    from pydala_spark.dataset.maintain import compact
+    from pydala_spark.operators.ann import (
+        kmeans_centroids,
+        remove_from_ivfpq_index,
+        save_ivfpq_index,
+        search_ivfpq_index,
+        train_residual_pq,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float((i % 3) + 1), float(i % 5), 1.0, 0.5])
+         for i in range(90)],
+        ["vec_id", "embedding"],
+    )
+    cents = kmeans_centroids(df, n_centroids=3, seed=1)
+    anchors, books = train_residual_pq(df, cents, m=2, n_codes=4, seed=1)
+    idx = str(tmp_path / "gen_idx")
+    save_ivfpq_index(spark, df, idx, cents, books, anchors=anchors)
+    compact(spark, idx, target_file_mb=64, swap="generation")
+
+    assert remove_from_ivfpq_index(spark, idx, [7, 11]) == 2
+    probes = df.where(F.col("vec_id") < 2)
+    hits = search_ivfpq_index(spark, idx, probes, k=60,
+                              n_probe_centroids=3)
+    got = {r["neighbor_id"] for r in hits.collect()}
+    assert 7 not in got and 11 not in got
+    # a second removal of the same ids is a no-op
+    assert remove_from_ivfpq_index(spark, idx, [7, 11]) == 0

@@ -2226,11 +2226,20 @@ def test_datalake_prep_sweep_semantic_codebook(spark, tmp_path):
     cb_path = str(tmp_path / "cb.json")
     save_codebook(spark, cb, cb_path)
 
+    # a TEXT-ONLY dataset must SKIP an embedding-reading config with a
+    # reason, not error the cron every night (round-9 review find)
+    spark.createDataFrame(
+        [(50, "a dataset that has text but carries no embeddings")],
+        ["doc_id", "text"],
+    ).write.parquet(os.path.join(root, "textonly"))
+    lake.add_dataset("textonly")
+
     kw = dict(min_quality=0, near_dup=False, semantic_dedup=True,
               vec_col="embedding", semantic_threshold=0.999)
     res = lake.prep_sweep(dest, codebook_path=cb_path,
                           signatures=("embedding_cells",), **kw)
     assert res["da"]["sidecars"] == {"embedding_cells": "materialized"}
+    assert res["textonly"]["skipped"].startswith("no (embedding)")
     kept = {r["doc_id"] for r in
             spark.read.parquet(res["da"]["dest"]).collect()}
     assert kept == {1, 3}  # the embedding paraphrase collapsed
