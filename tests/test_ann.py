@@ -1063,3 +1063,89 @@ def test_remove_from_ivfpq_index_generation_layout(spark, tmp_path):
     assert 7 not in got and 11 not in got
     # a second removal of the same ids is a no-op
     assert remove_from_ivfpq_index(spark, idx, [7, 11]) == 0
+
+
+def test_ivfpq_rerank_source_coverage_fail_loud(spark):
+    # ADVICE r9: a caller-supplied rerank_source that does not cover
+    # the PQ candidate pool must ERROR, not silently shrink the result
+    # (fewer than k rows / quietly lower recall). A covering source
+    # (and a superset) still works and equals the default path.
+    from pydala_spark.operators.ann import (
+        ivf_pq_topk,
+        kmeans_centroids,
+        train_residual_pq,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float((i % 3) + 1), float(i % 5), 1.0, 0.5])
+         for i in range(120)],
+        ["vec_id", "embedding"],
+    )
+    cents = kmeans_centroids(df, n_centroids=3, seed=1)
+    anchors, books = train_residual_pq(df, cents, m=2, n_codes=4, seed=1)
+    probes = df.where(F.col("vec_id") < 3)
+
+    # full coverage == default path (rerank_source=None -> corpus)
+    full = ivf_pq_topk(
+        df, probes, cents, books, k=5, n_probe_centroids=1,
+        residual=True, anchors=anchors, rerank_top=20, rerank_source=df,
+    )
+    default = ivf_pq_topk(
+        df, probes, cents, books, k=5, n_probe_centroids=1,
+        residual=True, anchors=anchors, rerank_top=20,
+    )
+    assert sorted(map(tuple, full.collect())) \
+        == sorted(map(tuple, default.collect()))
+
+    # a superset source is fine (extra vectors never join the pool)
+    superset = df.union(
+        spark.createDataFrame([(999, [9.0, 9.0, 9.0, 9.0])],
+                              ["vec_id", "embedding"]))
+    assert sorted(map(tuple, ivf_pq_topk(
+        df, probes, cents, books, k=5, n_probe_centroids=1,
+        residual=True, anchors=anchors, rerank_top=20,
+        rerank_source=superset,
+    ).collect())) == sorted(map(tuple, default.collect()))
+
+    # a source missing pool members fails LOUD at execution
+    partial = df.where(F.col("vec_id") % 2 == 0)
+    with pytest.raises(Exception, match="rerank_source"):
+        ivf_pq_topk(
+            df, probes, cents, books, k=5, n_probe_centroids=1,
+            residual=True, anchors=anchors, rerank_top=20,
+            rerank_source=partial,
+        ).collect()
+
+
+def test_remove_from_ivfpq_index_refuses_to_empty(spark, tmp_path):
+    # ADVICE r9: removing EVERY remaining vector would leave an index
+    # dir holding only sidecars — the next load would die on parquet
+    # schema inference. Refuse up front, before any destructive step,
+    # and leave the index fully intact.
+    from pydala_spark.dataset.reader import Dataset
+    from pydala_spark.operators.ann import (
+        kmeans_centroids,
+        remove_from_ivfpq_index,
+        save_ivfpq_index,
+        search_ivfpq_index,
+        train_residual_pq,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float((i % 3) + 1), float(i % 5), 1.0, 0.5])
+         for i in range(60)],
+        ["vec_id", "embedding"],
+    )
+    cents = kmeans_centroids(df, n_centroids=3, seed=1)
+    anchors, books = train_residual_pq(df, cents, m=2, n_codes=4, seed=1)
+    idx = str(tmp_path / "empty_idx")
+    save_ivfpq_index(spark, df, idx, cents, books, anchors=anchors)
+
+    with pytest.raises(ValueError, match="empty the index entirely"):
+        remove_from_ivfpq_index(spark, idx, list(range(60)))
+
+    # nothing was written or deleted: full row count, search still works
+    assert Dataset(spark, idx).load().count() == 60
+    probes = df.where(F.col("vec_id") < 2)
+    assert search_ivfpq_index(spark, idx, probes, k=3,
+                              n_probe_centroids=3).count() == 6

@@ -2564,9 +2564,16 @@ def test_streaming_decontaminate_sidecar(spark, tmp_path):
                   spark.sql("SELECT doc_id FROM decon_sc").collect())
     assert kept == [2, 3]  # == the frame-input path's verdicts
 
-    # benchmark=None trusts the sidecar without a marker scan
+    # benchmark=None with the default verify=True raises (round 10):
+    # there is nothing to check the marker against, and silently
+    # skipping would leave the caller believing they were guarded
+    with pytest.raises(ValueError, match="verify=False"):
+        streaming_decontaminate(stream, None,
+                                benchmark_signatures=bench_path)
+    # trusting the sidecar without the marker scan is an explicit
+    # verify=False
     out2 = streaming_decontaminate(
-        stream, None, benchmark_signatures=bench_path
+        stream, None, benchmark_signatures=bench_path, verify=False
     )
     q2 = (out2.writeStream.outputMode("append").format("memory")
           .queryName("decon_sc2").trigger(availableNow=True).start())
@@ -2588,7 +2595,7 @@ def test_streaming_decontaminate_sidecar(spark, tmp_path):
     # k/window pins: a mismatched consumer raises instead of silently
     # letting everything through
     with pytest.raises(ValueError, match="disagree"):
-        streaming_decontaminate(stream, None, k=5, window=3,
+        streaming_decontaminate(stream, None, k=5, window=3, verify=False,
                                 benchmark_signatures=bench_path)
 
     # benchmark edited after materialization -> STALE raises when the

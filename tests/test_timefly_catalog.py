@@ -1978,6 +1978,41 @@ def test_datalake_prep_sweep(spark, tmp_path):
                             near_dup=False, incremental=True)
     assert "fresh" not in fifth["da"]
 
+    # out-of-band deletion of the cleaned copy -> the fresh path must
+    # fall through to a re-clean (ADVICE r9), never report "fresh" with
+    # a dest pointing at nothing
+    import shutil
+
+    sixth = lake.prep_sweep(dest, **kw)  # re-establish kw's markers
+    shutil.rmtree(sixth["da"]["dest"])
+    seventh = lake.prep_sweep(dest, **kw)
+    assert "fresh" not in seventh["da"]
+    assert seventh["db"]["fresh"].startswith("unchanged")
+    assert spark.read.parquet(seventh["da"]["dest"]).count() \
+        == seventh["da"]["n_out"]
+
+
+def test_datalake_prep_sweep_append_n_out(spark, tmp_path):
+    # ADVICE r9: with mode="append" the dest accumulates across runs —
+    # n_out must report THIS run's rows (cumulative total in n_total)
+    root = str(tmp_path / "applake")
+    dest = str(tmp_path / "app_out")
+    lake = Datalake(spark, root)
+    spark.createDataFrame(
+        [(1, "a perfectly ordinary document with enough real words")],
+        ["doc_id", "text"],
+    ).write.parquet(os.path.join(root, "da"))
+    lake.add_dataset("da")
+    kw = dict(mode="append", min_quality=0, near_dup=False)
+    r1 = lake.prep_sweep(dest, **kw)
+    assert r1["da"]["n_out"] == 1 and r1["da"]["n_total"] == 1
+    r2 = lake.prep_sweep(dest, **kw)
+    assert r2["da"]["n_out"] == 1 and r2["da"]["n_total"] == 2
+    # overwrite mode keeps the round-9 shape: n_out == rows on disk,
+    # no n_total key
+    r3 = lake.prep_sweep(dest, min_quality=0, near_dup=False)
+    assert r3["da"]["n_out"] == 1 and "n_total" not in r3["da"]
+
 
 def test_datalake_prep_sweep_signature_sidecars(spark, tmp_path):
     # round 9: the prep sweep serves its near-dup stage from each
