@@ -2268,6 +2268,106 @@ class Datalake:
         )
         return results
 
+    def ann_maintain(
+        self,
+        index_path: str,
+        source: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        append: bool = True,
+        if_exists: str = "skip",
+        check_ids: bool = True,
+        fail_imbalance: float | None = None,
+        evaluate: bool = False,
+        k: int = 10,
+        n_probe_centroids: int = 2,
+        n_probes: int = 50,
+        rerank_top: int | None = None,
+        fail_recall: float | None = None,
+    ) -> dict[str, dict]:
+        """Nightly ANN-index maintenance as ONE lake method (round 10,
+        VERDICT r9 #4) — the index is a maintained artifact with
+        alerting (:func:`~pydala_spark.operators.ann.append_ivfpq_index`
+        / ``index_stats`` / ``index_recall``), but until now the
+        alerting only fired if someone scheduled a separate ``ann``
+        CLI job beside the lake cron. This wraps the nightly sequence —
+        grow, health-check, optionally measure — so an
+        ``[ann_maintain]`` section joins the one-TOML cron like every
+        other sweep:
+
+        1. **append** (default on): new vectors from ``source`` encode
+           under the index's pinned codebooks; ``if_exists="skip"``
+           (the default HERE, unlike the one-shot function) is the
+           idempotent cron form — point it at the full, growing
+           embeddings dataset and exactly the unseen rows index.
+        2. **stats** (always): cell histogram + ``imbalance``;
+           ``fail_imbalance=X`` records a trip when max/avg drifts
+           past X — the "rebuild the codebook" alert.
+        3. **eval** (``evaluate=True``): measured recall@k on the
+           deterministic hash-sampled probe panel — the number
+           imbalance only proxies; ``fail_recall=R`` records a trip
+           below R. Costs n_probes brute-force scans, so the knob is
+           opt-in for lakes where the nightly window is tight.
+
+        ``source`` is a lake dataset NAME (the usual form — the
+        embeddings live in the lake) or, as a fallback, a direct path.
+        Returns ``{"index": entry}`` in the sweep-result shape:
+        ``entry["tripped"]`` lists which alerts fired (the cron maps a
+        non-empty list to exit code 3, same contract as ``fail_on_*``),
+        and an exception lands as ``{"error": ...}`` instead of killing
+        the other cron sections.
+        """
+        from pydala_spark.operators.ann import (
+            append_ivfpq_index,
+            index_recall,
+            index_stats,
+        )
+
+        entry: dict = {"path": index_path, "source": source}
+        try:
+            bases = self.discover()
+            if source in bases:
+                base = bases[source]
+                current = posixpath.join(base, "current")
+                data_path = current if self._po.is_dir(current) else base
+                df = Dataset(
+                    self.spark, data_path, name=source,
+                    format=self._dataset_format(base),
+                ).load()
+            else:
+                df = self.spark.read.parquet(strip_scheme(source))
+            if append:
+                entry["appended"] = int(append_ivfpq_index(
+                    self.spark, index_path, df,
+                    id_col=id_col, vec_col=vec_col,
+                    check_ids=check_ids, if_exists=if_exists,
+                ))
+            stats = index_stats(self.spark, index_path)
+            entry["stats"] = {
+                kk: stats[kk] for kk in
+                ("n_vectors", "n_cells", "imbalance") if kk in stats
+            }
+            tripped: list[str] = []
+            if fail_imbalance is not None \
+                    and stats["imbalance"] > fail_imbalance:
+                tripped.append("imbalance")
+            if evaluate:
+                rep = index_recall(
+                    self.spark, index_path, df,
+                    id_col=id_col, vec_col=vec_col, k=k,
+                    n_probe_centroids=n_probe_centroids,
+                    n_probes=n_probes, rerank_top=rerank_top,
+                )
+                entry["recall"] = rep
+                if fail_recall is not None and (
+                        rep["recall_at_k"] is None
+                        or rep["recall_at_k"] < fail_recall):
+                    tripped.append("recall")
+            entry["tripped"] = tripped
+        except Exception as exc:  # contained like every sweep entry
+            entry["error"] = f"{type(exc).__name__}: {exc}"[:500]
+        return {"index": entry}
+
     def __getitem__(self, name: str) -> Dataset:
         if name not in self.datasets:
             self.load(register_views=False)

@@ -592,7 +592,7 @@ def _cmd_signatures(args) -> int:
 #: fail_on_stale the cron exits 3 when anything STILL fails to verify
 _CRON_SECTIONS = ("maintain", "prep_sweep", "decontaminate",
                   "semantic_dedup", "neardup_dedup", "span_dedup_report",
-                  "signatures_report")
+                  "signatures_report", "ann_maintain")
 
 
 def _cmd_cron(args) -> int:
@@ -605,9 +605,12 @@ def _cmd_cron(args) -> int:
     line, not three). Section keys are the Datalake method's kwargs
     (whitelisted against its signature); ``[decontaminate]`` takes
     ``benchmark = ["name=path", ...]`` specs like the flag form, plus
-    ``fail_on_hits``; the dedup sections take ``fail_on_dups``. Exit:
-    1 on any per-dataset error, else 3 when a fail_on_* tripped, else
-    0."""
+    ``fail_on_hits``; the dedup sections take ``fail_on_dups``;
+    ``[ann_maintain]`` (round 10) runs the nightly index sequence —
+    append new vectors, health stats, optional measured recall — with
+    ``fail_imbalance`` / ``fail_recall`` as its alert thresholds. Exit:
+    1 on any per-dataset error, else 3 when a fail_on_* or ann alert
+    tripped, else 0."""
     import inspect
     import json
     import tomllib
@@ -674,6 +677,13 @@ def _cmd_cron(args) -> int:
             fmt = opts.pop("benchmark_format", None) or "parquet"
             if bpath:
                 opts["benchmark"] = spark.read.format(fmt).load(bpath)
+        if section == "ann_maintain":
+            if not (opts.get("index_path") and opts.get("source")):
+                print("cron: [ann_maintain] needs index_path = "
+                      "\"<persisted IVFADC index>\" and source = "
+                      "\"<lake embeddings dataset name (or path)>\"",
+                      file=sys.stderr)
+                return 2
         if section == "decontaminate":
             specs = opts.pop("benchmark", None) or []
             if not specs:
@@ -695,6 +705,13 @@ def _cmd_cron(args) -> int:
         if any(isinstance(r, dict) and "error" in r
                for r in results.values()):
             rc = 1
+        elif rc == 0 and section == "ann_maintain":
+            # the thresholds ARE the fail knobs here (fail_imbalance /
+            # fail_recall in the section): any fired alert -> exit 3,
+            # the same contract the fail_on_* sections follow
+            if any(isinstance(r, dict) and r.get("tripped")
+                   for r in results.values()):
+                rc = 3
         elif rc == 0 and fail_on and section == "signatures_report":
             stale = any(
                 info.get("fresh") is False or info.get("marker") is None

@@ -1532,6 +1532,110 @@ fail_on_stale = true
     capsys.readouterr()
 
 
+def test_cli_cron_ann_maintain(spark, tmp_path, capsys):
+    # round 10 (VERDICT r9 #4): the ANN index joins the nightly TOML —
+    # [ann_maintain] appends the unseen vectors, health-checks, and
+    # (opt-in) measures recall, with the alert thresholds mapping to
+    # exit code 3 like every fail_on_* section
+    import json
+
+    import numpy as np
+
+    from pydala_spark.cli import main
+    from pydala_spark.operators.ann import (
+        kmeans_centroids,
+        save_ivfpq_index,
+        train_residual_pq,
+    )
+
+    root = str(tmp_path / "annlake")
+    lake = Datalake(spark, root)
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(40)]
+    full = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    full.write.parquet(os.path.join(root, "embs"))
+    lake.add_dataset("embs")
+
+    seed_df = full.where(F.col("vec_id") < 30)
+    cents = kmeans_centroids(seed_df, n_centroids=3, seed=5)
+    anchors, books = train_residual_pq(seed_df, cents, m=2, n_codes=8,
+                                       seed=5)
+    idx = str(tmp_path / "ann_idx")
+    save_ivfpq_index(spark, seed_df, idx, cents, books, anchors=anchors)
+
+    cfg = tmp_path / "ann_cron.toml"
+    cfg.write_text(f"""
+root = "{root}"
+
+[ann_maintain]
+index_path = "{idx}"
+source = "embs"
+evaluate = true
+n_probe_centroids = 3
+n_probes = 10
+rerank_top = 40
+fail_recall = 0.99
+""")
+    rc = main(["--master", "local[4]", "cron", str(cfg)])
+    out = json.loads(capsys.readouterr().out)
+    # exactly the 10 unseen vectors appended; all cells probed + exact
+    # re-ranking over the full pool == brute force (the round-9 pin),
+    # so recall is 1.0 and the 0.99 gate holds
+    assert rc == 0
+    entry = out["ann_maintain"]["index"]
+    assert entry["appended"] == 10
+    assert entry["stats"]["n_vectors"] == 40
+    assert entry["recall"]["recall_at_k"] == 1.0
+    assert entry["tripped"] == []
+
+    # idempotent nightly: nothing new -> appended 0, still green
+    rc2 = main(["--master", "local[4]", "cron", str(cfg)])
+    out2 = json.loads(capsys.readouterr().out)
+    assert rc2 == 0 and out2["ann_maintain"]["index"]["appended"] == 0
+
+    # an impossible recall bar trips the alert -> exit 3
+    cfg.write_text(f"""
+root = "{root}"
+
+[ann_maintain]
+index_path = "{idx}"
+source = "embs"
+evaluate = true
+n_probe_centroids = 1
+n_probes = 10
+fail_recall = 1.01
+""")
+    rc3 = main(["--master", "local[4]", "cron", str(cfg)])
+    out3 = json.loads(capsys.readouterr().out)
+    assert rc3 == 3
+    assert out3["ann_maintain"]["index"]["tripped"] == ["recall"]
+
+    # a broken index path is CONTAINED (error entry, exit 1) — one bad
+    # section result must not crash the cron
+    cfg.write_text(f"""
+root = "{root}"
+
+[ann_maintain]
+index_path = "{tmp_path / 'nope_idx'}"
+source = "embs"
+""")
+    rc4 = main(["--master", "local[4]", "cron", str(cfg)])
+    out4 = json.loads(capsys.readouterr().out)
+    assert rc4 == 1 and "error" in out4["ann_maintain"]["index"]
+
+    # missing required keys fail the config check before any Spark work
+    cfg.write_text(f'root = "{root}"\n\n[ann_maintain]\nsource = "embs"\n')
+    assert main(["--master", "local[4]", "cron", str(cfg)]) == 2
+    capsys.readouterr()
+
+    # the direct method form: a PATH source (not a lake name) works too
+    res = lake.ann_maintain(idx, os.path.join(root, "embs"),
+                            fail_imbalance=1e9)
+    assert res["index"]["appended"] == 0
+    assert res["index"]["tripped"] == []
+
+
 def test_datalake_signatures_report(spark, tmp_path, capsys):
     # round 8 (late): the sidecar-freshness dashboard — metadata-only
     # by default, live marker re-check with verify=True, CLI exit codes
