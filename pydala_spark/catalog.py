@@ -1433,6 +1433,7 @@ class Datalake:
         sign_outputs: tuple = (),
         codebook_path: str | None = None,
         max_concurrency: int = 4,
+        overrides: dict[str, dict] | None = None,
         **prep_kwargs,
     ) -> dict[str, dict]:
         """Lake-wide corpus-prep sweep (round 9) — run ONE cleaning
@@ -1511,6 +1512,25 @@ class Datalake:
         the last cached subtree. Costs one count action per enabled
         stage per dataset — a tuning-run knob, not the nightly default.
 
+        ``overrides={dataset: {knob: value}}`` (round 10, VERDICT r9
+        #2) keeps heterogeneous lakes inside the one-cron/one-summary
+        economy: ONE base cleaning config, with per-dataset knob
+        deltas merged over it — a code corpus wants char shingles and
+        no language filter while the web corpora keep the defaults,
+        without N separate sweep invocations and N report dirs. Cron
+        form: ``[prep_sweep.overrides.<dataset>]`` tables. Override
+        knobs validate against the same prep_documents signature up
+        front; a name that matches no lake dataset fails loud (it's a
+        typo'd cron entry, not a harmless extra). Everything derived
+        from the cleaning knobs — the sidecar ``expect=`` pins, the
+        embedding-qualification skip, the hashing params behind
+        ``sign_outputs`` — derives from each dataset's EFFECTIVE
+        config. Each overridden dataset's entry echoes its canonical
+        override delta (``"config"``), and the incremental freshness
+        compare includes it, so a changed override invalidates exactly
+        that dataset while the base-config compare still invalidates
+        the whole sweep.
+
         ``incremental=True``: re-cleaning an unchanged corpus is the
         dominant nightly waste (the full pipeline re-runs per dataset),
         so each entry records the corpus content marker (rows + xor of
@@ -1540,6 +1560,28 @@ class Datalake:
                 f"prep_sweep: unknown prep_documents knob(s) {bad} — "
                 f"valid: {sorted(allowed)}"
             )
+        overrides = {k: dict(v) for k, v in (overrides or {}).items()}
+        if overrides:
+            # override hygiene fails the whole sweep up front, same as
+            # a typo'd base knob: a dataset name that matches nothing
+            # is a typo'd cron table, and an unknown knob inside an
+            # override would otherwise surface as a per-dataset error
+            # every night
+            known = set(self.discover())
+            bad_ds = sorted(set(overrides) - known)
+            if bad_ds:
+                raise ValueError(
+                    f"prep_sweep: overrides for unknown dataset(s) "
+                    f"{bad_ds} — lake has: {sorted(known)}"
+                )
+            for ds_name, ov in overrides.items():
+                bad_k = sorted(set(ov) - allowed)
+                if bad_k:
+                    raise ValueError(
+                        f"prep_sweep: unknown override knob(s) {bad_k} "
+                        f"for dataset {ds_name!r} — valid: "
+                        f"{sorted(allowed)}"
+                    )
         cb = None
         cb_sha = None
         if codebook_path is not None:
@@ -1570,35 +1612,48 @@ class Datalake:
                 f"— valid: {sorted(text_kinds)} (cells for the cleaned "
                 "lake belong to a semantic_dedup sweep over it)"
             )
-        # the sidecars' recorded hashing params must be the ones THIS
-        # sweep's prep knobs imply — same pinning map as the pipeline
-        # CLI (cli.py _expect_map), derived from prep_kwargs defaults
-        sh_mode = prep_kwargs.get("near_dup_shingle_mode", "word")
-        eff_shingle = (prep_kwargs.get("near_dup_shingle_size")
-                       or (7 if sh_mode == "char" else 3))
-        sig_expect = {
-            "minhash": {
-                "id_col": id_col, "text_col": text_col,
-                "n_hashes": prep_kwargs.get("n_hashes", 8),
-                "seed": prep_kwargs.get("near_dup_seed", 0),
-                "shingle_mode": sh_mode, "shingle_size": eff_shingle,
-            },
-            "winnowing": {
-                "id_col": id_col, "text_col": text_col,
-                "k": prep_kwargs.get("winnowing_k", 8),
-                "window": prep_kwargs.get("winnowing_window", 4),
-            },
-            "spans": {
-                "id_col": id_col, "text_col": text_col,
-                "k": prep_kwargs.get("span_k", 20),
-                "window": prep_kwargs.get("span_window", 8),
-            },
-            "embedding_cells": {
-                "id_col": id_col,
-                "vec_col": prep_kwargs.get("vec_col"),
-                "codebook_sha": cb_sha,
-            },
-        }
+        # the sidecars' recorded hashing params must be the ones each
+        # dataset's EFFECTIVE prep knobs imply — same pinning map as
+        # the pipeline CLI (cli.py _expect_map). A per-pkw derivation
+        # because overrides can move the hashing knobs per dataset.
+        def _derived(pkw: dict) -> tuple:
+            sh_mode = pkw.get("near_dup_shingle_mode", "word")
+            eff_shingle = (pkw.get("near_dup_shingle_size")
+                           or (7 if sh_mode == "char" else 3))
+            sig_expect = {
+                "minhash": {
+                    "id_col": id_col, "text_col": text_col,
+                    "n_hashes": pkw.get("n_hashes", 8),
+                    "seed": pkw.get("near_dup_seed", 0),
+                    "shingle_mode": sh_mode, "shingle_size": eff_shingle,
+                },
+                "winnowing": {
+                    "id_col": id_col, "text_col": text_col,
+                    "k": pkw.get("winnowing_k", 8),
+                    "window": pkw.get("winnowing_window", 4),
+                },
+                "spans": {
+                    "id_col": id_col, "text_col": text_col,
+                    "k": pkw.get("span_k", 20),
+                    "window": pkw.get("span_window", 8),
+                },
+                "embedding_cells": {
+                    "id_col": id_col,
+                    "vec_col": pkw.get("vec_col"),
+                    "codebook_sha": cb_sha,
+                },
+            }
+            # an embedding-reading config (semantic stage, embedding
+            # decontamination) makes vec_col part of the dataset
+            # QUALIFICATION: a text-only dataset must SKIP with a
+            # reason, not error every night and defeat the cron's exit
+            # code + incremental economy
+            vec_needed = pkw.get("vec_col") if (
+                pkw.get("semantic_dedup")
+                or pkw.get("decontaminate_mode") == "embedding"
+            ) else None
+            return sh_mode, eff_shingle, sig_expect, vec_needed
+
         if "embedding_cells" in signatures \
                 and not prep_kwargs.get("vec_col"):
             raise ValueError(
@@ -1606,15 +1661,21 @@ class Datalake:
                 "the vec_col prep knob — the cells block the embedding "
                 "column the semantic stage reads"
             )
-        # an embedding-reading config (semantic stage, embedding
-        # decontamination) makes vec_col part of the dataset
-        # QUALIFICATION: a text-only dataset must SKIP with a reason,
-        # not error every night and defeat the cron's exit code +
-        # incremental economy
-        vec_needed = prep_kwargs.get("vec_col") if (
-            prep_kwargs.get("semantic_dedup")
-            or prep_kwargs.get("decontaminate_mode") == "embedding"
-        ) else None
+
+        def _canon_cfg(d: dict) -> dict:
+            # canonical, JSON-stable echo of a per-dataset override:
+            # numpy codebooks stringify SUMMARIZED at real sizes, so
+            # record the sha (the identity that matters) — the same
+            # hole the base-config echo closes below
+            out = dict(sorted(d.items()))
+            if out.get("semantic_centroids") is not None:
+                from pydala_spark.operators.ann import (
+                    codebook_sha as _co_sha,
+                )
+
+                out["semantic_centroids"] = (
+                    f"codebook:{_co_sha(out['semantic_centroids'])}")
+            return _json.loads(_json.dumps(out, default=str))
         dest_base = strip_scheme(dest_root).rstrip("/")
         rep_base = (
             strip_scheme(report_dir).rstrip("/") if report_dir
@@ -1664,6 +1725,10 @@ class Datalake:
             current = posixpath.join(base, "current")
             data_path = current if self._po.is_dir(current) else base
             fmt = self._dataset_format(base)
+            ov = overrides.get(name) or {}
+            pkw = {**prep_kwargs, **ov}
+            canon_over = _canon_cfg(ov)
+            sh_mode, eff_shingle, sig_expect, vec_needed = _derived(pkw)
             try:
                 ds = Dataset(self.spark, data_path, name=name, format=fmt)
                 if not ds._dataset_has_files():
@@ -1682,6 +1747,10 @@ class Datalake:
                     if (isinstance(pe, dict)
                             and pe.get("marker") == marker
                             and "n_out" in pe
+                            # a changed per-dataset override must
+                            # invalidate exactly this dataset (the
+                            # base config compares sweep-wide above)
+                            and (pe.get("config") or {}) == canon_over
                             # the cleaned copy must still EXIST
                             # (ADVICE r9): an out-of-band deletion of
                             # the training copies would otherwise be
@@ -1762,7 +1831,7 @@ class Datalake:
                         if kind == "embedding_cells":
                             mat_kw.update(
                                 centroids=cb,
-                                vec_col=prep_kwargs["vec_col"],
+                                vec_col=pkw["vec_col"],
                             )
                         materialize_signatures(
                             self.spark, df, data_path, **mat_kw)
@@ -1784,7 +1853,7 @@ class Datalake:
                 out = prep_documents(
                     df, id_col=id_col, text_col=text_col,
                     benchmark=benchmark, stage_frames=stages,
-                    **extra, **prep_kwargs,
+                    **extra, **pkw,
                 )
                 dest = posixpath.join(dest_base, name)
                 # under mode="append" the post-write count below is
@@ -1837,6 +1906,11 @@ class Datalake:
                          "n_out": int(n_out)}
                 if mode == "append":
                     entry["n_total"] = int(n_total)
+                if ov:
+                    # echo the EFFECTIVE per-dataset delta into the
+                    # summary — both for the operator reading it and
+                    # for the incremental compare above
+                    entry["config"] = canon_over
                 if sign_outputs:
                     # the cleaned copy's ingest moment: hash the
                     # POST-clean text once so every later sweep over

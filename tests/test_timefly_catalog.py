@@ -2118,6 +2118,130 @@ def test_datalake_prep_sweep_append_n_out(spark, tmp_path):
     assert r3["da"]["n_out"] == 1 and "n_total" not in r3["da"]
 
 
+def test_datalake_prep_sweep_overrides(spark, tmp_path):
+    # round 10 (VERDICT r9 #2): heterogeneous lakes keep the one-cron/
+    # one-summary economy — ONE base cleaning config with per-dataset
+    # knob deltas merged over it
+    import json
+
+    from pydala_spark.dataset.maintain import read_signatures
+
+    root = str(tmp_path / "ovlake")
+    dest = str(tmp_path / "ov_out")
+    lake = Datalake(spark, root)
+    spark.createDataFrame(
+        [(1, "a perfectly ordinary web document with enough words"),
+         (2, "another clean web document with plain readable text")],
+        ["doc_id", "text"],
+    ).write.parquet(os.path.join(root, "web"))
+    spark.createDataFrame(
+        [(10, "def main(): return compute_the_thing(argv) # entry"),
+         (11, "class Thing:\n    def run(self):\n        return 42")],
+        ["doc_id", "text"],
+    ).write.parquet(os.path.join(root, "code"))
+    for n in ("web", "code"):
+        lake.add_dataset(n)
+
+    # override hygiene fails the sweep up front, like a typo'd base knob
+    with pytest.raises(ValueError, match="unknown dataset"):
+        lake.prep_sweep(dest, overrides={"nope": {"min_quality": 1}})
+    with pytest.raises(ValueError, match="unknown override knob"):
+        lake.prep_sweep(dest, overrides={"code": {"min_qualty": 1}})
+
+    # the merged config actually drives each dataset: code gets an
+    # impossible quality bar, web keeps the base
+    res = lake.prep_sweep(dest, min_quality=0, near_dup=False,
+                          overrides={"code": {"min_quality": 99}})
+    assert res["web"]["n_out"] == 2
+    assert res["code"]["n_out"] == 0
+    assert res["code"]["config"] == {"min_quality": 99}
+    assert "config" not in res["web"]
+    summary = json.loads(
+        (tmp_path / "ovlake" / "_prep" / "_summary.json").read_text())
+    assert summary["code"]["config"] == {"min_quality": 99}
+    assert summary["_config"].get("min_quality") == 0  # base only
+
+    # derived hashing params follow the EFFECTIVE config: an override
+    # that flips the shingle mode must pin the materialized sidecar to
+    # char/7 for that dataset while the others stay word/3
+    dest2 = str(tmp_path / "ov_out2")
+    lake.prep_sweep(dest2, min_quality=0, signatures=("minhash",),
+                    overrides={"code": {
+                        "near_dup_shingle_mode": "char"}})
+    _, p_web = read_signatures(spark, os.path.join(root, "web"),
+                               "minhash")
+    _, p_code = read_signatures(spark, os.path.join(root, "code"),
+                                "minhash")
+    assert p_web["shingle_mode"] == "word" \
+        and p_web["shingle_size"] == 3
+    assert p_code["shingle_mode"] == "char" \
+        and p_code["shingle_size"] == 7
+
+    # incremental: a changed override invalidates exactly that dataset
+    kw = dict(min_quality=0, near_dup=False, incremental=True,
+              overrides={"code": {"min_quality": 99}})
+    first = lake.prep_sweep(dest, **kw)
+    assert "fresh" not in first["code"]  # sidecar run above reshaped
+    second = lake.prep_sweep(dest, **kw)
+    assert second["web"]["fresh"].startswith("unchanged")
+    assert second["code"]["fresh"].startswith("unchanged")
+    third = lake.prep_sweep(dest, min_quality=0, near_dup=False,
+                            incremental=True,
+                            overrides={"code": {"min_quality": 0}})
+    assert third["web"]["fresh"].startswith("unchanged")
+    assert "fresh" not in third["code"]
+    assert third["code"]["n_out"] == 2
+    # dropping the override entirely is also a config move for code
+    fourth = lake.prep_sweep(dest, min_quality=0, near_dup=False,
+                             incremental=True)
+    assert fourth["web"]["fresh"].startswith("unchanged")
+    assert "fresh" not in fourth["code"]
+    # ...and a base-config change still invalidates the whole sweep
+    fifth = lake.prep_sweep(dest, min_quality=1, near_dup=False,
+                            incremental=True)
+    assert "fresh" not in fifth["web"] and "fresh" not in fifth["code"]
+
+
+def test_cli_cron_prep_sweep_overrides(spark, tmp_path, capsys):
+    # round 10: the [prep_sweep.overrides.<dataset>] cron TOML form
+    import json
+
+    from pydala_spark.cli import main
+
+    root = str(tmp_path / "ovcron")
+    lake = Datalake(spark, root)
+    spark.createDataFrame(
+        [(1, "a perfectly ordinary web document with enough words")],
+        ["doc_id", "text"],
+    ).write.parquet(os.path.join(root, "web"))
+    spark.createDataFrame(
+        [(10, "def main(): return compute_the_thing(argv) # entry")],
+        ["doc_id", "text"],
+    ).write.parquet(os.path.join(root, "code"))
+    for n in ("web", "code"):
+        lake.add_dataset(n)
+
+    cfg = tmp_path / "ov_cron.toml"
+    dest = str(tmp_path / "ovcron_out")
+    cfg.write_text(f"""
+root = "{root}"
+
+[prep_sweep]
+dest_root = "{dest}"
+min_quality = 0
+near_dup = false
+
+[prep_sweep.overrides.code]
+min_quality = 99
+""")
+    rc = main(["--master", "local[4]", "cron", str(cfg)])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0
+    assert out["prep_sweep"]["web"]["n_out"] == 1
+    assert out["prep_sweep"]["code"]["n_out"] == 0
+    assert out["prep_sweep"]["code"]["config"] == {"min_quality": 99}
+
+
 def test_datalake_prep_sweep_signature_sidecars(spark, tmp_path):
     # round 9: the prep sweep serves its near-dup stage from each
     # dataset's minhash sidecar — verdicts identical to the inline
