@@ -2040,9 +2040,28 @@ class Datalake:
         change without the text marker moving) matches the prior run,
         the union/LSH/connected-components jobs are skipped wholesale
         and the prior verdict table + counts are reused (entries carry
-        ``"fresh"`` saying so). ANY difference — a materialized
-        sidecar, a marker delta, a dataset added/removed/errored, a
-        config change — falls back to the full global sweep.
+        ``"fresh"`` saying so).
+
+        **Partial-incremental** (round 10, VERDICT r9 #5): when K of N
+        datasets changed, the sweep persists its candidate EDGE SET
+        (``<report_dir>/_pairs``) and over-cap bucket keys
+        (``_overcap`` in the summary) each incremental run, and the
+        next run reuses prior edges between two provably-unchanged
+        datasets verbatim — an unchanged doc's band hashes cannot
+        move, so those pairs are exactly the full sweep's. Only
+        buckets TOUCHED by changed docs re-pair
+        (:func:`~pydala_spark.operators.dedup.lsh_candidate_pairs_delta`
+        — the touched keys broadcast against the map-side banded scan,
+        so the unchanged 99% of signatures never shuffles), then CC +
+        keeper ranking run over prior-unchanged ∪ new edges; summaries
+        carry ``"_sweep_mode": "partial"``. Invalidation rule: a
+        config or hashing-param change discards the prior summary up
+        top (full re-band), and any viral-bucket cap-status transition
+        (a prior over-cap bucket shrinking under the cap, or a touched
+        bucket newly crossing it) makes prior edges non-reusable, so
+        the delta call falls back to the full sweep. Dataset
+        add/remove/skip/error all stay exact: their prior edges drop
+        with the unchanged-only filter and their buckets re-pair.
         ``verify=False`` extends the same trust to skipping that it
         already grants to sweeping (markers then come from the sidecar
         record, not a live re-scan).
@@ -2195,14 +2214,19 @@ class Datalake:
                 prepped = list(pool.map(lambda nb: _prep_one(*nb), items))
         else:
             prepped = [_prep_one(name, base) for name, base in items]
+        tagged_names: set[str] = set()
         for (name, _), (entry, tagged, sc) in zip(items, prepped):
             results[name] = entry
             if tagged is not None:
+                tagged_names.add(name)
                 union = (tagged if union is None
                          else union.unionByName(tagged))
             if sc is not None:
                 scores = sc if scores is None else scores.unionByName(sc)
 
+        #: set below when a prior edge set makes the delta path legal:
+        #: (unchanged dataset names, prior over-cap bucket keys)
+        partial_ctx = None
         if incremental and prior is not None:
             def _fresh(name: str, entry: dict) -> bool:
                 pe = prior.get(name)
@@ -2231,9 +2255,9 @@ class Datalake:
                 # for this dataset — an entry without counts proves
                 # nothing about a verdict table
                 return "n_docs" in pe
+            fresh_map = {n: _fresh(n, e) for n, e in results.items()}
             prior_names = {k for k in prior if not k.startswith("_")}
-            if (prior_names == set(results)
-                    and all(_fresh(n, e) for n, e in results.items())):
+            if prior_names == set(results) and all(fresh_map.values()):
                 # ALL-FRESH: the prior verdict is provably current —
                 # skip the union/LSH/CC jobs and the verdict rewrite
                 out = {
@@ -2246,19 +2270,101 @@ class Datalake:
                     "_lake",
                     {"n_clusters": 0, "n_cross_dataset_clusters": 0})
                 out["_config"] = config
+                out["_sweep_mode"] = "fresh"
+                out["_overcap"] = prior.get("_overcap")
+                out["_edges"] = prior.get("_edges")
                 self._po.write_text(
                     posixpath.join(rep_base, "_summary.json"),
                     _json.dumps(out, indent=2, sort_keys=True,
                                 default=str),
                 )
                 return out
+            # PARTIAL-INCREMENTAL (round 10, VERDICT r9 #5): K of N
+            # datasets changed. Prior edges between two UNCHANGED
+            # datasets are still exactly the full sweep's (an unchanged
+            # doc's band hashes cannot move), so only buckets touched
+            # by changed docs need pairing — the delta path in
+            # lsh_candidate_pairs_delta. Legal only when the prior run
+            # persisted its edge set + over-cap keys under THIS config
+            # (config mismatch already nulled `prior` above); any
+            # cap-status transition falls back to the full sweep
+            # inside the delta call. Unchanged == provably-fresh AND
+            # contributing signatures; everything else (changed,
+            # added, removed, newly-skipped, errored) is handled by
+            # dropping its prior edges and/or re-pairing its buckets.
+            unchanged = {n for n, ok in fresh_map.items()
+                         if ok and n in tagged_names}
+            if (unchanged
+                    and prior.get("_edges") is not None
+                    and prior.get("_overcap") is not None
+                    and self._po.is_dir(
+                        posixpath.join(rep_base, "_pairs"))):
+                partial_ctx = (
+                    sorted(unchanged),
+                    [tuple(x) for x in prior["_overcap"]],
+                )
 
         lake_stats = {"n_clusters": 0, "n_cross_dataset_clusters": 0}
+        sweep_mode = "full"
+        overcap_keys: list = []
+        n_edges = None
         if union is not None:
-            pairs = lsh_candidate_pairs(
-                union, "__lid", n_bands=n_bands,
-                max_bucket_size=max_bucket_size,
+            from pydala_spark.operators.dedup import (
+                lsh_candidate_pairs_delta,
             )
+
+            pairs = None
+            if partial_ctx is not None:
+                unchanged_names, prior_oc = partial_ctx
+                prior_pairs = self.spark.read.parquet(
+                    posixpath.join(rep_base, "_pairs"))
+                pp_unchanged = prior_pairs.where(
+                    F.substring_index(F.col("id_a"), sep, 1)
+                    .isin(unchanged_names)
+                    & F.substring_index(F.col("id_b"), sep, 1)
+                    .isin(unchanged_names)
+                )
+                changed_names = sorted(tagged_names - set(unchanged_names))
+                pairs = lsh_candidate_pairs_delta(
+                    union, "__lid",
+                    is_changed=F.substring_index(
+                        F.col("__lid"), sep, 1).isin(changed_names),
+                    prior_pairs_unchanged=pp_unchanged,
+                    prior_overcap=prior_oc,
+                    n_bands=n_bands,
+                    max_bucket_size=max_bucket_size,
+                )
+                if pairs is not None:
+                    sweep_mode = "partial"
+                    overcap_keys = list(prior_oc)
+            if pairs is None:
+                pairs = lsh_candidate_pairs(
+                    union, "__lid", n_bands=n_bands,
+                    max_bucket_size=max_bucket_size,
+                )
+                if incremental and max_bucket_size is not None:
+                    # record the over-cap bucket keys beside the edge
+                    # set — the delta path's cap-transition tripwire.
+                    # Bounded: over-cap buckets are <= n_docs/cap by
+                    # construction (usually zero).
+                    from pydala_spark.operators.dedup import band_frame
+
+                    overcap_keys = [
+                        (int(r["band_id"]), r["band_hash"])
+                        for r in band_frame(union, "__lid", n_bands)
+                        .groupBy("band_id", "band_hash")
+                        .agg(F.count_distinct("__lid").alias("n"))
+                        .where(F.col("n") > max_bucket_size)
+                        .collect()
+                    ]
+            if incremental:
+                # the next night's delta path needs tonight's edges —
+                # pin them first (the partial path READS _pairs and
+                # this overwrites it: classic self-referential write)
+                pairs = pairs.localCheckpoint(eager=True)
+                n_edges = pairs.count()
+                pairs.write.mode("overwrite").parquet(
+                    posixpath.join(rep_base, "_pairs"))
             clusters = dedup_clusters(pairs).select(
                 F.col("id").alias("__cid"),
                 F.col("cluster_id").alias("cluster"),
@@ -2336,6 +2442,15 @@ class Datalake:
         results["_lake"] = lake_stats
         # seed the NEXT sweep's all-fresh fast-path decision
         results["_config"] = config
+        results["_sweep_mode"] = sweep_mode
+        if incremental:
+            # the next night's PARTIAL fast-path inputs: edge count
+            # (proves the edge set landed) + over-cap bucket keys (the
+            # cap-transition tripwire). Invalidation rule: a config or
+            # hashing-param change nulls `prior` up top, so a stale
+            # edge set can never pair under new knobs — full re-band.
+            results["_edges"] = n_edges
+            results["_overcap"] = [list(x) for x in overcap_keys]
         self._po.write_text(
             posixpath.join(rep_base, "_summary.json"),
             _json.dumps(results, indent=2, sort_keys=True, default=str),

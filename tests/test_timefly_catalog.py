@@ -1915,6 +1915,129 @@ def test_datalake_neardup_incremental(spark, tmp_path):
     assert seventh["dump_c"]["sidecar"] == "materialized"
 
 
+def test_datalake_neardup_partial_incremental(spark, tmp_path):
+    # round 10 (VERDICT r9 #5): when K of N datasets changed, prior
+    # edges between unchanged datasets are reused and only touched
+    # buckets re-pair — clusters AND keepers must equal a from-scratch
+    # full sweep over the same final lake state
+    s1 = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+          "juliet kilo lima mike")
+    s2 = ("november oscar papa quebec romeo sierra tango uniform "
+          "victor whiskey xray yankee zulu")
+
+    def mk_lake(base, with_mutation):
+        root = str(tmp_path / base)
+        lake = Datalake(spark, root)
+        spark.createDataFrame(
+            [(1, s1), (2, "unique content one nothing alike anywhere")],
+            ["doc_id", "text"],
+        ).write.parquet(os.path.join(root, "da"))
+        spark.createDataFrame(
+            [(10, s1), (11, s2)], ["doc_id", "text"],
+        ).write.parquet(os.path.join(root, "db"))
+        dc = [(20, s2), (21, "another singleton with its own words")]
+        if with_mutation:
+            dc.append((22, s1))
+        spark.createDataFrame(dc, ["doc_id", "text"]) \
+            .write.parquet(os.path.join(root, "dc"))
+        for n in ("da", "db", "dc"):
+            lake.add_dataset(n)
+        return lake, root
+
+    lake1, root1 = mk_lake("pinc1", with_mutation=False)
+    r1 = lake1.neardup_dedup(incremental=True)
+    assert r1["_sweep_mode"] == "full"
+    assert r1["_edges"] == 2  # (da1,db10) and (db11,dc20)
+    assert r1["_overcap"] == []
+    r2 = lake1.neardup_dedup(incremental=True)
+    assert r2["_sweep_mode"] == "fresh"
+
+    # one dataset mutates: dc gains a doc joining da/db's s1 cluster
+    spark.createDataFrame([(22, s1)], ["doc_id", "text"]) \
+        .write.mode("append").parquet(os.path.join(root1, "dc"))
+    r3 = lake1.neardup_dedup(incremental=True)
+    assert r3["_sweep_mode"] == "partial"
+    assert r3["dc"]["sidecar"] == "materialized"
+    assert r3["da"]["sidecar"] == "reused"
+
+    # the oracle: a from-scratch full sweep over the identical final
+    # state — clusters AND keepers identical, per-dataset counts too
+    lake2, _ = mk_lake("pinc2", with_mutation=True)
+    rf = lake2.neardup_dedup()
+    for n in ("da", "db", "dc"):
+        for key in ("n_docs", "n_dropped", "n_cross_dropped"):
+            assert r3[n][key] == rf[n][key], (n, key, r3[n], rf[n])
+    assert r3["_lake"]["n_clusters"] == rf["_lake"]["n_clusters"] == 2
+    assert (r3["_lake"]["n_cross_dataset_clusters"]
+            == rf["_lake"]["n_cross_dataset_clusters"] == 2)
+    v_part = sorted(map(tuple, spark.read.parquet(
+        os.path.join(root1, "_neardup", "_verdicts"))
+        .select("dataset", "id", "cluster", "kept",
+                "rep_dataset", "rep_id").collect()))
+    v_full = sorted(map(tuple, spark.read.parquet(
+        str(tmp_path / "pinc2" / "_neardup" / "_verdicts"))
+        .select("dataset", "id", "cluster", "kept",
+                "rep_dataset", "rep_id").collect()))
+    assert v_part == v_full
+
+    # the partial state is itself reusable: unchanged night -> fresh,
+    # then a second mutation chains partial-over-partial and still
+    # matches its own full re-run
+    r4 = lake1.neardup_dedup(incremental=True)
+    assert r4["_sweep_mode"] == "fresh"
+    spark.createDataFrame([(3, s2)], ["doc_id", "text"]) \
+        .write.mode("append").parquet(os.path.join(root1, "da"))
+    r5 = lake1.neardup_dedup(incremental=True)
+    assert r5["_sweep_mode"] == "partial"
+    r5_full = lake1.neardup_dedup()  # non-incremental full, same lake
+    for n in ("da", "db", "dc"):
+        for key in ("n_docs", "n_dropped", "n_cross_dropped"):
+            assert r5[n][key] == r5_full[n][key]
+
+
+def test_datalake_neardup_partial_cap_transition(spark, tmp_path):
+    # round 10: a viral-bucket cap-status transition makes prior edges
+    # non-reusable — the delta path must detect BOTH directions and
+    # fall back to the full sweep
+    root = str(tmp_path / "capnd")
+    lake = Datalake(spark, root)
+    s = ("the same viral boilerplate paragraph repeated across the "
+         "whole crawl again and again")
+    spark.createDataFrame(
+        [(1, s), (2, "unique words in dataset a nothing else")],
+        ["doc_id", "text"],
+    ).write.parquet(os.path.join(root, "da"))
+    spark.createDataFrame([(10, s)], ["doc_id", "text"]) \
+        .write.parquet(os.path.join(root, "db"))
+    for n in ("da", "db"):
+        lake.add_dataset(n)
+
+    kw = dict(incremental=True, max_bucket_size=2)
+    r1 = lake.neardup_dedup(**kw)
+    assert r1["_sweep_mode"] == "full"
+    assert r1["_overcap"] == [] and r1["_lake"]["n_clusters"] == 1
+
+    # under -> over: a third identical doc pushes the bucket past the
+    # cap; the full sweep would now suppress the pair entirely
+    spark.createDataFrame([(11, s)], ["doc_id", "text"]) \
+        .write.mode("append").parquet(os.path.join(root, "db"))
+    r2 = lake.neardup_dedup(**kw)
+    assert r2["_sweep_mode"] == "full"  # delta refused, fell back
+    assert len(r2["_overcap"]) > 0
+    assert r2["_lake"]["n_clusters"] == 0  # viral bucket dropped
+    assert r2["da"]["n_dropped"] == 0 and r2["db"]["n_dropped"] == 0
+
+    # over -> under: the viral bucket shrinks back under the cap; the
+    # full sweep would now EMIT pairs the prior run suppressed
+    spark.createDataFrame([(10, s)], ["doc_id", "text"]) \
+        .write.mode("overwrite").parquet(os.path.join(root, "db"))
+    r3 = lake.neardup_dedup(**kw)
+    assert r3["_sweep_mode"] == "full"
+    assert r3["_overcap"] == []
+    assert r3["_lake"]["n_clusters"] == 1
+    assert r3["da"]["n_dropped"] + r3["db"]["n_dropped"] == 1
+
+
 def test_datalake_neardup_matches_manual_union(spark, tmp_path):
     # round 9 property pin: the lake sweep's clusters and keepers equal
     # the single-corpus operator chain (minhash -> LSH -> connected
