@@ -2365,6 +2365,73 @@ min_quality = 99
     assert out["prep_sweep"]["code"]["config"] == {"min_quality": 99}
 
 
+def test_prep_sweep_cleaned_lake_handoff(spark, tmp_path):
+    # round 10 (VERDICT r9 #6): the cleaned copies ARE a new lake —
+    # prep_sweep(sign_outputs=) signs them at creation, a Datalake over
+    # dest_root starts sidecar-served, and a semantic_dedup sweep over
+    # the new lake closes the deliberate embedding_cells exclusion by
+    # pinning the CLEANED corpus's own codebook + cells there
+    import numpy as np
+
+    root = str(tmp_path / "handlake")
+    dest = str(tmp_path / "handout")
+    lake = Datalake(spark, root)
+    rng = np.random.default_rng(17)
+
+    def vec(seed_row):
+        return [float(x) for x in rng.normal(size=6)]
+
+    shared = ("the exact same crawl paragraph showing up twice in the "
+              "corpus word for word")
+    base = [
+        (1, shared, vec(1)),
+        (2, shared, vec(2)),  # text near-dup of 1 — prep drops one
+        (3, "a unique document with plenty of distinct words", vec(3)),
+        (4, "another unique document with different words again", vec(4)),
+    ]
+    # 3 and 4 get near-identical embeddings: the SEMANTIC sweep over
+    # the cleaned lake must catch what text dedup cannot
+    base[3] = (4, base[3][1],
+               [x + 1e-4 for x in base[2][2]])
+    spark.createDataFrame(
+        base, "doc_id long, text string, embedding array<double>",
+    ).write.parquet(os.path.join(root, "docs"))
+    lake.add_dataset("docs")
+
+    res = lake.prep_sweep(dest, min_quality=0, near_dup=True,
+                          sign_outputs=("minhash",))
+    assert res["docs"]["n_out"] == 3  # one exact/near text dup gone
+    assert res["docs"]["signed"] == ["minhash"]
+
+    # the handoff: a NEW Datalake rooted at the cleaned copies
+    clean = Datalake(spark, dest)
+    clean.add_dataset("docs")
+    # non-text columns rode through the pipeline into the copy
+    assert "embedding" in spark.read.parquet(
+        res["docs"]["dest"]).columns
+
+    nd = clean.neardup_dedup()
+    # signed at creation -> the new lake's sweep starts sidecar-served
+    assert nd["docs"]["sidecar"] == "reused"
+    assert nd["docs"]["n_dropped"] == 0  # text dups already cleaned
+
+    sd = clean.semantic_dedup(id_col="doc_id", threshold=0.999,
+                              n_centroids=2)
+    assert sd["docs"]["n_dropped"] == 1  # the embedding near-dup pair
+    # ...and the cells sidecar now lives in the CLEANED lake, pinned
+    # to the codebook this sweep trained over the cleaned corpus
+    from pydala_spark.dataset.maintain import read_signatures
+
+    _, params = read_signatures(
+        spark, res["docs"]["dest"], "embedding_cells")
+    assert params.get("codebook_sha")
+
+    # second semantic sweep reuses the fresh cells sidecar
+    sd2 = clean.semantic_dedup(id_col="doc_id", threshold=0.999,
+                               n_centroids=2)
+    assert sd2["docs"]["sidecar"] == "reused"
+
+
 def test_datalake_prep_sweep_signature_sidecars(spark, tmp_path):
     # round 9: the prep sweep serves its near-dup stage from each
     # dataset's minhash sidecar — verdicts identical to the inline
