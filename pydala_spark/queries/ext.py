@@ -1831,10 +1831,11 @@ WHERE rnk <= {k}
 """
 
 
-def _ann_topk_sql() -> str:
-    pad = ("CAST(NULL AS BIGINT) AS n_exact, CAST(NULL AS BIGINT) AS n_hit, "
-           "CAST(NULL AS DOUBLE) AS recall")
-    recall = (
+def _ann_recall_sql() -> str:
+    """Oracle for the ``recall`` family: recall@k of the lsh branch
+    against exact brute-force cosine — COUNTs and one exact division,
+    ranked columns padded NULL (the tagged-union shape)."""
+    return (
         "SELECT 'recall' AS family, probe_id, CAST(NULL AS BIGINT) AS neighbor_id,\n"
         "       CAST(NULL AS BIGINT) AS rnk, CAST(NULL AS DOUBLE) AS sim_r,\n"
         "       n_exact, n_hit, recall\n"
@@ -1847,17 +1848,38 @@ def _ann_topk_sql() -> str:
         "        ON e.probe_id = a.p2 AND e.neighbor_id = a.n2\n"
         "      GROUP BY e.probe_id)"
     )
-    return (
-        f"SELECT 'lsh' AS family, *, {pad} FROM (" + _lsh_topk_sql(64, 6) + ")\n"
-        f"UNION ALL\nSELECT 'ivf' AS family, *, {pad} FROM ("
-        + _ivf_topk_sql(4, 5) + ")\n"
-        f"UNION ALL\nSELECT 'quant' AS family, *, {pad} FROM ("
-        + _Q_QUANTIZED_COSINE_SQL + ")\n"
-        f"UNION ALL\nSELECT 'ivfpq' AS family, *, {pad} FROM ("
-        + _ivfpq_topk_sql(4, 5) + ")\n"
-        f"UNION ALL\nSELECT 'rerank' AS family, *, {pad} FROM ("
-        + _ivfpq_rerank_sql(4, 5, 15) + ")\n"
-        "UNION ALL\n" + recall
+
+
+#: ``q_ann_topk`` FAMILY MAP (VERDICT r9 #7 — reviewability; the union
+#: stacks six families, each pairing a Spark branch with its oracle):
+#:
+#: | family | Spark branch              | oracle builder             |
+#: |--------|---------------------------|----------------------------|
+#: | lsh    | q_lsh_topk                | _lsh_topk_sql(64, 6)       |
+#: | ivf    | q_ivf_topk                | _ivf_topk_sql(4, 5)        |
+#: | quant  | q_quantized_cosine        | _Q_QUANTIZED_COSINE_SQL    |
+#: | ivfpq  | _q_ivfpq_branch           | _ivfpq_topk_sql(4, 5)      |
+#: | rerank | _q_ivfpq_rerank_branch    | _ivfpq_rerank_sql(4, 5, 15)|
+#: | recall | topk_recall(lsh, cosine)  | _ann_recall_sql()          |
+#:
+#: The ranked families share (probe_id, neighbor_id, rnk, sim_r) and
+#: get the recall columns NULL-padded; `recall` pads the ranked
+#: columns. Registry budget note (CLAUDE.md): any new ANN coverage
+#: lands as a row HERE, never as a new registry entry.
+def _ann_topk_sql() -> str:
+    pad = ("CAST(NULL AS BIGINT) AS n_exact, CAST(NULL AS BIGINT) AS n_hit, "
+           "CAST(NULL AS DOUBLE) AS recall")
+    ranked = [
+        ("lsh", _lsh_topk_sql(64, 6)),
+        ("ivf", _ivf_topk_sql(4, 5)),
+        ("quant", _Q_QUANTIZED_COSINE_SQL),
+        ("ivfpq", _ivfpq_topk_sql(4, 5)),
+        ("rerank", _ivfpq_rerank_sql(4, 5, 15)),
+    ]
+    return "\nUNION ALL\n".join(
+        [f"SELECT '{fam}' AS family, *, {pad} FROM ({sql})"
+         for fam, sql in ranked]
+        + [_ann_recall_sql()]
     )
 
 
