@@ -1620,6 +1620,19 @@ class Datalake:
             sh_mode = pkw.get("near_dup_shingle_mode", "word")
             eff_shingle = (pkw.get("near_dup_shingle_size")
                            or (7 if sh_mode == "char" else 3))
+            # the cells pin follows the EFFECTIVE codebook: an override
+            # that swaps semantic_centroids for one dataset must expect
+            # (and materialize) cells under THAT codebook's sha, or the
+            # sha refusal would error that dataset every night
+            eff_cb = pkw.get("semantic_centroids")
+            if eff_cb is not None:
+                from pydala_spark.operators.ann import (
+                    codebook_sha as _cd_sha,
+                )
+
+                eff_sha = _cd_sha(eff_cb)
+            else:
+                eff_sha = cb_sha
             sig_expect = {
                 "minhash": {
                     "id_col": id_col, "text_col": text_col,
@@ -1640,7 +1653,7 @@ class Datalake:
                 "embedding_cells": {
                     "id_col": id_col,
                     "vec_col": pkw.get("vec_col"),
-                    "codebook_sha": cb_sha,
+                    "codebook_sha": eff_sha,
                 },
             }
             # an embedding-reading config (semantic stage, embedding
@@ -1654,12 +1667,14 @@ class Datalake:
             ) else None
             return sh_mode, eff_shingle, sig_expect, vec_needed
 
-        if "embedding_cells" in signatures \
-                and not prep_kwargs.get("vec_col"):
+        if "embedding_cells" in signatures and not (
+                prep_kwargs.get("vec_col")
+                or any(ov.get("vec_col") for ov in overrides.values())):
             raise ValueError(
                 "prep_sweep: signatures=('embedding_cells',) requires "
-                "the vec_col prep knob — the cells block the embedding "
-                "column the semantic stage reads"
+                "the vec_col prep knob (base config or a per-dataset "
+                "override) — the cells block the embedding column the "
+                "semantic stage reads"
             )
 
         def _canon_cfg(d: dict) -> dict:
@@ -1792,6 +1807,16 @@ class Datalake:
                 sidecar_status: dict = {}
                 extra: dict = {}
                 for kind in signatures:
+                    if kind == "embedding_cells" and vec_needed is None:
+                        # this dataset's EFFECTIVE config runs no
+                        # embedding-reading stage (an override can turn
+                        # semantic cleaning off per dataset) — serving
+                        # cells it would never consume is wasted
+                        # hashing, and a text-only override would error
+                        # on it nightly
+                        sidecar_status[kind] = (
+                            "skipped (config reads no embeddings)")
+                        continue
                     from pydala_spark.dataset.maintain import (
                         materialize_signatures,
                         read_signatures,
@@ -1829,8 +1854,17 @@ class Datalake:
                             span_window=sig_expect["spans"]["window"],
                         )
                         if kind == "embedding_cells":
+                            import numpy as _np
+
+                            eff_cb = pkw.get("semantic_centroids")
                             mat_kw.update(
-                                centroids=cb,
+                                # the EFFECTIVE codebook — an override
+                                # may have swapped it for this dataset,
+                                # and the cells must pin to the one the
+                                # semantic stage will actually assign
+                                centroids=(
+                                    _np.asarray(eff_cb)
+                                    if eff_cb is not None else cb),
                                 vec_col=pkw["vec_col"],
                             )
                         materialize_signatures(
@@ -2294,7 +2328,25 @@ class Datalake:
             # dropping its prior edges and/or re-pairing its buckets.
             unchanged = {n for n, ok in fresh_map.items()
                          if ok and n in tagged_names}
+            # delta-size guard: the delta path force-broadcasts the
+            # touched-bucket keys (changed_docs × n_bands). A huge
+            # delta (a big dataset fully re-ingested) would OOM the
+            # broadcast where the plain full sweep succeeds — refuse
+            # partial past ~2M keys (~100 MB broadcast) or when any
+            # changed dataset's row count is unknown. Savings-wise a
+            # big delta gains little anyway; correctness never depends
+            # on taking the partial path.
+            changed_rows = 0
+            rows_known = True
+            for n in tagged_names - unchanged:
+                m = results[n].get("marker")
+                if not (isinstance(m, dict) and "rows" in m):
+                    rows_known = False
+                    break
+                changed_rows += int(m["rows"])
             if (unchanged
+                    and rows_known
+                    and changed_rows * n_bands <= 2_000_000
                     and prior.get("_edges") is not None
                     and prior.get("_overcap") is not None
                     and self._po.is_dir(
@@ -2337,26 +2389,35 @@ class Datalake:
                 if pairs is not None:
                     sweep_mode = "partial"
                     overcap_keys = list(prior_oc)
-            if pairs is None:
+            if pairs is None and incremental:
+                # the full path under incremental needs TWO outputs of
+                # the banding shuffle — the pairs and the over-cap keys
+                # the next delta night pins against — so pay it once:
+                # checkpoint the bucket frame and derive both from it
+                from pydala_spark.operators.dedup import (
+                    bucket_pairs,
+                    lsh_buckets,
+                )
+
+                bks = lsh_buckets(
+                    union, "__lid", n_bands,
+                ).localCheckpoint(eager=True)
+                if max_bucket_size is not None:
+                    # bounded: over-cap buckets are <= n_docs/cap by
+                    # construction (usually zero)
+                    overcap_keys = [
+                        (int(r["band_id"]), r["band_hash"])
+                        for r in bks
+                        .where(F.size("ids") > max_bucket_size)
+                        .select("band_id", "band_hash").collect()
+                    ]
+                    bks = bks.where(F.size("ids") <= max_bucket_size)
+                pairs = bucket_pairs(bks)
+            elif pairs is None:
                 pairs = lsh_candidate_pairs(
                     union, "__lid", n_bands=n_bands,
                     max_bucket_size=max_bucket_size,
                 )
-                if incremental and max_bucket_size is not None:
-                    # record the over-cap bucket keys beside the edge
-                    # set — the delta path's cap-transition tripwire.
-                    # Bounded: over-cap buckets are <= n_docs/cap by
-                    # construction (usually zero).
-                    from pydala_spark.operators.dedup import band_frame
-
-                    overcap_keys = [
-                        (int(r["band_id"]), r["band_hash"])
-                        for r in band_frame(union, "__lid", n_bands)
-                        .groupBy("band_id", "band_hash")
-                        .agg(F.count_distinct("__lid").alias("n"))
-                        .where(F.col("n") > max_bucket_size)
-                        .collect()
-                    ]
             if incremental:
                 # the next night's delta path needs tonight's edges —
                 # pin them first (the partial path READS _pairs and
@@ -2512,6 +2573,17 @@ class Datalake:
             index_stats,
         )
 
+        if fail_recall is not None and not evaluate:
+            # config hygiene, up front and loud: a cron section with a
+            # recall gate but no evaluation would exit 0 forever while
+            # the caller believes the gate is guarding the index — the
+            # exact silently-unguarded shape round 10 closed for
+            # streaming_decontaminate(verify=)
+            raise ValueError(
+                "ann_maintain: fail_recall needs evaluate=True — no "
+                "recall is measured otherwise, so the gate would never "
+                "fire"
+            )
         entry: dict = {"path": index_path, "source": source}
         try:
             bases = self.discover()

@@ -725,6 +725,7 @@ def ivf_pq_topk(
     rotation: np.ndarray | None = None,
     rerank_top: int | None = None,
     rerank_source: DataFrame | None = None,
+    rerank_coverage: str = "strict",
 ) -> DataFrame:
     """IVFADC approximate top-k: candidates come from the probes'
     ``n_probe_centroids`` best IVF cells (equi-join on cell — the
@@ -756,8 +757,21 @@ def ivf_pq_topk(
     second per-probe window over ≤C rows. With ``encoded=True`` the
     codes can't reconstruct exact vectors, so ``rerank_source`` (the
     original ``(id_col, vec_col)`` frame) is REQUIRED; inline callers
-    may omit it (the corpus itself is the source)."""
+    may omit it (the corpus itself is the source).
+
+    ``rerank_coverage`` (round 10, ADVICE r9): with the default
+    ``"strict"``, a caller-supplied ``rerank_source`` that does not
+    cover the PQ candidate pool FAILS LOUD at execution (partial AND
+    total misses — an inner join would otherwise silently shrink
+    results and recall). ``"prune"`` opts back into dropping uncovered
+    candidates — the right mode when the source legitimately drifts
+    from the index (``index_recall`` uses it: the eval must MEASURE a
+    drifted index's recall, not error on it)."""
     m, n_codes, _ = books.shape
+    if rerank_coverage not in ("strict", "prune"):
+        raise ValueError(
+            "ivf_pq_topk: rerank_coverage must be 'strict' or 'prune'"
+        )
     if rerank_top is not None:
         if rerank_top < k:
             raise ValueError(
@@ -852,20 +866,22 @@ def ivf_pq_topk(
         .where(F.col("rnk") <= rerank_top)
         .select("probe_id", "neighbor_id")
     )
-    if rerank_source is not None:
+    strict = rerank_source is not None and rerank_coverage == "strict"
+    if strict:
         # fail loud when a caller-supplied rerank_source does not cover
         # the PQ candidate pool (ADVICE r9): the inner join below would
         # otherwise silently drop uncovered candidates — fewer than k
-        # rows and quietly lower recall. The pool count rides along on
-        # the pool rows themselves (no duplicate scoring subtree) and
-        # the post-join per-probe count must match it. Evaluated
-        # in-plan via assert_true, so the guard is shuffle-free and
-        # costs nothing when the source covers the index (the default
+        # rows and quietly lower recall, including the worst shape
+        # where an ENTIRE probe's pool is missing and the probe just
+        # vanishes. The guard below (after `exact`) compares the pool
+        # ids against the ids the source actually covers — complete
+        # for partial AND total misses. The pool feeds two plan
+        # branches (the re-score join and the guard), so pin it once:
+        # C×n_probes rows, and the PQ scoring pipeline then executes
+        # exactly once instead of once per branch. The default
         # rerank_source=None path reranks against the index frame
-        # itself, whose coverage is guaranteed by construction).
-        cand = cand.withColumn(
-            "__n_pool", F.count("*").over(Window.partitionBy("probe_id"))
-        )
+        # itself, whose coverage is guaranteed by construction.
+        cand = cand.localCheckpoint(eager=True)
     sv = src.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__xv"),
@@ -886,33 +902,39 @@ def ivf_pq_topk(
             ),
         )
     )
-    if rerank_source is not None:
-        exact = (
-            exact.withColumn(
-                "__n_got",
-                F.count("*").over(Window.partitionBy("probe_id")),
-            )
-            .where(
-                F.assert_true(
-                    F.col("__n_got") == F.col("__n_pool"),
-                    F.concat(
-                        F.lit(
-                            "rerank_source does not cover the PQ candidate"
-                            " pool for probe "
-                        ),
-                        F.col("probe_id").cast("string"),
-                        F.lit(": expected "),
-                        F.col("__n_pool").cast("string"),
-                        F.lit(" candidates, found "),
-                        F.col("__n_got").cast("string"),
-                        F.lit(
-                            " in rerank_source — pass the frame the index"
-                            " was built from (or a superset)"
-                        ),
+    if strict:
+        # the coverage check proper: pool ids minus source-covered pool
+        # ids must be empty. `covered` is a LEFT-SEMI of the source's
+        # id column against the broadcast pool (the big side streams —
+        # the scan prunes to the id column, no vec bytes, no shuffle);
+        # the except/aggregate then runs over two pool-sized frames.
+        # The 1-row verdict cross-joins into the result and is consumed
+        # by a filter (assert_true yields NULL on success, so isNull
+        # keeps every row) — consumed, because a merely-SELECTED-then-
+        # dropped column lets Catalyst prune the assert expression out
+        # of the aggregate and the guard never evaluates.
+        pool_ids = cand.select("neighbor_id").distinct()
+        covered = sv.select("neighbor_id").join(
+            F.broadcast(pool_ids), "neighbor_id", "left_semi")
+        check = pool_ids.exceptAll(covered).agg(
+            F.assert_true(
+                F.count("*") == 0,
+                F.concat(
+                    F.lit("rerank_source is missing "),
+                    F.count("*").cast("string"),
+                    F.lit(
+                        " PQ pool candidate(s) — results would silently"
+                        " shrink; pass the frame the index was built"
+                        " from (or a superset), or rerank_coverage="
+                        "'prune' to re-rank only the covered pool"
                     ),
-                ).isNull()
-            )
-            .drop("__n_pool", "__n_got")
+                ),
+            ).alias("__cov")
+        )
+        exact = (
+            exact.crossJoin(F.broadcast(check))
+            .where(F.col("__cov").isNull())
+            .drop("__cov")
         )
     w2 = Window.partitionBy("probe_id").orderBy(
         F.desc("sim"), F.asc("neighbor_id")
@@ -1323,6 +1345,12 @@ def index_recall(
         n_probe_centroids=n_probe_centroids,
         rerank_top=rerank_top,
         rerank_source=source if rerank_top is not None else None,
+        # "prune", not the strict default: the eval's job is to MEASURE
+        # a drifted index (index holding ids the source no longer has),
+        # so uncovered pool candidates drop out of the re-rank and the
+        # drift shows up as the recall number — erroring every night
+        # would turn the drift detector into a cron outage
+        rerank_coverage="prune",
     )
     row = topk_recall(appx, exact).agg(
         F.avg("recall").alias("r"), F.count("*").alias("n")
@@ -1346,6 +1374,7 @@ def search_ivfpq_index(
     n_probe_centroids: int = 2,
     rerank_top: int | None = None,
     rerank_source: DataFrame | None = None,
+    rerank_coverage: str = "strict",
 ) -> DataFrame:
     """Top-k search over a persisted IVFADC index: loads the codebooks,
     broadcasts the probes (cells + LUTs) and equi-joins on the ``cell``
@@ -1367,6 +1396,7 @@ def search_ivfpq_index(
         n_probe_centroids=n_probe_centroids, encoded=True,
         residual=residual, anchors=anchors, rotation=rotation,
         rerank_top=rerank_top, rerank_source=rerank_source,
+        rerank_coverage=rerank_coverage,
     )
 
 def index_stats(spark, path: str) -> dict:

@@ -351,12 +351,7 @@ def lsh_candidate_pairs(
     passes). ``seed=0`` preserves the historical banding, which the
     ``q_minhash_lsh`` oracle pins.
     """
-    banded = band_frame(signatures, id_col, n_bands, seed=seed)
-    buckets = (
-        banded.groupBy("band_id", "band_hash")
-        .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("ids"))
-        .where(F.size("ids") > 1)
-    )
+    buckets = lsh_buckets(signatures, id_col, n_bands, seed=seed)
     if max_bucket_size is not None:
         if log_dropped:
             import logging
@@ -377,6 +372,36 @@ def lsh_candidate_pairs(
                     dropped["n_buckets"], max_bucket_size, dropped["n_members"],
                 )
         buckets = buckets.where(F.size("ids") <= max_bucket_size)
+    return bucket_pairs(buckets)
+
+
+def lsh_buckets(
+    signatures: DataFrame,
+    id_col: str,
+    n_bands: int,
+    seed: int = 0,
+) -> DataFrame:
+    """The grouped middle of :func:`lsh_candidate_pairs` — one
+    ``(band_id, band_hash, ids)`` row per non-singleton bucket, sorted
+    member array — exposed (round 10) so a caller needing BOTH the
+    pairs and bucket-level facts (the partial-incremental sweep records
+    over-cap bucket keys beside its edge set) can pay the banding
+    shuffle ONCE: checkpoint this frame, derive over-cap keys and
+    :func:`bucket_pairs` from it, instead of re-running band+shuffle
+    per consumer."""
+    banded = band_frame(signatures, id_col, n_bands, seed=seed)
+    return (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+
+
+def bucket_pairs(buckets: DataFrame) -> DataFrame:
+    """In-bucket pair explosion over an :func:`lsh_buckets` frame:
+    all (id_a < id_b) member pairs, distinct across bands — the back
+    half of :func:`lsh_candidate_pairs`, factored (round 10) for the
+    same never-diverge reason as :func:`band_frame`."""
     pairs = F.flatten(
         F.transform(
             F.col("ids"),

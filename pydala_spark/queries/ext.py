@@ -1008,11 +1008,20 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     scripts, where word shingles collapse to one per clause). Round 6
     adds ``clstats``: the cluster-size histogram
     (``cluster_size_stats`` — the corpus-health view of near-dup
-    structure)."""
+    structure). Round 10 adds ``lshdelta``: the partial-incremental
+    LSH pair operator's cross-engine contract — "yesterday" is the
+    corpus without the ``doc_id % 7 == 0`` docs, yesterday's full pair
+    set plays the persisted prior edges, and
+    ``lsh_candidate_pairs_delta`` rebuilds TODAY's pairs from prior
+    edges + touched buckets only; the DuckDB oracle computes today's
+    pairs with the full banded self-join, so the equivalence theorem
+    the partial sweep rests on is itself what the hash compare
+    checks."""
     from pydala_spark.operators.dedup import (
         cluster_size_stats,
         dedup_clusters,
         keep_cluster_representatives,
+        lsh_candidate_pairs_delta,
     )
     from pydala_spark.queries.merged import _tagged_union
 
@@ -1039,9 +1048,26 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_size").cast("long").alias("cluster_size"),
         F.col("n_clusters").cast("long").alias("n_clusters"),
     )
+    sigs = minhash_signatures(docs, "doc_id", "text",
+                              n_hashes=8, shingle_size=3)
+    prior_sigs = minhash_signatures(
+        docs.where(F.col("doc_id") % 7 != 0), "doc_id", "text",
+        n_hashes=8, shingle_size=3,
+    )
+    prior_pairs = lsh_candidate_pairs(prior_sigs, "doc_id", n_bands=4)
+    lshdelta = lsh_candidate_pairs_delta(
+        sigs, "doc_id",
+        is_changed=(F.col("doc_id") % 7 == 0),
+        prior_pairs_unchanged=prior_pairs,
+        prior_overcap=[],
+        n_bands=4,
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+    )
     return _tagged_union(
         [("pairs", pairs), ("reps", reps), ("cjk", cjk),
-         ("clstats", clstats)]
+         ("clstats", clstats), ("lshdelta", lshdelta)]
     )
 
 
@@ -1119,6 +1145,16 @@ FROM (
   GROUP BY 1, 2, 3, 4
 )
 WHERE CAST(inter AS DOUBLE) / (size_a + size_b - inter) >= 0.15
+UNION ALL
+-- lshdelta (round 10): the Spark side rebuilds today's LSH pairs via
+-- the PARTIAL path (prior edges + touched buckets); the oracle is the
+-- full banded self-join over today's corpus — the delta/full
+-- equivalence theorem, checked cross-engine
+SELECT 'lshdelta', id_a, id_b,
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+FROM ({_Q_MINHASH_SQL})
 """.replace(
     "{CJK_VALUES}",
     "(VALUES "

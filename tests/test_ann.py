@@ -931,6 +931,17 @@ def test_index_recall_harness(spark, tmp_path):
     assert full["recall_at_k"] == 1.0  # full pool == brute force
     assert full["recall_at_k"] >= a["recall_at_k"]
 
+    # round 10: the eval MEASURES a drifted index instead of erroring
+    # on it — the index still holds ids the source dataset lost (the
+    # exact drift the nightly eval exists to catch), and the rerank
+    # pass runs in "prune" coverage mode so stale pool candidates drop
+    # out and recall is still a number
+    drifted_src = df.where(F.col("vec_id") % 3 != 0)
+    d = index_recall(spark, idx, drifted_src, k=5, n_probe_centroids=3,
+                     n_probes=10, rerank_top=80)
+    assert d["recall_at_k"] is not None
+    assert 0.0 <= d["recall_at_k"] <= 1.0
+
 
 def test_remove_from_ivfpq_index(spark, tmp_path):
     # round 9: the deletion half of index maintenance — removal by id
@@ -1115,6 +1126,36 @@ def test_ivfpq_rerank_source_coverage_fail_loud(spark):
             residual=True, anchors=anchors, rerank_top=20,
             rerank_source=partial,
         ).collect()
+
+    # ...including the worst shape: a DISJOINT source, where every
+    # probe's entire pool is missing and an inner join would just
+    # return zero rows with no error
+    disjoint = spark.createDataFrame(
+        [(10000 + i, [1.0, 2.0, 3.0, 4.0]) for i in range(5)],
+        ["vec_id", "embedding"],
+    )
+    with pytest.raises(Exception, match="rerank_source"):
+        ivf_pq_topk(
+            df, probes, cents, books, k=5, n_probe_centroids=1,
+            residual=True, anchors=anchors, rerank_top=20,
+            rerank_source=disjoint,
+        ).collect()
+
+    # rerank_coverage="prune" opts back into dropping uncovered
+    # candidates — the drifted-index measurement mode (index_recall)
+    pruned = ivf_pq_topk(
+        df, probes, cents, books, k=5, n_probe_centroids=1,
+        residual=True, anchors=anchors, rerank_top=20,
+        rerank_source=partial, rerank_coverage="prune",
+    ).collect()
+    assert 0 < len(pruned) <= len(default.collect())
+    assert all(r["neighbor_id"] % 2 == 0 for r in pruned)
+    with pytest.raises(ValueError, match="strict.*prune|prune.*strict"):
+        ivf_pq_topk(
+            df, probes, cents, books, k=5, n_probe_centroids=1,
+            residual=True, anchors=anchors, rerank_top=20,
+            rerank_source=partial, rerank_coverage="bogus",
+        )
 
 
 def test_remove_from_ivfpq_index_refuses_to_empty(spark, tmp_path):

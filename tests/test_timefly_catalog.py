@@ -1635,6 +1635,12 @@ source = "embs"
     assert res["index"]["appended"] == 0
     assert res["index"]["tripped"] == []
 
+    # an inert gate is a config bug, not a silent no-op: fail_recall
+    # without evaluate would exit 0 forever while the caller believes
+    # a recall gate is guarding the index
+    with pytest.raises(ValueError, match="fail_recall needs evaluate"):
+        lake.ann_maintain(idx, "embs", fail_recall=0.9)
+
 
 def test_datalake_signatures_report(spark, tmp_path, capsys):
     # round 8 (late): the sidecar-freshness dashboard — metadata-only
@@ -2711,3 +2717,32 @@ def test_datalake_prep_sweep_semantic_codebook(spark, tmp_path):
                         semantic_threshold=0.999, vec_col=None)
     with pytest.raises(ValueError, match="unknown sign_outputs"):
         lake.prep_sweep(dest, sign_outputs=("embedding_cells",))
+
+    # round 10: a per-dataset override may SWAP the codebook — the
+    # cells sidecar pins to the EFFECTIVE codebook's sha, so the
+    # overridden dataset re-materializes (then reuses) cells under its
+    # own codebook instead of sha-refusing every night
+    cb2 = np.stack([cb[1], cb[0]])  # different identity, same geometry
+    ov = {"da": {"semantic_centroids": cb2}}
+    r_ov = lake.prep_sweep(dest, codebook_path=cb_path,
+                           signatures=("embedding_cells",),
+                           overrides=ov, **kw)
+    assert r_ov["da"]["sidecars"] == {"embedding_cells": "materialized"}
+    assert r_ov["da"]["config"]["semantic_centroids"].startswith(
+        "codebook:")
+    r_ov2 = lake.prep_sweep(dest, codebook_path=cb_path,
+                            signatures=("embedding_cells",),
+                            overrides=ov, **kw)
+    assert r_ov2["da"]["sidecars"] == {"embedding_cells": "reused"}
+
+    # ...and an override that turns the semantic stage OFF for a
+    # dataset skips serving it cells it would never consume
+    r_off = lake.prep_sweep(
+        dest, codebook_path=cb_path, signatures=("embedding_cells",),
+        overrides={"da": {"semantic_dedup": False}}, **{
+            k: v for k, v in kw.items() if k != "semantic_dedup"},
+        semantic_dedup=True,
+    )
+    assert r_off["da"]["sidecars"]["embedding_cells"].startswith(
+        "skipped")
+    assert r_off["da"]["n_out"] == 3  # no semantic drop for da
