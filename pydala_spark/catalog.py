@@ -2534,6 +2534,7 @@ class Datalake:
         n_probes: int = 50,
         rerank_top: int | None = None,
         fail_recall: float | None = None,
+        remove_source: str | None = None,
     ) -> dict[str, dict]:
         """Nightly ANN-index maintenance as ONE lake method (round 10,
         VERDICT r9 #4) — the index is a maintained artifact with
@@ -2559,6 +2560,14 @@ class Datalake:
            below R. Costs n_probes brute-force scans, so the knob is
            opt-in for lakes where the nightly window is tight.
 
+        ``remove_source`` (a tombstone dataset — lake name or path —
+        whose FIRST column holds the ids to delete) runs the GDPR
+        removal FIRST, before the append: the production shape is a
+        deletions feed the nightly drains into
+        :func:`~pydala_spark.operators.ann.remove_from_ivfpq_index`
+        (only the affected cell partitions rewrite; already-absent ids
+        are a no-op, so the feed is safely re-playable every night).
+
         ``source`` is a lake dataset NAME (the usual form — the
         embeddings live in the lake) or, as a fallback, a direct path.
         Returns ``{"index": entry}`` in the sweep-result shape:
@@ -2571,6 +2580,7 @@ class Datalake:
             append_ivfpq_index,
             index_recall,
             index_stats,
+            remove_from_ivfpq_index,
         )
 
         if fail_recall is not None and not evaluate:
@@ -2587,19 +2597,46 @@ class Datalake:
         entry: dict = {"path": index_path, "source": source}
         try:
             bases = self.discover()
-            if source in bases:
-                base = bases[source]
-                current = posixpath.join(base, "current")
-                data_path = current if self._po.is_dir(current) else base
-                df = Dataset(
-                    self.spark, data_path, name=source,
-                    format=self._dataset_format(base),
-                ).load()
-            else:
-                df = self.spark.read.parquet(strip_scheme(source))
+
+            def _resolve(ref: str) -> DataFrame:
+                if ref in bases:
+                    base = bases[ref]
+                    current = posixpath.join(base, "current")
+                    data_path = (current if self._po.is_dir(current)
+                                 else base)
+                    return Dataset(
+                        self.spark, data_path, name=ref,
+                        format=self._dataset_format(base),
+                    ).load()
+                return self.spark.read.parquet(strip_scheme(ref))
+
+            df = _resolve(source)
+            tomb = None
+            if remove_source is not None:
+                # already-absent ids are a no-op inside the removal, so
+                # a cumulative deletions feed replays safely each night
+                tomb = _resolve(remove_source)
+                entry["removed"] = int(remove_from_ivfpq_index(
+                    self.spark, index_path,
+                    tomb.select(tomb.columns[0]), id_col=id_col,
+                ))
             if append:
+                batch = df
+                if tomb is not None:
+                    # never resurrect a tombstoned vector: the source
+                    # dataset may not have been scrubbed yet, and the
+                    # append would otherwise re-add what the removal
+                    # just deleted. Deletion feeds are small — broadcast
+                    # anti-join, the source side streams.
+                    batch = df.join(
+                        F.broadcast(tomb.select(
+                            F.col(tomb.columns[0]).cast("string")
+                            .alias("__tomb"))),
+                        df[id_col].cast("string") == F.col("__tomb"),
+                        "left_anti",
+                    )
                 entry["appended"] = int(append_ivfpq_index(
-                    self.spark, index_path, df,
+                    self.spark, index_path, batch,
                     id_col=id_col, vec_col=vec_col,
                     check_ids=check_ids, if_exists=if_exists,
                 ))

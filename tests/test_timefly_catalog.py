@@ -1641,6 +1641,21 @@ source = "embs"
     with pytest.raises(ValueError, match="fail_recall needs evaluate"):
         lake.ann_maintain(idx, "embs", fail_recall=0.9)
 
+    # GDPR leg: a tombstone dataset drives the removal, and the append
+    # must NOT resurrect tombstoned ids still present in the source
+    spark.createDataFrame([(5,), (7,)], "vec_id long") \
+        .write.parquet(os.path.join(root, "tombs"))
+    lake.add_dataset("tombs")
+    rr = lake.ann_maintain(idx, "embs", remove_source="tombs")
+    assert rr["index"]["removed"] == 2
+    assert rr["index"]["appended"] == 0  # 5 and 7 stay dead
+    assert rr["index"]["stats"]["n_vectors"] == 38
+    # cumulative feed replays safely: nothing to remove, nothing back
+    rr2 = lake.ann_maintain(idx, "embs", remove_source="tombs")
+    assert rr2["index"]["removed"] == 0
+    assert rr2["index"]["appended"] == 0
+    assert rr2["index"]["stats"]["n_vectors"] == 38
+
 
 def test_datalake_signatures_report(spark, tmp_path, capsys):
     # round 8 (late): the sidecar-freshness dashboard — metadata-only
