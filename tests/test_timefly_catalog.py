@@ -1775,9 +1775,69 @@ def test_datalake_semantic_dedup_cross_dataset(spark, tmp_path):
                                  score_col="q", incremental=True)
     assert "fresh" not in per_ds["ea"]
 
-    # incremental is refused in cross mode (lake-global verdicts)
-    with pytest.raises(ValueError, match="unsound"):
-        lake.semantic_dedup(cross_dataset=True, incremental=True)
+    # round 10: incremental now works in cross mode (the partial unit
+    # is the CELL — a verdict is a pure function of its cell's
+    # membership). Chain: full (records markers) -> fresh -> partial
+    # after one dataset mutates, equal to a from-scratch full sweep.
+    kwx = dict(threshold=0.999, n_centroids=2, score_col="q",
+               cross_dataset=True, incremental=True)
+    inc1 = lake.semantic_dedup(**kwx)
+    assert inc1["_sweep_mode"] == "full"
+    assert "marker" in inc1["ea"] and "score_marker" in inc1["ea"]
+    inc2 = lake.semantic_dedup(**kwx)
+    assert inc2["_sweep_mode"] == "fresh"
+    assert inc2["ea"]["fresh"].startswith("lake unchanged")
+    assert inc2["_lake"] == res["_lake"]
+
+    # mutate eb: plant ANOTHER copy of ea's shared vector with the
+    # best score — the keeper must flip lake-wide, computed by the
+    # partial path over touched cells only
+    spark.createDataFrame(
+        [(300, shared, 0.95)],
+        "vec_id long, embedding array<double>, q double",
+    ).write.mode("append").parquet(os.path.join(root, "eb"))
+    inc3 = lake.semantic_dedup(**kwx)
+    assert inc3["_sweep_mode"] == "partial"
+    assert inc3["eb"]["sidecar"] == "materialized"
+    assert inc3["ea"]["sidecar"] == "reused"
+    # snapshot the partial verdicts BEFORE the oracle sweep rewrites
+    # the table
+    v_part = {
+        n: sorted(map(tuple,
+                      spark.read.parquet(inc3[n]["report"])
+                      .select("id", "cell", "kept").collect()))
+        for n in ("ea", "eb")
+    }
+    # the oracle: a full sweep over the same final state
+    full3 = lake.semantic_dedup(threshold=0.999, n_centroids=2,
+                                score_col="q", cross_dataset=True)
+    assert inc3["_lake"] == full3["_lake"]
+    for n in ("ea", "eb"):
+        v_full = sorted(map(tuple,
+                            spark.read.parquet(full3[n]["report"])
+                            .select("id", "cell", "kept").collect()))
+        assert v_part[n] == v_full, n
+    kept3 = {r["id"]: r["kept"] for r in
+             spark.read.parquet(full3["eb"]["report"]).collect()}
+    assert kept3["300"] is True and kept3["200"] is False
+
+    # removed dataset: its verdicts leave and its former cell-mates
+    # recompute — still the partial path (prior cells of the removed
+    # dataset come from the pruned prior verdict partitions)
+    inc4 = lake.semantic_dedup(**kwx)  # re-seed incremental markers
+    assert inc4["_sweep_mode"] in ("full", "fresh")
+    lake.remove_dataset("eb", clean=True)
+    inc5 = lake.semantic_dedup(**kwx)
+    assert "eb" not in inc5
+    assert inc5["_sweep_mode"] == "partial"
+    # with eb (and its 0.95/0.1 copies) gone, ea's vector 0 is the
+    # group's only member again — kept lake-wide
+    kept5 = {r["id"]: r["kept"] for r in
+             spark.read.parquet(inc5["ea"]["report"]).collect()}
+    assert kept5["0"] is True
+    full5 = lake.semantic_dedup(threshold=0.999, n_centroids=2,
+                                score_col="q", cross_dataset=True)
+    assert inc5["_lake"] == full5["_lake"]
 
 
 def test_datalake_span_dedup_report(spark, tmp_path):
