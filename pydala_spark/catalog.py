@@ -785,7 +785,10 @@ class Datalake:
         config = {"threshold": threshold, "score_col": score_col,
                   "id_col": id_col, "vec_col": vec_col}
         prior = None
-        if incremental:
+        if incremental and not cross_dataset:
+            # cross mode loads/validates its own prior against the
+            # CROSS config below — loading here too would be a
+            # redundant summary read discarded immediately
             try:
                 prior = _json.loads(self._po.read_text(
                     posixpath.join(rep_base, "_summary.json")))
@@ -966,7 +969,14 @@ class Datalake:
                     return "n_vectors" in pe
                 fresh_map = {n: _fresh(n, e) for n, e in results.items()}
                 prior_names = {k for k in prior if not k.startswith("_")}
-                if prior_names == set(results) and all(fresh_map.values()):
+                if (prior_names == set(results)
+                        and all(fresh_map.values())
+                        # the verdict table must still EXIST — an
+                        # out-of-band deletion would otherwise be
+                        # reported "fresh" with report paths pointing
+                        # at nothing, forever (unchanged markers never
+                        # break the fast path)
+                        and self._po.is_dir(target)):
                     # ALL-FRESH: the prior lake-global verdict is
                     # provably current — skip the pair join wholesale
                     out = {
@@ -2488,7 +2498,14 @@ class Datalake:
                 return "n_docs" in pe
             fresh_map = {n: _fresh(n, e) for n, e in results.items()}
             prior_names = {k for k in prior if not k.startswith("_")}
-            if prior_names == set(results) and all(fresh_map.values()):
+            if (prior_names == set(results)
+                    and all(fresh_map.values())
+                    # the verdict table must still EXIST (the prep_sweep
+                    # ADVICE-r9 rule): an out-of-band deletion would
+                    # otherwise be reported "fresh" with report paths
+                    # pointing at nothing, forever
+                    and self._po.is_dir(
+                        posixpath.join(rep_base, "_verdicts"))):
                 # ALL-FRESH: the prior verdict is provably current —
                 # skip the union/LSH/CC jobs and the verdict rewrite
                 out = {
@@ -2586,11 +2603,13 @@ class Datalake:
                 if pairs is not None:
                     sweep_mode = "partial"
                     overcap_keys = list(prior_oc)
-            if pairs is None and incremental:
-                # the full path under incremental needs TWO outputs of
-                # the banding shuffle — the pairs and the over-cap keys
-                # the next delta night pins against — so pay it once:
-                # checkpoint the bucket frame and derive both from it
+            if pairs is None and incremental and max_bucket_size is not None:
+                # the full path under incremental with a cap needs TWO
+                # outputs of the banding shuffle — the pairs and the
+                # over-cap keys the next delta night pins against — so
+                # pay it once: checkpoint the bucket frame and derive
+                # both from it. (cap None has one consumer: no keys to
+                # record, so the plain streaming plan below wins)
                 from pydala_spark.operators.dedup import (
                     bucket_pairs,
                     lsh_buckets,
@@ -2599,16 +2618,15 @@ class Datalake:
                 bks = lsh_buckets(
                     union, "__lid", n_bands,
                 ).localCheckpoint(eager=True)
-                if max_bucket_size is not None:
-                    # bounded: over-cap buckets are <= n_docs/cap by
-                    # construction (usually zero)
-                    overcap_keys = [
-                        (int(r["band_id"]), r["band_hash"])
-                        for r in bks
-                        .where(F.size("ids") > max_bucket_size)
-                        .select("band_id", "band_hash").collect()
-                    ]
-                    bks = bks.where(F.size("ids") <= max_bucket_size)
+                # bounded: over-cap buckets are <= n_docs/cap by
+                # construction (usually zero)
+                overcap_keys = [
+                    (int(r["band_id"]), r["band_hash"])
+                    for r in bks
+                    .where(F.size("ids") > max_bucket_size)
+                    .select("band_id", "band_hash").collect()
+                ]
+                bks = bks.where(F.size("ids") <= max_bucket_size)
                 pairs = bucket_pairs(bks)
             elif pairs is None:
                 pairs = lsh_candidate_pairs(
@@ -2808,7 +2826,6 @@ class Datalake:
                 return self.spark.read.parquet(strip_scheme(ref))
 
             df = _resolve(source)
-            tomb = None
             if remove_source is not None:
                 # already-absent ids are a no-op inside the removal, so
                 # a cumulative deletions feed replays safely each night
@@ -2817,23 +2834,24 @@ class Datalake:
                     self.spark, index_path,
                     tomb.select(tomb.columns[0]), id_col=id_col,
                 ))
+                # never resurrect (or grade against) a tombstoned
+                # vector: the source dataset may not have been
+                # scrubbed yet — the append would re-add what the
+                # removal just deleted, and the recall eval's exact
+                # side (and probe panel) would count deleted ids the
+                # index correctly cannot return, tripping fail_recall
+                # spuriously every night. Deletion feeds are small —
+                # broadcast anti-join, the source side streams.
+                df = df.join(
+                    F.broadcast(tomb.select(
+                        F.col(tomb.columns[0]).cast("string")
+                        .alias("__tomb"))),
+                    df[id_col].cast("string") == F.col("__tomb"),
+                    "left_anti",
+                )
             if append:
-                batch = df
-                if tomb is not None:
-                    # never resurrect a tombstoned vector: the source
-                    # dataset may not have been scrubbed yet, and the
-                    # append would otherwise re-add what the removal
-                    # just deleted. Deletion feeds are small — broadcast
-                    # anti-join, the source side streams.
-                    batch = df.join(
-                        F.broadcast(tomb.select(
-                            F.col(tomb.columns[0]).cast("string")
-                            .alias("__tomb"))),
-                        df[id_col].cast("string") == F.col("__tomb"),
-                        "left_anti",
-                    )
                 entry["appended"] = int(append_ivfpq_index(
-                    self.spark, index_path, batch,
+                    self.spark, index_path, df,
                     id_col=id_col, vec_col=vec_col,
                     check_ids=check_ids, if_exists=if_exists,
                 ))

@@ -700,7 +700,19 @@ def _cmd_cron(args) -> int:
             call_args = [benchmarks]
         if section == "signatures_report":
             fail_on = bool(opts.pop("fail_on_stale", False)) or fail_on
-        results = method(*call_args, **opts)
+        try:
+            results = method(*call_args, **opts)
+        except ValueError as exc:
+            # a method-level config refusal (ann_maintain's inert
+            # fail_recall, neardup's non-dividing n_bands, ...) is a
+            # CONFIG error: route it through the documented exit-2
+            # path instead of crashing the cron with a traceback and
+            # losing the sections that already ran
+            print(f"cron: [{section}] {exc}", file=sys.stderr)
+            if combined:
+                print(json.dumps(combined, indent=2, sort_keys=True,
+                                 default=str))
+            return 2
         combined[section] = results
         if any(isinstance(r, dict) and "error" in r
                for r in results.values()):

@@ -903,31 +903,41 @@ def ivf_pq_topk(
         )
     )
     if strict:
-        # the coverage check proper: pool ids minus source-covered pool
-        # ids must be empty. `covered` is a LEFT-SEMI of the source's
-        # id column against the broadcast pool (the big side streams —
+        # the coverage check proper: every pool id must appear in the
+        # source EXACTLY ONCE — a missing id would silently shrink the
+        # result (lower recall), and a DUPLICATED id would join twice
+        # into the exact re-score and push a genuine k-th neighbor out
+        # of the top-k. `covered` is a LEFT-SEMI of the source's id
+        # column against the broadcast pool (the big side streams —
         # the scan prunes to the id column, no vec bytes, no shuffle);
-        # the except/aggregate then runs over two pool-sized frames.
-        # The 1-row verdict cross-joins into the result and is consumed
-        # by a filter (assert_true yields NULL on success, so isNull
-        # keeps every row) — consumed, because a merely-SELECTED-then-
-        # dropped column lets Catalyst prune the assert expression out
-        # of the aggregate and the guard never evaluates.
+        # the per-id count + verdict aggregate then run over
+        # pool-sized frames. The 1-row verdict cross-joins into the
+        # result and is consumed by a filter (assert_true yields NULL
+        # on success, so isNull keeps every row) — consumed, because a
+        # merely-SELECTED-then-dropped column lets Catalyst prune the
+        # assert expression out of the aggregate and the guard never
+        # evaluates.
         pool_ids = cand.select("neighbor_id").distinct()
         covered = sv.select("neighbor_id").join(
             F.broadcast(pool_ids), "neighbor_id", "left_semi")
-        check = pool_ids.exceptAll(covered).agg(
+        per_id = covered.groupBy("neighbor_id").agg(
+            F.count("*").alias("__c"))
+        check = pool_ids.join(per_id, "neighbor_id", "left").agg(
             F.assert_true(
-                F.count("*") == 0,
+                (F.count_if(F.col("__c").isNull()) == 0)
+                & (F.count_if(F.col("__c") > 1) == 0),
                 F.concat(
-                    F.lit("rerank_source is missing "),
-                    F.count("*").cast("string"),
-                    F.lit(
-                        " PQ pool candidate(s) — results would silently"
-                        " shrink; pass the frame the index was built"
-                        " from (or a superset), or rerank_coverage="
-                        "'prune' to re-rank only the covered pool"
-                    ),
+                    F.lit("rerank_source does not cover the PQ pool"
+                          " exactly once: "),
+                    F.count_if(F.col("__c").isNull()).cast("string"),
+                    F.lit(" candidate id(s) missing (results would"
+                          " silently shrink), "),
+                    F.count_if(F.col("__c") > 1).cast("string"),
+                    F.lit(" duplicated (the top-k would rank the same"
+                          " neighbor twice) — pass the deduplicated"
+                          " frame the index was built from (or a"
+                          " superset), or rerank_coverage='prune' to"
+                          " re-rank only the covered pool"),
                 ),
             ).alias("__cov")
         )

@@ -1141,6 +1141,17 @@ def test_ivfpq_rerank_source_coverage_fail_loud(spark):
             rerank_source=disjoint,
         ).collect()
 
+    # a DUPLICATED source id is caught too: it would join twice into
+    # the exact re-score and push a genuine k-th neighbor out of the
+    # top-k — quietly wrong where missing ids merely shrink
+    duped = df.union(df.where(F.col("vec_id") == 1))
+    with pytest.raises(Exception, match="duplicated"):
+        ivf_pq_topk(
+            df, probes, cents, books, k=5, n_probe_centroids=1,
+            residual=True, anchors=anchors, rerank_top=20,
+            rerank_source=duped,
+        ).collect()
+
     # rerank_coverage="prune" opts back into dropping uncovered
     # candidates — the drifted-index measurement mode (index_recall)
     pruned = ivf_pq_topk(

@@ -1656,6 +1656,32 @@ source = "embs"
     assert rr2["index"]["appended"] == 0
     assert rr2["index"]["stats"]["n_vectors"] == 38
 
+    # the recall eval grades against the SCRUBBED source: tombstoned
+    # ids the index correctly cannot return must not depress recall
+    # and trip the gate spuriously (full pool + rerank == brute force
+    # over the scrubbed source -> exactly 1.0)
+    rr3 = lake.ann_maintain(idx, "embs", remove_source="tombs",
+                            evaluate=True, n_probe_centroids=3,
+                            n_probes=10, rerank_top=38,
+                            fail_recall=0.99)
+    assert rr3["index"]["recall"]["recall_at_k"] == 1.0
+    assert rr3["index"]["tripped"] == []
+
+    # an [ann_maintain] cron section with the inert-gate config error
+    # exits 2 (the documented config path), never a traceback crash
+    from pydala_spark.cli import main as _main
+    cfg2 = tmp_path / "ann_cron_bad.toml"
+    cfg2.write_text(f"""
+root = "{root}"
+
+[ann_maintain]
+index_path = "{idx}"
+source = "embs"
+fail_recall = 0.9
+""")
+    assert _main(["--master", "local[4]", "cron", str(cfg2)]) == 2
+    capsys.readouterr()
+
 
 def test_datalake_signatures_report(spark, tmp_path, capsys):
     # round 8 (late): the sidecar-freshness dashboard — metadata-only
@@ -1788,6 +1814,15 @@ def test_datalake_semantic_dedup_cross_dataset(spark, tmp_path):
     assert inc2["_sweep_mode"] == "fresh"
     assert inc2["ea"]["fresh"].startswith("lake unchanged")
     assert inc2["_lake"] == res["_lake"]
+
+    # out-of-band deletion of the verdict table: never "fresh" over a
+    # missing table — falls through (partial needs it too) to a full
+    # sweep that rebuilds it
+    import shutil as _sh
+    _sh.rmtree(os.path.join(root, "_semantic_dedup", "_verdicts"))
+    inc2b = lake.semantic_dedup(**kwx)
+    assert inc2b["_sweep_mode"] == "full"
+    assert inc2b["_lake"] == res["_lake"]
 
     # mutate eb: plant ANOTHER copy of ea's shared vector with the
     # best score — the keeper must flip lake-wide, computed by the
@@ -2066,6 +2101,16 @@ def test_datalake_neardup_partial_incremental(spark, tmp_path):
     # matches its own full re-run
     r4 = lake1.neardup_dedup(incremental=True)
     assert r4["_sweep_mode"] == "fresh"
+
+    # out-of-band deletion of the verdict table: the all-fresh path
+    # must NOT report fresh over a missing table — the sweep self-heals
+    # (the partial path rewrites verdicts from union + edges)
+    import shutil as _sh
+    _sh.rmtree(os.path.join(root1, "_neardup", "_verdicts"))
+    r4b = lake1.neardup_dedup(incremental=True)
+    assert r4b["_sweep_mode"] != "fresh"
+    for n in ("da", "db", "dc"):
+        assert r4b[n]["n_docs"] == r3[n]["n_docs"]
     spark.createDataFrame([(3, s2)], ["doc_id", "text"]) \
         .write.mode("append").parquet(os.path.join(root1, "da"))
     r5 = lake1.neardup_dedup(incremental=True)
