@@ -199,3 +199,45 @@ def test_ivfpq_encode_single_python_pass(spark, sf_dir):
     )
     plan = idx._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") == 1, plan
+
+
+def test_lsh_delta_broadcast_shape(spark, sf_dir):
+    # round 10: the partial-incremental LSH path's scale claim is that
+    # the unchanged corpus's banded rows NEVER hash-exchange — the
+    # touched-key set broadcasts against the map-side banded scan. Pin
+    # the shape: the delta plan must contain broadcast joins and its
+    # exchange count must not exceed the handful of delta-sized
+    # shuffles (touched distinct, bucket agg, edge distinct) — a
+    # removed broadcast hint would turn the touched join into a
+    # SortMergeJoin and add a corpus-scale exchange here.
+    from pydala_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_candidate_pairs_delta,
+        minhash_signatures,
+    )
+    from pydala_spark.plans import has_broadcast_join, shuffle_count
+    from pydala_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text",
+                              n_hashes=8, shingle_size=3)
+    prior_sigs = minhash_signatures(
+        docs.where(F.col("doc_id") % 7 != 0), "doc_id", "text",
+        n_hashes=8, shingle_size=3)
+    prior = lsh_candidate_pairs(prior_sigs, "doc_id", n_bands=4)
+    delta = lsh_candidate_pairs_delta(
+        sigs, "doc_id", is_changed=(F.col("doc_id") % 7 == 0),
+        prior_pairs_unchanged=prior, prior_overcap=[], n_bands=4,
+    )
+    assert has_broadcast_join(delta)
+    plan = delta._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # exchanges: touched-key distinct, bucket agg, and the merged-edge
+    # distinct (one per union branch), plus the PRIOR frame's own
+    # internal aggs — all delta- or edge-sized. The corpus-band side
+    # itself contributes NO exchange (it streams through the broadcast
+    # join — the SMJ assertions above are the tripwire for that); the
+    # count bound catches a structural regression that adds one.
+    assert shuffle_count(delta) <= shuffle_count(prior) + 5
