@@ -1355,7 +1355,22 @@ class Datalake:
         fast path — same config, same dataset set, every verified
         marker matching the prior ``_summary.json`` ⇒ the union/df/run
         jobs skip and the prior report is reused wholesale; ANY change
-        falls back to the full sweep."""
+        falls back to the full sweep.
+
+        A PARTIAL night (the round-10 economy the other two lake-global
+        sweeps got) is sound here too but not yet implemented — design
+        sketch for when the nightly cost warrants it: df is additive
+        per fingerprint, so persist the lake df table and per-dataset
+        contributions; a changed dataset's Δ = new − old contribution
+        is delta-sized and broadcast-adjusts the streamed prior df
+        (only fps in Δ can flip the ``min_df`` flag); re-grouped docs =
+        docs containing a flipped fp (broadcast semi over the map-side
+        sidecar scans) ∪ all changed-dataset docs; prior spans carry
+        over for everything else. Unlike the other two sweeps the
+        adjusted df table must be REWRITTEN nightly (lake-sized
+        sequential write, no exchange), which is what this sketch
+        trades the full sweep's fp-keyed shuffle for — implement when
+        a deployment's span sidecar volume makes that trade favorable."""
         import json as _json
 
         from pydala_spark.dataset.maintain import (

@@ -2617,3 +2617,80 @@ def test_streaming_decontaminate_sidecar(spark, tmp_path):
     assert sorted(r["doc_id"] for r in
                   spark.sql("SELECT doc_id FROM decon_sc3").collect()) \
         == [2, 3]
+
+
+def test_lsh_delta_equals_full_fuzz(spark):
+    # round 10: seeded fuzz of the partial-incremental LSH theorem —
+    # across random corpora, random changed subsets, duplicate rates
+    # and bucket caps, lsh_candidate_pairs_delta (when it accepts)
+    # must return EXACTLY lsh_candidate_pairs over today's corpus;
+    # when it returns None a genuine cap-status transition must exist
+    import random
+
+    from pydala_spark.operators.dedup import lsh_candidate_pairs_delta
+
+    words = [f"tok{i}" for i in range(60)]
+    for seed in range(6):
+        rng = random.Random(seed)
+        n_docs = rng.randint(20, 50)
+        dup_groups = rng.randint(1, 4)
+        templates = [
+            " ".join(rng.choice(words) for _ in range(10))
+            for _ in range(dup_groups)
+        ]
+        rows = []
+        for i in range(n_docs):
+            if rng.random() < 0.4:
+                rows.append((i, rng.choice(templates)))
+            else:
+                rows.append((i, " ".join(
+                    rng.choice(words) for _ in range(10))))
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        changed_mod = rng.choice([3, 5, 7])
+        cap = rng.choice([None, 3, 6])
+
+        yesterday = docs.where(F.col("doc_id") % changed_mod != 0)
+        sig_y = minhash_signatures(yesterday, "doc_id", "text",
+                                   n_hashes=8, shingle_size=3)
+        prior = lsh_candidate_pairs(sig_y, "doc_id", n_bands=4,
+                                    max_bucket_size=cap,
+                                    log_dropped=False)
+        prior_overcap = []
+        if cap is not None:
+            from pydala_spark.operators.dedup import lsh_buckets
+
+            prior_overcap = [
+                (int(r["band_id"]), r["band_hash"])
+                for r in lsh_buckets(sig_y, "doc_id", 4)
+                .where(F.size("ids") > cap)
+                .select("band_id", "band_hash").collect()
+            ]
+
+        sig_t = minhash_signatures(docs, "doc_id", "text",
+                                   n_hashes=8, shingle_size=3)
+        full = sorted(map(tuple, lsh_candidate_pairs(
+            sig_t, "doc_id", n_bands=4, max_bucket_size=cap,
+            log_dropped=False).collect()))
+        delta = lsh_candidate_pairs_delta(
+            sig_t, "doc_id",
+            is_changed=(F.col("doc_id") % changed_mod == 0),
+            prior_pairs_unchanged=prior,
+            prior_overcap=prior_overcap,
+            n_bands=4, max_bucket_size=cap,
+        )
+        if delta is None:
+            # only legal on a genuine cap transition: the over-cap
+            # bucket sets of yesterday and today must differ
+            assert cap is not None, (seed, "refused without a cap")
+            from pydala_spark.operators.dedup import lsh_buckets
+
+            today_over = {
+                (int(r["band_id"]), r["band_hash"])
+                for r in lsh_buckets(sig_t, "doc_id", 4)
+                .where(F.size("ids") > cap)
+                .select("band_id", "band_hash").collect()
+            }
+            assert today_over != set(prior_overcap), seed
+        else:
+            got = sorted(map(tuple, delta.collect()))
+            assert got == full, (seed, changed_mod, cap)
