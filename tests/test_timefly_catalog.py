@@ -1532,6 +1532,54 @@ fail_on_stale = true
     capsys.readouterr()
 
 
+def test_cli_cron_semantic_cross_incremental(spark, tmp_path, capsys):
+    # round 10: the [semantic_dedup] cron section drives the
+    # cross-dataset PARTIAL-incremental mode end to end — second night
+    # unchanged -> fresh, all through the TOML form
+    import json
+
+    import numpy as np
+
+    from pydala_spark.cli import main
+
+    root = str(tmp_path / "xcronlake")
+    lake = Datalake(spark, root)
+    rng = np.random.default_rng(23)
+    v = [float(x) for x in rng.normal(size=6)]
+    spark.createDataFrame(
+        [(1, v), (2, [x + 1e-5 for x in v]),
+         (3, [float(x) for x in rng.normal(size=6) + 5])],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(os.path.join(root, "e1"))
+    spark.createDataFrame(
+        [(10, v)], "vec_id long, embedding array<double>",
+    ).write.parquet(os.path.join(root, "e2"))
+    for n in ("e1", "e2"):
+        lake.add_dataset(n)
+
+    cfg = tmp_path / "xcron.toml"
+    cfg.write_text(f"""
+root = "{root}"
+
+[semantic_dedup]
+threshold = 0.999
+n_centroids = 2
+cross_dataset = true
+incremental = true
+""")
+    rc = main(["--master", "local[4]", "cron", str(cfg)])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0
+    assert out["semantic_dedup"]["_sweep_mode"] == "full"
+    assert out["semantic_dedup"]["_lake"]["n_dropped"] >= 2
+    rc2 = main(["--master", "local[4]", "cron", str(cfg)])
+    out2 = json.loads(capsys.readouterr().out)
+    assert rc2 == 0
+    assert out2["semantic_dedup"]["_sweep_mode"] == "fresh"
+    assert out2["semantic_dedup"]["e1"]["fresh"].startswith(
+        "lake unchanged")
+
+
 def test_cli_cron_ann_maintain(spark, tmp_path, capsys):
     # round 10 (VERDICT r9 #4): the ANN index joins the nightly TOML —
     # [ann_maintain] appends the unseen vectors, health-checks, and
