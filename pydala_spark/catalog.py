@@ -1008,7 +1008,6 @@ class Datalake:
             if union_v is not None:
                 meta = union_v.select(
                     F.col("__lid").alias("id"), "__ds", "__doc")
-                new_rows = None
                 if partial_unchanged is not None:
                     # PARTIAL (round 10): recompute verdicts only for
                     # TOUCHED cells — cells any changed doc lives in
