@@ -1356,20 +1356,32 @@ class Datalake:
         jobs skip and the prior report is reused wholesale; ANY change
         falls back to the full sweep.
 
-        A PARTIAL night (the round-10 economy the other two lake-global
-        sweeps got) is sound here too but not yet implemented — design
-        sketch for when the nightly cost warrants it: df is additive
-        per fingerprint, so persist the lake df table and per-dataset
-        contributions; a changed dataset's Δ = new − old contribution
-        is delta-sized and broadcast-adjusts the streamed prior df
-        (only fps in Δ can flip the ``min_df`` flag); re-grouped docs =
-        docs containing a flipped fp (broadcast semi over the map-side
-        sidecar scans) ∪ all changed-dataset docs; prior spans carry
-        over for everything else. Unlike the other two sweeps the
-        adjusted df table must be REWRITTEN nightly (lake-sized
-        sequential write, no exchange), which is what this sketch
-        trades the full sweep's fp-keyed shuffle for — implement when
-        a deployment's span sidecar volume makes that trade favorable."""
+        **Partial night** (round 10 — completing the trilogy with
+        :meth:`neardup_dedup` and cross-dataset :meth:`semantic_dedup`):
+        span df is ADDITIVE per fingerprint over the dataset-disjoint
+        lake-qualified ids, so each incremental sweep persists the
+        per-dataset contribution tables (``_contrib/dataset=*``: fp →
+        distinct-doc count) and the lake df table (``_df``). A
+        K-of-N-changed night computes Δ = (changed datasets' new
+        contributions) − (their and removed datasets' recorded ones),
+        broadcast-adjusts the STREAMED prior df (no lake-wide fp
+        shuffle — the adjusted table rewrites sequentially), and only
+        fps in Δ can flip the ``min_df`` flag; re-grouped docs = all
+        changed-dataset docs ∪ unchanged-dataset docs containing a
+        FLIPPED fp (broadcast semi over the map-side sidecar scans —
+        the case where a changed dump's new copy moves an unchanged
+        doc's verdict), with prior spans carried verbatim for every
+        other doc. Both broadcasts sit behind 2M guards; the three
+        artifacts commit under one token (``_artifacts`` in the
+        summary ⟺ ``_token.json`` beside ``_df``/``_contrib``), so any
+        crash window reads as a mismatch and degrades to a full
+        rebuild, never a double-adjusted df. Equivalence to a
+        from-scratch full sweep — including flip propagation in both
+        directions and dataset removal — is test-pinned on exact span
+        rows. The trade vs the full sweep: a sequential lake-sized
+        ``_df`` rewrite replaces the fp-keyed shuffle of every
+        position row, and run-grouping pays only for re-evaluated
+        docs."""
         import json as _json
 
         from pydala_spark.dataset.maintain import (
@@ -1473,6 +1485,20 @@ class Datalake:
                 union = (tagged if union is None
                          else union.unionByName(tagged))
                 sidecar_params = sidecar_params or params
+        df_path = posixpath.join(rep_base, "_df")
+        contrib_path = posixpath.join(rep_base, "_contrib")
+        target = posixpath.join(rep_base, "_spans")
+
+        def _token(path: str) -> str | None:
+            try:
+                return _json.loads(self._po.read_text(
+                    posixpath.join(path, "_token.json")))
+            except Exception:
+                return None
+
+        partial_unchanged = None
+        tagged_names = {n for n, e in results.items()
+                        if isinstance(e, dict) and "sidecar" in e}
         if incremental and prior is not None:
             def _fresh(name: str, entry: dict) -> bool:
                 pe = prior.get(name)
@@ -1486,9 +1512,18 @@ class Datalake:
                         and entry.get("marker") is not None
                         and entry.get("marker") == pe.get("marker")
                         and "n_spans" in pe)
+            fresh_map = {n: _fresh(n, e) for n, e in results.items()}
             prior_names = {k for k in prior if not k.startswith("_")}
+            prior_had_spans = (prior.get("_lake") or {}).get(
+                "n_spans", 0) > 0
             if (prior_names == set(results)
-                    and all(_fresh(n, e) for n, e in results.items())):
+                    and all(fresh_map.values())
+                    # the report table must still EXIST when the prior
+                    # sweep produced spans (the out-of-band-deletion
+                    # rule the other all-fresh paths follow; a clean
+                    # lake legitimately has no table)
+                    and (not prior_had_spans
+                         or self._po.is_dir(target))):
                 # ALL-FRESH: the prior report is provably current —
                 # skip the lake-global union/df/run-grouping jobs
                 out = {
@@ -1501,21 +1536,266 @@ class Datalake:
                     "_lake",
                     {"n_spans": 0, "n_docs": 0, "chars_flagged": 0})
                 out["_config"] = config
+                out["_sweep_mode"] = "fresh"
+                out["_artifacts"] = prior.get("_artifacts")
                 self._po.write_text(
                     posixpath.join(rep_base, "_summary.json"),
                     _json.dumps(out, indent=2, sort_keys=True,
                                 default=str),
                 )
                 return out
+            # PARTIAL-night preconditions (round 10): some datasets
+            # provably unchanged, and the df/contrib artifacts from the
+            # prior sweep present AND token-matched with the summary —
+            # a crash between artifact writes must degrade to a full
+            # rebuild, never to a double-adjusted df
+            unchanged = {n for n, ok in fresh_map.items()
+                         if ok and n in tagged_names}
+            tok = prior.get("_artifacts")
+            if (unchanged
+                    and tok is not None
+                    and _token(df_path) == tok
+                    and _token(contrib_path) == tok
+                    and (not prior_had_spans
+                         or self._po.is_dir(target))):
+                partial_unchanged = sorted(unchanged)
         lake_stats = {"n_spans": 0, "n_docs": 0, "chars_flagged": 0}
+        sweep_mode = "full"
+        new_token = None
+        swap_stage = None
         if union is not None:
-            # spans output is tiny (flagged ranges only) — the eager
-            # cut means the heavy df-count pipeline runs ONCE for the
-            # emptiness probe, the write, and the stats
-            spans = duplicate_spans(
-                union, "id", min_span=min_span, min_df=min_df,
-                fingerprints=union, params=sidecar_params,
-            ).localCheckpoint(eager=True)
+            import uuid as _uuid
+
+            kk = int(sidecar_params["k"])
+            ww = int(sidecar_params["window"])
+            pos = union.select(
+                "id", F.col("len").alias("__len"), "fp", "pos")
+            # names cannot contain the separator, so the FIRST field
+            # is always the dataset
+            def _ds_of(c):
+                return F.split_part(c, F.lit(sep), F.lit(1))
+
+            from pydala_spark.operators.dedup import span_runs
+
+            spans = None
+            if partial_unchanged is not None:
+                # PARTIAL (round 10): span df is ADDITIVE over the
+                # dataset-disjoint lake-qualified ids, so the prior
+                # per-dataset contribution tables + the prior df table
+                # adjust with a delta instead of re-aggregating the
+                # whole lake; only docs whose flag set could have
+                # moved re-group. Everything unchanged streams
+                # map-side (broadcast deltas behind 2M guards).
+                changed_names = sorted(
+                    tagged_names - set(partial_unchanged))
+                prior_swept = sorted(
+                    {k for k in prior if not k.startswith("_")
+                     and isinstance(prior[k], dict)
+                     and "n_spans" in prior[k]}
+                    - set(partial_unchanged))
+                # Δ per fp = new contribution of changed datasets −
+                # their (and removed/errored datasets') recorded one
+                nc = None
+                if changed_names:
+                    nc = (pos.where(_ds_of(F.col("id"))
+                                    .isin(changed_names))
+                          .select(_ds_of(F.col("id")).alias("dataset"),
+                                  "fp", "id")
+                          .groupBy("dataset", "fp")
+                          .agg(F.count_distinct("id").alias("n"))
+                          .localCheckpoint(eager=True))
+                new_sum = (nc.groupBy("fp").agg(
+                    F.sum("n").alias("__nn")) if nc is not None
+                    else None)
+                old_sum = None
+                if prior_swept:
+                    old_sum = (self.spark.read.parquet(contrib_path)
+                               .where(F.col("dataset")
+                                      .isin(prior_swept))
+                               .groupBy("fp")
+                               .agg(F.sum("n").alias("__no")))
+                if new_sum is not None and old_sum is not None:
+                    dl = new_sum.join(old_sum, "fp", "full")
+                elif new_sum is not None:
+                    dl = new_sum.withColumn(
+                        "__no", F.lit(None).cast("long"))
+                elif old_sum is not None:
+                    dl = old_sum.withColumn(
+                        "__nn", F.lit(None).cast("long"))
+                else:
+                    dl = None
+                if dl is not None:
+                    dl = (dl.select(
+                        "fp",
+                        (F.coalesce(F.col("__nn"), F.lit(0))
+                         - F.coalesce(F.col("__no"), F.lit(0)))
+                        .alias("__dn"),
+                        F.coalesce(F.col("__nn"), F.lit(0))
+                        .alias("__nn"))
+                        .where(F.col("__dn") != 0)
+                        .localCheckpoint(eager=True))
+                    if dl.count() > 2_000_000:
+                        dl = False  # delta too big to broadcast
+                ok = dl is not False
+                if ok and dl is None:
+                    # no contributing delta at all (e.g. a dataset
+                    # that never swept erroring again): artifacts are
+                    # untouched, so the prior token stays valid
+                    dup_src = self.spark.read.parquet(df_path)
+                    flipped = None
+                elif ok:
+                    prior_df = self.spark.read.parquet(df_path)
+                    # existing fps stream + broadcast-adjust; fps new
+                    # to the lake come from the (small) anti remainder
+                    matched = (prior_df.join(
+                        F.broadcast(dl.select("fp")), "fp",
+                        "left_semi").select("fp"))
+                    brand_new = (dl.join(matched, "fp", "left_anti")
+                                 .select("fp",
+                                         F.col("__dn").alias("df"))
+                                 .where(F.col("df") > 0))
+                    adjusted = (prior_df.join(F.broadcast(dl), "fp",
+                                              "left")
+                                .select("fp",
+                                        (F.col("df") + F.coalesce(
+                                            F.col("__dn"), F.lit(0)))
+                                        .alias("df"))
+                                .where(F.col("df") > 0)
+                                .unionByName(brand_new))
+                    df_stage = df_path + "_stage"
+                    adjusted.write.mode("overwrite").parquet(df_stage)
+                    # fps whose min_df FLAG flipped (⊆ Δ fps): only
+                    # their docs can change verdicts
+                    od = (prior_df.join(F.broadcast(dl), "fp")
+                          .select("fp", F.col("df").alias("__od"),
+                                  "__dn"))
+                    flipped_existing = od.where(
+                        (F.col("__od") >= min_df)
+                        != (F.col("__od") + F.col("__dn") >= min_df)
+                    ).select("fp")
+                    flipped_new = brand_new.where(
+                        F.col("df") >= min_df).select("fp")
+                    flipped = (flipped_existing
+                               .unionByName(flipped_new)
+                               .distinct().localCheckpoint(eager=True))
+                    dup_src = self.spark.read.parquet(df_stage)
+                if ok:
+                    hit_ids = None
+                    if flipped is not None and partial_unchanged:
+                        hit_ids = (pos.where(
+                            _ds_of(F.col("id"))
+                            .isin(partial_unchanged))
+                            .join(F.broadcast(flipped), "fp",
+                                  "left_semi")
+                            .select("id").distinct()
+                            .localCheckpoint(eager=True))
+                        if hit_ids.count() > 2_000_000:
+                            ok = False  # a flip hit too much to carry
+                if ok:
+                    sweep_mode = "partial"
+                    re_parts = []
+                    if changed_names:
+                        re_parts.append(pos.where(
+                            _ds_of(F.col("id")).isin(changed_names)))
+                    if hit_ids is not None:
+                        re_parts.append(pos.join(
+                            F.broadcast(hit_ids), "id", "left_semi"))
+                    dup_new = dup_src.where(
+                        F.col("df") >= min_df).select("fp")
+                    if re_parts:
+                        re_rows = re_parts[0]
+                        for p in re_parts[1:]:
+                            re_rows = re_rows.unionByName(p)
+                        new_spans = span_runs(
+                            re_rows.join(dup_new, "fp"),
+                            kk, ww, min_span)
+                    else:
+                        new_spans = None
+                    # carry prior spans of unchanged datasets' docs
+                    # that were NOT re-evaluated, re-qualified so the
+                    # shared writer below re-splits them uniformly
+                    carried = None
+                    if self._po.is_dir(target):
+                        pvs = (self.spark.read.parquet(target)
+                               .where(F.col("dataset")
+                                      .isin(partial_unchanged)))
+                        pvs = pvs.withColumn(
+                            "__qid",
+                            F.concat_ws(sep, F.col("dataset"),
+                                        F.col("id")))
+                        if hit_ids is not None:
+                            pvs = pvs.join(
+                                F.broadcast(hit_ids.select(
+                                    F.col("id").alias("__qid"))),
+                                "__qid", "left_anti")
+                        carried = pvs.select(
+                            F.col("__qid").alias("id"),
+                            "span_start", "span_end")
+                    if new_spans is not None and carried is not None:
+                        spans = new_spans.unionByName(carried)
+                    elif new_spans is not None:
+                        spans = new_spans
+                    elif carried is not None:
+                        spans = carried
+                    else:
+                        spans = self.spark.createDataFrame(
+                            [], "id string, span_start long, "
+                                "span_end long")
+                    # the merged plan reads the tables it replaces —
+                    # pin before any swap
+                    spans = spans.localCheckpoint(eager=True)
+                    if dl is None:
+                        new_token = tok  # artifacts untouched
+                    else:
+                        new_token = _uuid.uuid4().hex
+                        swap_stage = df_stage
+                        # invalidate the contrib token BEFORE mutating
+                        # the partitions — a crash mid-mutation must
+                        # read as token-mismatch (full rebuild), never
+                        # as a stale-but-trusted contribution table
+                        self._po.delete(posixpath.join(
+                            contrib_path, "_token.json"))
+                        if nc is not None:
+                            nc.write.mode("overwrite").option(
+                                "partitionOverwriteMode", "dynamic"
+                            ).partitionBy("dataset").parquet(
+                                contrib_path)
+                        for gone in prior_swept:
+                            if gone not in changed_names:
+                                self._po.delete(posixpath.join(
+                                    contrib_path, f"dataset={gone}"))
+            if spans is None:
+                # FULL global sweep
+                if incremental:
+                    # persist the artifacts the next partial night
+                    # adjusts: per-dataset contributions + the lake df
+                    # table (df = Σ contributions — exact, because
+                    # lake-qualified ids are dataset-disjoint). Derived
+                    # from written parquet, so nothing computes twice.
+                    new_token = _uuid.uuid4().hex
+                    contrib = (pos.select(
+                        _ds_of(F.col("id")).alias("dataset"),
+                        "fp", "id")
+                        .groupBy("dataset", "fp")
+                        .agg(F.count_distinct("id").alias("n")))
+                    contrib.write.mode("overwrite").partitionBy(
+                        "dataset").parquet(contrib_path)
+                    (self.spark.read.parquet(contrib_path)
+                     .groupBy("fp").agg(F.sum("n").alias("df"))
+                     .write.mode("overwrite").parquet(df_path))
+                    dup = (self.spark.read.parquet(df_path)
+                           .where(F.col("df") >= min_df).select("fp"))
+                    spans = span_runs(
+                        pos.join(dup, "fp"), kk, ww, min_span,
+                    ).localCheckpoint(eager=True)
+                else:
+                    # spans output is tiny (flagged ranges only) — the
+                    # eager cut means the heavy df-count pipeline runs
+                    # ONCE for the emptiness probe, write and stats
+                    spans = duplicate_spans(
+                        union, "id", min_span=min_span, min_df=min_df,
+                        fingerprints=union, params=sidecar_params,
+                    ).localCheckpoint(eager=True)
         if union is not None and not spans.isEmpty():
             # names cannot contain the separator, so the FIRST field is
             # always the dataset; the doc id is everything after it
@@ -1523,11 +1803,22 @@ class Datalake:
             ds_col = F.split_part(F.col("id"), F.lit(sep), F.lit(1))
             doc = F.col("id").substr(
                 F.length(ds_col) + F.lit(2), F.length(F.col("id")))
-            target = posixpath.join(rep_base, "_spans")
-            spans.select(
+            out_rows = spans.select(
                 ds_col.alias("dataset"), doc.alias("id"),
                 "span_start", "span_end",
-            ).write.mode("overwrite").partitionBy("dataset").parquet(target)
+            )
+            if sweep_mode == "partial":
+                # the carried rows were READ from the table this
+                # replaces — stage + swap (a crash between the two
+                # leaves a token mismatch → full rebuild)
+                stage = target + "_stage"
+                out_rows.write.mode("overwrite").partitionBy(
+                    "dataset").parquet(stage)
+                self._po.delete(target)
+                self._po.rename(stage, target)
+            else:
+                out_rows.write.mode("overwrite").partitionBy(
+                    "dataset").parquet(target)
             written = self.spark.read.parquet(target)
             for r in written.groupBy("dataset").agg(
                 F.count("*").alias("n"),
@@ -1551,6 +1842,27 @@ class Datalake:
             lake_stats = {"n_spans": int(tot["n"] or 0),
                           "n_docs": int(tot["nd"] or 0),
                           "chars_flagged": int(tot["ch"] or 0)}
+        elif (union is not None and sweep_mode == "partial"
+                and self._po.is_dir(target)):
+            # the merged partial result is EMPTY (every prior span's
+            # doc was re-evaluated clean) — the stale table must go,
+            # matching the clean-lake full sweep's no-table state
+            self._po.delete(target)
+        if union is not None and incremental and new_token is not None:
+            # commit the df/contrib artifacts AFTER the spans table:
+            # the summary (written below, last) carries the token that
+            # blesses them; any crash in between reads as a mismatch
+            # and the next night rebuilds full
+            if swap_stage is not None:
+                self._po.delete(df_path)
+                self._po.rename(swap_stage, df_path)
+            self._po.write_text(
+                posixpath.join(df_path, "_token.json"),
+                _json.dumps(new_token))
+            self._po.write_text(
+                posixpath.join(contrib_path, "_token.json"),
+                _json.dumps(new_token))
+            results["_artifacts"] = new_token
         # datasets that swept but produced no spans (including the
         # clean-lake case) still get the zero counts a cron expects
         for name in results:
@@ -1558,6 +1870,7 @@ class Datalake:
                 results[name].update(
                     {"n_spans": 0, "n_docs": 0, "chars_flagged": 0})
         results["_lake"] = lake_stats
+        results["_sweep_mode"] = sweep_mode
         # seed the NEXT sweep's all-fresh fast-path decision
         results["_config"] = config
         self._po.write_text(

@@ -1199,6 +1199,24 @@ def duplicate_spans(
         .select("fp")
     )
     hits = pos.join(dup, "fp")
+    return span_runs(hits, k, window, min_span)
+
+
+def span_runs(
+    hits: DataFrame,
+    k: int,
+    window: int,
+    min_span: int,
+) -> DataFrame:
+    """The run-grouping back half of :func:`duplicate_spans` — maximal
+    runs of flagged window positions become ``(id, span_start,
+    span_end)`` ranges — factored out (round 10, the
+    :func:`band_frame` never-diverge rule) so the partial-incremental
+    span sweep can re-group only the re-evaluated docs' flagged rows
+    against the same math. ``hits`` carries ``(id, __len, pos)`` rows
+    (one per FLAGGED window position; ``__len`` is the doc's char
+    length); the decision is per-doc local, which is exactly what
+    makes the partial sweep sound."""
     gap = k + window - 1
     w_ord = Window.partitionBy("id").orderBy("pos")
     runs = hits.withColumn(

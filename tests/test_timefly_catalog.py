@@ -1532,6 +1532,112 @@ fail_on_stale = true
     capsys.readouterr()
 
 
+def test_datalake_span_report_partial_incremental(spark, tmp_path):
+    # round 10: the third lake-global sweep gets the partial night —
+    # span df is ADDITIVE over dataset-disjoint ids, so the persisted
+    # per-dataset contributions + lake df table adjust by a delta, and
+    # only docs whose min_df flag set moved re-group. The killer case:
+    # a CHANGED dataset's new copy flips a fingerprint ON/OFF for a
+    # doc in an UNCHANGED dataset, whose verdict must still move.
+    import json
+
+    boiler_l = ("This license block appears word for word in several "
+                "crawl dumps of the lake tonight again and again. ")
+    boiler_m = ("An injected promotional banner that search spam "
+                "inserted into many pages across snapshots here too. ")
+
+    def mk_lake(base, c_rows):
+        root = str(tmp_path / base)
+        lake = Datalake(spark, root)
+        spark.createDataFrame(
+            [(1, boiler_l + "alpha bravo charlie delta echo foxtrot"),
+             (2, boiler_m + "golf hotel india juliet kilo lima mike"),
+             (3, "cobalt meadows hum beneath auroral lattices quiet")],
+            ["doc_id", "text"],
+        ).write.parquet(os.path.join(root, "a"))
+        spark.createDataFrame(
+            [(10, boiler_l + "zebra umbrella xylophone quartz jigsaw")],
+            ["doc_id", "text"],
+        ).write.parquet(os.path.join(root, "b"))
+        spark.createDataFrame(
+            c_rows, ["doc_id", "text"],
+        ).write.parquet(os.path.join(root, "c"))
+        for n in ("a", "b", "c"):
+            lake.add_dataset(n)
+        return lake, root
+
+    c0 = [(20, "rusty harbor cranes pivot over brackish tides north")]
+    lake, root = mk_lake("splake1", c0)
+    kw = dict(min_df=2, min_span=50, incremental=True)
+    r1 = lake.span_dedup_report(**kw)
+    assert r1["_sweep_mode"] == "full"
+    assert r1["a"]["n_docs"] == 1 and r1["b"]["n_docs"] == 1
+    assert r1["c"]["n_spans"] == 0  # boiler_m has lake df=1: no span
+    summary = json.loads(
+        (tmp_path / "splake1" / "_span_dedup" / "_summary.json")
+        .read_text())
+    assert summary["_artifacts"]
+    r2 = lake.span_dedup_report(**kw)
+    assert r2["_sweep_mode"] == "fresh"
+
+    # C gains a copy of boiler_m: its df flips 1 -> 2, so doc 2 in
+    # UNCHANGED dataset a must gain a span through flip propagation
+    spark.createDataFrame(
+        [(21, boiler_m + "velvet monsoon drums syncopate saffron")],
+        ["doc_id", "text"],
+    ).write.mode("append").parquet(os.path.join(root, "c"))
+    r3 = lake.span_dedup_report(**kw)
+    assert r3["_sweep_mode"] == "partial"
+    assert r3["a"]["sidecar"] == "reused"
+    assert r3["a"]["n_docs"] == 2  # doc 1 (L) carried, doc 2 (M) new
+    assert r3["b"]["n_docs"] == 1
+    assert r3["c"]["n_docs"] == 1
+    # exact-rows oracle: a from-scratch full sweep on a twin lake
+    lake2, _ = mk_lake("splake2", c0 + [
+        (21, boiler_m + "velvet monsoon drums syncopate saffron")])
+    rf = lake2.span_dedup_report(min_df=2, min_span=50)
+    for n in ("a", "b", "c"):
+        for key in ("n_spans", "n_docs", "chars_flagged"):
+            assert r3[n][key] == rf[n][key], (n, key, r3[n], rf[n])
+    v_part = sorted(map(tuple, spark.read.parquet(
+        os.path.join(root, "_span_dedup", "_spans"))
+        .select("dataset", "id", "span_start", "span_end").collect()))
+    v_full = sorted(map(tuple, spark.read.parquet(
+        str(tmp_path / "splake2" / "_span_dedup" / "_spans"))
+        .select("dataset", "id", "span_start", "span_end").collect()))
+    assert v_part == v_full
+
+    # flip OFF: C rewritten without the banner -> df back to 1, and
+    # the carried dataset a must LOSE doc 2's span again
+    spark.createDataFrame(c0, ["doc_id", "text"]) \
+        .write.mode("overwrite").parquet(os.path.join(root, "c"))
+    r5 = lake.span_dedup_report(**kw)
+    assert r5["_sweep_mode"] == "partial"
+    assert r5["a"]["n_docs"] == 1 and r5["c"]["n_spans"] == 0
+    assert r5["_lake"]["n_docs"] == 2  # just the L pair again
+
+    # dataset removal: b leaves, L's df drops to 1 -> NO spans remain
+    # lake-wide; the empty merge deletes the stale table
+    lake.remove_dataset("b", clean=True)
+    r6 = lake.span_dedup_report(**kw)
+    assert "b" not in r6
+    assert r6["_sweep_mode"] == "partial"
+    assert r6["_lake"]["n_spans"] == 0
+    assert not os.path.isdir(
+        os.path.join(root, "_span_dedup", "_spans"))
+
+    # artifact-token mismatch (a crash window) degrades to a FULL
+    # rebuild, never a double-adjusted df
+    spark.createDataFrame(
+        [(30, boiler_l + "brand new copy joining the license club")],
+        ["doc_id", "text"],
+    ).write.mode("append").parquet(os.path.join(root, "c"))
+    os.remove(os.path.join(root, "_span_dedup", "_df", "_token.json"))
+    r7 = lake.span_dedup_report(**kw)
+    assert r7["_sweep_mode"] == "full"
+    assert r7["a"]["n_docs"] == 1 and r7["c"]["n_docs"] == 1  # L df=2
+
+
 def test_cli_cron_semantic_cross_incremental(spark, tmp_path, capsys):
     # round 10: the [semantic_dedup] cron section drives the
     # cross-dataset PARTIAL-incremental mode end to end — second night
