@@ -1629,9 +1629,7 @@ class Datalake:
                         "fp",
                         (F.coalesce(F.col("__nn"), F.lit(0))
                          - F.coalesce(F.col("__no"), F.lit(0)))
-                        .alias("__dn"),
-                        F.coalesce(F.col("__nn"), F.lit(0))
-                        .alias("__nn"))
+                        .alias("__dn"))
                         .where(F.col("__dn") != 0)
                         .localCheckpoint(eager=True))
                     if dl.count() > 2_000_000:
@@ -1645,15 +1643,23 @@ class Datalake:
                     flipped = None
                 elif ok:
                     prior_df = self.spark.read.parquet(df_path)
-                    # existing fps stream + broadcast-adjust; fps new
-                    # to the lake come from the (small) anti remainder
-                    matched = (prior_df.join(
-                        F.broadcast(dl.select("fp")), "fp",
-                        "left_semi").select("fp"))
-                    brand_new = (dl.join(matched, "fp", "left_anti")
+                    # ONE pass over the lake-sized prior df extracts
+                    # everything Δ-related (old counts of matched fps
+                    # — small output, pinned), so the expensive table
+                    # scans exactly twice per partial night: here and
+                    # in the adjusted rewrite below
+                    od = (prior_df.join(F.broadcast(dl), "fp")
+                          .select("fp", F.col("df").alias("__od"),
+                                  "__dn")
+                          .localCheckpoint(eager=True))
+                    # fps new to the lake = Δ minus the matched ones
+                    # (small-small anti)
+                    brand_new = (dl.join(od.select("fp"), "fp",
+                                         "left_anti")
                                  .select("fp",
                                          F.col("__dn").alias("df"))
-                                 .where(F.col("df") > 0))
+                                 .where(F.col("df") > 0)
+                                 .localCheckpoint(eager=True))
                     adjusted = (prior_df.join(F.broadcast(dl), "fp",
                                               "left")
                                 .select("fp",
@@ -1666,9 +1672,6 @@ class Datalake:
                     adjusted.write.mode("overwrite").parquet(df_stage)
                     # fps whose min_df FLAG flipped (⊆ Δ fps): only
                     # their docs can change verdicts
-                    od = (prior_df.join(F.broadcast(dl), "fp")
-                          .select("fp", F.col("df").alias("__od"),
-                                  "__dn"))
                     flipped_existing = od.where(
                         (F.col("__od") >= min_df)
                         != (F.col("__od") + F.col("__dn") >= min_df)
@@ -1691,6 +1694,9 @@ class Datalake:
                             .localCheckpoint(eager=True))
                         if hit_ids.count() > 2_000_000:
                             ok = False  # a flip hit too much to carry
+                            # don't orphan the (lake-sized) staged df
+                            # the full path below won't consume
+                            self._po.delete(df_path + "_stage")
                 if ok:
                     sweep_mode = "partial"
                     re_parts = []
@@ -1760,10 +1766,28 @@ class Datalake:
                                 "partitionOverwriteMode", "dynamic"
                             ).partitionBy("dataset").parquet(
                                 contrib_path)
+                        # stale partitions must GO for every
+                        # prior-swept dataset that contributed no rows
+                        # tonight — including a CHANGED dataset whose
+                        # new sidecar is empty (dynamic overwrite never
+                        # touches a partition it has no rows for; a
+                        # survivor would double-subtract on the next
+                        # delta). Partition dirs are Spark-escaped, so
+                        # the delete must escape the name the same way.
+                        from pydala_spark.utils.pathops import (
+                            escape_partition_value,
+                        )
+
+                        present = ({r["dataset"] for r in
+                                    nc.select("dataset").distinct()
+                                    .collect()}
+                                   if nc is not None else set())
                         for gone in prior_swept:
-                            if gone not in changed_names:
+                            if gone not in present:
                                 self._po.delete(posixpath.join(
-                                    contrib_path, f"dataset={gone}"))
+                                    contrib_path,
+                                    "dataset="
+                                    + escape_partition_value(gone)))
             if spans is None:
                 # FULL global sweep
                 if incremental:
@@ -1842,11 +1866,13 @@ class Datalake:
             lake_stats = {"n_spans": int(tot["n"] or 0),
                           "n_docs": int(tot["nd"] or 0),
                           "chars_flagged": int(tot["ch"] or 0)}
-        elif (union is not None and sweep_mode == "partial"
-                and self._po.is_dir(target)):
-            # the merged partial result is EMPTY (every prior span's
-            # doc was re-evaluated clean) — the stale table must go,
-            # matching the clean-lake full sweep's no-table state
+        elif union is not None and self._po.is_dir(target):
+            # the sweep produced ZERO spans but a prior table exists —
+            # it must GO in every mode (a stale table after an empty
+            # FULL sweep would be resurrected verbatim by a later
+            # partial night's carry-over, breaking full-sweep
+            # equivalence; and any consumer reading it would disagree
+            # with the summary's zero counts)
             self._po.delete(target)
         if union is not None and incremental and new_token is not None:
             # commit the df/contrib artifacts AFTER the spans table:

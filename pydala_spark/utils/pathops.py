@@ -187,3 +187,26 @@ def strip_scheme(path: str) -> str:
             rest = rest[1:]
         return rest
     return path
+
+
+#: the characters Hive/Spark escape when writing partition directory
+#: names (ExternalCatalogUtils.escapePathName) — control chars plus
+#: the filesystem/URI-significant set
+_PARTITION_ESCAPE = set('"#%\'*/:=?\\\x7f{[]^')
+
+
+def escape_partition_value(value: str) -> str:
+    """Escape a partition VALUE the way Spark escapes it when writing
+    ``col=value`` directories (round 10): a hand-built
+    ``f"dataset={name}"`` path only matches the directory Spark
+    actually wrote when the name contains no escaped characters — a
+    delete against the raw name would otherwise silently miss and
+    leak the partition. Mirrors Hive's ``FileUtils.escapePathName``:
+    control characters and the significant set escape to ``%XX``."""
+    out = []
+    for ch in value:
+        if ch in _PARTITION_ESCAPE or ord(ch) < 0x20:
+            out.append(f"%{ord(ch):02X}")
+        else:
+            out.append(ch)
+    return "".join(out)

@@ -1637,6 +1637,56 @@ def test_datalake_span_report_partial_incremental(spark, tmp_path):
     assert r7["_sweep_mode"] == "full"
     assert r7["a"]["n_docs"] == 1 and r7["c"]["n_docs"] == 1  # L df=2
 
+    # an EMPTY full sweep deletes the stale table too — a later
+    # partial night's carry-over would otherwise resurrect it
+    spark.createDataFrame(
+        [(1, "totally rewritten words nothing shared anymore")],
+        ["doc_id", "text"],
+    ).write.mode("overwrite").parquet(os.path.join(root, "a"))
+    spark.createDataFrame(c0, ["doc_id", "text"]) \
+        .write.mode("overwrite").parquet(os.path.join(root, "c"))
+    r8 = lake.span_dedup_report(**kw)
+    assert r8["_sweep_mode"] == "full"  # nothing was unchanged
+    assert r8["_lake"]["n_spans"] == 0
+    assert not os.path.isdir(os.path.join(root, "_span_dedup",
+                                          "_spans"))
+
+    # a CHANGED dataset whose new sidecar is EMPTY (every doc shorter
+    # than k+window-1) must still clear its recorded contribution —
+    # a surviving stale partition would double-subtract on the NEXT
+    # delta and flip real spans off in unchanged datasets
+    spark.createDataFrame(
+        [(1, boiler_l + "first resident copy with tail words one"),
+         (2, boiler_l + "second resident copy with tail words two")],
+        ["doc_id", "text"],
+    ).write.mode("overwrite").parquet(os.path.join(root, "a"))
+    spark.createDataFrame(
+        [(20, boiler_l + "third copy living in dump c for now")],
+        ["doc_id", "text"],
+    ).write.mode("overwrite").parquet(os.path.join(root, "c"))
+    r9 = lake.span_dedup_report(**kw)
+    assert r9["_sweep_mode"] == "full"  # both changed
+    assert r9["a"]["n_docs"] == 2 and r9["c"]["n_docs"] == 1  # df=3
+    # c is emptied entirely (all docs deleted) -> its new sidecar has
+    # ZERO rows, so dynamic overwrite would never touch its partition
+    spark.createDataFrame([], "doc_id long, text string") \
+        .write.mode("overwrite").parquet(os.path.join(root, "c"))
+    r10 = lake.span_dedup_report(**kw)
+    assert r10["_sweep_mode"] == "partial"
+    assert r10["a"]["n_docs"] == 2  # df 3 -> 2, still >= min_df
+    assert r10["c"]["n_spans"] == 0
+    assert not os.path.isdir(os.path.join(
+        root, "_span_dedup", "_contrib", "dataset=c"))
+    # change c AGAIN: without the partition cleanup the stale {L: 1}
+    # would subtract a second time (df 2 -> 1) and kill dataset a's
+    # real spans through a phantom flip
+    spark.createDataFrame([(20, "tin2 short words")],
+                          ["doc_id", "text"]) \
+        .write.mode("overwrite").parquet(os.path.join(root, "c"))
+    r11 = lake.span_dedup_report(**kw)
+    assert r11["_sweep_mode"] == "partial"
+    assert r11["a"]["n_docs"] == 2, r11["a"]
+
 
 def test_cli_cron_semantic_cross_incremental(spark, tmp_path, capsys):
     # round 10: the [semantic_dedup] cron section drives the
