@@ -684,6 +684,7 @@ class Datalake:
         incremental: bool = False,
         max_concurrency: int = 4,
         cross_dataset: bool = False,
+        partial_max_cell_fraction: float = 0.5,
     ) -> dict[str, dict]:
         """Lake-wide SemDeDup sweep (round 8) — the embedding-modality
         sibling of :meth:`decontaminate`, served by the
@@ -755,6 +756,12 @@ class Datalake:
         unchanged datasets over verbatim — the unchanged corpus never
         shuffles (touched cells are codebook-bounded broadcasts; the
         touched-cell membership broadcasts behind a 2M-id guard).
+        ``partial_max_cell_fraction`` (default 0.5) is the measured
+        economy guard: the cell-partial's win is (touched cells /
+        codebook), and a changed dataset whose docs span most cells
+        makes the partial path pure overhead (~1.5× a full night at
+        identical shuffle — SCALE.md) — past the fraction the sweep
+        just runs full; tests with toy codebooks pass 1.0.
         Summaries carry ``"_sweep_mode"``; a config or codebook-sha
         change discards the prior and runs full."""
         import json as _json
@@ -1047,12 +1054,23 @@ class Datalake:
                             touched = touched.unionByName(t)
                         touched = touched.distinct().localCheckpoint(
                             eager=True)
+                        # touched-fraction guard (round 10, measured):
+                        # the cell-partial's economy is
+                        # touched/codebook — a changed dataset whose
+                        # docs span most cells makes the partial path
+                        # pure overhead (~1.5× a full night at equal
+                        # shuffle), so past half the codebook just run
+                        # full. Correctness never depends on taking
+                        # the partial path.
+                        frac_ok = (touched.count()
+                                   <= partial_max_cell_fraction
+                                   * max(int(cb.shape[0]), 1))
                         sub_ids = union_c.join(
                             F.broadcast(touched), "cell", "left_semi")
                         # broadcast-size guard (the neardup rule):
                         # docs sharing touched cells must broadcast;
                         # a huge delta gains nothing from partial
-                        if sub_ids.count() <= 2_000_000:
+                        if frac_ok and sub_ids.count() <= 2_000_000:
                             sweep_mode = "partial"
                             cells_sub = sub_ids.localCheckpoint(
                                 eager=True)

@@ -1722,6 +1722,7 @@ threshold = 0.999
 n_centroids = 2
 cross_dataset = true
 incremental = true
+partial_max_cell_fraction = 1.0
 """)
     rc = main(["--master", "local[4]", "cron", str(cfg)])
     out = json.loads(capsys.readouterr().out)
@@ -2009,8 +2010,12 @@ def test_datalake_semantic_dedup_cross_dataset(spark, tmp_path):
     # is the CELL — a verdict is a pure function of its cell's
     # membership). Chain: full (records markers) -> fresh -> partial
     # after one dataset mutates, equal to a from-scratch full sweep.
+    # toy codebook: 2 cells means any change touches most of them, so
+    # the measured-economy fraction guard must be waived here (and the
+    # default-guard behavior gets its own pin below)
     kwx = dict(threshold=0.999, n_centroids=2, score_col="q",
-               cross_dataset=True, incremental=True)
+               cross_dataset=True, incremental=True,
+               partial_max_cell_fraction=1.0)
     inc1 = lake.semantic_dedup(**kwx)
     assert inc1["_sweep_mode"] == "full"
     assert "marker" in inc1["ea"] and "score_marker" in inc1["ea"]
@@ -2077,6 +2082,21 @@ def test_datalake_semantic_dedup_cross_dataset(spark, tmp_path):
     full5 = lake.semantic_dedup(threshold=0.999, n_centroids=2,
                                 score_col="q", cross_dataset=True)
     assert inc5["_lake"] == full5["_lake"]
+
+    # the DEFAULT fraction guard: on this 2-cell codebook any change
+    # touches most cells, so partial is pure overhead — the sweep must
+    # fall back to full (correctness never depends on partial)
+    inc6 = lake.semantic_dedup(threshold=0.999, n_centroids=2,
+                               score_col="q", cross_dataset=True,
+                               incremental=True)  # re-seed markers
+    spark.createDataFrame(
+        [(301, shared, 0.5)],
+        "vec_id long, embedding array<double>, q double",
+    ).write.mode("append").parquet(os.path.join(root, "ea"))
+    inc7 = lake.semantic_dedup(threshold=0.999, n_centroids=2,
+                               score_col="q", cross_dataset=True,
+                               incremental=True)
+    assert inc7["_sweep_mode"] == "full"
 
 
 def test_datalake_span_dedup_report(spark, tmp_path):
