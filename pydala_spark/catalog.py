@@ -29,7 +29,11 @@ from pyspark.sql import functions as F
 
 from pydala_spark.dataset.reader import Dataset
 from pydala_spark.session import configure_session
-from pydala_spark.utils.pathops import PathOps, strip_scheme
+from pydala_spark.utils.pathops import (
+    PathOps,
+    escape_partition_value,
+    strip_scheme,
+)
 
 MANIFEST_NAME = "_pydala.json"
 DATASET_SIDECAR = "_dataset.json"
@@ -1142,7 +1146,7 @@ class Datalake:
                 ).collect():
                     results[r["dataset"]].update({
                         "report": posixpath.join(
-                            target, f"dataset={r['dataset']}"),
+                            target, "dataset=" + escape_partition_value(r["dataset"])),
                         "n_vectors": int(r["n"]),
                         "n_dropped": int(r["nd"]),
                     })
@@ -1792,10 +1796,6 @@ class Datalake:
                         # survivor would double-subtract on the next
                         # delta). Partition dirs are Spark-escaped, so
                         # the delete must escape the name the same way.
-                        from pydala_spark.utils.pathops import (
-                            escape_partition_value,
-                        )
-
                         present = ({r["dataset"] for r in
                                     nc.select("dataset").distinct()
                                     .collect()}
@@ -1870,7 +1870,7 @@ class Datalake:
             ).collect():
                 results[r["dataset"]].update({
                     "report": posixpath.join(
-                        target, f"dataset={r['dataset']}"),
+                        target, "dataset=" + escape_partition_value(r["dataset"])),
                     "n_spans": int(r["n"]),
                     "n_docs": int(r["nd"]),
                     "chars_flagged": int(r["ch"]),
@@ -3071,7 +3071,7 @@ class Datalake:
             ).collect():
                 results[r["dataset"]].update({
                     "report": posixpath.join(
-                        target, f"dataset={r['dataset']}"),
+                        target, "dataset=" + escape_partition_value(r["dataset"])),
                     "n_docs": int(r["n"]),
                     "n_dropped": int(r["nd"]),
                     "n_cross_dropped": int(r["nx"]),

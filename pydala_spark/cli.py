@@ -432,6 +432,7 @@ def _cmd_semantic_dedup(args) -> int:
         incremental=args.incremental,
         max_concurrency=args.max_concurrency,
         cross_dataset=args.cross_dataset,
+        partial_max_cell_fraction=args.partial_max_cell_fraction,
     )
     print(json.dumps(results, indent=2, sort_keys=True, default=str))
     dropped = [n for n, r in results.items()
@@ -901,6 +902,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="ONE lake-global sweep over the unioned cell "
                     "sidecars: a vector duplicated across datasets "
                     "keeps one copy lake-wide")
+    sd.add_argument("--partial-max-cell-fraction",
+                    dest="partial_max_cell_fraction", type=float,
+                    default=0.5,
+                    help="cross+incremental economy guard: run the "
+                    "cell-partial night only when touched cells stay "
+                    "under this fraction of the codebook (1.0 waives)")
     sd.add_argument("--max-concurrency", dest="max_concurrency",
                     type=int, default=4, help="sweep N datasets' "
                     "independent jobs concurrently (thread pool)")

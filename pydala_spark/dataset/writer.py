@@ -116,18 +116,18 @@ def bucket_column(col: str, spec: str) -> F.Column:
     )
 
 
-#: Hive's escapePathName character set (mirrored by Spark's
-#: ExternalCatalogUtils): these become %XX in partition directory names.
-_HIVE_ESCAPE_CHARS = set('"#%\'*/:=?\\{[]^') | {chr(0x7F)}
-
-
 def _hive_escape_partition_value(val) -> str:
     """Format a partition VALUE the way Spark writes its directory name:
-    Hive path-escaping over Spark's value rendering (booleans lowercase,
-    timestamps space-separated). Mismatch here means upsert probes
-    directories that don't exist — guarded by an existence check at the
-    swap, but correct construction is what makes the swap work."""
+    Hive path-escaping (the shared
+    :func:`~pydala_spark.utils.pathops.escape_partition_value` table —
+    one copy, so the writer's upsert probes and the catalog's partition
+    deletes can never drift) over Spark's value rendering (booleans
+    lowercase, timestamps space-separated). Mismatch here means upsert
+    probes directories that don't exist — guarded by an existence check
+    at the swap, but correct construction is what makes the swap work."""
     import datetime as _dt
+
+    from pydala_spark.utils.pathops import escape_partition_value
 
     if val is None:
         return "__HIVE_DEFAULT_PARTITION__"
@@ -137,13 +137,7 @@ def _hive_escape_partition_value(val) -> str:
         s = val.isoformat(sep=" ")
     else:
         s = str(val)
-    out = []
-    for ch in s:
-        if ch in _HIVE_ESCAPE_CHARS or ord(ch) < 0x20:
-            out.append(f"%{ord(ch):02X}")
-        else:
-            out.append(ch)
-    return "".join(out)
+    return escape_partition_value(s)
 
 
 def _null_safe_anti_join(
