@@ -66,6 +66,26 @@ def main() -> None:
     # driver-bench noise (r8 bimodal, r9 uniform ~1.8x inflation) each
     # cost a judge re-run. Record loadavg at start/end so the artifact
     # classifies itself; SCALE.md documents the accept/reject rule.
+    # settle-and-retry (VERDICT r10 #1): classifying noise wasn't enough —
+    # BENCH_r10 landed quiet:false purely because the driver benched at
+    # loadavg 3.81 right after the scale probe. Before the measured block,
+    # wait for the 1-min loadavg to drop below the quiet gate (bounded:
+    # SETTLE_MAX_ATTEMPTS x SETTLE_WAIT_S, ~10 min worst case), then
+    # proceed either way and record the attempts so the artifact shows
+    # whether it settled or gave up. Disable with SPARK_GRAFT_NO_SETTLE=1
+    # (used by tests and by anyone who wants the old fire-and-classify).
+    settle_attempts = 0
+    if os.environ.get("SPARK_GRAFT_NO_SETTLE", "") != "1":
+        max_attempts = int(os.environ.get("SPARK_GRAFT_SETTLE_ATTEMPTS", "10"))
+        wait_s = float(os.environ.get("SPARK_GRAFT_SETTLE_WAIT_S", "60"))
+        while os.getloadavg()[0] >= 2.0 and settle_attempts < max_attempts:
+            settle_attempts += 1
+            print(
+                f"[bench] loadavg {os.getloadavg()[0]:.2f} >= 2.0; "
+                f"settle wait {settle_attempts}/{max_attempts}",
+                file=sys.stderr,
+            )
+            time.sleep(wait_s)
     loadavg_start = [round(x, 2) for x in os.getloadavg()]
     spark = get_session(app_name="pydala_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -132,6 +152,7 @@ def main() -> None:
                 "headline_runs": headline_runs,
                 "extended_runs": extended_runs,
                 "quiet": quiet,
+                "settle_attempts": settle_attempts,
             }
         )
     )
