@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from pydala_spark.dataset.reader import Dataset
 from pydala_spark.session import configure_session
+from pydala_spark.utils.errors import ConfigError
 from pydala_spark.utils.pathops import (
     PathOps,
     escape_partition_value,
@@ -72,7 +73,7 @@ def _frame_marker(frame: DataFrame, id_col: str, content) -> dict:
 class Datalake:
     def __init__(self, spark: SparkSession, root: str, sidecar_format: str = "json"):
         if sidecar_format not in ("json", "toml"):
-            raise ValueError("sidecar_format must be 'json' or 'toml'")
+            raise ConfigError("sidecar_format must be 'json' or 'toml'")
         self.spark = configure_session(spark)
         # strip_scheme keeps s3a://... addressable while normalizing
         # file:/ and file:/// spellings to plain local paths
@@ -311,7 +312,7 @@ class Datalake:
         # swallowed by the per-dataset except as an {'error': ...} entry
         # for EVERY dataset while the sweep reports having run
         if swap not in ("rename", "generation"):
-            raise ValueError("swap must be 'rename' or 'generation'")
+            raise ConfigError("swap must be 'rename' or 'generation'")
         results: dict[str, dict] = {}
         # one catalog listing for the whole sweep — the temp-view set
         # doesn't change during it (rebind only replaces existing views)
@@ -465,7 +466,7 @@ class Datalake:
         from pydala_spark.operators.textstats import winnowing_fingerprints
 
         if mode not in ("winnowing", "embedding", "ngram"):
-            raise ValueError(
+            raise ConfigError(
                 f"decontaminate: unknown mode {mode!r} "
                 "(expected 'winnowing', 'embedding' or 'ngram')"
             )
@@ -478,7 +479,7 @@ class Datalake:
         sig_root = (strip_scheme(signatures_root).rstrip("/")
                     if signatures_root else None)
         if incremental and mode != "winnowing":
-            raise ValueError(
+            raise ConfigError(
                 "decontaminate: incremental=True is winnowing-mode only "
                 "— the embedding/ngram modes are sidecar-less, so there "
                 "is no recorded marker to prove a dataset unchanged"
@@ -805,11 +806,12 @@ class Datalake:
                     posixpath.join(rep_base, "_summary.json")))
             except Exception:
                 prior = None
+            # cb None matches a prior sha of None (a zero-vector lake
+            # never trains a codebook — same carve-out as cross mode)
             if prior is not None and (
                     prior.get("_config") != config
-                    or cb is None
                     or (prior.get("_codebook") or {}).get("sha")
-                    != codebook_sha(cb)):
+                    != (codebook_sha(cb) if cb is not None else None)):
                 prior = None  # config/codebook moved — full sweep
 
         if cross_dataset:
@@ -832,11 +834,14 @@ class Datalake:
                         posixpath.join(rep_base, "_summary.json")))
                 except Exception:
                     prior = None
+                # a lake with zero vectors never trains a codebook —
+                # cb None with a prior sha of None is a MATCH (the
+                # all-fresh zero-vector carve-out), not a move
                 if prior is not None and (
                         prior.get("_config") != cfg_cross
-                        or cb is None
                         or (prior.get("_codebook") or {}).get("sha")
-                        != codebook_sha(cb)):
+                        != (codebook_sha(cb) if cb is not None
+                            else None)):
                     prior = None  # config/codebook moved — full sweep
 
             def _prep_cross(name: str, base: str):
@@ -980,14 +985,23 @@ class Datalake:
                     return "n_vectors" in pe
                 fresh_map = {n: _fresh(n, e) for n, e in results.items()}
                 prior_names = {k for k in prior if not k.startswith("_")}
+                # the span sweep's carve-out (ADVICE r10): a prior
+                # sweep that legitimately produced no verdict table
+                # (every dataset skipped / zero vectors) must not be
+                # barred from the all-fresh path forever — require the
+                # table only when the prior summary recorded vectors
+                prior_had_vectors = (prior.get("_lake") or {}).get(
+                    "n_vectors", 0) > 0
                 if (prior_names == set(results)
                         and all(fresh_map.values())
-                        # the verdict table must still EXIST — an
-                        # out-of-band deletion would otherwise be
-                        # reported "fresh" with report paths pointing
-                        # at nothing, forever (unchanged markers never
-                        # break the fast path)
-                        and self._po.is_dir(target)):
+                        # the verdict table must still EXIST when the
+                        # prior sweep produced one — an out-of-band
+                        # deletion would otherwise be reported "fresh"
+                        # with report paths pointing at nothing,
+                        # forever (unchanged markers never break the
+                        # fast path)
+                        and (not prior_had_vectors
+                             or self._po.is_dir(target))):
                     # ALL-FRESH: the prior lake-global verdict is
                     # provably current — skip the pair join wholesale
                     out = {
@@ -1560,6 +1574,8 @@ class Datalake:
                 out["_config"] = config
                 out["_sweep_mode"] = "fresh"
                 out["_artifacts"] = prior.get("_artifacts")
+                if prior.get("_state") is not None:
+                    out["_state"] = prior["_state"]
                 self._po.write_text(
                     posixpath.join(rep_base, "_summary.json"),
                     _json.dumps(out, indent=2, sort_keys=True,
@@ -1907,6 +1923,17 @@ class Datalake:
                 posixpath.join(contrib_path, "_token.json"),
                 _json.dumps(new_token))
             results["_artifacts"] = new_token
+            # lifecycle reporting (VERDICT r10 #3): the persisted
+            # partial-state footprint, so a cron reader sees growth
+            # without listing the report dir. Vacuum story: these are
+            # pure caches — delete them (or the token) and the next
+            # night regenerates from a full sweep.
+            results["_state"] = {
+                "df_bytes": sum(
+                    sz for _, sz in self._po.list_files(df_path)),
+                "contrib_bytes": sum(
+                    sz for _, sz in self._po.list_files(contrib_path)),
+            }
         # datasets that swept but produced no spans (including the
         # clean-lake case) still get the zero counts a cron expects
         for name in results:
@@ -2134,7 +2161,7 @@ class Datalake:
         }
         bad = sorted(set(prep_kwargs) - allowed)
         if bad:
-            raise ValueError(
+            raise ConfigError(
                 f"prep_sweep: unknown prep_documents knob(s) {bad} — "
                 f"valid: {sorted(allowed)}"
             )
@@ -2148,14 +2175,14 @@ class Datalake:
             known = set(self.discover())
             bad_ds = sorted(set(overrides) - known)
             if bad_ds:
-                raise ValueError(
+                raise ConfigError(
                     f"prep_sweep: overrides for unknown dataset(s) "
                     f"{bad_ds} — lake has: {sorted(known)}"
                 )
             for ds_name, ov in overrides.items():
                 bad_k = sorted(set(ov) - allowed)
                 if bad_k:
-                    raise ValueError(
+                    raise ConfigError(
                         f"prep_sweep: unknown override knob(s) {bad_k} "
                         f"for dataset {ds_name!r} — valid: "
                         f"{sorted(allowed)}"
@@ -2176,7 +2203,7 @@ class Datalake:
             {"embedding_cells"} if cb is not None else set())
         bad_read = sorted(set(signatures) - read_kinds)
         if bad_read:
-            raise ValueError(
+            raise ConfigError(
                 f"prep_sweep: unknown signatures kind(s) {bad_read} — "
                 f"valid: {sorted(read_kinds)}"
                 + ("" if cb is not None else
@@ -2185,7 +2212,7 @@ class Datalake:
             )
         bad_sign = sorted(set(sign_outputs) - text_kinds)
         if bad_sign:
-            raise ValueError(
+            raise ConfigError(
                 f"prep_sweep: unknown sign_outputs kind(s) {bad_sign} "
                 f"— valid: {sorted(text_kinds)} (cells for the cleaned "
                 "lake belong to a semantic_dedup sweep over it)"
@@ -2248,7 +2275,7 @@ class Datalake:
         if "embedding_cells" in signatures and not (
                 prep_kwargs.get("vec_col")
                 or any(ov.get("vec_col") for ov in overrides.values())):
-            raise ValueError(
+            raise ConfigError(
                 "prep_sweep: signatures=('embedding_cells',) requires "
                 "the vec_col prep knob (base config or a per-dataset "
                 "override) — the cells block the embedding column the "
@@ -2385,15 +2412,27 @@ class Datalake:
                 sidecar_status: dict = {}
                 extra: dict = {}
                 for kind in signatures:
-                    if kind == "embedding_cells" and vec_needed is None:
-                        # this dataset's EFFECTIVE config runs no
-                        # embedding-reading stage (an override can turn
-                        # semantic cleaning off per dataset) — serving
-                        # cells it would never consume is wasted
-                        # hashing, and a text-only override would error
-                        # on it nightly
+                    # cells-skip gate (ADVICE r10): skip only when the
+                    # EFFECTIVE config actually removed the embedding
+                    # column (a text-only override), not merely because
+                    # no stage tonight consumes it — base configs with
+                    # vec_col set but semantic_dedup off legitimately
+                    # materialize cells for a later semantic_dedup
+                    # sweep over the sources.
+                    if kind == "embedding_cells" and not pkw.get(
+                            "vec_col"):
                         sidecar_status[kind] = (
-                            "skipped (config reads no embeddings)")
+                            "skipped (no vec_col in effective config)")
+                        continue
+                    if (kind == "embedding_cells"
+                            and vec_needed is None
+                            and pkw["vec_col"] not in df.columns):
+                        # with a semantic stage on, a missing column
+                        # already skipped the whole dataset above; with
+                        # it off, only the cells sidecar is impossible
+                        # — record why instead of erroring nightly
+                        sidecar_status[kind] = (
+                            f"skipped (no ({pkw['vec_col']}) column)")
                         continue
                     from pydala_spark.dataset.maintain import (
                         materialize_signatures,
@@ -2457,8 +2496,15 @@ class Datalake:
                         extra["precomputed_spans"] = (frame, _params)
                     elif kind == "embedding_cells":
                         # (frame, params): the recorded codebook_sha
-                        # refuses cells from a retrained codebook
-                        extra["precomputed_cells"] = (frame, _params)
+                        # refuses cells from a retrained codebook.
+                        # Fed to the pipeline only when a semantic
+                        # stage consumes it — prep_documents refuses
+                        # precomputed_cells without semantic_dedup
+                        # (pipeline.py), and the vec_col-without-
+                        # semantic shape materializes cells purely as
+                        # a sidecar for a later sweep
+                        if vec_needed is not None:
+                            extra["precomputed_cells"] = (frame, _params)
                     else:
                         extra["precomputed_fps"] = frame
                 stages: dict = {} if stage_counts else None
@@ -2694,7 +2740,7 @@ class Datalake:
         if n_hashes % n_bands != 0:
             # band_frame would raise too, but only AFTER every dataset
             # paid sidecar materialization — fail before touching any
-            raise ValueError(
+            raise ConfigError(
                 f"neardup_dedup: n_bands={n_bands} must divide "
                 f"n_hashes={n_hashes}"
             )
@@ -2892,6 +2938,7 @@ class Datalake:
                 out["_sweep_mode"] = "fresh"
                 out["_overcap"] = prior.get("_overcap")
                 out["_edges"] = prior.get("_edges")
+                out["_artifacts"] = prior.get("_artifacts")
                 self._po.write_text(
                     posixpath.join(rep_base, "_summary.json"),
                     _json.dumps(out, indent=2, sort_keys=True,
@@ -2929,13 +2976,30 @@ class Datalake:
                     rows_known = False
                     break
                 changed_rows += int(m["rows"])
+            # commit-token guard (ADVICE r10): the _pairs edge set and
+            # the summary's _overcap list are written ~seconds apart
+            # (the heavy verdict write sits between them). A crash in
+            # that window leaves a NEW edge set against a STALE
+            # over-cap list — the next partial night would silently
+            # omit unchanged-unchanged pairs from buckets that were
+            # over-cap in the crashed run. The span sweep's _token.json
+            # pattern closes it: _pairs is committed under a uuid that
+            # the summary echoes as _artifacts; any mismatch (crash on
+            # either side of the window) degrades to the full sweep.
+            def _pairs_token() -> str | None:
+                try:
+                    return _json.loads(self._po.read_text(posixpath.join(
+                        rep_base, "_pairs", "_token.json")))
+                except Exception:
+                    return None
+            tok = prior.get("_artifacts")
             if (unchanged
                     and rows_known
                     and changed_rows * n_bands <= 2_000_000
                     and prior.get("_edges") is not None
                     and prior.get("_overcap") is not None
-                    and self._po.is_dir(
-                        posixpath.join(rep_base, "_pairs"))):
+                    and tok is not None
+                    and _pairs_token() == tok):
                 partial_ctx = (
                     sorted(unchanged),
                     [tuple(x) for x in prior["_overcap"]],
@@ -2945,6 +3009,7 @@ class Datalake:
         sweep_mode = "full"
         overcap_keys: list = []
         n_edges = None
+        new_pairs_token = None
         if union is not None:
             from pydala_spark.operators.dedup import (
                 lsh_candidate_pairs_delta,
@@ -3012,6 +3077,17 @@ class Datalake:
                 n_edges = pairs.count()
                 pairs.write.mode("overwrite").parquet(
                     posixpath.join(rep_base, "_pairs"))
+                # commit token (ADVICE r10): written AFTER the parquet,
+                # echoed as _artifacts in the summary below. Underscore
+                # prefix ⇒ Spark's parquet reader ignores it. A crash
+                # anywhere between here and the summary write leaves
+                # token ≠ _artifacts and the next night takes the full
+                # path instead of pairing against a stale over-cap list.
+                import uuid as _uuid
+                new_pairs_token = _uuid.uuid4().hex
+                self._po.write_text(
+                    posixpath.join(rep_base, "_pairs", "_token.json"),
+                    _json.dumps(new_pairs_token))
             clusters = dedup_clusters(pairs).select(
                 F.col("id").alias("__cid"),
                 F.col("cluster_id").alias("cluster"),
@@ -3098,6 +3174,8 @@ class Datalake:
             # edge set can never pair under new knobs — full re-band.
             results["_edges"] = n_edges
             results["_overcap"] = [list(x) for x in overcap_keys]
+            # echoes _pairs/_token.json (ADVICE r10 commit-token guard)
+            results["_artifacts"] = new_pairs_token
         self._po.write_text(
             posixpath.join(rep_base, "_summary.json"),
             _json.dumps(results, indent=2, sort_keys=True, default=str),
@@ -3175,7 +3253,7 @@ class Datalake:
             # the caller believes the gate is guarding the index — the
             # exact silently-unguarded shape round 10 closed for
             # streaming_decontaminate(verify=)
-            raise ValueError(
+            raise ConfigError(
                 "ann_maintain: fail_recall needs evaluate=True — no "
                 "recall is measured otherwise, so the gate would never "
                 "fire"

@@ -610,13 +610,17 @@ def _cmd_cron(args) -> int:
     ``[ann_maintain]`` (round 10) runs the nightly index sequence —
     append new vectors, health stats, optional measured recall — with
     ``fail_imbalance`` / ``fail_recall`` as its alert thresholds. Exit:
-    1 on any per-dataset error, else 3 when a fail_on_* or ann alert
-    tripped, else 0."""
+    2 on a method-level :class:`ConfigError` (fix the TOML; remaining
+    sections are not attempted), 1 on any per-dataset error OR a
+    mid-sweep runtime exception (recorded against the section, the
+    remaining sections still run), else 3 when a fail_on_* or ann
+    alert tripped, else 0."""
     import inspect
     import json
     import tomllib
 
     from pydala_spark.catalog import Datalake
+    from pydala_spark.utils.errors import ConfigError
 
     with open(args.config, "rb") as f:
         raw = tomllib.load(f)
@@ -703,17 +707,31 @@ def _cmd_cron(args) -> int:
             fail_on = bool(opts.pop("fail_on_stale", False)) or fail_on
         try:
             results = method(*call_args, **opts)
-        except ValueError as exc:
+        except ConfigError as exc:
             # a method-level config refusal (ann_maintain's inert
             # fail_recall, neardup's non-dividing n_bands, ...) is a
             # CONFIG error: route it through the documented exit-2
             # path instead of crashing the cron with a traceback and
-            # losing the sections that already ran
+            # losing the sections that already ran. ONLY the typed
+            # ConfigError takes this path (ADVICE r10): a genuine
+            # runtime ValueError from mid-sweep driver-side code
+            # (numpy, sidecar parsing) is a per-section FAILURE, not
+            # a config typo
             print(f"cron: [{section}] {exc}", file=sys.stderr)
             if combined:
                 print(json.dumps(combined, indent=2, sort_keys=True,
                                  default=str))
             return 2
+        except Exception as exc:  # noqa: BLE001 — cron containment
+            # runtime failure mid-sweep: record it against THIS
+            # section (exit 1, same contract as a per-dataset error)
+            # and keep running the remaining sections
+            combined[section] = {
+                "error": f"{type(exc).__name__}: {exc}"[:500]}
+            print(f"cron: [{section}] failed: "
+                  f"{type(exc).__name__}: {exc}", file=sys.stderr)
+            rc = 1
+            continue
         combined[section] = results
         if any(isinstance(r, dict) and "error" in r
                for r in results.values()):

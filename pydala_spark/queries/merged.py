@@ -504,7 +504,20 @@ FROM (
 
 
 def q_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IN-subquery (left-semi) + scalar-subquery comparison, tag-unioned."""
+    """IN-subquery (left-semi) + scalar-subquery comparison + the
+    TPC-H-q21-shaped multi-way correlated EXISTS / NOT EXISTS
+    self-join (round 11, VERDICT r10 #4 — the delegated-SQL join shape
+    that had no CORRECTNESS row; reference passthrough
+    reference/src/pydala/dataset/reader.py:478-484), tag-unioned.
+
+    The q21 family ("exists"): suppliers in two nations whose line was
+    the ONLY late one (shipped > 45 days after an F-status order was
+    placed) on a multi-supplier order. Spark-first shape: the late-line
+    frame is computed once and drives BOTH correlated quantifiers — a
+    left-semi join (EXISTS another supplier on the order) and a
+    left-anti join (NOT EXISTS another supplier late on the order),
+    both shuffling on the same l_orderkey key so AQE reuses the
+    exchange; supplier/nation are broadcast dims."""
     cust = load_table(spark, sf_dir, "customer")
     big = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
     insub = cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
@@ -521,21 +534,85 @@ def q_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n_above"))
     )
-    return _tagged_union([("in", insub), ("scalar", scalar)])
+    li = load_table(spark, sf_dir, "lineitem")
+    o_f = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    late = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    waiters = late.join(
+        l2, (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
+        "left_semi",
+    ).join(
+        l3, (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")),
+        "left_anti",
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    exists = (
+        waiters.join(
+            F.broadcast(
+                supp.join(
+                    F.broadcast(nat),
+                    supp.s_nationkey == nat.n_nationkey,
+                )
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+    return _tagged_union([("in", insub), ("scalar", scalar), ("exists", exists)])
 
 
 _Q_SUBQUERIES_SQL = """
 SELECT 'in' AS family, c_custkey, c_name, c_mktsegment,
-  CAST(NULL AS BIGINT) AS n_above
+  CAST(NULL AS BIGINT) AS n_above,
+  CAST(NULL AS VARCHAR) AS s_name, CAST(NULL AS BIGINT) AS numwait
 FROM customer
 WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
 UNION ALL
-SELECT 'scalar', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), c_mktsegment, COUNT(*)
+SELECT 'scalar', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), c_mktsegment, COUNT(*),
+  CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
 FROM customer
 WHERE c_acctbal > (
   SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(25,4))) AS DOUBLE) / COUNT(*)
   FROM customer)
 GROUP BY c_mktsegment
+UNION ALL
+SELECT 'exists', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+  CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), s_name, COUNT(*) AS numwait
+FROM supplier, lineitem l1, orders, nation
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 45 DAY
+  AND EXISTS (SELECT * FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT * FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 45 DAY)
+  AND s_nationkey = n_nationkey
+  AND n_name IN ('NATION_3', 'NATION_7')
+GROUP BY s_name
 """
 
 
@@ -561,12 +638,38 @@ def q_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.hour("ts").cast("long").alias("h")
     )
     diff = week1.subtract(week4)
-    return _tagged_union([("union_all", ua), ("intersect", inter), ("except", diff)])
+    # FULL OUTER family (round 11, VERDICT r10 #4): per-nation counts
+    # of high-balance customers vs high-balance suppliers — the
+    # thresholds make BOTH sides partial (supplier-only and
+    # customer-only nations exist at sf0.01), so every outer-join
+    # branch (matched, left-null, right-null) carries rows
+    c_hi = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 9900)
+        .groupBy(F.col("c_nationkey").alias("ck"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s_hi = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > 8000)
+        .groupBy(F.col("s_nationkey").alias("sk"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    fo = c_hi.join(s_hi, F.col("ck") == F.col("sk"), "full_outer").select(
+        F.coalesce(F.col("ck"), F.col("sk")).alias("nationkey"),
+        "n_cust",
+        "n_supp",
+    )
+    return _tagged_union(
+        [("union_all", ua), ("intersect", inter), ("except", diff),
+         ("full_outer", fo)]
+    )
 
 
 _Q_SET_OPS_SQL = """
 SELECT 'union_all' AS family, nationkey, COUNT(*) AS n,
-  CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS BIGINT) AS h
+  CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS BIGINT) AS h,
+  CAST(NULL AS BIGINT) AS n_cust, CAST(NULL AS BIGINT) AS n_supp
 FROM (
   SELECT c_nationkey AS nationkey FROM customer
   UNION ALL
@@ -574,14 +677,15 @@ FROM (
 ) GROUP BY nationkey
 UNION ALL
 SELECT 'intersect', nationkey, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-  CAST(NULL AS BIGINT)
+  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
 FROM (
   SELECT c_nationkey AS nationkey FROM customer
   INTERSECT
   SELECT s_nationkey AS nationkey FROM supplier
 )
 UNION ALL
-SELECT 'except', CAST(NULL AS INTEGER), CAST(NULL AS BIGINT), user_id, h
+SELECT 'except', CAST(NULL AS INTEGER), CAST(NULL AS BIGINT), user_id, h,
+  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
 FROM (
   SELECT user_id, HOUR(CAST(ts AS TIMESTAMP)) AS h FROM events
   WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
@@ -589,6 +693,14 @@ FROM (
   SELECT user_id, HOUR(CAST(ts AS TIMESTAMP)) AS h FROM events
   WHERE ts >= TIMESTAMP '2024-01-22' AND ts < TIMESTAMP '2024-01-29'
 )
+UNION ALL
+SELECT 'full_outer', COALESCE(ck, sk), CAST(NULL AS BIGINT),
+  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), n_cust, n_supp
+FROM (SELECT c_nationkey AS ck, COUNT(*) AS n_cust FROM customer
+      WHERE c_acctbal > 9900 GROUP BY c_nationkey) c
+FULL JOIN (SELECT s_nationkey AS sk, COUNT(*) AS n_supp FROM supplier
+           WHERE s_acctbal > 8000 GROUP BY s_nationkey) s
+  ON ck = sk
 """
 
 

@@ -126,6 +126,46 @@ def test_repetition_stats_no_cartesian_and_pruned_scan(spark, sf_dir):
         assert set(cols) <= {"doc_id", "text"}
 
 
+def test_q21_exists_family_plan(spark, sf_dir):
+    # round 11 (VERDICT r10 #4): the q21-shaped correlated EXISTS /
+    # NOT EXISTS self-join must execute as semi/anti hash or merge
+    # joins on l_orderkey — never a nested-loop / cartesian pair
+    # blowup — with the supplier/nation dims broadcast and the
+    # late-line predicate's columns pruned at the scan
+    df = QUERIES["q_subqueries"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the scalar family's 1-row broadcast mean is a legitimate
+    # nested-loop (one row × customer); the q21 quantifiers must NOT
+    # be — every LeftSemi/LeftAnti is a hash or merge join keyed on
+    # l_orderkey, never nested-loop
+    for line in plan.splitlines():
+        if "NestedLoopJoin" in line or "CartesianProduct" in line:
+            assert "LeftSemi" not in line and "LeftAnti" not in line, line
+        if "LeftSemi" in line or "LeftAnti" in line:
+            assert ("HashJoin" in line or "SortMergeJoin" in line), line
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert has_broadcast_join(df)
+    pushed = " ".join(pushed_filters(df))
+    assert "o_orderstatus" in pushed and "n_name" in pushed
+    # every lineitem scan reads at most the three needed columns
+    for cols in read_schema_columns(df):
+        if any(c.startswith("l_") for c in cols):
+            assert set(cols) <= {"l_orderkey", "l_suppkey", "l_shipdate"}
+
+
+def test_full_outer_family_plan(spark, sf_dir):
+    # the FULL OUTER family: both sides pre-aggregate BEFORE the join
+    # (the outer join sees one row per nation, not per customer) and
+    # the acctbal thresholds reach the scans
+    df = QUERIES["q_set_operations"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    pushed = " ".join(pushed_filters(df))
+    assert "c_acctbal" in pushed and "s_acctbal" in pushed
+
+
 def test_pushed_filters_handles_in_lists(spark, sf_dir):
     # r4 review: In(col, [..]) must parse as ONE filter and not swallow
     # filters after it

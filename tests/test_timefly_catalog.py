@@ -1532,6 +1532,56 @@ fail_on_stale = true
     capsys.readouterr()
 
 
+def test_cli_cron_runtime_error_containment(
+        spark, tmp_path, capsys, monkeypatch):
+    # round 11 (ADVICE r10): only the typed ConfigError takes the
+    # exit-2 config path; a genuine runtime exception mid-sweep is
+    # recorded against ITS section (exit 1) and the remaining sections
+    # still run
+    import json
+
+    from pydala_spark.cli import main
+
+    root = str(tmp_path / "cronerr")
+    lake = Datalake(spark, root)
+    spark.createDataFrame(
+        [(1, "some words here"), (2, "other words there")],
+        ["doc_id", "text"],
+    ).write.parquet(os.path.join(root, "docs"))
+    lake.add_dataset("docs")
+
+    # a method-level refusal (ConfigError subclass) stays the exit-2
+    # config path: n_bands must divide n_hashes
+    cfg = tmp_path / "cronerr.toml"
+    cfg.write_text(f'root = "{root}"\n\n[neardup_dedup]\nn_bands = 3\n')
+    assert main(["--master", "local[4]", "cron", str(cfg)]) == 2
+    capsys.readouterr()
+
+    # a runtime ValueError from inside the sweep must NOT masquerade
+    # as a config error: per-section failure, later sections run
+    from pydala_spark.catalog import Datalake as _DL
+
+    def _boom(self, threshold=None, n_centroids=None, **kw):
+        raise ValueError("numpy blew up mid-sweep")
+
+    monkeypatch.setattr(_DL, "semantic_dedup", _boom)
+    cfg.write_text(f"""
+root = "{root}"
+
+[semantic_dedup]
+threshold = 0.999
+n_centroids = 2
+
+[neardup_dedup]
+max_concurrency = 1
+""")
+    rc = main(["--master", "local[4]", "cron", str(cfg)])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 1
+    assert out["semantic_dedup"]["error"].startswith("ValueError")
+    assert "_lake" in out["neardup_dedup"]  # the later section ran
+
+
 def test_datalake_span_report_partial_incremental(spark, tmp_path):
     # round 10: the third lake-global sweep gets the partial night —
     # span df is ADDITIVE over dataset-disjoint ids, so the persisted
@@ -2099,6 +2149,34 @@ def test_datalake_semantic_dedup_cross_dataset(spark, tmp_path):
     assert inc7["_sweep_mode"] == "full"
 
 
+def test_datalake_semantic_cross_allfresh_zero_vectors(spark, tmp_path):
+    # round 11 (ADVICE r10): a lake whose prior cross sweep legitimately
+    # produced NO verdict table (every dataset skipped — zero vectors)
+    # must still take the all-fresh path on the unchanged night, not
+    # re-run prep forever because _verdicts doesn't exist
+    root = str(tmp_path / "zvlake")
+    lake = Datalake(spark, root)
+    spark.createDataFrame(
+        [(1, "text only, no embeddings here")], ["doc_id", "text"],
+    ).write.parquet(os.path.join(root, "ta"))
+    spark.createDataFrame(
+        [(2, "another text-only dump")], ["doc_id", "text"],
+    ).write.parquet(os.path.join(root, "tb"))
+    for n in ("ta", "tb"):
+        lake.add_dataset(n)
+
+    kwx = dict(threshold=0.999, n_centroids=2, vec_col="embedding",
+               cross_dataset=True, incremental=True)
+    r1 = lake.semantic_dedup(**kwx)
+    assert r1["_sweep_mode"] == "full"
+    assert all(r1[n]["skipped"].startswith("no (")
+               for n in ("ta", "tb"))
+    assert not os.path.isdir(
+        os.path.join(root, "_semantic_dedup", "_verdicts"))
+    r2 = lake.semantic_dedup(**kwx)
+    assert r2["_sweep_mode"] == "fresh"
+
+
 def test_datalake_span_dedup_report(spark, tmp_path):
     # round 8 (late): cross-dataset boilerplate detection — a license
     # block appearing ONCE PER DUMP has per-dataset df=1 (invisible to
@@ -2343,6 +2421,68 @@ def test_datalake_neardup_partial_incremental(spark, tmp_path):
     for n in ("da", "db", "dc"):
         for key in ("n_docs", "n_dropped", "n_cross_dropped"):
             assert r5[n][key] == r5_full[n][key]
+
+
+def test_datalake_neardup_partial_commit_token(spark, tmp_path):
+    # round 11 (ADVICE r10): _pairs and the summary's _overcap are
+    # written seconds apart; a crash in that window leaves a newer edge
+    # set against a stale over-cap list. The _pairs commit token must
+    # be echoed in the summary (_artifacts) and any mismatch must
+    # degrade the next night to the FULL sweep, never a partial over
+    # mismatched state.
+    import json as _json
+
+    root = str(tmp_path / "tokennd")
+    lake = Datalake(spark, root)
+    s1 = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+          "juliet kilo lima mike")
+    spark.createDataFrame(
+        [(1, s1), (2, "unique content one nothing alike anywhere")],
+        ["doc_id", "text"],
+    ).write.parquet(os.path.join(root, "da"))
+    spark.createDataFrame([(10, s1)], ["doc_id", "text"]) \
+        .write.parquet(os.path.join(root, "db"))
+    for n in ("da", "db"):
+        lake.add_dataset(n)
+
+    r1 = lake.neardup_dedup(incremental=True)
+    assert r1["_sweep_mode"] == "full"
+    tok_path = os.path.join(root, "_neardup", "_pairs", "_token.json")
+    with open(tok_path) as fh:
+        tok = _json.load(fh)
+    assert r1["_artifacts"] == tok and tok
+
+    # the healthy path still goes partial after a mutation
+    spark.createDataFrame([(3, s1)], ["doc_id", "text"]) \
+        .write.mode("append").parquet(os.path.join(root, "da"))
+    r2 = lake.neardup_dedup(incremental=True)
+    assert r2["_sweep_mode"] == "partial"
+    assert r2["_artifacts"] != r1["_artifacts"]  # re-tokened each write
+
+    # crash simulation A: _pairs was rewritten but the summary wasn't
+    # (token on disk differs from the summary's echo)
+    with open(tok_path, "w") as fh:
+        _json.dump("deadbeef-crashed-run", fh)
+    spark.createDataFrame([(4, s1)], ["doc_id", "text"]) \
+        .write.mode("append").parquet(os.path.join(root, "da"))
+    r3 = lake.neardup_dedup(incremental=True)
+    assert r3["_sweep_mode"] == "full"  # mismatch -> full rebuild
+
+    # crash simulation B: token file missing entirely (crash between
+    # the parquet overwrite — which deletes the old token — and the
+    # token write)
+    os.remove(tok_path)
+    spark.createDataFrame([(5, s1)], ["doc_id", "text"]) \
+        .write.mode("append").parquet(os.path.join(root, "da"))
+    r4 = lake.neardup_dedup(incremental=True)
+    assert r4["_sweep_mode"] == "full"
+
+    # and the full rebuild re-establishes a consistent commit: the
+    # next mutation night is partial again
+    spark.createDataFrame([(6, s1)], ["doc_id", "text"]) \
+        .write.mode("append").parquet(os.path.join(root, "da"))
+    r5 = lake.neardup_dedup(incremental=True)
+    assert r5["_sweep_mode"] == "partial"
 
 
 def test_datalake_neardup_partial_cap_transition(spark, tmp_path):
@@ -3079,14 +3219,30 @@ def test_datalake_prep_sweep_semantic_codebook(spark, tmp_path):
                             overrides=ov, **kw)
     assert r_ov2["da"]["sidecars"] == {"embedding_cells": "reused"}
 
-    # ...and an override that turns the semantic stage OFF for a
-    # dataset skips serving it cells it would never consume
+    # ...an override that turns the semantic stage OFF but KEEPS
+    # vec_col still materializes the cells sidecar (ADVICE r10: an
+    # explicit signatures request with vec_col available is the
+    # "produce cells for a later semantic_dedup sweep" shape) — the
+    # cells just aren't consumed tonight, so no semantic drop
     r_off = lake.prep_sweep(
         dest, codebook_path=cb_path, signatures=("embedding_cells",),
         overrides={"da": {"semantic_dedup": False}}, **{
             k: v for k, v in kw.items() if k != "semantic_dedup"},
         semantic_dedup=True,
     )
-    assert r_off["da"]["sidecars"]["embedding_cells"].startswith(
-        "skipped")
+    assert r_off["da"]["sidecars"] == {"embedding_cells": "materialized"}
     assert r_off["da"]["n_out"] == 3  # no semantic drop for da
+
+    # ...whereas an override that REMOVES vec_col (a text-only config
+    # for this dataset) skips the sidecar with a reason instead of
+    # erroring nightly
+    r_novec = lake.prep_sweep(
+        dest, codebook_path=cb_path, signatures=("embedding_cells",),
+        overrides={"da": {"semantic_dedup": False, "vec_col": None}},
+        **{k: v for k, v in kw.items()
+           if k not in ("semantic_dedup", "vec_col")},
+        semantic_dedup=True, vec_col="embedding",
+    )
+    assert r_novec["da"]["sidecars"]["embedding_cells"].startswith(
+        "skipped (no vec_col")
+    assert r_novec["da"]["n_out"] == 3
