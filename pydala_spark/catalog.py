@@ -70,6 +70,23 @@ def _frame_marker(frame: DataFrame, id_col: str, content) -> dict:
     return {"rows": int(row["rows"]), "xor": int(row["xor"])}
 
 
+def _edge_balloon_warning(
+    n_edges: int, total_docs: int, multiple: float
+) -> str | None:
+    """Viral-night tripwire (VERDICT r10 #3): the persisted neardup
+    edge set is normally orders below corpus size, but a
+    boilerplate-heavy ingest pairs quadratically inside its bucket —
+    warn when it exceeds ``multiple`` × the corpus doc count."""
+    if total_docs > 0 and n_edges > multiple * total_docs:
+        return (
+            f"persisted edge set ({n_edges} pairs) exceeds {multiple}x "
+            f"the corpus doc count ({total_docs}) — a viral-duplicate "
+            "ingest is ballooning _pairs; lower max_bucket_size or "
+            "delete _pairs to regenerate from a full sweep"
+        )
+    return None
+
+
 class Datalake:
     def __init__(self, spark: SparkSession, root: str, sidecar_format: str = "json"):
         if sidecar_format not in ("json", "toml"):
@@ -2638,6 +2655,7 @@ class Datalake:
         signatures_root: str | None = None,
         incremental: bool = False,
         max_concurrency: int = 4,
+        edge_warn_multiple: float = 4.0,
     ) -> dict[str, dict]:
         """Lake-wide CROSS-DATASET text near-dup sweep (round 8) — the
         text-modality sibling of :meth:`semantic_dedup`, and the one
@@ -2939,6 +2957,21 @@ class Datalake:
                 out["_overcap"] = prior.get("_overcap")
                 out["_edges"] = prior.get("_edges")
                 out["_artifacts"] = prior.get("_artifacts")
+                if prior.get("_state") is not None:
+                    # carry the footprint, but judge the balloon
+                    # against TONIGHT's knob (an operator raising the
+                    # threshold must see the warning clear)
+                    st = dict(prior["_state"])
+                    st.pop("balloon_warning", None)
+                    total_docs = sum(
+                        pe.get("n_docs", 0) for pe in out.values()
+                        if isinstance(pe, dict))
+                    warn = _edge_balloon_warning(
+                        int(st.get("pairs_rows", 0)), total_docs,
+                        edge_warn_multiple)
+                    if warn:
+                        st["balloon_warning"] = warn
+                    out["_state"] = st
                 self._po.write_text(
                     posixpath.join(rep_base, "_summary.json"),
                     _json.dumps(out, indent=2, sort_keys=True,
@@ -3176,6 +3209,30 @@ class Datalake:
             results["_overcap"] = [list(x) for x in overcap_keys]
             # echoes _pairs/_token.json (ADVICE r10 commit-token guard)
             results["_artifacts"] = new_pairs_token
+            # lifecycle reporting (VERDICT r10 #3): persisted edge-set
+            # footprint + a viral-night balloon tripwire. The edge set
+            # is normally orders below corpus size (pairs only within
+            # same-band buckets), but a boilerplate-heavy ingest can
+            # quadratically balloon it — warn past edge_warn_multiple
+            # × corpus docs so the operator caps buckets
+            # (max_bucket_size) or vacuums. Vacuum story: _pairs is a
+            # pure cache — delete it (or its _token.json) and the next
+            # night regenerates it from a full sweep.
+            if n_edges is not None:
+                total_docs = sum(
+                    e.get("n_docs", 0) for e in results.values()
+                    if isinstance(e, dict))
+                state: dict = {
+                    "pairs_rows": n_edges,
+                    "pairs_bytes": sum(
+                        sz for _, sz in self._po.list_files(
+                            posixpath.join(rep_base, "_pairs"))),
+                }
+                warn = _edge_balloon_warning(
+                    n_edges, total_docs, edge_warn_multiple)
+                if warn:
+                    state["balloon_warning"] = warn
+                results["_state"] = state
         self._po.write_text(
             posixpath.join(rep_base, "_summary.json"),
             _json.dumps(results, indent=2, sort_keys=True, default=str),

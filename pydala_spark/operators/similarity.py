@@ -408,14 +408,45 @@ def semantic_dedup(
             .withColumn("cell", F.element_at(assign(F.col("vec")), 1))
             .withColumn("__n", norm(F.col("vec")))
         )
-    a = base.select(
+    return semantic_kept_against(base, base, threshold=threshold,
+                                 scored=bool(score_col))
+
+
+def semantic_kept_against(
+    a_base: DataFrame,
+    b_base: DataFrame,
+    threshold: float,
+    scored: bool = False,
+) -> DataFrame:
+    """Per-doc SemDeDup verdict for the ``a_base`` rows against the
+    ``b_base`` cell-mates only — the pair-formula core of
+    :func:`semantic_dedup` (which calls it with ``a == b``), exposed so
+    partial-incremental sweeps can keep the pair join DELTA-sized
+    (round 11, VERDICT r10 #2).
+
+    Both frames carry ``(id, cell, vec, __n)`` (+ ``__s`` when
+    ``scored``). Returns ``(id, cell, kept)`` for every a-row: kept iff
+    NO b-row in the same cell ranks ahead of it (score desc, id asc;
+    NULL scores as -inf) AND is ``>= threshold`` cosine-similar. An
+    a-row whose cell has no b-rows is kept (left join); a self-row in
+    ``b_base`` is harmless because the ranking is strict.
+
+    Soundness of the delta decomposition (the caller's contract): for
+    an unchanged doc whose PRIOR verdict was kept, the prior sweep
+    already proved no unchanged cell-mate beats it (prior mates ⊇
+    tonight's unchanged mates under dataset-level freshness), so
+    ``b_base = changed docs`` suffices. A previously-DROPPED doc may
+    revive when its beater was removed, and a changed doc has no prior
+    — both need the full ``b_base = all current members``.
+    """
+    a = a_base.select(
         "id", "cell", F.col("vec").alias("vec_a"), F.col("__n").alias("__na"),
-        *([F.col("__s").alias("__sa")] if score_col else []),
+        *([F.col("__s").alias("__sa")] if scored else []),
     )
-    b = base.select(
+    b = b_base.select(
         F.col("id").alias("id_b"), "cell",
         F.col("vec").alias("vec_b"), F.col("__n").alias("__nb"),
-        *([F.col("__s").alias("__sb")] if score_col else []),
+        *([F.col("__s").alias("__sb")] if scored else []),
     )
     # a doc is dropped iff SOME smaller-id cell-mate is similar enough.
     # One left join on cell + a per-doc MAX aggregate: every a-row
@@ -431,7 +462,7 @@ def semantic_dedup(
     # near-dup; two NULLs fall back to id order) — without the coalesce
     # a NULL on either side would null the comparison and silently keep
     # BOTH near-duplicates (r4 review).
-    if score_col:
+    if scored:
         neg_inf = F.lit(float("-inf"))
         sa = F.coalesce(F.col("__sa"), neg_inf)
         sb = F.coalesce(F.col("__sb"), neg_inf)

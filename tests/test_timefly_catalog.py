@@ -1627,8 +1627,13 @@ def test_datalake_span_report_partial_incremental(spark, tmp_path):
         (tmp_path / "splake1" / "_span_dedup" / "_summary.json")
         .read_text())
     assert summary["_artifacts"]
+    # lifecycle reporting (round 11): the persisted partial-state
+    # footprint is in the summary, and the all-fresh night carries it
+    assert r1["_state"]["df_bytes"] > 0
+    assert r1["_state"]["contrib_bytes"] > 0
     r2 = lake.span_dedup_report(**kw)
     assert r2["_sweep_mode"] == "fresh"
+    assert r2["_state"] == r1["_state"]
 
     # C gains a copy of boiler_m: its df flips 1 -> 2, so doc 2 in
     # UNCHANGED dataset a must gain a span through flip propagation
@@ -2483,6 +2488,47 @@ def test_datalake_neardup_partial_commit_token(spark, tmp_path):
         .write.mode("append").parquet(os.path.join(root, "da"))
     r5 = lake.neardup_dedup(incremental=True)
     assert r5["_sweep_mode"] == "partial"
+
+
+def test_datalake_neardup_state_lifecycle(spark, tmp_path):
+    # round 11 (VERDICT r10 #3): the summary reports the persisted
+    # edge set's footprint, and a viral-duplicate lake (edge count
+    # quadratic in a boilerplate bucket) trips the balloon warning
+    root = str(tmp_path / "statend")
+    lake = Datalake(spark, root)
+    s1 = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+          "juliet kilo lima mike")
+    spark.createDataFrame(
+        [(1, s1), (2, "unique content one nothing alike anywhere")],
+        ["doc_id", "text"],
+    ).write.parquet(os.path.join(root, "da"))
+    spark.createDataFrame([(10, s1)], ["doc_id", "text"]) \
+        .write.parquet(os.path.join(root, "db"))
+    for n in ("da", "db"):
+        lake.add_dataset(n)
+
+    r1 = lake.neardup_dedup(incremental=True)
+    assert r1["_state"]["pairs_rows"] == r1["_edges"] == 1
+    assert r1["_state"]["pairs_bytes"] > 0
+    assert "balloon_warning" not in r1["_state"]
+    # the all-fresh night carries the footprint verbatim
+    r2 = lake.neardup_dedup(incremental=True)
+    assert r2["_sweep_mode"] == "fresh"
+    assert r2["_state"] == r1["_state"]
+
+    # viral night: 24 more copies of the same boilerplate -> the
+    # bucket pairs quadratically (25+ docs -> 300+ edges > 4x docs)
+    viral = ("viral boilerplate paragraph repeated across the whole "
+             "crawl tonight verbatim every single time no variance")
+    spark.createDataFrame(
+        [(100 + i, viral) for i in range(25)], ["doc_id", "text"],
+    ).write.mode("append").parquet(os.path.join(root, "da"))
+    r3 = lake.neardup_dedup(incremental=True)
+    assert r3["_state"]["pairs_rows"] > 4 * 28
+    assert "balloon_warning" in r3["_state"]
+    # ...and the knob tunes the tripwire
+    r4 = lake.neardup_dedup(incremental=True, edge_warn_multiple=100.0)
+    assert "balloon_warning" not in r4["_state"]
 
 
 def test_datalake_neardup_partial_cap_transition(spark, tmp_path):
