@@ -29,6 +29,11 @@ from pyspark.sql import functions as F
 
 from pydala_spark.dataset.reader import Dataset
 from pydala_spark.session import configure_session
+from pydala_spark.sweeps import (
+    lake_unchanged,
+    load_prior_summary,
+    sweep_fresh_map,
+)
 from pydala_spark.utils.errors import ConfigError
 from pydala_spark.utils.pathops import (
     PathOps,
@@ -511,17 +516,11 @@ class Datalake:
                 for bname, bdf in benchmarks.items()
             }
         if incremental:
-            try:
-                prior = _json.loads(self._po.read_text(
-                    posixpath.join(rep_base, "_summary.json")))
-            except Exception:
-                prior = None
-            if prior is not None and (
-                    prior.get("_benchmarks") != bench_markers
-                    or prior.get("_config") != config):
-                # benchmarks or sweep config moved — nothing is provably
-                # fresh; fall back to the full sweep
-                prior = None
+            # benchmarks or sweep config moved -> nothing is provably
+            # fresh; fall back to the full sweep (sweeps module)
+            prior = load_prior_summary(
+                self._po, rep_base,
+                {"_config": config, "_benchmarks": bench_markers})
         bench_fps = {}
         if mode == "winnowing":
             bench_fps = {
@@ -706,7 +705,7 @@ class Datalake:
         incremental: bool = False,
         max_concurrency: int = 4,
         cross_dataset: bool = False,
-        partial_max_cell_fraction: float = 0.5,
+        partial_max_cell_fraction: float = 1.0,
     ) -> dict[str, dict]:
         """Lake-wide SemDeDup sweep (round 8) — the embedding-modality
         sibling of :meth:`decontaminate`, served by the
@@ -778,12 +777,16 @@ class Datalake:
         unchanged datasets over verbatim — the unchanged corpus never
         shuffles (touched cells are codebook-bounded broadcasts; the
         touched-cell membership broadcasts behind a 2M-id guard).
-        ``partial_max_cell_fraction`` (default 0.5) is the measured
-        economy guard: the cell-partial's win is (touched cells /
-        codebook), and a changed dataset whose docs span most cells
-        makes the partial path pure overhead (~1.5× a full night at
-        identical shuffle — SCALE.md) — past the fraction the sweep
-        just runs full; tests with toy codebooks pass 1.0.
+        ``partial_max_cell_fraction`` (default 1.0 = off) is the
+        economy guard: past the fraction of touched cells the sweep
+        just runs full. Round 10 defaulted it to 0.5 because the
+        cell-partial re-paired WHOLE touched cells (a spanning ingest
+        ≈ full work at ~1.5× wall); round 11's doc-level decomposition
+        (VERDICT r10 #2) keeps the pair join delta-sized even with
+        every cell touched — re-measured 0.61× shuffle bytes / 0.45×
+        wall on the identical cliff shape (SCALE.md) — so the guard
+        is now opt-in for operators whose codebooks are tiny enough
+        that fixed per-job overheads dominate.
         Summaries carry ``"_sweep_mode"``; a config or codebook-sha
         change discards the prior and runs full."""
         import json as _json
@@ -818,18 +821,14 @@ class Datalake:
             # cross mode loads/validates its own prior against the
             # CROSS config below — loading here too would be a
             # redundant summary read discarded immediately
-            try:
-                prior = _json.loads(self._po.read_text(
-                    posixpath.join(rep_base, "_summary.json")))
-            except Exception:
-                prior = None
+            prior = load_prior_summary(
+                self._po, rep_base, {"_config": config})
             # cb None matches a prior sha of None (a zero-vector lake
             # never trains a codebook — same carve-out as cross mode)
             if prior is not None and (
-                    prior.get("_config") != config
-                    or (prior.get("_codebook") or {}).get("sha")
+                    (prior.get("_codebook") or {}).get("sha")
                     != (codebook_sha(cb) if cb is not None else None)):
-                prior = None  # config/codebook moved — full sweep
+                prior = None  # codebook moved — full sweep
 
         if cross_dataset:
             #: same unambiguous-id separator as neardup_dedup
@@ -846,20 +845,16 @@ class Datalake:
             # prior loaded above answers different semantics).
             prior = None
             if incremental:
-                try:
-                    prior = _json.loads(self._po.read_text(
-                        posixpath.join(rep_base, "_summary.json")))
-                except Exception:
-                    prior = None
+                prior = load_prior_summary(
+                    self._po, rep_base, {"_config": cfg_cross})
                 # a lake with zero vectors never trains a codebook —
                 # cb None with a prior sha of None is a MATCH (the
                 # all-fresh zero-vector carve-out), not a move
                 if prior is not None and (
-                        prior.get("_config") != cfg_cross
-                        or (prior.get("_codebook") or {}).get("sha")
+                        (prior.get("_codebook") or {}).get("sha")
                         != (codebook_sha(cb) if cb is not None
                             else None)):
-                    prior = None  # config/codebook moved — full sweep
+                    prior = None  # codebook moved — full sweep
 
             def _prep_cross(name: str, base: str):
                 nonlocal cb
@@ -980,28 +975,8 @@ class Datalake:
             target = posixpath.join(rep_base, "_verdicts")
             partial_unchanged = None
             if incremental and prior is not None:
-                def _fresh(name: str, entry: dict) -> bool:
-                    pe = prior.get(name)
-                    if not isinstance(pe, dict):
-                        return False
-                    if "skipped" in entry or "skipped" in pe:
-                        return entry.get("skipped") == pe.get("skipped")
-                    if "error" in entry or "error" in pe:
-                        return False
-                    if entry.get("sidecar") != "reused":
-                        return False
-                    if entry.get("marker") is None \
-                            or entry.get("marker") != pe.get("marker"):
-                        return False
-                    if entry.get("scored") != pe.get("scored"):
-                        return False
-                    if entry.get("scored") and (
-                            entry.get("score_marker")
-                            != pe.get("score_marker")):
-                        return False
-                    return "n_vectors" in pe
-                fresh_map = {n: _fresh(n, e) for n, e in results.items()}
-                prior_names = {k for k in prior if not k.startswith("_")}
+                # shared freshness + all-fresh rules (sweeps module)
+                fresh_map = sweep_fresh_map(results, prior, "n_vectors")
                 # the span sweep's carve-out (ADVICE r10): a prior
                 # sweep that legitimately produced no verdict table
                 # (every dataset skipped / zero vectors) must not be
@@ -1009,8 +984,7 @@ class Datalake:
                 # table only when the prior summary recorded vectors
                 prior_had_vectors = (prior.get("_lake") or {}).get(
                     "n_vectors", 0) > 0
-                if (prior_names == set(results)
-                        and all(fresh_map.values())
+                if (lake_unchanged(results, prior, fresh_map)
                         # the verdict table must still EXIST when the
                         # prior sweep produced one — an out-of-band
                         # deletion would otherwise be reported "fresh"
@@ -1109,17 +1083,52 @@ class Datalake:
                             sweep_mode = "partial"
                             cells_sub = sub_ids.localCheckpoint(
                                 eager=True)
-                            sub_v = union_v.join(
-                                F.broadcast(cells_sub.select(
-                                    F.col("id").alias("__lid"))),
-                                "__lid", "left_semi")
-                            vnew = semantic_dedup(
-                                sub_v, id_col="__lid",
-                                vec_col="__vec",
-                                threshold=threshold,
-                                score_col="__score",
-                                cells=cells_sub,
+                            # de-cliffed pair join (round 11, VERDICT
+                            # r10 #2): tonight's touched-cell verdicts
+                            # decompose at DOC level so a spanning
+                            # ingest stays delta-sized — the
+                            # decomposition + its soundness contract
+                            # live in similarity.semantic_partial_
+                            # verdicts; this block only assembles its
+                            # two inputs from the lake's artifacts.
+                            from pydala_spark.operators.similarity import (  # noqa: E501
+                                semantic_partial_verdicts,
                             )
+
+                            # ONE broadcast-pruned scan of the lake's
+                            # embedding column, materialized: the
+                            # delta decomposition has five consumers,
+                            # and without the cut each would re-scan
+                            # every dataset's vectors (bounded: <= the
+                            # 2M-member guard)
+                            sub_base = union_v.join(
+                                F.broadcast(cells_sub.select(
+                                    F.col("id").alias("__lid"),
+                                    "cell",
+                                    F.col("norm").alias("__n"))),
+                                "__lid",
+                            ).select(
+                                F.col("__lid").alias("id"), "cell",
+                                F.col("__vec").alias("vec"), "__n",
+                                F.col("__score").alias("__s"),
+                            ).localCheckpoint(eager=True)
+                            o_prior = (
+                                pv.where(F.col("dataset")
+                                         .isin(partial_unchanged))
+                                .join(F.broadcast(touched),
+                                      "cell", "left_semi")
+                                .select(
+                                    F.concat_ws(
+                                        sep, "dataset",
+                                        "id").alias("id"),
+                                    "kept")
+                                .localCheckpoint(eager=True))
+                            vnew = semantic_partial_verdicts(
+                                sub_base, o_prior,
+                                is_changed=F.substring_index(
+                                    F.col("id"), sep, 1)
+                                .isin(changed_names),
+                                threshold=threshold, scored=True)
                             new_rows = vnew.join(meta, "id").select(
                                 F.col("__ds").alias("dataset"),
                                 F.col("__doc").alias("id"),
@@ -1454,13 +1463,9 @@ class Datalake:
                   "id_col": id_col, "text_col": text_col}
         prior = None
         if incremental:
-            try:
-                prior = _json.loads(self._po.read_text(
-                    posixpath.join(rep_base, "_summary.json")))
-            except Exception:
-                prior = None
-            if prior is not None and prior.get("_config") != config:
-                prior = None  # sweep knobs moved — full sweep
+            # sweep knobs moved -> prior nulled (sweeps module)
+            prior = load_prior_summary(
+                self._po, rep_base, {"_config": config})
         sep = "\x1f"
 
         def _prep_one(name: str, base: str):
@@ -1553,24 +1558,13 @@ class Datalake:
         tagged_names = {n for n, e in results.items()
                         if isinstance(e, dict) and "sidecar" in e}
         if incremental and prior is not None:
-            def _fresh(name: str, entry: dict) -> bool:
-                pe = prior.get(name)
-                if not isinstance(pe, dict):
-                    return False
-                if "skipped" in entry or "skipped" in pe:
-                    return entry.get("skipped") == pe.get("skipped")
-                if "error" in entry or "error" in pe:
-                    return False
-                return (entry.get("sidecar") == "reused"
-                        and entry.get("marker") is not None
-                        and entry.get("marker") == pe.get("marker")
-                        and "n_spans" in pe)
-            fresh_map = {n: _fresh(n, e) for n, e in results.items()}
-            prior_names = {k for k in prior if not k.startswith("_")}
+            # shared freshness + all-fresh rules (sweeps module; the
+            # span sweep is unscored, so the scored clauses pass
+            # vacuously on both sides)
+            fresh_map = sweep_fresh_map(results, prior, "n_spans")
             prior_had_spans = (prior.get("_lake") or {}).get(
                 "n_spans", 0) > 0
-            if (prior_names == set(results)
-                    and all(fresh_map.values())
+            if (lake_unchanged(results, prior, fresh_map)
                     # the report table must still EXIST when the prior
                     # sweep produced spans (the out-of-band-deletion
                     # rule the other all-fresh paths follow; a clean
@@ -2344,19 +2338,15 @@ class Datalake:
         )
         prior = None
         if incremental:
-            try:
-                prior = _json.loads(self._po.read_text(
-                    posixpath.join(rep_base, "_summary.json")))
-            except Exception:
-                prior = None
-            if prior is not None and (
-                    _json.loads(_json.dumps(prior.get("_config"),
-                                            default=str))
-                    != _json.loads(_json.dumps(config, default=str))
-                    or prior.get("_benchmark") != bench_marker):
-                # cleaning config or benchmark moved — yesterday's
-                # copies answered a different question
-                prior = None
+            # cleaning config or benchmark moved — yesterday's copies
+            # answered a different question (sweeps module; the config
+            # canonicalizes through JSON because codebook values
+            # stringify, and the prior side is already parsed JSON)
+            prior = load_prior_summary(
+                self._po, rep_base,
+                {"_config": _json.loads(
+                    _json.dumps(config, default=str)),
+                 "_benchmark": bench_marker})
 
         def _prep_one(name: str, base: str) -> dict:
             current = posixpath.join(base, "current")
@@ -2780,15 +2770,10 @@ class Datalake:
         }
         prior = None
         if incremental:
-            try:
-                prior = _json.loads(self._po.read_text(
-                    posixpath.join(rep_base, "_summary.json")))
-            except Exception:
-                prior = None
-            if prior is not None and prior.get("_config") != config:
-                # sweep knobs moved — the prior verdict answered a
-                # different question; nothing is provably fresh
-                prior = None
+            # sweep knobs moved -> prior nulled: the prior verdict
+            # answered a different question (sweeps.load_prior_summary)
+            prior = load_prior_summary(
+                self._po, rep_base, {"_config": config})
         #: \x1f (unit separator) cannot appear in a manifest dataset
         #: name, so lake-qualified ids split back unambiguously
         sep = "\x1f"
@@ -2904,37 +2889,11 @@ class Datalake:
         #: (unchanged dataset names, prior over-cap bucket keys)
         partial_ctx = None
         if incremental and prior is not None:
-            def _fresh(name: str, entry: dict) -> bool:
-                pe = prior.get(name)
-                if not isinstance(pe, dict):
-                    return False
-                if "skipped" in entry or "skipped" in pe:
-                    # a dataset skipped for the same reason contributes
-                    # nothing to either sweep's union — identical skips
-                    # keep the global verdict identical
-                    return entry.get("skipped") == pe.get("skipped")
-                if "error" in entry or "error" in pe:
-                    return False
-                if entry.get("sidecar") != "reused":
-                    # materialized == first contact or content change
-                    return False
-                if entry.get("marker") is None \
-                        or entry.get("marker") != pe.get("marker"):
-                    return False
-                if entry.get("scored") != pe.get("scored"):
-                    return False
-                if entry.get("scored") and (
-                        entry.get("score_marker")
-                        != pe.get("score_marker")):
-                    return False
-                # the prior run must have completed the global phase
-                # for this dataset — an entry without counts proves
-                # nothing about a verdict table
-                return "n_docs" in pe
-            fresh_map = {n: _fresh(n, e) for n, e in results.items()}
-            prior_names = {k for k in prior if not k.startswith("_")}
-            if (prior_names == set(results)
-                    and all(fresh_map.values())
+            # per-dataset provable freshness + the all-fresh gate: the
+            # rules shared by all three lake-global sweeps, extracted
+            # to pydala_spark/sweeps.py (round 11, VERDICT r10 #5)
+            fresh_map = sweep_fresh_map(results, prior, "n_docs")
+            if (lake_unchanged(results, prior, fresh_map)
                     # the verdict table must still EXIST (the prep_sweep
                     # ADVICE-r9 rule): an out-of-band deletion would
                     # otherwise be reported "fresh" with report paths

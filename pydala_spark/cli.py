@@ -922,10 +922,12 @@ def build_parser() -> argparse.ArgumentParser:
                     "keeps one copy lake-wide")
     sd.add_argument("--partial-max-cell-fraction",
                     dest="partial_max_cell_fraction", type=float,
-                    default=0.5,
+                    default=1.0,
                     help="cross+incremental economy guard: run the "
                     "cell-partial night only when touched cells stay "
-                    "under this fraction of the codebook (1.0 waives)")
+                    "under this fraction of the codebook (default "
+                    "1.0 = off since the round-11 doc-level partial "
+                    "is delta-sized even with every cell touched)")
     sd.add_argument("--max-concurrency", dest="max_concurrency",
                     type=int, default=4, help="sweep N datasets' "
                     "independent jobs concurrently (thread pool)")

@@ -2138,9 +2138,11 @@ def test_datalake_semantic_dedup_cross_dataset(spark, tmp_path):
                                 score_col="q", cross_dataset=True)
     assert inc5["_lake"] == full5["_lake"]
 
-    # the DEFAULT fraction guard: on this 2-cell codebook any change
-    # touches most cells, so partial is pure overhead — the sweep must
-    # fall back to full (correctness never depends on partial)
+    # single-remaining-dataset lake: when the ONLY dataset changed,
+    # nothing is provably unchanged, so partial is impossible and the
+    # sweep runs full (correctness never depends on partial). The
+    # fraction-guard semantics themselves are pinned in
+    # test_datalake_semantic_cross_partial_spanning.
     inc6 = lake.semantic_dedup(threshold=0.999, n_centroids=2,
                                score_col="q", cross_dataset=True,
                                incremental=True)  # re-seed markers
@@ -2152,6 +2154,92 @@ def test_datalake_semantic_dedup_cross_dataset(spark, tmp_path):
                                score_col="q", cross_dataset=True,
                                incremental=True)
     assert inc7["_sweep_mode"] == "full"
+
+
+def test_datalake_semantic_cross_partial_spanning(spark, tmp_path):
+    # round 11 (VERDICT r10 #2): a changed dataset whose docs SPAN
+    # every cell must still produce full-sweep-identical verdicts via
+    # the doc-level delta path — including the two subtle cases:
+    # (a) a previously-DROPPED doc revives when its beater is removed
+    #     (the o_false full-recompute leg), and
+    # (b) a previously-KEPT doc is dropped by a new changed beater
+    #     (the o_true-vs-changed delta leg).
+    import numpy as np
+
+    def unit_rows(start, n, seed, score):
+        rng = np.random.default_rng(seed)
+        v = rng.normal(size=(n, 6))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        return [(start + i, [float(x) for x in v[i]], score)
+                for i in range(n)]
+
+    schema = "vec_id long, embedding array<double>, q double"
+    ea_rows = unit_rows(0, 40, seed=1, score=0.5)
+    eb1 = unit_rows(100, 40, seed=2, score=0.5)
+    # night-1 beater: eb 100 shares ea 0's vector with a higher score
+    eb1[0] = (100, ea_rows[0][1], 0.9)
+    # DEFAULT knobs: round 11 moved partial_max_cell_fraction to 1.0
+    # (off) because the doc-level partial is delta-sized even with
+    # every cell touched — this test pins that the default now takes
+    # the partial path on the spanning shape
+    kwx = dict(threshold=0.999, n_centroids=8, score_col="q",
+               vec_col="embedding", cross_dataset=True,
+               incremental=True)
+
+    root = str(tmp_path / "spanlake")
+    lake = Datalake(spark, root)
+    spark.createDataFrame(ea_rows, schema) \
+        .write.parquet(os.path.join(root, "ea"))
+    spark.createDataFrame(eb1, schema) \
+        .write.parquet(os.path.join(root, "eb"))
+    lake.add_dataset("ea")
+    lake.add_dataset("eb")
+    r1 = lake.semantic_dedup(**kwx)
+    assert r1["_sweep_mode"] == "full"
+    kept1 = {r["id"]: r["kept"] for r in
+             spark.read.parquet(r1["ea"]["report"]).collect()}
+    assert kept1["0"] is False  # dropped by eb 100
+
+    # night 2: eb fully REWRITTEN, spanning all cells — the beater 100
+    # is gone (ea 0 must revive) and a new doc 201 copies ea 1's
+    # vector with a better score (ea 1 must flip to dropped)
+    eb2 = unit_rows(150, 40, seed=3, score=0.5)
+    eb2.append((201, ea_rows[1][1], 0.95))
+    spark.createDataFrame(eb2, schema).write.mode("overwrite") \
+        .parquet(os.path.join(root, "eb"))
+    r2 = lake.semantic_dedup(**kwx)
+    assert r2["_sweep_mode"] == "partial"
+    assert r2["ea"]["sidecar"] == "reused"
+    v_part = {
+        n: sorted(map(tuple, spark.read.parquet(r2[n]["report"])
+                      .select("id", "cell", "kept").collect()))
+        for n in ("ea", "eb")
+    }
+    kept2 = {r[0]: r[2] for r in v_part["ea"]}
+    assert kept2["0"] is True   # revived (beater removed)
+    assert kept2["1"] is False  # dropped by the new 201
+
+    # oracle: a from-scratch full sweep over the identical final state
+    # on the SAME lake (pinned codebook — the inc3/full3 pattern; a
+    # twin lake can train a permuted codebook)
+    rf = lake.semantic_dedup(threshold=0.999, n_centroids=8,
+                             score_col="q", vec_col="embedding",
+                             cross_dataset=True)
+    assert r2["_lake"] == rf["_lake"]
+    for n in ("ea", "eb"):
+        v_full = sorted(map(tuple, spark.read.parquet(rf[n]["report"])
+                            .select("id", "cell", "kept").collect()))
+        assert v_part[n] == v_full, n
+
+    # an EXPLICIT low fraction still guards: every cell is touched by
+    # another eb rewrite, so touched/codebook == 1 > 0.4 -> full
+    r3 = lake.semantic_dedup(**kwx)  # re-seed markers
+    assert r3["_sweep_mode"] in ("full", "fresh")
+    eb3 = unit_rows(300, 40, seed=4, score=0.5)
+    spark.createDataFrame(eb3, schema).write.mode("overwrite") \
+        .parquet(os.path.join(root, "eb"))
+    r4 = lake.semantic_dedup(partial_max_cell_fraction=0.4, **kwx)
+    assert r4["_sweep_mode"] == "full"
 
 
 def test_datalake_semantic_cross_allfresh_zero_vectors(spark, tmp_path):
