@@ -2893,13 +2893,22 @@ class Datalake:
             # rules shared by all three lake-global sweeps, extracted
             # to pydala_spark/sweeps.py (round 11, VERDICT r10 #5)
             fresh_map = sweep_fresh_map(results, prior, "n_docs")
+            # the zero-output carve-out the span/semantic sweeps have
+            # (round-11 review find): a lake where every dataset is
+            # skipped (e.g. embeddings-only, no text column) never
+            # writes _verdicts — the prior produced a table iff some
+            # dataset recorded counts from it
+            prior_had_docs = any(
+                isinstance(pe, dict) and "n_docs" in pe
+                for k, pe in prior.items() if not k.startswith("_"))
             if (lake_unchanged(results, prior, fresh_map)
-                    # the verdict table must still EXIST (the prep_sweep
-                    # ADVICE-r9 rule): an out-of-band deletion would
-                    # otherwise be reported "fresh" with report paths
-                    # pointing at nothing, forever
-                    and self._po.is_dir(
-                        posixpath.join(rep_base, "_verdicts"))):
+                    # the verdict table must still EXIST when the prior
+                    # sweep produced one (the prep_sweep ADVICE-r9
+                    # rule): an out-of-band deletion would otherwise be
+                    # reported "fresh" with report paths pointing at
+                    # nothing, forever
+                    and (not prior_had_docs or self._po.is_dir(
+                        posixpath.join(rep_base, "_verdicts")))):
                 # ALL-FRESH: the prior verdict is provably current —
                 # skip the union/LSH/CC jobs and the verdict rewrite
                 out = {

@@ -510,22 +510,28 @@ def semantic_partial_verdicts(
     unchanged members). Returns ``(id, cell, kept)`` covering every
     ``sub_base`` row exactly once.
 
-    Scale shape: with ``C`` changed docs, ``D`` prior-dropped docs and
-    ``M`` touched-cell members, the pair join materializes
-    ``(C + D) × cell_size + |kept| × C`` rows instead of the full
-    path's quadratic ``Σ cell²`` — measured 0.61× shuffle bytes /
-    0.45× wall on the all-cells-touched cliff shape (SCALE.md).
+    The split is keyed on "provably prior-kept", NOT on ``is_changed``:
+    everything else — changed docs, prior-dropped docs, and any doc
+    whose prior row is MISSING (e.g. a verdict partition lost
+    out-of-band while the summary survived) — takes the full-verdict
+    leg, so a corrupted prior self-heals into recomputation instead of
+    silently vanishing from the rewritten table (round-11 review find;
+    the round-10 cell-level partial re-verdicted every touched-cell
+    member and had this robustness implicitly).
+
+    Scale shape: with ``C`` changed docs, ``D`` docs lacking a
+    prior-kept row and ``M`` touched-cell members, the pair join
+    materializes ``(C + D) × cell_size + |kept| × C`` rows instead of
+    the full path's quadratic ``Σ cell²`` — measured 0.61× shuffle
+    bytes / 0.45× wall on the all-cells-touched cliff shape (SCALE.md).
     """
-    a_full = sub_base.where(is_changed).unionByName(
-        sub_base.join(
-            F.broadcast(
-                prior_verdicts.where(~F.col("kept")).select("id")),
-            "id", "left_semi"))
+    prior_kept_ids = prior_verdicts.where(F.col("kept")).select("id")
+    a_full = sub_base.join(
+        F.broadcast(prior_kept_ids), "id", "left_anti")
     v_full = semantic_kept_against(
         a_full, sub_base, threshold=threshold, scored=scored)
-    o_kept_base = sub_base.where(~is_changed).join(
-        F.broadcast(prior_verdicts.where(F.col("kept")).select("id")),
-        "id", "left_semi")
+    o_kept_base = sub_base.join(
+        F.broadcast(prior_kept_ids), "id", "left_semi")
     v_kept = semantic_kept_against(
         o_kept_base, sub_base.where(is_changed),
         threshold=threshold, scored=scored)

@@ -2241,6 +2241,28 @@ def test_datalake_semantic_cross_partial_spanning(spark, tmp_path):
     r4 = lake.semantic_dedup(partial_max_cell_fraction=0.4, **kwx)
     assert r4["_sweep_mode"] == "full"
 
+    # self-healing (round-11 review find): an unchanged dataset's
+    # verdict PARTITION lost out-of-band (summary + directory survive)
+    # must NOT silently vanish those docs from the next partial night —
+    # docs without a provable prior-kept row take the full-verdict leg
+    import shutil as _sh
+    _sh.rmtree(os.path.join(root, "_semantic_dedup", "_verdicts",
+                            "dataset=ea"))
+    eb4 = unit_rows(400, 40, seed=5, score=0.5)
+    eb4.append((401, ea_rows[2][1], 0.99))  # new beater for ea doc 2
+    spark.createDataFrame(eb4, schema).write.mode("overwrite") \
+        .parquet(os.path.join(root, "eb"))
+    r5 = lake.semantic_dedup(**kwx)
+    assert r5["_sweep_mode"] == "partial"
+    ea5 = spark.read.parquet(r5["ea"]["report"])
+    assert ea5.count() == 40  # every ea doc re-verdicted, none vanished
+    kept5 = {r["id"]: r["kept"] for r in ea5.collect()}
+    assert kept5["2"] is False  # the new beater still lands
+    full5 = lake.semantic_dedup(threshold=0.999, n_centroids=8,
+                                score_col="q", vec_col="embedding",
+                                cross_dataset=True)
+    assert r5["_lake"] == full5["_lake"]
+
 
 def test_datalake_semantic_cross_allfresh_zero_vectors(spark, tmp_path):
     # round 11 (ADVICE r10): a lake whose prior cross sweep legitimately
@@ -2576,6 +2598,25 @@ def test_datalake_neardup_partial_commit_token(spark, tmp_path):
         .write.mode("append").parquet(os.path.join(root, "da"))
     r5 = lake.neardup_dedup(incremental=True)
     assert r5["_sweep_mode"] == "partial"
+
+
+def test_datalake_neardup_allfresh_zero_docs(spark, tmp_path):
+    # round-11 review find: an embeddings-only lake (no dataset has the
+    # text column) never writes _verdicts — the all-fresh gate must not
+    # demand the table and re-run full forever (the span/semantic
+    # zero-output carve-out, now on all three sweeps)
+    root = str(tmp_path / "zdlake")
+    lake = Datalake(spark, root)
+    spark.createDataFrame(
+        [(1, [0.1, 0.2])], "vec_id long, embedding array<double>",
+    ).write.parquet(os.path.join(root, "embs"))
+    lake.add_dataset("embs")
+    r1 = lake.neardup_dedup(incremental=True)
+    assert r1["_sweep_mode"] == "full"
+    assert r1["embs"]["skipped"].startswith("no (")
+    assert not os.path.isdir(os.path.join(root, "_neardup", "_verdicts"))
+    r2 = lake.neardup_dedup(incremental=True)
+    assert r2["_sweep_mode"] == "fresh"
 
 
 def test_datalake_neardup_state_lifecycle(spark, tmp_path):
