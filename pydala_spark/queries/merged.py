@@ -746,17 +746,23 @@ def q_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("p_price", 2).alias("p75_price"),
         (num / den).alias("corr_qty_disc"),
     )
-    # qcut family (round 4): percentile-threshold corpus filtering
-    # (sampling.quantile_threshold exact path == DuckDB quantile_cont
-    # bit-identically), counted per group after the cutoff
-    from pydala_spark.operators.sampling import quantile_threshold
-
-    thr = quantile_threshold(li, "l_extendedprice", 0.75, exact=True)
+    # qcut family (round 4; round 11 in-plan rewrite): percentile-
+    # threshold corpus filtering, counted per group after the cutoff.
+    # The threshold is a broadcast 1-row aggregate INSIDE the plan
+    # rather than sampling.quantile_threshold's driver scalar: same
+    # bit-identical value (the operator's exact bracket path equals
+    # percentile(), == DuckDB quantile_cont), but one job instead of a
+    # threshold job serialized before the union job — measured −1 s on
+    # this query at sf0.1. The driver-scalar operator remains the
+    # production API for filters that REUSE the cutoff across batches.
+    thr_row = li.agg(
+        F.expr("percentile(l_extendedprice, 0.75)").alias("threshold"))
     qcut = (
-        li.where(F.col("l_extendedprice") >= F.lit(thr))
-        .groupBy("l_returnflag")
+        li.join(F.broadcast(thr_row))
+        .where(F.col("l_extendedprice") >= F.col("threshold"))
+        .groupBy("l_returnflag", "threshold")
         .agg(F.count("*").alias("n_kept"))
-        .withColumn("threshold", F.lit(thr))
+        .select("l_returnflag", "n_kept", "threshold")
     )
     # ppl family (round 5): CCNet-style pinned-LM perplexity filter over
     # documents (textstats.lm_perplexity_score) — BIGRAM with stupid
