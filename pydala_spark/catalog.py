@@ -1018,6 +1018,34 @@ class Datalake:
                 unchanged = {n for n, ok in fresh_map.items()
                              if ok and n in tagged_names}
                 if unchanged and self._po.is_dir(target):
+                    # carry-over integrity (round-11 review find): the
+                    # partial night trusts the verdict table's rows of
+                    # unchanged datasets VERBATIM for untouched cells —
+                    # a dataset partition lost out-of-band would vanish
+                    # those docs from the rewritten table permanently
+                    # (the touched-cell self-heal can't see them). ONE
+                    # count-by-dataset over the partition column vs the
+                    # prior summary's n_vectors demotes any short
+                    # dataset to CHANGED, whose docs then recompute
+                    # through the full-verdict leg.
+                    try:
+                        pv_counts = {
+                            r["dataset"]: int(r["n"])
+                            for r in self.spark.read.parquet(target)
+                            .groupBy("dataset")
+                            .agg(F.count("*").alias("n")).collect()
+                        }
+                    except Exception:
+                        # every partition gone: nothing is trustable —
+                        # demote all, full rebuild
+                        pv_counts = None
+                    unchanged = set() if pv_counts is None else {
+                        n for n in unchanged
+                        if pv_counts.get(n, 0)
+                        == int((prior.get(n) or {}).get(
+                            "n_vectors", -1))
+                    }
+                if unchanged and self._po.is_dir(target):
                     partial_unchanged = sorted(unchanged)
             lake_stats = {"n_vectors": 0, "n_dropped": 0}
             sweep_mode = "full"
@@ -1607,7 +1635,32 @@ class Datalake:
                     and _token(contrib_path) == tok
                     and (not prior_had_spans
                          or self._po.is_dir(target))):
-                partial_unchanged = sorted(unchanged)
+                if prior_had_spans:
+                    # carry-over integrity (round-11 review find,
+                    # mirrors the semantic sweep): the partial night
+                    # carries unchanged datasets' prior SPANS verbatim
+                    # for non-re-evaluated docs — a spans partition
+                    # lost out-of-band would vanish them permanently.
+                    # Count-by-dataset vs the prior summary demotes any
+                    # short dataset to CHANGED (its docs re-evaluate);
+                    # an unreadable table (every partition gone)
+                    # demotes everything — full rebuild.
+                    try:
+                        sp_counts = {
+                            r["dataset"]: int(r["n"])
+                            for r in self.spark.read.parquet(target)
+                            .groupBy("dataset")
+                            .agg(F.count("*").alias("n")).collect()
+                        }
+                    except Exception:
+                        sp_counts = None
+                    unchanged = set() if sp_counts is None else {
+                        n for n in unchanged
+                        if sp_counts.get(n, 0)
+                        == int((prior.get(n) or {}).get("n_spans", -1))
+                    }
+                if unchanged:
+                    partial_unchanged = sorted(unchanged)
         lake_stats = {"n_spans": 0, "n_docs": 0, "chars_flagged": 0}
         sweep_mode = "full"
         new_token = None
@@ -3017,10 +3070,24 @@ class Datalake:
             )
 
             pairs = None
+            prior_pairs = None
             if partial_ctx is not None:
+                # edge-set integrity (round-11 review class): the token
+                # proves the COMMIT completed, not that every part-file
+                # survived since — a lost file would silently drop
+                # unchanged-unchanged edges. One metadata-only parquet
+                # count vs the summary's recorded _edges; a mismatch OR
+                # an unreadable table (all part-files gone, token left)
+                # falls through to the full banding path below.
+                try:
+                    prior_pairs = self.spark.read.parquet(
+                        posixpath.join(rep_base, "_pairs"))
+                    if prior_pairs.count() != int(prior["_edges"]):
+                        prior_pairs = None
+                except Exception:
+                    prior_pairs = None
+            if partial_ctx is not None and prior_pairs is not None:
                 unchanged_names, prior_oc = partial_ctx
-                prior_pairs = self.spark.read.parquet(
-                    posixpath.join(rep_base, "_pairs"))
                 pp_unchanged = prior_pairs.where(
                     F.substring_index(F.col("id_a"), sep, 1)
                     .isin(unchanged_names)

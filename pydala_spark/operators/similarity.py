@@ -506,8 +506,8 @@ def semantic_partial_verdicts(
     ``sub_base``: ``(id, cell, vec, __n[, __s])`` for every current
     member of a touched cell. ``prior_verdicts``: ``(id, kept)`` prior
     rows of the UNCHANGED datasets within those cells (lake-qualified
-    ids; dataset-level freshness guarantees they cover exactly the
-    unchanged members). Returns ``(id, cell, kept)`` covering every
+    ids; covers AT MOST the unchanged members — rows can be missing,
+    see below). Returns ``(id, cell, kept)`` covering every
     ``sub_base`` row exactly once.
 
     The split is keyed on "provably prior-kept", NOT on ``is_changed``:
@@ -517,7 +517,12 @@ def semantic_partial_verdicts(
     leg, so a corrupted prior self-heals into recomputation instead of
     silently vanishing from the rewritten table (round-11 review find;
     the round-10 cell-level partial re-verdicted every touched-cell
-    member and had this robustness implicitly).
+    member and had this robustness implicitly). NOTE this heals only
+    docs INSIDE ``sub_base`` (touched cells) — the caller must protect
+    its untouched-cell carry-over separately: the sweep demotes any
+    unchanged dataset whose verdict-table row count disagrees with the
+    prior summary to CHANGED before taking the partial path
+    (``catalog.py`` carry-over integrity check).
 
     Scale shape: with ``C`` changed docs, ``D`` docs lacking a
     prior-kept row and ``M`` touched-cell members, the pair join

@@ -1742,6 +1742,24 @@ def test_datalake_span_report_partial_incremental(spark, tmp_path):
     assert r11["_sweep_mode"] == "partial"
     assert r11["a"]["n_docs"] == 2, r11["a"]
 
+    # carry-over integrity (round-11 review class, mirrors the
+    # semantic sweep): a's spans partition lost out-of-band must NOT
+    # silently vanish its spans on the next partial night — the
+    # count-by-dataset check demotes a to CHANGED, and with nothing
+    # unchanged left the sweep runs FULL and regenerates everything
+    import shutil as _sh2
+    _sh2.rmtree(os.path.join(root, "_span_dedup", "_spans",
+                             "dataset=a"))
+    spark.createDataFrame([(20, "tin3 short words")],
+                          ["doc_id", "text"]) \
+        .write.mode("overwrite").parquet(os.path.join(root, "c"))
+    r12 = lake.span_dedup_report(**kw)
+    assert r12["_sweep_mode"] == "full"  # only-unchanged a was demoted
+    assert r12["a"]["n_docs"] == 2, r12["a"]  # spans regenerated
+    spk = spark.read.parquet(os.path.join(
+        root, "_span_dedup", "_spans"))
+    assert spk.where(spk["dataset"] == "a").count() == 2
+
 
 def test_cli_cron_semantic_cross_incremental(spark, tmp_path, capsys):
     # round 10: the [semantic_dedup] cron section drives the
@@ -2241,15 +2259,27 @@ def test_datalake_semantic_cross_partial_spanning(spark, tmp_path):
     r4 = lake.semantic_dedup(partial_max_cell_fraction=0.4, **kwx)
     assert r4["_sweep_mode"] == "full"
 
-    # self-healing (round-11 review find): an unchanged dataset's
-    # verdict PARTITION lost out-of-band (summary + directory survive)
-    # must NOT silently vanish those docs from the next partial night —
-    # docs without a provable prior-kept row take the full-verdict leg
+    # self-healing (round-11 review find, both layers): an unchanged
+    # dataset's verdict PARTITION lost out-of-band (summary + directory
+    # survive) must NOT silently vanish those docs from the next
+    # partial night. The adversarial shape is a SINGLE-doc delta: the
+    # touched-cell self-heal (docs without a provable prior-kept row
+    # take the full-verdict leg) can only cover ~1 cell, so ea's docs
+    # in the other cells are protected by the carry-over integrity
+    # demotion (verdict-table count-by-dataset vs the prior summary
+    # demotes ea to CHANGED) — without it this shape measured ea
+    # dropping 40 -> ~6 docs. A third dataset keeps the night partial
+    # (something must remain provably unchanged AND intact).
     import shutil as _sh
+    ec_rows = unit_rows(500, 10, seed=6, score=0.5)
+    spark.createDataFrame(ec_rows, schema) \
+        .write.parquet(os.path.join(root, "ec"))
+    lake.add_dataset("ec")
+    r_seed = lake.semantic_dedup(**kwx)  # re-seed markers incl. ec
+    assert r_seed["_sweep_mode"] in ("full", "partial")
     _sh.rmtree(os.path.join(root, "_semantic_dedup", "_verdicts",
                             "dataset=ea"))
-    eb4 = unit_rows(400, 40, seed=5, score=0.5)
-    eb4.append((401, ea_rows[2][1], 0.99))  # new beater for ea doc 2
+    eb4 = [(401, ea_rows[2][1], 0.99)]  # ONE doc: beater for ea doc 2
     spark.createDataFrame(eb4, schema).write.mode("overwrite") \
         .parquet(os.path.join(root, "eb"))
     r5 = lake.semantic_dedup(**kwx)
@@ -2258,10 +2288,24 @@ def test_datalake_semantic_cross_partial_spanning(spark, tmp_path):
     assert ea5.count() == 40  # every ea doc re-verdicted, none vanished
     kept5 = {r["id"]: r["kept"] for r in ea5.collect()}
     assert kept5["2"] is False  # the new beater still lands
+    assert spark.read.parquet(r5["ec"]["report"]).count() == 10
     full5 = lake.semantic_dedup(threshold=0.999, n_centroids=8,
                                 score_col="q", vec_col="embedding",
                                 cross_dataset=True)
     assert r5["_lake"] == full5["_lake"]
+
+    # ...and when NOTHING unchanged survives the integrity check
+    # (both surviving datasets' partitions lost), the sweep falls back
+    # to the (correct, regenerating) full path
+    _sh.rmtree(os.path.join(root, "_semantic_dedup", "_verdicts",
+                            "dataset=ea"))
+    _sh.rmtree(os.path.join(root, "_semantic_dedup", "_verdicts",
+                            "dataset=ec"))
+    spark.createDataFrame([(402, ea_rows[3][1], 0.98)], schema) \
+        .write.mode("overwrite").parquet(os.path.join(root, "eb"))
+    r6 = lake.semantic_dedup(**kwx)
+    assert r6["_sweep_mode"] == "full"
+    assert spark.read.parquet(r6["ec"]["report"]).count() == 10
 
 
 def test_datalake_semantic_cross_allfresh_zero_vectors(spark, tmp_path):
@@ -2598,6 +2642,25 @@ def test_datalake_neardup_partial_commit_token(spark, tmp_path):
         .write.mode("append").parquet(os.path.join(root, "da"))
     r5 = lake.neardup_dedup(incremental=True)
     assert r5["_sweep_mode"] == "partial"
+
+    # crash simulation C (round-11 review class): a _pairs part-file
+    # lost AFTER a committed write — token intact, edge count short.
+    # The metadata count vs the summary's _edges must refuse the delta
+    # path (full re-band), never silently drop unchanged-unchanged
+    # edges.
+    import glob as _glob
+    part = sorted(_glob.glob(os.path.join(
+        root, "_neardup", "_pairs", "part-*")))[0]
+    os.remove(part)
+    spark.createDataFrame([(7, s1)], ["doc_id", "text"]) \
+        .write.mode("append").parquet(os.path.join(root, "da"))
+    r6 = lake.neardup_dedup(incremental=True)
+    assert r6["_sweep_mode"] == "full"
+    # the full re-band rewrote a consistent edge set: partial resumes
+    spark.createDataFrame([(8, s1)], ["doc_id", "text"]) \
+        .write.mode("append").parquet(os.path.join(root, "da"))
+    r7 = lake.neardup_dedup(incremental=True)
+    assert r7["_sweep_mode"] == "partial"
 
 
 def test_datalake_neardup_allfresh_zero_docs(spark, tmp_path):
