@@ -1629,8 +1629,22 @@ class Datalake:
             unchanged = {n for n, ok in fresh_map.items()
                          if ok and n in tagged_names}
             tok = prior.get("_artifacts")
+            # artifact-bytes integrity (round-11 review class): the
+            # token proves the commit completed, not that every
+            # part-file survived since — a lost _df/_contrib file
+            # would yield a silently wrong Δ. The _state byte totals
+            # recorded at commit time give a zero-job listing check;
+            # priors without _state (pre-round-11) skip it.
+            st = prior.get("_state") or {}
+            bytes_ok = all(
+                key not in st
+                or int(st[key]) == sum(
+                    sz for _, sz in self._po.list_files(path))
+                for key, path in (("df_bytes", df_path),
+                                  ("contrib_bytes", contrib_path)))
             if (unchanged
                     and tok is not None
+                    and bytes_ok
                     and _token(df_path) == tok
                     and _token(contrib_path) == tok
                     and (not prior_had_spans

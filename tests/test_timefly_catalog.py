@@ -1760,6 +1760,20 @@ def test_datalake_span_report_partial_incremental(spark, tmp_path):
         root, "_span_dedup", "_spans"))
     assert spk.where(spk["dataset"] == "a").count() == 2
 
+    # ...and a lost _contrib part-file (token intact) flunks the
+    # _state byte check: the Δ would be silently wrong, so the night
+    # must rebuild full
+    import glob as _gl
+    part = sorted(_gl.glob(os.path.join(
+        root, "_span_dedup", "_contrib", "dataset=*", "part-*")))[0]
+    os.remove(part)
+    spark.createDataFrame([(20, "tin4 short words")],
+                          ["doc_id", "text"]) \
+        .write.mode("overwrite").parquet(os.path.join(root, "c"))
+    r13 = lake.span_dedup_report(**kw)
+    assert r13["_sweep_mode"] == "full"
+    assert r13["a"]["n_docs"] == 2, r13["a"]
+
 
 def test_cli_cron_semantic_cross_incremental(spark, tmp_path, capsys):
     # round 10: the [semantic_dedup] cron section drives the
