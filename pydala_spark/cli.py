@@ -467,6 +467,7 @@ def _cmd_neardup_dedup(args) -> int:
         signatures_root=args.signatures_root,
         incremental=args.incremental,
         max_concurrency=args.max_concurrency,
+        edge_warn_multiple=args.edge_warn_multiple,
     )
     print(json.dumps(results, indent=2, sort_keys=True, default=str))
     dropped = [n for n, r in results.items()
@@ -974,6 +975,12 @@ def build_parser() -> argparse.ArgumentParser:
     nd.add_argument("--max-concurrency", dest="max_concurrency",
                     type=int, default=4, help="sweep N datasets' "
                     "independent jobs concurrently (thread pool)")
+    nd.add_argument("--edge-warn-multiple", dest="edge_warn_multiple",
+                    type=float, default=4.0,
+                    help="incremental: add a balloon_warning to the "
+                    "summary's _state when the persisted edge set "
+                    "exceeds this multiple of the corpus doc count "
+                    "(viral-duplicate night tripwire)")
     nd.add_argument("--no-verify", action="store_true",
                     help="skip the sidecar content-marker check")
     nd.add_argument("--fail-on-dups", dest="fail_on_dups",
