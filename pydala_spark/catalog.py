@@ -30,6 +30,8 @@ from pyspark.sql import functions as F
 from pydala_spark.dataset.reader import Dataset
 from pydala_spark.session import configure_session
 from pydala_spark.sweeps import (
+    counts_intact,
+    dataset_report_counts,
     lake_unchanged,
     load_prior_summary,
     sweep_fresh_map,
@@ -984,15 +986,33 @@ class Datalake:
                 # table only when the prior summary recorded vectors
                 prior_had_vectors = (prior.get("_lake") or {}).get(
                     "n_vectors", 0) > 0
+                # carry-over integrity (round-11 review finds): the
+                # token/summary prove commits COMPLETED, not that the
+                # verdict partitions survived since. ONE metadata-only
+                # count-by-dataset (partition column, no data pages)
+                # vs each prior dataset's recorded n_vectors — it
+                # gates BOTH fast paths: a fresh night must not report
+                # paths into lost partitions, and the partial night
+                # consumes prior rows of unchanged datasets (untouched
+                # -cell carry) AND of changed/removed ones
+                # (touched_before — their vacated cells must
+                # re-verdict).
+                prior_counted = {
+                    k for k in prior if not k.startswith("_")
+                    and isinstance(prior[k], dict)
+                    and "n_vectors" in prior[k]}
+                counts = (dataset_report_counts(self.spark, target)
+                          if prior_counted
+                          and self._po.is_dir(target) else None)
+                intact = counts_intact(
+                    counts, prior, prior_counted, "n_vectors")
                 if (lake_unchanged(results, prior, fresh_map)
-                        # the verdict table must still EXIST when the
-                        # prior sweep produced one — an out-of-band
-                        # deletion would otherwise be reported "fresh"
-                        # with report paths pointing at nothing,
-                        # forever (unchanged markers never break the
-                        # fast path)
+                        # when the prior produced verdicts, every
+                        # dataset's partition must still hold exactly
+                        # the recorded rows — else fall through and
+                        # rebuild (never report "fresh" over lost data)
                         and (not prior_had_vectors
-                             or self._po.is_dir(target))):
+                             or intact == prior_counted)):
                     # ALL-FRESH: the prior lake-global verdict is
                     # provably current — skip the pair join wholesale
                     out = {
@@ -1017,34 +1037,18 @@ class Datalake:
                     return out
                 unchanged = {n for n, ok in fresh_map.items()
                              if ok and n in tagged_names}
-                if unchanged and self._po.is_dir(target):
-                    # carry-over integrity (round-11 review find): the
-                    # partial night trusts the verdict table's rows of
-                    # unchanged datasets VERBATIM for untouched cells —
-                    # a dataset partition lost out-of-band would vanish
-                    # those docs from the rewritten table permanently
-                    # (the touched-cell self-heal can't see them). ONE
-                    # count-by-dataset over the partition column vs the
-                    # prior summary's n_vectors demotes any short
-                    # dataset to CHANGED, whose docs then recompute
-                    # through the full-verdict leg.
-                    try:
-                        pv_counts = {
-                            r["dataset"]: int(r["n"])
-                            for r in self.spark.read.parquet(target)
-                            .groupBy("dataset")
-                            .agg(F.count("*").alias("n")).collect()
-                        }
-                    except Exception:
-                        # every partition gone: nothing is trustable —
-                        # demote all, full rebuild
-                        pv_counts = None
-                    unchanged = set() if pv_counts is None else {
-                        n for n in unchanged
-                        if pv_counts.get(n, 0)
-                        == int((prior.get(n) or {}).get(
-                            "n_vectors", -1))
-                    }
+                # an UNCHANGED dataset with a short partition demotes
+                # to changed (its docs recompute through the full leg);
+                # a short CHANGED/REMOVED dataset kills the partial
+                # night entirely — its prior rows seed touched_before,
+                # and a lost row could hide a vacated cell whose
+                # previously-dropped survivors must revive
+                if not (prior_counted - unchanged <= intact):
+                    unchanged = set()
+                else:
+                    # fresh_map already guarantees unchanged ⊆
+                    # prior_counted (the completion-key rule)
+                    unchanged &= intact
                 if unchanged and self._po.is_dir(target):
                     partial_unchanged = sorted(unchanged)
             lake_stats = {"n_vectors": 0, "n_dropped": 0}
@@ -1592,13 +1596,26 @@ class Datalake:
             fresh_map = sweep_fresh_map(results, prior, "n_spans")
             prior_had_spans = (prior.get("_lake") or {}).get(
                 "n_spans", 0) > 0
+            # carry-over integrity (round-11 review finds): verify the
+            # spans partitions actually hold the recorded rows before
+            # either fast path trusts them — a fresh night must not
+            # report paths into lost partitions; the partial night
+            # carries unchanged datasets' spans verbatim. Metadata-only
+            # (partition column; sweeps.dataset_report_counts).
+            prior_counted = {
+                k for k in prior if not k.startswith("_")
+                and isinstance(prior[k], dict) and "n_spans" in prior[k]}
+            sp_counts = (dataset_report_counts(self.spark, target)
+                         if prior_had_spans and prior_counted
+                         and self._po.is_dir(target) else None)
+            intact = counts_intact(
+                sp_counts, prior, prior_counted, "n_spans")
             if (lake_unchanged(results, prior, fresh_map)
-                    # the report table must still EXIST when the prior
-                    # sweep produced spans (the out-of-band-deletion
-                    # rule the other all-fresh paths follow; a clean
-                    # lake legitimately has no table)
+                    # when the prior produced spans, every dataset's
+                    # partition must still hold exactly the recorded
+                    # rows (a clean lake legitimately has no table)
                     and (not prior_had_spans
-                         or self._po.is_dir(target))):
+                         or intact == prior_counted)):
                 # ALL-FRESH: the prior report is provably current —
                 # skip the lake-global union/df/run-grouping jobs
                 out = {
@@ -1628,53 +1645,41 @@ class Datalake:
             # rebuild, never to a double-adjusted df
             unchanged = {n for n, ok in fresh_map.items()
                          if ok and n in tagged_names}
+            if prior_had_spans:
+                # the partial night carries unchanged datasets' SPANS
+                # verbatim for non-re-evaluated docs — demote any
+                # dataset whose partition lost rows (its docs
+                # re-evaluate through the full span pass); changed
+                # datasets' prior spans are never consumed (the df
+                # adjusts from _contrib), so no whole-night kill here
+                unchanged &= intact
+
+            def _bytes_ok() -> bool:
+                # artifact-bytes integrity (round-11 review class):
+                # the token proves the commit completed, not that
+                # every part-file survived since — a lost _df/_contrib
+                # file would yield a silently wrong Δ. The _state byte
+                # totals recorded at commit give a zero-job listing
+                # check; priors without _state (pre-round-11) skip it.
+                # Called LAST in the and-chain so the common
+                # no-partial night never pays the two listings.
+                st = prior.get("_state") or {}
+                return all(
+                    key not in st
+                    or int(st[key]) == sum(
+                        sz for _, sz in self._po.list_files(path))
+                    for key, path in (("df_bytes", df_path),
+                                      ("contrib_bytes", contrib_path)))
+
             tok = prior.get("_artifacts")
-            # artifact-bytes integrity (round-11 review class): the
-            # token proves the commit completed, not that every
-            # part-file survived since — a lost _df/_contrib file
-            # would yield a silently wrong Δ. The _state byte totals
-            # recorded at commit time give a zero-job listing check;
-            # priors without _state (pre-round-11) skip it.
-            st = prior.get("_state") or {}
-            bytes_ok = all(
-                key not in st
-                or int(st[key]) == sum(
-                    sz for _, sz in self._po.list_files(path))
-                for key, path in (("df_bytes", df_path),
-                                  ("contrib_bytes", contrib_path)))
             if (unchanged
                     and tok is not None
-                    and bytes_ok
                     and _token(df_path) == tok
                     and _token(contrib_path) == tok
                     and (not prior_had_spans
-                         or self._po.is_dir(target))):
-                if prior_had_spans:
-                    # carry-over integrity (round-11 review find,
-                    # mirrors the semantic sweep): the partial night
-                    # carries unchanged datasets' prior SPANS verbatim
-                    # for non-re-evaluated docs — a spans partition
-                    # lost out-of-band would vanish them permanently.
-                    # Count-by-dataset vs the prior summary demotes any
-                    # short dataset to CHANGED (its docs re-evaluate);
-                    # an unreadable table (every partition gone)
-                    # demotes everything — full rebuild.
-                    try:
-                        sp_counts = {
-                            r["dataset"]: int(r["n"])
-                            for r in self.spark.read.parquet(target)
-                            .groupBy("dataset")
-                            .agg(F.count("*").alias("n")).collect()
-                        }
-                    except Exception:
-                        sp_counts = None
-                    unchanged = set() if sp_counts is None else {
-                        n for n in unchanged
-                        if sp_counts.get(n, 0)
-                        == int((prior.get(n) or {}).get("n_spans", -1))
-                    }
-                if unchanged:
-                    partial_unchanged = sorted(unchanged)
+                         or self._po.is_dir(target))
+                    and _bytes_ok()):
+                partial_unchanged = sorted(unchanged)
         lake_stats = {"n_spans": 0, "n_docs": 0, "chars_flagged": 0}
         sweep_mode = "full"
         new_token = None
@@ -2965,17 +2970,25 @@ class Datalake:
             # skipped (e.g. embeddings-only, no text column) never
             # writes _verdicts — the prior produced a table iff some
             # dataset recorded counts from it
-            prior_had_docs = any(
-                isinstance(pe, dict) and "n_docs" in pe
-                for k, pe in prior.items() if not k.startswith("_"))
+            prior_counted = {
+                k for k in prior if not k.startswith("_")
+                and isinstance(prior[k], dict) and "n_docs" in prior[k]}
             if (lake_unchanged(results, prior, fresh_map)
-                    # the verdict table must still EXIST when the prior
-                    # sweep produced one (the prep_sweep ADVICE-r9
-                    # rule): an out-of-band deletion would otherwise be
-                    # reported "fresh" with report paths pointing at
-                    # nothing, forever
-                    and (not prior_had_docs or self._po.is_dir(
-                        posixpath.join(rep_base, "_verdicts")))):
+                    # when the prior produced a verdict table, every
+                    # dataset's partition must still hold exactly the
+                    # recorded rows (round-11 review find: a bare
+                    # is_dir reported "fresh" over a lost PARTITION
+                    # forever) — metadata-only count-by-dataset. The
+                    # partial path needs no such check: it rewrites
+                    # the verdict table from the union + edge set,
+                    # never carrying prior verdict rows
+                    and (not prior_counted
+                         or counts_intact(
+                             dataset_report_counts(
+                                 self.spark,
+                                 posixpath.join(rep_base, "_verdicts")),
+                             prior, prior_counted, "n_docs")
+                         == prior_counted)):
                 # ALL-FRESH: the prior verdict is provably current —
                 # skip the union/LSH/CC jobs and the verdict rewrite
                 out = {

@@ -100,3 +100,41 @@ def lake_unchanged(results: dict, prior: dict, fresh: dict) -> bool:
     is individually unchanged)."""
     prior_names = {k for k in prior if not k.startswith("_")}
     return prior_names == set(results) and all(fresh.values())
+
+
+def dataset_report_counts(spark, path: str) -> dict[str, int] | None:
+    """Count-by-dataset over a ``dataset=``-partitioned report table —
+    the carry-over integrity primitive (round-11 review find): a commit
+    token proves a write COMPLETED, not that every file survived since,
+    so partial/fresh nights verify the rows they are about to trust
+    against the prior summary's recorded counts. Metadata-priced: the
+    aggregate touches only the partition column (row-group footers +
+    directory names, no data pages). Returns ``None`` when the table is
+    unreadable (every partition gone) — callers treat that as
+    nothing-trustable."""
+    from pyspark.sql import functions as F
+
+    try:
+        return {
+            r["dataset"]: int(r["n"])
+            for r in spark.read.parquet(path)
+            .groupBy("dataset").agg(F.count("*").alias("n")).collect()
+        }
+    except Exception:
+        return None
+
+
+def counts_intact(
+    counts: dict[str, int] | None, prior: dict, names, key: str
+) -> set[str]:
+    """The subset of ``names`` whose report-table count equals the
+    prior summary's recorded ``key`` (``n_vectors``/``n_spans``/
+    ``n_docs``; a dataset absent from the table counts 0, matching a
+    legitimately-zero recorded count). ``counts=None`` (unreadable
+    table) trusts nothing."""
+    if counts is None:
+        return set()
+    return {
+        n for n in names
+        if counts.get(n, 0) == int((prior.get(n) or {}).get(key, -1))
+    }

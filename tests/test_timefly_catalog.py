@@ -1774,6 +1774,16 @@ def test_datalake_span_report_partial_incremental(spark, tmp_path):
     assert r13["_sweep_mode"] == "full"
     assert r13["a"]["n_docs"] == 2, r13["a"]
 
+    # a spans PARTITION lost on a QUIET lake (third review find): the
+    # all-fresh gate's count check must refuse "fresh" and rebuild
+    r14 = lake.span_dedup_report(**kw)
+    assert r14["_sweep_mode"] == "fresh"  # sanity: gate passes intact
+    _sh2.rmtree(os.path.join(root, "_span_dedup", "_spans",
+                             "dataset=a"))
+    r15 = lake.span_dedup_report(**kw)
+    assert r15["_sweep_mode"] != "fresh"
+    assert r15["a"]["n_docs"] == 2, r15["a"]
+
 
 def test_cli_cron_semantic_cross_incremental(spark, tmp_path, capsys):
     # round 10: the [semantic_dedup] cron section drives the
@@ -2321,6 +2331,18 @@ def test_datalake_semantic_cross_partial_spanning(spark, tmp_path):
     assert r6["_sweep_mode"] == "full"
     assert spark.read.parquet(r6["ec"]["report"]).count() == 10
 
+    # a partition lost on a QUIET lake (third review find): the
+    # all-fresh gate must not report "fresh" over the lost rows — the
+    # count check falls through and the night self-heals (ea demoted,
+    # recomputed; the other datasets' carry intact)
+    r7 = lake.semantic_dedup(**kwx)
+    assert r7["_sweep_mode"] == "fresh"  # sanity: gate passes intact
+    _sh.rmtree(os.path.join(root, "_semantic_dedup", "_verdicts",
+                            "dataset=ea"))
+    r8 = lake.semantic_dedup(**kwx)
+    assert r8["_sweep_mode"] != "fresh"
+    assert spark.read.parquet(r8["ea"]["report"]).count() == 40
+
 
 def test_datalake_semantic_cross_allfresh_zero_vectors(spark, tmp_path):
     # round 11 (ADVICE r10): a lake whose prior cross sweep legitimately
@@ -2675,6 +2697,19 @@ def test_datalake_neardup_partial_commit_token(spark, tmp_path):
         .write.mode("append").parquet(os.path.join(root, "da"))
     r7 = lake.neardup_dedup(incremental=True)
     assert r7["_sweep_mode"] == "partial"
+
+    # a verdict PARTITION lost on a QUIET lake (third review find):
+    # the all-fresh gate's count check must refuse "fresh" over the
+    # lost rows and rebuild them
+    r8 = lake.neardup_dedup(incremental=True)
+    assert r8["_sweep_mode"] == "fresh"  # sanity: gate passes intact
+    n_da = r8["da"]["n_docs"]
+    import shutil as _sh
+    _sh.rmtree(os.path.join(root, "_neardup", "_verdicts",
+                            "dataset=da"))
+    r9 = lake.neardup_dedup(incremental=True)
+    assert r9["_sweep_mode"] != "fresh"
+    assert r9["da"]["n_docs"] == n_da  # rebuilt, not reported-lost
 
 
 def test_datalake_neardup_allfresh_zero_docs(spark, tmp_path):
