@@ -508,7 +508,11 @@ def q_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     TPC-H-q21-shaped multi-way correlated EXISTS / NOT EXISTS
     self-join (round 11, VERDICT r10 #4 — the delegated-SQL join shape
     that had no CORRECTNESS row; reference passthrough
-    reference/src/pydala/dataset/reader.py:478-484), tag-unioned.
+    reference/src/pydala/dataset/reader.py:478-484), plus two more
+    delegated correlated-subquery shapes (round 11): ``corr_min`` —
+    TPC-H-q02-shaped correlated scalar MIN, decorrelated into a
+    per-key MIN joined back; ``anti_avg`` — TPC-H-q22-shaped scalar
+    average + NOT EXISTS anti-join. All tag-unioned.
 
     The q21 family ("exists"): suppliers in two nations whose line was
     the ONLY late one (shipped > 45 days after an F-status order was
@@ -578,18 +582,87 @@ def q_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
-    return _tagged_union([("in", insub), ("scalar", scalar), ("exists", exists)])
+    # TPC-H-q02-shaped correlated scalar MIN (round 11): for every
+    # size-1 part, the lineitems that hit the part's minimum
+    # extendedprice (the min-cost-supplier shape; testdata has no
+    # partsupp, so lineitem plays its role). Spark-first: the
+    # correlated `= (SELECT MIN(..) WHERE l2.l_partkey = l1.l_partkey)`
+    # decorrelates into one per-part MIN aggregation joined back on the
+    # key — the part filter broadcasts ahead of both consumers, so only
+    # the 38 parts' lines ever shuffle. MIN of doubles is selection,
+    # not arithmetic — the equality join back is bit-exact in both
+    # engines.
+    part1 = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_size") == 1)
+        .select("p_partkey")
+    )
+    li_p = li.join(
+        F.broadcast(part1), li.l_partkey == part1.p_partkey
+    ).select("l_partkey", "l_suppkey", "l_extendedprice")
+    minp = li_p.groupBy("l_partkey").agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    corr_min = (
+        li_p.join(minp, "l_partkey")
+        .where(F.col("l_extendedprice") == F.col("min_price"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("l_suppkey").alias("min_supp"),
+            "min_price",
+        )
+    )
+    # TPC-H-q22-shaped family (round 11): customers above the
+    # positive-balance average with NOT EXISTS an urgent order,
+    # per-nation count + exact-decimal balance total. The scalar
+    # average broadcasts (one row); the NOT EXISTS is a left-anti
+    # against the urgent-order keys (a filtered, broadcastable side).
+    pos_avg = cust.where(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(25,4)")).cast("double")
+            / F.count("*")
+        ).alias("avg_bal")
+    )
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    anti_avg = (
+        cust.crossJoin(F.broadcast(pos_avg))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count("*").alias("n_noord"),
+            F.sum(F.col("c_acctbal").cast("decimal(25,4)"))
+            .cast("double")
+            .alias("totbal"),
+        )
+    )
+    return _tagged_union(
+        [("in", insub), ("scalar", scalar), ("exists", exists),
+         ("corr_min", corr_min), ("anti_avg", anti_avg)]
+    )
 
 
-_Q_SUBQUERIES_SQL = """
+_NULLS_CORRMIN = """CAST(NULL AS BIGINT) AS p_partkey,
+  CAST(NULL AS BIGINT) AS min_supp, CAST(NULL AS DOUBLE) AS min_price"""
+
+_NULLS_ANTIAVG = """CAST(NULL AS INTEGER) AS nationkey,
+  CAST(NULL AS BIGINT) AS n_noord, CAST(NULL AS DOUBLE) AS totbal"""
+
+_Q_SUBQUERIES_SQL = f"""
 SELECT 'in' AS family, c_custkey, c_name, c_mktsegment,
   CAST(NULL AS BIGINT) AS n_above,
-  CAST(NULL AS VARCHAR) AS s_name, CAST(NULL AS BIGINT) AS numwait
+  CAST(NULL AS VARCHAR) AS s_name, CAST(NULL AS BIGINT) AS numwait,
+  {_NULLS_CORRMIN}, {_NULLS_ANTIAVG}
 FROM customer
 WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
 UNION ALL
 SELECT 'scalar', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), c_mktsegment, COUNT(*),
-  CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+  CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+  {_NULLS_CORRMIN}, {_NULLS_ANTIAVG}
 FROM customer
 WHERE c_acctbal > (
   SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(25,4))) AS DOUBLE) / COUNT(*)
@@ -597,7 +670,8 @@ WHERE c_acctbal > (
 GROUP BY c_mktsegment
 UNION ALL
 SELECT 'exists', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
-  CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), s_name, COUNT(*) AS numwait
+  CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), s_name, COUNT(*) AS numwait,
+  {_NULLS_CORRMIN}, {_NULLS_ANTIAVG}
 FROM supplier, lineitem l1, orders, nation
 WHERE s_suppkey = l1.l_suppkey
   AND o_orderkey = l1.l_orderkey
@@ -613,6 +687,30 @@ WHERE s_suppkey = l1.l_suppkey
   AND s_nationkey = n_nationkey
   AND n_name IN ('NATION_3', 'NATION_7')
 GROUP BY s_name
+UNION ALL
+SELECT 'corr_min', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+  CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+  CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+  l_partkey AS p_partkey, l_suppkey AS min_supp,
+  l_extendedprice AS min_price, {_NULLS_ANTIAVG}
+FROM lineitem l1
+WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 1)
+  AND l_extendedprice = (SELECT MIN(l_extendedprice) FROM lineitem l2
+                         WHERE l2.l_partkey = l1.l_partkey)
+UNION ALL
+SELECT 'anti_avg', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+  CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+  CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), {_NULLS_CORRMIN},
+  c_nationkey AS nationkey, COUNT(*) AS n_noord,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(25,4))) AS DOUBLE) AS totbal
+FROM customer c
+WHERE c_acctbal > (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(25,4))) AS DOUBLE) / COUNT(*)
+  FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
 """
 
 
@@ -621,7 +719,9 @@ GROUP BY s_name
 
 
 def q_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION ALL re-agg, INTERSECT and EXCEPT-DISTINCT, tag-unioned."""
+    """UNION ALL re-agg, INTERSECT, EXCEPT-DISTINCT, FULL OUTER
+    (round 11, VERDICT r10 #4) and the TPC-H-q13-shaped LEFT OUTER
+    count distribution (round 11), tag-unioned."""
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("nationkey")
     )
@@ -660,16 +760,38 @@ def q_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_cust",
         "n_supp",
     )
+    # TPC-H-q13-shaped family (round 11): order-count distribution via
+    # a LEFT OUTER join whose exclusion predicate lives on the RIGHT
+    # side of the ON clause (the shape that silently turns into an
+    # inner join if the filter is misplaced into WHERE — customers with
+    # ONLY urgent orders must survive with c_count = 0). Spark-first:
+    # filtering the right side before the left join is the ON-clause
+    # predicate; COUNT(o_orderkey) counts matched rows only (NULL-
+    # skipping), then the distribution re-aggregates on the count.
+    cust_k = load_table(spark, sf_dir, "customer").select("c_custkey")
+    ord_nu = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    lc = (
+        cust_k.join(ord_nu, cust_k.c_custkey == ord_nu.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
     return _tagged_union(
         [("union_all", ua), ("intersect", inter), ("except", diff),
-         ("full_outer", fo)]
+         ("full_outer", fo), ("left_count", lc)]
     )
 
 
 _Q_SET_OPS_SQL = """
 SELECT 'union_all' AS family, nationkey, COUNT(*) AS n,
   CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS BIGINT) AS h,
-  CAST(NULL AS BIGINT) AS n_cust, CAST(NULL AS BIGINT) AS n_supp
+  CAST(NULL AS BIGINT) AS n_cust, CAST(NULL AS BIGINT) AS n_supp,
+  CAST(NULL AS BIGINT) AS c_count, CAST(NULL AS BIGINT) AS custdist
 FROM (
   SELECT c_nationkey AS nationkey FROM customer
   UNION ALL
@@ -677,7 +799,8 @@ FROM (
 ) GROUP BY nationkey
 UNION ALL
 SELECT 'intersect', nationkey, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
 FROM (
   SELECT c_nationkey AS nationkey FROM customer
   INTERSECT
@@ -685,6 +808,7 @@ FROM (
 )
 UNION ALL
 SELECT 'except', CAST(NULL AS INTEGER), CAST(NULL AS BIGINT), user_id, h,
+  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
 FROM (
   SELECT user_id, HOUR(CAST(ts AS TIMESTAMP)) AS h FROM events
@@ -695,12 +819,24 @@ FROM (
 )
 UNION ALL
 SELECT 'full_outer', COALESCE(ck, sk), CAST(NULL AS BIGINT),
-  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), n_cust, n_supp
+  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), n_cust, n_supp,
+  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
 FROM (SELECT c_nationkey AS ck, COUNT(*) AS n_cust FROM customer
       WHERE c_acctbal > 9900 GROUP BY c_nationkey) c
 FULL JOIN (SELECT s_nationkey AS sk, COUNT(*) AS n_supp FROM supplier
            WHERE s_acctbal > 8000 GROUP BY s_nationkey) s
   ON ck = sk
+UNION ALL
+SELECT 'left_count', CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
+  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+  c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) GROUP BY c_count
 """
 
 

@@ -148,10 +148,18 @@ def test_q21_exists_family_plan(spark, sf_dir):
     assert has_broadcast_join(df)
     pushed = " ".join(pushed_filters(df))
     assert "o_orderstatus" in pushed and "n_name" in pushed
-    # every lineitem scan reads at most the three needed columns
+    # round 11: the corr_min (q02-shaped) family's part filter and the
+    # anti_avg (q22-shaped) family's priority filter reach the scans too
+    assert "p_size" in pushed and "o_orderpriority" in pushed
+    # every lineitem scan reads at most its family's needed columns:
+    # the q21 quantifiers (orderkey/suppkey/shipdate) or the corr_min
+    # per-part MIN (partkey/suppkey/extendedprice)
     for cols in read_schema_columns(df):
         if any(c.startswith("l_") for c in cols):
-            assert set(cols) <= {"l_orderkey", "l_suppkey", "l_shipdate"}
+            assert (
+                set(cols) <= {"l_orderkey", "l_suppkey", "l_shipdate"}
+                or set(cols) <= {"l_partkey", "l_suppkey", "l_extendedprice"}
+            ), cols
 
 
 def test_full_outer_family_plan(spark, sf_dir):
@@ -164,6 +172,17 @@ def test_full_outer_family_plan(spark, sf_dir):
     assert "CartesianProduct" not in plan
     pushed = " ".join(pushed_filters(df))
     assert "c_acctbal" in pushed and "s_acctbal" in pushed
+    # round 11, left_count (q13-shaped) family: the LEFT OUTER join
+    # keeps the exclusion predicate on the right side (pushed to the
+    # orders scan — never a post-join filter that would drop the
+    # zero-order customers) and runs as a hash/merge join
+    assert "LeftOuter" in plan
+    assert "o_orderpriority" in pushed
+    for line in plan.splitlines():
+        if "LeftOuter" in line and (
+            "NestedLoopJoin" in line or "CartesianProduct" in line
+        ):
+            raise AssertionError(line)
 
 
 def test_pushed_filters_handles_in_lists(spark, sf_dir):
