@@ -1153,7 +1153,7 @@ def append_ivfpq_index(
     in the ingest cron and rebuild (``save_ivfpq_index``, fresh
     training) when it drifts. That trade (stale codebook vs. rebuild)
     is the standard IVF production posture; SemDeDup's lake codebook
-    pins work the same way (catalog.py)."""
+    pins work the same way (catalog_sweeps.py)."""
     if if_exists not in ("raise", "skip"):
         raise ValueError(
             f"append_ivfpq_index: if_exists={if_exists!r} "

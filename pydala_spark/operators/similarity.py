@@ -522,7 +522,7 @@ def semantic_partial_verdicts(
     its untouched-cell carry-over separately: the sweep demotes any
     unchanged dataset whose verdict-table row count disagrees with the
     prior summary to CHANGED before taking the partial path
-    (``catalog.py`` carry-over integrity check).
+    (``catalog_sweeps.py`` carry-over integrity check).
 
     Scale shape: with ``C`` changed docs, ``D`` docs lacking a
     prior-kept row and ``M`` touched-cell members, the pair join

@@ -6,7 +6,7 @@ True)`) run the same three-mode night: **full** (rebuild everything),
 **fresh** (the lake is provably unchanged — reuse the prior verdict
 wholesale), or **partial** (K of N datasets changed — reuse the
 unchanged bulk, recompute the delta). Round 11 (VERDICT r10 #5)
-extracts the mode-selection rules they share so `catalog.py` holds
+extracts the mode-selection rules they share so `catalog_sweeps.py` holds
 orchestration only and the invalidation logic is testable in one place:
 
 - :func:`load_prior_summary` — the prior-validity rule: a prior
