@@ -434,31 +434,7 @@ def lang_profile(
         tokens(F.lower(c)).alias("__toks"),
         strip_ascii(c).alias("__nonascii"),
     )
-    # round 11: stopword hits via ONE word→bitmask map probe per token
-    # instead of 7 per-language IN-list scans. The old spelling compared
-    # every token against up to 70 string literals (7 langs × 10 words);
-    # this one hashes each token once into a constant-folded 64-entry
-    # map whose values carry a bit per language that lists the word
-    # ('la'/'de'/'que'… are shared across the Romance lists), then the
-    # per-language counts are int-mask filters over the small int array.
-    # Value-identical by construction — size(filter(toks, t IN words_i))
-    # == size(filter(masks, (x & bit_i) != 0)) — and pinned by the
-    # predict_lang identity test. __msks gets its own projection stage
-    # (multiply-referenced, non-cheap: same CollapseProject reasoning as
-    # the count columns below).
-    word_mask: dict[str, int] = {}
-    for i, words in enumerate(STOPWORDS.values()):
-        for w in words:
-            word_mask[w] = word_mask.get(w, 0) | (1 << i)
-    mask_map_sql = "map(" + ", ".join(
-        f"'{w}', {m}" for w, m in sorted(word_mask.items())) + ")"
-    p0b = p0.select(
-        "*",
-        F.expr(
-            f"transform(__toks, t -> coalesce({mask_map_sql}[t], 0))"
-        ).alias("__msks"),
-    )
-    p1 = p0b.select(
+    p1 = p0.select(
         "*",
         *[
             cnt.alias(f"__c_{lang}")
@@ -472,9 +448,11 @@ def lang_profile(
         # value-identical (pinned by the same test that pins the whole
         # profile against predict_lang's F.filter spelling)
         *[
-            F.expr(f"size(filter(__msks, x -> (x & {1 << i}) != 0))")
-            .alias(f"__h_{lang}")
-            for i, lang in enumerate(STOPWORDS)
+            F.expr(
+                "size(filter(__toks, t -> t IN (%s)))"
+                % ", ".join(f"'{w}'" for w in words)
+            ).alias(f"__h_{lang}")
+            for lang, words in STOPWORDS.items()
         ],
         F.size("__toks").alias("__ntok"),
     )
