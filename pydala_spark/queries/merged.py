@@ -512,7 +512,10 @@ def q_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     delegated correlated-subquery shapes (round 11): ``corr_min`` —
     TPC-H-q02-shaped correlated scalar MIN, decorrelated into a
     per-key MIN joined back; ``anti_avg`` — TPC-H-q22-shaped scalar
-    average + NOT EXISTS anti-join. All tag-unioned.
+    average + NOT EXISTS anti-join; ``not_in`` — TPC-H-q16-shaped
+    NOT IN exclusion + COUNT(DISTINCT); ``scalar_max`` —
+    TPC-H-q15-shaped scalar MAX over an aggregated derived table.
+    All tag-unioned.
 
     The q21 family ("exists"): suppliers in two nations whose line was
     the ONLY late one (shipped > 45 days after an F-status order was
@@ -640,9 +643,62 @@ def q_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("totbal"),
         )
     )
+    # TPC-H-q16-shaped family (round 11): COUNT(DISTINCT supplier) per
+    # part attribute, excluding a NOT IN supplier subquery. The NOT IN
+    # keys (negative-balance suppliers) are provably non-NULL, so the
+    # Spark-first spelling is a plain left-anti against the filtered
+    # key set; the part-attribute filter broadcasts ahead of the fact
+    # scan so only qualifying parts' lines move into the distinct agg.
+    part_f = (
+        load_table(spark, sf_dir, "part")
+        .where((F.col("p_brand") != "Brand#11") & F.col("p_size").isin(1, 2, 3))
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    bad_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("__bad"))
+    )
+    not_in = (
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"))
+        .join(bad_supp, F.col("l_suppkey") == F.col("__bad"), "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+    # TPC-H-q15-shaped family (round 11): the supplier(s) achieving the
+    # maximum quarterly revenue — a scalar MAX over an aggregated
+    # derived table that is consumed twice (join input + subquery).
+    # Exactness: the comparison runs on the exact decimal sums, the
+    # output column is the decimal's canonical string (_dsum_str rule).
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(25,6)")
+            ).alias("__tr")
+        )
+    )
+    mx = rev.agg(F.max("__tr").alias("__mx"))
+    scalar_max = (
+        supp.join(rev, supp.s_suppkey == rev.l_suppkey)
+        .crossJoin(F.broadcast(mx))
+        .where(F.col("__tr") == F.col("__mx"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("__tr").cast("string").alias("total_revenue"),
+        )
+    )
     return _tagged_union(
         [("in", insub), ("scalar", scalar), ("exists", exists),
-         ("corr_min", corr_min), ("anti_avg", anti_avg)]
+         ("corr_min", corr_min), ("anti_avg", anti_avg),
+         ("not_in", not_in), ("scalar_max", scalar_max)]
     )
 
 
@@ -652,17 +708,30 @@ _NULLS_CORRMIN = """CAST(NULL AS BIGINT) AS p_partkey,
 _NULLS_ANTIAVG = """CAST(NULL AS INTEGER) AS nationkey,
   CAST(NULL AS BIGINT) AS n_noord, CAST(NULL AS DOUBLE) AS totbal"""
 
+_NULLS_NOTIN = """CAST(NULL AS VARCHAR) AS p_brand,
+  CAST(NULL AS INTEGER) AS p_size, CAST(NULL AS BIGINT) AS supplier_cnt"""
+
+_NULLS_SCALARMAX = """CAST(NULL AS BIGINT) AS s_suppkey,
+  CAST(NULL AS VARCHAR) AS total_revenue"""
+
+_REV_Q = """SELECT l_suppkey,
+     SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS tr
+   FROM lineitem
+   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+     AND l_shipdate < TIMESTAMP '1996-04-01'
+   GROUP BY l_suppkey"""
+
 _Q_SUBQUERIES_SQL = f"""
 SELECT 'in' AS family, c_custkey, c_name, c_mktsegment,
   CAST(NULL AS BIGINT) AS n_above,
   CAST(NULL AS VARCHAR) AS s_name, CAST(NULL AS BIGINT) AS numwait,
-  {_NULLS_CORRMIN}, {_NULLS_ANTIAVG}
+  {_NULLS_CORRMIN}, {_NULLS_ANTIAVG}, {_NULLS_NOTIN}, {_NULLS_SCALARMAX}
 FROM customer
 WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
 UNION ALL
 SELECT 'scalar', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), c_mktsegment, COUNT(*),
   CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
-  {_NULLS_CORRMIN}, {_NULLS_ANTIAVG}
+  {_NULLS_CORRMIN}, {_NULLS_ANTIAVG}, {_NULLS_NOTIN}, {_NULLS_SCALARMAX}
 FROM customer
 WHERE c_acctbal > (
   SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(25,4))) AS DOUBLE) / COUNT(*)
@@ -671,7 +740,7 @@ GROUP BY c_mktsegment
 UNION ALL
 SELECT 'exists', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
   CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), s_name, COUNT(*) AS numwait,
-  {_NULLS_CORRMIN}, {_NULLS_ANTIAVG}
+  {_NULLS_CORRMIN}, {_NULLS_ANTIAVG}, {_NULLS_NOTIN}, {_NULLS_SCALARMAX}
 FROM supplier, lineitem l1, orders, nation
 WHERE s_suppkey = l1.l_suppkey
   AND o_orderkey = l1.l_orderkey
@@ -692,7 +761,7 @@ SELECT 'corr_min', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
   CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
   CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
   l_partkey AS p_partkey, l_suppkey AS min_supp,
-  l_extendedprice AS min_price, {_NULLS_ANTIAVG}
+  l_extendedprice AS min_price, {_NULLS_ANTIAVG}, {_NULLS_NOTIN}, {_NULLS_SCALARMAX}
 FROM lineitem l1
 WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 1)
   AND l_extendedprice = (SELECT MIN(l_extendedprice) FROM lineitem l2
@@ -702,7 +771,8 @@ SELECT 'anti_avg', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
   CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
   CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), {_NULLS_CORRMIN},
   c_nationkey AS nationkey, COUNT(*) AS n_noord,
-  CAST(SUM(CAST(c_acctbal AS DECIMAL(25,4))) AS DOUBLE) AS totbal
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(25,4))) AS DOUBLE) AS totbal,
+  {_NULLS_NOTIN}, {_NULLS_SCALARMAX}
 FROM customer c
 WHERE c_acctbal > (
   SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(25,4))) AS DOUBLE) / COUNT(*)
@@ -711,6 +781,25 @@ WHERE c_acctbal > (
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_orderpriority = '1-URGENT')
 GROUP BY c_nationkey
+UNION ALL
+SELECT 'not_in', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+  CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+  CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+  {_NULLS_CORRMIN}, {_NULLS_ANTIAVG},
+  p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt,
+  {_NULLS_SCALARMAX}
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#11' AND p_size IN (1, 2, 3)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+UNION ALL
+SELECT 'scalar_max', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+  CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+  s_name, CAST(NULL AS BIGINT),
+  {_NULLS_CORRMIN}, {_NULLS_ANTIAVG}, {_NULLS_NOTIN},
+  s_suppkey, CAST(tr AS VARCHAR) AS total_revenue
+FROM supplier JOIN ({_REV_Q}) rev ON s_suppkey = l_suppkey
+WHERE tr = (SELECT MAX(tr) FROM ({_REV_Q}) rev2)
 """
 
 

@@ -148,17 +148,23 @@ def test_q21_exists_family_plan(spark, sf_dir):
     assert has_broadcast_join(df)
     pushed = " ".join(pushed_filters(df))
     assert "o_orderstatus" in pushed and "n_name" in pushed
-    # round 11: the corr_min (q02-shaped) family's part filter and the
-    # anti_avg (q22-shaped) family's priority filter reach the scans too
+    # round 11: the corr_min (q02-shaped) family's part filter, the
+    # anti_avg (q22-shaped) family's priority filter, the not_in
+    # (q16-shaped) family's brand/size + balance filters, and the
+    # scalar_max (q15-shaped) family's quarter window all reach scans
     assert "p_size" in pushed and "o_orderpriority" in pushed
+    assert "p_brand" in pushed and "s_acctbal" in pushed
     # every lineitem scan reads at most its family's needed columns:
-    # the q21 quantifiers (orderkey/suppkey/shipdate) or the corr_min
-    # per-part MIN (partkey/suppkey/extendedprice)
+    # q21 quantifiers, corr_min per-part MIN, not_in part-supplier
+    # pairs, or the scalar_max quarterly revenue
     for cols in read_schema_columns(df):
         if any(c.startswith("l_") for c in cols):
             assert (
                 set(cols) <= {"l_orderkey", "l_suppkey", "l_shipdate"}
                 or set(cols) <= {"l_partkey", "l_suppkey", "l_extendedprice"}
+                or set(cols) <= {"l_partkey", "l_suppkey"}
+                or set(cols) <= {"l_suppkey", "l_shipdate",
+                                 "l_extendedprice", "l_discount"}
             ), cols
 
 
