@@ -2694,3 +2694,93 @@ def test_lsh_delta_equals_full_fuzz(spark):
         else:
             got = sorted(map(tuple, delta.collect()))
             assert got == full, (seed, changed_mod, cap)
+
+
+def test_resize_images_formats_and_normalization(spark):
+    # round 11: real nearest-neighbor resize over the stdlib-decodable
+    # formats, with output normalization (top-down rows, RGB order,
+    # 8-bit samples, PBM bits -> 0/255) regardless of source layout
+    import numpy as np
+
+    from pydala_spark.operators.multimodal import resize_images
+
+    # 2x2 PPM, 4 distinct pixels: upscaling to 4x4 turns each source
+    # pixel into a 2x2 block (floor(i*src/dst) index map)
+    px = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 8, 7)]
+    ppm = b"P6\n2 2\n255\n" + bytes(v for p in px for v in p)
+    # 2x2 24bpp BMP, bottom-up BGR: file stores the BOTTOM row first
+    # and channels reversed — the resize output must be top-down RGB
+    w, h = 2, 2
+    stride = ((w * 3 + 3) // 4) * 4
+    bottom = bytes([255, 0, 0, 255, 255, 255])  # blue, white (BGR)
+    top = bytes([0, 0, 255, 0, 255, 0])  # red, green (BGR)
+    rows = (bottom + b"\x00" * (stride - 6)) + (top + b"\x00" * (stride - 6))
+    bmp = (b"BM" + (54 + len(rows)).to_bytes(4, "little") + b"\x00" * 4
+           + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+           + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+           + (0).to_bytes(4, "little") + len(rows).to_bytes(4, "little")
+           + b"\x00" * 16 + rows)
+    # 16-bit PGM scales to 8 bits by >> 8; PBM bits map to 0/255
+    pgm16 = (b"P5\n2 1\n65535\n"
+             + (0x1234).to_bytes(2, "big") + (0xFF00).to_bytes(2, "big"))
+    pbm = b"P4\n2 2\n" + bytes([0b10000000, 0b01000000])
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(ppm)), (2, "image", bytearray(bmp)),
+         (3, "image", bytearray(pgm16)), (4, "image", bytearray(pbm)),
+         (5, "image", bytearray(b"\xff\xd8 not decodable")),
+         (6, "audio", bytearray(b"RIFF1234WAVEjunk"))],
+        "media_id long, kind string, content binary",
+    )
+    out = {r["media_id"]: r for r in resize_images(df, 4, 4).collect()}
+    p = out[1]
+    assert (p["format"], p["src_width"], p["src_height"],
+            p["channels"]) == ("ppm", 2, 2, 3)
+    assert (p["width"], p["height"]) == (4, 4)
+    a = np.frombuffer(bytes(p["pixels"]), dtype=np.uint8).reshape(4, 4, 3)
+    assert tuple(a[0, 0]) == (255, 0, 0) and tuple(a[0, 3]) == (0, 255, 0)
+    assert tuple(a[3, 0]) == (0, 0, 255) and tuple(a[3, 3]) == (9, 8, 7)
+    b = np.frombuffer(bytes(out[2]["pixels"]), dtype=np.uint8).reshape(4, 4, 3)
+    assert tuple(b[0, 0]) == (255, 0, 0)  # top-left red (flipped row)
+    assert tuple(b[0, 3]) == (0, 255, 0)  # top-right green (RGB swap)
+    assert tuple(b[3, 0]) == (0, 0, 255) and tuple(b[3, 3]) == (255, 255, 255)
+    g = np.frombuffer(bytes(out[3]["pixels"]), dtype=np.uint8).reshape(4, 4, 1)
+    assert g[0, 0, 0] == 0x12 and g[0, 3, 0] == 0xFF
+    m = np.frombuffer(bytes(out[4]["pixels"]), dtype=np.uint8).reshape(4, 4, 1)
+    assert m[0, 0, 0] == 255 and m[0, 3, 0] == 0
+    assert m[3, 0, 0] == 0 and m[3, 3, 0] == 255
+    # undecodable and non-image payloads degrade to null rows
+    assert out[5]["format"] is None and out[5]["pixels"] is None
+    assert out[6]["format"] is None and out[6]["width"] is None
+
+
+def test_resize_images_decoder_seam_and_validation(spark):
+    # the pluggable codec seam returns already-resized rasters; bad
+    # targets are rejected up front
+    import numpy as np
+
+    import pytest as _pytest
+
+    from pydala_spark.operators.multimodal import resize_images
+
+    def fake_codec(payload, kind):
+        if payload[:2] == b"\xff\xd8":  # "JPEG" handled by the plug-in
+            return {"format": "jpeg", "src_width": 9, "src_height": 9,
+                    "channels": 3, "pixels": bytes(2 * 2 * 3)}
+        return {}  # everything else falls through to the stdlib path
+
+    ppm = b"P6\n1 1\n255\n" + bytes([7, 8, 9])
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(b"\xff\xd8jpegish")),
+         (2, "image", bytearray(ppm))],
+        "media_id long, kind string, content binary",
+    )
+    out = {r["media_id"]: r
+           for r in resize_images(df, 2, 2, decoder=fake_codec).collect()}
+    assert out[1]["format"] == "jpeg" and out[1]["src_width"] == 9
+    assert len(bytes(out[1]["pixels"])) == 12
+    assert out[2]["format"] == "ppm"  # stdlib path still serves PPM
+    a = np.frombuffer(bytes(out[2]["pixels"]), dtype=np.uint8)
+    assert list(a) == [7, 8, 9] * 4
+    with _pytest.raises(ValueError):
+        resize_images(df, 0, 4)
