@@ -1107,11 +1107,14 @@ def span_fingerprints(
                     # (least skips the NULLs F.get yields past the
                     # tail, exactly as array_min skips them on the
                     # short tail slice) without allocating a
-                    # window-length array per character position
+                    # window-length array per character position.
+                    # window=1 degenerates to the bare element
+                    # (least() requires >= 2 columns)
                     F.least(*[
                         F.get(F.col("__hashes"), j + o - 1)
                         for o in range(window)
-                    ])
+                    ]) if window > 1
+                    else F.get(F.col("__hashes"), j - 1)
                 ).alias("fp"),
             ),
         ).alias("__wins"),

@@ -159,7 +159,9 @@ def _image_array_decoder():
                                        # screen; others: raster dims)
          "channels": int,
          "flip": bool,              # rows stored bottom-up (BMP h>0)
-         "bgr": bool}               # channels are BGR(A) (BMP)
+         "bgr": bool,               # channels are BGR(A) (BMP)
+         "maxval": int | None,      # PNM full-scale sample value
+         "interlaced": bool}        # GIF 8/8/4/2 interlaced row order
 
     Natural order ON PURPOSE: :func:`decode_media`'s mean/rms must stay
     bit-identical to the pre-factoring layout (``np.mean`` walks the
@@ -280,10 +282,16 @@ def _image_array_decoder():
                     return out
         return out
 
-    def _img(fmt, w, h, ch, arr, flip=False, bgr=False):
+    def _img(fmt, w, h, ch, arr, flip=False, bgr=False, maxval=None,
+             interlaced=False):
         return {
             "format": fmt, "width": w, "height": h, "channels": ch,
             "arr": arr, "flip": flip, "bgr": bgr,
+            # PNM full-scale value (resize rescales to 0..255 by it)
+            "maxval": maxval,
+            # GIF interlace flag: rows are stored in 8/8/4/2 pass order
+            # (harmless for stats; spatial consumers must deinterlace)
+            "interlaced": interlaced,
         }
 
     def decode_array(payload: bytes):
@@ -345,7 +353,8 @@ def _image_array_decoder():
                     # every standard decoder calls the image size);
                     # the raster is the first frame's, whose
                     # descriptor may cover a sub-region
-                    return _img("gif", w, h, 3, arr)
+                    return _img("gif", w, h, 3, arr,
+                                interlaced=bool(iflags & 0x40))
                 else:  # trailer (0x3B) or junk
                     return {}
             return {}
@@ -426,7 +435,8 @@ def _image_array_decoder():
             arr = np.frombuffer(
                 payload, dtype=dt, count=n, offset=idx
             ).reshape(h, w, ch)
-            return _img("ppm" if ch == 3 else "pgm", w, h, ch, arr)
+            return _img("ppm" if ch == 3 else "pgm", w, h, ch, arr,
+                        maxval=maxval)
         if magic == b"P4":
             # PBM P4: 1 bit/pixel, rows padded to whole bytes
             (w, h), idx = _pnm_header(payload, 2)
@@ -597,9 +607,12 @@ def resize_images(
     :func:`decode_media`.
 
     Output raster normalization, regardless of source layout: rows
-    top-down (bottom-up BMPs are flipped), channels in RGB(A) order
-    (BMP's BGR(A) is swapped), 16-bit PGM samples scale to 8 bits by
-    ``>> 8``, PBM bits map to 0/255. ``src_width``/``src_height`` are
+    top-down (bottom-up BMPs are flipped, interlaced GIF rows scatter
+    back to display order), channels in RGB(A) order (BMP's BGR(A) is
+    swapped), PNM samples rescale to full 8-bit range by ``round(v *
+    255 / maxval)`` (16-bit, 10-bit and sub-255 maxvals alike), and
+    PBM bits map spec-polarity: 1 = black = 0, 0 = white = 255.
+    ``src_width``/``src_height`` are
     the dimensions of the raster actually resized (for GIF that is the
     first frame's sub-rectangle, which may be smaller than the logical
     screen ``decode_media`` reports). Non-image or undecodable
@@ -641,11 +654,29 @@ def resize_images(
             if not img:
                 return {}
             arr = img["arr"]
-            if arr.dtype != np.uint8:
-                # 16-bit PGM: big-endian u2 samples scale to 8 bits
-                arr = (arr.astype(np.uint16) >> 8).astype(np.uint8)
-            elif img["format"] == "pbm":
-                arr = arr * np.uint8(255)  # bits -> full-scale gray
+            if img["format"] == "pbm":
+                # PBM polarity: bit 1 is BLACK (portable-bitmap spec),
+                # so full-scale gray output inverts the bits
+                arr = (255 * (1 - arr)).astype(np.uint8)
+            elif img.get("maxval") not in (None, 255):
+                # PNM full-range rescale: round(sample * 255 / maxval)
+                # — covers 16-bit (maxval 65535), camera 10-bit
+                # (1023), and sub-255 maxvals alike
+                mv = int(img["maxval"])
+                arr = (
+                    (arr.astype(np.uint32) * 255 + mv // 2) // mv
+                ).astype(np.uint8)
+            if img.get("interlaced"):
+                # GIF interlace: rows are stored in 8/8/4/2 pass
+                # order; scatter them back to display order
+                h0 = arr.shape[0]
+                order = np.concatenate([
+                    np.arange(0, h0, 8), np.arange(4, h0, 8),
+                    np.arange(2, h0, 4), np.arange(1, h0, 2),
+                ])
+                disp = np.empty_like(arr)
+                disp[order] = arr
+                arr = disp
             if img["flip"]:
                 arr = arr[::-1]
             if img["bgr"]:

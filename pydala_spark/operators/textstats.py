@@ -232,12 +232,13 @@ def winnowing_fingerprints(
         # the NULLs F.get yields past the tail, exactly as array_min
         # skips them on the short tail slice) without allocating a
         # window-length array per character position — measured −8% on
-        # q_fingerprint_winnowing at sf0.1
+        # q_fingerprint_winnowing at sf0.1. window=1 degenerates to the
+        # bare element (least() requires >= 2 columns)
         fp_arr = F.transform(
             F.sequence(F.lit(1), n_w),
             lambda j: F.least(*[
                 F.get(F.col("__hashes"), j + o - 1) for o in range(window)
-            ]),
+            ]) if window > 1 else F.get(F.col("__hashes"), j - 1),
         )
         fp_arr = F.when(
             F.col("__nlen") > 0, F.array_sort(F.array_distinct(fp_arr))
@@ -262,7 +263,7 @@ def winnowing_fingerprints(
         F.sequence(F.lit(1), n_windows),
         lambda j: F.least(*[
             F.get(F.col("__hashes"), j + o - 1) for o in range(window)
-        ]),
+        ]) if window > 1 else F.get(F.col("__hashes"), j - 1),
     )
     # EMPTY normalized text yields an EMPTY fingerprint set (round-5
     # review): without the guard every contentless doc fingerprints as

@@ -2721,7 +2721,8 @@ def test_resize_images_formats_and_normalization(spark):
            + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
            + (0).to_bytes(4, "little") + len(rows).to_bytes(4, "little")
            + b"\x00" * 16 + rows)
-    # 16-bit PGM scales to 8 bits by >> 8; PBM bits map to 0/255
+    # PNM samples rescale by round(v*255/maxval); PBM keeps the spec's
+    # polarity (1 = black -> 0, 0 = white -> 255)
     pgm16 = (b"P5\n2 1\n65535\n"
              + (0x1234).to_bytes(2, "big") + (0xFF00).to_bytes(2, "big"))
     pbm = b"P4\n2 2\n" + bytes([0b10000000, 0b01000000])
@@ -2745,10 +2746,11 @@ def test_resize_images_formats_and_normalization(spark):
     assert tuple(b[0, 3]) == (0, 255, 0)  # top-right green (RGB swap)
     assert tuple(b[3, 0]) == (0, 0, 255) and tuple(b[3, 3]) == (255, 255, 255)
     g = np.frombuffer(bytes(out[3]["pixels"]), dtype=np.uint8).reshape(4, 4, 1)
-    assert g[0, 0, 0] == 0x12 and g[0, 3, 0] == 0xFF
+    # round(0x1234*255/65535) = 18 (0x12); round(0xFF00*255/65535) = 254
+    assert g[0, 0, 0] == 0x12 and g[0, 3, 0] == 254
     m = np.frombuffer(bytes(out[4]["pixels"]), dtype=np.uint8).reshape(4, 4, 1)
-    assert m[0, 0, 0] == 255 and m[0, 3, 0] == 0
-    assert m[3, 0, 0] == 0 and m[3, 3, 0] == 255
+    assert m[0, 0, 0] == 0 and m[0, 3, 0] == 255  # 1 = black per spec
+    assert m[3, 0, 0] == 255 and m[3, 3, 0] == 0
     # undecodable and non-image payloads degrade to null rows
     assert out[5]["format"] is None and out[5]["pixels"] is None
     assert out[6]["format"] is None and out[6]["width"] is None
@@ -2784,3 +2786,81 @@ def test_resize_images_decoder_seam_and_validation(spark):
     assert list(a) == [7, 8, 9] * 4
     with _pytest.raises(ValueError):
         resize_images(df, 0, 4)
+
+
+def test_winnowing_window_one(spark):
+    # round-11 review: least() needs >= 2 columns, so window=1 must
+    # degenerate to the bare k-gram hash instead of crashing at
+    # plan-build (WRONG_NUM_COLUMNS) — window is caller/sidecar-fed
+    import hashlib
+
+    from pydala_spark.operators.dedup import duplicate_spans
+    from pydala_spark.operators.textstats import winnowing_fingerprints
+
+    df = spark.createDataFrame([(1, "abcdefghij")], ["id", "text"])
+    out = winnowing_fingerprints(df, "id", k=4, window=1).collect()[0]
+    grams = ["abcdefghij"[i:i + 4] for i in range(7)]
+    exp = sorted({hashlib.md5(g.encode()).hexdigest() for g in grams})
+    assert list(out["fps"]) == exp
+    keep = winnowing_fingerprints(
+        df, "id", k=4, window=1, keep_columns=True
+    ).collect()[0]
+    assert sorted(keep["__fps"]) == exp
+    spans_df = spark.createDataFrame(
+        [(1, "y" * 60), (2, "y" * 60)], ["id", "text"]
+    )
+    # the span path shares the fix: plan-builds and runs under window=1
+    duplicate_spans(
+        spans_df, "id", k=20, window=1, min_span=20, min_df=2
+    ).collect()
+
+
+def test_resize_images_gif_deinterlace_and_10bit_pgm(spark):
+    # round-11 review: interlaced GIF rows (8/8/4/2 pass storage order)
+    # must scatter back to display order, and PNM maxvals other than
+    # 255/65535 (e.g. 10-bit camera output) must rescale to full range
+    import numpy as np
+
+    from pydala_spark.operators.multimodal import resize_images
+
+    pal = bytes([0, 0, 0, 85, 85, 85, 170, 170, 170, 255, 255, 255])
+    display = [0, 1, 2, 3, 3, 2, 1, 0]  # palette index per DISPLAY row
+    order = [0, 4, 2, 6, 1, 3, 5, 7]  # h=8 interlace storage order
+    stored = [display[r] for r in order]
+    min_code, clear, eoi = 2, 4, 5
+    codes = [clear] + stored + [eoi]
+    bits, acc, nbits = bytearray(), 0, 0
+    width, table_size, seen_first = min_code + 1, clear + 2, False
+    for c in codes:
+        acc |= c << nbits
+        nbits += width
+        while nbits >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+        if c not in (clear, eoi):
+            if seen_first:
+                table_size += 1
+                if table_size == (1 << width) and width < 12:
+                    width += 1
+            seen_first = True
+    if nbits:
+        bits.append(acc & 0xFF)
+    gif = (
+        b"GIF89a" + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+        + bytes([0x81, 0, 0]) + pal
+        + b"\x2c" + b"\x00" * 4 + (1).to_bytes(2, "little")
+        + (8).to_bytes(2, "little") + b"\x40"  # interlace flag set
+        + bytes([min_code, len(bits)]) + bytes(bits) + b"\x00" + b"\x3b"
+    )
+    pgm10 = b"P5\n1 1\n1023\n" + (1023).to_bytes(2, "big")
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(gif)), (2, "image", bytearray(pgm10))],
+        "media_id long, kind string, content binary",
+    )
+    out = {r["media_id"]: r for r in resize_images(df, 1, 8).collect()}
+    a = np.frombuffer(bytes(out[1]["pixels"]), dtype=np.uint8).reshape(8, 1, 3)
+    assert [int(a[r, 0, 0]) for r in range(8)] == [0, 85, 170, 255,
+                                                   255, 170, 85, 0]
+    g = np.frombuffer(bytes(out[2]["pixels"]), dtype=np.uint8)
+    assert g[0] == 255  # full-scale 10-bit sample -> 255, not 3

@@ -162,7 +162,6 @@ def test_q21_exists_family_plan(spark, sf_dir):
             assert (
                 set(cols) <= {"l_orderkey", "l_suppkey", "l_shipdate"}
                 or set(cols) <= {"l_partkey", "l_suppkey", "l_extendedprice"}
-                or set(cols) <= {"l_partkey", "l_suppkey"}
                 or set(cols) <= {"l_suppkey", "l_shipdate",
                                  "l_extendedprice", "l_discount"}
             ), cols
