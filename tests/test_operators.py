@@ -2864,3 +2864,27 @@ def test_resize_images_gif_deinterlace_and_10bit_pgm(spark):
                                                    255, 170, 85, 0]
     g = np.frombuffer(bytes(out[2]["pixels"]), dtype=np.uint8)
     assert g[0] == 255  # full-scale 10-bit sample -> 255, not 3
+
+
+def test_resize_images_matches_numpy_reference(spark):
+    # pin the nearest-neighbor index map (floor(i*src/dst)) against an
+    # independent numpy reference, up- and down-scaling, both axes
+    import numpy as np
+
+    from pydala_spark.operators.multimodal import resize_images
+
+    rng = np.random.RandomState(7)
+    for w0, h0, tw, th in [(3, 5, 7, 2), (8, 1, 3, 3), (2, 2, 2, 2),
+                           (5, 4, 1, 1), (4, 3, 9, 9)]:
+        arr = rng.randint(0, 256, size=(h0, w0, 3), dtype=np.uint8)
+        ppm = f"P6\n{w0} {h0}\n255\n".encode() + arr.tobytes()
+        df = spark.createDataFrame(
+            [(1, "image", bytearray(ppm))],
+            "media_id long, kind string, content binary",
+        )
+        row = resize_images(df, tw, th).collect()[0]
+        got = np.frombuffer(bytes(row["pixels"]), dtype=np.uint8).reshape(
+            th, tw, 3
+        )
+        ref = arr[(np.arange(th) * h0) // th][:, (np.arange(tw) * w0) // tw]
+        assert np.array_equal(got, ref), (w0, h0, tw, th)
