@@ -2888,3 +2888,43 @@ def test_resize_images_matches_numpy_reference(spark):
         )
         ref = arr[(np.arange(th) * h0) // th][:, (np.arange(tw) * w0) // tw]
         assert np.array_equal(got, ref), (w0, h0, tw, th)
+
+
+def test_resize_images_on_structured_stream(spark, tmp_path):
+    # the multimodal plumbing is stateless mapInPandas, so the SAME
+    # operator must run unchanged over a readStream source — pin it
+    # end-to-end (file stream of media manifests -> resize -> sink)
+    import os
+
+    import numpy as np
+
+    from pydala_spark.operators.multimodal import resize_images
+
+    src = str(tmp_path / "media_in")
+    os.makedirs(src)
+    ppm = b"P6\n2 2\n255\n" + bytes([10, 20, 30]) * 4
+    spark.createDataFrame(
+        [(1, "image", bytearray(ppm)),
+         (2, "image", bytearray(b"\xff\xd8 nope"))],
+        "media_id long, kind string, content binary",
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(
+        "media_id long, kind string, content binary"
+    ).parquet(src)
+    q = (
+        resize_images(stream, 3, 3)
+        .writeStream.format("memory")
+        .queryName("resized_stream")
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt_resize")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    out = {r["media_id"]: r
+           for r in spark.sql("SELECT * FROM resized_stream").collect()}
+    assert out[1]["format"] == "ppm" and out[1]["width"] == 3
+    a = np.frombuffer(bytes(out[1]["pixels"]), dtype=np.uint8)
+    assert list(a) == [10, 20, 30] * 9
+    assert out[2]["format"] is None  # degrade rule holds on streams too
