@@ -410,9 +410,7 @@ FROM (VALUES {_UNITOK_VALUES}) u(doc_id, text)
 def q_grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP, CUBE and explicit GROUPING SETS over the same keys, plus
     the conditional-agg pivot and unpivot+re-agg families (round-2
-    consolidation of q_pivot_unpivot, freeing a registry slot), and the
-    TPC-H-q14-shaped promo revenue share (round 11) — a ratio of two
-    conditional exact-decimal sums over one month's lines."""
+    consolidation of q_pivot_unpivot, freeing a registry slot)."""
     li = load_table(spark, sf_dir, "lineitem")
     rollup = li.rollup("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n"), _dsum_str(_rev()).alias("revenue")
@@ -451,36 +449,9 @@ def q_grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("val").cast("decimal(25,6)")).cast("double").alias("total"),
         F.count("*").alias("n"),
     )
-    # TPC-H-q14-shaped family (round 11): promo revenue share — the
-    # ratio of two conditional exact-decimal sums over one month's
-    # lines, part types broadcast. Exactness: both sums are exact
-    # decimals; the single multiply and divide are then one IEEE op
-    # each, identical across engines.
-    li_m = li.where(
-        (F.col("l_shipdate") >= "1996-01-01")
-        & (F.col("l_shipdate") < "1996-02-01")
-    )
-    part_t = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev_d = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(25,6)"
-    )
-    zero_d = F.lit(0).cast("decimal(25,6)")
-    promo = (
-        li_m.join(F.broadcast(part_t), li_m.l_partkey == part_t.p_partkey)
-        .agg(
-            (
-                F.lit(100.0)
-                * F.sum(
-                    F.when(F.col("p_type") == "PROMO", rev_d).otherwise(zero_d)
-                ).cast("double")
-                / F.sum(rev_d).cast("double")
-            ).alias("promo_revenue_pct"),
-            F.count("*").alias("n"),
-        )
-    )
     return _tagged_union(
         [("rollup", rollup), ("cube", cube), ("gsets", gsets),
-         ("pivot", pivot), ("unpivot", unpivot), ("promo", promo)]
+         ("pivot", pivot), ("unpivot", unpivot)]
     )
 
 
@@ -494,20 +465,17 @@ _Q_GROUPING_SQL = f"""
 SELECT 'rollup' AS family, l_returnflag, l_linestatus, COUNT(*) AS n,
   {_sql_dsum_str(_REV)} AS revenue,
   CAST(NULL AS BIGINT) AS g_flag, CAST(NULL AS BIGINT) AS g_status,
-  {_NULLS_PIVOT}, {_NULLS_UNPIVOT},
-  CAST(NULL AS DOUBLE) AS promo_revenue_pct
+  {_NULLS_PIVOT}, {_NULLS_UNPIVOT}
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 UNION ALL
 SELECT 'cube', l_returnflag, l_linestatus, COUNT(*), {_sql_dsum_str(_REV)},
   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-  {_NULLS_PIVOT}, {_NULLS_UNPIVOT},
-  CAST(NULL AS DOUBLE) AS promo_revenue_pct
+  {_NULLS_PIVOT}, {_NULLS_UNPIVOT}
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 UNION ALL
 SELECT 'gsets', l_returnflag, l_linestatus, COUNT(*), CAST(NULL AS VARCHAR),
   CAST(GROUPING(l_returnflag) AS BIGINT), CAST(GROUPING(l_linestatus) AS BIGINT),
-  {_NULLS_PIVOT}, {_NULLS_UNPIVOT},
-  CAST(NULL AS DOUBLE) AS promo_revenue_pct
+  {_NULLS_PIVOT}, {_NULLS_UNPIVOT}
 FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
 UNION ALL
 SELECT 'pivot', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), COUNT(*),
@@ -516,32 +484,18 @@ SELECT 'pivot', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), COUNT(*),
   CAST(SUM(CAST(CASE WHEN o_orderstatus='O' THEN o_totalprice ELSE 0 END AS DECIMAL(25,4))) AS DOUBLE),
   CAST(SUM(CAST(CASE WHEN o_orderstatus='F' THEN o_totalprice ELSE 0 END AS DECIMAL(25,4))) AS DOUBLE),
   CAST(SUM(CAST(CASE WHEN o_orderstatus='P' THEN o_totalprice ELSE 0 END AS DECIMAL(25,4))) AS DOUBLE),
-  {_NULLS_UNPIVOT},
-  CAST(NULL AS DOUBLE) AS promo_revenue_pct
+  {_NULLS_UNPIVOT}
 FROM orders GROUP BY o_orderpriority
 UNION ALL
 SELECT 'unpivot', l_returnflag, CAST(NULL AS VARCHAR), COUNT(*),
   CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
   {_NULLS_PIVOT},
-  metric, CAST(SUM(CAST(val AS DECIMAL(25,6))) AS DOUBLE),
-  CAST(NULL AS DOUBLE) AS promo_revenue_pct
+  metric, CAST(SUM(CAST(val AS DECIMAL(25,6))) AS DOUBLE)
 FROM (
   SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
   UNION ALL
   SELECT l_returnflag, 'l_discount' AS metric, l_discount AS val FROM lineitem
 ) GROUP BY l_returnflag, metric
-UNION ALL
-SELECT 'promo', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), COUNT(*),
-  CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-  {_NULLS_PIVOT}, {_NULLS_UNPIVOT},
-  100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
-      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))
-      ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE)
-    / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-      AS DECIMAL(25,6))) AS DOUBLE) AS promo_revenue_pct
-FROM lineitem JOIN part ON p_partkey = l_partkey
-WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-  AND l_shipdate < TIMESTAMP '1996-02-01'
 """
 
 
