@@ -2921,7 +2921,12 @@ def test_resize_images_on_structured_stream(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(60)
+    try:
+        # assert the boolean: a False return means the batch outran the
+        # timeout and the memory table below would be partial
+        assert q.awaitTermination(60), "stream did not finish in 60s"
+    finally:
+        q.stop()  # never leak a running query into the shared session
     out = {r["media_id"]: r
            for r in spark.sql("SELECT * FROM resized_stream").collect()}
     assert out[1]["format"] == "ppm" and out[1]["width"] == 3
