@@ -514,7 +514,11 @@ def q_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-key MIN joined back; ``anti_avg`` — TPC-H-q22-shaped scalar
     average + NOT EXISTS anti-join; ``not_in`` — TPC-H-q16-shaped
     NOT IN exclusion + COUNT(DISTINCT); ``scalar_max`` —
-    TPC-H-q15-shaped scalar MAX over an aggregated derived table.
+    TPC-H-q15-shaped scalar MAX over an aggregated derived table;
+    ``having_frac`` — TPC-H-q11-shaped per-key aggregate HAVING > a
+    scalar-subquery fraction of the global sum (round 12);
+    ``nested_in`` — TPC-H-q20-shaped nested IN + correlated scalar
+    half-sum, the deepest nesting on the delegated surface (round 12).
     All tag-unioned.
 
     The q21 family ("exists"): suppliers in two nations whose line was
@@ -695,10 +699,97 @@ def q_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__tr").cast("string").alias("total_revenue"),
         )
     )
+    # TPC-H-q11-shaped family (round 12, VERDICT r11 #2): per-part
+    # value sum restricted to a supplier-nation group, HAVING > a
+    # scalar-subquery fraction (0.001) of the global sum over the same
+    # base. Spark-first decorrelation: the per-part aggregate is
+    # computed ONCE and the global scalar is the re-aggregation of the
+    # per-part sums (exact — decimal addition is associative), so the
+    # base fact table is scanned a single time instead of the naive
+    # twice; the one-row global broadcasts into the HAVING filter.
+    # Exactness: both sides keep exact decimal sums and compare after
+    # an identical cast-to-double × IEEE literal multiply.
+    grp_supp = supp.join(
+        F.broadcast(
+            load_table(spark, sf_dir, "nation").where(
+                F.col("n_name").isin("NATION_1", "NATION_2")
+            )
+        ),
+        supp.s_nationkey == F.col("n_nationkey"),
+    ).select(F.col("s_suppkey").alias("__gs"))
+    vals = (
+        li.select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+        .join(F.broadcast(grp_supp), F.col("l_suppkey") == F.col("__gs"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_quantity")).cast(
+                    "decimal(25,4)"
+                )
+            ).alias("__pv")
+        )
+    )
+    gtot = vals.agg(F.sum("__pv").alias("__gv"))
+    having_frac = (
+        vals.crossJoin(F.broadcast(gtot))
+        .where(F.col("__pv").cast("double") > F.col("__gv").cast("double") * 0.001)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("__pv").cast("string").alias("part_value"),
+        )
+    )
+    # TPC-H-q20-shaped family (round 12, VERDICT r11 #2): suppliers in
+    # one nation having, for some 'small%'-named part, shipped more
+    # than HALF that part's total 1995 quantity — a nested IN (part
+    # name prefix) wrapping a correlated scalar half-sum keyed on the
+    # outer's partkey. Spark-first decorrelation: the correlated
+    # `> (SELECT 0.5*SUM(..) WHERE l.l_partkey = ps.l_partkey)` becomes
+    # a per-part total joined back on the key; the half is spelled
+    # qty*2 > tot so the comparison stays in exact decimals. The part
+    # prefix filter broadcasts ahead of the single windowed fact scan
+    # feeding BOTH aggregations (same shuffle key → AQE exchange
+    # reuse), and the surviving supplier keys drive a left-semi.
+    small = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    li_w = (
+        li.where(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1996-01-01")
+        )
+        .join(F.broadcast(small), li.l_partkey == small.p_partkey)
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.col("l_quantity").cast("decimal(25,4)").alias("__q"),
+        )
+    )
+    ps_qty = li_w.groupBy("l_suppkey", "l_partkey").agg(F.sum("__q").alias("__qty"))
+    p_tot = li_w.groupBy("l_partkey").agg(F.sum("__q").alias("__tot"))
+    cand = (
+        ps_qty.join(p_tot, "l_partkey")
+        .where(F.col("__qty") * 2 > F.col("__tot"))
+        .select(F.col("l_suppkey").alias("__cand"))
+    )
+    nested_in = (
+        supp.join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").where(
+                    F.col("n_name") == "NATION_5"
+                )
+            ),
+            supp.s_nationkey == F.col("n_nationkey"),
+        )
+        .join(cand, supp.s_suppkey == F.col("__cand"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
     return _tagged_union(
         [("in", insub), ("scalar", scalar), ("exists", exists),
          ("corr_min", corr_min), ("anti_avg", anti_avg),
-         ("not_in", not_in), ("scalar_max", scalar_max)]
+         ("not_in", not_in), ("scalar_max", scalar_max),
+         ("having_frac", having_frac), ("nested_in", nested_in)]
     )
 
 
@@ -714,6 +805,15 @@ _NULLS_NOTIN = """CAST(NULL AS VARCHAR) AS p_brand,
 _NULLS_SCALARMAX = """CAST(NULL AS BIGINT) AS s_suppkey,
   CAST(NULL AS VARCHAR) AS total_revenue"""
 
+_NULLS_HAVING = "CAST(NULL AS VARCHAR) AS part_value"
+
+#: the q11-shaped restricted base (suppliers of two nations) — used by
+#: both the per-part aggregate and the global-sum scalar subquery
+_Q11_BASE = """FROM lineitem
+WHERE l_suppkey IN (SELECT s_suppkey FROM supplier JOIN nation
+                    ON s_nationkey = n_nationkey
+                    WHERE n_name IN ('NATION_1', 'NATION_2'))"""
+
 _REV_Q = """SELECT l_suppkey,
      SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS tr
    FROM lineitem
@@ -725,13 +825,13 @@ _Q_SUBQUERIES_SQL = f"""
 SELECT 'in' AS family, c_custkey, c_name, c_mktsegment,
   CAST(NULL AS BIGINT) AS n_above,
   CAST(NULL AS VARCHAR) AS s_name, CAST(NULL AS BIGINT) AS numwait,
-  {_NULLS_CORRMIN}, {_NULLS_ANTIAVG}, {_NULLS_NOTIN}, {_NULLS_SCALARMAX}
+  {_NULLS_CORRMIN}, {_NULLS_ANTIAVG}, {_NULLS_NOTIN}, {_NULLS_SCALARMAX}, {_NULLS_HAVING}
 FROM customer
 WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
 UNION ALL
 SELECT 'scalar', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), c_mktsegment, COUNT(*),
   CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
-  {_NULLS_CORRMIN}, {_NULLS_ANTIAVG}, {_NULLS_NOTIN}, {_NULLS_SCALARMAX}
+  {_NULLS_CORRMIN}, {_NULLS_ANTIAVG}, {_NULLS_NOTIN}, {_NULLS_SCALARMAX}, {_NULLS_HAVING}
 FROM customer
 WHERE c_acctbal > (
   SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(25,4))) AS DOUBLE) / COUNT(*)
@@ -740,7 +840,7 @@ GROUP BY c_mktsegment
 UNION ALL
 SELECT 'exists', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
   CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), s_name, COUNT(*) AS numwait,
-  {_NULLS_CORRMIN}, {_NULLS_ANTIAVG}, {_NULLS_NOTIN}, {_NULLS_SCALARMAX}
+  {_NULLS_CORRMIN}, {_NULLS_ANTIAVG}, {_NULLS_NOTIN}, {_NULLS_SCALARMAX}, {_NULLS_HAVING}
 FROM supplier, lineitem l1, orders, nation
 WHERE s_suppkey = l1.l_suppkey
   AND o_orderkey = l1.l_orderkey
@@ -761,7 +861,7 @@ SELECT 'corr_min', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
   CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
   CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
   l_partkey AS p_partkey, l_suppkey AS min_supp,
-  l_extendedprice AS min_price, {_NULLS_ANTIAVG}, {_NULLS_NOTIN}, {_NULLS_SCALARMAX}
+  l_extendedprice AS min_price, {_NULLS_ANTIAVG}, {_NULLS_NOTIN}, {_NULLS_SCALARMAX}, {_NULLS_HAVING}
 FROM lineitem l1
 WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 1)
   AND l_extendedprice = (SELECT MIN(l_extendedprice) FROM lineitem l2
@@ -772,7 +872,7 @@ SELECT 'anti_avg', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
   CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), {_NULLS_CORRMIN},
   c_nationkey AS nationkey, COUNT(*) AS n_noord,
   CAST(SUM(CAST(c_acctbal AS DECIMAL(25,4))) AS DOUBLE) AS totbal,
-  {_NULLS_NOTIN}, {_NULLS_SCALARMAX}
+  {_NULLS_NOTIN}, {_NULLS_SCALARMAX}, {_NULLS_HAVING}
 FROM customer c
 WHERE c_acctbal > (
   SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(25,4))) AS DOUBLE) / COUNT(*)
@@ -787,7 +887,7 @@ SELECT 'not_in', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
   CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
   {_NULLS_CORRMIN}, {_NULLS_ANTIAVG},
   p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt,
-  {_NULLS_SCALARMAX}
+  {_NULLS_SCALARMAX}, {_NULLS_HAVING}
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE p_brand <> 'Brand#11' AND p_size IN (1, 2, 3)
   AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
@@ -797,9 +897,45 @@ SELECT 'scalar_max', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
   CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
   s_name, CAST(NULL AS BIGINT),
   {_NULLS_CORRMIN}, {_NULLS_ANTIAVG}, {_NULLS_NOTIN},
-  s_suppkey, CAST(tr AS VARCHAR) AS total_revenue
+  s_suppkey, CAST(tr AS VARCHAR) AS total_revenue, {_NULLS_HAVING}
 FROM supplier JOIN ({_REV_Q}) rev ON s_suppkey = l_suppkey
 WHERE tr = (SELECT MAX(tr) FROM ({_REV_Q}) rev2)
+UNION ALL
+SELECT 'having_frac', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+  CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+  CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+  l_partkey AS p_partkey, CAST(NULL AS BIGINT) AS min_supp,
+  CAST(NULL AS DOUBLE) AS min_price,
+  {_NULLS_ANTIAVG}, {_NULLS_NOTIN}, {_NULLS_SCALARMAX},
+  CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(25,4))) AS VARCHAR)
+    AS part_value
+{_Q11_BASE}
+GROUP BY l_partkey
+HAVING CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(25,4))) AS DOUBLE)
+  > (SELECT CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(25,4)))
+             AS DOUBLE) * 0.001
+     {_Q11_BASE})
+UNION ALL
+SELECT 'nested_in', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+  CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+  s_name, CAST(NULL AS BIGINT),
+  {_NULLS_CORRMIN}, {_NULLS_ANTIAVG}, {_NULLS_NOTIN},
+  s_suppkey, CAST(NULL AS VARCHAR) AS total_revenue, {_NULLS_HAVING}
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_5'
+  AND s_suppkey IN (
+    SELECT ps.l_suppkey FROM (
+      SELECT l_suppkey, l_partkey, SUM(CAST(l_quantity AS DECIMAL(25,4))) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l_shipdate < TIMESTAMP '1996-01-01'
+      GROUP BY l_suppkey, l_partkey) ps
+    WHERE ps.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      AND ps.qty * 2 > (
+        SELECT SUM(CAST(l_quantity AS DECIMAL(25,4))) FROM lineitem l
+        WHERE l.l_partkey = ps.l_partkey
+          AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l.l_shipdate < TIMESTAMP '1996-01-01'))
 """
 
 

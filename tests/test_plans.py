@@ -154,9 +154,13 @@ def test_q21_exists_family_plan(spark, sf_dir):
     # scalar_max (q15-shaped) family's quarter window all reach scans
     assert "p_size" in pushed and "o_orderpriority" in pushed
     assert "p_brand" in pushed and "s_acctbal" in pushed
+    # round 12: the nested_in (q20-shaped) family's part-name prefix
+    # and ship-window filters reach scans too
+    assert "p_name" in pushed and "l_shipdate" in pushed
     # every lineitem scan reads at most its family's needed columns:
     # q21 quantifiers, corr_min per-part MIN, not_in part-supplier
-    # pairs, or the scalar_max quarterly revenue
+    # pairs, the scalar_max quarterly revenue, the having_frac
+    # (q11-shaped) value sum, or the nested_in (q20-shaped) half-sum
     for cols in read_schema_columns(df):
         if any(c.startswith("l_") for c in cols):
             assert (
@@ -164,6 +168,10 @@ def test_q21_exists_family_plan(spark, sf_dir):
                 or set(cols) <= {"l_partkey", "l_suppkey", "l_extendedprice"}
                 or set(cols) <= {"l_suppkey", "l_shipdate",
                                  "l_extendedprice", "l_discount"}
+                or set(cols) <= {"l_partkey", "l_suppkey",
+                                 "l_extendedprice", "l_quantity"}
+                or set(cols) <= {"l_partkey", "l_suppkey",
+                                 "l_quantity", "l_shipdate"}
             ), cols
 
 
