@@ -42,14 +42,60 @@ from pyspark.sql import functions as F
 
 from pydala_spark.dataset.reader import Dataset
 from pydala_spark.sweeps import (
-    counts_intact,
-    dataset_report_counts,
-    lake_unchanged,
+    NightGate,
+    content_marker,
+    fresh_summary,
     load_prior_summary,
-    sweep_fresh_map,
+    read_token,
+    write_summary,
+    write_token,
 )
 from pydala_spark.utils.errors import ConfigError
 from pydala_spark.utils.pathops import escape_partition_value, strip_scheme
+
+
+class _SkipSweep(Exception):
+    """A dataset sitting out the sweep, carrying its summary reason
+    (no data files / missing columns). Raised by
+    :meth:`LakeSweepsMixin._swept_frame`, turned into a ``skipped``
+    entry at each sweep's per-dataset boundary."""
+
+
+def _sig_path(signatures_root: str | None, name: str) -> str | None:
+    """Out-of-place sidecar host for one dataset (the READ-ONLY-lake
+    layout): ``<signatures_root>/<name>``, or ``None`` for beside-the-
+    data sidecars."""
+    return (
+        posixpath.join(strip_scheme(signatures_root).rstrip("/"), name)
+        if signatures_root else None
+    )
+
+
+def _pooled(items, fn, max_concurrency: int, serial_while=None):
+    """The per-dataset pooling scaffold every sweep shares (round 12,
+    VERDICT r11 #3): run ``fn(name, base)`` over ``items``, from a
+    thread pool when ``max_concurrency`` allows (Spark's scheduler
+    interleaves concurrent jobs; per-dataset faults stay contained in
+    ``fn`` exactly as in the serial path). ``serial_while`` keeps the
+    head of the list serial while it returns True — the semantic
+    sweeps' determinism rule that the SAME dataset trains the lake
+    codebook that the serial path would pick. Returns entries in
+    ``items`` order."""
+    if max_concurrency > 1 and len(items) > 1:
+        out = []
+        idx = 0
+        if serial_while is not None:
+            while idx < len(items) and serial_while():
+                out.append(fn(*items[idx]))
+                idx += 1
+        rest = items[idx:]
+        if rest:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
+                out.extend(pool.map(lambda nb: fn(*nb), rest))
+        return out
+    return [fn(*nb) for nb in items]
 
 def _frame_marker(frame: DataFrame, id_col: str, content) -> dict:
     """Content marker of a frame — ``rows`` + xor of ``xxhash64(id,
@@ -87,6 +133,66 @@ class LakeSweepsMixin:
     """Sweep methods mixed into :class:`~pydala_spark.catalog.Datalake`
     (which provides ``self.spark``, ``self._po``, ``self.root``,
     ``self.discover``, ``self._rel``, ``self._dataset_format``)."""
+
+    def _swept_frame(self, name: str, base: str, cols) -> tuple:
+        """Resolve + load one dataset for a sweep (round 12, VERDICT
+        r11 #3 — the preamble every per-dataset phase repeated):
+        prefer the TimeFly ``current/`` tree, require data files and
+        every column in ``cols``, and return ``(df, data_path)``.
+        Raises :class:`_SkipSweep` with the summary reason otherwise;
+        any other failure propagates to the caller's per-dataset
+        error containment (the ``maintain`` rule)."""
+        current = posixpath.join(base, "current")
+        data_path = current if self._po.is_dir(current) else base
+        ds = Dataset(
+            self.spark, data_path, name=name,
+            format=self._dataset_format(base),
+        )
+        if not ds._dataset_has_files():
+            raise _SkipSweep("no data files")
+        df = ds.load()
+        if any(c not in df.columns for c in cols):
+            raise _SkipSweep(f"no ({', '.join(cols)}) columns")
+        return df, data_path
+
+    def _sidecar_frame(
+        self, df, data_path: str, kind: str, expect: dict,
+        verify: bool, materialize: bool, signatures_path: str | None,
+        mat_kwargs: dict,
+    ) -> tuple:
+        """The sidecar read-or-materialize dance every sidecar-served
+        sweep shares (round 12, VERDICT r11 #3): read ``kind`` pinned
+        to ``expect`` (marker-verified against the live ``df`` when
+        ``verify``); on ANY read failure — absent, param-mismatched,
+        stale — pay the hashing once via ``materialize_signatures(...,
+        **mat_kwargs)`` and re-read, or re-raise when ``materialize``
+        is off. Returns ``(frame, params, materialized)`` where
+        ``materialized`` is ``False`` on a clean reuse or the original
+        failure's exception-type name (the summary's honesty note)."""
+        from pydala_spark.dataset.maintain import (
+            materialize_signatures,
+            read_signatures,
+        )
+
+        def _read():
+            return read_signatures(
+                self.spark, data_path, kind, expect=expect,
+                verify_against=df if verify else None,
+                signatures_path=signatures_path,
+            )
+
+        try:
+            frame, params = _read()
+            return frame, params, False
+        except Exception as exc:
+            if not materialize:
+                raise
+            materialize_signatures(
+                self.spark, df, data_path, kinds=(kind,),
+                signatures_path=signatures_path, **mat_kwargs,
+            )
+            frame, params = _read()
+            return frame, params, f"{type(exc).__name__}"
 
     def decontaminate(
         self,
@@ -190,12 +296,6 @@ class LakeSweepsMixin:
         the shingle universe is corpus-sized, so materializing it would
         store more than the corpus; the winnowing modality IS the
         amortizable middle ground and stays the default."""
-        import json as _json
-
-        from pydala_spark.dataset.maintain import (
-            materialize_signatures,
-            read_signatures,
-        )
         from pydala_spark.operators.dedup import (
             contamination_hits,
             winnowing_contamination,
@@ -214,8 +314,6 @@ class LakeSweepsMixin:
             strip_scheme(report_dir).rstrip("/") if report_dir
             else posixpath.join(self.root, "_decontamination")
         )
-        sig_root = (strip_scheme(signatures_root).rstrip("/")
-                    if signatures_root else None)
         if incremental and mode != "winnowing":
             raise ConfigError(
                 "decontaminate: incremental=True is winnowing-mode only "
@@ -246,17 +344,10 @@ class LakeSweepsMixin:
                 for bname, bdf in benchmarks.items()
             }
         def _sweep_one(name: str, base: str) -> dict:
-            current = posixpath.join(base, "current")
-            data_path = current if self._po.is_dir(current) else base
-            fmt = self._dataset_format(base)
             try:
-                ds = Dataset(self.spark, data_path, name=name, format=fmt)
-                if not ds._dataset_has_files():
-                    return {"skipped": "no data files"}
-                df = ds.load()
                 need_col = vec_col if mode == "embedding" else text_col
-                if id_col not in df.columns or need_col not in df.columns:
-                    return {"skipped": f"no ({id_col}, {need_col}) columns"}
+                df, data_path = self._swept_frame(
+                    name, base, (id_col, need_col))
 
                 if mode == "embedding":
                     # one broadcast left-semi vector scan per benchmark
@@ -293,39 +384,16 @@ class LakeSweepsMixin:
                         )
                     bench_names = benchmarks
                 else:
-                    sp = (posixpath.join(sig_root, name)
-                          if sig_root else None)
-
-                    def _read():
-                        return read_signatures(
-                            self.spark, data_path, "winnowing",
-                            expect=expect,
-                            verify_against=df if verify else None,
-                            signatures_path=sp,
-                        )
-
-                    materialized = False
-                    try:
-                        fps, _params = _read()
-                    except Exception as exc:
-                        if not materialize:
-                            raise
-                        # absent, param-mismatched, or stale sidecar —
-                        # pay the hashing ONCE here; every later sweep
-                        # reads it
-                        materialize_signatures(
-                            self.spark, df, data_path, id_col=id_col,
-                            text_col=text_col, kinds=("winnowing",),
-                            winnowing_k=k, winnowing_window=window,
-                            signatures_path=sp,
-                        )
-                        fps, _params = _read()
-                        materialized = f"{type(exc).__name__}"
-                    marker = (
-                        {"rows": int(_params["content_rows"]),
-                         "xor": int(_params["content_xor"])}
-                        if "content_rows" in _params else None
+                    # absent/param-mismatched/stale sidecar pays the
+                    # hashing ONCE inside the shared dance; every later
+                    # sweep reads it
+                    fps, _params, materialized = self._sidecar_frame(
+                        df, data_path, "winnowing", expect, verify,
+                        materialize, _sig_path(signatures_root, name),
+                        dict(id_col=id_col, text_col=text_col,
+                             winnowing_k=k, winnowing_window=window),
                     )
+                    marker = content_marker(_params)
                     prior_entry = (prior or {}).get(name)
                     if (incremental and not materialized
                             and marker is not None
@@ -372,37 +440,23 @@ class LakeSweepsMixin:
                     },
                 })
                 return entry
+            except _SkipSweep as sk:
+                return {"skipped": str(sk)}
             except Exception as exc:  # one bad dataset must not kill it
                 return {"error": f"{type(exc).__name__}: {exc}"[:500]}
 
         items = list(self.discover().items())
-        results: dict[str, dict] = {}
-        if max_concurrency > 1 and len(items) > 1:
-            # datasets are independent here (unlike neardup_dedup's
-            # global clustering), so submit their jobs from a thread
-            # pool: hundreds of SMALL datasets swept serially leave a
-            # large cluster mostly idle — Spark's scheduler interleaves
-            # concurrent jobs fine, and per-dataset faults stay
-            # contained inside _sweep_one exactly as in the serial path
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
-                entries = list(pool.map(
-                    lambda nb: _sweep_one(*nb), items))
-            results.update(
-                (name, entry)
-                for (name, _), entry in zip(items, entries))
-        else:
-            for name, base in items:
-                results[name] = _sweep_one(name, base)
+        # datasets are independent here (unlike neardup_dedup's global
+        # clustering), so their jobs ride the shared pool scaffold
+        results = dict(zip(
+            (name for name, _ in items),
+            _pooled(items, _sweep_one, max_concurrency),
+        ))
         if mode == "winnowing":
             # seed the NEXT sweep's incremental skip decision
             results["_benchmarks"] = bench_markers
             results["_config"] = config
-        self._po.write_text(
-            posixpath.join(rep_base, "_summary.json"),
-            _json.dumps(results, indent=2, sort_keys=True, default=str),
-        )
+        write_summary(self._po, rep_base, results)
         return results
 
     def semantic_dedup(
@@ -505,12 +559,6 @@ class LakeSweepsMixin:
         that fixed per-job overheads dominate.
         Summaries carry ``"_sweep_mode"``; a config or codebook-sha
         change discards the prior and runs full."""
-        import json as _json
-
-        from pydala_spark.dataset.maintain import (
-            materialize_signatures,
-            read_signatures,
-        )
         from pydala_spark.operators.ann import (
             codebook_sha,
             kmeans_centroids,
@@ -574,20 +622,9 @@ class LakeSweepsMixin:
 
             def _prep_cross(name: str, base: str):
                 nonlocal cb
-                current = posixpath.join(base, "current")
-                data_path = current if self._po.is_dir(current) else base
-                fmt = self._dataset_format(base)
                 try:
-                    ds = Dataset(self.spark, data_path, name=name,
-                                 format=fmt)
-                    if not ds._dataset_has_files():
-                        return {"skipped": "no data files"}, None, None
-                    df = ds.load()
-                    if (id_col not in df.columns
-                            or vec_col not in df.columns):
-                        return ({"skipped":
-                                 f"no ({id_col}, {vec_col}) columns"},
-                                None, None)
+                    df, data_path = self._swept_frame(
+                        name, base, (id_col, vec_col))
                     if cb is None:
                         cb_new = kmeans_centroids(
                             df, vec_col=vec_col,
@@ -595,32 +632,15 @@ class LakeSweepsMixin:
                         save_codebook(self.spark, cb_new, cb_path)
                         cb = cb_new
                     sha = codebook_sha(cb)
-                    sp = (posixpath.join(
-                        strip_scheme(signatures_root).rstrip("/"), name)
-                        if signatures_root else None)
-
-                    def _read():
-                        return read_signatures(
-                            self.spark, data_path, "embedding_cells",
-                            expect={"codebook_sha": sha,
-                                    "id_col": id_col, "vec_col": vec_col},
-                            verify_against=df if verify else None,
-                            signatures_path=sp,
-                        )
-
-                    materialized = False
-                    try:
-                        cells, _p = _read()
-                    except Exception as exc:
-                        if not materialize:
-                            raise
-                        materialize_signatures(
-                            self.spark, df, data_path, id_col=id_col,
-                            vec_col=vec_col, kinds=("embedding_cells",),
-                            centroids=cb, signatures_path=sp,
-                        )
-                        cells, _p = _read()
-                        materialized = f"{type(exc).__name__}"
+                    cells, _p, materialized = self._sidecar_frame(
+                        df, data_path, "embedding_cells",
+                        {"codebook_sha": sha,
+                         "id_col": id_col, "vec_col": vec_col},
+                        verify, materialize,
+                        _sig_path(signatures_root, name),
+                        dict(id_col=id_col, vec_col=vec_col,
+                             centroids=cb),
+                    )
                     scored = bool(score_col) and score_col in df.columns
                     doc = F.col(id_col).cast("string")
                     vecs = df.select(
@@ -640,11 +660,9 @@ class LakeSweepsMixin:
                     entry = {"sidecar": ("materialized" if materialized
                                          else "reused"),
                              "scored": scored}
-                    if "content_rows" in _p:
-                        entry["marker"] = {
-                            "rows": int(_p["content_rows"]),
-                            "xor": int(_p["content_xor"]),
-                        }
+                    m = content_marker(_p)
+                    if m is not None:
+                        entry["marker"] = m
                     if incremental and scored:
                         # the (id, vec) marker is blind to the score
                         # column, and scores pick the keeper — same
@@ -653,6 +671,8 @@ class LakeSweepsMixin:
                             df, id_col, F.col(score_col).cast("double")
                         )
                     return entry, vecs, cl
+                except _SkipSweep as sk:
+                    return {"skipped": str(sk)}, None, None
                 except Exception as exc:  # one bad dataset, sweep lives
                     return ({"error":
                              f"{type(exc).__name__}: {exc}"[:500]},
@@ -660,23 +680,9 @@ class LakeSweepsMixin:
 
             items = list(self.discover().items())
             results: dict[str, dict] = {}
-            prepped: list = []
-            if max_concurrency > 1 and len(items) > 1:
-                # codebook pins serially first (the determinism rule)
-                idx = 0
-                while idx < len(items) and cb is None:
-                    prepped.append(_prep_cross(*items[idx]))
-                    idx += 1
-                rest = items[idx:]
-                if rest:
-                    from concurrent.futures import ThreadPoolExecutor
-
-                    with ThreadPoolExecutor(
-                            max_workers=max_concurrency) as pool:
-                        prepped.extend(pool.map(
-                            lambda nb: _prep_cross(*nb), rest))
-            else:
-                prepped = [_prep_cross(*nb) for nb in items]
+            # codebook pins serially first (the determinism rule)
+            prepped = _pooled(items, _prep_cross, max_concurrency,
+                              serial_while=lambda: cb is None)
             union_v = None
             union_c = None
             tagged_names: set[str] = set()
@@ -690,79 +696,52 @@ class LakeSweepsMixin:
                                else union_c.unionByName(cl))
             target = posixpath.join(rep_base, "_verdicts")
             partial_unchanged = None
+            gate = None
             if incremental and prior is not None:
-                # shared freshness + all-fresh rules (sweeps module)
-                fresh_map = sweep_fresh_map(results, prior, "n_vectors")
+                # the shared night facts: freshness map, completed-
+                # prior set, lazily-verified row-count integrity
+                # (sweeps.NightGate). The integrity counts gate BOTH
+                # fast paths here: a fresh night must not report paths
+                # into lost partitions, and the partial night consumes
+                # prior rows of unchanged datasets (untouched-cell
+                # carry) AND of changed/removed ones (touched_before —
+                # their vacated cells must re-verdict).
+                gate = NightGate(self.spark, self._po, results, prior,
+                                 "n_vectors", target, tagged_names)
                 # the span sweep's carve-out (ADVICE r10): a prior
                 # sweep that legitimately produced no verdict table
                 # (every dataset skipped / zero vectors) must not be
                 # barred from the all-fresh path forever — require the
-                # table only when the prior summary recorded vectors
+                # row counts only when the prior summary recorded
+                # vectors
                 prior_had_vectors = (prior.get("_lake") or {}).get(
                     "n_vectors", 0) > 0
-                # carry-over integrity (round-11 review finds): the
-                # token/summary prove commits COMPLETED, not that the
-                # verdict partitions survived since. ONE metadata-only
-                # count-by-dataset (partition column, no data pages)
-                # vs each prior dataset's recorded n_vectors — it
-                # gates BOTH fast paths: a fresh night must not report
-                # paths into lost partitions, and the partial night
-                # consumes prior rows of unchanged datasets (untouched
-                # -cell carry) AND of changed/removed ones
-                # (touched_before — their vacated cells must
-                # re-verdict).
-                prior_counted = {
-                    k for k in prior if not k.startswith("_")
-                    and isinstance(prior[k], dict)
-                    and "n_vectors" in prior[k]}
-                counts = (dataset_report_counts(self.spark, target)
-                          if prior_counted
-                          and self._po.is_dir(target) else None)
-                intact = counts_intact(
-                    counts, prior, prior_counted, "n_vectors")
-                if (lake_unchanged(results, prior, fresh_map)
-                        # when the prior produced verdicts, every
-                        # dataset's partition must still hold exactly
-                        # the recorded rows — else fall through and
-                        # rebuild (never report "fresh" over lost data)
-                        and (not prior_had_vectors
-                             or intact == prior_counted)):
+                if gate.all_fresh(require_counts=prior_had_vectors):
                     # ALL-FRESH: the prior lake-global verdict is
                     # provably current — skip the pair join wholesale
-                    out = {
-                        n: {**prior[n], **results[n],
-                            "fresh": "lake unchanged since last sweep "
-                                     "— verdict reused"}
-                        for n in results
-                    }
-                    out["_lake"] = prior.get(
-                        "_lake", {"n_vectors": 0, "n_dropped": 0})
-                    out["_codebook"] = {
-                        "path": cb_path,
-                        "sha": codebook_sha(cb) if cb is not None
-                        else None}
-                    out["_config"] = cfg_cross
-                    out["_sweep_mode"] = "fresh"
-                    self._po.write_text(
-                        posixpath.join(rep_base, "_summary.json"),
-                        _json.dumps(out, indent=2, sort_keys=True,
-                                    default=str),
+                    return fresh_summary(
+                        self._po, rep_base, results, prior,
+                        "lake unchanged since last sweep — "
+                        "verdict reused",
+                        {"n_vectors": 0, "n_dropped": 0}, cfg_cross,
+                        {"_codebook": {
+                            "path": cb_path,
+                            "sha": codebook_sha(cb) if cb is not None
+                            else None}},
                     )
-                    return out
-                unchanged = {n for n, ok in fresh_map.items()
-                             if ok and n in tagged_names}
+                unchanged = gate.unchanged
                 # an UNCHANGED dataset with a short partition demotes
                 # to changed (its docs recompute through the full leg);
                 # a short CHANGED/REMOVED dataset kills the partial
                 # night entirely — its prior rows seed touched_before,
                 # and a lost row could hide a vacated cell whose
                 # previously-dropped survivors must revive
-                if not (prior_counted - unchanged <= intact):
+                if not (gate.prior_counted - unchanged <= gate.intact):
                     unchanged = set()
                 else:
                     # fresh_map already guarantees unchanged ⊆
                     # prior_counted (the completion-key rule)
-                    unchanged &= intact
+                    unchanged &= gate.intact
                 if unchanged and self._po.is_dir(target):
                     partial_unchanged = sorted(unchanged)
             lake_stats = {"n_vectors": 0, "n_dropped": 0}
@@ -786,10 +765,7 @@ class LakeSweepsMixin:
                     changed_names = sorted(
                         tagged_names - set(partial_unchanged))
                     prior_not_unchanged = sorted(
-                        {k for k in prior if not k.startswith("_")
-                         and isinstance(prior[k], dict)
-                         and "n_vectors" in prior[k]}
-                        - set(partial_unchanged))
+                        gate.prior_counted - set(partial_unchanged))
                     pv = self.spark.read.parquet(target)
                     touched_now = (
                         union_c.where(
@@ -950,25 +926,14 @@ class LakeSweepsMixin:
             # per-dataset mode (different verdict semantics)
             results["_config"] = cfg_cross
             results["_sweep_mode"] = sweep_mode
-            self._po.write_text(
-                posixpath.join(rep_base, "_summary.json"),
-                _json.dumps(results, indent=2, sort_keys=True,
-                            default=str),
-            )
+            write_summary(self._po, rep_base, results)
             return results
 
         def _sweep_one(name: str, base: str) -> dict:
             nonlocal cb
-            current = posixpath.join(base, "current")
-            data_path = current if self._po.is_dir(current) else base
-            fmt = self._dataset_format(base)
             try:
-                ds = Dataset(self.spark, data_path, name=name, format=fmt)
-                if not ds._dataset_has_files():
-                    return {"skipped": "no data files"}
-                df = ds.load()
-                if id_col not in df.columns or vec_col not in df.columns:
-                    return {"skipped": f"no ({id_col}, {vec_col}) columns"}
+                df, data_path = self._swept_frame(
+                    name, base, (id_col, vec_col))
                 if cb is None:
                     # first eligible dataset trains the lake codebook —
                     # persisted BEFORE any assignment so a crash between
@@ -980,37 +945,14 @@ class LakeSweepsMixin:
                     )
                     save_codebook(self.spark, cb, cb_path)
                 sha = codebook_sha(cb)
-                sp = (posixpath.join(
-                    strip_scheme(signatures_root).rstrip("/"), name)
-                    if signatures_root else None)
-
-                def _read():
-                    return read_signatures(
-                        self.spark, data_path, "embedding_cells",
-                        expect={"codebook_sha": sha, "id_col": id_col,
-                                "vec_col": vec_col},
-                        verify_against=df if verify else None,
-                        signatures_path=sp,
-                    )
-
-                materialized = False
-                try:
-                    cells, params = _read()
-                except Exception as exc:
-                    if not materialize:
-                        raise
-                    materialize_signatures(
-                        self.spark, df, data_path, id_col=id_col,
-                        vec_col=vec_col, kinds=("embedding_cells",),
-                        centroids=cb, signatures_path=sp,
-                    )
-                    cells, params = _read()
-                    materialized = f"{type(exc).__name__}"
-                marker = (
-                    {"rows": int(params["content_rows"]),
-                     "xor": int(params["content_xor"])}
-                    if "content_rows" in params else None
+                cells, params, materialized = self._sidecar_frame(
+                    df, data_path, "embedding_cells",
+                    {"codebook_sha": sha, "id_col": id_col,
+                     "vec_col": vec_col},
+                    verify, materialize, _sig_path(signatures_root, name),
+                    dict(id_col=id_col, vec_col=vec_col, centroids=cb),
                 )
+                marker = content_marker(params)
                 scored = bool(score_col) and score_col in df.columns
                 score_marker = None
                 if incremental and scored:
@@ -1070,41 +1012,25 @@ class LakeSweepsMixin:
                     **({"score_marker": score_marker}
                        if score_marker is not None else {}),
                 }
+            except _SkipSweep as sk:
+                return {"skipped": str(sk)}
             except Exception as exc:  # one bad dataset must not kill it
                 return {"error": f"{type(exc).__name__}: {exc}"[:500]}
 
         items = list(self.discover().items())
-        results: dict[str, dict] = {}
-        if max_concurrency > 1 and len(items) > 1:
-            # the lake codebook must be PINNED before pooling — and by
-            # the same dataset the serial path would pick (determinism)
-            # — so sweep serially until it exists, then pool the rest
-            idx = 0
-            while idx < len(items) and cb is None:
-                name, base = items[idx]
-                results[name] = _sweep_one(name, base)
-                idx += 1
-            rest = items[idx:]
-            if rest:
-                from concurrent.futures import ThreadPoolExecutor
-
-                with ThreadPoolExecutor(
-                        max_workers=max_concurrency) as pool:
-                    entries = list(pool.map(
-                        lambda nb: _sweep_one(*nb), rest))
-                results.update(
-                    (n, e) for (n, _), e in zip(rest, entries))
-        else:
-            for name, base in items:
-                results[name] = _sweep_one(name, base)
+        # the lake codebook must be PINNED before pooling — and by the
+        # same dataset the serial path would pick (determinism) — so
+        # sweep serially until it exists, then pool the rest
+        results = dict(zip(
+            (name for name, _ in items),
+            _pooled(items, _sweep_one, max_concurrency,
+                    serial_while=lambda: cb is None),
+        ))
         results["_codebook"] = {"path": cb_path,
                                 "sha": codebook_sha(cb) if cb is not None
                                 else None}
         results["_config"] = config
-        self._po.write_text(
-            posixpath.join(rep_base, "_summary.json"),
-            _json.dumps(results, indent=2, sort_keys=True, default=str),
-        )
+        write_summary(self._po, rep_base, results)
         return results
 
     def span_dedup_report(
@@ -1190,12 +1116,6 @@ class LakeSweepsMixin:
         ``_df`` rewrite replaces the fp-keyed shuffle of every
         position row, and run-grouping pays only for re-evaluated
         docs."""
-        import json as _json
-
-        from pydala_spark.dataset.maintain import (
-            materialize_signatures,
-            read_signatures,
-        )
         from pydala_spark.operators.dedup import duplicate_spans
 
         expect = {"k": span_k, "window": span_window,
@@ -1215,45 +1135,18 @@ class LakeSweepsMixin:
         sep = "\x1f"
 
         def _prep_one(name: str, base: str):
-            current = posixpath.join(base, "current")
-            data_path = current if self._po.is_dir(current) else base
-            fmt = self._dataset_format(base)
             try:
-                ds = Dataset(self.spark, data_path, name=name, format=fmt)
-                if not ds._dataset_has_files():
-                    return {"skipped": "no data files"}, None, None
-                df = ds.load()
-                if id_col not in df.columns or text_col not in df.columns:
-                    return ({"skipped":
-                             f"no ({id_col}, {text_col}) columns"},
-                            None, None)
-                sp = (posixpath.join(
-                    strip_scheme(signatures_root).rstrip("/"), name)
-                    if signatures_root else None)
-
-                def _read():
-                    return read_signatures(
-                        self.spark, data_path, "spans", expect=expect,
-                        verify_against=df if verify else None,
-                        signatures_path=sp,
-                    )
-
-                materialized = False
-                try:
-                    fps, params = _read()
-                except Exception as exc:
-                    if not materialize:
-                        raise
-                    # the engine's most expensive hashing pass — paid
-                    # once here, every later sweep reads positions
-                    materialize_signatures(
-                        self.spark, df, data_path, id_col=id_col,
-                        text_col=text_col, kinds=("spans",),
-                        span_k=span_k, span_window=span_window,
-                        signatures_path=sp,
-                    )
-                    fps, params = _read()
-                    materialized = f"{type(exc).__name__}"
+                df, data_path = self._swept_frame(
+                    name, base, (id_col, text_col))
+                # the engine's most expensive hashing pass is paid once
+                # inside the shared dance; every later sweep reads
+                # positions
+                fps, params, materialized = self._sidecar_frame(
+                    df, data_path, "spans", expect, verify, materialize,
+                    _sig_path(signatures_root, name),
+                    dict(id_col=id_col, text_col=text_col,
+                         span_k=span_k, span_window=span_window),
+                )
                 tagged = fps.select(
                     F.concat_ws(
                         sep, F.lit(name), F.col("id").cast("string")
@@ -1262,25 +1155,19 @@ class LakeSweepsMixin:
                 )
                 entry = {"sidecar": ("materialized" if materialized
                                      else "reused")}
-                if "content_rows" in params:
-                    entry["marker"] = {
-                        "rows": int(params["content_rows"]),
-                        "xor": int(params["content_xor"]),
-                    }
+                m = content_marker(params)
+                if m is not None:
+                    entry["marker"] = m
                 return entry, tagged, params
+            except _SkipSweep as sk:
+                return {"skipped": str(sk)}, None, None
             except Exception as exc:  # one bad dataset, sweep lives
                 return ({"error": f"{type(exc).__name__}: {exc}"[:500]},
                         None, None)
 
         items = list(self.discover().items())
         results: dict[str, dict] = {}
-        if max_concurrency > 1 and len(items) > 1:
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
-                prepped = list(pool.map(lambda nb: _prep_one(*nb), items))
-        else:
-            prepped = [_prep_one(*nb) for nb in items]
+        prepped = _pooled(items, _prep_one, max_concurrency)
         union = None
         sidecar_params = None
         for (name, _), (entry, tagged, params) in zip(items, prepped):
@@ -1293,72 +1180,40 @@ class LakeSweepsMixin:
         contrib_path = posixpath.join(rep_base, "_contrib")
         target = posixpath.join(rep_base, "_spans")
 
-        def _token(path: str) -> str | None:
-            try:
-                return _json.loads(self._po.read_text(
-                    posixpath.join(path, "_token.json")))
-            except Exception:
-                return None
-
         partial_unchanged = None
         tagged_names = {n for n, e in results.items()
                         if isinstance(e, dict) and "sidecar" in e}
         if incremental and prior is not None:
-            # shared freshness + all-fresh rules (sweeps module; the
-            # span sweep is unscored, so the scored clauses pass
-            # vacuously on both sides)
-            fresh_map = sweep_fresh_map(results, prior, "n_spans")
+            # the shared night facts (sweeps.NightGate; the span sweep
+            # is unscored, so the scored freshness clauses pass
+            # vacuously on both sides). Row-count integrity (round-11
+            # review finds) verifies the spans partitions actually hold
+            # the recorded rows before either fast path trusts them —
+            # metadata-only (partition column).
+            gate = NightGate(self.spark, self._po, results, prior,
+                             "n_spans", target, tagged_names)
             prior_had_spans = (prior.get("_lake") or {}).get(
                 "n_spans", 0) > 0
-            # carry-over integrity (round-11 review finds): verify the
-            # spans partitions actually hold the recorded rows before
-            # either fast path trusts them — a fresh night must not
-            # report paths into lost partitions; the partial night
-            # carries unchanged datasets' spans verbatim. Metadata-only
-            # (partition column; sweeps.dataset_report_counts).
-            prior_counted = {
-                k for k in prior if not k.startswith("_")
-                and isinstance(prior[k], dict) and "n_spans" in prior[k]}
-            sp_counts = (dataset_report_counts(self.spark, target)
-                         if prior_had_spans and prior_counted
-                         and self._po.is_dir(target) else None)
-            intact = counts_intact(
-                sp_counts, prior, prior_counted, "n_spans")
-            if (lake_unchanged(results, prior, fresh_map)
-                    # when the prior produced spans, every dataset's
-                    # partition must still hold exactly the recorded
-                    # rows (a clean lake legitimately has no table)
-                    and (not prior_had_spans
-                         or intact == prior_counted)):
+            # require the row counts only when the prior produced spans
+            # (a clean lake legitimately has no table)
+            if gate.all_fresh(require_counts=prior_had_spans):
                 # ALL-FRESH: the prior report is provably current —
                 # skip the lake-global union/df/run-grouping jobs
-                out = {
-                    n: {**prior[n], **results[n],
-                        "fresh": "lake unchanged since last sweep — "
-                                 "report reused"}
-                    for n in results
-                }
-                out["_lake"] = prior.get(
-                    "_lake",
-                    {"n_spans": 0, "n_docs": 0, "chars_flagged": 0})
-                out["_config"] = config
-                out["_sweep_mode"] = "fresh"
-                out["_artifacts"] = prior.get("_artifacts")
+                extra = {"_artifacts": prior.get("_artifacts")}
                 if prior.get("_state") is not None:
-                    out["_state"] = prior["_state"]
-                self._po.write_text(
-                    posixpath.join(rep_base, "_summary.json"),
-                    _json.dumps(out, indent=2, sort_keys=True,
-                                default=str),
+                    extra["_state"] = prior["_state"]
+                return fresh_summary(
+                    self._po, rep_base, results, prior,
+                    "lake unchanged since last sweep — report reused",
+                    {"n_spans": 0, "n_docs": 0, "chars_flagged": 0},
+                    config, extra,
                 )
-                return out
             # PARTIAL-night preconditions (round 10): some datasets
             # provably unchanged, and the df/contrib artifacts from the
             # prior sweep present AND token-matched with the summary —
             # a crash between artifact writes must degrade to a full
             # rebuild, never to a double-adjusted df
-            unchanged = {n for n, ok in fresh_map.items()
-                         if ok and n in tagged_names}
+            unchanged = gate.unchanged
             if prior_had_spans:
                 # the partial night carries unchanged datasets' SPANS
                 # verbatim for non-re-evaluated docs — demote any
@@ -1366,7 +1221,7 @@ class LakeSweepsMixin:
                 # re-evaluate through the full span pass); changed
                 # datasets' prior spans are never consumed (the df
                 # adjusts from _contrib), so no whole-night kill here
-                unchanged &= intact
+                unchanged &= gate.intact
 
             def _bytes_ok() -> bool:
                 # artifact-bytes integrity (round-11 review class):
@@ -1388,8 +1243,8 @@ class LakeSweepsMixin:
             tok = prior.get("_artifacts")
             if (unchanged
                     and tok is not None
-                    and _token(df_path) == tok
-                    and _token(contrib_path) == tok
+                    and read_token(self._po, df_path) == tok
+                    and read_token(self._po, contrib_path) == tok
                     and (not prior_had_spans
                          or self._po.is_dir(target))
                     and _bytes_ok()):
@@ -1424,10 +1279,7 @@ class LakeSweepsMixin:
                 changed_names = sorted(
                     tagged_names - set(partial_unchanged))
                 prior_swept = sorted(
-                    {k for k in prior if not k.startswith("_")
-                     and isinstance(prior[k], dict)
-                     and "n_spans" in prior[k]}
-                    - set(partial_unchanged))
+                    gate.prior_counted - set(partial_unchanged))
                 # Δ per fp = new contribution of changed datasets −
                 # their (and removed/errored datasets') recorded one
                 nc = None
@@ -1713,12 +1565,8 @@ class LakeSweepsMixin:
             if swap_stage is not None:
                 self._po.delete(df_path)
                 self._po.rename(swap_stage, df_path)
-            self._po.write_text(
-                posixpath.join(df_path, "_token.json"),
-                _json.dumps(new_token))
-            self._po.write_text(
-                posixpath.join(contrib_path, "_token.json"),
-                _json.dumps(new_token))
+            write_token(self._po, df_path, new_token)
+            write_token(self._po, contrib_path, new_token)
             results["_artifacts"] = new_token
             # lifecycle reporting (VERDICT r10 #3): the persisted
             # partial-state footprint, so a cron reader sees growth
@@ -1741,10 +1589,7 @@ class LakeSweepsMixin:
         results["_sweep_mode"] = sweep_mode
         # seed the NEXT sweep's all-fresh fast-path decision
         results["_config"] = config
-        self._po.write_text(
-            posixpath.join(rep_base, "_summary.json"),
-            _json.dumps(results, indent=2, sort_keys=True, default=str),
-        )
+        write_summary(self._po, rep_base, results)
         return results
 
     def signatures_report(
@@ -2135,20 +1980,13 @@ class LakeSweepsMixin:
                  "_benchmark": bench_marker})
 
         def _prep_one(name: str, base: str) -> dict:
-            current = posixpath.join(base, "current")
-            data_path = current if self._po.is_dir(current) else base
-            fmt = self._dataset_format(base)
             ov = overrides.get(name) or {}
             pkw = {**prep_kwargs, **ov}
             canon_over = _canon_cfg(ov)
             sh_mode, eff_shingle, sig_expect, vec_needed = _derived(pkw)
             try:
-                ds = Dataset(self.spark, data_path, name=name, format=fmt)
-                if not ds._dataset_has_files():
-                    return {"skipped": "no data files"}
-                df = ds.load()
-                if id_col not in df.columns or text_col not in df.columns:
-                    return {"skipped": f"no ({id_col}, {text_col}) columns"}
+                df, data_path = self._swept_frame(
+                    name, base, (id_col, text_col))
                 if vec_needed and vec_needed not in df.columns:
                     return {"skipped": f"no ({vec_needed}) column — "
                             "config reads embeddings"}
@@ -2227,60 +2065,39 @@ class LakeSweepsMixin:
                         sidecar_status[kind] = (
                             f"skipped (no ({pkw['vec_col']}) column)")
                         continue
-                    from pydala_spark.dataset.maintain import (
-                        materialize_signatures,
-                        read_signatures,
+                    mat_kw = dict(
+                        id_col=id_col, text_col=text_col,
+                        n_hashes=sig_expect["minhash"]["n_hashes"],
+                        shingle_size=eff_shingle,
+                        seed=sig_expect["minhash"]["seed"],
+                        shingle_mode=sh_mode,
+                        winnowing_k=sig_expect["winnowing"]["k"],
+                        winnowing_window=(
+                            sig_expect["winnowing"]["window"]),
+                        span_k=sig_expect["spans"]["k"],
+                        span_window=sig_expect["spans"]["window"],
                     )
+                    if kind == "embedding_cells":
+                        import numpy as _np
 
-                    sp = (posixpath.join(
-                        strip_scheme(signatures_root).rstrip("/"), name)
-                        if signatures_root else None)
-
-                    def _read():
-                        return read_signatures(
-                            self.spark, data_path, kind,
-                            expect=sig_expect[kind],
-                            verify_against=df if verify else None,
-                            signatures_path=sp,
+                        eff_cb = pkw.get("semantic_centroids")
+                        mat_kw.update(
+                            # the EFFECTIVE codebook — an override
+                            # may have swapped it for this dataset,
+                            # and the cells must pin to the one the
+                            # semantic stage will actually assign
+                            centroids=(
+                                _np.asarray(eff_cb)
+                                if eff_cb is not None else cb),
+                            vec_col=pkw["vec_col"],
                         )
-
-                    try:
-                        frame, _params = _read()
-                        sidecar_status[kind] = "reused"
-                    except Exception:
-                        if not materialize:
-                            raise
-                        mat_kw = dict(
-                            id_col=id_col, text_col=text_col,
-                            kinds=(kind,), signatures_path=sp,
-                            n_hashes=sig_expect["minhash"]["n_hashes"],
-                            shingle_size=eff_shingle,
-                            seed=sig_expect["minhash"]["seed"],
-                            shingle_mode=sh_mode,
-                            winnowing_k=sig_expect["winnowing"]["k"],
-                            winnowing_window=(
-                                sig_expect["winnowing"]["window"]),
-                            span_k=sig_expect["spans"]["k"],
-                            span_window=sig_expect["spans"]["window"],
-                        )
-                        if kind == "embedding_cells":
-                            import numpy as _np
-
-                            eff_cb = pkw.get("semantic_centroids")
-                            mat_kw.update(
-                                # the EFFECTIVE codebook — an override
-                                # may have swapped it for this dataset,
-                                # and the cells must pin to the one the
-                                # semantic stage will actually assign
-                                centroids=(
-                                    _np.asarray(eff_cb)
-                                    if eff_cb is not None else cb),
-                                vec_col=pkw["vec_col"],
-                            )
-                        materialize_signatures(
-                            self.spark, df, data_path, **mat_kw)
-                        frame, _params = _read()
-                        sidecar_status[kind] = "materialized"
+                    frame, _params, materialized = self._sidecar_frame(
+                        df, data_path, kind, sig_expect[kind], verify,
+                        materialize, _sig_path(signatures_root, name),
+                        mat_kw,
+                    )
+                    sidecar_status[kind] = (
+                        "materialized" if materialized else "reused")
                     if kind == "minhash":
                         extra["precomputed_minhash"] = frame
                     elif kind == "spans":
@@ -2390,28 +2207,19 @@ class LakeSweepsMixin:
                 if marker is not None:
                     entry["marker"] = marker
                 return entry
+            except _SkipSweep as sk:
+                return {"skipped": str(sk)}
             except Exception as exc:  # one bad dataset must not kill it
                 return {"error": f"{type(exc).__name__}: {exc}"[:500]}
 
         items = list(self.discover().items())
-        results: dict[str, dict] = {}
-        if max_concurrency > 1 and len(items) > 1:
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
-                entries = list(pool.map(lambda nb: _prep_one(*nb), items))
-            results.update(
-                (name, entry)
-                for (name, _), entry in zip(items, entries))
-        else:
-            for name, base in items:
-                results[name] = _prep_one(name, base)
+        results = dict(zip(
+            (name for name, _ in items),
+            _pooled(items, _prep_one, max_concurrency),
+        ))
         results["_config"] = config
         results["_benchmark"] = bench_marker
-        self._po.write_text(
-            posixpath.join(rep_base, "_summary.json"),
-            _json.dumps(results, indent=2, sort_keys=True, default=str),
-        )
+        write_summary(self._po, rep_base, results)
         return results
 
     def neardup_dedup(
@@ -2518,14 +2326,8 @@ class LakeSweepsMixin:
         already grants to sweeping (markers then come from the sidecar
         record, not a live re-scan).
         """
-        import json as _json
-
         from pyspark.sql import Window
 
-        from pydala_spark.dataset.maintain import (
-            materialize_signatures,
-            read_signatures,
-        )
         from pydala_spark.operators.dedup import (
             dedup_clusters,
             lsh_candidate_pairs,
@@ -2568,46 +2370,19 @@ class LakeSweepsMixin:
             per-dataset sidecar phase, independent across datasets (the
             GLOBAL clustering below is not, which is why only this
             phase rides the max_concurrency pool)."""
-            current = posixpath.join(base, "current")
-            data_path = current if self._po.is_dir(current) else base
-            fmt = self._dataset_format(base)
             try:
-                ds = Dataset(self.spark, data_path, name=name, format=fmt)
-                if not ds._dataset_has_files():
-                    return {"skipped": "no data files"}, None, None
-                df = ds.load()
-                if id_col not in df.columns or text_col not in df.columns:
-                    return ({"skipped":
-                             f"no ({id_col}, {text_col}) columns"},
-                            None, None)
-                sp = (posixpath.join(
-                    strip_scheme(signatures_root).rstrip("/"), name)
-                    if signatures_root else None)
-
-                def _read():
-                    return read_signatures(
-                        self.spark, data_path, "minhash", expect=expect,
-                        verify_against=df if verify else None,
-                        signatures_path=sp,
-                    )
-
-                materialized = False
-                try:
-                    sigs, _params = _read()
-                except Exception as exc:
-                    if not materialize:
-                        raise
-                    # absent, param-mismatched or stale sidecar — pay
-                    # the shingle hashing ONCE; every later sweep reads
-                    materialize_signatures(
-                        self.spark, df, data_path, id_col=id_col,
-                        text_col=text_col, kinds=("minhash",),
-                        n_hashes=n_hashes, shingle_size=shingle_size,
-                        seed=seed, shingle_mode=shingle_mode,
-                        signatures_path=sp,
-                    )
-                    sigs, _params = _read()
-                    materialized = f"{type(exc).__name__}"
+                df, data_path = self._swept_frame(
+                    name, base, (id_col, text_col))
+                # absent, param-mismatched or stale sidecar pays the
+                # shingle hashing ONCE inside the shared dance; every
+                # later sweep reads
+                sigs, _params, materialized = self._sidecar_frame(
+                    df, data_path, "minhash", expect, verify,
+                    materialize, _sig_path(signatures_root, name),
+                    dict(id_col=id_col, text_col=text_col,
+                         n_hashes=n_hashes, shingle_size=shingle_size,
+                         seed=seed, shingle_mode=shingle_mode),
+                )
                 mh_cols = sorted(
                     (c for c in sigs.columns if c.startswith("mh_")),
                     key=lambda c: int(c.split("_")[1]),
@@ -2631,11 +2406,9 @@ class LakeSweepsMixin:
                     "sidecar": "materialized" if materialized else "reused",
                     "scored": scored,
                 }
-                if "content_rows" in _params:
-                    entry["marker"] = {
-                        "rows": int(_params["content_rows"]),
-                        "xor": int(_params["content_xor"]),
-                    }
+                m = content_marker(_params)
+                if m is not None:
+                    entry["marker"] = m
                 if incremental and scored:
                     # the text marker is blind to the score column —
                     # scores drive keeper selection, so a re-scored
@@ -2646,6 +2419,8 @@ class LakeSweepsMixin:
                         df, id_col, F.col(score_col).cast("double")
                     )
                 return entry, tagged, sc
+            except _SkipSweep as sk:
+                return {"skipped": str(sk)}, None, None
             except Exception as exc:  # one bad dataset must not kill it
                 return ({"error": f"{type(exc).__name__}: {exc}"[:500]},
                         None, None)
@@ -2654,13 +2429,7 @@ class LakeSweepsMixin:
         results: dict[str, dict] = {}
         union = None
         scores = None
-        if max_concurrency > 1 and len(items) > 1:
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
-                prepped = list(pool.map(lambda nb: _prep_one(*nb), items))
-        else:
-            prepped = [_prep_one(name, base) for name, base in items]
+        prepped = _pooled(items, _prep_one, max_concurrency)
         tagged_names: set[str] = set()
         for (name, _), (entry, tagged, sc) in zip(items, prepped):
             results[name] = entry
@@ -2675,50 +2444,27 @@ class LakeSweepsMixin:
         #: (unchanged dataset names, prior over-cap bucket keys)
         partial_ctx = None
         if incremental and prior is not None:
-            # per-dataset provable freshness + the all-fresh gate: the
-            # rules shared by all three lake-global sweeps, extracted
-            # to pydala_spark/sweeps.py (round 11, VERDICT r10 #5)
-            fresh_map = sweep_fresh_map(results, prior, "n_docs")
-            # the zero-output carve-out the span/semantic sweeps have
-            # (round-11 review find): a lake where every dataset is
-            # skipped (e.g. embeddings-only, no text column) never
-            # writes _verdicts — the prior produced a table iff some
-            # dataset recorded counts from it
-            prior_counted = {
-                k for k in prior if not k.startswith("_")
-                and isinstance(prior[k], dict) and "n_docs" in prior[k]}
-            if (lake_unchanged(results, prior, fresh_map)
-                    # when the prior produced a verdict table, every
-                    # dataset's partition must still hold exactly the
-                    # recorded rows (round-11 review find: a bare
-                    # is_dir reported "fresh" over a lost PARTITION
-                    # forever) — metadata-only count-by-dataset. The
-                    # partial path needs no such check: it rewrites
-                    # the verdict table from the union + edge set,
-                    # never carrying prior verdict rows
-                    and (not prior_counted
-                         or counts_intact(
-                             dataset_report_counts(
-                                 self.spark,
-                                 posixpath.join(rep_base, "_verdicts")),
-                             prior, prior_counted, "n_docs")
-                         == prior_counted)):
+            # the shared night facts (sweeps.NightGate): per-dataset
+            # provable freshness, the completed-prior set, and the
+            # lazily-verified row-count integrity — which here gates
+            # ONLY the all-fresh path (round-11 review find: a bare
+            # is_dir reported "fresh" over a lost PARTITION forever).
+            # The partial path needs no such check: it rewrites the
+            # verdict table from the union + edge set, never carrying
+            # prior verdict rows. The zero-output carve-out (a lake
+            # where every dataset is skipped never writes _verdicts)
+            # falls out of the empty-set equality inside all_fresh.
+            gate = NightGate(
+                self.spark, self._po, results, prior, "n_docs",
+                posixpath.join(rep_base, "_verdicts"), tagged_names)
+            if gate.all_fresh():
                 # ALL-FRESH: the prior verdict is provably current —
                 # skip the union/LSH/CC jobs and the verdict rewrite
-                out = {
-                    n: {**prior[n], **results[n],
-                        "fresh": "lake unchanged since last sweep — "
-                                 "verdict reused"}
-                    for n in results
+                extra = {
+                    "_overcap": prior.get("_overcap"),
+                    "_edges": prior.get("_edges"),
+                    "_artifacts": prior.get("_artifacts"),
                 }
-                out["_lake"] = prior.get(
-                    "_lake",
-                    {"n_clusters": 0, "n_cross_dataset_clusters": 0})
-                out["_config"] = config
-                out["_sweep_mode"] = "fresh"
-                out["_overcap"] = prior.get("_overcap")
-                out["_edges"] = prior.get("_edges")
-                out["_artifacts"] = prior.get("_artifacts")
                 if prior.get("_state") is not None:
                     # carry the footprint, but judge the balloon
                     # against TONIGHT's knob (an operator raising the
@@ -2726,20 +2472,20 @@ class LakeSweepsMixin:
                     st = dict(prior["_state"])
                     st.pop("balloon_warning", None)
                     total_docs = sum(
-                        pe.get("n_docs", 0) for pe in out.values()
-                        if isinstance(pe, dict))
+                        {**prior[n], **results[n]}.get("n_docs", 0)
+                        for n in results)
                     warn = _edge_balloon_warning(
                         int(st.get("pairs_rows", 0)), total_docs,
                         edge_warn_multiple)
                     if warn:
                         st["balloon_warning"] = warn
-                    out["_state"] = st
-                self._po.write_text(
-                    posixpath.join(rep_base, "_summary.json"),
-                    _json.dumps(out, indent=2, sort_keys=True,
-                                default=str),
+                    extra["_state"] = st
+                return fresh_summary(
+                    self._po, rep_base, results, prior,
+                    "lake unchanged since last sweep — verdict reused",
+                    {"n_clusters": 0, "n_cross_dataset_clusters": 0},
+                    config, extra,
                 )
-                return out
             # PARTIAL-INCREMENTAL (round 10, VERDICT r9 #5): K of N
             # datasets changed. Prior edges between two UNCHANGED
             # datasets are still exactly the full sweep's (an unchanged
@@ -2753,8 +2499,7 @@ class LakeSweepsMixin:
             # contributing signatures; everything else (changed,
             # added, removed, newly-skipped, errored) is handled by
             # dropping its prior edges and/or re-pairing its buckets.
-            unchanged = {n for n, ok in fresh_map.items()
-                         if ok and n in tagged_names}
+            unchanged = gate.unchanged
             # delta-size guard: the delta path force-broadcasts the
             # touched-bucket keys (changed_docs × n_bands). A huge
             # delta (a big dataset fully re-ingested) would OOM the
@@ -2781,12 +2526,6 @@ class LakeSweepsMixin:
             # pattern closes it: _pairs is committed under a uuid that
             # the summary echoes as _artifacts; any mismatch (crash on
             # either side of the window) degrades to the full sweep.
-            def _pairs_token() -> str | None:
-                try:
-                    return _json.loads(self._po.read_text(posixpath.join(
-                        rep_base, "_pairs", "_token.json")))
-                except Exception:
-                    return None
             tok = prior.get("_artifacts")
             if (unchanged
                     and rows_known
@@ -2794,7 +2533,9 @@ class LakeSweepsMixin:
                     and prior.get("_edges") is not None
                     and prior.get("_overcap") is not None
                     and tok is not None
-                    and _pairs_token() == tok):
+                    and read_token(
+                        self._po,
+                        posixpath.join(rep_base, "_pairs")) == tok):
                 partial_ctx = (
                     sorted(unchanged),
                     [tuple(x) for x in prior["_overcap"]],
@@ -2894,9 +2635,8 @@ class LakeSweepsMixin:
                 # path instead of pairing against a stale over-cap list.
                 import uuid as _uuid
                 new_pairs_token = _uuid.uuid4().hex
-                self._po.write_text(
-                    posixpath.join(rep_base, "_pairs", "_token.json"),
-                    _json.dumps(new_pairs_token))
+                write_token(self._po, posixpath.join(rep_base, "_pairs"),
+                            new_pairs_token)
             clusters = dedup_clusters(pairs).select(
                 F.col("id").alias("__cid"),
                 F.col("cluster_id").alias("cluster"),
@@ -3009,10 +2749,7 @@ class LakeSweepsMixin:
                 if warn:
                     state["balloon_warning"] = warn
                 results["_state"] = state
-        self._po.write_text(
-            posixpath.join(rep_base, "_summary.json"),
-            _json.dumps(results, indent=2, sort_keys=True, default=str),
-        )
+        write_summary(self._po, rep_base, results)
         return results
 
     def ann_maintain(

@@ -622,8 +622,12 @@ def resize_images(
     blob: ``decoder(payload, kind)`` returning a non-empty dict with
     RESIZED_SCHEMA keys (``format``/``src_width``/``src_height``/
     ``channels``/``pixels``, already resized — e.g. a PIL plug-in) is
-    used as-is; exceptions and empty results fall through to the
-    stdlib path. Self-contained-callable contract as everywhere else.
+    used as-is; exceptions, empty results, and results violating the
+    contract (missing keys, or a ``pixels`` buffer whose length is not
+    ``width*height*channels`` — the emitted row claims the target
+    geometry, so a mis-sized buffer would fail at consumption far from
+    its cause) fall through to the stdlib path. Self-contained-callable
+    contract as everywhere else.
 
     Scale notes: pure map-side work, no shuffle; output rows are
     ``width*height*channels`` bytes regardless of source size, so a
@@ -643,10 +647,26 @@ def resize_images(
             if decoder is not None:
                 try:
                     got = decoder(payload, kind)
-                    if got:
-                        return got
                 except Exception:
-                    pass  # plugged-codec failure degrades to builtin path
+                    got = None  # plugged-codec failure degrades to builtin
+                if got:
+                    # plug-in contract check (ADVICE r11): the emitted
+                    # row claims out_w x out_h, so accept the result
+                    # only if every key is present and the pixels
+                    # buffer matches that geometry; otherwise fall
+                    # through to the stdlib path
+                    try:
+                        if (
+                            got.get("format") is not None
+                            and int(got["src_width"]) > 0
+                            and int(got["src_height"]) > 0
+                            and int(got["channels"]) > 0
+                            and len(got["pixels"])
+                            == out_w * out_h * int(got["channels"])
+                        ):
+                            return got
+                    except Exception:
+                        pass
             try:
                 img = decode_image(payload)
             except Exception:

@@ -18,15 +18,154 @@ orchestration only and the invalidation logic is testable in one place:
   (identical across the three sweeps modulo the completion-proof key).
 - :func:`lake_unchanged` — the all-fresh gate over that map.
 
-No behavior change vs round 10: these bodies are verbatim extractions;
-the sweep-specific carve-outs (verdict-table existence, token checks,
-size guards) stay at the call sites where their artifacts live.
+Round 12 (VERDICT r11 #3) hoists the remaining shared night
+scaffolding here so each sweep body is mode dispatch + its unique
+joins:
+
+- :class:`NightGate` — the freshness map, completed-prior set, lazy
+  row-count integrity and the ``all_fresh`` / ``unchanged`` facts,
+  computed once per incremental night.
+- :func:`fresh_summary` — the ALL-FRESH night's summary assembly
+  (prior entries carried over + tonight's sidecar facts + the
+  sweep-specific artifact echoes) and persist.
+- :func:`read_token` / :func:`write_token` — the ``_token.json``
+  commit-token protocol artifact tables ride.
+- :func:`write_summary` / :func:`content_marker` — the canonical
+  summary serialization and the sidecar marker-entry rule.
+
+No behavior change at any extraction: these bodies are verbatim moves;
+the sweep-specific carve-outs (verdict-table existence, byte checks,
+size guards, demotion rules) stay at the call sites where their
+artifacts live.
 """
 
 from __future__ import annotations
 
 import json
 import posixpath
+
+
+def content_marker(params: dict) -> dict | None:
+    """The sidecar's recorded content marker as the summary-entry dict
+    every sweep stores and compares (``None`` when the sidecar predates
+    markers)."""
+    if "content_rows" in params:
+        return {"rows": int(params["content_rows"]),
+                "xor": int(params["content_xor"])}
+    return None
+
+
+def read_token(po, path: str) -> str | None:
+    """Read ``<path>/_token.json`` — the commit token artifact tables
+    carry (underscore prefix ⇒ Spark's parquet reader ignores it).
+    ``None`` on missing/unreadable, which every caller treats as a
+    mismatch (→ full rebuild)."""
+    try:
+        return json.loads(po.read_text(posixpath.join(path, "_token.json")))
+    except Exception:
+        return None
+
+
+def write_token(po, path: str, token: str) -> None:
+    """Commit ``<path>/_token.json`` — written AFTER the table's
+    parquet so a crash in between reads as token-mismatch, never as a
+    blessed-but-stale artifact."""
+    po.write_text(posixpath.join(path, "_token.json"), json.dumps(token))
+
+
+def write_summary(po, rep_base: str, results: dict) -> None:
+    """Persist ``<rep_base>/_summary.json`` — the canonical summary
+    serialization every sweep uses (stable key order so diffs and the
+    property tests read clean)."""
+    po.write_text(
+        posixpath.join(rep_base, "_summary.json"),
+        json.dumps(results, indent=2, sort_keys=True, default=str),
+    )
+
+
+def fresh_summary(
+    po,
+    rep_base: str,
+    results: dict,
+    prior: dict,
+    msg: str,
+    lake_default: dict,
+    config: dict,
+    extra: dict | None = None,
+) -> dict:
+    """Assemble, persist and return the ALL-FRESH night's summary: every
+    dataset's prior entry carried over (tonight's sidecar/marker facts
+    layered on top) plus a ``fresh`` note, the prior lake stats, and
+    ``_sweep_mode: "fresh"``. ``extra`` carries the sweep-specific
+    artifact echoes (``_artifacts`` / ``_codebook`` / ``_state`` /
+    ``_overcap`` ...) the caller computed."""
+    out = {n: {**prior[n], **results[n], "fresh": msg} for n in results}
+    out["_lake"] = prior.get("_lake", lake_default)
+    out["_config"] = config
+    out["_sweep_mode"] = "fresh"
+    if extra:
+        out.update(extra)
+    write_summary(po, rep_base, out)
+    return out
+
+
+class NightGate:
+    """The shared incremental-night facts a lake-global sweep dispatches
+    its (full | fresh | partial) mode on, computed once per night
+    (round 12, VERDICT r11 #3 — hoisted off the five sweep bodies):
+
+    - ``fresh_map`` — per-dataset provable freshness
+      (:func:`sweep_fresh_map`).
+    - ``prior_counted`` — datasets whose prior entry carries the
+      completion key (the only ones whose report rows exist to verify).
+    - ``intact`` — of those, the ones whose report partition still
+      holds exactly the recorded row count
+      (:func:`dataset_report_counts` + :func:`counts_intact`),
+      computed LAZILY so nights that never consult it (e.g. a
+      no-prior full sweep) pay no listing.
+    - ``all_fresh(require_counts)`` — the fast-path gate:
+      :func:`lake_unchanged` plus, when the prior actually produced
+      report rows, the row-count integrity check (``require_counts=
+      False`` is the zero-output carve-out: a prior that legitimately
+      wrote no table must not be barred from the fresh path forever).
+    - ``unchanged`` — the provably-fresh datasets that contributed to
+      tonight's union (the partial night's carry-over base).
+    """
+
+    def __init__(
+        self, spark, po, results: dict, prior: dict,
+        completion_key: str, target: str, tagged_names: set,
+    ):
+        self._spark, self._po = spark, po
+        self.results, self.prior = results, prior
+        self.key, self.target = completion_key, target
+        self.tagged_names = tagged_names
+        self.fresh_map = sweep_fresh_map(results, prior, completion_key)
+        self.prior_counted = {
+            k for k in prior if not k.startswith("_")
+            and isinstance(prior[k], dict) and completion_key in prior[k]}
+        self._intact: set | None = None
+
+    @property
+    def intact(self) -> set:
+        if self._intact is None:
+            counts = (
+                dataset_report_counts(self._spark, self.target)
+                if self.prior_counted and self._po.is_dir(self.target)
+                else None)
+            self._intact = counts_intact(
+                counts, self.prior, self.prior_counted, self.key)
+        return self._intact
+
+    def all_fresh(self, require_counts: bool = True) -> bool:
+        return lake_unchanged(
+            self.results, self.prior, self.fresh_map
+        ) and (not require_counts or self.intact == self.prior_counted)
+
+    @property
+    def unchanged(self) -> set:
+        return {n for n, ok in self.fresh_map.items()
+                if ok and n in self.tagged_names}
 
 
 def load_prior_summary(po, rep_base: str, expect: dict) -> dict | None:

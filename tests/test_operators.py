@@ -2787,6 +2787,25 @@ def test_resize_images_decoder_seam_and_validation(spark):
     with _pytest.raises(ValueError):
         resize_images(df, 0, 4)
 
+    # ADVICE r11: a plug-in result violating the contract (pixels
+    # buffer not width*height*channels, or missing keys) must NOT be
+    # emitted as-is — it falls through to the stdlib path (real decode
+    # for PPM, null row for an undecodable payload) instead of
+    # claiming the target geometry over a mis-sized buffer
+    def bad_codec(payload, kind):
+        if payload[:2] == b"P6":
+            return {"format": "jpeg", "src_width": 9, "src_height": 9,
+                    "channels": 3, "pixels": bytes(5)}  # wrong length
+        return {"format": "jpeg", "src_width": 9, "src_height": 9,
+                "pixels": bytes(2 * 2 * 3)}  # channels missing
+
+    out = {r["media_id"]: r
+           for r in resize_images(df, 2, 2, decoder=bad_codec).collect()}
+    assert out[2]["format"] == "ppm"  # mis-sized result ignored
+    assert len(bytes(out[2]["pixels"])) == 2 * 2 * 3
+    assert out[1]["format"] is None  # missing-key result -> null row
+    assert out[1]["pixels"] is None
+
 
 def test_winnowing_window_one(spark):
     # round-11 review: least() needs >= 2 columns, so window=1 must
