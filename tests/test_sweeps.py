@@ -1,22 +1,37 @@
 """Unit tests for the shared sweep state-machine rules (round 11,
-VERDICT r10 #5 — extracted from catalog.py; these pin the invalidation
-semantics independently of any Spark session)."""
+VERDICT r10 #5 — extracted from catalog.py; round 12, VERDICT r11 #3 —
+the NightGate / summary / token scaffolding joins them; these pin the
+invalidation semantics independently of any Spark session)."""
 
 import json
 
 from pydala_spark.sweeps import (
+    NightGate,
+    content_marker,
+    fresh_summary,
     lake_unchanged,
     load_prior_summary,
+    read_token,
     sweep_fresh_map,
+    write_summary,
+    write_token,
 )
 
 
 class FakePO:
-    def __init__(self, files: dict[str, str]):
-        self.files = files
+    def __init__(self, files: dict[str, str] | None = None,
+                 dirs: set[str] | None = None):
+        self.files = files or {}
+        self.dirs = dirs or set()
 
     def read_text(self, path: str) -> str:
         return self.files[path]
+
+    def write_text(self, path: str, text: str) -> None:
+        self.files[path] = text
+
+    def is_dir(self, path: str) -> bool:
+        return path in self.dirs
 
 
 def test_load_prior_summary_rules():
@@ -97,3 +112,104 @@ def test_lake_unchanged_gate():
                               {"a": True, "b": True, "c": True})
     # removed dataset (prior covered more)
     assert not lake_unchanged({"a": 1}, prior, {"a": True})
+
+
+def test_token_protocol_and_summary_write():
+    po = FakePO()
+    # missing / unreadable -> None (callers treat as mismatch)
+    assert read_token(po, "/lake/_rep/_pairs") is None
+    po.files["/lake/_rep/_pairs/_token.json"] = "{not json"
+    assert read_token(po, "/lake/_rep/_pairs") is None
+    write_token(po, "/lake/_rep/_pairs", "tok123")
+    assert read_token(po, "/lake/_rep/_pairs") == "tok123"
+    # the summary serialization is the canonical one load_prior_summary
+    # reads back
+    write_summary(po, "/lake/_rep", {"_config": {"k": 1}, "a": {"n": 2}})
+    assert load_prior_summary(po, "/lake/_rep", {"_config": {"k": 1}}) \
+        == {"_config": {"k": 1}, "a": {"n": 2}}
+
+
+def test_content_marker_rule():
+    assert content_marker({"content_rows": 3, "content_xor": -7}) \
+        == {"rows": 3, "xor": -7}
+    assert content_marker({"k": 8}) is None  # pre-marker sidecar
+
+
+def test_fresh_summary_assembly():
+    po = FakePO()
+    prior = {
+        "a": {"n_docs": 5, "marker": {"rows": 5, "xor": 1},
+              "report": "/lake/_rep/a"},
+        "_lake": {"n_clusters": 2},
+        "_config": {"k": 1},
+    }
+    results = {"a": {"sidecar": "reused",
+                     "marker": {"rows": 5, "xor": 1}}}
+    out = fresh_summary(
+        po, "/lake/_rep", results, prior, "verdict reused",
+        {"n_clusters": 0}, {"k": 1}, {"_artifacts": "tok"})
+    # tonight's sidecar facts layer OVER the carried prior entry
+    assert out["a"]["n_docs"] == 5 and out["a"]["sidecar"] == "reused"
+    assert out["a"]["fresh"] == "verdict reused"
+    assert out["_lake"] == {"n_clusters": 2}  # prior stats, not default
+    assert out["_sweep_mode"] == "fresh" and out["_artifacts"] == "tok"
+    # persisted via the canonical writer
+    assert json.loads(po.files["/lake/_rep/_summary.json"]) == out
+    # a prior without _lake falls back to the sweep's zero default
+    out2 = fresh_summary(
+        po, "/lake/_rep", results,
+        {k: v for k, v in prior.items() if k != "_lake"},
+        "m", {"n_clusters": 0}, {"k": 1})
+    assert out2["_lake"] == {"n_clusters": 0}
+
+
+def test_night_gate_laziness_and_rules():
+    marker = {"rows": 2, "xor": 9}
+    prior = {
+        "a": {"sidecar": "reused", "marker": marker, "scored": False,
+              "n_docs": 2},
+        "b": {"sidecar": "reused", "marker": marker, "scored": False,
+              "n_docs": 3},
+        "_config": {},
+    }
+    results = {
+        "a": {"sidecar": "reused", "marker": marker, "scored": False},
+        "b": {"sidecar": "materialized", "marker": marker,
+              "scored": False},
+    }
+
+    class CountingPO(FakePO):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            self.is_dir_calls = 0
+
+        def is_dir(self, path):
+            self.is_dir_calls += 1
+            return super().is_dir(path)
+
+    po = CountingPO()
+    gate = NightGate(None, po, results, prior, "n_docs",
+                     "/lake/_rep/_verdicts", {"a", "b"})
+    assert gate.fresh_map == {"a": True, "b": False}
+    assert gate.prior_counted == {"a", "b"}
+    assert gate.unchanged == {"a"}
+    # integrity counts are LAZY: nothing listed until intact is read
+    assert po.is_dir_calls == 0
+    # missing verdicts dir -> counts None -> nothing intact
+    assert gate.intact == set()
+    assert po.is_dir_calls == 1
+    gate.intact  # cached — no second listing
+    assert po.is_dir_calls == 1
+    # b is stale, so all_fresh fails regardless of counts; the
+    # require_counts=False escape is the zero-output carve-out
+    assert not gate.all_fresh()
+    assert not gate.all_fresh(require_counts=False)
+    # an all-fresh lake with NO prior counts passes via the empty-set
+    # equality (the neardup carve-out: every dataset skipped)
+    skip = {"a": {"skipped": "no (text) columns"}}
+    gate2 = NightGate(None, FakePO(), skip,
+                      {"a": {"skipped": "no (text) columns"},
+                       "_config": {}},
+                      "n_docs", "/lake/_rep/_verdicts", set())
+    assert gate2.all_fresh()
+    assert gate2.unchanged == set()  # fresh but not contributing
