@@ -25,7 +25,6 @@ from pydala_spark.operators.similarity import cosine_topk, lsh_topk
 from pydala_spark.operators.textstats import (
     STOPWORDS,
     fingerprint,
-    predict_lang,
     stopword_hits,
     token_count,
     word_regex_tokens,
@@ -431,7 +430,16 @@ def q_lang_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
     )
     planted = spark.createDataFrame(_SCRIPT_DOCS, "sid bigint, text string")
-    script = planted.select("sid", predict_lang("text").alias("lang_pred"))
+    # round 12: the staged lang_profile spelling, NOT the monolithic
+    # predict_lang fold — value-identical by the round-6 pin
+    # (test_lang_profile_matches_predict_lang / equality_fuzz). An
+    # isolated driver-build measurement suggested ~0.5 s saved per
+    # invocation, but end-to-end the query measured FLAT (expression-
+    # build micro-costs are order/warmup-skewed — the r9/r11 bench
+    # lesson); kept because the three families now share the ONE
+    # staged spelling, with the monolithic fold still pinned by the
+    # operator's own equality tests.
+    script = lang_profile(planted).select("sid", "lang_pred")
     mixed = spark.createDataFrame(_MIXED_DOCS, "sid bigint, text string")
     conf = lang_profile(mixed).drop("text")
     return _tagged_union([("stop", stop), ("script", script), ("conf", conf)])
