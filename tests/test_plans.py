@@ -173,6 +173,15 @@ def test_q21_exists_family_plan(spark, sf_dir):
                 or set(cols) <= {"l_partkey", "l_suppkey",
                                  "l_quantity", "l_shipdate"}
             ), cols
+    # round 12, having_frac (q11-shaped): the global-sum scalar is the
+    # re-aggregation of the per-part sums, so AQE must REUSE the
+    # per-part shuffle instead of scanning the fact table twice — the
+    # single-scan property the family's docstring claims. Reuse
+    # materializes during adaptive execution, so assert on the
+    # post-collect final plan.
+    df.collect()
+    final_plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final_plan
 
 
 def test_full_outer_family_plan(spark, sf_dir):
