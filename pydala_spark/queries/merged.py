@@ -746,9 +746,11 @@ def q_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     # `> (SELECT 0.5*SUM(..) WHERE l.l_partkey = ps.l_partkey)` becomes
     # a per-part total joined back on the key; the half is spelled
     # qty*2 > tot so the comparison stays in exact decimals. The part
-    # prefix filter broadcasts ahead of the single windowed fact scan
-    # feeding BOTH aggregations (same shuffle key → AQE exchange
-    # reuse), and the surviving supplier keys drive a left-semi.
+    # prefix filter broadcasts ahead of ONE windowed fact scan: the
+    # per-part total is the re-aggregation of the per-(supp,part)
+    # sums (exact — decimal addition is associative), so AQE reuses
+    # the (supp,part) shuffle instead of re-scanning the fact table,
+    # and the surviving supplier keys drive a left-semi.
     small = (
         load_table(spark, sf_dir, "part")
         .where(F.col("p_name").like("small%"))
@@ -767,7 +769,7 @@ def q_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ps_qty = li_w.groupBy("l_suppkey", "l_partkey").agg(F.sum("__q").alias("__qty"))
-    p_tot = li_w.groupBy("l_partkey").agg(F.sum("__q").alias("__tot"))
+    p_tot = ps_qty.groupBy("l_partkey").agg(F.sum("__qty").alias("__tot"))
     cand = (
         ps_qty.join(p_tot, "l_partkey")
         .where(F.col("__qty") * 2 > F.col("__tot"))
