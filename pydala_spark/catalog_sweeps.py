@@ -27,7 +27,13 @@ scale/soundness docstring):
 
 The shared three-mode selection rules (prior validity, per-dataset
 provable freshness, the all-fresh gate, carry-over row-count
-integrity) live in :mod:`pydala_spark.sweeps`; the algorithmic cores
+integrity) live in :mod:`pydala_spark.sweeps` — round 12 (VERDICT r11
+#3) moves the rest of the repeated night scaffolding there too
+(``NightGate``, ``fresh_summary``, the ``_token.json`` protocol, the
+summary writer) and onto this module's mixin helpers
+(:meth:`LakeSweepsMixin._swept_frame`,
+:meth:`LakeSweepsMixin._sidecar_frame`, :func:`_pooled`), so each
+sweep body is mode dispatch + its unique joins. The algorithmic cores
 live in ``operators/`` (``dedup.lsh_candidate_pairs_delta``,
 ``similarity.semantic_partial_verdicts``, ``ann``). This module is the
 orchestration seam between them and the lake's artifacts.

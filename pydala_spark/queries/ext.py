@@ -433,12 +433,12 @@ def q_lang_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round 12: the staged lang_profile spelling, NOT the monolithic
     # predict_lang fold — value-identical by the round-6 pin
     # (test_lang_profile_matches_predict_lang / equality_fuzz). An
-    # isolated driver-build measurement suggested ~0.5 s saved per
-    # invocation, but end-to-end the query measured FLAT (expression-
-    # build micro-costs are order/warmup-skewed — the r9/r11 bench
-    # lesson); kept because the three families now share the ONE
-    # staged spelling, with the monolithic fold still pinned by the
-    # operator's own equality tests.
+    # isolated one-session build/execute split measured FLAT
+    # (expression-build micro-costs are order/warmup-skewed — the
+    # r9/r11 bench lesson), but at bench granularity the swap reads
+    # consistently faster: same-day quiet pre-swap controls 3.86–4.95 s,
+    # post-swap 2.32/2.51 s on quiet runs (SCALE.md round-12 note).
+    # The monolithic fold stays pinned by the operator's own tests.
     script = lang_profile(planted).select("sid", "lang_pred")
     mixed = spark.createDataFrame(_MIXED_DOCS, "sid bigint, text string")
     conf = lang_profile(mixed).drop("text")
