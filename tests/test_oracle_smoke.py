@@ -15,9 +15,12 @@ SMOKE = [
     "q_sessionize",
     "q_asof_purchase",
     # round 12: the 9-family delegated-subquery union (q21/q02/q22/
-    # q16/q15/q11/q20 shapes) — parity-pinned in pytest, not only in
-    # the tools/check_oracle.py sweep
+    # q16/q15/q11/q20 shapes) and the 5-family set-operations union
+    # (UNION ALL / INTERSECT / EXCEPT / FULL OUTER / q13-shaped LEFT
+    # OUTER) — parity-pinned in pytest, not only in the
+    # tools/check_oracle.py sweep
     "q_subqueries",
+    "q_set_operations",
     "q_fingerprint_winnowing",
     "q_minhash_lsh",
     "q_cosine_topk",
