@@ -516,7 +516,8 @@ def q_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOT IN exclusion + COUNT(DISTINCT); ``scalar_max`` —
     TPC-H-q15-shaped scalar MAX over an aggregated derived table;
     ``having_frac`` — TPC-H-q11-shaped per-key aggregate HAVING > a
-    scalar-subquery fraction of the global sum (round 12);
+    scalar subquery over the global base (2.0× the average per-part
+    value — the scale-free spelling of q11's sum×fraction; round 12);
     ``nested_in`` — TPC-H-q20-shaped nested IN + correlated scalar
     half-sum, the deepest nesting on the delegated surface (round 12).
     All tag-unioned.
@@ -701,18 +702,23 @@ def q_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # TPC-H-q11-shaped family (round 12, VERDICT r11 #2): per-part
     # value sum restricted to a supplier-nation group, HAVING > a
-    # scalar-subquery fraction (0.001) of the global sum over the same
-    # base. Spark-first decorrelation: the per-part aggregate is
-    # computed ONCE and the global scalar is the re-aggregation of the
-    # per-part sums (exact — decimal addition is associative), so the
-    # base fact table is scanned a single time instead of the naive
-    # twice; the one-row global broadcasts into the HAVING filter.
-    # Exactness: both sides keep exact decimal sums and compare after
-    # an identical cast-to-double × IEEE literal multiply.
+    # scalar subquery over the global base (q11's `sum(..) * fraction`;
+    # here 2.0× the average per-part value — scale-FREE, so the family
+    # is non-vacuous at every test SF where q11's fixed fraction would
+    # empty out as the part count grows; TPC-H itself scales the
+    # fraction by 1/SF for the same reason). Spark-first decorrelation:
+    # the per-part aggregate is computed ONCE and the global scalar is
+    # the re-aggregation of the per-part sums (exact — decimal addition
+    # is associative, and COUNT(*) over the per-part rows ==
+    # COUNT(DISTINCT partkey) over the base), so the fact table is
+    # scanned a single time instead of the naive twice (plan-pinned:
+    # ReusedExchange); the one-row threshold broadcasts into the HAVING
+    # filter. Exactness: exact decimal sums on both sides, then the
+    # identical IEEE chain (cast double, ×2.0, ÷count).
     grp_supp = supp.join(
         F.broadcast(
             load_table(spark, sf_dir, "nation").where(
-                F.col("n_name").isin("NATION_1", "NATION_2")
+                F.col("n_name").isin("NATION_8", "NATION_19")
             )
         ),
         supp.s_nationkey == F.col("n_nationkey"),
@@ -729,10 +735,13 @@ def q_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("__pv")
         )
     )
-    gtot = vals.agg(F.sum("__pv").alias("__gv"))
+    gtot = vals.agg(
+        (F.sum("__pv").cast("double") * F.lit(2.0) / F.count("*"))
+        .alias("__thr")
+    )
     having_frac = (
         vals.crossJoin(F.broadcast(gtot))
-        .where(F.col("__pv").cast("double") > F.col("__gv").cast("double") * 0.001)
+        .where(F.col("__pv").cast("double") > F.col("__thr"))
         .select(
             F.col("l_partkey").alias("p_partkey"),
             F.col("__pv").cast("string").alias("part_value"),
@@ -779,7 +788,7 @@ def q_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
         supp.join(
             F.broadcast(
                 load_table(spark, sf_dir, "nation").where(
-                    F.col("n_name") == "NATION_5"
+                    F.col("n_name") == "NATION_24"
                 )
             ),
             supp.s_nationkey == F.col("n_nationkey"),
@@ -814,7 +823,7 @@ _NULLS_HAVING = "CAST(NULL AS VARCHAR) AS part_value"
 _Q11_BASE = """FROM lineitem
 WHERE l_suppkey IN (SELECT s_suppkey FROM supplier JOIN nation
                     ON s_nationkey = n_nationkey
-                    WHERE n_name IN ('NATION_1', 'NATION_2'))"""
+                    WHERE n_name IN ('NATION_8', 'NATION_19'))"""
 
 _REV_Q = """SELECT l_suppkey,
      SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS tr
@@ -915,7 +924,7 @@ SELECT 'having_frac', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
 GROUP BY l_partkey
 HAVING CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(25,4))) AS DOUBLE)
   > (SELECT CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(25,4)))
-             AS DOUBLE) * 0.001
+             AS DOUBLE) * 2.0 / COUNT(DISTINCT l_partkey)
      {_Q11_BASE})
 UNION ALL
 SELECT 'nested_in', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
@@ -924,7 +933,7 @@ SELECT 'nested_in', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
   {_NULLS_CORRMIN}, {_NULLS_ANTIAVG}, {_NULLS_NOTIN},
   s_suppkey, CAST(NULL AS VARCHAR) AS total_revenue, {_NULLS_HAVING}
 FROM supplier JOIN nation ON s_nationkey = n_nationkey
-WHERE n_name = 'NATION_5'
+WHERE n_name = 'NATION_24'
   AND s_suppkey IN (
     SELECT ps.l_suppkey FROM (
       SELECT l_suppkey, l_partkey, SUM(CAST(l_quantity AS DECIMAL(25,4))) AS qty
