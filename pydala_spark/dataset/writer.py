@@ -40,6 +40,11 @@ WRITE_MODES = (
     "upsert",
 )
 
+#: row cap for the single-file feather driver bridge (VERDICT r12 #5):
+#: ~2M narrow rows is comfortably inside a 4g driver while being far
+#: above any sidecar/interchange file; env-overridable at the use site.
+FEATHER_BRIDGE_MAX_ROWS = 2_000_000
+
 #: unit aliases from the reference's batch-size grammar
 #: (src/pydala/dataset/writer.py:312-334).
 _UNIT_ALIASES = {
@@ -667,6 +672,26 @@ class Writer:
                 compression=self.compression,
             )
             return
+        # hard small-data guard (VERDICT r12 #5): the single-file form
+        # materializes on the driver, so enforce the docstring's
+        # sidecar/interchange-only caveat instead of trusting it — a
+        # misuse at data scale should fail HERE, loudly, not as a
+        # driver OOM. The cap is rows (the cheap pre-collect signal);
+        # override via SPARK_GRAFT_FEATHER_BRIDGE_MAX_ROWS for hosts
+        # with known-larger driver headroom.
+        max_rows = int(
+            os.environ.get("SPARK_GRAFT_FEATHER_BRIDGE_MAX_ROWS", "")
+            or FEATHER_BRIDGE_MAX_ROWS
+        )
+        n_rows = df.count()
+        if n_rows > max_rows:
+            raise ValueError(
+                f"single-file feather write of {n_rows} rows exceeds the "
+                f"driver-bridge cap ({max_rows}); this path is for sidecar/"
+                "interchange files only — write to a DIRECTORY target for "
+                "the distributed feather dataset form "
+                "(write_feather_dataset), or use parquet"
+            )
         table = pa.Table.from_pandas(df.toPandas(), preserve_index=False)
         comp = self.compression if self.compression in ("zstd", "lz4") else "uncompressed"
         if "://" in self.path:

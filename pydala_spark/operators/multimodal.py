@@ -656,12 +656,22 @@ def resize_images(
                     # buffer matches that geometry; otherwise fall
                     # through to the stdlib path
                     try:
+                        pix = got.get("pixels")
+                        if isinstance(pix, bytearray):
+                            # bytearray is Arrow-safe once frozen
+                            pix = bytes(pix)
+                            got["pixels"] = pix
+                        # ADVICE r12: length alone let a str/list of
+                        # the right length through to fail at Arrow
+                        # serialization far from the plug-in — the
+                        # buffer must actually be bytes
                         if (
-                            got.get("format") is not None
+                            isinstance(pix, bytes)
+                            and got.get("format") is not None
                             and int(got["src_width"]) > 0
                             and int(got["src_height"]) > 0
                             and int(got["channels"]) > 0
-                            and len(got["pixels"])
+                            and len(pix)
                             == out_w * out_h * int(got["channels"])
                         ):
                             return got

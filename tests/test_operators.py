@@ -2806,6 +2806,23 @@ def test_resize_images_decoder_seam_and_validation(spark):
     assert out[1]["format"] is None  # missing-key result -> null row
     assert out[1]["pixels"] is None
 
+    # ADVICE r12: length alone isn't enough — a str (or list) of the
+    # right length must NOT be accepted into the binary pixels column
+    # (it would fail at Arrow serialization far from the plug-in); a
+    # bytearray of the right length IS accepted (frozen to bytes)
+    def typed_codec(payload, kind):
+        if payload[:2] == b"\xff\xd8":
+            return {"format": "jpeg", "src_width": 9, "src_height": 9,
+                    "channels": 3, "pixels": "x" * 12}  # str: reject
+        return {"format": "gif", "src_width": 5, "src_height": 5,
+                "channels": 3, "pixels": bytearray(b"\x07" * 12)}
+
+    out = {r["media_id"]: r
+           for r in resize_images(df, 2, 2, decoder=typed_codec).collect()}
+    assert out[1]["format"] is None  # str pixels -> stdlib -> null row
+    assert out[2]["format"] == "gif"  # bytearray accepted + frozen
+    assert bytes(out[2]["pixels"]) == b"\x07" * 12
+
 
 def test_winnowing_window_one(spark):
     # round-11 review: least() needs >= 2 columns, so window=1 must

@@ -178,10 +178,28 @@ def test_q21_exists_family_plan(spark, sf_dir):
     # per-part shuffle instead of scanning the fact table twice — the
     # single-scan property the family's docstring claims. Reuse
     # materializes during adaptive execution, so assert on the
-    # post-collect final plan.
-    df.collect()
-    final_plan = df._jdf.queryExecution().executedPlan().toString()
+    # post-collect final plan. ADVICE r12: pin the family in ISOLATION
+    # (the scalar_max family alone also produces a ReusedExchange, so
+    # asserting on the whole union could pass even if having_frac
+    # regressed to two fact scans). Filtering the tagged union on the
+    # literal family tag constant-folds the other branches away, so the
+    # isolated plan's ReusedExchange — and its single lineitem scan —
+    # can only come from having_frac.
+    hf = df.where(F.col("family") == "having_frac")
+    hf.collect()
+    # the AQE toString carries BOTH "Final Plan" and "Initial Plan"
+    # sections; the single-scan property is a final-plan claim (the
+    # initial plan legitimately shows two scans that AQE then reuses)
+    final_plan = (
+        hf._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
     assert "ReusedExchange" in final_plan
+    fact_scans = [
+        line for line in final_plan.splitlines()
+        if "Scan parquet" in line and "lineitem" in line
+    ]
+    assert len(fact_scans) == 1, final_plan
 
 
 def test_full_outer_family_plan(spark, sf_dir):

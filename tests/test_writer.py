@@ -336,6 +336,32 @@ def test_single_file_feather_bridge_remote_scheme(spark, tmp_path):
     assert sorted(t["id"].to_pylist()) == [0, 0, 1, 1, 2, 2]
 
 
+def test_single_file_feather_bridge_hard_row_guard(
+    spark, tmp_path, monkeypatch
+):
+    # round 13 (VERDICT r12 #5): the single-file feather form is a
+    # DRIVER bridge — the small-data caveat is enforced with a hard
+    # row cap that errors with a pointer at the distributed form,
+    # instead of trusting the docstring and OOMing the driver
+    import pytest
+
+    import pyarrow.feather as pf
+
+    monkeypatch.setenv("SPARK_GRAFT_FEATHER_BRIDGE_MAX_ROWS", "10")
+    target = str(tmp_path / "guarded.feather")
+    w = Writer(spark, target, format="feather")
+    with pytest.raises(ValueError, match="write_feather_dataset"):
+        w.write(spark.range(11).selectExpr("id"), mode="overwrite")
+    assert not os.path.exists(target)  # guard fires BEFORE any write
+    w.write(spark.range(10).selectExpr("id"), mode="overwrite")
+    assert pf.read_table(target).num_rows == 10
+    # the remote-scheme branch shares the guard (same entry point)
+    w2 = Writer(spark, f"file://{tmp_path}/r/guarded.feather",
+                format="feather")
+    with pytest.raises(ValueError, match="driver-bridge cap"):
+        w2.write(spark.range(11).selectExpr("id"), mode="overwrite")
+
+
 def test_directory_flavor_partition_write_roundtrip(spark, tmp_path):
     # round 5: WRITE side of directory-flavor partitioning (bare-value
     # dirs, reference pyarrow DirectoryPartitioning) — closes the last
