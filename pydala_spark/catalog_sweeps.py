@@ -28,12 +28,14 @@ scale/soundness docstring):
 The shared three-mode selection rules (prior validity, per-dataset
 provable freshness, the all-fresh gate, carry-over row-count
 integrity) live in :mod:`pydala_spark.sweeps` — round 12 (VERDICT r11
-#3) moves the rest of the repeated night scaffolding there too
-(``NightGate``, ``fresh_summary``, the ``_token.json`` protocol, the
-summary writer) and onto this module's mixin helpers
-(:meth:`LakeSweepsMixin._swept_frame`,
-:meth:`LakeSweepsMixin._sidecar_frame`, :func:`_pooled`), so each
-sweep body is mode dispatch + its unique joins. The algorithmic cores
+#3) moved the repeated night scaffolding there (``NightGate``,
+``fresh_summary``, the ``_token.json`` protocol, the summary writer),
+and round 13 (VERDICT r12 #3) finished the extraction: the per-dataset
+guard/pool/report-root/union/reuse/writeback/seal choreography AND the
+three partial-night engines (``semantic_cross_partial``,
+``span_partial_night``, ``neardup_partial_ctx`` +
+``neardup_pairs_night``) are all in ``sweeps.py`` now, so each sweep
+method here is mode dispatch + its unique joins. The algorithmic cores
 live in ``operators/`` (``dedup.lsh_candidate_pairs_delta``,
 ``similarity.semantic_partial_verdicts``, ``ann``). This module is the
 orchestration seam between them and the lake's artifacts.
@@ -49,90 +51,44 @@ from pyspark.sql import functions as F
 from pydala_spark.dataset.reader import Dataset
 from pydala_spark.sweeps import (
     NightGate,
+    SkipSweep,
     content_marker,
     fresh_summary,
+    commit_verdicts,
+    edge_balloon_warning,
+    frame_marker,
+    guard_dataset,
     load_prior_summary,
+    neardup_pairs_night,
+    neardup_partial_ctx,
+    pooled,
     read_token,
-    write_summary,
+    rep_base_for,
+    reuse_if_fresh,
+    seal_summary,
+    semantic_cross_partial,
+    sig_path,
+    span_partial_night,
+    union_all,
+    update_report_entries,
     write_token,
 )
 from pydala_spark.utils.errors import ConfigError
-from pydala_spark.utils.pathops import escape_partition_value, strip_scheme
+from pydala_spark.utils.pathops import strip_scheme
+
+#: round-13 hoist: the skip exception and the module helpers live in
+#: sweeps.py now (session-free, one home for the shared sweep
+#: machinery); the old private names stay bound for in-module call
+#: sites and any external pin.
+_SkipSweep = SkipSweep
+_sig_path = sig_path
+_pooled = pooled
+_frame_marker = frame_marker
+_edge_balloon_warning = edge_balloon_warning
 
 
-class _SkipSweep(Exception):
-    """A dataset sitting out the sweep, carrying its summary reason
-    (no data files / missing columns). Raised by
-    :meth:`LakeSweepsMixin._swept_frame`, turned into a ``skipped``
-    entry at each sweep's per-dataset boundary."""
 
 
-def _sig_path(signatures_root: str | None, name: str) -> str | None:
-    """Out-of-place sidecar host for one dataset (the READ-ONLY-lake
-    layout): ``<signatures_root>/<name>``, or ``None`` for beside-the-
-    data sidecars."""
-    return (
-        posixpath.join(strip_scheme(signatures_root).rstrip("/"), name)
-        if signatures_root else None
-    )
-
-
-def _pooled(items, fn, max_concurrency: int, serial_while=None):
-    """The per-dataset pooling scaffold every sweep shares (round 12,
-    VERDICT r11 #3): run ``fn(name, base)`` over ``items``, from a
-    thread pool when ``max_concurrency`` allows (Spark's scheduler
-    interleaves concurrent jobs; per-dataset faults stay contained in
-    ``fn`` exactly as in the serial path). ``serial_while`` keeps the
-    head of the list serial while it returns True — the semantic
-    sweeps' determinism rule that the SAME dataset trains the lake
-    codebook that the serial path would pick. Returns entries in
-    ``items`` order."""
-    if max_concurrency > 1 and len(items) > 1:
-        out = []
-        idx = 0
-        if serial_while is not None:
-            while idx < len(items) and serial_while():
-                out.append(fn(*items[idx]))
-                idx += 1
-        rest = items[idx:]
-        if rest:
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
-                out.extend(pool.map(lambda nb: fn(*nb), rest))
-        return out
-    return [fn(*nb) for nb in items]
-
-def _frame_marker(frame: DataFrame, id_col: str, content) -> dict:
-    """Content marker of a frame — ``rows`` + xor of ``xxhash64(id,
-    content)`` — the exact formula sidecar ``_params.json`` markers use
-    (``dataset/maintain.py``), so a benchmark frame's marker is
-    comparable across sweeps the same way a corpus marker is. ONE
-    narrow aggregate."""
-    row = frame.agg(
-        F.count("*").alias("rows"),
-        F.coalesce(
-            F.bit_xor(F.xxhash64(F.col(id_col), content)), F.lit(0)
-        ).alias("xor"),
-    ).collect()[0]
-    return {"rows": int(row["rows"]), "xor": int(row["xor"])}
-
-
-def _edge_balloon_warning(
-    n_edges: int, total_docs: int, multiple: float
-) -> str | None:
-    """Viral-night tripwire (VERDICT r10 #3): the persisted neardup
-    edge set is normally orders below corpus size, but a
-    boilerplate-heavy ingest pairs quadratically inside its bucket —
-    warn when it exceeds ``multiple`` × the corpus doc count."""
-    if total_docs > 0 and n_edges > multiple * total_docs:
-        return (
-            f"persisted edge set ({n_edges} pairs) exceeds {multiple}x "
-            f"the corpus doc count ({total_docs}) — a viral-duplicate "
-            "ingest is ballooning _pairs; lower max_bucket_size or "
-            "delete _pairs to regenerate from a full sweep"
-        )
-    return None
 
 
 class LakeSweepsMixin:
@@ -316,10 +272,7 @@ class LakeSweepsMixin:
             )
         expect = {"k": k, "window": window,
                   "id_col": id_col, "text_col": text_col}
-        rep_base = (
-            strip_scheme(report_dir).rstrip("/") if report_dir
-            else posixpath.join(self.root, "_decontamination")
-        )
+        rep_base = rep_base_for(self.root, report_dir, "_decontamination")
         if incremental and mode != "winnowing":
             raise ConfigError(
                 "decontaminate: incremental=True is winnowing-mode only "
@@ -349,107 +302,88 @@ class LakeSweepsMixin:
                 )
                 for bname, bdf in benchmarks.items()
             }
+        @guard_dataset()
         def _sweep_one(name: str, base: str) -> dict:
-            try:
-                need_col = vec_col if mode == "embedding" else text_col
-                df, data_path = self._swept_frame(
-                    name, base, (id_col, need_col))
+            need_col = vec_col if mode == "embedding" else text_col
+            df, data_path = self._swept_frame(
+                name, base, (id_col, need_col))
 
-                if mode == "embedding":
-                    # one broadcast left-semi vector scan per benchmark
-                    # — no hashing pass to amortize, hence no sidecar
-                    entry: dict = {}
-                    report_rows = None
-                    for bname, bdf in benchmarks.items():
-                        hits = semantic_contamination(
-                            df, bdf, id_col=id_col, vec_col=vec_col,
-                            threshold=threshold, block_bits=block_bits,
-                            dim=dim, n_probes=n_probes,
-                        ).select(F.lit(bname).alias("benchmark"), "id")
-                        report_rows = (
-                            hits if report_rows is None
-                            else report_rows.unionByName(hits)
-                        )
-                    bench_names = benchmarks
-                elif mode == "ngram":
-                    # exact shingle overlap — sidecar-less by design
-                    # (the shingle universe outweighs the corpus)
-                    entry = {}
-                    report_rows = None
-                    for bname, bdf in benchmarks.items():
-                        hits = contamination_hits(
-                            df, bdf, id_col, text_col=text_col,
-                            shingle_size=shingle_size, min_hits=min_hits,
-                            shingle_mode=shingle_mode,
-                        ).select(
-                            F.lit(bname).alias("benchmark"), "id", "n_hits"
-                        )
-                        report_rows = (
-                            hits if report_rows is None
-                            else report_rows.unionByName(hits)
-                        )
-                    bench_names = benchmarks
-                else:
-                    # absent/param-mismatched/stale sidecar pays the
-                    # hashing ONCE inside the shared dance; every later
-                    # sweep reads it
-                    fps, _params, materialized = self._sidecar_frame(
-                        df, data_path, "winnowing", expect, verify,
-                        materialize, _sig_path(signatures_root, name),
-                        dict(id_col=id_col, text_col=text_col,
-                             winnowing_k=k, winnowing_window=window),
+            if mode == "embedding":
+                # one broadcast left-semi vector scan per benchmark
+                # — no hashing pass to amortize, hence no sidecar
+                entry: dict = {}
+                report_rows = union_all(
+                    semantic_contamination(
+                        df, bdf, id_col=id_col, vec_col=vec_col,
+                        threshold=threshold, block_bits=block_bits,
+                        dim=dim, n_probes=n_probes,
+                    ).select(F.lit(bname).alias("benchmark"), "id")
+                    for bname, bdf in benchmarks.items()
+                )
+                bench_names = benchmarks
+            elif mode == "ngram":
+                # exact shingle overlap — sidecar-less by design
+                # (the shingle universe outweighs the corpus)
+                entry = {}
+                report_rows = union_all(
+                    contamination_hits(
+                        df, bdf, id_col, text_col=text_col,
+                        shingle_size=shingle_size, min_hits=min_hits,
+                        shingle_mode=shingle_mode,
+                    ).select(
+                        F.lit(bname).alias("benchmark"), "id", "n_hits"
                     )
-                    marker = content_marker(_params)
-                    prior_entry = (prior or {}).get(name)
-                    if (incremental and not materialized
-                            and marker is not None
-                            and isinstance(prior_entry, dict)
-                            and prior_entry.get("marker") == marker
-                            and "contaminated" in prior_entry):
-                        # VERIFIED marker identical to the one recorded
-                        # at the last sweep, same benchmarks, same
-                        # config — the prior verdict is provably current
-                        return {
-                            **prior_entry, "sidecar": "reused",
-                            "fresh": "unchanged since last sweep — "
-                                     "report reused",
-                        }
-                    entry = {"sidecar": "materialized" if materialized
-                             else "reused"}
-                    if marker is not None:
-                        entry["marker"] = marker
-                    report_rows = None
-                    for bname, bfp in bench_fps.items():
-                        hits = winnowing_contamination(
-                            fps, bfp, id_col, min_hits=min_hits,
-                            precomputed_fps=True,
-                        ).select(
-                            F.lit(bname).alias("benchmark"), "id", "n_hits"
-                        )
-                        report_rows = (
-                            hits if report_rows is None
-                            else report_rows.unionByName(hits)
-                        )
-                    bench_names = bench_fps
-                target = posixpath.join(rep_base, name)
-                report_rows.write.mode("overwrite").parquet(target)
-                counts = {
-                    r["benchmark"]: int(r["n"])
-                    for r in self.spark.read.parquet(target)
-                    .groupBy("benchmark").agg(F.count("*").alias("n"))
-                    .collect()
-                }
-                entry.update({
-                    "report": target,
-                    "contaminated": {
-                        bname: counts.get(bname, 0) for bname in bench_names
-                    },
-                })
-                return entry
-            except _SkipSweep as sk:
-                return {"skipped": str(sk)}
-            except Exception as exc:  # one bad dataset must not kill it
-                return {"error": f"{type(exc).__name__}: {exc}"[:500]}
+                    for bname, bdf in benchmarks.items()
+                )
+                bench_names = benchmarks
+            else:
+                # absent/param-mismatched/stale sidecar pays the
+                # hashing ONCE inside the shared dance; every later
+                # sweep reads it
+                fps, _params, materialized = self._sidecar_frame(
+                    df, data_path, "winnowing", expect, verify,
+                    materialize, _sig_path(signatures_root, name),
+                    dict(id_col=id_col, text_col=text_col,
+                         winnowing_k=k, winnowing_window=window),
+                )
+                marker = content_marker(_params)
+                if incremental and not materialized:
+                    # VERIFIED marker identical to the one recorded at
+                    # the last sweep, same benchmarks, same config —
+                    # the prior verdict is provably current
+                    reused = reuse_if_fresh(
+                        prior, name, marker, "contaminated")
+                    if reused is not None:
+                        return reused
+                entry = {"sidecar": "materialized" if materialized
+                         else "reused"}
+                if marker is not None:
+                    entry["marker"] = marker
+                report_rows = union_all(
+                    winnowing_contamination(
+                        fps, bfp, id_col, min_hits=min_hits,
+                        precomputed_fps=True,
+                    ).select(
+                        F.lit(bname).alias("benchmark"), "id", "n_hits"
+                    )
+                    for bname, bfp in bench_fps.items()
+                )
+                bench_names = bench_fps
+            target = posixpath.join(rep_base, name)
+            report_rows.write.mode("overwrite").parquet(target)
+            counts = {
+                r["benchmark"]: int(r["n"])
+                for r in self.spark.read.parquet(target)
+                .groupBy("benchmark").agg(F.count("*").alias("n"))
+                .collect()
+            }
+            entry.update({
+                "report": target,
+                "contaminated": {
+                    bname: counts.get(bname, 0) for bname in bench_names
+                },
+            })
+            return entry
 
         items = list(self.discover().items())
         # datasets are independent here (unlike neardup_dedup's global
@@ -458,12 +392,12 @@ class LakeSweepsMixin:
             (name for name, _ in items),
             _pooled(items, _sweep_one, max_concurrency),
         ))
-        if mode == "winnowing":
-            # seed the NEXT sweep's incremental skip decision
-            results["_benchmarks"] = bench_markers
-            results["_config"] = config
-        write_summary(self._po, rep_base, results)
-        return results
+        # winnowing seeds the NEXT sweep's incremental skip decision
+        return seal_summary(
+            self._po, rep_base, results,
+            **({"_benchmarks": bench_markers, "_config": config}
+               if mode == "winnowing" else {}),
+        )
 
     def semantic_dedup(
         self,
@@ -577,10 +511,7 @@ class LakeSweepsMixin:
             strip_scheme(codebook_path) if codebook_path
             else posixpath.join(self.root, "_codebooks", "semantic_dedup.json")
         )
-        rep_base = (
-            strip_scheme(report_dir).rstrip("/") if report_dir
-            else posixpath.join(self.root, "_semantic_dedup")
-        )
+        rep_base = rep_base_for(self.root, report_dir, "_semantic_dedup")
         cb = None
         if self._po.exists(cb_path):
             cb = load_codebook(self.spark, cb_path)
@@ -626,80 +557,70 @@ class LakeSweepsMixin:
                             else None)):
                     prior = None  # codebook moved — full sweep
 
+            @guard_dataset(pad=2)
             def _prep_cross(name: str, base: str):
                 nonlocal cb
-                try:
-                    df, data_path = self._swept_frame(
-                        name, base, (id_col, vec_col))
-                    if cb is None:
-                        cb_new = kmeans_centroids(
-                            df, vec_col=vec_col,
-                            n_centroids=n_centroids, seed=seed)
-                        save_codebook(self.spark, cb_new, cb_path)
-                        cb = cb_new
-                    sha = codebook_sha(cb)
-                    cells, _p, materialized = self._sidecar_frame(
-                        df, data_path, "embedding_cells",
-                        {"codebook_sha": sha,
-                         "id_col": id_col, "vec_col": vec_col},
-                        verify, materialize,
-                        _sig_path(signatures_root, name),
-                        dict(id_col=id_col, vec_col=vec_col,
-                             centroids=cb),
+                df, data_path = self._swept_frame(
+                    name, base, (id_col, vec_col))
+                if cb is None:
+                    cb_new = kmeans_centroids(
+                        df, vec_col=vec_col,
+                        n_centroids=n_centroids, seed=seed)
+                    save_codebook(self.spark, cb_new, cb_path)
+                    cb = cb_new
+                sha = codebook_sha(cb)
+                cells, _p, materialized = self._sidecar_frame(
+                    df, data_path, "embedding_cells",
+                    {"codebook_sha": sha,
+                     "id_col": id_col, "vec_col": vec_col},
+                    verify, materialize,
+                    _sig_path(signatures_root, name),
+                    dict(id_col=id_col, vec_col=vec_col,
+                         centroids=cb),
+                )
+                scored = bool(score_col) and score_col in df.columns
+                doc = F.col(id_col).cast("string")
+                vecs = df.select(
+                    F.lit(name).alias("__ds"),
+                    doc.alias("__doc"),
+                    F.concat_ws(sep, F.lit(name), doc).alias("__lid"),
+                    F.col(vec_col).alias("__vec"),
+                    (F.col(score_col).cast("double") if scored
+                     else F.lit(None).cast("double")).alias("__score"),
+                )
+                cl = cells.select(
+                    F.concat_ws(
+                        sep, F.lit(name), F.col("id").cast("string")
+                    ).alias("id"),
+                    "cell", "norm",
+                )
+                entry = {"sidecar": ("materialized" if materialized
+                                     else "reused"),
+                         "scored": scored}
+                m = content_marker(_p)
+                if m is not None:
+                    entry["marker"] = m
+                if incremental and scored:
+                    # the (id, vec) marker is blind to the score
+                    # column, and scores pick the keeper — same
+                    # rule as the per-dataset mode and neardup
+                    entry["score_marker"] = _frame_marker(
+                        df, id_col, F.col(score_col).cast("double")
                     )
-                    scored = bool(score_col) and score_col in df.columns
-                    doc = F.col(id_col).cast("string")
-                    vecs = df.select(
-                        F.lit(name).alias("__ds"),
-                        doc.alias("__doc"),
-                        F.concat_ws(sep, F.lit(name), doc).alias("__lid"),
-                        F.col(vec_col).alias("__vec"),
-                        (F.col(score_col).cast("double") if scored
-                         else F.lit(None).cast("double")).alias("__score"),
-                    )
-                    cl = cells.select(
-                        F.concat_ws(
-                            sep, F.lit(name), F.col("id").cast("string")
-                        ).alias("id"),
-                        "cell", "norm",
-                    )
-                    entry = {"sidecar": ("materialized" if materialized
-                                         else "reused"),
-                             "scored": scored}
-                    m = content_marker(_p)
-                    if m is not None:
-                        entry["marker"] = m
-                    if incremental and scored:
-                        # the (id, vec) marker is blind to the score
-                        # column, and scores pick the keeper — same
-                        # rule as the per-dataset mode and neardup
-                        entry["score_marker"] = _frame_marker(
-                            df, id_col, F.col(score_col).cast("double")
-                        )
-                    return entry, vecs, cl
-                except _SkipSweep as sk:
-                    return {"skipped": str(sk)}, None, None
-                except Exception as exc:  # one bad dataset, sweep lives
-                    return ({"error":
-                             f"{type(exc).__name__}: {exc}"[:500]},
-                            None, None)
+                return entry, vecs, cl
 
             items = list(self.discover().items())
             results: dict[str, dict] = {}
             # codebook pins serially first (the determinism rule)
             prepped = _pooled(items, _prep_cross, max_concurrency,
                               serial_while=lambda: cb is None)
-            union_v = None
-            union_c = None
             tagged_names: set[str] = set()
-            for (name, _), (entry, vecs, cl) in zip(items, prepped):
+            for (name, _), (entry, vecs, _cl) in zip(items, prepped):
                 results[name] = entry
                 if vecs is not None:
                     tagged_names.add(name)
-                    union_v = (vecs if union_v is None
-                               else union_v.unionByName(vecs))
-                    union_c = (cl if union_c is None
-                               else union_c.unionByName(cl))
+            union_v = union_all(v for _e, v, _c in prepped)
+            union_c = union_all(c for _e, _v, c in prepped)
             target = posixpath.join(rep_base, "_verdicts")
             partial_unchanged = None
             gate = None
@@ -756,272 +677,137 @@ class LakeSweepsMixin:
                 meta = union_v.select(
                     F.col("__lid").alias("id"), "__ds", "__doc")
                 if partial_unchanged is not None:
-                    # PARTIAL (round 10): recompute verdicts only for
-                    # TOUCHED cells — cells any changed doc lives in
-                    # now, plus cells changed/removed docs lived in
-                    # before (from the prior verdict table's pruned
-                    # partitions). Everything is map-side: touched
-                    # cells are bounded by the codebook and broadcast;
-                    # the sub-membership (every doc sharing a touched
-                    # cell) broadcasts behind a size guard, so the
-                    # unchanged corpus never shuffles. Prior verdicts
-                    # of untouched cells in unchanged datasets carry
-                    # over verbatim — a verdict is a pure function of
-                    # its cell's membership.
-                    changed_names = sorted(
-                        tagged_names - set(partial_unchanged))
-                    prior_not_unchanged = sorted(
-                        gate.prior_counted - set(partial_unchanged))
-                    pv = self.spark.read.parquet(target)
-                    touched_now = (
-                        union_c.where(
-                            F.substring_index(F.col("id"), sep, 1)
-                            .isin(changed_names)).select("cell")
-                        if changed_names else None)
-                    touched_before = (
-                        pv.where(F.col("dataset")
-                                 .isin(prior_not_unchanged))
-                        .select("cell")
-                        if prior_not_unchanged else None)
-                    parts = [t for t in (touched_now, touched_before)
-                             if t is not None]
-                    if parts:
-                        touched = parts[0]
-                        for t in parts[1:]:
-                            touched = touched.unionByName(t)
-                        touched = touched.distinct().localCheckpoint(
-                            eager=True)
-                        # touched-fraction guard (round 10, measured):
-                        # the cell-partial's economy is
-                        # touched/codebook — a changed dataset whose
-                        # docs span most cells makes the partial path
-                        # pure overhead (~1.5× a full night at equal
-                        # shuffle), so past half the codebook just run
-                        # full. Correctness never depends on taking
-                        # the partial path.
-                        frac_ok = (touched.count()
-                                   <= partial_max_cell_fraction
-                                   * max(int(cb.shape[0]), 1))
-                        sub_ids = union_c.join(
-                            F.broadcast(touched), "cell", "left_semi")
-                        # broadcast-size guard (the neardup rule):
-                        # docs sharing touched cells must broadcast;
-                        # a huge delta gains nothing from partial
-                        if frac_ok and sub_ids.count() <= 2_000_000:
-                            sweep_mode = "partial"
-                            cells_sub = sub_ids.localCheckpoint(
-                                eager=True)
-                            # de-cliffed pair join (round 11, VERDICT
-                            # r10 #2): tonight's touched-cell verdicts
-                            # decompose at DOC level so a spanning
-                            # ingest stays delta-sized — the
-                            # decomposition + its soundness contract
-                            # live in similarity.semantic_partial_
-                            # verdicts; this block only assembles its
-                            # two inputs from the lake's artifacts.
-                            from pydala_spark.operators.similarity import (  # noqa: E501
-                                semantic_partial_verdicts,
-                            )
-
-                            # ONE broadcast-pruned scan of the lake's
-                            # embedding column, materialized: the
-                            # delta decomposition has five consumers,
-                            # and without the cut each would re-scan
-                            # every dataset's vectors (bounded: <= the
-                            # 2M-member guard)
-                            sub_base = union_v.join(
-                                F.broadcast(cells_sub.select(
-                                    F.col("id").alias("__lid"),
-                                    "cell",
-                                    F.col("norm").alias("__n"))),
-                                "__lid",
-                            ).select(
-                                F.col("__lid").alias("id"), "cell",
-                                F.col("__vec").alias("vec"), "__n",
-                                F.col("__score").alias("__s"),
-                            ).localCheckpoint(eager=True)
-                            o_prior = (
-                                pv.where(F.col("dataset")
-                                         .isin(partial_unchanged))
-                                .join(F.broadcast(touched),
-                                      "cell", "left_semi")
-                                .select(
-                                    F.concat_ws(
-                                        sep, "dataset",
-                                        "id").alias("id"),
-                                    "kept")
-                                .localCheckpoint(eager=True))
-                            vnew = semantic_partial_verdicts(
-                                sub_base, o_prior,
-                                is_changed=F.substring_index(
-                                    F.col("id"), sep, 1)
-                                .isin(changed_names),
-                                threshold=threshold, scored=True)
-                            new_rows = vnew.join(meta, "id").select(
-                                F.col("__ds").alias("dataset"),
-                                F.col("__doc").alias("id"),
-                                "cell", "kept",
-                            )
-                            prior_keep = (
-                                pv.where(F.col("dataset")
-                                         .isin(partial_unchanged))
-                                .join(F.broadcast(touched),
-                                      "cell", "left_anti")
-                                .select("dataset", "id", "cell",
-                                        "kept"))
-                            merged = prior_keep.unionByName(new_rows)
-                            # the merged plan READS the table it
-                            # replaces — stage + swap instead of an
-                            # in-place overwrite (a crash between the
-                            # two leaves no _verdicts, which the next
-                            # run's is_dir probe turns into a full
-                            # sweep, never a wrong one)
-                            stage = target + "_stage"
-                            merged.write.mode("overwrite").partitionBy(
-                                "dataset").parquet(stage)
-                            self._po.delete(target)
-                            self._po.rename(stage, target)
-                    else:
-                        # nothing contributed a delta (e.g. a dataset
-                        # vanished along with its prior verdicts):
-                        # prior verdicts of unchanged datasets ARE the
-                        # answer
-                        sweep_mode = "partial"
-                        prior_keep = pv.where(
-                            F.col("dataset").isin(partial_unchanged)
-                        ).select("dataset", "id", "cell", "kept")
-                        stage = target + "_stage"
-                        prior_keep.write.mode("overwrite").partitionBy(
-                            "dataset").parquet(stage)
-                        self._po.delete(target)
-                        self._po.rename(stage, target)
+                    # PARTIAL night (round 10; body relocated verbatim
+                    # to sweeps.semantic_cross_partial in round 13):
+                    # touched-cell delta + untouched carry-over, with
+                    # the fraction/broadcast guards falling back to
+                    # full. This block only assembles the lake facts.
+                    sweep_mode = semantic_cross_partial(
+                        self.spark, self._po,
+                        union_v=union_v, union_c=union_c, meta=meta,
+                        target=target, sep=sep,
+                        tagged_names=tagged_names,
+                        partial_unchanged=partial_unchanged,
+                        prior_counted=gate.prior_counted,
+                        partial_max_cell_fraction=(
+                            partial_max_cell_fraction),
+                        codebook_rows=int(cb.shape[0]),
+                        threshold=threshold,
+                    )
                 if sweep_mode == "full":
                     verdict = semantic_dedup(
                         union_v, id_col="__lid", vec_col="__vec",
                         threshold=threshold, score_col="__score",
                         cells=union_c,
                     )
-                    verdict.join(meta, "id").select(
-                        F.col("__ds").alias("dataset"),
-                        F.col("__doc").alias("id"),
-                        "cell", "kept",
-                    ).write.mode("overwrite").partitionBy(
-                        "dataset").parquet(target)
+                    commit_verdicts(
+                        self.spark, self._po,
+                        verdict.join(meta, "id").select(
+                            F.col("__ds").alias("dataset"),
+                            F.col("__doc").alias("id"),
+                            "cell", "kept",
+                        ), target)
                 written = self.spark.read.parquet(target)
-                for r in written.groupBy("dataset").agg(
-                    F.count("*").alias("n"),
-                    F.count_if(~F.col("kept")).alias("nd"),
-                ).collect():
-                    results[r["dataset"]].update({
-                        "report": posixpath.join(
-                            target, "dataset=" + escape_partition_value(r["dataset"])),
-                        "n_vectors": int(r["n"]),
-                        "n_dropped": int(r["nd"]),
-                    })
+                update_report_entries(
+                    results, written, target,
+                    [F.count("*").alias("n"),
+                     F.count_if(~F.col("kept")).alias("nd")],
+                    {"n_vectors": "n", "n_dropped": "nd"})
                 tot = written.agg(
                     F.count("*").alias("n"),
                     F.count_if(~F.col("kept")).alias("nd"),
                 ).collect()[0]
                 lake_stats = {"n_vectors": int(tot["n"]),
                               "n_dropped": int(tot["nd"])}
-            results["_lake"] = lake_stats
-            results["_codebook"] = {
-                "path": cb_path,
-                "sha": codebook_sha(cb) if cb is not None else None}
             # cross summaries are NOT a valid incremental seed for the
             # per-dataset mode (different verdict semantics)
-            results["_config"] = cfg_cross
-            results["_sweep_mode"] = sweep_mode
-            write_summary(self._po, rep_base, results)
-            return results
+            return seal_summary(
+                self._po, rep_base, results,
+                _lake=lake_stats,
+                _codebook={"path": cb_path,
+                           "sha": codebook_sha(cb) if cb is not None
+                           else None},
+                _config=cfg_cross,
+                _sweep_mode=sweep_mode,
+            )
 
+        @guard_dataset()
         def _sweep_one(name: str, base: str) -> dict:
             nonlocal cb
-            try:
-                df, data_path = self._swept_frame(
-                    name, base, (id_col, vec_col))
-                if cb is None:
-                    # first eligible dataset trains the lake codebook —
-                    # persisted BEFORE any assignment so a crash between
-                    # training and sidecar writes can't strand cells
-                    # under an unrecorded codebook
-                    cb = kmeans_centroids(
-                        df, vec_col=vec_col, n_centroids=n_centroids,
-                        seed=seed,
-                    )
-                    save_codebook(self.spark, cb, cb_path)
-                sha = codebook_sha(cb)
-                cells, params, materialized = self._sidecar_frame(
-                    df, data_path, "embedding_cells",
-                    {"codebook_sha": sha, "id_col": id_col,
-                     "vec_col": vec_col},
-                    verify, materialize, _sig_path(signatures_root, name),
-                    dict(id_col=id_col, vec_col=vec_col, centroids=cb),
+            df, data_path = self._swept_frame(
+                name, base, (id_col, vec_col))
+            if cb is None:
+                # first eligible dataset trains the lake codebook —
+                # persisted BEFORE any assignment so a crash between
+                # training and sidecar writes can't strand cells
+                # under an unrecorded codebook
+                cb = kmeans_centroids(
+                    df, vec_col=vec_col, n_centroids=n_centroids,
+                    seed=seed,
                 )
-                marker = content_marker(params)
-                scored = bool(score_col) and score_col in df.columns
-                score_marker = None
-                if incremental and scored:
-                    # the content marker covers (id, vec) only — score
-                    # VALUES rewritten in place (a re-run classifier)
-                    # change the keeper without moving it, so the score
-                    # column gets its own marker (ONE narrow (id, score)
-                    # aggregate, paid only when incremental is on — the
-                    # round-9 neardup_dedup rule)
-                    score_marker = _frame_marker(
-                        df, id_col, F.col(score_col).cast("double")
-                    )
-                prior_entry = (prior or {}).get(name)
-                if (incremental and not materialized
-                        and marker is not None
-                        and isinstance(prior_entry, dict)
-                        and prior_entry.get("marker") == marker
-                        and "n_dropped" in prior_entry
-                        # a score column ADDED/removed since the last
-                        # sweep changes the verdict without moving the
-                        # marker, so scoring applicability must match —
-                        # and so must the score values themselves
-                        and prior_entry.get("scored") == scored
-                        and (not scored
-                             or prior_entry.get("score_marker")
-                             == score_marker)):
-                    # verified marker unchanged since the recorded sweep
-                    # under the same codebook + config — verdict current
-                    return {
-                        **prior_entry, "sidecar": "reused",
-                        "fresh": "unchanged since last sweep — "
-                                 "report reused",
-                    }
-                # record whether scoring actually applied — a dataset
-                # missing the score column silently falling back to
-                # smallest-id would otherwise be indistinguishable from
-                # a scored sweep in the report
-                verdict = semantic_dedup(
-                    df, id_col=id_col, vec_col=vec_col,
-                    threshold=threshold,
-                    score_col=score_col if scored else None,
-                    cells=cells, params=params,
+                save_codebook(self.spark, cb, cb_path)
+            sha = codebook_sha(cb)
+            cells, params, materialized = self._sidecar_frame(
+                df, data_path, "embedding_cells",
+                {"codebook_sha": sha, "id_col": id_col,
+                 "vec_col": vec_col},
+                verify, materialize, _sig_path(signatures_root, name),
+                dict(id_col=id_col, vec_col=vec_col, centroids=cb),
+            )
+            marker = content_marker(params)
+            scored = bool(score_col) and score_col in df.columns
+            score_marker = None
+            if incremental and scored:
+                # the content marker covers (id, vec) only — score
+                # VALUES rewritten in place (a re-run classifier)
+                # change the keeper without moving it, so the score
+                # column gets its own marker (ONE narrow (id, score)
+                # aggregate, paid only when incremental is on — the
+                # round-9 neardup_dedup rule)
+                score_marker = _frame_marker(
+                    df, id_col, F.col(score_col).cast("double")
                 )
-                target = posixpath.join(rep_base, name)
-                verdict.write.mode("overwrite").parquet(target)
-                counts = self.spark.read.parquet(target).agg(
-                    F.count("*").alias("n"),
-                    F.count_if(~F.col("kept")).alias("n_dropped"),
-                ).collect()[0]
-                return {
-                    "sidecar": "materialized" if materialized else "reused",
-                    "report": target,
-                    "n_vectors": int(counts["n"]),
-                    "n_dropped": int(counts["n_dropped"]),
-                    "scored": scored,
-                    **({"marker": marker} if marker is not None else {}),
-                    **({"score_marker": score_marker}
-                       if score_marker is not None else {}),
-                }
-            except _SkipSweep as sk:
-                return {"skipped": str(sk)}
-            except Exception as exc:  # one bad dataset must not kill it
-                return {"error": f"{type(exc).__name__}: {exc}"[:500]}
+            if incremental and not materialized:
+                # verified marker unchanged since the recorded sweep
+                # under the same codebook + config — verdict current.
+                # A score column ADDED/removed since the last sweep
+                # changes the verdict without moving the marker, so
+                # scoring applicability must match — and so must the
+                # score values themselves.
+                reused = reuse_if_fresh(
+                    prior, name, marker, "n_dropped",
+                    (("scored", scored),)
+                    + ((("score_marker", score_marker),)
+                       if scored else ()),
+                )
+                if reused is not None:
+                    return reused
+            # record whether scoring actually applied — a dataset
+            # missing the score column silently falling back to
+            # smallest-id would otherwise be indistinguishable from
+            # a scored sweep in the report
+            verdict = semantic_dedup(
+                df, id_col=id_col, vec_col=vec_col,
+                threshold=threshold,
+                score_col=score_col if scored else None,
+                cells=cells, params=params,
+            )
+            target = posixpath.join(rep_base, name)
+            verdict.write.mode("overwrite").parquet(target)
+            counts = self.spark.read.parquet(target).agg(
+                F.count("*").alias("n"),
+                F.count_if(~F.col("kept")).alias("n_dropped"),
+            ).collect()[0]
+            return {
+                "sidecar": "materialized" if materialized else "reused",
+                "report": target,
+                "n_vectors": int(counts["n"]),
+                "n_dropped": int(counts["n_dropped"]),
+                "scored": scored,
+                **({"marker": marker} if marker is not None else {}),
+                **({"score_marker": score_marker}
+                   if score_marker is not None else {}),
+            }
 
         items = list(self.discover().items())
         # the lake codebook must be PINNED before pooling — and by the
@@ -1032,12 +818,13 @@ class LakeSweepsMixin:
             _pooled(items, _sweep_one, max_concurrency,
                     serial_while=lambda: cb is None),
         ))
-        results["_codebook"] = {"path": cb_path,
-                                "sha": codebook_sha(cb) if cb is not None
-                                else None}
-        results["_config"] = config
-        write_summary(self._po, rep_base, results)
-        return results
+        return seal_summary(
+            self._po, rep_base, results,
+            _codebook={"path": cb_path,
+                       "sha": codebook_sha(cb) if cb is not None
+                       else None},
+            _config=config,
+        )
 
     def span_dedup_report(
         self,
@@ -1126,10 +913,7 @@ class LakeSweepsMixin:
 
         expect = {"k": span_k, "window": span_window,
                   "id_col": id_col, "text_col": text_col}
-        rep_base = (
-            strip_scheme(report_dir).rstrip("/") if report_dir
-            else posixpath.join(self.root, "_span_dedup")
-        )
+        rep_base = rep_base_for(self.root, report_dir, "_span_dedup")
         config = {"span_k": span_k, "span_window": span_window,
                   "min_span": min_span, "min_df": min_df,
                   "id_col": id_col, "text_col": text_col}
@@ -1140,48 +924,40 @@ class LakeSweepsMixin:
                 self._po, rep_base, {"_config": config})
         sep = "\x1f"
 
+        @guard_dataset(pad=2)
         def _prep_one(name: str, base: str):
-            try:
-                df, data_path = self._swept_frame(
-                    name, base, (id_col, text_col))
-                # the engine's most expensive hashing pass is paid once
-                # inside the shared dance; every later sweep reads
-                # positions
-                fps, params, materialized = self._sidecar_frame(
-                    df, data_path, "spans", expect, verify, materialize,
-                    _sig_path(signatures_root, name),
-                    dict(id_col=id_col, text_col=text_col,
-                         span_k=span_k, span_window=span_window),
-                )
-                tagged = fps.select(
-                    F.concat_ws(
-                        sep, F.lit(name), F.col("id").cast("string")
-                    ).alias("id"),
-                    "fp", "pos", "len",
-                )
-                entry = {"sidecar": ("materialized" if materialized
-                                     else "reused")}
-                m = content_marker(params)
-                if m is not None:
-                    entry["marker"] = m
-                return entry, tagged, params
-            except _SkipSweep as sk:
-                return {"skipped": str(sk)}, None, None
-            except Exception as exc:  # one bad dataset, sweep lives
-                return ({"error": f"{type(exc).__name__}: {exc}"[:500]},
-                        None, None)
+            df, data_path = self._swept_frame(
+                name, base, (id_col, text_col))
+            # the engine's most expensive hashing pass is paid once
+            # inside the shared dance; every later sweep reads
+            # positions
+            fps, params, materialized = self._sidecar_frame(
+                df, data_path, "spans", expect, verify, materialize,
+                _sig_path(signatures_root, name),
+                dict(id_col=id_col, text_col=text_col,
+                     span_k=span_k, span_window=span_window),
+            )
+            tagged = fps.select(
+                F.concat_ws(
+                    sep, F.lit(name), F.col("id").cast("string")
+                ).alias("id"),
+                "fp", "pos", "len",
+            )
+            entry = {"sidecar": ("materialized" if materialized
+                                 else "reused")}
+            m = content_marker(params)
+            if m is not None:
+                entry["marker"] = m
+            return entry, tagged, params
 
         items = list(self.discover().items())
         results: dict[str, dict] = {}
         prepped = _pooled(items, _prep_one, max_concurrency)
-        union = None
-        sidecar_params = None
-        for (name, _), (entry, tagged, params) in zip(items, prepped):
+        for (name, _), (entry, _tagged, _params) in zip(items, prepped):
             results[name] = entry
-            if tagged is not None:
-                union = (tagged if union is None
-                         else union.unionByName(tagged))
-                sidecar_params = sidecar_params or params
+        union = union_all(t for _e, t, _p in prepped)
+        sidecar_params = next(
+            (p for _e, t, p in prepped if t is not None), None)
         df_path = posixpath.join(rep_base, "_df")
         contrib_path = posixpath.join(rep_base, "_contrib")
         target = posixpath.join(rep_base, "_spans")
@@ -1275,208 +1051,25 @@ class LakeSweepsMixin:
 
             spans = None
             if partial_unchanged is not None:
-                # PARTIAL (round 10): span df is ADDITIVE over the
-                # dataset-disjoint lake-qualified ids, so the prior
-                # per-dataset contribution tables + the prior df table
-                # adjust with a delta instead of re-aggregating the
-                # whole lake; only docs whose flag set could have
-                # moved re-group. Everything unchanged streams
-                # map-side (broadcast deltas behind 2M guards).
-                changed_names = sorted(
-                    tagged_names - set(partial_unchanged))
-                prior_swept = sorted(
-                    gate.prior_counted - set(partial_unchanged))
-                # Δ per fp = new contribution of changed datasets −
-                # their (and removed/errored datasets') recorded one
-                nc = None
-                if changed_names:
-                    nc = (pos.where(_ds_of(F.col("id"))
-                                    .isin(changed_names))
-                          .select(_ds_of(F.col("id")).alias("dataset"),
-                                  "fp", "id")
-                          .groupBy("dataset", "fp")
-                          .agg(F.count_distinct("id").alias("n"))
-                          .localCheckpoint(eager=True))
-                new_sum = (nc.groupBy("fp").agg(
-                    F.sum("n").alias("__nn")) if nc is not None
-                    else None)
-                old_sum = None
-                if prior_swept:
-                    old_sum = (self.spark.read.parquet(contrib_path)
-                               .where(F.col("dataset")
-                                      .isin(prior_swept))
-                               .groupBy("fp")
-                               .agg(F.sum("n").alias("__no")))
-                if new_sum is not None and old_sum is not None:
-                    dl = new_sum.join(old_sum, "fp", "full")
-                elif new_sum is not None:
-                    dl = new_sum.withColumn(
-                        "__no", F.lit(None).cast("long"))
-                elif old_sum is not None:
-                    dl = old_sum.withColumn(
-                        "__nn", F.lit(None).cast("long"))
-                else:
-                    dl = None
-                if dl is not None:
-                    dl = (dl.select(
-                        "fp",
-                        (F.coalesce(F.col("__nn"), F.lit(0))
-                         - F.coalesce(F.col("__no"), F.lit(0)))
-                        .alias("__dn"))
-                        .where(F.col("__dn") != 0)
-                        .localCheckpoint(eager=True))
-                    if dl.count() > 2_000_000:
-                        dl = False  # delta too big to broadcast
-                ok = dl is not False
-                if ok and dl is None:
-                    # no contributing delta at all (e.g. a dataset
-                    # that never swept erroring again): artifacts are
-                    # untouched, so the prior token stays valid
-                    dup_src = self.spark.read.parquet(df_path)
-                    flipped = None
-                elif ok:
-                    prior_df = self.spark.read.parquet(df_path)
-                    # ONE pass over the lake-sized prior df extracts
-                    # everything Δ-related (old counts of matched fps
-                    # — small output, pinned), so the expensive table
-                    # scans exactly twice per partial night: here and
-                    # in the adjusted rewrite below
-                    od = (prior_df.join(F.broadcast(dl), "fp")
-                          .select("fp", F.col("df").alias("__od"),
-                                  "__dn")
-                          .localCheckpoint(eager=True))
-                    # fps new to the lake = Δ minus the matched ones
-                    # (small-small anti)
-                    brand_new = (dl.join(od.select("fp"), "fp",
-                                         "left_anti")
-                                 .select("fp",
-                                         F.col("__dn").alias("df"))
-                                 .where(F.col("df") > 0)
-                                 .localCheckpoint(eager=True))
-                    adjusted = (prior_df.join(F.broadcast(dl), "fp",
-                                              "left")
-                                .select("fp",
-                                        (F.col("df") + F.coalesce(
-                                            F.col("__dn"), F.lit(0)))
-                                        .alias("df"))
-                                .where(F.col("df") > 0)
-                                .unionByName(brand_new))
-                    df_stage = df_path + "_stage"
-                    adjusted.write.mode("overwrite").parquet(df_stage)
-                    # fps whose min_df FLAG flipped (⊆ Δ fps): only
-                    # their docs can change verdicts
-                    flipped_existing = od.where(
-                        (F.col("__od") >= min_df)
-                        != (F.col("__od") + F.col("__dn") >= min_df)
-                    ).select("fp")
-                    flipped_new = brand_new.where(
-                        F.col("df") >= min_df).select("fp")
-                    flipped = (flipped_existing
-                               .unionByName(flipped_new)
-                               .distinct().localCheckpoint(eager=True))
-                    dup_src = self.spark.read.parquet(df_stage)
-                if ok:
-                    hit_ids = None
-                    if flipped is not None and partial_unchanged:
-                        hit_ids = (pos.where(
-                            _ds_of(F.col("id"))
-                            .isin(partial_unchanged))
-                            .join(F.broadcast(flipped), "fp",
-                                  "left_semi")
-                            .select("id").distinct()
-                            .localCheckpoint(eager=True))
-                        if hit_ids.count() > 2_000_000:
-                            ok = False  # a flip hit too much to carry
-                            # don't orphan the (lake-sized) staged df
-                            # the full path below won't consume
-                            self._po.delete(df_path + "_stage")
-                if ok:
-                    sweep_mode = "partial"
-                    re_parts = []
-                    if changed_names:
-                        re_parts.append(pos.where(
-                            _ds_of(F.col("id")).isin(changed_names)))
-                    if hit_ids is not None:
-                        re_parts.append(pos.join(
-                            F.broadcast(hit_ids), "id", "left_semi"))
-                    dup_new = dup_src.where(
-                        F.col("df") >= min_df).select("fp")
-                    if re_parts:
-                        re_rows = re_parts[0]
-                        for p in re_parts[1:]:
-                            re_rows = re_rows.unionByName(p)
-                        new_spans = span_runs(
-                            re_rows.join(dup_new, "fp"),
-                            kk, ww, min_span)
-                    else:
-                        new_spans = None
-                    # carry prior spans of unchanged datasets' docs
-                    # that were NOT re-evaluated, re-qualified so the
-                    # shared writer below re-splits them uniformly
-                    carried = None
-                    if self._po.is_dir(target):
-                        pvs = (self.spark.read.parquet(target)
-                               .where(F.col("dataset")
-                                      .isin(partial_unchanged)))
-                        pvs = pvs.withColumn(
-                            "__qid",
-                            F.concat_ws(sep, F.col("dataset"),
-                                        F.col("id")))
-                        if hit_ids is not None:
-                            pvs = pvs.join(
-                                F.broadcast(hit_ids.select(
-                                    F.col("id").alias("__qid"))),
-                                "__qid", "left_anti")
-                        carried = pvs.select(
-                            F.col("__qid").alias("id"),
-                            "span_start", "span_end")
-                    if new_spans is not None and carried is not None:
-                        spans = new_spans.unionByName(carried)
-                    elif new_spans is not None:
-                        spans = new_spans
-                    elif carried is not None:
-                        spans = carried
-                    else:
-                        spans = self.spark.createDataFrame(
-                            [], "id string, span_start long, "
-                                "span_end long")
-                    # the merged plan reads the tables it replaces —
-                    # pin before any swap
-                    spans = spans.localCheckpoint(eager=True)
-                    if dl is None:
-                        new_token = tok  # artifacts untouched
-                    else:
-                        new_token = _uuid.uuid4().hex
-                        swap_stage = df_stage
-                        # invalidate the contrib token BEFORE mutating
-                        # the partitions — a crash mid-mutation must
-                        # read as token-mismatch (full rebuild), never
-                        # as a stale-but-trusted contribution table
-                        self._po.delete(posixpath.join(
-                            contrib_path, "_token.json"))
-                        if nc is not None:
-                            nc.write.mode("overwrite").option(
-                                "partitionOverwriteMode", "dynamic"
-                            ).partitionBy("dataset").parquet(
-                                contrib_path)
-                        # stale partitions must GO for every
-                        # prior-swept dataset that contributed no rows
-                        # tonight — including a CHANGED dataset whose
-                        # new sidecar is empty (dynamic overwrite never
-                        # touches a partition it has no rows for; a
-                        # survivor would double-subtract on the next
-                        # delta). Partition dirs are Spark-escaped, so
-                        # the delete must escape the name the same way.
-                        present = ({r["dataset"] for r in
-                                    nc.select("dataset").distinct()
-                                    .collect()}
-                                   if nc is not None else set())
-                        for gone in prior_swept:
-                            if gone not in present:
-                                self._po.delete(posixpath.join(
-                                    contrib_path,
-                                    "dataset="
-                                    + escape_partition_value(gone)))
+                # PARTIAL night (round 10; body relocated verbatim to
+                # sweeps.span_partial_night in round 13): broadcast
+                # delta over the additive df/contrib artifacts, flip
+                # propagation in both directions, 2M guards falling
+                # back to the full sweep (spans=None). This block only
+                # assembles the lake facts + the commit inputs.
+                spans, sweep_mode, new_token, swap_stage = (
+                    span_partial_night(
+                        self.spark, self._po,
+                        pos=pos, sep=sep,
+                        tagged_names=tagged_names,
+                        partial_unchanged=partial_unchanged,
+                        prior_counted=gate.prior_counted,
+                        prior_token=tok,
+                        df_path=df_path, contrib_path=contrib_path,
+                        target=target, min_df=min_df,
+                        kk=kk, ww=ww, min_span=min_span,
+                    )
+                )
             if spans is None:
                 # FULL global sweep
                 if incremental:
@@ -1520,32 +1113,19 @@ class LakeSweepsMixin:
                 ds_col.alias("dataset"), doc.alias("id"),
                 "span_start", "span_end",
             )
-            if sweep_mode == "partial":
-                # the carried rows were READ from the table this
-                # replaces — stage + swap (a crash between the two
-                # leaves a token mismatch → full rebuild)
-                stage = target + "_stage"
-                out_rows.write.mode("overwrite").partitionBy(
-                    "dataset").parquet(stage)
-                self._po.delete(target)
-                self._po.rename(stage, target)
-            else:
-                out_rows.write.mode("overwrite").partitionBy(
-                    "dataset").parquet(target)
-            written = self.spark.read.parquet(target)
-            for r in written.groupBy("dataset").agg(
-                F.count("*").alias("n"),
-                F.count_distinct("id").alias("nd"),
-                F.sum(F.col("span_end") - F.col("span_start")
-                      + F.lit(1)).alias("ch"),
-            ).collect():
-                results[r["dataset"]].update({
-                    "report": posixpath.join(
-                        target, "dataset=" + escape_partition_value(r["dataset"])),
-                    "n_spans": int(r["n"]),
-                    "n_docs": int(r["nd"]),
-                    "chars_flagged": int(r["ch"]),
-                })
+            # partial: the carried rows were READ from the table this
+            # replaces — commit_verdicts stages + swaps (a crash
+            # between the two leaves a token mismatch → full rebuild)
+            written = commit_verdicts(
+                self.spark, self._po, out_rows, target,
+                staged=sweep_mode == "partial")
+            update_report_entries(
+                results, written, target,
+                [F.count("*").alias("n"),
+                 F.count_distinct("id").alias("nd"),
+                 F.sum(F.col("span_end") - F.col("span_start")
+                       + F.lit(1)).alias("ch")],
+                {"n_spans": "n", "n_docs": "nd", "chars_flagged": "ch"})
             tot = written.agg(
                 F.count("*").alias("n"),
                 F.count_distinct("id").alias("nd"),
@@ -1591,12 +1171,11 @@ class LakeSweepsMixin:
             if "sidecar" in results[name] and "n_spans" not in results[name]:
                 results[name].update(
                     {"n_spans": 0, "n_docs": 0, "chars_flagged": 0})
-        results["_lake"] = lake_stats
-        results["_sweep_mode"] = sweep_mode
-        # seed the NEXT sweep's all-fresh fast-path decision
-        results["_config"] = config
-        write_summary(self._po, rep_base, results)
-        return results
+        # _config seeds the NEXT sweep's all-fresh fast-path decision
+        return seal_summary(
+            self._po, rep_base, results,
+            _lake=lake_stats, _sweep_mode=sweep_mode, _config=config,
+        )
 
     def signatures_report(
         self,
@@ -1918,7 +1497,22 @@ class LakeSweepsMixin:
                 pkw.get("semantic_dedup")
                 or pkw.get("decontaminate_mode") == "embedding"
             ) else None
-            return sh_mode, eff_shingle, sig_expect, vec_needed
+            # the one hashing-kwargs bundle every materialize call in
+            # this sweep passes (round-13 dedup of three verbatim
+            # copies) — id_col/text_col ride along since every site
+            # passed those too
+            hash_kw = dict(
+                id_col=id_col, text_col=text_col,
+                n_hashes=sig_expect["minhash"]["n_hashes"],
+                shingle_size=eff_shingle,
+                seed=sig_expect["minhash"]["seed"],
+                shingle_mode=sh_mode,
+                winnowing_k=sig_expect["winnowing"]["k"],
+                winnowing_window=sig_expect["winnowing"]["window"],
+                span_k=sig_expect["spans"]["k"],
+                span_window=sig_expect["spans"]["window"],
+            )
+            return sh_mode, eff_shingle, sig_expect, vec_needed, hash_kw
 
         if "embedding_cells" in signatures and not (
                 prep_kwargs.get("vec_col")
@@ -1945,10 +1539,7 @@ class LakeSweepsMixin:
                     f"codebook:{_co_sha(out['semantic_centroids'])}")
             return _json.loads(_json.dumps(out, default=str))
         dest_base = strip_scheme(dest_root).rstrip("/")
-        rep_base = (
-            strip_scheme(report_dir).rstrip("/") if report_dir
-            else posixpath.join(self.root, "_prep")
-        )
+        rep_base = rep_base_for(self.root, report_dir, "_prep")
         config = {
             "dest_root": dest_base, "id_col": id_col,
             "text_col": text_col, "dest_format": dest_format,
@@ -1989,7 +1580,7 @@ class LakeSweepsMixin:
             ov = overrides.get(name) or {}
             pkw = {**prep_kwargs, **ov}
             canon_over = _canon_cfg(ov)
-            sh_mode, eff_shingle, sig_expect, vec_needed = _derived(pkw)
+            _sh, _esh, sig_expect, vec_needed, hash_kw = _derived(pkw)
             try:
                 df, data_path = self._swept_frame(
                     name, base, (id_col, text_col))
@@ -2031,18 +1622,8 @@ class LakeSweepsMixin:
                                 self.spark,
                                 self.spark.read.format(dest_format)
                                 .load(pe["dest"]),
-                                pe["dest"], id_col=id_col,
-                                text_col=text_col,
-                                kinds=tuple(sign_outputs),
-                                n_hashes=sig_expect["minhash"]["n_hashes"],
-                                shingle_size=eff_shingle,
-                                seed=sig_expect["minhash"]["seed"],
-                                shingle_mode=sh_mode,
-                                winnowing_k=sig_expect["winnowing"]["k"],
-                                winnowing_window=(
-                                    sig_expect["winnowing"]["window"]),
-                                span_k=sig_expect["spans"]["k"],
-                                span_window=sig_expect["spans"]["window"],
+                                pe["dest"],
+                                kinds=tuple(sign_outputs), **hash_kw,
                             )
                             entry["signed"] = want
                         return entry
@@ -2071,18 +1652,7 @@ class LakeSweepsMixin:
                         sidecar_status[kind] = (
                             f"skipped (no ({pkw['vec_col']}) column)")
                         continue
-                    mat_kw = dict(
-                        id_col=id_col, text_col=text_col,
-                        n_hashes=sig_expect["minhash"]["n_hashes"],
-                        shingle_size=eff_shingle,
-                        seed=sig_expect["minhash"]["seed"],
-                        shingle_mode=sh_mode,
-                        winnowing_k=sig_expect["winnowing"]["k"],
-                        winnowing_window=(
-                            sig_expect["winnowing"]["window"]),
-                        span_k=sig_expect["spans"]["k"],
-                        span_window=sig_expect["spans"]["window"],
-                    )
+                    mat_kw = dict(hash_kw)
                     if kind == "embedding_cells":
                         import numpy as _np
 
@@ -2194,16 +1764,8 @@ class LakeSweepsMixin:
                     )
 
                     materialize_signatures(
-                        self.spark, cleaned, dest, id_col=id_col,
-                        text_col=text_col, kinds=tuple(sign_outputs),
-                        n_hashes=sig_expect["minhash"]["n_hashes"],
-                        shingle_size=eff_shingle,
-                        seed=sig_expect["minhash"]["seed"],
-                        shingle_mode=sh_mode,
-                        winnowing_k=sig_expect["winnowing"]["k"],
-                        winnowing_window=sig_expect["winnowing"]["window"],
-                        span_k=sig_expect["spans"]["k"],
-                        span_window=sig_expect["spans"]["window"],
+                        self.spark, cleaned, dest,
+                        kinds=tuple(sign_outputs), **hash_kw,
                     )
                     entry["signed"] = sorted(sign_outputs)
                 if stage_counts:
@@ -2223,10 +1785,10 @@ class LakeSweepsMixin:
             (name for name, _ in items),
             _pooled(items, _prep_one, max_concurrency),
         ))
-        results["_config"] = config
-        results["_benchmark"] = bench_marker
-        write_summary(self._po, rep_base, results)
-        return results
+        return seal_summary(
+            self._po, rep_base, results,
+            _config=config, _benchmark=bench_marker,
+        )
 
     def neardup_dedup(
         self,
@@ -2334,10 +1896,7 @@ class LakeSweepsMixin:
         """
         from pyspark.sql import Window
 
-        from pydala_spark.operators.dedup import (
-            dedup_clusters,
-            lsh_candidate_pairs,
-        )
+        from pydala_spark.operators.dedup import dedup_clusters
 
         if n_hashes % n_bands != 0:
             # band_frame would raise too, but only AFTER every dataset
@@ -2351,10 +1910,7 @@ class LakeSweepsMixin:
             "shingle_size": shingle_size, "seed": seed,
             "shingle_mode": shingle_mode,
         }
-        rep_base = (
-            strip_scheme(report_dir).rstrip("/") if report_dir
-            else posixpath.join(self.root, "_neardup")
-        )
+        rep_base = rep_base_for(self.root, report_dir, "_neardup")
         config = {
             "n_hashes": n_hashes, "n_bands": n_bands,
             "shingle_size": shingle_size, "shingle_mode": shingle_mode,
@@ -2371,80 +1927,71 @@ class LakeSweepsMixin:
         #: \x1f (unit separator) cannot appear in a manifest dataset
         #: name, so lake-qualified ids split back unambiguously
         sep = "\x1f"
+        @guard_dataset(pad=2)
         def _prep_one(name: str, base: str):
             """-> (entry, tagged_signatures | None, scores | None) — the
             per-dataset sidecar phase, independent across datasets (the
             GLOBAL clustering below is not, which is why only this
             phase rides the max_concurrency pool)."""
-            try:
-                df, data_path = self._swept_frame(
-                    name, base, (id_col, text_col))
-                # absent, param-mismatched or stale sidecar pays the
-                # shingle hashing ONCE inside the shared dance; every
-                # later sweep reads
-                sigs, _params, materialized = self._sidecar_frame(
-                    df, data_path, "minhash", expect, verify,
-                    materialize, _sig_path(signatures_root, name),
-                    dict(id_col=id_col, text_col=text_col,
-                         n_hashes=n_hashes, shingle_size=shingle_size,
-                         seed=seed, shingle_mode=shingle_mode),
+            df, data_path = self._swept_frame(
+                name, base, (id_col, text_col))
+            # absent, param-mismatched or stale sidecar pays the
+            # shingle hashing ONCE inside the shared dance; every
+            # later sweep reads
+            sigs, _params, materialized = self._sidecar_frame(
+                df, data_path, "minhash", expect, verify,
+                materialize, _sig_path(signatures_root, name),
+                dict(id_col=id_col, text_col=text_col,
+                     n_hashes=n_hashes, shingle_size=shingle_size,
+                     seed=seed, shingle_mode=shingle_mode),
+            )
+            mh_cols = sorted(
+                (c for c in sigs.columns if c.startswith("mh_")),
+                key=lambda c: int(c.split("_")[1]),
+            )
+            doc = F.col(id_col).cast("string")
+            tagged = sigs.select(
+                F.lit(name).alias("__ds"),
+                doc.alias("__doc"),
+                F.concat_ws(sep, F.lit(name), doc).alias("__lid"),
+                *mh_cols,
+            )
+            scored = bool(score_col) and score_col in df.columns
+            # scores: narrow projection — parquet reads two
+            # columns, never the text
+            sc = df.select(
+                F.lit(name).alias("__ds"),
+                F.col(id_col).cast("string").alias("__doc"),
+                F.col(score_col).cast("double").alias("__score"),
+            ) if scored else None
+            entry = {
+                "sidecar": "materialized" if materialized else "reused",
+                "scored": scored,
+            }
+            m = content_marker(_params)
+            if m is not None:
+                entry["marker"] = m
+            if incremental and scored:
+                # the text marker is blind to the score column —
+                # scores drive keeper selection, so a re-scored
+                # corpus with unchanged text must still break the
+                # all-fresh fast path. ONE extra narrow (id, score)
+                # aggregate, paid only when incremental is on.
+                entry["score_marker"] = _frame_marker(
+                    df, id_col, F.col(score_col).cast("double")
                 )
-                mh_cols = sorted(
-                    (c for c in sigs.columns if c.startswith("mh_")),
-                    key=lambda c: int(c.split("_")[1]),
-                )
-                doc = F.col(id_col).cast("string")
-                tagged = sigs.select(
-                    F.lit(name).alias("__ds"),
-                    doc.alias("__doc"),
-                    F.concat_ws(sep, F.lit(name), doc).alias("__lid"),
-                    *mh_cols,
-                )
-                scored = bool(score_col) and score_col in df.columns
-                # scores: narrow projection — parquet reads two
-                # columns, never the text
-                sc = df.select(
-                    F.lit(name).alias("__ds"),
-                    F.col(id_col).cast("string").alias("__doc"),
-                    F.col(score_col).cast("double").alias("__score"),
-                ) if scored else None
-                entry = {
-                    "sidecar": "materialized" if materialized else "reused",
-                    "scored": scored,
-                }
-                m = content_marker(_params)
-                if m is not None:
-                    entry["marker"] = m
-                if incremental and scored:
-                    # the text marker is blind to the score column —
-                    # scores drive keeper selection, so a re-scored
-                    # corpus with unchanged text must still break the
-                    # all-fresh fast path. ONE extra narrow (id, score)
-                    # aggregate, paid only when incremental is on.
-                    entry["score_marker"] = _frame_marker(
-                        df, id_col, F.col(score_col).cast("double")
-                    )
-                return entry, tagged, sc
-            except _SkipSweep as sk:
-                return {"skipped": str(sk)}, None, None
-            except Exception as exc:  # one bad dataset must not kill it
-                return ({"error": f"{type(exc).__name__}: {exc}"[:500]},
-                        None, None)
+            return entry, tagged, sc
 
         items = list(self.discover().items())
         results: dict[str, dict] = {}
-        union = None
-        scores = None
         prepped = _pooled(items, _prep_one, max_concurrency)
         tagged_names: set[str] = set()
-        for (name, _), (entry, tagged, sc) in zip(items, prepped):
+        for (name, _), (entry, tagged, _sc) in zip(items, prepped):
             results[name] = entry
             if tagged is not None:
                 tagged_names.add(name)
-                union = (tagged if union is None
-                         else union.unionByName(tagged))
-            if sc is not None:
-                scores = sc if scores is None else scores.unionByName(sc)
+        union = union_all(t for _e, t, _s in prepped)
+        scores = union_all(s for _e, _t, s in prepped)
 
         #: set below when a prior edge set makes the delta path legal:
         #: (unchanged dataset names, prior over-cap bucket keys)
@@ -2505,47 +2052,11 @@ class LakeSweepsMixin:
             # contributing signatures; everything else (changed,
             # added, removed, newly-skipped, errored) is handled by
             # dropping its prior edges and/or re-pairing its buckets.
-            unchanged = gate.unchanged
-            # delta-size guard: the delta path force-broadcasts the
-            # touched-bucket keys (changed_docs × n_bands). A huge
-            # delta (a big dataset fully re-ingested) would OOM the
-            # broadcast where the plain full sweep succeeds — refuse
-            # partial past ~2M keys (~100 MB broadcast) or when any
-            # changed dataset's row count is unknown. Savings-wise a
-            # big delta gains little anyway; correctness never depends
-            # on taking the partial path.
-            changed_rows = 0
-            rows_known = True
-            for n in tagged_names - unchanged:
-                m = results[n].get("marker")
-                if not (isinstance(m, dict) and "rows" in m):
-                    rows_known = False
-                    break
-                changed_rows += int(m["rows"])
-            # commit-token guard (ADVICE r10): the _pairs edge set and
-            # the summary's _overcap list are written ~seconds apart
-            # (the heavy verdict write sits between them). A crash in
-            # that window leaves a NEW edge set against a STALE
-            # over-cap list — the next partial night would silently
-            # omit unchanged-unchanged pairs from buckets that were
-            # over-cap in the crashed run. The span sweep's _token.json
-            # pattern closes it: _pairs is committed under a uuid that
-            # the summary echoes as _artifacts; any mismatch (crash on
-            # either side of the window) degrades to the full sweep.
-            tok = prior.get("_artifacts")
-            if (unchanged
-                    and rows_known
-                    and changed_rows * n_bands <= 2_000_000
-                    and prior.get("_edges") is not None
-                    and prior.get("_overcap") is not None
-                    and tok is not None
-                    and read_token(
-                        self._po,
-                        posixpath.join(rep_base, "_pairs")) == tok):
-                partial_ctx = (
-                    sorted(unchanged),
-                    [tuple(x) for x in prior["_overcap"]],
-                )
+            partial_ctx = neardup_partial_ctx(
+                self._po, rep_base=rep_base, prior=prior,
+                unchanged=gate.unchanged, tagged_names=tagged_names,
+                results=results, n_bands=n_bands,
+            )
 
         lake_stats = {"n_clusters": 0, "n_cross_dataset_clusters": 0}
         sweep_mode = "full"
@@ -2553,96 +2064,15 @@ class LakeSweepsMixin:
         n_edges = None
         new_pairs_token = None
         if union is not None:
-            from pydala_spark.operators.dedup import (
-                lsh_candidate_pairs_delta,
+            (pairs, sweep_mode, overcap_keys, n_edges,
+             new_pairs_token) = neardup_pairs_night(
+                self.spark, self._po,
+                union=union, sep=sep, rep_base=rep_base,
+                prior_edges=(prior or {}).get("_edges"),
+                partial_ctx=partial_ctx, tagged_names=tagged_names,
+                n_bands=n_bands, max_bucket_size=max_bucket_size,
+                incremental=incremental,
             )
-
-            pairs = None
-            prior_pairs = None
-            if partial_ctx is not None:
-                # edge-set integrity (round-11 review class): the token
-                # proves the COMMIT completed, not that every part-file
-                # survived since — a lost file would silently drop
-                # unchanged-unchanged edges. One metadata-only parquet
-                # count vs the summary's recorded _edges; a mismatch OR
-                # an unreadable table (all part-files gone, token left)
-                # falls through to the full banding path below.
-                try:
-                    prior_pairs = self.spark.read.parquet(
-                        posixpath.join(rep_base, "_pairs"))
-                    if prior_pairs.count() != int(prior["_edges"]):
-                        prior_pairs = None
-                except Exception:
-                    prior_pairs = None
-            if partial_ctx is not None and prior_pairs is not None:
-                unchanged_names, prior_oc = partial_ctx
-                pp_unchanged = prior_pairs.where(
-                    F.substring_index(F.col("id_a"), sep, 1)
-                    .isin(unchanged_names)
-                    & F.substring_index(F.col("id_b"), sep, 1)
-                    .isin(unchanged_names)
-                )
-                changed_names = sorted(tagged_names - set(unchanged_names))
-                pairs = lsh_candidate_pairs_delta(
-                    union, "__lid",
-                    is_changed=F.substring_index(
-                        F.col("__lid"), sep, 1).isin(changed_names),
-                    prior_pairs_unchanged=pp_unchanged,
-                    prior_overcap=prior_oc,
-                    n_bands=n_bands,
-                    max_bucket_size=max_bucket_size,
-                )
-                if pairs is not None:
-                    sweep_mode = "partial"
-                    overcap_keys = list(prior_oc)
-            if pairs is None and incremental and max_bucket_size is not None:
-                # the full path under incremental with a cap needs TWO
-                # outputs of the banding shuffle — the pairs and the
-                # over-cap keys the next delta night pins against — so
-                # pay it once: checkpoint the bucket frame and derive
-                # both from it. (cap None has one consumer: no keys to
-                # record, so the plain streaming plan below wins)
-                from pydala_spark.operators.dedup import (
-                    bucket_pairs,
-                    lsh_buckets,
-                )
-
-                bks = lsh_buckets(
-                    union, "__lid", n_bands,
-                ).localCheckpoint(eager=True)
-                # bounded: over-cap buckets are <= n_docs/cap by
-                # construction (usually zero)
-                overcap_keys = [
-                    (int(r["band_id"]), r["band_hash"])
-                    for r in bks
-                    .where(F.size("ids") > max_bucket_size)
-                    .select("band_id", "band_hash").collect()
-                ]
-                bks = bks.where(F.size("ids") <= max_bucket_size)
-                pairs = bucket_pairs(bks)
-            elif pairs is None:
-                pairs = lsh_candidate_pairs(
-                    union, "__lid", n_bands=n_bands,
-                    max_bucket_size=max_bucket_size,
-                )
-            if incremental:
-                # the next night's delta path needs tonight's edges —
-                # pin them first (the partial path READS _pairs and
-                # this overwrites it: classic self-referential write)
-                pairs = pairs.localCheckpoint(eager=True)
-                n_edges = pairs.count()
-                pairs.write.mode("overwrite").parquet(
-                    posixpath.join(rep_base, "_pairs"))
-                # commit token (ADVICE r10): written AFTER the parquet,
-                # echoed as _artifacts in the summary below. Underscore
-                # prefix ⇒ Spark's parquet reader ignores it. A crash
-                # anywhere between here and the summary write leaves
-                # token ≠ _artifacts and the next night takes the full
-                # path instead of pairing against a stale over-cap list.
-                import uuid as _uuid
-                new_pairs_token = _uuid.uuid4().hex
-                write_token(self._po, posixpath.join(rep_base, "_pairs"),
-                            new_pairs_token)
             clusters = dedup_clusters(pairs).select(
                 F.col("id").alias("__cid"),
                 F.col("cluster_id").alias("cluster"),
@@ -2689,24 +2119,18 @@ class LakeSweepsMixin:
                 "rep_dataset", "rep_id",
             )
             target = posixpath.join(rep_base, "_verdicts")
-            verdict.write.mode("overwrite").partitionBy(
-                "dataset").parquet(target)
-            written = self.spark.read.parquet(target)
-            for r in written.groupBy("dataset").agg(
-                F.count("*").alias("n"),
-                F.count_if(~F.col("kept")).alias("nd"),
-                F.count_if(
-                    ~F.col("kept")
-                    & (F.col("rep_dataset") != F.col("dataset"))
-                ).alias("nx"),
-            ).collect():
-                results[r["dataset"]].update({
-                    "report": posixpath.join(
-                        target, "dataset=" + escape_partition_value(r["dataset"])),
-                    "n_docs": int(r["n"]),
-                    "n_dropped": int(r["nd"]),
-                    "n_cross_dropped": int(r["nx"]),
-                })
+            written = commit_verdicts(
+                self.spark, self._po, verdict, target)
+            update_report_entries(
+                results, written, target,
+                [F.count("*").alias("n"),
+                 F.count_if(~F.col("kept")).alias("nd"),
+                 F.count_if(
+                     ~F.col("kept")
+                     & (F.col("rep_dataset") != F.col("dataset"))
+                 ).alias("nx")],
+                {"n_docs": "n", "n_dropped": "nd",
+                 "n_cross_dropped": "nx"})
             cl = written.where(F.col("cluster").isNotNull()).groupBy(
                 "cluster").agg(
                 F.count_distinct("dataset").alias("nds")).agg(
@@ -2755,8 +2179,7 @@ class LakeSweepsMixin:
                 if warn:
                     state["balloon_warning"] = warn
                 results["_state"] = state
-        write_summary(self._po, rep_base, results)
-        return results
+        return seal_summary(self._po, rep_base, results)
 
     def ann_maintain(
         self,
