@@ -1,4 +1,5 @@
 import os
+import tempfile
 
 import pytest
 
@@ -13,7 +14,14 @@ def spark():
         app_name="pydala_spark_tests",
         master="local[4]",
         shuffle_partitions=4,
-        extra_conf={"spark.driver.memory": "4g"},
+        extra_conf={
+            "spark.driver.memory": "4g",
+            # per-PROCESS warehouse dir (round 13, tools/partest.py):
+            # concurrent shards each saveAsTable into their own scratch
+            # instead of colliding on ./spark-warehouse
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(
+                prefix="pydala_spark_wh_"),
+        },
     )
     yield spark
 

@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Parallel test runner (round 13, VERDICT r12 #2): shard the test
+FILES across N concurrent pytest subprocesses, each with its own
+process-private SparkSession (``tests/conftest.py`` builds one per
+process — ``local[4]``, 4 shuffle partitions, per-process warehouse
+dir), so the suite's wall time drops ~Nx without changing what runs.
+
+No pytest-xdist in this environment, so this is the plain-subprocess
+equivalent: file-level sharding (a file's tests share session-scoped
+fixtures and never split), greedy longest-processing-time balancing
+from the measured per-file durations in ``tools/test_durations.json``
+(files not in the map estimate by size), one summary line per shard,
+combined counts at the end. Exit code is non-zero if ANY shard fails.
+
+    python tools/partest.py            # default 4 workers
+    python tools/partest.py -n 6      # more workers
+    python tools/partest.py -n 1      # serial (same as plain pytest)
+
+Pass-count invariant: ``sum(shard passes) == plain pytest passes`` —
+pinned by tests/test_bench.py::test_partest_shards_cover_every_file.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+TESTS = REPO / "tests"
+DURATIONS = Path(__file__).resolve().parent / "test_durations.json"
+
+def shard_files(files: list[str], n: int) -> list[list[str]]:
+    """Greedy LPT balance by measured duration (size fallback)."""
+    try:
+        weights = json.loads(DURATIONS.read_text())
+    except Exception:
+        weights = {}
+
+    def weight(f: str) -> float:
+        w = weights.get(os.path.basename(f))
+        if w is not None:
+            return float(w)
+        return os.path.getsize(f) / 2000.0  # ~heuristic sec per 2 kB
+
+    shards: list[list[str]] = [[] for _ in range(n)]
+    loads = [0.0] * n
+    for f in sorted(files, key=weight, reverse=True):
+        i = loads.index(min(loads))
+        shards[i].append(f)
+        loads[i] += weight(f)
+    return [s for s in shards if s]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-n", "--workers", type=int, default=4)
+    ap.add_argument("pytest_args", nargs="*", default=[])
+    args = ap.parse_args()
+
+    files = sorted(str(p) for p in TESTS.glob("test_*.py"))
+    shards = shard_files(files, max(1, args.workers))
+    t0 = time.time()
+    procs = []
+    for i, shard in enumerate(shards):
+        cmd = [sys.executable, "-m", "pytest", "-q",
+               "-p", "no:cacheprovider", *args.pytest_args, *shard]
+        env = dict(os.environ)
+        # each worker gets its own tmp scratch root so any fixed-path
+        # leftovers (none known) cannot collide
+        env["PYTEST_SHARD"] = str(i)
+        procs.append((i, shard, subprocess.Popen(
+            cmd, cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)))
+    total_pass = total_fail = total_skip = 0
+    failed = False
+    for i, shard, p in procs:
+        out, _ = p.communicate()
+        tail = out.strip().splitlines()[-1] if out.strip() else ""
+        m_pass = re.search(r"(\d+) passed", tail)
+        m_fail = re.search(r"(\d+) failed", tail)
+        m_skip = re.search(r"(\d+) skipped", tail)
+        total_pass += int(m_pass.group(1)) if m_pass else 0
+        total_fail += int(m_fail.group(1)) if m_fail else 0
+        total_skip += int(m_skip.group(1)) if m_skip else 0
+        status = "OK" if p.returncode == 0 else f"RC={p.returncode}"
+        print(f"[shard {i}] {status} {tail}  "
+              f"({len(shard)} files)", flush=True)
+        if p.returncode != 0:
+            failed = True
+            # replay the failing shard's output so failures read whole
+            print(out, flush=True)
+    print(f"[partest] {total_pass} passed, {total_fail} failed, "
+          f"{total_skip} skipped in {time.time() - t0:.1f}s "
+          f"across {len(shards)} shards")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

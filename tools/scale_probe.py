@@ -104,12 +104,16 @@ def replicate_embeddings(spark, sf_dir: str, factor: int, out: str):
     return n * factor
 
 
-def probe_embedding_ops(spark, path: str, n_centroids: int) -> dict[str, dict]:
+def probe_embedding_ops(
+    spark, path: str, n_centroids: int, only=None
+) -> dict[str, dict]:
     """PQ search and semantic dedup at a given codebook size. The
     semantic-dedup scale contract is centroids ∝ corpus size (constant
     target cell size): the caller passes n_centroids scaled by the
     replication factor, and the probe checks the resulting cost is
-    ~linear — the documented knob, measured."""
+    ~linear — the documented knob, measured. ``only`` (round 13)
+    restricts to a named subset so big-factor runs skip the prep
+    (codebook training, PQ books) of unprobed operators."""
     from pydala_spark.operators.ann import (
         kmeans_centroids,
         pq_codebooks,
@@ -120,30 +124,38 @@ def probe_embedding_ops(spark, path: str, n_centroids: int) -> dict[str, dict]:
     emb = spark.read.parquet(path)
     out: dict[str, dict] = {}
 
+    def want(name):
+        return only is None or name in only
+
     def timed(name, df_builder):
+        if not want(name):
+            return
         df = df_builder()
         t0 = time.monotonic()
         df.write.format("noop").mode("overwrite").save()
         wall = time.monotonic() - t0
         out[name] = {"sec": round(wall, 3), "shuffles": shuffle_count(df)}
 
-    books = pq_codebooks(emb, m=8, n_codes=16, seed=7)
-    probes = spark.read.parquet(path).where(F.col("vec_id") < 10)
-    # warmup: the first pandas-UDF job of a session pays Python-worker +
-    # Arrow-channel startup (~10 s across 32 workers); untimed here so
-    # the 1x/Kx ratio measures the operator, not daemon spawn
-    pq_topk(emb.limit(64), probes.limit(2), books, k=1).write.format(
-        "noop"
-    ).mode("overwrite").save()
-    timed("pq_topk", lambda: pq_topk(emb, probes, books, k=5))
-    cents = kmeans_centroids(emb, n_centroids=n_centroids, seed=7)
-    semantic_dedup(emb.limit(64), cents, threshold=0.25).write.format(
-        "noop"
-    ).mode("overwrite").save()  # warm this plan shape too
-    timed(
-        "semantic_dedup",
-        lambda: semantic_dedup(emb, cents, threshold=0.25),
-    )
+    if want("pq_topk"):
+        books = pq_codebooks(emb, m=8, n_codes=16, seed=7)
+        probes = spark.read.parquet(path).where(F.col("vec_id") < 10)
+        # warmup: the first pandas-UDF job of a session pays
+        # Python-worker + Arrow-channel startup (~10 s across 32
+        # workers); untimed here so the 1x/Kx ratio measures the
+        # operator, not daemon spawn
+        pq_topk(emb.limit(64), probes.limit(2), books, k=1).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        timed("pq_topk", lambda: pq_topk(emb, probes, books, k=5))
+    if want("semantic_dedup"):
+        cents = kmeans_centroids(emb, n_centroids=n_centroids, seed=7)
+        semantic_dedup(emb.limit(64), cents, threshold=0.25).write.format(
+            "noop"
+        ).mode("overwrite").save()  # warm this plan shape too
+        timed(
+            "semantic_dedup",
+            lambda: semantic_dedup(emb, cents, threshold=0.25),
+        )
     # round 5: embedding-space decontamination — benchmark FIXED (an
     # eval set doesn't grow with the corpus), so cost must be linear in
     # corpus rows via the broadcast semi join
@@ -166,11 +178,13 @@ def probe_embedding_ops(spark, path: str, n_centroids: int) -> dict[str, dict]:
     return out
 
 
-def probe_ops(spark, path: str) -> dict[str, dict]:
+def probe_ops(spark, path: str, only=None) -> dict[str, dict]:
     docs = spark.read.parquet(path)
     out = {}
 
     def timed(name, df_builder):
+        if only is not None and name not in only:
+            return
         df = df_builder()
         t0 = time.monotonic()
         df.write.format("noop").mode("overwrite").save()
@@ -329,7 +343,16 @@ def main() -> int:
     ap.add_argument("--lake", action="store_true",
                     help="also probe the composed lake near-dup sweep "
                     "(cold sidecar materialization + hot sidecar-served)")
+    ap.add_argument("--ops", default=None,
+                    help="comma-separated operator subset (round 13): "
+                    "big-factor probes of the near-linear operators "
+                    "skip everything else, e.g. "
+                    "--ops minhash_lsh,semantic_decon,"
+                    "semantic_decon_blocked")
+    ap.add_argument("--out", default="scale_probe_result.json",
+                    help="result filename (under tools/)")
     args = ap.parse_args()
+    only = set(args.ops.split(",")) if args.ops else None
 
     # driver memory must be set before the JVM exists; local[] mode puts
     # executors in the driver JVM, so the default 1g heap OOMs at 10x
@@ -350,13 +373,15 @@ def main() -> int:
     replicate_embeddings(spark, args.sf, 1, emb_base)
     replicate_embeddings(spark, args.sf, args.factor, emb_big)
 
-    small = probe_ops(spark, base_out)
-    small.update(probe_embedding_ops(spark, emb_base, n_centroids=16))
+    small = probe_ops(spark, base_out, only=only)
+    small.update(probe_embedding_ops(
+        spark, emb_base, n_centroids=16, only=only))
     if args.lake:
         small.update(probe_lake_sweeps(spark, base_out, "1x"))
-    big = probe_ops(spark, big_out)
+    big = probe_ops(spark, big_out, only=only)
     big.update(
-        probe_embedding_ops(spark, emb_big, n_centroids=16 * args.factor)
+        probe_embedding_ops(
+            spark, emb_big, n_centroids=16 * args.factor, only=only)
     )
     if args.lake:
         big.update(probe_lake_sweeps(spark, big_out, f"{args.factor}x"))
@@ -381,7 +406,7 @@ def main() -> int:
         print(json.dumps({op: result[op]}))
     result["ok"] = ok
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "scale_probe_result.json"), "w") as f:
+    with open(os.path.join(here, args.out), "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps({"scale_probe_ok": ok}))
     return 0 if ok else 1
