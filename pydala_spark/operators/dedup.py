@@ -476,7 +476,8 @@ def lsh_candidate_pairs_delta(
     construction (``<= n_docs / cap`` buckets) and the touched set is
     delta-sized. Equivalence to the full sweep under these rules is
     pinned by the lake-level property test
-    (``tests/test_timefly_catalog.py``).
+    (``tests/test_lake_sweeps.py``, split out of test_timefly_catalog
+    in round 13).
     """
     spark = signatures.sparkSession
     bands = band_frame(signatures, id_col, n_bands, seed=seed)

@@ -832,2704 +832,3 @@ def test_datalake_discovers_orc_dataset_format(spark, tmp_path):
     assert datasets["events_orc"].load().count() == 2
     assert spark.sql("SELECT COUNT(*) FROM events_orc").first()[0] == 2
 
-
-def test_datalake_decontaminate_sweep(spark, tmp_path):
-    # round 8: the lake-wide decontamination cron — sidecar-served,
-    # marker-verified, per-dataset reports; one contaminated dataset
-    # flagged, clean/odd datasets pass through with reasons
-    import json
-
-    from pyspark.sql import functions as F
-
-    leak = ("the benchmark passage that absolutely must not appear in "
-            "training corpora under any circumstances at all")
-    root = str(tmp_path / "dlake")
-    lake = Datalake(spark, root)
-    clean = spark.createDataFrame(
-        [(i, f"ordinary training document number {i} about topic {i % 3} "
-             "with plenty of harmless filler words")
-         for i in range(8)],
-        ["doc_id", "text"],
-    )
-    dirty = clean.unionByName(spark.createDataFrame(
-        [(99, f"prefix words then {leak} and a suffix")],
-        ["doc_id", "text"],
-    ))
-    clean.write.parquet(os.path.join(root, "clean_ds"))
-    dirty.write.parquet(os.path.join(root, "dirty_ds"))
-    spark.createDataFrame([(1, 2.5)], ["k", "v"]).write.parquet(
-        os.path.join(root, "metrics")
-    )
-    for n in ("clean_ds", "dirty_ds", "metrics"):
-        lake.add_dataset(n)
-    bench = spark.createDataFrame([(0, leak)], ["doc_id", "text"])
-
-    results = lake.decontaminate({"evalset": bench})
-    assert results["metrics"]["skipped"].startswith("no (doc_id")
-    assert results["clean_ds"]["contaminated"] == {"evalset": 0}
-    assert results["dirty_ds"]["contaminated"] == {"evalset": 1}
-    assert results["clean_ds"]["sidecar"] == "materialized"
-    rep = spark.read.parquet(results["dirty_ds"]["report"])
-    assert [r["id"] for r in rep.collect()] == [99]
-    summary = json.loads(
-        (tmp_path / "dlake" / "_decontamination" / "_summary.json")
-        .read_text()
-    )
-    assert summary["dirty_ds"]["contaminated"]["evalset"] == 1
-
-    # second sweep REUSES the sidecars (no re-hash)
-    again = lake.decontaminate({"evalset": bench})
-    assert again["dirty_ds"]["sidecar"] == "reused"
-
-    # corpus mutates -> marker mismatch -> auto re-materialize; with
-    # materialize=False the same state is an error, not a silent zero
-    spark.createDataFrame(
-        [(100, f"a new doc slipping in {leak} after ingest")],
-        ["doc_id", "text"],
-    ).write.mode("append").parquet(os.path.join(root, "dirty_ds"))
-    stale = lake.decontaminate({"evalset": bench}, materialize=False)
-    assert "error" in stale["dirty_ds"] and "STALE" in stale["dirty_ds"]["error"]
-    fresh = lake.decontaminate({"evalset": bench})
-    assert fresh["dirty_ds"]["sidecar"] == "materialized"
-    assert fresh["dirty_ds"]["contaminated"] == {"evalset": 2}
-
-
-def test_datalake_decontaminate_embedding_mode(spark, tmp_path):
-    # round 8 (late): the semantic lake-decon modality — embedding
-    # benchmarks, cosine proximity, no sidecar (one-pass scan); text
-    # datasets skipped, winnowing behavior untouched elsewhere
-    import json
-
-    import numpy as np
-
-    root = str(tmp_path / "elake")
-    lake = Datalake(spark, root)
-    rng = np.random.default_rng(3)
-    vecs = rng.normal(size=(10, 8))
-    leak_vec = [float(x) for x in vecs[0]]
-    corpus = [(i, [float(x) for x in vecs[i]]) for i in range(10)]
-    spark.createDataFrame(
-        corpus, "doc_id long, embedding array<double>"
-    ).write.parquet(os.path.join(root, "embs"))
-    spark.createDataFrame([(1, "text only")], ["doc_id", "text"]).write.parquet(
-        os.path.join(root, "texts"))
-    for n in ("embs", "texts"):
-        lake.add_dataset(n)
-    # benchmark holds an exact copy of corpus vector 0 (cos = 1.0)
-    bench = spark.createDataFrame(
-        [(0, leak_vec)], "doc_id long, embedding array<double>")
-
-    results = lake.decontaminate({"evalset": bench}, mode="embedding",
-                                 threshold=0.999)
-    assert results["texts"]["skipped"].startswith("no (doc_id, embedding)")
-    assert results["embs"]["contaminated"] == {"evalset": 1}
-    assert "sidecar" not in results["embs"]  # honestly: nothing served
-    rep = spark.read.parquet(results["embs"]["report"])
-    assert [r["id"] for r in rep.collect()] == [0]
-    summary = json.loads(
-        (tmp_path / "elake" / "_decontamination" / "_summary.json")
-        .read_text()
-    )
-    assert summary["embs"]["contaminated"]["evalset"] == 1
-
-    # LSH-blocked variant agrees on the planted exact copy
-    blocked = lake.decontaminate({"evalset": bench}, mode="embedding",
-                                 threshold=0.999, block_bits=4, dim=8)
-    assert blocked["embs"]["contaminated"] == {"evalset": 1}
-    # unknown mode fails loud
-    with pytest.raises(ValueError, match="mode"):
-        lake.decontaminate({"evalset": bench}, mode="bogus")
-
-    # ngram mode: exact shingle overlap over the text dataset; the
-    # embeddings dataset is the one skipped now
-    leak = "the quick brown fox jumps over the lazy benchmark dog"
-    spark.createDataFrame(
-        [(1, f"innocent words here then {leak} trailing tail"),
-         (2, "nothing shared with the benchmark at all in this one")],
-        ["doc_id", "text"],
-    ).write.parquet(os.path.join(root, "docs"))
-    lake.add_dataset("docs")
-    tbench = spark.createDataFrame([(0, leak)], ["doc_id", "text"])
-    ng = lake.decontaminate({"evalset": tbench}, mode="ngram", min_hits=2)
-    assert ng["embs"]["skipped"].startswith("no (doc_id, text)")
-    assert ng["docs"]["contaminated"] == {"evalset": 1}
-    assert "sidecar" not in ng["docs"]
-    rep2 = spark.read.parquet(ng["docs"]["report"])
-    assert [(r["id"], r["n_hits"] >= 2) for r in rep2.collect()] == [(1, True)]
-
-
-def test_datalake_decontaminate_incremental(spark, tmp_path):
-    # round 8 (late): the nightly-cron economy — a dataset whose
-    # verified marker matches the previous summary skips the overlap
-    # join and reuses its report; mutated datasets and changed
-    # benchmarks always re-sweep
-    leak = "the quick brown fox jumps over the lazy benchmark dog"
-    root = str(tmp_path / "inclake")
-    lake = Datalake(spark, root)
-    spark.createDataFrame(
-        [(1, f"padding words then {leak} and a tail of filler text"),
-         (2, "zebra umbrella xylophone quartz jigsaw vortex plinth")],
-        ["doc_id", "text"],
-    ).write.parquet(os.path.join(root, "da"))
-    spark.createDataFrame(
-        [(10, "gizmo parsnip okapi wombat fjord crypt glyph nymph")],
-        ["doc_id", "text"],
-    ).write.parquet(os.path.join(root, "db"))
-    for n in ("da", "db"):
-        lake.add_dataset(n)
-    bench = spark.createDataFrame([(0, leak)], ["doc_id", "text"])
-
-    first = lake.decontaminate({"evalset": bench})
-    assert first["da"]["sidecar"] == "materialized"
-    assert first["da"]["contaminated"] == {"evalset": 1}
-    assert "marker" in first["da"] and "_benchmarks" in first
-
-    # unchanged lake, same benchmark: every dataset skips, counts reused
-    second = lake.decontaminate({"evalset": bench}, incremental=True)
-    for n in ("da", "db"):
-        assert second[n]["fresh"].startswith("unchanged"), second[n]
-        assert second[n]["contaminated"] == first[n]["contaminated"]
-
-    # mutate db -> only db re-sweeps (stale marker re-materializes)
-    spark.createDataFrame(
-        [(11, f"now db also contains {leak} hidden inside")],
-        ["doc_id", "text"],
-    ).write.mode("append").parquet(os.path.join(root, "db"))
-    third = lake.decontaminate({"evalset": bench}, incremental=True)
-    assert third["da"]["fresh"].startswith("unchanged")
-    assert "fresh" not in third["db"]
-    assert third["db"]["sidecar"] == "materialized"
-    assert third["db"]["contaminated"] == {"evalset": 1}
-
-    # benchmark content changed -> nothing is provably fresh
-    bench2 = spark.createDataFrame([(0, leak + " extended")],
-                                   ["doc_id", "text"])
-    fourth = lake.decontaminate({"evalset": bench2}, incremental=True)
-    assert all("fresh" not in fourth[n] for n in ("da", "db"))
-
-    # incremental needs a marker-recording modality
-    with pytest.raises(ValueError, match="winnowing-mode only"):
-        lake.decontaminate({"evalset": bench}, mode="ngram",
-                           incremental=True)
-
-    # concurrent sweep: identical verdicts to the serial path (thread
-    # pool only changes job submission, never the math)
-    conc = lake.decontaminate({"evalset": bench2}, max_concurrency=3)
-    assert {n: conc[n].get("contaminated") for n in ("da", "db")} \
-        == {n: fourth[n].get("contaminated") for n in ("da", "db")}
-    assert conc["_benchmarks"] == fourth["_benchmarks"]
-
-    # fault containment holds inside the pool: a dataset whose files
-    # are garbage records an error; the healthy ones still sweep
-    os.makedirs(os.path.join(root, "broken"))
-    lake.add_dataset("broken")  # registered empty; garbage lands after
-    with open(os.path.join(root, "broken", "junk.parquet"), "w") as f:
-        f.write("not parquet")
-    pooled = lake.decontaminate({"evalset": bench2}, max_concurrency=3)
-    assert "error" in pooled["broken"]
-    assert pooled["da"]["contaminated"] == fourth["da"]["contaminated"]
-    assert pooled["db"]["contaminated"] == fourth["db"]["contaminated"]
-
-
-def test_datalake_semantic_dedup_incremental(spark, tmp_path):
-    import numpy as np
-
-    root = str(tmp_path / "incslake")
-    lake = Datalake(spark, root)
-    rng = np.random.default_rng(7)
-    base = rng.normal(size=8)
-    rows = [(i, [float(x) for x in base + rng.normal(scale=0.4, size=8)])
-            for i in range(8)]
-    rows.append((9, rows[0][1]))  # exact dup of id 0
-    spark.createDataFrame(
-        rows, "vec_id long, embedding array<double>"
-    ).write.parquet(os.path.join(root, "embs"))
-    lake.add_dataset("embs")
-
-    first = lake.semantic_dedup(threshold=0.999, n_centroids=2)
-    assert first["embs"]["n_dropped"] >= 1 and "marker" in first["embs"]
-
-    second = lake.semantic_dedup(threshold=0.999, n_centroids=2,
-                                 incremental=True)
-    assert second["embs"]["fresh"].startswith("unchanged")
-    assert second["embs"]["n_dropped"] == first["embs"]["n_dropped"]
-
-    # config moved -> full sweep (threshold is part of the verdict)
-    third = lake.semantic_dedup(threshold=0.9, n_centroids=2,
-                                incremental=True)
-    assert "fresh" not in third["embs"]
-
-    # vectors moved -> re-materialize, no skip
-    spark.createDataFrame(
-        [(20, [float(x) for x in base + 0.3])],
-        "vec_id long, embedding array<double>",
-    ).write.mode("append").parquet(os.path.join(root, "embs"))
-    fourth = lake.semantic_dedup(threshold=0.999, n_centroids=2,
-                                 incremental=True)
-    assert "fresh" not in fourth["embs"]
-    assert fourth["embs"]["sidecar"] == "materialized"
-    assert fourth["embs"]["n_vectors"] == 10
-
-
-def test_datalake_semantic_dedup_incremental_score_marker(spark, tmp_path):
-    # round 9: the (id, vec) marker is blind to score VALUES — a
-    # re-scored corpus with unchanged vectors must break the skip and
-    # flip the keeper (same rule as neardup_dedup's score marker)
-    import numpy as np
-
-    root = str(tmp_path / "incsclake")
-    lake = Datalake(spark, root)
-    rng = np.random.default_rng(11)
-    v = [float(x) for x in rng.normal(size=6)]
-    rows_v1 = [(0, v, 0.9), (1, [x + 1e-5 for x in v], 0.1),
-               (2, [float(x) for x in rng.normal(size=6) + 8], 0.5)]
-    spark.createDataFrame(
-        rows_v1, "vec_id long, embedding array<double>, q double"
-    ).write.parquet(os.path.join(root, "embs"))
-    lake.add_dataset("embs")
-
-    kw = dict(threshold=0.999, n_centroids=2, score_col="q",
-              incremental=True,
-              signatures_root=str(tmp_path / "incsclake_sigs"))
-    first = lake.semantic_dedup(**kw)
-    assert first["embs"]["scored"] is True
-    assert "score_marker" in first["embs"]
-    rep = spark.read.parquet(first["embs"]["report"])
-    kept1 = {r["id"] for r in rep.collect() if r["kept"]}
-    assert kept1 == {0, 2}  # 0.9 beats 0.1
-
-    second = lake.semantic_dedup(**kw)
-    assert second["embs"]["fresh"].startswith("unchanged")
-
-    # overwrite SCORES only (same ids, same vectors): the vec marker
-    # AND the out-of-place cells sidecar still verify (sidecar stays
-    # "reused") — the score marker ALONE must force the re-sweep, and
-    # the keeper flips
-    rows_v2 = [(i, vec, {0: 0.1, 1: 0.9, 2: 0.5}[i])
-               for i, vec, _ in rows_v1]
-    spark.createDataFrame(
-        rows_v2, "vec_id long, embedding array<double>, q double"
-    ).write.mode("overwrite").parquet(os.path.join(root, "embs"))
-    third = lake.semantic_dedup(**kw)
-    assert "fresh" not in third["embs"]
-    assert third["embs"]["sidecar"] == "reused"  # vectors unchanged
-    assert third["embs"]["marker"] == first["embs"]["marker"]
-    assert third["embs"]["score_marker"] != first["embs"]["score_marker"]
-    rep3 = spark.read.parquet(third["embs"]["report"])
-    assert {r["id"] for r in rep3.collect() if r["kept"]} == {1, 2}
-
-
-def test_datalake_semantic_dedup_sweep(spark, tmp_path):
-    # round 8 (late): the embedding-modality lake sweep — cells-sidecar
-    # served, lake-pinned codebook, marker-verified; near-dup vectors
-    # dropped, text/odd datasets skipped with reasons
-    import json
-
-    import numpy as np
-
-    root = str(tmp_path / "slake")
-    lake = Datalake(spark, root)
-    rng = np.random.default_rng(5)
-    anchors = rng.normal(size=(3, 8))
-    rows = [(i, [float(x) for x in anchors[i % 3] + rng.normal(scale=0.05, size=8)])
-            for i in range(12)]
-    rows.append((50, [float(x) for x in anchors[0] + 1e-4]))  # near-dup of i=0's anchor
-    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    embs.write.parquet(os.path.join(root, "embs"))
-    spark.createDataFrame([(1, "plain text only")], ["doc_id", "text"]).write.parquet(
-        os.path.join(root, "texts"))
-    for n in ("embs", "texts"):
-        lake.add_dataset(n)
-
-    results = lake.semantic_dedup(threshold=0.995, n_centroids=3)
-    assert results["texts"]["skipped"].startswith("no (vec_id")
-    assert results["embs"]["sidecar"] == "materialized"
-    assert results["embs"]["n_vectors"] == 13
-    assert results["embs"]["n_dropped"] >= 1
-    assert results["_codebook"]["sha"]
-    rep = spark.read.parquet(results["embs"]["report"])
-    assert set(rep.columns) == {"id", "cell", "kept"}
-    summary = json.loads(
-        (tmp_path / "slake" / "_semantic_dedup" / "_summary.json").read_text()
-    )
-    assert summary["embs"]["n_dropped"] >= 1
-
-    # second sweep: codebook loaded from the pinned path, sidecar reused
-    again = lake.semantic_dedup(threshold=0.995, n_centroids=3)
-    assert again["embs"]["sidecar"] == "reused"
-    assert again["_codebook"]["sha"] == results["_codebook"]["sha"]
-
-    # vectors mutate -> marker mismatch -> error without materialize,
-    # auto re-materialize with it (the decontaminate contract)
-    spark.createDataFrame(
-        [(60, [float(x) for x in anchors[1] + 2e-4])],
-        "vec_id long, embedding array<double>",
-    ).write.mode("append").parquet(os.path.join(root, "embs"))
-    stale = lake.semantic_dedup(threshold=0.995, n_centroids=3,
-                                materialize=False)
-    assert "error" in stale["embs"] and "STALE" in stale["embs"]["error"]
-    fresh = lake.semantic_dedup(threshold=0.995, n_centroids=3)
-    assert fresh["embs"]["sidecar"] == "materialized"
-    assert fresh["embs"]["n_vectors"] == 14
-    assert fresh["embs"]["n_dropped"] >= 2
-
-    # thread-pooled sweep: identical verdicts (codebook already pinned)
-    conc = lake.semantic_dedup(threshold=0.995, n_centroids=3,
-                               max_concurrency=3)
-    assert conc["embs"]["n_dropped"] == fresh["embs"]["n_dropped"]
-    assert conc["_codebook"]["sha"] == fresh["_codebook"]["sha"]
-
-
-def test_datalake_neardup_dedup_sweep(spark, tmp_path):
-    # round 8 (late): the text-modality lake sweep — minhash-sidecar
-    # served, cross-dataset LSH + connected components; the same crawl
-    # doc planted in two dumps keeps its best-scored copy, verdicts say
-    # WHERE the keeper lives, non-text datasets skipped with reasons
-    import json
-
-    root = str(tmp_path / "ndlake")
-    lake = Datalake(spark, root)
-    shared = ("the quick brown fox jumps over the lazy dog "
-              "again and again in every single crawl dump")
-    spark.createDataFrame(
-        [(1, shared, 0.9),
-         (2, "completely different unique content nothing alike here", 0.1)],
-        ["doc_id", "text", "score"],
-    ).write.parquet(os.path.join(root, "dump_a"))
-    spark.createDataFrame(
-        [(10, shared, 0.2),
-         (11, "another entirely distinct document with its own words", 0.5)],
-        ["doc_id", "text", "score"],
-    ).write.parquet(os.path.join(root, "dump_b"))
-    spark.createDataFrame(
-        [(0, [0.1, 0.2])], "vec_id long, embedding array<double>"
-    ).write.parquet(os.path.join(root, "embs"))
-    for n in ("dump_a", "dump_b", "embs"):
-        lake.add_dataset(n)
-
-    results = lake.neardup_dedup(score_col="score")
-    assert results["embs"]["skipped"].startswith("no (doc_id, text)")
-    assert results["dump_a"]["sidecar"] == "materialized"
-    assert results["dump_a"]["scored"] is True
-    # ONE cluster: the planted copy — and it spans datasets, the number
-    # only the lake-level sweep can see
-    assert results["_lake"]["n_clusters"] == 1
-    assert results["_lake"]["n_cross_dataset_clusters"] == 1
-    # keeper is the BEST-scored member (dump_a doc 1 at 0.9)
-    assert results["dump_a"]["n_dropped"] == 0
-    assert results["dump_b"]["n_dropped"] == 1
-    assert results["dump_b"]["n_cross_dropped"] == 1
-    rep_b = spark.read.parquet(results["dump_b"]["report"])
-    assert set(rep_b.columns) == {"id", "cluster", "kept",
-                                  "rep_dataset", "rep_id"}
-    by_id = {r["id"]: r for r in rep_b.collect()}
-    assert by_id["10"]["kept"] is False
-    assert (by_id["10"]["rep_dataset"], by_id["10"]["rep_id"]) == (
-        "dump_a", "1")
-    assert by_id["11"]["kept"] is True and by_id["11"]["cluster"] is None
-    summary = json.loads(
-        (tmp_path / "ndlake" / "_neardup" / "_summary.json").read_text())
-    assert summary["dump_b"]["n_cross_dropped"] == 1
-    assert summary["_lake"]["n_cross_dataset_clusters"] == 1
-
-    # second sweep: signatures served from the sidecars, no re-hash
-    again = lake.neardup_dedup(score_col="score")
-    assert again["dump_a"]["sidecar"] == "reused"
-    assert again["dump_b"]["sidecar"] == "reused"
-
-    # text mutates -> content marker mismatch -> loud without
-    # materialize, auto re-materialize with it (the sweep contract)
-    spark.createDataFrame(
-        [(12, shared + " with a slight tail", 0.95)],
-        ["doc_id", "text", "score"],
-    ).write.mode("append").parquet(os.path.join(root, "dump_b"))
-    stale = lake.neardup_dedup(score_col="score", materialize=False)
-    assert "error" in stale["dump_b"] and "STALE" in stale["dump_b"]["error"]
-    assert stale["dump_a"]["sidecar"] == "reused"  # one bad ds, sweep lives
-    fresh = lake.neardup_dedup(score_col="score")
-    assert fresh["dump_b"]["sidecar"] == "materialized"
-    assert fresh["dump_b"]["n_docs"] == 3
-
-    # unscored sweep still works: smallest lake-qualified id kept
-    plain = lake.neardup_dedup()
-    assert plain["dump_a"]["scored"] is False
-    rep_a = spark.read.parquet(plain["dump_a"]["report"])
-    assert {r["id"]: r["kept"] for r in rep_a.collect()}["1"] is True
-
-    # thread-pooled sidecar phase: identical lake verdicts
-    conc = lake.neardup_dedup(max_concurrency=3)
-    assert conc["_lake"] == plain["_lake"]
-    assert {n: conc[n].get("n_dropped") for n in ("dump_a", "dump_b")} \
-        == {n: plain[n].get("n_dropped") for n in ("dump_a", "dump_b")}
-
-    # the zero-text-scan contract, behaviorally: REPLACE every corpus
-    # text with garbage (same ids) — a sweep that hashed text would now
-    # cluster nothing; with verify=False it must serve the sidecars and
-    # reproduce the pre-mutation verdicts exactly
-    import shutil as _sh
-
-    from pyspark.sql import functions as F
-
-    for dn in ("dump_a", "dump_b"):
-        p = os.path.join(root, dn)
-        spark.read.parquet(p).select(
-            "doc_id", F.lit("x").alias("text"), "score"
-        ).write.parquet(p + "_g")
-        # the sidecars ride along (the compact carry-over convention);
-        # only the corpus text is garbled
-        os.rename(os.path.join(p, "_signatures"),
-                  os.path.join(p + "_g", "_signatures"))
-        _sh.rmtree(p)
-        os.rename(p + "_g", p)
-    blind = lake.neardup_dedup(verify=False, materialize=False)
-    assert blind["_lake"] == plain["_lake"]
-    assert all(blind[n]["sidecar"] == "reused"
-               for n in ("dump_a", "dump_b"))
-
-    # banding mismatch fails before any dataset pays materialization
-    with pytest.raises(ValueError, match="must divide"):
-        lake.neardup_dedup(n_hashes=8, n_bands=3)
-
-
-def test_cli_decontaminate_smoke(spark, tmp_path, capsys):
-    import json
-
-    from pydala_spark.cli import main
-
-    leak = ("the benchmark passage that absolutely must not appear in "
-            "training corpora under any circumstances at all")
-    root = str(tmp_path / "clilake")
-    lake = Datalake(spark, root)
-    spark.createDataFrame(
-        [(1, "harmless doc one with words"),
-         (2, f"contains {leak} inside")],
-        ["doc_id", "text"],
-    ).write.parquet(os.path.join(root, "docs"))
-    lake.add_dataset("docs")
-    bpath = str(tmp_path / "bench")
-    spark.createDataFrame([(0, leak)], ["doc_id", "text"]).write.parquet(bpath)
-
-    rc = main(["--master", "local[4]", "decontaminate",
-               "--root", root, "--benchmark", f"evalset={bpath}"])
-    out = json.loads(capsys.readouterr().out)
-    assert rc == 0
-    assert out["docs"]["contaminated"]["evalset"] == 1
-    # --fail-on-hits flips the exit code for cron alerting
-    rc2 = main(["--master", "local[4]", "decontaminate",
-                "--root", root, "--benchmark", f"evalset={bpath}",
-                "--fail-on-hits"])
-    capsys.readouterr()
-    assert rc2 == 3
-
-
-def test_cli_semantic_dedup_smoke(spark, tmp_path, capsys):
-    import json
-
-    import numpy as np
-
-    from pydala_spark.cli import main
-
-    root = str(tmp_path / "sdlake")
-    lake = Datalake(spark, root)
-    rng = np.random.default_rng(11)
-    base = rng.normal(size=8)
-    rows = [(i, [float(x) for x in base + rng.normal(scale=0.5, size=8)])
-            for i in range(6)]
-    rows.append((9, rows[0][1]))  # exact duplicate vector of id 0
-    spark.createDataFrame(
-        rows, "vec_id long, embedding array<double>"
-    ).write.parquet(os.path.join(root, "embs"))
-    lake.add_dataset("embs")
-
-    rc = main(["--master", "local[4]", "semantic-dedup",
-               "--root", root, "--threshold", "0.999",
-               "--n-centroids", "2"])
-    out = json.loads(capsys.readouterr().out)
-    assert rc == 0
-    assert out["embs"]["n_vectors"] == 7
-    assert out["embs"]["n_dropped"] >= 1
-    assert out["_codebook"]["path"].endswith("semantic_dedup.json")
-    # --fail-on-dups flips the exit code for cron alerting
-    rc2 = main(["--master", "local[4]", "semantic-dedup",
-                "--root", root, "--threshold", "0.999",
-                "--n-centroids", "2", "--fail-on-dups"])
-    capsys.readouterr()
-    assert rc2 == 3
-    # missing --root is a usage error
-    assert main(["--master", "local[4]", "semantic-dedup"]) == 2
-    capsys.readouterr()
-
-
-def test_cli_neardup_dedup_smoke(spark, tmp_path, capsys):
-    import json
-
-    from pydala_spark.cli import main
-
-    root = str(tmp_path / "ndclake")
-    lake = Datalake(spark, root)
-    shared = ("shared crawl document text that appears in both dumps "
-              "word for word with enough shingles to minhash")
-    spark.createDataFrame(
-        [(1, shared), (2, "unique words live here and nowhere else")],
-        ["doc_id", "text"],
-    ).write.parquet(os.path.join(root, "dump_a"))
-    spark.createDataFrame(
-        [(10, shared)], ["doc_id", "text"],
-    ).write.parquet(os.path.join(root, "dump_b"))
-    for n in ("dump_a", "dump_b"):
-        lake.add_dataset(n)
-
-    rc = main(["--master", "local[4]", "neardup-dedup", "--root", root])
-    out = json.loads(capsys.readouterr().out)
-    assert rc == 0
-    assert out["_lake"]["n_cross_dataset_clusters"] == 1
-    # smallest lake-qualified id wins unscored: dump_a keeps, dump_b drops
-    assert out["dump_b"]["n_cross_dropped"] == 1
-    # --fail-on-dups flips the exit code for cron alerting
-    rc2 = main(["--master", "local[4]", "neardup-dedup", "--root", root,
-                "--fail-on-dups"])
-    capsys.readouterr()
-    assert rc2 == 3
-    # missing --root is a usage error
-    assert main(["--master", "local[4]", "neardup-dedup"]) == 2
-    capsys.readouterr()
-
-
-def test_cli_cron_config_runs_all_sweeps(spark, tmp_path, capsys):
-    # round 8 (late): ONE TOML = the whole lake-maintenance cron —
-    # all three sweep tables execute in order against one root
-    import json
-
-    import numpy as np
-
-    from pydala_spark.cli import main
-
-    root = str(tmp_path / "cronlake")
-    lake = Datalake(spark, root)
-    leak = "the quick brown fox jumps over the lazy benchmark dog"
-    spark.createDataFrame(
-        [(1, f"some filler then {leak} and more filler words"),
-         (2, "zebra umbrella xylophone quartz jigsaw vortex plinth")],
-        ["doc_id", "text"],
-    ).write.parquet(os.path.join(root, "docs"))
-    rng = np.random.default_rng(3)
-    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(6)]
-    rows.append((9, rows[0][1]))  # exact dup vector
-    spark.createDataFrame(
-        rows, "vec_id long, embedding array<double>"
-    ).write.parquet(os.path.join(root, "embs"))
-    for n in ("docs", "embs"):
-        lake.add_dataset(n)
-    bench_path = str(tmp_path / "cron_bench")
-    spark.createDataFrame([(0, leak)], ["doc_id", "text"]) \
-        .write.parquet(bench_path)
-
-    cfg = tmp_path / "cron.toml"
-    prep_dest = str(tmp_path / "cron_prep_out")
-    cfg.write_text(f"""
-root = "{root}"
-
-[maintain]
-target_file_mb = 64
-
-[prep_sweep]
-dest_root = "{prep_dest}"
-benchmark = "{bench_path}"
-min_quality = 0
-near_dup = false
-
-[decontaminate]
-benchmark = ["eval={bench_path}"]
-incremental = true
-max_concurrency = 2
-
-[semantic_dedup]
-threshold = 0.999
-n_centroids = 2
-
-[neardup_dedup]
-max_concurrency = 2
-
-[span_dedup_report]
-min_df = 2
-""")
-    rc = main(["--master", "local[4]", "cron", str(cfg)])
-    out = json.loads(capsys.readouterr().out)
-    assert rc == 0
-    assert set(out) == {"maintain", "prep_sweep", "decontaminate",
-                        "semantic_dedup", "neardup_dedup",
-                        "span_dedup_report"}
-    assert out["span_dedup_report"]["docs"]["sidecar"] == "materialized"
-    assert out["span_dedup_report"]["embs"]["skipped"].startswith("no (")
-    assert "files_after" in out["maintain"]["docs"]
-    # prep_sweep wrote the cleaned copy: the leaked doc is gone
-    assert out["prep_sweep"]["docs"]["n_in"] == 2
-    assert out["prep_sweep"]["docs"]["n_out"] == 1
-    assert out["prep_sweep"]["embs"]["skipped"].startswith("no (")
-    cleaned = spark.read.parquet(out["prep_sweep"]["docs"]["dest"])
-    assert [r["doc_id"] for r in cleaned.collect()] == [2]
-    assert out["decontaminate"]["docs"]["contaminated"] == {"eval": 1}
-    assert out["semantic_dedup"]["embs"]["n_dropped"] >= 1
-    assert out["neardup_dedup"]["_lake"]["n_clusters"] == 0
-
-    # second run: incremental decontaminate reuses its verdict
-    rc2 = main(["--master", "local[4]", "cron", str(cfg)])
-    out2 = json.loads(capsys.readouterr().out)
-    assert rc2 == 0
-    assert out2["decontaminate"]["docs"]["fresh"].startswith("unchanged")
-
-    # fail_on_hits in the section flips the exit code
-    cfg.write_text(f"""
-root = "{root}"
-
-[decontaminate]
-benchmark = ["eval={bench_path}"]
-fail_on_hits = true
-""")
-    rc3 = main(["--master", "local[4]", "cron", str(cfg)])
-    capsys.readouterr()
-    assert rc3 == 3
-
-    # [signatures_report] runs last as the post-sweep invariant: after
-    # the sweeps re-materialized everything, nothing is stale -> rc 0
-    cfg.write_text(f"""
-root = "{root}"
-
-[decontaminate]
-benchmark = ["eval={bench_path}"]
-
-[signatures_report]
-verify = true
-fail_on_stale = true
-""")
-    rc4 = main(["--master", "local[4]", "cron", str(cfg)])
-    out4 = json.loads(capsys.readouterr().out)
-    assert rc4 == 0
-    assert out4["signatures_report"]["docs"]["sidecars"][
-        "winnowing"]["fresh"] is True
-    # ...and when the corpus mutates under a report-only config, the
-    # stale sidecar trips the alert
-    spark.createDataFrame([(9, "freshly appended words change marker")],
-                          ["doc_id", "text"]).write.mode("append")         .parquet(os.path.join(root, "docs"))
-    cfg.write_text(f"""
-root = "{root}"
-
-[signatures_report]
-verify = true
-fail_on_stale = true
-""")
-    rc5 = main(["--master", "local[4]", "cron", str(cfg)])
-    capsys.readouterr()
-    assert rc5 == 3
-
-    # config hygiene fails loud before any Spark work
-    cfg.write_text(f'root = "{root}"\n\n[decontaminate]\nbogus_key = 1\n'
-                   f'benchmark = ["eval={bench_path}"]\n')
-    assert main(["--master", "local[4]", "cron", str(cfg)]) == 2
-    capsys.readouterr()
-    cfg.write_text(f'root = "{root}"\n\n[unknown_section]\nx = 1\n')
-    assert main(["--master", "local[4]", "cron", str(cfg)]) == 2
-    capsys.readouterr()
-
-
-def test_cli_cron_runtime_error_containment(
-        spark, tmp_path, capsys, monkeypatch):
-    # round 11 (ADVICE r10): only the typed ConfigError takes the
-    # exit-2 config path; a genuine runtime exception mid-sweep is
-    # recorded against ITS section (exit 1) and the remaining sections
-    # still run
-    import json
-
-    from pydala_spark.cli import main
-
-    root = str(tmp_path / "cronerr")
-    lake = Datalake(spark, root)
-    spark.createDataFrame(
-        [(1, "some words here"), (2, "other words there")],
-        ["doc_id", "text"],
-    ).write.parquet(os.path.join(root, "docs"))
-    lake.add_dataset("docs")
-
-    # a method-level refusal (ConfigError subclass) stays the exit-2
-    # config path: n_bands must divide n_hashes
-    cfg = tmp_path / "cronerr.toml"
-    cfg.write_text(f'root = "{root}"\n\n[neardup_dedup]\nn_bands = 3\n')
-    assert main(["--master", "local[4]", "cron", str(cfg)]) == 2
-    capsys.readouterr()
-
-    # a runtime ValueError from inside the sweep must NOT masquerade
-    # as a config error: per-section failure, later sections run
-    from pydala_spark.catalog import Datalake as _DL
-
-    def _boom(self, threshold=None, n_centroids=None, **kw):
-        raise ValueError("numpy blew up mid-sweep")
-
-    monkeypatch.setattr(_DL, "semantic_dedup", _boom)
-    cfg.write_text(f"""
-root = "{root}"
-
-[semantic_dedup]
-threshold = 0.999
-n_centroids = 2
-
-[neardup_dedup]
-max_concurrency = 1
-""")
-    rc = main(["--master", "local[4]", "cron", str(cfg)])
-    out = json.loads(capsys.readouterr().out)
-    assert rc == 1
-    assert out["semantic_dedup"]["error"].startswith("ValueError")
-    assert "_lake" in out["neardup_dedup"]  # the later section ran
-
-
-def test_datalake_span_report_partial_incremental(spark, tmp_path):
-    # round 10: the third lake-global sweep gets the partial night —
-    # span df is ADDITIVE over dataset-disjoint ids, so the persisted
-    # per-dataset contributions + lake df table adjust by a delta, and
-    # only docs whose min_df flag set moved re-group. The killer case:
-    # a CHANGED dataset's new copy flips a fingerprint ON/OFF for a
-    # doc in an UNCHANGED dataset, whose verdict must still move.
-    import json
-
-    boiler_l = ("This license block appears word for word in several "
-                "crawl dumps of the lake tonight again and again. ")
-    boiler_m = ("An injected promotional banner that search spam "
-                "inserted into many pages across snapshots here too. ")
-
-    def mk_lake(base, c_rows):
-        root = str(tmp_path / base)
-        lake = Datalake(spark, root)
-        spark.createDataFrame(
-            [(1, boiler_l + "alpha bravo charlie delta echo foxtrot"),
-             (2, boiler_m + "golf hotel india juliet kilo lima mike"),
-             (3, "cobalt meadows hum beneath auroral lattices quiet")],
-            ["doc_id", "text"],
-        ).write.parquet(os.path.join(root, "a"))
-        spark.createDataFrame(
-            [(10, boiler_l + "zebra umbrella xylophone quartz jigsaw")],
-            ["doc_id", "text"],
-        ).write.parquet(os.path.join(root, "b"))
-        spark.createDataFrame(
-            c_rows, ["doc_id", "text"],
-        ).write.parquet(os.path.join(root, "c"))
-        for n in ("a", "b", "c"):
-            lake.add_dataset(n)
-        return lake, root
-
-    c0 = [(20, "rusty harbor cranes pivot over brackish tides north")]
-    lake, root = mk_lake("splake1", c0)
-    kw = dict(min_df=2, min_span=50, incremental=True)
-    r1 = lake.span_dedup_report(**kw)
-    assert r1["_sweep_mode"] == "full"
-    assert r1["a"]["n_docs"] == 1 and r1["b"]["n_docs"] == 1
-    assert r1["c"]["n_spans"] == 0  # boiler_m has lake df=1: no span
-    summary = json.loads(
-        (tmp_path / "splake1" / "_span_dedup" / "_summary.json")
-        .read_text())
-    assert summary["_artifacts"]
-    # lifecycle reporting (round 11): the persisted partial-state
-    # footprint is in the summary, and the all-fresh night carries it
-    assert r1["_state"]["df_bytes"] > 0
-    assert r1["_state"]["contrib_bytes"] > 0
-    r2 = lake.span_dedup_report(**kw)
-    assert r2["_sweep_mode"] == "fresh"
-    assert r2["_state"] == r1["_state"]
-
-    # C gains a copy of boiler_m: its df flips 1 -> 2, so doc 2 in
-    # UNCHANGED dataset a must gain a span through flip propagation
-    spark.createDataFrame(
-        [(21, boiler_m + "velvet monsoon drums syncopate saffron")],
-        ["doc_id", "text"],
-    ).write.mode("append").parquet(os.path.join(root, "c"))
-    r3 = lake.span_dedup_report(**kw)
-    assert r3["_sweep_mode"] == "partial"
-    assert r3["a"]["sidecar"] == "reused"
-    assert r3["a"]["n_docs"] == 2  # doc 1 (L) carried, doc 2 (M) new
-    assert r3["b"]["n_docs"] == 1
-    assert r3["c"]["n_docs"] == 1
-    # exact-rows oracle: a from-scratch full sweep on a twin lake
-    lake2, _ = mk_lake("splake2", c0 + [
-        (21, boiler_m + "velvet monsoon drums syncopate saffron")])
-    rf = lake2.span_dedup_report(min_df=2, min_span=50)
-    for n in ("a", "b", "c"):
-        for key in ("n_spans", "n_docs", "chars_flagged"):
-            assert r3[n][key] == rf[n][key], (n, key, r3[n], rf[n])
-    v_part = sorted(map(tuple, spark.read.parquet(
-        os.path.join(root, "_span_dedup", "_spans"))
-        .select("dataset", "id", "span_start", "span_end").collect()))
-    v_full = sorted(map(tuple, spark.read.parquet(
-        str(tmp_path / "splake2" / "_span_dedup" / "_spans"))
-        .select("dataset", "id", "span_start", "span_end").collect()))
-    assert v_part == v_full
-
-    # flip OFF: C rewritten without the banner -> df back to 1, and
-    # the carried dataset a must LOSE doc 2's span again
-    spark.createDataFrame(c0, ["doc_id", "text"]) \
-        .write.mode("overwrite").parquet(os.path.join(root, "c"))
-    r5 = lake.span_dedup_report(**kw)
-    assert r5["_sweep_mode"] == "partial"
-    assert r5["a"]["n_docs"] == 1 and r5["c"]["n_spans"] == 0
-    assert r5["_lake"]["n_docs"] == 2  # just the L pair again
-
-    # dataset removal: b leaves, L's df drops to 1 -> NO spans remain
-    # lake-wide; the empty merge deletes the stale table
-    lake.remove_dataset("b", clean=True)
-    r6 = lake.span_dedup_report(**kw)
-    assert "b" not in r6
-    assert r6["_sweep_mode"] == "partial"
-    assert r6["_lake"]["n_spans"] == 0
-    assert not os.path.isdir(
-        os.path.join(root, "_span_dedup", "_spans"))
-
-    # artifact-token mismatch (a crash window) degrades to a FULL
-    # rebuild, never a double-adjusted df
-    spark.createDataFrame(
-        [(30, boiler_l + "brand new copy joining the license club")],
-        ["doc_id", "text"],
-    ).write.mode("append").parquet(os.path.join(root, "c"))
-    os.remove(os.path.join(root, "_span_dedup", "_df", "_token.json"))
-    r7 = lake.span_dedup_report(**kw)
-    assert r7["_sweep_mode"] == "full"
-    assert r7["a"]["n_docs"] == 1 and r7["c"]["n_docs"] == 1  # L df=2
-
-    # an EMPTY full sweep deletes the stale table too — a later
-    # partial night's carry-over would otherwise resurrect it
-    spark.createDataFrame(
-        [(1, "totally rewritten words nothing shared anymore")],
-        ["doc_id", "text"],
-    ).write.mode("overwrite").parquet(os.path.join(root, "a"))
-    spark.createDataFrame(c0, ["doc_id", "text"]) \
-        .write.mode("overwrite").parquet(os.path.join(root, "c"))
-    r8 = lake.span_dedup_report(**kw)
-    assert r8["_sweep_mode"] == "full"  # nothing was unchanged
-    assert r8["_lake"]["n_spans"] == 0
-    assert not os.path.isdir(os.path.join(root, "_span_dedup",
-                                          "_spans"))
-
-    # a CHANGED dataset whose new sidecar is EMPTY (every doc shorter
-    # than k+window-1) must still clear its recorded contribution —
-    # a surviving stale partition would double-subtract on the NEXT
-    # delta and flip real spans off in unchanged datasets
-    spark.createDataFrame(
-        [(1, boiler_l + "first resident copy with tail words one"),
-         (2, boiler_l + "second resident copy with tail words two")],
-        ["doc_id", "text"],
-    ).write.mode("overwrite").parquet(os.path.join(root, "a"))
-    spark.createDataFrame(
-        [(20, boiler_l + "third copy living in dump c for now")],
-        ["doc_id", "text"],
-    ).write.mode("overwrite").parquet(os.path.join(root, "c"))
-    r9 = lake.span_dedup_report(**kw)
-    assert r9["_sweep_mode"] == "full"  # both changed
-    assert r9["a"]["n_docs"] == 2 and r9["c"]["n_docs"] == 1  # df=3
-    # c is emptied entirely (all docs deleted) -> its new sidecar has
-    # ZERO rows, so dynamic overwrite would never touch its partition
-    spark.createDataFrame([], "doc_id long, text string") \
-        .write.mode("overwrite").parquet(os.path.join(root, "c"))
-    r10 = lake.span_dedup_report(**kw)
-    assert r10["_sweep_mode"] == "partial"
-    assert r10["a"]["n_docs"] == 2  # df 3 -> 2, still >= min_df
-    assert r10["c"]["n_spans"] == 0
-    assert not os.path.isdir(os.path.join(
-        root, "_span_dedup", "_contrib", "dataset=c"))
-    # change c AGAIN: without the partition cleanup the stale {L: 1}
-    # would subtract a second time (df 2 -> 1) and kill dataset a's
-    # real spans through a phantom flip
-    spark.createDataFrame([(20, "tin2 short words")],
-                          ["doc_id", "text"]) \
-        .write.mode("overwrite").parquet(os.path.join(root, "c"))
-    r11 = lake.span_dedup_report(**kw)
-    assert r11["_sweep_mode"] == "partial"
-    assert r11["a"]["n_docs"] == 2, r11["a"]
-
-    # carry-over integrity (round-11 review class, mirrors the
-    # semantic sweep): a's spans partition lost out-of-band must NOT
-    # silently vanish its spans on the next partial night — the
-    # count-by-dataset check demotes a to CHANGED, and with nothing
-    # unchanged left the sweep runs FULL and regenerates everything
-    import shutil as _sh2
-    _sh2.rmtree(os.path.join(root, "_span_dedup", "_spans",
-                             "dataset=a"))
-    spark.createDataFrame([(20, "tin3 short words")],
-                          ["doc_id", "text"]) \
-        .write.mode("overwrite").parquet(os.path.join(root, "c"))
-    r12 = lake.span_dedup_report(**kw)
-    assert r12["_sweep_mode"] == "full"  # only-unchanged a was demoted
-    assert r12["a"]["n_docs"] == 2, r12["a"]  # spans regenerated
-    spk = spark.read.parquet(os.path.join(
-        root, "_span_dedup", "_spans"))
-    assert spk.where(spk["dataset"] == "a").count() == 2
-
-    # ...and a lost _contrib part-file (token intact) flunks the
-    # _state byte check: the Δ would be silently wrong, so the night
-    # must rebuild full
-    import glob as _gl
-    part = sorted(_gl.glob(os.path.join(
-        root, "_span_dedup", "_contrib", "dataset=*", "part-*")))[0]
-    os.remove(part)
-    spark.createDataFrame([(20, "tin4 short words")],
-                          ["doc_id", "text"]) \
-        .write.mode("overwrite").parquet(os.path.join(root, "c"))
-    r13 = lake.span_dedup_report(**kw)
-    assert r13["_sweep_mode"] == "full"
-    assert r13["a"]["n_docs"] == 2, r13["a"]
-
-    # a spans PARTITION lost on a QUIET lake (third review find): the
-    # all-fresh gate's count check must refuse "fresh" and rebuild
-    r14 = lake.span_dedup_report(**kw)
-    assert r14["_sweep_mode"] == "fresh"  # sanity: gate passes intact
-    _sh2.rmtree(os.path.join(root, "_span_dedup", "_spans",
-                             "dataset=a"))
-    r15 = lake.span_dedup_report(**kw)
-    assert r15["_sweep_mode"] != "fresh"
-    assert r15["a"]["n_docs"] == 2, r15["a"]
-
-
-def test_cli_cron_semantic_cross_incremental(spark, tmp_path, capsys):
-    # round 10: the [semantic_dedup] cron section drives the
-    # cross-dataset PARTIAL-incremental mode end to end — second night
-    # unchanged -> fresh, all through the TOML form
-    import json
-
-    import numpy as np
-
-    from pydala_spark.cli import main
-
-    root = str(tmp_path / "xcronlake")
-    lake = Datalake(spark, root)
-    rng = np.random.default_rng(23)
-    v = [float(x) for x in rng.normal(size=6)]
-    spark.createDataFrame(
-        [(1, v), (2, [x + 1e-5 for x in v]),
-         (3, [float(x) for x in rng.normal(size=6) + 5])],
-        "vec_id long, embedding array<double>",
-    ).write.parquet(os.path.join(root, "e1"))
-    spark.createDataFrame(
-        [(10, v)], "vec_id long, embedding array<double>",
-    ).write.parquet(os.path.join(root, "e2"))
-    for n in ("e1", "e2"):
-        lake.add_dataset(n)
-
-    cfg = tmp_path / "xcron.toml"
-    cfg.write_text(f"""
-root = "{root}"
-
-[semantic_dedup]
-threshold = 0.999
-n_centroids = 2
-cross_dataset = true
-incremental = true
-partial_max_cell_fraction = 1.0
-""")
-    rc = main(["--master", "local[4]", "cron", str(cfg)])
-    out = json.loads(capsys.readouterr().out)
-    assert rc == 0
-    assert out["semantic_dedup"]["_sweep_mode"] == "full"
-    assert out["semantic_dedup"]["_lake"]["n_dropped"] >= 2
-    rc2 = main(["--master", "local[4]", "cron", str(cfg)])
-    out2 = json.loads(capsys.readouterr().out)
-    assert rc2 == 0
-    assert out2["semantic_dedup"]["_sweep_mode"] == "fresh"
-    assert out2["semantic_dedup"]["e1"]["fresh"].startswith(
-        "lake unchanged")
-
-
-def test_cli_cron_ann_maintain(spark, tmp_path, capsys):
-    # round 10 (VERDICT r9 #4): the ANN index joins the nightly TOML —
-    # [ann_maintain] appends the unseen vectors, health-checks, and
-    # (opt-in) measures recall, with the alert thresholds mapping to
-    # exit code 3 like every fail_on_* section
-    import json
-
-    import numpy as np
-
-    from pydala_spark.cli import main
-    from pydala_spark.operators.ann import (
-        kmeans_centroids,
-        save_ivfpq_index,
-        train_residual_pq,
-    )
-
-    root = str(tmp_path / "annlake")
-    lake = Datalake(spark, root)
-    rng = np.random.default_rng(11)
-    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(40)]
-    full = spark.createDataFrame(
-        rows, "vec_id long, embedding array<double>")
-    full.write.parquet(os.path.join(root, "embs"))
-    lake.add_dataset("embs")
-
-    seed_df = full.where(F.col("vec_id") < 30)
-    cents = kmeans_centroids(seed_df, n_centroids=3, seed=5)
-    anchors, books = train_residual_pq(seed_df, cents, m=2, n_codes=8,
-                                       seed=5)
-    idx = str(tmp_path / "ann_idx")
-    save_ivfpq_index(spark, seed_df, idx, cents, books, anchors=anchors)
-
-    cfg = tmp_path / "ann_cron.toml"
-    cfg.write_text(f"""
-root = "{root}"
-
-[ann_maintain]
-index_path = "{idx}"
-source = "embs"
-evaluate = true
-n_probe_centroids = 3
-n_probes = 10
-rerank_top = 40
-fail_recall = 0.99
-""")
-    rc = main(["--master", "local[4]", "cron", str(cfg)])
-    out = json.loads(capsys.readouterr().out)
-    # exactly the 10 unseen vectors appended; all cells probed + exact
-    # re-ranking over the full pool == brute force (the round-9 pin),
-    # so recall is 1.0 and the 0.99 gate holds
-    assert rc == 0
-    entry = out["ann_maintain"]["index"]
-    assert entry["appended"] == 10
-    assert entry["stats"]["n_vectors"] == 40
-    assert entry["recall"]["recall_at_k"] == 1.0
-    assert entry["tripped"] == []
-
-    # idempotent nightly: nothing new -> appended 0, still green
-    rc2 = main(["--master", "local[4]", "cron", str(cfg)])
-    out2 = json.loads(capsys.readouterr().out)
-    assert rc2 == 0 and out2["ann_maintain"]["index"]["appended"] == 0
-
-    # an impossible recall bar trips the alert -> exit 3
-    cfg.write_text(f"""
-root = "{root}"
-
-[ann_maintain]
-index_path = "{idx}"
-source = "embs"
-evaluate = true
-n_probe_centroids = 1
-n_probes = 10
-fail_recall = 1.01
-""")
-    rc3 = main(["--master", "local[4]", "cron", str(cfg)])
-    out3 = json.loads(capsys.readouterr().out)
-    assert rc3 == 3
-    assert out3["ann_maintain"]["index"]["tripped"] == ["recall"]
-
-    # a broken index path is CONTAINED (error entry, exit 1) — one bad
-    # section result must not crash the cron
-    cfg.write_text(f"""
-root = "{root}"
-
-[ann_maintain]
-index_path = "{tmp_path / 'nope_idx'}"
-source = "embs"
-""")
-    rc4 = main(["--master", "local[4]", "cron", str(cfg)])
-    out4 = json.loads(capsys.readouterr().out)
-    assert rc4 == 1 and "error" in out4["ann_maintain"]["index"]
-
-    # missing required keys fail the config check before any Spark work
-    cfg.write_text(f'root = "{root}"\n\n[ann_maintain]\nsource = "embs"\n')
-    assert main(["--master", "local[4]", "cron", str(cfg)]) == 2
-    capsys.readouterr()
-
-    # the direct method form: a PATH source (not a lake name) works too
-    res = lake.ann_maintain(idx, os.path.join(root, "embs"),
-                            fail_imbalance=1e9)
-    assert res["index"]["appended"] == 0
-    assert res["index"]["tripped"] == []
-
-    # an inert gate is a config bug, not a silent no-op: fail_recall
-    # without evaluate would exit 0 forever while the caller believes
-    # a recall gate is guarding the index
-    with pytest.raises(ValueError, match="fail_recall needs evaluate"):
-        lake.ann_maintain(idx, "embs", fail_recall=0.9)
-
-    # GDPR leg: a tombstone dataset drives the removal, and the append
-    # must NOT resurrect tombstoned ids still present in the source
-    spark.createDataFrame([(5,), (7,)], "vec_id long") \
-        .write.parquet(os.path.join(root, "tombs"))
-    lake.add_dataset("tombs")
-    rr = lake.ann_maintain(idx, "embs", remove_source="tombs")
-    assert rr["index"]["removed"] == 2
-    assert rr["index"]["appended"] == 0  # 5 and 7 stay dead
-    assert rr["index"]["stats"]["n_vectors"] == 38
-    # cumulative feed replays safely: nothing to remove, nothing back
-    rr2 = lake.ann_maintain(idx, "embs", remove_source="tombs")
-    assert rr2["index"]["removed"] == 0
-    assert rr2["index"]["appended"] == 0
-    assert rr2["index"]["stats"]["n_vectors"] == 38
-
-    # the recall eval grades against the SCRUBBED source: tombstoned
-    # ids the index correctly cannot return must not depress recall
-    # and trip the gate spuriously (full pool + rerank == brute force
-    # over the scrubbed source -> exactly 1.0)
-    rr3 = lake.ann_maintain(idx, "embs", remove_source="tombs",
-                            evaluate=True, n_probe_centroids=3,
-                            n_probes=10, rerank_top=38,
-                            fail_recall=0.99)
-    assert rr3["index"]["recall"]["recall_at_k"] == 1.0
-    assert rr3["index"]["tripped"] == []
-
-    # an [ann_maintain] cron section with the inert-gate config error
-    # exits 2 (the documented config path), never a traceback crash
-    from pydala_spark.cli import main as _main
-    cfg2 = tmp_path / "ann_cron_bad.toml"
-    cfg2.write_text(f"""
-root = "{root}"
-
-[ann_maintain]
-index_path = "{idx}"
-source = "embs"
-fail_recall = 0.9
-""")
-    assert _main(["--master", "local[4]", "cron", str(cfg2)]) == 2
-    capsys.readouterr()
-
-
-def test_datalake_signatures_report(spark, tmp_path, capsys):
-    # round 8 (late): the sidecar-freshness dashboard — metadata-only
-    # by default, live marker re-check with verify=True, CLI exit codes
-    import json
-
-    from pydala_spark.cli import main
-
-    root = str(tmp_path / "sigrep")
-    lake = Datalake(spark, root)
-    spark.createDataFrame(
-        [(1, "alpha bravo charlie delta echo foxtrot golf hotel india")],
-        ["doc_id", "text"],
-    ).write.parquet(os.path.join(root, "docs"))
-    spark.createDataFrame([(0, 1)], ["a", "b"]).write.parquet(
-        os.path.join(root, "bare"))
-    for n in ("docs", "bare"):
-        lake.add_dataset(n)
-    lake["docs"].materialize_signatures(kinds=("winnowing", "minhash"))
-
-    rep = lake.signatures_report()
-    assert set(rep["docs"]["sidecars"]) == {"winnowing", "minhash"}
-    assert rep["docs"]["sidecars"]["winnowing"]["marker"]["rows"] == 1
-    assert rep["docs"]["sidecars"]["winnowing"]["params"]["k"] == 8
-    assert "fresh" not in rep["docs"]["sidecars"]["winnowing"]
-    assert rep["bare"]["sidecars"] == {}
-
-    fresh = lake.signatures_report(verify=True)
-    assert all(i["fresh"] for i in fresh["docs"]["sidecars"].values())
-
-    # mutate -> verify flags BOTH sidecars stale with a reason
-    spark.createDataFrame(
-        [(2, "juliet kilo lima mike november oscar papa quebec")],
-        ["doc_id", "text"],
-    ).write.mode("append").parquet(os.path.join(root, "docs"))
-    stale = lake.signatures_report(verify=True)
-    for info in stale["docs"]["sidecars"].values():
-        assert info["fresh"] is False
-        assert "STALE" in info["stale_reason"]
-
-    # CLI: dashboard prints, --fail-on-stale alerts
-    rc = main(["--master", "local[4]", "signatures", "--root", root])
-    out = json.loads(capsys.readouterr().out)
-    assert rc == 0 and set(out["docs"]["sidecars"]) == {"winnowing",
-                                                        "minhash"}
-    rc2 = main(["--master", "local[4]", "signatures", "--root", root,
-                "--verify", "--fail-on-stale"])
-    capsys.readouterr()
-    assert rc2 == 3
-    assert main(["--master", "local[4]", "signatures"]) == 2
-    capsys.readouterr()
-
-
-def test_datalake_semantic_dedup_cross_dataset(spark, tmp_path):
-    # round 8 (late): the embedding-modality CROSS-DATASET sweep — the
-    # same vector planted in two datasets keeps exactly one copy
-    # lake-wide, served from cells sidecars under the one lake codebook
-    import json
-
-    import numpy as np
-
-    from pyspark.sql import functions as F
-
-    root = str(tmp_path / "xslake")
-    lake = Datalake(spark, root)
-    rng = np.random.default_rng(13)
-    anchors = rng.normal(size=(2, 8))
-    a_rows = [(i, [float(x) for x in anchors[i % 2]
-                   + rng.normal(scale=0.3, size=8)], 0.9 - i * 0.01)
-              for i in range(6)]
-    shared = a_rows[0][1]  # vector 0 of dump ea
-    spark.createDataFrame(
-        a_rows, "vec_id long, embedding array<double>, q double"
-    ).write.parquet(os.path.join(root, "ea"))
-    b_rows = [(100 + i, [float(x) for x in anchors[(i + 1) % 2]
-                         + rng.normal(scale=0.3, size=8)], 0.5)
-              for i in range(4)]
-    b_rows.append((200, shared, 0.1))  # planted cross-dataset dup
-    spark.createDataFrame(
-        b_rows, "vec_id long, embedding array<double>, q double"
-    ).write.parquet(os.path.join(root, "eb"))
-    spark.createDataFrame([(1, "text only")], ["doc_id", "text"]) \
-        .write.parquet(os.path.join(root, "texts"))
-    for n in ("ea", "eb", "texts"):
-        lake.add_dataset(n)
-
-    res = lake.semantic_dedup(threshold=0.999, n_centroids=2,
-                              score_col="q", cross_dataset=True)
-    assert res["texts"]["skipped"].startswith("no (vec_id")
-    assert res["ea"]["sidecar"] == "materialized"
-    assert res["ea"]["scored"] is True
-    assert res["_lake"]["n_vectors"] == 11
-    assert res["_lake"]["n_dropped"] >= 1
-    # the planted dup lost (lower score); its ea original survived
-    rep_b = spark.read.parquet(res["eb"]["report"])
-    verd = {r["id"]: r["kept"] for r in rep_b.collect()}
-    assert verd["200"] is False
-    rep_a = spark.read.parquet(res["ea"]["report"])
-    assert {r["id"]: r["kept"] for r in rep_a.collect()}["0"] is True
-    summary = json.loads(
-        (tmp_path / "xslake" / "_semantic_dedup" / "_summary.json")
-        .read_text())
-    assert summary["_config"]["cross_dataset"] is True
-
-    # second sweep: sidecars reused, verdicts stable; pooled identical
-    again = lake.semantic_dedup(threshold=0.999, n_centroids=2,
-                                score_col="q", cross_dataset=True)
-    assert again["ea"]["sidecar"] == "reused"
-    assert again["_lake"] == res["_lake"]
-    pooled = lake.semantic_dedup(threshold=0.999, n_centroids=2,
-                                 score_col="q", cross_dataset=True,
-                                 max_concurrency=3)
-    assert pooled["_lake"] == res["_lake"]
-
-    # a cross summary never seeds a per-dataset incremental skip
-    per_ds = lake.semantic_dedup(threshold=0.999, n_centroids=2,
-                                 score_col="q", incremental=True)
-    assert "fresh" not in per_ds["ea"]
-
-    # round 10: incremental now works in cross mode (the partial unit
-    # is the CELL — a verdict is a pure function of its cell's
-    # membership). Chain: full (records markers) -> fresh -> partial
-    # after one dataset mutates, equal to a from-scratch full sweep.
-    # toy codebook: 2 cells means any change touches most of them, so
-    # the measured-economy fraction guard must be waived here (and the
-    # default-guard behavior gets its own pin below)
-    kwx = dict(threshold=0.999, n_centroids=2, score_col="q",
-               cross_dataset=True, incremental=True,
-               partial_max_cell_fraction=1.0)
-    inc1 = lake.semantic_dedup(**kwx)
-    assert inc1["_sweep_mode"] == "full"
-    assert "marker" in inc1["ea"] and "score_marker" in inc1["ea"]
-    inc2 = lake.semantic_dedup(**kwx)
-    assert inc2["_sweep_mode"] == "fresh"
-    assert inc2["ea"]["fresh"].startswith("lake unchanged")
-    assert inc2["_lake"] == res["_lake"]
-
-    # out-of-band deletion of the verdict table: never "fresh" over a
-    # missing table — falls through (partial needs it too) to a full
-    # sweep that rebuilds it
-    import shutil as _sh
-    _sh.rmtree(os.path.join(root, "_semantic_dedup", "_verdicts"))
-    inc2b = lake.semantic_dedup(**kwx)
-    assert inc2b["_sweep_mode"] == "full"
-    assert inc2b["_lake"] == res["_lake"]
-
-    # mutate eb: plant ANOTHER copy of ea's shared vector with the
-    # best score — the keeper must flip lake-wide, computed by the
-    # partial path over touched cells only
-    spark.createDataFrame(
-        [(300, shared, 0.95)],
-        "vec_id long, embedding array<double>, q double",
-    ).write.mode("append").parquet(os.path.join(root, "eb"))
-    inc3 = lake.semantic_dedup(**kwx)
-    assert inc3["_sweep_mode"] == "partial"
-    assert inc3["eb"]["sidecar"] == "materialized"
-    assert inc3["ea"]["sidecar"] == "reused"
-    # snapshot the partial verdicts BEFORE the oracle sweep rewrites
-    # the table
-    v_part = {
-        n: sorted(map(tuple,
-                      spark.read.parquet(inc3[n]["report"])
-                      .select("id", "cell", "kept").collect()))
-        for n in ("ea", "eb")
-    }
-    # the oracle: a full sweep over the same final state
-    full3 = lake.semantic_dedup(threshold=0.999, n_centroids=2,
-                                score_col="q", cross_dataset=True)
-    assert inc3["_lake"] == full3["_lake"]
-    for n in ("ea", "eb"):
-        v_full = sorted(map(tuple,
-                            spark.read.parquet(full3[n]["report"])
-                            .select("id", "cell", "kept").collect()))
-        assert v_part[n] == v_full, n
-    kept3 = {r["id"]: r["kept"] for r in
-             spark.read.parquet(full3["eb"]["report"]).collect()}
-    assert kept3["300"] is True and kept3["200"] is False
-
-    # removed dataset: its verdicts leave and its former cell-mates
-    # recompute — still the partial path (prior cells of the removed
-    # dataset come from the pruned prior verdict partitions)
-    inc4 = lake.semantic_dedup(**kwx)  # re-seed incremental markers
-    assert inc4["_sweep_mode"] in ("full", "fresh")
-    lake.remove_dataset("eb", clean=True)
-    inc5 = lake.semantic_dedup(**kwx)
-    assert "eb" not in inc5
-    assert inc5["_sweep_mode"] == "partial"
-    # with eb (and its 0.95/0.1 copies) gone, ea's vector 0 is the
-    # group's only member again — kept lake-wide
-    kept5 = {r["id"]: r["kept"] for r in
-             spark.read.parquet(inc5["ea"]["report"]).collect()}
-    assert kept5["0"] is True
-    full5 = lake.semantic_dedup(threshold=0.999, n_centroids=2,
-                                score_col="q", cross_dataset=True)
-    assert inc5["_lake"] == full5["_lake"]
-
-    # single-remaining-dataset lake: when the ONLY dataset changed,
-    # nothing is provably unchanged, so partial is impossible and the
-    # sweep runs full (correctness never depends on partial). The
-    # fraction-guard semantics themselves are pinned in
-    # test_datalake_semantic_cross_partial_spanning.
-    inc6 = lake.semantic_dedup(threshold=0.999, n_centroids=2,
-                               score_col="q", cross_dataset=True,
-                               incremental=True)  # re-seed markers
-    spark.createDataFrame(
-        [(301, shared, 0.5)],
-        "vec_id long, embedding array<double>, q double",
-    ).write.mode("append").parquet(os.path.join(root, "ea"))
-    inc7 = lake.semantic_dedup(threshold=0.999, n_centroids=2,
-                               score_col="q", cross_dataset=True,
-                               incremental=True)
-    assert inc7["_sweep_mode"] == "full"
-
-
-def test_datalake_semantic_cross_partial_spanning(spark, tmp_path):
-    # round 11 (VERDICT r10 #2): a changed dataset whose docs SPAN
-    # every cell must still produce full-sweep-identical verdicts via
-    # the doc-level delta path — including the two subtle cases:
-    # (a) a previously-DROPPED doc revives when its beater is removed
-    #     (the o_false full-recompute leg), and
-    # (b) a previously-KEPT doc is dropped by a new changed beater
-    #     (the o_true-vs-changed delta leg).
-    import numpy as np
-
-    def unit_rows(start, n, seed, score):
-        rng = np.random.default_rng(seed)
-        v = rng.normal(size=(n, 6))
-        v /= np.linalg.norm(v, axis=1, keepdims=True)
-        return [(start + i, [float(x) for x in v[i]], score)
-                for i in range(n)]
-
-    schema = "vec_id long, embedding array<double>, q double"
-    ea_rows = unit_rows(0, 40, seed=1, score=0.5)
-    eb1 = unit_rows(100, 40, seed=2, score=0.5)
-    # night-1 beater: eb 100 shares ea 0's vector with a higher score
-    eb1[0] = (100, ea_rows[0][1], 0.9)
-    # DEFAULT knobs: round 11 moved partial_max_cell_fraction to 1.0
-    # (off) because the doc-level partial is delta-sized even with
-    # every cell touched — this test pins that the default now takes
-    # the partial path on the spanning shape
-    kwx = dict(threshold=0.999, n_centroids=8, score_col="q",
-               vec_col="embedding", cross_dataset=True,
-               incremental=True)
-
-    root = str(tmp_path / "spanlake")
-    lake = Datalake(spark, root)
-    spark.createDataFrame(ea_rows, schema) \
-        .write.parquet(os.path.join(root, "ea"))
-    spark.createDataFrame(eb1, schema) \
-        .write.parquet(os.path.join(root, "eb"))
-    lake.add_dataset("ea")
-    lake.add_dataset("eb")
-    r1 = lake.semantic_dedup(**kwx)
-    assert r1["_sweep_mode"] == "full"
-    kept1 = {r["id"]: r["kept"] for r in
-             spark.read.parquet(r1["ea"]["report"]).collect()}
-    assert kept1["0"] is False  # dropped by eb 100
-
-    # night 2: eb fully REWRITTEN, spanning all cells — the beater 100
-    # is gone (ea 0 must revive) and a new doc 201 copies ea 1's
-    # vector with a better score (ea 1 must flip to dropped)
-    eb2 = unit_rows(150, 40, seed=3, score=0.5)
-    eb2.append((201, ea_rows[1][1], 0.95))
-    spark.createDataFrame(eb2, schema).write.mode("overwrite") \
-        .parquet(os.path.join(root, "eb"))
-    r2 = lake.semantic_dedup(**kwx)
-    assert r2["_sweep_mode"] == "partial"
-    assert r2["ea"]["sidecar"] == "reused"
-    v_part = {
-        n: sorted(map(tuple, spark.read.parquet(r2[n]["report"])
-                      .select("id", "cell", "kept").collect()))
-        for n in ("ea", "eb")
-    }
-    kept2 = {r[0]: r[2] for r in v_part["ea"]}
-    assert kept2["0"] is True   # revived (beater removed)
-    assert kept2["1"] is False  # dropped by the new 201
-
-    # oracle: a from-scratch full sweep over the identical final state
-    # on the SAME lake (pinned codebook — the inc3/full3 pattern; a
-    # twin lake can train a permuted codebook)
-    rf = lake.semantic_dedup(threshold=0.999, n_centroids=8,
-                             score_col="q", vec_col="embedding",
-                             cross_dataset=True)
-    assert r2["_lake"] == rf["_lake"]
-    for n in ("ea", "eb"):
-        v_full = sorted(map(tuple, spark.read.parquet(rf[n]["report"])
-                            .select("id", "cell", "kept").collect()))
-        assert v_part[n] == v_full, n
-
-    # an EXPLICIT low fraction still guards: every cell is touched by
-    # another eb rewrite, so touched/codebook == 1 > 0.4 -> full
-    r3 = lake.semantic_dedup(**kwx)  # re-seed markers
-    assert r3["_sweep_mode"] in ("full", "fresh")
-    eb3 = unit_rows(300, 40, seed=4, score=0.5)
-    spark.createDataFrame(eb3, schema).write.mode("overwrite") \
-        .parquet(os.path.join(root, "eb"))
-    r4 = lake.semantic_dedup(partial_max_cell_fraction=0.4, **kwx)
-    assert r4["_sweep_mode"] == "full"
-
-    # self-healing (round-11 review find, both layers): an unchanged
-    # dataset's verdict PARTITION lost out-of-band (summary + directory
-    # survive) must NOT silently vanish those docs from the next
-    # partial night. The adversarial shape is a SINGLE-doc delta: the
-    # touched-cell self-heal (docs without a provable prior-kept row
-    # take the full-verdict leg) can only cover ~1 cell, so ea's docs
-    # in the other cells are protected by the carry-over integrity
-    # demotion (verdict-table count-by-dataset vs the prior summary
-    # demotes ea to CHANGED) — without it this shape measured ea
-    # dropping 40 -> ~6 docs. A third dataset keeps the night partial
-    # (something must remain provably unchanged AND intact).
-    import shutil as _sh
-    ec_rows = unit_rows(500, 10, seed=6, score=0.5)
-    spark.createDataFrame(ec_rows, schema) \
-        .write.parquet(os.path.join(root, "ec"))
-    lake.add_dataset("ec")
-    r_seed = lake.semantic_dedup(**kwx)  # re-seed markers incl. ec
-    assert r_seed["_sweep_mode"] in ("full", "partial")
-    _sh.rmtree(os.path.join(root, "_semantic_dedup", "_verdicts",
-                            "dataset=ea"))
-    eb4 = [(401, ea_rows[2][1], 0.99)]  # ONE doc: beater for ea doc 2
-    spark.createDataFrame(eb4, schema).write.mode("overwrite") \
-        .parquet(os.path.join(root, "eb"))
-    r5 = lake.semantic_dedup(**kwx)
-    assert r5["_sweep_mode"] == "partial"
-    ea5 = spark.read.parquet(r5["ea"]["report"])
-    assert ea5.count() == 40  # every ea doc re-verdicted, none vanished
-    kept5 = {r["id"]: r["kept"] for r in ea5.collect()}
-    assert kept5["2"] is False  # the new beater still lands
-    assert spark.read.parquet(r5["ec"]["report"]).count() == 10
-    full5 = lake.semantic_dedup(threshold=0.999, n_centroids=8,
-                                score_col="q", vec_col="embedding",
-                                cross_dataset=True)
-    assert r5["_lake"] == full5["_lake"]
-
-    # ...and when NOTHING unchanged survives the integrity check
-    # (both surviving datasets' partitions lost), the sweep falls back
-    # to the (correct, regenerating) full path
-    _sh.rmtree(os.path.join(root, "_semantic_dedup", "_verdicts",
-                            "dataset=ea"))
-    _sh.rmtree(os.path.join(root, "_semantic_dedup", "_verdicts",
-                            "dataset=ec"))
-    spark.createDataFrame([(402, ea_rows[3][1], 0.98)], schema) \
-        .write.mode("overwrite").parquet(os.path.join(root, "eb"))
-    r6 = lake.semantic_dedup(**kwx)
-    assert r6["_sweep_mode"] == "full"
-    assert spark.read.parquet(r6["ec"]["report"]).count() == 10
-
-    # a partition lost on a QUIET lake (third review find): the
-    # all-fresh gate must not report "fresh" over the lost rows — the
-    # count check falls through and the night self-heals (ea demoted,
-    # recomputed; the other datasets' carry intact)
-    r7 = lake.semantic_dedup(**kwx)
-    assert r7["_sweep_mode"] == "fresh"  # sanity: gate passes intact
-    _sh.rmtree(os.path.join(root, "_semantic_dedup", "_verdicts",
-                            "dataset=ea"))
-    r8 = lake.semantic_dedup(**kwx)
-    assert r8["_sweep_mode"] != "fresh"
-    assert spark.read.parquet(r8["ea"]["report"]).count() == 40
-
-
-def test_datalake_semantic_cross_allfresh_zero_vectors(spark, tmp_path):
-    # round 11 (ADVICE r10): a lake whose prior cross sweep legitimately
-    # produced NO verdict table (every dataset skipped — zero vectors)
-    # must still take the all-fresh path on the unchanged night, not
-    # re-run prep forever because _verdicts doesn't exist
-    root = str(tmp_path / "zvlake")
-    lake = Datalake(spark, root)
-    spark.createDataFrame(
-        [(1, "text only, no embeddings here")], ["doc_id", "text"],
-    ).write.parquet(os.path.join(root, "ta"))
-    spark.createDataFrame(
-        [(2, "another text-only dump")], ["doc_id", "text"],
-    ).write.parquet(os.path.join(root, "tb"))
-    for n in ("ta", "tb"):
-        lake.add_dataset(n)
-
-    kwx = dict(threshold=0.999, n_centroids=2, vec_col="embedding",
-               cross_dataset=True, incremental=True)
-    r1 = lake.semantic_dedup(**kwx)
-    assert r1["_sweep_mode"] == "full"
-    assert all(r1[n]["skipped"].startswith("no (")
-               for n in ("ta", "tb"))
-    assert not os.path.isdir(
-        os.path.join(root, "_semantic_dedup", "_verdicts"))
-    r2 = lake.semantic_dedup(**kwx)
-    assert r2["_sweep_mode"] == "fresh"
-
-
-def test_datalake_span_dedup_report(spark, tmp_path):
-    # round 8 (late): cross-dataset boilerplate detection — a license
-    # block appearing ONCE PER DUMP has per-dataset df=1 (invisible to
-    # any per-dataset min_df count) but lake-wide df=3
-    import json
-
-    from pyspark.sql import functions as F
-
-    from pydala_spark.operators.dedup import (
-        duplicate_spans,
-        remove_duplicate_spans,
-    )
-
-    boiler = ("This dataset is licensed under the Creative Commons "
-              "Attribution ShareAlike license version four point zero. ")
-    uniq = {
-        "w1": "alpha bravo charlie delta echo foxtrot golf hotel india",
-        "w2": "zebra umbrella xylophone quartz jigsaw vortex plinth",
-        "w3": "gizmo parsnip okapi wombat fjord crypt glyph nymph",
-    }
-    root = str(tmp_path / "spanlake")
-    lake = Datalake(spark, root)
-    for i, (n, tail) in enumerate(uniq.items()):
-        spark.createDataFrame(
-            [(i * 10, boiler + tail),
-             (i * 10 + 1, {0: "cobalt meadows hum beneath auroral "
-                              "lattices while quiet finches tally seeds",
-                           1: "rusty harbor cranes pivot over brackish "
-                              "tides hauling crated citrus north",
-                           2: "velvet monsoon drums syncopate across "
-                              "tin roofs waking saffron parakeets"}[i])],
-            ["doc_id", "text"],
-        ).write.parquet(os.path.join(root, n))
-        lake.add_dataset(n)
-
-    # per-dataset: the boilerplate is invisible at min_df=2
-    for n in uniq:
-        per = duplicate_spans(
-            Dataset(spark, os.path.join(root, n)).load(), "doc_id",
-            min_df=2, min_span=50)
-        assert per.count() == 0
-
-    res = lake.span_dedup_report(min_df=2, min_span=50)
-    assert all(res[n]["sidecar"] == "materialized" for n in uniq)
-    # ...but lake-wide every dump's copy lights up
-    assert res["_lake"]["n_docs"] == 3
-    assert res["_lake"]["n_spans"] >= 3
-    for n in uniq:
-        assert res[n]["n_docs"] == 1, res[n]
-        assert res[n]["chars_flagged"] >= 50
-    summary = json.loads(
-        (tmp_path / "spanlake" / "_span_dedup" / "_summary.json")
-        .read_text())
-    assert summary["_lake"]["n_docs"] == 3
-
-    # the report composes with per-dataset surgery: cutting w1's span
-    # removes the boilerplate, keeps the unique tail
-    rep = spark.read.parquet(res["w1"]["report"]).select(
-        F.col("id").cast("long").alias("id"),
-        "span_start", "span_end")
-    w1 = Dataset(spark, os.path.join(root, "w1")).load()
-    cut = remove_duplicate_spans(w1, "doc_id", spans=rep)
-    texts = {r["doc_id"]: r["text"] for r in cut.collect()}
-    assert "Creative Commons" not in texts[0]
-    assert uniq["w1"].split()[-1] in texts[0]
-
-    # second sweep serves the sidecars; pooled verdicts identical
-    again = lake.span_dedup_report(min_df=2, min_span=50,
-                                   max_concurrency=3)
-    assert all(again[n]["sidecar"] == "reused" for n in uniq)
-    assert again["_lake"] == res["_lake"]
-
-
-def test_datalake_neardup_incremental(spark, tmp_path):
-    # round 9: the ALL-FRESH fast path — because clusters are
-    # lake-global there is no per-dataset skip, but a provably
-    # unchanged lake reuses the prior verdict wholesale; and the score
-    # column (invisible to the text marker, yet it drives keeper
-    # selection) gets its own marker so a re-scored corpus breaks
-    # freshness even when the text didn't move
-    root = str(tmp_path / "ndinc")
-    sig_root = str(tmp_path / "ndinc_sigs")
-    lake = Datalake(spark, root)
-    shared = ("the quick brown fox jumps over the lazy dog "
-              "again and again in every single crawl dump")
-    spark.createDataFrame(
-        [(1, shared, 0.9),
-         (2, "completely different unique content nothing alike here", 0.1)],
-        ["doc_id", "text", "score"],
-    ).write.parquet(os.path.join(root, "dump_a"))
-    spark.createDataFrame(
-        [(10, shared, 0.2)], ["doc_id", "text", "score"],
-    ).write.parquet(os.path.join(root, "dump_b"))
-    for n in ("dump_a", "dump_b"):
-        lake.add_dataset(n)
-
-    kw = dict(score_col="score", signatures_root=sig_root,
-              incremental=True)
-    first = lake.neardup_dedup(**kw)
-    assert "marker" in first["dump_a"]
-    assert "score_marker" in first["dump_a"]
-    assert first["_lake"]["n_clusters"] == 1
-    assert first["dump_a"]["n_dropped"] == 0  # 0.9 keeper
-    assert first["dump_b"]["n_dropped"] == 1
-
-    # unchanged lake -> verdicts reused, union/LSH/CC skipped
-    second = lake.neardup_dedup(**kw)
-    for n in ("dump_a", "dump_b"):
-        assert second[n]["fresh"].startswith("lake unchanged"), second[n]
-    assert second["_lake"] == first["_lake"]
-    assert second["dump_b"]["n_dropped"] == 1
-    rep = spark.read.parquet(second["dump_b"]["report"])
-    assert {r["id"]: r["kept"] for r in rep.collect()} == {"10": False}
-
-    # score-only overwrite: same (id, text) so the TEXT marker — and
-    # the out-of-place minhash sidecar — still verify, but the keeper
-    # must flip; the score marker alone breaks the fast path
-    spark.createDataFrame(
-        [(10, shared, 0.95)], ["doc_id", "text", "score"],
-    ).write.mode("overwrite").parquet(os.path.join(root, "dump_b"))
-    third = lake.neardup_dedup(**kw)
-    assert "fresh" not in third["dump_a"] and "fresh" not in third["dump_b"]
-    assert third["dump_b"]["sidecar"] == "reused"  # text is unchanged
-    assert third["dump_b"]["n_dropped"] == 0
-    assert third["dump_a"]["n_dropped"] == 1  # 0.95 beats 0.9 now
-
-    # and the new state is itself reusable
-    fourth = lake.neardup_dedup(**kw)
-    assert fourth["dump_a"]["fresh"].startswith("lake unchanged")
-    assert fourth["dump_a"]["n_dropped"] == 1
-
-    # config moved -> nothing is provably fresh
-    fifth = lake.neardup_dedup(n_bands=2, **kw)
-    assert "fresh" not in fifth["dump_a"]
-
-    # dataset added -> full sweep (lake-global clusters)
-    spark.createDataFrame(
-        [(100, "fresh dataset with entirely novel content words", 0.5)],
-        ["doc_id", "text", "score"],
-    ).write.parquet(os.path.join(root, "dump_c"))
-    lake.add_dataset("dump_c")
-    sixth = lake.neardup_dedup(**kw)
-    assert all("fresh" not in sixth[n]
-               for n in ("dump_a", "dump_b", "dump_c"))
-    assert sixth["dump_c"]["sidecar"] == "materialized"
-
-    # text mutated -> sidecar re-materializes -> full sweep
-    spark.createDataFrame(
-        [(101, shared + " with a tail", 0.99)],
-        ["doc_id", "text", "score"],
-    ).write.mode("append").parquet(os.path.join(root, "dump_c"))
-    seventh = lake.neardup_dedup(**kw)
-    assert "fresh" not in seventh["dump_c"]
-    assert seventh["dump_c"]["sidecar"] == "materialized"
-
-
-def test_datalake_neardup_partial_incremental(spark, tmp_path):
-    # round 10 (VERDICT r9 #5): when K of N datasets changed, prior
-    # edges between unchanged datasets are reused and only touched
-    # buckets re-pair — clusters AND keepers must equal a from-scratch
-    # full sweep over the same final lake state
-    s1 = ("alpha bravo charlie delta echo foxtrot golf hotel india "
-          "juliet kilo lima mike")
-    s2 = ("november oscar papa quebec romeo sierra tango uniform "
-          "victor whiskey xray yankee zulu")
-
-    def mk_lake(base, with_mutation):
-        root = str(tmp_path / base)
-        lake = Datalake(spark, root)
-        spark.createDataFrame(
-            [(1, s1), (2, "unique content one nothing alike anywhere")],
-            ["doc_id", "text"],
-        ).write.parquet(os.path.join(root, "da"))
-        spark.createDataFrame(
-            [(10, s1), (11, s2)], ["doc_id", "text"],
-        ).write.parquet(os.path.join(root, "db"))
-        dc = [(20, s2), (21, "another singleton with its own words")]
-        if with_mutation:
-            dc.append((22, s1))
-        spark.createDataFrame(dc, ["doc_id", "text"]) \
-            .write.parquet(os.path.join(root, "dc"))
-        for n in ("da", "db", "dc"):
-            lake.add_dataset(n)
-        return lake, root
-
-    lake1, root1 = mk_lake("pinc1", with_mutation=False)
-    r1 = lake1.neardup_dedup(incremental=True)
-    assert r1["_sweep_mode"] == "full"
-    assert r1["_edges"] == 2  # (da1,db10) and (db11,dc20)
-    assert r1["_overcap"] == []
-    r2 = lake1.neardup_dedup(incremental=True)
-    assert r2["_sweep_mode"] == "fresh"
-
-    # one dataset mutates: dc gains a doc joining da/db's s1 cluster
-    spark.createDataFrame([(22, s1)], ["doc_id", "text"]) \
-        .write.mode("append").parquet(os.path.join(root1, "dc"))
-    r3 = lake1.neardup_dedup(incremental=True)
-    assert r3["_sweep_mode"] == "partial"
-    assert r3["dc"]["sidecar"] == "materialized"
-    assert r3["da"]["sidecar"] == "reused"
-
-    # the oracle: a from-scratch full sweep over the identical final
-    # state — clusters AND keepers identical, per-dataset counts too
-    lake2, _ = mk_lake("pinc2", with_mutation=True)
-    rf = lake2.neardup_dedup()
-    for n in ("da", "db", "dc"):
-        for key in ("n_docs", "n_dropped", "n_cross_dropped"):
-            assert r3[n][key] == rf[n][key], (n, key, r3[n], rf[n])
-    assert r3["_lake"]["n_clusters"] == rf["_lake"]["n_clusters"] == 2
-    assert (r3["_lake"]["n_cross_dataset_clusters"]
-            == rf["_lake"]["n_cross_dataset_clusters"] == 2)
-    v_part = sorted(map(tuple, spark.read.parquet(
-        os.path.join(root1, "_neardup", "_verdicts"))
-        .select("dataset", "id", "cluster", "kept",
-                "rep_dataset", "rep_id").collect()))
-    v_full = sorted(map(tuple, spark.read.parquet(
-        str(tmp_path / "pinc2" / "_neardup" / "_verdicts"))
-        .select("dataset", "id", "cluster", "kept",
-                "rep_dataset", "rep_id").collect()))
-    assert v_part == v_full
-
-    # the partial state is itself reusable: unchanged night -> fresh,
-    # then a second mutation chains partial-over-partial and still
-    # matches its own full re-run
-    r4 = lake1.neardup_dedup(incremental=True)
-    assert r4["_sweep_mode"] == "fresh"
-
-    # out-of-band deletion of the verdict table: the all-fresh path
-    # must NOT report fresh over a missing table — the sweep self-heals
-    # (the partial path rewrites verdicts from union + edges)
-    import shutil as _sh
-    _sh.rmtree(os.path.join(root1, "_neardup", "_verdicts"))
-    r4b = lake1.neardup_dedup(incremental=True)
-    assert r4b["_sweep_mode"] != "fresh"
-    for n in ("da", "db", "dc"):
-        assert r4b[n]["n_docs"] == r3[n]["n_docs"]
-    spark.createDataFrame([(3, s2)], ["doc_id", "text"]) \
-        .write.mode("append").parquet(os.path.join(root1, "da"))
-    r5 = lake1.neardup_dedup(incremental=True)
-    assert r5["_sweep_mode"] == "partial"
-    r5_full = lake1.neardup_dedup()  # non-incremental full, same lake
-    for n in ("da", "db", "dc"):
-        for key in ("n_docs", "n_dropped", "n_cross_dropped"):
-            assert r5[n][key] == r5_full[n][key]
-
-
-def test_datalake_neardup_partial_commit_token(spark, tmp_path):
-    # round 11 (ADVICE r10): _pairs and the summary's _overcap are
-    # written seconds apart; a crash in that window leaves a newer edge
-    # set against a stale over-cap list. The _pairs commit token must
-    # be echoed in the summary (_artifacts) and any mismatch must
-    # degrade the next night to the FULL sweep, never a partial over
-    # mismatched state.
-    import json as _json
-
-    root = str(tmp_path / "tokennd")
-    lake = Datalake(spark, root)
-    s1 = ("alpha bravo charlie delta echo foxtrot golf hotel india "
-          "juliet kilo lima mike")
-    spark.createDataFrame(
-        [(1, s1), (2, "unique content one nothing alike anywhere")],
-        ["doc_id", "text"],
-    ).write.parquet(os.path.join(root, "da"))
-    spark.createDataFrame([(10, s1)], ["doc_id", "text"]) \
-        .write.parquet(os.path.join(root, "db"))
-    for n in ("da", "db"):
-        lake.add_dataset(n)
-
-    r1 = lake.neardup_dedup(incremental=True)
-    assert r1["_sweep_mode"] == "full"
-    tok_path = os.path.join(root, "_neardup", "_pairs", "_token.json")
-    with open(tok_path) as fh:
-        tok = _json.load(fh)
-    assert r1["_artifacts"] == tok and tok
-
-    # the healthy path still goes partial after a mutation
-    spark.createDataFrame([(3, s1)], ["doc_id", "text"]) \
-        .write.mode("append").parquet(os.path.join(root, "da"))
-    r2 = lake.neardup_dedup(incremental=True)
-    assert r2["_sweep_mode"] == "partial"
-    assert r2["_artifacts"] != r1["_artifacts"]  # re-tokened each write
-
-    # crash simulation A: _pairs was rewritten but the summary wasn't
-    # (token on disk differs from the summary's echo)
-    with open(tok_path, "w") as fh:
-        _json.dump("deadbeef-crashed-run", fh)
-    spark.createDataFrame([(4, s1)], ["doc_id", "text"]) \
-        .write.mode("append").parquet(os.path.join(root, "da"))
-    r3 = lake.neardup_dedup(incremental=True)
-    assert r3["_sweep_mode"] == "full"  # mismatch -> full rebuild
-
-    # crash simulation B: token file missing entirely (crash between
-    # the parquet overwrite — which deletes the old token — and the
-    # token write)
-    os.remove(tok_path)
-    spark.createDataFrame([(5, s1)], ["doc_id", "text"]) \
-        .write.mode("append").parquet(os.path.join(root, "da"))
-    r4 = lake.neardup_dedup(incremental=True)
-    assert r4["_sweep_mode"] == "full"
-
-    # and the full rebuild re-establishes a consistent commit: the
-    # next mutation night is partial again
-    spark.createDataFrame([(6, s1)], ["doc_id", "text"]) \
-        .write.mode("append").parquet(os.path.join(root, "da"))
-    r5 = lake.neardup_dedup(incremental=True)
-    assert r5["_sweep_mode"] == "partial"
-
-    # crash simulation C (round-11 review class): a _pairs part-file
-    # lost AFTER a committed write — token intact, edge count short.
-    # The metadata count vs the summary's _edges must refuse the delta
-    # path (full re-band), never silently drop unchanged-unchanged
-    # edges.
-    import glob as _glob
-    part = sorted(_glob.glob(os.path.join(
-        root, "_neardup", "_pairs", "part-*")))[0]
-    os.remove(part)
-    spark.createDataFrame([(7, s1)], ["doc_id", "text"]) \
-        .write.mode("append").parquet(os.path.join(root, "da"))
-    r6 = lake.neardup_dedup(incremental=True)
-    assert r6["_sweep_mode"] == "full"
-    # the full re-band rewrote a consistent edge set: partial resumes
-    spark.createDataFrame([(8, s1)], ["doc_id", "text"]) \
-        .write.mode("append").parquet(os.path.join(root, "da"))
-    r7 = lake.neardup_dedup(incremental=True)
-    assert r7["_sweep_mode"] == "partial"
-
-    # a verdict PARTITION lost on a QUIET lake (third review find):
-    # the all-fresh gate's count check must refuse "fresh" over the
-    # lost rows and rebuild them
-    r8 = lake.neardup_dedup(incremental=True)
-    assert r8["_sweep_mode"] == "fresh"  # sanity: gate passes intact
-    n_da = r8["da"]["n_docs"]
-    import shutil as _sh
-    _sh.rmtree(os.path.join(root, "_neardup", "_verdicts",
-                            "dataset=da"))
-    r9 = lake.neardup_dedup(incremental=True)
-    assert r9["_sweep_mode"] != "fresh"
-    assert r9["da"]["n_docs"] == n_da  # rebuilt, not reported-lost
-
-
-def test_datalake_neardup_allfresh_zero_docs(spark, tmp_path):
-    # round-11 review find: an embeddings-only lake (no dataset has the
-    # text column) never writes _verdicts — the all-fresh gate must not
-    # demand the table and re-run full forever (the span/semantic
-    # zero-output carve-out, now on all three sweeps)
-    root = str(tmp_path / "zdlake")
-    lake = Datalake(spark, root)
-    spark.createDataFrame(
-        [(1, [0.1, 0.2])], "vec_id long, embedding array<double>",
-    ).write.parquet(os.path.join(root, "embs"))
-    lake.add_dataset("embs")
-    r1 = lake.neardup_dedup(incremental=True)
-    assert r1["_sweep_mode"] == "full"
-    assert r1["embs"]["skipped"].startswith("no (")
-    assert not os.path.isdir(os.path.join(root, "_neardup", "_verdicts"))
-    r2 = lake.neardup_dedup(incremental=True)
-    assert r2["_sweep_mode"] == "fresh"
-
-
-def test_datalake_neardup_state_lifecycle(spark, tmp_path):
-    # round 11 (VERDICT r10 #3): the summary reports the persisted
-    # edge set's footprint, and a viral-duplicate lake (edge count
-    # quadratic in a boilerplate bucket) trips the balloon warning
-    root = str(tmp_path / "statend")
-    lake = Datalake(spark, root)
-    s1 = ("alpha bravo charlie delta echo foxtrot golf hotel india "
-          "juliet kilo lima mike")
-    spark.createDataFrame(
-        [(1, s1), (2, "unique content one nothing alike anywhere")],
-        ["doc_id", "text"],
-    ).write.parquet(os.path.join(root, "da"))
-    spark.createDataFrame([(10, s1)], ["doc_id", "text"]) \
-        .write.parquet(os.path.join(root, "db"))
-    for n in ("da", "db"):
-        lake.add_dataset(n)
-
-    r1 = lake.neardup_dedup(incremental=True)
-    assert r1["_state"]["pairs_rows"] == r1["_edges"] == 1
-    assert r1["_state"]["pairs_bytes"] > 0
-    assert "balloon_warning" not in r1["_state"]
-    # the all-fresh night carries the footprint verbatim
-    r2 = lake.neardup_dedup(incremental=True)
-    assert r2["_sweep_mode"] == "fresh"
-    assert r2["_state"] == r1["_state"]
-
-    # viral night: 24 more copies of the same boilerplate -> the
-    # bucket pairs quadratically (25+ docs -> 300+ edges > 4x docs)
-    viral = ("viral boilerplate paragraph repeated across the whole "
-             "crawl tonight verbatim every single time no variance")
-    spark.createDataFrame(
-        [(100 + i, viral) for i in range(25)], ["doc_id", "text"],
-    ).write.mode("append").parquet(os.path.join(root, "da"))
-    r3 = lake.neardup_dedup(incremental=True)
-    assert r3["_state"]["pairs_rows"] > 4 * 28
-    assert "balloon_warning" in r3["_state"]
-    # ...and the knob tunes the tripwire
-    r4 = lake.neardup_dedup(incremental=True, edge_warn_multiple=100.0)
-    assert "balloon_warning" not in r4["_state"]
-
-
-def test_datalake_neardup_partial_cap_transition(spark, tmp_path):
-    # round 10: a viral-bucket cap-status transition makes prior edges
-    # non-reusable — the delta path must detect BOTH directions and
-    # fall back to the full sweep
-    root = str(tmp_path / "capnd")
-    lake = Datalake(spark, root)
-    s = ("the same viral boilerplate paragraph repeated across the "
-         "whole crawl again and again")
-    spark.createDataFrame(
-        [(1, s), (2, "unique words in dataset a nothing else")],
-        ["doc_id", "text"],
-    ).write.parquet(os.path.join(root, "da"))
-    spark.createDataFrame([(10, s)], ["doc_id", "text"]) \
-        .write.parquet(os.path.join(root, "db"))
-    for n in ("da", "db"):
-        lake.add_dataset(n)
-
-    kw = dict(incremental=True, max_bucket_size=2)
-    r1 = lake.neardup_dedup(**kw)
-    assert r1["_sweep_mode"] == "full"
-    assert r1["_overcap"] == [] and r1["_lake"]["n_clusters"] == 1
-
-    # under -> over: a third identical doc pushes the bucket past the
-    # cap; the full sweep would now suppress the pair entirely
-    spark.createDataFrame([(11, s)], ["doc_id", "text"]) \
-        .write.mode("append").parquet(os.path.join(root, "db"))
-    r2 = lake.neardup_dedup(**kw)
-    assert r2["_sweep_mode"] == "full"  # delta refused, fell back
-    assert len(r2["_overcap"]) > 0
-    assert r2["_lake"]["n_clusters"] == 0  # viral bucket dropped
-    assert r2["da"]["n_dropped"] == 0 and r2["db"]["n_dropped"] == 0
-
-    # over -> under: the viral bucket shrinks back under the cap; the
-    # full sweep would now EMIT pairs the prior run suppressed
-    spark.createDataFrame([(10, s)], ["doc_id", "text"]) \
-        .write.mode("overwrite").parquet(os.path.join(root, "db"))
-    r3 = lake.neardup_dedup(**kw)
-    assert r3["_sweep_mode"] == "full"
-    assert r3["_overcap"] == []
-    assert r3["_lake"]["n_clusters"] == 1
-    assert r3["da"]["n_dropped"] + r3["db"]["n_dropped"] == 1
-
-
-def test_datalake_neardup_matches_manual_union(spark, tmp_path):
-    # round 9 property pin: the lake sweep's clusters and keepers equal
-    # the single-corpus operator chain (minhash -> LSH -> connected
-    # components -> smallest-id representative) over a hand-unioned
-    # corpus with dataset-qualified ids — across id TYPES (int and
-    # string) and with cross-dataset duplicates. Pins the \x1f
-    # lake-qualification plumbing against drift.
-    from pydala_spark.operators.dedup import (
-        dedup_clusters,
-        lsh_candidate_pairs,
-        minhash_signatures,
-    )
-
-    root = str(tmp_path / "ndeq")
-    lake = Datalake(spark, root)
-    t1 = ("the quick brown fox jumps over the lazy dog "
-          "again and again in every single crawl dump")
-    t2 = ("another widely duplicated passage appearing in both "
-          "dumps with exactly identical wording throughout")
-    spark.createDataFrame(
-        [(1, t1), (2, "unique alpha content with its own vocabulary"),
-         (3, t2)],
-        ["doc_id", "text"],
-    ).write.parquet(os.path.join(root, "dump_a"))
-    spark.createDataFrame(
-        [("x10", t1), ("x11", "unique beta content nothing shared here"),
-         ("x12", t2)],
-        ["doc_id", "text"],
-    ).write.parquet(os.path.join(root, "dump_b"))
-    for n in ("dump_a", "dump_b"):
-        lake.add_dataset(n)
-
-    res = lake.neardup_dedup()
-    verdicts = spark.read.parquet(
-        os.path.join(root, "_neardup", "_verdicts"))
-    sep = "\x1f"
-    got = {
-        (r["dataset"] + sep + r["id"]): r
-        for r in verdicts.collect()
-    }
-
-    # manual union with dataset-prefixed ids (sweep defaults: 8 hashes,
-    # 4 bands, 3-word shingles, seed 0, bucket cap 256)
-    union = None
-    for name in ("dump_a", "dump_b"):
-        df = spark.read.parquet(os.path.join(root, name))
-        sig = minhash_signatures(
-            df, "doc_id", "text", n_hashes=8, shingle_size=3, seed=0,
-        ).withColumn(
-            "lid",
-            F.concat_ws(sep, F.lit(name), F.col("doc_id").cast("string")),
-        ).drop("doc_id")
-        union = sig if union is None else union.unionByName(sig)
-    pairs = lsh_candidate_pairs(union, "lid", n_bands=4,
-                                max_bucket_size=256)
-    manual = {r["id"]: r["cluster_id"]
-              for r in dedup_clusters(pairs).collect()}
-    all_lids = {r["lid"] for r in union.select("lid").collect()}
-
-    # same cluster membership (by qualified id), same keepers
-    # (smallest lake-qualified id per cluster; singletons kept)
-    exp_cluster = {lid: manual.get(lid) for lid in all_lids}
-    assert {lid: got[lid]["cluster"] for lid in all_lids} == exp_cluster
-    exp_kept = {
-        lid: (manual.get(lid) is None
-              or lid == min(m for m, c in manual.items()
-                            if c == manual[lid]))
-        for lid in all_lids
-    }
-    assert {lid: got[lid]["kept"] for lid in all_lids} == exp_kept
-    # cross-dataset stats line up with the planted topology:
-    # two clusters, both spanning datasets
-    assert res["_lake"] == {"n_clusters": 2,
-                            "n_cross_dataset_clusters": 2}
-
-
-def test_datalake_prep_sweep(spark, tmp_path):
-    # round 9: one cleaning config over every text dataset in the lake,
-    # cleaned copies written outside the lake root — skip reasons,
-    # error containment and pooling follow the sweep conventions
-    import json
-
-    root = str(tmp_path / "preplake")
-    dest = str(tmp_path / "prep_out")
-    lake = Datalake(spark, root)
-    leak = "the quick brown fox jumps over the lazy benchmark dog"
-    spark.createDataFrame(
-        [(1, f"plenty of ordinary words and then {leak} at the end"),
-         (2, "a perfectly ordinary document with enough real words here"),
-         (2, "a perfectly ordinary document with enough real words here"),
-         (3, "!!!")],
-        ["doc_id", "text"],
-    ).write.parquet(os.path.join(root, "da"))
-    spark.createDataFrame(
-        [(10, "another clean corpus document with plain readable text")],
-        ["doc_id", "text"],
-    ).write.parquet(os.path.join(root, "db"))
-    spark.createDataFrame(
-        [(0, [0.1, 0.2])], "vec_id long, embedding array<double>"
-    ).write.parquet(os.path.join(root, "embs"))
-    for n in ("da", "db", "embs"):
-        lake.add_dataset(n)
-    bench = spark.createDataFrame([(0, leak)], ["doc_id", "text"])
-
-    res = lake.prep_sweep(dest, benchmark=bench, min_quality=1,
-                          near_dup=False)
-    assert res["embs"]["skipped"].startswith("no (doc_id, text)")
-    # da: doc 1 decontaminated, dup doc 2 exact-deduped, doc 3 gated
-    assert res["da"]["n_in"] == 4 and res["da"]["n_out"] == 1
-    assert res["db"]["n_out"] == 1
-    out = spark.read.parquet(res["da"]["dest"])
-    assert [r["doc_id"] for r in out.collect()] == [2]
-    assert "q_score" in out.columns
-    summary = json.loads(
-        (tmp_path / "preplake" / "_prep" / "_summary.json").read_text())
-    assert summary["da"]["n_out"] == 1
-    assert summary["_config"]["min_quality"] == 1
-    assert summary["_config"]["benchmark"] is True
-
-    # typo'd cleaning knob fails BEFORE any dataset pays a job
-    with pytest.raises(ValueError, match="unknown prep_documents knob"):
-        lake.prep_sweep(dest, min_qualty=1)
-
-    # pooled sweep: identical counts; garbage dataset contained
-    os.makedirs(os.path.join(root, "broken"))
-    lake.add_dataset("broken")
-    with open(os.path.join(root, "broken", "junk.parquet"), "w") as f:
-        f.write("not parquet")
-    pooled = lake.prep_sweep(dest, benchmark=bench, min_quality=1,
-                             near_dup=False, max_concurrency=3)
-    assert "error" in pooled["broken"]
-    assert pooled["da"]["n_out"] == res["da"]["n_out"]
-    assert pooled["db"]["n_out"] == res["db"]["n_out"]
-
-    # incremental: first run records markers, second keeps yesterday's
-    # cleaned copies without re-running the pipeline
-    kw = dict(benchmark=bench, min_quality=1, near_dup=False,
-              incremental=True)
-    first = lake.prep_sweep(dest, **kw)
-    assert "marker" in first["da"] and "fresh" not in first["da"]
-    second = lake.prep_sweep(dest, **kw)
-    assert second["da"]["fresh"].startswith("unchanged")
-    assert second["db"]["fresh"].startswith("unchanged")
-    assert second["da"]["n_out"] == first["da"]["n_out"]
-
-    # corpus mutated -> only that dataset re-cleans
-    spark.createDataFrame(
-        [(11, "a newly appended clean document with plenty of words")],
-        ["doc_id", "text"],
-    ).write.mode("append").parquet(os.path.join(root, "db"))
-    third = lake.prep_sweep(dest, **kw)
-    assert third["da"]["fresh"].startswith("unchanged")
-    assert "fresh" not in third["db"]
-    assert third["db"]["n_out"] == 2
-
-    # config moved -> nothing provably current
-    fourth = lake.prep_sweep(dest, benchmark=bench, min_quality=2,
-                             near_dup=False, incremental=True)
-    assert "fresh" not in fourth["da"]
-
-    # benchmark content moved -> nothing provably current either
-    bench2 = spark.createDataFrame([(0, leak + " longer")],
-                                   ["doc_id", "text"])
-    fifth = lake.prep_sweep(dest, benchmark=bench2, min_quality=1,
-                            near_dup=False, incremental=True)
-    assert "fresh" not in fifth["da"]
-
-    # out-of-band deletion of the cleaned copy -> the fresh path must
-    # fall through to a re-clean (ADVICE r9), never report "fresh" with
-    # a dest pointing at nothing
-    import shutil
-
-    sixth = lake.prep_sweep(dest, **kw)  # re-establish kw's markers
-    shutil.rmtree(sixth["da"]["dest"])
-    seventh = lake.prep_sweep(dest, **kw)
-    assert "fresh" not in seventh["da"]
-    assert seventh["db"]["fresh"].startswith("unchanged")
-    assert spark.read.parquet(seventh["da"]["dest"]).count() \
-        == seventh["da"]["n_out"]
-
-
-def test_datalake_prep_sweep_append_n_out(spark, tmp_path):
-    # ADVICE r9: with mode="append" the dest accumulates across runs —
-    # n_out must report THIS run's rows (cumulative total in n_total)
-    root = str(tmp_path / "applake")
-    dest = str(tmp_path / "app_out")
-    lake = Datalake(spark, root)
-    spark.createDataFrame(
-        [(1, "a perfectly ordinary document with enough real words")],
-        ["doc_id", "text"],
-    ).write.parquet(os.path.join(root, "da"))
-    lake.add_dataset("da")
-    kw = dict(mode="append", min_quality=0, near_dup=False)
-    r1 = lake.prep_sweep(dest, **kw)
-    assert r1["da"]["n_out"] == 1 and r1["da"]["n_total"] == 1
-    r2 = lake.prep_sweep(dest, **kw)
-    assert r2["da"]["n_out"] == 1 and r2["da"]["n_total"] == 2
-    # overwrite mode keeps the round-9 shape: n_out == rows on disk,
-    # no n_total key
-    r3 = lake.prep_sweep(dest, min_quality=0, near_dup=False)
-    assert r3["da"]["n_out"] == 1 and "n_total" not in r3["da"]
-
-
-def test_datalake_prep_sweep_overrides(spark, tmp_path):
-    # round 10 (VERDICT r9 #2): heterogeneous lakes keep the one-cron/
-    # one-summary economy — ONE base cleaning config with per-dataset
-    # knob deltas merged over it
-    import json
-
-    from pydala_spark.dataset.maintain import read_signatures
-
-    root = str(tmp_path / "ovlake")
-    dest = str(tmp_path / "ov_out")
-    lake = Datalake(spark, root)
-    spark.createDataFrame(
-        [(1, "a perfectly ordinary web document with enough words"),
-         (2, "another clean web document with plain readable text")],
-        ["doc_id", "text"],
-    ).write.parquet(os.path.join(root, "web"))
-    spark.createDataFrame(
-        [(10, "def main(): return compute_the_thing(argv) # entry"),
-         (11, "class Thing:\n    def run(self):\n        return 42")],
-        ["doc_id", "text"],
-    ).write.parquet(os.path.join(root, "code"))
-    for n in ("web", "code"):
-        lake.add_dataset(n)
-
-    # override hygiene fails the sweep up front, like a typo'd base knob
-    with pytest.raises(ValueError, match="unknown dataset"):
-        lake.prep_sweep(dest, overrides={"nope": {"min_quality": 1}})
-    with pytest.raises(ValueError, match="unknown override knob"):
-        lake.prep_sweep(dest, overrides={"code": {"min_qualty": 1}})
-
-    # the merged config actually drives each dataset: code gets an
-    # impossible quality bar, web keeps the base
-    res = lake.prep_sweep(dest, min_quality=0, near_dup=False,
-                          overrides={"code": {"min_quality": 99}})
-    assert res["web"]["n_out"] == 2
-    assert res["code"]["n_out"] == 0
-    assert res["code"]["config"] == {"min_quality": 99}
-    assert "config" not in res["web"]
-    summary = json.loads(
-        (tmp_path / "ovlake" / "_prep" / "_summary.json").read_text())
-    assert summary["code"]["config"] == {"min_quality": 99}
-    assert summary["_config"].get("min_quality") == 0  # base only
-
-    # derived hashing params follow the EFFECTIVE config: an override
-    # that flips the shingle mode must pin the materialized sidecar to
-    # char/7 for that dataset while the others stay word/3
-    dest2 = str(tmp_path / "ov_out2")
-    lake.prep_sweep(dest2, min_quality=0, signatures=("minhash",),
-                    overrides={"code": {
-                        "near_dup_shingle_mode": "char"}})
-    _, p_web = read_signatures(spark, os.path.join(root, "web"),
-                               "minhash")
-    _, p_code = read_signatures(spark, os.path.join(root, "code"),
-                                "minhash")
-    assert p_web["shingle_mode"] == "word" \
-        and p_web["shingle_size"] == 3
-    assert p_code["shingle_mode"] == "char" \
-        and p_code["shingle_size"] == 7
-
-    # incremental: a changed override invalidates exactly that dataset
-    kw = dict(min_quality=0, near_dup=False, incremental=True,
-              overrides={"code": {"min_quality": 99}})
-    first = lake.prep_sweep(dest, **kw)
-    assert "fresh" not in first["code"]  # sidecar run above reshaped
-    second = lake.prep_sweep(dest, **kw)
-    assert second["web"]["fresh"].startswith("unchanged")
-    assert second["code"]["fresh"].startswith("unchanged")
-    third = lake.prep_sweep(dest, min_quality=0, near_dup=False,
-                            incremental=True,
-                            overrides={"code": {"min_quality": 0}})
-    assert third["web"]["fresh"].startswith("unchanged")
-    assert "fresh" not in third["code"]
-    assert third["code"]["n_out"] == 2
-    # dropping the override entirely is also a config move for code
-    fourth = lake.prep_sweep(dest, min_quality=0, near_dup=False,
-                             incremental=True)
-    assert fourth["web"]["fresh"].startswith("unchanged")
-    assert "fresh" not in fourth["code"]
-    # ...and a base-config change still invalidates the whole sweep
-    fifth = lake.prep_sweep(dest, min_quality=1, near_dup=False,
-                            incremental=True)
-    assert "fresh" not in fifth["web"] and "fresh" not in fifth["code"]
-
-
-def test_cli_cron_prep_sweep_overrides(spark, tmp_path, capsys):
-    # round 10: the [prep_sweep.overrides.<dataset>] cron TOML form
-    import json
-
-    from pydala_spark.cli import main
-
-    root = str(tmp_path / "ovcron")
-    lake = Datalake(spark, root)
-    spark.createDataFrame(
-        [(1, "a perfectly ordinary web document with enough words")],
-        ["doc_id", "text"],
-    ).write.parquet(os.path.join(root, "web"))
-    spark.createDataFrame(
-        [(10, "def main(): return compute_the_thing(argv) # entry")],
-        ["doc_id", "text"],
-    ).write.parquet(os.path.join(root, "code"))
-    for n in ("web", "code"):
-        lake.add_dataset(n)
-
-    cfg = tmp_path / "ov_cron.toml"
-    dest = str(tmp_path / "ovcron_out")
-    cfg.write_text(f"""
-root = "{root}"
-
-[prep_sweep]
-dest_root = "{dest}"
-min_quality = 0
-near_dup = false
-
-[prep_sweep.overrides.code]
-min_quality = 99
-""")
-    rc = main(["--master", "local[4]", "cron", str(cfg)])
-    out = json.loads(capsys.readouterr().out)
-    assert rc == 0
-    assert out["prep_sweep"]["web"]["n_out"] == 1
-    assert out["prep_sweep"]["code"]["n_out"] == 0
-    assert out["prep_sweep"]["code"]["config"] == {"min_quality": 99}
-
-
-def test_prep_sweep_cleaned_lake_handoff(spark, tmp_path):
-    # round 10 (VERDICT r9 #6): the cleaned copies ARE a new lake —
-    # prep_sweep(sign_outputs=) signs them at creation, a Datalake over
-    # dest_root starts sidecar-served, and a semantic_dedup sweep over
-    # the new lake closes the deliberate embedding_cells exclusion by
-    # pinning the CLEANED corpus's own codebook + cells there
-    import numpy as np
-
-    root = str(tmp_path / "handlake")
-    dest = str(tmp_path / "handout")
-    lake = Datalake(spark, root)
-    rng = np.random.default_rng(17)
-
-    def vec(seed_row):
-        return [float(x) for x in rng.normal(size=6)]
-
-    shared = ("the exact same crawl paragraph showing up twice in the "
-              "corpus word for word")
-    base = [
-        (1, shared, vec(1)),
-        (2, shared, vec(2)),  # text near-dup of 1 — prep drops one
-        (3, "a unique document with plenty of distinct words", vec(3)),
-        (4, "another unique document with different words again", vec(4)),
-    ]
-    # 3 and 4 get near-identical embeddings: the SEMANTIC sweep over
-    # the cleaned lake must catch what text dedup cannot
-    base[3] = (4, base[3][1],
-               [x + 1e-4 for x in base[2][2]])
-    spark.createDataFrame(
-        base, "doc_id long, text string, embedding array<double>",
-    ).write.parquet(os.path.join(root, "docs"))
-    lake.add_dataset("docs")
-
-    res = lake.prep_sweep(dest, min_quality=0, near_dup=True,
-                          sign_outputs=("minhash",))
-    assert res["docs"]["n_out"] == 3  # one exact/near text dup gone
-    assert res["docs"]["signed"] == ["minhash"]
-
-    # the handoff: a NEW Datalake rooted at the cleaned copies
-    clean = Datalake(spark, dest)
-    clean.add_dataset("docs")
-    # non-text columns rode through the pipeline into the copy
-    assert "embedding" in spark.read.parquet(
-        res["docs"]["dest"]).columns
-
-    nd = clean.neardup_dedup()
-    # signed at creation -> the new lake's sweep starts sidecar-served
-    assert nd["docs"]["sidecar"] == "reused"
-    assert nd["docs"]["n_dropped"] == 0  # text dups already cleaned
-
-    sd = clean.semantic_dedup(id_col="doc_id", threshold=0.999,
-                              n_centroids=2)
-    assert sd["docs"]["n_dropped"] == 1  # the embedding near-dup pair
-    # ...and the cells sidecar now lives in the CLEANED lake, pinned
-    # to the codebook this sweep trained over the cleaned corpus
-    from pydala_spark.dataset.maintain import read_signatures
-
-    _, params = read_signatures(
-        spark, res["docs"]["dest"], "embedding_cells")
-    assert params.get("codebook_sha")
-
-    # second semantic sweep reuses the fresh cells sidecar
-    sd2 = clean.semantic_dedup(id_col="doc_id", threshold=0.999,
-                               n_centroids=2)
-    assert sd2["docs"]["sidecar"] == "reused"
-
-
-def test_datalake_prep_sweep_signature_sidecars(spark, tmp_path):
-    # round 9: the prep sweep serves its near-dup stage from each
-    # dataset's minhash sidecar — verdicts identical to the inline
-    # sweep, hashing paid once, and the SAME sidecar then serves
-    # neardup_dedup (shared ingest economy)
-    root = str(tmp_path / "prepsig")
-    dest = str(tmp_path / "prepsig_out")
-    lake = Datalake(spark, root)
-    shared = ("the quick brown fox jumps over the lazy dog "
-              "again and again in every single crawl dump")
-    spark.createDataFrame(
-        [(1, shared),
-         (2, shared + " trailing"),
-         (3, "a completely different document with its own words here")],
-        ["doc_id", "text"],
-    ).write.parquet(os.path.join(root, "da"))
-    lake.add_dataset("da")
-
-    inline = lake.prep_sweep(dest + "_inline", min_quality=0)
-    first = lake.prep_sweep(dest, min_quality=0,
-                            signatures=("minhash",))
-    assert first["da"]["sidecars"] == {"minhash": "materialized"}
-    assert first["da"]["n_out"] == inline["da"]["n_out"]
-    a = spark.read.parquet(first["da"]["dest"])
-    b = spark.read.parquet(inline["da"]["dest"])
-    assert sorted(r["doc_id"] for r in a.collect()) \
-        == sorted(r["doc_id"] for r in b.collect())
-
-    # second run reads the sidecar (no re-hash); neardup_dedup then
-    # reuses the very same table
-    second = lake.prep_sweep(dest, min_quality=0,
-                             signatures=("minhash",))
-    assert second["da"]["sidecars"] == {"minhash": "reused"}
-    nd = lake.neardup_dedup()
-    assert nd["da"]["sidecar"] == "reused"
-
-    # param pin: a sweep under different hashing knobs refuses to
-    # consume the stale-parameter sidecar and re-materializes
-    third = lake.prep_sweep(dest, min_quality=0, n_hashes=4,
-                            signatures=("minhash",))
-    assert third["da"]["sidecars"] == {"minhash": "materialized"}
-
-    # unknown kind fails before any dataset pays a job
-    # (embedding_cells needs a pinned codebook — single-corpus CLI)
-    with pytest.raises(ValueError, match="unknown signatures kind"):
-        lake.prep_sweep(dest, signatures=("embedding_cells",))
-
-    # winnowing sidecar serves the decontamination stage
-    bench = spark.createDataFrame([(0, shared)], ["doc_id", "text"])
-    wn = lake.prep_sweep(
-        dest + "_wn", min_quality=0, benchmark=bench,
-        decontaminate_mode="winnowing", near_dup=False,
-        signatures=("winnowing",),
-    )
-    assert wn["da"]["sidecars"] == {"winnowing": "materialized"}
-    kept = {r["doc_id"] for r in
-            spark.read.parquet(wn["da"]["dest"]).collect()}
-    assert 1 not in kept and 3 in kept
-
-
-def test_datalake_span_report_incremental(spark, tmp_path):
-    # round 9: span df counts are lake-global (the neardup rule), so
-    # the only sound economy is the ALL-FRESH fast path — unchanged
-    # lake reuses the prior report; any mutation or config change
-    # falls back to the full union/df jobs
-    root = str(tmp_path / "spaninc")
-    lake = Datalake(spark, root)
-    boiler = ("this exact legal boilerplate paragraph appears at the "
-              "bottom of every single crawl dump page")
-    spark.createDataFrame(
-        [(1, f"original words of document one. {boiler}"),
-         (2, "a document with entirely unique content and nothing shared")],
-        ["doc_id", "text"],
-    ).write.parquet(os.path.join(root, "da"))
-    spark.createDataFrame(
-        [(10, f"different lead-in text here. {boiler}")],
-        ["doc_id", "text"],
-    ).write.parquet(os.path.join(root, "db"))
-    for n in ("da", "db"):
-        lake.add_dataset(n)
-
-    kw = dict(min_df=2, incremental=True)
-    first = lake.span_dedup_report(**kw)
-    assert first["_lake"]["n_spans"] >= 2  # boiler flagged in both
-    assert "marker" in first["da"]
-
-    second = lake.span_dedup_report(**kw)
-    for n in ("da", "db"):
-        assert second[n]["fresh"].startswith("lake unchanged"), second[n]
-    assert second["_lake"] == first["_lake"]
-    assert second["da"]["n_spans"] == first["da"]["n_spans"]
-
-    # config moved -> full sweep
-    third = lake.span_dedup_report(min_df=3, incremental=True)
-    assert "fresh" not in third["da"]
-
-    # corpus mutated -> sidecar re-materializes -> full sweep
-    spark.createDataFrame(
-        [(11, f"yet another page. {boiler}")],
-        ["doc_id", "text"],
-    ).write.mode("append").parquet(os.path.join(root, "db"))
-    fourth = lake.span_dedup_report(**kw)
-    assert "fresh" not in fourth["db"]
-    assert fourth["db"]["sidecar"] == "materialized"
-    assert fourth["_lake"]["n_spans"] >= first["_lake"]["n_spans"]
-
-
-def test_datalake_prep_sweep_spans_sidecar(spark, tmp_path):
-    # round 9: the spans kind — the engine's most expensive hashing
-    # pass — serves the prep sweep's span_dedup stage; output equals
-    # the inline sweep
-    root = str(tmp_path / "prepspan")
-    dest = str(tmp_path / "prepspan_out")
-    lake = Datalake(spark, root)
-    boiler = ("this exact legal boilerplate paragraph appears at the "
-              "bottom of every single crawl dump page")
-    spark.createDataFrame(
-        [(1, f"original words of document one here. {boiler}"),
-         (2, f"totally different original content two. {boiler}")],
-        ["doc_id", "text"],
-    ).write.parquet(os.path.join(root, "da"))
-    lake.add_dataset("da")
-
-    kw = dict(min_quality=0, near_dup=False, span_dedup=True,
-              span_min_df=2)
-    inline = lake.prep_sweep(dest + "_inline", **kw)
-    served = lake.prep_sweep(dest, signatures=("spans",), **kw)
-    assert served["da"]["sidecars"] == {"spans": "materialized"}
-    a = {r["doc_id"]: r["text"] for r in
-         spark.read.parquet(served["da"]["dest"]).collect()}
-    b = {r["doc_id"]: r["text"] for r in
-         spark.read.parquet(inline["da"]["dest"]).collect()}
-    assert a == b
-    assert all(boiler not in t or True for t in a.values())
-    # the boilerplate was actually cut from at least one doc
-    assert sum(boiler in t for t in a.values()) < 2
-
-    again = lake.prep_sweep(dest, signatures=("spans",), **kw)
-    assert again["da"]["sidecars"] == {"spans": "reused"}
-
-
-def test_datalake_prep_sweep_stage_counts(spark, tmp_path):
-    # round 9: the lake-wide "where did my corpus go" diagnostic —
-    # per-stage survivor counts ride the summary, consistent with the
-    # final n_out
-    root = str(tmp_path / "prepstages")
-    dest = str(tmp_path / "prepstages_out")
-    lake = Datalake(spark, root)
-    leak = "the quick brown fox jumps over the lazy benchmark dog"
-    spark.createDataFrame(
-        [(1, f"plenty of ordinary words and then {leak} at the end"),
-         (2, "a perfectly ordinary document with enough real words here"),
-         (2, "a perfectly ordinary document with enough real words here"),
-         (3, "!!!")],
-        ["doc_id", "text"],
-    ).write.parquet(os.path.join(root, "da"))
-    lake.add_dataset("da")
-    bench = spark.createDataFrame([(0, leak)], ["doc_id", "text"])
-
-    res = lake.prep_sweep(dest, benchmark=bench, min_quality=1,
-                          near_dup=False, stage_counts=True)
-    st = res["da"]["stages"]
-    assert st["input"] == 4
-    assert st["exact_dedup"] == 3      # dup doc 2 collapsed
-    assert st["decontaminate"] == 2    # leak doc gone
-    assert st["quality"] == 1          # "!!!" gated
-    assert res["da"]["n_in"] == 4 and res["da"]["n_out"] == 1
-    # counts are monotone non-increasing through the funnel
-    vals = list(st.values())
-    assert all(a >= b for a, b in zip(vals, vals[1:]))
-
-
-def test_datalake_prep_sweep_sign_outputs(spark, tmp_path):
-    # round 9: the cleaned copies get their own signature sidecars at
-    # creation — a Datalake over the training copies starts every
-    # sweep sidecar-served; incremental keeps + signs as needed
-    from pydala_spark.dataset.maintain import read_signatures
-
-    root = str(tmp_path / "prepsign2")
-    dest = str(tmp_path / "prepsign2_out")
-    lake = Datalake(spark, root)
-    spark.createDataFrame(
-        [(1, "a perfectly ordinary document with enough real words"),
-         (2, "another clean corpus document with plain readable text")],
-        ["doc_id", "text"],
-    ).write.parquet(os.path.join(root, "da"))
-    lake.add_dataset("da")
-
-    kw = dict(min_quality=0, near_dup=False, incremental=True)
-    first = lake.prep_sweep(dest, sign_outputs=("minhash",), **kw)
-    assert first["da"]["signed"] == ["minhash"]
-    # the sidecar verifies against the CLEANED copy
-    cleaned = spark.read.parquet(first["da"]["dest"])
-    sigs, params = read_signatures(
-        spark, first["da"]["dest"], "minhash", verify_against=cleaned)
-    assert sigs.count() == cleaned.count()
-
-    # a cleaned-copies lake is sidecar-served from the start
-    lake2 = Datalake(spark, dest)
-    lake2.add_dataset("da")
-    nd = lake2.neardup_dedup()
-    assert nd["da"]["sidecar"] == "reused"
-
-    # fresh skip keeps the copy; a NEW signing request signs it
-    # without re-cleaning
-    second = lake.prep_sweep(dest, sign_outputs=("minhash", "spans"),
-                             **kw)
-    assert second["da"]["fresh"].startswith("unchanged")
-    assert second["da"]["signed"] == ["minhash", "spans"]
-    read_signatures(spark, second["da"]["dest"], "spans",
-                    verify_against=cleaned)
-
-    # unknown sign kind fails up front (cells never sign here — they
-    # belong to a semantic_dedup sweep over the cleaned lake)
-    with pytest.raises(ValueError, match="unknown sign_outputs"):
-        lake.prep_sweep(dest, sign_outputs=("embedding_cells",))
-
-
-def test_datalake_prep_sweep_semantic_codebook(spark, tmp_path):
-    # round 9: lake-wide SemDeDup cleaning — the semantic stage's
-    # codebook loads from the pinned save_codebook path (real
-    # dimensions don't belong in TOML), and embedding_cells sidecars
-    # (sha-pinned to it) serve the assignment
-    import numpy as np
-
-    from pydala_spark.operators.ann import save_codebook
-
-    root = str(tmp_path / "prepsem")
-    dest = str(tmp_path / "prepsem_out")
-    lake = Datalake(spark, root)
-    rng = np.random.default_rng(13)
-    v = [float(x) for x in rng.normal(size=4)]
-    spark.createDataFrame(
-        [(1, "first document with its own textual content entirely", v),
-         (2, "a paraphrase sharing no words with document number one",
-          [x + 1e-5 for x in v]),
-         (3, "third document about an unrelated topic and vector",
-          [float(x) for x in rng.normal(size=4) + 6])],
-        "doc_id long, text string, embedding array<double>",
-    ).write.parquet(os.path.join(root, "da"))
-    lake.add_dataset("da")
-    cb = np.stack([np.asarray(v) / np.linalg.norm(v),
-                   (rng.normal(size=4) + 6)
-                   / np.linalg.norm(rng.normal(size=4) + 6)])
-    cb_path = str(tmp_path / "cb.json")
-    save_codebook(spark, cb, cb_path)
-
-    # a TEXT-ONLY dataset must SKIP an embedding-reading config with a
-    # reason, not error the cron every night (round-9 review find)
-    spark.createDataFrame(
-        [(50, "a dataset that has text but carries no embeddings")],
-        ["doc_id", "text"],
-    ).write.parquet(os.path.join(root, "textonly"))
-    lake.add_dataset("textonly")
-
-    kw = dict(min_quality=0, near_dup=False, semantic_dedup=True,
-              vec_col="embedding", semantic_threshold=0.999)
-    res = lake.prep_sweep(dest, codebook_path=cb_path,
-                          signatures=("embedding_cells",), **kw)
-    assert res["da"]["sidecars"] == {"embedding_cells": "materialized"}
-    assert res["textonly"]["skipped"].startswith("no (embedding)")
-    kept = {r["doc_id"] for r in
-            spark.read.parquet(res["da"]["dest"]).collect()}
-    assert kept == {1, 3}  # the embedding paraphrase collapsed
-
-    again = lake.prep_sweep(dest, codebook_path=cb_path,
-                            signatures=("embedding_cells",), **kw)
-    assert again["da"]["sidecars"] == {"embedding_cells": "reused"}
-
-    # cells without a codebook refuse; cells without vec_col refuse
-    with pytest.raises(ValueError, match="requires codebook_path"):
-        lake.prep_sweep(dest, signatures=("embedding_cells",), **kw)
-    with pytest.raises(ValueError, match="requires the vec_col"):
-        lake.prep_sweep(dest, codebook_path=cb_path,
-                        signatures=("embedding_cells",), min_quality=0,
-                        near_dup=False, semantic_dedup=True,
-                        semantic_threshold=0.999, vec_col=None)
-    with pytest.raises(ValueError, match="unknown sign_outputs"):
-        lake.prep_sweep(dest, sign_outputs=("embedding_cells",))
-
-    # round 10: a per-dataset override may SWAP the codebook — the
-    # cells sidecar pins to the EFFECTIVE codebook's sha, so the
-    # overridden dataset re-materializes (then reuses) cells under its
-    # own codebook instead of sha-refusing every night
-    cb2 = np.stack([cb[1], cb[0]])  # different identity, same geometry
-    ov = {"da": {"semantic_centroids": cb2}}
-    r_ov = lake.prep_sweep(dest, codebook_path=cb_path,
-                           signatures=("embedding_cells",),
-                           overrides=ov, **kw)
-    assert r_ov["da"]["sidecars"] == {"embedding_cells": "materialized"}
-    assert r_ov["da"]["config"]["semantic_centroids"].startswith(
-        "codebook:")
-    r_ov2 = lake.prep_sweep(dest, codebook_path=cb_path,
-                            signatures=("embedding_cells",),
-                            overrides=ov, **kw)
-    assert r_ov2["da"]["sidecars"] == {"embedding_cells": "reused"}
-
-    # ...an override that turns the semantic stage OFF but KEEPS
-    # vec_col still materializes the cells sidecar (ADVICE r10: an
-    # explicit signatures request with vec_col available is the
-    # "produce cells for a later semantic_dedup sweep" shape) — the
-    # cells just aren't consumed tonight, so no semantic drop
-    r_off = lake.prep_sweep(
-        dest, codebook_path=cb_path, signatures=("embedding_cells",),
-        overrides={"da": {"semantic_dedup": False}}, **{
-            k: v for k, v in kw.items() if k != "semantic_dedup"},
-        semantic_dedup=True,
-    )
-    assert r_off["da"]["sidecars"] == {"embedding_cells": "materialized"}
-    assert r_off["da"]["n_out"] == 3  # no semantic drop for da
-
-    # ...whereas an override that REMOVES vec_col (a text-only config
-    # for this dataset) skips the sidecar with a reason instead of
-    # erroring nightly
-    r_novec = lake.prep_sweep(
-        dest, codebook_path=cb_path, signatures=("embedding_cells",),
-        overrides={"da": {"semantic_dedup": False, "vec_col": None}},
-        **{k: v for k, v in kw.items()
-           if k not in ("semantic_dedup", "vec_col")},
-        semantic_dedup=True, vec_col="embedding",
-    )
-    assert r_novec["da"]["sidecars"]["embedding_cells"].startswith(
-        "skipped (no vec_col")
-    assert r_novec["da"]["n_out"] == 3

@@ -81,12 +81,17 @@ def replicate_embeddings(spark, sf_dir: str, factor: int, out: str):
     reps = spark.range(factor).withColumnRenamed("id", "__rep")
     rolled = None
     for r in range(factor):
+        # roll by r % dim: factors past the vector dim (the round-13
+        # 100x probe on dim-64 embeddings) reuse shifts — replicas
+        # sharing a shift land in the same cells, which only makes the
+        # probed workload HARDER (denser cells), never degenerate
+        shift = r % dim
         branch = (
             F.col("embedding")
-            if r == 0
+            if shift == 0
             else F.concat(
-                F.slice(F.col("embedding"), r + 1, dim - r),
-                F.slice(F.col("embedding"), 1, r),
+                F.slice(F.col("embedding"), shift + 1, dim - shift),
+                F.slice(F.col("embedding"), 1, shift),
             )
         )
         rolled = (
