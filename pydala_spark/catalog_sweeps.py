@@ -156,6 +156,37 @@ class LakeSweepsMixin:
             frame, params = _read()
             return frame, params, f"{type(exc).__name__}"
 
+    def _codebook_cells(
+        self, df, data_path: str, cb, cb_path: str, id_col: str,
+        vec_col: str, n_centroids: int, seed: int, verify: bool,
+        materialize: bool, signatures_path: str | None,
+    ) -> tuple:
+        """Pin the lake codebook (training it on the FIRST eligible
+        dataset and persisting BEFORE any assignment, so a crash
+        between training and sidecar writes can't strand cells under
+        an unrecorded codebook) and serve the dataset's sha-pinned
+        ``embedding_cells`` sidecar — the block both semantic sweep
+        modes open with (round-13 dedup). Returns
+        ``(cb, cells, params, materialized)``."""
+        from pydala_spark.operators.ann import (
+            codebook_sha,
+            kmeans_centroids,
+            save_codebook,
+        )
+
+        if cb is None:
+            cb = kmeans_centroids(
+                df, vec_col=vec_col, n_centroids=n_centroids, seed=seed)
+            save_codebook(self.spark, cb, cb_path)
+        cells, params, materialized = self._sidecar_frame(
+            df, data_path, "embedding_cells",
+            {"codebook_sha": codebook_sha(cb),
+             "id_col": id_col, "vec_col": vec_col},
+            verify, materialize, signatures_path,
+            dict(id_col=id_col, vec_col=vec_col, centroids=cb),
+        )
+        return cb, cells, params, materialized
+
     def decontaminate(
         self,
         benchmarks: dict[str, DataFrame],
@@ -499,12 +530,7 @@ class LakeSweepsMixin:
         that fixed per-job overheads dominate.
         Summaries carry ``"_sweep_mode"``; a config or codebook-sha
         change discards the prior and runs full."""
-        from pydala_spark.operators.ann import (
-            codebook_sha,
-            kmeans_centroids,
-            load_codebook,
-            save_codebook,
-        )
+        from pydala_spark.operators.ann import codebook_sha, load_codebook
         from pydala_spark.operators.similarity import semantic_dedup
 
         cb_path = (
@@ -562,22 +588,10 @@ class LakeSweepsMixin:
                 nonlocal cb
                 df, data_path = self._swept_frame(
                     name, base, (id_col, vec_col))
-                if cb is None:
-                    cb_new = kmeans_centroids(
-                        df, vec_col=vec_col,
-                        n_centroids=n_centroids, seed=seed)
-                    save_codebook(self.spark, cb_new, cb_path)
-                    cb = cb_new
-                sha = codebook_sha(cb)
-                cells, _p, materialized = self._sidecar_frame(
-                    df, data_path, "embedding_cells",
-                    {"codebook_sha": sha,
-                     "id_col": id_col, "vec_col": vec_col},
-                    verify, materialize,
-                    _sig_path(signatures_root, name),
-                    dict(id_col=id_col, vec_col=vec_col,
-                         centroids=cb),
-                )
+                cb, cells, _p, materialized = self._codebook_cells(
+                    df, data_path, cb, cb_path, id_col, vec_col,
+                    n_centroids, seed, verify, materialize,
+                    _sig_path(signatures_root, name))
                 scored = bool(score_col) and score_col in df.columns
                 doc = F.col(id_col).cast("string")
                 vecs = df.select(
@@ -677,11 +691,8 @@ class LakeSweepsMixin:
                 meta = union_v.select(
                     F.col("__lid").alias("id"), "__ds", "__doc")
                 if partial_unchanged is not None:
-                    # PARTIAL night (round 10; body relocated verbatim
-                    # to sweeps.semantic_cross_partial in round 13):
-                    # touched-cell delta + untouched carry-over, with
-                    # the fraction/broadcast guards falling back to
-                    # full. This block only assembles the lake facts.
+                    # PARTIAL night (round 10; relocated verbatim to
+                    # sweeps.semantic_cross_partial in round 13)
                     sweep_mode = semantic_cross_partial(
                         self.spark, self._po,
                         union_v=union_v, union_c=union_c, meta=meta,
@@ -736,24 +747,10 @@ class LakeSweepsMixin:
             nonlocal cb
             df, data_path = self._swept_frame(
                 name, base, (id_col, vec_col))
-            if cb is None:
-                # first eligible dataset trains the lake codebook —
-                # persisted BEFORE any assignment so a crash between
-                # training and sidecar writes can't strand cells
-                # under an unrecorded codebook
-                cb = kmeans_centroids(
-                    df, vec_col=vec_col, n_centroids=n_centroids,
-                    seed=seed,
-                )
-                save_codebook(self.spark, cb, cb_path)
-            sha = codebook_sha(cb)
-            cells, params, materialized = self._sidecar_frame(
-                df, data_path, "embedding_cells",
-                {"codebook_sha": sha, "id_col": id_col,
-                 "vec_col": vec_col},
-                verify, materialize, _sig_path(signatures_root, name),
-                dict(id_col=id_col, vec_col=vec_col, centroids=cb),
-            )
+            cb, cells, params, materialized = self._codebook_cells(
+                df, data_path, cb, cb_path, id_col, vec_col,
+                n_centroids, seed, verify, materialize,
+                _sig_path(signatures_root, name))
             marker = content_marker(params)
             scored = bool(score_col) and score_col in df.columns
             score_marker = None
@@ -1051,12 +1048,9 @@ class LakeSweepsMixin:
 
             spans = None
             if partial_unchanged is not None:
-                # PARTIAL night (round 10; body relocated verbatim to
-                # sweeps.span_partial_night in round 13): broadcast
-                # delta over the additive df/contrib artifacts, flip
-                # propagation in both directions, 2M guards falling
-                # back to the full sweep (spans=None). This block only
-                # assembles the lake facts + the commit inputs.
+                # PARTIAL night (round 10; relocated verbatim to
+                # sweeps.span_partial_night in round 13); spans=None
+                # means a guard refused and the FULL sweep runs below
                 spans, sweep_mode, new_token, swap_stage = (
                     span_partial_night(
                         self.spark, self._po,
