@@ -213,3 +213,117 @@ def test_night_gate_laziness_and_rules():
                       "n_docs", "/lake/_rep/_verdicts", set())
     assert gate2.all_fresh()
     assert gate2.unchanged == set()  # fresh but not contributing
+
+
+# ---- round-13 hoists: guard / prologue / epilogue / partial-ctx ----
+
+
+def test_guard_dataset_skip_error_and_pad():
+    from pydala_spark.sweeps import SkipSweep, guard_dataset
+
+    @guard_dataset()
+    def plain(name, base):
+        if name == "skipme":
+            raise SkipSweep("no (text) columns")
+        if name == "boom":
+            raise ValueError("x" * 600)
+        return {"ok": name}
+
+    assert plain("a", "/b") == {"ok": "a"}
+    assert plain("skipme", "/b") == {"skipped": "no (text) columns"}
+    err = plain("boom", "/b")
+    assert err["error"].startswith("ValueError:")
+    assert len(err["error"]) <= 500  # the 500-char truncation rule
+
+    @guard_dataset(pad=2)
+    def tupled(name, base):
+        if name == "skipme":
+            raise SkipSweep("reason")
+        return {"ok": 1}, "payload", "more"
+
+    assert tupled("a", "/b") == ({"ok": 1}, "payload", "more")
+    assert tupled("skipme", "/b") == ({"skipped": "reason"}, None, None)
+
+
+def test_rep_base_for_and_union_all_and_seal():
+    from pydala_spark.sweeps import rep_base_for, seal_summary, union_all
+
+    assert rep_base_for("/lake", None, "_neardup") == "/lake/_neardup"
+    assert rep_base_for("/lake", "/x/rep/", "_neardup") == "/x/rep"
+    assert rep_base_for("/lake", "file:///x/rep", "_neardup") == "/x/rep"
+    assert union_all([]) is None
+    assert union_all([None, None]) is None
+
+    class FakeFrame:
+        def __init__(self, vals):
+            self.vals = vals
+
+        def unionByName(self, other):
+            return FakeFrame(self.vals + other.vals)
+
+    got = union_all([FakeFrame([1]), None, FakeFrame([2, 3])])
+    assert got.vals == [1, 2, 3]
+
+    po = FakePO()
+    results = {"da": {"n": 1}}
+    out = seal_summary(po, "/rep", results, _config={"k": 1},
+                       _sweep_mode="full")
+    assert out is results and out["_config"] == {"k": 1}
+    stored = json.loads(po.files["/rep/_summary.json"])
+    assert stored["_sweep_mode"] == "full" and stored["da"] == {"n": 1}
+
+
+def test_reuse_if_fresh_rules():
+    from pydala_spark.sweeps import reuse_if_fresh
+
+    marker = {"rows": 3, "xor": 7}
+    prior = {"da": {"marker": marker, "n_dropped": 1, "scored": True,
+                    "score_marker": {"rows": 3, "xor": 9}}}
+    hit = reuse_if_fresh(prior, "da", marker, "n_dropped",
+                         (("scored", True),
+                          ("score_marker", {"rows": 3, "xor": 9})))
+    assert hit is not None and hit["sidecar"] == "reused"
+    assert "unchanged since last sweep" in hit["fresh"]
+    # every leg of the rule individually refuses
+    assert reuse_if_fresh(None, "da", marker, "n_dropped") is None
+    assert reuse_if_fresh(prior, "db", marker, "n_dropped") is None
+    assert reuse_if_fresh(prior, "da", None, "n_dropped") is None
+    assert reuse_if_fresh(
+        prior, "da", {"rows": 4, "xor": 7}, "n_dropped") is None
+    assert reuse_if_fresh(prior, "da", marker, "absent_key") is None
+    assert reuse_if_fresh(
+        prior, "da", marker, "n_dropped", (("scored", False),)) is None
+
+
+def test_neardup_partial_ctx_guards():
+    from pydala_spark.sweeps import neardup_partial_ctx, write_token
+
+    po = FakePO()
+    write_token(po, "/rep/_pairs", "tok1")
+    results = {"da": {"marker": {"rows": 5, "xor": 1}},
+               "db": {"marker": {"rows": 7, "xor": 2}}}
+    prior = {"_artifacts": "tok1", "_edges": 9, "_overcap": [[1, "h"]]}
+    base = dict(rep_base="/rep", prior=prior, unchanged={"da"},
+                tagged_names={"da", "db"}, results=results, n_bands=4)
+    got = neardup_partial_ctx(po, **base)
+    assert got == (["da"], [(1, "h")])
+    # each guard refuses alone: no unchanged set
+    assert neardup_partial_ctx(po, **{**base, "unchanged": set()}) is None
+    # changed dataset's row count unknown
+    bad_rows = {"da": results["da"], "db": {}}
+    assert neardup_partial_ctx(
+        po, **{**base, "results": bad_rows}) is None
+    # delta past the 2M-key broadcast cap (rows * n_bands)
+    big = {"da": results["da"],
+           "db": {"marker": {"rows": 600_000, "xor": 2}}}
+    assert neardup_partial_ctx(po, **{**base, "results": big}) is None
+    # prior missing edge set / over-cap keys / token
+    assert neardup_partial_ctx(
+        po, **{**base, "prior": {**prior, "_edges": None}}) is None
+    assert neardup_partial_ctx(
+        po, **{**base, "prior": {**prior, "_overcap": None}}) is None
+    assert neardup_partial_ctx(
+        po, **{**base, "prior": {**prior, "_artifacts": None}}) is None
+    # commit-token mismatch (crash window) degrades to full
+    write_token(po, "/rep/_pairs", "tokX")
+    assert neardup_partial_ctx(po, **base) is None
