@@ -87,6 +87,54 @@ def test_partest_shards_cover_every_file():
         assert len(shards) <= n
 
 
+def test_bench_compare_adjudication():
+    # the round-13 adjudication tool: verdicts, wrapper unwrap, and
+    # like-for-like key selection across artifact generations
+    import json as _json
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    import bench_compare as bc
+
+    assert bc.verdict(1.0, 0.9, 1.1, True) == "in-band"
+    assert bc.verdict(1.2, 0.9, 1.1, True) == "in-band"  # 10% widening
+    assert bc.verdict(1.5, 0.9, 1.1, True) == "slow"
+    assert bc.verdict(0.5, 0.9, 1.1, True) == "fast"
+    assert bc.verdict(1.5, 0.9, 1.1, False) == "contended"
+
+    band = {"probe_ceiling": 0.483,
+            "queries": {"qa": {"lo": 1.0, "hi": 1.2}}}
+    art = {"timing": "median_of_3", "queries": {"qa": 2.0},
+           "extended": {}, "probes": {"qa": 0.42}}
+    rows, any_slow = bc.adjudicate(art, band)
+    assert any_slow and rows[0][3] == "slow"
+    art["probes"]["qa"] = 0.6  # contended probe: not evidence
+    rows, any_slow = bc.adjudicate(art, band)
+    assert not any_slow and rows[0][3] == "contended"
+
+    old = {"queries": {"qa": 1.0}}  # pre-r13: best-of-3 primaries
+    new = {"timing": "median_of_3", "queries": {"qa": 1.3},
+           "queries_best": {"qa": 1.1}}
+    a, b, kind = bc.comparable_numbers(new, old)
+    assert kind == "best_of_3" and a["qa"] == 1.1 and b["qa"] == 1.0
+
+    # driver-wrapper unwrap: the bench line is embedded in "tail"
+    line = _json.dumps({"metric": "headline_queries_total_wall",
+                        "queries": {"qa": 1.0}})
+    wrapper = {"n": 1, "rc": 0, "tail": "noise [Stage 1] \r" + line}
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".json",
+                                     delete=False) as f:
+        _json.dump(wrapper, f)
+    got = bc.load_artifact(f.name)
+    assert got["queries"] == {"qa": 1.0}
+
+    # the shipped band file covers every headline+extended query
+    shipped = bc.load_band()
+    for name in bench.HEADLINE + bench.EXTENDED:
+        assert name in shipped["queries"], name
+
+
 def test_headline_and_extended_are_registered_queries():
     from pydala_spark.queries import QUERIES
 
