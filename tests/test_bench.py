@@ -87,6 +87,35 @@ def test_partest_shards_cover_every_file():
         assert len(shards) <= n
 
 
+def test_partest_record_durations(tmp_path):
+    # the self-maintaining balancer input: pytest --durations=0 lines
+    # aggregate (call+setup) into per-file totals, merged over the
+    # existing map so files absent from a run keep their last figure
+    import json as _json
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    import partest
+
+    sandbox = tmp_path / "dur.json"
+    sandbox.write_text(_json.dumps({"test_old.py": 9.9}))
+    orig = partest.DURATIONS
+    partest.DURATIONS = sandbox
+    try:
+        out = ("0.55s call     tests/test_a.py::test_x\n"
+               "1.20s setup    tests/test_a.py::test_y\n"
+               "0.30s call     tests/test_b.py::t\n"
+               "garbage line\n")
+        got = partest.record_durations([out])
+        assert got == {"test_a.py": 1.75, "test_b.py": 0.3}
+        stored = _json.loads(sandbox.read_text())
+        assert stored["test_a.py"] == 1.8 and stored["test_old.py"] == 9.9
+        # empty outputs leave the map untouched
+        assert partest.record_durations(["nothing"]) == {}
+        assert _json.loads(sandbox.read_text()) == stored
+    finally:
+        partest.DURATIONS = orig
+
+
 def test_bench_compare_adjudication():
     # the round-13 adjudication tool: verdicts, wrapper unwrap, and
     # like-for-like key selection across artifact generations

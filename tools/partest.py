@@ -57,19 +57,46 @@ def shard_files(files: list[str], n: int) -> list[list[str]]:
     return [s for s in shards if s]
 
 
+def record_durations(outputs: list[str]) -> dict[str, float]:
+    """Aggregate pytest ``--durations=0`` lines (call+setup seconds per
+    test) into per-FILE totals and rewrite test_durations.json — run
+    ``partest.py --record-durations`` occasionally so the LPT balance
+    tracks the suite as files grow or split."""
+    totals: dict[str, float] = {}
+    pat = re.compile(
+        r"([\d.]+)s (?:call|setup)\s+(?:.*[/\\])?tests[/\\]([^:]+)::")
+    for out in outputs:
+        for m in pat.finditer(out):
+            totals[m.group(2)] = totals.get(m.group(2), 0.0) \
+                + float(m.group(1))
+    if totals:
+        merged = {}
+        try:
+            merged = json.loads(DURATIONS.read_text())
+        except Exception:
+            pass
+        merged.update({k: round(v, 1) for k, v in totals.items()})
+        DURATIONS.write_text(json.dumps(merged, indent=1, sort_keys=True))
+    return totals
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("-n", "--workers", type=int, default=4)
+    ap.add_argument("--record-durations", action="store_true",
+                    help="run shards with --durations=0 and rewrite "
+                    "tools/test_durations.json from the observed times")
     ap.add_argument("pytest_args", nargs="*", default=[])
     args = ap.parse_args()
 
     files = sorted(str(p) for p in TESTS.glob("test_*.py"))
     shards = shard_files(files, max(1, args.workers))
+    extra = ["--durations=0"] if args.record_durations else []
     t0 = time.time()
     procs = []
     for i, shard in enumerate(shards):
         cmd = [sys.executable, "-m", "pytest", "-q",
-               "-p", "no:cacheprovider", *args.pytest_args, *shard]
+               "-p", "no:cacheprovider", *extra, *args.pytest_args, *shard]
         env = dict(os.environ)
         # each worker gets its own tmp scratch root so any fixed-path
         # leftovers (none known) cannot collide
@@ -79,8 +106,10 @@ def main() -> int:
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)))
     total_pass = total_fail = total_skip = 0
     failed = False
+    outputs = []
     for i, shard, p in procs:
         out, _ = p.communicate()
+        outputs.append(out)
         tail = out.strip().splitlines()[-1] if out.strip() else ""
         m_pass = re.search(r"(\d+) passed", tail)
         m_fail = re.search(r"(\d+) failed", tail)
@@ -98,6 +127,10 @@ def main() -> int:
     print(f"[partest] {total_pass} passed, {total_fail} failed, "
           f"{total_skip} skipped in {time.time() - t0:.1f}s "
           f"across {len(shards)} shards")
+    if args.record_durations and not failed:
+        rec = record_durations(outputs)
+        print(f"[partest] recorded durations for {len(rec)} files "
+              f"-> {DURATIONS}")
     return 1 if failed else 0
 
 
