@@ -213,10 +213,21 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_NO_SETTLE", "") != "1":
         max_attempts = int(os.environ.get("SPARK_GRAFT_SETTLE_ATTEMPTS", "10"))
         wait_s = float(os.environ.get("SPARK_GRAFT_SETTLE_WAIT_S", "60"))
-        while os.getloadavg()[0] >= 2.0 and settle_attempts < max_attempts:
+        # round 13: the settle gate also requires an in-band calibration
+        # probe — loadavg is a 1-minute average and misses a co-tenant
+        # that just started, which the probe reads instantly (0.4 s).
+        # Same bounded wait; the run proceeds either way and the quiet
+        # verdict still judges what actually happened.
+        probe_hi = PROBE_BAND[1] * (1.0 + PROBE_TOLERANCE)
+        while settle_attempts < max_attempts:
+            load_ok = os.getloadavg()[0] < 2.0
+            probe_now = calibration_probe()
+            if load_ok and probe_now <= probe_hi:
+                break
             settle_attempts += 1
             print(
-                f"[bench] loadavg {os.getloadavg()[0]:.2f} >= 2.0; "
+                f"[bench] loadavg {os.getloadavg()[0]:.2f} / probe "
+                f"{probe_now:.3f} (gate <2.0, <={probe_hi:.3f}); "
                 f"settle wait {settle_attempts}/{max_attempts}",
                 file=sys.stderr,
             )
