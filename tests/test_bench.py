@@ -116,6 +116,46 @@ def test_partest_record_durations(tmp_path):
         partest.DURATIONS = orig
 
 
+def test_partest_duration_drift(tmp_path):
+    # round 14 (VERDICT r13 #4): partest warns when the measured
+    # durations map drifts from the files on disk — an unlisted file
+    # falls back to the size heuristic (skewed balance), a stale entry
+    # means a file was deleted/renamed; both mean --record-durations
+    import json as _json
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    import partest
+
+    (tmp_path / "test_a.py").write_text("")
+    (tmp_path / "test_b.py").write_text("")
+    files = [str(tmp_path / "test_a.py"), str(tmp_path / "test_b.py")]
+    sandbox = tmp_path / "dur.json"
+    orig = partest.DURATIONS
+    partest.DURATIONS = sandbox
+    try:
+        # no durations file at all: everything is unlisted
+        unlisted, missing = partest.duration_drift(files)
+        assert unlisted == ["test_a.py", "test_b.py"] and missing == []
+        sandbox.write_text(_json.dumps({"test_a.py": 1.0,
+                                        "test_gone.py": 5.0}))
+        unlisted, missing = partest.duration_drift(files)
+        assert unlisted == ["test_b.py"]
+        assert missing == ["test_gone.py"]
+        sandbox.write_text(_json.dumps({"test_a.py": 1.0,
+                                        "test_b.py": 2.0}))
+        assert partest.duration_drift(files) == ([], [])
+    finally:
+        partest.DURATIONS = orig
+    # and the REAL map is in sync with the REAL suite right now — this
+    # is the self-maintenance pin: adding a test file without running
+    # --record-durations fails here, not in a judge's wall-clock
+    real_files = sorted(
+        str(p)
+        for p in (Path(__file__).resolve().parent).glob("test_*.py"))
+    unlisted, missing = partest.duration_drift(real_files)
+    assert unlisted == [] and missing == [], (unlisted, missing)
+
+
 def test_bench_compare_adjudication():
     # the round-13 adjudication tool: verdicts, wrapper unwrap, and
     # like-for-like key selection across artifact generations
@@ -162,6 +202,152 @@ def test_bench_compare_adjudication():
     shipped = bc.load_band()
     for name in bench.HEADLINE + bench.EXTENDED:
         assert name in shipped["queries"], name
+
+
+def test_mem_probe_gate_and_quiet_extended():
+    # round 14 (VERDICT r13 #2): the memory-probe gross-excursion gate
+    # that machine-checks the documented JVM-side blind spot. Idle
+    # vectors are literals from the r13 driver artifact's probes_mem
+    # (0.186-0.269); the caught live episode (SCALE.md "Live
+    # validation of the two-probe design") rose 0.18 -> 0.30-0.41 and
+    # MUST fail with the shipped constants.
+    idle = [0.216, 0.269, 0.186, 0.190, 0.254, 0.198, 0.211]
+    assert bench.mem_probes_ok(idle)
+    episode = [0.18, 0.19, 0.30, 0.34, 0.41, 0.38, 0.211]
+    assert not bench.mem_probes_ok(episode)
+    assert not bench.mem_probes_ok([])
+    # ceiling is floor-based (0.18 * 2.0 = 0.36): a hi-based 2x bound
+    # (0.54) would have admitted the episode's 0.41 peak
+    ceiling = bench.MEM_PROBE_IDLE_BAND[0] * bench.MEM_PROBE_FACTOR
+    assert abs(ceiling - 0.36) < 1e-9
+    assert max(episode) > ceiling > max(idle)
+
+
+def test_compact_summary_fits_driver_tail_window():
+    # round 14 (VERDICT r13 #1): the driver stores only the LAST 2000
+    # chars of bench stdout; the compact line printed last must always
+    # fit that window whole — r13's full line didn't, and its headline
+    # medians were permanently lost from the canonical artifact.
+    import json as _json
+
+    def fake_artifact(names):
+        return {
+            "metric": "headline_queries_total_wall", "value": 123.456,
+            "unit": "sec", "timing": "median_of_3",
+            "queries": {n: 99.999 for n in names[:19]},
+            "extended": {n: 99.999 for n in names[19:]},
+            "extended_total": 999.999, "sf": 0.1, "quiet": True,
+            "quiet_extended": False, "settle_attempts": 10,
+            "probes_ok": True, "probe_max": 0.483,
+            # worst realistic dirtiness: every query flagged
+            "dirty": list(names),
+        }
+
+    # the real frozen 26-name headline+extended set fits with room
+    line = bench.compact_summary(fake_artifact(bench.HEADLINE + bench.EXTENDED))
+    assert len(line) < bench.COMPACT_LIMIT == 1800
+    d = _json.loads(line)
+    assert d["compact"] and d["value"] == 123.456
+    assert set(d["queries"]) == set(bench.HEADLINE)
+    assert set(d["extended"]) == set(bench.EXTENDED)
+    # stress: 50 registry-length names (the CLAUDE.md registry cap) —
+    # the guard sheds detail in documented order rather than emitting
+    # a line a tail capture would cut mid-token
+    long_names = [f"q_registry_stress_query_name_{i:02d}" for i in range(50)]
+    line50 = bench.compact_summary(fake_artifact(long_names))
+    assert len(line50) < bench.COMPACT_LIMIT
+    d50 = _json.loads(line50)
+    assert d50["metric"] and d50["value"] == 123.456
+    # whatever was shed is declared, and the headline medians go last
+    if "compact_dropped" in d50:
+        assert d50["compact_dropped"][0] == "extended"
+
+
+def test_bench_compare_recovers_truncated_wrapper(tmp_path):
+    # the r13 casualty in miniature: a driver wrapper whose tail
+    # starts mid-dict (the medians cut away) must still load, expose
+    # the surviving fields, and adjudicate bests with a LOW-read note
+    import json as _json
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    import bench_compare as bc
+
+    tail = ('winnowing": 2.601, "q_lang_predict": 2.563}, '
+            '"extended_best": {"q_pq_topk": 0.644, "q_lang_predict": 2.549}, '
+            '"extended_total": 15.092, "sf": 0.1, '
+            '"headline_runs": [16.356, 12.17, 11.2], '
+            '"probes": {"q_pq_topk": 0.422, "q_lang_predict": 0.442}, '
+            '"probe_band": [0.4, 0.46], '
+            '"probes_mem": {"q_pq_topk": 0.201, "q_lang_predict": 0.254}, '
+            '"quiet": true, "settle_attempts": 1}')
+    wrapper = tmp_path / "wrapped.json"
+    wrapper.write_text(_json.dumps({"n": 13, "rc": 0, "tail": tail}))
+    got = bc.load_artifact(str(wrapper))
+    assert got["recovered_truncated"] and got["quiet"] is True
+    assert got["extended_best"]["q_pq_topk"] == 0.644
+    assert got["extended_total"] == 15.092
+    assert "queries" not in got and "extended" not in got  # cut mid-dict
+    # and the real canonical BENCH_r13.json (the motivating artifact)
+    # loads rather than raising — the round-14 acceptance criterion
+    real = Path(__file__).resolve().parents[1] / "BENCH_r13.json"
+    if real.exists():
+        r13 = bc.load_artifact(str(real))
+        assert r13["recovered_truncated"]
+        assert r13["extended_best"]["q_stats_summary"] == 3.999
+        assert bc.primary_numbers(r13) == {}  # medians truly gone
+
+    # the compact r14+ line is preferred whole from a healthy tail
+    compact = _json.dumps({"metric": "headline_queries_total_wall",
+                           "value": 1.0, "timing": "median_of_3",
+                           "queries": {"qa": 1.0}, "compact": True})
+    healthy = tmp_path / "healthy.json"
+    healthy.write_text(_json.dumps(
+        {"n": 14, "rc": 0, "tail": "…full line cut [Stage 9]\n" + compact}))
+    got = bc.load_artifact(str(healthy))
+    assert got.get("compact") and got["queries"] == {"qa": 1.0}
+    # raw multi-line bench stdout: the LAST bench line (compact) wins
+    stdout = tmp_path / "stdout.txt"
+    stdout.write_text(
+        _json.dumps({"metric": "headline_queries_total_wall",
+                     "value": 2.0, "queries": {"qa": 2.0}})
+        + "\n" + compact + "\n")
+    assert bc.load_artifact(str(stdout))["value"] == 1.0
+
+
+def test_bench_compare_mem_probe_tags_contended():
+    # round 14 (VERDICT r13 #2): a row outside its band whose cpu
+    # probe is clean but whose MEM probe shows a gross excursion is
+    # `contended`, not `slow` — the JVM-side co-tenancy mode
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    import bench_compare as bc
+
+    band = {"probe_ceiling": 0.483, "probe_mem_ceiling": 0.36,
+            "queries": {"qa": {"lo": 1.0, "hi": 1.2}}}
+    art = {"timing": "median_of_3", "queries": {"qa": 3.0},
+           "probes": {"qa": 0.42}, "probes_mem": {"qa": 0.41}}
+    rows, any_slow = bc.adjudicate(art, band)
+    assert not any_slow and rows[0][3] == "contended"
+    art["probes_mem"]["qa"] = 0.21  # idle mem -> the row IS evidence
+    rows, any_slow = bc.adjudicate(art, band)
+    assert any_slow and rows[0][3] == "slow"
+    # the shipped band carries the ceiling and it matches bench.py
+    shipped = bc.load_band()
+    assert shipped["probe_mem_ceiling"] == bench.MEM_PROBE_IDLE_BAND[0] \
+        * bench.MEM_PROBE_FACTOR
+    # compact r14+ line: no probe maps, per-row cleanliness comes from
+    # the `dirty` list instead (round-14 live episode: without it every
+    # out-of-band row degraded to `contended` and no cron could trip)
+    compact = {"timing": "median_of_3", "queries": {"qa": 3.0},
+               "dirty": [], "compact": True}
+    rows, any_slow = bc.adjudicate(compact, band)
+    assert any_slow and rows[0][3] == "slow"
+    compact["dirty"] = ["qa"]
+    rows, any_slow = bc.adjudicate(compact, band)
+    assert not any_slow and rows[0][3] == "contended"
+    # no probes AND no dirty list (pre-r13 artifact): conservative —
+    # never `slow`
+    rows, any_slow = bc.adjudicate({"queries": {"qa": 3.0}}, band)
+    assert not any_slow and rows[0][3] == "contended"
 
 
 def test_headline_and_extended_are_registered_queries():

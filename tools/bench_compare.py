@@ -15,15 +15,21 @@ key), whether that query's own calibration probe was clean
   noise on this host, SCALE.md reading rule)
 - ``fast``/``slow`` — outside the widened band with a CLEAN probe —
   the only rows that are evidence of an engine change
-- ``contended`` — outside band but the probe says the machine was not
-  giving the query a full core: NOT evidence in either direction
+- ``contended`` — outside band but a probe says the machine was not
+  giving the query a full core (cpu probe past the band ceiling) OR
+  was starving the executor JVM's memory bandwidth (mem probe past
+  the gross-excursion ceiling, round 14 — the SCALE.md blind-spot
+  mode): NOT evidence in either direction
 
 With a second artifact, prints the per-query delta on matching keys
 (best-vs-best when either side is pre-median) so round-over-round
 reads take one command instead of a judge afternoon.
 
-Exit code: 0 when no CLEAN-probe out-of-band slow rows exist, 2
-otherwise (so a cron can trip on a real regression but never on
+Exit code: 0 when no CLEAN-probe out-of-band slow rows exist OR the
+run self-classified `quiet: false` (a non-quiet run is not evidence in
+either direction — per-query probes run before each group and can
+miss a co-tenant that arrives mid-group, observed live in round 14);
+2 otherwise (so a cron can trip on a real regression but never on
 co-tenant noise).
 """
 
@@ -31,10 +37,27 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 WIDEN = 0.10
+
+#: keys worth pulling out of a TRUNCATED driver tail (round 14,
+#: VERDICT r13 #1): every value is a flat object, a flat array, a
+#: scalar, or a string, so a non-nesting regex recovers each one that
+#: survived the 2000-char window whole. BENCH_r13.json is the
+#: motivating casualty — its tail starts mid-`extended`, so the
+#: headline medians are gone forever, but extended_best/probes/quiet
+#: are all intact and must be readable rather than a ValueError.
+_RECOVER_KEYS = (
+    "metric", "value", "unit", "timing", "queries", "queries_best",
+    "extended", "extended_best", "extended_total", "sf",
+    "loadavg_start", "loadavg_end", "headline_runs", "extended_runs",
+    "probes", "probe_band", "probes_mem", "mem_probe_idle_band",
+    "quiet", "quiet_extended", "settle_attempts", "probes_ok",
+    "probe_max", "dirty",
+)
 
 
 def load_band(path: str | None = None) -> dict:
@@ -42,20 +65,62 @@ def load_band(path: str | None = None) -> dict:
         return json.load(f)
 
 
+def recover_truncated(tail: str) -> dict:
+    """Regex-salvage whatever whole key/value pairs survived a
+    tail-window truncation of the full bench line."""
+    out: dict = {}
+    for key in _RECOVER_KEYS:
+        m = re.search(
+            r'"%s":\s*(\{[^{}]*\}|\[[^\[\]]*\]|true|false|null'
+            r'|-?[\d.eE+]+|"[^"]*")' % re.escape(key), tail)
+        if m:
+            try:
+                out[key] = json.loads(m.group(1))
+            except ValueError:
+                continue
+    if out:
+        out["recovered_truncated"] = True
+    return out
+
+
 def load_artifact(path: str) -> dict:
-    """Load a bench artifact: either the raw one-line JSON bench.py
-    prints, or the driver's BENCH_r{N}.json wrapper (which embeds that
-    line at the end of its captured ``tail`` text)."""
+    """Load a bench artifact from any of its shapes: the compact
+    summary line (r14+, printed last so it always survives the
+    driver's tail window), the full one-line JSON bench.py prints,
+    raw multi-line bench stdout, or the driver's BENCH_r{N}.json
+    wrapper — including a wrapper whose captured tail truncated the
+    embedded line (recovered field-by-field, VERDICT r13 #1)."""
     with open(path) as f:
-        d = json.load(f)
-    if "queries" in d:
+        text = f.read()
+    try:
+        d = json.loads(text)
+    except ValueError:
+        # raw bench stdout: full line first, compact line last — take
+        # the LAST parseable bench line
+        d = None
+        for line in reversed(text.strip().splitlines()):
+            line = line.strip()
+            if line.startswith('{"metric"'):
+                d = json.loads(line)
+                break
+        if d is None:
+            raise ValueError(f"{path}: no bench JSON line found")
+    if "queries" in d or d.get("compact"):
         return d
+    if isinstance(d.get("parsed"), dict) and "queries" in d["parsed"]:
+        return d["parsed"]
     tail = d.get("tail", "")
     start = tail.rfind('{"metric"')
-    if start < 0:
+    if start >= 0:
+        try:
+            return json.loads(tail[start:])
+        except ValueError:
+            pass  # the embedded line itself was cut — salvage below
+    recovered = recover_truncated(tail)
+    if not recovered:
         raise ValueError(f"{path}: neither a bench line nor a driver "
-                         "wrapper with an embedded one")
-    return json.loads(tail[start:])
+                         "wrapper with a recoverable one")
+    return recovered
 
 
 def primary_numbers(artifact: dict) -> dict[str, float]:
@@ -74,8 +139,13 @@ def comparable_numbers(a: dict, b: dict) -> tuple[dict, dict, str]:
         return primary_numbers(a), primary_numbers(b), "median_of_3"
 
     def bests(d):
-        if d.get("timing") == "median_of_3":
-            return {**d.get("queries_best", {}), **d.get("extended_best", {})}
+        if d.get("timing") == "median_of_3" or d.get("recovered_truncated"):
+            got = {**d.get("queries_best", {}),
+                   **d.get("extended_best", {})}
+            # a compact r14+ line carries medians only (bests live in
+            # tools/bench_last_full.json); medians are the best
+            # available here and read HIGH vs a true best-of-3
+            return got or primary_numbers(d)
         return {**d.get("queries", {}), **d.get("extended", {})}
 
     return bests(a), bests(b), "best_of_3"
@@ -89,10 +159,25 @@ def verdict(value: float, lo: float, hi: float, probe_clean: bool) -> str:
     return "fast" if value < lo else "slow"
 
 
-def adjudicate(artifact: dict, band: dict) -> tuple[list[tuple], bool]:
-    nums = primary_numbers(artifact)
+def adjudicate(
+    artifact: dict, band: dict, nums: dict | None = None
+) -> tuple[list[tuple], bool]:
+    nums = primary_numbers(artifact) if nums is None else nums
     probes = artifact.get("probes", {})
+    mems = artifact.get("probes_mem", {})
     ceiling = band.get("probe_ceiling", 0.483)
+    # memory-probe gross-excursion ceiling (round 14, VERDICT r13 #2):
+    # idle floor 0.18 x factor 2.0 — a row whose mem probe exceeded it
+    # ran under the JVM-side co-tenancy the cpu probe is blind to
+    # (SCALE.md blind-spot episode), so it is tagged `contended` even
+    # with a clean cpu probe
+    mem_ceiling = band.get("probe_mem_ceiling", 0.36)
+    # compact r14+ lines carry no probe maps but do carry `dirty` (the
+    # names whose cpu/mem probe exceeded its ceiling, usually []) —
+    # per-row adjudication works from it; with neither, a probe-less
+    # row can never be `slow` (conservative)
+    dirty = set(artifact.get("dirty") or [])
+    have_dirty = "dirty" in artifact
     rows = []
     any_slow = False
     for q, v in nums.items():
@@ -101,7 +186,15 @@ def adjudicate(artifact: dict, band: dict) -> tuple[list[tuple], bool]:
             rows.append((q, v, None, "no-band", None))
             continue
         pr = probes.get(q)
-        clean = pr is not None and pr <= ceiling
+        if pr is not None:
+            clean = pr <= ceiling
+            mem = mems.get(q)
+            if clean and mem is not None and mem > mem_ceiling:
+                clean = False
+        elif have_dirty:
+            clean = q not in dirty
+        else:
+            clean = False
         verd = verdict(v, b["lo"], b["hi"], clean)
         any_slow = any_slow or verd == "slow"
         rows.append((q, v, f"{b['lo']}-{b['hi']}", verd, pr))
@@ -114,18 +207,44 @@ def main() -> int:
         return 1
     artifact = load_artifact(sys.argv[1])
     band = load_band()
-    timing = artifact.get("timing", "best_of_3 (pre-r13)")
+    timing = artifact.get(
+        "timing",
+        "unknown (truncated)" if artifact.get("recovered_truncated")
+        else "best_of_3 (pre-r13)")
     print(f"artifact: {sys.argv[1]}  timing={timing}  "
           f"quiet={artifact.get('quiet')}  "
+          f"quiet_extended={artifact.get('quiet_extended', 'n/a')}  "
           f"loadavg_start={artifact.get('loadavg_start')}")
-    rows, any_slow = adjudicate(artifact, band)
+    nums = primary_numbers(artifact)
+    bests_note = False
+    if not nums and artifact.get("recovered_truncated"):
+        # a truncated r13-style wrapper: the medians were cut out of
+        # the tail window; salvage the surviving best-of-3 maps so the
+        # artifact still reads (VERDICT r13 #1 acceptance)
+        nums = {**artifact.get("queries_best", {}),
+                **artifact.get("extended_best", {})}
+        bests_note = bool(nums)
+    if artifact.get("recovered_truncated"):
+        print("NOTE: truncated driver tail — fields recovered "
+              f"piecewise ({', '.join(sorted(artifact))}); "
+              "headline medians may be lost for this round.")
+    rows, any_slow = adjudicate(artifact, band, nums=nums)
+    mems = artifact.get("probes_mem", {})
+    mem_ceiling = band.get("probe_mem_ceiling", 0.36)
     for q, v, b, verd, pr in rows:
         mark = {"in-band": " ", "fast": "+", "slow": "!",
                 "contended": "~", "no-band": "?"}[verd]
         probe_s = f"probe {pr:.3f}" if pr is not None else "probe n/a"
+        mem = mems.get(q)
+        if mem is not None and mem > mem_ceiling:
+            probe_s += f" mem {mem:.3f}>!"
         print(f" {mark} {q:28s} {v:7.3f}  band {b or '—':12s} "
               f"{verd:9s} {probe_s}")
-    if artifact.get("timing") != "median_of_3":
+    if bests_note:
+        print("NOTE: best-of-3 numbers (medians truncated away) judged "
+              "against the median band — bests read LOW; fast verdicts "
+              "here are not evidence.")
+    elif artifact.get("timing") != "median_of_3":
         print("NOTE: pre-round-13 artifact (best-of-3) judged against "
               "the median band — bests read LOW; fast verdicts here "
               "are not evidence.")
@@ -139,6 +258,16 @@ def main() -> int:
                 flag = "" if abs(d) < 25 else "  <-- past single-run noise"
                 print(f"   {q:28s} {a[q]:7.3f} vs {b[q]:7.3f}  "
                       f"{d:+6.1f}%{flag}")
+    # run-level quiet gates the exit code (round 14): per-query probes
+    # run BEFORE each query's group, so a co-tenant arriving mid-group
+    # inflates the query while ITS probe reads clean (the next group's
+    # probe catches it — observed live, SCALE.md round-14 episode). A
+    # `quiet: false` run is not comparison evidence in either
+    # direction, so its slow rows must not trip a cron.
+    if any_slow and artifact.get("quiet") is False:
+        print("NOTE: run is not quiet — slow rows above are NOT "
+              "evidence of a regression; re-measure on a quiet window.")
+        any_slow = False
     return 2 if any_slow else 0
 
 
