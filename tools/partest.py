@@ -57,6 +57,23 @@ def shard_files(files: list[str], n: int) -> list[list[str]]:
     return [s for s in shards if s]
 
 
+def duration_drift(files: list[str]) -> tuple[list[str], list[str]]:
+    """Compare the test files on disk against tools/test_durations.json
+    (round 14, VERDICT r13 #4 — the map changed shape twice in round 13
+    alone). Returns (unlisted, missing): test files with no measured
+    duration (they fall back to the size heuristic, skewing the LPT
+    balance) and listed files that no longer exist (stale entries).
+    Either one means `partest --record-durations` is due."""
+    try:
+        weights = json.loads(DURATIONS.read_text())
+    except Exception:
+        return [os.path.basename(f) for f in files], []
+    names = {os.path.basename(f) for f in files}
+    unlisted = sorted(names - set(weights))
+    missing = sorted(set(weights) - names)
+    return unlisted, missing
+
+
 def record_durations(outputs: list[str]) -> dict[str, float]:
     """Aggregate pytest ``--durations=0`` lines (call+setup seconds per
     test) into per-FILE totals and rewrite test_durations.json — run
@@ -90,6 +107,15 @@ def main() -> int:
     args = ap.parse_args()
 
     files = sorted(str(p) for p in TESTS.glob("test_*.py"))
+    unlisted, missing = duration_drift(files)
+    if unlisted:
+        print(f"[partest] WARNING: {len(unlisted)} test file(s) have no "
+              f"measured duration (size-heuristic balance): "
+              f"{', '.join(unlisted)} — run --record-durations")
+    if missing:
+        print(f"[partest] WARNING: {len(missing)} stale duration "
+              f"entr(y/ies) for deleted files: {', '.join(missing)} — "
+              f"run --record-durations")
     shards = shard_files(files, max(1, args.workers))
     extra = ["--durations=0"] if args.record_durations else []
     t0 = time.time()
@@ -106,6 +132,7 @@ def main() -> int:
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)))
     total_pass = total_fail = total_skip = 0
     failed = False
+    counts_partial = False
     outputs = []
     for i, shard, p in procs:
         out, _ = p.communicate()
@@ -118,15 +145,24 @@ def main() -> int:
         total_fail += int(m_fail.group(1)) if m_fail else 0
         total_skip += int(m_skip.group(1)) if m_skip else 0
         status = "OK" if p.returncode == 0 else f"RC={p.returncode}"
+        # a shard that died before pytest printed a summary (collection
+        # error, interpreter crash) contributes 0 to every count — say
+        # so explicitly so the combined line can't be misread as full
+        # coverage (round 14, ADVICE r13)
+        if p.returncode != 0 and not (m_pass or m_fail):
+            status += " [counts unavailable — shard died pre-summary]"
+            counts_partial = True
         print(f"[shard {i}] {status} {tail}  "
               f"({len(shard)} files)", flush=True)
         if p.returncode != 0:
             failed = True
             # replay the failing shard's output so failures read whole
             print(out, flush=True)
+    partial = " (PARTIAL — a shard died pre-summary)" if counts_partial \
+        else ""
     print(f"[partest] {total_pass} passed, {total_fail} failed, "
           f"{total_skip} skipped in {time.time() - t0:.1f}s "
-          f"across {len(shards)} shards")
+          f"across {len(shards)} shards{partial}")
     if args.record_durations and not failed:
         rec = record_durations(outputs)
         print(f"[partest] recorded durations for {len(rec)} files "
