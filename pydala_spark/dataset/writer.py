@@ -683,11 +683,15 @@ class Writer:
             os.environ.get("SPARK_GRAFT_FEATHER_BRIDGE_MAX_ROWS", "")
             or FEATHER_BRIDGE_MAX_ROWS
         )
-        n_rows = df.count()
-        if n_rows > max_rows:
+        # limit(cap+1).count() instead of a full count: the probe
+        # short-circuits once cap+1 rows exist, so a misuse at data
+        # scale fails after scanning one partition's worth instead of
+        # executing the whole upstream plan twice (once to count, once
+        # to collect)
+        if df.limit(max_rows + 1).count() > max_rows:
             raise ValueError(
-                f"single-file feather write of {n_rows} rows exceeds the "
-                f"driver-bridge cap ({max_rows}); this path is for sidecar/"
+                f"single-file feather write exceeds the driver-bridge "
+                f"cap ({max_rows} rows); this path is for sidecar/"
                 "interchange files only — write to a DIRECTORY target for "
                 "the distributed feather dataset form "
                 "(write_feather_dataset), or use parquet"
