@@ -350,6 +350,52 @@ def test_bench_compare_mem_probe_tags_contended():
     assert not any_slow and rows[0][3] == "contended"
 
 
+def test_driver_tail_roundtrip_end_to_end(tmp_path):
+    # the whole round-14 acceptance path in one test: bench stdout
+    # (full line + compact line) -> the driver's last-2000-chars tail
+    # capture -> load_artifact -> every headline median intact. This is
+    # the invariant whose violation silently destroyed BENCH_r13.json.
+    import json as _json
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    import bench_compare as bc
+
+    names = bench.HEADLINE + bench.EXTENDED
+    band = bc.load_band()["queries"]
+    mid = {n: round((band[n]["lo"] + band[n]["hi"]) / 2, 3) for n in names}
+    artifact = {
+        "metric": "headline_queries_total_wall", "value": 12.345,
+        "unit": "sec", "timing": "median_of_3",
+        "queries": {n: mid[n] for n in bench.HEADLINE},
+        "queries_best": {n: mid[n] for n in bench.HEADLINE},
+        "extended": {n: mid[n] for n in bench.EXTENDED},
+        "extended_best": {n: mid[n] for n in bench.EXTENDED},
+        "extended_total": 16.415, "sf": 0.1,
+        "loadavg_start": [0.1, 0.2, 0.3], "loadavg_end": [1.0, 0.5, 0.3],
+        "headline_runs": [13.0, 12.4, 12.3],
+        "extended_runs": [17.0, 16.4, 16.4],
+        "probes": {n: 0.42 for n in names},
+        "probe_band": [0.4, 0.46], "probes_ok": True, "probe_max": 0.42,
+        "probes_mem": {n: 0.21 for n in names},
+        "mem_probe_idle_band": [0.18, 0.27],
+        "quiet": True, "quiet_extended": True, "settle_attempts": 0,
+        "dirty": [],
+    }
+    stdout = _json.dumps(artifact) + "\n" + bench.compact_summary(artifact) + "\n"
+    assert len(stdout) > 2000  # the full line alone must overflow —
+    # that's the regime that destroyed r13's medians
+    wrapper = tmp_path / "BENCH_sim.json"
+    wrapper.write_text(_json.dumps(
+        {"n": 14, "rc": 0, "tail": stdout[-2000:], "parsed": None}))
+    got = bc.load_artifact(str(wrapper))
+    assert got.get("compact") and got["value"] == 12.345
+    assert got["queries"] == artifact["queries"]
+    assert got["extended"] == artifact["extended"]
+    assert got["quiet"] and got["quiet_extended"] and got["dirty"] == []
+    rows, any_slow = bc.adjudicate(got, bc.load_band())
+    assert len(rows) == 26 and not any_slow
+
+
 def test_headline_and_extended_are_registered_queries():
     from pydala_spark.queries import QUERIES
 

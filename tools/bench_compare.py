@@ -138,17 +138,27 @@ def comparable_numbers(a: dict, b: dict) -> tuple[dict, dict, str]:
     if a_med and b_med:
         return primary_numbers(a), primary_numbers(b), "median_of_3"
 
-    def bests(d):
+    fell_back = []
+
+    def bests(d, side):
         if d.get("timing") == "median_of_3" or d.get("recovered_truncated"):
             got = {**d.get("queries_best", {}),
                    **d.get("extended_best", {})}
+            if got:
+                return got
             # a compact r14+ line carries medians only (bests live in
             # tools/bench_last_full.json); medians are the best
             # available here and read HIGH vs a true best-of-3
-            return got or primary_numbers(d)
+            fell_back.append(side)
+            return primary_numbers(d)
         return {**d.get("queries", {}), **d.get("extended", {})}
 
-    return bests(a), bests(b), "best_of_3"
+    na, nb = bests(a, "newer"), bests(b, "older")
+    kind = "best_of_3"
+    if fell_back:
+        kind += (f" ({'/'.join(fell_back)} side is medians — reads "
+                 "HIGH; full bests in tools/bench_last_full.json)")
+    return na, nb, kind
 
 
 def verdict(value: float, lo: float, hi: float, probe_clean: bool) -> str:
