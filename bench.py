@@ -274,7 +274,9 @@ def compact_summary(artifact: dict, limit: int = COMPACT_LIMIT) -> str:
     for drop in ("extended", "queries", "dirty"):
         if len(line) <= limit:
             break
-        slim.pop(drop, None)
+        if drop not in slim:
+            continue  # never claim to have dropped an absent key
+        slim.pop(drop)
         slim.setdefault("compact_dropped", []).append(drop)
         line = json.dumps(slim, separators=(",", ":"))
     return line

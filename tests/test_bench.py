@@ -90,14 +90,22 @@ def test_partest_shards_cover_every_file():
 def test_partest_record_durations(tmp_path):
     # the self-maintaining balancer input: pytest --durations=0 lines
     # aggregate (call+setup) into per-file totals, merged over the
-    # existing map so files absent from a run keep their last figure
+    # existing map so files absent from THIS RUN keep their last
+    # figure (partial runs stay safe) — while entries whose file no
+    # longer exists on disk are pruned, so the stale-entry drift
+    # warning clears by following its own instruction (round 14)
     import json as _json
 
     sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
     import partest
 
+    tests_dir = tmp_path / "tests"
+    tests_dir.mkdir()
+    for name in ("test_a.py", "test_b.py", "test_keep.py"):
+        (tests_dir / name).write_text("")
     sandbox = tmp_path / "dur.json"
-    sandbox.write_text(_json.dumps({"test_old.py": 9.9}))
+    sandbox.write_text(_json.dumps({"test_keep.py": 9.9,
+                                    "test_gone.py": 5.0}))
     orig = partest.DURATIONS
     partest.DURATIONS = sandbox
     try:
@@ -105,12 +113,14 @@ def test_partest_record_durations(tmp_path):
                "1.20s setup    tests/test_a.py::test_y\n"
                "0.30s call     tests/test_b.py::t\n"
                "garbage line\n")
-        got = partest.record_durations([out])
+        got = partest.record_durations([out], tests_dir=tests_dir)
         assert got == {"test_a.py": 1.75, "test_b.py": 0.3}
         stored = _json.loads(sandbox.read_text())
-        assert stored["test_a.py"] == 1.8 and stored["test_old.py"] == 9.9
+        assert stored["test_a.py"] == 1.8 and stored["test_b.py"] == 0.3
+        assert stored["test_keep.py"] == 9.9   # exists, not in this run
+        assert "test_gone.py" not in stored    # deleted file: pruned
         # empty outputs leave the map untouched
-        assert partest.record_durations(["nothing"]) == {}
+        assert partest.record_durations(["nothing"], tests_dir=tests_dir) == {}
         assert _json.loads(sandbox.read_text()) == stored
     finally:
         partest.DURATIONS = orig
@@ -261,6 +271,13 @@ def test_compact_summary_fits_driver_tail_window():
     # whatever was shed is declared, and the headline medians go last
     if "compact_dropped" in d50:
         assert d50["compact_dropped"][0] == "extended"
+        # only keys that were actually present may be declared dropped
+        assert set(d50["compact_dropped"]) <= {"extended", "queries",
+                                               "dirty"}
+    over = fake_artifact(long_names)
+    del over["dirty"]   # absent key must never appear in compact_dropped
+    d_nd = _json.loads(bench.compact_summary(over))
+    assert "dirty" not in d_nd.get("compact_dropped", [])
 
 
 def test_bench_compare_recovers_truncated_wrapper(tmp_path):
@@ -312,6 +329,34 @@ def test_bench_compare_recovers_truncated_wrapper(tmp_path):
                      "value": 2.0, "queries": {"qa": 2.0}})
         + "\n" + compact + "\n")
     assert bc.load_artifact(str(stdout))["value"] == 1.0
+    # a raw capture whose only bench line is cut mid-token recovers
+    # piecewise instead of raising (round-14 review finding)
+    cut = tmp_path / "cut.txt"
+    cut.write_text('{"metric": "headline_queries_total_wall", '
+                   '"extended_best": {"qa": 1.5}, "quiet": true, '
+                   '"queries": {"qa": 1.')
+    got = bc.load_artifact(str(cut))
+    assert got["recovered_truncated"]
+    assert got["extended_best"] == {"qa": 1.5} and got["quiet"] is True
+
+
+def test_bench_compare_content_free_artifact_exits_3(tmp_path, capsys,
+                                                     monkeypatch):
+    # a compact line that shed its per-query maps (or any artifact with
+    # none) must not read as all-clear: exit 3, not 0 (round-14 review)
+    import json as _json
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    import bench_compare as bc
+
+    art = tmp_path / "empty.json"
+    art.write_text(_json.dumps(
+        {"metric": "headline_queries_total_wall", "value": 12.3,
+         "timing": "median_of_3", "quiet": True, "compact": True,
+         "compact_dropped": ["extended", "queries"]}))
+    monkeypatch.setattr(sys, "argv", ["bench_compare.py", str(art)])
+    assert bc.main() == 3
+    assert "no per-query numbers" in capsys.readouterr().out
 
 
 def test_bench_compare_mem_probe_tags_contended():

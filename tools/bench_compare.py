@@ -30,7 +30,8 @@ run self-classified `quiet: false` (a non-quiet run is not evidence in
 either direction — per-query probes run before each group and can
 miss a co-tenant that arrives mid-group, observed live in round 14);
 2 otherwise (so a cron can trip on a real regression but never on
-co-tenant noise).
+co-tenant noise); 3 when the artifact carries no per-query numbers at
+all (content-free must not read as all-clear).
 """
 
 from __future__ import annotations
@@ -96,15 +97,23 @@ def load_artifact(path: str) -> dict:
         d = json.loads(text)
     except ValueError:
         # raw bench stdout: full line first, compact line last — take
-        # the LAST parseable bench line
+        # the LAST parseable bench line; a raw capture whose final
+        # line is itself cut mid-token falls through to piecewise
+        # recovery like a truncated wrapper tail would
         d = None
         for line in reversed(text.strip().splitlines()):
             line = line.strip()
             if line.startswith('{"metric"'):
-                d = json.loads(line)
+                try:
+                    d = json.loads(line)
+                except ValueError:
+                    continue
                 break
         if d is None:
-            raise ValueError(f"{path}: no bench JSON line found")
+            recovered = recover_truncated(text)
+            if not recovered:
+                raise ValueError(f"{path}: no bench JSON line found")
+            return recovered
     if "queries" in d or d.get("compact"):
         return d
     if isinstance(d.get("parsed"), dict) and "queries" in d["parsed"]:
@@ -227,13 +236,21 @@ def main() -> int:
           f"loadavg_start={artifact.get('loadavg_start')}")
     nums = primary_numbers(artifact)
     bests_note = False
-    if not nums and artifact.get("recovered_truncated"):
-        # a truncated r13-style wrapper: the medians were cut out of
-        # the tail window; salvage the surviving best-of-3 maps so the
-        # artifact still reads (VERDICT r13 #1 acceptance)
+    if not nums:
+        # a truncated r13-style wrapper (medians cut out of the tail
+        # window) or a compact line that shed its per-query maps:
+        # salvage whatever best-of-3 maps survive so the artifact
+        # still reads (VERDICT r13 #1 acceptance)
         nums = {**artifact.get("queries_best", {}),
                 **artifact.get("extended_best", {})}
         bests_note = bool(nums)
+    if not nums:
+        # nothing per-query survived at all — exit distinctly so a
+        # cron never mistakes a content-free artifact for a clean one
+        print("NOTE: no per-query numbers in this artifact "
+              f"(keys: {', '.join(sorted(artifact))}); consult "
+              "tools/bench_last_full.json for the full record.")
+        return 3
     if artifact.get("recovered_truncated"):
         print("NOTE: truncated driver tail — fields recovered "
               f"piecewise ({', '.join(sorted(artifact))}); "

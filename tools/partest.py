@@ -35,12 +35,17 @@ REPO = Path(__file__).resolve().parents[1]
 TESTS = REPO / "tests"
 DURATIONS = Path(__file__).resolve().parent / "test_durations.json"
 
+def load_weights() -> dict[str, float]:
+    """The measured per-file durations map ({} when absent/corrupt)."""
+    try:
+        return json.loads(DURATIONS.read_text())
+    except Exception:
+        return {}
+
+
 def shard_files(files: list[str], n: int) -> list[list[str]]:
     """Greedy LPT balance by measured duration (size fallback)."""
-    try:
-        weights = json.loads(DURATIONS.read_text())
-    except Exception:
-        weights = {}
+    weights = load_weights()
 
     def weight(f: str) -> float:
         w = weights.get(os.path.basename(f))
@@ -64,21 +69,25 @@ def duration_drift(files: list[str]) -> tuple[list[str], list[str]]:
     duration (they fall back to the size heuristic, skewing the LPT
     balance) and listed files that no longer exist (stale entries).
     Either one means `partest --record-durations` is due."""
-    try:
-        weights = json.loads(DURATIONS.read_text())
-    except Exception:
-        return [os.path.basename(f) for f in files], []
+    weights = load_weights()
     names = {os.path.basename(f) for f in files}
+    if not weights:
+        return sorted(names), []
     unlisted = sorted(names - set(weights))
     missing = sorted(set(weights) - names)
     return unlisted, missing
 
 
-def record_durations(outputs: list[str]) -> dict[str, float]:
+def record_durations(
+    outputs: list[str], tests_dir: Path | None = None
+) -> dict[str, float]:
     """Aggregate pytest ``--durations=0`` lines (call+setup seconds per
     test) into per-FILE totals and rewrite test_durations.json — run
     ``partest.py --record-durations`` occasionally so the LPT balance
-    tracks the suite as files grow or split."""
+    tracks the suite as files grow or split. Files absent from this run
+    keep their last figure (partial runs stay safe); entries whose test
+    file no longer exists on disk are pruned, so the stale-entry drift
+    warning clears by following its own instruction."""
     totals: dict[str, float] = {}
     pat = re.compile(
         r"([\d.]+)s (?:call|setup)\s+(?:.*[/\\])?tests[/\\]([^:]+)::")
@@ -87,12 +96,10 @@ def record_durations(outputs: list[str]) -> dict[str, float]:
             totals[m.group(2)] = totals.get(m.group(2), 0.0) \
                 + float(m.group(1))
     if totals:
-        merged = {}
-        try:
-            merged = json.loads(DURATIONS.read_text())
-        except Exception:
-            pass
+        root = tests_dir if tests_dir is not None else TESTS
+        merged = load_weights()
         merged.update({k: round(v, 1) for k, v in totals.items()})
+        merged = {k: v for k, v in merged.items() if (root / k).exists()}
         DURATIONS.write_text(json.dumps(merged, indent=1, sort_keys=True))
     return totals
 
@@ -146,11 +153,18 @@ def main() -> int:
         total_skip += int(m_skip.group(1)) if m_skip else 0
         status = "OK" if p.returncode == 0 else f"RC={p.returncode}"
         # a shard that died before pytest printed a summary (collection
-        # error, interpreter crash) contributes 0 to every count — say
-        # so explicitly so the combined line can't be misread as full
-        # coverage (round 14, ADVICE r13)
+        # error, interpreter crash) contributes 0 to every count, and a
+        # summary with "N errors" means whole files never ran (errors
+        # land in neither passed nor failed) — say so explicitly so the
+        # combined line can't be misread as full coverage (round 14,
+        # ADVICE r13)
+        m_err = re.search(r"(\d+) errors?\b", tail)
         if p.returncode != 0 and not (m_pass or m_fail):
             status += " [counts unavailable — shard died pre-summary]"
+            counts_partial = True
+        elif m_err:
+            status += (f" [{m_err.group(1)} collection/setup error(s) — "
+                       "some tests never ran]")
             counts_partial = True
         print(f"[shard {i}] {status} {tail}  "
               f"({len(shard)} files)", flush=True)
@@ -158,12 +172,17 @@ def main() -> int:
             failed = True
             # replay the failing shard's output so failures read whole
             print(out, flush=True)
-    partial = " (PARTIAL — a shard died pre-summary)" if counts_partial \
-        else ""
+    partial = " (PARTIAL — some tests never ran, see shard lines)" \
+        if counts_partial else ""
     print(f"[partest] {total_pass} passed, {total_fail} failed, "
           f"{total_skip} skipped in {time.time() - t0:.1f}s "
           f"across {len(shards)} shards{partial}")
-    if args.record_durations and not failed:
+    if args.record_durations:
+        # record even on a failed suite: the measured durations of the
+        # tests that DID run are valid, and the drift-pin test
+        # (tests/test_bench.py) fails precisely until the map is
+        # rewritten — refusing to record on failure would deadlock the
+        # documented remedy for adding/removing a test file
         rec = record_durations(outputs)
         print(f"[partest] recorded durations for {len(rec)} files "
               f"-> {DURATIONS}")
