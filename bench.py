@@ -279,6 +279,19 @@ def compact_summary(artifact: dict, limit: int = COMPACT_LIMIT) -> str:
         slim.pop(drop)
         slim.setdefault("compact_dropped", []).append(drop)
         line = json.dumps(slim, separators=(",", ":"))
+    if len(line) > limit:
+        # last-resort floor (round 15, ADVICE r14): the shed loop only
+        # drops the three map keys, so a pathological fixed field (a
+        # huge sf string, a future scalar) could still overflow — fall
+        # back to the minimal object rather than emit a line a tail
+        # capture would cut mid-token
+        slim = {"metric": artifact.get("metric"),
+                "value": artifact.get("value"),
+                "quiet": artifact.get("quiet"),
+                "compact": True,
+                "compact_dropped": ["all-but-minimal"]}
+        line = json.dumps(slim, separators=(",", ":"))
+    assert len(line) <= limit, len(line)  # the documented guarantee
     return line
 
 

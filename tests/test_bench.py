@@ -193,8 +193,10 @@ def test_bench_compare_adjudication():
     old = {"queries": {"qa": 1.0}}  # pre-r13: best-of-3 primaries
     new = {"timing": "median_of_3", "queries": {"qa": 1.3},
            "queries_best": {"qa": 1.1}}
-    a, b, kind = bc.comparable_numbers(new, old)
-    assert kind == "best_of_3" and a["qa"] == 1.1 and b["qa"] == 1.0
+    a, b, kind, modes = bc.comparable_numbers(new, old)
+    assert kind == "best_of_3 vs best_of_3"
+    assert a["qa"] == 1.1 and b["qa"] == 1.0
+    assert modes == {"qa": "best_of_3"}
 
     # driver-wrapper unwrap: the bench line is embedded in "tail"
     line = _json.dumps({"metric": "headline_queries_total_wall",
@@ -212,6 +214,137 @@ def test_bench_compare_adjudication():
     shipped = bc.load_band()
     for name in bench.HEADLINE + bench.EXTENDED:
         assert name in shipped["queries"], name
+
+
+def test_bench_compare_median_vs_median_per_key():
+    # round 15 (VERDICT r14 #3): when both sides carry medians for a
+    # key, the delta MUST be median-vs-median — the r14 "+29.8%" bias
+    # class (compact-newer medians judged against truncated-older
+    # bests with a single whole-comparison label) cannot recur
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    import bench_compare as bc
+
+    newer = {"timing": "median_of_3", "compact": True,
+             "queries": {"qa": 1.3, "qb": 2.0}}
+    older = {"timing": "median_of_3", "compact": True,
+             "queries": {"qa": 1.2, "qb": 2.1}}
+    a, b, kind, modes = bc.comparable_numbers(newer, older)
+    assert kind == "median_of_3 vs median_of_3"
+    assert a == newer["queries"] and b == older["queries"]
+    assert set(modes.values()) == {"median_of_3"}
+
+    # mixed generations: per-key modes, labeled — a compact newer line
+    # (medians only) vs a truncated r13 wrapper (bests only) compares
+    # median-vs-best WITH the HIGH-read label on that row
+    truncated = {"recovered_truncated": True,
+                 "extended_best": {"qb": 1.8}, "queries_best": {}}
+    a, b, kind, modes = bc.comparable_numbers(newer, truncated)
+    assert modes["qb"].startswith("median_vs_best")
+    assert "HIGH" in modes["qb"]
+    assert a["qb"] == 2.0 and b["qb"] == 1.8
+    assert "qa" not in a  # no comparable older number at all
+    # and a full r14 artifact (medians AND bests) vs the same wrapper
+    # prefers best-vs-best for that key — like-for-like wins
+    full = {"timing": "median_of_3", "queries": {"qb": 2.0},
+            "queries_best": {"qb": 1.9}, "extended_best": {}}
+    a, b, kind, modes = bc.comparable_numbers(full, truncated)
+    assert modes["qb"] == "best_of_3" and a["qb"] == 1.9
+
+
+def test_bench_compare_not_quiet_exits_4(tmp_path, capsys, monkeypatch):
+    # round 15 (ADVICE r14): slow rows on a non-quiet run are
+    # INCONCLUSIVE — exit 4, not 0 — so automation on a never-quiet
+    # host can distinguish all-clear from not-evidence
+    import json as _json
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    import bench_compare as bc
+
+    band = bc.load_band()
+    qa = next(iter(band["queries"]))
+    hi = band["queries"][qa]["hi"]
+    art = tmp_path / "noisy.json"
+    art.write_text(_json.dumps(
+        {"metric": "headline_queries_total_wall", "value": 1.0,
+         "timing": "median_of_3", "quiet": False, "dirty": [],
+         "queries": {qa: hi * 3.0}}))
+    monkeypatch.setattr(sys, "argv", ["bench_compare.py", str(art)])
+    assert bc.main() == 4
+    assert "inconclusive" in capsys.readouterr().out
+    # same slow row on a QUIET run is evidence: exit 2
+    art.write_text(_json.dumps(
+        {"metric": "headline_queries_total_wall", "value": 1.0,
+         "timing": "median_of_3", "quiet": True, "dirty": [],
+         "queries": {qa: hi * 3.0}}))
+    assert bc.main() == 2
+    capsys.readouterr()
+
+
+def test_recover_truncated_reports_dropped_keys():
+    # round 15 (ADVICE r14): a matched-but-unparseable fragment is
+    # recorded as DROPPED, not silently absent
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    import bench_compare as bc
+
+    # "sf" matches the string alternative but holds an escaped quote
+    # the non-greedy [^"]* match cuts mid-value -> invalid JSON
+    tail = '"quiet": true, "sf": "0.1\\"oops", "extended_total": 15.0'
+    got = bc.recover_truncated(tail)
+    assert got["quiet"] is True and got["extended_total"] == 15.0
+    assert got["recovered_dropped"] == ["sf"]
+    # fully clean tails carry no dropped list
+    clean = bc.recover_truncated('"quiet": true, "sf": 0.1')
+    assert "recovered_dropped" not in clean
+
+
+def test_compact_summary_hard_floor():
+    # round 15 (ADVICE r14): even a pathological fixed field (here a
+    # huge sf string) cannot push the compact line past the budget —
+    # the minimal fallback keeps metric/value/quiet intact
+    import json as _json
+
+    art = {"metric": "headline_queries_total_wall", "value": 9.9,
+           "unit": "sec", "timing": "median_of_3",
+           "queries": {"qa": 1.0}, "extended": {"qb": 2.0},
+           "sf": "x" * 5000, "quiet": True, "dirty": []}
+    line = bench.compact_summary(art)
+    assert len(line) <= bench.COMPACT_LIMIT
+    d = _json.loads(line)
+    assert d["metric"] and d["value"] == 9.9 and d["quiet"] is True
+    assert d["compact_dropped"] == ["all-but-minimal"]
+
+
+def test_partest_record_durations_skips_failed_shards(tmp_path):
+    # round 15 (ADVICE r14): a shard that crashed early must not
+    # overwrite its files' realistic weights; green shards still record
+    import json as _json
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    import partest
+
+    tests_dir = tmp_path / "tests"
+    tests_dir.mkdir()
+    for name in ("test_ok.py", "test_crash.py"):
+        (tests_dir / name).write_text("")
+    sandbox = tmp_path / "dur.json"
+    sandbox.write_text(_json.dumps({"test_crash.py": 120.0}))
+    orig = partest.DURATIONS
+    partest.DURATIONS = sandbox
+    try:
+        ok_out = "3.00s call     tests/test_ok.py::test_x\n"
+        crash_out = "0.10s call     tests/test_crash.py::test_y\n"
+        got = partest.record_durations(
+            [ok_out, crash_out], tests_dir=tests_dir, returncodes=[0, 1])
+        assert got == {"test_ok.py": 3.0}
+        stored = _json.loads(sandbox.read_text())
+        assert stored["test_ok.py"] == 3.0
+        assert stored["test_crash.py"] == 120.0  # protected
+        # without returncodes (legacy call shape) everything merges
+        got = partest.record_durations(
+            [crash_out], tests_dir=tests_dir)
+        assert got == {"test_crash.py": 0.1}
+    finally:
+        partest.DURATIONS = orig
 
 
 def test_mem_probe_gate_and_quiet_extended():

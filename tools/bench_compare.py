@@ -25,13 +25,21 @@ With a second artifact, prints the per-query delta on matching keys
 (best-vs-best when either side is pre-median) so round-over-round
 reads take one command instead of a judge afternoon.
 
-Exit code: 0 when no CLEAN-probe out-of-band slow rows exist OR the
-run self-classified `quiet: false` (a non-quiet run is not evidence in
-either direction — per-query probes run before each group and can
-miss a co-tenant that arrives mid-group, observed live in round 14);
-2 otherwise (so a cron can trip on a real regression but never on
-co-tenant noise); 3 when the artifact carries no per-query numbers at
-all (content-free must not read as all-clear).
+Exit code: 0 when no CLEAN-probe out-of-band slow rows exist on a
+quiet run; 2 when a quiet run has clean-probe slow rows (a cron can
+trip on a real regression but never on co-tenant noise); 3 when the
+artifact carries no per-query numbers at all (content-free must not
+read as all-clear); 4 when slow rows exist but the run self-classified
+`quiet: false` — INCONCLUSIVE, not all-clear (round 15, ADVICE r14:
+per-query probes run before each group and can miss a co-tenant that
+arrives mid-group, so a non-quiet run is not evidence in either
+direction, but on a host that is never quiet automation must still be
+able to distinguish "nothing slow" from "not evidence").
+
+Band file: ``tools/bench_band_r15.json`` by default (round-15
+rebaseline from four fully-quiet r14-tree controls); pass ``--band``
+to adjudicate against another band (e.g. the retired
+``tools/bench_band_r13.json``).
 """
 
 from __future__ import annotations
@@ -61,8 +69,20 @@ _RECOVER_KEYS = (
 )
 
 
+#: newest band first: the round-15 rebaseline (quiet r14-tree
+#: controls) when present, else the round-13 band — so a tree that
+#: predates the rebaseline still adjudicates
+DEFAULT_BANDS = ("bench_band_r15.json", "bench_band_r13.json")
+
+
 def load_band(path: str | None = None) -> dict:
-    with open(path or os.path.join(HERE, "bench_band_r13.json")) as f:
+    if path is None:
+        for name in DEFAULT_BANDS:
+            cand = os.path.join(HERE, name)
+            if os.path.exists(cand):
+                path = cand
+                break
+    with open(path) as f:
         return json.load(f)
 
 
@@ -70,6 +90,7 @@ def recover_truncated(tail: str) -> dict:
     """Regex-salvage whatever whole key/value pairs survived a
     tail-window truncation of the full bench line."""
     out: dict = {}
+    dropped: list[str] = []
     for key in _RECOVER_KEYS:
         m = re.search(
             r'"%s":\s*(\{[^{}]*\}|\[[^\[\]]*\]|true|false|null'
@@ -78,9 +99,17 @@ def recover_truncated(tail: str) -> dict:
             try:
                 out[key] = json.loads(m.group(1))
             except ValueError:
+                # the regex matched but the fragment isn't valid JSON
+                # (escaped quote, malformed exponent): record the key as
+                # DROPPED rather than silently absent (round 15, ADVICE
+                # r14) so a reader knows the field was skipped, not
+                # missing from the capture
+                dropped.append(key)
                 continue
     if out:
         out["recovered_truncated"] = True
+        if dropped:
+            out["recovered_dropped"] = dropped
     return out
 
 
@@ -138,36 +167,54 @@ def primary_numbers(artifact: dict) -> dict[str, float]:
     return {**artifact.get("queries", {}), **artifact.get("extended", {})}
 
 
-def comparable_numbers(a: dict, b: dict) -> tuple[dict, dict, str]:
-    """Pick the key pair that compares like-for-like across artifact
-    generations: median vs median when both have it, else best vs best
-    (r13+ artifacts carry queries_best for exactly this)."""
-    a_med = a.get("timing") == "median_of_3"
-    b_med = b.get("timing") == "median_of_3"
-    if a_med and b_med:
-        return primary_numbers(a), primary_numbers(b), "median_of_3"
+def comparable_numbers(
+    a: dict, b: dict
+) -> tuple[dict, dict, str, dict[str, str]]:
+    """Pick, PER KEY, the pair that compares like-for-like across
+    artifact generations (round 15, VERDICT r14 #3): median vs median
+    whenever both sides carry a median for that key (every r13+
+    artifact — compact lines always do), else best vs best (pre-r13
+    primaries ARE bests; truncated r13-style wrappers keep only
+    ``*_best`` maps), else the labeled mixed fallback — so the r14
+    "+29.8%" class of bias (medians on one side judged against bests
+    on the other without a per-row flag) cannot recur.
 
-    fell_back = []
+    Returns (newer_nums, older_nums, summary_kind, per_key_modes)."""
+    def meds(d: dict) -> dict:
+        return primary_numbers(d) if d.get("timing") == "median_of_3" \
+            else {}
 
-    def bests(d, side):
+    def bests(d: dict) -> dict:
         if d.get("timing") == "median_of_3" or d.get("recovered_truncated"):
-            got = {**d.get("queries_best", {}),
-                   **d.get("extended_best", {})}
-            if got:
-                return got
-            # a compact r14+ line carries medians only (bests live in
-            # tools/bench_last_full.json); medians are the best
-            # available here and read HIGH vs a true best-of-3
-            fell_back.append(side)
-            return primary_numbers(d)
-        return {**d.get("queries", {}), **d.get("extended", {})}
+            return {**d.get("queries_best", {}), **d.get("extended_best", {})}
+        return primary_numbers(d)
 
-    na, nb = bests(a, "newer"), bests(b, "older")
-    kind = "best_of_3"
-    if fell_back:
-        kind += (f" ({'/'.join(fell_back)} side is medians — reads "
-                 "HIGH; full bests in tools/bench_last_full.json)")
-    return na, nb, kind
+    a_med, b_med = meds(a), meds(b)
+    a_best, b_best = bests(a), bests(b)
+    na: dict = {}
+    nb: dict = {}
+    modes: dict[str, str] = {}
+    for k in {**a_med, **a_best}:
+        if k in a_med and k in b_med:
+            na[k], nb[k], modes[k] = a_med[k], b_med[k], "median_of_3"
+        elif k in a_best and k in b_best:
+            na[k], nb[k], modes[k] = a_best[k], b_best[k], "best_of_3"
+        elif k in a_med and k in b_best:
+            # mixed: newer medians read HIGH vs a true best-of-3
+            na[k], nb[k] = a_med[k], b_best[k]
+            modes[k] = "median_vs_best (newer reads HIGH)"
+        elif k in a_best and k in b_med:
+            na[k], nb[k] = a_best[k], b_med[k]
+            modes[k] = "best_vs_median (newer reads LOW)"
+    kinds = sorted(set(modes.values()))
+    if len(kinds) == 1:
+        kind = f"{kinds[0]} vs {kinds[0]}" \
+            if kinds[0] in ("median_of_3", "best_of_3") else kinds[0]
+    elif kinds:
+        kind = "mixed per-row (see row labels)"
+    else:
+        kind = "no common keys"
+    return na, nb, kind, modes
 
 
 def verdict(value: float, lo: float, hi: float, probe_clean: bool) -> str:
@@ -221,19 +268,30 @@ def adjudicate(
 
 
 def main() -> int:
-    if len(sys.argv) < 2:
+    argv = list(sys.argv[1:])
+    band_path = None
+    if "--band" in argv:
+        i = argv.index("--band")
+        band_path = argv[i + 1]
+        del argv[i:i + 2]
+    if not argv:
         print(__doc__)
         return 1
-    artifact = load_artifact(sys.argv[1])
-    band = load_band()
+    artifact = load_artifact(argv[0])
+    band = load_band(band_path)
     timing = artifact.get(
         "timing",
         "unknown (truncated)" if artifact.get("recovered_truncated")
         else "best_of_3 (pre-r13)")
-    print(f"artifact: {sys.argv[1]}  timing={timing}  "
+    print(f"artifact: {argv[0]}  timing={timing}  "
           f"quiet={artifact.get('quiet')}  "
           f"quiet_extended={artifact.get('quiet_extended', 'n/a')}  "
-          f"loadavg_start={artifact.get('loadavg_start')}")
+          f"loadavg_start={artifact.get('loadavg_start')}  "
+          f"band={band_path or 'default (' + band.get('source', '?')[:40] + '…)'}")
+    if artifact.get("recovered_dropped"):
+        print("NOTE: recovery skipped unparseable fragment(s) for: "
+              f"{', '.join(artifact['recovered_dropped'])} — these "
+              "fields were present in the tail but dropped, not absent.")
     nums = primary_numbers(artifact)
     bests_note = False
     if not nums:
@@ -275,26 +333,32 @@ def main() -> int:
         print("NOTE: pre-round-13 artifact (best-of-3) judged against "
               "the median band — bests read LOW; fast verdicts here "
               "are not evidence.")
-    if len(sys.argv) > 2:
-        other = load_artifact(sys.argv[2])
-        a, b, kind = comparable_numbers(artifact, other)
-        print(f"\ndelta vs {sys.argv[2]} ({kind}):")
+    if len(argv) > 1:
+        other = load_artifact(argv[1])
+        a, b, kind, modes = comparable_numbers(artifact, other)
+        uniform = len(set(modes.values())) <= 1
+        print(f"\ndelta vs {argv[1]} ({kind}):")
         for q in a:
             if q in b and b[q]:
                 d = (a[q] - b[q]) / b[q] * 100
                 flag = "" if abs(d) < 25 else "  <-- past single-run noise"
+                mode_s = "" if uniform else f"  [{modes[q]}]"
                 print(f"   {q:28s} {a[q]:7.3f} vs {b[q]:7.3f}  "
-                      f"{d:+6.1f}%{flag}")
+                      f"{d:+6.1f}%{mode_s}{flag}")
     # run-level quiet gates the exit code (round 14): per-query probes
     # run BEFORE each query's group, so a co-tenant arriving mid-group
     # inflates the query while ITS probe reads clean (the next group's
     # probe catches it — observed live, SCALE.md round-14 episode). A
     # `quiet: false` run is not comparison evidence in either
-    # direction, so its slow rows must not trip a cron.
+    # direction, so its slow rows must not trip a cron — but it is not
+    # an all-clear either: exit 4 = INCONCLUSIVE (round 15, ADVICE
+    # r14), distinct from 0, so automation on a never-quiet host can
+    # tell "nothing slow" from "not evidence".
     if any_slow and artifact.get("quiet") is False:
         print("NOTE: run is not quiet — slow rows above are NOT "
-              "evidence of a regression; re-measure on a quiet window.")
-        any_slow = False
+              "evidence of a regression; re-measure on a quiet window "
+              "(exit 4: inconclusive, not all-clear).")
+        return 4
     return 2 if any_slow else 0
 
 

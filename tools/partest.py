@@ -79,7 +79,9 @@ def duration_drift(files: list[str]) -> tuple[list[str], list[str]]:
 
 
 def record_durations(
-    outputs: list[str], tests_dir: Path | None = None
+    outputs: list[str],
+    tests_dir: Path | None = None,
+    returncodes: list[int] | None = None,
 ) -> dict[str, float]:
     """Aggregate pytest ``--durations=0`` lines (call+setup seconds per
     test) into per-FILE totals and rewrite test_durations.json — run
@@ -87,11 +89,21 @@ def record_durations(
     tracks the suite as files grow or split. Files absent from this run
     keep their last figure (partial runs stay safe); entries whose test
     file no longer exists on disk are pruned, so the stale-entry drift
-    warning clears by following its own instruction."""
+    warning clears by following its own instruction.
+
+    Only shards whose ``returncodes`` entry is 0 contribute (round 15,
+    ADVICE r14): a shard that failed fast (collection error after
+    0.1 s) would otherwise overwrite its files' realistic weights and
+    skew the LPT balance until the next clean recording — while
+    PER-SHARD filtering (not per-run) still lets a green shard record
+    a newly added file even when another shard failed, so the
+    drift-pin remedy never deadlocks."""
     totals: dict[str, float] = {}
     pat = re.compile(
         r"([\d.]+)s (?:call|setup)\s+(?:.*[/\\])?tests[/\\]([^:]+)::")
-    for out in outputs:
+    for i, out in enumerate(outputs):
+        if returncodes is not None and returncodes[i] != 0:
+            continue
         for m in pat.finditer(out):
             totals[m.group(2)] = totals.get(m.group(2), 0.0) \
                 + float(m.group(1))
@@ -141,9 +153,11 @@ def main() -> int:
     failed = False
     counts_partial = False
     outputs = []
+    rcs = []
     for i, shard, p in procs:
         out, _ = p.communicate()
         outputs.append(out)
+        rcs.append(p.returncode)
         tail = out.strip().splitlines()[-1] if out.strip() else ""
         m_pass = re.search(r"(\d+) passed", tail)
         m_fail = re.search(r"(\d+) failed", tail)
@@ -178,14 +192,16 @@ def main() -> int:
           f"{total_skip} skipped in {time.time() - t0:.1f}s "
           f"across {len(shards)} shards{partial}")
     if args.record_durations:
-        # record even on a failed suite: the measured durations of the
-        # tests that DID run are valid, and the drift-pin test
-        # (tests/test_bench.py) fails precisely until the map is
-        # rewritten — refusing to record on failure would deadlock the
-        # documented remedy for adding/removing a test file
-        rec = record_durations(outputs)
+        # record from the GREEN shards only (round 15, ADVICE r14): a
+        # shard that crashed early would overwrite realistic weights
+        # with fail-fast times, while green shards still record newly
+        # added files — so the drift-pin remedy (tests/test_bench.py)
+        # never deadlocks on a partially failed suite
+        rec = record_durations(outputs, returncodes=rcs)
+        skipped = sum(1 for rc in rcs if rc != 0)
+        note = f" ({skipped} failed shard(s) excluded)" if skipped else ""
         print(f"[partest] recorded durations for {len(rec)} files "
-              f"-> {DURATIONS}")
+              f"-> {DURATIONS}{note}")
     return 1 if failed else 0
 
 
