@@ -574,6 +574,129 @@ def test_driver_tail_roundtrip_end_to_end(tmp_path):
     assert len(rows) == 26 and not any_slow
 
 
+def test_make_band_build_band():
+    # round 15 (VERDICT r14 #2): the band builder refuses non-quiet /
+    # non-median controls and emits min-max rows with the spike
+    # watermark at n >= 5
+    import pytest
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    import make_band as mb
+
+    def control(vals: dict, quiet=True, quiet_ext=True):
+        qs = dict(list(vals.items())[:1])
+        ext = dict(list(vals.items())[1:])
+        return {"timing": "median_of_3", "quiet": quiet,
+                "quiet_extended": quiet_ext, "queries": qs,
+                "extended": ext,
+                "value": round(sum(qs.values()), 3),
+                "extended_total": round(sum(ext.values()), 3),
+                "probe_band": [0.40, 0.46],
+                "mem_probe_idle_band": [0.18, 0.27]}
+
+    ctrls = [control({"qa": v, "qb": w})
+             for v, w in [(1.0, 4.2), (1.1, 4.0), (1.05, 4.5),
+                          (1.2, 4.8), (1.0, 7.0)]]
+    band = mb.build_band(ctrls, source="test")
+    qb = band["queries"]["qb"]
+    assert qb["lo"] == 4.0 and qb["hi"] == 7.0 and qb["n"] == 5
+    # watermark: second_max 4.8 * 1.15 = 5.52, under the spiked max
+    assert qb["hi_typ"] == 5.52
+    # no watermark when the max is not a spike past second_max * 1.15
+    qa = band["queries"]["qa"]
+    assert qa == {"lo": 1.0, "hi": 1.2, "n": 5}
+    assert band["probe_ceiling"] == 0.483
+    assert band["probe_mem_ceiling"] == 0.36
+    assert band["headline_total"]["lo"] == 1.0
+    # refusals: the r13 failure mode (mixed/contended inputs) is an
+    # error, never a silently wider band
+    with pytest.raises(ValueError, match="not fully quiet"):
+        mb.build_band([ctrls[0], control({"qa": 1, "qb": 4},
+                                         quiet=False)], "t")
+    with pytest.raises(ValueError, match="not fully quiet"):
+        mb.build_band([ctrls[0], control({"qa": 1, "qb": 4},
+                                         quiet_ext=False)], "t")
+    with pytest.raises(ValueError, match="median"):
+        mb.build_band([ctrls[0], {**ctrls[1], "timing": None}], "t")
+    with pytest.raises(ValueError, match="mismatch"):
+        mb.build_band([ctrls[0], control({"qa": 1, "qc": 4})], "t")
+    with pytest.raises(ValueError, match=">= 2"):
+        mb.build_band([ctrls[0]], "t")
+
+
+def test_high_watermark_verdict():
+    # round 15: `high` = inside the hard band but past hi_typ — the
+    # spike-prone rows' visibility marker; never trips the exit code
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    import bench_compare as bc
+
+    assert bc.verdict(5.0, 4.0, 7.0, True, hi_typ=5.5) == "in-band"
+    assert bc.verdict(6.5, 4.0, 7.0, True, hi_typ=5.5) == "high"
+    # a dirty probe suppresses `high` (not evidence of anything)
+    assert bc.verdict(6.5, 4.0, 7.0, False, hi_typ=5.5) == "in-band"
+    # beyond the hard band stays `slow` regardless of the watermark
+    assert bc.verdict(8.0, 4.0, 7.0, True, hi_typ=5.5) == "slow"
+    # rows without a watermark behave exactly as before
+    assert bc.verdict(6.5, 4.0, 7.0, True) == "in-band"
+    band = {"probe_ceiling": 0.483,
+            "queries": {"qa": {"lo": 4.0, "hi": 7.0, "hi_typ": 5.5}}}
+    art = {"timing": "median_of_3", "queries": {"qa": 6.5},
+           "probes": {"qa": 0.42}}
+    rows, any_slow = bc.adjudicate(art, band)
+    assert not any_slow and rows[0][3] == "high"
+
+
+def test_r15_band_acceptance():
+    # VERDICT r14 #2 acceptance: the r15 band is the default; green on
+    # r14's artifacts; red (not all-clear) on the pinned interference
+    # episode; and a synthetic 1.5x regression on the previously
+    # degenerate rows now trips where the r13 band could not
+    import json as _json
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    import bench_compare as bc
+
+    repo = Path(__file__).resolve().parents[1]
+    band = bc.load_band()
+    assert "r14-tree controls" in band["source"]
+    # the shipped default IS the r15 band (newest-first search)
+    assert bc.load_band(str(repo / "tools" / "bench_band_r15.json")) == band
+
+    # green on the r14 driver artifact and both committed r14 controls
+    for name in ("BENCH_r14.json",
+                 "tools/bench_controls_r15/control_01_r14tree.json",
+                 "tools/bench_controls_r15/control_02_r14tree.json"):
+        art = bc.load_artifact(str(repo / name))
+        rows, any_slow = bc.adjudicate(art, band)
+        assert not any_slow, (name, [r for r in rows if r[3] == "slow"])
+
+    # red on the pinned episode: its inflated rows stay out-of-band
+    # (the run is non-quiet, so the tool exits 4 — inconclusive — but
+    # the rows must never read in-band under the rebaselined band)
+    ep = bc.load_artifact(str(repo / "tools"
+                              / "bench_episode_r14_contended.json"))
+    rows, _ = bc.adjudicate(ep, band)
+    verdicts = {q: v for q, _, _, v, _ in rows}
+    assert verdicts["q_semantic_dedup"] in ("slow", "contended")
+    assert verdicts["q_fingerprint_winnowing"] in ("slow", "contended")
+    assert ep.get("quiet") is False  # which is why the exit code is 4
+
+    # the r13 degenerate rows now trip on a 1.5x regression: simulate
+    # each query at 1.5x its typical (mid-band) value on a quiet run
+    for q in ("q_lang_predict", "q_fingerprint_winnowing"):
+        b = band["queries"][q]
+        typical = (b["lo"] + b["hi"]) / 2
+        art = {"timing": "median_of_3", "quiet": True, "dirty": [],
+               "queries": {q: round(typical * 1.5, 3)}}
+        rows, any_slow = bc.adjudicate(art, band)
+        assert any_slow, (q, rows)
+        # while the same reading passed inside the r13 band's width
+        if q == "q_lang_predict":
+            old = bc.load_band(str(repo / "tools" / "bench_band_r13.json"))
+            rows_old, slow_old = bc.adjudicate(art, old)
+            assert not slow_old, rows_old
+
+
 def test_headline_and_extended_are_registered_queries():
     from pydala_spark.queries import QUERIES
 

@@ -20,6 +20,12 @@ key), whether that query's own calibration probe was clean
   was starving the executor JVM's memory bandwidth (mem probe past
   the gross-excursion ceiling, round 14 — the SCALE.md blind-spot
   mode): NOT evidence in either direction
+- ``high``      — (round 15) inside the hard band but past the row's
+  ``hi_typ`` watermark (second-highest quiet control x 1.15): the
+  spike-prone rows' visibility marker. One artifact = quiet-run spike
+  noise; the same row high across consecutive artifacts = a
+  regression the hard band is too wide to trip on. Never affects the
+  exit code.
 
 With a second artifact, prints the per-query delta on matching keys
 (best-vs-best when either side is pre-median) so round-over-round
@@ -217,8 +223,19 @@ def comparable_numbers(
     return na, nb, kind, modes
 
 
-def verdict(value: float, lo: float, hi: float, probe_clean: bool) -> str:
+def verdict(
+    value: float, lo: float, hi: float, probe_clean: bool,
+    hi_typ: float | None = None,
+) -> str:
     if lo * (1 - WIDEN) <= value <= hi * (1 + WIDEN):
+        # `high` (round 15): past the TYPICAL ceiling (second-highest
+        # quiet control x 1.15) but inside the observed spike range —
+        # a one-off is noise, the same row `high` across consecutive
+        # artifacts is a regression the hard band can't see. Never
+        # trips the exit code.
+        if hi_typ is not None and probe_clean \
+                and value > hi_typ * (1 + WIDEN):
+            return "high"
         return "in-band"
     if not probe_clean:
         return "contended"
@@ -261,7 +278,7 @@ def adjudicate(
             clean = q not in dirty
         else:
             clean = False
-        verd = verdict(v, b["lo"], b["hi"], clean)
+        verd = verdict(v, b["lo"], b["hi"], clean, b.get("hi_typ"))
         any_slow = any_slow or verd == "slow"
         rows.append((q, v, f"{b['lo']}-{b['hi']}", verd, pr))
     return rows, any_slow
@@ -317,7 +334,7 @@ def main() -> int:
     mems = artifact.get("probes_mem", {})
     mem_ceiling = band.get("probe_mem_ceiling", 0.36)
     for q, v, b, verd, pr in rows:
-        mark = {"in-band": " ", "fast": "+", "slow": "!",
+        mark = {"in-band": " ", "fast": "+", "slow": "!", "high": "^",
                 "contended": "~", "no-band": "?"}[verd]
         probe_s = f"probe {pr:.3f}" if pr is not None else "probe n/a"
         mem = mems.get(q)
@@ -325,6 +342,13 @@ def main() -> int:
             probe_s += f" mem {mem:.3f}>!"
         print(f" {mark} {q:28s} {v:7.3f}  band {b or '—':12s} "
               f"{verd:9s} {probe_s}")
+    highs = [q for q, _, _, verd, _ in rows if verd == "high"]
+    if highs:
+        print(f"NOTE: {len(highs)} row(s) past the typical ceiling but "
+              f"inside the observed spike range ({', '.join(highs)}) — "
+              "a one-off is quiet-run spike noise (~1 row/control); the "
+              "SAME row high across consecutive artifacts is a "
+              "regression. Does not trip the exit code.")
     if bests_note:
         print("NOTE: best-of-3 numbers (medians truncated away) judged "
               "against the median band — bests read LOW; fast verdicts "
