@@ -180,6 +180,57 @@ def probe_embedding_ops(
             emb, bench, threshold=0.30, block_bits=4, dim=dim, n_probes=2
         ),
     )
+    # round 15 (VERDICT r14 #1): ANN index lifecycle at scale. Build =
+    # one encode scan + cell-partitioned write (linear in rows;
+    # centroids ∝ corpus per the documented constant-cell-size
+    # contract, same as semantic_dedup above). Search = broadcast
+    # probes + dynamic partition pruning, so its cost tracks CELL size
+    # (constant here), never index size — the ratio gate is trivially
+    # met and the interesting record is that search stays ~flat while
+    # the index grows by the factor.
+    if only is None or {"ann_build", "ann_search"} & only:
+        import shutil
+
+        from pydala_spark.operators.ann import (
+            kmeans_centroids as _kc,
+            pq_codebooks as _pb,
+            save_ivfpq_index,
+            search_ivfpq_index,
+        )
+
+        idx_path = f"/tmp/scale_probe/ivf_idx_{n_centroids}"
+        shutil.rmtree(idx_path, ignore_errors=True)
+        cents = _kc(emb, n_centroids=n_centroids, seed=7)
+        books = _pb(emb, m=8, n_codes=16, seed=7)
+        if only is None or "ann_build" in only:
+            # warm the encode-plan shape (python-worker/Arrow startup)
+            # on a 64-row slice; timing measures the encode scan +
+            # cell-partitioned write, not daemon spawn. Training is
+            # deliberately OUTSIDE the timing: its sample is bounded
+            # (constant rows) and its cost scales with n_centroids ∝
+            # factor by design — the probed claim is about the
+            # corpus-sized encode+write pass.
+            shutil.rmtree(f"{idx_path}_warm", ignore_errors=True)
+            save_ivfpq_index(spark, emb.limit(64), f"{idx_path}_warm",
+                             cents, books)
+            t0 = time.monotonic()
+            save_ivfpq_index(spark, emb, idx_path, cents, books)
+            out["ann_build"] = {
+                "sec": round(time.monotonic() - t0, 3),
+                "shuffles": None,  # write action: wall-only entry
+            }
+        else:
+            save_ivfpq_index(spark, emb, idx_path, cents, books)
+        if only is None or "ann_search" in only:
+            probes = spark.read.parquet(path).where(F.col("vec_id") < 10)
+            # warm the plan shape (python-worker/Arrow startup)
+            search_ivfpq_index(
+                spark, idx_path, probes.limit(2), k=1
+            ).write.format("noop").mode("overwrite").save()
+            timed(
+                "ann_search",
+                lambda: search_ivfpq_index(spark, idx_path, probes, k=5),
+            )
     return out
 
 
@@ -301,6 +352,53 @@ def probe_ops(spark, path: str, only=None) -> dict[str, dict]:
             budgets={}, default_budget=40 * n_docs,
         ),
     )
+    # round 15 (VERDICT r14 #1): the remaining headline-expensive
+    # families get measured decades, not just plan-shape arguments.
+    # Each is plan-warmed on a 64-row limit first so the 1x baseline
+    # doesn't carry the codegen/JIT cost (a cold 1x inflates sec_1x
+    # and flatters the big-factor ratio).
+    from pydala_spark.operators.textstats import (
+        quality_stats,
+        winnowing_fingerprints,
+    )
+
+    def warm(df_builder):
+        df_builder().write.format("noop").mode("overwrite").save()
+
+    # winnowing: per-character staged projections (q_fingerprint_
+    # winnowing's dominant cost) — zero shuffles, must stay linear in
+    # corpus CHARS
+    if only is None or "winnowing" in only:
+        warm(lambda: winnowing_fingerprints(docs.limit(64), "doc_id",
+                                            "text", k=8, window=4))
+    timed(
+        "winnowing",
+        lambda: winnowing_fingerprints(docs, "doc_id", "text",
+                                       k=8, window=4),
+    )
+    # quality/Gopher column-algebra stats (q_stats_summary's doc-side
+    # family): pure per-row expressions, zero shuffles
+    if only is None or "quality_stats" in only:
+        warm(lambda: quality_stats(docs.limit(64)))
+    timed("quality_stats", lambda: quality_stats(docs))
+    # GK-quantile threshold (q_stats_summary's qcut machinery / the
+    # production percentile-filter path): exact interpolated quantile
+    # via the 3-pass GK bracket — a driver SCALAR, so wall-only (the
+    # kernel is 2 map-side aggs + a tiny bracket collect; the
+    # scale-killer it replaced was the single-task percentile sort)
+    if only is None or "gk_quantile" in only:
+        from pydala_spark.operators.sampling import quantile_threshold
+
+        scored = docs.withColumn("__len",
+                                 F.length("text").cast("double"))
+        quantile_threshold(scored.limit(64), "__len", 0.75, exact=True)
+        t0 = time.monotonic()
+        thr = quantile_threshold(scored, "__len", 0.75, exact=True)
+        out["gk_quantile"] = {
+            "sec": round(time.monotonic() - t0, 3),
+            "shuffles": None,  # driver scalar: wall-only entry
+        }
+        assert thr is not None
     return out
 
 
@@ -356,6 +454,11 @@ def main() -> int:
                     "semantic_decon_blocked")
     ap.add_argument("--out", default="scale_probe_result.json",
                     help="result filename (under tools/)")
+    ap.add_argument("--merge", action="store_true",
+                    help="merge this run's operator rows into an "
+                    "existing --out file of the SAME factor instead of "
+                    "overwriting it (round 15: grow the 100x record "
+                    "family by family without re-running minhash)")
     args = ap.parse_args()
     only = set(args.ops.split(",")) if args.ops else None
 
@@ -411,7 +514,22 @@ def main() -> int:
         print(json.dumps({op: result[op]}))
     result["ok"] = ok
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, args.out), "w") as f:
+    out_path = os.path.join(here, args.out)
+    if args.merge and os.path.exists(out_path):
+        with open(out_path) as f:
+            prior = json.load(f)
+        if prior.get("factor") != args.factor:
+            raise SystemExit(
+                f"--merge: factor mismatch ({prior.get('factor')} in "
+                f"{args.out} vs {args.factor})")
+        prior_ops = {k: v for k, v in prior.items()
+                     if k not in ("factor", "ok")}
+        prior_ops.update(
+            {k: v for k, v in result.items() if k not in ("factor", "ok")})
+        result = {"factor": args.factor, **prior_ops,
+                  "ok": ok and prior.get("ok", True)}
+        ok = result["ok"]
+    with open(out_path, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps({"scale_probe_ok": ok}))
     return 0 if ok else 1
