@@ -697,6 +697,34 @@ def test_r15_band_acceptance():
             assert not slow_old, rows_old
 
 
+def test_r15_band_reproducible_from_committed_controls():
+    # the shipped band file is exactly what make_band produces from the
+    # five committed control artifacts — a hand-edited band (or a
+    # control quietly swapped out) fails here, so the band's provenance
+    # is checkable without trusting prose
+    import json as _json
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    import bench_compare as bc
+    import make_band as mb
+
+    repo = Path(__file__).resolve().parents[1]
+    controls_dir = repo / "tools" / "bench_controls_r15"
+    paths = sorted(controls_dir.glob("control_*.json"))
+    assert len(paths) >= 4, paths  # the rebaseline minimum
+    arts = [_json.loads(p.read_text()) for p in paths]
+    rebuilt = mb.build_band(arts, source="rebuild")
+    shipped = bc.load_band(str(repo / "tools" / "bench_band_r15.json"))
+    for key in ("queries", "headline_total", "extended_total",
+                "probe_band", "probe_ceiling", "probe_mem_ceiling"):
+        assert rebuilt[key] == shipped[key], key
+    # every committed control self-classified fully quiet — the
+    # builder's refusal path guarantees it, but pin the inputs too
+    for a in arts:
+        assert a["quiet"] and a["quiet_extended"]
+        assert a["timing"] == "median_of_3"
+
+
 def test_headline_and_extended_are_registered_queries():
     from pydala_spark.queries import QUERIES
 
