@@ -289,6 +289,9 @@ def main() -> int:
     band_path = None
     if "--band" in argv:
         i = argv.index("--band")
+        if i + 1 >= len(argv):
+            print("--band requires a path", file=sys.stderr)
+            return 1
         band_path = argv[i + 1]
         del argv[i:i + 2]
     if not argv:
