@@ -8,8 +8,8 @@
 Per query it reports the artifact's primary number (median-of-3 for
 r13+ artifacts, best-of-3 for older ones — detected by the ``timing``
 key), whether that query's own calibration probe was clean
-(<= the band's probe ceiling), and the verdict vs
-``tools/bench_band_r13.json``:
+(<= the band's probe ceiling), and the verdict vs the selected band
+(default ``tools/bench_band_r15.json``):
 
 - ``in-band``   — inside [lo, hi] (widened 10% both sides: single-run
   noise on this host, SCALE.md reading rule)
@@ -27,9 +27,11 @@ key), whether that query's own calibration probe was clean
   regression the hard band is too wide to trip on. Never affects the
   exit code.
 
-With a second artifact, prints the per-query delta on matching keys
-(best-vs-best when either side is pre-median) so round-over-round
-reads take one command instead of a judge afternoon.
+With a second artifact, prints the per-query delta on matching keys,
+picked like-for-like PER KEY (median vs median whenever both sides
+carry one, best vs best else, a labeled mixed fallback only for
+truncated wrappers) so round-over-round reads take one command
+instead of a judge afternoon.
 
 Exit code: 0 when no CLEAN-probe out-of-band slow rows exist on a
 quiet run; 2 when a quiet run has clean-probe slow rows (a cron can
@@ -43,7 +45,7 @@ direction, but on a host that is never quiet automation must still be
 able to distinguish "nothing slow" from "not evidence").
 
 Band file: ``tools/bench_band_r15.json`` by default (round-15
-rebaseline from four fully-quiet r14-tree controls); pass ``--band``
+rebaseline from five fully-quiet r14-tree controls); pass ``--band``
 to adjudicate against another band (e.g. the retired
 ``tools/bench_band_r13.json``).
 """
