@@ -697,6 +697,38 @@ def test_r15_band_acceptance():
             assert not slow_old, rows_old
 
 
+def test_recurrent_high_warning(tmp_path, capsys, monkeypatch):
+    # round 15: the same row `high` in BOTH compared artifacts prints a
+    # recurrence warning — the automated form of the spike-row
+    # discriminator (one high = noise, recurrent high = regression)
+    import json as _json
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    import bench_compare as bc
+
+    band = bc.load_band()
+    spiky = [q for q, b in band["queries"].items() if "hi_typ" in b]
+    assert spiky, "r15 band must carry at least one watermark row"
+    q = spiky[0]
+    b = band["queries"][q]
+    v = round((b["hi_typ"] * 1.1 + b["hi"]) / 2, 3)  # high, not slow
+    art = {"metric": "headline_queries_total_wall", "value": 1.0,
+           "timing": "median_of_3", "quiet": True, "dirty": [],
+           "queries": {q: v}}
+    p1, p2 = tmp_path / "a1.json", tmp_path / "a2.json"
+    p1.write_text(_json.dumps(art))
+    p2.write_text(_json.dumps(art))
+    monkeypatch.setattr(sys, "argv",
+                        ["bench_compare.py", str(p1), str(p2)])
+    assert bc.main() == 0  # high never trips the exit code
+    out = capsys.readouterr().out
+    assert "BOTH artifacts" in out and q in out
+    # a high row against a clean older artifact does NOT warn
+    p2.write_text(_json.dumps({**art, "queries": {q: b["lo"]}}))
+    assert bc.main() == 0
+    assert "BOTH artifacts" not in capsys.readouterr().out
+
+
 def test_r15_band_reproducible_from_committed_controls():
     # the shipped band file is exactly what make_band produces from the
     # five committed control artifacts — a hand-edited band (or a

@@ -374,6 +374,19 @@ def main() -> int:
                 mode_s = "" if uniform else f"  [{modes[q]}]"
                 print(f"   {q:28s} {a[q]:7.3f} vs {b[q]:7.3f}  "
                       f"{d:+6.1f}%{mode_s}{flag}")
+        # the `high` watermark's discriminator, automated (round 15):
+        # one high row is quiet-run spike noise; the SAME row high in
+        # BOTH artifacts is the regression signal the hard band is too
+        # wide to trip on — surface it so no reader has to cross-check
+        # two outputs by hand
+        recurrent = sorted(set(highs) & {
+            q for q, _, _, verd, _ in adjudicate(other, band)[0]
+            if verd == "high"})
+        if recurrent:
+            print("WARNING: row(s) past the typical ceiling in BOTH "
+                  f"artifacts: {', '.join(recurrent)} — recurrence is "
+                  "the spike-row regression signal; investigate before "
+                  "the next round.")
     # run-level quiet gates the exit code (round 14): per-query probes
     # run BEFORE each query's group, so a co-tenant arriving mid-group
     # inflates the query while ITS probe reads clean (the next group's
