@@ -71,7 +71,11 @@ def build_band(artifacts: list[dict], source: str) -> dict:
         # one-off spikes — without tripping the exit code.
         if len(vals) >= 5:
             typ = round(vals[-2] * 1.15, 3)
-            if typ < row["hi"]:
+            # only a REACHABLE watermark is recorded: after the 10%
+            # verdict widening a typ within 10% of the hard max leaves
+            # an empty `high` range — that close a gap is band noise,
+            # not a spike
+            if typ * 1.1 < row["hi"]:
                 row["hi_typ"] = typ
         queries[q] = row
     heads = [a["value"] for a in artifacts]
