@@ -7,6 +7,8 @@ the gate's semantics are testable without running the bench.
 import sys
 from pathlib import Path
 
+import pytest
+
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import bench  # noqa: E402
@@ -316,7 +318,11 @@ def test_compact_summary_hard_floor():
 
 def test_partest_record_durations_skips_failed_shards(tmp_path):
     # round 15 (ADVICE r14): a shard that crashed early must not
-    # overwrite its files' realistic weights; green shards still record
+    # overwrite its files' realistic weights. Refined round 16 (ADVICE
+    # r15): only collection/internal/usage-error shards (rc 2/3/4) are
+    # dropped — a shard with an isolated TEST failure (rc 1) ran to
+    # completion and its durations are valid, so one flaky test no
+    # longer keeps stale weights until a fully green run
     import json as _json
 
     sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
@@ -324,7 +330,7 @@ def test_partest_record_durations_skips_failed_shards(tmp_path):
 
     tests_dir = tmp_path / "tests"
     tests_dir.mkdir()
-    for name in ("test_ok.py", "test_crash.py"):
+    for name in ("test_ok.py", "test_flaky.py", "test_crash.py"):
         (tests_dir / name).write_text("")
     sandbox = tmp_path / "dur.json"
     sandbox.write_text(_json.dumps({"test_crash.py": 120.0}))
@@ -332,12 +338,16 @@ def test_partest_record_durations_skips_failed_shards(tmp_path):
     partest.DURATIONS = sandbox
     try:
         ok_out = "3.00s call     tests/test_ok.py::test_x\n"
-        crash_out = "0.10s call     tests/test_crash.py::test_y\n"
+        flaky_out = "2.00s call     tests/test_flaky.py::test_y\n"
+        crash_out = "0.10s call     tests/test_crash.py::test_z\n"
         got = partest.record_durations(
-            [ok_out, crash_out], tests_dir=tests_dir, returncodes=[0, 1])
-        assert got == {"test_ok.py": 3.0}
+            [ok_out, flaky_out, crash_out], tests_dir=tests_dir,
+            returncodes=[0, 1, 2])
+        # rc 0 and rc 1 shards both contribute; the rc 2 shard does not
+        assert got == {"test_ok.py": 3.0, "test_flaky.py": 2.0}
         stored = _json.loads(sandbox.read_text())
         assert stored["test_ok.py"] == 3.0
+        assert stored["test_flaky.py"] == 2.0
         assert stored["test_crash.py"] == 120.0  # protected
         # without returncodes (legacy call shape) everything merges
         got = partest.record_durations(
@@ -658,7 +668,10 @@ def test_r15_band_acceptance():
 
     repo = Path(__file__).resolve().parents[1]
     band = bc.load_band()
-    assert "r14-tree controls" in band["source"]
+    # neutral provenance label (round 16, ADVICE r15): tree tags live in
+    # the control filenames, not the band's source string
+    assert "fully-quiet controls" in band["source"]
+    assert "r14-tree" not in band["source"]
     # the shipped default IS the r15 band (newest-first search)
     assert bc.load_band(str(repo / "tools" / "bench_band_r15.json")) == band
 
@@ -731,9 +744,10 @@ def test_recurrent_high_warning(tmp_path, capsys, monkeypatch):
 
 def test_r15_band_reproducible_from_committed_controls():
     # the shipped band file is exactly what make_band produces from the
-    # five committed control artifacts — a hand-edited band (or a
-    # control quietly swapped out) fails here, so the band's provenance
-    # is checkable without trusting prose
+    # control artifacts committed under tools/bench_controls_r15/ (six
+    # as of round 15 — the directory is the authoritative count) — a
+    # hand-edited band (or a control quietly swapped out) fails here,
+    # so the band's provenance is checkable without trusting prose
     import json as _json
 
     sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
@@ -755,6 +769,40 @@ def test_r15_band_reproducible_from_committed_controls():
     for a in arts:
         assert a["quiet"] and a["quiet_extended"]
         assert a["timing"] == "median_of_3"
+
+
+def test_contended_episode_exits_inconclusive_4(monkeypatch, capsys):
+    # round 16 (VERDICT r15 #3): pin the LIVE contended episode's exit
+    # code under the shipped r15 band. test_r15_band_acceptance pins its
+    # rows as out-of-band; this pins the CLI verdict itself — exit 4
+    # (inconclusive: slow rows on a non-quiet run), never 0 (all-clear)
+    # and never 2 (real-regression), so the inconclusive/all-clear split
+    # can't regress silently.
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    import bench_compare as bc
+
+    repo = Path(__file__).resolve().parents[1]
+    ep = str(repo / "tools" / "bench_episode_r14_contended.json")
+    monkeypatch.setattr(sys, "argv", ["bench_compare.py", ep])
+    assert bc.main() == 4
+    out = capsys.readouterr().out
+    assert "inconclusive" in out and "not all-clear" in out
+
+
+def test_load_band_missing_raises_named_paths(monkeypatch, tmp_path):
+    # round 16 (ADVICE r15): when neither default band file exists,
+    # load_band(None) names the searched candidates instead of letting
+    # open(None) raise a bare TypeError
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    import bench_compare as bc
+
+    monkeypatch.setattr(bc, "HERE", str(tmp_path))
+    with pytest.raises(FileNotFoundError) as exc:
+        bc.load_band(None)
+    msg = str(exc.value)
+    for name in bc.DEFAULT_BANDS:
+        assert name in msg
+    assert "--band" in msg
 
 
 def test_headline_and_extended_are_registered_queries():

@@ -45,8 +45,10 @@ direction, but on a host that is never quiet automation must still be
 able to distinguish "nothing slow" from "not evidence").
 
 Band file: ``tools/bench_band_r15.json`` by default (round-15
-rebaseline from five fully-quiet r14-tree controls); pass ``--band``
-to adjudicate against another band (e.g. the retired
+rebaseline from the fully-quiet controls committed whole under
+``tools/bench_controls_r15/`` — byte-reproducibility is test-pinned,
+so the directory, not this docstring, is the authoritative count);
+pass ``--band`` to adjudicate against another band (e.g. the retired
 ``tools/bench_band_r13.json``).
 """
 
@@ -90,6 +92,13 @@ def load_band(path: str | None = None) -> dict:
             if os.path.exists(cand):
                 path = cand
                 break
+        else:
+            # name the searched candidates instead of letting open(None)
+            # raise a bare TypeError (round 16, ADVICE r15)
+            raise FileNotFoundError(
+                "no band file found; searched "
+                + ", ".join(os.path.join(HERE, n) for n in DEFAULT_BANDS)
+                + " — pass --band explicitly")
     with open(path) as f:
         return json.load(f)
 

@@ -115,8 +115,12 @@ def main() -> int:
     for path in args.controls:
         with open(path) as f:
             artifacts.append(json.load(f))
+    # tree provenance lives in the control FILENAMES (control_01_r14tree
+    # vs control_04_r15tree…), so the default label stays neutral rather
+    # than hardcoding a tree tag that goes stale as controls accrue
+    # (round 16, ADVICE r15)
     source = args.source or (
-        f"{len(artifacts)} fully-quiet r14-tree controls "
+        f"{len(artifacts)} fully-quiet controls "
         f"({', '.join(os.path.basename(p) for p in args.controls)}); "
         "medians-of-3 at sf0.1")
     band = build_band(artifacts, source)

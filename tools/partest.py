@@ -91,18 +91,21 @@ def record_durations(
     file no longer exists on disk are pruned, so the stale-entry drift
     warning clears by following its own instruction.
 
-    Only shards whose ``returncodes`` entry is 0 contribute (round 15,
-    ADVICE r14): a shard that failed fast (collection error after
-    0.1 s) would otherwise overwrite its files' realistic weights and
-    skew the LPT balance until the next clean recording — while
-    PER-SHARD filtering (not per-run) still lets a green shard record
-    a newly added file even when another shard failed, so the
-    drift-pin remedy never deadlocks."""
+    Shards are filtered by ``returncodes`` PER SHARD (round 15, ADVICE
+    r14; refined round 16, ADVICE r15): a shard that died before its
+    tests ran — pytest rc 2 (interrupted/collection error), 3 (internal
+    error), 4 (usage error) — would overwrite its files' realistic
+    weights with fail-fast times, so those are excluded. A shard with
+    rc 1 (ran to completion, some tests FAILED) still contributes: its
+    ``--durations=0`` lines are real wall times for every test that
+    executed, and discarding them kept stale weights until a fully
+    green run. rc 5 (no tests collected) prints no duration lines, so
+    it needs no special case."""
     totals: dict[str, float] = {}
     pat = re.compile(
         r"([\d.]+)s (?:call|setup)\s+(?:.*[/\\])?tests[/\\]([^:]+)::")
     for i, out in enumerate(outputs):
-        if returncodes is not None and returncodes[i] != 0:
+        if returncodes is not None and returncodes[i] in (2, 3, 4):
             continue
         for m in pat.finditer(out):
             totals[m.group(2)] = totals.get(m.group(2), 0.0) \
@@ -192,14 +195,14 @@ def main() -> int:
           f"{total_skip} skipped in {time.time() - t0:.1f}s "
           f"across {len(shards)} shards{partial}")
     if args.record_durations:
-        # record from the GREEN shards only (round 15, ADVICE r14): a
-        # shard that crashed early would overwrite realistic weights
-        # with fail-fast times, while green shards still record newly
-        # added files — so the drift-pin remedy (tests/test_bench.py)
-        # never deadlocks on a partially failed suite
+        # record from shards that ran to completion (rc 0 or 1); only
+        # collection/internal/usage-error shards (rc 2/3/4) are dropped
+        # — a shard with one flaky failure still carries valid wall
+        # times for everything that passed (round 16, ADVICE r15)
         rec = record_durations(outputs, returncodes=rcs)
-        skipped = sum(1 for rc in rcs if rc != 0)
-        note = f" ({skipped} failed shard(s) excluded)" if skipped else ""
+        skipped = sum(1 for rc in rcs if rc in (2, 3, 4))
+        note = (f" ({skipped} collection-error shard(s) excluded)"
+                if skipped else "")
         print(f"[partest] recorded durations for {len(rec)} files "
               f"-> {DURATIONS}{note}")
     return 1 if failed else 0
