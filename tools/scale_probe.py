@@ -110,7 +110,8 @@ def replicate_embeddings(spark, sf_dir: str, factor: int, out: str):
 
 
 def probe_embedding_ops(
-    spark, path: str, n_centroids: int, only=None
+    spark, path: str, n_centroids: int, only=None,
+    n_centroids_sqrt: int | None = None,
 ) -> dict[str, dict]:
     """PQ search and semantic dedup at a given codebook size. The
     semantic-dedup scale contract is centroids ∝ corpus size (constant
@@ -118,7 +119,10 @@ def probe_embedding_ops(
     replication factor, and the probe checks the resulting cost is
     ~linear — the documented knob, measured. ``only`` (round 13)
     restricts to a named subset so big-factor runs skip the prep
-    (codebook training, PQ books) of unprobed operators."""
+    (codebook training, PQ books) of unprobed operators.
+    ``n_centroids_sqrt`` (round 16, VERDICT r15 #1) additionally probes
+    ANN search under the production-shaped centroid schedule — centroids
+    ~sqrt(corpus), n_probe_centroids fixed — as ``ann_search_sqrtn``."""
     from pydala_spark.operators.ann import (
         kmeans_centroids,
         pq_codebooks,
@@ -231,6 +235,43 @@ def probe_embedding_ops(
                 "ann_search",
                 lambda: search_ivfpq_index(spark, idx_path, probes, k=5),
             )
+    # round 16 (VERDICT r15 #1): ANN search under the PRODUCTION-shaped
+    # centroid schedule. The ann_search row above grows centroids ∝
+    # corpus (the documented semantic-dedup contract), which conflates
+    # two growth axes in one ratio: probe-to-cell ranking cost
+    # (n_probe_centroids × n_centroids) and partition listing both grow
+    # with the centroid count, while candidate scoring stays cell-sized.
+    # A production index sizes centroids ~sqrt(N) (balancing ranking
+    # cost against cell-scan cost) and holds n_probe_centroids FIXED —
+    # under that schedule the probed-cell bytes grow ~sqrt(factor), and
+    # the claim to measure is that per-query cost tracks probed-cell
+    # bytes (≈sqrt(factor)), never index size (factor). Search path:
+    # operators/ann.py:1377 (search_ivfpq_index), broadcast probes +
+    # dynamic partition pruning (ann.py:945).
+    if (only is None or "ann_search_sqrtn" in only) \
+            and n_centroids_sqrt is not None:
+        import shutil
+
+        from pydala_spark.operators.ann import (
+            kmeans_centroids as _kcs,
+            pq_codebooks as _pbs,
+            save_ivfpq_index as _saves,
+            search_ivfpq_index as _searchs,
+        )
+
+        idx_sqrt = f"/tmp/scale_probe/ivf_idx_sqrtn_{n_centroids_sqrt}"
+        shutil.rmtree(idx_sqrt, ignore_errors=True)
+        cents = _kcs(emb, n_centroids=n_centroids_sqrt, seed=7)
+        books = _pbs(emb, m=8, n_codes=16, seed=7)
+        _saves(spark, emb, idx_sqrt, cents, books)
+        probes = spark.read.parquet(path).where(F.col("vec_id") < 10)
+        # warm the plan shape (python-worker/Arrow startup)
+        _searchs(spark, idx_sqrt, probes.limit(2), k=1).write.format(
+            "noop").mode("overwrite").save()
+        timed(
+            "ann_search_sqrtn",
+            lambda: _searchs(spark, idx_sqrt, probes, k=5),
+        )
     return out
 
 
@@ -481,15 +522,21 @@ def main() -> int:
     replicate_embeddings(spark, args.sf, 1, emb_base)
     replicate_embeddings(spark, args.sf, args.factor, emb_big)
 
+    # sqrt-N centroid schedule (round 16): base 16 at 1x, ×sqrt(factor)
+    # on the big side — vs the ∝-corpus schedule's ×factor
+    import math
+
+    n_sqrt_big = max(16, round(16 * math.sqrt(args.factor)))
     small = probe_ops(spark, base_out, only=only)
     small.update(probe_embedding_ops(
-        spark, emb_base, n_centroids=16, only=only))
+        spark, emb_base, n_centroids=16, only=only, n_centroids_sqrt=16))
     if args.lake:
         small.update(probe_lake_sweeps(spark, base_out, "1x"))
     big = probe_ops(spark, big_out, only=only)
     big.update(
         probe_embedding_ops(
-            spark, emb_big, n_centroids=16 * args.factor, only=only)
+            spark, emb_big, n_centroids=16 * args.factor, only=only,
+            n_centroids_sqrt=n_sqrt_big)
     )
     if args.lake:
         big.update(probe_lake_sweeps(spark, big_out, f"{args.factor}x"))
