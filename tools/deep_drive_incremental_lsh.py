@@ -30,6 +30,19 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _write_last(verdict: dict) -> None:
+    """Durable greenness record (round 16, VERDICT r15 #2): persist the
+    verdict JSON beside the script after every run, so COVERAGE.md's
+    "drives green" claim is checkable/diffable without re-running the
+    drive. Committed after a green run; the next run overwrites it."""
+    out = os.path.join(REPO, "tools",
+                       "deep_drive_incremental_lsh_last.json")
+    with open(out, "w") as f:
+        json.dump({**verdict, "argv": sys.argv[1:]}, f, indent=1,
+                  sort_keys=True)
+        f.write("\n")
 sys.path.insert(0, REPO)
 
 
@@ -127,11 +140,13 @@ def main() -> int:
             equal += got == full
             ok = ok and got == full
         rows_out.append(row)
-    print(json.dumps({"drive": "incremental_lsh",
-                      "corpora": rows_out,
-                      "delta_equals_full": equal,
-                      "legal_refusals": refused, "ok": ok,
-                      "sec": round(time.time() - t0, 1)}))
+    verdict = {"drive": "incremental_lsh",
+               "corpora": rows_out,
+               "delta_equals_full": equal,
+               "legal_refusals": refused, "ok": ok,
+               "sec": round(time.time() - t0, 1)}
+    print(json.dumps(verdict))
+    _write_last(verdict)
     spark.stop()
     return 0 if ok else 1
 

@@ -27,6 +27,18 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _write_last(verdict: dict) -> None:
+    """Durable greenness record (round 16, VERDICT r15 #2): persist the
+    verdict JSON beside the script after every run, so COVERAGE.md's
+    "drives green" claim is checkable/diffable without re-running the
+    drive. Committed after a green run; the next run overwrites it."""
+    out = os.path.join(REPO, "tools", "deep_drive_ivfadc_last.json")
+    with open(out, "w") as f:
+        json.dump({**verdict, "argv": sys.argv[1:]}, f, indent=1,
+                  sort_keys=True)
+        f.write("\n")
 sys.path.insert(0, REPO)
 
 #: (seed, n_vectors, dim, m, n_codes, n_centroids, k, n_probes)
@@ -89,8 +101,10 @@ def main() -> int:
             diff = [a for a, b in zip(exact, rr) if a != b][:5]
             print(json.dumps({"MISMATCH": {"seed": seed, "n": n,
                                            "first_diffs": diff}}))
-    print(json.dumps({"drive": "ivfadc_full_pool", "geometries": results,
-                      "ok": ok, "sec": round(time.time() - t0, 1)}))
+    verdict = {"drive": "ivfadc_full_pool", "geometries": results,
+               "ok": ok, "sec": round(time.time() - t0, 1)}
+    print(json.dumps(verdict))
+    _write_last(verdict)
     spark.stop()
     return 0 if ok else 1
 

@@ -39,6 +39,18 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _write_last(verdict: dict) -> None:
+    """Durable greenness record (round 16, VERDICT r15 #2): persist the
+    verdict JSON beside the script after every run, so COVERAGE.md's
+    "drives green" claim is checkable/diffable without re-running the
+    drive. Committed after a green run; the next run overwrites it."""
+    out = os.path.join(REPO, "tools", "deep_drive_lake_sweeps_last.json")
+    with open(out, "w") as f:
+        json.dump({**verdict, "argv": sys.argv[1:]}, f, indent=1,
+                  sort_keys=True)
+        f.write("\n")
 sys.path.insert(0, REPO)
 
 WORK = "/tmp/deep_drive_lake_sweeps"
@@ -347,12 +359,17 @@ def main() -> int:
     drivers = {"neardup": drive_neardup, "semantic": drive_semantic,
                "span": drive_span, "decon": drive_decon}
     ok = True
+    phase_results = []
     for phase in args.phases.split(","):
         res = drivers[phase](spark, args.seed, args.datasets)
         ok = ok and res["ok"]
+        phase_results.append(res)
         print(json.dumps(res))
     print(json.dumps({"drive": "lake_sweeps", "ok": ok,
                       "sec": round(time.time() - t0, 1)}))
+    _write_last({"drive": "lake_sweeps", "ok": ok,
+                 "phases": phase_results,
+                 "sec": round(time.time() - t0, 1)})
     spark.stop()
     shutil.rmtree(WORK, ignore_errors=True)
     return 0 if ok else 1

@@ -27,6 +27,18 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _write_last(verdict: dict) -> None:
+    """Durable greenness record (round 16, VERDICT r15 #2): persist the
+    verdict JSON beside the script after every run, so COVERAGE.md's
+    "drives green" claim is checkable/diffable without re-running the
+    drive. Committed after a green run; the next run overwrites it."""
+    out = os.path.join(REPO, "tools", "deep_drive_property_last.json")
+    with open(out, "w") as f:
+        json.dump({**verdict, "argv": sys.argv[1:]}, f, indent=1,
+                  sort_keys=True)
+        f.write("\n")
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--examples", type=int, default=2000)
@@ -50,9 +62,11 @@ def main() -> int:
         ok = ok and p.returncode == 0
         if p.returncode != 0:
             print(p.stdout)
-    print(json.dumps({"drive": "property", "examples": args.examples,
-                      "seeds": results, "ok": ok,
-                      "sec": round(time.time() - t0, 1)}))
+    verdict = {"drive": "property", "examples": args.examples,
+               "seeds": results, "ok": ok,
+               "sec": round(time.time() - t0, 1)}
+    print(json.dumps(verdict))
+    _write_last(verdict)
     return 0 if ok else 1
 
 

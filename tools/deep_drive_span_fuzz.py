@@ -28,6 +28,18 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _write_last(verdict: dict) -> None:
+    """Durable greenness record (round 16, VERDICT r15 #2): persist the
+    verdict JSON beside the script after every run, so COVERAGE.md's
+    "drives green" claim is checkable/diffable without re-running the
+    drive. Committed after a green run; the next run overwrites it."""
+    out = os.path.join(REPO, "tools", "deep_drive_span_fuzz_last.json")
+    with open(out, "w") as f:
+        json.dump({**verdict, "argv": sys.argv[1:]}, f, indent=1,
+                  sort_keys=True)
+        f.write("\n")
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
@@ -102,9 +114,11 @@ def main() -> int:
                     if want[i] != got[i]}
                 print(json.dumps({"MISMATCH": combo, "seed": seed,
                                   "docs": sorted(diff)[:10]}))
-    print(json.dumps({"drive": "span_fuzz", "docs": args.docs,
-                      "combos": combos, "ok": ok,
-                      "sec": round(time.time() - t0, 1)}))
+    verdict = {"drive": "span_fuzz", "docs": args.docs,
+               "combos": combos, "ok": ok,
+               "sec": round(time.time() - t0, 1)}
+    print(json.dumps(verdict))
+    _write_last(verdict)
     spark.stop()
     return 0 if ok else 1
 

@@ -34,6 +34,18 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _write_last(verdict: dict) -> None:
+    """Durable greenness record (round 16, VERDICT r15 #2): persist the
+    verdict JSON beside the script after every run, so COVERAGE.md's
+    "drives green" claim is checkable/diffable without re-running the
+    drive. Committed after a green run; the next run overwrites it."""
+    out = os.path.join(REPO, "tools", "deep_drive_streaming_last.json")
+    with open(out, "w") as f:
+        json.dump({**verdict, "argv": sys.argv[1:]}, f, indent=1,
+                  sort_keys=True)
+        f.write("\n")
 sys.path.insert(0, REPO)
 
 WORK = "/tmp/deep_drive_streaming"
@@ -190,12 +202,17 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.time()
     ok = True
+    phase_results = []
     for driver in (drive_exact_dedup, drive_semantic):
         res = driver(spark, args.seed)
         ok = ok and res["ok"]
+        phase_results.append(res)
         print(json.dumps(res))
     print(json.dumps({"drive": "streaming", "ok": ok,
                       "sec": round(time.time() - t0, 1)}))
+    _write_last({"drive": "streaming", "ok": ok,
+                 "phases": phase_results,
+                 "sec": round(time.time() - t0, 1)})
     spark.stop()
     shutil.rmtree(WORK, ignore_errors=True)
     return 0 if ok else 1
