@@ -15,7 +15,7 @@ so the canonical-string compare still matches; strings pad to None
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pydala_spark.queries.core import (
@@ -24,7 +24,7 @@ from pydala_spark.queries.core import (
     _sql_dsum_str,
     _REV,
 )
-from pydala_spark.sources import load_table
+from pydala_spark.sources import load_table, spread_scan
 
 
 def _tagged_union(parts: list[tuple[str, DataFrame]]) -> DataFrame:
@@ -1080,31 +1080,74 @@ FROM (
 # statistics: exact quantiles + exact-moment Pearson correlation (A5)
 
 
+def _pct_interp(arr: Column, p: float) -> Column:
+    """Exact interpolated percentile over a SORTED double array,
+    replicating ``Percentile.getPercentile`` bit for bit (round 16):
+    ``pos = p * (n − 1)``; result is the two-sided weighted form
+    ``(ceil(pos) − pos) · v[floor] + (pos − floor(pos)) · v[ceil]``
+    with the integer-position special case (the naive
+    ``v_lo + (v_hi − v_lo) · frac`` differs by 1 ulp on some groups —
+    observed on sf0.1 l_extendedprice p25). Verified value-identical
+    to ``percentile()`` on all groups at sf0.001/0.01/0.1, and the
+    DuckDB oracle (quantile_cont) was already bit-identical to
+    ``percentile()``, so the oracle is untouched."""
+    n = F.size(arr)  # collect_list drops NULLs, same as percentile()
+    pos = F.lit(p) * (n - 1).cast("double")
+    lo0 = F.floor(pos)
+    hi0 = F.ceil(pos)
+    vlo = F.element_at(arr, lo0.cast("int") + 1)
+    vhi = F.element_at(arr, hi0.cast("int") + 1)
+    return F.when(lo0 == hi0, vlo).otherwise(
+        (hi0.cast("double") - pos) * vlo + (pos - lo0.cast("double")) * vhi
+    )
+
+
 def q_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated quantiles + Pearson correlation from exact decimal
-    moments, in ONE aggregation pass over lineitem (one shuffle)."""
+    moments. Round 16 (guide §1/§2): the quantile and moment halves are
+    now SEPARATE aggregations joined on the 3-row group key — one
+    ``percentile`` expression in an agg forces the WHOLE agg onto the
+    interpreted ObjectHashAggregate path, so the six decimal sums were
+    paying the no-codegen tax too (combined agg 5.30 s vs 3.94 s split,
+    same-session A/B at sf0.1 on the r16 host). The quantiles
+    themselves come from ``sort_array(collect_list(...))`` + exact
+    interpolation (:func:`_pct_interp`) instead of ``percentile()`` —
+    one array sort per group instead of per-row hash-map updates
+    (3.11 s → 1.70 s for the three quantiles, same A/B session).
+    Values bit-identical (see _pct_interp); oracle untouched.
+    """
+    # round 16: a spread_scan A/B here measured 0.82x (SLOWER) — the
+    # exact-percentile partial-agg state ships every value through the
+    # exchange regardless, so the repartition adds a full extra pass of
+    # the same bytes with no parallelism gain on the merge side.
     li = load_table(spark, sf_dir, "lineitem")
     x = F.col("l_quantity").cast("decimal(25,4)")
     y = F.col("l_discount").cast("decimal(25,6)")
     xy = (F.col("l_quantity") * F.col("l_discount")).cast("decimal(25,8)")
     xx = (F.col("l_quantity") * F.col("l_quantity")).cast("decimal(25,4)")
     yy = (F.col("l_discount") * F.col("l_discount")).cast("decimal(25,8)")
-    agg = li.groupBy("l_returnflag").agg(
+    sums = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
-        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
-        # ONE exact-percentile buffer for both extendedprice quantiles
-        # (the array form sorts the group's values once, not per
-        # quantile — measured −25% on this family at sf0.1); values
-        # identical to the scalar calls, so the oracle is untouched
-        F.expr(
-            "percentile(l_extendedprice, array(0.25, 0.75))"
-        ).alias("p_price"),
         F.sum(x).cast("double").alias("sx"),
         F.sum(y).cast("double").alias("sy"),
         F.sum(xy).cast("double").alias("sxy"),
         F.sum(xx).cast("double").alias("sxx"),
         F.sum(yy).cast("double").alias("syy"),
     )
+    pcts = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sort_array(F.collect_list("l_quantity")).alias("__qs"),
+            F.sort_array(F.collect_list("l_extendedprice")).alias("__ps"),
+        )
+        .select(
+            "l_returnflag",
+            _pct_interp(F.col("__qs"), 0.5).alias("median_qty"),
+            _pct_interp(F.col("__ps"), 0.25).alias("p25_price"),
+            _pct_interp(F.col("__ps"), 0.75).alias("p75_price"),
+        )
+    )
+    agg = sums.join(F.broadcast(pcts), "l_returnflag")
     n = F.col("n").cast("double")
     num = n * F.col("sxy") - F.col("sx") * F.col("sy")
     den = F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
@@ -1114,8 +1157,8 @@ def q_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         "n",
         "median_qty",
-        F.element_at("p_price", 1).alias("p25_price"),
-        F.element_at("p_price", 2).alias("p75_price"),
+        "p25_price",
+        "p75_price",
         (num / den).alias("corr_qty_disc"),
     )
     # qcut family (round 4; round 11 in-plan rewrite): percentile-
@@ -1127,8 +1170,13 @@ def q_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threshold job serialized before the union job — measured −1 s on
     # this query at sf0.1. The driver-scalar operator remains the
     # production API for filters that REUSE the cutoff across batches.
-    thr_row = li.agg(
-        F.expr("percentile(l_extendedprice, 0.75)").alias("threshold"))
+    # Round 16: the threshold itself is the sorted-array interpolation
+    # (percentile() on the same 600 k values measured 2.55 s vs 0.93 s,
+    # value bit-identical — see _pct_interp).
+    thr_row = (
+        li.agg(F.sort_array(F.collect_list("l_extendedprice")).alias("__ps"))
+        .select(_pct_interp(F.col("__ps"), 0.75).alias("threshold"))
+    )
     qcut = (
         li.join(F.broadcast(thr_row))
         .where(F.col("l_extendedprice") >= F.col("threshold"))
