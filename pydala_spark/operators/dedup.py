@@ -633,14 +633,37 @@ def ngram_jaccard_pairs(
     )
 
 
-def contamination_hits(
-    corpus: DataFrame,
-    benchmark: DataFrame,
+def shingle_keys(
+    df: DataFrame,
     id_col: str,
+    text_col: str = "text",
+    shingle_size: int = 3,
+    shingle_mode: str = "word",
+) -> DataFrame:
+    """Exploded per-doc-DISTINCT ``(id, key)`` shingle pairs — the
+    shared front half of :func:`contamination_hits` /
+    :func:`contamination_report`, factored out (round 16) so a caller
+    running BOTH (the hits view and the per-benchmark audit share one
+    corpus) can compute the shingle explosion once, checkpoint it, and
+    feed the two aggregations from the materialized pairs instead of
+    re-tokenizing the corpus per consumer."""
+    return explode_cheaply(
+        doc_shingles(df, id_col, text_col, shingle_size, mode=shingle_mode),
+        F.col("shs"),
+        "key",
+    ).select("id", "key")
+
+
+def contamination_hits(
+    corpus: DataFrame | None,
+    benchmark: DataFrame | None,
+    id_col: str = "id",
     text_col: str = "text",
     shingle_size: int = 3,
     min_hits: int = 1,
     shingle_mode: str = "word",
+    corpus_keys: DataFrame | None = None,
+    bench_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus documents sharing at least ``min_hits`` distinct word
     ``shingle_size``-grams with ANY benchmark document — the standard
@@ -650,36 +673,44 @@ def contamination_hits(
     billions) collapses to a distinct-shingle set and is broadcast, so
     the corpus is never shuffled raw; the only exchange is the per-doc
     distinct-hit count. Returns ``(id, n_hits)``.
+
+    ``corpus_keys``/``bench_keys`` (round 16) take precomputed
+    :func:`shingle_keys` frames — ``corpus``/``benchmark`` are then
+    ignored for that side — so a caller that also runs
+    :func:`contamination_report` pays the shingle explosion once
+    (the ``precomputed_fps`` pattern from winnowing_contamination).
     """
-    c = explode_cheaply(
-        doc_shingles(corpus, id_col, text_col, shingle_size, mode=shingle_mode),
-        F.col("shs"),
-        "key",
-    ).select("id", "key")
-    b = explode_cheaply(
-        doc_shingles(
-            benchmark, id_col, text_col, shingle_size, mode=shingle_mode
-        ),
-        F.col("shs"),
-        "key",
-    ).select("key")
-    return _overlap_hits(c, b, min_hits)
+    if corpus_keys is None:
+        corpus_keys = shingle_keys(
+            corpus, id_col, text_col, shingle_size, shingle_mode
+        )
+    if bench_keys is None:
+        bench_keys = shingle_keys(
+            benchmark, id_col, text_col, shingle_size, shingle_mode
+        )
+    return _overlap_hits(
+        corpus_keys.select("id", "key"), bench_keys.select("key"), min_hits
+    )
 
 
 def _overlap_hits(
     corpus_keys: DataFrame, bench_keys: DataFrame, min_hits: int
 ) -> DataFrame:
     """Shared broadcast-overlap counter behind BOTH decontamination
-    modalities: ``corpus_keys`` is an exploded ``(id, key)`` frame,
-    ``bench_keys`` a ``(key,)`` frame (made distinct and broadcast
-    here). One exchange — the per-doc distinct-hit count. Factored so
-    the n-gram and winnowing variants cannot silently diverge
-    (r5 review)."""
+    modalities: ``corpus_keys`` is an exploded ``(id, key)`` frame whose
+    pairs are PER-DOC DISTINCT (every caller explodes an
+    ``array_distinct``-built array — shingles_of_tokens, char_shingles,
+    winnowing_fingerprints all dedup per doc), ``bench_keys`` a
+    ``(key,)`` frame (made distinct and broadcast here). One exchange —
+    the per-doc hit count. Round 16 (guide §2.4): ``count(*)`` instead
+    of ``count_distinct(key)`` — the pairs are already unique, and the
+    distinct-count's two-phase (id, key) aggregation added a full extra
+    exchange of every surviving pair for nothing."""
     b = bench_keys.distinct()
     return (
         corpus_keys.join(F.broadcast(b), "key")
         .groupBy("id")
-        .agg(F.count_distinct("key").alias("n_hits"))
+        .agg(F.count("*").alias("n_hits"))
         .where(F.col("n_hits") >= min_hits)
     )
 
@@ -695,6 +726,8 @@ def contamination_report(
     mode: str = "ngram",
     winnowing_k: int = 8,
     winnowing_window: int = 4,
+    corpus_keys: DataFrame | None = None,
+    bench_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Per-BENCHMARK-document leak audit (round 6) — the drop operators
     (:func:`decontaminate` et al.) answer "which corpus docs are dirty";
@@ -716,6 +749,16 @@ def contamination_report(
     instead of exact shingles (``winnowing_k``/``winnowing_window``) —
     the edit-tolerant modality: a benchmark item copied with churned
     punctuation/casing still counts toward its leak spread.
+
+    ``corpus_keys``/``bench_keys`` (round 16) take precomputed
+    :func:`shingle_keys` frames (ngram mode only; the corresponding
+    doc frame is then ignored) so the explosion is paid once when the
+    hits view runs beside this audit. Round 16 also removed the
+    explicit ``.distinct()`` on the exploded sides: every key builder
+    (shingles_of_tokens, char_shingles, winnowing_fingerprints) emits
+    ``array_distinct`` arrays, so the pairs were already unique and the
+    distinct was a full extra exchange of the exploded corpus —
+    guide §2.4's "a distinct on data that is already unique".
     """
     if mode not in ("ngram", "winnowing"):
         raise ValueError(
@@ -736,24 +779,16 @@ def contamination_report(
         c = keys(corpus, "corpus_id")
         b = keys(benchmark, "bench_id")
     else:
-        c = (
-            explode_cheaply(
-                doc_shingles(corpus, id_col, text_col, shingle_size,
-                             mode=shingle_mode),
-                F.col("shs"), "key",
+        if corpus_keys is None:
+            corpus_keys = shingle_keys(
+                corpus, id_col, text_col, shingle_size, shingle_mode
             )
-            .select(F.col("id").alias("corpus_id"), "key")
-            .distinct()
-        )
-        b = (
-            explode_cheaply(
-                doc_shingles(benchmark, id_col, text_col, shingle_size,
-                             mode=shingle_mode),
-                F.col("shs"), "key",
+        if bench_keys is None:
+            bench_keys = shingle_keys(
+                benchmark, id_col, text_col, shingle_size, shingle_mode
             )
-            .select(F.col("id").alias("bench_id"), "key")
-            .distinct()
-        )
+        c = corpus_keys.select(F.col("id").alias("corpus_id"), "key")
+        b = bench_keys.select(F.col("id").alias("bench_id"), "key")
     pair = (
         c.join(F.broadcast(b), "key")
         .groupBy("bench_id", "corpus_id")
@@ -1198,18 +1233,39 @@ def duplicate_spans(
         k = int(params["k"])
         window = int(params["window"])
     if fingerprints is None:
+        # round 16 note: the positional frame feeds BOTH the
+        # document-frequency aggregate and the hits join, so the
+        # per-char hashing lineage replays once per consumer. A
+        # localCheckpoint here was A/B'd and REGRESSED the 10x scale
+        # probe 3.98x -> 39x: materializing one row per corpus char
+        # costs far more than re-running the hash pass (CPU-cheap md5
+        # vs storing/GC-ing the exploded frame). Recompute stands; the
+        # store-once answer remains the spans signature sidecar
+        # (span_fingerprints materialized at ingest).
         fingerprints = span_fingerprints(
             df, id_col, text_col, k=k, window=window
         )
     pos = fingerprints.select(
         "id", F.col("len").alias("__len"), "fp", "pos"
     )
-    dup = (
-        pos.groupBy("fp")
-        .agg(F.count_distinct("id").alias("__df"))
-        .where(F.col("__df") >= min_df)
-        .select("fp")
-    )
+    if min_df == 2:
+        # round 16 (guide §2.3): "appears in >= 2 distinct docs" is
+        # exactly min(id) != max(id) — one partial-agg exchange of
+        # (fp, min, max) instead of count_distinct's two-phase
+        # (fp, id) expansion, which re-shuffled every window position
+        dup = (
+            pos.groupBy("fp")
+            .agg((F.min("id") != F.max("id")).alias("__multi"))
+            .where(F.col("__multi"))
+            .select("fp")
+        )
+    else:
+        dup = (
+            pos.groupBy("fp")
+            .agg(F.count_distinct("id").alias("__df"))
+            .where(F.col("__df") >= min_df)
+            .select("fp")
+        )
     hits = pos.join(dup, "fp")
     return span_runs(hits, k, window, min_span)
 

@@ -402,7 +402,16 @@ def semantic_dedup(
                 "semantic_dedup: pass centroids= (inline assignment) "
                 "or cells= (a materialized embedding_cells sidecar)"
             )
-        assign = _assigner(np.asarray(centroids, dtype=np.float64), 1)
+        # asNondeterministic (round 16, guide §4.4): the cell join's
+        # inferred isnotnull(cell) filter was pushed BELOW the UDF
+        # projection on the build side, so the codebook matmul — the
+        # dominant per-row cost at SemDeDup codebook sizes — ran TWICE
+        # per build-side row (plan showed 3 ArrowEvalPython nodes for
+        # 2 logical assigns). The marking only pins evaluation order;
+        # the assignment itself is deterministic and unchanged.
+        assign = _assigner(
+            np.asarray(centroids, dtype=np.float64), 1
+        ).asNondeterministic()
         base = (
             df.select(*cols)
             .withColumn("cell", F.element_at(assign(F.col("vec")), 1))

@@ -2969,3 +2969,41 @@ def test_resize_images_on_structured_stream(spark, tmp_path):
     a = np.frombuffer(bytes(out[1]["pixels"]), dtype=np.uint8)
     assert list(a) == [10, 20, 30] * 9
     assert out[2]["format"] is None  # degrade rule holds on streams too
+
+
+def test_contamination_precomputed_keys_match_inline(spark):
+    # round 16: q_decontaminate pays the shingle explosion once and
+    # feeds both the hits view and the report from shingle_keys frames;
+    # the precomputed path must be row-identical to the inline one
+    from pydala_spark.operators.dedup import (
+        contamination_hits,
+        contamination_report,
+        shingle_keys,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a completely unrelated sentence about spark engines"),
+            (3, "quick brown fox jumps again and again today"),
+            (100, "the quick brown fox jumps high"),
+        ],
+        "doc_id long, text string",
+    )
+    keys = shingle_keys(docs, "doc_id", "text", 3)
+    ck = keys.where(F.col("id") != 100)
+    bk = keys.where(F.col("id") == 100)
+    corpus = docs.where(F.col("doc_id") != 100)
+    bench = docs.where(F.col("doc_id") == 100)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(
+        contamination_hits(None, None, corpus_keys=ck, bench_keys=bk)
+    ) == rows(contamination_hits(corpus, bench, "doc_id"))
+    assert rows(
+        contamination_report(
+            None, None, "doc_id", corpus_keys=ck, bench_keys=bk
+        )
+    ) == rows(contamination_report(corpus, bench, "doc_id"))

@@ -516,3 +516,32 @@ def test_restore_and_distinct_rewrite_invalidate_sidecars(spark, tmp_path):
     Repartition(spark, base, distinct=True).run()
     with pytest.raises(Exception):
         read_signatures(spark, base, "winnowing")
+
+
+def test_duplicate_spans_min_df_spellings(spark):
+    # round 16: min_df=2 plans min(id) != max(id) instead of
+    # count_distinct(id) >= 2. The semantic edge the rewrite must
+    # preserve: an fp repeated at several POSITIONS of one doc is not
+    # multi-doc (min == max), while a genuinely cross-doc fp is. Doc 4
+    # repeats the shared passage twice internally; only the 1<->2
+    # shared passage may produce spans in docs 1/2, and doc 4's
+    # internal repeat alone must not mark doc 4 (its fps pair with
+    # nothing outside itself). min_df=3 exercises the count_distinct
+    # branch on the same corpus: the passage lives in 2 docs, so no
+    # spans survive.
+    solo = ("entirely private musings on the migration of storks over "
+            "warm plains during the early weeks of a dry september")
+    df = _span_docs(spark).unionByName(
+        spark.createDataFrame(
+            [(4, f"intro words here. {solo} middle filler. {solo} done")],
+            ["doc_id", "text"],
+        )
+    )
+    two = duplicate_spans(
+        df, "doc_id", k=K, window=WINDOW, min_span=MIN_SPAN, min_df=2
+    )
+    assert {r["id"] for r in two.collect()} == {1, 2}
+    three = duplicate_spans(
+        df, "doc_id", k=K, window=WINDOW, min_span=MIN_SPAN, min_df=3
+    )
+    assert three.count() == 0
