@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pydala_spark.sources import load_table
+from pydala_spark.sources import load_table, spread_scan
 
 
 def _dsum(expr: Column, scale: int = 6) -> Column:
@@ -58,8 +58,19 @@ def _rev() -> Column:
 
 
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1: scan + filter + 8-agg groupBy (SURVEY §2.6 A5)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    """TPC-H Q1: scan + filter + 8-agg groupBy (SURVEY §2.6 A5).
+
+    Round 16 (guide §2.5): ``spread_scan`` before the aggregation — the
+    sf tables scan as 1-3 unsplittable row-group tasks, and q01's cost
+    is almost entirely the eight decimal partial aggregates, so the
+    narrow 6-column exchange buys 32-way decimal summing (interleaved
+    A/B at sf0.1: 1.27x, rows identical; exact decimal sums are
+    order-independent so the result cannot change). The SAME spread on
+    the broadcast-join block (q03/q04/q05/q08/q10) measured 0.40-0.67x
+    — their per-row post-scan work is a cheap hash probe, so the raw
+    exchange dominates — and is deliberately NOT applied there.
+    """
+    li = spread_scan(load_table(spark, sf_dir, "lineitem"))
     qty = F.col("l_quantity").cast("decimal(25,4)")
     price = F.col("l_extendedprice").cast("decimal(25,4)")
     n = F.count("*")

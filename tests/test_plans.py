@@ -31,8 +31,21 @@ def test_q03_broadcasts_dimension(spark, sf_dir):
 
 
 def test_q01_single_shuffle(spark, sf_dir):
-    df = QUERIES["q01_pricing_summary"](spark, sf_dir)
-    assert shuffle_count(df) == 1  # partial agg -> one exchange -> final agg
+    # round 16: q01 spreads its scan when the input is row-group-bound
+    # (the sf test tables are — guide §2.5), adding one round-robin
+    # exchange BELOW the aggregation. The core shape stays partial agg
+    # -> one exchange -> final agg, pinned with the spread forced off;
+    # auto mode on the deficient test scan must add exactly the one
+    # spread exchange and nothing else.
+    import os
+
+    os.environ["PYDALA_SPREAD"] = "off"
+    try:
+        df = QUERIES["q01_pricing_summary"](spark, sf_dir)
+        assert shuffle_count(df) == 1  # partial agg -> one exchange
+    finally:
+        os.environ.pop("PYDALA_SPREAD", None)
+    assert shuffle_count(QUERIES["q01_pricing_summary"](spark, sf_dir)) == 2
 
 
 def test_hot_paths_are_codegen(spark, sf_dir):
