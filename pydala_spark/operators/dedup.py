@@ -58,17 +58,32 @@ def dedup_exact(
     surrogate (``\\x00`` prefix — outside md5's hex alphabet, so it can
     never collide with a real fingerprint), keeping every contentless
     doc as its own singleton instead of collapsing them all into one
-    NULL group."""
+    NULL group.
+
+    Round 16: ``fp`` is recovered FROM the group key after the agg
+    (every member of a group shares it by construction) instead of a
+    ``min(fp)`` aggregate — a string-buffered min forced the whole
+    per-doc aggregation onto SortAggregate (rows sorted by key on both
+    sides of the exchange); with only long buffers it is a codegen
+    HashAggregate. Output bit-identical (surrogate groups map back to
+    the NULL fp they came from)."""
     surrogate = F.concat(F.lit("\x00id:"), F.col(id_col).cast("string"))
     return (
         df.withColumn("fp", fingerprint(text_col))
         .groupBy(F.coalesce(F.col("fp"), surrogate).alias("__gk"))
         .agg(
-            F.min("fp").alias("fp"),
             F.min(id_col).alias(id_col),
             F.count("*").alias("n_dups"),
         )
-        .select("fp", id_col, "n_dups")
+        .select(
+            F.when(
+                F.col("__gk").startswith("\x00"), F.lit(None).cast("string")
+            )
+            .otherwise(F.col("__gk"))
+            .alias("fp"),
+            id_col,
+            "n_dups",
+        )
     )
 
 
@@ -199,6 +214,18 @@ def minhash_signatures(
     recover pairs the first pass's banding happened to miss. ``seed=0``
     is bit-identical to the historical unseeded hashes, which the
     ``q_minhash_lsh`` oracle pins.
+
+    Round 16: the MIN itself runs in the LONG domain — each hex lane is
+    ``conv``-ed to a 64-bit int per shingle row and converted back to
+    the identical lowercase zero-padded hex AFTER the per-doc aggregate.
+    ``min(string)`` has an immutable agg buffer, so Spark planned the
+    whole aggregation as SortAggregate: every exploded shingle row was
+    SORTED by doc id on both sides of the exchange. Longs make it a
+    codegen HashAggregate (no sorts) and the partial rows crossing the
+    exchange carry 8 longs instead of 8 strings (guide §2.3). On fixed
+    width lowercase hex, lexicographic order == numeric order, so the
+    min — and the signatures — are bit-identical (equivalence-checked
+    across SFs, seeds, modes and widths; the oracle pins it too).
     """
     n_md5 = (n_hashes + 3) // 4
     salt = f"{seed}:" if seed else ""
@@ -215,11 +242,19 @@ def minhash_signatures(
     )
     aggs = [
         F.min(
-            F.substring(F.col(f"__h{i // 4}"), (i % 4) * 8 + 1, 8)
-        ).alias(f"mh_{i}")
+            F.conv(
+                F.substring(F.col(f"__h{i // 4}"), (i % 4) * 8 + 1, 8), 16, 10
+            ).cast("long")
+        ).alias(f"__m{i}")
         for i in range(n_hashes)
     ]
-    return exploded.groupBy(id_col).agg(*aggs)
+    return exploded.groupBy(id_col).agg(*aggs).select(
+        id_col,
+        *[
+            F.lower(F.lpad(F.hex(F.col(f"__m{i}")), 8, "0")).alias(f"mh_{i}")
+            for i in range(n_hashes)
+        ],
+    )
 
 
 def lsh_tuning(

@@ -353,3 +353,25 @@ def test_lsh_delta_broadcast_shape(spark, sf_dir):
     # join — the SMJ assertions above are the tripwire for that); the
     # count bound catches a structural regression that adds one.
     assert shuffle_count(delta) <= shuffle_count(prior) + 5
+
+
+def test_minhash_and_exact_dedup_aggs_are_hash_not_sort(spark, sf_dir):
+    # round 16: min over a STRING (or struct) agg buffer is not
+    # hash-aggregable, so Spark plans the whole aggregation as
+    # SortAggregate — every exploded shingle row (minhash) / every doc
+    # row (exact dedup) gets sorted on both sides of the exchange.
+    # minhash_signatures now takes the MIN in the long domain and
+    # dedup_exact recovers fp from the group key, so both must plan as
+    # hash aggregation with zero SortAggregate nodes.
+    from pydala_spark.operators.dedup import dedup_exact, minhash_signatures
+    from pydala_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    for df in (
+        minhash_signatures(docs, "doc_id", "text",
+                           n_hashes=8, shingle_size=3),
+        dedup_exact(docs, id_col="doc_id", text_col="text"),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortAggregate" not in plan, plan[:2000]
+        assert "HashAggregate" in plan
