@@ -142,11 +142,25 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # filter_host_blocklist builds on
     from pydala_spark.operators.scrub import extract_urls
 
-    hosts = extract_urls(aug).groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_urls_extracted"),
-        F.count_distinct("host").alias("n_hosts"),
-        F.min("host").alias("first_host"),
-        F.bool_or(F.col("host") == "h3.example.org").alias("hits_blocklist"),
+    # round 16: manual two-phase (see the fp family in
+    # q_fingerprint_winnowing) — count_distinct + min(host) in one agg
+    # put the string-buffered partial_min on the (doc_id, host)-keyed
+    # phase, planning the whole URL-row aggregation as SortAggregate.
+    # Pre-dedup with a pure-long HashAggregate; min/bool_or over the
+    # distinct hosts are value-identical to min/bool_or over all rows.
+    hosts = (
+        extract_urls(aug)
+        .groupBy("doc_id", "host")
+        .agg(F.count("*").alias("__c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("__c").cast("long").alias("n_urls_extracted"),
+            F.count("host").alias("n_hosts"),
+            F.min("host").alias("first_host"),
+            F.bool_or(F.col("host") == "h3.example.org").alias(
+                "hits_blocklist"
+            ),
+        )
     )
     # tfidf family (round 4): rank-1 salient term per doc (tf/df ratio
     # ranking — ln-free, so every value is hash-portable)
@@ -619,12 +633,24 @@ def q_fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pydala_spark.queries.merged import _tagged_union
 
     docs = load_table(spark, sf_dir, "documents")
+    # round 16: manual two-phase instead of count_distinct + max in one
+    # agg — Spark's distinct expansion keys phase 1 by (source, fp) and
+    # the string-buffered partial_max(fp) rides along, forcing the
+    # corpus-scale phase onto SortAggregate (doc rows sorted on both
+    # sides of the exchange). Pre-deduping (source, fp) with a pure-long
+    # HashAggregate keeps the sort off the corpus; the residual string
+    # max runs over the already-distinct rows. Same two exchanges, same
+    # bytes, bit-identical (sum of group counts == count(*) including
+    # NULL-fp docs; count(fp)/max(fp) skip NULLs exactly like
+    # count_distinct/max did).
     fp = (
         docs.withColumn("fp", fingerprint("text"))
+        .groupBy("source", "fp")
+        .agg(F.count("*").alias("__c"))
         .groupBy("source")
         .agg(
-            F.count("*").alias("n_docs"),
-            F.countDistinct("fp").alias("n_distinct"),
+            F.sum("__c").alias("n_docs"),
+            F.count("fp").alias("n_distinct"),
             F.max("fp").alias("max_fp"),
         )
     )
