@@ -1121,12 +1121,22 @@ def q_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exchange regardless, so the repartition adds a full extra pass of
     # the same bytes with no parallelism gain on the merge side.
     li = load_table(spark, sf_dir, "lineitem")
+    # round 16 (second pass): the whole-query spread A/B above was
+    # re-decomposed per branch — sums is the DOMINANT branch (2.29 s of
+    # the 4.27 s full query, same session) and has exactly q01's shape:
+    # order-independent decimal partial aggs whose partial state is 3
+    # tiny rows, stuck in the single-row-group scan task. Spreading
+    # JUST this branch (not pcts/thr/qcut, whose collect_list partial
+    # state ships every value through the exchange regardless — the
+    # 0.82x whole-query result above) parallelizes the decimal
+    # arithmetic without touching the value-shipping branches.
+    li_sums = spread_scan(li)
     x = F.col("l_quantity").cast("decimal(25,4)")
     y = F.col("l_discount").cast("decimal(25,6)")
     xy = (F.col("l_quantity") * F.col("l_discount")).cast("decimal(25,8)")
     xx = (F.col("l_quantity") * F.col("l_quantity")).cast("decimal(25,4)")
     yy = (F.col("l_discount") * F.col("l_discount")).cast("decimal(25,8)")
-    sums = li.groupBy("l_returnflag").agg(
+    sums = li_sums.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
         F.sum(x).cast("double").alias("sx"),
         F.sum(y).cast("double").alias("sy"),
@@ -1195,8 +1205,12 @@ def q_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # thresholds sit at the synthetic corpus's rough tertiles so all
     # three buckets are exercised (exactness never depends on their
     # placement — avg_millinats is bit-identical in both engines)
+    # round 16 (second pass): the per-token bigram scoring (regex
+    # tokenize + pair-array transform) otherwise runs inside the single
+    # documents-scan task — the q_lang_predict shape. Isolated
+    # interleaved A/B at sf0.1: 1.12x, spread arm faster 5/5 pairs.
     ppl = lm_perplexity_score(
-        load_table(spark, sf_dir, "documents"),
+        spread_scan(load_table(spark, sf_dir, "documents")),
         lm["vocab"],
         lm["unk_millinats"],
         head_threshold=_PPL_HEAD,

@@ -48,6 +48,24 @@ def test_q01_single_shuffle(spark, sf_dir):
     assert shuffle_count(QUERIES["q01_pricing_summary"](spark, sf_dir)) == 2
 
 
+def test_q_stats_summary_selective_spread(spark, sf_dir):
+    # round 16 second pass: only the sums branch (q01-shaped decimal
+    # partial aggs) and the ppl branch (per-token bigram scoring) are
+    # spread — pcts/thr/qcut ship their collect_list state through the
+    # exchange whole, so spreading them measured 0.82x. Off keeps the
+    # 5-exchange split shape; auto adds exactly the two spread
+    # exchanges on the deficient test scans and nothing else.
+    import os
+
+    os.environ["PYDALA_SPREAD"] = "off"
+    try:
+        df = QUERIES["q_stats_summary"](spark, sf_dir)
+        assert shuffle_count(df) == 5
+    finally:
+        os.environ.pop("PYDALA_SPREAD", None)
+    assert shuffle_count(QUERIES["q_stats_summary"](spark, sf_dir)) == 7
+
+
 def test_hot_paths_are_codegen(spark, sf_dir):
     for name in ("q01_pricing_summary", "q_dedup_keep_last", "q_cosine_topk"):
         assert codegen_stage_count(QUERIES[name](spark, sf_dir)) >= 2, name
