@@ -1274,7 +1274,13 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # round 16: a spread_scan A/B here measured 0.73x (SLOWER) — the
     # broadcast benchmark side becomes a two-stage build job and the
-    # partial-agg state crosses the exchange whole either way
+    # partial-agg state crosses the exchange whole either way.
+    # RE-MEASURED after the shared-shingle_keys rewrite below (third
+    # pass, spread placed before shingle_keys so the checkpoint would
+    # inherit 32 partitions): still 0.83x, off faster 3/4 pairs — the
+    # raw-doc exchange costs more than the single-task tokenize saves
+    # at this corpus size, and the checkpointed pairs already feed the
+    # downstream aggregations through their own exchanges.
     docs = load_table(spark, sf_dir, "documents")
     # round 16 (guide §1.2): the hits view and the per-benchmark audit
     # used to tokenize+shingle the corpus AND the benchmark once EACH
