@@ -203,7 +203,7 @@ def ivf_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("vec"),
         F.element_at(c_assign(F.col(vec_col)), 1).alias("cell"),
-    ).withColumn("__cn", norm(F.col("vec")))
+    ).withColumn("__cn", norm("vec"))
     from pydala_spark.operators.dedup import explode_cheaply
 
     # explode_cheaply, not F.explode: InferFiltersFromGenerate would
@@ -216,7 +216,7 @@ def ivf_topk(
         )
         # norm BEFORE the cell explode: after it, each probe's norm
         # would re-compute once per probed cell
-        .withColumn("__pn", norm(F.col("probe_vec")))
+        .withColumn("__pn", norm("probe_vec"))
         .withColumn("__cells", p_assign(F.col("probe_vec"))),
         F.col("__cells"),
         "cell",
@@ -227,7 +227,7 @@ def ivf_topk(
         .withColumn(
             "sim",
             sim_from_norms(
-                F.col("probe_vec"), F.col("vec"), F.col("__pn"), F.col("__cn")
+                "probe_vec", "vec", "__pn", "__cn"
             ),
         )
     )
@@ -893,12 +893,12 @@ def ivf_pq_topk(
     exact = (
         sv.join(F.broadcast(cand), "neighbor_id")
         .join(F.broadcast(pv), "probe_id")
-        .withColumn("__nx", norm(F.col("__xv")))
-        .withColumn("__nq", norm(F.col("__qv")))
+        .withColumn("__nx", norm("__xv"))
+        .withColumn("__nq", norm("__qv"))
         .withColumn(
             "sim",
             sim_from_norms(
-                F.col("__qv"), F.col("__xv"), F.col("__nq"), F.col("__nx")
+                "__qv", "__xv", "__nq", "__nx"
             ),
         )
     )

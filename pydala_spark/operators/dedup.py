@@ -229,29 +229,31 @@ def minhash_signatures(
     """
     n_md5 = (n_hashes + 3) // 4
     salt = f"{seed}:" if seed else ""
+    # round 16 (guide §7.3): the per-lane loops are GENERATED SQL — the
+    # Column spelling paid ~150 py4j round trips per build for the
+    # identical tree; the q_minhash_lsh oracle pins the values
     exploded = explode_cheaply(
         doc_shingles(df, id_col, text_col, shingle_size, mode=shingle_mode),
         F.col("shs"),
         "sh",
-    ).select(
-        F.col("id").alias(id_col),
+    ).selectExpr(
+        f"id AS `{id_col}`",
         *[
-            F.md5(F.concat(F.lit(f"{salt}{j}|"), F.col("sh"))).alias(f"__h{j}")
+            f"md5(concat('{salt}{j}|', sh)) AS __h{j}"
             for j in range(n_md5)
         ],
     )
     aggs = [
-        F.min(
-            F.conv(
-                F.substring(F.col(f"__h{i // 4}"), (i % 4) * 8 + 1, 8), 16, 10
-            ).cast("long")
+        F.expr(
+            f"min(CAST(conv(substring(__h{i // 4}, {(i % 4) * 8 + 1}, 8),"
+            " 16, 10) AS BIGINT))"
         ).alias(f"__m{i}")
         for i in range(n_hashes)
     ]
-    return exploded.groupBy(id_col).agg(*aggs).select(
-        id_col,
+    return exploded.groupBy(id_col).agg(*aggs).selectExpr(
+        f"`{id_col}`",
         *[
-            F.lower(F.lpad(F.hex(F.col(f"__m{i}")), 8, "0")).alias(f"mh_{i}")
+            f"lower(lpad(hex(__m{i}), 8, '0')) AS mh_{i}"
             for i in range(n_hashes)
         ],
     )
@@ -334,20 +336,20 @@ def band_frame(
     if seed:
         shift = seed % len(sig_cols)
         sig_cols = sig_cols[shift:] + sig_cols[:shift]
+    # round 16 (guide §7.3): the band array is GENERATED SQL (one parse
+    # instead of ~8 py4j calls per band); identical tree, oracle-pinned
     bands = []
     for b in range(n_bands):
         cols = sig_cols[b * rows_per_band : (b + 1) * rows_per_band]
         bands.append(
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
-            )
+            f"struct({b} AS band_id, md5(concat_ws('|',"
+            f" {', '.join(cols)})) AS band_hash)"
         )
     # explode_cheaply, not F.explode: the band array carries one md5 per
     # band and the inferred size(...)>0 filter would re-hash every row
     # (CLAUDE.md rule)
     return explode_cheaply(
-        signatures, F.array(*bands), "band"
+        signatures, F.expr("array(%s)" % ", ".join(bands)), "band"
     ).select(id_col, "band.band_id", "band.band_hash")
 
 
@@ -437,14 +439,14 @@ def bucket_pairs(buckets: DataFrame) -> DataFrame:
     all (id_a < id_b) member pairs, distinct across bands — the back
     half of :func:`lsh_candidate_pairs`, factored (round 10) for the
     same never-diverge reason as :func:`band_frame`."""
-    pairs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
+    # GENERATED SQL (round 16, guide §7.3): same nested-transform tree
+    # as the Column spelling, one parse instead of the two-level lambda
+    # conversion; q_minhash_lsh oracle + the incremental-LSH deep drive
+    # pin the values
+    pairs = F.expr(
+        "flatten(transform(ids, (x, i) -> transform("
+        "slice(ids, i + 2, size(ids)),"
+        " y -> struct(x AS id_a, y AS id_b))))"
     )
     # explode_cheaply: ``pairs`` is the QUADRATIC in-bucket pair builder —
     # plain explode's inferred size(...)>0 filter would evaluate it twice
@@ -1016,26 +1018,34 @@ def simhash(
         F.col("__toks"),
         "tok",
     ).select(id_col, F.md5("tok").alias("h"))
-    toks = toks.select(
-        id_col,
+    # round 16 (guide §7.3): the per-digit / per-bit loops are GENERATED
+    # SQL — the Column spelling paid ~200 py4j round trips per build for
+    # the identical tree (CASE WHEN == when/otherwise, same left-assoc
+    # reassembly sum); old-vs-new pinned bit-identical by test
+    toks = toks.selectExpr(
+        f"`{id_col}`",
         *[
-            (F.instr(F.lit(_HEX), F.substring("h", d + 1, 1)) - 1).alias(f"__d{d}")
+            f"instr('{_HEX}', substring(h, {d + 1}, 1)) - 1 AS __d{d}"
             for d in range(n_digits)
         ],
     )
     bit_aggs = []
     for j in range(bits):
         d, shift = divmod(j, 4)
-        bit = F.shiftright(F.col(f"__d{d}"), 3 - shift) % 2
         bit_aggs.append(
-            F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"b_{j}")
+            F.expr(
+                f"sum(CASE WHEN shiftright(__d{d}, {3 - shift}) % 2 = 1"
+                " THEN 1 ELSE -1 END)"
+            ).alias(f"b_{j}")
         )
     summed = toks.groupBy(id_col).agg(*bit_aggs)
-    value = None
-    for j in range(bits):
-        term = F.when(F.col(f"b_{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
-        value = term if value is None else value + term
-    return summed.select(F.col(id_col), value.cast("long").alias("simhash"))
+    value_sql = " + ".join(
+        f"(CASE WHEN b_{j} > 0 THEN {2 ** j} ELSE 0 END)"
+        for j in range(bits)
+    )
+    return summed.selectExpr(
+        f"`{id_col}`", f"CAST({value_sql} AS BIGINT) AS simhash"
+    )
 
 
 def keep_cluster_representatives(
@@ -1152,43 +1162,27 @@ def span_fingerprints(
     32-char hex), ``pos`` the window's 1-based char offset and ``len``
     the doc's char length (denormalized so consumers never re-join the
     corpus for boundary clamping)."""
+    from pydala_spark.operators.textstats import _win_min_sql
+
     base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
-    n_grams = F.greatest(F.length("__t") - (k - 1), F.lit(1))
     # staged projections (winnowing rule): lambdas must reference
     # MATERIALIZED columns or Catalyst re-substitutes the hashing
-    # expression per consumer
-    h = base.select(
+    # expression per consumer. GENERATED SQL (round 16, guide §7.3):
+    # identical tree as the Column spelling — least-of-gets per window
+    # position (least skips the NULLs get() yields past the tail), one
+    # parse per stage instead of ~window py4j calls per position.
+    h = base.selectExpr(
         "id",
-        F.length("__t").alias("len"),
-        F.transform(
-            F.sequence(F.lit(1), n_grams),
-            lambda i: F.md5(F.substr(F.col("__t"), i, F.lit(k))),
-        ).alias("__hashes"),
+        "length(__t) AS len",
+        f"transform(sequence(1, greatest(length(__t) - {k - 1}, 1)),"
+        f" i -> md5(substr(__t, i, {k}))) AS __hashes",
     )
-    n_windows = F.greatest(F.size("__hashes") - (window - 1), F.lit(1))
-    wins = h.select(
+    wins = h.selectExpr(
         "id",
         "len",
-        F.transform(
-            F.sequence(F.lit(1), n_windows),
-            lambda j: F.struct(
-                j.alias("pos"),
-                F.xxhash64(
-                    # least-of-gets, not array_min(slice): same value
-                    # (least skips the NULLs F.get yields past the
-                    # tail, exactly as array_min skips them on the
-                    # short tail slice) without allocating a
-                    # window-length array per character position.
-                    # window=1 degenerates to the bare element
-                    # (least() requires >= 2 columns)
-                    F.least(*[
-                        F.get(F.col("__hashes"), j + o - 1)
-                        for o in range(window)
-                    ]) if window > 1
-                    else F.get(F.col("__hashes"), j - 1)
-                ).alias("fp"),
-            ),
-        ).alias("__wins"),
+        f"transform(sequence(1, greatest(size(__hashes) - {window - 1},"
+        f" 1)), j -> struct(j AS pos,"
+        f" xxhash64({_win_min_sql('__hashes', window)}) AS fp)) AS __wins",
     )
     return explode_cheaply(wins, F.col("__wins"), "z").select(
         "id", F.col("z.fp").alias("fp"), F.col("z.pos").alias("pos"), "len"

@@ -13,6 +13,16 @@
 Dot products use ``F.zip_with`` + ``F.aggregate`` — JVM-side array
 algebra, no Python. Floats are promoted to double before accumulation so
 the fold is well-defined.
+
+Round 16 (guide §7.3 — driver/planning time): the scoring helpers accept
+either a Column or a plain COLUMN-NAME string. The string form builds
+the identical expression through ONE parsed SQL fragment (``F.expr``)
+instead of the Column algebra's py4j chatter — the lambda conversion in
+``zip_with``/``aggregate`` plus per-literal round trips made expression
+BUILD time a measurable slice of every similarity query (profiled:
+~0.7 s of the q_embedding_neardup row was driver-side build). Both
+spellings produce the same Catalyst tree; a focused test pins
+string-path == Column-path results for every helper.
 """
 
 from __future__ import annotations
@@ -23,7 +33,22 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def dot(a: Column, b: Column) -> Column:
+def _dot_sql(a: str, b: str) -> str:
+    """SQL text of :func:`dot` over two SQL fragments (same ops, same
+    order: double-cast per element, fold from 0.0)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE)"
+        " * CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def _q(name: str) -> str:
+    return f"`{name}`"
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_dot_sql(_q(a), _q(b)))
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -31,15 +56,24 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def norm(a: Column) -> Column:
+def norm(a: Column | str) -> Column:
+    if isinstance(a, str):
+        return F.expr(f"sqrt({_dot_sql(_q(a), _q(a))})")
     return F.sqrt(dot(a, a))
 
 
-def cosine_similarity(a: Column, b: Column) -> Column:
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"{_dot_sql(_q(a), _q(b))} / (sqrt({_dot_sql(_q(a), _q(a))})"
+            f" * sqrt({_dot_sql(_q(b), _q(b))}))"
+        )
     return dot(a, b) / (norm(a) * norm(b))
 
 
-def sim_from_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+def sim_from_norms(
+    a: Column | str, b: Column | str, na: Column | str, nb: Column | str
+) -> Column:
     """Cosine from PRE-COMPUTED norms: one array pass per pair instead
     of three. Hoist ``norm(vec)`` onto each side's projection BELOW the
     join (once per row — a corpus row meets every probe) and pass the
@@ -47,6 +81,10 @@ def sim_from_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
     (identical ops and order, just not repeated). Every similarity
     operator in this package scores through this helper so the hoisting
     invariant lives in one place."""
+    if all(isinstance(x, str) for x in (a, b, na, nb)):
+        return F.expr(
+            f"{_dot_sql(_q(a), _q(b))} / ({_q(na)} * {_q(nb)})"
+        )
     return dot(a, b) / (na * nb)
 
 
@@ -68,17 +106,17 @@ def cosine_topk(
     probe_id_col = probe_id_col or id_col
     p = probes.select(
         F.col(probe_id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
-    ).withColumn("__pn", norm(F.col("probe_vec")))
+    ).withColumn("__pn", norm("probe_vec"))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vec")
-    ).withColumn("__cn", norm(F.col("vec")))
+    ).withColumn("__cn", norm("vec"))
     scored = (
         c.join(F.broadcast(p))
         .where(F.col("neighbor_id") != F.col("probe_id"))
         .withColumn(
             "sim",
             sim_from_norms(
-                F.col("probe_vec"), F.col("vec"), F.col("__pn"), F.col("__cn")
+                "probe_vec", "vec", "__pn", "__cn"
             ),
         )
     )
@@ -104,8 +142,24 @@ def _hyperplane(plane: int, dim: int) -> list[float]:
     ]
 
 
-def lsh_bucket(vec: Column, dim: int, bits: int = 8) -> Column:
-    """Sign-bit bucket id: bit p is 1 iff vec · hyperplane_p >= 0."""
+def lsh_bucket(vec: Column | str, dim: int, bits: int = 8) -> Column:
+    """Sign-bit bucket id: bit p is 1 iff vec · hyperplane_p >= 0.
+
+    The string form builds the whole ``bits``-plane expression in ONE
+    parsed SQL fragment — the Column spelling paid ``dim`` literal
+    round trips per plane (512 py4j calls at dim=64/bits=8) for the
+    identical tree (module docstring, round 16)."""
+    if isinstance(vec, str):
+        terms = ["0"]
+        for p in range(bits):
+            plane = "array(%s)" % ", ".join(
+                f"{v!r}D" for v in _hyperplane(p, dim)
+            )
+            terms.append(
+                f"(CASE WHEN {_dot_sql(_q(vec), plane)} >= 0"
+                f" THEN {2 ** p} ELSE 0 END)"
+            )
+        return F.expr(" + ".join(terms))
     bucket = F.lit(0)
     for p in range(bits):
         plane = F.array(*[F.lit(v) for v in _hyperplane(p, dim)])
@@ -136,13 +190,13 @@ def lsh_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("vec"),
-        lsh_bucket(F.col(vec_col), dim, bits).alias("bucket"),
-    ).withColumn("__cn", norm(F.col("vec")))
+        lsh_bucket(vec_col, dim, bits).alias("bucket"),
+    ).withColumn("__cn", norm("vec"))
     p = probes.select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).alias("probe_vec"),
-        lsh_bucket(F.col(vec_col), dim, bits).alias("bucket"),
-    ).withColumn("__pn", norm(F.col("probe_vec")))
+        lsh_bucket(vec_col, dim, bits).alias("bucket"),
+    ).withColumn("__pn", norm("probe_vec"))
     if n_probes > bits + 1:
         raise ValueError(
             f"n_probes={n_probes} exceeds the {bits + 1} single-bit-flip "
@@ -171,7 +225,7 @@ def lsh_topk(
         .withColumn(
             "sim",
             sim_from_norms(
-                F.col("probe_vec"), F.col("vec"), F.col("__pn"), F.col("__cn")
+                "probe_vec", "vec", "__pn", "__cn"
             ),
         )
     )
@@ -198,7 +252,7 @@ def neardup_pairs(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__vec"),
         *( [F.col(block_col).alias("blk")] if block_col else [] ),
-    ).withColumn("__n", norm(F.col("__vec")))
+    ).withColumn("__n", norm("__vec"))
     a = base.select(
         F.col("__id").alias("id_a"), F.col("__vec").alias("vec_a"),
         F.col("__n").alias("__na"), *( ["blk"] if block_col else [] ),
@@ -213,7 +267,7 @@ def neardup_pairs(
         joined.withColumn(
             "sim",
             sim_from_norms(
-                F.col("vec_a"), F.col("vec_b"), F.col("__na"), F.col("__nb")
+                "vec_a", "vec_b", "__na", "__nb"
             ),
         )
         .where(F.col("sim") >= threshold)
@@ -272,13 +326,13 @@ def quantized_cosine_topk(
     p = probes_q.select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).alias("probe_vec"),
-    ).withColumn("__pn", norm(F.col("probe_vec")))
+    ).withColumn("__pn", norm("probe_vec"))
     c = corpus_q.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("vec"),
-    ).withColumn("__cn", norm(F.col("vec")))
+    ).withColumn("__cn", norm("vec"))
     sim = sim_from_norms(
-        F.col("probe_vec"), F.col("vec"), F.col("__pn"), F.col("__cn")
+        "probe_vec", "vec", "__pn", "__cn"
     )
     w = Window.partitionBy("probe_id").orderBy(
         F.desc("sim"), F.asc("neighbor_id")
@@ -415,7 +469,7 @@ def semantic_dedup(
         base = (
             df.select(*cols)
             .withColumn("cell", F.element_at(assign(F.col("vec")), 1))
-            .withColumn("__n", norm(F.col("vec")))
+            .withColumn("__n", norm("vec"))
         )
     return semantic_kept_against(base, base, threshold=threshold,
                                  scored=bool(score_col))
@@ -480,7 +534,7 @@ def semantic_kept_against(
         beats = F.col("id_b") < F.col("id")
     sim_ok = beats & (
         sim_from_norms(
-            F.col("vec_a"), F.col("vec_b"), F.col("__na"), F.col("__nb")
+            "vec_a", "vec_b", "__na", "__nb"
         )
         >= F.lit(threshold)
     )
@@ -620,12 +674,12 @@ def _semantic_bench_join(
     own bucket plus ``n_probes - 1`` hamming-adjacent buckets — the
     recall knob, same convention as :func:`lsh_topk`; semi/anti
     semantics dedup the expansion for free."""
-    c = corpus.withColumn("__cn", norm(F.col(vec_col)))
+    c = corpus.withColumn("__cn", norm(vec_col))
     b = benchmark.select(F.col(vec_col).alias("__bv")).withColumn(
-        "__bn", norm(F.col("__bv"))
+        "__bn", norm("__bv")
     )
     cond = (
-        sim_from_norms(F.col(vec_col), F.col("__bv"), F.col("__cn"), F.col("__bn"))
+        sim_from_norms(vec_col, "__bv", "__cn", "__bn")
         >= F.lit(float(threshold))
     )
     if block_bits is None:
@@ -640,8 +694,8 @@ def _semantic_bench_join(
             f"n_probes={n_probes} exceeds the {block_bits + 1} "
             f"single-bit-flip buckets available at block_bits={block_bits}"
         )
-    c = c.withColumn("__cb", lsh_bucket(F.col(vec_col), dim, block_bits))
-    b = b.withColumn("__bb", lsh_bucket(F.col("__bv"), dim, block_bits))
+    c = c.withColumn("__cb", lsh_bucket(vec_col, dim, block_bits))
+    b = b.withColumn("__bb", lsh_bucket("__bv", dim, block_bits))
     if n_probes > 1:
         # explode_cheaply, not F.explode (CLAUDE.md rule — the alias
         # substitution would re-evaluate lsh_bucket per generated row)

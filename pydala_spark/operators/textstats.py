@@ -191,6 +191,16 @@ def fingerprint(col: str | Column) -> Column:
     return F.md5(F.nullif(normalize_text(col), F.lit("")))
 
 
+def _win_min_sql(hashes: str, window: int) -> str:
+    """SQL text of the winnowing per-window minimum under lambda var
+    ``j`` (1-based window start): ``least`` of the window's ``get``s,
+    degenerating to the bare element at window=1."""
+    if window == 1:
+        return f"get({hashes}, j - 1)"
+    gets = ", ".join(f"get({hashes}, j + {o} - 1)" for o in range(window))
+    return f"least({gets})"
+
+
 def winnowing_fingerprints(
     df, id_col: str, text_col: str = "text", k: int = 8, window: int = 4,
     keep_columns: bool = False,
@@ -216,63 +226,47 @@ def winnowing_fingerprints(
     fingerprint math is the same staged expressions, so the two forms
     can never diverge.
     """
-    if keep_columns:
-        p0 = df.select("*", normalize_text(text_col).alias("__norm"))
-        n_grams_k = F.greatest(F.length("__norm") - (k - 1), F.lit(1))
-        p1 = p0.select(
-            "*",
-            F.length("__norm").alias("__nlen"),
-            F.transform(
-                F.sequence(F.lit(1), n_grams_k),
-                lambda i: F.md5(F.substr(F.col("__norm"), i, F.lit(k))),
-            ).alias("__hashes"),
-        )
-        n_w = F.greatest(F.size("__hashes") - (window - 1), F.lit(1))
-        # least-of-gets, not array_min(slice): same value (least skips
-        # the NULLs F.get yields past the tail, exactly as array_min
-        # skips them on the short tail slice) without allocating a
-        # window-length array per character position — measured −8% on
-        # q_fingerprint_winnowing at sf0.1. window=1 degenerates to the
-        # bare element (least() requires >= 2 columns)
-        fp_arr = F.transform(
-            F.sequence(F.lit(1), n_w),
-            lambda j: F.least(*[
-                F.get(F.col("__hashes"), j + o - 1) for o in range(window)
-            ]) if window > 1 else F.get(F.col("__hashes"), j - 1),
-        )
-        fp_arr = F.when(
-            F.col("__nlen") > 0, F.array_sort(F.array_distinct(fp_arr))
-        ).otherwise(F.array().cast("array<string>"))
-        return p1.select("*", fp_arr.alias("__fps")).drop(
-            "__norm", "__nlen", "__hashes"
-        )
-    norm_df = df.select(
-        F.col(id_col).alias("id"), normalize_text(text_col).alias("__norm")
+    # GENERATED SQL (round 16, guide §7.3): identical staged tree as the
+    # Column spelling — each stage's lambda still references the
+    # MATERIALIZED previous column — built in one parse per stage
+    # instead of ~window py4j calls per position expression.
+    #
+    # least-of-gets, not array_min(slice): same value (least skips the
+    # NULLs get() yields past the tail, exactly as array_min skips them
+    # on the short tail slice) without allocating a window-length array
+    # per character position — measured −8% on q_fingerprint_winnowing
+    # at sf0.1. window=1 degenerates to the bare element (least()
+    # requires >= 2 columns).
+    hashes_sql = (
+        f"transform(sequence(1, greatest(length(__norm) - {k - 1}, 1)),"
+        f" i -> md5(substr(__norm, i, {k}))) AS __hashes"
     )
-    n_grams = F.greatest(F.length("__norm") - (k - 1), F.lit(1))
-    hash_df = norm_df.select(
-        "id",
-        F.length("__norm").alias("__nlen"),
-        F.transform(
-            F.sequence(F.lit(1), n_grams),
-            lambda i: F.md5(F.substr(F.col("__norm"), i, F.lit(k))),
-        ).alias("__hashes"),
-    )
-    n_windows = F.greatest(F.size("__hashes") - (window - 1), F.lit(1))
-    fps = F.transform(
-        F.sequence(F.lit(1), n_windows),
-        lambda j: F.least(*[
-            F.get(F.col("__hashes"), j + o - 1) for o in range(window)
-        ]) if window > 1 else F.get(F.col("__hashes"), j - 1),
+    win_min = _win_min_sql("__hashes", window)
+    fps_sql = (
+        f"transform(sequence(1, greatest(size(__hashes) - {window - 1},"
+        f" 1)), j -> {win_min})"
     )
     # EMPTY normalized text yields an EMPTY fingerprint set (round-5
     # review): without the guard every contentless doc fingerprints as
     # [md5('')], making all punctuation-only docs "share content" with
     # each other — the same never-joins rule fingerprint() enforces
-    fps = F.when(
-        F.col("__nlen") > 0, F.array_sort(F.array_distinct(fps))
-    ).otherwise(F.array().cast("array<string>"))
-    return hash_df.select("id", fps.alias("fps"))
+    guarded_sql = (
+        f"CASE WHEN __nlen > 0 THEN array_sort(array_distinct({fps_sql}))"
+        " ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    if keep_columns:
+        p0 = df.select("*", normalize_text(text_col).alias("__norm"))
+        p1 = p0.selectExpr("*", "length(__norm) AS __nlen", hashes_sql)
+        return p1.selectExpr("*", f"{guarded_sql} AS __fps").drop(
+            "__norm", "__nlen", "__hashes"
+        )
+    norm_df = df.select(
+        F.col(id_col).alias("id"), normalize_text(text_col).alias("__norm")
+    )
+    hash_df = norm_df.selectExpr(
+        "id", "length(__norm) AS __nlen", hashes_sql
+    )
+    return hash_df.selectExpr("id", f"{guarded_sql} AS fps")
 
 
 #: Coarse Unicode-script code-point ranges → language, in PRIORITY order
@@ -297,6 +291,14 @@ SCRIPT_RANGES: dict[str, list[tuple[int, int]]] = {
 #: left alone — it travels awkwardly in literals and no script class
 #: matches it anyway). See :func:`strip_ascii`.
 _ASCII_STRIP_SRC = "".join(chr(i) for i in range(1, 128))
+
+#: the same 127 chars as a SQL string literal body, spelled with
+#: ``\uXXXX`` escapes so the quote (U+0027), backslash (U+005C) and the
+#: control characters survive the parser unambiguously (Spark unescapes
+#: them in ParserUtils.unescapeSQLString; assumes the default
+#: ``spark.sql.parser.escapedStringLiterals=false``, which the whole
+#: SQL surface of this package already relies on for '\\s+' patterns).
+_ASCII_STRIP_SQL = "".join(f"\\u{i:04X}" for i in range(1, 128))
 
 
 def strip_ascii(col: str | Column) -> Column:
@@ -425,94 +427,100 @@ def lang_profile(
     (CollapseProject keeps the stages apart because the count columns
     are multiply-referenced and non-cheap). Ratios are int-ratio
     doubles — IEEE division of exactly-representable ints, identical in
-    both engines (oracle-exact)."""
-    c = F.col(text_col)
+    both engines (oracle-exact).
+
+    Round 16 (guide §7.3 — driver/planning time): the stages are
+    GENERATED SQL fed to ``selectExpr`` (4 parser round trips), not
+    Column-object algebra. The Column spelling made ~2,150 py4j round
+    trips per build (cProfile: ~0.65 s of socket chatter per call, and
+    this function builds three times inside q_lang_predict alone);
+    the SQL spelling builds the identical expression tree — CASE WHEN ==
+    when/otherwise, same counts, same earliest-max-wins tie-breaks, same
+    kana rule — in ~0.05 s. Value-identity is pinned by the same tests
+    that pin the profile against :func:`predict_lang`'s Column spelling,
+    plus an old-vs-new row comparison at 3 SFs + planted uppercase/
+    mixed-script frames when the spelling changed. Sub-expression
+    provenance (rounds 8/12): tokenization materializes ONCE
+    (``__toks``) and every stopword-hit column filters the materialized
+    array; the Latin count goes through ``translate`` (~5× cheaper than
+    the regex); the seven per-script ``regexp_count``s run over the
+    ASCII-stripped remainder (one ``translate`` pass) so the regex
+    engine never re-scans the ASCII bulk of the corpus per script."""
+    cq = f"`{text_col}`"
     sc_names = list(SCRIPT_RANGES)
     stop_names = list(STOPWORDS)
-    # round 8: tokenization materializes ONCE (``__toks``) and every
-    # stopword-hit column filters the materialized array — the per-lang
-    # ``tokens(lower(c))`` re-splits were ~half the family's row cost;
-    # the Latin count goes through translate (latin_char_count, ~5×
-    # cheaper than the regex; value-identical). Token boundaries are
-    # whitespace, so size(toks-of-lowered) == token_count(c) exactly.
-    # round 8 (late): the seven per-script regexp_counts run over the
-    # ASCII-stripped remainder (strip_ascii — one translate pass), not
-    # the raw text: value-identical (script classes are all non-ASCII)
-    # and the regex engine stops re-scanning the whole corpus per script
-    p0 = df.select(
+    p0 = df.selectExpr(
         "*",
-        tokens(F.lower(c)).alias("__toks"),
-        strip_ascii(c).alias("__nonascii"),
+        # tokens(lower(c)) — whitespace split of the TRIMMED, LOWERED
+        # text, empties dropped (split('') returns [''])
+        f"filter(split(trim(lower({cq})), '\\\\s+'), t -> t != '')"
+        " AS __toks",
+        # strip_ascii(c)
+        f"translate({cq}, '{_ASCII_STRIP_SQL}', '') AS __nonascii",
     )
-    p1 = p0.select(
+    lowered = f"lower({cq})"
+    p1 = p0.selectExpr(
         "*",
         *[
-            cnt.alias(f"__c_{lang}")
-            for lang, cnt in script_char_counts(F.col("__nonascii")).items()
+            f"regexp_count(__nonascii, '{script_class(lang)}') AS __c_{lang}"
+            for lang in sc_names
         ],
-        latin_char_count(c).alias("__latin"),
-        # F.expr, not F.filter(lambda): the python-lambda→expression
-        # conversion costs ~13 ms of driver time PER filter (measured —
-        # 10 langs made this block the projection's build hot spot);
-        # the SQL spelling parses in one round trip and is
-        # value-identical (pinned by the same test that pins the whole
-        # profile against predict_lang's F.filter spelling)
+        # latin_char_count(c)
+        f"length({lowered}) - length(translate({lowered},"
+        " 'abcdefghijklmnopqrstuvwxyz', '')) AS __latin",
         *[
-            F.expr(
-                "size(filter(__toks, t -> t IN (%s)))"
-                % ", ".join(f"'{w}'" for w in words)
-            ).alias(f"__h_{lang}")
+            "size(filter(__toks, t -> t IN (%s))) AS __h_%s"
+            % (", ".join(f"'{w}'" for w in words), lang)
             for lang, words in STOPWORDS.items()
         ],
-        F.size("__toks").alias("__ntok"),
+        "size(__toks) AS __ntok",
     )
-    best = F.greatest(*[F.col(f"__c_{l}") for l in sc_names], F.lit(0))
-    besth = F.greatest(*[F.col(f"__h_{l}") for l in stop_names], F.lit(0))
-    p2 = p1.withColumn("__best", best).withColumn("__besth", besth)
+    p2 = p1.selectExpr(
+        "*",
+        "greatest(%s, 0) AS __best"
+        % ", ".join(f"__c_{l}" for l in sc_names),
+        "greatest(%s, 0) AS __besth"
+        % ", ".join(f"__h_{l}" for l in stop_names),
+    )
     # earliest-max-wins argmaxes over the MATERIALIZED count columns —
-    # semantics identical to predict_lang's strictly-greater fold
-    script_label = F.lit(None).cast("string")
-    for lang in reversed(sc_names):
-        script_label = F.when(
-            F.col(f"__c_{lang}") == F.col("__best"), F.lit(lang)
-        ).otherwise(script_label)
-    script_label = F.when(
-        (script_label == F.lit("zh")) & (F.col("__c_ja") > 0), F.lit("ja")
-    ).otherwise(script_label)
-    stop_label = F.lit(default)
-    for lang in reversed(stop_names):
-        stop_label = F.when(
-            (F.col(f"__h_{lang}") == F.col("__besth"))
-            & (F.col("__besth") > 0),
-            F.lit(lang),
-        ).otherwise(stop_label)
-    denom = F.greatest(
-        F.col("__best") + F.col("__latin"), F.lit(1)
-    ).cast("double")
-    out = p2.select(
-        *df.columns,
-        F.when(F.col("__best") > F.col("__latin"), script_label)
-        .otherwise(stop_label)
-        .alias("lang_pred"),
-        (F.col("__best").cast("double") / denom).alias("script_frac"),
-        (
-            F.col("__besth").cast("double")
-            / F.greatest(F.col("__ntok"), F.lit(1)).cast("double")
-        ).alias("stop_ratio"),
-        (
-            (F.col("__best") > 0)
-            & (F.col("__latin") > 0)
-            & (
-                F.least(F.col("__best"), F.col("__latin")).cast("double")
-                / denom
-                >= F.lit(float(mixed_min_frac))
-            )
+    # a flat CASE in SCRIPT_RANGES/STOPWORDS order is exactly the
+    # nested when/otherwise fold (first match wins), semantics
+    # identical to predict_lang's strictly-greater iteration
+    script_case = (
+        "CASE "
+        + " ".join(f"WHEN __c_{l} = __best THEN '{l}'" for l in sc_names)
+        + " ELSE CAST(NULL AS STRING) END"
+    )
+    # kana-presence rule: Han is shared with Chinese; any kana at all
+    # marks the doc Japanese even when kanji outnumber kana
+    script_label = (
+        f"CASE WHEN ({script_case}) = 'zh' AND __c_ja > 0 THEN 'ja' "
+        f"ELSE ({script_case}) END"
+    )
+    stop_label = (
+        "CASE "
+        + " ".join(
+            f"WHEN __h_{l} = __besth AND __besth > 0 THEN '{l}'"
+            for l in stop_names
         )
+        + f" ELSE '{default}' END"
+    )
+    denom = "CAST(greatest(__best + __latin, 1) AS DOUBLE)"
+    out = p2.selectExpr(
+        *[f"`{col}`" for col in df.columns],
+        f"CASE WHEN __best > __latin THEN ({script_label}) "
+        f"ELSE ({stop_label}) END AS lang_pred",
+        f"CAST(__best AS DOUBLE) / {denom} AS script_frac",
+        "CAST(__besth AS DOUBLE) / CAST(greatest(__ntok, 1) AS DOUBLE)"
+        " AS stop_ratio",
         # INT, not BOOLEAN: the oracle board's convention for flags —
         # NULL booleans round-trip differently through the two engines'
-        # pandas conversions ('NULL' vs 'NaN' in the canonical compare)
-        .cast("int")
-        .alias("is_mixed"),
+        # pandas conversions ('NULL' vs 'NaN' in the canonical compare).
+        # The 'D' suffix keeps the threshold a DOUBLE literal (bare 0.2
+        # would parse as DECIMAL(1,1) and change the comparison's type).
+        f"CAST(__best > 0 AND __latin > 0 AND "
+        f"CAST(least(__best, __latin) AS DOUBLE) / {denom}"
+        f" >= {float(mixed_min_frac)!r}D AS INT) AS is_mixed",
     )
     return out
 

@@ -1507,7 +1507,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pydala_spark.operators.similarity import lsh_bucket, neardup_pairs
 
     emb = _spread(spark, load_table(spark, sf_dir, "embeddings"))
-    bucketed = emb.withColumn("bucket", lsh_bucket(F.col("embedding"), 64, bits=6))
+    bucketed = emb.withColumn("bucket", lsh_bucket("embedding", 64, bits=6))
     pairs = neardup_pairs(
         bucketed,
         id_col="vec_id",

@@ -33,6 +33,13 @@ def _tagged_union(parts: list[tuple[str, DataFrame]]) -> DataFrame:
     The output schema is the first-appearance-ordered superset of all
     branch columns; absent columns are NULL-padded with the dtype of the
     branch that defines them (so unionByName never coerces).
+
+    The pad-select is GENERATED SQL via ``selectExpr`` (round 16, guide
+    §7.3): the Column spelling made 3+ py4j round trips per padded
+    column per branch — ~0.3-0.7 s of driver build time per tag-union
+    query (profiled) for identical expressions. ``CAST(NULL AS
+    <dataType.simpleString()>)`` is the same null-literal cast the
+    Column path produced.
     """
     fields: dict[str, object] = {}
     for _, df in parts:
@@ -41,10 +48,14 @@ def _tagged_union(parts: list[tuple[str, DataFrame]]) -> DataFrame:
     out = None
     for fam, df in parts:
         have = set(df.columns)
-        sel = df.select(
-            F.lit(fam).alias("family"),
+        sel = df.selectExpr(
+            f"'{fam}' AS family",
             *[
-                (F.col(n) if n in have else F.lit(None).cast(dt)).alias(n)
+                (
+                    f"`{n}`"
+                    if n in have
+                    else f"CAST(NULL AS {dt.simpleString()}) AS `{n}`"
+                )
                 for n, dt in fields.items()
             ],
         )

@@ -1201,3 +1201,61 @@ def test_remove_from_ivfpq_index_refuses_to_empty(spark, tmp_path):
     probes = df.where(F.col("vec_id") < 2)
     assert search_ivfpq_index(spark, idx, probes, k=3,
                               n_probe_centroids=3).count() == 6
+
+
+def test_similarity_sql_path_matches_column_path(spark):
+    """Round 16: the scoring helpers' string fast path (one parsed SQL
+    fragment, guide §7.3 build-time fix) must produce the same values
+    as the legacy Column spelling — every helper, including all-negative
+    vectors, zeros and float/int arrays."""
+    from pydala_spark.operators.similarity import (
+        cosine_similarity, dot, lsh_bucket, norm, sim_from_norms,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -2.0, 3.0, 0.5], [0.0, 1.0, -1.0, 2.0]),
+            (2, [0.0, 0.0, 0.0, 0.0], [1.0, 1.0, 1.0, 1.0]),
+            (3, [-1.5, -2.5, -3.5, -4.5], [-1.0, 2.0, -3.0, 4.0]),
+        ],
+        ["id", "a", "b"],
+    )
+    pre = df.withColumn("na", norm(F.col("a"))).withColumn(
+        "nb", norm(F.col("b"))
+    )
+    # ANSI mode (Spark 4 default) raises on /0 in BOTH spellings, so
+    # the ratio helpers are compared on the non-zero-norm rows only;
+    # dot/norm/lsh_bucket cover the zero vector below.
+    zdot = pre.select(
+        "id",
+        dot(F.col("a"), F.col("b")).alias("d"),
+        norm(F.col("a")).alias("n"),
+        lsh_bucket(F.col("a"), 4, bits=6).alias("bkt"),
+    ).collect()
+    zdot_new = pre.select(
+        "id",
+        dot("a", "b").alias("d"),
+        norm("a").alias("n"),
+        lsh_bucket("a", 4, bits=6).alias("bkt"),
+    ).collect()
+    assert [tuple(r) for r in zdot] == [tuple(r) for r in zdot_new]
+    pre = pre.where("id != 2")
+    old = pre.select(
+        "id",
+        dot(F.col("a"), F.col("b")).alias("d"),
+        norm(F.col("a")).alias("n"),
+        cosine_similarity(F.col("a"), F.col("b")).alias("c"),
+        sim_from_norms(
+            F.col("a"), F.col("b"), F.col("na"), F.col("nb")
+        ).alias("s"),
+        lsh_bucket(F.col("a"), 4, bits=6).alias("bkt"),
+    ).collect()
+    new = pre.select(
+        "id",
+        dot("a", "b").alias("d"),
+        norm("a").alias("n"),
+        cosine_similarity("a", "b").alias("c"),
+        sim_from_norms("a", "b", "na", "nb").alias("s"),
+        lsh_bucket("a", 4, bits=6).alias("bkt"),
+    ).collect()
+    assert [tuple(r) for r in old] == [tuple(r) for r in new]
