@@ -641,6 +641,17 @@ def pq_topk(
         c = corpus.select(
             F.col(id_col).alias("neighbor_id"), F.col(codes_col).alias("codes")
         )
+    # round 17 (guide §2.3/§2.5): when the corpus scan is row-group-bound
+    # (one task), the scoring NLJ + top-k window inherit it; spread the
+    # POST-encode frame — (id, m small ints), 32× narrower than the raw
+    # vectors, so the round-robin exchange ships codes, not embeddings
+    # (spreading the raw corpus A/B'd 0.9× — the wide exchange loses).
+    # The probe piggybacks the corpus frame: `c` derives from it by
+    # narrow ops only, and probing `c` itself would re-plan the encode
+    # UDF on every query build. No-op on healthy multi-file scans.
+    from pydala_spark.sources import spread_scan
+
+    c = spread_scan(c, probe=corpus)
     p = probes.select(
         F.col(id_col).alias("probe_id"),
         _pq_luts(books)(F.col(vec_col)).alias("lut"),

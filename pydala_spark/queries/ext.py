@@ -2005,8 +2005,16 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pydala_spark.queries.merged import _tagged_union
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # round 17 (guide §2.5): both families are compute-dense single-task
+    # stages on a row-group-bound scan — the dedup half's Arrow matmul +
+    # per-cell self-join and the decon half's |corpus|×|benchmark| NLJ
+    # dot products all inherited the one scan task. Spreading the corpus
+    # side A/B'd 1.3× (dedup, 3/3 interleaved blocks) and 1.9× (decon);
+    # the r16 whole-emb A/B that read 1.04× was contention-masked. The
+    # broadcast benchmark side stays unspread (it is collected anyway).
+    emb_s = spread_scan(emb)
     out = semantic_dedup(
-        emb, _ivf_centroids(), threshold=0.25, score_col="label"
+        emb_s, _ivf_centroids(), threshold=0.25, score_col="label"
     )
     # booleans cast to INT: a NULL-padded bool canonicalizes as None in
     # Spark's toPandas but NaN in DuckDB's (the q_collection_functions
@@ -2017,7 +2025,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("kept").cast("int").alias("kept"),
     )
     bench = emb.where(F.col("vec_id") % 50 == 0)
-    corpus = emb.where(F.col("vec_id") % 50 != 0)
+    corpus = emb_s.where(F.col("vec_id") % 50 != 0)
     hits = semantic_contamination(corpus, bench, threshold=0.30).select(
         F.col("id").alias("vec_id"), F.lit(1).alias("contaminated")
     )

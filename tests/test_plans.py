@@ -288,21 +288,48 @@ def test_read_schema_columns_decimal(spark, sf_dir):
 def test_pq_topk_broadcasts_probes_one_shuffle(spark, sf_dir):
     # r4: the PQ scan must stay a broadcast map-side job — probes (with
     # LUTs) broadcast against the corpus; the only exchange is the final
-    # per-probe top-k window
+    # per-probe top-k window. Round 17: on a row-group-bound scan the
+    # POST-encode codes frame (id + m small ints, 32× narrower than the
+    # vectors) is spread before the scoring NLJ — auto adds exactly that
+    # one round-robin exchange; off keeps the historical single-shuffle
+    # shape (and a healthy production scan makes auto a no-op).
+    import os
+
+    os.environ["PYDALA_SPREAD"] = "off"
+    try:
+        df = QUERIES["q_pq_topk"](spark, sf_dir)
+        assert has_broadcast_join(df)
+        assert shuffle_count(df) == 1
+        pushed = " ".join(pushed_filters(df))
+        assert "LessThan(vec_id,10)" in pushed  # probe filter reached its scan
+    finally:
+        os.environ.pop("PYDALA_SPREAD", None)
     df = QUERIES["q_pq_topk"](spark, sf_dir)
     assert has_broadcast_join(df)
-    assert shuffle_count(df) == 1
-    pushed = " ".join(pushed_filters(df))
-    assert "LessThan(vec_id,10)" in pushed  # probe filter reached its scan
+    assert shuffle_count(df) == 2
 
 
 def test_semantic_dedup_no_cartesian(spark, sf_dir):
     # r4: the in-cell pair comparison must stay an equi-join on cell —
-    # never a cross join over the corpus
+    # never a cross join over the corpus. Round 17: both families spread
+    # the corpus side of a row-group-bound scan (the Arrow matmul +
+    # in-cell self-join and the decon NLJ were single-task); auto adds
+    # the round-robin spread exchanges (one per lineage replay of the
+    # shared emb_s frame), off keeps the historical shape.
+    import os
+
+    os.environ["PYDALA_SPREAD"] = "off"
+    try:
+        df = QUERIES["q_semantic_dedup"](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert shuffle_count(df) <= 2
+    finally:
+        os.environ.pop("PYDALA_SPREAD", None)
     df = QUERIES["q_semantic_dedup"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
-    assert shuffle_count(df) <= 2
+    assert shuffle_count(df) == 5
 
 
 def test_ivfpq_encode_single_python_pass(spark, sf_dir):

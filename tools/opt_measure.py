@@ -4,7 +4,7 @@
 Times individual declared queries in isolation — same collect-based
 methodology as bench.py, median of N adjacent runs after a warm-up at
 sf0.001 — and writes each query's ``explain("formatted")`` to
-``plans/r16/<query>_<tag>.txt`` so plan claims in OPTIMIZATION_r16.md
+``plans/<rdir>/<query>_<tag>.txt`` so plan claims in OPTIMIZATION_r16.md
 are checkable without running Spark.
 
 Usage:
@@ -33,6 +33,7 @@ def main() -> int:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--all-bench", action="store_true")
     ap.add_argument("--no-plans", action="store_true")
+    ap.add_argument("--rdir", default="r17", help="plans/<rdir>/ output dir")
     args = ap.parse_args()
 
     from bench import EXTENDED, HEADLINE
@@ -55,7 +56,7 @@ def main() -> int:
     for name in names:
         QUERIES[name](spark, warm_dir).collect()
 
-    plans_dir = Path(__file__).resolve().parent.parent / "plans" / "r16"
+    plans_dir = Path(__file__).resolve().parent.parent / "plans" / args.rdir
     plans_dir.mkdir(parents=True, exist_ok=True)
 
     out: dict[str, dict] = {}
