@@ -845,6 +845,41 @@ def quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: At or below this many entries a pinned lookup table inlines as ONE
+#: parsed ``map(...)`` literal — per-row map access with no broadcast
+#: relation to build (round 17: the two per-invocation broadcast builds
+#: cost more than the whole tokenize+explode stage at bench scale, and a
+#: literal map probe measured free beside them). Above it — a real LM is
+#: 100k-1M rows — the broadcast-join path stays: a megarow expression
+#: literal would blow up the plan, and one broadcast build amortizes
+#: over a 100 TB scan.
+_MAP_LITERAL_MAX = 8192
+
+
+def _sql_str(s: str) -> str:
+    """``s`` as a SQL single-quoted string literal, with the quote, the
+    backslash and control characters spelled ``\\uXXXX`` so arbitrary
+    token text survives the parser unambiguously (same convention as
+    ``_ASCII_STRIP_SQL``; assumes the default
+    ``spark.sql.parser.escapedStringLiterals=false``)."""
+    body = "".join(
+        f"\\u{ord(ch):04X}"
+        if (ch in ("'", "\\") or ord(ch) < 32)
+        else ch
+        for ch in s
+    )
+    return f"'{body}'"
+
+
+def _millinat_map(table: dict[str, int]) -> Column:
+    """A ``map<string,bigint>`` literal of a small pinned log-prob
+    table, built as ONE parsed SQL fragment (no per-entry py4j)."""
+    entries = ", ".join(
+        f"{_sql_str(k)}, {int(v)}L" for k, v in table.items()
+    )
+    return F.expr(f"map({entries})")
+
+
 def lm_perplexity_score(
     df: DataFrame,
     vocab: dict[str, int],
@@ -893,15 +928,32 @@ def lm_perplexity_score(
     One shuffle, keyed by doc id.
     """
     spark = df.sparkSession
-    vocab_df = F.broadcast(
-        spark.createDataFrame(list(vocab.items()), "tok string, lp long")
+    # round 17 (guide §1.2/§2.3): the PINNED test fixture (31 unigrams,
+    # 900 bigrams) is map-literal-sized — per-invocation broadcast
+    # builds cost more than the whole tokenize+explode stage at bench
+    # scale (two builds: 0.58 s vs a free literal probe, noop-timed).
+    # Lookup semantics are identical to the left join: keys unique,
+    # missing or NULL key → NULL. Real LM tables exceed the gate and
+    # keep the broadcast join.
+    small = 0 < len(vocab) <= _MAP_LITERAL_MAX and (
+        bigrams is None or 0 < len(bigrams) <= _MAP_LITERAL_MAX
     )
+
+    def _with_lp(frame, key_col, out_col, table, schema):
+        if small:
+            return frame.withColumn(
+                out_col,
+                F.try_element_at(_millinat_map(table), F.col(key_col)),
+            )
+        rel = F.broadcast(spark.createDataFrame(list(table.items()), schema))
+        return frame.join(rel, key_col, "left")
+
     if bigrams is None:
         toks = df.select(
             F.col(id_col), word_regex_tokens(text_col).alias("__toks")
         ).select(id_col, F.explode_outer("__toks").alias("tok"))
         scored = (
-            toks.join(vocab_df, "tok", "left")
+            _with_lp(toks, "tok", "lp", vocab, "tok string, lp long")
             .groupBy(id_col)
             .agg(
                 F.count("tok").cast("long").alias("n_tokens"),
@@ -916,11 +968,6 @@ def lm_perplexity_score(
             )
         )
     else:
-        bi_df = F.broadcast(
-            spark.createDataFrame(
-                list(bigrams.items()), "pair string, bi_lp long"
-            )
-        )
         base = df.select(
             F.col(id_col), word_regex_tokens(text_col).alias("__toks")
         )
@@ -956,9 +1003,12 @@ def lm_perplexity_score(
             + F.when(F.col("pair").isNotNull(), F.lit(int(backoff_millinats)))
             .otherwise(F.lit(0)),
         )
+        looked = _with_lp(
+            _with_lp(ex, "tok", "lp", vocab, "tok string, lp long"),
+            "pair", "bi_lp", bigrams, "pair string, bi_lp long",
+        )
         scored = (
-            ex.join(vocab_df, "tok", "left")
-            .join(bi_df, "pair", "left")
+            looked
             .groupBy(id_col)
             .agg(
                 F.count("tok").cast("long").alias("n_tokens"),

@@ -1821,6 +1821,51 @@ def test_lm_perplexity_score_bigram_backoff(spark):
     assert out[3] == (0, None, "unscored")
 
 
+def test_lm_perplexity_map_literal_equals_join(spark, monkeypatch):
+    # round 17: tables at or under _MAP_LITERAL_MAX inline as ONE parsed
+    # map literal (no per-invocation broadcast build); the join path
+    # stays for real LM sizes. Both spellings must score identically —
+    # including quote/backslash tokens through the _sql_str escaper and
+    # the NULL-pair first-token rule — and the small path must plan no
+    # broadcast join.
+    import pydala_spark.operators.textstats as ts
+    from pydala_spark.operators.textstats import lm_perplexity_score
+
+    vocab = {"the": -1000, "o'brien": -2000, "a\\b": -2500, "sat": -3500}
+    bigrams = {"the o'brien": -500, "o'brien a\\b": -600}
+    rows = [(1, "the o'brien a\\b sat"), (2, "sat zyzzyva"), (3, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def run():
+        return sorted(
+            map(
+                tuple,
+                lm_perplexity_score(
+                    df, vocab, unk_millinats=-9000,
+                    head_threshold=-3000, middle_threshold=-6000,
+                    bigrams=bigrams, backoff_millinats=-700,
+                ).collect(),
+            )
+        )
+
+    small = run()
+    plan = lm_perplexity_score(
+        df, vocab, -9000, bigrams=bigrams
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan  # literal map, no relation
+    monkeypatch.setattr(ts, "_MAP_LITERAL_MAX", 0)  # force the join path
+    assert run() == small
+    # unigram-only spelling too
+    monkeypatch.setattr(ts, "_MAP_LITERAL_MAX", 8192)
+    uni_small = sorted(
+        map(tuple, lm_perplexity_score(df, vocab, -9000).collect())
+    )
+    monkeypatch.setattr(ts, "_MAP_LITERAL_MAX", 0)
+    assert sorted(
+        map(tuple, lm_perplexity_score(df, vocab, -9000).collect())
+    ) == uni_small
+
+
 def test_winnowing_contamination(spark):
     # round 5: robust-hash decontamination — a contained benchmark
     # passage is caught through punctuation/casing edits AND on
