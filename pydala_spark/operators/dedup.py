@@ -25,7 +25,11 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pydala_spark.dataset.reader import apply_distinct
-from pydala_spark.operators.textstats import fingerprint, word_regex_tokens
+from pydala_spark.operators.textstats import (
+    _sql_ident,
+    fingerprint,
+    word_regex_tokens,
+)
 
 
 def explode_cheaply(df: DataFrame, arr: Column, alias: str) -> DataFrame:
@@ -237,7 +241,7 @@ def minhash_signatures(
         F.col("shs"),
         "sh",
     ).selectExpr(
-        f"id AS `{id_col}`",
+        f"id AS {_sql_ident(id_col)}",
         *[
             f"md5(concat('{salt}{j}|', sh)) AS __h{j}"
             for j in range(n_md5)
@@ -251,7 +255,7 @@ def minhash_signatures(
         for i in range(n_hashes)
     ]
     return exploded.groupBy(id_col).agg(*aggs).selectExpr(
-        f"`{id_col}`",
+        f"{_sql_ident(id_col)}",
         *[
             f"lower(lpad(hex(__m{i}), 8, '0')) AS mh_{i}"
             for i in range(n_hashes)
@@ -1023,7 +1027,7 @@ def simhash(
     # the identical tree (CASE WHEN == when/otherwise, same left-assoc
     # reassembly sum); old-vs-new pinned bit-identical by test
     toks = toks.selectExpr(
-        f"`{id_col}`",
+        f"{_sql_ident(id_col)}",
         *[
             f"instr('{_HEX}', substring(h, {d + 1}, 1)) - 1 AS __d{d}"
             for d in range(n_digits)
@@ -1044,7 +1048,7 @@ def simhash(
         for j in range(bits)
     )
     return summed.selectExpr(
-        f"`{id_col}`", f"CAST({value_sql} AS BIGINT) AS simhash"
+        f"{_sql_ident(id_col)}", f"CAST({value_sql} AS BIGINT) AS simhash"
     )
 
 

@@ -46,11 +46,22 @@ def _q(name: str) -> str:
     return f"`{name}`"
 
 
+def _col(x: Column | str) -> Column:
+    """Coerce a column-NAME string to a Column for the algebra fallback
+    paths (ADVICE r16: a mixed str/Column call would otherwise lift the
+    string into a STRING LITERAL via Column operator overloading —
+    ``'na' * nb`` — silently producing NULL/wrong sims)."""
+    return F.col(x) if isinstance(x, str) else x
+
+
 def dot(a: Column | str, b: Column | str) -> Column:
     if isinstance(a, str) and isinstance(b, str):
         return F.expr(_dot_sql(_q(a), _q(b)))
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.zip_with(
+            _col(a), _col(b),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
@@ -68,7 +79,7 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
             f"{_dot_sql(_q(a), _q(b))} / (sqrt({_dot_sql(_q(a), _q(a))})"
             f" * sqrt({_dot_sql(_q(b), _q(b))}))"
         )
-    return dot(a, b) / (norm(a) * norm(b))
+    return dot(a, b) / (norm(_col(a)) * norm(_col(b)))
 
 
 def sim_from_norms(
@@ -85,7 +96,7 @@ def sim_from_norms(
         return F.expr(
             f"{_dot_sql(_q(a), _q(b))} / ({_q(na)} * {_q(nb)})"
         )
-    return dot(a, b) / (na * nb)
+    return dot(a, b) / (_col(na) * _col(nb))
 
 
 def cosine_topk(

@@ -191,13 +191,21 @@ def fingerprint(col: str | Column) -> Column:
     return F.md5(F.nullif(normalize_text(col), F.lit("")))
 
 
-def _win_min_sql(hashes: str, window: int) -> str:
+def _win_min_sql(hashes: str, window: int, var: str = "j") -> str:
     """SQL text of the winnowing per-window minimum under lambda var
-    ``j`` (1-based window start): ``least`` of the window's ``get``s,
-    degenerating to the bare element at window=1."""
+    ``var`` (1-based window start): ``least`` of the window's ``get``s,
+    degenerating to the bare element at window=1.
+
+    The fragment is only correct inside a ``transform`` whose lambda
+    variable is exactly ``var`` (ADVICE r16: the old hard-coded ``j``
+    silently mis-resolved for any other var name — and an input frame
+    with a real column named like the var would shadow it; keep the
+    var out of the frame's column namespace)."""
     if window == 1:
-        return f"get({hashes}, j - 1)"
-    gets = ", ".join(f"get({hashes}, j + {o} - 1)" for o in range(window))
+        return f"get({hashes}, {var} - 1)"
+    gets = ", ".join(
+        f"get({hashes}, {var} + {o} - 1)" for o in range(window)
+    )
     return f"least({gets})"
 
 
@@ -470,7 +478,7 @@ def lang_profile(
         " 'abcdefghijklmnopqrstuvwxyz', '')) AS __latin",
         *[
             "size(filter(__toks, t -> t IN (%s))) AS __h_%s"
-            % (", ".join(f"'{w}'" for w in words), lang)
+            % (", ".join(_sql_str(w) for w in words), lang)
             for lang, words in STOPWORDS.items()
         ],
         "size(__toks) AS __ntok",
@@ -869,6 +877,13 @@ def _sql_str(s: str) -> str:
         for ch in s
     )
     return f"'{body}'"
+
+
+def _sql_ident(name: str) -> str:
+    """``name`` as a backtick-quoted SQL identifier (embedded backticks
+    doubled — ADVICE r16's escaping rule for every generated-SQL
+    interpolation site)."""
+    return "`" + name.replace("`", "``") + "`"
 
 
 def _millinat_map(table: dict[str, int]) -> Column:

@@ -41,6 +41,8 @@ def _tagged_union(parts: list[tuple[str, DataFrame]]) -> DataFrame:
     <dataType.simpleString()>)`` is the same null-literal cast the
     Column path produced.
     """
+    from pydala_spark.operators.textstats import _sql_ident, _sql_str
+
     fields: dict[str, object] = {}
     for _, df in parts:
         for f in df.schema.fields:
@@ -49,12 +51,12 @@ def _tagged_union(parts: list[tuple[str, DataFrame]]) -> DataFrame:
     for fam, df in parts:
         have = set(df.columns)
         sel = df.selectExpr(
-            f"'{fam}' AS family",
+            f"{_sql_str(fam)} AS family",
             *[
                 (
-                    f"`{n}`"
+                    _sql_ident(n)
                     if n in have
-                    else f"CAST(NULL AS {dt.simpleString()}) AS `{n}`"
+                    else f"CAST(NULL AS {dt.simpleString()}) AS {_sql_ident(n)}"
                 )
                 for n, dt in fields.items()
             ],

@@ -50,6 +50,12 @@ RUNTIME_DEFAULTS: dict[str, str] = {
     # pinned by tests/test_timestamp_boundary.py::test_ntz_write_roundtrip.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # The generated-SQL surface (textstats._ASCII_STRIP_SQL \\uXXXX
+    # escapes, '\\s+' split patterns, _sql_str-escaped map literals)
+    # requires the default parser unescaping; a session that flips this
+    # would silently change every lang/token stat (ADVICE r16). Set it
+    # explicitly and fail fast below if an external session rejects it.
+    "spark.sql.parser.escapedStringLiterals": "false",
 }
 
 
@@ -105,6 +111,14 @@ def configure_session(spark: SparkSession) -> SparkSession:
             spark.conf.set(key, value)
         except Exception:
             pass
+    esc = "spark.sql.parser.escapedStringLiterals"
+    if spark.conf.get(esc, "false") != "false":
+        raise RuntimeError(
+            f"pydala_spark requires {esc}=false (the generated-SQL "
+            "surface depends on parser unescaping — see session."
+            "RUNTIME_DEFAULTS); this session pins it true and rejects "
+            "the override"
+        )
     _ship_package(spark)
     return spark
 

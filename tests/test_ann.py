@@ -1259,3 +1259,16 @@ def test_similarity_sql_path_matches_column_path(spark):
         lsh_bucket("a", 4, bits=6).alias("bkt"),
     ).collect()
     assert [tuple(r) for r in old] == [tuple(r) for r in new]
+    # round 17 (ADVICE r16): MIXED str/Column calls take the algebra
+    # fallback, where a bare string must coerce to F.col — the Column
+    # operator overloads would otherwise lift it to a STRING LITERAL
+    # ('na' * nb) and silently produce NULL/wrong sims
+    mixed = pre.select(
+        "id",
+        dot(F.col("a"), "b").alias("d"),
+        cosine_similarity("a", F.col("b")).alias("c"),
+        sim_from_norms(F.col("a"), "b", "na", F.col("nb")).alias("s"),
+    ).collect()
+    assert [(r["id"], r["d"], r["c"], r["s"]) for r in old] == [
+        tuple(r) for r in mixed
+    ]
